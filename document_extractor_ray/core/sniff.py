@@ -1,0 +1,133 @@
+"""Format sniffing and container/multiframe payload codecs.
+
+The reference routes by file extension (``process_run.py:93-109``); the
+north_star requires content sniffing, since a web corpus has no
+extensions.  Magic bytes:
+
+- ``RIFF....WAVE``  -> ``noise``        (auto-delete, process_run.py:37,158-164)
+- ``PK\\x03\\x04``  -> ``unsupported``  (xlsx-style quarantine, process_run.py:36,166-171)
+- ``CNT1``          -> ``container``    (PDF-portfolio analogue, portfolio_unpack.py:92-177)
+- ``MUF1``          -> ``multi_unit``   (multi-frame TIFF analogue, pass_img.py:106-129)
+- html-ish payload  -> ``html``         (the PDF cascade analogue)
+- empty html, text column set or empty -> ``txt`` (pass_txt.py route)
+- anything else     -> ``unsupported``
+
+The CNT1/MUF1 binary formats are defined by this repo (deterministic,
+length-prefixed) — they exist so the synthetic corpus can exercise the
+container-explode and per-frame paths without real PDF/TIFF libraries.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Tuple
+
+KIND_HTML = "html"
+KIND_TXT = "txt"
+KIND_IMG = "multi_unit"
+KIND_CONTAINER = "container"
+KIND_NOISE = "noise"
+KIND_UNSUPPORTED = "unsupported"
+
+MAGIC_CONTAINER = b"CNT1"
+MAGIC_MULTIFRAME = b"MUF1"
+
+_HTML_PREFIXES = (b"<!doctype", b"<!DOCTYPE", b"<html", b"<HTML", b"<")
+
+
+def sniff_kind(payload: bytes) -> str:
+    """Route one payload by magic bytes (extension-router analogue R1)."""
+    if payload is None or len(payload) == 0:
+        return KIND_TXT  # empty html: the pre-extracted text column route
+    head = payload[:16]
+    if head[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return KIND_NOISE
+    if head[:4] == b"PK\x03\x04":
+        return KIND_UNSUPPORTED
+    if head[:4] == MAGIC_CONTAINER:
+        return KIND_CONTAINER
+    if head[:4] == MAGIC_MULTIFRAME:
+        return KIND_IMG
+    stripped = payload.lstrip()
+    if stripped[:9].lower().startswith(b"<!doctype") or stripped[:1] == b"<":
+        return KIND_HTML
+    return KIND_UNSUPPORTED
+
+
+# ---------------------------------------------------------------------------
+# MUF1: multi-frame payload.  b"MUF1" + u32 n + n * (u32 len + utf8 text)
+# ---------------------------------------------------------------------------
+
+def encode_multiframe(frames: List[str]) -> bytes:
+    out = [MAGIC_MULTIFRAME, struct.pack("<I", len(frames))]
+    for f in frames:
+        b = f.encode("utf-8")
+        out.append(struct.pack("<I", len(b)))
+        out.append(b)
+    return b"".join(out)
+
+
+def decode_multiframe(payload: bytes) -> List[str]:
+    if payload[:4] != MAGIC_MULTIFRAME:
+        raise ValueError("not a MUF1 payload")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    off = 8
+    frames = []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        frames.append(payload[off : off + ln].decode("utf-8", "ignore"))
+        off += ln
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# CNT1: container payload (portfolio analogue).
+# b"CNT1" + u32 n + n * (u32 name_len + name + u32 payload_len + payload)
+# ---------------------------------------------------------------------------
+
+def encode_container(children: List[Tuple[str, bytes]]) -> bytes:
+    out = [MAGIC_CONTAINER, struct.pack("<I", len(children))]
+    for name, payload in children:
+        nb = name.encode("utf-8")
+        out.append(struct.pack("<I", len(nb)))
+        out.append(nb)
+        out.append(struct.pack("<I", len(payload)))
+        out.append(payload)
+    return b"".join(out)
+
+
+def decode_container(payload: bytes) -> List[Tuple[str, bytes]]:
+    if payload[:4] != MAGIC_CONTAINER:
+        raise ValueError("not a CNT1 payload")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    off = 8
+    children = []
+    for _ in range(n):
+        (nl,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        name = payload[off : off + nl].decode("utf-8", "ignore")
+        off += nl
+        (pl,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        children.append((name, bytes(payload[off : off + pl])))
+        off += pl
+    return children
+
+
+def child_url(parent_url: str, child_name: str) -> str:
+    """Portfolio child naming: Parent.pdf::Child.ext
+    (portfolio_unpack.py:156-164)."""
+    return f"{parent_url}::{child_name}"
+
+
+# Size buckets for skew handling (north_rule: size-bucketed
+# repartitioning; thresholds from SURVEY.md §4.2).
+SIZE_BUCKET_EDGES = (64 * 1024, 1024 * 1024, 8 * 1024 * 1024)
+
+
+def size_bucket(n_bytes: int) -> int:
+    for i, edge in enumerate(SIZE_BUCKET_EDGES):
+        if n_bytes < edge:
+            return i
+    return len(SIZE_BUCKET_EDGES)

@@ -1,0 +1,217 @@
+"""Output projections and sinks over the FINAL_SCHEMA dataset.
+
+Side outputs are *data*, not file moves (SURVEY.md §1.4): quarantine is
+a filtered table, the portfolio manifest is derived from child urls,
+unit rows are an explode — all streaming map_batches projections.
+
+Sinks:
+- ``write_outputs``      : partitioned Parquet (results + side tables)
+- ``write_combined_text``: the ``<run>_all_text_###.txt`` chunked
+  concatenation (output_writer.py:62-116, S7) — an ordered prefix-sum,
+  necessarily sequential, streamed on the driver via iter_batches.
+- ``write_index_csv`` / ``write_legacy_csv``: byte-compatible CSV
+  emitters for the 12-column run index (process_run.py:21-34) and the
+  legacy 6-column page schema (common.py:150-153).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Dict, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from document_extractor_ray.config import DEFAULT_CONFIG, PipelineConfig
+from document_extractor_ray.core import records
+from document_extractor_ray.core.chunking import (
+    DOCUMENT_BREAK,
+    assign_chunks,
+    chunk_file_name,
+)
+
+
+def results_dataset(final_ds):
+    return final_ds.map_batches(records.project_results, batch_format="pyarrow")
+
+
+def quarantine_dataset(final_ds):
+    return final_ds.map_batches(records.project_quarantine, batch_format="pyarrow")
+
+
+def unit_rows_dataset(final_ds):
+    return final_ds.map_batches(records.explode_unit_rows, batch_format="pyarrow")
+
+
+def _manifest_from_final(t: pa.Table) -> pa.Table:
+    """Portfolio manifest recovered from child urls (parent::child)."""
+    mask = pc.match_substring(t["url"], "::")
+    sub = t.filter(mask)
+    parents, names = [], []
+    for u in sub["url"].to_pylist():
+        parent, _, name = u.rpartition("::")
+        parents.append(parent)
+        names.append(name)
+    return pa.table(
+        {
+            "parent_url": pa.array(parents, pa.string()),
+            "child_name": pa.array(names, pa.string()),
+            "child_url": sub["url"],
+            "size_bytes": sub["size_bytes"],
+        },
+        schema=records.MANIFEST_SCHEMA,
+    )
+
+
+def manifest_dataset(final_ds):
+    return final_ds.map_batches(_manifest_from_final, batch_format="pyarrow")
+
+
+def metrics_table(final_ds) -> pa.Table:
+    """Run-level counters (A6: process_run.py:197-203 log lines as
+    data): rows per status."""
+    out = final_ds.groupby("status").count()
+    return pa.Table.from_pandas(out.to_pandas())
+
+
+def write_outputs(
+    final_ds, out_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> Dict[str, str]:
+    """Partitioned parquet layout: results/ partitioned by partition_id
+    (hash(url) % P) so a rerun can skip committed partitions; side
+    tables alongside."""
+    paths = {
+        "final": os.path.join(out_dir, "final"),
+        "results": os.path.join(out_dir, "results"),
+        "quarantine": os.path.join(out_dir, "quarantine"),
+        "units": os.path.join(out_dir, "units"),
+        "manifest": os.path.join(out_dir, "manifest"),
+    }
+    final_ds = final_ds.materialize()
+    final_ds.write_parquet(paths["final"], partition_cols=["partition_id"])
+    results_dataset(final_ds).write_parquet(paths["results"])
+    quarantine_dataset(final_ds).write_parquet(paths["quarantine"])
+    unit_rows_dataset(final_ds).write_parquet(paths["units"])
+    manifest_dataset(final_ds).write_parquet(paths["manifest"])
+    return paths
+
+
+# ---------------------------------------------------------------------------
+# Sequential driver-side sinks (ordered semantics, small outputs)
+# ---------------------------------------------------------------------------
+
+def write_combined_text(
+    final_ds_or_table, out_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> list:
+    """Combined chunked text files, byte-faithful to
+    output_writer.py:213-228: doc block + break marker appended in url
+    order, new chunk when the next block would overflow
+    cfg.max_combined_bytes.  The chunk assignment is a sequential
+    prefix-sum (A7) so it streams on the driver — only
+    (url, extracted_text) crosses, already sorted."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def batches():
+        if isinstance(final_ds_or_table, pa.Table):
+            yield final_ds_or_table
+        else:
+            yield from final_ds_or_table.iter_batches(
+                batch_size=1024, batch_format="pyarrow"
+            )
+
+    written = []
+    chunk_gen_state = {"chunk_id": 1, "current": 0, "first": True}
+    fh = None
+    try:
+        for batch in batches():
+            texts = batch["extracted_text"].to_pylist()
+            for text in texts:
+                if not text:
+                    continue  # no-text docs never reach the combined file
+                doc_bytes = len(text.encode("utf-8"))
+                st = chunk_gen_state
+                if not st["first"] and st["current"] + doc_bytes > cfg.max_combined_bytes:
+                    st["chunk_id"] += 1
+                    st["current"] = 0
+                    st["first"] = True
+                if st["first"]:
+                    if fh:
+                        fh.close()
+                    path = os.path.join(
+                        out_dir, chunk_file_name(cfg.run_id, st["chunk_id"])
+                    )
+                    fh = open(path, "w", encoding="utf-8", newline="")
+                    written.append(path)
+                fh.write(text)
+                fh.write(DOCUMENT_BREAK)
+                st["current"] += doc_bytes + len(DOCUMENT_BREAK.encode("utf-8"))
+                st["first"] = False
+    finally:
+        if fh:
+            fh.close()
+    return written
+
+
+def write_index_csv(
+    final_table: pa.Table, csv_path: str, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> None:
+    """Byte-compatible 12-column run CSV (process_run.py:21-34 header,
+    output_writer.py:230-257 row formatting: score '%.2f', used_ocr
+    lowered bool, QUOTE_ALL)."""
+    header = [
+        "original_file",
+        "original_name",
+        "relative_path",
+        "txt_relative_path",
+        "pages",
+        "processed_at",
+        "pass_used",
+        "score",
+        "status",
+        "used_ocr",
+        "run_id",
+        "notes",
+    ]
+    from document_extractor_ray.core.blocks import url_name, url_relative_path
+
+    t = records.project_results(final_table)
+    with open(csv_path, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        qw = csv.writer(f, quoting=csv.QUOTE_ALL)
+        for row in t.to_pylist():
+            qw.writerow(
+                [
+                    row["url"],
+                    url_name(row["url"]),
+                    url_relative_path(row["url"], cfg.input_root),
+                    row["txt_relative_path"],
+                    row["n_units"],
+                    row["processed_at"],
+                    row["pass_used"],
+                    f"{float(row['score']):.2f}" if row["score"] is not None else "",
+                    row["status"],
+                    str(bool(row["used_ocr"])).lower(),
+                    row["run_id"],
+                    row["notes"] or "",
+                ]
+            )
+
+
+def write_legacy_csv(units_table: pa.Table, csv_path: str) -> None:
+    """Legacy 6-column CSV with QUOTE_ALL (common.py:136-190 S8)."""
+    with open(csv_path, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f, quoting=csv.QUOTE_ALL)
+        w.writerow(["filename", "page", "text", "method", "used_ocr", "reliability"])
+        for row in units_table.to_pylist():
+            w.writerow(
+                [
+                    row["url"],
+                    row["page"],
+                    row["text"],
+                    row["method"],
+                    row["used_ocr"],
+                    row["reliability"],
+                ]
+            )

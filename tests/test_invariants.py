@@ -1,0 +1,142 @@
+"""Property/invariant tests (SURVEY.md §5.3): conservation law, schema
+exactness, reliability bounds, per-page mode implications, combined
+chunk budget, span correctness."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from document_extractor_ray.config import DEFAULT_CONFIG
+from document_extractor_ray.core import records
+from document_extractor_ray.core.chunking import DOCUMENT_BREAK
+
+
+def test_conservation_every_url_exactly_once(small_corpus):
+    """Every deduped input url appears exactly once in the final table
+    (results ∪ quarantine-only ∪ noise), mirroring delete-on-success
+    accounting (process_run.py:192-203)."""
+    from document_extractor_ray.oracle import dedup_first_indices
+
+    pages = small_corpus["pages"]
+    urls = pages["url"].to_pylist()
+    ts = [t.value for t in pages["warc_ts"]]
+    keep = dedup_first_indices(urls, ts)
+    input_urls = {urls[i] for i in keep}
+
+    final = small_corpus["oracle"]["final"]
+    final_urls = final["url"].to_pylist()
+    assert len(final_urls) == len(set(final_urls)), "duplicate output urls"
+    top_level = {u for u in final_urls if "::" not in u}
+    assert top_level == input_urls
+
+
+def test_result_statuses_partition(small_corpus):
+    final = small_corpus["oracle"]["final"]
+    for row in final.to_pylist():
+        s = row["status"]
+        if s == "NOISE":
+            assert not row["quarantine"]
+            assert row["extracted_text"] == ""
+        elif s == "MANDATORY_REVIEW":
+            assert row["quarantine"] and row["reason"] == "unsupported"
+        elif s == "ERROR":
+            # pdf-cascade ERRORs quarantine; txt-route ERRORs don't
+            if row["doc_kind"] == "html":
+                assert row["quarantine"] and row["reason"] == "pass rc=1"
+            elif row["doc_kind"] == "txt":
+                assert not row["quarantine"]
+        elif s == "OK":
+            assert not row["quarantine"]
+
+
+def test_score_bounds_and_ocr_flag(small_corpus):
+    final = small_corpus["oracle"]["final"]
+    for row in final.to_pylist():
+        assert 0.0 <= row["score"] <= 1.0
+        if row["pass_used"] in ("html_ocr_a", "html_ocr_b", "img_ocr"):
+            assert row["used_ocr"]
+        if row["pass_used"] in ("html_text", "txt", "portfolio"):
+            assert not row["used_ocr"]
+
+
+def test_per_page_mode_implications(small_corpus):
+    """per-page mode <=> (big doc) OR (fallback used) — G2/G3."""
+    cfg = small_corpus["cfg"]
+    final = small_corpus["oracle"]["final"]
+    for row in final.to_pylist():
+        if row["doc_kind"] != "html":
+            continue
+        big = (
+            row["size_bytes"] >= cfg.big_size_bytes
+            or row["n_units"] >= cfg.big_page_limit
+        )
+        if row["mode"] == "per-page":
+            assert big or row["used_ocr"] or row["status"] in (
+                "ERROR",
+                "LOW_DISK",
+                "TIMEOUT",
+            ), row["url"]
+        else:
+            assert row["pass_used"] == "html_text" and not big
+
+
+def test_spans_exact(small_corpus):
+    final = small_corpus["oracle"]["final"]
+    for row in final.to_pylist():
+        text = row["extracted_text"]
+        for span, page_text in zip(row["spans"], row["pages_text"]):
+            assert text[span["start"] : span["end"]] == page_text
+
+
+def test_schemas_exact(small_corpus):
+    o = small_corpus["oracle"]
+    assert o["final"].schema.equals(records.FINAL_SCHEMA)
+    assert o["results"].schema.equals(records.RESULTS_SCHEMA)
+    assert o["quarantine"].schema.equals(records.QUARANTINE_SCHEMA)
+    assert o["units"].schema.equals(records.UNIT_ROWS_SCHEMA)
+    assert o["manifest"].schema.equals(records.MANIFEST_SCHEMA)
+
+
+def test_unit_rows_formatting(small_corpus):
+    units = small_corpus["oracle"]["units"].to_pylist()
+    assert units, "no unit rows generated"
+    for row in units:
+        assert row["used_ocr"] == "true"
+        # '%.2f' formatting (common.py:177-179)
+        assert row["reliability"] == f"{float(row['reliability']):.2f}"
+        assert row["page"] == "-" or row["page"].isdigit()
+
+
+def test_combined_chunks_budget(tmp_path, small_corpus):
+    from document_extractor_ray.pipelines.outputs import write_combined_text
+
+    cfg = DEFAULT_CONFIG.with_(max_combined_bytes=20_000)
+    final = small_corpus["oracle"]["final"]
+    files = write_combined_text(final, str(tmp_path), cfg)
+    assert len(files) > 1
+    brk = DOCUMENT_BREAK.encode()
+    sizes = []
+    for f in files:
+        data = open(f, "rb").read()
+        # every doc block present exactly once, ends with break marker
+        assert data.endswith(brk)
+        sizes.append(len(data))
+    # no chunk exceeds budget by more than one doc + markers (a doc is
+    # never split; only an oversized single doc may overflow)
+    blocks = [t for t in final["extracted_text"].to_pylist() if t]
+    max_doc = max(len(t.encode()) for t in blocks)
+    for s in sizes:
+        assert s <= 20_000 + max_doc + len(brk)
+    # concatenation preserves every document in url order
+    all_data = b"".join(open(f, "rb").read() for f in files)
+    assert all_data.count(brk) == len(blocks)
+
+
+def test_manifest_links_children(small_corpus):
+    o = small_corpus["oracle"]
+    manifest = o["manifest"].to_pylist()
+    assert manifest
+    final_urls = set(o["final"]["url"].to_pylist())
+    for m in manifest:
+        assert m["child_url"] == f"{m['parent_url']}::{m['child_name']}"
+        assert m["child_url"] in final_urls
+        assert m["parent_url"] in final_urls
