@@ -1,44 +1,125 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()``   — flagship extraction pipeline on /root/testdata/sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+                the training-data operators).
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+                query (same column names; integer-exact numerics).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; no
+ray.init()/ray.shutdown() happens here or in the library.
+
+The extraction queries run over the synthetic Common-Crawl-style pages
+table (BASELINE.json input_hint shape), generated deterministically
+(seed=42) and scaled to the sf dir's documents row count; extraction
+itself is not SQL-expressible, so those entries get the driver's
+rows-only check — byte-identity is covered by the pytest goldens
+(tests/test_golden_extraction.py).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_SEED = 42
+
+
+def _pages_path(sf_dir: str) -> str:
+    """Deterministic synthetic pages parquet for this sf, cached in /tmp."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import fixtures
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_pages = max(200, n_docs)
+    path = f"/tmp/docray_pages_n{n_pages}_s{_SEED}.parquet"
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        table = fixtures.make_pages_table(n_pages, seed=_SEED)
+        pq.write_table(table, tmp, row_group_size=256)
+        os.replace(tmp, path)
+    return path
+
+
+def _extract_results(sf_dir: str):
+    from document_extractor_ray.config import DEFAULT_CONFIG
+    from document_extractor_ray.pipelines.extract import run_extraction
+    from document_extractor_ray.pipelines.outputs import results_dataset
+
+    final = run_extraction(_pages_path(sf_dir), DEFAULT_CONFIG)
+    return results_dataset(final)
+
+
+def _extract_quarantine(sf_dir: str):
+    from document_extractor_ray.config import DEFAULT_CONFIG
+    from document_extractor_ray.pipelines.extract import run_extraction
+    from document_extractor_ray.pipelines.outputs import quarantine_dataset
+
+    final = run_extraction(_pages_path(sf_dir), DEFAULT_CONFIG)
+    return quarantine_dataset(final)
+
+
+def _extract_unit_rows(sf_dir: str):
+    from document_extractor_ray.config import DEFAULT_CONFIG
+    from document_extractor_ray.pipelines.extract import run_extraction
+    from document_extractor_ray.pipelines.outputs import unit_rows_dataset
+
+    final = run_extraction(_pages_path(sf_dir), DEFAULT_CONFIG)
+    return unit_rows_dataset(final)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    return _extract_results("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from document_extractor_ray.functions import analytics, dedup, similarity, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- extraction pipeline (rows-only; byte-identity in pytest goldens) ---
+        "extract_results": _extract_results,
+        "extract_quarantine": _extract_quarantine,
+        "extract_unit_rows": _extract_unit_rows,
+        # --- generic relational operators (SQL oracles) ---
+        "q1_lineitem": analytics.q1_lineitem,
+        "top_customers": analytics.top_customers,
+        "events_daily": analytics.events_daily,
+        "sessionize": analytics.sessionize,
+        "nations_per_region": analytics.nations_per_region,
+        "top_k_longest_docs": analytics.top_k_longest_docs,
+        "doc_stats": analytics.doc_stats,
+        # --- text analysis (SQL oracles where ASCII-expressible) ---
+        "token_counts": textstats.token_counts,
+        "quality_scores": textstats.quality_scores,
+        "lang_id": textstats.lang_id,
+        "fingerprints": textstats.fingerprints,
+        # --- dedup family ---
+        "dedup_exact": dedup.dedup_exact_docs,
+        "minhash_dup_pairs": dedup.minhash_dup_pairs_docs,
+        "simhash": dedup.simhash_table,
+        # --- similarity search ---
+        "knn_brute": similarity.knn_brute_embeddings,
+        "knn_lsh": similarity.knn_lsh_embeddings,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from document_extractor_ray.functions import analytics, dedup, textstats
+
+    return {
+        "q1_lineitem": analytics.Q1_SQL,
+        "top_customers": analytics.TOP_CUSTOMERS_SQL,
+        "events_daily": analytics.EVENTS_DAILY_SQL,
+        "sessionize": analytics.SESSIONIZE_SQL,
+        "nations_per_region": analytics.NATIONS_PER_REGION_SQL,
+        "top_k_longest_docs": analytics.TOP_K_LONGEST_SQL,
+        "doc_stats": analytics.DOC_STATS_SQL,
+        "token_counts": textstats.TOKEN_COUNTS_SQL,
+        "quality_scores": textstats.QUALITY_SCORES_SQL,
+        "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        # extract_*, lang_id, fingerprints, minhash_dup_pairs, simhash,
+        # knn_*: not SQL-expressible -> rows-only check.
+    }

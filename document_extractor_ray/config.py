@@ -74,7 +74,10 @@ class PipelineConfig:
     # --- per-stage tuning ---
     small_batch_size: int = 256
     big_batch_size: int = 4
-    fallback_concurrency: tuple = (1, 8)   # actor pool (min, max)
+    # Actor pool (min, max): Ray fuses the upstream task stages into
+    # this pool, so max must not cap below the node's CPU count or the
+    # whole pipeline serializes at max actors.
+    fallback_concurrency: tuple = (1, 64)
     big_fallback_concurrency: tuple = (1, 4)
 
     # --- stage enable flags (probe wrappers G6: pass_pdf_txt.sh:41-42 etc.) ---

@@ -1,0 +1,326 @@
+"""Generic relational operators over the TPC-H-ish test tables.
+
+These prove the engine's general dataflow coverage (groupby aggregate,
+broadcast join, windowed/sessionized aggregates, sort/top-k) with exact
+DuckDB oracles.  Numeric outputs are integer-exact by construction
+(money summed in cents, ratios in permille, averages expressed as
+sum/count of identical integers) so the driver's value-hash comparison
+cannot be broken by floating-point association order.
+
+Scale notes (100 TB thinking):
+- aggregates pre-combine inside map_batches before the small groupby
+  where cardinality is known to be low (partial aggregation pattern);
+- dimension joins broadcast the small side via ray.put once, never a
+  shuffle join;
+- sessionize shuffles once on user_id (unavoidable: per-key ordered
+  gap detection), with the per-group work vectorized in pandas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# DuckDB round() is half-away-from-zero; pyarrow defaults to half-even.
+# Money values hit exact .5 ties (e.g. 1230 cents * 0.95), so the oracle
+# comparison needs the same tie-break.  (round_mode passed as a kwarg:
+# a module-level RoundOptions instance is not cloudpickle-able.)
+
+
+def _to_cents(arr) -> pa.Array:
+    return pc.cast(
+        pc.round(pc.multiply(arr, 100.0), round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q1-style grouped aggregate over lineitem
+# ---------------------------------------------------------------------------
+
+def q1_lineitem(sf_dir: str):
+    """Pricing summary: filter on ship date, aggregate per
+    (returnflag, linestatus).  Money in integer cents for exactness."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), type=pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        qty = pc.cast(pc.round(t["l_quantity"], round_mode="half_towards_infinity"), pa.int64())
+        price_c = _to_cents(t["l_extendedprice"])
+        disc_c = _to_cents(
+            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": qty,
+                "price_cents": price_c,
+                "disc_cents": disc_c,
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_base_price_cents"),
+            Sum("disc_cents", alias_name="sum_disc_price_cents"),
+            Count(alias_name="count_order"),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+    return out
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS sum_base_price_cents,
+       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS sum_disc_price_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Broadcast join: top customers by order spend, with nation name
+# ---------------------------------------------------------------------------
+
+def top_customers(sf_dir: str, k: int = 10):
+    """Sum order value per customer, broadcast-join customer+nation
+    dims (ray.put once, dict lookup per batch — never a shuffle join),
+    top-k by spend."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "cents": _to_cents(t["o_totalprice"]),
+            }
+        )
+
+    per_cust = (
+        orders.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("cents", alias_name="total_spend_cents"), Count(alias_name="n_orders"))
+    )
+
+    # Broadcast small dimension tables once.
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    n_map = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    c_map = {
+        k_: (nm, n_map.get(nk, ""))
+        for k_, nm, nk in zip(
+            cust["c_custkey"].to_pylist(),
+            cust["c_name"].to_pylist(),
+            cust["c_nationkey"].to_pylist(),
+        )
+    }
+    ref = ray.put(c_map)
+
+    def attach(t: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        keys = t["o_custkey"].to_pylist()
+        names = [lookup.get(k_, ("", ""))[0] for k_ in keys]
+        nations = [lookup.get(k_, ("", ""))[1] for k_ in keys]
+        return (
+            t.append_column("c_name", pa.array(names, pa.string()))
+            .append_column("n_name", pa.array(nations, pa.string()))
+        )
+
+    out = (
+        per_cust.map_batches(attach, batch_format="pyarrow")
+        .sort(["total_spend_cents", "o_custkey"], descending=[True, False])
+        .limit(k)
+    )
+    return out
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT o.o_custkey,
+       sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS total_spend_cents,
+       count(*) AS n_orders,
+       any_value(c.c_name) AS c_name,
+       any_value(n.n_name) AS n_name
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY o.o_custkey
+ORDER BY total_spend_cents DESC, o_custkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window aggregate over the events stream
+# ---------------------------------------------------------------------------
+
+def events_daily(sf_dir: str):
+    """Events per (event_type, day): tumbling 1-day window as a
+    grouped aggregate (streaming-window analogue, SURVEY.md §2.11)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        cents = _to_cents(t["value"])
+        return pa.table(
+            {"event_type": t["event_type"], "day": day, "value_cents": cents}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
+        .sort(["event_type", "day"])
+    )
+
+
+EVENTS_DAILY_SQL = """
+SELECT event_type, date_trunc('day', ts) AS day,
+       count(*) AS n,
+       sum(CAST(round(value * 100.0) AS BIGINT)) AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (per-key ordered gap detection)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800
+
+
+def sessionize(sf_dir: str):
+    """Session count per user with a 30-minute inactivity gap: one
+    shuffle on user_id, per-group vectorized gap count.  The ordering
+    assumption (events sorted by ts within a user) is established
+    inside the group — input order never matters."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        gaps = ts.diff().dt.total_seconds() > SESSION_GAP_S
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(gaps.sum()) + 1]}
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas").sort("user_id")
+
+
+SESSIONIZE_SQL = f"""
+SELECT user_id, CAST(1 + sum(CASE WHEN diff_s > {SESSION_GAP_S} THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM (
+    SELECT user_id,
+           epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS diff_s
+    FROM events
+)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dimension rollup: nations per region (broadcast join of two dims)
+# ---------------------------------------------------------------------------
+
+def nations_per_region(sf_dir: str):
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    import pyarrow.parquet as pq
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    r_map = dict(
+        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
+    )
+    ref = ray.put(r_map)
+
+    def attach(t: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        names = [lookup.get(k, "") for k in t["n_regionkey"].to_pylist()]
+        return pa.table(
+            {"r_name": pa.array(names, pa.string()), "n_nationkey": t["n_nationkey"]}
+        )
+
+    return (
+        nation.map_batches(attach, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_nations"))
+        .sort("r_name")
+    )
+
+
+NATIONS_PER_REGION_SQL = """
+SELECT r.r_name, count(*) AS n_nations
+FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sort / top-k over documents
+# ---------------------------------------------------------------------------
+
+def top_k_longest_docs(sf_dir: str, k: int = 20):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars", "lang"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(k)
+
+
+TOP_K_LONGEST_SQL = """
+SELECT doc_id, n_chars, lang FROM documents
+ORDER BY n_chars DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+def doc_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    return (
+        ds.groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+        .sort(["lang", "source"])
+    )
+
+
+DOC_STATS_SQL = """
+SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""

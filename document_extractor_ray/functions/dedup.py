@@ -1,0 +1,336 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard verification.
+
+Scale shapes (100 TB thinking):
+- exact dedup hashes content in a vectorized map_batches, then shuffles
+  only on the 16-byte digest (never the text) and keeps the min-id row
+  per group;
+- MinHash-LSH emits (band_id, band_hash, doc_id) rows — the only data
+  crossing the shuffle is 3 small integers per band per doc — then
+  groups by band bucket to find candidates and verifies candidates by
+  full-signature agreement (estimated Jaccard), all mergeable;
+- SimHash buckets on 16-bit chunks (4 tables) so near pairs within
+  Hamming distance <= 3 of a 64-bit hash collide in at least one
+  bucket (pigeonhole).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Set, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def content_hash_batch(texts: List[str]) -> List[bytes]:
+    return [hashlib.sha1((t or "").encode("utf-8")).digest() for t in texts]
+
+
+def dedup_exact(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
+    """Keep the minimum-id row per distinct text (hash-partition +
+    per-group first — ST6, the reference's unimplemented checksum
+    cache, TODO.md:20)."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "content_hash": pa.array(
+                    content_hash_batch(t[text_col].to_pylist()), pa.binary()
+                ),
+            }
+        )
+
+    def keep_min(g: pa.Table) -> pa.Table:
+        return g.sort_by(id_col).slice(0, 1).select([id_col])
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(keep_min, batch_format="pyarrow")
+        .sort(id_col)
+    )
+
+
+def dedup_exact_docs(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup_exact(ds)
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+
+N_HASHES = 64
+N_BANDS = 16          # 16 bands x 4 rows: catches Jaccard >~ 0.5 pairs
+ROWS_PER_BAND = N_HASHES // N_BANDS
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=N_HASHES, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=N_HASHES, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def shingles(text: str, k: int = 3) -> Set[int]:
+    """Word k-gram shingles hashed to 64-bit ints."""
+    words = (text or "").lower().split()
+    if len(words) < k:
+        return {hash_shingle(" ".join(words))} if words else set()
+    return {hash_shingle(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)}
+
+
+def hash_shingle(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def minhash_signature(sh: Set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """sig[i] = min over shingles of (a_i * x + b_i) mod M — vectorized
+    over the shingle set."""
+    if not sh:
+        return np.full(N_HASHES, np.iinfo(np.uint64).max, dtype=np.uint64)
+    x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+    # (a[:,None] * x[None,:] + b[:,None]) mod M with python-int safety
+    prod = (a[:, None].astype(object) * x[None, :].astype(object) + b[:, None].astype(object)) % _MERSENNE
+    return np.min(prod.astype(np.uint64), axis=1)
+
+
+class MinHasher:
+    """Actor-stage: hash params + blake2b state built once per worker."""
+
+    def __init__(self, seed: int = 42, k: int = 3):
+        self.a, self.b = _hash_params(seed)
+        self.k = k
+
+    def signature(self, text: str) -> np.ndarray:
+        return minhash_signature(shingles(text, self.k), self.a, self.b)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        """doc rows -> exploded (band_id, band_hash, doc_id, sig) rows."""
+        ids, bands, bhashes, sigs = [], [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sig = self.signature(text)
+            sig_bytes = sig.tobytes()
+            for band in range(N_BANDS):
+                chunk = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
+                ids.append(doc_id)
+                bands.append(band)
+                bhashes.append(
+                    int.from_bytes(
+                        hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
+                    )
+                    >> 1
+                )
+                sigs.append(sig_bytes)
+        return pa.table(
+            {
+                "band_id": pa.array(bands, pa.int32()),
+                "band_hash": pa.array(bhashes, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "sig": pa.array(sigs, pa.binary()),
+            }
+        )
+
+
+def estimated_jaccard(sig_a: bytes, sig_b: bytes) -> float:
+    a = np.frombuffer(sig_a, dtype=np.uint64)
+    b = np.frombuffer(sig_b, dtype=np.uint64)
+    return float(np.mean(a == b))
+
+
+def minhash_dup_pairs(
+    ds: "ray.data.Dataset", threshold: float = 0.7, seed: int = 42
+):
+    """Near-duplicate pairs (doc_a < doc_b, est_jaccard >= threshold).
+
+    map_batches(MinHasher actor) -> band explode -> groupby band bucket
+    -> pairs within bucket verified by full-signature agreement ->
+    global pair dedup (a pair can collide in several bands)."""
+    exploded = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"seed": seed},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=512,
+    )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        ids = g["doc_id"].to_pylist()
+        sigs = g["sig"].to_pylist()
+        seen = {}
+        for i in range(n):
+            for j in range(i + 1, n):
+                a_, b_ = ids[i], ids[j]
+                if a_ == b_:
+                    continue
+                if a_ > b_:
+                    a_, b_ = b_, a_
+                if (a_, b_) in seen:
+                    continue
+                est = estimated_jaccard(sigs[i], sigs[j])
+                if est >= threshold:
+                    seen[(a_, b_)] = est
+        if not seen:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        pairs = sorted(seen.items())
+        return pa.table(
+            {
+                "doc_a": pa.array([p[0][0] for p in pairs], pa.int64()),
+                "doc_b": pa.array([p[0][1] for p in pairs], pa.int64()),
+                "est_jaccard": pa.array([p[1] for p in pairs], pa.float64()),
+            }
+        )
+
+    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+
+    # A near pair collides in multiple bands: global dedup on (a, b).
+    def first_of_pair(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        first_of_pair, batch_format="pyarrow"
+    ).sort(["doc_a", "doc_b"])
+
+
+def minhash_dup_pairs_docs(sf_dir: str, threshold: float = 0.7):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_dup_pairs(ds, threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """Classic 64-bit SimHash over word features (Charikar)."""
+    words = (text or "").lower().split()
+    if not words:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for w in words:
+        h = int.from_bytes(hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "big")
+        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
+        acc += bits.astype(np.int64) * 2 - 1
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << (63 - i)
+    return out
+
+
+def simhash_table(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        vals = [simhash64(x) >> 1 for x in t["text"].to_pylist()]  # keep in int64
+        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(vals, pa.int64())})
+
+    return ds.map_batches(fp, batch_format="pyarrow").sort("doc_id")
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def simhash_dup_pairs(ds: "ray.data.Dataset", max_distance: int = 3):
+    """Near pairs by SimHash: bucket on each of 4 16-bit chunks (a pair
+    within Hamming distance 3 of 64 bits shares at least one exact
+    chunk), verify Hamming distance within buckets."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, chunk_ids, chunk_vals, fps = [], [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            h = simhash64(text)
+            for c in range(4):
+                ids.append(doc_id)
+                chunk_ids.append(c)
+                chunk_vals.append((h >> (16 * c)) & 0xFFFF)
+                fps.append(h >> 1)
+        return pa.table(
+            {
+                "chunk_id": pa.array(chunk_ids, pa.int32()),
+                "chunk_val": pa.array(chunk_vals, pa.int32()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "simhash": pa.array(fps, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_pylist()
+        fps = g["simhash"].to_pylist()
+        out_a, out_b, out_d = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_, b_ = ids[i], ids[j]
+                if a_ == b_:
+                    continue
+                # fps were shifted right 1 bit to fit int64; compare on 63 bits
+                d = bin(fps[i] ^ fps[j]).count("1")
+                if d <= max_distance:
+                    if a_ > b_:
+                        a_, b_ = b_, a_
+                    out_a.append(a_)
+                    out_b.append(b_)
+                    out_d.append(d)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "distance": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["chunk_id", "chunk_val"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    ).sort(["doc_a", "doc_b"])
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (verification primitive)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    sa, sb = shingles(a, k), shingles(b, k)
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)

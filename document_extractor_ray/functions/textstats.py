@@ -1,0 +1,210 @@
+"""Text-analysis operators over the ``documents`` table: token
+counting, quality scoring, language ID, document fingerprinting.
+
+Quality/token metrics are defined in ASCII-regex terms so a DuckDB
+oracle can express them exactly; ratios are integer permille
+(floor-divided) so float association order can never break the
+driver's value-hash comparison.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from document_extractor_ray.core.scoring import STOPWORDS
+
+_TOKEN_RE = r"\S+"
+_ALNUM_ASCII_RE = r"[^A-Za-z0-9]"
+_PUNCT_RE = r"[.,;:!?'\"()\[\]{}-]"
+
+
+def _read_docs(sf_dir: str, columns):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace tokens + a BPE-ish subword estimate)
+# ---------------------------------------------------------------------------
+
+def token_counts(sf_dir: str):
+    """Per-doc whitespace token count and character count — all
+    pyarrow.compute kernels, zero Python per row."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        toks = pc.count_substring_regex(t["text"], _TOKEN_RE)
+        chars = pc.utf8_length(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pc.cast(toks, pa.int64()),
+                "n_chars_computed": pc.cast(chars, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow").sort("doc_id")
+
+
+TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_computed
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def bpe_ish_token_count(text_col: pa.ChunkedArray) -> pa.Array:
+    """BPE-ish subword estimate: words contribute ceil(len/4) tokens
+    (roughly byte-pair merge density for English); punctuation one
+    each.  Vectorized: total alnum chars / 4 + punct count."""
+    alnum = pc.count_substring_regex(text_col, r"[A-Za-z0-9]")
+    punct = pc.count_substring_regex(text_col, _PUNCT_RE)
+    words = pc.count_substring_regex(text_col, r"[A-Za-z0-9]+")
+    # ceil(alnum/4) spread over words: approximate with alnum//4 + words
+    sub = pc.add(pc.divide(alnum, 4), words)
+    return pc.cast(pc.add(sub, punct), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (length / punct / alnum / stopword signals)
+# ---------------------------------------------------------------------------
+
+def quality_scores(sf_dir: str):
+    """Per-doc quality signals in integer permille (ASCII-exact so the
+    DuckDB oracle matches bit-for-bit)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n = pc.cast(pc.utf8_length(text), pa.int64())
+        n_safe = pc.max_element_wise(n, 1)
+        alnum = pc.cast(pc.count_substring_regex(text, r"[A-Za-z0-9]"), pa.int64())
+        punct = pc.cast(pc.count_substring_regex(text, _PUNCT_RE), pa.int64())
+        alnum_pm = pc.divide(pc.multiply(alnum, 1000), n_safe)  # floor div (int64)
+        punct_pm = pc.divide(pc.multiply(punct, 1000), n_safe)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "alnum_permille": alnum_pm,
+                "punct_permille": punct_pm,
+                "n_chars_computed": n,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+QUALITY_SCORES_SQL = """
+SELECT doc_id,
+       (CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) * 1000)
+           // greatest(CAST(length(text) AS BIGINT), 1) AS alnum_permille,
+       (CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS BIGINT) * 1000)
+           // greatest(CAST(length(text) AS BIGINT), 1) AS punct_permille,
+       CAST(length(text) AS BIGINT) AS n_chars_computed
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language ID (n-gram/stopword heuristic) — stateful actor stage
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "it", "with"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "une", "pour", "que", "dans", "pas"},
+    "es": {"el", "la", "los", "que", "es", "una", "por", "para", "con", "del"},
+}
+
+
+class LangId:
+    """Heuristic language classifier: stopword hit rate per language +
+    a CJK codepoint check.  A callable class so marker sets / regexes
+    compile once per actor (the stateful-stage pattern, ST5)."""
+
+    def __init__(self):
+        self.word_re = re.compile(r"[a-zA-Z]+")
+        self.cjk_re = re.compile(r"[一-鿿぀-ヿ]")
+        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+
+    def classify(self, text: str) -> str:
+        if not text:
+            return "und"
+        if self.cjk_re.search(text):
+            return "zh"
+        words = [w.lower() for w in self.word_re.findall(text)]
+        if not words:
+            return "und"
+        best_lang, best_hits = "und", 0
+        for lang, markers in sorted(self.markers.items()):
+            hits = sum(1 for w in words if w in markers)
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        return best_lang if best_hits > 0 else "en"
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        preds = [self.classify(x) for x in t["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "pred_lang": pa.array(preds, pa.string())}
+        )
+
+
+def lang_id(sf_dir: str):
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", concurrency=2, batch_size=1024
+    ).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (rolling hash)
+# ---------------------------------------------------------------------------
+
+def rolling_fingerprint(text: str, window: int = 8) -> int:
+    """Deterministic 63-bit document fingerprint: min of Rabin-Karp
+    rolling hashes over word windows (a winnowing-style selection —
+    robust to local edits outside the minimal window)."""
+    words = text.split()
+    if not words:
+        return 0
+    hashes = [zlib.crc32(w.encode("utf-8")) for w in words]
+    if len(hashes) <= window:
+        acc = 0
+        for h in hashes:
+            acc = (acc * 1000003 + h) & ((1 << 63) - 1)
+        return acc
+    best = (1 << 63) - 1
+    acc = 0
+    mask = (1 << 63) - 1
+    pow_w = pow(1000003, window - 1, 1 << 63)
+    for i, h in enumerate(hashes):
+        if i < window:
+            acc = (acc * 1000003 + h) & mask
+            if i == window - 1 and acc < best:
+                best = acc
+        else:
+            acc = ((acc - hashes[i - window] * pow_w) * 1000003 + h) & mask
+            if acc < best:
+                best = acc
+    return best
+
+
+def fingerprints(sf_dir: str):
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        vals = [rolling_fingerprint(x) for x in t["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "fingerprint": pa.array(vals, pa.int64())}
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow").sort("doc_id")

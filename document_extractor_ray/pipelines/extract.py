@@ -52,64 +52,47 @@ def dedup_first(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.groupby("url").map_groups(first_by_ts, batch_format="pyarrow")
 
 
-def _filter_bucket(ds, predicate):
-    """Vectorized streaming filter (ds.filter(fn) is per-row Python)."""
-    return ds.map_batches(
-        lambda t: t.filter(predicate(t)), batch_format="pyarrow"
-    )
-
-
 def build_extraction(
     ds: "ray.data.Dataset", cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> "ray.data.Dataset":
-    """pages Dataset -> FINAL_SCHEMA Dataset (lazy; caller consumes)."""
+    """pages Dataset -> FINAL_SCHEMA Dataset (lazy; caller consumes).
+
+    Skew note: an earlier design split the stream into small/big
+    size-bucket lanes with their own batch sizes — but a Ray Dataset
+    with two consumers RE-EXECUTES its upstream per consumer (two
+    reads, two dedup shuffles), which is strictly worse at scale than
+    the skew it avoids.  Instead skew is bounded within one lane:
+    modest batch sizes keep a giant document from stalling many
+    neighbors, the per-page cascade bounds per-row work, and the
+    size_bucket column still partitions outputs/metrics.  For a true
+    two-lane physical plan, persist the routed intermediate per shard
+    (pipelines/resume.py) and run the lanes over the committed files.
+    """
     if cfg.dedup:
         ds = dedup_first(ds)
 
-    routed = ds.map_batches(
-        route_and_explode,
-        batch_format="pyarrow",
-        fn_kwargs={"cfg": cfg},
-        batch_size=cfg.small_batch_size,
+    final = (
+        ds.map_batches(
+            route_and_explode,
+            batch_format="pyarrow",
+            fn_kwargs={"cfg": cfg},
+            batch_size=cfg.small_batch_size,
+        )
+        .map_batches(
+            primary_extract,
+            batch_format="pyarrow",
+            fn_kwargs={"cfg": cfg},
+            batch_size=cfg.small_batch_size,
+        )
+        .map_batches(
+            FallbackExtractor,
+            batch_format="pyarrow",
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_size=cfg.big_batch_size * 8,
+            concurrency=cfg.fallback_concurrency,
+            num_cpus=1,
+        )
     )
-
-    # Size-bucketed skew lanes (SURVEY.md §4.2): giant documents get
-    # tiny batches and their own actor pool so one pathological payload
-    # can't stall a whole block of small ones.
-    small = _filter_bucket(routed, lambda t: pc.less(t["size_bucket"], BIG_BUCKET))
-    big = _filter_bucket(
-        routed, lambda t: pc.greater_equal(t["size_bucket"], BIG_BUCKET)
-    )
-
-    small = small.map_batches(
-        primary_extract,
-        batch_format="pyarrow",
-        fn_kwargs={"cfg": cfg},
-        batch_size=cfg.small_batch_size,
-    ).map_batches(
-        FallbackExtractor,
-        batch_format="pyarrow",
-        fn_constructor_kwargs={"cfg": cfg},
-        batch_size=cfg.small_batch_size,
-        concurrency=cfg.fallback_concurrency,
-        num_cpus=1,
-    )
-
-    big = big.map_batches(
-        primary_extract,
-        batch_format="pyarrow",
-        fn_kwargs={"cfg": cfg},
-        batch_size=cfg.big_batch_size,
-    ).map_batches(
-        FallbackExtractor,
-        batch_format="pyarrow",
-        fn_constructor_kwargs={"cfg": cfg},
-        batch_size=cfg.big_batch_size,
-        concurrency=cfg.big_fallback_concurrency,
-        num_cpus=1,
-    )
-
-    final = small.union(big)
     if cfg.deterministic_order:
         final = final.sort("url")
     return final
