@@ -79,6 +79,10 @@ class PipelineConfig:
     # whole pipeline serializes at max actors.
     fallback_concurrency: tuple = (1, 64)
     big_fallback_concurrency: tuple = (1, 4)
+    # False (default): fallback runs as stateless tasks with per-worker
+    # module-cached state (same amortization as a pool, none of the
+    # spin-up).  True: explicit actor pool sized by _pool_size().
+    fallback_actor_pool: bool = False
 
     # --- stage enable flags (probe wrappers G6: pass_pdf_txt.sh:41-42 etc.) ---
     enable_txt_pass: bool = True

@@ -100,22 +100,24 @@ def run_txt_pass(units: List[str], mode: str, cutoff: float, cfg: PipelineConfig
     """pass_pdf_txt.run mirror.  units = page html strings."""
     total_pages = len(units)
 
-    # Triage (pass_pdf_txt.py:37-51): sample pages, reject to OCR when
-    # clearly scan-only.  extract_visible is pure, so extracting the
-    # sampled pages here and re-extracting below yields identical text;
-    # we extract each sampled page once and reuse (same bytes out).
-    sample_idxs = sample_page_indices(total_pages, target=min(6, total_pages))
-    samples = [
-        htmlx.extract_visible(units[i - 1], cfg.anchor_density_max) or ""
-        for i in sample_idxs
+    # Extract every page once (extract_visible is pure: the reference
+    # extracts sampled pages for triage and then re-extracts them in
+    # the full pass, pass_pdf_txt.py:37-54 — same bytes, double work;
+    # here the triage reads from the single extraction).
+    extracted = [
+        htmlx.extract_visible(unit, cfg.anchor_density_max) or "" for unit in units
     ]
+
+    # Triage (pass_pdf_txt.py:37-51): sampled pages, reject to OCR when
+    # clearly scan-only.
+    sample_idxs = sample_page_indices(total_pages, target=min(6, total_pages))
+    samples = [extracted[i - 1] for i in sample_idxs]
     if likely_scan_only(samples, cfg.triage_min_chars, cfg.triage_rel_cap):
         return (False, None)
 
-    # Full extraction (pass_pdf_txt.py:20-31 _per_page)
+    # Full extraction scoring (pass_pdf_txt.py:20-31 _per_page)
     pages = []
-    for i, unit in enumerate(units):
-        text = htmlx.extract_visible(unit, cfg.anchor_density_max) or ""
+    for i, text in enumerate(extracted):
         rel = score_reliability(text)
         pages.append({"page": i + 1, "text": text, "reliability": rel})
 

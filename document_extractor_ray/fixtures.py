@@ -376,8 +376,28 @@ PAGES_SCHEMA = pa.schema(
 
 def make_pages_table(n_rows: int, seed: int = 42, edge_rows: bool = True) -> pa.Table:
     """The authoritative synthetic corpus (input_hint shape)."""
+    body = make_pages_range(0, n_rows, seed)
+    if not edge_rows:
+        return body
+    rows = _edge_rows(seed, n_rows)
+    tail = pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        }
+    )
+    return pa.concat_tables([body, tail])
+
+
+def make_pages_range(start: int, stop: int, seed: int = 42) -> pa.Table:
+    """Rows [start, stop) of the corpus — per-row determinism makes any
+    contiguous range independently computable (the property that lets
+    generation parallelize and lets tests slice the same corpus)."""
     urls, tss, htmls, texts, langs = [], [], [], [], []
-    for i in range(n_rows):
+    for i in range(start, stop):
         tag = class_of(seed, i)
         r = _rng(seed, tag, i)
         html, text, lang = _CLASS_BUILDERS[tag](r, i)
@@ -386,13 +406,6 @@ def make_pages_table(n_rows: int, seed: int = 42, edge_rows: bool = True) -> pa.
         htmls.append(html)
         texts.append(text)
         langs.append(lang)
-    if edge_rows:
-        for row in _edge_rows(seed, n_rows):
-            urls.append(row["url"])
-            tss.append(row["warc_ts"])
-            htmls.append(row["html"])
-            texts.append(row["text"])
-            langs.append(row["lang"])
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -410,3 +423,60 @@ def write_pages_parquet(path: str, n_rows: int, seed: int = 42, edge_rows: bool 
     table = make_pages_table(n_rows, seed=seed, edge_rows=edge_rows)
     pq.write_table(table, path)
     return table
+
+
+def _gen_chunk(args) -> bytes:
+    """Worker for parallel generation: returns a serialized record batch."""
+    start, stop, seed = args
+    table = make_pages_range(start, stop, seed)
+    import io
+
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    return sink.getvalue()
+
+
+def write_pages_parquet_parallel(
+    path: str,
+    n_rows: int,
+    seed: int = 42,
+    edge_rows: bool = True,
+    chunk: int = 5000,
+    workers: int = 16,
+    row_group_size: int = 512,
+) -> None:
+    """Multi-process corpus generation (per-row determinism => chunks
+    are independent); identical bytes to make_pages_table row-for-row."""
+    import concurrent.futures as cf
+
+    import pyarrow.parquet as pq
+
+    ranges = [(i, min(i + chunk, n_rows), seed) for i in range(0, n_rows, chunk)]
+    writer = None
+    try:
+        with cf.ProcessPoolExecutor(max_workers=workers) as ex:
+            for data in ex.map(_gen_chunk, ranges):
+                table = pa.ipc.open_stream(data).read_all()
+                if writer is None:
+                    writer = pq.ParquetWriter(path, table.schema)
+                writer.write_table(table, row_group_size=row_group_size)
+        if edge_rows:
+            tail_cols = _edge_rows(seed, n_rows)
+            tail = pa.table(
+                {
+                    "url": pa.array([r["url"] for r in tail_cols], pa.string()),
+                    "warc_ts": pa.array(
+                        [r["warc_ts"] for r in tail_cols], pa.timestamp("us")
+                    ),
+                    "html": pa.array([r["html"] for r in tail_cols], pa.binary()),
+                    "text": pa.array([r["text"] for r in tail_cols], pa.string()),
+                    "lang": pa.array([r["lang"] for r in tail_cols], pa.string()),
+                }
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(path, tail.schema)
+            writer.write_table(tail, row_group_size=row_group_size)
+    finally:
+        if writer is not None:
+            writer.close()

@@ -29,7 +29,18 @@ from ray.data.aggregate import Count, Sum
 
 
 def _read(sf_dir: str, name: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    return ray.data.read_parquet(
+        f"{sf_dir}/{name}.parquet", columns=columns, override_num_blocks=_n_blocks()
+    )
+
+
+def _n_blocks() -> int:
+    """Block count ~ cluster CPUs: the default splitter makes far more,
+    and every extra block is a task + a shuffle partition (measured 4x
+    on the sf0.1 Q1 aggregate: 3.8s default vs 0.9s at 32 blocks)."""
+    if ray.is_initialized():
+        return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    return 32
 
 
 # DuckDB round() is half-away-from-zero; pyarrow defaults to half-even.

@@ -60,9 +60,16 @@ def dedup_exact(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = 
     )
 
 
+def _read_docs(sf_dir: str):
+    from document_extractor_ray.functions.analytics import _n_blocks
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], override_num_blocks=_n_blocks()
+    )
+
+
 def dedup_exact_docs(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return dedup_exact(ds)
+    return dedup_exact(_read_docs(sf_dir))
 
 
 DEDUP_EXACT_SQL = """
@@ -225,8 +232,7 @@ def minhash_dup_pairs(
 
 
 def minhash_dup_pairs_docs(sf_dir: str, threshold: float = 0.7):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_dup_pairs(ds, threshold=threshold)
+    return minhash_dup_pairs(_read_docs(sf_dir), threshold=threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -251,7 +257,7 @@ def simhash64(text: str) -> int:
 
 
 def simhash_table(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir)
 
     def fp(t: pa.Table) -> pa.Table:
         vals = [simhash64(x) >> 1 for x in t["text"].to_pylist()]  # keep in int64

@@ -25,8 +25,12 @@ import ray.data
 
 
 def _read_embeddings(sf_dir: str):
+    from document_extractor_ray.functions.analytics import _n_blocks
+
     return ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        override_num_blocks=_n_blocks(),
     )
 
 

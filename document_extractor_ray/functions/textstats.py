@@ -26,7 +26,11 @@ _PUNCT_RE = r"[.,;:!?'\"()\[\]{}-]"
 
 
 def _read_docs(sf_dir: str, columns):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from document_extractor_ray.functions.analytics import _n_blocks
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=columns, override_num_blocks=_n_blocks()
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -65,3 +65,61 @@ def primary_extract(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
 
     out = records.records_to_table(recs)
     return out.append_column(pa.field("html", pa.binary()), pa.array(keep_html, pa.binary()))
+
+
+def route_primary(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """Fused routing + primary extraction: sniff, container-explode and
+    pass-1 in a single stage, so the payload column is materialized
+    into an intermediate Arrow table once instead of twice (the
+    workload is memory-bandwidth bound at high parallelism — measured
+    ~23% per-core throughput loss from 4 to 16 busy cores — so every
+    avoided copy of the binary column is wall time)."""
+    from document_extractor_ray.core.records import partition_of
+
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    texts = batch["text"].to_pylist() if "text" in batch.column_names else [""] * len(urls)
+
+    recs: List[dict] = []
+    keep_html: List[Optional[bytes]] = []
+
+    def one(url: str, payload: bytes, text: str) -> None:
+        kind = sniff.sniff_kind(payload)
+        size = len(payload)
+        if kind == sniff.KIND_CONTAINER:
+            try:
+                children = sniff.decode_container(payload)
+            except Exception:
+                res = cascade.DocResult(
+                    status="ERROR",
+                    pass_used="portfolio",
+                    quarantine=True,
+                    reason=cascade.QUARANTINE_RC1,
+                    notes="decode error",
+                )
+                recs.append(records.assemble_record(url, kind, size, res, cfg))
+                keep_html.append(None)
+                return
+            res = cascade.container_parent(len(children), cfg)
+            recs.append(records.assemble_record(url, kind, size, res, cfg))
+            keep_html.append(None)
+            for name, child_payload in children:
+                one(sniff.child_url(url, name), child_payload, "")
+            return
+        if kind == sniff.KIND_HTML:
+            units = htmlx.split_pages(htmlx.decode_payload(payload))
+            res = cascade.html_pass1(units, size, cfg)
+            recs.append(records.assemble_record(url, kind, size, res, cfg))
+            keep_html.append(payload if res.status == cascade.STATUS_PENDING else None)
+            return
+        res = cascade.process_any(kind, payload, text, cfg)
+        recs.append(records.assemble_record(url, kind, size, res, cfg))
+        keep_html.append(None)
+
+    for url, payload, text in zip(urls, htmls, texts):
+        one(url, payload or b"", text)
+
+    out = records.records_to_table(recs)
+    return out.append_column(
+        pa.field("html", pa.binary()), pa.array(keep_html, pa.binary())
+    )

@@ -29,6 +29,23 @@ from document_extractor_ray.core import cascade, htmlx, records
 from document_extractor_ray.core.scoring import alnum_count
 
 
+_TASK_INSTANCE = None
+
+
+def make_fallback_fn(cfg: PipelineConfig):
+    """Task-mode wrapper: one FallbackExtractor per worker process,
+    created lazily and cached in the module (worker processes persist
+    across tasks, so this amortizes init exactly like an actor pool)."""
+
+    def fallback_fn(batch: pa.Table) -> pa.Table:
+        global _TASK_INSTANCE
+        if _TASK_INSTANCE is None or _TASK_INSTANCE.cfg is not cfg and _TASK_INSTANCE.cfg != cfg:
+            _TASK_INSTANCE = FallbackExtractor(cfg)
+        return _TASK_INSTANCE(batch)
+
+    return fallback_fn
+
+
 class FallbackExtractor:
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
