@@ -76,7 +76,13 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from document_extractor_ray.functions import analytics, dedup, similarity, textstats
+    from document_extractor_ray.functions import (
+        analytics,
+        dedup,
+        multimodal,
+        similarity,
+        textstats,
+    )
 
     return {
         # --- extraction pipeline (rows-only; byte-identity in pytest goldens) ---
@@ -103,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "knn_brute": similarity.knn_brute_embeddings,
         "knn_lsh": similarity.knn_lsh_embeddings,
+        # --- multimodal (stubbed codecs, real Ray plumbing) ---
+        "media_features": multimodal.media_features,
     }
 
 

@@ -1,0 +1,143 @@
+"""Tests: shard-level resumable runner with lineage commit, and the
+multimodal feature stages."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from document_extractor_ray.config import DEFAULT_CONFIG
+
+
+@pytest.fixture(scope="module")
+def sharded_input(tmp_path_factory):
+    from document_extractor_ray import fixtures
+
+    d = tmp_path_factory.mktemp("shards_in")
+    files = []
+    for k in range(4):
+        t = fixtures.make_pages_range(k * 100, (k + 1) * 100, seed=42)
+        p = str(d / f"part-{k:03d}.parquet")
+        pq.write_table(t, p)
+        files.append(p)
+    return files
+
+
+class TestResume:
+    def test_kill_and_resume_byte_identical(self, ray_session, sharded_input, tmp_path):
+        from document_extractor_ray.pipelines import resume
+
+        out1 = str(tmp_path / "interrupted")
+        # "Kill" after 1 shard: bound the first invocation.
+        r1 = resume.run_resumable(sharded_input, out1, DEFAULT_CONFIG, shard_size=2, max_shards=1)
+        assert r1["ran"] == [0] and not r1["complete"]
+        # Resume: shard 0 must be skipped, shard 1 processed.
+        r2 = resume.run_resumable(sharded_input, out1, DEFAULT_CONFIG, shard_size=2)
+        assert r2["skipped"] == [0] and r2["ran"] == [1] and r2["complete"]
+
+        # A never-interrupted run over the same input.
+        out2 = str(tmp_path / "clean")
+        r3 = resume.run_resumable(sharded_input, out2, DEFAULT_CONFIG, shard_size=2)
+        assert r3["complete"] and r3["ran"] == [0, 1]
+
+        a = resume.read_all_results(out1).take_all()
+        b = resume.read_all_results(out2).take_all()
+        key = lambda r: r["url"]
+        a, b = sorted(a, key=key), sorted(b, key=key)
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            assert x["url"] == y["url"]
+            assert x["extracted_text"] == y["extracted_text"]
+            assert x["status"] == y["status"]
+
+    def test_lineage_records(self, ray_session, sharded_input, tmp_path):
+        from document_extractor_ray.pipelines import resume
+
+        out = str(tmp_path / "lin")
+        resume.run_resumable(sharded_input, out, DEFAULT_CONFIG, shard_size=2)
+        recs = resume.committed_shards(out)
+        assert set(recs) == {0, 1}
+        for sid, rec in recs.items():
+            assert rec["input_files"] == sorted(rec["input_files"])
+            assert rec["n_rows"] == sum(rec["status_counts"].values())
+            assert rec["n_rows"] > 0
+            assert rec["extractor_version"]
+            assert rec["wall_s"] > 0
+
+    def test_partial_tmp_is_overwritten(self, ray_session, sharded_input, tmp_path):
+        from document_extractor_ray.pipelines import resume
+
+        out = str(tmp_path / "torn")
+        # Simulate a killed run: stray tmp dir + torn lineage tmp file.
+        os.makedirs(os.path.join(out, "shard=0.tmp", "final"), exist_ok=True)
+        os.makedirs(os.path.join(out, "lineage"), exist_ok=True)
+        with open(os.path.join(out, "lineage", "shard=0.json.tmp999"), "w") as f:
+            f.write("{")
+        r = resume.run_resumable(sharded_input, out, DEFAULT_CONFIG, shard_size=2)
+        assert r["complete"] and r["ran"] == [0, 1]
+        assert not os.path.exists(os.path.join(out, "shard=0.tmp"))
+
+
+class TestMultimodal:
+    def test_fake_codec_roundtrip(self):
+        from document_extractor_ray.functions import multimodal as mm
+
+        img = mm.decode_fake_image(mm.encode_fake_image(16, 8, 3, seed=1))
+        assert img.shape == (8, 16, 3)
+        sr, pcm = mm.decode_fake_audio(mm.encode_fake_audio(16000, 2048, seed=1))
+        assert sr == 16000 and len(pcm) == 2048
+        frames = [mm.encode_fake_image(8, 8, 3, seed=k) for k in range(3)]
+        assert mm.decode_fake_video(mm.encode_fake_video(frames)) == frames
+
+    def test_resize_and_features(self):
+        from document_extractor_ray.functions import multimodal as mm
+
+        img = mm.decode_fake_image(mm.encode_fake_image(64, 48, 3, seed=2))
+        small = mm.resize_nearest(img, 32, 32)
+        assert small.shape == (32, 32, 3)
+        f = mm.image_features(small)
+        assert f.shape == (3 + 3 + 8,) and f.dtype == np.float32
+
+    def test_audio_windows(self):
+        from document_extractor_ray.functions import multimodal as mm
+
+        _, pcm = mm.decode_fake_audio(mm.encode_fake_audio(16000, 4096, seed=3))
+        rms = mm.audio_windows_rms(pcm, window=1024)
+        assert rms.shape == (4,)
+        assert (rms > 0).all()
+
+    def test_actor_stage_end_to_end(self, ray_session):
+        import ray.data
+        from document_extractor_ray.functions import multimodal as mm
+
+        table = mm.make_media_table(30, seed=42)
+        out = mm.extract_media_features(ray.data.from_arrow(table)).take_all()
+        assert len(out) == 30
+        by_id = {r["media_id"]: r for r in out}
+        # corrupt payload -> decode_ok False, no exception
+        assert by_id[3]["decode_ok"] is False and by_id[3]["error"]
+        ok = [r for r in out if r["decode_ok"]]
+        assert len(ok) == 29
+        for r in ok:
+            if r["kind"] == "image":
+                assert r["width"] > 0 and len(r["features"]) == 14
+            elif r["kind"] == "audio":
+                assert r["sample_rate"] == 16000 and r["n_units"] >= 4
+            else:
+                assert r["n_units"] >= 1 and len(r["features"]) == 14
+
+    def test_determinism(self, ray_session):
+        import ray.data
+        from document_extractor_ray.functions import multimodal as mm
+
+        t = mm.make_media_table(12, seed=42)
+        a = mm.extract_media_features(ray.data.from_arrow(t)).take_all()
+        b = mm.extract_media_features(ray.data.from_arrow(t)).take_all()
+        ka = sorted(a, key=lambda r: r["media_id"])
+        kb = sorted(b, key=lambda r: r["media_id"])
+        for x, y in zip(ka, kb):
+            assert x["features"] == y["features"]
