@@ -34,7 +34,7 @@ def _pages_path(sf_dir: str) -> str:
 
     n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
     n_pages = max(200, n_docs)
-    path = f"/tmp/docray_pages_n{n_pages}_s{_SEED}.parquet"
+    path = f"/tmp/docray_pages_v{fixtures.CORPUS_VERSION}_n{n_pages}_s{_SEED}.parquet"
     if not os.path.exists(path):
         tmp = path + ".tmp"
         table = fixtures.make_pages_table(n_pages, seed=_SEED)

@@ -39,7 +39,7 @@ def _pages_path() -> str:
     """Generate (once, cached) the bench pages table."""
     from document_extractor_ray import fixtures
 
-    path = f"/tmp/docray_bench_pages_n{N_PAGES}_s{SEED}.parquet"
+    path = f"/tmp/docray_bench_pages_v{fixtures.CORPUS_VERSION}_n{N_PAGES}_s{SEED}.parquet"
     if not os.path.exists(path):
         tmp = path + f".tmp{os.getpid()}"
         fixtures.write_pages_parquet_parallel(tmp, N_PAGES, seed=SEED)
@@ -52,7 +52,7 @@ def _warmup_path() -> str:
 
     from document_extractor_ray import fixtures
 
-    path = "/tmp/docray_warm_pages_500.parquet"
+    path = f"/tmp/docray_warm_pages_v{fixtures.CORPUS_VERSION}_500.parquet"
     if not os.path.exists(path):
         tmp = path + f".tmp{os.getpid()}"
         pq.write_table(fixtures.make_pages_table(500, seed=7), tmp, row_group_size=64)

@@ -89,8 +89,52 @@ class PipelineConfig:
     enable_ocr_a: bool = True
     enable_ocr_b: bool = True
 
+    # --- legacy huge-doc pagination (common_pdf.sh:57-61 G7: the extra
+    #     total-chars criterion the Python reference dropped).  None
+    #     disables (matching the Python reference's behavior). ---
+    big_char_limit: Optional[int] = None
+
     def with_(self, **kw) -> "PipelineConfig":
         return replace(self, **kw)
+
+    @classmethod
+    def from_env(cls, env=None) -> "PipelineConfig":
+        """Env-var config surface (F9): mirrors the reference's
+        _env_float/_env_int semantics (pass_pdf.py:41-51 — default on
+        ANY parse error) over the deployed variable names
+        (entrypoint.sh:37-42)."""
+        import os
+
+        env = os.environ if env is None else env
+        d = cls()
+
+        def _f(name, default):
+            try:
+                return float(env.get(name, str(default)))
+            except Exception:
+                return default
+
+        def _i(name, default):
+            try:
+                return int(env.get(name, str(default)))
+            except Exception:
+                return default
+
+        return cls(
+            txt_cutoff=_f("PASS_TXT_CUTOFF", d.txt_cutoff),
+            ocr_a_cutoff=_f("PASS_OCR_A_CUTOFF", d.ocr_a_cutoff),
+            ocr_b_cutoff=_f("PASS_OCR_B_CUTOFF", d.ocr_b_cutoff),
+            doc_cutoff=_f("PASS_DOC_CUTOFF", d.doc_cutoff),
+            docx_cutoff=_f("PASS_DOCX_CUTOFF", d.docx_cutoff),
+            big_size_bytes=_i("BIGDOC_SIZE_LIMIT_BYTES", d.big_size_bytes),
+            big_page_limit=_i("BIGDOC_PAGE_LIMIT", d.big_page_limit),
+            max_combined_bytes=_i("MAX_COMBINED_BYTES", d.max_combined_bytes),
+            min_free_workdir_mb=_i("MIN_FREE_WORKDIR_MB", d.min_free_workdir_mb),
+            work_dir=env.get("WORK_DIR", d.work_dir),
+            run_id=env.get("RUN_ID", d.run_id),
+            input_root=env.get("INPUT_ROOT", d.input_root),
+            num_partitions=_i("NUM_PARTITIONS", d.num_partitions),
+        )
 
 
 DEFAULT_CONFIG = PipelineConfig()

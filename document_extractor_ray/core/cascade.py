@@ -227,9 +227,24 @@ def _low_disk(cfg: PipelineConfig) -> bool:
 # Orchestration (pass_pdf.py main)
 # ---------------------------------------------------------------------------
 
-def initial_mode(size_bytes: int, total_pages: int, cfg: PipelineConfig) -> str:
-    """pass_pdf.py:108-110 big-document switch (test-scaled thresholds)."""
+def initial_mode(
+    size_bytes: int,
+    total_pages: int,
+    cfg: PipelineConfig,
+    total_chars: Optional[int] = None,
+) -> str:
+    """pass_pdf.py:108-110 big-document switch (test-scaled thresholds).
+
+    cfg.big_char_limit (None default) additionally enables the legacy
+    total-chars pagination criterion the Python reference dropped
+    (common_pdf.sh:57-61 should_paginate, G7)."""
     if size_bytes >= cfg.big_size_bytes or total_pages >= cfg.big_page_limit:
+        return "per-page"
+    if (
+        cfg.big_char_limit is not None
+        and total_chars is not None
+        and total_chars >= cfg.big_char_limit
+    ):
         return "per-page"
     return "per-doc"
 
@@ -237,7 +252,10 @@ def initial_mode(size_bytes: int, total_pages: int, cfg: PipelineConfig) -> str:
 def html_pass1(units: List[str], size_bytes: int, cfg: PipelineConfig) -> DocResult:
     """Stage-1 of the cascade.  Returns STATUS_PENDING on rejection
     (the masked fallback stage picks those rows up)."""
-    mode = initial_mode(size_bytes, len(units), cfg)
+    total_chars = (
+        sum(len(u) for u in units) if cfg.big_char_limit is not None else None
+    )
+    mode = initial_mode(size_bytes, len(units), cfg, total_chars)
     if cfg.enable_txt_pass:
         try:
             ok, payload = run_txt_pass(units, mode, cfg.txt_cutoff, cfg)
@@ -410,17 +428,44 @@ def unsupported_result() -> DocResult:
     )
 
 
+def _route_docx(payload, text, cfg):
+    from document_extractor_ray.core.docpass import process_doc
+
+    return process_doc("docx", payload, cfg)
+
+
+def _route_doc(payload, text, cfg):
+    from document_extractor_ray.core.docpass import process_doc
+
+    return process_doc("doc", payload, cfg)
+
+
+# Route registry — the pass-script plugin surface (SURVEY.md §2.12):
+# the reference wires any ``pass_X.py <file> <csv> <log>`` into its
+# router (process_run.py:174-192); here adding a format = registering a
+# ``kind -> handler(payload, text, cfg) -> DocResult`` entry.
+ROUTES = {
+    sniff.KIND_HTML: lambda payload, text, cfg: process_html(payload, cfg),
+    sniff.KIND_TXT: lambda payload, text, cfg: process_txt(text, cfg),
+    sniff.KIND_IMG: lambda payload, text, cfg: process_img(payload, cfg),
+    sniff.KIND_DOCX: _route_docx,
+    sniff.KIND_DOC: _route_doc,
+    sniff.KIND_NOISE: lambda payload, text, cfg: noise_result(),
+}
+
+
+def register_route(kind: str, handler) -> None:
+    """Extension point: register a handler for a sniffed kind."""
+    ROUTES[kind] = handler
+
+
 def process_any(kind: str, payload: bytes, text: Optional[str], cfg: PipelineConfig) -> DocResult:
-    """Route one non-container document by sniffed kind (R1/R4)."""
-    if kind == sniff.KIND_HTML:
-        return process_html(payload, cfg)
-    if kind == sniff.KIND_TXT:
-        return process_txt(text, cfg)
-    if kind == sniff.KIND_IMG:
-        return process_img(payload, cfg)
-    if kind == sniff.KIND_NOISE:
-        return noise_result()
-    return unsupported_result()
+    """Route one non-container document by sniffed kind (R1/R4).
+    Unknown kinds quarantine as unsupported (process_run.py:166-171)."""
+    handler = ROUTES.get(kind)
+    if handler is None:
+        return unsupported_result()
+    return handler(payload, text, cfg)
 
 
 def container_parent(n_children: int, cfg: PipelineConfig) -> DocResult:

@@ -129,6 +129,13 @@ def sample_page_indices(total_pages: int, target: int = 5) -> List[int]:
     return sorted(picks)
 
 
+def legacy_clean_text(text: str) -> str:
+    """Legacy CSV text cleaner (common_pdf.sh:37 clean_text, E21/F12):
+    strip carriage returns, literalize newlines as two-char ``\\n``,
+    double embedded quotes for CSV embedding."""
+    return text.replace("\r", "").replace("\n", "\\n").replace('"', '""')
+
+
 # ---------------------------------------------------------------------------
 # Legacy weighted reliability (common_pdf.sh:98-156).  The Python
 # reference simplified this to the alnum ratio; the richer model is kept

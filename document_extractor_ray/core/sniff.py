@@ -28,9 +28,13 @@ KIND_IMG = "multi_unit"
 KIND_CONTAINER = "container"
 KIND_NOISE = "noise"
 KIND_UNSUPPORTED = "unsupported"
+KIND_DOCX = "docx"
+KIND_DOC = "doc"
 
 MAGIC_CONTAINER = b"CNT1"
 MAGIC_MULTIFRAME = b"MUF1"
+MAGIC_DOCX = b"DOCX"  # word-processor XML analogue (pass_doc.py _docx_text)
+MAGIC_DOC = b"DOC1"   # legacy binary word-processor analogue (_doc_text)
 
 _HTML_PREFIXES = (b"<!doctype", b"<!DOCTYPE", b"<html", b"<HTML", b"<")
 
@@ -48,6 +52,10 @@ def sniff_kind(payload: bytes) -> str:
         return KIND_CONTAINER
     if head[:4] == MAGIC_MULTIFRAME:
         return KIND_IMG
+    if head[:4] == MAGIC_DOCX:
+        return KIND_DOCX
+    if head[:4] == MAGIC_DOC:
+        return KIND_DOC
     stripped = payload.lstrip()
     if stripped[:9].lower().startswith(b"<!doctype") or stripped[:1] == b"<":
         return KIND_HTML

@@ -60,9 +60,13 @@ WORDS = (
 
 SOUP_CHARS = "#$%^*()[]{}~!?;:+=|\\/.,-_'\""
 
+# Bump when class fractions or builders change: cache file names embed
+# it so stale /tmp corpora are never reused across code versions.
+CORPUS_VERSION = 2
+
 CLASS_FRACTIONS = [
-    ("clean", 0.35),
-    ("boilerplate", 0.15),
+    ("clean", 0.32),
+    ("boilerplate", 0.14),
     ("scan_only", 0.10),
     ("noisy", 0.10),
     ("hopeless", 0.05),
@@ -70,6 +74,8 @@ CLASS_FRACTIONS = [
     ("multi_unit", 0.05),
     ("container", 0.05),
     ("plain_text", 0.05),
+    ("docx", 0.02),
+    ("doc", 0.02),
     ("unsupported", 0.03),
     ("noise", 0.02),
 ]
@@ -261,6 +267,43 @@ def _doc_container(r: random.Random) -> Tuple[bytes, str, str]:
     return sniff.encode_container(children), "", "en"
 
 
+def _doc_docx(r: random.Random, i: int) -> Tuple[bytes, str, str]:
+    # i%3==0: native accept (>=0.70); ==1: native reject -> doc_pdf_text
+    # fallback accept; ==2: soup everywhere -> fallback triage-rejects
+    # -> ERROR + quarantine (pass_doc.py:267-275).
+    which = i % 3
+    if which == 0:
+        paras = [_sentence(r, 8, 12) for _ in range(r.randint(3, 6))]
+        cells = [_sentence(r, 4, 6) for _ in range(r.randint(0, 3))]
+    elif which == 1:
+        paras = [_mid_ratio_line(r, target=0.55) for _ in range(r.randint(4, 7))]
+        cells = []
+    else:
+        paras = [_soup_line(r, 20) for _ in range(r.randint(3, 5))]
+        cells = []
+    body = "".join(f"<w:p>{p}</w:p>" for p in paras)
+    if cells:
+        body += "<w:tbl><w:tr>" + "".join(
+            f"<w:tc>{c}</w:tc>" for c in cells
+        ) + "</w:tr></w:tbl>"
+    return b"DOCX" + body.encode(), "", "en"
+
+
+def _doc_legacy(r: random.Random, i: int) -> Tuple[bytes, str, str]:
+    # Printable text interleaved with control bytes (the antiword
+    # recovery contract).  i%2==0 native accept (>=0.75), ==1 fallback.
+    if i % 2 == 0:
+        text = "\n".join(_sentence(r, 8, 12) for _ in range(r.randint(3, 6)))
+    else:
+        text = "\n".join(_mid_ratio_line(r, target=0.55) for _ in range(4))
+    raw = bytearray()
+    for k, ch in enumerate(text.encode()):
+        raw.append(ch)
+        if k % 17 == 16:
+            raw.append(r.randrange(0x01, 0x09))  # control noise
+    return b"DOC1" + bytes(raw), "", "en"
+
+
 def _doc_plain_text(r: random.Random) -> Tuple[bytes, str, str]:
     return b"", "\n".join(_paragraph(r, 2) for _ in range(r.randint(1, 3))), "en"
 
@@ -348,6 +391,8 @@ _CLASS_BUILDERS = {
     ),
     "container": lambda r, i: _doc_container(r),
     "plain_text": lambda r, i: _doc_plain_text(r),
+    "docx": _doc_docx,
+    "doc": _doc_legacy,
     "unsupported": lambda r, i: _doc_unsupported(r),
     "noise": lambda r, i: _doc_noise(r),
 }

@@ -50,7 +50,7 @@ def test_every_route_class_covered(small_corpus):
         tags[m.group(1) if m else "child"] += 1
     for tag in (
         "clean boilerplate scan_only noisy hopeless giant multi_unit "
-        "container plain_text unsupported noise".split()
+        "container plain_text docx doc unsupported noise".split()
     ):
         assert tags[tag] > 0, f"corpus missing class {tag}"
 
