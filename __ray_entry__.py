@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
         "lang_id": textstats.lang_id,
+        "doc_health": textstats.doc_health,
         "fingerprints": textstats.fingerprints,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact_docs,

@@ -202,6 +202,35 @@ def rolling_fingerprint(text: str, window: int = 8) -> int:
     return best
 
 
+def doc_health(sf_dir: str):
+    """Legacy document-health metrics (common_pdf.sh A4/A5 + the
+    weighted page_reliability F3): per-doc non-whitespace chars,
+    legacy txt/ocr reliability scores, and the >=0.5-reliability flag
+    used by the legacy %good-pages rollup.  Not SQL-expressible (the
+    embedded stopword list drives the W term) -> rows-only check +
+    unit tests."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    from document_extractor_ray.core.scoring import page_reliability
+
+    def health(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        non_ws = [sum(1 for ch in (x or "") if not ch.isspace()) for x in texts]
+        rel_txt = [page_reliability(x or "", "txt") for x in texts]
+        rel_ocr = [page_reliability(x or "", "ocr") for x in texts]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "non_ws_chars": pa.array(non_ws, pa.int64()),
+                "legacy_rel_txt": pa.array(rel_txt, pa.float64()),
+                "legacy_rel_ocr": pa.array(rel_ocr, pa.float64()),
+                "good_page": pa.array([r >= 0.5 for r in rel_txt], pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(health, batch_format="pyarrow").sort("doc_id")
+
+
 def fingerprints(sf_dir: str):
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
