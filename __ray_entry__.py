@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.dedup_exact_docs,
         "minhash_dup_pairs": dedup.minhash_dup_pairs_docs,
         "simhash": dedup.simhash_table,
+        "ngram_jaccard_dups": dedup.ngram_jaccard_dups_docs,
+        "embedding_dup_pairs": dedup.embedding_dup_pairs_embeddings,
         # --- similarity search ---
         "knn_brute": similarity.knn_brute_embeddings,
         "knn_lsh": similarity.knn_lsh_embeddings,

@@ -329,7 +329,7 @@ def simhash_dup_pairs(ds: "ray.data.Dataset", max_distance: int = 3):
 
 
 # ---------------------------------------------------------------------------
-# Exact n-gram Jaccard (verification primitive)
+# Exact n-gram Jaccard (verification primitive + verified-pairs operator)
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
@@ -340,3 +340,135 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
         return 0.0
     inter = len(sa & sb)
     return inter / (len(sa) + len(sb) - inter)
+
+
+def ngram_jaccard_dups(
+    ds: "ray.data.Dataset", candidate_threshold: float = 0.5, verify_threshold: float = 0.6
+):
+    """LSH candidates verified by EXACT n-gram Jaccard.
+
+    Candidates come from the MinHash-LSH pass (cheap, mergeable); the
+    exact verification needs the two texts side by side — here the
+    candidate id set (tiny: actual near-dups) is collected and the
+    matching texts broadcast for the verify step.  At 10^12 docs the
+    same verify runs as a hash-partitioned self-join of the candidate
+    subset on doc_id (candidates remain a vanishing fraction); the
+    broadcast shortcut is the small-side special case of that join."""
+    pairs = minhash_dup_pairs(ds, threshold=candidate_threshold).take_all()
+    if not pairs:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    wanted = sorted({r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs})
+    wanted_arr = pa.array(wanted, pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t["doc_id"], value_set=wanted_arr))
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in ds.map_batches(pick, batch_format="pyarrow").take_all()
+    }
+    out_a, out_b, out_j = [], [], []
+    for r in sorted(pairs, key=lambda x: (x["doc_a"], x["doc_b"])):
+        j = ngram_jaccard(texts.get(r["doc_a"], ""), texts.get(r["doc_b"], ""))
+        if j >= verify_threshold:
+            out_a.append(r["doc_a"])
+            out_b.append(r["doc_b"])
+            out_j.append(round(j, 6))
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        }
+    )
+
+
+def ngram_jaccard_dups_docs(sf_dir: str):
+    return ngram_jaccard_dups(_read_docs(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9):
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    Scale shape: random-hyperplane LSH buckets (12 planes) shuffle only
+    (bucket, vec_id, embedding) rows; near-identical vectors share a
+    bucket with high probability, and each bucket's pairwise cosine is
+    a small local matmul.  Like SimHash for text, recall for pairs just
+    above the threshold is probabilistic; pairs at cosine ~1.0 (true
+    duplicates) are caught with near-certainty."""
+    from document_extractor_ray.functions.similarity import _bucket_of, _normalize_rows, _planes
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
+        if mat.size == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                }
+            )
+        planes = _planes(mat.shape[1])
+        buckets = _bucket_of(_normalize_rows(mat), planes)
+        return pa.table(
+            {
+                "bucket": pa.array(buckets, pa.int64()),
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g["vec_id"].to_pylist(), dtype=np.int64)
+        if len(ids) < 2:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        mat = _normalize_rows(np.asarray(g["embedding"].to_pylist(), dtype=np.float32))
+        sims = mat @ mat.T
+        out_a, out_b, out_c = [], [], []
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if sims[i, j] >= threshold and ids[i] != ids[j]:
+                    a_, b_ = sorted((int(ids[i]), int(ids[j])))
+                    out_a.append(a_)
+                    out_b.append(b_)
+                    out_c.append(round(float(sims[i, j]), 6))
+        return pa.table(
+            {
+                "vec_a": pa.array(out_a, pa.int64()),
+                "vec_b": pa.array(out_b, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .sort(["vec_a", "vec_b"])
+    )
+
+
+def embedding_dup_pairs_embeddings(sf_dir: str, threshold: float = 0.9):
+    from document_extractor_ray.functions.similarity import _read_embeddings
+
+    return embedding_dup_pairs(_read_embeddings(sf_dir), threshold=threshold)

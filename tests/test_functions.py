@@ -221,3 +221,35 @@ def test_rolling_fingerprint_properties():
     # disjoint text must differ
     c = "entirely unrelated words describing some other topic altogether now"
     assert rolling_fingerprint(a) != rolling_fingerprint(c)
+
+
+def test_ngram_jaccard_dups_verified(ray_session):
+    import ray.data
+    from document_extractor_ray.functions.dedup import ngram_jaccard_dups
+
+    ds = ray.data.from_arrow(_planted_corpus())
+    out = ngram_jaccard_dups(ds, candidate_threshold=0.5, verify_threshold=0.6).to_pylist()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+    assert pairs[(0, 3)] == 1.0          # exact dup
+    assert 0.6 <= pairs[(0, 1)] < 1.0    # near dup, exact jaccard
+    assert not any(2 in p for p in pairs)
+
+
+def test_embedding_dup_pairs_planted(ray_session):
+    import numpy as np
+    import ray.data
+    from document_extractor_ray.functions.dedup import embedding_dup_pairs
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(20, 64).astype(np.float32)
+    # plant: vec 20 is a copy of vec 0, vec 21 a tiny perturbation of vec 1
+    mat = np.vstack([base, base[0], base[1] + rng.randn(64).astype(np.float32) * 0.01])
+    t = pa.table({
+        "vec_id": pa.array(list(range(22)), pa.int64()),
+        "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+    })
+    out = embedding_dup_pairs(ray.data.from_arrow(t), threshold=0.95).take_all()
+    found = {(r["vec_a"], r["vec_b"]) for r in out}
+    assert (0, 20) in found
+    assert (1, 21) in found
+    assert all(a in (0, 1) or b in (20, 21) for a, b in found)

@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis): codec round-trips, scalar
+parity with the reference semantics, chunk-assignment invariants —
+no Ray needed."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from document_extractor_ray.config import DEFAULT_CONFIG
+from document_extractor_ray.core import blocks, chunking, sniff
+from document_extractor_ray.core.scoring import (
+    alnum_count,
+    likely_scan_only,
+    median,
+    sample_page_indices,
+    score_reliability,
+)
+
+text_strategy = st.text(max_size=400)
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_score_reliability_matches_reference_loop(text):
+    naive = sum(ch.isalnum() for ch in text)
+    assert alnum_count(text) == naive
+    if not text:
+        assert score_reliability(text) == 0.0
+    else:
+        expected = round(max(0.0, min(1.0, naive / len(text))), 4)
+        assert score_reliability(text) == expected
+
+
+@given(st.lists(st.floats(min_value=0, max_value=1), max_size=20))
+@settings(deadline=None)
+def test_median_bounds(vals):
+    m = median(vals)
+    if vals:
+        assert min(vals) <= m <= max(vals)
+    else:
+        assert m == 0.0
+
+
+@given(st.integers(min_value=0, max_value=2000), st.integers(min_value=1, max_value=10))
+@settings(deadline=None)
+def test_sampler_invariants(n, t):
+    picks = sample_page_indices(n, t)
+    assert picks == sorted(set(picks))
+    assert all(1 <= p <= n for p in picks)
+    assert len(picks) == min(n, t)
+
+
+@given(st.lists(st.text(max_size=50), max_size=6))
+@settings(deadline=None)
+def test_likely_scan_only_total_order(samples):
+    # strings path must equal evaluating the joined text directly
+    joined = " ".join(samples)
+    if samples and isinstance(samples[0], str):
+        assert likely_scan_only(samples) == likely_scan_only(joined or "")
+
+
+@given(st.lists(st.text(max_size=200), max_size=8))
+@settings(deadline=None)
+def test_multiframe_roundtrip(frames):
+    assert sniff.decode_multiframe(sniff.encode_multiframe(frames)) == frames
+
+
+name_st = st.text(alphabet=string.ascii_letters + string.digits + "._-", min_size=1, max_size=20)
+
+
+@given(st.lists(st.tuples(name_st, st.binary(max_size=300)), max_size=5))
+@settings(deadline=None)
+def test_container_roundtrip(children):
+    assert sniff.decode_container(sniff.encode_container(children)) == children
+
+
+@given(st.binary(max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_sniff_total_and_stable(payload):
+    kind = sniff.sniff_kind(payload)
+    assert kind in {
+        "html", "txt", "multi_unit", "container", "noise", "unsupported", "docx", "doc",
+    }
+    assert sniff.sniff_kind(payload) == kind
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=50),
+    st.integers(min_value=100, max_value=3000),
+)
+@settings(deadline=None)
+def test_chunk_assignment_invariants(sizes, max_bytes):
+    ids = list(chunking.assign_chunks(sizes, max_bytes=max_bytes))
+    # monotone, 1-based, no gaps
+    assert ids[0] == 1
+    for a, b in zip(ids, ids[1:]):
+        assert b in (a, a + 1)
+    # no chunk except via a single oversized doc exceeds the budget
+    totals = {}
+    counts = {}
+    for cid, s in zip(ids, sizes):
+        totals[cid] = totals.get(cid, 0) + s + chunking.DOCUMENT_BREAK_BYTES
+        counts[cid] = counts.get(cid, 0) + 1
+    for cid, tot in totals.items():
+        if counts[cid] > 1:
+            # remove the last doc's break (the check the reference does
+            # counts the break only after appending)
+            assert tot - chunking.DOCUMENT_BREAK_BYTES <= max_bytes + chunking.DOCUMENT_BREAK_BYTES * counts[cid]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=99), st.text(max_size=80)),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_block_spans_always_index_correctly(pages):
+    b = blocks.build_block(
+        "https://fixtures.test/x/000001", pages, "html_text", 0.5, "OK", DEFAULT_CONFIG
+    )
+    texts = [t for _, t in pages]
+    if not any(t and t.strip() for t in texts):
+        assert b.extracted_text == ""
+        return
+    assert b.extracted_text.endswith("\n")
+    for (page, start, end), (pnum, text) in zip(b.spans, pages):
+        assert page == pnum
+        expected = str(text) if text else ""
+        assert b.extracted_text[start:end] == expected
