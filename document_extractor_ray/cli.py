@@ -55,15 +55,22 @@ def cmd_extract(args) -> int:
     else:
         final = run_extraction(args.input[0] if len(args.input) == 1 else args.input, cfg)
         paths = outputs.write_outputs(final, args.out, cfg)
-        if args.combined_text:
+        if args.combined_text or args.reference_layout:
             import pyarrow.parquet as pq
             import glob, os
 
             files = sorted(glob.glob(os.path.join(paths["final"], "**", "*.parquet"),
                                      recursive=True))
             table = pq.ParquetDataset(files).read().sort_by("url")
-            outputs.write_combined_text(table, args.out, cfg)
-            outputs.write_index_csv(table, f"{args.out}/{cfg.run_id}.csv", cfg)
+            if args.reference_layout:
+                from document_extractor_ray.pipelines.reference_layout import (
+                    write_reference_layout,
+                )
+
+                write_reference_layout(table, args.out, cfg)
+            else:
+                outputs.write_combined_text(table, args.out, cfg)
+                outputs.write_index_csv(table, f"{args.out}/{cfg.run_id}.csv", cfg)
         print(json.dumps({"out": paths}))
     ray.shutdown()
     return 0
@@ -115,6 +122,9 @@ def main(argv=None) -> int:
     pe.add_argument("--shard-size", type=int, default=4)
     pe.add_argument("--combined-text", action="store_true",
                     help="also write <run>_all_text_###.txt chunks + index CSV")
+    pe.add_argument("--reference-layout", action="store_true",
+                    help="write the full reference-compatible run layout "
+                         "(txt/ tree, run CSV, combined chunks, review manifest)")
     pe.add_argument("--env-config", action="store_true",
                     help="read cutoffs etc. from env (PASS_TXT_CUTOFF, ...)")
     pe.add_argument("--run-id", default="")
