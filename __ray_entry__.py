@@ -97,6 +97,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_per_region": analytics.nations_per_region,
         "top_k_longest_docs": analytics.top_k_longest_docs,
         "doc_stats": analytics.doc_stats,
+        "parts_by_brand": analytics.parts_by_brand,
+        "supplier_balance_topk": analytics.supplier_balance_topk,
+        "customers_without_orders": analytics.customers_without_orders,
         # --- text analysis (SQL oracles where ASCII-expressible) ---
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -128,6 +131,9 @@ def oracle_sql() -> dict[str, str]:
         "nations_per_region": analytics.NATIONS_PER_REGION_SQL,
         "top_k_longest_docs": analytics.TOP_K_LONGEST_SQL,
         "doc_stats": analytics.DOC_STATS_SQL,
+        "parts_by_brand": analytics.PARTS_BY_BRAND_SQL,
+        "supplier_balance_topk": analytics.SUPPLIER_BALANCE_SQL,
+        "customers_without_orders": analytics.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_scores": textstats.QUALITY_SCORES_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,

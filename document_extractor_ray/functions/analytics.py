@@ -320,6 +320,107 @@ LIMIT 20
 """
 
 
+def parts_by_brand(sf_dir: str):
+    """Filter + grouped aggregate over part (row filter pushed to the
+    batch, money in cents)."""
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_size", "p_retailprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(t["p_size"], 10), pc.less_equal(t["p_size"], 30)
+        )
+        t = t.filter(mask)
+        return pa.table(
+            {"p_brand": t["p_brand"], "retail_cents": _to_cents(t["p_retailprice"])}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Count(alias_name="n_parts"), Sum("retail_cents", alias_name="sum_retail_cents"))
+        .sort("p_brand")
+    )
+
+
+PARTS_BY_BRAND_SQL = """
+SELECT p_brand, count(*) AS n_parts,
+       sum(CAST(round(p_retailprice * 100.0) AS BIGINT)) AS sum_retail_cents
+FROM part
+WHERE p_size BETWEEN 10 AND 30
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def supplier_balance_topk(sf_dir: str, k: int = 15):
+    """Top-k suppliers by account balance with the nation dim broadcast."""
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal", "s_nationkey"])
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    n_map = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    ref = ray.put(n_map)
+
+    def prep(t: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        names = [lookup.get(kk, "") for kk in t["s_nationkey"].to_pylist()]
+        return pa.table(
+            {
+                "s_suppkey": t["s_suppkey"],
+                "acctbal_cents": _to_cents(t["s_acctbal"]),
+                "n_name": pa.array(names, pa.string()),
+            }
+        )
+
+    return (
+        sup.map_batches(prep, batch_format="pyarrow")
+        .sort(["acctbal_cents", "s_suppkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+SUPPLIER_BALANCE_SQL = """
+SELECT s.s_suppkey,
+       CAST(round(s.s_acctbal * 100.0) AS BIGINT) AS acctbal_cents,
+       n.n_name
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+ORDER BY acctbal_cents DESC, s_suppkey ASC
+LIMIT 15
+"""
+
+
+def customers_without_orders(sf_dir: str):
+    """Anti join via broadcast key set (the semi/anti-join pattern:
+    broadcast the filtered order-customer key set once, filter inside
+    map_batches — no shuffle; at larger-than-broadcast scale the same
+    filter runs per hash-partition with a partitioned key set).
+    Customers with no URGENT-priority order (the unfiltered anti join
+    is empty on the test data)."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    keys = set()
+    for batch in orders.iter_batches(batch_format="pyarrow", batch_size=65536):
+        f = batch.filter(pc.equal(batch["o_orderpriority"], "1-URGENT"))
+        keys.update(f["o_custkey"].to_pylist())
+    key_arr = pa.array(sorted(keys), pa.int64())
+    ref = ray.put(key_arr)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        have = ray.get(ref)
+        mask = pc.invert(pc.is_in(t["c_custkey"], value_set=have))
+        return t.filter(mask)
+
+    return cust.map_batches(anti, batch_format="pyarrow").sort("c_custkey")
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
 def doc_stats(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
     return (

@@ -41,6 +41,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "nations_per_region",
         "top_k_longest_docs",
         "doc_stats",
+        "parts_by_brand",
+        "supplier_balance_topk",
+        "customers_without_orders",
         "token_counts",
         "quality_scores",
         "dedup_exact",
