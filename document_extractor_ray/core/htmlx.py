@@ -43,6 +43,16 @@ _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
 _WS_RE = re.compile(r"\s+")
 _TAG_NAME_RE = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
 _ATTR_TEXT_RE = re.compile(r'(?:alt|title)\s*=\s*"([^"]*)"', re.I)
+# One-pass removal of invisible-content elements: their bodies never
+# reach the per-token Python loop (the scanner's skip_until state is
+# kept as a correctness backstop, but after this sub nothing matches).
+# The second alternative mirrors the scanner's unclosed-tag behavior:
+# an unterminated <script> swallows the rest of the page.
+_SKIP_BLOCK_RE = re.compile(
+    r"<(script|style|title|noscript)\b[^>]*>.*?</\s*\1\s*>"
+    r"|<(?:script|style|title|noscript)\b[^>]*>.*$",
+    re.I | re.S,
+)
 
 # Tags that terminate a visual line (block-level elements).
 _BLOCK_TAGS = frozenset(
@@ -84,8 +94,11 @@ def extract_lines(page_html: str, include_attrs: bool = False) -> List[Line]:
     text pass 1 cannot see, the web stand-in for OCR-able pixels.
     """
     # Strip comments first; a comment containing '>' would otherwise
-    # break the naive tag tokenizer.
+    # break the naive tag tokenizer.  Then drop invisible-content
+    # blocks in one compiled pass (script/style/title/noscript) so the
+    # per-token loop only ever sees renderable markup.
     page_html = _COMMENT_RE.sub("", page_html)
+    page_html = _SKIP_BLOCK_RE.sub("", page_html)
     parts = _TOKEN_RE.split(page_html)
 
     lines: List[Line] = []

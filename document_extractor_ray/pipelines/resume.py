@@ -94,12 +94,21 @@ def run_shard(
 
     os.replace(tmp_dir, shard_dir)
 
+    # Input row range covered by this shard (FIXTURES.md §3 lineage
+    # schema): cumulative row offsets over the deterministic shard plan.
+    import pyarrow.parquet as pq
+
+    n_input_rows = sum(pq.read_metadata(f).num_rows for f in files)
+
     record = {
         "shard_id": shard_id,
         "input_files": files,
+        "n_input_rows": n_input_rows,
         "extractor_version": __version__,
         "n_rows": n_rows,
         "status_counts": counts,
+        "n_ok": counts.get("OK", 0),
+        "n_error": counts.get("ERROR", 0),
         "n_quarantined": counts.get("MANDATORY_REVIEW", 0)
         + counts.get("ERROR", 0)
         + counts.get("LOW_DISK", 0)
