@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem": analytics.q1_lineitem,
         "top_customers": analytics.top_customers,
         "events_daily": analytics.events_daily,
+        "events_sliding_7d": analytics.events_sliding_7d,
         "sessionize": analytics.sessionize,
         "nations_per_region": analytics.nations_per_region,
         "top_k_longest_docs": analytics.top_k_longest_docs,
@@ -127,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_lineitem": analytics.Q1_SQL,
         "top_customers": analytics.TOP_CUSTOMERS_SQL,
         "events_daily": analytics.EVENTS_DAILY_SQL,
+        "events_sliding_7d": analytics.EVENTS_SLIDING_SQL,
         "sessionize": analytics.SESSIONIZE_SQL,
         "nations_per_region": analytics.NATIONS_PER_REGION_SQL,
         "top_k_longest_docs": analytics.TOP_K_LONGEST_SQL,

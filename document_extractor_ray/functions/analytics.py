@@ -231,6 +231,48 @@ ORDER BY 1, 2
 """
 
 
+def events_sliding_7d(sf_dir: str):
+    """Sliding 7-day window counts per event type: each event
+    contributes to the 7 window-end days it falls into (explode inside
+    map_batches — 7x small rows, no self-join), then one grouped
+    count.  The window explode is the standard shuffle-free sliding
+    aggregation shape at scale."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    from datetime import timedelta
+
+    def explode(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        parts = []
+        for k in range(7):
+            parts.append(
+                pa.table(
+                    {
+                        "event_type": t["event_type"],
+                        "window_end": pc.add(day, pa.scalar(timedelta(days=k))),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "window_end"])
+        .aggregate(Count(alias_name="n"))
+        .sort(["event_type", "window_end"])
+    )
+
+
+EVENTS_SLIDING_SQL = """
+SELECT event_type,
+       date_trunc('day', ts) + to_days(CAST(t.k AS INTEGER)) AS window_end,
+       count(*) AS n
+FROM events, range(0, 7) AS t(k)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sessionization (per-key ordered gap detection)
 # ---------------------------------------------------------------------------

@@ -37,6 +37,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "q1_lineitem",
         "top_customers",
         "events_daily",
+        "events_sliding_7d",
         "sessionize",
         "nations_per_region",
         "top_k_longest_docs",
