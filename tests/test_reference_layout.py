@@ -75,3 +75,21 @@ def test_noise_and_review_have_no_index_rows(layout):
     for rec in final.to_pylist():
         if rec["status"] in ("NOISE", "MANDATORY_REVIEW", "LOW_DISK"):
             assert rec["url"] not in urls
+
+
+def test_legacy_six_col_csv(tmp_path, small_corpus):
+    from document_extractor_ray.pipelines.outputs import write_legacy_csv
+    from document_extractor_ray.core.records import explode_unit_rows
+
+    units = explode_unit_rows(small_corpus["oracle"]["final"])
+    path = str(tmp_path / "legacy.csv")
+    write_legacy_csv(units, path)
+    with open(path, newline="", encoding="utf-8") as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["filename", "page", "text", "method", "used_ocr", "reliability"]
+    assert len(rows) - 1 == units.num_rows
+    # QUOTE_ALL: every field of the raw line is quoted
+    raw = open(path, encoding="utf-8").read().splitlines()[1]
+    assert raw.startswith('"')
+    for r in rows[1:3]:
+        assert r[4] == "true" and len(r) == 6
