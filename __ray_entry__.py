@@ -19,6 +19,14 @@ rows-only check — byte-identity is covered by the pytest goldens
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+# Make the package importable no matter the caller's cwd.
+_REPO_DIR = _os.path.dirname(_os.path.abspath(__file__))
+if _REPO_DIR not in _sys.path:
+    _sys.path.insert(0, _REPO_DIR)
+
 import os
 from collections.abc import Callable
 from typing import Any

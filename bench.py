@@ -19,6 +19,14 @@ N vs 4N cluster-size criterion; BASELINE.md measurement protocol).
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+# Make the package importable no matter the caller's cwd.
+_REPO_DIR = _os.path.dirname(_os.path.abspath(__file__))
+if _REPO_DIR not in _sys.path:
+    _sys.path.insert(0, _REPO_DIR)
+
 import json
 import os
 import subprocess
