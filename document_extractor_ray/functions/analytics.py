@@ -49,6 +49,16 @@ def _n_blocks() -> int:
 # a module-level RoundOptions instance is not cloudpickle-able.)
 
 
+def _ts_us(col: str):
+    """Batch fn casting a timestamp column back to microsecond unit."""
+
+    def cast(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index(col)
+        return t.set_column(i, col, pc.cast(t[col], pa.timestamp("us")))
+
+    return cast
+
+
 def _to_cents(arr) -> pa.Array:
     return pc.cast(
         pc.round(pc.multiply(arr, 100.0), round_mode="half_towards_infinity"),
@@ -111,9 +121,9 @@ def q1_lineitem(sf_dir: str):
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS sum_base_price_cents,
-       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS sum_disc_price_cents,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -184,7 +194,7 @@ def top_customers(sf_dir: str, k: int = 10):
 
 TOP_CUSTOMERS_SQL = """
 SELECT o.o_custkey,
-       sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS total_spend_cents,
+       CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_spend_cents,
        count(*) AS n_orders,
        any_value(c.c_name) AS c_name,
        any_value(n.n_name) AS n_name
@@ -218,13 +228,16 @@ def events_daily(sf_dir: str):
         .groupby(["event_type", "day"])
         .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
         .sort(["event_type", "day"])
+        # Ray's aggregate shuffle downcasts timestamp keys to [s]; restore
+        # [us] so the dtype matches DuckDB date_trunc exactly.
+        .map_batches(_ts_us("day"), batch_format="pyarrow")
     )
 
 
 EVENTS_DAILY_SQL = """
 SELECT event_type, date_trunc('day', ts) AS day,
        count(*) AS n,
-       sum(CAST(round(value * 100.0) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -260,6 +273,7 @@ def events_sliding_7d(sf_dir: str):
         .groupby(["event_type", "window_end"])
         .aggregate(Count(alias_name="n"))
         .sort(["event_type", "window_end"])
+        .map_batches(_ts_us("window_end"), batch_format="pyarrow")
     )
 
 
@@ -386,7 +400,7 @@ def parts_by_brand(sf_dir: str):
 
 PARTS_BY_BRAND_SQL = """
 SELECT p_brand, count(*) AS n_parts,
-       sum(CAST(round(p_retailprice * 100.0) AS BIGINT)) AS sum_retail_cents
+       CAST(sum(CAST(round(p_retailprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_retail_cents
 FROM part
 WHERE p_size BETWEEN 10 AND 30
 GROUP BY p_brand
@@ -473,7 +487,7 @@ def doc_stats(sf_dir: str):
 
 
 DOC_STATS_SQL = """
-SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 GROUP BY lang, source
 ORDER BY lang, source
