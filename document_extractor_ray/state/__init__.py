@@ -31,3 +31,27 @@ def cached_get(ref: "ray.ObjectRef") -> Any:
     if key not in _CACHE:
         _CACHE[key] = ray.get(ref)
     return _CACHE[key]
+
+
+def lookup_join(
+    batch: "pa.Table",
+    key_col: str,
+    dim: "pa.Table",
+    dim_key: str,
+    value_cols: list[str],
+    fill: Any = None,
+) -> "pa.Table":
+    """Vectorized broadcast-dim attach: ``pc.index_in`` on the key
+    column, then ``pc.take`` per value column — no Python per-row
+    loop, no dict.  ``dim`` is the broadcast small side (an Arrow
+    table travels zero-copy through the object store); unmatched keys
+    yield null, or ``fill`` when given."""
+    import pyarrow.compute as pc
+
+    idx = pc.index_in(batch[key_col], value_set=dim[dim_key].combine_chunks())
+    for col in value_cols:
+        vals = pc.take(dim[col].combine_chunks(), idx)
+        if fill is not None:
+            vals = pc.fill_null(vals, fill)
+        batch = batch.append_column(col, vals)
+    return batch
