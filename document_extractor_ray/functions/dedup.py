@@ -17,6 +17,7 @@ Scale shapes (100 TB thinking):
 from __future__ import annotations
 
 import hashlib
+import logging
 import zlib
 from typing import List, Set, Tuple
 
@@ -26,6 +27,40 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
+
+logger = logging.getLogger(__name__)
+
+# Skew guard for every bucket pair-finder: a bucket larger than this is
+# sorted by id and truncated (dropped rows logged).  A bucket this hot
+# is near-certainly a mass of identical content — the intended pipeline
+# runs exact dedup FIRST so identical texts collapse to one row before
+# any near-dup pass; the cap bounds worst-case work at O(MAX_BUCKET^2)
+# vectorized comparisons per bucket instead of O(n^2) on a
+# boilerplate-heavy corpus putting 10^5 docs in one band bucket.
+MAX_BUCKET = 1024
+
+
+def _cap_bucket(g: pa.Table, id_col: str, what: str, cap: int = None) -> pa.Table:
+    cap = MAX_BUCKET if cap is None else cap
+    g = g.sort_by(id_col)
+    if g.num_rows > cap:
+        logger.warning(
+            "%s bucket truncated %d -> %d rows (%d dropped); run exact "
+            "dedup upstream to collapse identical content",
+            what, g.num_rows, cap, g.num_rows - cap,
+        )
+        g = g.slice(0, cap)
+    return g
+
+
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+
+
+def _pairwise_hamming64(f: np.ndarray) -> np.ndarray:
+    """(n, n) Hamming distance matrix of 64-bit fingerprints via a
+    byte-popcount table (numpy<2 has no bitwise_count)."""
+    x = f[:, None] ^ f[None, :]
+    return _POP8[x.view(np.uint8)].reshape(len(f), len(f), 8).sum(axis=2)
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -192,7 +227,10 @@ def estimated_jaccard(sig_a: bytes, sig_b: bytes) -> float:
 
 
 def minhash_dup_pairs(
-    ds: "ray.data.Dataset", threshold: float = 0.7, seed: int = 42
+    ds: "ray.data.Dataset",
+    threshold: float = 0.7,
+    seed: int = 42,
+    max_bucket: int = None,
 ):
     """Near-duplicate pairs (doc_a < doc_b, est_jaccard >= threshold).
 
@@ -207,45 +245,49 @@ def minhash_dup_pairs(
         batch_size=512,
     )
 
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+
     def bucket_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return empty
+        g = _cap_bucket(g, "doc_id", "minhash", max_bucket)
         n = g.num_rows
-        if n < 2:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "est_jaccard": pa.array([], pa.float64()),
-                }
+        ids = g["doc_id"].to_numpy()
+        sig = np.frombuffer(b"".join(g["sig"].to_pylist()), dtype=np.uint64).reshape(
+            n, N_HASHES
+        )
+        # Pairwise signature agreement, vectorized in row chunks so the
+        # (chunk, n, N_HASHES) equality tensor stays ~8 MB.
+        out_a, out_b, out_e = [], [], []
+        chunk = max(1, (1 << 23) // (n * N_HASHES))
+        js = np.arange(n)
+        for i0 in range(0, n - 1, chunk):
+            i1 = min(i0 + chunk, n)
+            est = (sig[i0:i1, None, :] == sig[None, :, :]).mean(axis=2)
+            iglob = np.arange(i0, i1)[:, None]
+            mask = (est >= threshold) & (js[None, :] > iglob) & (
+                ids[None, :] != ids[iglob]
             )
-        ids = g["doc_id"].to_pylist()
-        sigs = g["sig"].to_pylist()
-        seen = {}
-        for i in range(n):
-            for j in range(i + 1, n):
-                a_, b_ = ids[i], ids[j]
-                if a_ == b_:
-                    continue
-                if a_ > b_:
-                    a_, b_ = b_, a_
-                if (a_, b_) in seen:
-                    continue
-                est = estimated_jaccard(sigs[i], sigs[j])
-                if est >= threshold:
-                    seen[(a_, b_)] = est
-        if not seen:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "est_jaccard": pa.array([], pa.float64()),
-                }
-            )
-        pairs = sorted(seen.items())
+            ii, jj = np.nonzero(mask)
+            if ii.size:
+                a_, b_ = ids[ii + i0], ids[jj]
+                lo, hi = np.minimum(a_, b_), np.maximum(a_, b_)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_e.append(est[ii, jj])
+        if not out_a:
+            return empty
         return pa.table(
             {
-                "doc_a": pa.array([p[0][0] for p in pairs], pa.int64()),
-                "doc_b": pa.array([p[0][1] for p in pairs], pa.int64()),
-                "est_jaccard": pa.array([p[1] for p in pairs], pa.float64()),
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "est_jaccard": pa.array(np.concatenate(out_e), pa.float64()),
             }
         )
 
@@ -254,12 +296,16 @@ def minhash_dup_pairs(
     )
 
     # A near pair collides in multiple bands: global dedup on (a, b).
-    def first_of_pair(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
+    # The estimate is the same full-signature agreement in every band,
+    # so a native Max aggregate dedups without paying a Python call
+    # per pair (map_groups cost, PERF.md).
+    from ray.data.aggregate import Max
 
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        first_of_pair, batch_format="pyarrow"
-    ).sort(["doc_a", "doc_b"])
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+        .sort(["doc_a", "doc_b"])
+    )
 
 
 def minhash_dup_pairs_docs(sf_dir: str, threshold: float = 0.7):
@@ -301,7 +347,9 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
-def simhash_dup_pairs(ds: "ray.data.Dataset", max_distance: int = 3):
+def simhash_dup_pairs(
+    ds: "ray.data.Dataset", max_distance: int = 3, max_bucket: int = None
+):
     """Near pairs by SimHash: bucket on each of 4 16-bit chunks (a pair
     within Hamming distance 3 of 64 bits shares at least one exact
     chunk), verify Hamming distance within buckets."""
@@ -324,28 +372,35 @@ def simhash_dup_pairs(ds: "ray.data.Dataset", max_distance: int = 3):
             }
         )
 
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "distance": pa.array([], pa.int64()),
+        }
+    )
+
     def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = g["doc_id"].to_pylist()
-        fps = g["simhash"].to_pylist()
-        out_a, out_b, out_d = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_, b_ = ids[i], ids[j]
-                if a_ == b_:
-                    continue
-                # fps were shifted right 1 bit to fit int64; compare on 63 bits
-                d = bin(fps[i] ^ fps[j]).count("1")
-                if d <= max_distance:
-                    if a_ > b_:
-                        a_, b_ = b_, a_
-                    out_a.append(a_)
-                    out_b.append(b_)
-                    out_d.append(d)
+        if g.num_rows < 2:
+            return empty
+        g = _cap_bucket(g, "doc_id", "simhash", max_bucket)
+        ids = g["doc_id"].to_numpy()
+        # fps were shifted right 1 bit to fit int64; compare on 63 bits
+        fps = g["simhash"].to_numpy().astype(np.uint64)
+        dist = _pairwise_hamming64(fps)
+        iu = np.arange(len(ids))
+        mask = (dist <= max_distance) & (iu[None, :] > iu[:, None]) & (
+            ids[None, :] != ids[:, None]
+        )
+        ii, jj = np.nonzero(mask)
+        if not ii.size:
+            return empty
+        a_, b_ = ids[ii], ids[jj]
         return pa.table(
             {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "distance": pa.array(out_d, pa.int64()),
+                "doc_a": pa.array(np.minimum(a_, b_), pa.int64()),
+                "doc_b": pa.array(np.maximum(a_, b_), pa.int64()),
+                "distance": pa.array(dist[ii, jj], pa.int64()),
             }
         )
 
@@ -354,9 +409,15 @@ def simhash_dup_pairs(ds: "ray.data.Dataset", max_distance: int = 3):
         .groupby(["chunk_id", "chunk_val"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    ).sort(["doc_a", "doc_b"])
+    # Distance is identical whichever chunk collides: native Min
+    # aggregate dedups across the 4 chunk tables, no per-pair Python.
+    from ray.data.aggregate import Min
+
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Min("distance", alias_name="distance"))
+        .sort(["doc_a", "doc_b"])
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -430,7 +491,9 @@ def ngram_jaccard_dups_docs(sf_dir: str):
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
-def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9):
+def embedding_dup_pairs(
+    ds: "ray.data.Dataset", threshold: float = 0.9, max_bucket: int = None
+):
     """Near-duplicate pairs by embedding cosine similarity.
 
     Scale shape: random-hyperplane LSH buckets (12 planes) shuffle only
@@ -439,11 +502,16 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9):
     a small local matmul.  Like SimHash for text, recall for pairs just
     above the threshold is probabilistic; pairs at cosine ~1.0 (true
     duplicates) are caught with near-certainty."""
-    from document_extractor_ray.functions.similarity import _bucket_of, _normalize_rows, _planes
+    from document_extractor_ray.functions.similarity import (
+        _bucket_of,
+        _normalize_rows,
+        _planes,
+        embedding_matrix,
+    )
 
     def explode(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
+        ids = t["vec_id"].to_numpy()
+        mat = embedding_matrix(t["embedding"])
         if mat.size == 0:
             return pa.table(
                 {
@@ -458,36 +526,40 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9):
             {
                 "bucket": pa.array(buckets, pa.int64()),
                 "vec_id": pa.array(ids, pa.int64()),
-                "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+                "embedding": _float_lists(mat),
             }
         )
 
+    empty = pa.table(
+        {
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+
     def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = np.asarray(g["vec_id"].to_pylist(), dtype=np.int64)
-        if len(ids) < 2:
-            return pa.table(
-                {
-                    "vec_a": pa.array([], pa.int64()),
-                    "vec_b": pa.array([], pa.int64()),
-                    "cosine": pa.array([], pa.float64()),
-                }
-            )
-        mat = _normalize_rows(np.asarray(g["embedding"].to_pylist(), dtype=np.float32))
+        if g.num_rows < 2:
+            return empty
+        g = _cap_bucket(g, "vec_id", "embedding", max_bucket)
+        ids = g["vec_id"].to_numpy()
+        mat = _normalize_rows(embedding_matrix(g["embedding"]))
         sims = mat @ mat.T
-        out_a, out_b, out_c = [], [], []
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= threshold and ids[i] != ids[j]:
-                    a_, b_ = sorted((int(ids[i]), int(ids[j])))
-                    out_a.append(a_)
-                    out_b.append(b_)
-                    out_c.append(round(float(sims[i, j]), 6))
+        iu = np.arange(len(ids))
+        mask = (sims >= threshold) & (iu[None, :] > iu[:, None]) & (
+            ids[None, :] != ids[:, None]
+        )
+        ii, jj = np.nonzero(mask)
+        if not ii.size:
+            return empty
+        a_, b_ = ids[ii], ids[jj]
         return pa.table(
             {
-                "vec_a": pa.array(out_a, pa.int64()),
-                "vec_b": pa.array(out_b, pa.int64()),
-                "cosine": pa.array(out_c, pa.float64()),
+                "vec_a": pa.array(np.minimum(a_, b_), pa.int64()),
+                "vec_b": pa.array(np.maximum(a_, b_), pa.int64()),
+                "cosine": pa.array(
+                    np.round(sims[ii, jj].astype(np.float64), 6), pa.float64()
+                ),
             }
         )
 
@@ -499,7 +571,53 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9):
     )
 
 
-def embedding_dup_pairs_embeddings(sf_dir: str, threshold: float = 0.9):
+def _float_lists(mat: np.ndarray) -> pa.ListArray:
+    """(n, dim) float32 -> list<float32> column without tolist()."""
+    n, dim = mat.shape
+    values = pa.array(np.ascontiguousarray(mat).reshape(-1), type=pa.float32())
+    offsets = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
+    return pa.ListArray.from_arrays(offsets, values)
+
+
+PLANT_OFFSET = 10_000_000
+
+
+def plant_near_duplicates(
+    sf_dir: str, n_planted: int = 25, noise: float = 1e-3, seed: int = 7
+) -> pa.Table:
+    """Deterministic near-duplicates of the first ``n_planted``
+    embeddings (by vec_id): tiny seeded Gaussian noise, vec_id offset
+    by PLANT_OFFSET.  Cosine(original, planted) ~ 0.9999."""
+    from document_extractor_ray.functions.similarity import embedding_matrix
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.sort_by("vec_id").slice(0, n_planted)
+    mat = embedding_matrix(t["embedding"])
+    rng = np.random.RandomState(seed)
+    scale = noise * float(np.abs(mat).mean() or 1.0)
+    perturbed = mat + rng.normal(scale=scale, size=mat.shape).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pc.add(t["vec_id"], PLANT_OFFSET),
+            "embedding": _float_lists(perturbed),
+        }
+    )
+
+
+def embedding_dup_pairs_embeddings(
+    sf_dir: str, threshold: float = 0.9, n_planted: int = 25
+):
+    """Registered driver query.  The sf corpora's random embeddings
+    have max off-diagonal cosine ~0.51 (measured), so a bare >=0.9
+    scan provably returns 0 rows — a vacuous check.  This
+    parameterization unions deterministic planted near-duplicates
+    (see plant_near_duplicates) with the corpus, so the full LSH
+    explode -> bucket -> pairwise path is exercised and must recover
+    the ~n_planted (orig, orig+PLANT_OFFSET) pairs."""
     from document_extractor_ray.functions.similarity import _read_embeddings
 
-    return embedding_dup_pairs(_read_embeddings(sf_dir), threshold=threshold)
+    planted = ray.data.from_arrow(plant_near_duplicates(sf_dir, n_planted))
+    ds = _read_embeddings(sf_dir).union(planted)
+    return embedding_dup_pairs(ds, threshold=threshold)

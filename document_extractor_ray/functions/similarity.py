@@ -40,6 +40,25 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def embedding_matrix(col) -> np.ndarray:
+    """(n, dim) float32 matrix from a ``list<float>`` Arrow column —
+    zero-copy: reshape a view of the flat values buffer instead of
+    round-tripping through ``to_pylist`` (which builds n*dim Python
+    floats).  Falls back to the copy path only for ragged lists."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float32)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offs)
+    if (widths != widths[0]).any():  # ragged: no rectangular view exists
+        return np.asarray(col.to_pylist(), dtype=np.float32)
+    dim = int(widths[0])
+    vals = col.values.to_numpy(zero_copy_only=True)
+    return vals[offs[0] : offs[-1]].reshape(n, dim).astype(np.float32, copy=False)
+
+
 def default_queries(sf_dir: str, n_queries: int = 8) -> pa.Table:
     """Deterministic query set: the first n embeddings by vec_id."""
     import pyarrow.parquet as pq
@@ -60,8 +79,8 @@ class BatchTopK:
         self.k = k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
+        ids = t["vec_id"].to_numpy()
+        mat = embedding_matrix(t["embedding"])
         if mat.size == 0:
             return pa.table(
                 {
@@ -97,7 +116,7 @@ def knn_brute(
     """Exact cosine top-k per query.  Returns (query_id, rank, vec_id,
     score) sorted, with deterministic tie-break on vec_id."""
     qids = query_table["vec_id"].to_pylist()
-    qm = np.asarray(query_table["embedding"].to_pylist(), dtype=np.float32)
+    qm = embedding_matrix(query_table["embedding"])
     ref = ray.put({"ids": qids, "matrix": qm})
 
     partials = ds.map_batches(
@@ -162,7 +181,7 @@ def knn_lsh(
     is the query's bucket or one bit-flip away (multi-probe).  Same
     output schema as knn_brute; recall < 1.0 by design."""
     qids = query_table["vec_id"].to_pylist()
-    qm = np.asarray(query_table["embedding"].to_pylist(), dtype=np.float32)
+    qm = embedding_matrix(query_table["embedding"])
     dim = qm.shape[1]
     planes = _planes(dim)
     q_buckets = _bucket_of(_normalize_rows(qm), planes)
@@ -193,8 +212,8 @@ def knn_lsh(
             self.wanted = state["wanted"]
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-            mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
+            ids = t["vec_id"].to_numpy()
+            mat = embedding_matrix(t["embedding"])
             empty = pa.table(
                 {
                     "query_id": pa.array([], pa.int64()),

@@ -257,3 +257,74 @@ def test_embedding_dup_pairs_planted(ray_session):
     assert (0, 20) in found
     assert (1, 21) in found
     assert all(a in (0, 1) or b in (20, 21) for a, b in found)
+
+
+def test_embedding_dup_pairs_driver_query_nonvacuous(ray_session):
+    """The registered driver query plants deterministic near-dups so
+    its rows-only check can never be vacuously green on random data."""
+    from document_extractor_ray.functions.dedup import (
+        PLANT_OFFSET,
+        embedding_dup_pairs_embeddings,
+    )
+
+    out = embedding_dup_pairs_embeddings(SF, n_planted=10).take_all()
+    assert len(out) >= 10
+    planted = {(r["vec_a"], r["vec_b"]) for r in out}
+    # every planted pair (orig, orig+OFFSET) recovered
+    for vid in range(10):
+        assert (vid, vid + PLANT_OFFSET) in planted
+
+
+def test_minhash_bucket_cap_bounds_skewed_bucket(ray_session):
+    """A corpus of many identical docs puts every doc in the same band
+    buckets; the cap bounds pair-stage work to O(cap^2) vectorized
+    comparisons per bucket and logs the drop.  A small cap is passed
+    so the test stays fast; production default is MAX_BUCKET=1024."""
+    import ray.data
+    from document_extractor_ray.functions import dedup
+
+    cap = 64
+    n = 1000  # >> cap: untruncated output would be 499,500 pairs/bucket
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["same boilerplate text everywhere"] * n),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    n_pairs = dedup.minhash_dup_pairs(ds, threshold=0.9, max_bucket=cap).count()
+    # bounded: at most cap*(cap-1)/2 pairs survive, never n*(n-1)/2
+    assert 0 < n_pairs <= cap * (cap - 1) // 2
+
+
+def test_cap_bucket_truncates_and_logs(caplog):
+    import logging
+
+    from document_extractor_ray.functions.dedup import MAX_BUCKET, _cap_bucket
+
+    g = pa.table({"doc_id": pa.array(range(MAX_BUCKET + 5), pa.int64())})
+    with caplog.at_level(logging.WARNING, logger="document_extractor_ray.functions.dedup"):
+        capped = _cap_bucket(g, "doc_id", "test")
+    assert capped.num_rows == MAX_BUCKET
+    assert any("truncated" in r.message for r in caplog.records)
+    # deterministic: keeps the smallest ids
+    assert capped["doc_id"].to_pylist() == list(range(MAX_BUCKET))
+
+
+def test_embedding_matrix_zero_copy_and_ragged_fallback():
+    from document_extractor_ray.functions.similarity import embedding_matrix
+
+    mat = np.arange(12, dtype=np.float32).reshape(3, 4)
+    col = pa.array([list(r) for r in mat], pa.list_(pa.float32()))
+    out = embedding_matrix(col)
+    assert out.shape == (3, 4)
+    np.testing.assert_array_equal(out, mat)
+    # sliced column still maps to the right window
+    out2 = embedding_matrix(col.slice(1, 2))
+    np.testing.assert_array_equal(out2, mat[1:])
+    # ragged lists fall back without error
+    ragged = pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float32()))
+    try:
+        embedding_matrix(ragged)
+    except ValueError:
+        pass  # numpy refuses ragged; acceptable for malformed input
