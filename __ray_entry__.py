@@ -146,7 +146,12 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": analytics.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_scores": textstats.QUALITY_SCORES_SQL,
+        "lang_id": textstats.LANG_ID_SQL,
+        "doc_health": textstats.DOC_HEALTH_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
-        # extract_*, lang_id, fingerprints, minhash_dup_pairs, simhash,
-        # knn_*: not SQL-expressible -> rows-only check.
+        # extract_*, fingerprints, minhash_dup_pairs, simhash,
+        # ngram_jaccard, embedding_dup_pairs, knn_*, media_features:
+        # not SQL-expressible (rolling/content hashing, LSH, model
+        # stages) -> rows-only driver check + golden-pinned pytest
+        # (tests/test_goldens.py diffs committed parquet).
     }

@@ -169,6 +169,45 @@ def lang_id(sf_dir: str):
     ).sort("doc_id")
 
 
+def _marker_list_sql(lang: str) -> str:
+    return "[" + ",".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lang])) + "]"
+
+
+# SQL mirror of LangId.classify: words = lowered [a-zA-Z]+ runs, per-
+# language stopword hits, winner = first language in sorted order
+# (de,en,es,fr) reaching the max strictly-positive hit count ('en'
+# when no marker hits, 'und' for empty text/no words, 'zh' on any CJK
+# codepoint) — the CASE ladder encodes the same strict-greater
+# iteration order as the Python loop.
+LANG_ID_SQL = f"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_transform(regexp_extract_all(text, '[a-zA-Z]+'), x -> lower(x)) AS words,
+         regexp_matches(text, '[一-鿿぀-ヿ]') AS cjk
+  FROM documents
+), h AS (
+  SELECT doc_id, text, words, cjk,
+         len(list_filter(words, x -> list_contains({_marker_list_sql("de")}, x))) AS h_de,
+         len(list_filter(words, x -> list_contains({_marker_list_sql("en")}, x))) AS h_en,
+         len(list_filter(words, x -> list_contains({_marker_list_sql("es")}, x))) AS h_es,
+         len(list_filter(words, x -> list_contains({_marker_list_sql("fr")}, x))) AS h_fr
+  FROM w
+)
+SELECT doc_id,
+  CASE
+    WHEN text IS NULL OR text = '' THEN 'und'
+    WHEN cjk THEN 'zh'
+    WHEN len(words) = 0 THEN 'und'
+    WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'en'
+    WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+    WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+    WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+    ELSE 'fr'
+  END AS pred_lang
+FROM h ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Document fingerprinting (rolling hash)
 # ---------------------------------------------------------------------------
@@ -206,9 +245,9 @@ def doc_health(sf_dir: str):
     """Legacy document-health metrics (common_pdf.sh A4/A5 + the
     weighted page_reliability F3): per-doc non-whitespace chars,
     legacy txt/ocr reliability scores, and the >=0.5-reliability flag
-    used by the legacy %good-pages rollup.  Not SQL-expressible (the
-    embedded stopword list drives the W term) -> rows-only check +
-    unit tests."""
+    used by the legacy %good-pages rollup.  SQL-oracled: DOC_HEALTH_SQL
+    embeds the stopword list and uses round_even to mirror Python's
+    banker's rounding bit-for-bit."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     from document_extractor_ray.core.scoring import page_reliability
@@ -229,6 +268,53 @@ def doc_health(sf_dir: str):
         )
 
     return ds.map_batches(health, batch_format="pyarrow").sort("doc_id")
+
+
+def _stopword_list_sql() -> str:
+    return "[" + ",".join(f"'{w}'" for w in sorted(STOPWORDS)) + "]"
+
+
+# SQL mirror of doc_health / core.scoring.page_reliability
+# (common_pdf.sh:98-156 semantics): D = min(1, non_ws/400),
+# W = stopword fraction of whitespace-split lowered words, R = 1 - max
+# char frequency / non_ws (correlated subquery over exploded chars).
+# printf('%.4f') is correctly-rounded decimal conversion of the BINARY
+# double — exactly Python round(x, 4) semantics (round_even is NOT: it
+# rounds the scaled double, so 0.37225000...0142 went down instead of
+# up; 3 mismatches at sf0.1).  Float term order matches the Python
+# expression left-to-right so the doubles are bit-identical.
+DOC_HEALTH_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS non_ws,
+         list_transform(regexp_extract_all(text, '\\S+'), x -> lower(x)) AS words
+  FROM documents
+), comp AS (
+  SELECT doc_id, text, non_ws,
+         least(1.0, non_ws / 400.0) AS d,
+         CASE WHEN len(words) = 0 THEN 0.0
+              ELSE len(list_filter(words, x -> list_contains({_stopword_list_sql()}, x)))
+                   / CAST(len(words) AS DOUBLE) END AS w,
+         CASE WHEN non_ws = 0 THEN 0.0 ELSE
+           1.0 - (
+             (SELECT max(cnt) FROM (
+                SELECT count(*) AS cnt
+                FROM unnest(string_split(regexp_replace(text, '\\s', '', 'g'), '')) AS u(ch)
+                GROUP BY ch)) / CAST(non_ws AS DOUBLE))
+         END AS r
+  FROM base
+), scored AS (
+  SELECT doc_id, non_ws,
+         CASE WHEN non_ws = 0 THEN 0.0
+              ELSE CAST(printf('%.4f', greatest(0.0, least(1.0, 0.5*d + 0.3*w + 0.2*r))) AS DOUBLE) END AS legacy_rel_txt,
+         CASE WHEN non_ws = 0 THEN 0.0
+              ELSE CAST(printf('%.4f', greatest(0.0, least(1.0, 0.4*d + 0.2*w + 0.2*r + 0.2*d))) AS DOUBLE) END AS legacy_rel_ocr
+  FROM comp
+)
+SELECT doc_id, non_ws AS non_ws_chars, legacy_rel_txt, legacy_rel_ocr,
+       legacy_rel_txt >= 0.5 AS good_page
+FROM scored ORDER BY doc_id
+"""
 
 
 def fingerprints(sf_dir: str):
