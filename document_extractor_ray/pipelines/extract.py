@@ -37,7 +37,18 @@ from document_extractor_ray.stages.route import route_and_explode
 BIG_BUCKET = 1  # size_bucket >= this goes down the big-document lane (>= 64 KiB)
 
 
-def dedup_first(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+# Max number of duplicated urls whose winner timestamps are broadcast
+# to every worker.  Above this the duplicated-winner table no longer
+# belongs in worker heaps (a re-crawl-heavy corpus at 10^12 pages can
+# have billions of duplicated urls) and dedup switches to a
+# partitioned hash join on url — payloads shuffle once, but nothing
+# accumulates on the driver or in per-worker copies.
+DEDUP_BROADCAST_LIMIT = 200_000
+
+
+def dedup_first(
+    ds: "ray.data.Dataset", broadcast_limit: Optional[int] = None
+) -> "ray.data.Dataset":
     """Exact dedup by url keeping the earliest warc_ts row (ST6 —
     the reference's unimplemented checksum cache, TODO.md:20).
 
@@ -45,56 +56,73 @@ def dedup_first(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     every payload byte AND pays a Python call per group (measured: it
     capped the whole pipeline at ~3.7k docs/s).  Instead:
 
-    1. count pass over the ``url`` column only (projection pushed into
-       the parquet read) — a slim vectorized aggregate shuffle;
-    2. urls with count > 1 (rare: re-crawled pages) are broadcast as a
-       set via ray.put;
-    3. non-duplicated rows stream through untouched — their payloads
-       never shuffle; only the duplicated subset takes the
-       groupby(url) -> first-by-warc_ts path.
+    1. count pass over (url, warc_ts) only (projection pushed into the
+       parquet read) — a slim vectorized aggregate shuffle; the
+       duplicated-url winner table (url, min_ts) is materialized slim
+       (object-store blocks, spillable — never a driver dict);
+    2. BELOW the broadcast budget: winners broadcast once as Arrow,
+       each batch filtered with pc.index_in + take (vectorized, no
+       per-row Python) — payload bytes never shuffle;
+    3. ABOVE the budget: partitioned left hash join of the full stream
+       against the winner table on url, then the same vectorized
+       filter — payloads shuffle once, but no component (driver,
+       worker heap) ever holds the dup set whole.
 
-    The winner timestamps for duplicated urls are broadcast and the
-    full stream is filtered in one pass — so payload bytes never
-    shuffle and the input is planned twice only in the slim projection.
     Caveat: two rows with an identical (url, warc_ts) pair would both
     survive; crawl captures carry distinct timestamps, and the fixture
     corpus guarantees it.  Skip with cfg.dedup=False when inputs are
     known unique."""
     from ray.data.aggregate import Count, Min
 
+    limit = DEDUP_BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
+
     slim = ds.select_columns(["url", "warc_ts"])
     per_url = slim.groupby("url").aggregate(
         Min("warc_ts", alias_name="min_ts"), Count(alias_name="n")
     )
-    dup_winners = {
-        r["url"]: r["min_ts"]
-        for batch in per_url.map_batches(
-            lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
-        ).iter_batches(batch_format="pyarrow")
-        for r in batch.to_pylist()
-    }
-    if not dup_winners:
+    # Slim + materialized: count() and the consuming path below reuse
+    # the same blocks instead of re-running the aggregate (a Dataset
+    # with two consumers re-executes its upstream — measured, PERF.md).
+    dups = per_url.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)).select(["url", "min_ts"]),
+        batch_format="pyarrow",
+    ).materialize()
+    n_dups = dups.count()
+    if n_dups == 0:
         return ds
 
-    ref = ray.put(dup_winners)
-
-    def keep_winners(t: pa.Table) -> pa.Table:
-        winners = ray.get(ref)
-        # Vectorized fast path: only rows whose url is duplicated at all
-        # (pc.is_in against the small dup set) need the per-row check.
-        dup_mask = pc.is_in(t["url"], value_set=pa.array(list(winners.keys())))
-        if not pc.any(dup_mask).as_py():
-            return t
-        keep = dup_mask.to_numpy(zero_copy_only=False).copy()
-        idxs = [i for i, d in enumerate(keep) if d]
-        urls = t["url"].take(pa.array(idxs)).to_pylist()
-        tss = t["warc_ts"].take(pa.array(idxs)).to_pylist()
-        for i, u, ts in zip(idxs, urls, tss):
-            keep[i] = ts == winners[u]
-        mask = pc.or_(pc.invert(dup_mask), pa.array(keep, pa.bool_()))
+    def keep_mask(t: pa.Table, min_ts) -> pa.Table:
+        # or_kleene: equal(ts, null-min_ts) is null for non-duplicated
+        # rows and plain or_ would propagate it (filter drops nulls).
+        mask = pc.or_kleene(pc.is_null(min_ts), pc.equal(t["warc_ts"], min_ts))
         return t.filter(mask)
 
-    return ds.map_batches(keep_winners, batch_format="pyarrow")
+    if n_dups <= limit:
+        from document_extractor_ray import state
+
+        dim = pa.concat_tables(dups.iter_batches(batch_format="pyarrow"))
+        ref = state.broadcast(dim.combine_chunks())
+
+        def keep_winners(t: pa.Table) -> pa.Table:
+            d = state.cached_get(ref)
+            idx = pc.index_in(t["url"], value_set=d["url"])
+            return keep_mask(t, pc.take(d["min_ts"], idx))
+
+        return ds.map_batches(keep_winners, batch_format="pyarrow")
+
+    # Join path: every row pairs with its url's winner ts (null when
+    # the url is not duplicated).
+    n_parts = 32
+    if ray.is_initialized():
+        n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    joined = ds.join(
+        dups, join_type="left_outer", num_partitions=n_parts, on=("url",)
+    )
+
+    def keep_joined(t: pa.Table) -> pa.Table:
+        return keep_mask(t, t["min_ts"]).drop_columns(["min_ts"])
+
+    return joined.map_batches(keep_joined, batch_format="pyarrow")
 
 
 def build_extraction(

@@ -140,3 +140,36 @@ def test_manifest_links_children(small_corpus):
         assert m["child_url"] == f"{m['parent_url']}::{m['child_name']}"
         assert m["child_url"] in final_urls
         assert m["parent_url"] in final_urls
+
+
+def test_dedup_join_path_matches_broadcast_path(ray_session):
+    """A 50%-duplicated corpus through the partitioned-join dedup path
+    (broadcast budget forced to 0) must keep exactly the same winner
+    rows as the broadcast path (VERDICT r1 #6: budget guard)."""
+    import ray.data
+
+    from document_extractor_ray import fixtures
+    from document_extractor_ray.pipelines.extract import dedup_first
+
+    base = fixtures.make_pages_table(200, seed=7)
+    # duplicate every row with a later warc_ts: the later copy must lose
+    later = base.set_column(
+        base.schema.get_field_index("warc_ts"),
+        "warc_ts",
+        pc.add(base["warc_ts"], pa.scalar(1_000_000, pa.duration("us"))),
+    )
+    corpus = pa.concat_tables([base, later])
+
+    def urls_ts(ds):
+        out = ds.select_columns(["url", "warc_ts"]).take_all()
+        return sorted((r["url"], r["warc_ts"]) for r in out)
+
+    broadcast = urls_ts(dedup_first(ray.data.from_arrow(corpus)))
+    joined = urls_ts(dedup_first(ray.data.from_arrow(corpus), broadcast_limit=0))
+    assert broadcast == joined
+    # every url survives exactly once, with its EARLIEST timestamp
+    # (the fixture corpus itself plants an edge_dup url, so compute the
+    # winner set from the corpus, not from `base`)
+    df = corpus.select(["url", "warc_ts"]).to_pandas()
+    want = sorted(df.groupby("url")["warc_ts"].min().items())
+    assert broadcast == want
