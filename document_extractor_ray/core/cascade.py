@@ -367,7 +367,10 @@ def _img_variants(frame_text: str, cfg: PipelineConfig) -> Tuple[str, float]:
 def process_img(payload: bytes, cfg: PipelineConfig) -> DocResult:
     """pass_img.main mirror: one row per frame, page label '-' when a
     single frame, always exit 0 (status OK, never quarantined)."""
+    # Two-tier count probe first (common.py:272-309 pdf_page_count
+    # mirror: full open, then header metadata, raise if both fail).
     try:
+        sniff.multiframe_frame_count(payload)
         frames = sniff.decode_multiframe(payload)
     except Exception:
         return DocResult(

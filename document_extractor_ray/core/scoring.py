@@ -64,7 +64,11 @@ def alnum_count(text: str) -> int:
 
 
 def score_reliability(text: str) -> float:
-    """Exact mirror of common.py:194-203 (vectorized alnum count)."""
+    """PROVENANCE: semantics intentionally mirror
+    /root/reference/scripts/common.py:194-203 (score_reliability) —
+    the byte-identity requirement (BASELINE.json north_star) pins the
+    alnum/length ratio, clamping and 4-dp rounding exactly; the alnum
+    count itself is re-implemented vectorized (see _alnum_table)."""
     if not text:
         return 0.0
     total = len(text)
@@ -75,7 +79,11 @@ def score_reliability(text: str) -> float:
 
 
 def median(values: Iterable[float]) -> float:
-    """Exact mirror of common.py:205-214."""
+    """PROVENANCE: intentional mirror of
+    /root/reference/scripts/common.py:205-214 (median) — the None-drop,
+    statistics.median call and index-based fallback define the gate
+    semantics the byte-identity contract pins; kept verbatim-equivalent
+    on purpose."""
     vals = [float(v) for v in values if v is not None]
     if not vals:
         return 0.0
@@ -90,7 +98,11 @@ def median(values: Iterable[float]) -> float:
 def likely_scan_only(
     text_or_samples: Union[str, Sequence], min_chars: int = 40, rel_cap: float = 0.15
 ) -> bool:
-    """Exact mirror of common.py:216-244 (scan-only triage heuristic)."""
+    """PROVENANCE: intentional mirror of
+    /root/reference/scripts/common.py:216-244 (likely_scan_only) —
+    all three accepted input forms (str, int list, str list) and the
+    min_chars/rel_cap gates are pinned by the byte-identity contract;
+    kept verbatim-equivalent on purpose."""
     if isinstance(text_or_samples, (list, tuple)):
         if not text_or_samples:
             return True
@@ -112,8 +124,11 @@ def likely_scan_only(
 
 
 def sample_page_indices(total_pages: int, target: int = 5) -> List[int]:
-    """Exact mirror of common.py:352-371, including the deterministic
-    padding loop when even spacing collapses duplicate picks."""
+    """PROVENANCE: intentional mirror of
+    /root/reference/scripts/common.py:352-371 (sample_page_indices),
+    including the deterministic padding loop when even spacing
+    collapses duplicate picks (the E4 quirk the goldens pin); kept
+    verbatim-equivalent on purpose."""
     n = int(max(0, total_pages))
     t = int(max(1, target))
     if n <= t:

@@ -75,6 +75,48 @@ def encode_multiframe(frames: List[str]) -> bytes:
     return b"".join(out)
 
 
+def multiframe_frame_count(payload: bytes) -> int:
+    """Two-tier frame-count probe, mirroring the reference's
+    pdf_page_count (common.py:272-309): tier 1 opens the payload fully
+    (the PyMuPDF-open analogue), tier 2 reads only the header count
+    field (the pdfinfo metadata analogue); raises when both fail
+    (raise-if-both-fail, common.py:305-308)."""
+    try:
+        n = len(decode_multiframe(payload))
+        if n > 0:
+            return n
+    except Exception:
+        pass
+    try:
+        if payload[:4] == MAGIC_MULTIFRAME:
+            (n,) = struct.unpack_from("<I", payload, 4)
+            if n > 0:
+                return n
+    except Exception:
+        pass
+    raise RuntimeError("could not determine frame count")
+
+
+def zip_flavor(payload: bytes) -> str:
+    """Classify a PK-zip payload by member paths: 'xlsx' (xl/ —
+    the reference's explicit unsupported route, process_run.py:36
+    UNSUPPORTED_EXTS), 'docx' (word/), else 'zip'.  Content-level
+    stand-in for the reference's extension routing: a web corpus has
+    no extensions, so the member-path scan is how the xlsx-vs-docx
+    distinction survives.  All three flavors currently quarantine as
+    unsupported (real OOXML codecs are out of scope — stub policy);
+    the flavor is exposed so a real-codec integration can dispatch
+    docx without re-sniffing."""
+    if payload[:4] != b"PK\x03\x04":
+        raise ValueError("not a PK-zip payload")
+    head = payload[: 64 * 1024]  # member paths live in local headers
+    if b"xl/" in head or (b"[Content_Types].xml" in head and b"spreadsheet" in head):
+        return "xlsx"
+    if b"word/" in head:
+        return "docx"
+    return "zip"
+
+
 def decode_multiframe(payload: bytes) -> List[str]:
     if payload[:4] != MAGIC_MULTIFRAME:
         raise ValueError("not a MUF1 payload")

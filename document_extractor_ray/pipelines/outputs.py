@@ -199,19 +199,94 @@ def write_index_csv(
             )
 
 
-def write_legacy_csv(units_table: pa.Table, csv_path: str) -> None:
-    """Legacy 6-column CSV with QUOTE_ALL (common.py:136-190 S8)."""
-    with open(csv_path, "w", newline="", encoding="utf-8") as f:
-        w = csv.writer(f, quoting=csv.QUOTE_ALL)
-        w.writerow(["filename", "page", "text", "method", "used_ocr", "reliability"])
+LEGACY_CSV_HEADER = ["filename", "page", "text", "method", "used_ocr", "reliability"]
+
+
+class LegacyCsvWriter:
+    """Legacy CSV sink, behavior-faithful to the reference CsvWriter
+    (common.py:136-190, S8):
+
+    - APPEND mode; the 6-column header is written only when the file
+      is missing or empty;
+    - an existing file's header column count is detected; a 5-column
+      legacy file triggers the reference's warning (``cols`` stays 5
+      for callers that branch on it) — and, exactly like the
+      reference, rows are still written with 6 normalized fields
+      (the reference's documented '|rel=' folding was never
+      implemented in its row(); parity keeps the real behavior);
+    - rows normalize defaults the same way: method falls back to
+      'unknown', used_ocr is a lowered bool string, reliability
+      formats '%.2f' with None/'' -> 0.0.
+    """
+
+    def __init__(self, path: str, logger=None):
+        import os
+
+        self.log = logger
+        self.path = path
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        first_open = not os.path.exists(path) or os.path.getsize(path) == 0
+        self._fh = open(path, "a", newline="", encoding="utf-8")
+        self._writer = csv.writer(self._fh, quoting=csv.QUOTE_ALL)
+
+        self.cols = 6
+        if first_open:
+            self._writer.writerow(LEGACY_CSV_HEADER)
+            self._fh.flush()
+        else:
+            try:
+                with open(path, "r", encoding="utf-8", newline="") as rfh:
+                    first = rfh.readline().strip()
+                self.cols = len(next(csv.reader([first]))) if first else 6
+            except Exception:
+                self.cols = 6
+            if self.cols == 5 and self.log:
+                self.log.warning(
+                    "CSV in legacy 5-column mode; reliability will be appended "
+                    "to 'method' (e.g., method|rel=0.72)."
+                )
+
+    def row(self, filename, page, text, method, used_ocr, reliability=None) -> None:
+        filename = str(filename or "")
+        page = str(page if page is not None else "")
+        text = text if isinstance(text, str) else ("" if text is None else str(text))
+        method = str(method or "unknown")
+        used_ocr = str(used_ocr).lower() if isinstance(used_ocr, str) else str(bool(used_ocr)).lower()
+        reliability = (
+            0.0 if (reliability is None or reliability == "") else float(reliability)
+        )
+        self._writer.writerow(
+            [filename, page, text, method, used_ocr, f"{reliability:.2f}"]
+        )
+
+    # Back-compat alias mirroring the reference surface.
+    def write_row(self, *args, **kwargs) -> None:
+        return self.row(*args, **kwargs)
+
+    def close(self) -> None:
+        try:
+            self._fh.flush()
+            self._fh.close()
+        except Exception:
+            pass
+
+
+def write_legacy_csv(units_table: pa.Table, csv_path: str, logger=None) -> None:
+    """Legacy 6-column CSV with QUOTE_ALL (common.py:136-190 S8).
+    Appends when the file already has rows (autodetecting a 5-column
+    legacy header, see LegacyCsvWriter)."""
+    w = LegacyCsvWriter(csv_path, logger=logger)
+    try:
         for row in units_table.to_pylist():
-            w.writerow(
-                [
-                    row["url"],
-                    row["page"],
-                    row["text"],
-                    row["method"],
-                    row["used_ocr"],
-                    row["reliability"],
-                ]
+            w.row(
+                row["url"],
+                row["page"],
+                row["text"],
+                row["method"],
+                row["used_ocr"],
+                row["reliability"],
             )
+    finally:
+        w.close()

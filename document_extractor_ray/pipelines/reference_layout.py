@@ -53,6 +53,23 @@ def write_reference_layout(
     chunk_state = {"chunk_id": 1, "current": 0, "first": True}
     combined_fh = None
     manifest_started = False
+    quarantined_names: dict = {}
+
+    def disambiguate(rel: str) -> str:
+        """Collision handling for quarantine manifest names, mirroring
+        move_to_manual.sh:29-37 (which suffixes a timestamp before the
+        extension when the Mandatory Review target exists).  Quarantine
+        here is data, not file moves, so the deterministic analogue is
+        an ordinal suffix: two DIFFERENT docs deriving the same
+        relative_path stay distinguishable in review_manifest.csv."""
+        k = quarantined_names.get(rel)
+        quarantined_names[rel] = (k or 0) + 1
+        if k is None:
+            return rel
+        base, dot, ext = rel.rpartition(".")
+        if dot and base:
+            return f"{base}_{k}.{ext}"
+        return f"{rel}_{k}"
 
     from document_extractor_ray.core.chunking import DOCUMENT_BREAK, chunk_file_name
 
@@ -88,7 +105,12 @@ def write_reference_layout(
                             if new:
                                 w.writerow(["filename", "reason"])
                             w.writerow(
-                                [url_relative_path(row["url"], cfg.input_root), row["reason"]]
+                                [
+                                    disambiguate(
+                                        url_relative_path(row["url"], cfg.input_root)
+                                    ),
+                                    row["reason"],
+                                ]
                             )
                         manifest_started = True
                     if status not in RESULT_STATUSES:

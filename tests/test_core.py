@@ -246,3 +246,44 @@ class TestChunking:
 
     def test_file_name(self):
         assert chunking.chunk_file_name("run-0001", 7) == "run-0001_all_text_007.txt"
+
+
+def test_multiframe_two_tier_probe():
+    """common.py:272-309 pdf_page_count mirror: full decode first,
+    header metadata second, raise when both fail."""
+    import struct
+
+    import pytest
+
+    from document_extractor_ray.core import sniff
+
+    good = sniff.encode_multiframe(["a", "b", "c"])
+    assert sniff.multiframe_frame_count(good) == 3
+    # truncated frame bodies: full decode fails, header count survives
+    header_only = good[:10]
+    assert sniff.multiframe_frame_count(header_only) == 3
+    # both tiers fail
+    with pytest.raises(RuntimeError):
+        sniff.multiframe_frame_count(b"MUF1")  # no count field
+    with pytest.raises(RuntimeError):
+        sniff.multiframe_frame_count(b"MUF1" + struct.pack("<I", 0))
+
+
+def test_zip_flavor_content_routing():
+    """Content-level xlsx-vs-docx distinction (process_run.py:36
+    UNSUPPORTED_EXTS routes .xlsx by name; a web corpus has no names)."""
+    import pytest
+
+    from document_extractor_ray.core import sniff
+
+    xlsx = b"PK\x03\x04" + b"\x00" * 22 + b"xl/workbook.xml..."
+    docx = b"PK\x03\x04" + b"\x00" * 22 + b"word/document.xml..."
+    other = b"PK\x03\x04" + b"\x00" * 22 + b"data/blob.bin"
+    assert sniff.zip_flavor(xlsx) == "xlsx"
+    assert sniff.zip_flavor(docx) == "docx"
+    assert sniff.zip_flavor(other) == "zip"
+    # every PK flavor still routes unsupported through the sniffer
+    for p in (xlsx, docx, other):
+        assert sniff.sniff_kind(p) == sniff.KIND_UNSUPPORTED
+    with pytest.raises(ValueError):
+        sniff.zip_flavor(b"nope")
