@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_pairs": dedup.minhash_dup_pairs_docs,
         "simhash": dedup.simhash_table,
         "ngram_jaccard_dups": dedup.ngram_jaccard_dups_docs,
+        "near_dup_clusters": dedup.near_dup_clusters_docs,
+        "near_dedup_keep": dedup.near_dedup_keep_docs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs_embeddings,
         # --- similarity search ---
         "knn_brute": similarity.knn_brute_embeddings,

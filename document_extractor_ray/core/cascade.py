@@ -367,12 +367,19 @@ def _img_variants(frame_text: str, cfg: PipelineConfig) -> Tuple[str, float]:
 def process_img(payload: bytes, cfg: PipelineConfig) -> DocResult:
     """pass_img.main mirror: one row per frame, page label '-' when a
     single frame, always exit 0 (status OK, never quarantined)."""
-    # Two-tier count probe first (common.py:272-309 pdf_page_count
-    # mirror: full open, then header metadata, raise if both fail).
+    # Tier-1 probe IS the decode (common.py:272-309 pdf_page_count
+    # mirror; decoding twice would double the per-doc cost).  On
+    # failure the tier-2 metadata probe (header count field) runs via
+    # multiframe_frame_count — raise-if-both-fail semantics — but a
+    # count without frame bodies still has nothing to extract, so the
+    # doc quarantines either way.
     try:
-        sniff.multiframe_frame_count(payload)
         frames = sniff.decode_multiframe(payload)
     except Exception:
+        try:
+            sniff.multiframe_frame_count(payload)  # tier-2 metadata probe
+        except Exception:
+            pass
         return DocResult(
             status=STATUS_ERROR,
             pass_used=PASS_IMG,

@@ -606,6 +606,245 @@ def plant_near_duplicates(
     )
 
 
+# ---------------------------------------------------------------------------
+# Near-duplicate clustering (connected components over dup pairs)
+# ---------------------------------------------------------------------------
+#
+# Pair finding alone does not dedup a corpus: A~B and B~C must collapse
+# into ONE cluster even when A~C was never emitted (the standard
+# MinHash-dedup pipeline shape: pairs -> connected components -> keep
+# one representative per component).
+
+CLUSTER_EDGE_BUDGET = 500_000
+
+
+def cluster_pairs(edges) -> dict:
+    """Union-find over an edge list; every node maps to the MIN doc_id
+    of its connected component (deterministic representative)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def _propagate_labels(edges_ds: "ray.data.Dataset", max_rounds: int = 16):
+    """Distributed min-label propagation: the above-budget path for
+    connected components when the dup-pair edge list no longer fits a
+    driver pass.  Each round hash-joins edges with current labels and
+    takes a grouped min; LSH dup components are near-cliques (diameter
+    2-3), so convergence is a handful of rounds.  Labels are
+    re-materialized per round to truncate lineage."""
+    from ray.data.aggregate import Min
+
+    n_parts = 32
+    if ray.is_initialized():
+        n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def ends(t: pa.Table) -> pa.Table:
+        node = pa.concat_arrays(
+            [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
+        )
+        return pa.table({"node": node, "label": node})
+
+    def settle(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        # Ray 2.49's hash aggregate emits EMPTY blocks with an EMPTY
+        # schema; a later Dataset.join fails with 'no match for
+        # FieldRef' when such a block reaches the pyarrow join — and
+        # map_batches never sees zero-row blocks, so a normalizing UDF
+        # cannot fix them.  Materialize and rebuild from the non-empty
+        # block refs (zero-copy object-store reads of slim label
+        # tables).
+        mat = ds.materialize()
+        refs = [r for r in mat.to_arrow_refs() if ray.get(r).num_rows > 0]
+        if not refs:
+            return ray.data.from_arrow(
+                pa.table(
+                    {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+                )
+            )
+        return ray.data.from_arrow_refs(refs)
+
+    labels = settle(
+        edges_ds.map_batches(ends, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+    )
+
+    for _ in range(max_rounds):
+        la = edges_ds.join(
+            labels.map_batches(
+                lambda t: t.rename_columns(["doc_a", "label_a"]),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("doc_a",),
+        )
+        lab = la.join(
+            labels.map_batches(
+                lambda t: t.rename_columns(["doc_b", "label_b"]),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("doc_b",),
+        )
+
+        def msgs(t: pa.Table) -> pa.Table:
+            node = pa.concat_arrays(
+                [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
+            )
+            label = pa.concat_arrays(
+                [t["label_b"].combine_chunks(), t["label_a"].combine_chunks()]
+            )
+            return pa.table({"node": node, "label": label})
+
+        proposed = settle(
+            lab.map_batches(msgs, batch_format="pyarrow")
+            .union(labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+        )
+        # Converged when no node's label shrank: labels only decrease,
+        # so per-node min == max over (old union new) iff unchanged —
+        # one grouped aggregate, no join.
+        from ray.data.aggregate import Max
+
+        changed = (
+            proposed.union(labels)
+            .groupby("node")
+            .aggregate(
+                Min("label", alias_name="lo"), Max("label", alias_name="hi")
+            )
+            .map_batches(
+                lambda t: t.filter(pc.not_equal(t["lo"], t["hi"]))
+                if "lo" in t.schema.names
+                else t,
+                batch_format="pyarrow",
+            )
+            .count()
+        )
+        labels = proposed
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_clusters(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.7,
+    edge_budget: int = CLUSTER_EDGE_BUDGET,
+    pairs_ds: "ray.data.Dataset" = None,
+):
+    """(doc_id, cluster_id) for every doc: connected components over
+    the MinHash near-dup pair graph, cluster_id = min doc_id of the
+    component (docs in no pair are their own cluster).
+
+    Scale shape: the edge list is the near-dup pairs — a vanishing
+    fraction of the corpus — so below ``edge_budget`` the components
+    are computed with one driver union-find pass and broadcast; above
+    it the distributed min-label propagation path (_propagate_labels,
+    one grouped-min + two hash joins per round) produces the same
+    labels without any driver-side collection."""
+    pairs = pairs_ds if pairs_ds is not None else minhash_dup_pairs(ds, threshold=threshold)
+    pairs = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+    n_edges = pairs.count()
+
+    if n_edges <= edge_budget:
+        edges = [
+            (r["doc_a"], r["doc_b"])
+            for b in pairs.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+        ]
+        roots = cluster_pairs(edges)
+        if roots:
+            dim = pa.table(
+                {
+                    "node": pa.array(list(roots.keys()), pa.int64()),
+                    "label": pa.array(list(roots.values()), pa.int64()),
+                }
+            )
+        else:
+            dim = pa.table(
+                {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+            )
+        from document_extractor_ray import state
+
+        ref = state.broadcast(dim)
+
+        def attach(t: pa.Table) -> pa.Table:
+            d = state.cached_get(ref)
+            idx = pc.index_in(t["doc_id"], value_set=d["node"])
+            label = pc.take(d["label"], idx)
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "cluster_id": pc.coalesce(label, t["doc_id"]),
+                }
+            )
+
+        return ds.select_columns(["doc_id"]).map_batches(
+            attach, batch_format="pyarrow"
+        ).sort("doc_id")
+
+    labels = _propagate_labels(pairs)
+    n_parts = 32
+    if ray.is_initialized():
+        n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    joined = ds.select_columns(["doc_id"]).join(
+        labels.map_batches(
+            lambda t: t.rename_columns(["doc_id", "cluster_id"]),
+            batch_format="pyarrow",
+        ),
+        join_type="left_outer",
+        num_partitions=n_parts,
+        on=("doc_id",),
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "cluster_id": pc.coalesce(t["cluster_id"], t["doc_id"]),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow").sort("doc_id")
+
+
+def near_dedup_keep(
+    ds: "ray.data.Dataset", threshold: float = 0.7, **kwargs
+):
+    """Doc ids surviving near-dedup: one representative (min doc_id)
+    per near-dup cluster — the operator an LLM training-data pipeline
+    actually applies after pair finding."""
+    clusters = near_dup_clusters(ds, threshold=threshold, **kwargs)
+    return clusters.map_batches(
+        lambda t: t.filter(pc.equal(t["doc_id"], t["cluster_id"])).select(["doc_id"]),
+        batch_format="pyarrow",
+    ).sort("doc_id")
+
+
+def near_dup_clusters_docs(sf_dir: str, threshold: float = 0.7):
+    return near_dup_clusters(_read_docs(sf_dir), threshold=threshold)
+
+
+def near_dedup_keep_docs(sf_dir: str, threshold: float = 0.7):
+    return near_dedup_keep(_read_docs(sf_dir), threshold=threshold)
+
+
 def embedding_dup_pairs_embeddings(
     sf_dir: str, threshold: float = 0.9, n_planted: int = 25
 ):

@@ -328,3 +328,58 @@ def test_embedding_matrix_zero_copy_and_ragged_fallback():
         embedding_matrix(ragged)
     except ValueError:
         pass  # numpy refuses ragged; acceptable for malformed input
+
+
+def test_near_dup_clusters_transitive_chain(ray_session):
+    """A~B and B~C but never A~C directly: connected components must
+    still collapse all three into one cluster with min-id rep."""
+    import ray.data
+    from document_extractor_ray.functions.dedup import (
+        near_dedup_keep,
+        near_dup_clusters,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+    b = base.replace("delta", "delic")          # near A
+    c = b.replace("upsilon phi chi", "upsilon phi psi")  # near B, farther from A
+    other = "unrelated words entirely disjoint from those greek letters here now"
+    t = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "text": pa.array([base, b, c, other]),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    clusters = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(ds, threshold=0.5).take_all()}
+    assert clusters[10] == clusters[11] == clusters[12] == 10
+    assert clusters[13] == 13
+    kept = [r["doc_id"] for r in near_dedup_keep(ds, threshold=0.5).take_all()]
+    assert kept == [10, 13]
+
+
+def test_cluster_driver_and_distributed_paths_agree(ray_session):
+    """Union-find (budget path) and min-label propagation (scale path)
+    must produce identical components on the same edge list."""
+    import ray.data
+    from document_extractor_ray.functions.dedup import (
+        _propagate_labels,
+        cluster_pairs,
+    )
+
+    edges = [(1, 2), (2, 3), (7, 8), (9, 9), (4, 1), (100, 3)]
+    roots = cluster_pairs(edges)
+    want = {n: roots.get(n, n) for n in {1, 2, 3, 4, 7, 8, 9, 100}}
+
+    et = pa.table(
+        {
+            "doc_a": pa.array([e[0] for e in edges], pa.int64()),
+            "doc_b": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    labels = _propagate_labels(ray.data.from_arrow(et))
+    got = {r["node"]: r["label"] for r in labels.take_all()}
+    for n, lbl in got.items():
+        assert lbl == want[n], (n, lbl, want[n])

@@ -27,6 +27,8 @@ GOLDEN_QUERIES = [
     "simhash",
     "minhash_dup_pairs",
     "ngram_jaccard_dups",
+    "near_dup_clusters",
+    "near_dedup_keep",
     "embedding_dup_pairs",
     "knn_brute",
     "knn_lsh",
