@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": analytics.parts_by_brand,
         "supplier_balance_topk": analytics.supplier_balance_topk,
         "customers_without_orders": analytics.customers_without_orders,
+        "order_revenue_by_nation": analytics.order_revenue_by_nation,
         # --- text analysis (SQL oracles where ASCII-expressible) ---
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -126,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "knn_brute": similarity.knn_brute_embeddings,
         "knn_lsh": similarity.knn_lsh_embeddings,
+        "knn_ivf": similarity.knn_ivf_embeddings,
         # --- multimodal (stubbed codecs, real Ray plumbing) ---
         "media_features": multimodal.media_features,
     }
@@ -146,6 +148,7 @@ def oracle_sql() -> dict[str, str]:
         "parts_by_brand": analytics.PARTS_BY_BRAND_SQL,
         "supplier_balance_topk": analytics.SUPPLIER_BALANCE_SQL,
         "customers_without_orders": analytics.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "order_revenue_by_nation": analytics.ORDER_REVENUE_BY_NATION_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_scores": textstats.QUALITY_SCORES_SQL,
         "lang_id": textstats.LANG_ID_SQL,

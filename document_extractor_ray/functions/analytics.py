@@ -512,6 +512,67 @@ ORDER BY c_custkey
 """
 
 
+def order_revenue_by_nation(sf_dir: str):
+    """Revenue per nation: a TRUE partitioned hash join (Dataset.join)
+    of two fact-sized sides — orders ⋈ customer on custkey — then a
+    grouped sum.  The broadcast-lookup queries above cover the
+    small-dim case; this one proves the shuffle-join path the engine
+    needs when neither side fits a broadcast (both sides hash-shuffle
+    once on the join key; the nation dim is then a broadcast attach).
+    Money in integer cents for exactness."""
+    from document_extractor_ray import state
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": t["o_custkey"], "cents": _to_cents(t["o_totalprice"])}
+        )
+
+    n_parts = _n_blocks()
+    joined = orders.map_batches(to_cents, batch_format="pyarrow").join(
+        cust,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    per_nation = (
+        joined.groupby("c_nationkey")
+        .aggregate(
+            Sum("cents", alias_name="revenue_cents"), Count(alias_name="n_orders")
+        )
+    )
+
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    ref = state.broadcast(nation)
+
+    def attach(t: pa.Table) -> pa.Table:
+        t = state.lookup_join(
+            t, "c_nationkey", state.cached_get(ref), "n_nationkey",
+            ["n_name"], fill="",
+        )
+        return t.select(["n_name", "revenue_cents", "n_orders"])
+
+    return per_nation.map_batches(attach, batch_format="pyarrow").sort("n_name")
+
+
+ORDER_REVENUE_BY_NATION_SQL = """
+SELECT n.n_name,
+       CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
 def doc_stats(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
     return (

@@ -126,27 +126,9 @@ def knn_brute(
         concurrency=2,
         batch_size=4096,
     )
-    # Merge partial top-ks on the driver: tiny (n_queries * k * n_blocks rows).
-    rows = partials.take_all()
-    best = {}
-    for r in rows:
-        best.setdefault(r["query_id"], []).append((-r["score"], r["vec_id"]))
-    out_q, out_rank, out_v, out_s = [], [], [], []
-    for qid in sorted(best):
-        top = heapq.nsmallest(k, best[qid])  # by (-score, vec_id): ties -> lower id
-        for rank, (neg, vid) in enumerate(top, 1):
-            out_q.append(qid)
-            out_rank.append(rank)
-            out_v.append(vid)
-            out_s.append(round(-neg, 6))
-    return pa.table(
-        {
-            "query_id": pa.array(out_q, pa.int64()),
-            "rank": pa.array(out_rank, pa.int64()),
-            "vec_id": pa.array(out_v, pa.int64()),
-            "score": pa.array(out_s, pa.float64()),
-        }
-    )
+    # Merge partial top-ks on the driver: tiny (n_queries * k * n_blocks
+    # rows); ties break to the lower vec_id.
+    return _merge_topk(partials, k)
 
 
 def knn_brute_embeddings(sf_dir: str, k: int = 10) -> pa.Table:
@@ -256,9 +238,147 @@ def knn_lsh(
     partials = ds.map_batches(
         LshTopK, batch_format="pyarrow", concurrency=2, batch_size=4096
     )
-    rows = partials.take_all()
-    best = {}
-    for r in rows:
+    return _merge_topk(partials, k)
+
+
+def knn_lsh_embeddings(sf_dir: str, k: int = 10) -> pa.Table:
+    return knn_lsh(_read_embeddings(sf_dir), default_queries(sf_dir), k=k)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (inverted-file index: the coarse-quantizer scale path)
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 64
+IVF_TRAIN_SAMPLE = 4096
+LLOYD_ITERS = 5
+
+
+def train_centroids(
+    sample: np.ndarray, n_centroids: int = N_CENTROIDS, iters: int = LLOYD_ITERS
+) -> np.ndarray:
+    """Deterministic k-means-lite on a normalized sample: evenly spaced
+    seed points, a few Lloyd iterations (cosine/k-means duality on the
+    unit sphere: assignment by max dot product, centroids re-normalized).
+    Empty clusters keep their previous centroid — fully deterministic."""
+    sample = _normalize_rows(sample.astype(np.float32))
+    n = len(sample)
+    k = min(n_centroids, n)
+    idx = np.linspace(0, n - 1, k).astype(np.int64)
+    cents = sample[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    cents[c] = v / norm
+    return cents
+
+
+def knn_ivf(
+    ds: "ray.data.Dataset",
+    query_table: pa.Table,
+    k: int = 10,
+    n_probes: int = 8,
+    n_centroids: int = N_CENTROIDS,
+) -> pa.Table:
+    """ANN via an inverted-file index: a coarse quantizer (k-means-lite
+    centroids trained on a deterministic sample) assigns every vector
+    to its nearest centroid inside map_batches; each query scores only
+    vectors whose centroid is among its ``n_probes`` closest.  Same
+    output schema as knn_brute; recall < 1.0 by design, tunable via
+    n_probes (n_probes == n_centroids degrades to brute force).
+
+    Scale shape: centroids are broadcast once (tiny); the per-batch
+    work is two matmuls (assign + score) and a boolean mask — no
+    shuffle at all.  At 10^12 vectors the training sample comes from a
+    Dataset sample pass instead of the head read, and the inverted
+    lists would be persisted as centroid-partitioned parquet so probes
+    prune at the read (documented partitioning assumption)."""
+    qids = query_table["vec_id"].to_pylist()
+    qm = embedding_matrix(query_table["embedding"])
+
+    # Deterministic training sample: first IVF_TRAIN_SAMPLE rows by
+    # vec_id (head of the sorted table — seeded/stable).
+    sample = []
+    seen = 0
+    for t in ds.sort("vec_id").iter_batches(batch_format="pyarrow", batch_size=1024):
+        sample.append(embedding_matrix(t["embedding"]))
+        seen += t.num_rows
+        if seen >= IVF_TRAIN_SAMPLE:
+            break
+    cents = train_centroids(np.vstack(sample), n_centroids=n_centroids)
+
+    q_norm = _normalize_rows(qm)
+    probe = np.argsort(-(q_norm @ cents.T), axis=1)[:, :n_probes]  # (nq, probes)
+    ref = ray.put({"ids": qids, "qm": q_norm.astype(np.float32), "cents": cents, "probe": probe})
+
+    class IvfTopK:
+        def __init__(self):
+            st = ray.get(ref)
+            self.query_ids = st["ids"]
+            self.qm = st["qm"]
+            self.cents = st["cents"]
+            self.probe_sets = [set(p.tolist()) for p in st["probe"]]
+            self.wanted = np.fromiter(
+                set().union(*self.probe_sets) if self.probe_sets else set(),
+                dtype=np.int64,
+            )
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy()
+            mat = embedding_matrix(t["embedding"])
+            empty = pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+            if mat.size == 0:
+                return empty
+            mat = _normalize_rows(mat)
+            assign = np.argmax(mat @ self.cents.T, axis=1)
+            keep = np.isin(assign, self.wanted)
+            if not keep.any():
+                return empty
+            mat, ids, assign = mat[keep], ids[keep], assign[keep]
+            sims = self.qm @ mat.T
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(self.query_ids):
+                cand = np.isin(assign, np.fromiter(self.probe_sets[qi], dtype=np.int64))
+                if not cand.any():
+                    continue
+                cs = sims[qi][cand]
+                cids = ids[cand]
+                k_ = min(k, cs.size)
+                idx = np.argpartition(-cs, k_ - 1)[:k_]
+                for j in idx:
+                    out_q.append(int(qid))
+                    out_v.append(int(cids[j]))
+                    out_s.append(float(cs[j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "score": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partials = ds.map_batches(
+        IvfTopK, batch_format="pyarrow", concurrency=2, batch_size=4096
+    )
+    return _merge_topk(partials, k)
+
+
+def _merge_topk(partials: "ray.data.Dataset", k: int) -> pa.Table:
+    """Driver-side merge of per-batch partial top-ks (tiny:
+    n_queries * k * n_blocks rows), deterministic tie-break on vec_id."""
+    best: dict = {}
+    for r in partials.take_all():
         best.setdefault(r["query_id"], []).append((-r["score"], r["vec_id"]))
     out_q, out_rank, out_v, out_s = [], [], [], []
     for qid in sorted(best):
@@ -278,5 +398,5 @@ def knn_lsh(
     )
 
 
-def knn_lsh_embeddings(sf_dir: str, k: int = 10) -> pa.Table:
-    return knn_lsh(_read_embeddings(sf_dir), default_queries(sf_dir), k=k)
+def knn_ivf_embeddings(sf_dir: str, k: int = 10) -> pa.Table:
+    return knn_ivf(_read_embeddings(sf_dir), default_queries(sf_dir), k=k)

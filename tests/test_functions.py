@@ -45,6 +45,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "parts_by_brand",
         "supplier_balance_topk",
         "customers_without_orders",
+        "order_revenue_by_nation",
+        "lang_id",
+        "doc_health",
         "token_counts",
         "quality_scores",
         "dedup_exact",
@@ -383,3 +386,36 @@ def test_cluster_driver_and_distributed_paths_agree(ray_session):
     got = {r["node"]: r["label"] for r in labels.take_all()}
     for n, lbl in got.items():
         assert lbl == want[n], (n, lbl, want[n])
+
+
+def test_knn_ivf_recall_and_self_hit(ray_session):
+    from document_extractor_ray.functions.similarity import (
+        knn_brute_embeddings,
+        knn_ivf_embeddings,
+    )
+
+    brute = knn_brute_embeddings(SF, k=10).to_pandas()
+    approx = knn_ivf_embeddings(SF, k=10).to_pandas()
+    recalls = []
+    for qid in brute.query_id.unique():
+        b = set(brute[brute.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(a & b) / len(b))
+    # scans ~8/64 of the corpus; recall must beat that fraction clearly
+    assert np.mean(recalls) >= 0.2
+    # a corpus vector queried against itself is always in its probed
+    # centroid (its own assignment is its nearest centroid)
+    for qid in brute.query_id.unique():
+        a = approx[approx.query_id == qid]
+        assert qid in set(a.vec_id)
+
+
+def test_train_centroids_deterministic_unit_norm():
+    from document_extractor_ray.functions.similarity import train_centroids
+
+    rng = np.random.RandomState(3)
+    sample = rng.randn(500, 16).astype(np.float32)
+    c1 = train_centroids(sample, n_centroids=8)
+    c2 = train_centroids(sample, n_centroids=8)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, rtol=1e-5)

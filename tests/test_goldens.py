@@ -28,6 +28,7 @@ GOLDEN_QUERIES = [
     "embedding_dup_pairs",
     "knn_brute",
     "knn_lsh",
+    "knn_ivf",
     "media_features",
 ]
 
