@@ -148,9 +148,12 @@ def run_bench() -> dict:
         "quality_scores",
         "dedup_exact",
         "minhash_dup_pairs",
+        "near_dedup_keep",
         "simhash",
+        "order_revenue_by_nation",
         "knn_brute",
         "knn_lsh",
+        "knn_ivf",
     ]
     for name in picks:
         t0 = time.perf_counter()
