@@ -200,17 +200,9 @@ def _pool_size(cfg: PipelineConfig) -> int:
     return max(2, n // 2)
 
 
-def read_pages(path: str) -> "ray.data.Dataset":
-    """Read a pages table, pruning to the columns the pipeline uses.
-
-    Blocks ~ 2x cluster CPUs: enough slack for pipelining without the
-    tiny-block task/shuffle overhead the default splitter produces."""
-    n = 32
-    if ray.is_initialized():
-        n = max(8, 2 * int(ray.cluster_resources().get("CPU", 16)))
-    return ray.data.read_parquet(
-        path, columns=["url", "warc_ts", "html", "text"], override_num_blocks=n
-    )
+# Canonical pages reader lives in the sources package; re-exported
+# here for the pipeline's callers.
+from document_extractor_ray.sources import read_pages  # noqa: E402
 
 
 def run_extraction(
