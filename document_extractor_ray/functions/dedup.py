@@ -434,53 +434,138 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+VERIFY_PAIR_BUDGET = 100_000
+
+
 def ngram_jaccard_dups(
-    ds: "ray.data.Dataset", candidate_threshold: float = 0.5, verify_threshold: float = 0.6
+    ds: "ray.data.Dataset",
+    candidate_threshold: float = 0.5,
+    verify_threshold: float = 0.6,
+    pair_budget: int = VERIFY_PAIR_BUDGET,
 ):
     """LSH candidates verified by EXACT n-gram Jaccard.
 
     Candidates come from the MinHash-LSH pass (cheap, mergeable); the
-    exact verification needs the two texts side by side — here the
-    candidate id set (tiny: actual near-dups) is collected and the
-    matching texts broadcast for the verify step.  At 10^12 docs the
-    same verify runs as a hash-partitioned self-join of the candidate
-    subset on doc_id (candidates remain a vanishing fraction); the
-    broadcast shortcut is the small-side special case of that join."""
-    pairs = minhash_dup_pairs(ds, threshold=candidate_threshold).take_all()
-    if not pairs:
-        return pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
-            }
-        )
-    wanted = sorted({r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs})
-    wanted_arr = pa.array(wanted, pa.int64())
+    exact verification needs the two texts side by side.
 
-    def pick(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return t.filter(pc.is_in(t["doc_id"], value_set=wanted_arr))
-
-    texts = {
-        r["doc_id"]: r["text"]
-        for r in ds.map_batches(pick, batch_format="pyarrow").take_all()
-    }
-    out_a, out_b, out_j = [], [], []
-    for r in sorted(pairs, key=lambda x: (x["doc_a"], x["doc_b"])):
-        j = ngram_jaccard(texts.get(r["doc_a"], ""), texts.get(r["doc_b"], ""))
-        if j >= verify_threshold:
-            out_a.append(r["doc_a"])
-            out_b.append(r["doc_b"])
-            out_j.append(round(j, 6))
-    return pa.table(
+    - Below ``pair_budget`` candidate pairs: ids collected, matching
+      texts broadcast, verification on the driver (the small-side
+      special case — candidates are a vanishing fraction of a real
+      corpus).
+    - Above the budget: hash-partitioned joins attach each pair's two
+      texts (pairs ⋈ candidate texts on doc_a then doc_b) and the
+      exact Jaccard runs inside map_batches — no driver-side
+      collection of texts or pairs at any point."""
+    empty = pa.table(
         {
-            "doc_a": pa.array(out_a, pa.int64()),
-            "doc_b": pa.array(out_b, pa.int64()),
-            "jaccard": pa.array(out_j, pa.float64()),
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
         }
     )
+    pairs_ds = (
+        minhash_dup_pairs(ds, threshold=candidate_threshold)
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()
+    )
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return empty
+
+    if n_pairs <= pair_budget:
+        pairs = pairs_ds.take_all()
+        wanted = sorted({r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs})
+        wanted_arr = pa.array(wanted, pa.int64())
+
+        def pick(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["doc_id"], value_set=wanted_arr))
+
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in ds.map_batches(pick, batch_format="pyarrow").take_all()
+        }
+        out_a, out_b, out_j = [], [], []
+        for r in sorted(pairs, key=lambda x: (x["doc_a"], x["doc_b"])):
+            j = ngram_jaccard(texts.get(r["doc_a"], ""), texts.get(r["doc_b"], ""))
+            if j >= verify_threshold:
+                out_a.append(r["doc_a"])
+                out_b.append(r["doc_b"])
+                out_j.append(round(j, 6))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    # Partitioned escalation: candidate texts via a semi join, then two
+    # hash joins hang text_a/text_b on each pair row.  Each join stage
+    # is materialized before the next: three concurrent Join operators
+    # in one DAG spawn 3x num_partitions aggregator actors and starve
+    # a small CPU budget (observed deadlock at 4 cpus); the
+    # intermediates are bounded (candidate texts only), so
+    # materializing serializes the actor demand instead.
+    n_parts = 8
+    if ray.is_initialized():
+        n_parts = max(4, min(32, int(ray.cluster_resources().get("CPU", 8))))
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
+        )
+        return pa.table({"doc_id": pc.unique(ids)})
+
+    from ray.data.aggregate import Count
+
+    cand_ids = (
+        pairs_ds.map_batches(both_ends, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    )
+    cand_texts = ds.select_columns(["doc_id", "text"]).join(
+        cand_ids, join_type="inner", num_partitions=n_parts, on=("doc_id",)
+    ).materialize()
+    j1 = pairs_ds.join(
+        cand_texts.map_batches(
+            lambda t: t.rename_columns(["doc_a", "text_a"]), batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("doc_a",),
+    ).materialize()
+    j2 = j1.join(
+        cand_texts.map_batches(
+            lambda t: t.rename_columns(["doc_b", "text_b"]), batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("doc_b",),
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for a_, b_, ta, tb in zip(
+            t["doc_a"].to_pylist(),
+            t["doc_b"].to_pylist(),
+            t["text_a"].to_pylist(),
+            t["text_b"].to_pylist(),
+        ):
+            j = ngram_jaccard(ta or "", tb or "")
+            if j >= verify_threshold:
+                out_a.append(a_)
+                out_b.append(b_)
+                out_j.append(round(j, 6))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow").sort(["doc_a", "doc_b"])
 
 
 def ngram_jaccard_dups_docs(sf_dir: str):

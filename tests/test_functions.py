@@ -419,3 +419,23 @@ def test_train_centroids_deterministic_unit_norm():
     c2 = train_centroids(sample, n_centroids=8)
     np.testing.assert_array_equal(c1, c2)
     np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, rtol=1e-5)
+
+
+def test_ngram_verify_join_path_matches_broadcast(ray_session):
+    """Forcing pair_budget=0 routes verification through the
+    partitioned-join path; output must equal the broadcast path."""
+    import ray.data
+    from document_extractor_ray.functions.dedup import ngram_jaccard_dups
+
+    ds = ray.data.from_arrow(_planted_corpus())
+    broad = ngram_jaccard_dups(ds, candidate_threshold=0.5, verify_threshold=0.6)
+    joined = ngram_jaccard_dups(
+        ds, candidate_threshold=0.5, verify_threshold=0.6, pair_budget=0
+    )
+
+    def rows(x):
+        recs = x.to_pylist() if hasattr(x, "to_pylist") else x.take_all()
+        return sorted((r["doc_a"], r["doc_b"], r["jaccard"]) for r in recs)
+
+    assert rows(broad) == rows(joined)
+    assert len(rows(broad)) > 0
