@@ -169,6 +169,40 @@ STOPWORDS = frozenset(
 )
 
 
+# Vectorized str.isspace, same lazily-grown-table trick as _alnum_table
+# (semantics identical to the per-char loop by construction).
+_SPACE_TABLE = np.zeros(0, dtype=bool)
+
+
+def _space_table(upto: int) -> np.ndarray:
+    global _SPACE_TABLE
+    if upto < _SPACE_TABLE.size:
+        return _SPACE_TABLE
+    new_size = 256
+    while new_size <= upto:
+        new_size *= 2
+    new_size = min(new_size, 0x110000)
+    old = _SPACE_TABLE
+    tbl = np.empty(new_size, dtype=bool)
+    tbl[: old.size] = old
+    for cp in range(old.size, new_size):
+        if 0xD800 <= cp <= 0xDFFF:
+            tbl[cp] = False
+        else:
+            tbl[cp] = chr(cp).isspace()
+    _SPACE_TABLE = tbl
+    return tbl
+
+
+def non_ws_count(text: str) -> int:
+    """Number of codepoints ch with NOT ch.isspace() — vectorized."""
+    if not text:
+        return 0
+    arr = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    tbl = _space_table(int(arr.max()))
+    return int(len(arr) - tbl[arr].sum())
+
+
 def page_reliability(text: str, method: str = "txt") -> float:
     """Legacy weighted score (common_pdf.sh:98-156).
 
@@ -178,19 +212,24 @@ def page_reliability(text: str, method: str = "txt") -> float:
     D = non-whitespace chars / 400, capped at 1
     W = fraction of words that are stopwords
     R = 1 - (max char frequency / total chars)
-    """
+
+    D and R are numpy-vectorized over the codepoint array (identical
+    values to the per-char loops: same counts, same float ops in the
+    same order); W keeps exact Python str.split + set membership, the
+    semantics the DuckDB oracle mirrors."""
     if not text:
         return 0.0
-    non_ws = [ch for ch in text if not ch.isspace()]
-    if not non_ws:
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    tbl = _space_table(int(cp.max()))
+    non_ws_cp = cp[~tbl[cp]]
+    n_non_ws = int(non_ws_cp.size)
+    if n_non_ws == 0:
         return 0.0
-    d = min(1.0, len(non_ws) / 400.0)
+    d = min(1.0, n_non_ws / 400.0)
     words = [w.lower() for w in text.split()]
     w = (sum(1 for x in words if x in STOPWORDS) / len(words)) if words else 0.0
-    freq: dict = {}
-    for ch in non_ws:
-        freq[ch] = freq.get(ch, 0) + 1
-    r = 1.0 - (max(freq.values()) / float(len(non_ws)))
+    max_freq = int(np.bincount(non_ws_cp - non_ws_cp.min()).max())
+    r = 1.0 - (max_freq / float(n_non_ws))
     if method == "ocr":
         c = d
         score = 0.4 * d + 0.2 * w + 0.2 * r + 0.2 * c

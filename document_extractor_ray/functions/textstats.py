@@ -250,11 +250,11 @@ def doc_health(sf_dir: str):
     banker's rounding bit-for-bit."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
-    from document_extractor_ray.core.scoring import page_reliability
+    from document_extractor_ray.core.scoring import non_ws_count, page_reliability
 
     def health(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
-        non_ws = [sum(1 for ch in (x or "") if not ch.isspace()) for x in texts]
+        non_ws = [non_ws_count(x or "") for x in texts]
         rel_txt = [page_reliability(x or "", "txt") for x in texts]
         rel_ocr = [page_reliability(x or "", "ocr") for x in texts]
         return pa.table(
