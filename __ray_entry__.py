@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         multimodal,
         similarity,
         textstats,
+        training,
     )
 
     return {
@@ -128,13 +129,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": similarity.knn_brute_embeddings,
         "knn_lsh": similarity.knn_lsh_embeddings,
         "knn_ivf": similarity.knn_ivf_embeddings,
+        # --- training-data assembly ---
+        "pack_sequences": training.pack_sequences_docs,
+        "stratified_sample": training.stratified_sample_docs,
+        "top_docs_per_lang": training.top_docs_per_lang,
         # --- multimodal (stubbed codecs, real Ray plumbing) ---
         "media_features": multimodal.media_features,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from document_extractor_ray.functions import analytics, dedup, textstats
+    from document_extractor_ray.functions import analytics, dedup, textstats, training
 
     return {
         "q1_lineitem": analytics.Q1_SQL,
@@ -154,6 +159,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": textstats.LANG_ID_SQL,
         "doc_health": textstats.DOC_HEALTH_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "stratified_sample": training.STRATIFIED_SAMPLE_SQL,
+        "top_docs_per_lang": training.TOP_DOCS_PER_LANG_SQL,
         # extract_*, fingerprints, minhash_dup_pairs, simhash,
         # ngram_jaccard, embedding_dup_pairs, knn_*, media_features:
         # not SQL-expressible (rolling/content hashing, LSH, model

@@ -1,0 +1,240 @@
+"""Training-data assembly operators over the ``documents`` table:
+sequence packing, stratified (domain-mix) sampling, per-group top-k.
+
+These are the ops that turn a cleaned corpus into model-ready data:
+pack documents into fixed token windows, downsample over-represented
+strata to a target mix, select the best-k documents per group.
+
+Scale notes (100 TB thinking):
+- packing is local to deterministic doc_id RANGES (not Ray blocks), so
+  output is independent of block layout and every range packs in
+  parallel with no shuffle beyond the range groupby;
+- stratified sampling is a pure vectorized filter (modulus systematic
+  sampling — deterministic, SQL-oracle-exact, no RNG state to ship);
+- per-group top-k pre-reduces inside map_batches (each batch emits at
+  most k rows per group) before the tiny per-group merge.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from document_extractor_ray.functions.analytics import _n_blocks
+
+
+def _read_docs(sf_dir: str, columns):
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=columns, override_num_blocks=_n_blocks()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+PACK_WINDOW = 512          # tokens per packed example
+PACK_RANGE = 256           # docs per deterministic packing range
+
+
+def pack_sequences(
+    ds: "ray.data.Dataset",
+    window: int = PACK_WINDOW,
+    range_size: int = PACK_RANGE,
+):
+    """Pack documents into fixed token windows (greedy first-fit in
+    doc_id order) — the LLM-training sequence-packing step.
+
+    Documents are bucketed into deterministic doc_id ranges
+    (``doc_id // range_size``); each range packs independently, so the
+    result is reproducible for any block layout and the only shuffle
+    is the range groupby over slim (doc_id, n_tokens) rows.  A doc
+    longer than the window becomes its own example (flagged
+    oversize=True, never split — the common packing policy for
+    document-boundary-preserving training).  Token counts are
+    whitespace tokens (the token_counts kernel).
+
+    Output: one row per packed example —
+      (example_id, doc_ids: list<int64>, n_docs, n_tokens, oversize).
+    example_id = first doc_id in the example (unique: doc ranges are
+    disjoint and packing is in-order)."""
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
+        rng = pc.divide(t["doc_id"], range_size)
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_tokens": toks, "rng": rng}
+        )
+
+    def pack_range(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        toks = g["n_tokens"].to_numpy()
+        ex_ids, ex_docs, ex_ntok, ex_over = [], [], [], []
+        cur_docs: list = []
+        cur_tok = 0
+        for d, n in zip(ids, toks):
+            if n > window:
+                if cur_docs:
+                    ex_ids.append(cur_docs[0])
+                    ex_docs.append(list(cur_docs))
+                    ex_ntok.append(cur_tok)
+                    ex_over.append(False)
+                    cur_docs, cur_tok = [], 0
+                ex_ids.append(int(d))
+                ex_docs.append([int(d)])
+                ex_ntok.append(int(n))
+                ex_over.append(True)
+                continue
+            if cur_tok + n > window and cur_docs:
+                ex_ids.append(cur_docs[0])
+                ex_docs.append(list(cur_docs))
+                ex_ntok.append(cur_tok)
+                ex_over.append(False)
+                cur_docs, cur_tok = [], 0
+            cur_docs.append(int(d))
+            cur_tok += int(n)
+        if cur_docs:
+            ex_ids.append(cur_docs[0])
+            ex_docs.append(list(cur_docs))
+            ex_ntok.append(cur_tok)
+            ex_over.append(False)
+        return pd.DataFrame(
+            {
+                "example_id": pd.Series(ex_ids, dtype="int64"),
+                "doc_ids": ex_docs,
+                "n_docs": pd.Series([len(x) for x in ex_docs], dtype="int64"),
+                "n_tokens": pd.Series(ex_ntok, dtype="int64"),
+                "oversize": pd.Series(ex_over, dtype="bool"),
+            }
+        )
+
+    return (
+        ds.map_batches(count_tokens, batch_format="pyarrow")
+        .groupby("rng")
+        .map_groups(pack_range, batch_format="pandas")
+        .sort("example_id")
+    )
+
+
+def pack_sequences_docs(sf_dir: str):
+    return pack_sequences(_read_docs(sf_dir, ["doc_id", "text"]))
+
+
+# ---------------------------------------------------------------------------
+# Stratified (domain-mix) sampling
+# ---------------------------------------------------------------------------
+
+# Keep-percentage per stratum: downsample over-represented English,
+# keep the rest.  Values are integer percents so the modulus filter is
+# integer-exact and the SQL oracle matches bit-for-bit.
+DEFAULT_MIX: Dict[str, int] = {"en": 40, "zh": 80, "es": 80, "de": 80, "fr": 80}
+DEFAULT_KEEP_PCT = 60
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    mix: Optional[Dict[str, int]] = None,
+    default_pct: int = DEFAULT_KEEP_PCT,
+):
+    """Deterministic stratified sampling for domain mixing: keep a doc
+    iff ``doc_id % 100 < pct(lang)`` — systematic sampling, no RNG, so
+    the result is reproducible, mergeable across shards, and exactly
+    expressible in SQL.  Per-batch it is one index_in + take against
+    the tiny mix table and one vectorized modulus compare."""
+    mix = DEFAULT_MIX if mix is None else mix
+    langs = sorted(mix)
+    mix_tbl = pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "pct": pa.array([mix[l] for l in langs], pa.int64()),
+        }
+    )
+    ref = ray.put(mix_tbl)
+
+    from document_extractor_ray import state
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = state.cached_get(ref)
+        idx = pc.index_in(t["lang"], value_set=d["lang"].combine_chunks())
+        pct = pc.fill_null(pc.take(d["pct"].combine_chunks(), idx), default_pct)
+        m = pc.subtract(
+            t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 100), 100)
+        )
+        return t.filter(pc.less(m, pct))
+
+    return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+def stratified_sample_docs(sf_dir: str):
+    return stratified_sample(_read_docs(sf_dir, ["doc_id", "lang", "n_chars"]))
+
+
+def _mix_case_sql(mix: Dict[str, int], default_pct: int) -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {pct}" for lang, pct in sorted(mix.items())
+    )
+    return f"CASE lang {whens} ELSE {default_pct} END"
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE doc_id % 100 < {_mix_case_sql(DEFAULT_MIX, DEFAULT_KEEP_PCT)}
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-group top-k (window-function analogue)
+# ---------------------------------------------------------------------------
+
+TOP_PER_LANG_K = 5
+
+
+def top_docs_per_lang(sf_dir: str, k: int = TOP_PER_LANG_K):
+    """Top-k docs per language by n_chars (ties -> lower doc_id): the
+    ROW_NUMBER()-over-partition analogue.  Each batch pre-reduces to
+    at most k rows per lang (vectorized pandas sort + groupby head) so
+    the per-group merge sees k * n_blocks rows per lang, never the
+    corpus."""
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        return df.groupby("lang", sort=False).head(k)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = pd.Series(range(1, len(g) + 1), dtype="int64")
+        return g[["lang", "rank", "doc_id", "n_chars"]]
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final_topk, batch_format="pandas")
+        .sort(["lang", "rank"])
+    )
+
+
+TOP_DOCS_PER_LANG_SQL = f"""
+SELECT lang, rank, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         CAST(row_number() OVER (
+             PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+         ) AS BIGINT) AS rank
+  FROM documents
+)
+WHERE rank <= {TOP_PER_LANG_K}
+ORDER BY lang, rank
+"""

@@ -439,3 +439,54 @@ def test_ngram_verify_join_path_matches_broadcast(ray_session):
 
     assert rows(broad) == rows(joined)
     assert len(rows(broad)) > 0
+
+
+# ---------------------------------------------------------------------------
+# Training-data assembly
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_invariants(ray_session):
+    """Every doc packed exactly once; no example over the window
+    unless it is a single oversized doc; token totals conserved."""
+    import ray.data
+    from document_extractor_ray.functions.training import PACK_WINDOW, pack_sequences
+
+    rng = np.random.RandomState(5)
+    texts = []
+    for i in range(200):
+        n_words = int(rng.randint(1, 300)) if i % 17 else PACK_WINDOW + 50
+        texts.append(" ".join(f"w{j}" for j in range(n_words)))
+    t = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                  "text": pa.array(texts)})
+    out = pack_sequences(ray.data.from_arrow(t)).take_all()
+
+    all_docs = [d for r in out for d in r["doc_ids"]]
+    assert sorted(all_docs) == list(range(200))            # exactly once
+    for r in out:
+        if not r["oversize"]:
+            assert r["n_tokens"] <= PACK_WINDOW
+        else:
+            assert len(r["doc_ids"]) == 1                  # oversize never packed
+    want_tokens = sum(len(x.split()) for x in texts)
+    assert sum(r["n_tokens"] for r in out) == want_tokens  # conservation
+    # deterministic: same input -> same packing
+    out2 = pack_sequences(ray.data.from_arrow(t)).take_all()
+    assert [tuple(r["doc_ids"]) for r in out] == [tuple(r["doc_ids"]) for r in out2]
+
+
+def test_stratified_sample_exact_mix(ray_session):
+    """Systematic doc_id%100 sampling keeps exactly the prescribed
+    fraction of each contiguous stratum."""
+    import ray.data
+    from document_extractor_ray.functions.training import stratified_sample
+
+    t = pa.table({
+        "doc_id": pa.array(range(1000), pa.int64()),
+        "lang": pa.array((["en"] * 500) + (["de"] * 500)),
+        "n_chars": pa.array([10] * 1000, pa.int64()),
+    })
+    kept = stratified_sample(ray.data.from_arrow(t), mix={"en": 40, "de": 80}).take_all()
+    en = [r for r in kept if r["lang"] == "en"]
+    de = [r for r in kept if r["lang"] == "de"]
+    assert len(en) == 200   # 40% of 500
+    assert len(de) == 400   # 80% of 500

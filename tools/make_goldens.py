@@ -33,6 +33,7 @@ GOLDEN_QUERIES = [
     "knn_brute",
     "knn_lsh",
     "knn_ivf",
+    "pack_sequences",
     "media_features",
 ]
 
