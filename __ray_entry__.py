@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textstats.quality_scores,
         "lang_id": textstats.lang_id,
         "doc_health": textstats.doc_health,
+        "quality_filter": textstats.quality_filter,
         "fingerprints": textstats.fingerprints,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact_docs,
@@ -158,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": textstats.QUALITY_SCORES_SQL,
         "lang_id": textstats.LANG_ID_SQL,
         "doc_health": textstats.DOC_HEALTH_SQL,
+        "quality_filter": textstats.QUALITY_FILTER_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "stratified_sample": training.STRATIFIED_SAMPLE_SQL,
         "top_docs_per_lang": training.TOP_DOCS_PER_LANG_SQL,

@@ -65,6 +65,58 @@ ORDER BY doc_id
 """
 
 
+# C4-style quality gate thresholds (integer-exact so the SQL oracle
+# matches bit-for-bit).
+MIN_TOKENS = 20
+MIN_ALNUM_PERMILLE = 500
+MAX_PUNCT_PERMILLE = 150
+
+
+def quality_filter(sf_dir: str):
+    """C4-style corpus cleaning: keep documents passing ALL quality
+    gates (enough tokens, alnum-dominant, not punctuation-noise) —
+    the filter step an LLM data pipeline runs between extraction and
+    dedup.  One vectorized map_batches, no shuffle; every signal is
+    the same integer-exact kernel the scoring queries use."""
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n = pc.cast(pc.utf8_length(text), pa.int64())
+        n_safe = pc.max_element_wise(n, 1)
+        toks = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.int64())
+        alnum = pc.cast(pc.count_substring_regex(text, r"[A-Za-z0-9]"), pa.int64())
+        punct = pc.cast(pc.count_substring_regex(text, _PUNCT_RE), pa.int64())
+        alnum_pm = pc.divide(pc.multiply(alnum, 1000), n_safe)
+        punct_pm = pc.divide(pc.multiply(punct, 1000), n_safe)
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(toks, MIN_TOKENS),
+                pc.greater_equal(alnum_pm, MIN_ALNUM_PERMILLE),
+            ),
+            pc.less_equal(punct_pm, MAX_PUNCT_PERMILLE),
+        )
+        out = t.filter(mask)
+        return pa.table({"doc_id": out["doc_id"], "lang": out["lang"]})
+
+    return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+QUALITY_FILTER_SQL = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS toks,
+         (CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) * 1000)
+             // greatest(CAST(length(text) AS BIGINT), 1) AS alnum_pm,
+         (CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS BIGINT) * 1000)
+             // greatest(CAST(length(text) AS BIGINT), 1) AS punct_pm
+  FROM documents
+)
+WHERE toks >= {MIN_TOKENS} AND alnum_pm >= {MIN_ALNUM_PERMILLE} AND punct_pm <= {MAX_PUNCT_PERMILLE}
+ORDER BY doc_id
+"""
+
+
 def bpe_ish_token_count(text_col: pa.ChunkedArray) -> pa.Array:
     """BPE-ish subword estimate: words contribute ceil(len/4) tokens
     (roughly byte-pair merge density for English); punctuation one
