@@ -48,9 +48,12 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "order_revenue_by_nation",
         "lang_id",
         "doc_health",
+        "quality_filter",
         "token_counts",
         "quality_scores",
         "dedup_exact",
+        "stratified_sample",
+        "top_docs_per_lang",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
