@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id,
         "doc_health": textstats.doc_health,
         "quality_filter": textstats.quality_filter,
+        "pii_scrub": textstats.pii_scrub,
         "fingerprints": textstats.fingerprints,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact_docs,
@@ -125,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dups": dedup.ngram_jaccard_dups_docs,
         "near_dup_clusters": dedup.near_dup_clusters_docs,
         "near_dedup_keep": dedup.near_dedup_keep_docs,
+        "decontaminate": dedup.decontaminate_docs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs_embeddings,
         # --- similarity search ---
         "knn_brute": similarity.knn_brute_embeddings,
@@ -160,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": textstats.LANG_ID_SQL,
         "doc_health": textstats.DOC_HEALTH_SQL,
         "quality_filter": textstats.QUALITY_FILTER_SQL,
+        "pii_scrub": textstats.PII_SCRUB_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "stratified_sample": training.STRATIFIED_SAMPLE_SQL,
         "top_docs_per_lang": training.TOP_DOCS_PER_LANG_SQL,

@@ -945,3 +945,68 @@ def embedding_dup_pairs_embeddings(
     planted = ray.data.from_arrow(plant_near_duplicates(sf_dir, n_planted))
     ds = _read_embeddings(sf_dir).union(planted)
     return embedding_dup_pairs(ds, threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (eval-leakage guard)
+# ---------------------------------------------------------------------------
+
+DECONTAM_SHINGLE_K = 8
+
+
+def decontaminate(
+    ds: "ray.data.Dataset",
+    benchmark_texts,
+    k: int = DECONTAM_SHINGLE_K,
+    min_hits: int = 1,
+):
+    """Flag documents sharing word k-gram shingles with a benchmark
+    set — the decontamination pass run before training to keep eval
+    data out of the corpus.
+
+    Scale shape: the benchmark shingle set (benchmarks are ~10^5
+    examples — tiny next to the corpus) is hashed once, broadcast as a
+    sorted uint64 array (zero-copy through the object store), and each
+    batch counts overlaps with one vectorized np.isin per doc's
+    shingle array.  No shuffle; output is (doc_id, n_benchmark_hits,
+    contaminated)."""
+    bench = set()
+    for text in benchmark_texts:
+        bench |= shingles(text, k)
+    bench_arr = np.fromiter(bench, dtype=np.uint64, count=len(bench))
+    bench_arr.sort()
+    ref = ray.put(bench_arr)
+
+    from document_extractor_ray import state
+
+    def flag(t: pa.Table) -> pa.Table:
+        b = state.cached_get(ref)
+        hits = []
+        for text in t["text"].to_pylist():
+            sh = shingles(text or "", k)
+            if not sh:
+                hits.append(0)
+                continue
+            arr = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+            hits.append(int(np.isin(arr, b, assume_unique=True).sum()))
+        hits_arr = pa.array(hits, pa.int64())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_benchmark_hits": hits_arr,
+                "contaminated": pc.greater_equal(hits_arr, min_hits),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow").sort("doc_id")
+
+
+def decontaminate_docs(sf_dir: str, n_benchmark: int = 3):
+    """Registered driver query: the benchmark set is the n lowest-id
+    documents themselves, so those docs provably self-flag (the check
+    can never be vacuously green) and any true near-copies surface."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    t = t.sort_by("doc_id").slice(0, n_benchmark)
+    return decontaminate(_read_docs(sf_dir), t["text"].to_pylist())

@@ -65,6 +65,64 @@ ORDER BY doc_id
 """
 
 
+# PII scrubbing: deterministic masking of emails / phone numbers /
+# IPv4 addresses — the redaction step a training-data pipeline runs
+# before packing.  RE2-safe patterns (no backrefs/lookahead) so the
+# DuckDB oracle applies the IDENTICAL regexes.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(sf_dir: str):
+    """Scrub emails/phones/IPv4s to fixed placeholder tokens and count
+    the redactions per document.  Pure pyarrow.compute regex kernels
+    (compiled once per worker by Arrow), zero Python per row; applied
+    in a fixed order (email, phone, ip) so the oracle chain matches."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n_email = pc.cast(pc.count_substring_regex(text, PII_EMAIL_RE), pa.int64())
+        out = pc.replace_substring_regex(text, PII_EMAIL_RE, "<EMAIL>")
+        n_phone = pc.cast(pc.count_substring_regex(out, PII_PHONE_RE), pa.int64())
+        out = pc.replace_substring_regex(out, PII_PHONE_RE, "<PHONE>")
+        n_ip = pc.cast(pc.count_substring_regex(out, PII_IPV4_RE), pa.int64())
+        out = pc.replace_substring_regex(out, PII_IPV4_RE, "<IP>")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text_scrubbed": out,
+                "n_email": n_email,
+                "n_phone": n_phone,
+                "n_ip": n_ip,
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow").sort("doc_id")
+
+
+PII_SCRUB_SQL = f"""
+WITH s1 AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_email,
+         regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM documents
+), s2 AS (
+  SELECT doc_id, n_email,
+         CAST(length(regexp_extract_all(t1, '{PII_PHONE_RE}')) AS BIGINT) AS n_phone,
+         regexp_replace(t1, '{PII_PHONE_RE}', '<PHONE>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(t2, '{PII_IPV4_RE}', '<IP>', 'g') AS text_scrubbed,
+       n_email, n_phone,
+       CAST(length(regexp_extract_all(t2, '{PII_IPV4_RE}')) AS BIGINT) AS n_ip
+FROM s2
+ORDER BY doc_id
+"""
+
+
 # C4-style quality gate thresholds (integer-exact so the SQL oracle
 # matches bit-for-bit).
 MIN_TOKENS = 20

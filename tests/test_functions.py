@@ -493,3 +493,32 @@ def test_stratified_sample_exact_mix(ray_session):
     de = [r for r in kept if r["lang"] == "de"]
     assert len(en) == 200   # 40% of 500
     assert len(de) == 400   # 80% of 500
+
+
+def test_decontaminate_flags_planted_benchmark(ray_session):
+    import ray.data
+    from document_extractor_ray.functions.dedup import decontaminate
+
+    bench = "the secret benchmark question about quantum entanglement and its seven hidden variables"
+    docs = [
+        "completely unrelated text about cooking pasta with fresh tomatoes and basil leaves today",
+        "prefix words then " + bench + " then suffix words after the leak",
+        "another clean document describing distributed systems and streaming execution engines",
+    ]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(docs)})
+    out = decontaminate(ray.data.from_arrow(t), [bench]).take_all()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["contaminated"] and by_id[1]["n_benchmark_hits"] > 0
+    assert not by_id[0]["contaminated"]
+    assert not by_id[2]["contaminated"]
+
+
+def test_decontaminate_driver_query_self_flags(ray_session):
+    from document_extractor_ray.functions.dedup import decontaminate_docs
+
+    out = decontaminate_docs(SF, n_benchmark=3).take_all()
+    flagged = {r["doc_id"] for r in out if r["contaminated"]}
+    lowest = sorted(r["doc_id"] for r in out)[:3]
+    for d in lowest:
+        assert d in flagged  # benchmark docs self-flag: never vacuous

@@ -29,6 +29,7 @@ GOLDEN_QUERIES = [
     "ngram_jaccard_dups",
     "near_dup_clusters",
     "near_dedup_keep",
+    "decontaminate",
     "embedding_dup_pairs",
     "knn_brute",
     "knn_lsh",
