@@ -54,9 +54,15 @@ def _alnum_table(upto: int) -> np.ndarray:
 
 
 def alnum_count(text: str) -> int:
-    """Number of codepoints ch with ch.isalnum() — vectorized."""
+    """Number of codepoints ch with ch.isalnum() — vectorized for long
+    strings; short strings (the per-line scoring case) take a direct
+    ``map(str.isalnum)`` path, which beats the numpy setup cost below
+    ~130 chars (measured 7x on 24-char lines).  Both paths are
+    str.isalnum by construction."""
     if not text:
         return 0
+    if len(text) <= 128:
+        return sum(map(str.isalnum, text))
     # utf-32-le yields exactly len(text) uint32 codepoints.
     arr = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
     tbl = _alnum_table(int(arr.max()))
