@@ -83,6 +83,11 @@ def decode_payload(payload: bytes) -> str:
 
 Line = Tuple[str, int]  # (collapsed text, anchored char count)
 
+# Per-process cache of short literal tag strings -> (name, closing).
+# Bounded (4096 entries, parts <= 16 chars) so attr-laden unique tags
+# never grow it; populated lazily from the same _TAG_NAME_RE.
+_TAG_CACHE: dict = {}
+
 
 def extract_lines(page_html: str, include_attrs: bool = False) -> List[Line]:
     """Tokenize one page of html into visual lines.
@@ -102,36 +107,52 @@ def extract_lines(page_html: str, include_attrs: bool = False) -> List[Line]:
     parts = _TOKEN_RE.split(page_html)
 
     lines: List[Line] = []
-    buf: List[Tuple[str, bool]] = []  # (text piece, anchored)
+    buf: List[str] = []               # text pieces
+    buf_total = 0                     # total piece chars (pre-collapse)
+    buf_anchored = 0                  # piece chars inside <a>
     skip_until: str = ""              # inside <script>/<style>/... until this close
     anchor_depth = 0
+    unescape = _htmllib.unescape
+    tag_cache = _TAG_CACHE
 
     def flush() -> None:
+        nonlocal buf_total, buf_anchored
         if not buf:
             return
-        text = "".join(piece for piece, _ in buf)
         # Whitespace collapse via str.split (3.7x faster than the \s+
         # regex, measured).  Collapse semantics are defined by
         # str.isspace() — shared by pipeline AND oracle, so identity
         # holds by construction.
-        text = " ".join(text.split())
+        text = " ".join("".join(buf).split())
         if text:
-            anchored = sum(len(piece) for piece, a in buf if a)
-            total = sum(len(piece) for piece, _ in buf)
             # Scale anchored chars to the collapsed length so the ratio
             # survives whitespace collapsing.
-            if total > 0:
-                anchored = int(round(len(text) * (anchored / total)))
+            anchored = buf_anchored
+            if buf_total > 0:
+                anchored = int(round(len(text) * (anchored / buf_total)))
             lines.append((text, anchored))
         buf.clear()
+        buf_total = 0
+        buf_anchored = 0
 
     for part in parts:
         if not part:
             continue
-        if part.startswith("<"):
-            m = _TAG_NAME_RE.match(part)
-            name = m.group(1).lower() if m else ""
-            closing = part.startswith("</")
+        if part[0] == "<":
+            # Tag name + closing flag, cached for short (attr-free)
+            # tags — HTML is dominated by a small set of literal tag
+            # strings, so the dict hit replaces the regex in the
+            # common case; the regex stays the semantic source for
+            # anything uncached.
+            cached = tag_cache.get(part)
+            if cached is None:
+                m = _TAG_NAME_RE.match(part)
+                name = m.group(1).lower() if m else ""
+                closing = part.startswith("</")
+                if len(part) <= 16 and len(tag_cache) < 4096:
+                    tag_cache[part] = (name, closing)
+            else:
+                name, closing = cached
             if skip_until:
                 if closing and name == skip_until:
                     skip_until = ""
@@ -148,7 +169,7 @@ def extract_lines(page_html: str, include_attrs: bool = False) -> List[Line]:
             if include_attrs and not closing:
                 for attr_text in _ATTR_TEXT_RE.findall(part):
                     flush()
-                    t = " ".join(_htmllib.unescape(attr_text).split())
+                    t = " ".join(unescape(attr_text).split())
                     if t:
                         lines.append((t, 0))
             if name in _BLOCK_TAGS:
@@ -156,9 +177,12 @@ def extract_lines(page_html: str, include_attrs: bool = False) -> List[Line]:
             continue
         if skip_until:
             continue
-        text = _htmllib.unescape(part)
+        text = unescape(part)
         if text:
-            buf.append((text, anchor_depth > 0))
+            buf.append(text)
+            buf_total += len(text)
+            if anchor_depth > 0:
+                buf_anchored += len(text)
     flush()
     return lines
 
