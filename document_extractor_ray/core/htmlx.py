@@ -168,11 +168,12 @@ def extract_lines(page_html: str, include_attrs: bool = False) -> List[Line]:
                     anchor_depth += 1
             if include_attrs and not closing:
                 for attr_text in _ATTR_TEXT_RE.findall(part):
-                    flush()
+                    if buf:
+                        flush()
                     t = " ".join(unescape(attr_text).split())
                     if t:
                         lines.append((t, 0))
-            if name in _BLOCK_TAGS:
+            if buf and name in _BLOCK_TAGS:
                 flush()
             continue
         if skip_until:
@@ -183,7 +184,8 @@ def extract_lines(page_html: str, include_attrs: bool = False) -> List[Line]:
             buf_total += len(text)
             if anchor_depth > 0:
                 buf_anchored += len(text)
-    flush()
+    if buf:
+        flush()
     return lines
 
 

@@ -173,3 +173,39 @@ def test_dedup_join_path_matches_broadcast_path(ray_session):
     df = corpus.select(["url", "warc_ts"]).to_pandas()
     want = sorted(df.groupby("url")["warc_ts"].min().items())
     assert broadcast == want
+
+
+def test_fused_plan_matches_classic_plan(ray_session, tmp_path):
+    """run_extraction(path) takes the fused read+extract plan (row
+    groups read inside the extraction task); its output must be
+    row-identical to the classic Dataset plan, including the dedup
+    winner filter and deterministic ordering."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from document_extractor_ray import fixtures
+    from document_extractor_ray.config import DEFAULT_CONFIG
+    from document_extractor_ray.pipelines.extract import (
+        build_extraction,
+        run_extraction,
+    )
+
+    base = fixtures.make_pages_table(250, seed=13)
+    # plant extra duplicated urls with later timestamps (losers)
+    later = base.slice(0, 40).set_column(
+        base.schema.get_field_index("warc_ts"),
+        "warc_ts",
+        pc.add(base.slice(0, 40)["warc_ts"], pa.scalar(5_000_000, pa.duration("us"))),
+    )
+    corpus = pa.concat_tables([base, later])
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(corpus, path, row_group_size=64)
+
+    cfg = DEFAULT_CONFIG  # dedup=True, deterministic_order=True
+    fused = run_extraction(path, cfg).take_all()
+    classic = build_extraction(ray.data.from_arrow(corpus), cfg).take_all()
+
+    assert len(fused) == len(classic)
+    key = lambda r: (r["url"], r.get("page", 0))
+    for f, c in zip(sorted(fused, key=key), sorted(classic, key=key)):
+        assert f == c
