@@ -35,7 +35,11 @@ import ray.data
 
 from document_extractor_ray import __version__
 from document_extractor_ray.config import DEFAULT_CONFIG, PipelineConfig
-from document_extractor_ray.pipelines.extract import build_extraction, read_pages
+from document_extractor_ray.pipelines.extract import (
+    build_extraction,
+    read_pages,
+    run_extraction,
+)
 
 
 def plan_shards(input_files: Sequence[str], shard_size: int = 4) -> List[List[str]]:
@@ -80,8 +84,9 @@ def run_shard(
     os.makedirs(tmp_dir, exist_ok=True)
 
     t0 = time.perf_counter()
-    ds = read_pages(files)
-    final = build_extraction(ds, cfg)
+    # run_extraction on file paths takes the fused read+extract plan
+    # (payloads never enter the object store; PERF.md step 18).
+    final = run_extraction(files, cfg)
     final.write_parquet(os.path.join(tmp_dir, "final"))
 
     # Per-status counters from what was just written (A6 run counters).
