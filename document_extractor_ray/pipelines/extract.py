@@ -240,18 +240,27 @@ FUSED_FRAGS_PER_TASK = 8
 _PQ_FILES: dict = {}  # per-worker-process ParquetFile handle cache
 
 
-def page_fragments(paths: Union[str, list]) -> list:
-    """Enumerate (path, row_group) fragments for the fused plan."""
+# Target pages per fused task: bounds the payload bytes a task holds
+# (a batch of fragments is read into one heap).  Row-group sizes are
+# writer-controlled, so the fragment batch size adapts to them.
+FUSED_ROWS_PER_TASK = 8192
+
+
+def page_fragments(paths: Union[str, list]):
+    """Enumerate (path, row_group) fragments for the fused plan.
+    Returns (fragments, rows_per_group_max)."""
     import pyarrow.parquet as pq
 
     if isinstance(paths, str):
         paths = [paths]
     frags = []
+    max_rows = 1
     for p in paths:
         md = pq.read_metadata(p)
         for i in range(md.num_row_groups):
             frags.append({"path": p, "rg": i})
-    return frags
+            max_rows = max(max_rows, md.row_group(i).num_rows)
+    return frags, max_rows
 
 
 def _fused_read_extract(b, cfg: PipelineConfig, winner_ref=None) -> pa.Table:
@@ -292,12 +301,16 @@ def build_extraction_fused(
         if n_dups > 0:
             winner_ref = _broadcast_winner_dim(dups)
 
-    frags = page_fragments(paths)
+    frags, max_rg_rows = page_fragments(paths)
+    # Scale fragments-per-task so a task never holds more than
+    # ~FUSED_ROWS_PER_TASK pages of payload, whatever row-group size
+    # the writer chose (a one-group 10^6-row file gets batch_size=1).
+    per_task = max(1, min(FUSED_FRAGS_PER_TASK, FUSED_ROWS_PER_TASK // max_rg_rows))
     final = ray.data.from_items(frags).map_batches(
         _fused_read_extract,
         fn_kwargs={"cfg": cfg, "winner_ref": winner_ref},
         batch_format="numpy",
-        batch_size=FUSED_FRAGS_PER_TASK,
+        batch_size=per_task,
     )
     if cfg.deterministic_order:
         final = final.sort("url")
