@@ -12,9 +12,10 @@ line:
    "docs_per_sec": ...}
 
 --scaling: runs the headline pipeline in two fresh processes at
-num_cpus=8 and num_cpus=32 on the same input and prints both
-throughputs plus efficiency = (t8/t32)/4 (the sandbox stand-in for the
-N vs 4N cluster-size criterion; BASELINE.md measurement protocol).
+num_cpus=2 and num_cpus=8 (GRAFT_SCALE_LO/HI override) on the same
+input and prints both throughputs plus efficiency = (t_lo/t_hi)/4
+(the sandbox stand-in for the N vs 4N cluster-size criterion;
+BASELINE.md measurement protocol and pair justification).
 """
 
 from __future__ import annotations
@@ -35,10 +36,9 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-# 100k docs ~ 270 core-s of extraction compute: large enough that the
-# fixed shuffle/session overhead (~3-5 s) no longer dominates, so the
-# 8-vs-32-cpu scaling measurement reflects the compute that actually
-# scales.  Generation is parallel (multiprocessing) and cached.
+# 300k pages: large enough that fixed session overhead (~3-5 s) no
+# longer dominates, so the scaling measurement reflects the compute
+# that actually scales.  Generation is parallel and cached.
 N_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "300000"))
 SEED = 42
 
@@ -177,7 +177,7 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same headline job at num_cpus=8 and 32 in fresh processes."""
+    """Same headline job at two parallelism levels in fresh processes."""
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
