@@ -276,14 +276,42 @@ def _fused_read_extract(b, cfg: PipelineConfig, winner_ref=None) -> pa.Table:
     outs = []
     for p, rg in zip(b["path"], b["rg"]):
         p = str(p)
-        pf = _PQ_FILES.get(p)
-        if pf is None:
-            pf = _PQ_FILES[p] = pq.ParquetFile(p)
-        t = pf.read_row_group(int(rg), columns=PAGE_COLUMNS)
+        try:
+            pf = _PQ_FILES.get(p)
+            if pf is None:
+                pf = _PQ_FILES[p] = pq.ParquetFile(p)
+            t = pf.read_row_group(int(rg), columns=PAGE_COLUMNS)
+        except Exception as e:
+            # A corrupt row group must not kill a corpus-scale run:
+            # quarantine the fragment as data (the delete-on-success
+            # ledger still accounts for it) and keep streaming.  The
+            # lineage record's row counts expose the shortfall.
+            outs.append(_fragment_error_table(p, int(rg), e, cfg))
+            continue
         if winner_ref is not None:
             t = _filter_to_winners(t, winner_ref)
         outs.append(fb(route_primary(t, cfg)))
     return pa.concat_tables(outs)
+
+
+def _fragment_error_table(path: str, rg: int, err: Exception, cfg) -> pa.Table:
+    """One quarantined FINAL_SCHEMA row standing in for an unreadable
+    fragment (url identifies the exact fragment for operators)."""
+    from document_extractor_ray.core import records
+    from document_extractor_ray.core.cascade import DocResult, STATUS_ERROR
+
+    res = DocResult(
+        status=STATUS_ERROR,
+        pass_used="",
+        mode="per-doc",
+        quarantine=True,
+        reason="fragment unreadable",
+        notes=f"{type(err).__name__}: {err}"[:200],
+    )
+    url = f"fragment://{path}#rg={rg}"
+    return records.records_to_table(
+        [records.assemble_record(url, "unknown", 0, res, cfg)]
+    )
 
 
 def build_extraction_fused(
@@ -292,6 +320,11 @@ def build_extraction_fused(
     """Fused plan over parquet path(s); returns None when this input
     needs the classic plan (above-budget dedup: the winner filter must
     be a partitioned join over the full stream)."""
+    # Note: this slim pre-scan requires the url/warc_ts column chunks
+    # to be readable; corruption in PAYLOAD pages is tolerated (the
+    # fused stage quarantines those fragments), corruption in the key
+    # columns fails the dedup scan loudly — preferable to silently
+    # mis-deduplicating.
     winner_ref = None
     if cfg.dedup:
         slim = ray.data.read_parquet(paths, columns=["url", "warc_ts"])

@@ -209,3 +209,35 @@ def test_fused_plan_matches_classic_plan(ray_session, tmp_path):
     key = lambda r: (r["url"], r.get("page", 0))
     for f, c in zip(sorted(fused, key=key), sorted(classic, key=key)):
         assert f == c
+
+
+def test_fused_plan_quarantines_corrupt_fragment(ray_session, tmp_path):
+    """A corrupt row group mid-file must not kill the run: the fused
+    plan emits one quarantined row identifying the fragment and keeps
+    extracting the healthy fragments."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import fixtures
+    from document_extractor_ray.config import DEFAULT_CONFIG
+    from document_extractor_ray.pipelines.extract import run_extraction
+
+    pages = fixtures.make_pages_table(300, seed=3)
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, path, row_group_size=64)
+
+    # Corrupt bytes in the middle of the file (data pages), keeping
+    # the footer/metadata intact so planning succeeds.
+    size = (tmp_path / "pages.parquet").stat().st_size
+    with open(path, "r+b") as f:
+        f.seek(size // 2)
+        f.write(b"\xde\xad\xbe\xef" * 256)
+
+    out = run_extraction(path, DEFAULT_CONFIG).take_all()
+    frag_errors = [r for r in out if r["url"].startswith("fragment://")]
+    healthy = [r for r in out if not r["url"].startswith("fragment://")]
+    assert frag_errors, "corruption not detected"
+    for r in frag_errors:
+        assert r["status"] == "ERROR" and r["quarantine"]
+        assert r["reason"] == "fragment unreadable"
+    # the healthy fragments still extracted
+    assert len(healthy) > 100
