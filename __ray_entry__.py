@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_keep": dedup.near_dedup_keep_docs,
         "decontaminate": dedup.decontaminate_docs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs_embeddings,
+        "embedding_dup_clusters": dedup.embedding_dup_clusters_embeddings,
         # --- similarity search ---
         "knn_brute": similarity.knn_brute_embeddings,
         "knn_lsh": similarity.knn_lsh_embeddings,

@@ -930,6 +930,29 @@ def near_dedup_keep_docs(sf_dir: str, threshold: float = 0.7):
     return near_dedup_keep(_read_docs(sf_dir), threshold=threshold)
 
 
+def embedding_dup_clusters_embeddings(sf_dir: str, threshold: float = 0.9):
+    """Connected components over the embedding-cosine dup-pair graph
+    (same planted parameterization as embedding_dup_pairs so the
+    check is never vacuous): (vec_id, cluster_id) for every vector
+    incl. the planted near-duplicates, cluster_id = min member id."""
+    from document_extractor_ray.functions.similarity import _read_embeddings
+
+    pairs = embedding_dup_pairs_embeddings(sf_dir, threshold=threshold)
+    pairs = pairs.map_batches(
+        lambda t: pa.table({"doc_a": t["vec_a"], "doc_b": t["vec_b"]}),
+        batch_format="pyarrow",
+    )
+    planted = ray.data.from_arrow(plant_near_duplicates(sf_dir))
+    vecs = _read_embeddings(sf_dir).union(planted).map_batches(
+        lambda t: pa.table({"doc_id": t["vec_id"]}), batch_format="pyarrow"
+    )
+    out = near_dup_clusters(vecs, pairs_ds=pairs)
+    return out.map_batches(
+        lambda t: pa.table({"vec_id": t["doc_id"], "cluster_id": t["cluster_id"]}),
+        batch_format="pyarrow",
+    )
+
+
 def embedding_dup_pairs_embeddings(
     sf_dir: str, threshold: float = 0.9, n_planted: int = 25
 ):

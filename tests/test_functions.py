@@ -522,3 +522,22 @@ def test_decontaminate_driver_query_self_flags(ray_session):
     lowest = sorted(r["doc_id"] for r in out)[:3]
     for d in lowest:
         assert d in flagged  # benchmark docs self-flag: never vacuous
+
+
+def test_embedding_dup_clusters_collapse_planted(ray_session):
+    """Every planted near-duplicate must share a cluster with its
+    original; untouched vectors are their own cluster."""
+    from document_extractor_ray.functions.dedup import (
+        PLANT_OFFSET,
+        embedding_dup_clusters_embeddings,
+    )
+
+    out = {r["vec_id"]: r["cluster_id"]
+           for r in embedding_dup_clusters_embeddings(SF).take_all()}
+    planted = [v for v in out if v >= PLANT_OFFSET]
+    assert planted
+    for v in planted:
+        assert out[v] == out[v - PLANT_OFFSET] == v - PLANT_OFFSET
+    untouched = [v for v in out if v < PLANT_OFFSET and (v + PLANT_OFFSET) not in out]
+    for v in untouched[:50]:
+        assert out[v] == v

@@ -31,6 +31,7 @@ GOLDEN_QUERIES = [
     "near_dedup_keep",
     "decontaminate",
     "embedding_dup_pairs",
+    "embedding_dup_clusters",
     "knn_brute",
     "knn_lsh",
     "knn_ivf",
