@@ -85,13 +85,16 @@ def dedup_exact(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = 
             }
         )
 
-    def keep_min(g: pa.Table) -> pa.Table:
-        return g.sort_by(id_col).slice(0, 1).select([id_col])
+    # Native Min aggregate, NOT map_groups(first): content hashes are
+    # near-unique, and map_groups pays one Python call per group
+    # (measured ~3.7k rows/s with unique keys — PERF.md step 4).
+    from ray.data.aggregate import Min
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
         .groupby("content_hash")
-        .map_groups(keep_min, batch_format="pyarrow")
+        .aggregate(Min(id_col, alias_name=id_col))
+        .map_batches(lambda t: t.select([id_col]), batch_format="pyarrow")
         .sort(id_col)
     )
 
@@ -316,21 +319,36 @@ def minhash_dup_pairs_docs(sf_dir: str, threshold: float = 0.7):
 # SimHash
 # ---------------------------------------------------------------------------
 
+_SIMHASH_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
 def simhash64(text: str) -> int:
-    """Classic 64-bit SimHash over word features (Charikar)."""
+    """64-bit SimHash over word features (Charikar, STOC 2002).
+
+    Vectorized: one crc32 per word mixed to 64 bits by a golden-ratio
+    multiply (uint64 wraparound — a universal-family word hash, like
+    the MinHash signature stage), then the per-bit +/-1 vote is one
+    unpackbits sum over the (n_words, 64) bit matrix.  An earlier
+    blake2b-per-word variant was ~10x slower with identical
+    statistical behavior; fingerprint VALUES changed at the swap
+    (goldens regenerated — the semantic is the estimator, not the
+    word hash)."""
     words = (text or "").lower().split()
     if not words:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for w in words:
-        h = int.from_bytes(hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "big")
-        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
-        acc += bits.astype(np.int64) * 2 - 1
-    out = 0
-    for i, v in enumerate(acc):
-        if v > 0:
-            out |= 1 << (63 - i)
-    return out
+    crc = np.fromiter(
+        (zlib.crc32(w.encode("utf-8")) for w in words),
+        dtype=np.uint64,
+        count=len(words),
+    )
+    with np.errstate(over="ignore"):
+        h = crc * _SIMHASH_MIX  # mix 32-bit crc across all 64 bits
+    bits = np.unpackbits(
+        h[:, None].astype(">u8").view(np.uint8), axis=1
+    )  # (n_words, 64), big-endian bit order
+    votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(words)
+    out_bits = (votes > 0).astype(np.uint8)
+    return int.from_bytes(np.packbits(out_bits).tobytes(), "big")
 
 
 def simhash_table(sf_dir: str):
