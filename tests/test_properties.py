@@ -130,3 +130,107 @@ def test_block_spans_always_index_correctly(pages):
         assert page == pnum
         expected = str(text) if text else ""
         assert b.extracted_text[start:end] == expected
+
+
+# ---------------------------------------------------------------------------
+# Round-2 numeric kernels
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 63) - 1), min_size=1, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_pairwise_hamming_matches_popcount(fps):
+    import numpy as np
+
+    from document_extractor_ray.functions.dedup import _pairwise_hamming64
+
+    f = np.array(fps, dtype=np.uint64)
+    d = _pairwise_hamming64(f)
+    n = len(fps)
+    for i in range(n):
+        for j in range(n):
+            assert d[i, j] == bin(fps[i] ^ fps[j]).count("1")
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_cluster_pairs_matches_bfs_reference(edges):
+    from document_extractor_ray.functions.dedup import cluster_pairs
+
+    roots = cluster_pairs(edges)
+
+    # BFS reference over the same graph
+    adj: dict = {}
+    nodes = set()
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+        nodes |= {a, b}
+    seen: dict = {}
+    for start in sorted(nodes):
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen[x] = True
+            comp.append(x)
+            stack.extend(adj.get(x, ()))
+        rep = min(comp)
+        for x in comp:
+            assert roots.get(x, x) == rep, (x, comp)
+
+
+@given(st.text(alphabet=string.printable + "äöü日本", max_size=300))
+@settings(max_examples=80, deadline=None)
+def test_simhash_vectorized_matches_reference(text):
+    import zlib
+
+    import numpy as np
+
+    from document_extractor_ray.functions.dedup import _SIMHASH_MIX, simhash64
+
+    words = (text or "").lower().split()
+    if not words:
+        assert simhash64(text) == 0
+        return
+    acc = [0] * 64
+    for w in words:
+        h = (zlib.crc32(w.encode("utf-8")) * int(_SIMHASH_MIX)) & ((1 << 64) - 1)
+        for i in range(64):
+            bit = (h >> (63 - i)) & 1
+            acc[i] += 1 if bit else -1
+    want = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            want |= 1 << (63 - i)
+    assert simhash64(text) == want
+
+
+@given(
+    st.integers(1, 12).flatmap(
+        lambda dim: st.lists(
+            st.lists(st.floats(-10, 10, width=32), min_size=dim, max_size=dim),
+            min_size=1,
+            max_size=20,
+        )
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_embedding_matrix_roundtrip(rows):
+    import numpy as np
+    import pyarrow as pa
+
+    from document_extractor_ray.functions.similarity import embedding_matrix
+
+    col = pa.array(rows, pa.list_(pa.float32()))
+    mat = embedding_matrix(col)
+    assert mat.shape == (len(rows), len(rows[0]))
+    np.testing.assert_array_equal(mat, np.asarray(rows, dtype=np.float32))
