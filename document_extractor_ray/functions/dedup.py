@@ -186,8 +186,18 @@ def minhash_signature(sh: Set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.min(prod, axis=1)
 
 
+# Odd multipliers for the vectorized band hash (multiply-shift family,
+# same as the signature hashes): equal band signatures collide by
+# construction, unequal ones collide with ~2^-63 probability — the
+# same candidate structure an earlier blake2b-per-band variant gave at
+# 16 digest calls per doc.
+_BAND_P = (
+    np.arange(1, ROWS_PER_BAND + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+) | np.uint64(1)
+
+
 class MinHasher:
-    """Actor-stage: hash params + blake2b state built once per worker."""
+    """Actor-stage: hash params built once per worker."""
 
     def __init__(self, seed: int = 42, k: int = 3):
         self.a, self.b = _hash_params(seed)
@@ -197,28 +207,32 @@ class MinHasher:
         return minhash_signature(shingles(text, self.k), self.a, self.b)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        """doc rows -> exploded (band_id, band_hash, doc_id, sig) rows."""
-        ids, bands, bhashes, sigs = [], [], [], []
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sig = self.signature(text)
-            sig_bytes = sig.tobytes()
-            for band in range(N_BANDS):
-                chunk = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
-                ids.append(doc_id)
-                bands.append(band)
-                bhashes.append(
-                    int.from_bytes(
-                        hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
-                    )
-                    >> 1
-                )
-                sigs.append(sig_bytes)
+        """doc rows -> exploded (band_id, band_hash, doc_id, sig) rows.
+        The per-doc work is the shingle/signature kernel; the band
+        explode is pure numpy over the (n_docs, N_HASHES) signature
+        matrix."""
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        n = len(texts)
+        sigs = np.empty((n, N_HASHES), dtype=np.uint64)
+        for i, text in enumerate(texts):
+            sigs[i] = self.signature(text)
+        with np.errstate(over="ignore"):
+            bh = (sigs.reshape(n, N_BANDS, ROWS_PER_BAND) * _BAND_P).sum(
+                axis=2, dtype=np.uint64
+            )
+        bh = (bh >> np.uint64(1)).astype(np.int64).reshape(-1)
+        sig_bytes = [s.tobytes() for s in sigs]
         return pa.table(
             {
-                "band_id": pa.array(bands, pa.int32()),
-                "band_hash": pa.array(bhashes, pa.int64()),
-                "doc_id": pa.array(ids, pa.int64()),
-                "sig": pa.array(sigs, pa.binary()),
+                "band_id": pa.array(
+                    np.tile(np.arange(N_BANDS, dtype=np.int32), n), pa.int32()
+                ),
+                "band_hash": pa.array(bh, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, N_BANDS), pa.int64()),
+                "sig": pa.array(
+                    [b for b in sig_bytes for _ in range(N_BANDS)], pa.binary()
+                ),
             }
         )
 
