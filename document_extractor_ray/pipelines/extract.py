@@ -237,7 +237,22 @@ from document_extractor_ray.sources import PAGE_COLUMNS, read_pages  # noqa: E40
 
 FUSED_FRAGS_PER_TASK = 8
 
-_PQ_FILES: dict = {}  # per-worker-process ParquetFile handle cache
+# Per-worker-process ParquetFile handle cache, LRU-capped: a corpus
+# has ~10^5 files and an open handle costs a file descriptor.
+_PQ_FILES: dict = {}
+_PQ_FILES_MAX = 64
+
+
+def _pq_handle(path: str):
+    pf = _PQ_FILES.pop(path, None)
+    if pf is None:
+        import pyarrow.parquet as pq
+
+        if len(_PQ_FILES) >= _PQ_FILES_MAX:
+            _PQ_FILES.pop(next(iter(_PQ_FILES)))  # evict oldest
+        pf = pq.ParquetFile(path)
+    _PQ_FILES[path] = pf  # re-insert = most recent
+    return pf
 
 
 # Target pages per fused task: bounds the payload bytes a task holds
@@ -268,8 +283,6 @@ def _fused_read_extract(b, cfg: PipelineConfig, winner_ref=None) -> pa.Table:
     apply the dedup winner filter (when broadcast), then the fused
     sniff+explode+pass-1 and the fallback cascade — all without the
     payload column ever entering the object store."""
-    import pyarrow.parquet as pq
-
     from document_extractor_ray.stages.fallback import make_fallback_fn
 
     fb = make_fallback_fn(cfg)
@@ -277,10 +290,7 @@ def _fused_read_extract(b, cfg: PipelineConfig, winner_ref=None) -> pa.Table:
     for p, rg in zip(b["path"], b["rg"]):
         p = str(p)
         try:
-            pf = _PQ_FILES.get(p)
-            if pf is None:
-                pf = _PQ_FILES[p] = pq.ParquetFile(p)
-            t = pf.read_row_group(int(rg), columns=PAGE_COLUMNS)
+            t = _pq_handle(p).read_row_group(int(rg), columns=PAGE_COLUMNS)
         except Exception as e:
             # A corrupt row group must not kill a corpus-scale run:
             # quarantine the fragment as data (the delete-on-success
