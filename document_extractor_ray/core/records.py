@@ -100,6 +100,23 @@ RESULT_STATUSES = frozenset(
 )
 
 
+def capture_hash(html, text) -> bytes:
+    """Deterministic content key of one capture, used to break
+    warc_ts TIES in dedup-first: sequential 'first occurrence' (the
+    obvious oracle rule) is not reproducible in a distributed run
+    whose input order is not stable, so both the oracle and the Ray
+    pipeline pick the tie winner by minimal content hash.  Bitwise-
+    identical captures are indistinguishable and all survive (in both
+    engines identically); downstream exact dedup collapses them."""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(html or b"")
+    h.update(b"\x1f")
+    h.update((text or "").encode("utf-8"))
+    return h.digest()
+
+
 def partition_of(url: str, num_partitions: int) -> int:
     """Stable hash partition: crc32 (process-independent, unlike
     Python's salted hash())."""

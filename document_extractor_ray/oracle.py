@@ -18,18 +18,37 @@ from document_extractor_ray.config import DEFAULT_CONFIG, PipelineConfig
 from document_extractor_ray.core import cascade, records, sniff
 
 
-def dedup_first_indices(urls: List[str], warc_ts: List[int]) -> List[int]:
-    """Exact dedup by url: keep the earliest (warc_ts, input order) row.
+def dedup_first_indices(
+    urls: List[str],
+    warc_ts: List[int],
+    htmls: Optional[List] = None,
+    texts: Optional[List] = None,
+) -> List[int]:
+    """Exact dedup by url: keep the rows minimizing
+    (warc_ts, capture_hash) per url.
+
+    warc_ts ties break on the content hash — NOT input order, which a
+    distributed run cannot reproduce (records.capture_hash).  Bitwise-
+    identical tie captures all survive, identically in the oracle and
+    the Ray pipeline.  When htmls/texts are not given, ties keep
+    every min-ts row (hashless mode, for ts-only callers).
 
     The reference gets idempotency from delete-on-success
     (process_run.py:194-197); a pure rebuild needs explicit dedup-first
     (SURVEY.md §2.8)."""
-    best: Dict[str, int] = {}
-    for i, (u, ts) in enumerate(zip(urls, warc_ts)):
-        j = best.get(u)
-        if j is None or (warc_ts[j], j) > (ts, i):
-            best[u] = i
-    return sorted(best.values())
+    def key(i):
+        if htmls is None:
+            return (warc_ts[i],)
+        return (warc_ts[i], records.capture_hash(htmls[i], texts[i] if texts else None))
+
+    best: Dict[str, tuple] = {}
+    for i, u in enumerate(urls):
+        k = key(i)
+        cur = best.get(u)
+        if cur is None or k < cur:
+            best[u] = k
+    keep = [i for i, u in enumerate(urls) if key(i) == best[u]]
+    return sorted(keep)
 
 
 def run_oracle(table: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
@@ -41,7 +60,11 @@ def run_oracle(table: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
     htmls = table["html"].to_pylist()
     texts = table["text"].to_pylist()
 
-    keep = dedup_first_indices(urls, tss) if cfg.dedup else list(range(len(urls)))
+    keep = (
+        dedup_first_indices(urls, tss, htmls, texts)
+        if cfg.dedup
+        else list(range(len(urls)))
+    )
 
     recs: List[dict] = []
     manifest: List[dict] = []

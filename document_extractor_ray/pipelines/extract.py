@@ -68,10 +68,13 @@ def dedup_first(
        filter — payloads shuffle once, but no component (driver,
        worker heap) ever holds the dup set whole.
 
-    Caveat: two rows with an identical (url, warc_ts) pair would both
-    survive; crawl captures carry distinct timestamps, and the fixture
-    corpus guarantees it.  Skip with cfg.dedup=False when inputs are
-    known unique."""
+    warc_ts ties break on the minimal content hash — the same rule the
+    oracle uses (see _broadcast_winner_dim; sequential 'first
+    occurrence' is not reproducible distributed).  The above-budget
+    JOIN path keeps the ts-only rule (both tie copies survive) — in
+    that >200k-dup regime run exact dedup downstream; documented
+    divergence, found by the fuzz-identity test.  Skip with
+    cfg.dedup=False when inputs are known unique."""
     limit = DEDUP_BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
 
     n_dups, dups = _dup_winners(ds.select_columns(["url", "warc_ts"]))
@@ -79,7 +82,9 @@ def dedup_first(
         return ds
 
     if n_dups <= limit:
-        ref = _broadcast_winner_dim(dups)
+        ref = _broadcast_winner_dim(
+            dups, slim_ds=ds.select_columns(["url", "warc_ts"]), full_ds=ds
+        )
 
         def keep_winners(t: pa.Table) -> pa.Table:
             return _filter_to_winners(t, ref)
@@ -118,11 +123,86 @@ def _dup_winners(slim_ds: "ray.data.Dataset"):
     return dups.count(), dups
 
 
-def _broadcast_winner_dim(dups: "ray.data.Dataset"):
+def _broadcast_winner_dim(
+    dups: "ray.data.Dataset",
+    slim_ds: "ray.data.Dataset" = None,
+    full_ds: "ray.data.Dataset" = None,
+):
+    """Broadcast the (url, min_ts[, win_hash]) winner table.
+
+    warc_ts TIES (two captures of one url with the same timestamp)
+    break on the minimal content hash — the same rule the oracle uses
+    (records.capture_hash; input order is not reproducible
+    distributed).  Layered so the common case stays slim:
+
+    1. tie DETECTION runs on the slim (url, warc_ts) projection only;
+    2. the payload-reading hash pass runs ONLY when a tie exists, and
+       hashes ONLY rows at (tie url, min_ts).
+    Bitwise-identical tie captures all survive (indistinguishable),
+    identically in both engines."""
+    from ray.data.aggregate import Count, Min
+
     from document_extractor_ray import state
 
-    dim = pa.concat_tables(dups.iter_batches(batch_format="pyarrow"))
-    return state.broadcast(dim.combine_chunks())
+    dim = pa.concat_tables(dups.iter_batches(batch_format="pyarrow")).combine_chunks()
+
+    tie_urls = None
+    if slim_ds is not None and dim.num_rows:
+        dref = ray.put(dim)
+
+        def min_rows(t: pa.Table) -> pa.Table:
+            d = ray.get(dref)
+            idx = pc.index_in(t["url"], value_set=d["url"])
+            m = pc.fill_null(pc.equal(t["warc_ts"], pc.take(d["min_ts"], idx)), False)
+            return pa.table({"url": t.filter(m)["url"]})
+
+        counts = (
+            slim_ds.map_batches(min_rows, batch_format="pyarrow")
+            .groupby("url")
+            .aggregate(Count(alias_name="n"))
+        )
+        ties = counts.map_batches(
+            lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
+        ).take_all()
+        tie_urls = pa.array(sorted(r["url"] for r in ties), pa.string())
+
+    if tie_urls is not None and len(tie_urls) and full_ds is not None:
+        from document_extractor_ray.core import records as _records
+
+        dref = ray.put(dim)
+
+        def hash_candidates(t: pa.Table) -> pa.Table:
+            d = ray.get(dref)
+            idx = pc.index_in(t["url"], value_set=d["url"])
+            cand = pc.and_(
+                pc.is_in(t["url"], value_set=tie_urls),
+                pc.fill_null(
+                    pc.equal(t["warc_ts"], pc.take(d["min_ts"], idx)), False
+                ),
+            )
+            sub = t.filter(cand)
+            hs = [
+                _records.capture_hash(h, x)
+                for h, x in zip(sub["html"].to_pylist(), sub["text"].to_pylist())
+            ]
+            return pa.table(
+                {"url": sub["url"], "h": pa.array(hs, pa.binary())}
+            )
+
+        winners = (
+            full_ds.map_batches(hash_candidates, batch_format="pyarrow")
+            .groupby("url")
+            .aggregate(Min("h", alias_name="win_hash"))
+        ).take_all()
+        wmap = {r["url"]: r["win_hash"] for r in winners}
+        win_col = pa.array(
+            [wmap.get(u) for u in dim["url"].to_pylist()], pa.binary()
+        )
+    else:
+        win_col = pa.array([None] * dim.num_rows, pa.binary())
+
+    dim = dim.append_column("win_hash", win_col)
+    return state.broadcast(dim)
 
 
 def _keep_winner_mask(t: pa.Table, min_ts) -> pa.Table:
@@ -133,11 +213,37 @@ def _keep_winner_mask(t: pa.Table, min_ts) -> pa.Table:
 
 
 def _filter_to_winners(t: pa.Table, ref) -> pa.Table:
+    import numpy as np
+
     from document_extractor_ray import state
+    from document_extractor_ray.core import records as _records
 
     d = state.cached_get(ref)
     idx = pc.index_in(t["url"], value_set=d["url"])
-    return _keep_winner_mask(t, pc.take(d["min_ts"], idx))
+    min_ts = pc.take(d["min_ts"], idx)
+    keep = pc.fill_null(
+        pc.or_kleene(pc.is_null(min_ts), pc.equal(t["warc_ts"], min_ts)), False
+    )
+    if "win_hash" in d.schema.names and d["win_hash"].null_count < d.num_rows:
+        win_hash = pc.take(d["win_hash"], idx)
+        cand = pc.fill_null(
+            pc.and_kleene(
+                pc.is_valid(win_hash), pc.equal(t["warc_ts"], min_ts)
+            ),
+            False,
+        )
+        cand_np = cand.to_numpy(zero_copy_only=False)
+        if cand_np.any():
+            keep_np = keep.to_numpy(zero_copy_only=False).copy()
+            idxs = np.nonzero(cand_np)[0]
+            sub = t.take(pa.array(idxs))
+            wh = pc.take(win_hash, pa.array(idxs)).to_pylist()
+            for j, (h, x) in enumerate(
+                zip(sub["html"].to_pylist(), sub["text"].to_pylist())
+            ):
+                keep_np[idxs[j]] = _records.capture_hash(h, x) == wh[j]
+            keep = pa.array(keep_np, pa.bool_())
+    return t.filter(keep)
 
 
 def build_extraction(
@@ -342,7 +448,11 @@ def build_extraction_fused(
         if n_dups > DEDUP_BROADCAST_LIMIT:
             return None
         if n_dups > 0:
-            winner_ref = _broadcast_winner_dim(dups)
+            winner_ref = _broadcast_winner_dim(
+                dups,
+                slim_ds=ray.data.read_parquet(paths, columns=["url", "warc_ts"]),
+                full_ds=ray.data.read_parquet(paths, columns=PAGE_COLUMNS),
+            )
 
     frags, max_rg_rows = page_fragments(paths)
     # Scale fragments-per-task so a task never holds more than
