@@ -78,12 +78,65 @@ def test_pipeline_matches_oracle_on_fuzzed_corpora(_ray, rows):
         }
     )
     cfg = DEFAULT_CONFIG
-    want = sorted(
-        oracle.run_oracle(table, cfg)["final"].to_pylist(), key=lambda r: r["url"]
-    )
+    # dedup=False keeps several rows per url: sort by the full
+    # canonical row so identical multisets pair deterministically.
+    canon = lambda r: repr(sorted((k, v) for k, v in r.items()))
+    want = sorted(oracle.run_oracle(table, cfg)["final"].to_pylist(), key=canon)
     got = sorted(
-        build_extraction(ray.data.from_arrow(table), cfg).take_all(),
-        key=lambda r: r["url"],
+        build_extraction(ray.data.from_arrow(table), cfg).take_all(), key=canon
+    )
+    assert len(got) == len(want), (len(got), len(want))
+    for g, w in zip(got, want):
+        assert g == w, g["url"]
+
+
+_configs = st.fixed_dictionaries(
+    {
+        "txt_cutoff": st.sampled_from([0.0, 0.5, 0.75, 2.0]),
+        "ocr_a_cutoff": st.sampled_from([0.0, 0.65, 2.0]),
+        "ocr_b_cutoff": st.sampled_from([0.0, 0.55, 2.0]),
+        "enable_txt_pass": st.booleans(),
+        "enable_ocr_a": st.booleans(),
+        "enable_ocr_b": st.booleans(),
+        "big_page_limit": st.sampled_from([2, 50]),
+        "big_size_bytes": st.sampled_from([128, 64 * 1024]),
+        "dedup": st.booleans(),
+    }
+)
+
+
+@given(corpus(), _configs)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pipeline_matches_oracle_across_config_space(_ray, rows, cfg_kwargs):
+    """Identity must hold for EVERY config: forced accepts/rejects,
+    disabled stages, forced per-page, tiny big-doc thresholds."""
+    import ray.data
+
+    from document_extractor_ray import oracle
+    from document_extractor_ray.pipelines.extract import build_extraction
+
+    table = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array(
+                [r[1] * 1_000_000 for r in rows], pa.timestamp("us")
+            ),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        }
+    )
+    cfg = DEFAULT_CONFIG.with_(**cfg_kwargs)
+    # dedup=False keeps several rows per url: sort by the full
+    # canonical row so identical multisets pair deterministically.
+    canon = lambda r: repr(sorted((k, v) for k, v in r.items()))
+    want = sorted(oracle.run_oracle(table, cfg)["final"].to_pylist(), key=canon)
+    got = sorted(
+        build_extraction(ray.data.from_arrow(table), cfg).take_all(), key=canon
     )
     assert len(got) == len(want), (len(got), len(want))
     for g, w in zip(got, want):
