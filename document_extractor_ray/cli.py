@@ -21,16 +21,23 @@ import sys
 
 
 def _ray_session(num_cpus: int):
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=num_cpus,
+        # RAY_ADDRESS=local here (sandbox); under `ray job submit` the
+        # job env points at the running cluster and num_cpus is
+        # ignored by the connect path.
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = dict(
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+        if addr == "local":
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address=addr, **kwargs)
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
