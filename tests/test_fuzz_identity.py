@@ -141,3 +141,41 @@ def test_pipeline_matches_oracle_across_config_space(_ray, rows, cfg_kwargs):
     assert len(got) == len(want), (len(got), len(want))
     for g, w in zip(got, want):
         assert g == w, g["url"]
+
+
+@given(corpus(), st.sampled_from([1, 2, 5, 64]))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fused_path_matches_oracle_on_fuzzed_corpora(_ray, tmp_path_factory, rows, rg_size):
+    """run_extraction(path) — the fused read+extract plan with the
+    winner broadcast and tie-break inside the fragment tasks — fuzzed
+    against the oracle across row-group layouts."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import oracle
+    from document_extractor_ray.pipelines.extract import run_extraction
+
+    table = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array(
+                [r[1] * 1_000_000 for r in rows], pa.timestamp("us")
+            ),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        }
+    )
+    path = str(tmp_path_factory.mktemp("fuzz") / "pages.parquet")
+    pq.write_table(table, path, row_group_size=rg_size)
+
+    cfg = DEFAULT_CONFIG
+    canon = lambda r: repr(sorted((k, v) for k, v in r.items()))
+    want = sorted(oracle.run_oracle(table, cfg)["final"].to_pylist(), key=canon)
+    got = sorted(run_extraction(path, cfg).take_all(), key=canon)
+    assert len(got) == len(want), (len(got), len(want))
+    for g, w in zip(got, want):
+        assert g == w, g["url"]
