@@ -143,7 +143,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from document_extractor_ray.functions import analytics, dedup, textstats, training
+    from document_extractor_ray.functions import (
+        analytics,
+        dedup,
+        sqlhash,
+        textstats,
+        training,
+    )
 
     return {
         "q1_lineitem": analytics.Q1_SQL,
@@ -167,9 +173,19 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "stratified_sample": training.STRATIFIED_SAMPLE_SQL,
         "top_docs_per_lang": training.TOP_DOCS_PER_LANG_SQL,
-        # extract_*, fingerprints, minhash_dup_pairs, simhash,
-        # ngram_jaccard, embedding_dup_pairs, knn_*, media_features:
-        # not SQL-expressible (rolling/content hashing, LSH, model
-        # stages) -> rows-only driver check + golden-pinned pytest
-        # (tests/test_goldens.py diffs committed parquet).
+        # --- content-hash family: crc32/minhash/simhash computed in
+        # pure SQL (recursive-CTE CRC-32 + HUGEINT mod-2^64 arithmetic,
+        # constants inlined from the live kernels — sqlhash.py) ---
+        "simhash": sqlhash.simhash_sql(),
+        "minhash_dup_pairs": sqlhash.minhash_pairs_sql(),
+        "ngram_jaccard_dups": sqlhash.ngram_jaccard_sql(),
+        "fingerprints": sqlhash.fingerprints_sql(),
+        "decontaminate": sqlhash.decontaminate_sql(),
+        "near_dup_clusters": sqlhash.near_dup_clusters_sql(),
+        "near_dedup_keep": sqlhash.near_dedup_keep_sql(),
+        # extract_* (HTML parsing), embedding_dup_* (planted inputs the
+        # oracle views can't see), knn_lsh/knn_ivf (seeded-RNG plane /
+        # centroid state), pack_sequences (sequential greedy state),
+        # media_features (synthesized binary payloads): rows-only
+        # driver check + golden-pinned pytest (tests/test_goldens.py).
     }

@@ -522,7 +522,7 @@ def ngram_jaccard_dups(
             if j >= verify_threshold:
                 out_a.append(r["doc_a"])
                 out_b.append(r["doc_b"])
-                out_j.append(round(j, 6))
+                out_j.append(j)
         return pa.table(
             {
                 "doc_a": pa.array(out_a, pa.int64()),
@@ -588,7 +588,7 @@ def ngram_jaccard_dups(
             if j >= verify_threshold:
                 out_a.append(a_)
                 out_b.append(b_)
-                out_j.append(round(j, 6))
+                out_j.append(j)
         return pa.table(
             {
                 "doc_a": pa.array(out_a, pa.int64()),

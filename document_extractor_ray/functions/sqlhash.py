@@ -1,0 +1,439 @@
+"""DuckDB-SQL oracle builders for the content-hash operator family.
+
+The dedup/fingerprint operators (SimHash, MinHash-LSH, n-gram Jaccard,
+winnowing fingerprints, decontamination) are deterministic given their
+seeded constants, so they ARE SQL-expressible — the only non-trivial
+primitive is the per-word ``zlib.crc32``, which this module computes in
+pure SQL with a recursive CTE: generate the 256-entry CRC-32 table
+(polynomial 0xEDB88320, the zlib/PKZIP reflected form), then fold the
+word's UTF-8 bytes (via ``hex(encode(w))`` + a 256-row hex lookup).
+
+Every numeric constant (shingle mix primes, MinHash ``(a_i, b_i)``
+params, band multipliers) is imported from the live kernels in
+``dedup.py``/``textstats.py`` and inlined into the generated SQL, so
+the oracle can never drift from the engine.
+
+uint64 wraparound arithmetic maps to ``HUGEINT`` (int128) with explicit
+``% 2^64``; the one place a 64x64-bit product can overflow int128 (the
+band hash, where both factors are full 64-bit values) uses a split
+multiply (``_mulmod64``).
+
+These strings run over the driver's registered parquet views
+(``documents`` et al.) at sf0.01 — the cross products (words x 64
+hashes) are a few million rows there, well inside DuckDB's comfort
+zone.  They are oracles, not engines: the Ray pipelines remain the
+scale path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from document_extractor_ray.functions import dedup as _dd
+
+P64 = 1 << 64
+GOLD = int(_dd._SIMHASH_MIX)  # 0x9E3779B97F4A7C15
+
+# ---------------------------------------------------------------------------
+# Shared CTE fragments
+# ---------------------------------------------------------------------------
+
+# crc_gen/crc_table: the 256-entry zlib CRC-32 table, 8 shift-xor folds
+# per entry (0xEDB88320 = 3988292384).
+_CRC_TABLE = """crc_gen(n, step, c) AS (
+  SELECT i, 0, i::BIGINT FROM range(256) t(i)
+  UNION ALL
+  SELECT n, step + 1,
+         CASE WHEN c % 2 = 1 THEN xor(c // 2, 3988292384) ELSE c // 2 END
+  FROM crc_gen WHERE step < 8
+),
+crc_table AS (SELECT n, c AS v FROM crc_gen WHERE step = 8),
+hexmap AS (SELECT printf('%02x', i) AS h, i::BIGINT AS v FROM range(256) t(i))"""
+
+
+def _words(lower: bool) -> str:
+    """CTEs ``words(doc_id, w, pos)``: whitespace-split tokens of
+    ``documents.text`` with 1-based consecutive positions (empty
+    fragments from edge whitespace dropped, mirroring str.split())."""
+    text = "lower(text)" if lower else "text"
+    return f"""split AS (SELECT doc_id, string_split_regex({text}, '\\s+') AS ws FROM documents),
+raww AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS p FROM split),
+words AS (
+  SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+  FROM raww WHERE w <> ''
+)"""
+
+
+# fold: per distinct word, iterate crc over the word's UTF-8 bytes.
+_WORD_CRC = """vhex AS (
+  SELECT w, lower(hex(encode(w))) AS hx, octet_length(encode(w)) AS nb
+  FROM (SELECT DISTINCT w FROM words)
+),
+fold(w, j, nb, c) AS (
+  SELECT w, 0, nb, 4294967295::BIGINT FROM vhex
+  UNION ALL
+  SELECT f.w, f.j + 1, f.nb, xor(ct.v, f.c // 256)
+  FROM fold f
+  JOIN vhex vb ON vb.w = f.w
+  JOIN hexmap hm ON hm.h = substr(vb.hx, 2 * f.j + 1, 2)
+  JOIN crc_table ct ON ct.n = xor(f.c % 256, hm.v)
+  WHERE f.j < f.nb
+),
+wcrc0 AS (SELECT w, xor(c, 4294967295) AS crc FROM fold WHERE j = nb),
+wcrc AS (SELECT words.doc_id, words.pos, wcrc0.crc FROM words JOIN wcrc0 USING (w))"""
+
+
+def _mulmod64(a: str, b: int) -> str:
+    """(a * b) % 2^64 where ``a`` may be a full 64-bit SQL expression
+    and ``b`` a python constant < 2^64 — split ``a`` into 32-bit halves
+    so no intermediate exceeds HUGEINT."""
+    hi = f"((({a}) // 4294967296) * {b}::HUGEINT) % 4294967296"
+    lo = f"(({a}) % 4294967296) * {b}::HUGEINT"
+    return f"((({hi}) * 4294967296 + ({lo})) % {P64}::HUGEINT)"
+
+
+def _shingle_cte(k: int) -> str:
+    """CTE ``shingle(doc_id, x)``: DISTINCT word-k-gram hashes, the
+    exact mirror of ``dedup.shingles`` — h = sum_i crc[pos+i]*P[i%3]
+    mod 2^64 for full windows; the short-doc (< k words) branch is the
+    sequential fold acc = acc*P[i%3] + crc."""
+    P = [int(p) for p in _dd._SHINGLE_P]
+    terms = " + ".join(
+        f"(c{i}::HUGEINT * {P[i % 3]}::HUGEINT)" for i in range(k)
+    )
+    leads = ",\n         ".join(
+        f"lead(crc, {i}) OVER (PARTITION BY doc_id ORDER BY pos) AS c{i}"
+        for i in range(1, k)
+    )
+    # short-doc fold: acc_j = acc_{j-1} * P[(j-1)%3] + crc_j  (1-based pos)
+    return f"""nw AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+winh AS (
+  SELECT doc_id, crc AS c0,
+         {leads}
+  FROM wcrc
+),
+longsh AS (
+  SELECT winh.doc_id, ({terms}) % {P64}::HUGEINT AS x
+  FROM winh JOIN nw USING (doc_id)
+  WHERE nw.n >= {k} AND c{k - 1} IS NOT NULL
+),
+shortfold(doc_id, j, n, acc) AS (
+  SELECT nw.doc_id, 0, nw.n, 0::HUGEINT FROM nw WHERE nw.n < {k} AND nw.n > 0
+  UNION ALL
+  SELECT f.doc_id, f.j + 1, f.n,
+         (CASE f.j % 3
+              WHEN 0 THEN {_mulmod64('f.acc', P[0])}
+              WHEN 1 THEN {_mulmod64('f.acc', P[1])}
+              ELSE {_mulmod64('f.acc', P[2])} END + w.crc) % {P64}::HUGEINT
+  FROM shortfold f JOIN wcrc w ON w.doc_id = f.doc_id AND w.pos = f.j + 1
+  WHERE f.j < f.n
+),
+shortsh AS (SELECT doc_id, acc AS x FROM shortfold WHERE j = n),
+shingle AS (
+  SELECT DISTINCT doc_id, x FROM (
+    SELECT doc_id, x FROM longsh UNION ALL SELECT doc_id, x FROM shortsh
+  )
+)"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash oracle
+# ---------------------------------------------------------------------------
+
+def simhash_sql() -> str:
+    """Oracle for ``simhash_table``: per-word crc32 mixed by the
+    golden-ratio multiply, per-bit majority vote, emitted >> 1 as
+    int64 (mirrors ``dedup.simhash64``)."""
+    return f"""WITH RECURSIVE
+{_words(lower=True)},
+{_CRC_TABLE},
+{_WORD_CRC},
+wh AS (
+  SELECT doc_id, pos,
+         (crc::HUGEINT * {GOLD}::HUGEINT) % {P64}::HUGEINT AS h
+  FROM wcrc
+),
+nw AS (SELECT doc_id, count(*) AS n FROM wh GROUP BY doc_id),
+pow2(b, p) AS (
+  SELECT 0, 1::HUGEINT UNION ALL SELECT b + 1, p * 2 FROM pow2 WHERE b < 63
+),
+votes AS (
+  SELECT wh.doc_id, pow2.p, sum((wh.h // pow2.p) % 2) AS v
+  FROM wh CROSS JOIN pow2 GROUP BY wh.doc_id, pow2.p
+),
+sh AS (
+  SELECT votes.doc_id,
+         sum(CASE WHEN 2 * votes.v - nw.n > 0 THEN votes.p ELSE 0::HUGEINT END) AS val
+  FROM votes JOIN nw USING (doc_id) GROUP BY votes.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(sh.val, 0::HUGEINT) // 2 AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup pairs oracle
+# ---------------------------------------------------------------------------
+
+def _sig_ctes(k: int = 3) -> str:
+    """CTEs ``sigs(doc_id, i, sig)``: the 64 MinHash signature values
+    per doc — min over shingles of the multiply-shift hash
+    (a_i*x + b_i) mod 2^64, constants inlined from ``_hash_params``."""
+    a, b = _dd._hash_params()
+    hp_rows = ",\n    ".join(
+        f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)" for i in range(len(a))
+    )
+    return f"""{_shingle_cte(k)},
+hp(i, a, b) AS (VALUES
+    {hp_rows}
+),
+sigs AS (
+  SELECT shingle.doc_id, hp.i,
+         min((hp.a * shingle.x + hp.b) % {P64}::HUGEINT) AS sig
+  FROM shingle CROSS JOIN hp
+  GROUP BY shingle.doc_id, hp.i
+)"""
+
+
+def _band_ctes() -> str:
+    """CTEs ``bandh(doc_id, band_id, band_hash)``: the 16-band LSH
+    bucket keys — sum of sig * band-multiplier mod 2^64, >> 1
+    (mirrors the MinHasher band explode)."""
+    bp = [int(v) for v in _dd._BAND_P]
+    cases = "\n           ".join(
+        f"WHEN {r} THEN {_mulmod64('sigs.sig', bp[r])}" for r in range(len(bp))
+    )
+    return f"""bandterm AS (
+  SELECT doc_id, i // {len(bp)} AS band_id,
+         CASE i % {len(bp)}
+           {cases}
+         END AS term
+  FROM sigs
+),
+bandh AS (
+  SELECT doc_id, band_id,
+         (sum(term) % {P64}::HUGEINT) // 2 AS band_hash
+  FROM bandterm GROUP BY doc_id, band_id
+)"""
+
+
+def minhash_pairs_sql(threshold: float = 0.7) -> str:
+    """Oracle for ``minhash_dup_pairs``: band-bucket candidates,
+    full-signature agreement >= threshold, distinct (doc_a < doc_b).
+
+    Caveat (documented, not hit by the sf corpora): docs with zero
+    shingles get all-max signatures in the engine and would pair with
+    est 1.0; they have no shingle rows here.  The engine's
+    MAX_BUCKET=1024 skew cap likewise never triggers at sf scale."""
+    return f"""WITH RECURSIVE
+{_words(lower=True)},
+{_CRC_TABLE},
+{_WORD_CRC},
+{_sig_ctes(k=3)},
+{_band_ctes()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandh a
+  JOIN bandh b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)::DOUBLE / 64 AS est_jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard FROM est
+WHERE est_jaccard >= {threshold}
+ORDER BY doc_a, doc_b"""
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (MinHash candidates -> exact verify) oracle
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_sql(
+    candidate_threshold: float = 0.5, verify_threshold: float = 0.6
+) -> str:
+    """Oracle for ``ngram_jaccard_dups``: MinHash-LSH candidates at
+    ``candidate_threshold`` verified by exact Jaccard over the DISTINCT
+    shingle-hash sets.  The jaccard column is the raw IEEE double
+    quotient inter/union — bit-identical to the engine's Python float
+    division (no rounding on either side)."""
+    return f"""WITH RECURSIVE
+{_words(lower=True)},
+{_CRC_TABLE},
+{_WORD_CRC},
+{_sig_ctes(k=3)},
+{_band_ctes()},
+cand0 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandh a
+  JOIN bandh b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+),
+cand AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand0 c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+  GROUP BY c.doc_a, c.doc_b
+  HAVING sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)::DOUBLE / 64
+         >= {candidate_threshold}
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingle GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN shingle s1 ON s1.doc_id = c.doc_a
+  JOIN shingle s2 ON s2.doc_id = c.doc_b AND s2.x = s1.x
+  GROUP BY c.doc_a, c.doc_b
+),
+jacc AS (
+  SELECT c.doc_a, c.doc_b,
+         coalesce(i.n_inter, 0)::DOUBLE
+           / (sa.sz + sb.sz - coalesce(i.n_inter, 0)) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM jacc
+WHERE jaccard >= {verify_threshold}
+ORDER BY doc_a, doc_b"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint oracle
+# ---------------------------------------------------------------------------
+
+def fingerprints_sql(window: int = 8) -> str:
+    """Oracle for ``textstats.fingerprints``: min of Rabin-Karp rolling
+    hashes (base 1000003, mod 2^63) over word ``window``-grams; docs
+    shorter than the window hash as one whole-doc window (the exact
+    branch structure of ``rolling_fingerprint``).  Words are NOT
+    lowercased there (text.split())."""
+    m63 = 1 << 63
+    pw_rows = ",\n    ".join(
+        f"({t}, {pow(1000003, t, m63)}::HUGEINT)" for t in range(window)
+    )
+    return f"""WITH RECURSIVE
+{_words(lower=False)},
+{_CRC_TABLE},
+{_WORD_CRC},
+nw AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+wlen AS (
+  SELECT doc_id, n, CASE WHEN n >= {window} THEN {window} ELSE n END AS l FROM nw
+),
+pw(t, p) AS (VALUES
+    {pw_rows}
+),
+terms AS (
+  SELECT wcrc.doc_id, wcrc.pos - off.j AS s, wcrc.crc::HUGEINT * pw.p AS term
+  FROM wcrc
+  JOIN wlen USING (doc_id)
+  JOIN range({window}) off(j) ON off.j < wlen.l
+  JOIN pw ON pw.t = wlen.l - 1 - off.j
+  WHERE wcrc.pos - off.j >= 1 AND wcrc.pos - off.j <= wlen.n - wlen.l + 1
+),
+winhash AS (
+  SELECT doc_id, s, sum(term) % {m63}::HUGEINT AS h FROM terms GROUP BY doc_id, s
+),
+fp AS (SELECT doc_id, min(h) AS v FROM winhash GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(fp.v, 0::HUGEINT) AS BIGINT) AS fingerprint
+FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination oracle
+# ---------------------------------------------------------------------------
+
+def decontaminate_sql(k: int = 8, n_benchmark: int = 3, min_hits: int = 1) -> str:
+    """Oracle for ``decontaminate_docs``: the benchmark set is the
+    ``n_benchmark`` lowest-doc_id documents' distinct word-k-gram
+    shingles; every doc counts its distinct-shingle overlap with that
+    set (so the benchmark docs provably self-flag)."""
+    return f"""WITH RECURSIVE
+{_words(lower=True)},
+{_CRC_TABLE},
+{_WORD_CRC},
+{_shingle_cte(k)},
+bench AS (
+  SELECT DISTINCT x FROM shingle
+  WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {n_benchmark})
+),
+hits AS (
+  SELECT s.doc_id, count(*) AS h
+  FROM shingle s JOIN bench b ON b.x = s.x
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(hits.h, 0) AS BIGINT) AS n_benchmark_hits,
+       coalesce(hits.h, 0) >= {min_hits} AS contaminated
+FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering oracles (connected components over MinHash pairs)
+# ---------------------------------------------------------------------------
+
+def _cluster_ctes(threshold: float) -> str:
+    """CTEs ``comp(doc_id, cluster_id)``: connected components of the
+    MinHash near-dup pair graph by recursive min-label propagation
+    (labels(v, l) grows the set of component members reachable from v;
+    min over l is the component id).  Docs in no pair label
+    themselves."""
+    return f"""pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bandh a
+    JOIN bandh b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id
+  ) c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+  GROUP BY c.doc_a, c.doc_b
+  HAVING sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)::DOUBLE / 64
+         >= {threshold}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+labels(v, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, labels.l FROM edges e JOIN labels ON labels.v = e.v
+),
+comp AS (SELECT v AS doc_id, min(l) AS cluster_id FROM labels GROUP BY v)"""
+
+
+def near_dup_clusters_sql(threshold: float = 0.7) -> str:
+    """Oracle for ``near_dup_clusters``: (doc_id, cluster_id = min
+    doc_id of the component; singletons label themselves)."""
+    return f"""WITH RECURSIVE
+{_words(lower=True)},
+{_CRC_TABLE},
+{_WORD_CRC},
+{_sig_ctes(k=3)},
+{_band_ctes()},
+{_cluster_ctes(threshold)}
+SELECT doc_id, cluster_id FROM comp ORDER BY doc_id"""
+
+
+def near_dedup_keep_sql(threshold: float = 0.7) -> str:
+    """Oracle for ``near_dedup_keep``: the min-doc_id representative of
+    every near-dup cluster."""
+    return f"""WITH RECURSIVE
+{_words(lower=True)},
+{_CRC_TABLE},
+{_WORD_CRC},
+{_sig_ctes(k=3)},
+{_band_ctes()},
+{_cluster_ctes(threshold)}
+SELECT doc_id FROM comp WHERE doc_id = cluster_id ORDER BY doc_id"""
