@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": similarity.knn_brute_embeddings,
         "knn_lsh": similarity.knn_lsh_embeddings,
         "knn_ivf": similarity.knn_ivf_embeddings,
+        "embedding_topk_pairs": similarity.embedding_topk_pairs,
         # --- training-data assembly ---
         "pack_sequences": training.pack_sequences_docs,
         "stratified_sample": training.stratified_sample_docs,
@@ -146,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
     from document_extractor_ray.functions import (
         analytics,
         dedup,
+        similarity,
         sqlhash,
         textstats,
         training,
@@ -183,6 +185,10 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": sqlhash.decontaminate_sql(),
         "near_dup_clusters": sqlhash.near_dup_clusters_sql(),
         "near_dedup_keep": sqlhash.near_dedup_keep_sql(),
+        # --- exact similarity search (float64 compute, half-up micro
+        # ints on both sides; margins audited in similarity.py) ---
+        "knn_brute": similarity.KNN_BRUTE_SQL,
+        "embedding_topk_pairs": similarity.EMBEDDING_TOPK_PAIRS_SQL,
         # extract_* (HTML parsing), embedding_dup_* (planted inputs the
         # oracle views can't see), knn_lsh/knn_ivf (seeded-RNG plane /
         # centroid state), pack_sequences (sequential greedy state),

@@ -70,12 +70,18 @@ def default_queries(sf_dir: str, n_queries: int = 8) -> pa.Table:
 
 class BatchTopK:
     """Actor stage: holds the broadcast query matrix; per batch, one
-    matmul and a partial top-k per query."""
+    matmul and a partial top-k per query.
 
-    def __init__(self, query_ref, k: int):
+    ``dtype``: float32 is the scale default; knn_brute uses float64 so
+    its scores are reproducible by the DuckDB oracle (both sides then
+    agree to ~1e-16, and the measured rank gaps / micro-rounding
+    margins on the sf corpora are >= 1e-5 — ten orders wider)."""
+
+    def __init__(self, query_ref, k: int, dtype: str = "float32"):
         q = ray.get(query_ref)
+        self.dtype = np.dtype(dtype)
         self.query_ids = q["ids"]
-        self.qm = _normalize_rows(q["matrix"]).astype(np.float32)
+        self.qm = _normalize_rows(q["matrix"].astype(self.dtype, copy=False))
         self.k = k
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -89,7 +95,7 @@ class BatchTopK:
                     "score": pa.array([], pa.float64()),
                 }
             )
-        mat = _normalize_rows(mat)
+        mat = _normalize_rows(mat.astype(self.dtype, copy=False))
         sims = self.qm @ mat.T  # (n_queries, batch)
         k = min(self.k, sims.shape[1])
         idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
@@ -114,14 +120,16 @@ def knn_brute(
     k: int = 10,
 ) -> pa.Table:
     """Exact cosine top-k per query.  Returns (query_id, rank, vec_id,
-    score) sorted, with deterministic tie-break on vec_id."""
+    score_micro) sorted, with deterministic tie-break on vec_id;
+    scores are computed in float64 and emitted as half-up micro ints
+    so the DuckDB oracle (KNN_BRUTE_SQL) reproduces them exactly."""
     qids = query_table["vec_id"].to_pylist()
     qm = embedding_matrix(query_table["embedding"])
     ref = ray.put({"ids": qids, "matrix": qm})
 
     partials = ds.map_batches(
         BatchTopK,
-        fn_constructor_kwargs={"query_ref": ref, "k": k},
+        fn_constructor_kwargs={"query_ref": ref, "k": k, "dtype": "float64"},
         batch_format="pyarrow",
         concurrency=2,
         batch_size=4096,
@@ -387,16 +395,148 @@ def _merge_topk(partials: "ray.data.Dataset", k: int) -> pa.Table:
             out_q.append(qid)
             out_rank.append(rank)
             out_v.append(vid)
-            out_s.append(round(-neg, 6))
+            # half-up micro-int score: floor(s*1e6 + 0.5) is what the
+            # SQL oracle computes too (DuckDB round() is half-away,
+            # np.round is half-even — floor(+0.5) sidesteps both).
+            out_s.append(int(np.floor(-neg * 1e6 + 0.5)))
     return pa.table(
         {
             "query_id": pa.array(out_q, pa.int64()),
             "rank": pa.array(out_rank, pa.int64()),
             "vec_id": pa.array(out_v, pa.int64()),
-            "score": pa.array(out_s, pa.float64()),
+            "score_micro": pa.array(out_s, pa.int64()),
         }
     )
 
 
 def knn_ivf_embeddings(sf_dir: str, k: int = 10) -> pa.Table:
     return knn_ivf(_read_embeddings(sf_dir), default_queries(sf_dir), k=k)
+
+
+# ---------------------------------------------------------------------------
+# SQL oracles (exact variants only — LSH/IVF are seeded-RNG approximations)
+# ---------------------------------------------------------------------------
+
+# knn_brute: same 8 lowest-vec_id queries, cosine in DOUBLE, rank ties
+# broken on vec_id, score as the half-up micro int both engines agree
+# on (measured sf margins: rank gaps >= 7.8e-6, micro margins >= 3.5e-3
+# vs ~4e-16 cross-engine float noise).
+KNN_BRUTE_SQL = """
+WITH qy AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+s AS (
+  SELECT qy.query_id, e.vec_id,
+         list_cosine_similarity(qy.qe, e.embedding::DOUBLE[]) AS score
+  FROM qy CROSS JOIN embeddings e
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, rank, vec_id,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+FROM r WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+class PairTopK:
+    """Actor stage for exact top-pairs: holds the broadcast normalized
+    corpus matrix; per batch, one (batch x corpus) matmul masked to
+    vec_a < vec_b, partial top-n pairs emitted."""
+
+    def __init__(self, corpus_ref, n_pairs: int):
+        c = ray.get(corpus_ref)
+        self.ids = c["ids"]
+        self.mat = c["matrix"]  # already normalized float64
+        self.n = n_pairs
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bids = t["vec_id"].to_numpy()
+        bm = _normalize_rows(embedding_matrix(t["embedding"]).astype(np.float64))
+        empty = pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if bm.size == 0:
+            return empty
+        sims = bm @ self.mat.T  # (batch, corpus)
+        mask = bids[:, None] < self.ids[None, :]
+        flat = np.where(mask, sims, -np.inf).ravel()
+        n = min(self.n, int(mask.sum()))
+        if n == 0:
+            return empty
+        idx = np.argpartition(-flat, n - 1)[:n]
+        bi, cj = np.unravel_index(idx, sims.shape)
+        return pa.table(
+            {
+                "vec_a": pa.array(bids[bi], pa.int64()),
+                "vec_b": pa.array(self.ids[cj], pa.int64()),
+                "score": pa.array(flat[idx], pa.float64()),
+            }
+        )
+
+
+def embedding_topk_pairs(sf_dir: str, n_pairs: int = 50) -> pa.Table:
+    """Exact top-``n_pairs`` most-similar embedding pairs by cosine
+    (vec_a < vec_b), ranked desc with (vec_a, vec_b) tie-break.
+
+    This is the exact audit/verification primitive for the
+    LSH-bucketed ``embedding_dup_pairs`` scale path: it broadcasts the
+    normalized corpus matrix once (ray.put) and streams batches
+    against it — O(corpus x batch) compute, partial top-n per batch,
+    tiny driver merge.  Use it up to the memory budget of one
+    broadcast matrix (~10^7 x 64 f64 = 5 GB); beyond that the bucketed
+    operators are the only option."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = _normalize_rows(embedding_matrix(t["embedding"]).astype(np.float64))
+    ref = ray.put({"ids": ids, "matrix": mat})
+
+    partials = _read_embeddings(sf_dir).map_batches(
+        PairTopK,
+        fn_constructor_kwargs={"corpus_ref": ref, "n_pairs": n_pairs},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=4096,
+    )
+    rows = [
+        (-r["score"], r["vec_a"], r["vec_b"]) for r in partials.take_all()
+    ]
+    top = heapq.nsmallest(n_pairs, rows)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(top) + 1), pa.int64()),
+            "vec_a": pa.array([a for _, a, _ in top], pa.int64()),
+            "vec_b": pa.array([b for _, _, b in top], pa.int64()),
+            "sim_micro": pa.array(
+                [int(np.floor(-neg * 1e6 + 0.5)) for neg, _, _ in top], pa.int64()
+            ),
+        }
+    )
+
+
+EMBEDDING_TOPK_PAIRS_SQL = """
+WITH s AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS score
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+r AS (
+  SELECT va AS vec_a, vb AS vec_b, score,
+         row_number() OVER (ORDER BY score DESC, va, vb) AS rank
+  FROM s
+)
+SELECT rank, vec_a, vec_b,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS sim_micro
+FROM r WHERE rank <= 50
+ORDER BY rank
+"""
