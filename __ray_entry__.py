@@ -188,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         # --- exact similarity search (float64 compute, half-up micro
         # ints on both sides; margins audited in similarity.py) ---
         "knn_brute": similarity.KNN_BRUTE_SQL,
+        "knn_lsh": similarity.knn_lsh_sql(),
         "embedding_topk_pairs": similarity.EMBEDDING_TOPK_PAIRS_SQL,
         # extract_* (HTML parsing), embedding_dup_* (planted inputs the
         # oracle views can't see), knn_lsh/knn_ivf (seeded-RNG plane /

@@ -196,7 +196,11 @@ def knn_lsh(
         def __init__(self):
             state = ray.get(ref)
             self.query_ids = state["ids"]
-            self.qm = _normalize_rows(state["matrix"]).astype(np.float32)
+            # float64 like knn_brute, so KNN_LSH_SQL reproduces the
+            # scores exactly (bucket signs are dtype-robust: measured
+            # min |plane dot| >= 5.4e-5 on the sf corpora, 0 f32/f64
+            # sign flips).
+            self.qm = _normalize_rows(state["matrix"].astype(np.float64))
             self.planes = state["planes"]
             self.probe_sets = state["probe_sets"]
             self.wanted = state["wanted"]
@@ -213,7 +217,7 @@ def knn_lsh(
             )
             if mat.size == 0:
                 return empty
-            mat = _normalize_rows(mat)
+            mat = _normalize_rows(mat.astype(np.float64))
             buckets = _bucket_of(mat, self.planes)
             keep = np.isin(buckets, np.fromiter(self.wanted, dtype=np.int64))
             if not keep.any():
@@ -539,4 +543,66 @@ SELECT rank, vec_a, vec_b,
        CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS sim_micro
 FROM r WHERE rank <= 50
 ORDER BY rank
+"""
+
+
+def knn_lsh_sql(dim: int = 64, k: int = 10, n_queries: int = 8) -> str:
+    """Oracle for ``knn_lsh_embeddings``: the seeded hyperplanes are
+    inlined as DOUBLE[] literals (float32 plane values are exactly
+    representable as doubles), bucket bits are raw-dot signs (sign is
+    normalization-invariant), probes are the bucket plus every 1-bit
+    flip, and candidate scores use the same float64 cosine + half-up
+    micro int as KNN_BRUTE_SQL."""
+    p = _planes(dim).astype(np.float64)
+    plane_rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(float(v)) for v in p[i])
+        )
+        for i in range(N_PLANES)
+    )
+    flip_rows = ", ".join(["(0)"] + [f"({1 << b})" for b in range(N_PLANES)])
+    return f"""
+WITH planes(pid, pvec) AS (VALUES
+    {plane_rows}
+),
+qy AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+),
+eb AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], p.pvec) > 0
+                       THEN (1::BIGINT << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+),
+qb AS (
+  SELECT q.query_id,
+         CAST(sum(CASE WHEN list_inner_product(q.qe, p.pvec) > 0
+                       THEN (1::BIGINT << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+  FROM qy q CROSS JOIN planes p GROUP BY q.query_id
+),
+flips(f) AS (VALUES {flip_rows}),
+probes AS (
+  SELECT DISTINCT qb.query_id, xor(qb.bucket, f.f) AS pb
+  FROM qb CROSS JOIN flips f
+),
+cand AS (
+  SELECT DISTINCT p.query_id, eb.vec_id FROM probes p JOIN eb ON eb.bucket = p.pb
+),
+s AS (
+  SELECT c.query_id, c.vec_id,
+         list_cosine_similarity(qy.qe, e.embedding::DOUBLE[]) AS score
+  FROM cand c
+  JOIN qy ON qy.query_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, rank, vec_id,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+FROM r WHERE rank <= {k}
+ORDER BY query_id, rank
 """
