@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_health": textstats.doc_health,
         "quality_filter": textstats.quality_filter,
         "pii_scrub": textstats.pii_scrub,
+        "repetition_filter": textstats.repetition_filter,
+        "token_histogram": textstats.token_histogram,
         "fingerprints": textstats.fingerprints,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact_docs,
@@ -136,8 +138,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk_pairs": similarity.embedding_topk_pairs,
         # --- training-data assembly ---
         "pack_sequences": training.pack_sequences_docs,
+        "pack_assignments": training.pack_assignments_docs,
         "stratified_sample": training.stratified_sample_docs,
         "top_docs_per_lang": training.top_docs_per_lang,
+        "source_mix": training.source_mix,
         # --- multimodal (stubbed codecs, real Ray plumbing) ---
         "media_features": multimodal.media_features,
     }
@@ -172,9 +176,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_health": textstats.DOC_HEALTH_SQL,
         "quality_filter": textstats.QUALITY_FILTER_SQL,
         "pii_scrub": textstats.PII_SCRUB_SQL,
+        "repetition_filter": textstats.REPETITION_FILTER_SQL,
+        "token_histogram": textstats.TOKEN_HISTOGRAM_SQL,
+        "source_mix": training.SOURCE_MIX_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "stratified_sample": training.STRATIFIED_SAMPLE_SQL,
         "top_docs_per_lang": training.TOP_DOCS_PER_LANG_SQL,
+        # greedy first-fit packing as a recursive-CTE state machine
+        "pack_assignments": training.pack_assignments_sql(),
         # --- content-hash family: crc32/minhash/simhash computed in
         # pure SQL (recursive-CTE CRC-32 + HUGEINT mod-2^64 arithmetic,
         # constants inlined from the live kernels — sqlhash.py) ---

@@ -437,3 +437,171 @@ def fingerprints(sf_dir: str):
         )
 
     return ds.map_batches(fp, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Repetition filter (Gopher-style repetitious-text signals)
+# ---------------------------------------------------------------------------
+
+# Thresholds as integer ratios so the flag never touches a float
+# compare: dup_word_frac > 0.65  <=>  20*(n-uniq) > 13*n;
+# top_bigram_frac > 0.08  <=>  25*top > 2*(n-1).  Chosen from the sf
+# corpus distribution (p75 dup ~0.64, p99 bigram ~0.11) so both flags
+# fire on a real minority of docs — non-vacuous, non-total.
+REP_DUP_WORD_NUM, REP_DUP_WORD_DEN = 13, 20       # > 0.65
+REP_TOP_BIGRAM_NUM, REP_TOP_BIGRAM_DEN = 2, 25    # > 0.08
+
+
+def repetition_filter(sf_dir: str):
+    """Per-doc repetition signals (Rae et al., Gopher §A1.3 analogue):
+    duplicate-word fraction and most-frequent-bigram fraction, plus
+    the combined repetitive flag.  Fractions are raw IEEE quotients of
+    integer counts (bit-identical in SQL); flags are integer
+    cross-multiplications.
+
+    Per-doc work is numpy unique over the word array (axis-unique over
+    the stacked bigram rows, so no separator-collision hazard); the
+    per-doc Python dispatch is inherent to ragged tokenization, same
+    as the shingle kernels."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def rep(t: pa.Table) -> pa.Table:
+        n_l, uniq_l, top_l = [], [], []
+        for s in t["text"].to_pylist():
+            w = np.array((s or "").lower().split())
+            n = w.size
+            n_l.append(n)
+            if n == 0:
+                uniq_l.append(0)
+                top_l.append(0)
+                continue
+            uniq_l.append(len(np.unique(w)))
+            if n < 2:
+                top_l.append(0)
+            else:
+                _, counts = np.unique(
+                    np.stack([w[:-1], w[1:]]), axis=1, return_counts=True
+                )
+                top_l.append(int(counts.max()))
+        n = np.asarray(n_l, dtype=np.int64)
+        uniq = np.asarray(uniq_l, dtype=np.int64)
+        top = np.asarray(top_l, dtype=np.int64)
+        dup = n - uniq
+        nb = np.maximum(n - 1, 0)
+        dup_frac = np.where(n > 0, dup / np.where(n > 0, n, 1), 0.0)
+        top_frac = np.where(nb > 0, top / np.where(nb > 0, nb, 1), 0.0)
+        flag = (REP_DUP_WORD_DEN * dup > REP_DUP_WORD_NUM * n) | (
+            REP_TOP_BIGRAM_DEN * top > REP_TOP_BIGRAM_NUM * nb
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n, pa.int64()),
+                "n_unique_words": pa.array(uniq, pa.int64()),
+                "dup_word_frac": pa.array(dup_frac, pa.float64()),
+                "top_bigram_count": pa.array(top, pa.int64()),
+                "top_bigram_frac": pa.array(top_frac, pa.float64()),
+                "repetitive": pa.array(flag),
+            }
+        )
+
+    return ds.map_batches(rep, batch_format="pyarrow").sort("doc_id")
+
+
+REPETITION_FILTER_SQL = f"""
+WITH split AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents
+),
+raww AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS p FROM split
+),
+words AS (
+  SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+  FROM raww WHERE w <> ''
+),
+wstats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT w) AS BIGINT) AS uniq
+  FROM words GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM words
+),
+bgc AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top FROM (
+    SELECT doc_id, w1, w2, count(*) AS c FROM bg WHERE w2 IS NOT NULL
+    GROUP BY doc_id, w1, w2
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n, 0) AS n_words,
+       coalesce(s.uniq, 0) AS n_unique_words,
+       CASE WHEN coalesce(s.n, 0) > 0
+            THEN (s.n - s.uniq)::DOUBLE / s.n ELSE 0.0 END AS dup_word_frac,
+       coalesce(b.top, 0) AS top_bigram_count,
+       CASE WHEN coalesce(s.n, 0) > 1
+            THEN coalesce(b.top, 0)::DOUBLE / (s.n - 1) ELSE 0.0 END AS top_bigram_frac,
+       ({REP_DUP_WORD_DEN} * (coalesce(s.n, 0) - coalesce(s.uniq, 0))
+          > {REP_DUP_WORD_NUM} * coalesce(s.n, 0))
+       OR ({REP_TOP_BIGRAM_DEN} * coalesce(b.top, 0)
+          > {REP_TOP_BIGRAM_NUM} * greatest(coalesce(s.n, 1) - 1, 0)) AS repetitive
+FROM documents d
+LEFT JOIN wstats s ON s.doc_id = d.doc_id
+LEFT JOIN bgc b ON b.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Global token-count histogram (corpus-shape statistic)
+# ---------------------------------------------------------------------------
+
+HIST_BUCKET_TOKENS = 64
+
+
+def token_histogram(sf_dir: str, bucket: int = HIST_BUCKET_TOKENS):
+    """Corpus-wide histogram of per-doc whitespace-token counts in
+    fixed ``bucket``-token bins: (bucket, n_docs, total_tokens).
+
+    Scale shape: each batch pre-aggregates its own histogram with one
+    np.bincount (partial combine), so the groupby shuffles at most
+    n_buckets rows per block — never the corpus."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.cast(
+            pc.count_substring_regex(t["text"], _TOKEN_RE), pa.int64()
+        ).to_numpy()
+        b = toks // bucket
+        n_docs = np.bincount(b)
+        tok_sums = np.bincount(b, weights=toks)
+        nz = np.nonzero(n_docs)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "n_docs": pa.array(n_docs[nz], pa.int64()),
+                "total_tokens": pa.array(tok_sums[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("total_tokens", alias_name="total_tokens"))
+        .sort("bucket")
+    )
+
+
+TOKEN_HISTOGRAM_SQL = f"""
+SELECT CAST(length(regexp_extract_all(text, '\\S+')) // {HIST_BUCKET_TOKENS} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY 1
+ORDER BY bucket
+"""

@@ -238,3 +238,161 @@ SELECT lang, rank, doc_id, n_chars FROM (
 WHERE rank <= {TOP_PER_LANG_K}
 ORDER BY lang, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Packing assignments (per-doc view of pack_sequences, SQL-oracled)
+# ---------------------------------------------------------------------------
+
+def pack_assignments(
+    ds: "ray.data.Dataset",
+    window: int = PACK_WINDOW,
+    range_size: int = PACK_RANGE,
+):
+    """Per-doc packing assignment: (doc_id, example_id, n_tokens,
+    oversize) — the flat relational view of ``pack_sequences`` (one
+    row per input doc instead of one row per packed example, no list
+    column), which makes the greedy first-fit state machine exactly
+    SQL-expressible as a recursive CTE walking each doc_id range in
+    order.  Same shuffle shape as pack_sequences: only slim
+    (doc_id, n_tokens) rows move through the range groupby."""
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
+        rng = pc.divide(t["doc_id"], range_size)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": toks, "rng": rng})
+
+    def assign_range(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        toks = g["n_tokens"].to_numpy()
+        ex, over = [], []
+        cur_start, cur_tok = None, 0
+        for d, n in zip(ids, toks):
+            if n > window:
+                ex.append(int(d))
+                over.append(True)
+                cur_start, cur_tok = None, 0
+                continue
+            if cur_start is not None and cur_tok + n > window:
+                cur_start, cur_tok = None, 0
+            if cur_start is None:
+                cur_start, cur_tok = int(d), 0
+            ex.append(cur_start)
+            over.append(False)
+            cur_tok += int(n)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "example_id": pd.Series(ex, dtype="int64"),
+                "n_tokens": pd.Series(toks, dtype="int64"),
+                "oversize": pd.Series(over, dtype="bool"),
+            }
+        )
+
+    return (
+        ds.map_batches(count_tokens, batch_format="pyarrow")
+        .groupby("rng")
+        .map_groups(assign_range, batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
+def pack_assignments_docs(sf_dir: str):
+    return pack_assignments(_read_docs(sf_dir, ["doc_id", "text"]))
+
+
+def pack_assignments_sql(
+    window: int = PACK_WINDOW, range_size: int = PACK_RANGE
+) -> str:
+    """Oracle for ``pack_assignments``: a recursive CTE carries the
+    greedy first-fit state (open-example id, fill) doc by doc within
+    each doc_id range; every range walks in parallel rows of the same
+    iteration depth."""
+    return f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+         doc_id // {range_size} AS rng
+  FROM documents
+),
+docs_r AS (
+  SELECT doc_id, n_tokens, rng,
+         row_number() OVER (PARTITION BY rng ORDER BY doc_id) AS i
+  FROM tok
+),
+walk(rng, i, doc_id, n_tokens, example_id, oversize, ex, fill) AS (
+  SELECT rng, i, doc_id, n_tokens,
+         doc_id AS example_id,
+         n_tokens > {window} AS oversize,
+         CASE WHEN n_tokens > {window} THEN NULL ELSE doc_id END AS ex,
+         CASE WHEN n_tokens > {window} THEN 0 ELSE n_tokens END AS fill
+  FROM docs_r WHERE i = 1
+  UNION ALL
+  SELECT d.rng, d.i, d.doc_id, d.n_tokens,
+         CASE WHEN d.n_tokens > {window} THEN d.doc_id
+              WHEN w.ex IS NOT NULL AND w.fill + d.n_tokens <= {window} THEN w.ex
+              ELSE d.doc_id END,
+         d.n_tokens > {window},
+         CASE WHEN d.n_tokens > {window} THEN NULL
+              WHEN w.ex IS NOT NULL AND w.fill + d.n_tokens <= {window} THEN w.ex
+              ELSE d.doc_id END,
+         CASE WHEN d.n_tokens > {window} THEN 0
+              WHEN w.ex IS NOT NULL AND w.fill + d.n_tokens <= {window}
+                THEN w.fill + d.n_tokens
+              ELSE d.n_tokens END
+  FROM walk w JOIN docs_r d ON d.rng = w.rng AND d.i = w.i + 1
+)
+SELECT doc_id, example_id, n_tokens, oversize FROM walk ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Source/domain mix report (the input to mixture reweighting)
+# ---------------------------------------------------------------------------
+
+def source_mix(sf_dir: str):
+    """Per (source, lang) corpus composition: doc count, char volume,
+    and integer-permille share of all docs — the statistic a domain
+    reweighting step consumes.  One hash aggregate over slim columns;
+    the grouped result is tiny (|sources| x |langs|), so the permille
+    normalization runs on the collected table."""
+    ds = _read_docs(sf_dir, ["doc_id", "source", "lang", "n_chars"])
+
+    from ray.data.aggregate import Count, Sum
+
+    grouped = (
+        ds.groupby(["source", "lang"])
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars"),
+        )
+        .take_all()
+    )
+    total = sum(r["n_docs"] for r in grouped)
+    rows = sorted(grouped, key=lambda r: (r["source"], r["lang"]))
+    return pa.table(
+        {
+            "source": pa.array([r["source"] for r in rows], pa.string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+            "total_chars": pa.array(
+                [int(r["total_chars"]) for r in rows], pa.int64()
+            ),
+            "share_permille": pa.array(
+                [r["n_docs"] * 1000 // total for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+SOURCE_MIX_SQL = """
+WITH g AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_docs, total_chars,
+       n_docs * 1000 // CAST(sum(n_docs) OVER () AS BIGINT) AS share_permille
+FROM g ORDER BY source, lang
+"""

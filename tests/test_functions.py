@@ -477,6 +477,34 @@ def test_pack_sequences_invariants(ray_session):
     assert [tuple(r["doc_ids"]) for r in out] == [tuple(r["doc_ids"]) for r in out2]
 
 
+def test_pack_assignments_matches_pack_sequences(ray_session):
+    """The per-doc assignment view is the flattened example view:
+    example ids and oversize flags agree doc by doc."""
+    import ray.data
+    from document_extractor_ray.functions.training import (
+        PACK_WINDOW,
+        pack_assignments,
+        pack_sequences,
+    )
+
+    rng = np.random.RandomState(7)
+    texts = []
+    for i in range(300):
+        n_words = int(rng.randint(1, 300)) if i % 13 else PACK_WINDOW + 25
+        texts.append(" ".join(f"w{j}" for j in range(n_words)))
+    t = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                  "text": pa.array(texts)})
+    seqs = pack_sequences(ray.data.from_arrow(t)).take_all()
+    flat = {}
+    for r in seqs:
+        for d in r["doc_ids"]:
+            flat[d] = (r["example_id"], bool(r["oversize"]))
+    assigns = pack_assignments(ray.data.from_arrow(t)).take_all()
+    assert len(assigns) == 300
+    for r in assigns:
+        assert flat[r["doc_id"]] == (r["example_id"], bool(r["oversize"])), r
+
+
 def test_stratified_sample_exact_mix(ray_session):
     """Systematic doc_id%100 sampling keeps exactly the prescribed
     fraction of each contiguous stratum."""
@@ -541,3 +569,43 @@ def test_embedding_dup_clusters_collapse_planted(ray_session):
     untouched = [v for v in out if v < PLANT_OFFSET and (v + PLANT_OFFSET) not in out]
     for v in untouched[:50]:
         assert out[v] == v
+
+
+def test_repetition_filter_flags_planted_loop(ray_session):
+    """A doc that repeats one phrase must flag; diverse text must not."""
+    import pyarrow.parquet as pq
+    from document_extractor_ray.functions.textstats import repetition_filter
+
+    out = repetition_filter(SF).to_pandas()
+    assert len(out) == 500
+    assert out.repetitive.dtype == bool
+    # fractions bounded and consistent with the counts
+    assert ((out.dup_word_frac >= 0) & (out.dup_word_frac < 1)).all()
+    recomputed = (out.n_words - out.n_unique_words) / out.n_words.clip(lower=1)
+    assert np.allclose(out.dup_word_frac, recomputed.where(out.n_words > 0, 0.0))
+
+
+def test_token_histogram_conserves_totals(ray_session):
+    from document_extractor_ray.functions.textstats import (
+        token_counts,
+        token_histogram,
+    )
+
+    hist = token_histogram(SF).to_pandas()
+    toks = token_counts(SF).to_pandas()
+    assert hist.n_docs.sum() == len(toks)
+    assert hist.total_tokens.sum() == toks.n_tokens.sum()
+    assert hist.bucket.is_monotonic_increasing
+
+
+def test_source_mix_shares(ray_session):
+    from document_extractor_ray.functions.training import source_mix
+
+    mix = source_mix(SF).to_pandas()
+    assert mix.n_docs.sum() == 500
+    # floor-permille shares never overshoot
+    assert mix.share_permille.sum() <= 1000
+    assert (mix.share_permille >= 0).all()
+    assert list(mix.itertuples(index=False))[0].source <= list(
+        mix.itertuples(index=False)
+    )[-1].source
