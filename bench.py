@@ -157,6 +157,11 @@ def run_bench() -> dict:
         "knn_brute",
         "knn_lsh",
         "knn_ivf",
+        "embedding_topk_pairs",
+        "pack_assignments",
+        "repetition_filter",
+        "token_histogram",
+        "source_mix",
     ]
     for name in picks:
         t0 = time.perf_counter()
