@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_topk": analytics.supplier_balance_topk,
         "customers_without_orders": analytics.customers_without_orders,
         "order_revenue_by_nation": analytics.order_revenue_by_nation,
+        "events_asof_orders": analytics.events_asof_orders,
         # --- text analysis (SQL oracles where ASCII-expressible) ---
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -120,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": textstats.pii_scrub,
         "repetition_filter": textstats.repetition_filter,
         "token_histogram": textstats.token_histogram,
+        "token_quantiles": textstats.token_quantiles,
         "fingerprints": textstats.fingerprints,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact_docs,
@@ -170,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_balance_topk": analytics.SUPPLIER_BALANCE_SQL,
         "customers_without_orders": analytics.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "order_revenue_by_nation": analytics.ORDER_REVENUE_BY_NATION_SQL,
+        "events_asof_orders": analytics.EVENTS_ASOF_ORDERS_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_scores": textstats.QUALITY_SCORES_SQL,
         "lang_id": textstats.LANG_ID_SQL,
@@ -178,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": textstats.PII_SCRUB_SQL,
         "repetition_filter": textstats.REPETITION_FILTER_SQL,
         "token_histogram": textstats.TOKEN_HISTOGRAM_SQL,
+        "token_quantiles": textstats.TOKEN_QUANTILES_SQL,
         "source_mix": training.SOURCE_MIX_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "stratified_sample": training.STRATIFIED_SAMPLE_SQL,

@@ -609,3 +609,136 @@ FROM documents
 GROUP BY lang, source
 ORDER BY lang, source
 """
+
+
+# ---------------------------------------------------------------------------
+# As-of join (per-key temporal "latest row at or before t")
+# ---------------------------------------------------------------------------
+
+def events_asof_orders(sf_dir: str):
+    """As-of join: for every event, the latest order of the same
+    customer placed at or before the event time (ties on o_orderdate
+    break to the highest o_orderkey).  Events whose user placed no
+    order by then are dropped (inner as-of).
+
+    Ray Data has no inequality join, so this is the distributed as-of
+    shape: both sides slimmed to join columns, tagged, unioned, and
+    shuffled ONCE on a hash bucket of the key (the sessionize
+    pattern — map_groups pays one Python call per balanced partition,
+    not per user); inside a partition one pandas merge_asof
+    (vectorized C backward search) joins every user at once.  At
+    10^12 rows the same plan holds: the bucket count scales with the
+    cluster and no side is ever collected."""
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    n_parts = _n_blocks()
+
+    def _bucket(key_col):
+        def add(t: pa.Table) -> pa.Table:
+            h = pc.bit_wise_and(
+                pc.multiply(
+                    pc.cast(t[key_col], pa.int64()), pa.scalar(2654435761, pa.int64())
+                ),
+                pa.scalar(0x7FFFFFFF, pa.int64()),
+            )
+            return t.append_column(
+                "part",
+                pc.cast(pc.subtract(h, pc.multiply(pc.divide(h, n_parts), n_parts)), pa.int32()),
+            )
+        return add
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": t["part"],
+                "kind": pa.array(np.ones(t.num_rows, dtype=np.int8), pa.int8()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "t": t["ts"],
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
+                "total_cents": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": t["part"],
+                "kind": pa.array(np.zeros(t.num_rows, dtype=np.int8), pa.int8()),
+                "user_id": pc.cast(t["o_custkey"], pa.int64()),
+                "t": t["o_orderdate"],
+                "event_id": pa.nulls(t.num_rows, pa.int64()),
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "total_cents": _to_cents(t["o_totalprice"]),
+            }
+        )
+
+    tagged = events.map_batches(_bucket("user_id"), batch_format="pyarrow").map_batches(
+        tag_events, batch_format="pyarrow"
+    ).union(
+        orders.map_batches(_bucket("o_custkey"), batch_format="pyarrow").map_batches(
+            tag_orders, batch_format="pyarrow"
+        )
+    )
+
+    def asof_partition(g: pd.DataFrame) -> pd.DataFrame:
+        right = g[g["kind"] == 0].sort_values(["t", "o_orderkey"], kind="mergesort")
+        left = g[g["kind"] == 1].sort_values("t", kind="mergesort")
+        if not len(left):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                    "total_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        right = right.assign(o_orderdate=right["t"])
+        m = pd.merge_asof(
+            left[["t", "user_id", "event_id"]],
+            right[["t", "user_id", "o_orderkey", "o_orderdate", "total_cents"]],
+            on="t",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m = m[m["o_orderkey"].notna()]
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "user_id": m["user_id"].astype("int64"),
+                "ts": m["t"],
+                "o_orderkey": m["o_orderkey"].astype("int64"),
+                "o_orderdate": m["o_orderdate"],
+                "total_cents": m["total_cents"].astype("int64"),
+            }
+        )
+
+    return (
+        tagged.groupby("part")
+        .map_groups(asof_partition, batch_format="pandas")
+        .sort("event_id")
+        .map_batches(_ts_us("ts"), batch_format="pyarrow")
+        .map_batches(_ts_us("o_orderdate"), batch_format="pyarrow")
+    )
+
+
+EVENTS_ASOF_ORDERS_SQL = """
+WITH j AS (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+         CAST(round(o.o_totalprice * 100.0) AS BIGINT) AS total_cents,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+         ) AS rn
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id, ts, o_orderkey, o_orderdate, total_cents
+FROM j WHERE rn = 1
+ORDER BY event_id
+"""

@@ -605,3 +605,83 @@ FROM documents
 GROUP BY 1
 ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact global quantiles (distributed order statistic)
+# ---------------------------------------------------------------------------
+
+QUANTILE_PERMILLES = (10, 250, 500, 750, 900, 990)
+
+
+def token_quantiles(sf_dir: str, permilles=QUANTILE_PERMILLES):
+    """Exact corpus-wide quantiles of the per-doc token count: the
+    q-permille value is the smallest v whose cumulative doc count
+    satisfies cum*1000 >= q*n (integer cross-multiplied ceil — no
+    float rank arithmetic anywhere).
+
+    Scale shape: token counts live in a small value domain, so the
+    exact order statistic needs no distributed sort at all — each
+    batch pre-aggregates value counts with np.bincount, the groupby
+    shuffles at most |domain| rows per block, and the cumulative scan
+    runs on the tiny collected count table.  (For unbounded domains
+    the same plan applies to bucketed values first, then a second
+    exact pass inside the one chosen bucket.)"""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.cast(
+            pc.count_substring_regex(t["text"], _TOKEN_RE), pa.int64()
+        ).to_numpy()
+        counts = np.bincount(toks)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "v": pa.array(nz, pa.int64()),
+                "n": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort("v")
+        .take_all()
+    )
+    vs = np.array([r["v"] for r in counts], dtype=np.int64)
+    cum = np.cumsum([r["n"] for r in counts]).astype(np.int64)
+    total = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in permilles:
+        out_q.append(q)
+        idx = int(np.searchsorted(cum * 1000, q * total, side="left"))
+        # smallest v with cum*1000 >= q*total
+        if (cum * 1000 < q * total)[min(idx, len(cum) - 1)]:
+            idx += 1
+        out_v.append(int(vs[min(idx, len(vs) - 1)]))
+    return pa.table(
+        {
+            "q_permille": pa.array(out_q, pa.int64()),
+            "n_tokens": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
+TOKEN_QUANTILES_SQL = f"""
+WITH c AS (
+  SELECT CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS v,
+         count(*) AS n
+  FROM documents GROUP BY 1
+),
+cum AS (SELECT v, sum(n) OVER (ORDER BY v) AS cumn FROM c),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+qs(q) AS (VALUES {", ".join(f"({q})" for q in QUANTILE_PERMILLES)})
+SELECT CAST(qs.q AS BIGINT) AS q_permille, CAST(min(cum.v) AS BIGINT) AS n_tokens
+FROM qs, cum, tot
+WHERE cum.cumn * 1000 >= qs.q * tot.n
+GROUP BY qs.q
+ORDER BY q_permille
+"""

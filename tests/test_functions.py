@@ -609,3 +609,43 @@ def test_source_mix_shares(ray_session):
     assert list(mix.itertuples(index=False))[0].source <= list(
         mix.itertuples(index=False)
     )[-1].source
+
+
+def test_events_asof_orders_matches_pandas_oracle(ray_session):
+    """Distributed as-of join == one global pandas merge_asof."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from document_extractor_ray.functions.analytics import events_asof_orders
+
+    got = events_asof_orders(SF).to_pandas()
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    od = od.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+    od = od.assign(t=od["o_orderdate"], user_id=od["o_custkey"],
+                   total_cents=(od["o_totalprice"] * 100).round().astype("int64"))
+    ev = ev.sort_values("ts", kind="mergesort").assign(t=ev["ts"])
+    m = pd.merge_asof(
+        ev[["t", "user_id", "event_id", "ts"]],
+        od[["t", "user_id", "o_orderkey", "o_orderdate", "total_cents"]],
+        on="t", by="user_id", direction="backward",
+    )
+    m = m[m.o_orderkey.notna()].sort_values("event_id")
+    assert len(got) == len(m)
+    assert got.event_id.tolist() == m.event_id.tolist()
+    assert got.o_orderkey.tolist() == m.o_orderkey.astype("int64").tolist()
+    assert got.total_cents.tolist() == m.total_cents.tolist()
+
+
+def test_token_quantiles_definition(ray_session):
+    """q-permille value = smallest v with cum_docs*1000 >= q*n."""
+    import pyarrow.parquet as pq
+    from document_extractor_ray.functions.textstats import token_quantiles
+
+    got = token_quantiles(SF).to_pandas()
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    toks = np.sort([len(s.split()) for s in texts["text"].to_pylist()])
+    n = len(toks)
+    for q, v in zip(got.q_permille, got.n_tokens):
+        rank = -(-q * n // 1000)  # ceil
+        assert v == toks[rank - 1], (q, v, toks[rank - 1])
