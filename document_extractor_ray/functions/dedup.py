@@ -800,6 +800,16 @@ def _propagate_labels(edges_ds: "ray.data.Dataset", max_rounds: int = 16):
     )
 
     for _ in range(max_rounds):
+        # Two INDEPENDENT single joins against edges_ds, not a chained
+        # join: Ray 2.49's hash-join output can itself contain
+        # empty-schema blocks, and feeding one join's output into a
+        # second join dies with "No match ... FieldRef.Name(doc_b) on
+        # left side" when such a block reaches the aggregator (and >2
+        # chained joins in one DAG deadlock small CPU budgets anyway).
+        # Each edge (a,b) sends label(a) to b and label(b) to a; the
+        # two directions are separable, so two edges x labels joins
+        # produce the same message multiset as the old edges x labels
+        # x labels chain.
         la = edges_ds.join(
             labels.map_batches(
                 lambda t: t.rename_columns(["doc_a", "label_a"]),
@@ -809,7 +819,7 @@ def _propagate_labels(edges_ds: "ray.data.Dataset", max_rounds: int = 16):
             num_partitions=n_parts,
             on=("doc_a",),
         )
-        lab = la.join(
+        lb = edges_ds.join(
             labels.map_batches(
                 lambda t: t.rename_columns(["doc_b", "label_b"]),
                 batch_format="pyarrow",
@@ -819,17 +829,15 @@ def _propagate_labels(edges_ds: "ray.data.Dataset", max_rounds: int = 16):
             on=("doc_b",),
         )
 
-        def msgs(t: pa.Table) -> pa.Table:
-            node = pa.concat_arrays(
-                [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
-            )
-            label = pa.concat_arrays(
-                [t["label_b"].combine_chunks(), t["label_a"].combine_chunks()]
-            )
-            return pa.table({"node": node, "label": label})
+        def msgs_to_b(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["doc_b"], "label": t["label_a"]})
+
+        def msgs_to_a(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["doc_a"], "label": t["label_b"]})
 
         proposed = settle(
-            lab.map_batches(msgs, batch_format="pyarrow")
+            la.map_batches(msgs_to_b, batch_format="pyarrow")
+            .union(lb.map_batches(msgs_to_a, batch_format="pyarrow"))
             .union(labels)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
