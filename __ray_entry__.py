@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": analytics.customers_without_orders,
         "order_revenue_by_nation": analytics.order_revenue_by_nation,
         "events_asof_orders": analytics.events_asof_orders,
+        "q3_shipping": analytics.q3_shipping,
+        "events_daily_delta": analytics.events_daily_delta,
         # --- text analysis (SQL oracles where ASCII-expressible) ---
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -122,6 +124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_filter": textstats.repetition_filter,
         "token_histogram": textstats.token_histogram,
         "token_quantiles": textstats.token_quantiles,
+        "lang_token_quantiles": textstats.lang_token_quantiles,
+        "gopher_rules": textstats.gopher_rules,
+        "df_top_tokens": textstats.df_top_tokens,
         "fingerprints": textstats.fingerprints,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact_docs,
@@ -173,6 +178,8 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": analytics.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "order_revenue_by_nation": analytics.ORDER_REVENUE_BY_NATION_SQL,
         "events_asof_orders": analytics.EVENTS_ASOF_ORDERS_SQL,
+        "q3_shipping": analytics.Q3_SHIPPING_SQL,
+        "events_daily_delta": analytics.EVENTS_DAILY_DELTA_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_scores": textstats.QUALITY_SCORES_SQL,
         "lang_id": textstats.LANG_ID_SQL,
@@ -182,6 +189,9 @@ def oracle_sql() -> dict[str, str]:
         "repetition_filter": textstats.REPETITION_FILTER_SQL,
         "token_histogram": textstats.TOKEN_HISTOGRAM_SQL,
         "token_quantiles": textstats.TOKEN_QUANTILES_SQL,
+        "lang_token_quantiles": textstats.LANG_TOKEN_QUANTILES_SQL,
+        "gopher_rules": textstats.GOPHER_RULES_SQL,
+        "df_top_tokens": textstats.DF_TOP_TOKENS_SQL,
         "source_mix": training.SOURCE_MIX_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "stratified_sample": training.STRATIFIED_SAMPLE_SQL,

@@ -742,3 +742,177 @@ SELECT event_id, user_id, ts, o_orderkey, o_orderdate, total_cents
 FROM j WHERE rn = 1
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-style shipping-priority pipeline (semi-join + hash join + top-k)
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-01"
+
+
+def q3_shipping(sf_dir: str, k: int = 10):
+    """Shipping-priority top-k (TPC-H Q3 shape): unshipped revenue per
+    order for one market segment.
+
+    Scale plan, in join-size order:
+    - customer is filtered to one segment and reduced to its KEY SET,
+      broadcast once (ray.put) — a broadcast semi-join via pc.is_in,
+      never a shuffle of the customer table;
+    - orders and lineitem are filtered and column-slimmed inside
+      map_batches BEFORE the one partitioned hash join (both sides
+      shuffle only join key + payload ints);
+    - revenue aggregates AFTER the join (groupby on the join output),
+      because Ray 2.49's hash-aggregate output feeding a join trips
+      the empty-schema-block bug (see dedup._propagate_labels) — and
+      grouping by (orderkey, orderdate, priority) is equivalent since
+      the extra keys are functionally dependent on the orderkey.
+    """
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import state
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], Q3_SEGMENT))[
+        "c_custkey"
+    ].combine_chunks()
+    kref = state.broadcast(keys)
+    cutoff = pa.scalar(pd.Timestamp(Q3_CUTOFF), type=pa.timestamp("us"))
+
+    orders = _read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def filt_orders(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.less(t["o_orderdate"], cutoff),
+            pc.is_in(t["o_custkey"], value_set=state.cached_get(kref)),
+        )
+        return t.filter(m).select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def filt_li(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cutoff))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "disc_cents": _to_cents(
+                    pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+                ),
+            }
+        )
+
+    n_parts = _join_partitions(
+        f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"
+    )
+    joined = li.map_batches(filt_li, batch_format="pyarrow").join(
+        orders.map_batches(filt_orders, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    return (
+        joined.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+        .aggregate(Sum("disc_cents", alias_name="revenue_cents"))
+        .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+        .limit(k)
+        .map_batches(_ts_us("o_orderdate"), batch_format="pyarrow")
+    )
+
+
+Q3_SHIPPING_SQL = f"""
+SELECT l.l_orderkey,
+       CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       o.o_orderdate, o.o_orderpriority
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_cents DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# LAG window: day-over-day delta of daily event counts
+# ---------------------------------------------------------------------------
+
+def events_daily_delta(sf_dir: str):
+    """Day-over-day change in daily event counts per type — the LAG
+    window-function analogue.  The raw stream first collapses to
+    per-(type, day) counts (partial-combine groupby, the events_daily
+    plan), and only the tiny daily table pays the per-key ordered
+    window: one map_groups per event_type computes the whole series'
+    lagged diff vectorized.  At 10^12 events the daily table is still
+    ~types x days rows — windowing after pre-aggregation is the scale
+    shape.  Each type's FIRST day is dropped (LAG has no previous row
+    there): keeping delta_n int64-exact beats a nullable column the
+    cross-engine compare can only see as float."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "day": pc.floor_temporal(t["ts"], unit="day"),
+            }
+        )
+
+    daily = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def lag_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day", kind="mergesort")
+        delta = g["n"].diff().iloc[1:]
+        g = g.iloc[1:]
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"].to_numpy(),
+                "day": g["day"].to_numpy(),
+                "n": g["n"].to_numpy(),
+                "delta_n": delta.to_numpy(dtype="int64")
+                if len(g)
+                else np.array([], dtype="int64"),
+            }
+        )
+
+    return (
+        daily.groupby("event_type")
+        .map_groups(lag_group, batch_format="pandas")
+        .sort(["event_type", "day"])
+        .map_batches(_ts_us("day"), batch_format="pyarrow")
+    )
+
+
+EVENTS_DAILY_DELTA_SQL = """
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, day, n,
+         n - lag(n) OVER (PARTITION BY event_type ORDER BY day) AS delta_n
+  FROM d
+)
+SELECT event_type, day, n, CAST(delta_n AS BIGINT) AS delta_n
+FROM w WHERE delta_n IS NOT NULL
+ORDER BY event_type, day
+"""

@@ -685,3 +685,269 @@ WHERE cum.cumn * 1000 >= qs.q * tot.n
 GROUP BY qs.q
 ORDER BY q_permille
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, table A1 analogue)
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WLEN_PM = 3_000  # mean word length >= 3.0 chars (x1000)
+GOPHER_MAX_WLEN_PM = 10_000  # mean word length <= 10.0 chars
+GOPHER_MAX_SYMBOL_PM = 100  # (# + ellipsis) per word <= 0.1
+GOPHER_MAX_BULLET_PM = 900  # <= 90% of lines bullet-led
+GOPHER_MIN_STOP_HITS = 2  # >= 2 distinct common stopwords present
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(sf_dir: str):
+    """Gopher-style document quality rules: word-count bounds, mean
+    word length bounds, symbol-to-word ratio, bullet-line fraction and
+    stopword presence — every signal an integer permille so the SQL
+    oracle matches bit-for-bit.  Emits ALL docs with their signals and
+    an int64 keep flag (filtering is the caller's one-line mask): the
+    rejected rows are what a corpus-quality review actually audits.
+
+    One vectorized map_batches over pyarrow.compute regex kernels, no
+    shuffle, no Python per row — the same 100 TB shape as
+    quality_filter."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def signals(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n_words = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.int64())
+        nw_safe = pc.max_element_wise(n_words, 1)
+        word_chars = pc.cast(pc.count_substring_regex(text, r"\S"), pa.int64())
+        wlen_pm = pc.divide(pc.multiply(word_chars, 1000), nw_safe)
+        n_hash = pc.cast(pc.count_substring(text, "#"), pa.int64())
+        n_ellip = pc.cast(pc.count_substring_regex(text, r"\.\.\."), pa.int64())
+        symbol_pm = pc.divide(
+            pc.multiply(pc.add(n_hash, n_ellip), 1000), nw_safe
+        )
+        n_lines = pc.add(pc.cast(pc.count_substring(text, "\n"), pa.int64()), 1)
+        n_bullet = pc.cast(
+            pc.count_substring_regex(text, r"(?m)^[-*•]"), pa.int64()
+        )
+        bullet_pm = pc.divide(pc.multiply(n_bullet, 1000), n_lines)
+        stop_hits = None
+        for w in GOPHER_STOPS:
+            hit = pc.cast(
+                pc.match_substring_regex(text, rf"\b{w}\b"), pa.int64()
+            )
+            stop_hits = hit if stop_hits is None else pc.add(stop_hits, hit)
+        keep = pc.and_(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(n_words, GOPHER_MIN_WORDS),
+                    pc.less_equal(n_words, GOPHER_MAX_WORDS),
+                ),
+                pc.and_(
+                    pc.greater_equal(wlen_pm, GOPHER_MIN_WLEN_PM),
+                    pc.less_equal(wlen_pm, GOPHER_MAX_WLEN_PM),
+                ),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.less_equal(symbol_pm, GOPHER_MAX_SYMBOL_PM),
+                    pc.less_equal(bullet_pm, GOPHER_MAX_BULLET_PM),
+                ),
+                pc.greater_equal(stop_hits, GOPHER_MIN_STOP_HITS),
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": n_words,
+                "mean_wlen_permille": wlen_pm,
+                "symbol_permille": symbol_pm,
+                "bullet_permille": bullet_pm,
+                "n_stop_hits": stop_hits,
+                "keep": pc.cast(keep, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(signals, batch_format="pyarrow").sort("doc_id")
+
+
+def _gopher_stop_sum_sql() -> str:
+    return " + ".join(
+        f"CASE WHEN regexp_matches(text, '\\b{w}\\b') THEN 1 ELSE 0 END"
+        for w in GOPHER_STOPS
+    )
+
+
+GOPHER_RULES_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS word_chars,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           + CAST(length(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_sym,
+         CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS BIGINT) AS n_lines,
+         CAST(length(regexp_extract_all(text, '(?m)^[-*•]')) AS BIGINT) AS n_bullet,
+         CAST({_gopher_stop_sum_sql()} AS BIGINT) AS n_stop_hits
+  FROM documents
+), p AS (
+  SELECT doc_id, n_words, n_stop_hits,
+         word_chars * 1000 // greatest(n_words, 1) AS mean_wlen_permille,
+         n_sym * 1000 // greatest(n_words, 1) AS symbol_permille,
+         n_bullet * 1000 // n_lines AS bullet_permille
+  FROM s
+)
+SELECT doc_id, n_words, mean_wlen_permille, symbol_permille, bullet_permille,
+       n_stop_hits,
+       CAST(CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                  AND mean_wlen_permille BETWEEN {GOPHER_MIN_WLEN_PM} AND {GOPHER_MAX_WLEN_PM}
+                  AND symbol_permille <= {GOPHER_MAX_SYMBOL_PM}
+                  AND bullet_permille <= {GOPHER_MAX_BULLET_PM}
+                  AND n_stop_hits >= {GOPHER_MIN_STOP_HITS}
+             THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM p
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document frequency: top tokens by how many docs contain them
+# ---------------------------------------------------------------------------
+
+DF_TOP_K = 100
+_DF_SPLIT_RE = "[^a-z0-9]+"
+
+
+def df_top_tokens(sf_dir: str, k: int = DF_TOP_K):
+    """Top-k tokens by DOCUMENT frequency — the inverted-index /
+    TF-IDF building block.  A doc's tokens live wholly in its row, so
+    per-doc distinctness is exact within a batch: each batch flattens
+    lower(text) split on non-alphanumerics, dedups (doc, token) pairs
+    and pre-counts docs per token with Arrow group-bys (all C, no
+    Python per row).  The shuffle then carries only per-batch partial
+    (token, df) rows — bounded by vocabulary, never corpus size — into
+    one grouped sum and a top-k sort."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        pairs = pa.table({"d": parent, "token": flat}).filter(
+            pc.not_equal(flat, "")
+        )
+        distinct = pa.TableGroupBy(pairs, ["d", "token"]).aggregate([])
+        per_tok = pa.TableGroupBy(distinct, ["token"]).aggregate([("d", "count")])
+        return pa.table(
+            {
+                "token": per_tok["token"],
+                "df_part": pc.cast(per_tok["d_count"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df_part", alias_name="df"))
+        .sort(["df", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+DF_TOP_TOKENS_SQL = f"""
+SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+  FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+ORDER BY df DESC, token
+LIMIT {DF_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group quantiles (grouped order statistic)
+# ---------------------------------------------------------------------------
+
+def lang_token_quantiles(sf_dir: str):
+    """Exact per-LANG median and p90 of the per-doc token count — the
+    grouped variant of token_quantiles, same rank convention (smallest
+    v whose cumulative count satisfies cum*1000 >= q*n, integer
+    cross-multiplied).
+
+    Scale shape: each batch pre-aggregates (lang, token-count) value
+    counts with one Arrow group-by, the shuffle carries at most
+    |langs| x |value domain| rows per block, and the per-lang CDF walk
+    runs over the tiny collected count table — exact grouped quantiles
+    with no distributed sort."""
+    ds = _read_docs(sf_dir, ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.count_substring_regex(t["text"], _TOKEN_RE), pa.int64())
+        tbl = pa.table({"lang": t["lang"], "v": toks})
+        g = pa.TableGroupBy(tbl, ["lang", "v"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "v": g["v"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["lang", "v"])
+        .take_all()
+    )
+
+    out: dict[str, list] = {"lang": [], "n_docs": [], "median_tokens": [], "p90_tokens": []}
+    by_lang: dict[str, list] = {}
+    for r in counts:
+        by_lang.setdefault(r["lang"], []).append((r["v"], r["n"]))
+    for lang in sorted(by_lang):
+        vs = np.array([v for v, _ in by_lang[lang]], dtype=np.int64)
+        cum = np.cumsum([n for _, n in by_lang[lang]]).astype(np.int64)
+        total = int(cum[-1])
+        row = [lang, total]
+        for q in (500, 900):
+            idx = int(np.searchsorted(cum * 1000, q * total, side="left"))
+            if (cum * 1000 < q * total)[min(idx, len(cum) - 1)]:
+                idx += 1
+            row.append(int(vs[min(idx, len(vs) - 1)]))
+        out["lang"].append(row[0])
+        out["n_docs"].append(row[1])
+        out["median_tokens"].append(row[2])
+        out["p90_tokens"].append(row[3])
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "n_docs": pa.array(out["n_docs"], pa.int64()),
+            "median_tokens": pa.array(out["median_tokens"], pa.int64()),
+            "p90_tokens": pa.array(out["p90_tokens"], pa.int64()),
+        }
+    )
+
+
+LANG_TOKEN_QUANTILES_SQL = """
+WITH c AS (
+  SELECT lang, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS v,
+         count(*) AS n
+  FROM documents GROUP BY 1, 2
+),
+cum AS (SELECT lang, v, sum(n) OVER (PARTITION BY lang ORDER BY v) AS cumn FROM c),
+tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1)
+SELECT tot.lang, tot.n AS n_docs,
+       (SELECT CAST(min(v) AS BIGINT) FROM cum
+         WHERE cum.lang = tot.lang AND cum.cumn * 1000 >= 500 * tot.n) AS median_tokens,
+       (SELECT CAST(min(v) AS BIGINT) FROM cum
+         WHERE cum.lang = tot.lang AND cum.cumn * 1000 >= 900 * tot.n) AS p90_tokens
+FROM tot
+ORDER BY lang
+"""

@@ -54,6 +54,11 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "dedup_exact",
         "stratified_sample",
         "top_docs_per_lang",
+        "q3_shipping",
+        "events_daily_delta",
+        "gopher_rules",
+        "df_top_tokens",
+        "lang_token_quantiles",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
