@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": analytics.events_asof_orders,
         "q3_shipping": analytics.q3_shipping,
         "events_daily_delta": analytics.events_daily_delta,
+        "distinct_users_per_type": analytics.distinct_users_per_type,
         # --- text analysis (SQL oracles where ASCII-expressible) ---
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -127,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_token_quantiles": textstats.lang_token_quantiles,
         "gopher_rules": textstats.gopher_rules,
         "df_top_tokens": textstats.df_top_tokens,
+        "tfidf_top_terms": textstats.tfidf_top_terms,
         "fingerprints": textstats.fingerprints,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact_docs,
@@ -180,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_orders": analytics.EVENTS_ASOF_ORDERS_SQL,
         "q3_shipping": analytics.Q3_SHIPPING_SQL,
         "events_daily_delta": analytics.EVENTS_DAILY_DELTA_SQL,
+        "distinct_users_per_type": analytics.DISTINCT_USERS_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_scores": textstats.QUALITY_SCORES_SQL,
         "lang_id": textstats.LANG_ID_SQL,
@@ -192,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_token_quantiles": textstats.LANG_TOKEN_QUANTILES_SQL,
         "gopher_rules": textstats.GOPHER_RULES_SQL,
         "df_top_tokens": textstats.DF_TOP_TOKENS_SQL,
+        "tfidf_top_terms": textstats.TFIDF_TOP_TERMS_SQL,
         "source_mix": training.SOURCE_MIX_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "stratified_sample": training.STRATIFIED_SAMPLE_SQL,

@@ -849,6 +849,67 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# Distributed distinct-count aggregate
+# ---------------------------------------------------------------------------
+
+def distinct_users_per_type(sf_dir: str):
+    """count(DISTINCT user_id) per event type — the distributed
+    distinct aggregate.  Each batch first dedups its own (type, user)
+    pairs with one Arrow group-by (combiner: a user active in many
+    events per block shuffles once, not per event), the grouped Count
+    across blocks establishes global distinctness, and per-batch
+    partials + a tiny second groupby produce the final counts.  The
+    wide shuffle carries distinct pairs — bounded by |users| x
+    |types|, never the event count."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["event_type", "user_id"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "user_id": g["user_id"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("n", alias_name="n_events_pair"))
+    )
+
+    def type_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["event_type"]).aggregate(
+            [([], "count_all"), ("n_events_pair", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "u": pc.cast(g["count_all"], pa.int64()),
+                "e": pc.cast(g["n_events_pair_sum"], pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(type_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("u", alias_name="n_users"), Sum("e", alias_name="n_events"))
+        .sort("event_type")
+    )
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # LAG window: day-over-day delta of daily event counts
 # ---------------------------------------------------------------------------
 

@@ -935,6 +935,134 @@ def lang_token_quantiles(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF: top terms per document (two-phase: corpus DF, then scoring)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_PER_DOC = 3
+TFIDF_SCALE = 1_000_000
+
+
+def tfidf_top_terms(sf_dir: str, per_doc: int = TFIDF_TOP_PER_DOC):
+    """Top terms per document by tf-idf — the canonical two-phase
+    corpus pipeline: phase 1 computes corpus-wide document frequency
+    (the df_top_tokens plan, shuffle bounded by vocabulary), phase 2
+    broadcasts the df table once (ray.put) and scores every doc's
+    term frequencies against it inside map_batches.
+
+    The idf is integer-exact (score = tf * 1e6 // df) so the oracle
+    matches bit-for-bit — a float ln(N/df) would rank identically but
+    hash differently across engines.  Broadcast assumption: the df
+    table is vocabulary-sized; above a memory budget the same plan
+    becomes a partitioned join of (doc,token,tf) against (token,df)
+    on token (the dedup_first escalation pattern)."""
+    from document_extractor_ray import state
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def tf_pairs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        doc_ids = pc.take(t["doc_id"], parent)
+        pairs = pa.table({"doc_id": doc_ids, "token": flat}).filter(
+            pc.not_equal(flat, "")
+        )
+        g = pa.TableGroupBy(pairs, ["doc_id", "token"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "token": g["token"],
+                "tf": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    # Phase 1: corpus df — distinct (doc, token) happens inside tf_pairs
+    # (a doc never spans batches), so df partials are exact per batch.
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["token"]), ["token"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"token": g["token"], "df_part": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    import ray as _ray
+
+    refs = (
+        ds.map_batches(tf_pairs, batch_format="pyarrow")
+        .map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df_part", alias_name="df"))
+        .to_arrow_refs()
+    )
+    tables = [tb for tb in map(_ray.get, refs) if tb.num_rows]
+    df_tbl = (
+        pa.concat_tables(tables)
+        if tables
+        else pa.table({"token": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+    )
+    ref = state.broadcast(df_tbl)
+
+    # Phase 2: re-tokenize and score over the ORIGINAL docs batches —
+    # one input row is one doc, so every doc's terms are whole within
+    # the batch and the per-doc head needs no shuffle.  (Scoring over
+    # the phase-1 tf stream instead would be subject to Ray's
+    # re-batching splitting a doc's rows across batches.)
+    def score(t: pa.Table) -> pa.Table:
+        t = tf_pairs(t)
+        t = state.lookup_join(t, "token", state.cached_get(ref), "token", ["df"], fill=0)
+        sc = pc.divide(pc.multiply(t["tf"], TFIDF_SCALE), t["df"])
+        t = t.append_column("score", pc.cast(sc, pa.int64()))
+        g = t.to_pandas().sort_values(
+            ["doc_id", "score", "token"], ascending=[True, False, True], kind="mergesort"
+        )
+        top = g.groupby("doc_id", sort=False).head(per_doc)
+        return pa.Table.from_pandas(top, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("token", pa.string()),
+                    ("tf", pa.int64()),
+                    ("df", pa.int64()),
+                    ("score", pa.int64()),
+                ]
+            )
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["doc_id", "score", "token"], descending=[False, True, False])
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+    FROM documents
+  )
+  WHERE token <> ''
+  GROUP BY 1, 2
+),
+dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfx.df,
+         tf.tf * {TFIDF_SCALE} // dfx.df AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * {TFIDF_SCALE} // dfx.df DESC, tf.token
+         ) AS rn
+  FROM tf JOIN dfx USING (token)
+)
+SELECT doc_id, token, tf, df, CAST(score AS BIGINT) AS score
+FROM scored WHERE rn <= {TFIDF_TOP_PER_DOC}
+ORDER BY doc_id, score DESC, token
+"""
+
+
 LANG_TOKEN_QUANTILES_SQL = """
 WITH c AS (
   SELECT lang, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS v,

@@ -59,6 +59,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "gopher_rules",
         "df_top_tokens",
         "lang_token_quantiles",
+        "distinct_users_per_type",
+        "tfidf_top_terms",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
