@@ -162,6 +162,13 @@ def run_bench() -> dict:
         "repetition_filter",
         "token_histogram",
         "source_mix",
+        "q3_shipping",
+        "events_daily_delta",
+        "distinct_users_per_type",
+        "gopher_rules",
+        "df_top_tokens",
+        "tfidf_top_terms",
+        "lang_token_quantiles",
     ]
     for name in picks:
         t0 = time.perf_counter()
