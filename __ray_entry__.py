@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": similarity.knn_lsh_embeddings,
         "knn_ivf": similarity.knn_ivf_embeddings,
         "embedding_topk_pairs": similarity.embedding_topk_pairs,
+        "label_centroids": similarity.label_centroids,
         # --- training-data assembly ---
         "pack_sequences": training.pack_sequences_docs,
         "pack_assignments": training.pack_assignments_docs,
@@ -217,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute": similarity.KNN_BRUTE_SQL,
         "knn_lsh": similarity.knn_lsh_sql(),
         "embedding_topk_pairs": similarity.EMBEDDING_TOPK_PAIRS_SQL,
+        "label_centroids": similarity.LABEL_CENTROIDS_SQL,
         # extract_* (HTML parsing), embedding_dup_* (planted inputs the
         # oracle views can't see), knn_lsh/knn_ivf (seeded-RNG plane /
         # centroid state), pack_sequences (sequential greedy state),

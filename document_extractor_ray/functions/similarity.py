@@ -606,3 +606,72 @@ SELECT query_id, rank, vec_id,
 FROM r WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Vector aggregate: per-label centroid sums
+# ---------------------------------------------------------------------------
+
+def label_centroids(sf_dir: str):
+    """Per-label embedding centroid as exact integer sums — the
+    vector-aggregate building block (class centroids for IVF training,
+    cluster summaries, embedding drift checks).  Emits one row per
+    (label, dim) with sum_micro (components rounded half-up to 1e-6
+    before summing, so addition is exact and order-free) and n_vecs;
+    centroid = sum_micro / n_vecs is the consumer's one division.
+
+    Scale shape: each batch reduces its vectors to |labels| x dim
+    partial rows (zero-copy matrix view + one segment-sum), so the
+    shuffle carries partials bounded by label cardinality, never the
+    vector count."""
+    from ray.data.aggregate import Sum
+
+    from document_extractor_ray.functions.analytics import _n_blocks
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["embedding", "label"],
+        override_num_blocks=_n_blocks(),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t["embedding"]).astype(np.float64)
+        micro = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        dim = m.shape[1]
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        for k in range(len(uniq)):  # <= |labels| iterations, inner is C
+            sums[k] = micro[inv == k].sum(axis=0)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dim), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(uniq)), pa.int64()),
+                "sum_micro": pa.array(sums.ravel(), pa.int64()),
+                "n_vecs": pa.array(np.repeat(counts, dim), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("sum_micro", alias_name="sum_micro"),
+                   Sum("n_vecs", alias_name="n_vecs"))
+        .sort(["label", "dim"])
+    )
+
+
+# DuckDB's range() table function cannot take lateral column refs, so
+# the dim axis comes from a constant-bounded range filtered to the
+# actual vector length (cap 256 >> the 64-dim test embeddings).
+LABEL_CENTROIDS_SQL = """
+SELECT CAST(e.label AS BIGINT) AS label,
+       CAST(r.d AS BIGINT) AS dim,
+       CAST(sum(CAST(floor(CAST(e.embedding[CAST(r.d AS INTEGER) + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro,
+       count(*) AS n_vecs
+FROM embeddings e, range(0, 256) r(d)
+WHERE r.d < len(e.embedding)
+GROUP BY 1, 2
+ORDER BY label, dim
+"""

@@ -61,6 +61,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "lang_token_quantiles",
         "distinct_users_per_type",
         "tfidf_top_terms",
+        "label_centroids",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
