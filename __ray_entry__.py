@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping": analytics.q3_shipping,
         "events_daily_delta": analytics.events_daily_delta,
         "distinct_users_per_type": analytics.distinct_users_per_type,
+        "doc_stats_rollup": analytics.doc_stats_rollup,
         # --- text analysis (SQL oracles where ASCII-expressible) ---
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -184,6 +185,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping": analytics.Q3_SHIPPING_SQL,
         "events_daily_delta": analytics.EVENTS_DAILY_DELTA_SQL,
         "distinct_users_per_type": analytics.DISTINCT_USERS_SQL,
+        "doc_stats_rollup": analytics.DOC_STATS_ROLLUP_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_scores": textstats.QUALITY_SCORES_SQL,
         "lang_id": textstats.LANG_ID_SQL,

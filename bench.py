@@ -169,6 +169,8 @@ def run_bench() -> dict:
         "df_top_tokens",
         "tfidf_top_terms",
         "lang_token_quantiles",
+        "label_centroids",
+        "doc_stats_rollup",
     ]
     for name in picks:
         t0 = time.perf_counter()

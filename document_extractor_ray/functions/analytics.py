@@ -611,6 +611,52 @@ ORDER BY lang, source
 """
 
 
+def doc_stats_rollup(sf_dir: str):
+    """ROLLUP(lang, source): per-(lang, source), per-lang and grand
+    totals in ONE shuffle.  Each batch pre-aggregates its own counts
+    at the finest level and replicates those partial rows to the
+    coarser levels with an 'ALL' sentinel (3x a tiny combiner output,
+    not 3x the data), so one grouped Sum produces every level — the
+    standard multi-level-aggregate shape at scale vs running three
+    separate jobs over the corpus."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["lang", "source"]).aggregate(
+            [([], "count_all"), ("n_chars", "sum")]
+        )
+        fine = pa.table(
+            {
+                "lang": g["lang"],
+                "source": g["source"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+                "chars": pc.cast(g["n_chars_sum"], pa.int64()),
+            }
+        )
+        n_rows = fine.num_rows
+        per_lang = fine.set_column(
+            1, "source", pa.array(["ALL"] * n_rows, pa.string())
+        )
+        grand = per_lang.set_column(0, "lang", pa.array(["ALL"] * n_rows, pa.string()))
+        return pa.concat_tables([fine, per_lang, grand])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n_docs"), Sum("chars", alias_name="sum_chars"))
+        .sort(["lang", "source"])
+    )
+
+
+DOC_STATS_ROLLUP_SQL = """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY ROLLUP(lang, source)
+ORDER BY lang, source
+"""
+
+
 # ---------------------------------------------------------------------------
 # As-of join (per-key temporal "latest row at or before t")
 # ---------------------------------------------------------------------------

@@ -62,6 +62,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "distinct_users_per_type",
         "tfidf_top_terms",
         "label_centroids",
+        "doc_stats_rollup",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
