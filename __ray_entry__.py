@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": dedup.near_dup_clusters_docs,
         "near_dedup_keep": dedup.near_dedup_keep_docs,
         "decontaminate": dedup.decontaminate_docs,
+        "dup_shingle_stats": dedup.dup_shingle_stats_docs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs_embeddings,
         "embedding_dup_clusters": dedup.embedding_dup_clusters_embeddings,
         # --- similarity search ---
@@ -213,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dups": sqlhash.ngram_jaccard_sql(),
         "fingerprints": sqlhash.fingerprints_sql(),
         "decontaminate": sqlhash.decontaminate_sql(),
+        "dup_shingle_stats": sqlhash.dup_shingle_stats_sql(),
         "near_dup_clusters": sqlhash.near_dup_clusters_sql(),
         "near_dedup_keep": sqlhash.near_dedup_keep_sql(),
         # --- exact similarity search (float64 compute, half-up micro

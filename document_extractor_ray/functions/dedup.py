@@ -1073,3 +1073,207 @@ def decontaminate_docs(sf_dir: str, n_benchmark: int = 3):
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     t = t.sort_by("doc_id").slice(0, n_benchmark)
     return decontaminate(_read_docs(sf_dir), t["text"].to_pylist())
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-substring signal (exact shingle-level dup statistics)
+# ---------------------------------------------------------------------------
+
+DUP_SHINGLE_BROADCAST_LIMIT = 2_000_000
+
+
+def dup_shingle_stats(
+    ds: "ray.data.Dataset",
+    k: int = 3,
+    broadcast_limit: int = DUP_SHINGLE_BROADCAST_LIMIT,
+):
+    """Per-doc duplicated-substring statistics (the signal behind
+    substring-level dedup a la Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    how many of its DISTINCT word-k-gram shingles also occur in at
+    least one other document, as an exact integer permille.
+
+    Two phases, both shuffle-bounded by the distinct-shingle count:
+    1. global shingle document frequency — per-batch np.unique partial
+       counts (a doc's shingles are already distinct via `shingles`),
+       one grouped Sum, filter df >= 2;
+    2. membership: below `broadcast_limit` dup shingles, the sorted
+       hash array broadcasts once (ray.put) and each doc's overlap is
+       a vectorized searchsorted; above it, the (doc_id, x) stream
+       inner-joins the dup set on x and the per-doc totals arrive via
+       a UNION of count partials into ONE grouped Sum — never an
+       aggregate-output-into-join DAG (the Ray 2.49 empty-schema-block
+       trap, see _propagate_labels).
+
+    Hash domain note: shingle hashes are uint64; both phases
+    reinterpret the same bits as int64 for Arrow transport (bijective,
+    so df counts and equality joins are unaffected)."""
+    from ray.data.aggregate import Sum
+
+    from document_extractor_ray import state
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        xs = []
+        for txt in t["text"].to_pylist():
+            s = shingles(txt, k)
+            if s:
+                xs.append(np.fromiter(s, dtype=np.uint64, count=len(s)))
+        if xs:
+            ux, cnt = np.unique(np.concatenate(xs), return_counts=True)
+        else:
+            ux = np.array([], dtype=np.uint64)
+            cnt = np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "x": pa.array(ux.view(np.int64), pa.int64()),
+                "df_part": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    dups = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("x")
+        .aggregate(Sum("df_part", alias_name="df"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["df"], 2)).select(["x"])
+            if "df" in t.schema.names
+            else t,
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_dups = dups.count()
+
+    if n_dups <= broadcast_limit:
+        arrs = [
+            tb["x"].combine_chunks().to_numpy(zero_copy_only=False)
+            for tb in map(ray.get, dups.to_arrow_refs())
+            if tb.num_rows
+        ]
+        dup_sorted = (
+            np.sort(np.concatenate(arrs)) if arrs else np.array([], np.int64)
+        )
+        ref = state.broadcast(dup_sorted)
+
+        def stats(t: pa.Table) -> pa.Table:
+            dup_arr = state.cached_get(ref)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            n_sh = np.zeros(len(ids), np.int64)
+            n_shared = np.zeros(len(ids), np.int64)
+            for i, txt in enumerate(t["text"].to_pylist()):
+                s = shingles(txt, k)
+                if not s:
+                    continue
+                arr = np.fromiter(s, dtype=np.uint64, count=len(s)).view(np.int64)
+                n_sh[i] = len(arr)
+                if len(dup_arr):
+                    pos = np.searchsorted(dup_arr, arr)
+                    pos = np.clip(pos, 0, len(dup_arr) - 1)
+                    n_shared[i] = int(np.count_nonzero(dup_arr[pos] == arr))
+            pm = n_shared * 1000 // np.maximum(n_sh, 1)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_shingles": pa.array(n_sh, pa.int64()),
+                    "n_shared": pa.array(n_shared, pa.int64()),
+                    "shared_permille": pa.array(pm, pa.int64()),
+                }
+            )
+
+        return ds.map_batches(stats, batch_format="pyarrow").sort("doc_id")
+
+    # --- scale path: partitioned join, totals via UNION of partials ---
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids, n_sh = [], []
+        doc_x_ids, doc_x = [], []
+        for did, txt in zip(
+            t["doc_id"].to_numpy(zero_copy_only=False), t["text"].to_pylist()
+        ):
+            s = shingles(txt, k)
+            ids.append(int(did))
+            n_sh.append(len(s))
+            if s:
+                doc_x_ids.append(np.full(len(s), did, np.int64))
+                doc_x.append(np.fromiter(s, np.uint64, len(s)).view(np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_shingles": pa.array(n_sh, pa.int64()),
+            }
+        ), pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(doc_x_ids) if doc_x_ids else np.array([], np.int64),
+                    pa.int64(),
+                ),
+                "x": pa.array(
+                    np.concatenate(doc_x) if doc_x else np.array([], np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def totals_part(t: pa.Table) -> pa.Table:
+        tbl, _ = doc_rows(t)
+        return tbl.append_column(
+            "n_shared", pa.array(np.zeros(tbl.num_rows, np.int64), pa.int64())
+        )
+
+    def stream_part(t: pa.Table) -> pa.Table:
+        _, tbl = doc_rows(t)
+        return tbl
+
+    n_parts = 32
+    if ray.is_initialized():
+        n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    # settle: the materialized aggregate may carry empty blocks with an
+    # EMPTY schema that break the pyarrow join (see _propagate_labels)
+    live = [r for r in dups.to_arrow_refs() if ray.get(r).num_rows > 0]
+    dups_clean = (
+        ray.data.from_arrow_refs(live)
+        if live
+        else ray.data.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+    )
+    hits = (
+        ds.map_batches(stream_part, batch_format="pyarrow")
+        .join(dups_clean, join_type="inner", num_partitions=n_parts, on=("x",))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_shingles": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                    "n_shared": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    agg = (
+        ds.map_batches(totals_part, batch_format="pyarrow")
+        .union(hits)
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_shingles", alias_name="n_shingles"),
+            Sum("n_shared", alias_name="n_shared"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        pm = pc.divide(
+            pc.multiply(t["n_shared"], 1000),
+            pc.max_element_wise(t["n_shingles"], 1),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_shingles": t["n_shingles"],
+                "n_shared": t["n_shared"],
+                "shared_permille": pc.cast(pm, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def dup_shingle_stats_docs(sf_dir: str):
+    return dup_shingle_stats(_read_docs(sf_dir))

@@ -437,3 +437,32 @@ def near_dedup_keep_sql(threshold: float = 0.7) -> str:
 {_band_ctes()},
 {_cluster_ctes(threshold)}
 SELECT doc_id FROM comp WHERE doc_id = cluster_id ORDER BY doc_id"""
+
+
+def dup_shingle_stats_sql(k: int = 3) -> str:
+    """Oracle for ``dedup.dup_shingle_stats``: per doc, its distinct
+    word-k-gram shingle count and how many of those shingles occur in
+    >= 2 documents corpus-wide (exact integer permille).  The shingle
+    CTE is the same CRC-32 kernel mirror the minhash/jaccard oracles
+    use; hash values stay internal so the engine's uint64->int64 bit
+    reinterpretation (a bijection) cannot affect the comparison."""
+    return f"""WITH RECURSIVE
+{_words(lower=True)},
+{_CRC_TABLE},
+{_WORD_CRC},
+{_shingle_cte(k)},
+dfx AS (SELECT x, count(*) AS df FROM shingle GROUP BY x),
+dups AS (SELECT x FROM dfx WHERE df >= 2),
+per AS (
+  SELECT s.doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN d.x IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+  FROM shingle s LEFT JOIN dups d ON d.x = s.x
+  GROUP BY s.doc_id
+)
+SELECT dd.doc_id,
+       CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(per.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(coalesce(per.n_shared, 0) * 1000
+            // greatest(coalesce(per.n_shingles, 0), 1) AS BIGINT) AS shared_permille
+FROM documents dd LEFT JOIN per ON per.doc_id = dd.doc_id
+ORDER BY dd.doc_id"""

@@ -63,6 +63,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "tfidf_top_terms",
         "label_centroids",
         "doc_stats_rollup",
+        "dup_shingle_stats",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -95,6 +96,28 @@ def _planted_corpus():
     texts = [base, variant, other, base]  # 0~1 near, 3 == 0 exact
     return pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
                      "text": pa.array(texts, pa.string())})
+
+
+def test_dup_shingle_stats_paths_agree(ray_session):
+    """The broadcast membership path and the partitioned-join
+    escalation path must produce identical per-doc dup-shingle stats;
+    planted exact copies must show shared_permille == 1000."""
+    import ray.data
+    from document_extractor_ray.functions.dedup import dup_shingle_stats
+
+    t = _planted_corpus()
+    got_b = dup_shingle_stats(ray.data.from_arrow(t)).take_all()
+    got_j = dup_shingle_stats(
+        ray.data.from_arrow(t), broadcast_limit=0
+    ).take_all()
+    assert got_b == got_j
+    by_id = {r["doc_id"]: r for r in got_b}
+    # docs 0 and 3 are byte-identical: every shingle is shared
+    assert by_id[0]["shared_permille"] == 1000
+    assert by_id[3]["shared_permille"] == 1000
+    assert by_id[0]["n_shingles"] > 0
+    # doc 2 is unrelated content: nothing shared
+    assert by_id[2]["n_shared"] == 0
 
 
 def test_exact_dedup_planted(ray_session):
