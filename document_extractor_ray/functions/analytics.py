@@ -895,6 +895,84 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# Per-key ordered first/last (argmin/argmax) aggregation
+# ---------------------------------------------------------------------------
+
+def user_first_last(sf_dir: str):
+    """First and last event per user (ordered by ts, event_id) plus
+    the event count — the per-key argmin/argmax pattern.
+
+    One shuffle on a hash BUCKET of user_id (the sessionize shape:
+    map_groups pays one Python call per balanced partition, not per
+    user), then one vectorized pandas pass picks each user's boundary
+    rows.  The per-batch combiner ships only each batch's per-user
+    boundary candidates + count partials, so the shuffle carries at
+    most 2 rows per (user, batch) — never the event stream."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    n_parts = _n_blocks()
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        head = df.groupby("user_id", sort=False).head(1)
+        tail = df.groupby("user_id", sort=False).tail(1)
+        cnt = df.groupby("user_id", sort=False).size().rename("n_part").reset_index()
+        out = pd.concat([head, tail]).drop_duplicates(subset=["event_id"])
+        out = out.merge(cnt, on="user_id")
+        # count only on the head row so partial sums stay exact
+        is_head = out["event_id"].isin(head["event_id"])
+        out["n_part"] = np.where(is_head, out["n_part"], 0)
+        h = (out["user_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)) & np.uint64(
+            0x7FFFFFFF
+        )
+        out["part"] = (h % np.uint64(n_parts)).astype(np.int32)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        first = g.groupby("user_id", sort=True).head(1).set_index("user_id")
+        last = g.groupby("user_id", sort=True).tail(1).set_index("user_id")
+        n = g.groupby("user_id", sort=True)["n_part"].sum()
+        return pd.DataFrame(
+            {
+                "user_id": n.index.to_numpy(),
+                "first_ts": first["ts"].to_numpy(),
+                "first_type": first["event_type"].to_numpy(),
+                "last_ts": last["ts"].to_numpy(),
+                "last_type": last["event_type"].to_numpy(),
+                "n_events": n.to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .sort("user_id")
+        .map_batches(_ts_us("first_ts"), batch_format="pyarrow")
+        .map_batches(_ts_us("last_ts"), batch_format="pyarrow")
+    )
+
+
+USER_FIRST_LAST_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT f.user_id,
+       f.ts AS first_ts, f.event_type AS first_type,
+       l.ts AS last_ts, l.event_type AS last_type,
+       CAST(f.n_events AS BIGINT) AS n_events
+FROM (SELECT * FROM o WHERE rn_a = 1) f
+JOIN (SELECT * FROM o WHERE rn_d = 1) l USING (user_id)
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Distributed distinct-count aggregate
 # ---------------------------------------------------------------------------
 

@@ -64,6 +64,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "label_centroids",
         "doc_stats_rollup",
         "dup_shingle_stats",
+        "user_first_last",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
