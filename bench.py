@@ -171,6 +171,8 @@ def run_bench() -> dict:
         "lang_token_quantiles",
         "label_centroids",
         "doc_stats_rollup",
+        "dup_shingle_stats",
+        "user_first_last",
     ]
     for name in picks:
         t0 = time.perf_counter()
