@@ -648,11 +648,24 @@ def doc_stats_rollup(sf_dir: str):
     )
 
 
+# NOT "GROUP BY ROLLUP + coalesce": the engine merges a GENUINE
+# lang/source value 'ALL' into the sentinel rollup groups (one groupby
+# over sentinel-replicated partials), so the oracle must too — the
+# outer re-aggregation over the three explicit levels reproduces that
+# merge exactly, where ROLLUP would keep the genuine fine-level 'ALL'
+# group as its own row and silently diverge.
 DOC_STATS_ROLLUP_SQL = """
-SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
-       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-FROM documents
-GROUP BY ROLLUP(lang, source)
+SELECT lang, source,
+       CAST(sum(n) AS BIGINT) AS n_docs, CAST(sum(ch) AS BIGINT) AS sum_chars
+FROM (
+  SELECT lang, source, count(*) AS n, sum(n_chars) AS ch
+  FROM documents GROUP BY 1, 2
+  UNION ALL
+  SELECT lang, 'ALL', count(*), sum(n_chars) FROM documents GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', 'ALL', count(*), sum(n_chars) FROM documents
+)
+GROUP BY 1, 2
 ORDER BY lang, source
 """
 
@@ -796,9 +809,10 @@ ORDER BY event_id
 
 Q3_SEGMENT = "BUILDING"
 Q3_CUTOFF = "1998-06-01"
+Q3_TOP_K = 10
 
 
-def q3_shipping(sf_dir: str, k: int = 10):
+def q3_shipping(sf_dir: str, k: int = Q3_TOP_K):
     """Shipping-priority top-k (TPC-H Q3 shape): unshipped revenue per
     order for one market segment.
 
@@ -890,7 +904,7 @@ WHERE c.c_mktsegment = '{Q3_SEGMENT}'
   AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
 GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
 ORDER BY revenue_cents DESC, l.l_orderkey
-LIMIT 10
+LIMIT {Q3_TOP_K}
 """
 
 

@@ -636,14 +636,18 @@ def label_centroids(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         m = embedding_matrix(t["embedding"]).astype(np.float64)
+        dim = m.shape[1] if m.size else 0
+        if dim > 256:
+            raise ValueError(
+                "label_centroids oracle (LABEL_CENTROIDS_SQL) unrolls "
+                f"at most 256 dims; got {dim} — raise both caps together"
+            )
         micro = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
         labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
         uniq, inv = np.unique(labels, return_inverse=True)
-        dim = m.shape[1]
         sums = np.zeros((len(uniq), dim), dtype=np.int64)
         counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
-        for k in range(len(uniq)):  # <= |labels| iterations, inner is C
-            sums[k] = micro[inv == k].sum(axis=0)
+        np.add.at(sums, inv, micro)  # one linear scatter-add pass
         return pa.table(
             {
                 "label": pa.array(np.repeat(uniq, dim), pa.int64()),

@@ -715,7 +715,11 @@ def gopher_rules(sf_dir: str):
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def signals(t: pa.Table) -> pa.Table:
-        text = t["text"]
+        # NULL text would propagate through every kernel and the
+        # non-Kleene pc.and_ chain into keep=null (the oracle's CASE
+        # yields 0) — normalize to '' first, mirroring the SQL's
+        # coalesce.
+        text = pc.fill_null(t["text"], "")
         n_words = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.int64())
         nw_safe = pc.max_element_wise(n_words, 1)
         word_chars = pc.cast(pc.count_substring_regex(text, r"\S"), pa.int64())
@@ -778,7 +782,9 @@ def _gopher_stop_sum_sql() -> str:
 
 
 GOPHER_RULES_SQL = f"""
-WITH s AS (
+WITH documents0 AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+), s AS (
   SELECT doc_id,
          CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
          CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS word_chars,
@@ -787,7 +793,7 @@ WITH s AS (
          CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS BIGINT) AS n_lines,
          CAST(length(regexp_extract_all(text, '(?m)^[-*•]')) AS BIGINT) AS n_bullet,
          CAST({_gopher_stop_sum_sql()} AS BIGINT) AS n_stop_hits
-  FROM documents
+  FROM documents0
 ), p AS (
   SELECT doc_id, n_words, n_stop_hits,
          word_chars * 1000 // greatest(n_words, 1) AS mean_wlen_permille,
@@ -816,37 +822,39 @@ DF_TOP_K = 100
 _DF_SPLIT_RE = "[^a-z0-9]+"
 
 
+def _df_partial_from_docs(t: pa.Table) -> pa.Table:
+    """Per-batch partial DOCUMENT frequencies (token, df_part): a
+    doc's tokens live wholly in its row, so per-doc distinctness is
+    exact within the batch — flatten lower(text) split on
+    non-alphanumerics, dedup (doc, token) pairs and count docs per
+    token with Arrow group-bys (all C, no Python per row).  Shared by
+    df_top_tokens and tfidf_top_terms phase 1 so the tokenization
+    cannot drift between the two operators."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    pairs = pa.table({"d": parent, "token": flat}).filter(pc.not_equal(flat, ""))
+    distinct = pa.TableGroupBy(pairs, ["d", "token"]).aggregate([])
+    per_tok = pa.TableGroupBy(distinct, ["token"]).aggregate([("d", "count")])
+    return pa.table(
+        {
+            "token": per_tok["token"],
+            "df_part": pc.cast(per_tok["d_count"], pa.int64()),
+        }
+    )
+
+
 def df_top_tokens(sf_dir: str, k: int = DF_TOP_K):
     """Top-k tokens by DOCUMENT frequency — the inverted-index /
-    TF-IDF building block.  A doc's tokens live wholly in its row, so
-    per-doc distinctness is exact within a batch: each batch flattens
-    lower(text) split on non-alphanumerics, dedups (doc, token) pairs
-    and pre-counts docs per token with Arrow group-bys (all C, no
-    Python per row).  The shuffle then carries only per-batch partial
+    TF-IDF building block.  The shuffle carries only per-batch partial
     (token, df) rows — bounded by vocabulary, never corpus size — into
     one grouped sum and a top-k sort."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
-        flat = pc.list_flatten(toks)
-        parent = pc.list_parent_indices(toks)
-        pairs = pa.table({"d": parent, "token": flat}).filter(
-            pc.not_equal(flat, "")
-        )
-        distinct = pa.TableGroupBy(pairs, ["d", "token"]).aggregate([])
-        per_tok = pa.TableGroupBy(distinct, ["token"]).aggregate([("d", "count")])
-        return pa.table(
-            {
-                "token": per_tok["token"],
-                "df_part": pc.cast(per_tok["d_count"], pa.int64()),
-            }
-        )
-
     from ray.data.aggregate import Sum
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(_df_partial_from_docs, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("df_part", alias_name="df"))
         .sort(["df", "token"], descending=[True, False])
@@ -977,21 +985,15 @@ def tfidf_top_terms(sf_dir: str, per_doc: int = TFIDF_TOP_PER_DOC):
             }
         )
 
-    # Phase 1: corpus df — distinct (doc, token) happens inside tf_pairs
-    # (a doc never spans batches), so df partials are exact per batch.
-    def df_partial(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t.select(["token"]), ["token"]).aggregate([([], "count_all")])
-        return pa.table(
-            {"token": g["token"], "df_part": pc.cast(g["count_all"], pa.int64())}
-        )
-
+    # Phase 1: corpus df — the SAME per-batch partial df_top_tokens
+    # uses (one pass: tokenize, (doc,token) dedup, partial counts), so
+    # the two operators' tokenization cannot drift.
     from ray.data.aggregate import Sum
 
     import ray as _ray
 
     refs = (
-        ds.map_batches(tf_pairs, batch_format="pyarrow")
-        .map_batches(df_partial, batch_format="pyarrow")
+        ds.map_batches(_df_partial_from_docs, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("df_part", alias_name="df"))
         .to_arrow_refs()
