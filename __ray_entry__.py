@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": analytics.distinct_users_per_type,
         "doc_stats_rollup": analytics.doc_stats_rollup,
         "user_first_last": analytics.user_first_last,
+        "hll_user_registers": analytics.hll_user_registers,
         # --- text analysis (SQL oracles where ASCII-expressible) ---
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -189,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": analytics.DISTINCT_USERS_SQL,
         "doc_stats_rollup": analytics.DOC_STATS_ROLLUP_SQL,
         "user_first_last": analytics.USER_FIRST_LAST_SQL,
+        "hll_user_registers": analytics.HLL_USER_REGISTERS_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_scores": textstats.QUALITY_SCORES_SQL,
         "lang_id": textstats.LANG_ID_SQL,

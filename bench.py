@@ -173,6 +173,7 @@ def run_bench() -> dict:
         "doc_stats_rollup",
         "dup_shingle_stats",
         "user_first_last",
+        "hll_user_registers",
     ]
     for name in picks:
         t0 = time.perf_counter()

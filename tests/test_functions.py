@@ -65,6 +65,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "doc_stats_rollup",
         "dup_shingle_stats",
         "user_first_last",
+        "hll_user_registers",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -97,6 +98,25 @@ def _planted_corpus():
     texts = [base, variant, other, base]  # 0~1 near, 3 == 0 exact
     return pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
                      "text": pa.array(texts, pa.string())})
+
+
+def test_hll_estimate_accuracy(ray_session):
+    """The HLL estimate from the distributed register table must land
+    within the sketch's error envelope of the exact distinct count
+    (m=256 -> ~6.5% std error; assert 4 sigma)."""
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import (
+        hll_estimate,
+        hll_user_registers,
+    )
+
+    regs = hll_user_registers(SF)
+    est = hll_estimate(regs)
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert abs(est - exact) <= 0.26 * exact, (est, exact)
 
 
 def test_dup_shingle_stats_paths_agree(ray_session):
