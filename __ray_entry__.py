@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": textstats.gopher_rules,
         "df_top_tokens": textstats.df_top_tokens,
         "tfidf_top_terms": textstats.tfidf_top_terms,
+        "search_topk": textstats.search_topk,
         "fingerprints": textstats.fingerprints,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact_docs,
@@ -204,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": textstats.GOPHER_RULES_SQL,
         "df_top_tokens": textstats.DF_TOP_TOKENS_SQL,
         "tfidf_top_terms": textstats.TFIDF_TOP_TERMS_SQL,
+        "search_topk": textstats.SEARCH_TOPK_SQL,
         "source_mix": training.SOURCE_MIX_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "stratified_sample": training.STRATIFIED_SAMPLE_SQL,

@@ -174,6 +174,7 @@ def run_bench() -> dict:
         "dup_shingle_stats",
         "user_first_last",
         "hll_user_registers",
+        "search_topk",
     ]
     for name in picks:
         t0 = time.perf_counter()

@@ -819,6 +819,8 @@ ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 DF_TOP_K = 100
+TFIDF_TOP_PER_DOC = 3
+TFIDF_SCALE = 1_000_000
 _DF_SPLIT_RE = "[^a-z0-9]+"
 
 
@@ -874,6 +876,105 @@ GROUP BY token
 ORDER BY df DESC, token
 LIMIT {DF_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Term search: top-k docs for a fixed query by summed integer tf-idf
+# ---------------------------------------------------------------------------
+
+SEARCH_TERMS = ("stream", "join", "hash")
+SEARCH_TOP_K = 10
+
+
+def search_topk(sf_dir: str, terms=SEARCH_TERMS, k: int = SEARCH_TOP_K):
+    """Retrieval over the corpus: top-k documents for a fixed term
+    query, scored by summed integer tf-idf (tf * 1e6 // df per term) —
+    the query-side counterpart of the df/tfidf indexing operators.
+
+    Scale shape: the per-term df is a tiny aggregate over the
+    df-partial stream filtered to the query terms (combiner output is
+    <= |terms| rows per batch), broadcast implicitly as Python ints in
+    the scoring closure; scoring is one vectorized count per term per
+    batch with a per-batch local top-k, so the driver merge sees at
+    most k rows per block.  No shuffle except the final k-row sort."""
+    from ray.data.aggregate import Sum
+
+    import ray as _ray
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    term_set = set(terms)
+
+    def df_for_terms(t: pa.Table) -> pa.Table:
+        part = _df_partial_from_docs(t)
+        return part.filter(pc.is_in(part["token"], value_set=pa.array(list(term_set))))
+
+    df_tbl = pa.concat_tables(
+        tb
+        for tb in map(
+            _ray.get,
+            ds.map_batches(df_for_terms, batch_format="pyarrow")
+            .groupby("token")
+            .aggregate(Sum("df_part", alias_name="df"))
+            .to_arrow_refs(),
+        )
+        if tb.num_rows
+    )
+    df_map = dict(zip(df_tbl["token"].to_pylist(), df_tbl["df"].to_pylist()))
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        total = np.zeros(t.num_rows, dtype=np.int64)
+        for term in terms:
+            dfv = df_map.get(term, 0)
+            if not dfv:
+                continue
+            tf = np.zeros(t.num_rows, dtype=np.int64)
+            hits = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            np.add.at(tf, parent[hits], 1)
+            total += tf * TFIDF_SCALE // dfv
+        out = pa.table(
+            {"doc_id": t["doc_id"], "score": pa.array(total, pa.int64())}
+        ).filter(pc.greater(pa.array(total), 0))
+        # local top-k: at most k rows leave each batch
+        return out.sort_by([("score", "descending"), ("doc_id", "ascending")]).slice(0, k)
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def _search_sql() -> str:
+    terms = ", ".join(f"('{t}')" for t in SEARCH_TERMS)
+    return f"""
+WITH q(term) AS (VALUES {terms}),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok JOIN q ON q.term = tok.token
+  GROUP BY 1, 2
+),
+dfx AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+        JOIN q ON q.term = tok.token GROUP BY token),
+sc AS (
+  SELECT tf.doc_id, CAST(sum(tf.tf * {TFIDF_SCALE} // dfx.df) AS BIGINT) AS score
+  FROM tf JOIN dfx USING (token)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM sc WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT {SEARCH_TOP_K}
+"""
+
+
+SEARCH_TOPK_SQL = _search_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -947,8 +1048,8 @@ def lang_token_quantiles(sf_dir: str):
 # TF-IDF: top terms per document (two-phase: corpus DF, then scoring)
 # ---------------------------------------------------------------------------
 
-TFIDF_TOP_PER_DOC = 3
-TFIDF_SCALE = 1_000_000
+# (TFIDF_TOP_PER_DOC / TFIDF_SCALE live next to DF_TOP_K — search_topk
+# needs them at module-eval time before this section.)
 
 
 def tfidf_top_terms(sf_dir: str, per_doc: int = TFIDF_TOP_PER_DOC):

@@ -66,6 +66,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "dup_shingle_stats",
         "user_first_last",
         "hll_user_registers",
+        "search_topk",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
