@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_rollup": analytics.doc_stats_rollup,
         "user_first_last": analytics.user_first_last,
         "hll_user_registers": analytics.hll_user_registers,
+        "hash_sample": analytics.hash_sample_docs,
         # --- text analysis (SQL oracles where ASCII-expressible) ---
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -192,6 +193,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats_rollup": analytics.DOC_STATS_ROLLUP_SQL,
         "user_first_last": analytics.USER_FIRST_LAST_SQL,
         "hll_user_registers": analytics.HLL_USER_REGISTERS_SQL,
+        "hash_sample": analytics.HASH_SAMPLE_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_scores": textstats.QUALITY_SCORES_SQL,
         "lang_id": textstats.LANG_ID_SQL,

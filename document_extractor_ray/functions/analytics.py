@@ -1186,6 +1186,65 @@ HLL_USER_REGISTERS_SQL = _hll_sql()
 
 
 # ---------------------------------------------------------------------------
+# Deterministic hash-based sampling
+# ---------------------------------------------------------------------------
+
+HASH_SAMPLE_PCT = 10
+
+
+def hash_sample_docs(sf_dir: str, pct: int = HASH_SAMPLE_PCT):
+    """Deterministic ``pct``% document sample: keep doc_id iff
+    fmix64(doc_id) % 100 < pct.  Unlike modulo-on-the-raw-id
+    (stratified_sample's systematic variant), the avalanche hash is
+    unbiased under ANY id assignment pattern (sequential, sharded,
+    gapped), reproducible across runs/engines, and consistent — the
+    same doc is in or out of every downstream sample.  Embarrassingly
+    parallel: one vectorized filter per batch, no shuffle, no state."""
+    from document_extractor_ray.functions.textstats import _read_docs
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        u = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mask = (_hll_hash(u) % np.uint64(100)) < np.uint64(pct)
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+def _hash_sample_sql() -> str:
+    from document_extractor_ray.functions.sqlhash import _mulmod64
+
+    two32 = 1 << 32
+
+    def xs33(col: str) -> str:
+        return (
+            f"(({col} // {two32}) * {two32}"
+            f" + xor(CAST({col} % {two32} AS BIGINT),"
+            f" CAST({col} // {two32} // 2 AS BIGINT))::HUGEINT)"
+        )
+
+    return f"""
+WITH h0 AS (
+  SELECT doc_id, lang,
+         (doc_id::HUGEINT + {HLL_SEED}::HUGEINT) % {1 << 64}::HUGEINT AS h
+  FROM documents
+),
+h1 AS (SELECT doc_id, lang, {xs33('h')} AS h FROM h0),
+h2 AS (SELECT doc_id, lang, {_mulmod64('h', HLL_C1)} AS h FROM h1),
+h3 AS (SELECT doc_id, lang, {xs33('h')} AS h FROM h2),
+h4 AS (SELECT doc_id, lang, {_mulmod64('h', HLL_C2)} AS h FROM h3),
+h5 AS (SELECT doc_id, lang, {xs33('h')} AS h FROM h4)
+SELECT doc_id, lang FROM h5
+WHERE h % 100 < {HASH_SAMPLE_PCT}
+ORDER BY doc_id
+"""
+
+
+HASH_SAMPLE_SQL = _hash_sample_sql()
+
+
+# ---------------------------------------------------------------------------
 # LAG window: day-over-day delta of daily event counts
 # ---------------------------------------------------------------------------
 

@@ -67,6 +67,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "user_first_last",
         "hll_user_registers",
         "search_topk",
+        "hash_sample",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
