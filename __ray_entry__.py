@@ -231,9 +231,13 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": similarity.knn_lsh_sql(),
         "embedding_topk_pairs": similarity.EMBEDDING_TOPK_PAIRS_SQL,
         "label_centroids": similarity.LABEL_CENTROIDS_SQL,
-        # extract_* (HTML parsing), embedding_dup_* (planted inputs the
-        # oracle views can't see), knn_lsh/knn_ivf (seeded-RNG plane /
-        # centroid state), pack_sequences (sequential greedy state),
-        # media_features (synthesized binary payloads): rows-only
-        # driver check + golden-pinned pytest (tests/test_goldens.py).
+        # No-oracle tail (8 of 59), each justified + golden-pinned in
+        # tests/test_goldens.py: extract_* x3 (HTML parsing; byte-
+        # identity vs oracle.run_oracle in pytest), embedding_dup_
+        # pairs/clusters (planted inputs the oracle views can't see;
+        # exact-pair semantics oracled via embedding_topk_pairs),
+        # knn_ivf (Lloyd-argmax margins ~1.2e-7, inside cross-engine
+        # float noise), pack_sequences (list-valued; semantics oracled
+        # via pack_assignments), media_features (synthesized binary
+        # payloads).
     }
