@@ -175,6 +175,7 @@ def run_bench() -> dict:
         "user_first_last",
         "hll_user_registers",
         "search_topk",
+        "hash_sample",
     ]
     for name in picks:
         t0 = time.perf_counter()
