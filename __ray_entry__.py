@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last": analytics.user_first_last,
         "hll_user_registers": analytics.hll_user_registers,
         "hash_sample": analytics.hash_sample_docs,
+        "hll_daily_registers": analytics.hll_daily_registers,
         # --- text analysis (SQL oracles where ASCII-expressible) ---
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -194,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "user_first_last": analytics.USER_FIRST_LAST_SQL,
         "hll_user_registers": analytics.HLL_USER_REGISTERS_SQL,
         "hash_sample": analytics.HASH_SAMPLE_SQL,
+        "hll_daily_registers": analytics.HLL_DAILY_REGISTERS_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_scores": textstats.QUALITY_SCORES_SQL,
         "lang_id": textstats.LANG_ID_SQL,

@@ -1145,13 +1145,17 @@ def hll_estimate(registers, m: int = HLL_M) -> float:
     return float(est)
 
 
-def _hll_sql() -> str:
+def _fmix64_sql(expr: str, group_expr: str = "", group_col: str = "") -> str:
+    """CTE chain computing fmix64(expr + seed) as column ``h`` over
+    events, optionally carrying ``group_expr AS group_col`` from the
+    source through every stage (later stages reference the column by
+    name).  h ^ (h >> 33) in HUGEINT: the shifted value is < 2^31, so
+    the xor only touches the low 32-bit half -> split, BIGINT xor,
+    glue."""
     from document_extractor_ray.functions.sqlhash import _mulmod64
 
-    two56 = 1 << _HLL_LOW_BITS
     two32 = 1 << 32
-    # h ^ (h >> 33) in HUGEINT: the shifted value is < 2^31, so the
-    # xor only touches the low 32-bit half -> split, BIGINT xor, glue.
+
     def xs33(col: str) -> str:
         return (
             f"(({col} // {two32}) * {two32}"
@@ -1159,30 +1163,89 @@ def _hll_sql() -> str:
             f" CAST({col} // {two32} // 2 AS BIGINT))::HUGEINT)"
         )
 
-    return f"""
-WITH h0 AS (
-  SELECT (user_id::HUGEINT + {HLL_SEED}::HUGEINT) % {1 << 64}::HUGEINT AS h
+    c0 = f"{group_expr} AS {group_col}, " if group_col else ""
+    c = f"{group_col}, " if group_col else ""
+    return f"""h0 AS (
+  SELECT {c0}({expr}::HUGEINT + {HLL_SEED}::HUGEINT) % {1 << 64}::HUGEINT AS h
   FROM events
 ),
-h1 AS (SELECT {xs33('h')} AS h FROM h0),
-h2 AS (SELECT {_mulmod64('h', HLL_C1)} AS h FROM h1),
-h3 AS (SELECT {xs33('h')} AS h FROM h2),
-h4 AS (SELECT {_mulmod64('h', HLL_C2)} AS h FROM h3),
-h5 AS (SELECT {xs33('h')} AS h FROM h4),
+h1 AS (SELECT {c}{xs33('h')} AS h FROM h0),
+h2 AS (SELECT {c}{_mulmod64('h', HLL_C1)} AS h FROM h1),
+h3 AS (SELECT {c}{xs33('h')} AS h FROM h2),
+h4 AS (SELECT {c}{_mulmod64('h', HLL_C2)} AS h FROM h3),
+h5 AS (SELECT {c}{xs33('h')} AS h FROM h4)"""
+
+
+def _hll_sql(group_expr: str = "", group_col: str = "") -> str:
+    two56 = 1 << _HLL_LOW_BITS
+    carry_sel = f"{group_col}, " if group_col else ""
+    group_by = f"GROUP BY {group_col}, register" if group_col else "GROUP BY register"
+    order_by = f"ORDER BY {group_col}, register" if group_col else "ORDER BY register"
+    return f"""
+WITH {_fmix64_sql("user_id", group_expr, group_col)},
 r AS (
-  SELECT CAST(h // {two56} AS BIGINT) AS register,
+  SELECT {carry_sel}CAST(h // {two56} AS BIGINT) AS register,
          CAST(h % {two56} AS BIGINT) AS low
   FROM h5
 )
-SELECT register,
+SELECT {carry_sel}register,
        CAST(max({_HLL_LOW_BITS} - length(ltrim(bin(low), '0')) + 1) AS BIGINT) AS max_rho
 FROM r
-GROUP BY register
-ORDER BY register
+{group_by}
+{order_by}
 """
 
 
 HLL_USER_REGISTERS_SQL = _hll_sql()
+
+
+def hll_daily_registers(sf_dir: str):
+    """Per-DAY HyperLogLog register tables over events.user_id — the
+    grouped-sketch shape (distinct users per day without a distinct
+    shuffle).  Each batch folds to at most |days-in-batch| x 256
+    partial-max cells via one flattened np.maximum.at; a grouped Max
+    merges across batches.  Because max is associative over any row
+    partition, merging the daily tables by register reproduces the
+    GLOBAL sketch exactly (pytest-asserted) — the property that lets
+    per-shard / per-day sketches roll up to any coarser window for
+    free at 100 TB."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _hll_hash(u)
+        reg = (h >> np.uint64(_HLL_LOW_BITS)).astype(np.int64)
+        low = h & np.uint64((1 << _HLL_LOW_BITS) - 1)
+        bl = np.searchsorted(_HLL_POWERS, low, side="right")
+        rho = (_HLL_LOW_BITS - bl + 1).astype(np.int64)
+        day = pc.floor_temporal(t["ts"], unit="day")
+        day_us = pc.cast(day, pa.int64()).to_numpy(zero_copy_only=False)
+        uniq_days, inv = np.unique(day_us, return_inverse=True)
+        maxes = np.zeros(len(uniq_days) * HLL_M, dtype=np.int64)
+        np.maximum.at(maxes, inv * HLL_M + reg, rho)
+        nz = np.nonzero(maxes)[0]
+        return pa.table(
+            {
+                "day": pa.array(uniq_days[nz // HLL_M], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "register": pa.array(nz % HLL_M, pa.int64()),
+                "max_rho": pa.array(maxes[nz], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "register"])
+        .aggregate(Max("max_rho", alias_name="max_rho"))
+        .sort(["day", "register"])
+        .map_batches(_ts_us("day"), batch_format="pyarrow")
+    )
+
+
+HLL_DAILY_REGISTERS_SQL = _hll_sql("date_trunc('day', ts)", "day")
 
 
 # ---------------------------------------------------------------------------

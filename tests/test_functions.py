@@ -68,6 +68,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "hll_user_registers",
         "search_topk",
         "hash_sample",
+        "hll_daily_registers",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -119,6 +120,25 @@ def test_hll_estimate_accuracy(ray_session):
         f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
     ).fetchone()[0]
     assert abs(est - exact) <= 0.26 * exact, (est, exact)
+
+
+def test_hll_daily_merges_to_global(ray_session):
+    """Sketch mergeability: max-merging the per-day register tables by
+    register must reproduce the global register table EXACTLY (max is
+    associative over any row partition)."""
+    from document_extractor_ray.functions.analytics import (
+        hll_daily_registers,
+        hll_user_registers,
+    )
+
+    daily = hll_daily_registers(SF).take_all()
+    merged: dict = {}
+    for r in daily:
+        merged[r["register"]] = max(merged.get(r["register"], 0), r["max_rho"])
+    global_ = {
+        r["register"]: r["max_rho"] for r in hll_user_registers(SF).take_all()
+    }
+    assert merged == global_
 
 
 def test_dup_shingle_stats_paths_agree(ray_session):
