@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": analytics.customers_without_orders,
         "order_revenue_by_nation": analytics.order_revenue_by_nation,
         "events_asof_orders": analytics.events_asof_orders,
+        "events_prior_hour": analytics.events_prior_hour,
         "q3_shipping": analytics.q3_shipping,
         "events_daily_delta": analytics.events_daily_delta,
         "distinct_users_per_type": analytics.distinct_users_per_type,
@@ -188,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": analytics.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "order_revenue_by_nation": analytics.ORDER_REVENUE_BY_NATION_SQL,
         "events_asof_orders": analytics.EVENTS_ASOF_ORDERS_SQL,
+        "events_prior_hour": analytics.EVENTS_PRIOR_HOUR_SQL,
         "q3_shipping": analytics.Q3_SHIPPING_SQL,
         "events_daily_delta": analytics.EVENTS_DAILY_DELTA_SQL,
         "distinct_users_per_type": analytics.DISTINCT_USERS_SQL,

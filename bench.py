@@ -176,6 +176,7 @@ def run_bench() -> dict:
         "hll_user_registers",
         "search_topk",
         "hash_sample",
+        "events_prior_hour",
     ]
     for name in picks:
         t0 = time.perf_counter()

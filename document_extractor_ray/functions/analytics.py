@@ -804,6 +804,77 @@ ORDER BY event_id
 
 
 # ---------------------------------------------------------------------------
+# Range (interval) self-join: same-user events in the preceding hour
+# ---------------------------------------------------------------------------
+
+PRIOR_WINDOW_US = 3_600_000_000  # 1 hour in microseconds
+
+
+def events_prior_hour(sf_dir: str):
+    """Range join: for every event, how many events of the SAME user
+    fall in the preceding hour [ts-1h, ts) — the burst-detection /
+    rate-limit window.
+
+    Ray Data has no inequality join; this is the distributed range-
+    join shape: shuffle ONCE on a hash bucket of user_id (the
+    sessionize plan — a user's events co-locate, partitions stay
+    balanced), then the whole partition's window counts come from two
+    vectorized np.searchsorted calls over a composite (user, ts) key
+    — no per-user Python, no self-join blowup.  The composite key
+    encodes user as a segment offset, so one sorted array answers
+    every user's range queries at once."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    n_parts = _n_blocks()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(
+            pc.multiply(
+                pc.cast(t["user_id"], pa.int64()), pa.scalar(2654435761, pa.int64())
+            ),
+            pa.scalar(0x7FFFFFFF, pa.int64()),
+        )
+        part = pc.cast(
+            pc.subtract(h, pc.multiply(pc.divide(h, n_parts), n_parts)), pa.int32()
+        )
+        return t.append_column("part", part)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uidx = pd.factorize(g["user_id"], sort=False)[0].astype(np.int64)
+        lo = ts_us.min() if len(ts_us) else 0
+        span = (ts_us.max() - lo if len(ts_us) else 0) + 2 * PRIOR_WINDOW_US
+        key = uidx * span + (ts_us - lo)
+        # window [ts-1h, ts): both bounds stay inside the user's
+        # segment because span > ts-range + 1h.
+        hi_rank = np.searchsorted(key, key, side="left")
+        lo_rank = np.searchsorted(key, key - PRIOR_WINDOW_US, side="left")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy().astype("int64"),
+                "n_prior_1h": (hi_rank - lo_rank).astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .sort("event_id")
+    )
+
+
+EVENTS_PRIOR_HOUR_SQL = """
+SELECT e.event_id, CAST(count(e2.event_id) AS BIGINT) AS n_prior_1h
+FROM events e
+LEFT JOIN events e2 ON e2.user_id = e.user_id
+ AND e2.ts >= e.ts - INTERVAL 1 HOUR AND e2.ts < e.ts
+GROUP BY e.event_id
+ORDER BY e.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q3-style shipping-priority pipeline (semi-join + hash join + top-k)
 # ---------------------------------------------------------------------------
 

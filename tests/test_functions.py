@@ -69,6 +69,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "search_topk",
         "hash_sample",
         "hll_daily_registers",
+        "events_prior_hour",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
