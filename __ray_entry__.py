@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_user_registers": analytics.hll_user_registers,
         "hash_sample": analytics.hash_sample_docs,
         "hll_daily_registers": analytics.hll_daily_registers,
+        "mixture_sample": analytics.mixture_sample,
+        "doc_length_percentiles": analytics.doc_length_percentiles,
         # --- text analysis (SQL oracles where ASCII-expressible) ---
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -198,6 +200,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_user_registers": analytics.HLL_USER_REGISTERS_SQL,
         "hash_sample": analytics.HASH_SAMPLE_SQL,
         "hll_daily_registers": analytics.HLL_DAILY_REGISTERS_SQL,
+        "mixture_sample": analytics.MIXTURE_SAMPLE_SQL,
+        "doc_length_percentiles": analytics.DOC_LENGTH_PERCENTILES_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_scores": textstats.QUALITY_SCORES_SQL,
         "lang_id": textstats.LANG_ID_SQL,

@@ -1379,6 +1379,139 @@ HASH_SAMPLE_SQL = _hash_sample_sql()
 
 
 # ---------------------------------------------------------------------------
+# Weighted mixture sampling (training-data source mixing)
+# ---------------------------------------------------------------------------
+
+# per-mille keep rates per source — the "data mixture" a training run
+# specifies (e.g. upsample curated sources, downsample crawl).  The
+# synthetic corpus has sources src0..src19; a deterministic spread of
+# rates exercises every branch of the mixture.
+MIXTURE_PERMILLE = {f"src{i}": (i * 97) % 900 + 50 for i in range(20)}
+
+
+def mixture_sample(sf_dir: str, rates: dict = None):
+    """Deterministic weighted source mixing: keep a document iff
+    fmix64(doc_id) % 1000 < rate[source] — the mixture-sampling step
+    of training-data assembly, with per-source rates instead of
+    hash_sample's single global rate.  Same avalanche hash, same
+    engine-vs-SQL bit equality; sources absent from the rate map drop
+    to 0.  Embarrassingly parallel, no shuffle."""
+    from document_extractor_ray.functions.textstats import _read_docs
+
+    rates = MIXTURE_PERMILLE if rates is None else rates
+    ds = _read_docs(sf_dir, ["doc_id", "source", "lang"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        u = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (_hll_hash(u) % np.uint64(1000)).astype(np.int64)
+        src = t["source"].to_pylist()
+        thresh = np.fromiter(
+            (rates.get(s, 0) for s in src), dtype=np.int64, count=len(src)
+        )
+        return t.filter(pa.array(bucket < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+def _mixture_sql() -> str:
+    from document_extractor_ray.functions.sqlhash import _mulmod64
+
+    two32 = 1 << 32
+
+    def xs33(col: str) -> str:
+        return (
+            f"(({col} // {two32}) * {two32}"
+            f" + xor(CAST({col} % {two32} AS BIGINT),"
+            f" CAST({col} // {two32} // 2 AS BIGINT))::HUGEINT)"
+        )
+
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in MIXTURE_PERMILLE.items()
+    )
+    return f"""
+WITH h0 AS (
+  SELECT doc_id, source, lang,
+         (doc_id::HUGEINT + {HLL_SEED}::HUGEINT) % {1 << 64}::HUGEINT AS h
+  FROM documents
+),
+h1 AS (SELECT doc_id, source, lang, {xs33('h')} AS h FROM h0),
+h2 AS (SELECT doc_id, source, lang, {_mulmod64('h', HLL_C1)} AS h FROM h1),
+h3 AS (SELECT doc_id, source, lang, {xs33('h')} AS h FROM h2),
+h4 AS (SELECT doc_id, source, lang, {_mulmod64('h', HLL_C2)} AS h FROM h3),
+h5 AS (SELECT doc_id, source, lang, {xs33('h')} AS h FROM h4)
+SELECT doc_id, source, lang FROM h5
+WHERE h % 1000 < (CASE {cases} ELSE 0 END)
+ORDER BY doc_id
+"""
+
+
+MIXTURE_SAMPLE_SQL = _mixture_sql()
+
+
+# ---------------------------------------------------------------------------
+# Exact global percentile rank without a global sort
+# ---------------------------------------------------------------------------
+
+def doc_length_percentiles(sf_dir: str):
+    """Every document's exact global length-rank in permille:
+    rank_permille = (#docs with n_chars < mine) * 1000 // N — the
+    window-function PERCENT_RANK analogue, computed WITHOUT a global
+    sort: the bounded-domain count table (the token_quantiles plan)
+    collects once, its cumulative map broadcasts, and each batch
+    looks its ranks up vectorized.  At 10^12 docs the count table is
+    |distinct lengths| rows; no shuffle ever carries the corpus."""
+    from ray.data.aggregate import Sum
+
+    from document_extractor_ray import state
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        v, n = np.unique(t["n_chars"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {"v": pa.array(v, pa.int64()), "n": pa.array(n.astype(np.int64), pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort("v")
+        .take_all()
+    )
+    vs = np.array([r["v"] for r in counts], dtype=np.int64)
+    ns = np.array([r["n"] for r in counts], dtype=np.int64)
+    below = np.concatenate([[0], np.cumsum(ns)[:-1]]).astype(np.int64)
+    total = int(ns.sum())
+    ref = state.broadcast((vs, below, total))
+
+    def rank(t: pa.Table) -> pa.Table:
+        vs_b, below_b, total_b = state.cached_get(ref)
+        x = t["n_chars"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vs_b, x)
+        pm = below_b[idx] * 1000 // max(total_b, 1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "rank_permille": pa.array(pm.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rank, batch_format="pyarrow").sort("doc_id")
+
+
+# rank() - 1 == count of rows strictly below (ties share min rank)
+DOC_LENGTH_PERCENTILES_SQL = """
+SELECT doc_id, n_chars,
+       CAST((rank() OVER (ORDER BY n_chars) - 1) * 1000
+            // greatest(count(*) OVER (), 1) AS BIGINT) AS rank_permille
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # LAG window: day-over-day delta of daily event counts
 # ---------------------------------------------------------------------------
 

@@ -70,6 +70,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "hash_sample",
         "hll_daily_registers",
         "events_prior_hour",
+        "mixture_sample",
+        "doc_length_percentiles",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
