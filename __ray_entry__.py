@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_daily_registers": analytics.hll_daily_registers,
         "mixture_sample": analytics.mixture_sample,
         "doc_length_percentiles": analytics.doc_length_percentiles,
+        "user_event_paths": analytics.user_event_paths,
         # --- text analysis (SQL oracles where ASCII-expressible) ---
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -202,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_daily_registers": analytics.HLL_DAILY_REGISTERS_SQL,
         "mixture_sample": analytics.MIXTURE_SAMPLE_SQL,
         "doc_length_percentiles": analytics.DOC_LENGTH_PERCENTILES_SQL,
+        "user_event_paths": analytics.USER_EVENT_PATHS_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_scores": textstats.QUALITY_SCORES_SQL,
         "lang_id": textstats.LANG_ID_SQL,

@@ -1058,6 +1058,69 @@ ORDER BY user_id
 
 
 # ---------------------------------------------------------------------------
+# Ordered string aggregation (funnel paths)
+# ---------------------------------------------------------------------------
+
+PATH_MAX_STEPS = 8
+
+
+def user_event_paths(sf_dir: str, max_steps: int = PATH_MAX_STEPS):
+    """Each user's chronological event-type path (first ``max_steps``
+    events, '>'-joined) — the ordered string_agg / funnel-mining
+    primitive.  One hash-bucket shuffle co-locates a user's events
+    (the sessionize plan); inside the partition the per-user head and
+    join are one sorted pandas pass.  The per-batch combiner ships
+    only each batch's first ``max_steps`` events per user, so the
+    shuffle is bounded by users x max_steps, not the event stream."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    n_parts = _n_blocks()
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        df = df.groupby("user_id", sort=False).head(max_steps)
+        h = (df["user_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)) & np.uint64(
+            0x7FFFFFFF
+        )
+        df["part"] = (h % np.uint64(n_parts)).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = g.groupby("user_id", sort=True).head(max_steps)
+        path = g.groupby("user_id", sort=True)["event_type"].agg(">".join)
+        n = g.groupby("user_id", sort=True).size()
+        return pd.DataFrame(
+            {
+                "user_id": path.index.to_numpy(),
+                "path": path.to_numpy(),
+                "n_steps": n.to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+USER_EVENT_PATHS_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY rn) AS path,
+       count(*) AS n_steps
+FROM o WHERE rn <= {PATH_MAX_STEPS}
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Distributed distinct-count aggregate
 # ---------------------------------------------------------------------------
 

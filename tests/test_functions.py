@@ -72,6 +72,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "events_prior_hour",
         "mixture_sample",
         "doc_length_percentiles",
+        "user_event_paths",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
