@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": analytics.mixture_sample,
         "doc_length_percentiles": analytics.doc_length_percentiles,
         "user_event_paths": analytics.user_event_paths,
+        "user_cumulative_value": analytics.user_cumulative_value,
+        "user_day_delta": analytics.user_day_delta,
         # --- text analysis (SQL oracles where ASCII-expressible) ---
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -204,6 +206,8 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": analytics.MIXTURE_SAMPLE_SQL,
         "doc_length_percentiles": analytics.DOC_LENGTH_PERCENTILES_SQL,
         "user_event_paths": analytics.USER_EVENT_PATHS_SQL,
+        "user_cumulative_value": analytics.USER_CUMULATIVE_VALUE_SQL,
+        "user_day_delta": analytics.USER_DAY_DELTA_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_scores": textstats.QUALITY_SCORES_SQL,
         "lang_id": textstats.LANG_ID_SQL,

@@ -1121,6 +1121,147 @@ ORDER BY user_id
 
 
 # ---------------------------------------------------------------------------
+# Running cumulative window (SUM OVER ... ROWS UNBOUNDED PRECEDING)
+# ---------------------------------------------------------------------------
+
+def user_cumulative_value(sf_dir: str):
+    """Per-event running totals per user — the cumulative
+    SUM/COUNT window (``ROWS UNBOUNDED PRECEDING``).  One hash-bucket
+    shuffle co-locates each user's events (the sessionize plan: the
+    per-key ordered scan is the irreducible shuffle); inside a
+    partition the whole bucket is ONE sorted pandas pass — grouped
+    cumsum/cumcount are segment kernels, never per-user Python.
+    Money cumulates in cents (int64) so the running sum is
+    association-order-exact against the SQL window."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    n_parts = _n_blocks()
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (u * np.uint64(2654435761)) & np.uint64(0x7FFFFFFF)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "cents": _to_cents(t["value"]),
+                "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+            }
+        )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        by = g.groupby("user_id", sort=False)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "cum_n": (by.cumcount() + 1).to_numpy().astype(np.int64),
+                "cum_value_cents": by["cents"].cumsum().to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .sort("event_id")
+    )
+
+
+USER_CUMULATIVE_VALUE_SQL = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS cum_n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS cum_value_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Snapshot delta (CDC): full-outer compare of two corpus snapshots
+# ---------------------------------------------------------------------------
+
+def user_day_delta(sf_dir: str):
+    """Change-data-capture between two snapshots of the event stream
+    (old = event_id <= max/2, new = the rest), keyed on (user, day):
+    per key the old/new counts plus an added/removed/changed/same
+    classification — the FULL OUTER JOIN snapshot-compare, expressed
+    as union+pivot so it costs ONE grouped aggregate instead of two
+    aggregates plus an outer shuffle join.  Per-batch Arrow group_by
+    pre-combines the indicator sums, so only (key, 2 ints) partials
+    cross the wire; at 10^12 events the shuffle is bounded by key
+    cardinality.  The id cutoff is a single column-pruned min/max
+    pass (metadata-cheap)."""
+    cutoff = int(
+        _read(sf_dir, "events", columns=["event_id"]).max("event_id") // 2
+    )
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        old = pc.cast(pc.less_equal(t["event_id"], cutoff), pa.int64())
+        keyed = pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": pc.floor_temporal(t["ts"], unit="day"),
+                "o": old,
+                "n": pc.subtract(1, old),
+            }
+        )
+        return keyed.group_by(["user_id", "day"]).aggregate([("o", "sum"), ("n", "sum")])
+
+    def classify(t: pa.Table) -> pa.Table:
+        n_old = t["o_sum"].to_numpy(zero_copy_only=False)
+        n_new = t["n_sum"].to_numpy(zero_copy_only=False)
+        change = np.where(
+            n_old == 0,
+            "added",
+            np.where(n_new == 0, "removed", np.where(n_old != n_new, "changed", "same")),
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": t["day"],
+                "n_old": pa.array(n_old, pa.int64()),
+                "n_new": pa.array(n_new, pa.int64()),
+                "change": pa.array(change.astype(object), pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Sum("o_sum", alias_name="o_sum"), Sum("n_sum", alias_name="n_sum"))
+        .map_batches(classify, batch_format="pyarrow")
+        .sort(["user_id", "day"])
+        .map_batches(_ts_us("day"), batch_format="pyarrow")
+    )
+
+
+USER_DAY_DELTA_SQL = """
+WITH cut AS (SELECT max(event_id) // 2 AS c FROM events),
+h AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         sum(CASE WHEN event_id <= (SELECT c FROM cut) THEN 1 ELSE 0 END) AS n_old,
+         sum(CASE WHEN event_id >  (SELECT c FROM cut) THEN 1 ELSE 0 END) AS n_new
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, day,
+       CAST(n_old AS BIGINT) AS n_old,
+       CAST(n_new AS BIGINT) AS n_new,
+       CASE WHEN n_old = 0 THEN 'added'
+            WHEN n_new = 0 THEN 'removed'
+            WHEN n_old <> n_new THEN 'changed'
+            ELSE 'same' END AS change
+FROM h
+ORDER BY user_id, day
+"""
+
+
+# ---------------------------------------------------------------------------
 # Distributed distinct-count aggregate
 # ---------------------------------------------------------------------------
 

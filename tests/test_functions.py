@@ -73,6 +73,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "mixture_sample",
         "doc_length_percentiles",
         "user_event_paths",
+        "user_cumulative_value",
+        "user_day_delta",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -728,3 +730,13 @@ def test_token_quantiles_definition(ray_session):
     for q, v in zip(got.q_permille, got.n_tokens):
         rank = -(-q * n // 1000)  # ceil
         assert v == toks[rank - 1], (q, v, toks[rank - 1])
+
+
+def test_user_day_delta_exercises_all_branches(ray_session):
+    """Non-vacuity pin: the id-split CDC compare must produce every
+    change class (added/removed/changed/same) on the test corpus,
+    otherwise the classification logic is unverified by construction."""
+    from document_extractor_ray.functions.analytics import user_day_delta
+
+    got = user_day_delta("/root/testdata/sf0.001").to_pandas()
+    assert set(got["change"]) == {"added", "removed", "changed", "same"}
