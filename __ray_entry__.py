@@ -126,6 +126,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_paths": analytics.user_event_paths,
         "user_cumulative_value": analytics.user_cumulative_value,
         "user_day_delta": analytics.user_day_delta,
+        "event_type_pivot": analytics.event_type_pivot,
+        "user_lag_gaps": analytics.user_lag_gaps,
+        "events_corr_stats": analytics.events_corr_stats,
+        "lineitem_semi_bloom": analytics.lineitem_semi_bloom,
         # --- text analysis (SQL oracles where ASCII-expressible) ---
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -208,6 +212,10 @@ def oracle_sql() -> dict[str, str]:
         "user_event_paths": analytics.USER_EVENT_PATHS_SQL,
         "user_cumulative_value": analytics.USER_CUMULATIVE_VALUE_SQL,
         "user_day_delta": analytics.USER_DAY_DELTA_SQL,
+        "event_type_pivot": analytics.EVENT_TYPE_PIVOT_SQL,
+        "user_lag_gaps": analytics.USER_LAG_GAPS_SQL,
+        "events_corr_stats": analytics.EVENTS_CORR_STATS_SQL,
+        "lineitem_semi_bloom": analytics.LINEITEM_SEMI_BLOOM_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_scores": textstats.QUALITY_SCORES_SQL,
         "lang_id": textstats.LANG_ID_SQL,
@@ -245,7 +253,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": similarity.knn_lsh_sql(),
         "embedding_topk_pairs": similarity.EMBEDDING_TOPK_PAIRS_SQL,
         "label_centroids": similarity.LABEL_CENTROIDS_SQL,
-        # No-oracle tail (8 of 59), each justified + golden-pinned in
+        # No-oracle tail (8 of 70), each justified + golden-pinned in
         # tests/test_goldens.py: extract_* x3 (HTML parsing; byte-
         # identity vs oracle.run_oracle in pytest), embedding_dup_
         # pairs/clusters (planted inputs the oracle views can't see;

@@ -177,6 +177,10 @@ def run_bench() -> dict:
         "search_topk",
         "hash_sample",
         "events_prior_hour",
+        "event_type_pivot",
+        "user_lag_gaps",
+        "events_corr_stats",
+        "lineitem_semi_bloom",
     ]
     for name in picks:
         t0 = time.perf_counter()

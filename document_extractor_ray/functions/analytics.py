@@ -1783,3 +1783,331 @@ SELECT event_type, day, n, CAST(delta_n AS BIGINT) AS delta_n
 FROM w WHERE delta_n IS NOT NULL
 ORDER BY event_type, day
 """
+
+
+# ---------------------------------------------------------------------------
+# Pivot / wide aggregation (one column per category value)
+# ---------------------------------------------------------------------------
+
+# The pivot's column set must be KNOWN up front (a pivot with unknown
+# categories is two passes: distinct + pivot); these are the event
+# taxonomy, alphabetical.
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_pivot(sf_dir: str):
+    """Pivot the event stream wide: one row per user, one count column
+    per event type (the feature-matrix shape every behavioural model
+    consumes).  Each batch turns the category into integer indicator
+    columns and pre-combines them with Arrow ``group_by`` — so the
+    shuffle carries one (user, 5 ints) partial per user per block, and
+    the global groupby is a pure Sum merge.  At 10^12 events the wire
+    cost is bounded by user cardinality x block count, never by event
+    count; adding a category adds a column, not a pass."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for ty in PIVOT_TYPES:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(t["event_type"], ty), pa.int64())
+        keyed = pa.table(cols)
+        return keyed.group_by("user_id").aggregate(
+            [(f"n_{ty}", "sum") for ty in PIVOT_TYPES]
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            *[Sum(f"n_{ty}_sum", alias_name=f"n_{ty}") for ty in PIVOT_TYPES]
+        )
+        .sort("user_id")
+    )
+    return out
+
+
+EVENT_TYPE_PIVOT_SQL = """
+SELECT user_id,
+       {cols}
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""".format(
+    cols=",\n       ".join(
+        "CAST(sum(CASE WHEN event_type = '{ty}' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_{ty}".format(ty=ty)
+        for ty in PIVOT_TYPES
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# LAG window over the base table (per-key previous-row delta)
+# ---------------------------------------------------------------------------
+
+def user_lag_gaps(sf_dir: str):
+    """Per-event gap to the SAME user's previous event in microseconds
+    (-1 for a user's first event) — the LAG(ts) OVER (PARTITION BY
+    user ORDER BY ts) window on the raw stream, the building block of
+    bot/burst features.  Same irreducible plan as the other per-key
+    ordered windows (user_cumulative_value): ONE hash-bucket shuffle
+    co-locates a user's events, then the whole partition is a single
+    sorted numpy diff — the per-row lag is `ts[i] - ts[i-1]` masked by
+    a same-user boundary vector, no per-user Python ever."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    n_parts = _n_blocks()
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (u * np.uint64(2654435761)) & np.uint64(0x7FFFFFFF)
+        return t.append_column(
+            "part", pa.array((h % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[:1] = -1
+        if len(g) > 1:
+            same = uid[1:] == uid[:-1]
+            gap[1:] = np.where(same, ts_us[1:] - ts_us[:-1], -1)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy().astype("int64"),
+                "user_id": uid.astype("int64"),
+                "gap_us": gap,
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .sort("event_id")
+    )
+
+
+USER_LAG_GAPS_SQL = """
+SELECT event_id, user_id,
+       CAST(COALESCE(
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts),
+         -1) AS BIGINT) AS gap_us
+FROM events
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped correlation via sufficient statistics (exact integer partials)
+# ---------------------------------------------------------------------------
+
+def events_corr_stats(sf_dir: str):
+    """Per-event-type sufficient statistics for the Pearson correlation
+    between event value (cents) and hour-of-day: n, Σx, Σy, Σx², Σy²,
+    Σxy — ALL int64, so the distributed sum is associative and exact
+    (the float corr is one driver-side formula away, but floats never
+    cross the wire).  This is the canonical 'moment sketch' pattern:
+    any per-group variance/covariance/regression reduces to integer
+    partials combined inside map_batches, one tiny groupby to merge.
+    Per 10^12 rows the shuffle carries (5 types x blocks) rows."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = _to_cents(t["value"])
+        y = pc.cast(pc.hour(t["ts"]), pa.int64())
+        keyed = pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+                "sum_x": x,
+                "sum_y": y,
+                "sum_xx": pc.multiply(x, x),
+                "sum_yy": pc.multiply(y, y),
+                "sum_xy": pc.multiply(x, y),
+            }
+        )
+        return keyed.group_by("event_type").aggregate(
+            [(c, "sum") for c in ("n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy")]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            *[
+                Sum(f"{c}_sum", alias_name=c)
+                for c in ("n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy")
+            ]
+        )
+        .sort("event_type")
+    )
+
+
+EVENTS_CORR_STATS_SQL = """
+WITH p AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS x,
+         CAST(extract(hour FROM ts) AS BIGINT) AS y
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(x * x) AS BIGINT) AS sum_xx,
+       CAST(sum(y * y) AS BIGINT) AS sum_yy,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy
+FROM p
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join (compact prefilter + exact partitioned verify)
+# ---------------------------------------------------------------------------
+
+BLOOM_PRIORITY = "1-URGENT"
+BLOOM_M_WORDS = 1 << 14  # 2^20 bits = 128 KiB — sized for ~50k keys @ ~2% fp
+BLOOM_K = 4
+
+
+def _bloom_positions(keys: np.ndarray, m_words: int = BLOOM_M_WORDS) -> np.ndarray:
+    """(k, n) bit positions via double hashing h1 + i*h2 (Kirsch-
+    Mitzenmacher); multiply-xorshift mixers, pure uint64 numpy."""
+    x = keys.astype(np.uint64)
+    h1 = x * np.uint64(0x9E3779B97F4A7C15)
+    h1 ^= h1 >> np.uint64(29)
+    h2 = (x + np.uint64(0x165667B19E3779F9)) * np.uint64(0xC2B2AE3D27D4EB4F)
+    h2 ^= h2 >> np.uint64(31)
+    m_bits = np.uint64(m_words * 64)
+    return np.stack([(h1 + np.uint64(i) * h2) % m_bits for i in range(BLOOM_K)])
+
+
+def lineitem_semi_bloom(
+    sf_dir: str, priority: str = BLOOM_PRIORITY, m_words: int = BLOOM_M_WORDS
+):
+    """Semi-join lineitem against urgent orders with a Bloom-filter
+    prefilter + exact verify — the large-x-large semi-join pattern for
+    when the build-side KEY SET is too big to broadcast but a 128 KiB
+    bitmap is not.
+
+    Scale shape, in order:
+    - build: each build-side block folds its keys into a partial
+      bitmap (one 128 KiB binary row per block); the driver ORs those
+      few rows — driver traffic is blocks x 128 KiB, independent of
+      key count — and ``ray.put``s the merged filter ONCE.
+    - probe: every lineitem batch tests k=4 bits vectorized in numpy;
+      non-members (the vast majority in a selective semi-join) never
+      leave the scan node.
+    - verify: Bloom false positives are removed exactly — survivors
+      and build keys hash-partition on the join key, and each
+      partition answers membership with one sorted np.isin; only
+      survivors (~sel + 2% fp) pay this shuffle.  The per-key
+      aggregate (n_items, qty) folds into the same partition pass, so
+      no further shuffle follows."""
+    from document_extractor_ray import state
+
+    n_parts = _n_blocks()
+
+    keys_ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def build_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], priority))
+        words = np.zeros(m_words, dtype=np.uint64)
+        if len(t):
+            k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            pos = _bloom_positions(k, m_words).ravel()
+            np.bitwise_or.at(words, pos >> 6, np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bits": pa.array([words.tobytes()], pa.large_binary())})
+
+    merged = np.zeros(m_words, dtype=np.uint64)
+    for row in keys_ds.map_batches(build_partial, batch_format="pyarrow").take_all():
+        merged |= np.frombuffer(row["bits"], dtype=np.uint64)
+    bloom_ref = ray.put(merged)
+
+    def probe(t: pa.Table) -> pa.Table:
+        words = state.cached_get(bloom_ref)
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pos = _bloom_positions(k, m_words)
+        hit = (words[pos >> 6] >> (pos & np.uint64(63))) & np.uint64(1)
+        keep = hit.all(axis=0).astype(bool)
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "key": t["l_orderkey"],
+                "qty": pc.cast(
+                    pc.round(t["l_quantity"], round_mode="half_towards_infinity"),
+                    pa.int64(),
+                ),
+                "side": pa.array(np.ones(len(t), dtype=np.int8)),
+            }
+        )
+
+    def tag_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], priority))
+        return pa.table(
+            {
+                "key": t["o_orderkey"],
+                "qty": pa.array(np.zeros(len(t), dtype=np.int64)),
+                "side": pa.array(np.zeros(len(t), dtype=np.int8)),
+            }
+        )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (k * np.uint64(2654435761)) & np.uint64(0x7FFFFFFF)
+        return t.append_column(
+            "part", pa.array((h % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    def verify_agg(g: pd.DataFrame) -> pd.DataFrame:
+        keys = np.sort(g.loc[g["side"] == 0, "key"].to_numpy())
+        items = g[g["side"] == 1]
+        items = items[np.isin(items["key"].to_numpy(), keys)]
+        if not len(items):
+            return pd.DataFrame(
+                {"o_orderkey": pd.Series(dtype="int64"),
+                 "n_items": pd.Series(dtype="int64"),
+                 "qty": pd.Series(dtype="int64")}
+            )
+        agg = items.groupby("key", sort=False).agg(
+            n_items=("qty", "size"), qty=("qty", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": agg.index.to_numpy().astype("int64"),
+                "n_items": agg["n_items"].to_numpy().astype("int64"),
+                "qty": agg["qty"].to_numpy().astype("int64"),
+            }
+        )
+
+    probed = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(probe, batch_format="pyarrow")
+    tagged_keys = keys_ds.map_batches(tag_keys, batch_format="pyarrow")
+
+    return (
+        probed.union(tagged_keys)
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(verify_agg, batch_format="pandas")
+        .sort("o_orderkey")
+    )
+
+
+LINEITEM_SEMI_BLOOM_SQL = """
+SELECT l.l_orderkey AS o_orderkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem l
+WHERE l.l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY 1
+ORDER BY 1
+"""

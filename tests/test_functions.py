@@ -75,6 +75,10 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "user_event_paths",
         "user_cumulative_value",
         "user_day_delta",
+        "event_type_pivot",
+        "user_lag_gaps",
+        "events_corr_stats",
+        "lineitem_semi_bloom",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -740,3 +744,42 @@ def test_user_day_delta_exercises_all_branches(ray_session):
 
     got = user_day_delta("/root/testdata/sf0.001").to_pandas()
     assert set(got["change"]) == {"added", "removed", "changed", "same"}
+
+
+def test_user_lag_gaps_nonvacuous(ray_session):
+    """Pin: the LAG window must see both branches on the corpus —
+    first-event sentinels (-1) AND real positive gaps; and exactly one
+    -1 per user (each user has exactly one first event)."""
+    from document_extractor_ray.functions.analytics import user_lag_gaps
+
+    got = user_lag_gaps("/root/testdata/sf0.001").to_pandas()
+    firsts = got[got["gap_us"] == -1]
+    assert len(firsts) == got["user_id"].nunique()
+    assert (got["gap_us"] >= -1).all() and (got["gap_us"] > 0).any()
+
+
+def test_event_type_pivot_nonvacuous(ray_session):
+    """Pin: every pivot column is hit, and the wide counts re-sum to
+    the event total (no event lost or double-counted by the pivot)."""
+    from document_extractor_ray.functions.analytics import (
+        PIVOT_TYPES,
+        event_type_pivot,
+    )
+
+    got = event_type_pivot("/root/testdata/sf0.001").to_pandas()
+    cols = [f"n_{t}" for t in PIVOT_TYPES]
+    assert all((got[c] > 0).any() for c in cols)
+    assert int(got[cols].to_numpy().sum()) == 1000
+
+
+def test_bloom_exact_under_saturation(ray_session):
+    """The semi-join's exactness must NOT depend on Bloom quality: a
+    64-bit filter (every probe a false positive) must still produce the
+    byte-identical result, because the partitioned verify removes FPs.
+    Also pins no-false-negatives: the full-size run equals the
+    saturated run."""
+    from document_extractor_ray.functions.analytics import lineitem_semi_bloom
+
+    full = lineitem_semi_bloom("/root/testdata/sf0.001").to_pandas()
+    saturated = lineitem_semi_bloom("/root/testdata/sf0.001", m_words=1).to_pandas()
+    pd.testing.assert_frame_equal(full, saturated)
