@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "df_top_tokens": textstats.df_top_tokens,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "search_topk": textstats.search_topk,
+        "bigram_top": textstats.bigram_top,
         "fingerprints": textstats.fingerprints,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact_docs,
@@ -230,6 +231,7 @@ def oracle_sql() -> dict[str, str]:
         "df_top_tokens": textstats.DF_TOP_TOKENS_SQL,
         "tfidf_top_terms": textstats.TFIDF_TOP_TERMS_SQL,
         "search_topk": textstats.SEARCH_TOPK_SQL,
+        "bigram_top": textstats.BIGRAM_TOP_SQL,
         "source_mix": training.SOURCE_MIX_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "stratified_sample": training.STRATIFIED_SAMPLE_SQL,
@@ -253,7 +255,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": similarity.knn_lsh_sql(),
         "embedding_topk_pairs": similarity.EMBEDDING_TOPK_PAIRS_SQL,
         "label_centroids": similarity.LABEL_CENTROIDS_SQL,
-        # No-oracle tail (8 of 70), each justified + golden-pinned in
+        # No-oracle tail (8 of 71), each justified + golden-pinned in
         # tests/test_goldens.py: extract_* x3 (HTML parsing; byte-
         # identity vs oracle.run_oracle in pytest), embedding_dup_
         # pairs/clusters (planted inputs the oracle views can't see;

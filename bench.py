@@ -181,6 +181,7 @@ def run_bench() -> dict:
         "user_lag_gaps",
         "events_corr_stats",
         "lineitem_semi_bloom",
+        "bigram_top",
     ]
     for name in picks:
         t0 = time.perf_counter()

@@ -1182,3 +1182,80 @@ SELECT tot.lang, tot.n AS n_docs,
 FROM tot
 ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram counts (n-gram language-model statistics)
+# ---------------------------------------------------------------------------
+
+BIGRAM_TOP_K = 20
+
+
+def bigram_top(sf_dir: str, k: int = BIGRAM_TOP_K):
+    """Top-k corpus bigrams by occurrence count — the n-gram LM /
+    collocation statistic, and the n>1 generalization of
+    df_top_tokens (same tokenizer, so the n-gram family cannot drift).
+
+    All Arrow/numpy per batch: split_pattern_regex tokenizes every doc
+    at once, empties drop while keeping list parentage, and the
+    consecutive-pair mask is one numpy compare of parent indices
+    (pairs never straddle docs; a doc's tokens are wholly in its row).
+    binary_join_element_wise materializes the bigram strings and an
+    Arrow group_by pre-counts per batch — the shuffle carries
+    (bigram, n) partials bounded by the batch's distinct-bigram count,
+    never token count; then one grouped Sum + top-k sort.  At corpus
+    scale the tail vocabulary is huge, so a production run would add
+    a per-batch min-count floor; k-selection semantics are unchanged
+    because a global top-k bigram cannot be rare in every batch."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        f = flat.filter(keep).combine_chunks()
+        p = parent.filter(keep).combine_chunks().to_numpy(zero_copy_only=False)
+        if len(f) < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        mask = pa.array(p[1:] == p[:-1])
+        bg = pc.binary_join_element_wise(
+            f.slice(0, len(f) - 1).filter(mask), f.slice(1).filter(mask), " "
+        )
+        agg = pa.TableGroupBy(pa.table({"bigram": bg}), ["bigram"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"bigram": agg["bigram"], "n": pc.cast(agg["count_all"], pa.int64())}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(k)
+    )
+
+
+BIGRAM_TOP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}'),
+                     t -> t <> '') AS lst
+  FROM documents
+),
+grams AS (
+  SELECT lst[g.i] || ' ' || lst[g.i + 1] AS bigram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(lst))) AS i) g
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM grams
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT {BIGRAM_TOP_K}
+"""

@@ -79,6 +79,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "user_lag_gaps",
         "events_corr_stats",
         "lineitem_semi_bloom",
+        "bigram_top",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
