@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_lag_gaps": analytics.user_lag_gaps,
         "events_corr_stats": analytics.events_corr_stats,
         "lineitem_semi_bloom": analytics.lineitem_semi_bloom,
+        "doc_global_rank": analytics.doc_global_rank,
         # --- text analysis (SQL oracles where ASCII-expressible) ---
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -217,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "user_lag_gaps": analytics.USER_LAG_GAPS_SQL,
         "events_corr_stats": analytics.EVENTS_CORR_STATS_SQL,
         "lineitem_semi_bloom": analytics.LINEITEM_SEMI_BLOOM_SQL,
+        "doc_global_rank": analytics.DOC_GLOBAL_RANK_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_scores": textstats.QUALITY_SCORES_SQL,
         "lang_id": textstats.LANG_ID_SQL,
@@ -255,7 +257,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": similarity.knn_lsh_sql(),
         "embedding_topk_pairs": similarity.EMBEDDING_TOPK_PAIRS_SQL,
         "label_centroids": similarity.LABEL_CENTROIDS_SQL,
-        # No-oracle tail (8 of 71), each justified + golden-pinned in
+        # No-oracle tail (8 of 72), each justified + golden-pinned in
         # tests/test_goldens.py: extract_* x3 (HTML parsing; byte-
         # identity vs oracle.run_oracle in pytest), embedding_dup_
         # pairs/clusters (planted inputs the oracle views can't see;

@@ -182,6 +182,7 @@ def run_bench() -> dict:
         "events_corr_stats",
         "lineitem_semi_bloom",
         "bigram_top",
+        "doc_global_rank",
     ]
     for name in picks:
         t0 = time.perf_counter()

@@ -2111,3 +2111,86 @@ WHERE l.l_orderkey IN (
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact global ranking without a total-order sort
+# ---------------------------------------------------------------------------
+
+def doc_global_rank(sf_dir: str):
+    """Exact global row_number() for every document by
+    (n_chars DESC, doc_id) — WITHOUT a total-order sort of the corpus.
+
+    The trick is rank = base(key) + within-tie position:
+    - pass 1 builds the exact key histogram (per-batch Arrow group_by
+      partials, one tiny grouped Sum) and turns it into cumulative
+      base offsets on the driver — the histogram is bounded by the
+      KEY DOMAIN (distinct n_chars values), not row count, and is
+      broadcast once via ray.put.  (For an unbounded key domain the
+      same plan works on range-bucket boundaries instead of exact
+      keys.)
+    - pass 2 hash-shuffles rows on the key only (ties must co-locate;
+      partitions stay balanced unless one key dominates), sorts each
+      partition once, and adds the per-tie cumcount to the broadcast
+      base — a whole-partition vectorized pass, no per-key Python.
+    So the all-to-all moves each row once with NO merge step of a
+    global sort, and the driver holds only the histogram."""
+    from document_extractor_ray import state
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    n_parts = _n_blocks()
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(pa.table({"k": t["n_chars"]}), ["k"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({"k": g["k"], "n": pc.cast(g["count_all"], pa.int64())})
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    # keys ascending; base offset for key k = count of rows with key > k
+    hist = hist.sort_values("k").reset_index(drop=True)
+    keys = hist["k"].to_numpy().astype(np.int64)
+    counts = hist["n"].to_numpy().astype(np.int64)
+    above = counts[::-1].cumsum()[::-1] - counts  # rows strictly greater
+    base_ref = ray.put((keys, above))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (k * np.uint64(2654435761)) & np.uint64(0x7FFFFFFF)
+        return t.append_column(
+            "part", pa.array((h % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    def rank_partition(g: pd.DataFrame) -> pd.DataFrame:
+        keys_b, above_b = state.cached_get(base_ref)
+        g = g.sort_values(["n_chars", "doc_id"], kind="mergesort")
+        k = g["n_chars"].to_numpy().astype(np.int64)
+        tie_pos = np.arange(len(g)) - np.searchsorted(k, k, side="left")
+        base = above_b[np.searchsorted(keys_b, k)]
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy().astype("int64"),
+                "n_chars": k,
+                "rnk": (base + tie_pos + 1).astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(rank_partition, batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
+DOC_GLOBAL_RANK_SQL = """
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
+FROM documents
+ORDER BY doc_id
+"""

@@ -80,6 +80,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "events_corr_stats",
         "lineitem_semi_bloom",
         "bigram_top",
+        "doc_global_rank",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -784,3 +785,21 @@ def test_bloom_exact_under_saturation(ray_session):
     full = lineitem_semi_bloom("/root/testdata/sf0.001").to_pandas()
     saturated = lineitem_semi_bloom("/root/testdata/sf0.001", m_words=1).to_pandas()
     pd.testing.assert_frame_equal(full, saturated)
+
+
+def test_doc_global_rank_is_permutation(ray_session):
+    """Pin: ranks are a permutation of 1..N (the histogram-offset +
+    tie-cumcount construction misses or duplicates nothing), and ties
+    on n_chars break by doc_id ascending."""
+    from document_extractor_ray.functions.analytics import doc_global_rank
+
+    got = doc_global_rank("/root/testdata/sf0.001").to_pandas()
+    n = len(got)
+    assert sorted(got["rnk"]) == list(range(1, n + 1))
+    by_rank = got.sort_values("rnk")
+    k = by_rank["n_chars"].to_numpy()
+    assert (k[:-1] >= k[1:]).all()
+    # within equal keys, doc_id strictly increases
+    same = k[:-1] == k[1:]
+    d = by_rank["doc_id"].to_numpy()
+    assert (d[1:][same] > d[:-1][same]).all()
