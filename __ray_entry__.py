@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_corr_stats": analytics.events_corr_stats,
         "lineitem_semi_bloom": analytics.lineitem_semi_bloom,
         "doc_global_rank": analytics.doc_global_rank,
+        "user_modal_type": analytics.user_modal_type,
+        "orders_cumulative_revenue": analytics.orders_cumulative_revenue,
         # --- text analysis (SQL oracles where ASCII-expressible) ---
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -219,6 +221,8 @@ def oracle_sql() -> dict[str, str]:
         "events_corr_stats": analytics.EVENTS_CORR_STATS_SQL,
         "lineitem_semi_bloom": analytics.LINEITEM_SEMI_BLOOM_SQL,
         "doc_global_rank": analytics.DOC_GLOBAL_RANK_SQL,
+        "user_modal_type": analytics.USER_MODAL_TYPE_SQL,
+        "orders_cumulative_revenue": analytics.ORDERS_CUMULATIVE_REVENUE_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_scores": textstats.QUALITY_SCORES_SQL,
         "lang_id": textstats.LANG_ID_SQL,
@@ -257,7 +261,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": similarity.knn_lsh_sql(),
         "embedding_topk_pairs": similarity.EMBEDDING_TOPK_PAIRS_SQL,
         "label_centroids": similarity.LABEL_CENTROIDS_SQL,
-        # No-oracle tail (8 of 72), each justified + golden-pinned in
+        # No-oracle tail (8 of 74), each justified + golden-pinned in
         # tests/test_goldens.py: extract_* x3 (HTML parsing; byte-
         # identity vs oracle.run_oracle in pytest), embedding_dup_
         # pairs/clusters (planted inputs the oracle views can't see;

@@ -183,6 +183,8 @@ def run_bench() -> dict:
         "lineitem_semi_bloom",
         "bigram_top",
         "doc_global_rank",
+        "user_modal_type",
+        "orders_cumulative_revenue",
     ]
     for name in picks:
         t0 = time.perf_counter()

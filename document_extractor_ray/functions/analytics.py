@@ -2194,3 +2194,157 @@ SELECT doc_id, n_chars,
 FROM documents
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped mode (most frequent value per key, deterministic ties)
+# ---------------------------------------------------------------------------
+
+def user_modal_type(sf_dir: str):
+    """Per-user modal event type (most frequent; ties break to the
+    alphabetically first type) plus its count — the grouped-mode
+    aggregate.  Two bounded steps: per-batch Arrow group_by counts
+    (user, type) pairs — the shuffle carries at most
+    users x |taxonomy| partial rows per block — then a hash aggregate
+    merges pair counts and a second exchange groups the MERGED pair
+    table (already tiny: one row per (user, type), never per event)
+    for a whole-partition vectorized argmax — sort + drop_duplicates,
+    no per-user Python."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"user_id": t["user_id"], "event_type": t["event_type"]}),
+            ["user_id", "event_type"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "event_type": g["event_type"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        # count desc, type asc: first row per user is the mode
+        g = g.sort_values(
+            ["user_id", "n", "event_type"], ascending=[True, False, True]
+        )
+        top = g.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame(
+            {
+                "user_id": top["user_id"].to_numpy().astype("int64"),
+                "modal_type": top["event_type"].to_numpy(),
+                "n": top["n"].to_numpy().astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("user_id")
+        .map_groups(argmax, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+USER_MODAL_TYPE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS modal_type, CAST(n AS BIGINT) AS n
+FROM r WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Global cumulative window (SUM OVER ORDER BY, no partition key)
+# ---------------------------------------------------------------------------
+
+def orders_cumulative_revenue(sf_dir: str):
+    """Running revenue total over ALL orders ordered by
+    (o_orderdate, o_orderkey) — the global cumulative window, which
+    naively needs a total-order sort plus a sequential scan.  Same
+    decomposition as doc_global_rank: cumulative = prefix(base day) +
+    within-day running sum.  Pass 1 aggregates cents per DAY (partial
+    per batch, tiny grouped Sum — bounded by the date domain) and the
+    driver broadcasts the exclusive prefix sums; pass 2 hash-shuffles
+    rows by day only, sorts each partition once, and a grouped numpy
+    cumsum within each day adds to the broadcast base.  Money stays
+    int64 cents end-to-end so the running total is association-exact."""
+    from document_extractor_ray import state
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+    n_parts = _n_blocks()
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        keyed = pa.table(
+            {
+                "day": pc.cast(pc.floor_temporal(t["o_orderdate"], unit="day"), pa.int64()),
+                "c": _to_cents(t["o_totalprice"]),
+            }
+        )
+        return keyed.group_by("day").aggregate([("c", "sum")])
+
+    hist = (
+        ds.map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("c_sum", alias_name="c"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    days = hist["day"].to_numpy().astype(np.int64)
+    prefix = np.concatenate([[0], hist["c"].to_numpy().astype(np.int64).cumsum()[:-1]])
+    base_ref = ray.put((days, prefix))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.floor_temporal(t["o_orderdate"], unit="day"), pa.int64())
+        dn = d.to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (dn * np.uint64(2654435761)) & np.uint64(0x7FFFFFFF)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "day": d,
+                "cents": _to_cents(t["o_totalprice"]),
+                "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+            }
+        )
+
+    def cum_partition(g: pd.DataFrame) -> pd.DataFrame:
+        days_b, prefix_b = state.cached_get(base_ref)
+        g = g.sort_values(["day", "o_orderkey"], kind="mergesort")
+        within = g.groupby("day", sort=False)["cents"].cumsum().to_numpy()
+        base = prefix_b[np.searchsorted(days_b, g["day"].to_numpy())]
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy().astype("int64"),
+                "cum_revenue_cents": (base + within).astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(cum_partition, batch_format="pandas")
+        .sort("o_orderkey")
+    )
+
+
+ORDERS_CUMULATIVE_REVENUE_SQL = """
+SELECT o_orderkey,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            OVER (ORDER BY date_trunc('day', o_orderdate), o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_cents
+FROM orders
+ORDER BY o_orderkey
+"""

@@ -81,6 +81,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "lineitem_semi_bloom",
         "bigram_top",
         "doc_global_rank",
+        "user_modal_type",
+        "orders_cumulative_revenue",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -803,3 +805,43 @@ def test_doc_global_rank_is_permutation(ray_session):
     same = k[:-1] == k[1:]
     d = by_rank["doc_id"].to_numpy()
     assert (d[1:][same] > d[:-1][same]).all()
+
+
+def test_user_modal_type_tie_break(ray_session):
+    """Pin: ties on the modal count resolve to the alphabetically
+    first type (deterministic), and the modal count is the max of the
+    user's per-type counts."""
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import user_modal_type
+
+    got = user_modal_type("/root/testdata/sf0.001").to_pandas()
+    counts = duckdb.sql(
+        "SELECT user_id, event_type, count(*) n FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet') GROUP BY 1,2"
+    ).fetchdf()
+    for _, row in got.iterrows():
+        mine = counts[counts.user_id == row.user_id]
+        mx = mine.n.max()
+        assert row.n == mx
+        best = sorted(mine[mine.n == mx].event_type)[0]
+        assert row.modal_type == best
+
+
+def test_orders_cumulative_is_monotone_and_totals(ray_session):
+    """Pin: the running total is strictly increasing in rank order and
+    its final value equals the exact corpus total in cents."""
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import (
+        orders_cumulative_revenue,
+    )
+
+    got = orders_cumulative_revenue("/root/testdata/sf0.001").to_pandas()
+    total = duckdb.sql(
+        "SELECT CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) "
+        "FROM read_parquet('/root/testdata/sf0.001/orders.parquet')"
+    ).fetchone()[0]
+    assert got["cum_revenue_cents"].max() == total
+    ordered = got.sort_values("cum_revenue_cents")["cum_revenue_cents"].to_numpy()
+    assert (ordered[1:] > ordered[:-1]).all()
