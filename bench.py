@@ -185,6 +185,7 @@ def run_bench() -> dict:
         "doc_global_rank",
         "user_modal_type",
         "orders_cumulative_revenue",
+        "value_hdr_registers",
     ]
     for name in picks:
         t0 = time.perf_counter()

@@ -2348,3 +2348,124 @@ SELECT o_orderkey,
 FROM orders
 ORDER BY o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram quantile sketch (deterministic, mergeable, int-exact)
+# ---------------------------------------------------------------------------
+
+# Log2 octaves with 8 linear sub-buckets each: bucket width / lower
+# bound <= 1/8, so a midpoint estimate is within ~6.25% relative
+# error.  Values 0..15 get exact unit buckets.  Everything is integer
+# bit arithmetic — the register table is bit-identical across engines
+# and merge order, unlike rank-based sketches (KLL/t-digest) whose
+# compactions depend on arrival order.
+
+def _hdr_bucket(v: np.ndarray) -> np.ndarray:
+    """Bucket index for positive int64 cents (vectorized, exact).
+    frexp's exponent IS bit_length for integers exactly representable
+    in float64 (cents here are << 2^53)."""
+    v = v.astype(np.int64)
+    out = np.where(v < 0, -1, v)  # small/negative default
+    big = v > 15
+    if big.any():
+        bl = np.frexp(v[big].astype(np.float64))[1].astype(np.int64)
+        sub = (v[big] >> (bl - 4)) & 7
+        out = out.copy()
+        out[big] = 16 + (bl - 5) * 8 + sub
+    return out.astype(np.int64)
+
+
+def hdr_bucket_bounds(bucket: int) -> tuple[int, int]:
+    """[lo, hi) integer bounds of a bucket (inverse of _hdr_bucket)."""
+    if bucket < 16:
+        return bucket, bucket + 1
+    octave, sub = divmod(bucket - 16, 8)
+    bl = octave + 5
+    width = 1 << (bl - 4)
+    lo = (8 + sub) * width
+    return lo, lo + width
+
+
+def value_hdr_registers(sf_dir: str):
+    """Per-event-type HDR-histogram register table over value cents —
+    the QUANTILE-sketch counterpart of hll_*_registers: deterministic,
+    mergeable (counts add), bounded relative error (<=1/8 bucket
+    width), and integer-exact so the register table itself is the
+    oracle surface.  Per batch the bucket index is pure bit
+    arithmetic + one Arrow group_by partial; the shuffle carries
+    (type, bucket, n) rows bounded by taxonomy x ~200 buckets,
+    independent of row count.  Quantiles come from hdr_quantile() on
+    the tiny register table — at 10^12 events nothing but the sketch
+    ever reaches the driver."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _to_cents(t["value"]).to_numpy(zero_copy_only=False)
+        keyed = pa.table(
+            {
+                "event_type": t["event_type"],
+                "bucket": pa.array(_hdr_bucket(cents)),
+            }
+        )
+        g = pa.TableGroupBy(keyed, ["event_type", "bucket"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "bucket": g["bucket"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["event_type", "bucket"])
+    )
+
+
+def hdr_quantile(registers, q_permille: int) -> dict[str, float]:
+    """Per-type quantile estimate (bucket midpoint at the ceil-rank
+    CDF position) from a value_hdr_registers result."""
+    rows = registers.take_all() if hasattr(registers, "take_all") else registers
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append((r["bucket"], r["n"]))
+    out = {}
+    for ty, bl in by_type.items():
+        bl.sort()
+        total = sum(n for _, n in bl)
+        rank = -(-q_permille * total // 1000)  # ceil
+        cum = 0
+        for bucket, n in bl:
+            cum += n
+            if cum >= rank:
+                lo, hi = hdr_bucket_bounds(bucket)
+                out[ty] = (lo + hi) / 2.0
+                break
+    return out
+
+
+VALUE_HDR_REGISTERS_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+b AS (
+  SELECT event_type,
+         CASE WHEN v < 0 THEN -1
+              WHEN v <= 15 THEN v
+              ELSE 16 + (length(printf('%b', v)) - 5) * 8
+                      + ((v >> (length(printf('%b', v)) - 4)) & 7)
+         END AS bucket
+  FROM c
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM b
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""

@@ -83,6 +83,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "doc_global_rank",
         "user_modal_type",
         "orders_cumulative_revenue",
+        "value_hdr_registers",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -845,3 +846,31 @@ def test_orders_cumulative_is_monotone_and_totals(ray_session):
     assert got["cum_revenue_cents"].max() == total
     ordered = got.sort_values("cum_revenue_cents")["cum_revenue_cents"].to_numpy()
     assert (ordered[1:] > ordered[:-1]).all()
+
+
+def test_hdr_quantile_within_error_bound(ray_session):
+    """Pin: the HDR sketch's per-type p50/p95/p99 estimates land
+    within the construction's relative-error bound (bucket width/lower
+    <= 1/8 -> midpoint within ~6.25%; assert 7%) of the exact
+    quantiles, and counts per type re-sum to the event total."""
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import (
+        hdr_quantile,
+        value_hdr_registers,
+    )
+
+    regs = value_hdr_registers("/root/testdata/sf0.001")
+    rows = regs.take_all()
+    assert sum(r["n"] for r in rows) == 1000
+    for qpm in (500, 950, 990):
+        est = hdr_quantile(rows, qpm)
+        exact = dict(
+            duckdb.sql(
+                "SELECT event_type, CAST(round(quantile_disc(round(value*100), "
+                f"{qpm / 1000.0}) ) AS BIGINT) FROM "
+                "read_parquet('/root/testdata/sf0.001/events.parquet') GROUP BY 1"
+            ).fetchall()
+        )
+        for ty, e in exact.items():
+            assert abs(est[ty] - e) <= 0.07 * e + 1.0, (qpm, ty, est[ty], e)
