@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_modal_type": analytics.user_modal_type,
         "orders_cumulative_revenue": analytics.orders_cumulative_revenue,
         "value_hdr_registers": analytics.value_hdr_registers,
+        "train_val_test_split": analytics.train_val_test_split,
+        "user_retention": analytics.user_retention,
         # --- text analysis (SQL oracles where ASCII-expressible) ---
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -225,6 +227,8 @@ def oracle_sql() -> dict[str, str]:
         "user_modal_type": analytics.USER_MODAL_TYPE_SQL,
         "orders_cumulative_revenue": analytics.ORDERS_CUMULATIVE_REVENUE_SQL,
         "value_hdr_registers": analytics.VALUE_HDR_REGISTERS_SQL,
+        "train_val_test_split": analytics.TRAIN_VAL_TEST_SPLIT_SQL,
+        "user_retention": analytics.USER_RETENTION_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_scores": textstats.QUALITY_SCORES_SQL,
         "lang_id": textstats.LANG_ID_SQL,
@@ -263,7 +267,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": similarity.knn_lsh_sql(),
         "embedding_topk_pairs": similarity.EMBEDDING_TOPK_PAIRS_SQL,
         "label_centroids": similarity.LABEL_CENTROIDS_SQL,
-        # No-oracle tail (8 of 75), each justified + golden-pinned in
+        # No-oracle tail (8 of 77), each justified + golden-pinned in
         # tests/test_goldens.py: extract_* x3 (HTML parsing; byte-
         # identity vs oracle.run_oracle in pytest), embedding_dup_
         # pairs/clusters (planted inputs the oracle views can't see;

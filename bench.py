@@ -186,6 +186,8 @@ def run_bench() -> dict:
         "user_modal_type",
         "orders_cumulative_revenue",
         "value_hdr_registers",
+        "train_val_test_split",
+        "user_retention",
     ]
     for name in picks:
         t0 = time.perf_counter()

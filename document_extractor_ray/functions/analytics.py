@@ -2469,3 +2469,164 @@ FROM b
 GROUP BY event_type, bucket
 ORDER BY event_type, bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split assignment
+# ---------------------------------------------------------------------------
+
+# permille thresholds: [0,900) train, [900,950) val, [950,1000) test
+SPLIT_TRAIN_PM = 900
+SPLIT_VAL_PM = 950
+
+
+def train_val_test_split(sf_dir: str):
+    """Assign every document a train/val/test split label by
+    fmix64(doc_id) % 1000 thresholds (90/5/5) — the dataset-split
+    step of training-data assembly.  Hash-based assignment is the
+    only split that survives scale: it needs no global shuffle or
+    count, is stable under re-runs and corpus growth (a doc never
+    migrates between splits when new data arrives), and any engine
+    reproduces it bit-exactly.  Embarrassingly parallel one-pass
+    filter-free map; the label is pure arithmetic per batch."""
+    from document_extractor_ray.functions.textstats import _read_docs
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang"])
+
+    def label(t: pa.Table) -> pa.Table:
+        u = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (_hll_hash(u) % np.uint64(1000)).astype(np.int64)
+        split = np.where(
+            bucket < SPLIT_TRAIN_PM,
+            "train",
+            np.where(bucket < SPLIT_VAL_PM, "val", "test"),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "split": pa.array(split.astype(object), pa.string()),
+            }
+        )
+
+    return ds.map_batches(label, batch_format="pyarrow").sort("doc_id")
+
+
+def _split_sql() -> str:
+    from document_extractor_ray.functions.sqlhash import _mulmod64
+
+    two32 = 1 << 32
+
+    def xs33(col: str) -> str:
+        return (
+            f"(({col} // {two32}) * {two32}"
+            f" + xor(CAST({col} % {two32} AS BIGINT),"
+            f" CAST({col} // {two32} // 2 AS BIGINT))::HUGEINT)"
+        )
+
+    return f"""
+WITH h0 AS (
+  SELECT doc_id, lang,
+         (doc_id::HUGEINT + {HLL_SEED}::HUGEINT) % {1 << 64}::HUGEINT AS h
+  FROM documents
+),
+h1 AS (SELECT doc_id, lang, {xs33('h')} AS h FROM h0),
+h2 AS (SELECT doc_id, lang, {_mulmod64('h', HLL_C1)} AS h FROM h1),
+h3 AS (SELECT doc_id, lang, {xs33('h')} AS h FROM h2),
+h4 AS (SELECT doc_id, lang, {_mulmod64('h', HLL_C2)} AS h FROM h3),
+h5 AS (SELECT doc_id, lang, {xs33('h')} AS h FROM h4)
+SELECT doc_id, lang,
+       CASE WHEN h % 1000 < {SPLIT_TRAIN_PM} THEN 'train'
+            WHEN h % 1000 < {SPLIT_VAL_PM} THEN 'val'
+            ELSE 'test' END AS split
+FROM h5
+ORDER BY doc_id
+"""
+
+
+TRAIN_VAL_TEST_SPLIT_SQL = _split_sql()
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (first-activity cohort x week offset)
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 7 * 86_400_000_000
+
+
+def user_retention(sf_dir: str):
+    """Cohort retention table: users grouped by FIRST-activity day,
+    counted per week offset they return in — the product-analytics
+    cohort triangle, which naively is distinct + self-join + distinct
+    count.  Distributed as one user-hash shuffle of per-batch-deduped
+    (user, day) pairs (wire bounded by distinct user-days): a user's
+    whole history co-locates, so cohort day (min), week offsets, and
+    the per-(cohort, offset) user counts all fall out of a single
+    vectorized partition pass — each user lives in exactly one
+    partition, so partial counts add with no double counting, and the
+    final grouped Sum merges rows bounded by days x offsets."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    n_parts = _n_blocks()
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64())
+        pairs = pa.TableGroupBy(
+            pa.table({"user_id": t["user_id"], "day": day}), ["user_id", "day"]
+        ).aggregate([])
+        u = pairs["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (u * np.uint64(2654435761)) & np.uint64(0x7FFFFFFF)
+        return pairs.append_column(
+            "part", pa.array((h % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    def cohort_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        cohort = g.groupby("user_id")["day"].transform("min").to_numpy()
+        offs = (g["day"].to_numpy() - cohort) // _WEEK_US
+        tri = (
+            pd.DataFrame(
+                {"user_id": g["user_id"].to_numpy(), "cohort": cohort, "off": offs}
+            )
+            .drop_duplicates()
+            .groupby(["cohort", "off"], sort=False)
+            .size()
+        )
+        idx = tri.index.to_frame(index=False)
+        return pd.DataFrame(
+            {
+                "cohort_day": idx["cohort"].to_numpy().astype("int64"),
+                "week_offset": idx["off"].to_numpy().astype("int64"),
+                "n_users": tri.to_numpy().astype("int64"),
+            }
+        )
+
+    def to_ts(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("cohort_day")
+        return t.set_column(
+            i, "cohort_day", pc.cast(t["cohort_day"], pa.timestamp("us"))
+        )
+
+    return (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(cohort_partial, batch_format="pandas")
+        .groupby(["cohort_day", "week_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .map_batches(to_ts, batch_format="pyarrow")
+        .sort(["cohort_day", "week_offset"])
+        .map_batches(_ts_us("cohort_day"), batch_format="pyarrow")
+    )
+
+
+USER_RETENTION_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+f AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY 1)
+SELECT f.cohort AS cohort_day,
+       CAST(date_diff('day', f.cohort, ud.day) // 7 AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_users
+FROM ud JOIN f ON ud.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -84,6 +84,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "user_modal_type",
         "orders_cumulative_revenue",
         "value_hdr_registers",
+        "train_val_test_split",
+        "user_retention",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -874,3 +876,36 @@ def test_hdr_quantile_within_error_bound(ray_session):
         )
         for ty, e in exact.items():
             assert abs(est[ty] - e) <= 0.07 * e + 1.0, (qpm, ty, est[ty], e)
+
+
+def test_split_is_total_and_stable(ray_session):
+    """Pin: every doc gets exactly one split, proportions are near
+    90/5/5, and labels are stable across runs (hash determinism)."""
+    from document_extractor_ray.functions.analytics import train_val_test_split
+
+    a = train_val_test_split("/root/testdata/sf0.001").to_pandas()
+    b = train_val_test_split("/root/testdata/sf0.001").to_pandas()
+    assert a.equals(b)
+    assert len(a) == 500 and set(a["split"]) == {"train", "val", "test"}
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.85 < frac["train"] < 0.95
+
+
+def test_user_retention_week0_counts_all_cohort_users(ray_session):
+    """Pin: week_offset 0 of each cohort counts exactly the users
+    whose first activity fell on that day (every user appears in
+    their own cohort's week 0), and offsets beyond 0 exist."""
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import user_retention
+
+    got = user_retention("/root/testdata/sf0.01").to_pandas()
+    assert (got["week_offset"] > 0).any()
+    wk0 = got[got["week_offset"] == 0].set_index("cohort_day")["n_users"]
+    firsts = duckdb.sql(
+        "WITH ud AS (SELECT user_id, min(date_trunc('day', ts)) AS c FROM "
+        "read_parquet('/root/testdata/sf0.01/events.parquet') GROUP BY 1) "
+        "SELECT c, count(*) FROM ud GROUP BY 1"
+    ).fetchall()
+    for day, n in firsts:
+        assert wk0[pd.Timestamp(day)] == n
