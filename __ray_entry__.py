@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_hdr_registers": analytics.value_hdr_registers,
         "train_val_test_split": analytics.train_val_test_split,
         "user_retention": analytics.user_retention,
+        "props_json_stats": analytics.props_json_stats,
         # --- text analysis (SQL oracles where ASCII-expressible) ---
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -176,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": training.stratified_sample_docs,
         "top_docs_per_lang": training.top_docs_per_lang,
         "source_mix": training.source_mix,
+        "domain_cap": training.domain_cap,
         # --- multimodal (stubbed codecs, real Ray plumbing) ---
         "media_features": multimodal.media_features,
     }
@@ -229,6 +231,7 @@ def oracle_sql() -> dict[str, str]:
         "value_hdr_registers": analytics.VALUE_HDR_REGISTERS_SQL,
         "train_val_test_split": analytics.TRAIN_VAL_TEST_SPLIT_SQL,
         "user_retention": analytics.USER_RETENTION_SQL,
+        "props_json_stats": analytics.PROPS_JSON_STATS_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_scores": textstats.QUALITY_SCORES_SQL,
         "lang_id": textstats.LANG_ID_SQL,
@@ -248,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "stratified_sample": training.STRATIFIED_SAMPLE_SQL,
         "top_docs_per_lang": training.TOP_DOCS_PER_LANG_SQL,
+        "domain_cap": training.DOMAIN_CAP_SQL,
         # greedy first-fit packing as a recursive-CTE state machine
         "pack_assignments": training.pack_assignments_sql(),
         # --- content-hash family: crc32/minhash/simhash computed in

@@ -2630,3 +2630,68 @@ FROM ud JOIN f ON ud.user_id = f.user_id
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured (JSON) property extraction + grouped stats
+# ---------------------------------------------------------------------------
+
+def props_json_stats(sf_dir: str):
+    """Parse the JSON ``props`` column and aggregate the extracted
+    integer field per event type — the semi-structured-extraction
+    primitive (every web-scale event/crawl table carries a JSON blob
+    column).
+
+    The extraction is a single vectorized Arrow kernel
+    (``pc.extract_regex`` -> ``struct_field`` -> cast), never a
+    per-row ``json.loads`` loop: the fixture blobs are flat
+    ``{"k": <int>}`` objects, for which the anchored regex IS the
+    grammar.  (A general nested-JSON path would swap this kernel for
+    a columnar JSON parser — e.g. pyarrow.json block reads — behind
+    the same per-batch contract.)  Each batch pre-combines its own
+    (type, count, sum, min, max) partials with one Arrow group_by, so
+    the shuffle carries |event types| rows per block regardless of
+    event count."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        g = pa.TableGroupBy(
+            pa.table({"event_type": t["event_type"], "k": k}), ["event_type"]
+        ).aggregate([([], "count_all"), ("k", "sum"), ("k", "min"), ("k", "max")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+                "sum_k": pc.cast(g["k_sum"], pa.int64()),
+                "min_k": pc.cast(g["k_min"], pa.int64()),
+                "max_k": pc.cast(g["k_max"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max, Min
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+        .sort("event_type")
+    )
+
+
+PROPS_JSON_STATS_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -396,3 +396,87 @@ SELECT source, lang, n_docs, total_chars,
        n_docs * 1000 // CAST(sum(n_docs) OVER () AS BIGINT) AS share_permille
 FROM g ORDER BY source, lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-domain document cap (host extraction + bounded keep per host)
+# ---------------------------------------------------------------------------
+
+DOMAIN_CAP_K = 10       # keep at most this many docs per host
+DOMAIN_CAP_MOD = 23     # synthetic host id: doc_id % MOD (demo corpus has no url)
+
+def domain_cap(sf_dir: str, cap: int = DOMAIN_CAP_K):
+    """Cap documents per web host — the Common-Crawl curation step
+    that stops one boilerplate-heavy domain from dominating the
+    corpus: keep the first ``cap`` docs per host in doc_id
+    (crawl) order, with their 1-based rank.
+
+    The demo corpus carries no url column, so a deterministic url is
+    synthesized per row and the host is then recovered from it with a
+    vectorized regex (``pc.extract_regex``) — the extraction half is
+    exactly what a real pages table needs; the SQL oracle replicates
+    the same host expression.
+
+    Scale shape (the HIGH-cardinality per-key head-N, vs
+    ``top_docs_per_lang``'s tiny-key-domain per-group merge): each
+    batch first pre-reduces to at most ``cap`` rows per host
+    (vectorized sort + grouped cumcount), then ONE hash-bucket
+    shuffle co-locates each host in a balanced partition — never a
+    per-host map_groups call, so 10^8 hosts cost |buckets| Python
+    calls, not 10^8.  The wire carries <= cap rows per (host, block).
+    Bucketing here reuses the host's defining integer; a real url
+    column would hash the host bytes (content_hash_batch) to the same
+    bucket space."""
+    ds = _read_docs(sf_dir, ["doc_id"])
+    n_parts = _n_blocks()
+
+    def prep(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        m = did % DOMAIN_CAP_MOD
+        url = np.char.add(
+            np.char.add("https://d", m.astype("U2")),
+            np.char.add(".example.com/p/", did.astype("U20")),
+        )
+        host = pc.struct_field(
+            pc.extract_regex(
+                pa.array(url, pa.string()), pattern=r"^https?://(?P<host>[^/]+)/"
+            ),
+            "host",
+        )
+        out = pa.table({"host": host, "doc_id": t["doc_id"]})
+        # per-batch partial cap: at most `cap` rows per host leave the block
+        df = out.to_pandas().sort_values(["host", "doc_id"], kind="mergesort")
+        df = df[df.groupby("host", sort=False).cumcount() < cap]
+        h = (
+            df["doc_id"].to_numpy().astype(np.uint64) % np.uint64(DOMAIN_CAP_MOD)
+        ) * np.uint64(2654435761) & np.uint64(0x7FFFFFFF)
+        df["part"] = (h % np.uint64(n_parts)).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["host", "doc_id"], kind="mergesort")
+        rank = g.groupby("host", sort=False).cumcount() + 1
+        g = g.assign(rank_in_domain=rank.astype(np.int64))
+        g = g[g["rank_in_domain"] <= cap]
+        return g[["host", "doc_id", "rank_in_domain"]]
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .sort(["host", "rank_in_domain"])
+    )
+
+
+DOMAIN_CAP_SQL = f"""
+SELECT host, doc_id, rank_in_domain FROM (
+  SELECT 'd' || CAST(doc_id % {DOMAIN_CAP_MOD} AS VARCHAR) || '.example.com' AS host,
+         doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id % {DOMAIN_CAP_MOD} ORDER BY doc_id
+         ) AS BIGINT) AS rank_in_domain
+  FROM documents
+)
+WHERE rank_in_domain <= {DOMAIN_CAP_K}
+ORDER BY host, rank_in_domain
+"""

@@ -86,6 +86,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "value_hdr_registers",
         "train_val_test_split",
         "user_retention",
+        "props_json_stats",
+        "domain_cap",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
