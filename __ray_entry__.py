@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "search_topk": textstats.search_topk,
         "bigram_top": textstats.bigram_top,
+        "token_cms_registers": textstats.token_cms_registers,
         "fingerprints": textstats.fingerprints,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact_docs,
@@ -265,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_shingle_stats": sqlhash.dup_shingle_stats_sql(),
         "near_dup_clusters": sqlhash.near_dup_clusters_sql(),
         "near_dedup_keep": sqlhash.near_dedup_keep_sql(),
+        "token_cms_registers": sqlhash.token_cms_sql(),
         # --- exact similarity search (float64 compute, half-up micro
         # ints on both sides; margins audited in similarity.py) ---
         "knn_brute": similarity.KNN_BRUTE_SQL,

@@ -188,6 +188,9 @@ def run_bench() -> dict:
         "value_hdr_registers",
         "train_val_test_split",
         "user_retention",
+        "props_json_stats",
+        "domain_cap",
+        "token_cms_registers",
     ]
     for name in picks:
         t0 = time.perf_counter()

@@ -439,6 +439,43 @@ def near_dedup_keep_sql(threshold: float = 0.7) -> str:
 SELECT doc_id FROM comp WHERE doc_id = cluster_id ORDER BY doc_id"""
 
 
+def token_cms_sql() -> str:
+    """Oracle for ``textstats.token_cms_registers``: corpus-wide word
+    occurrence counts (same lower+whitespace tokenizer as the shingle
+    family's ``_words`` CTE) folded into the d x w count-min matrix —
+    per distinct word, crc32 via the shared CTE kernel, bucket =
+    ((crc*a_j + b_j) mod 2^64) >> 56 per hash row (constants inlined
+    from the live ``textstats.CMS_A``/``CMS_B``), cell value = sum of
+    the words' counts.  crc < 2^32 and a_j < 2^64, so the product
+    fits HUGEINT without the split multiply."""
+    from document_extractor_ray.functions import textstats as _ts
+
+    hp_rows = ",\n    ".join(
+        f"({j}, {int(_ts.CMS_A[j])}::HUGEINT, {int(_ts.CMS_B[j])}::HUGEINT)"
+        for j in range(_ts.CMS_D)
+    )
+    shift = 1 << 56
+    return f"""WITH RECURSIVE
+{_words(lower=True)},
+{_CRC_TABLE},
+{_WORD_CRC},
+wc AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+wcc AS (SELECT wc.w, wc.n, wcrc0.crc FROM wc JOIN wcrc0 USING (w)),
+hp(j, a, b) AS (VALUES
+    {hp_rows}
+),
+cells AS (
+  SELECT hp.j AS row_j,
+         ((wcc.crc::HUGEINT * hp.a + hp.b) % {P64}::HUGEINT) // {shift}::HUGEINT AS bucket,
+         sum(wcc.n) AS n
+  FROM wcc CROSS JOIN hp
+  GROUP BY 1, 2
+)
+SELECT CAST(row_j AS BIGINT) AS row_j, CAST(bucket AS BIGINT) AS bucket,
+       CAST(n AS BIGINT) AS n
+FROM cells ORDER BY row_j, bucket"""
+
+
 def dup_shingle_stats_sql(k: int = 3) -> str:
     """Oracle for ``dedup.dup_shingle_stats``: per doc, its distinct
     word-k-gram shingle count and how many of those shingles occur in

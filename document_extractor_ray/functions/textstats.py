@@ -1259,3 +1259,101 @@ GROUP BY bigram
 ORDER BY n DESC, bigram
 LIMIT {BIGRAM_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch of corpus token frequencies (mergeable registers)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4       # hash rows
+CMS_W = 256     # buckets per row (top-8-bit multiply-shift)
+# odd 64-bit multipliers + offsets (splitmix64 / xxhash-style constants)
+CMS_A = (
+    0x9E3779B97F4A7C15,
+    0xC2B2AE3D27D4EB4F,
+    0xD6E8FEB86659FD93,
+    0xA24BAED4963EE407,
+)
+CMS_B = (
+    0x5555555555555555,
+    0x3333333333333333,
+    0x0F0F0F0F0F0F0F0F,
+    0x00FF00FF00FF00FF,
+)
+
+
+def _cms_bucket(crc: int, j: int) -> int:
+    return ((crc * CMS_A[j] + CMS_B[j]) % (1 << 64)) >> 56
+
+
+def token_cms_registers(sf_dir: str):
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of corpus
+    token frequencies — the mergeable HEAVY-HITTER sketch, closing
+    the sketch family next to HLL (distinct), HDR (quantiles) and
+    moments (corr): point-lookup upper bounds on any token's count
+    from O(d*w) state per stream, no vocabulary shuffle at all.
+
+    Like hll_user_registers, the query emits the REGISTER TABLE
+    (row_j, bucket, n): counter matrices are integer sums, so merge
+    is elementwise addition — commutative and associative — and the
+    distributed state is bit-exact regardless of block order, which
+    the SQL oracle verifies cell by cell (same zlib CRC-32 token
+    hash via the recursive-CTE table, same multiply-shift bucket in
+    HUGEINT arithmetic).  ``cms_estimate`` turns the table into the
+    min-over-rows point estimate on the driver.
+
+    Scale shape: tokenization is the vectorized Arrow whitespace
+    split (verified == str.split, mirroring the shingle family's
+    _words CTE); per-batch counts fold into a d x w matrix via
+    np.add.at over the batch's DISTINCT tokens (the only Python loop
+    is vocabulary-bounded per batch, never per occurrence); the
+    shuffle carries <= d*w = 1024 partial rows per block into one
+    grouped Sum."""
+    import zlib
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(pc.utf8_lower(t["text"])))
+        tbl = pa.table({"w": toks})
+        tbl = tbl.filter(pc.not_equal(tbl["w"], ""))
+        g = pa.TableGroupBy(tbl, ["w"]).aggregate([([], "count_all")])
+        counts = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        for w, n in zip(g["w"].to_pylist(), counts):
+            crc = zlib.crc32(w.encode("utf-8"))
+            for j in range(CMS_D):
+                mat[j, _cms_bucket(crc, j)] += int(n)
+        rows, buckets = np.nonzero(mat)
+        return pa.table(
+            {
+                "row_j": pa.array(rows.astype(np.int64), pa.int64()),
+                "bucket": pa.array(buckets.astype(np.int64), pa.int64()),
+                "n": pa.array(mat[rows, buckets], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["row_j", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["row_j", "bucket"])
+    )
+
+
+def cms_estimate(registers, token: str) -> int:
+    """Point estimate (upper bound) for one token's corpus count from
+    a (row_j, bucket, n) register table: min over rows of the
+    token's cell."""
+    import zlib
+
+    if hasattr(registers, "to_pydict"):
+        d = registers.to_pydict()
+        rows = zip(d["row_j"], d["bucket"], d["n"])
+    else:
+        rows = ((r["row_j"], r["bucket"], r["n"]) for r in registers.take_all())
+    cells = {(j, b): n for j, b, n in rows}
+    crc = zlib.crc32(token.encode("utf-8"))
+    return min(cells.get((j, _cms_bucket(crc, j)), 0) for j in range(CMS_D))

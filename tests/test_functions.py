@@ -911,3 +911,36 @@ def test_user_retention_week0_counts_all_cohort_users(ray_session):
     ).fetchall()
     for day, n in firsts:
         assert wk0[pd.Timestamp(day)] == n
+
+
+def test_token_cms_mass_and_upper_bound(ray_session):
+    """Pin the count-min sketch invariants: (a) every hash row of the
+    register table preserves total token mass exactly (each occurrence
+    lands in exactly one bucket per row), and (b) the point estimate
+    is a true upper bound on every token's exact corpus count (the CMS
+    guarantee -- min over rows of a sum that includes the token)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.textstats import (
+        CMS_D,
+        cms_estimate,
+        token_cms_registers,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    regs = token_cms_registers(sfd)
+    rows = regs.take_all()
+    texts = pq.read_table(f"{sfd}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    exact = Counter(w for t in texts for w in t.lower().split())
+    total = sum(exact.values())
+    for j in range(CMS_D):
+        assert sum(r["n"] for r in rows if r["row_j"] == j) == total
+    tbl = pa.Table.from_pylist(rows)
+    for w, n in list(exact.most_common(10)) + list(exact.most_common())[-10:]:
+        est = cms_estimate(tbl, w)
+        assert est >= n, (w, est, n)
+        assert est <= total
