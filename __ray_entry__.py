@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_keep": dedup.near_dedup_keep_docs,
         "decontaminate": dedup.decontaminate_docs,
         "dup_shingle_stats": dedup.dup_shingle_stats_docs,
+        "dup_ngram_scrub": dedup.dup_ngram_scrub_docs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs_embeddings,
         "embedding_dup_clusters": dedup.embedding_dup_clusters_embeddings,
         # --- similarity search ---
@@ -267,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters": sqlhash.near_dup_clusters_sql(),
         "near_dedup_keep": sqlhash.near_dedup_keep_sql(),
         "token_cms_registers": sqlhash.token_cms_sql(),
+        "dup_ngram_scrub": sqlhash.dup_ngram_scrub_sql(),
         # --- exact similarity search (float64 compute, half-up micro
         # ints on both sides; margins audited in similarity.py) ---
         "knn_brute": similarity.KNN_BRUTE_SQL,

@@ -191,6 +191,7 @@ def run_bench() -> dict:
         "props_json_stats",
         "domain_cap",
         "token_cms_registers",
+        "dup_ngram_scrub",
     ]
     for name in picks:
         t0 = time.perf_counter()

@@ -1277,3 +1277,236 @@ def dup_shingle_stats(
 
 def dup_shingle_stats_docs(sf_dir: str):
     return dup_shingle_stats(_read_docs(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-n-gram removal (exact substring dedup,
+# word-level — Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better": remove the REPEATED SPANS, keep the docs)
+# ---------------------------------------------------------------------------
+
+DUP_SCRUB_K = 5
+
+
+def _window_hashes(words, k: int) -> np.ndarray:
+    """Positional word-k-gram hashes, the exact positional counterpart
+    of ``shingles``' full-window path: h[i] = sum_j crc(w[i+j]) *
+    _SHINGLE_P[j % 3] mod 2^64 for every window start i (0-based).
+    Empty array when the doc has < k words."""
+    if len(words) < k:
+        return np.array([], dtype=np.uint64)
+    crc = np.fromiter(
+        (zlib.crc32(w.encode("utf-8")) for w in words),
+        dtype=np.uint64,
+        count=len(words),
+    )
+    n_win = len(crc) - k + 1
+    with np.errstate(over="ignore"):
+        h = np.zeros(n_win, dtype=np.uint64)
+        for j in range(k):
+            h += crc[j : n_win + j] * _SHINGLE_P[j % 3]
+    return h
+
+
+def _scrub_rows(ids, texts, covered_starts, k: int) -> pa.Table:
+    """Rebuild each doc from the words NOT covered by any duplicated
+    window start in ``covered_starts`` (0-based starts per row)."""
+    n_words = np.zeros(len(ids), np.int64)
+    n_removed = np.zeros(len(ids), np.int64)
+    out_text = []
+    for i, txt in enumerate(texts):
+        words = (txt or "").lower().split()
+        m = len(words)
+        n_words[i] = m
+        starts = covered_starts[i]
+        if m == 0 or starts is None or len(starts) == 0:
+            out_text.append(" ".join(words))
+            continue
+        cov = np.zeros(m, dtype=bool)
+        s = np.asarray(starts, dtype=np.int64)
+        for j in range(k):
+            cov[s + j] = True
+        n_removed[i] = int(np.count_nonzero(cov))
+        out_text.append(" ".join(w for w, c in zip(words, cov) if not c))
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(ids, np.int64), pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_removed": pa.array(n_removed, pa.int64()),
+            "scrubbed_text": pa.array(out_text, pa.string()),
+        }
+    )
+
+
+def dup_ngram_scrub(
+    ds: "ray.data.Dataset",
+    k: int = DUP_SCRUB_K,
+    broadcast_limit: int = DUP_SHINGLE_BROADCAST_LIMIT,
+):
+    """Remove every word covered by a word-k-gram that occurs in more
+    than one document; docs shorter than k words pass through intact
+    (no full window exists).  Output per doc: word count, removed-word
+    count, and the scrubbed (lowercased, space-joined) text.
+
+    Same two-phase shape as ``dup_shingle_stats``:
+    1. duplicated-window set = positional hashes deduped per doc,
+       partial-counted per batch, one grouped Sum, df >= 2;
+    2. coverage: under ``broadcast_limit`` the sorted dup array
+       broadcasts once and membership is a per-doc searchsorted; above
+       it, the (doc_id, start, x) stream inner-joins the dup set, the
+       hit starts pack into one list row per doc (map_groups), and a
+       single left_outer join hands each doc its covered starts —
+       the shuffle carries only ints, never the text twice."""
+    from ray.data.aggregate import Sum
+
+    from document_extractor_ray import state
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        xs = []
+        for txt in t["text"].to_pylist():
+            h = _window_hashes((txt or "").lower().split(), k)
+            if len(h):
+                xs.append(np.unique(h))
+        if xs:
+            ux, cnt = np.unique(np.concatenate(xs), return_counts=True)
+        else:
+            ux = np.array([], dtype=np.uint64)
+            cnt = np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "x": pa.array(ux.view(np.int64), pa.int64()),
+                "df_part": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    dups = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("x")
+        .aggregate(Sum("df_part", alias_name="df"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["df"], 2)).select(["x"])
+            if "df" in t.schema.names
+            else t,
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_dups = dups.count()
+
+    if n_dups <= broadcast_limit:
+        arrs = [
+            tb["x"].combine_chunks().to_numpy(zero_copy_only=False)
+            for tb in map(ray.get, dups.to_arrow_refs())
+            if tb.num_rows
+        ]
+        dup_sorted = (
+            np.sort(np.concatenate(arrs)) if arrs else np.array([], np.int64)
+        )
+        ref = state.broadcast(dup_sorted)
+
+        def scrub(t: pa.Table) -> pa.Table:
+            dup_arr = state.cached_get(ref)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            texts = t["text"].to_pylist()
+            starts = []
+            for txt in texts:
+                h = _window_hashes((txt or "").lower().split(), k)
+                if len(h) == 0 or len(dup_arr) == 0:
+                    starts.append(None)
+                    continue
+                hx = h.view(np.int64)
+                pos = np.searchsorted(dup_arr, hx)
+                pos = np.clip(pos, 0, len(dup_arr) - 1)
+                starts.append(np.nonzero(dup_arr[pos] == hx)[0])
+            return _scrub_rows(ids, texts, starts, k)
+
+        return ds.map_batches(scrub, batch_format="pyarrow").sort("doc_id")
+
+    # --- scale path: partitioned join, hit starts packed per doc ---
+    def stream_part(t: pa.Table) -> pa.Table:
+        doc_ids, ss, xs = [], [], []
+        for did, txt in zip(
+            t["doc_id"].to_numpy(zero_copy_only=False), t["text"].to_pylist()
+        ):
+            h = _window_hashes((txt or "").lower().split(), k)
+            if len(h):
+                doc_ids.append(np.full(len(h), did, np.int64))
+                ss.append(np.arange(len(h), dtype=np.int64))
+                xs.append(h.view(np.int64))
+        z = np.array([], np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(doc_ids) if doc_ids else z, pa.int64()
+                ),
+                "s": pa.array(np.concatenate(ss) if ss else z, pa.int64()),
+                "x": pa.array(np.concatenate(xs) if xs else z, pa.int64()),
+            }
+        )
+
+    n_parts = 32
+    if ray.is_initialized():
+        n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    # settle: drop empty-schema blocks the aggregate may emit (Ray 2.49
+    # trap, see _propagate_labels) before feeding a join
+    live = [r for r in dups.to_arrow_refs() if ray.get(r).num_rows > 0]
+    dups_clean = (
+        ray.data.from_arrow_refs(live)
+        if live
+        else ray.data.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+    )
+
+    def pack_starts(t: pa.Table) -> pa.Table:
+        # int64-LE blob, not list<int64>: Acero hash joins reject list
+        # payload columns ("not supported in join non-key field")
+        ss = np.sort(t["s"].to_numpy(zero_copy_only=False)).astype("<i8")
+        return pa.table(
+            {
+                "doc_id": pa.array([t["doc_id"][0].as_py()], pa.int64()),
+                "starts_blob": pa.array([ss.tobytes()], pa.binary()),
+            }
+        )
+
+    packed = (
+        ds.map_batches(stream_part, batch_format="pyarrow")
+        .join(dups_clean, join_type="inner", num_partitions=n_parts, on=("x",))
+        .groupby("doc_id")
+        .map_groups(pack_starts, batch_format="pyarrow")
+    )
+    # settle before joining: the join->groupby chain can emit
+    # empty-schema blocks that kill the next join (see _propagate_labels)
+    mat = packed.materialize()
+    prefs = [r for r in mat.to_arrow_refs() if ray.get(r).num_rows > 0]
+    packed = (
+        ray.data.from_arrow_refs(prefs)
+        if prefs
+        else ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "starts_blob": pa.array([], pa.binary()),
+                }
+            )
+        )
+    )
+    joined = ds.join(
+        packed, join_type="left_outer", num_partitions=n_parts, on=("doc_id",)
+    )
+
+    def scrub_joined(t: pa.Table) -> pa.Table:
+        starts = [
+            None if b is None else np.frombuffer(b, dtype="<i8")
+            for b in t["starts_blob"].to_pylist()
+        ]
+        return _scrub_rows(
+            t["doc_id"].to_numpy(zero_copy_only=False),
+            t["text"].to_pylist(),
+            starts,
+            k,
+        )
+
+    return joined.map_batches(scrub_joined, batch_format="pyarrow").sort("doc_id")
+
+
+def dup_ngram_scrub_docs(sf_dir: str):
+    return dup_ngram_scrub(_read_docs(sf_dir))

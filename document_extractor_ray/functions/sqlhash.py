@@ -503,3 +503,64 @@ SELECT dd.doc_id,
             // greatest(coalesce(per.n_shingles, 0), 1) AS BIGINT) AS shared_permille
 FROM documents dd LEFT JOIN per ON per.doc_id = dd.doc_id
 ORDER BY dd.doc_id"""
+
+
+def dup_ngram_scrub_sql(k: int = 5) -> str:
+    """Oracle for ``dedup.dup_ngram_scrub``: positional word-k-gram
+    hashes (same CRC-32 + _SHINGLE_P window kernel as the shingle
+    family, but keeping the window START position instead of deduping),
+    duplicated window = hash present in >= 2 distinct docs, covered
+    word = any position inside a duplicated window, output = the
+    lowercased space-joined text of the UNcovered words.  Docs with
+    < k words have no full window and pass through intact; zero-word
+    docs emit ''."""
+    P = [int(p) for p in _dd._SHINGLE_P]
+    terms = " + ".join(
+        f"(c{i}::HUGEINT * {P[i % 3]}::HUGEINT)" for i in range(k)
+    )
+    leads = ",\n         ".join(
+        f"lead(crc, {i}) OVER (PARTITION BY doc_id ORDER BY pos) AS c{i}"
+        for i in range(1, k)
+    )
+    return f"""WITH RECURSIVE
+{_words(lower=True)},
+{_CRC_TABLE},
+{_WORD_CRC},
+nw AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+winh AS (
+  SELECT doc_id, pos, crc AS c0,
+         {leads}
+  FROM wcrc
+),
+poswin AS (
+  SELECT doc_id, pos AS s, ({terms}) % {P64}::HUGEINT AS x
+  FROM winh WHERE c{k - 1} IS NOT NULL
+),
+dupx AS (
+  SELECT x FROM (SELECT x, count(DISTINCT doc_id) AS df FROM poswin GROUP BY x)
+  WHERE df >= 2
+),
+cov AS (
+  SELECT DISTINCT p.doc_id, w.pos
+  FROM poswin p JOIN dupx USING (x)
+  JOIN words w ON w.doc_id = p.doc_id AND w.pos BETWEEN p.s AND p.s + {k - 1}
+),
+kept AS (
+  SELECT words.doc_id, words.w, words.pos
+  FROM words LEFT JOIN cov
+    ON cov.doc_id = words.doc_id AND cov.pos = words.pos
+  WHERE cov.pos IS NULL
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(w, ' ' ORDER BY pos) AS scrubbed_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(nw.n, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(nw.n, 0) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(a.scrubbed_text, '') AS scrubbed_text
+FROM documents d
+LEFT JOIN nw USING (doc_id)
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id"""

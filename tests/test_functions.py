@@ -944,3 +944,41 @@ def test_token_cms_mass_and_upper_bound(ray_session):
         est = cms_estimate(tbl, w)
         assert est >= n, (w, est, n)
         assert est <= total
+
+
+def test_dup_ngram_scrub_paths_and_semantics(ray_session):
+    """Broadcast and partitioned-join scrub paths must agree exactly;
+    planted exact copies lose every full-window word while the
+    unrelated doc passes through untouched (lowercased re-join only),
+    and a doc shorter than k words is never scrubbed."""
+    import ray.data
+    from document_extractor_ray.functions.dedup import dup_ngram_scrub
+
+    short = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                list(_planted_corpus()["text"].to_pylist()) + ["tiny doc here"],
+                pa.string(),
+            ),
+        }
+    )
+    got_b = dup_ngram_scrub(ray.data.from_arrow(short)).take_all()
+    got_j = dup_ngram_scrub(
+        ray.data.from_arrow(short), broadcast_limit=0
+    ).take_all()
+    assert got_b == got_j
+    by_id = {r["doc_id"]: r for r in got_b}
+    # docs 0 and 3 are byte-identical: every word sits in a dup window
+    assert by_id[0]["n_removed"] == by_id[0]["n_words"]
+    assert by_id[3]["scrubbed_text"] == ""
+    # doc 2 is unique content: untouched
+    assert by_id[2]["n_removed"] == 0
+    assert by_id[2]["scrubbed_text"] == " ".join(
+        short["text"][2].as_py().lower().split()
+    )
+    # doc 4 has 3 < k=5 words: no full window, intact
+    assert by_id[4]["n_removed"] == 0
+    assert by_id[4]["scrubbed_text"] == "tiny doc here"
+    # doc 1 (near-dup of 0) keeps only words outside shared 5-gram spans
+    assert 0 < by_id[1]["n_removed"] < by_id[1]["n_words"]
