@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_test_split": analytics.train_val_test_split,
         "user_retention": analytics.user_retention,
         "props_json_stats": analytics.props_json_stats,
+        "user_activity_360": analytics.user_activity_360,
         # --- text analysis (SQL oracles where ASCII-expressible) ---
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -234,6 +235,7 @@ def oracle_sql() -> dict[str, str]:
         "train_val_test_split": analytics.TRAIN_VAL_TEST_SPLIT_SQL,
         "user_retention": analytics.USER_RETENTION_SQL,
         "props_json_stats": analytics.PROPS_JSON_STATS_SQL,
+        "user_activity_360": analytics.USER_ACTIVITY_360_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_scores": textstats.QUALITY_SCORES_SQL,
         "lang_id": textstats.LANG_ID_SQL,

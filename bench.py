@@ -192,6 +192,7 @@ def run_bench() -> dict:
         "domain_cap",
         "token_cms_registers",
         "dup_ngram_scrub",
+        "user_activity_360",
     ]
     for name in picks:
         t0 = time.perf_counter()

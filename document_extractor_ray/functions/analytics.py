@@ -2695,3 +2695,104 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Customer-360 full outer join (union + groupby, no join operator)
+# ---------------------------------------------------------------------------
+
+def user_activity_360(sf_dir: str):
+    """Full-outer merge of per-user event activity with per-customer
+    order activity (user_id == o_custkey is the shared entity key):
+    every entity present on EITHER side gets one row, missing-side
+    measures are zero.
+
+    Scale shape — the union+groupby full outer: neither side is ever
+    joined.  Each side pre-aggregates per batch (Arrow group_by, so
+    the shuffle carries one row per distinct key per block, not per
+    event), pads the other side's measures with zeros, and a single
+    grouped Sum merges the union.  One key-hash shuffle total,
+    skew-tolerant (hot keys just sum), and structurally symmetric —
+    the same plan does left/right/full outer by dropping a side."""
+    return user_activity_full(
+        _read(sf_dir, "events", columns=["user_id", "value"]),
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+    )
+
+
+def user_activity_full(ev: "ray.data.Dataset", orders: "ray.data.Dataset"):
+    """Core of ``user_activity_360`` over explicit datasets (events
+    with user_id/value, orders with o_custkey/o_totalprice) — split
+    out so tests can plant keys on either side only."""
+
+    def ev_part(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"user_id": t["user_id"], "c": _to_cents(t["value"])})
+            .group_by("user_id")
+            .aggregate([("c", "sum"), ("c", "count")])
+        )
+        n = g.num_rows
+        z = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "n_events": pc.cast(g["c_count"], pa.int64()),
+                "events_value_cents": pc.cast(g["c_sum"], pa.int64()),
+                "n_orders": z,
+                "orders_total_cents": z,
+            }
+        )
+
+    def or_part(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {"user_id": t["o_custkey"], "c": _to_cents(t["o_totalprice"])}
+            )
+            .group_by("user_id")
+            .aggregate([("c", "sum"), ("c", "count")])
+        )
+        n = g.num_rows
+        z = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "n_events": z,
+                "events_value_cents": z,
+                "n_orders": pc.cast(g["c_count"], pa.int64()),
+                "orders_total_cents": pc.cast(g["c_sum"], pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(ev_part, batch_format="pyarrow")
+        .union(orders.map_batches(or_part, batch_format="pyarrow"))
+        .groupby("user_id")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("events_value_cents", alias_name="events_value_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("orders_total_cents", alias_name="orders_total_cents"),
+        )
+        .sort("user_id")
+    )
+
+
+USER_ACTIVITY_360_SQL = """
+WITH e AS (
+  SELECT user_id, count(*) AS n_events,
+         sum(CAST(round(value * 100.0) AS BIGINT)) AS events_value_cents
+  FROM events GROUP BY 1
+),
+o AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS orders_total_cents
+  FROM orders GROUP BY 1
+)
+SELECT coalesce(e.user_id, o.o_custkey) AS user_id,
+       CAST(coalesce(e.n_events, 0) AS BIGINT) AS n_events,
+       CAST(coalesce(e.events_value_cents, 0) AS BIGINT) AS events_value_cents,
+       CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(o.orders_total_cents, 0) AS BIGINT) AS orders_total_cents
+FROM e FULL OUTER JOIN o ON e.user_id = o.o_custkey
+ORDER BY user_id
+"""

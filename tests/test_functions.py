@@ -88,6 +88,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "user_retention",
         "props_json_stats",
         "domain_cap",
+        "token_cms_registers",
+        "dup_ngram_scrub",
+        "user_activity_360",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -982,3 +985,41 @@ def test_dup_ngram_scrub_paths_and_semantics(ray_session):
     assert by_id[4]["scrubbed_text"] == "tiny doc here"
     # doc 1 (near-dup of 0) keeps only words outside shared 5-gram spans
     assert 0 < by_id[1]["n_removed"] < by_id[1]["n_words"]
+
+
+def test_user_activity_full_outer_cases(ray_session):
+    """All three full-outer cases: key on both sides (merged row),
+    events-only (zero order measures), orders-only (zero event
+    measures) — sf data has no events-only keys, so plant them."""
+    import ray.data
+    from document_extractor_ray.functions.analytics import user_activity_full
+
+    ev = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "value": pa.array([1.25, 2.00, 0.5], pa.float64()),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_custkey": pa.array([1, 3, 3], pa.int64()),
+            "o_totalprice": pa.array([10.0, 5.555, 4.0], pa.float64()),
+        }
+    )
+    rows = {
+        r["user_id"]: r
+        for r in user_activity_full(
+            ray.data.from_arrow(ev), ray.data.from_arrow(orders)
+        ).take_all()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] == {
+        "user_id": 1, "n_events": 2, "events_value_cents": 325,
+        "n_orders": 1, "orders_total_cents": 1000,
+    }
+    # events-only: zero order measures
+    assert rows[2]["n_orders"] == 0 and rows[2]["orders_total_cents"] == 0
+    assert rows[2]["events_value_cents"] == 50
+    # orders-only: zero event measures; 5.555 rounds half-away to 556
+    assert rows[3]["n_events"] == 0 and rows[3]["events_value_cents"] == 0
+    assert rows[3]["orders_total_cents"] == 556 + 400
