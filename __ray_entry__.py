@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_topk": textstats.search_topk,
         "bigram_top": textstats.bigram_top,
         "token_cms_registers": textstats.token_cms_registers,
+        "char_stats": textstats.char_stats,
         "fingerprints": textstats.fingerprints,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact_docs,
@@ -271,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dedup_keep": sqlhash.near_dedup_keep_sql(),
         "token_cms_registers": sqlhash.token_cms_sql(),
         "dup_ngram_scrub": sqlhash.dup_ngram_scrub_sql(),
+        "char_stats": textstats.CHAR_STATS_SQL,
         # --- exact similarity search (float64 compute, half-up micro
         # ints on both sides; margins audited in similarity.py) ---
         "knn_brute": similarity.KNN_BRUTE_SQL,

@@ -193,6 +193,7 @@ def run_bench() -> dict:
         "token_cms_registers",
         "dup_ngram_scrub",
         "user_activity_360",
+        "char_stats",
     ]
     for name in picks:
         t0 = time.perf_counter()

@@ -1357,3 +1357,88 @@ def cms_estimate(registers, token: str) -> int:
     cells = {(j, b): n for j, b, n in rows}
     crc = zlib.crc32(token.encode("utf-8"))
     return min(cells.get((j, _cms_bucket(crc, j)), 0) for j in range(CMS_D))
+
+
+# ---------------------------------------------------------------------------
+# Character-distribution stats (gibberish / low-entropy signal)
+# ---------------------------------------------------------------------------
+
+def char_stats(sf_dir: str):
+    """Per-doc character-distribution quality signal: total and
+    distinct character counts plus the modal character and its exact
+    integer permille share — the cheap gibberish detector (a doc whose
+    top character carries most of the mass is padding/noise; cf. the
+    repetition heuristics in Rae et al. 2021 \"Gopher\" appendix A).
+
+    Whole-batch vectorization, no per-character Python: the batch's
+    texts join into ONE utf-32 codepoint array, per-row char counts
+    come from a single np.unique over (row << 21 | codepoint)
+    composites, and the per-row modal char falls out of one lexsort
+    ordered (row, -count, codepoint) so ties break to the smallest
+    codepoint exactly like the oracle's ORDER BY n DESC, c ASC."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(_char_stats_batch, batch_format="pyarrow").sort("doc_id")
+
+
+def _char_stats_batch(t: pa.Table) -> pa.Table:
+    texts = t["text"].to_pylist()
+    n = len(texts)
+    lengths = np.fromiter((len(s or "") for s in texts), np.int64, n)
+    cps = np.frombuffer(
+        "".join(s or "" for s in texts).encode("utf-32-le"), np.uint32
+    ).astype(np.int64)
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    comp = (row_ids << 21) | cps
+    uniq, counts = np.unique(comp, return_counts=True)
+    u_rows = uniq >> 21
+    u_cps = uniq & 0x1FFFFF
+    distinct = np.bincount(u_rows, minlength=n).astype(np.int64)
+    top_cp = np.zeros(n, np.int64)
+    top_n = np.zeros(n, np.int64)
+    if len(uniq):
+        ord_ = np.lexsort((u_cps, -counts, u_rows))
+        first = np.searchsorted(u_rows[ord_], np.arange(n))
+        has = lengths > 0
+        sel = ord_[np.clip(first, 0, len(ord_) - 1)]
+        top_cp[has] = u_cps[sel[has]]
+        top_n[has] = counts[sel[has]]
+    permille = top_n * 1000 // np.maximum(lengths, 1)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_chars": pa.array(lengths, pa.int64()),
+            "distinct_chars": pa.array(distinct, pa.int64()),
+            "top_char": pa.array(
+                [chr(c) if m else "" for c, m in zip(top_cp, lengths > 0)],
+                pa.string(),
+            ),
+            "top_char_permille": pa.array(permille, pa.int64()),
+        }
+    )
+
+
+
+CHAR_STATS_SQL = r"""
+WITH ch AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c FROM documents
+),
+cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+ranked AS (
+  SELECT doc_id, c, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, c ASC) AS rk
+  FROM cnt
+),
+tot AS (
+  SELECT doc_id, count(*) AS n_chars, count(DISTINCT c) AS distinct_chars
+  FROM ch GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(t.n_chars, 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(t.distinct_chars, 0) AS BIGINT) AS distinct_chars,
+       coalesce(r.c, '') AS top_char,
+       CAST(coalesce(r.n * 1000 // t.n_chars, 0) AS BIGINT) AS top_char_permille
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.rk = 1
+ORDER BY d.doc_id
+"""

@@ -91,6 +91,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "token_cms_registers",
         "dup_ngram_scrub",
         "user_activity_360",
+        "char_stats",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -1023,3 +1024,26 @@ def test_user_activity_full_outer_cases(ray_session):
     # orders-only: zero event measures; 5.555 rounds half-away to 556
     assert rows[3]["n_events"] == 0 and rows[3]["events_value_cents"] == 0
     assert rows[3]["orders_total_cents"] == 556 + 400
+
+
+def test_char_stats_kernel_edge_cases():
+    """The vectorized char-histogram kernel: empty text, tie-break to
+    the smallest codepoint, non-ASCII codepoints, exact permille."""
+    from document_extractor_ray.functions.textstats import _char_stats_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["", "abab", "zzzéé", "ba"], pa.string()),
+        }
+    )
+    rows = {r["doc_id"]: r for r in _char_stats_batch(t).to_pylist()}
+    assert rows[0] == {
+        "doc_id": 0, "n_chars": 0, "distinct_chars": 0,
+        "top_char": "", "top_char_permille": 0,
+    }
+    # tie a/b -> smallest char wins
+    assert rows[1]["top_char"] == "a" and rows[1]["top_char_permille"] == 500
+    assert rows[2]["n_chars"] == 5 and rows[2]["distinct_chars"] == 2
+    assert rows[2]["top_char"] == "z" and rows[2]["top_char_permille"] == 600
+    assert rows[3]["top_char"] == "a"  # tie again, smaller codepoint
