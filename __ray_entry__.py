@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_top": textstats.bigram_top,
         "token_cms_registers": textstats.token_cms_registers,
         "char_stats": textstats.char_stats,
+        "textrank_keywords": textstats.textrank_keywords,
         "fingerprints": textstats.fingerprints,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact_docs,
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "token_cms_registers": sqlhash.token_cms_sql(),
         "dup_ngram_scrub": sqlhash.dup_ngram_scrub_sql(),
         "char_stats": textstats.CHAR_STATS_SQL,
+        "textrank_keywords": textstats.textrank_keywords_sql(),
         # --- exact similarity search (float64 compute, half-up micro
         # ints on both sides; margins audited in similarity.py) ---
         "knn_brute": similarity.KNN_BRUTE_SQL,

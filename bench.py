@@ -194,6 +194,7 @@ def run_bench() -> dict:
         "dup_ngram_scrub",
         "user_activity_360",
         "char_stats",
+        "textrank_keywords",
     ]
     for name in picks:
         t0 = time.perf_counter()

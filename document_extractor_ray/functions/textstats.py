@@ -1442,3 +1442,176 @@ LEFT JOIN tot t USING (doc_id)
 LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.rk = 1
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords: fixed-iteration integer PageRank over the corpus
+# bigram graph (Mihalcea & Tarau 2004; Page et al. 1999)
+# ---------------------------------------------------------------------------
+
+TEXTRANK_ITERS = 10
+TEXTRANK_SCALE = 1_000_000_000   # nano-rank units
+TEXTRANK_TOP_K = 20
+
+
+def textrank_keywords(
+    sf_dir: str, iters: int = TEXTRANK_ITERS, k: int = TEXTRANK_TOP_K
+):
+    """Top-k corpus keywords by PageRank over the directed bigram
+    graph (edge w1->w2 per consecutive token pair, weight = corpus
+    bigram count; df_top_tokens' tokenizer, so the token family cannot
+    drift).  The iterative-graph-algorithm pattern for this engine:
+
+    - ONE corpus pass builds the edge list (per-batch Arrow partial
+      counts, shuffle bounded by distinct bigrams, never tokens);
+    - every iteration is edge-parallel map_batches over the
+      materialized edge table + one node-sized grouped Sum — the
+      corpus is never touched again, and per-iteration driver state is
+      NODE-sized (the rank vector, broadcast via ray.put), not
+      edge-sized;
+    - arithmetic is pure integer (rank r_{t+1}(v) = 15*S//100 +
+      85*sum_{u->v}(r_t(u)*wt//out_w(u))//100 in nano-rank units), so
+      block order can never change a single bit and the SQL oracle
+      replicates it as 10 chained CTEs.  Dangling mass (last-word-only
+      nodes) leaks, as in the classic simplified iteration — both
+      sides identically.  Overflow budget: N*S*wt_max must stay under
+      2^63; at a 10^7-node vocabulary drop SCALE to 10^6."""
+    from ray.data.aggregate import Sum
+
+    from document_extractor_ray import state
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        f = flat.filter(keep).combine_chunks()
+        p = parent.filter(keep).combine_chunks().to_numpy(zero_copy_only=False)
+        if len(f) < 2:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "wt": pa.array([], pa.int64()),
+                }
+            )
+        mask = pa.array(p[1:] == p[:-1])
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "w1": f.slice(0, len(f) - 1).filter(mask),
+                    "w2": f.slice(1).filter(mask),
+                }
+            ),
+            ["w1", "w2"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "w1": g["w1"],
+                "w2": g["w2"],
+                "wt": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    edges = (
+        ds.map_batches(edge_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("wt", alias_name="wt"))
+        .materialize()
+    )
+
+    # node-sized collects: the vocabulary graph, not the corpus
+    outw_rows = (
+        edges.groupby("w1").aggregate(Sum("wt", alias_name="ow")).take_all()
+    )
+    w2_rows = edges.groupby("w2").aggregate(Sum("wt", alias_name="_iw")).take_all()
+    node_set = {r["w1"] for r in outw_rows} | {r["w2"] for r in w2_rows}
+    nodes = sorted(node_set)
+    n = len(nodes)
+    idx_of = {w: i for i, w in enumerate(nodes)}
+    ow = np.zeros(n, np.int64)
+    for r in outw_rows:
+        ow[idx_of[r["w1"]]] = r["ow"]
+    nodes_pa = pa.array(nodes, pa.string())
+    static_ref = state.broadcast((nodes_pa, ow))
+
+    teleport = 15 * TEXTRANK_SCALE // 100
+    ranks = np.full(n, TEXTRANK_SCALE, np.int64)
+    for _ in range(iters):
+        rank_ref = state.broadcast(ranks)
+
+        def contrib(t: pa.Table, _rref=rank_ref) -> pa.Table:
+            nds, ow_v = state.cached_get(static_ref)
+            r_v = state.cached_get(_rref)
+            i1 = pc.index_in(t["w1"], value_set=nds).to_numpy(
+                zero_copy_only=False
+            )
+            wt = t["wt"].to_numpy(zero_copy_only=False)
+            c = r_v[i1] * wt // ow_v[i1]
+            g = pa.TableGroupBy(
+                pa.table({"w2": t["w2"], "c": pa.array(c, pa.int64())}), ["w2"]
+            ).aggregate([("c", "sum")])
+            return pa.table({"w2": g["w2"], "c": pc.cast(g["c_sum"], pa.int64())})
+
+        summed = (
+            edges.map_batches(contrib, batch_format="pyarrow")
+            .groupby("w2")
+            .aggregate(Sum("c", alias_name="c"))
+            .take_all()
+        )
+        new_r = np.full(n, teleport, np.int64)
+        for r in summed:
+            new_r[idx_of[r["w2"]]] = teleport + 85 * r["c"] // 100
+        ranks = new_r
+
+    order = np.lexsort((np.array(nodes), -ranks))[:k]
+    return pa.table(
+        {
+            "word": pa.array([nodes[i] for i in order], pa.string()),
+            "rank_nano": pa.array(ranks[order], pa.int64()),
+        }
+    )
+
+
+def textrank_keywords_sql(
+    iters: int = TEXTRANK_ITERS, k: int = TEXTRANK_TOP_K
+) -> str:
+    """Oracle: the identical integer PageRank as ``iters`` chained
+    (non-recursive) CTEs in HUGEINT arithmetic."""
+    S = TEXTRANK_SCALE
+    teleport = 15 * S // 100
+    steps = []
+    for t in range(1, iters + 1):
+        prev = f"r{t - 1}"
+        steps.append(
+            f"""r{t} AS (
+  SELECT n.w, {teleport}::HUGEINT + 85 * coalesce(s.c, 0) // 100 AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.w2 AS w, sum({prev}.r * e.wt // o.ow) AS c
+    FROM edges e
+    JOIN {prev} ON {prev}.w = e.w1
+    JOIN outw o ON o.w = e.w1
+    GROUP BY e.w2
+  ) s ON s.w = n.w
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}'),
+                     t -> t <> '') AS lst
+  FROM documents
+),
+pairs AS (
+  SELECT lst[g.i] AS w1, lst[g.i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(lst))) AS i) g
+),
+edges AS (SELECT w1, w2, count(*)::HUGEINT AS wt FROM pairs GROUP BY 1, 2),
+outw AS (SELECT w1 AS w, sum(wt) AS ow FROM edges GROUP BY 1),
+nodes AS (SELECT w1 AS w FROM edges UNION SELECT w2 FROM edges),
+r0 AS (SELECT w, {S}::HUGEINT AS r FROM nodes),
+{chain}
+SELECT w AS word, CAST(r AS BIGINT) AS rank_nano
+FROM r{iters} ORDER BY r DESC, w LIMIT {k}"""

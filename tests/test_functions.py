@@ -92,6 +92,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "dup_ngram_scrub",
         "user_activity_360",
         "char_stats",
+        "textrank_keywords",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -1047,3 +1048,53 @@ def test_char_stats_kernel_edge_cases():
     assert rows[2]["n_chars"] == 5 and rows[2]["distinct_chars"] == 2
     assert rows[2]["top_char"] == "z" and rows[2]["top_char_permille"] == 600
     assert rows[3]["top_char"] == "a"  # tie again, smaller codepoint
+
+
+def test_textrank_matches_pure_python_reference(ray_session, tmp_path):
+    """Cross-check the distributed integer PageRank against an
+    independent per-edge Python reimplementation on a tiny corpus
+    (same tokenizer, same teleport/floor arithmetic)."""
+    import re
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.textstats import (
+        TEXTRANK_ITERS,
+        TEXTRANK_SCALE,
+        textrank_keywords,
+    )
+
+    texts = ["data flows fast", "data flows far", "fast data flows", "solo"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        r["word"]: r["rank_nano"]
+        for r in textrank_keywords(str(tmp_path), k=100).to_pylist()
+    }
+
+    edges = Counter()
+    for t in texts:
+        ws = [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
+        for a, b in zip(ws, ws[1:]):
+            edges[(a, b)] += 1
+    ow = defaultdict(int)
+    for (a, _), wt in edges.items():
+        ow[a] += wt
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    r = {w: TEXTRANK_SCALE for w in nodes}
+    tele = 15 * TEXTRANK_SCALE // 100
+    for _ in range(TEXTRANK_ITERS):
+        c = defaultdict(int)
+        for (a, b), wt in edges.items():
+            c[b] += r[a] * wt // ow[a]
+        r = {w: tele + 85 * c[w] // 100 for w in nodes}
+    assert got == r
+    assert "solo" not in got  # no bigram -> not a graph node
