@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_cap": training.domain_cap,
         # --- multimodal (stubbed codecs, real Ray plumbing) ---
         "media_features": multimodal.media_features,
+        "frame_sample": multimodal.frame_sample,
     }
 
 

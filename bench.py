@@ -195,6 +195,7 @@ def run_bench() -> dict:
         "user_activity_360",
         "char_stats",
         "textrank_keywords",
+        "frame_sample",
     ]
     for name in picks:
         t0 = time.perf_counter()

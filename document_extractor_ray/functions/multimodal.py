@@ -284,10 +284,9 @@ def make_media_table(n_rows: int, seed: int = 42) -> pa.Table:
     )
 
 
-def media_features(sf_dir: str):
-    """queries() entry: features over a deterministic media corpus
-    scaled like the documents table (rows-only check; no SQL oracle for
-    binary decode)."""
+def _media_path(sf_dir: str) -> str:
+    """Deterministic media corpus scaled like the documents table,
+    cached in /tmp."""
     import os
 
     import pyarrow.parquet as pq
@@ -299,5 +298,112 @@ def media_features(sf_dir: str):
         tmp = path + f".tmp{os.getpid()}"
         pq.write_table(make_media_table(n, seed=42), tmp)
         os.replace(tmp, path)
-    ds = ray.data.read_parquet(path)
+    return path
+
+
+def media_features(sf_dir: str):
+    """queries() entry: features over a deterministic media corpus
+    scaled like the documents table (rows-only check; no SQL oracle for
+    binary decode)."""
+    ds = ray.data.read_parquet(_media_path(sf_dir))
     return extract_media_features(ds).sort("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling: explode each video into even-spaced frames
+# ---------------------------------------------------------------------------
+
+FRAME_SAMPLE_TARGET = 3
+FRAME_RESIZE = 16
+
+FRAME_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("frame_idx", pa.int64()),   # 1-based index into the source video
+        ("width", pa.int64()),       # decoded frame dims (pre-resize)
+        ("height", pa.int64()),
+        ("pixel_sum", pa.int64()),   # exact int sum over the resized frame
+        ("decode_ok", pa.bool_()),
+        ("error", pa.string()),
+    ]
+)
+
+
+class FrameSampler:
+    """Actor-pool stage: video payload -> even-spaced frame sample ->
+    per-frame resize + exact integer pixel sum, ONE OUTPUT ROW PER
+    SAMPLED FRAME (the explode happens inside the batch, so a 10k-frame
+    video never materializes as Python rows outside the actor).  Frame
+    picks reuse the reference's deterministic even-spaced sampler
+    (core/scoring.sample_page_indices, the E4/O4 quirk mirror —
+    /root/reference/scripts/common.py:352-371), tying the multimodal
+    path to the same pinned sampling semantics as page triage.
+    Corrupt payloads degrade to one decode_ok=False row."""
+
+    def __init__(self, target: int = FRAME_SAMPLE_TARGET,
+                 resize_to: int = FRAME_RESIZE):
+        from document_extractor_ray.core.scoring import sample_page_indices
+
+        self.target = target
+        self.resize_to = resize_to
+        self._sample = sample_page_indices
+
+    def _rows(self, media_id: int, payload: bytes):
+        try:
+            frames = decode_fake_video(payload or b"")
+            picks = self._sample(len(frames), self.target)
+            out = []
+            for i in picks:
+                img = decode_fake_image(frames[i - 1])
+                small = resize_nearest(img, self.resize_to, self.resize_to)
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "frame_idx": i,
+                        "width": int(img.shape[1]),
+                        "height": int(img.shape[0]),
+                        "pixel_sum": int(small.astype(np.int64).sum()),
+                        "decode_ok": True,
+                        "error": "",
+                    }
+                )
+            return out
+        except Exception as e:
+            return [
+                {
+                    "media_id": media_id,
+                    "frame_idx": 0,
+                    "width": 0,
+                    "height": 0,
+                    "pixel_sum": 0,
+                    "decode_ok": False,
+                    "error": f"{type(e).__name__}: {e}",
+                }
+            ]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        keep = t.filter(pa.compute.equal(t["kind"], "video"))
+        rows = []
+        for mid, payload in zip(
+            keep["media_id"].to_pylist(), keep["payload"].to_pylist()
+        ):
+            rows.extend(self._rows(mid, payload))
+        cols = {
+            fld.name: pa.array([r[fld.name] for r in rows], type=fld.type)
+            for fld in FRAME_SCHEMA
+        }
+        return pa.table(cols, schema=FRAME_SCHEMA)
+
+
+def frame_sample(sf_dir: str):
+    """queries() entry: even-spaced frame sampling over the video rows
+    of the deterministic media corpus (golden-pinned; binary decode has
+    no SQL oracle).  Output ordered (media_id, frame_idx)."""
+    ds = ray.data.read_parquet(_media_path(sf_dir))
+    return ds.map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=64,
+        num_cpus=1,
+    ).sort(["media_id", "frame_idx"])

@@ -1098,3 +1098,37 @@ def test_textrank_matches_pure_python_reference(ray_session, tmp_path):
         r = {w: tele + 85 * c[w] // 100 for w in nodes}
     assert got == r
     assert "solo" not in got  # no bigram -> not a graph node
+
+
+def test_frame_sampler_explode_and_corrupt_path():
+    """FrameSampler: even-spaced picks match the pinned reference
+    sampler, one row per sampled frame, non-video rows are filtered
+    out, and a corrupt video degrades to one decode_ok=False row."""
+    from document_extractor_ray.core.scoring import sample_page_indices
+    from document_extractor_ray.functions.multimodal import (
+        FRAME_SAMPLE_TARGET,
+        FrameSampler,
+        encode_fake_image,
+        encode_fake_video,
+    )
+
+    frames = [encode_fake_image(8, 6, 3, seed=i) for i in range(7)]
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1, 2], pa.int64()),
+            "kind": pa.array(["video", "image", "video"], pa.string()),
+            "payload": pa.array(
+                [encode_fake_video(frames), frames[0], b"JUNKJUNK"],
+                pa.binary(),
+            ),
+        }
+    )
+    out = FrameSampler()(t).to_pylist()
+    good = [r for r in out if r["media_id"] == 0]
+    assert [r["frame_idx"] for r in good] == sample_page_indices(
+        7, FRAME_SAMPLE_TARGET
+    )
+    assert all(r["decode_ok"] and r["width"] == 8 and r["height"] == 6 for r in good)
+    assert not any(r["media_id"] == 1 for r in out)  # non-video filtered
+    bad = [r for r in out if r["media_id"] == 2]
+    assert len(bad) == 1 and not bad[0]["decode_ok"] and bad[0]["frame_idx"] == 0

@@ -33,6 +33,7 @@ GOLDEN_QUERIES = [
     "knn_ivf",
     "pack_sequences",
     "media_features",
+    "frame_sample",
 ]
 
 
