@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": analytics.user_retention,
         "props_json_stats": analytics.props_json_stats,
         "user_activity_360": analytics.user_activity_360,
+        "value_mad_by_type": analytics.value_mad_by_type,
         # --- text analysis (SQL oracles where ASCII-expressible) ---
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -239,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "user_retention": analytics.USER_RETENTION_SQL,
         "props_json_stats": analytics.PROPS_JSON_STATS_SQL,
         "user_activity_360": analytics.USER_ACTIVITY_360_SQL,
+        "value_mad_by_type": analytics.VALUE_MAD_BY_TYPE_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_scores": textstats.QUALITY_SCORES_SQL,
         "lang_id": textstats.LANG_ID_SQL,

@@ -196,6 +196,7 @@ def run_bench() -> dict:
         "char_stats",
         "textrank_keywords",
         "frame_sample",
+        "value_mad_by_type",
     ]
     for name in picks:
         t0 = time.perf_counter()

@@ -2796,3 +2796,119 @@ SELECT coalesce(e.user_id, o.o_custkey) AS user_id,
 FROM e FULL OUTER JOIN o ON e.user_id = o.o_custkey
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped median + MAD (robust statistics from one count table)
+# ---------------------------------------------------------------------------
+
+def value_mad_by_type(sf_dir: str):
+    """Exact per-event_type median and median-absolute-deviation of
+    the value in integer cents — the robust location/scale pair
+    (Hampel 1974) a quality pipeline uses where outliers poison
+    mean/stddev.
+
+    Scale shape: ONE corpus pass builds the (type, cents, n) count
+    table (per-batch Arrow group_by partials, one grouped Sum); both
+    the median (lower-median rank convention: smallest v with
+    2*cum >= n, integer cross-multiplied like the quantile family)
+    AND the MAD come from that same table — the deviation
+    distribution is a re-fold of the value counts around the median,
+    so no second corpus pass exists.  The collected table is
+    value-DOMAIN-bounded (cents in a fixed range), not corpus-bounded;
+    for unbounded domains swap in the HDR-bucket sketch
+    (value_hdr_registers)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"event_type": t["event_type"], "v": _to_cents(t["value"])})
+            .group_by(["event_type", "v"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "v": g["v"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["event_type", "v"])
+        .take_all()
+    )
+
+    by_type: dict[str, list] = {}
+    for r in counts:
+        by_type.setdefault(r["event_type"], []).append((r["v"], r["n"]))
+
+    def _lower_median(vs: np.ndarray, ns: np.ndarray, total: int) -> int:
+        cum = np.cumsum(ns)
+        idx = int(np.searchsorted(cum * 2, total, side="left"))
+        return int(vs[min(idx, len(vs) - 1)])
+
+    types, totals, medians, mads = [], [], [], []
+    for et in sorted(by_type):
+        vs = np.array([v for v, _ in by_type[et]], np.int64)
+        ns = np.array([n for _, n in by_type[et]], np.int64)
+        total = int(ns.sum())
+        med = _lower_median(vs, ns, total)
+        dev = np.abs(vs - med)
+        order = np.argsort(dev, kind="stable")
+        dvs, dns = dev[order], ns[order]
+        # merge equal deviations (two v map to the same |v - med|)
+        uniq, inv = np.unique(dvs, return_inverse=True)
+        dsum = np.zeros(len(uniq), np.int64)
+        np.add.at(dsum, inv, dns)
+        mad = _lower_median(uniq, dsum, total)
+        types.append(et)
+        totals.append(total)
+        medians.append(med)
+        mads.append(mad)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n": pa.array(totals, pa.int64()),
+            "median_cents": pa.array(medians, pa.int64()),
+            "mad_cents": pa.array(mads, pa.int64()),
+        }
+    )
+
+
+VALUE_MAD_BY_TYPE_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS v, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+cum AS (
+  SELECT event_type, v, sum(n) OVER (PARTITION BY event_type ORDER BY v) AS cumn
+  FROM c
+),
+med AS (
+  SELECT tot.event_type,
+         (SELECT min(v) FROM cum
+           WHERE cum.event_type = tot.event_type AND cum.cumn * 2 >= tot.n) AS m
+  FROM tot
+),
+dev AS (
+  SELECT c.event_type, abs(c.v - med.m) AS d, sum(c.n) AS n
+  FROM c JOIN med USING (event_type) GROUP BY 1, 2
+),
+dcum AS (
+  SELECT event_type, d, sum(n) OVER (PARTITION BY event_type ORDER BY d) AS cumn
+  FROM dev
+)
+SELECT tot.event_type, tot.n,
+       CAST(med.m AS BIGINT) AS median_cents,
+       (SELECT CAST(min(d) AS BIGINT) FROM dcum
+         WHERE dcum.event_type = tot.event_type AND dcum.cumn * 2 >= tot.n) AS mad_cents
+FROM tot JOIN med USING (event_type)
+ORDER BY event_type
+"""

@@ -93,6 +93,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "user_activity_360",
         "char_stats",
         "textrank_keywords",
+        "value_mad_by_type",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -1132,3 +1133,29 @@ def test_frame_sampler_explode_and_corrupt_path():
     assert not any(r["media_id"] == 1 for r in out)  # non-video filtered
     bad = [r for r in out if r["media_id"] == 2]
     assert len(bad) == 1 and not bad[0]["decode_ok"] and bad[0]["frame_idx"] == 0
+
+
+def test_value_mad_matches_numpy_reference(ray_session):
+    """Independent numpy recomputation of the grouped lower-median and
+    MAD (same rank convention applied directly to the raw cents)."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.analytics import value_mad_by_type
+
+    got = {r["event_type"]: r for r in value_mad_by_type(SF).to_pylist()}
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "value"])
+    # half-away-from-zero (values are >= 0), matching _to_cents
+    cents = np.floor(t["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    types = np.asarray(t["event_type"].to_pylist())
+
+    def lower_median(x: np.ndarray) -> int:
+        s = np.sort(x)
+        return int(s[(len(s) - 1) // 2])
+
+    assert set(got) == set(np.unique(types))
+    for et in np.unique(types):
+        x = cents[types == et]
+        med = lower_median(x)
+        mad = lower_median(np.abs(x - med))
+        r = got[et]
+        assert (r["n"], r["median_cents"], r["mad_cents"]) == (len(x), med, mad)
