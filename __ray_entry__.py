@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_json_stats": analytics.props_json_stats,
         "user_activity_360": analytics.user_activity_360,
         "value_mad_by_type": analytics.value_mad_by_type,
+        "event_transitions": analytics.event_transitions,
         # --- text analysis (SQL oracles where ASCII-expressible) ---
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -241,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "props_json_stats": analytics.PROPS_JSON_STATS_SQL,
         "user_activity_360": analytics.USER_ACTIVITY_360_SQL,
         "value_mad_by_type": analytics.VALUE_MAD_BY_TYPE_SQL,
+        "event_transitions": analytics.EVENT_TRANSITIONS_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_scores": textstats.QUALITY_SCORES_SQL,
         "lang_id": textstats.LANG_ID_SQL,

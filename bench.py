@@ -197,6 +197,7 @@ def run_bench() -> dict:
         "textrank_keywords",
         "frame_sample",
         "value_mad_by_type",
+        "event_transitions",
     ]
     for name in picks:
         t0 = time.perf_counter()

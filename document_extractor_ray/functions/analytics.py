@@ -2912,3 +2912,71 @@ SELECT tot.event_type, tot.n,
 FROM tot JOIN med USING (event_type)
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov counts)
+# ---------------------------------------------------------------------------
+
+def event_transitions(sf_dir: str):
+    """Corpus-wide event-type transition counts: for every user's
+    ts-ordered event stream (event_id tie-break), count each
+    consecutive (prev_type -> next_type) pair — the first-order Markov
+    /funnel matrix behind session-flow analytics.
+
+    Same irreducible plan as the other per-key ordered windows
+    (user_lag_gaps): ONE user-hash shuffle co-locates a user's events,
+    the whole partition sorts once, the pair extraction is a shifted
+    numpy compare masked by user boundaries, and each partition emits
+    only its LOCAL (prev, next, n) partial counts — |types|^2-bounded,
+    so the final grouped Sum is a trivial second shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    n_parts = _n_blocks()
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (u * np.uint64(2654435761)) & np.uint64(0x7FFFFFFF)
+        return t.append_column(
+            "part", pa.array((h % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"prev_type": pd.Series([], dtype=str),
+                 "next_type": pd.Series([], dtype=str),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        same = uid[1:] == uid[:-1]
+        pairs = pd.DataFrame(
+            {"prev_type": et[:-1][same], "next_type": et[1:][same]}
+        )
+        out = pairs.groupby(["prev_type", "next_type"], as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["prev_type", "next_type"])
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev AS prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE prev IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

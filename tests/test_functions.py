@@ -94,6 +94,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "char_stats",
         "textrank_keywords",
         "value_mad_by_type",
+        "event_transitions",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -1159,3 +1160,19 @@ def test_value_mad_matches_numpy_reference(ray_session):
         mad = lower_median(np.abs(x - med))
         r = got[et]
         assert (r["n"], r["median_cents"], r["mad_cents"]) == (len(x), med, mad)
+
+
+def test_event_transitions_mass_invariant(ray_session):
+    """Total transition count must equal n_events - n_users exactly
+    (every user's ordered stream of k events yields k-1 pairs)."""
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import event_transitions
+
+    rows = event_transitions(SF).take_all()
+    total = sum(r["n"] for r in rows)
+    n_ev, n_us = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()
+    assert total == n_ev - n_us
+    assert all(r["n"] > 0 for r in rows)
