@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_360": analytics.user_activity_360,
         "value_mad_by_type": analytics.value_mad_by_type,
         "event_transitions": analytics.event_transitions,
+        "sliding_7d_users": analytics.sliding_7d_users,
         # --- text analysis (SQL oracles where ASCII-expressible) ---
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -243,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "user_activity_360": analytics.USER_ACTIVITY_360_SQL,
         "value_mad_by_type": analytics.VALUE_MAD_BY_TYPE_SQL,
         "event_transitions": analytics.EVENT_TRANSITIONS_SQL,
+        "sliding_7d_users": analytics.SLIDING_7D_USERS_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_scores": textstats.QUALITY_SCORES_SQL,
         "lang_id": textstats.LANG_ID_SQL,

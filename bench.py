@@ -198,6 +198,7 @@ def run_bench() -> dict:
         "frame_sample",
         "value_mad_by_type",
         "event_transitions",
+        "sliding_7d_users",
     ]
     for name in picks:
         t0 = time.perf_counter()

@@ -2980,3 +2980,76 @@ FROM s WHERE prev IS NOT NULL
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct users (sliding + exact distinct composition)
+# ---------------------------------------------------------------------------
+
+def sliding_7d_users(sf_dir: str):
+    """Exact distinct users per trailing 7-day window — the DAU/WAU
+    rollup: for every window-end day, how many distinct users were
+    active in [end-6, end].
+
+    Composition of the two established shapes: each batch dedups its
+    (day, user) pairs with one Arrow group-by (combiner — a user's
+    many events per block shuffle once), the window explode fans each
+    pair to its 7 window ends (shuffle-free, like events_sliding_7d),
+    global distinctness comes from one groupby(window_end, user_id),
+    and per-batch partial counts + a tiny second groupby finish —
+    the wide shuffle carries at most 7 x |user-days|, never events."""
+    from datetime import timedelta
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def explode_pairs(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        g = pa.TableGroupBy(
+            pa.table({"day": day, "user_id": t["user_id"]}), ["day", "user_id"]
+        ).aggregate([([], "count_all")])
+        parts = [
+            pa.table(
+                {
+                    "window_end": pc.add(g["day"], pa.scalar(timedelta(days=k))),
+                    "user_id": g["user_id"],
+                }
+            )
+            for k in range(7)
+        ]
+        return pa.concat_tables(parts)
+
+    pairs = (
+        ds.map_batches(explode_pairs, batch_format="pyarrow")
+        .groupby(["window_end", "user_id"])
+        .aggregate(Count(alias_name="_dup"))
+    )
+
+    def end_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["window_end"]), ["window_end"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "window_end": g["window_end"],
+                "n_users": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(end_partial, batch_format="pyarrow")
+        .groupby("window_end")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .sort("window_end")
+        .map_batches(_ts_us("window_end"), batch_format="pyarrow")
+    )
+
+
+SLIDING_7D_USERS_SQL = """
+WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+wnd AS (
+  SELECT day + to_days(CAST(t.k AS INTEGER)) AS window_end, user_id
+  FROM du, range(0, 7) AS t(k)
+)
+SELECT window_end, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM wnd GROUP BY 1 ORDER BY 1
+"""

@@ -95,6 +95,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "textrank_keywords",
         "value_mad_by_type",
         "event_transitions",
+        "sliding_7d_users",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
