@@ -290,3 +290,31 @@ def write_legacy_csv(units_table: pa.Table, csv_path: str, logger=None) -> None:
             )
     finally:
         w.close()
+
+
+def write_training_jsonl(final_ds, out_dir: str) -> str:
+    """Export the OK extraction results as JSONL shards (one JSON
+    object per line: url, text, score, n_units) — the interchange
+    format LLM training pipelines consume.  Distributed write: each
+    block writes its own shard, so the export streams and a rerun can
+    resume at the shard level like the parquet layout; reading back is
+    ``sources.read_pages_jsonl`` or any JSON reader."""
+    path = os.path.join(out_dir, "training_jsonl")
+
+    def ok_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = t.filter(pc.equal(t["status"], "OK"))
+        return pa.table(
+            {
+                "url": ok["url"],
+                "text": ok["extracted_text"],
+                "score": ok["score"],
+                "n_units": pc.cast(ok["n_units"], pa.int64()),
+            }
+        )
+
+    results_dataset(final_ds).map_batches(
+        ok_rows, batch_format="pyarrow"
+    ).write_json(path)
+    return path

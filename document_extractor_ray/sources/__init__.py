@@ -33,4 +33,40 @@ def read_pages(path: Union[str, List[str]]) -> "ray.data.Dataset":
     )
 
 
-__all__ = ["read_pages", "PAGE_COLUMNS"]
+
+
+def read_pages_jsonl(path: Union[str, List[str]]) -> "ray.data.Dataset":
+    """Read a pages table from JSONL shards (one JSON object per line,
+    the interchange format crawl dumps and training sets ship in) and
+    normalize to the canonical PAGE_COLUMNS schema.  JSON has no
+    column pushdown, so pruning happens in the first map_batches —
+    still before anything wide ships across stages."""
+    import pyarrow as pa
+
+    ds = ray.data.read_json(path)
+
+    def prune(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        cols = {}
+        for c in PAGE_COLUMNS:
+            cols[c] = (
+                t[c]
+                if c in t.schema.names
+                else pa.nulls(t.num_rows, pa.string())
+            )
+        # JSONL carries timestamps as epoch microseconds; restore the
+        # parquet source's timestamp[us] dtype so downstream dedup /
+        # window stages see one schema regardless of source format.
+        if pa.types.is_integer(cols["warc_ts"].type):
+            cols["warc_ts"] = pc.cast(cols["warc_ts"], pa.timestamp("us"))
+        # JSONL carries html as UTF-8 text; the pipeline's payload
+        # column is binary (parquet source parity).
+        if pa.types.is_string(cols["html"].type):
+            cols["html"] = pc.cast(cols["html"], pa.binary())
+        return pa.table(cols)
+
+    return ds.map_batches(prune, batch_format="pyarrow")
+
+
+__all__ = ["read_pages", "read_pages_jsonl", "PAGE_COLUMNS"]

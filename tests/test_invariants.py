@@ -241,3 +241,77 @@ def test_fused_plan_quarantines_corrupt_fragment(ray_session, tmp_path):
         assert r["reason"] == "fragment unreadable"
     # the healthy fragments still extracted
     assert len(healthy) > 100
+
+
+def test_jsonl_source_matches_parquet_source(ray_session, tmp_path):
+    """The JSONL pages source must drive the extraction pipeline to
+    output row-identical to the parquet source on the same corpus, and
+    the JSONL training export must round-trip through an independent
+    JSON reader (duckdb) value-exact."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import fixtures
+    from document_extractor_ray.pipelines import outputs
+    from document_extractor_ray.pipelines.extract import run_extraction
+    from document_extractor_ray.sources import read_pages_jsonl
+
+    pages = fixtures.make_pages_table(150, seed=7)
+
+    # JSONL can only carry valid UTF-8: restrict BOTH paths to the
+    # JSON-representable rows (the noise classes plant lone-surrogate
+    # strings on purpose; a real crawl JSONL is valid UTF-8 by
+    # construction)
+    def representable(row) -> bool:
+        for v in row.values():
+            try:
+                if isinstance(v, str):
+                    v.encode("utf-8")
+                elif isinstance(v, bytes):
+                    v.decode("utf-8")  # html ships as text in JSONL
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                return False
+        return True
+
+    rows = [r for r in pages.to_pylist() if representable(r)]
+    assert len(rows) > 100  # most of the corpus stays in play
+    pages = pa.Table.from_pylist(rows, schema=pages.schema)
+    pq_path = str(tmp_path / "pages.parquet")
+    jl_path = str(tmp_path / "pages.jsonl")
+    pq.write_table(pages, pq_path)
+    import json
+
+    with open(jl_path, "w", encoding="utf-8") as fh:
+        for r in rows:
+            r = dict(r)
+            ts = r.get("warc_ts")
+            if ts is not None and not isinstance(ts, (int, float)):
+                # epoch microseconds, the integer JSONL convention
+                r["warc_ts"] = int(ts.timestamp() * 1_000_000)
+            if isinstance(r.get("html"), bytes):
+                r["html"] = r["html"].decode("utf-8")
+            fh.write(json.dumps(r, ensure_ascii=False) + "\n")
+
+    def canon(rows):
+        return sorted(
+            ({k: r[k] for k in sorted(r)} for r in rows),
+            key=lambda r: str(r["url"]),
+        )
+
+    a = run_extraction(pq_path, DEFAULT_CONFIG)
+    b = run_extraction(read_pages_jsonl(jl_path), DEFAULT_CONFIG)
+    rows_a = canon(a.take_all())
+    assert rows_a == canon(b.take_all())
+
+    # sink: export OK results as JSONL shards, read back independently
+    out = outputs.write_training_jsonl(a, str(tmp_path / "out"))
+    n_ok = sum(1 for r in rows_a if r.get("status") == "OK")
+    got = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT url) FROM read_json_auto('{out}/*.json')"
+    ).fetchone()
+    assert got[0] == n_ok and got[1] == n_ok
+    one = duckdb.sql(
+        f"SELECT url, text FROM read_json_auto('{out}/*.json') ORDER BY url LIMIT 1"
+    ).fetchone()
+    want = next(r for r in rows_a if r.get("status") == "OK" and str(r["url"]) == one[0])
+    assert one[1] == want["extracted_text"]
