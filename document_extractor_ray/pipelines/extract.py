@@ -110,16 +110,62 @@ def _dup_winners(slim_ds: "ray.data.Dataset"):
     """(url, warc_ts) Dataset -> (n_dups, materialized slim winner
     table Dataset of (url, min_ts) for duplicated urls only).
     Materialized so count() and the consumer reuse the same blocks (a
-    Dataset with two consumers re-executes its upstream — PERF.md)."""
-    from ray.data.aggregate import Count, Min
+    Dataset with two consumers re-executes its upstream — PERF.md).
 
-    per_url = slim_ds.groupby("url").aggregate(
-        Min("warc_ts", alias_name="min_ts"), Count(alias_name="n")
+    Shape: NOT ``groupby(url).aggregate(...)`` — Ray 2.49's hash
+    aggregate pays per-GROUP cost, and a crawl's urls are nearly all
+    distinct (4M rows -> 4M groups measured 301 s at 32 cpus, ~13k
+    rows/s).  Instead each batch pre-aggregates (url, min_ts, n)
+    partials with one Arrow group_by, rows hash-bucket on url into
+    ~CPU-count partitions (the user_lag_gaps pattern), and each
+    partition resolves its urls with a second vectorized Arrow
+    group_by — identical all-to-all bytes, per-partition work instead
+    of per-group work (measured 301 s -> 9.5 s on the same input)."""
+    import zlib
+
+    n_parts = 32
+    if ray.is_initialized():
+        n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["url"]).aggregate(
+            [("warc_ts", "min"), ([], "count_all")]
+        )
+        urls = g["url"]
+        part = pa.array(
+            [zlib.crc32(u.encode()) % n_parts for u in urls.to_pylist()],
+            pa.int32(),
+        )
+        return pa.table(
+            {
+                "url": urls,
+                "min_ts": g["warc_ts_min"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+                "part": part,
+            }
+        )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["url"]).aggregate(
+            [("min_ts", "min"), ("n", "sum")]
+        )
+        out = pa.table(
+            {"url": g["url"], "min_ts": g["min_ts_min"], "n": g["n_sum"]}
+        )
+        return out.filter(pc.greater(out["n"], 1)).select(["url", "min_ts"])
+
+    dups = (
+        slim_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pyarrow")
+        .materialize()
     )
-    dups = per_url.map_batches(
-        lambda t: t.filter(pc.greater(t["n"], 1)).select(["url", "min_ts"]),
-        batch_format="pyarrow",
-    ).materialize()
+    # settle: keep only non-empty blocks so the above-budget join path
+    # never sees a zero-row block (Ray 2.49 trap, CLAUDE.md)
+    live = [r for r in dups.to_arrow_refs() if ray.get(r).num_rows > 0]
+    if not live:
+        return 0, dups
+    dups = ray.data.from_arrow_refs(live).materialize()
     return dups.count(), dups
 
 
