@@ -73,28 +73,49 @@ def content_hash_batch(texts: List[str]) -> List[bytes]:
 def dedup_exact(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
     """Keep the minimum-id row per distinct text (hash-partition +
     per-group first — ST6, the reference's unimplemented checksum
-    cache, TODO.md:20)."""
+    cache, TODO.md:20).
+
+    Shape: content hashes are near-unique (one group per doc), so a
+    native ``groupby(hash).aggregate(Min)`` pays Ray's per-GROUP
+    aggregate cost — the key-per-row collapse PERF step 20 measured
+    at 301 s/4M on urls.  Instead each batch takes a per-batch Min
+    partial (Arrow group_by combiner), rows hash-bucket into
+    ~CPU-count partitions on the digest, and one vectorized Arrow
+    group_by per PARTITION resolves the global Min (4M docs, same
+    input, same kept-count: 55.4 s -> 4.6 s measured)."""
+    from document_extractor_ray.functions import bucketing
+
+    n_parts = bucketing.n_shuffle_parts()
 
     def add_hash(t: pa.Table) -> pa.Table:
+        hashes = content_hash_batch(t[text_col].to_pylist())
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "content_hash": pa.array(hashes, pa.binary()),
+                    id_col: t[id_col],
+                }
+            ),
+            ["content_hash"],
+        ).aggregate([(id_col, "min")])
         return pa.table(
             {
-                id_col: t[id_col],
-                "content_hash": pa.array(
-                    content_hash_batch(t[text_col].to_pylist()), pa.binary()
+                "content_hash": g["content_hash"],
+                id_col: g[f"{id_col}_min"],
+                "part": bucketing.part_of_binary(
+                    (b.as_py() for b in g["content_hash"]), n_parts
                 ),
             }
         )
 
-    # Native Min aggregate, NOT map_groups(first): content hashes are
-    # near-unique, and map_groups pays one Python call per group
-    # (measured ~3.7k rows/s with unique keys — PERF.md step 4).
-    from ray.data.aggregate import Min
+    def resolve(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["content_hash"]).aggregate([(id_col, "min")])
+        return pa.table({id_col: g[f"{id_col}_min"]})
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("content_hash")
-        .aggregate(Min(id_col, alias_name=id_col))
-        .map_batches(lambda t: t.select([id_col]), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pyarrow")
         .sort(id_col)
     )
 
@@ -1082,6 +1103,37 @@ def decontaminate_docs(sf_dir: str, n_benchmark: int = 3):
 DUP_SHINGLE_BROADCAST_LIMIT = 2_000_000
 
 
+
+def _dups_from_partials(partials: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(x, df_part) partial counts -> materialized Dataset of the
+    duplicated-hash set {x : sum(df_part) >= 2}.
+
+    Bucketed, not ``groupby("x").aggregate(Sum)``: shingle hashes are
+    key-per-row (a web corpus has ~1 distinct shingle per token), the
+    exact cardinality regime where Ray 2.49's per-group aggregate
+    collapses (PERF.md step 20).  One int64-mix bucket column, one
+    Python call per PARTITION, one vectorized Arrow group_by inside."""
+    from document_extractor_ray.functions import bucketing
+
+    n_parts = bucketing.n_shuffle_parts()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        xs = t["x"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", bucketing.part_of_int64(xs, n_parts))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["x"]).aggregate([("df_part", "sum")])
+        out = pa.table({"x": g["x"], "df": g["df_part_sum"]})
+        return out.filter(pc.greater_equal(out["df"], 2)).select(["x"])
+
+    return (
+        partials.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pyarrow")
+        .materialize()
+    )
+
+
 def dup_shingle_stats(
     ds: "ray.data.Dataset",
     k: int = 3,
@@ -1130,18 +1182,7 @@ def dup_shingle_stats(
             }
         )
 
-    dups = (
-        ds.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("x")
-        .aggregate(Sum("df_part", alias_name="df"))
-        .map_batches(
-            lambda t: t.filter(pc.greater_equal(t["df"], 2)).select(["x"])
-            if "df" in t.schema.names
-            else t,
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
+    dups = _dups_from_partials(ds.map_batches(df_partial, batch_format="pyarrow"))
     n_dups = dups.count()
 
     if n_dups <= broadcast_limit:
@@ -1379,18 +1420,7 @@ def dup_ngram_scrub(
             }
         )
 
-    dups = (
-        ds.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("x")
-        .aggregate(Sum("df_part", alias_name="df"))
-        .map_batches(
-            lambda t: t.filter(pc.greater_equal(t["df"], 2)).select(["x"])
-            if "df" in t.schema.names
-            else t,
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
+    dups = _dups_from_partials(ds.map_batches(df_partial, batch_format="pyarrow"))
     n_dups = dups.count()
 
     if n_dups <= broadcast_limit:
