@@ -61,3 +61,101 @@ def part_of_strings(ss: Iterable[str], n_parts: int) -> pa.Array:
         [zlib.crc32((s or "").encode("utf-8")) % n_parts for s in ss],
         pa.int32(),
     )
+
+
+def _mix_key_arrays(arrs, n_parts: int) -> pa.Array:
+    h = np.zeros(len(arrs[0]), np.uint64)
+    with np.errstate(over="ignore"):
+        for a in arrs:
+            h = h * np.uint64(0xC2B2AE3D27D4EB4F) + np.asarray(a).astype(
+                np.uint64
+            )
+        h *= _MIX
+    return pa.array(((h >> np.uint64(33)) % np.uint64(n_parts)).astype(np.int32))
+
+
+def bucketed_bucket_pairs(
+    exploded: "ray.data.Dataset",
+    key_cols,
+    pair_fn,
+    empty: pa.Table,
+    n_parts: int = None,
+) -> "ray.data.Dataset":
+    """``groupby(key_cols).map_groups(pair_fn)`` without per-bucket
+    Python: LSH band/chunk buckets are mostly SINGLETONS (one group
+    per doc-band), so the naive map_groups pays a Python call per doc.
+    Here rows hash-bucket on the key tuple into ~CPU-count partitions,
+    each partition sorts once, bucket boundaries fall out of one
+    vectorized neighbor-compare, and ``pair_fn`` runs only on buckets
+    with >= 2 rows (the rare, interesting ones)."""
+    import ray.data  # noqa: F401
+
+    n_parts = n_parts or n_shuffle_parts()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        arrs = [t[c].to_numpy(zero_copy_only=False) for c in key_cols]
+        if t.num_rows == 0:
+            return t.append_column("part", pa.array([], pa.int32()))
+        return t.append_column("part", _mix_key_arrays(arrs, n_parts))
+
+    def partition_pairs(t: pa.Table) -> pa.Table:
+        t = t.sort_by([(c, "ascending") for c in key_cols])
+        ks = [t[c].to_numpy(zero_copy_only=False) for c in key_cols]
+        n = t.num_rows
+        if n < 2:
+            return empty
+        change = np.zeros(n - 1, bool)
+        for k in ks:
+            change |= k[1:] != k[:-1]
+        starts = np.flatnonzero(np.concatenate(([True], change)))
+        ends = np.append(starts[1:], n)
+        outs = [
+            pair_fn(t.slice(int(s), int(e - s)))
+            for s, e in zip(starts, ends)
+            if e - s >= 2
+        ]
+        outs = [o for o in outs if o.num_rows]
+        return pa.concat_tables(outs) if outs else empty
+
+    return (
+        exploded.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(partition_pairs, batch_format="pyarrow")
+    )
+
+
+def bucketed_minmax(
+    ds: "ray.data.Dataset",
+    key_cols,
+    val_col: str,
+    how: str,
+    n_parts: int = None,
+) -> "ray.data.Dataset":
+    """``groupby(key_cols).aggregate(Min/Max(val_col))`` for
+    key-per-row cardinality (e.g. dedup of (doc_a, doc_b) pair rows):
+    per-batch Arrow group_by partial, key-tuple hash bucket, one
+    vectorized Arrow group_by per partition."""
+    assert how in ("min", "max")
+    n_parts = n_parts or n_shuffle_parts()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, list(key_cols)).aggregate([(val_col, how)])
+        cols = {c: g[c] for c in key_cols}
+        cols[val_col] = g[f"{val_col}_{how}"]
+        out = pa.table(cols)
+        arrs = [out[c].to_numpy(zero_copy_only=False) for c in key_cols]
+        if out.num_rows == 0:
+            return out.append_column("part", pa.array([], pa.int32()))
+        return out.append_column("part", _mix_key_arrays(arrs, n_parts))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, list(key_cols)).aggregate([(val_col, how)])
+        cols = {c: g[c] for c in key_cols}
+        cols[val_col] = g[f"{val_col}_{how}"]
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pyarrow")
+    )

@@ -329,21 +329,23 @@ def minhash_dup_pairs(
             }
         )
 
-    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    # Band buckets are mostly singletons (one group per doc-band):
+    # the naive groupby(band).map_groups paid a Python call per DOC.
+    # bucketed_bucket_pairs runs pair_fn only on >= 2-row buckets
+    # inside ~CPU-count partitions (PERF.md step 22).
+    from document_extractor_ray.functions import bucketing
+
+    pairs = bucketing.bucketed_bucket_pairs(
+        exploded, ["band_id", "band_hash"], bucket_pairs, empty
     )
 
     # A near pair collides in multiple bands: global dedup on (a, b).
-    # The estimate is the same full-signature agreement in every band,
-    # so a native Max aggregate dedups without paying a Python call
-    # per pair (map_groups cost, PERF.md).
-    from ray.data.aggregate import Max
-
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Max("est_jaccard", alias_name="est_jaccard"))
-        .sort(["doc_a", "doc_b"])
-    )
+    # The estimate is the same full-signature agreement in every band;
+    # pair keys are key-per-row, so the dedup is the bucketed max, not
+    # a native per-group aggregate.
+    return bucketing.bucketed_minmax(
+        pairs, ["doc_a", "doc_b"], "est_jaccard", "max"
+    ).sort(["doc_a", "doc_b"])
 
 
 def minhash_dup_pairs_docs(sf_dir: str, threshold: float = 0.7):
@@ -457,20 +459,21 @@ def simhash_dup_pairs(
             }
         )
 
-    pairs = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["chunk_id", "chunk_val"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-    )
-    # Distance is identical whichever chunk collides: native Min
-    # aggregate dedups across the 4 chunk tables, no per-pair Python.
-    from ray.data.aggregate import Min
+    # Chunk buckets are mostly singletons — same bucketed shape as the
+    # MinHash band stage (PERF.md step 22).
+    from document_extractor_ray.functions import bucketing
 
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Min("distance", alias_name="distance"))
-        .sort(["doc_a", "doc_b"])
+    pairs = bucketing.bucketed_bucket_pairs(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["chunk_id", "chunk_val"],
+        bucket_pairs,
+        empty,
     )
+    # Distance is identical whichever chunk collides: bucketed min
+    # dedups across the 4 chunk tables, no per-pair Python.
+    return bucketing.bucketed_minmax(
+        pairs, ["doc_a", "doc_b"], "distance", "min"
+    ).sort(["doc_a", "doc_b"])
 
 
 # ---------------------------------------------------------------------------
