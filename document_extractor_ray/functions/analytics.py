@@ -169,10 +169,14 @@ def top_customers(sf_dir: str, k: int = 10):
             }
         )
 
-    per_cust = (
-        orders.map_batches(to_cents, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("cents", alias_name="total_spend_cents"), Count(alias_name="n_orders"))
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    # customer keys are key-per-row at crawl scale: bucketed aggregate,
+    # not Ray's per-group hash aggregate (PERF.md steps 20-23)
+    per_cust = bucketed_agg(
+        orders.map_batches(to_cents, batch_format="pyarrow"),
+        ["o_custkey"],
+        [("cents", "sum", "total_spend_cents"), (None, "count", "n_orders")],
     )
 
     # Broadcast the pre-joined dim table once (Arrow: zero-copy through
@@ -506,10 +510,12 @@ def customers_without_orders(sf_dir: str):
         f = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
         return pa.table({"o_custkey": pc.unique(f["o_custkey"])})
 
-    distinct = (
-        orders.map_batches(urgent_keys, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="_n"))
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    distinct = bucketed_agg(
+        orders.map_batches(urgent_keys, batch_format="pyarrow"),
+        ["o_custkey"],
+        [(None, "count", "_n")],
     )
     key_arr = pa.array(distinct.to_pandas()["o_custkey"].to_numpy(), pa.int64())
     ref = ray.put(key_arr)
@@ -954,9 +960,14 @@ def q3_shipping(sf_dir: str, k: int = Q3_TOP_K):
         right_on=("o_orderkey",),
     )
 
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
     return (
-        joined.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
-        .aggregate(Sum("disc_cents", alias_name="revenue_cents"))
+        bucketed_agg(
+            joined,
+            ["l_orderkey", "o_orderdate", "o_orderpriority"],
+            [("disc_cents", "sum", "revenue_cents")],
+        )
         .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
         .limit(k)
         .map_batches(_ts_us("o_orderdate"), batch_format="pyarrow")
@@ -1231,10 +1242,14 @@ def user_day_delta(sf_dir: str):
             }
         )
 
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
     return (
-        ds.map_batches(combine, batch_format="pyarrow")
-        .groupby(["user_id", "day"])
-        .aggregate(Sum("o_sum", alias_name="o_sum"), Sum("n_sum", alias_name="n_sum"))
+        bucketed_agg(
+            ds.map_batches(combine, batch_format="pyarrow"),
+            ["user_id", "day"],
+            [("o_sum", "sum", "o_sum"), ("n_sum", "sum", "n_sum")],
+        )
         .map_batches(classify, batch_format="pyarrow")
         .sort(["user_id", "day"])
         .map_batches(_ts_us("day"), batch_format="pyarrow")
@@ -1286,10 +1301,12 @@ def distinct_users_per_type(sf_dir: str):
             }
         )
 
-    pairs = (
-        ds.map_batches(pair_partial, batch_format="pyarrow")
-        .groupby(["event_type", "user_id"])
-        .aggregate(Sum("n", alias_name="n_events_pair"))
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    pairs = bucketed_agg(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["event_type", "user_id"],
+        [("n", "sum", "n_events_pair")],
     )
 
     def type_partial(t: pa.Table) -> pa.Table:
@@ -1815,14 +1832,13 @@ def event_type_pivot(sf_dir: str):
             [(f"n_{ty}", "sum") for ty in PIVOT_TYPES]
         )
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(
-            *[Sum(f"n_{ty}_sum", alias_name=f"n_{ty}") for ty in PIVOT_TYPES]
-        )
-        .sort("user_id")
-    )
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    out = bucketed_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        [(f"n_{ty}_sum", "sum", f"n_{ty}") for ty in PIVOT_TYPES],
+    ).sort("user_id")
     return out
 
 
@@ -2763,18 +2779,20 @@ def user_activity_full(ev: "ray.data.Dataset", orders: "ray.data.Dataset"):
             }
         )
 
-    return (
-        ev.map_batches(ev_part, batch_format="pyarrow")
-        .union(orders.map_batches(or_part, batch_format="pyarrow"))
-        .groupby("user_id")
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("events_value_cents", alias_name="events_value_cents"),
-            Sum("n_orders", alias_name="n_orders"),
-            Sum("orders_total_cents", alias_name="orders_total_cents"),
-        )
-        .sort("user_id")
-    )
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    return bucketed_agg(
+        ev.map_batches(ev_part, batch_format="pyarrow").union(
+            orders.map_batches(or_part, batch_format="pyarrow")
+        ),
+        ["user_id"],
+        [
+            ("n_events", "sum", "n_events"),
+            ("events_value_cents", "sum", "events_value_cents"),
+            ("n_orders", "sum", "n_orders"),
+            ("orders_total_cents", "sum", "orders_total_cents"),
+        ],
+    ).sort("user_id")
 
 
 USER_ACTIVITY_360_SQL = """
@@ -3018,10 +3036,12 @@ def sliding_7d_users(sf_dir: str):
         ]
         return pa.concat_tables(parts)
 
-    pairs = (
-        ds.map_batches(explode_pairs, batch_format="pyarrow")
-        .groupby(["window_end", "user_id"])
-        .aggregate(Count(alias_name="_dup"))
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    pairs = bucketed_agg(
+        ds.map_batches(explode_pairs, batch_format="pyarrow"),
+        ["window_end", "user_id"],
+        [(None, "count", "_dup")],
     )
 
     def end_partial(t: pa.Table) -> pa.Table:

@@ -22,6 +22,7 @@ from typing import Iterable
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -153,6 +154,93 @@ def bucketed_minmax(
         cols = {c: g[c] for c in key_cols}
         cols[val_col] = g[f"{val_col}_{how}"]
         return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def _key_u64(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Any key column -> uint64 hash material: numeric/temporal
+    reinterpret (bijective), strings crc32 (one C call per value)."""
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return np.fromiter(
+            (zlib.crc32((s or "").encode("utf-8")) for s in col.to_pylist()),
+            np.uint64,
+            len(col),
+        )
+    if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+        return np.fromiter(
+            (
+                int.from_bytes((b or b"\0")[:8], "big")
+                for b in col.to_pylist()
+            ),
+            np.uint64,
+            len(col),
+        )
+    arr = col.to_numpy(zero_copy_only=False)
+    if arr.dtype.kind == "M":  # datetime64
+        arr = arr.view(np.int64)
+    return arr.astype(np.uint64)
+
+
+def key_part_column(t: pa.Table, key_cols, n_parts: int) -> pa.Array:
+    """int32 bucket column for a mixed-dtype key tuple."""
+    if t.num_rows == 0:
+        return pa.array([], pa.int32())
+    return _mix_key_arrays(
+        [_key_u64(t[c].combine_chunks()) for c in key_cols], n_parts
+    )
+
+
+def bucketed_agg(
+    ds: "ray.data.Dataset",
+    key_cols,
+    aggs,
+    n_parts: int = None,
+) -> "ray.data.Dataset":
+    """General key-per-row grouped aggregate: ``aggs`` is a list of
+    (col, how, out_name) with how in {sum, min, max, count} — count
+    passes col=None.  Per-batch Arrow group_by partials (count partials
+    re-merge via sum), key-tuple hash bucketing, one vectorized Arrow
+    group_by per partition.  Use INSTEAD of
+    ``groupby(keys).aggregate(...)`` whenever key cardinality grows
+    with the data (users, urls, hashes, pairs) — Ray 2.49's aggregate
+    pays per-group cost there (PERF.md steps 20-22)."""
+    n_parts = n_parts or n_shuffle_parts()
+    key_cols = list(key_cols)
+
+    def _apply(t: pa.Table, merge: bool) -> pa.Table:
+        specs, renames = [], {}
+        for col, how, out in aggs:
+            if how == "count" and not merge:
+                specs.append(([], "count_all"))
+                renames["count_all"] = out
+            else:
+                src = out if merge else col
+                h = "sum" if (how == "count" and merge) else how
+                specs.append((src, h))
+                renames[f"{src}_{h}"] = out
+        g = pa.TableGroupBy(t, key_cols).aggregate(specs)
+        cols = {c: g[c] for c in key_cols}
+        for raw, out in renames.items():
+            cols[out] = (
+                pc.cast(g[raw], pa.int64())
+                if raw == "count_all"
+                else g[raw]
+            )
+        return pa.table(cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = _apply(t, merge=False)
+        return out.append_column(
+            "part", key_part_column(out, key_cols, n_parts)
+        )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        return _apply(t.drop_columns(["part"]), merge=True)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")

@@ -527,6 +527,11 @@ def ngram_jaccard_dups(
     n_pairs = pairs_ds.count()
     if n_pairs == 0:
         return empty
+    # settle: the bucketed pair stage's map_groups can emit zero-row
+    # blocks whose empty schema kills the escalation joins below
+    # ("No match for FieldRef.Name(doc_b)" — Ray 2.49 trap, CLAUDE.md)
+    live = [r for r in pairs_ds.to_arrow_refs() if ray.get(r).num_rows > 0]
+    pairs_ds = ray.data.from_arrow_refs(live)
 
     if n_pairs <= pair_budget:
         pairs = pairs_ds.take_all()
@@ -591,6 +596,11 @@ def ngram_jaccard_dups(
         num_partitions=n_parts,
         on=("doc_a",),
     ).materialize()
+    # settle j1 before the second join: a join output partition with 0
+    # rows carries an EMPTY schema and kills the next join's FieldRef
+    j1refs = [r for r in j1.to_arrow_refs() if ray.get(r).num_rows > 0]
+    if j1refs:
+        j1 = ray.data.from_arrow_refs(j1refs)
     j2 = j1.join(
         cand_texts.map_batches(
             lambda t: t.rename_columns(["doc_b", "text_b"]), batch_format="pyarrow"
@@ -792,6 +802,13 @@ def _propagate_labels(edges_ds: "ray.data.Dataset", max_rounds: int = 16):
     n_parts = 32
     if ray.is_initialized():
         n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    # settle the edge list first: the bucketed pair stages can emit
+    # zero-row blocks whose empty schema kills the per-round joins
+    emat = edges_ds.materialize()
+    erefs = [r for r in emat.to_arrow_refs() if ray.get(r).num_rows > 0]
+    if erefs:
+        edges_ds = ray.data.from_arrow_refs(erefs)
 
     def ends(t: pa.Table) -> pa.Table:
         node = pa.concat_arrays(
