@@ -1177,3 +1177,43 @@ def test_event_transitions_mass_invariant(ray_session):
     ).fetchone()
     assert total == n_ev - n_us
     assert all(r["n"] > 0 for r in rows)
+
+
+def test_bucketed_agg_matches_pandas(ray_session):
+    """bucketed_agg (the key-per-row aggregate replacement) must match
+    a pandas groupby exactly across mixed key dtypes and all four agg
+    kinds, including negative values and multi-block inputs."""
+    import ray.data
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    rng = np.random.RandomState(0)
+    n = 10000
+    t = pa.table(
+        {
+            "k1": pa.array(rng.randint(0, 2000, n), pa.int64()),
+            "k2": pa.array([f"s{v}" for v in rng.randint(0, 5, n)], pa.string()),
+            "v": pa.array(rng.randint(-100, 100, n), pa.int64()),
+        }
+    )
+    got = pd.DataFrame(
+        bucketed_agg(
+            ray.data.from_arrow(t).repartition(8),
+            ["k1", "k2"],
+            [
+                ("v", "sum", "sv"),
+                ("v", "min", "mn"),
+                ("v", "max", "mx"),
+                (None, "count", "n"),
+            ],
+        ).take_all()
+    ).sort_values(["k1", "k2"]).reset_index(drop=True)
+    want = (
+        t.to_pandas()
+        .groupby(["k1", "k2"], as_index=False)
+        .agg(sv=("v", "sum"), mn=("v", "min"), mx=("v", "max"), n=("v", "size"))
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["k1", "k2", "sv", "mn", "mx", "n"]], want, check_dtype=False
+    )
