@@ -81,6 +81,7 @@ def bucketed_bucket_pairs(
     pair_fn,
     empty: pa.Table,
     n_parts: int = None,
+    min_rows: int = 2,
 ) -> "ray.data.Dataset":
     """``groupby(key_cols).map_groups(pair_fn)`` without per-bucket
     Python: LSH band/chunk buckets are mostly SINGLETONS (one group
@@ -94,16 +95,13 @@ def bucketed_bucket_pairs(
     n_parts = n_parts or n_shuffle_parts()
 
     def add_part(t: pa.Table) -> pa.Table:
-        arrs = [t[c].to_numpy(zero_copy_only=False) for c in key_cols]
-        if t.num_rows == 0:
-            return t.append_column("part", pa.array([], pa.int32()))
-        return t.append_column("part", _mix_key_arrays(arrs, n_parts))
+        return t.append_column("part", key_part_column(t, key_cols, n_parts))
 
     def partition_pairs(t: pa.Table) -> pa.Table:
         t = t.sort_by([(c, "ascending") for c in key_cols])
         ks = [t[c].to_numpy(zero_copy_only=False) for c in key_cols]
         n = t.num_rows
-        if n < 2:
+        if n < min_rows:
             return empty
         change = np.zeros(n - 1, bool)
         for k in ks:
@@ -113,7 +111,7 @@ def bucketed_bucket_pairs(
         outs = [
             pair_fn(t.slice(int(s), int(e - s)))
             for s, e in zip(starts, ends)
-            if e - s >= 2
+            if e - s >= min_rows
         ]
         outs = [o for o in outs if o.num_rows]
         return pa.concat_tables(outs) if outs else empty

@@ -577,14 +577,13 @@ def ngram_jaccard_dups(
         )
         return pa.table({"doc_id": pc.unique(ids)})
 
-    from ray.data.aggregate import Count
+    from document_extractor_ray.functions.bucketing import bucketed_agg
 
-    cand_ids = (
-        pairs_ds.map_batches(both_ends, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="_n"))
-        .map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
-    )
+    cand_ids = bucketed_agg(
+        pairs_ds.map_batches(both_ends, batch_format="pyarrow"),
+        ["doc_id"],
+        [(None, "count", "_n")],
+    ).map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
     cand_texts = ds.select_columns(["doc_id", "text"]).join(
         cand_ids, join_type="inner", num_partitions=n_parts, on=("doc_id",)
     ).materialize()
@@ -714,12 +713,16 @@ def embedding_dup_pairs(
             }
         )
 
-    return (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-        .sort(["vec_a", "vec_b"])
-    )
+    from document_extractor_ray.functions import bucketing
+
+    # LSH buckets are mostly singletons (key per vec): bucketed pair
+    # stage, pair_fn only on >= 2-row buckets (PERF.md step 22)
+    return bucketing.bucketed_bucket_pairs(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["bucket"],
+        bucket_pairs,
+        empty,
+    ).sort(["vec_a", "vec_b"])
 
 
 def _float_lists(mat: np.ndarray) -> pa.ListArray:
@@ -834,10 +837,14 @@ def _propagate_labels(edges_ds: "ray.data.Dataset", max_rounds: int = 16):
             )
         return ray.data.from_arrow_refs(refs)
 
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
     labels = settle(
-        edges_ds.map_batches(ends, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
+        bucketed_agg(
+            edges_ds.map_batches(ends, batch_format="pyarrow"),
+            ["node"],
+            [("label", "min", "label")],
+        )
     )
 
     for _ in range(max_rounds):
@@ -877,11 +884,13 @@ def _propagate_labels(edges_ds: "ray.data.Dataset", max_rounds: int = 16):
             return pa.table({"node": t["doc_a"], "label": t["label_b"]})
 
         proposed = settle(
-            la.map_batches(msgs_to_b, batch_format="pyarrow")
-            .union(lb.map_batches(msgs_to_a, batch_format="pyarrow"))
-            .union(labels)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
+            bucketed_agg(
+                la.map_batches(msgs_to_b, batch_format="pyarrow")
+                .union(lb.map_batches(msgs_to_a, batch_format="pyarrow"))
+                .union(labels),
+                ["node"],
+                [("label", "min", "label")],
+            )
         )
         # Converged when no node's label shrank: labels only decrease,
         # so per-node min == max over (old union new) iff unchanged —
@@ -889,10 +898,10 @@ def _propagate_labels(edges_ds: "ray.data.Dataset", max_rounds: int = 16):
         from ray.data.aggregate import Max
 
         changed = (
-            proposed.union(labels)
-            .groupby("node")
-            .aggregate(
-                Min("label", alias_name="lo"), Max("label", alias_name="hi")
+            bucketed_agg(
+                proposed.union(labels),
+                ["node"],
+                [("label", "min", "lo"), ("label", "max", "hi")],
             )
             .map_batches(
                 lambda t: t.filter(pc.not_equal(t["lo"], t["hi"]))
@@ -1309,14 +1318,12 @@ def dup_shingle_stats(
             batch_format="pyarrow",
         )
     )
-    agg = (
-        ds.map_batches(totals_part, batch_format="pyarrow")
-        .union(hits)
-        .groupby("doc_id")
-        .aggregate(
-            Sum("n_shingles", alias_name="n_shingles"),
-            Sum("n_shared", alias_name="n_shared"),
-        )
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    agg = bucketed_agg(
+        ds.map_batches(totals_part, batch_format="pyarrow").union(hits),
+        ["doc_id"],
+        [("n_shingles", "sum", "n_shingles"), ("n_shared", "sum", "n_shared")],
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -1517,11 +1524,23 @@ def dup_ngram_scrub(
             }
         )
 
-    packed = (
-        ds.map_batches(stream_part, batch_format="pyarrow")
-        .join(dups_clean, join_type="inner", num_partitions=n_parts, on=("x",))
-        .groupby("doc_id")
-        .map_groups(pack_starts, batch_format="pyarrow")
+    from document_extractor_ray.functions import bucketing
+
+    # per-doc packing without a Python call per doc: bucketed groups
+    # (min_rows=1 — every doc with >= 1 hit start needs its blob)
+    packed = bucketing.bucketed_bucket_pairs(
+        ds.map_batches(stream_part, batch_format="pyarrow").join(
+            dups_clean, join_type="inner", num_partitions=n_parts, on=("x",)
+        ),
+        ["doc_id"],
+        pack_starts,
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "starts_blob": pa.array([], pa.binary()),
+            }
+        ),
+        min_rows=1,
     )
     # settle before joining: the join->groupby chain can emit
     # empty-schema blocks that kill the next join (see _propagate_labels)

@@ -855,10 +855,16 @@ def df_top_tokens(sf_dir: str, k: int = DF_TOP_K):
 
     from ray.data.aggregate import Sum
 
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    # token keys are vocabulary-sized (key-per-row at web scale):
+    # bucketed aggregate, not Ray's per-group hash aggregate (PERF 20-23)
     return (
-        ds.map_batches(_df_partial_from_docs, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("df_part", alias_name="df"))
+        bucketed_agg(
+            ds.map_batches(_df_partial_from_docs, batch_format="pyarrow"),
+            ["token"],
+            [("df_part", "sum", "df")],
+        )
         .sort(["df", "token"], descending=[True, False])
         .limit(k)
     )
@@ -1093,12 +1099,13 @@ def tfidf_top_terms(sf_dir: str, per_doc: int = TFIDF_TOP_PER_DOC):
 
     import ray as _ray
 
-    refs = (
-        ds.map_batches(_df_partial_from_docs, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("df_part", alias_name="df"))
-        .to_arrow_refs()
-    )
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    refs = bucketed_agg(
+        ds.map_batches(_df_partial_from_docs, batch_format="pyarrow"),
+        ["token"],
+        [("df_part", "sum", "df")],
+    ).to_arrow_refs()
     tables = [tb for tb in map(_ray.get, refs) if tb.num_rows]
     df_tbl = (
         pa.concat_tables(tables)
@@ -1233,10 +1240,14 @@ def bigram_top(sf_dir: str, k: int = BIGRAM_TOP_K):
             {"bigram": agg["bigram"], "n": pc.cast(agg["count_all"], pa.int64())}
         )
 
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("bigram")
-        .aggregate(Sum("n", alias_name="n"))
+        bucketed_agg(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["bigram"],
+            [("n", "sum", "n")],
+        )
         .sort(["n", "bigram"], descending=[True, False])
         .limit(k)
     )
@@ -1515,18 +1526,17 @@ def textrank_keywords(
             }
         )
 
-    edges = (
-        ds.map_batches(edge_partial, batch_format="pyarrow")
-        .groupby(["w1", "w2"])
-        .aggregate(Sum("wt", alias_name="wt"))
-        .materialize()
-    )
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    edges = bucketed_agg(
+        ds.map_batches(edge_partial, batch_format="pyarrow"),
+        ["w1", "w2"],
+        [("wt", "sum", "wt")],
+    ).materialize()
 
     # node-sized collects: the vocabulary graph, not the corpus
-    outw_rows = (
-        edges.groupby("w1").aggregate(Sum("wt", alias_name="ow")).take_all()
-    )
-    w2_rows = edges.groupby("w2").aggregate(Sum("wt", alias_name="_iw")).take_all()
+    outw_rows = bucketed_agg(edges, ["w1"], [("wt", "sum", "ow")]).take_all()
+    w2_rows = bucketed_agg(edges, ["w2"], [("wt", "sum", "_iw")]).take_all()
     node_set = {r["w1"] for r in outw_rows} | {r["w2"] for r in w2_rows}
     nodes = sorted(node_set)
     n = len(nodes)
@@ -1555,12 +1565,11 @@ def textrank_keywords(
             ).aggregate([("c", "sum")])
             return pa.table({"w2": g["w2"], "c": pc.cast(g["c_sum"], pa.int64())})
 
-        summed = (
-            edges.map_batches(contrib, batch_format="pyarrow")
-            .groupby("w2")
-            .aggregate(Sum("c", alias_name="c"))
-            .take_all()
-        )
+        summed = bucketed_agg(
+            edges.map_batches(contrib, batch_format="pyarrow"),
+            ["w2"],
+            [("c", "sum", "c")],
+        ).take_all()
         new_r = np.full(n, teleport, np.int64)
         for r in summed:
             new_r[idx_of[r["w2"]]] = teleport + 85 * r["c"] // 100
