@@ -68,6 +68,23 @@ def default_queries(sf_dir: str, n_queries: int = 8) -> pa.Table:
     return t
 
 
+def _pooled(cls, ref, **params):
+    """Task-pool stage with actor-grade state amortization: the stage
+    object is constructed ONCE PER WORKER PROCESS from the broadcast
+    value (state.cached_make), so plain tasks replace the actor pool
+    and its measured multi-second spin-up/teardown (PERF.md steps
+    19/25).  cloudpickle ships only (cls, ref, params) per task."""
+    from document_extractor_ray import state
+
+    key = cls.__name__ + repr(sorted(params.items()))
+
+    def run(t: pa.Table) -> pa.Table:
+        inst = state.cached_make(ref, lambda v: cls(v, **params), extra_key=key)
+        return inst(t)
+
+    return run
+
+
 class BatchTopK:
     """Actor stage: holds the broadcast query matrix; per batch, one
     matmul and a partial top-k per query.
@@ -77,8 +94,7 @@ class BatchTopK:
     agree to ~1e-16, and the measured rank gaps / micro-rounding
     margins on the sf corpora are >= 1e-5 — ten orders wider)."""
 
-    def __init__(self, query_ref, k: int, dtype: str = "float32"):
-        q = ray.get(query_ref)
+    def __init__(self, q: dict, k: int, dtype: str = "float32"):
         self.dtype = np.dtype(dtype)
         self.query_ids = q["ids"]
         self.qm = _normalize_rows(q["matrix"].astype(self.dtype, copy=False))
@@ -128,10 +144,8 @@ def knn_brute(
     ref = ray.put({"ids": qids, "matrix": qm})
 
     partials = ds.map_batches(
-        BatchTopK,
-        fn_constructor_kwargs={"query_ref": ref, "k": k, "dtype": "float64"},
+        _pooled(BatchTopK, ref, k=k, dtype="float64"),
         batch_format="pyarrow",
-        concurrency=2,
         batch_size=4096,
     )
     # Merge partial top-ks on the driver: tiny (n_queries * k * n_blocks
@@ -193,8 +207,7 @@ def knn_lsh(
     )
 
     class LshTopK:
-        def __init__(self):
-            state = ray.get(ref)
+        def __init__(self, state: dict):
             self.query_ids = state["ids"]
             # float64 like knn_brute, so KNN_LSH_SQL reproduces the
             # scores exactly (bucket signs are dtype-robust: measured
@@ -248,7 +261,7 @@ def knn_lsh(
             )
 
     partials = ds.map_batches(
-        LshTopK, batch_format="pyarrow", concurrency=2, batch_size=4096
+        _pooled(LshTopK, ref), batch_format="pyarrow", batch_size=4096
     )
     return _merge_topk(partials, k)
 
@@ -329,8 +342,7 @@ def knn_ivf(
     ref = ray.put({"ids": qids, "qm": q_norm.astype(np.float32), "cents": cents, "probe": probe})
 
     class IvfTopK:
-        def __init__(self):
-            st = ray.get(ref)
+        def __init__(self, st: dict):
             self.query_ids = st["ids"]
             self.qm = st["qm"]
             self.cents = st["cents"]
@@ -381,7 +393,7 @@ def knn_ivf(
             )
 
     partials = ds.map_batches(
-        IvfTopK, batch_format="pyarrow", concurrency=2, batch_size=4096
+        _pooled(IvfTopK, ref), batch_format="pyarrow", batch_size=4096
     )
     return _merge_topk(partials, k)
 

@@ -55,3 +55,15 @@ def lookup_join(
             vals = pc.fill_null(vals, fill)
         batch = batch.append_column(col, vals)
     return batch
+
+
+def cached_make(ref: "ray.ObjectRef", maker: Callable, extra_key: str = "") -> Any:
+    """Per-worker-process cached DERIVED state: ``maker(broadcast
+    value)`` runs once per worker (not per batch, not per actor), so a
+    plain task-pool stage gets actor-grade state amortization without
+    pool spin-up (PERF.md step 19/25).  ``extra_key`` disambiguates
+    different derivations of the same ref (e.g. dtype variants)."""
+    key = ("mk", ref.hex() if hasattr(ref, "hex") else id(ref), extra_key)
+    if key not in _CACHE:
+        _CACHE[key] = maker(cached_get(ref))
+    return _CACHE[key]
