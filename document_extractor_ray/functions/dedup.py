@@ -30,6 +30,8 @@ import ray.data
 
 logger = logging.getLogger(__name__)
 
+_WORKER_CACHE: dict = {}  # per-worker-process stage instances
+
 # Skew guard for every bucket pair-finder: a bucket larger than this is
 # sorted by id and truncated (dropped rows logged).  A bucket this hot
 # is near-certainly a mass of identical content — the intended pipeline
@@ -275,12 +277,18 @@ def minhash_dup_pairs(
     map_batches(MinHasher actor) -> band explode -> groupby band bucket
     -> pairs within bucket verified by full-signature agreement ->
     global pair dedup (a pair can collide in several bands)."""
+    # Task pool, not an actor pool: MinHasher's only state is the 64
+    # seeded hash params (microseconds to build), so a module-cached
+    # per-worker instance gives the same amortization without the
+    # pool's multi-second spin-up/teardown (PERF.md steps 19/25).
+    def minhash_explode(t: pa.Table, _seed=seed) -> pa.Table:
+        key = ("minhasher", _seed)
+        if key not in _WORKER_CACHE:
+            _WORKER_CACHE[key] = MinHasher(seed=_seed)
+        return _WORKER_CACHE[key](t)
+
     exploded = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"seed": seed},
-        batch_format="pyarrow",
-        concurrency=2,
-        batch_size=512,
+        minhash_explode, batch_format="pyarrow", batch_size=512
     )
 
     empty = pa.table(

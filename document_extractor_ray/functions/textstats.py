@@ -272,10 +272,21 @@ class LangId:
         )
 
 
+_WORKER_CACHE: dict = {}  # per-worker-process stage instances
+
+
+def _langid_batch(t: pa.Table) -> pa.Table:
+    # task pool + module-cached instance: the regex compile happens
+    # once per worker PROCESS, with no actor-pool spin-up (PERF 19/25)
+    if "langid" not in _WORKER_CACHE:
+        _WORKER_CACHE["langid"] = LangId()
+    return _WORKER_CACHE["langid"](t)
+
+
 def lang_id(sf_dir: str):
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(
-        LangId, batch_format="pyarrow", concurrency=2, batch_size=1024
+        _langid_batch, batch_format="pyarrow", batch_size=1024
     ).sort("doc_id")
 
 
