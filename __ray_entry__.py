@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad_by_type": analytics.value_mad_by_type,
         "event_transitions": analytics.event_transitions,
         "sliding_7d_users": analytics.sliding_7d_users,
+        "value_outliers": analytics.value_outliers,
         # --- text analysis (SQL oracles where ASCII-expressible) ---
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -245,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
         "value_mad_by_type": analytics.VALUE_MAD_BY_TYPE_SQL,
         "event_transitions": analytics.EVENT_TRANSITIONS_SQL,
         "sliding_7d_users": analytics.SLIDING_7D_USERS_SQL,
+        "value_outliers": analytics.VALUE_OUTLIERS_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_scores": textstats.QUALITY_SCORES_SQL,
         "lang_id": textstats.LANG_ID_SQL,

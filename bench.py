@@ -199,6 +199,7 @@ def run_bench() -> dict:
         "value_mad_by_type",
         "event_transitions",
         "sliding_7d_users",
+        "value_outliers",
     ]
     for name in picks:
         t0 = time.perf_counter()

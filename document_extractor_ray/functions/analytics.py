@@ -3073,3 +3073,89 @@ wnd AS (
 SELECT window_end, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM wnd GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier filter: |x - median| > K * MAD, all-integer
+# ---------------------------------------------------------------------------
+
+OUTLIER_K = 5
+
+
+def value_outliers(sf_dir: str, k_mad: int = OUTLIER_K):
+    """Events whose value is a robust outlier within its event_type:
+    |cents - median| > k * MAD (the Hampel identifier with the
+    classic k=5 cut) — the filter stage the robust statistics exist
+    for, and unlike z-scores it is ALL-INTEGER, so the oracle is
+    bit-exact with no float margin audit.
+
+    Scale shape: the (type, median, mad) table comes from the same
+    one-pass count-table fold as value_mad_by_type (value-domain-
+    bounded), broadcasts once as a tiny Arrow dim, and the filter is a
+    vectorized index_in + take + compare per batch — the corpus
+    streams, nothing wide shuffles."""
+    from document_extractor_ray import state
+
+    mad_tbl = value_mad_by_type(sf_dir)
+    ref = state.broadcast(mad_tbl)
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        dim = state.cached_get(ref)
+        cents = _to_cents(t["value"])
+        idx = pc.index_in(t["event_type"], value_set=dim["event_type"])
+        med = pc.take(dim["median_cents"], idx)
+        mad = pc.take(dim["mad_cents"], idx)
+        dev = pc.abs(pc.subtract(cents, med))
+        keep = pc.greater(dev, pc.multiply(mad, k_mad))
+        out = pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "cents": cents,
+                "abs_dev": dev,
+            }
+        )
+        return out.filter(keep)
+
+    return ds.map_batches(flag, batch_format="pyarrow").sort("event_id")
+
+
+VALUE_OUTLIERS_SQL = f"""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS v, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+cum AS (
+  SELECT event_type, v, sum(n) OVER (PARTITION BY event_type ORDER BY v) AS cumn
+  FROM c
+),
+med AS (
+  SELECT tot.event_type,
+         (SELECT min(v) FROM cum
+           WHERE cum.event_type = tot.event_type AND cum.cumn * 2 >= tot.n) AS m
+  FROM tot
+),
+dev AS (
+  SELECT c.event_type, abs(c.v - med.m) AS d, sum(c.n) AS n
+  FROM c JOIN med USING (event_type) GROUP BY 1, 2
+),
+dcum AS (
+  SELECT event_type, d, sum(n) OVER (PARTITION BY event_type ORDER BY d) AS cumn
+  FROM dev
+),
+madt AS (
+  SELECT tot.event_type, med.m,
+         (SELECT min(d) FROM dcum
+           WHERE dcum.event_type = tot.event_type AND dcum.cumn * 2 >= tot.n) AS mad
+  FROM tot JOIN med USING (event_type)
+)
+SELECT e.event_id, e.event_type,
+       CAST(round(e.value * 100.0) AS BIGINT) AS cents,
+       CAST(abs(CAST(round(e.value * 100.0) AS BIGINT) - madt.m) AS BIGINT) AS abs_dev
+FROM events e JOIN madt USING (event_type)
+WHERE abs(CAST(round(e.value * 100.0) AS BIGINT) - madt.m) > {OUTLIER_K} * madt.mad
+ORDER BY event_id
+"""

@@ -96,6 +96,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "value_mad_by_type",
         "event_transitions",
         "sliding_7d_users",
+        "value_outliers",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
