@@ -2742,18 +2742,22 @@ def user_activity_full(ev: "ray.data.Dataset", orders: "ray.data.Dataset"):
     out so tests can plant keys on either side only."""
 
     def ev_part(t: pa.Table) -> pa.Table:
+        # count_all, not ("c","count"): Arrow's value count skips
+        # nulls while the oracle's count(*) counts rows
         g = (
             pa.table({"user_id": t["user_id"], "c": _to_cents(t["value"])})
             .group_by("user_id")
-            .aggregate([("c", "sum"), ("c", "count")])
+            .aggregate([("c", "sum"), ([], "count_all")])
         )
         n = g.num_rows
         z = pa.array(np.zeros(n, np.int64), pa.int64())
         return pa.table(
             {
                 "user_id": g["user_id"],
-                "n_events": pc.cast(g["c_count"], pa.int64()),
-                "events_value_cents": pc.cast(g["c_sum"], pa.int64()),
+                "n_events": pc.cast(g["count_all"], pa.int64()),
+                "events_value_cents": pc.cast(
+                    pc.fill_null(g["c_sum"], 0), pa.int64()
+                ),
                 "n_orders": z,
                 "orders_total_cents": z,
             }
@@ -2765,7 +2769,7 @@ def user_activity_full(ev: "ray.data.Dataset", orders: "ray.data.Dataset"):
                 {"user_id": t["o_custkey"], "c": _to_cents(t["o_totalprice"])}
             )
             .group_by("user_id")
-            .aggregate([("c", "sum"), ("c", "count")])
+            .aggregate([("c", "sum"), ([], "count_all")])
         )
         n = g.num_rows
         z = pa.array(np.zeros(n, np.int64), pa.int64())
@@ -2774,8 +2778,10 @@ def user_activity_full(ev: "ray.data.Dataset", orders: "ray.data.Dataset"):
                 "user_id": g["user_id"],
                 "n_events": z,
                 "events_value_cents": z,
-                "n_orders": pc.cast(g["c_count"], pa.int64()),
-                "orders_total_cents": pc.cast(g["c_sum"], pa.int64()),
+                "n_orders": pc.cast(g["count_all"], pa.int64()),
+                "orders_total_cents": pc.cast(
+                    pc.fill_null(g["c_sum"], 0), pa.int64()
+                ),
             }
         )
 
@@ -2854,10 +2860,14 @@ def value_mad_by_type(sf_dir: str):
             }
         )
 
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
     counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "v"])
-        .aggregate(Sum("n", alias_name="n"))
+        bucketed_agg(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["event_type", "v"],
+            [("n", "sum", "n")],
+        )
         .sort(["event_type", "v"])
         .take_all()
     )
@@ -2878,12 +2888,11 @@ def value_mad_by_type(sf_dir: str):
         total = int(ns.sum())
         med = _lower_median(vs, ns, total)
         dev = np.abs(vs - med)
-        order = np.argsort(dev, kind="stable")
-        dvs, dns = dev[order], ns[order]
-        # merge equal deviations (two v map to the same |v - med|)
-        uniq, inv = np.unique(dvs, return_inverse=True)
+        # merge equal deviations (two v map to the same |v - med|);
+        # np.unique sorts, so no pre-sort is needed
+        uniq, inv = np.unique(dev, return_inverse=True)
         dsum = np.zeros(len(uniq), np.int64)
-        np.add.at(dsum, inv, dns)
+        np.add.at(dsum, inv, ns)
         mad = _lower_median(uniq, dsum, total)
         types.append(et)
         totals.append(total)

@@ -142,10 +142,7 @@ def bucketed_minmax(
         cols = {c: g[c] for c in key_cols}
         cols[val_col] = g[f"{val_col}_{how}"]
         out = pa.table(cols)
-        arrs = [out[c].to_numpy(zero_copy_only=False) for c in key_cols]
-        if out.num_rows == 0:
-            return out.append_column("part", pa.array([], pa.int32()))
-        return out.append_column("part", _mix_key_arrays(arrs, n_parts))
+        return out.append_column("part", key_part_column(out, key_cols, n_parts))
 
     def resolve(t: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(t, list(key_cols)).aggregate([(val_col, how)])

@@ -133,7 +133,7 @@ def _dup_winners(slim_ds: "ray.data.Dataset"):
         )
         urls = g["url"]
         part = pa.array(
-            [zlib.crc32(u.encode()) % n_parts for u in urls.to_pylist()],
+            [zlib.crc32((u or "").encode()) % n_parts for u in urls.to_pylist()],
             pa.int32(),
         )
         return pa.table(

@@ -48,12 +48,18 @@ def read_pages_jsonl(path: Union[str, List[str]]) -> "ray.data.Dataset":
     def prune(t: "pa.Table") -> "pa.Table":
         import pyarrow.compute as pc
 
+        canonical = {
+            "url": pa.string(),
+            "warc_ts": pa.timestamp("us"),
+            "html": pa.binary(),
+            "text": pa.string(),
+        }
         cols = {}
         for c in PAGE_COLUMNS:
             cols[c] = (
                 t[c]
                 if c in t.schema.names
-                else pa.nulls(t.num_rows, pa.string())
+                else pa.nulls(t.num_rows, canonical[c])
             )
         # JSONL carries timestamps as epoch microseconds; restore the
         # parquet source's timestamp[us] dtype so downstream dedup /

@@ -10,11 +10,25 @@ needs one.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Any, Callable
 
 import ray
 
-_CACHE: dict = {}
+# LRU-capped: long-lived workers serve MANY queries (each broadcast is
+# a new ref), and iterative operators broadcast per round — an
+# unbounded cache would pin every historical value (and its plasma
+# buffer for zero-copy payloads) for the worker's lifetime.  Eviction
+# only drops this worker's reference; a re-use simply re-fetches.
+_CACHE_CAP = 32
+_CACHE: "OrderedDict" = OrderedDict()
+
+
+def _cache_put(key, value):
+    _CACHE[key] = value
+    _CACHE.move_to_end(key)
+    while len(_CACHE) > _CACHE_CAP:
+        _CACHE.popitem(last=False)
 
 
 def broadcast(value: Any) -> "ray.ObjectRef":
@@ -29,7 +43,9 @@ def cached_get(ref: "ray.ObjectRef") -> Any:
     zero-copyable (dicts, sets)."""
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
     if key not in _CACHE:
-        _CACHE[key] = ray.get(ref)
+        _cache_put(key, ray.get(ref))
+    else:
+        _CACHE.move_to_end(key)
     return _CACHE[key]
 
 
@@ -65,5 +81,7 @@ def cached_make(ref: "ray.ObjectRef", maker: Callable, extra_key: str = "") -> A
     different derivations of the same ref (e.g. dtype variants)."""
     key = ("mk", ref.hex() if hasattr(ref, "hex") else id(ref), extra_key)
     if key not in _CACHE:
-        _CACHE[key] = maker(cached_get(ref))
+        _cache_put(key, maker(cached_get(ref)))
+    else:
+        _CACHE.move_to_end(key)
     return _CACHE[key]

@@ -315,3 +315,23 @@ def test_jsonl_source_matches_parquet_source(ray_session, tmp_path):
     ).fetchone()
     want = next(r for r in rows_a if r.get("status") == "OK" and str(r["url"]) == one[0])
     assert one[1] == want["extracted_text"]
+
+
+def test_dedup_first_tolerates_null_urls(ray_session):
+    """A null url (e.g. a JSONL shard missing the field) must not kill
+    the dedup count pass; null urls group as one ordinary key."""
+    import datetime
+
+    import ray.data
+
+    from document_extractor_ray.pipelines.extract import _dup_winners
+
+    ts = datetime.datetime(2024, 1, 1)
+    t = pa.table(
+        {
+            "url": pa.array(["a", None, None, "a"], pa.string()),
+            "warc_ts": pa.array([ts, ts, ts, ts], pa.timestamp("us")),
+        }
+    )
+    n, dups = _dup_winners(ray.data.from_arrow(t))
+    assert n == 2  # "a" and the null group are both duplicated
