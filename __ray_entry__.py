@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "df_top_tokens": textstats.df_top_tokens,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "search_topk": textstats.search_topk,
+        "bm25_topk": textstats.bm25_topk,
         "bigram_top": textstats.bigram_top,
         "token_cms_registers": textstats.token_cms_registers,
         "char_stats": textstats.char_stats,
@@ -261,6 +262,7 @@ def oracle_sql() -> dict[str, str]:
         "df_top_tokens": textstats.DF_TOP_TOKENS_SQL,
         "tfidf_top_terms": textstats.TFIDF_TOP_TERMS_SQL,
         "search_topk": textstats.SEARCH_TOPK_SQL,
+        "bm25_topk": textstats.BM25_TOPK_SQL,
         "bigram_top": textstats.BIGRAM_TOP_SQL,
         "source_mix": training.SOURCE_MIX_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,

@@ -200,6 +200,7 @@ def run_bench() -> dict:
         "event_transitions",
         "sliding_7d_users",
         "value_outliers",
+        "bm25_topk",
     ]
     for name in picks:
         t0 = time.perf_counter()

@@ -1635,3 +1635,159 @@ r0 AS (SELECT w, {S}::HUGEINT AS r FROM nodes),
 {chain}
 SELECT w AS word, CAST(r AS BIGINT) AS rank_nano
 FROM r{iters} ORDER BY r DESC, w LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (Robertson & Zaragoza 2009), exact-rational variant
+# ---------------------------------------------------------------------------
+
+BM25_SCALE = 1_000_000
+# k1 = 1.2 and b = 0.75 enter as exact rationals: multiplying the
+# saturation fraction through by 10*avgdl gives
+#   tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
+#     = 22*avgdl*tf / (10*avgdl*tf + 3*avgdl + 9*dl)
+# with avgdl = A // N floored to an integer (defined semantics).  The
+# idf is the log-free odds form (N - df + 1)/(df + 1), so each
+# per-term score is ONE integer floor both engines compute
+# identically:
+#   micro_t = SCALE*22*avg*tf*(N-df+1) // ((df+1)*(10*avg*tf+3*avg+9*dl))
+_BM25_DOCS_KEY = "\x00docs"
+_BM25_TOKS_KEY = "\x00toks"
+
+
+def bm25_topk(sf_dir: str, terms=SEARCH_TERMS, k: int = SEARCH_TOP_K):
+    """Top-k documents for the fixed term query under BM25 with exact
+    integer semantics — the length-normalized, tf-saturating scorer
+    next to search_topk's plain tf-idf.  Each (doc, term) score is a
+    single rational floored to micro units, and the doc score is the
+    SUM of those ints, so block order can never change a bit and the
+    SQL oracle reproduces it in HUGEINT.
+
+    Scale shape: ONE stats pass fuses the per-term df partials with
+    corpus totals (doc count + token count ride the same tiny
+    aggregate as two reserved keys); the (df, N, avgdl) scalars
+    broadcast in the scoring closure; scoring is vectorized per batch
+    with a local top-k, so the driver merge sees <= k rows per block.
+    Overflow budget: SCALE*22*avgdl*tf_max*(N+1) must stay under
+    2^63 — holds to N ~ 10^7 at web-ish doc lengths; drop SCALE to
+    10^3 beyond (the SQL side is HUGEINT-safe regardless)."""
+    from ray.data.aggregate import Sum
+
+    import ray as _ray
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    term_set = set(terms)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        part = _df_partial_from_docs(t)
+        part = part.filter(
+            pc.is_in(part["token"], value_set=pa.array(list(term_set)))
+        )
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        n_toks = int(pc.sum(pc.cast(pc.not_equal(flat, ""), pa.int64())).as_py() or 0)
+        extra = pa.table(
+            {
+                "token": pa.array([_BM25_DOCS_KEY, _BM25_TOKS_KEY], pa.string()),
+                "df_part": pa.array([t.num_rows, n_toks], pa.int64()),
+            }
+        )
+        return pa.concat_tables([part, extra])
+
+    stats_tbl = pa.concat_tables(
+        tb
+        for tb in map(
+            _ray.get,
+            ds.map_batches(stats_partial, batch_format="pyarrow")
+            .groupby("token")
+            .aggregate(Sum("df_part", alias_name="df"))
+            .to_arrow_refs(),
+        )
+        if tb.num_rows
+    )
+    stats = dict(zip(stats_tbl["token"].to_pylist(), stats_tbl["df"].to_pylist()))
+    n_docs = int(stats.pop(_BM25_DOCS_KEY, 0))
+    n_toks = int(stats.pop(_BM25_TOKS_KEY, 0))
+    avg = n_toks // max(n_docs, 1)
+    assert BM25_SCALE * 22 * max(avg, 1) * (n_docs + 1) < (1 << 62) // 1024, (
+        "int64 overflow budget exceeded: lower BM25_SCALE"
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        dl = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(dl, parent[keep], 1)
+        total = np.zeros(t.num_rows, dtype=np.int64)
+        for term in terms:
+            dfv = int(stats.get(term, 0))
+            if not dfv:
+                continue
+            tf = np.zeros(t.num_rows, dtype=np.int64)
+            hits = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            np.add.at(tf, parent[hits], 1)
+            num = BM25_SCALE * 22 * avg * (n_docs - dfv + 1) * tf
+            den = (dfv + 1) * (10 * avg * tf + 3 * avg + 9 * dl)
+            total += num // np.maximum(den, 1)
+        out = pa.table(
+            {"doc_id": t["doc_id"], "score_micro": pa.array(total, pa.int64())}
+        ).filter(pc.greater(pa.array(total), 0))
+        return out.sort_by(
+            [("score_micro", "descending"), ("doc_id", "ascending")]
+        ).slice(0, k)
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["score_micro", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"('{t}')" for t in SEARCH_TERMS)
+    S = BM25_SCALE
+    return f"""
+WITH q(term) AS (VALUES {terms}),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+  FROM documents
+),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+tot AS (
+  SELECT (SELECT CAST(count(*) AS HUGEINT) FROM documents) AS n,
+         (SELECT CAST(count(*) AS HUGEINT) FROM tok2) AS a
+),
+avg AS (SELECT n, a // n AS avgdl FROM tot),
+dl AS (SELECT doc_id, CAST(count(*) AS HUGEINT) AS dl FROM tok2 GROUP BY 1),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS HUGEINT) AS tf
+  FROM tok2 JOIN q ON q.term = tok2.token
+  GROUP BY 1, 2
+),
+dfx AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS HUGEINT) AS df
+  FROM tok2 JOIN q ON q.term = tok2.token GROUP BY token
+),
+sc AS (
+  SELECT tf.doc_id,
+         CAST(sum(
+           ({S}::HUGEINT * 22 * avg.avgdl * (avg.n - dfx.df + 1) * tf.tf)
+           // ((dfx.df + 1)
+               * (10 * avg.avgdl * tf.tf + 3 * avg.avgdl + 9 * dl.dl))
+         ) AS BIGINT) AS score_micro
+  FROM tf
+  JOIN dfx USING (token)
+  JOIN dl USING (doc_id)
+  CROSS JOIN avg
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score_micro FROM sc WHERE score_micro > 0
+ORDER BY score_micro DESC, doc_id
+LIMIT {SEARCH_TOP_K}
+"""
+
+
+BM25_TOPK_SQL = _bm25_sql()

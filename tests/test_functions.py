@@ -97,6 +97,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "event_transitions",
         "sliding_7d_users",
         "value_outliers",
+        "bm25_topk",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -1218,3 +1219,37 @@ def test_bucketed_agg_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(
         got[["k1", "k2", "sv", "mn", "mx", "n"]], want, check_dtype=False
     )
+
+
+def test_bm25_saturation_and_length_norm(ray_session, tmp_path):
+    """BM25 semantics on a planted corpus: tf saturates (doubling tf
+    less than doubles the score) and longer docs with equal tf score
+    LOWER; plain tf-idf (search_topk's scorer) has neither property."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.textstats import bm25_topk
+
+    filler = " ".join(f"w{i}" for i in range(20))
+    texts = [
+        "spark " + filler,                     # tf=1, short
+        "spark spark " + filler,               # tf=2, same length base
+        "spark " + filler + " " + filler,      # tf=1, doubled length
+        filler,                                # tf=0: never scored
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = {
+        r["doc_id"]: r["score_micro"]
+        for r in bm25_topk(str(tmp_path), terms=("spark",), k=10).take_all()
+    }
+    assert set(rows) == {0, 1, 2}
+    assert rows[1] > rows[0]              # more tf -> higher
+    assert rows[1] < 2 * rows[0]          # ...but saturating
+    assert rows[2] < rows[0]              # longer doc, same tf -> lower
