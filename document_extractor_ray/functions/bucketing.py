@@ -190,6 +190,33 @@ def key_part_column(t: pa.Table, key_cols, n_parts: int) -> pa.Array:
     )
 
 
+
+def agg_apply(t: pa.Table, key_cols, aggs, merge: bool) -> pa.Table:
+    """One Arrow group_by level of ``bucketed_agg``: the PARTIAL form
+    (merge=False; count emits row counts) or the MERGE form
+    (merge=True; count partials re-combine via sum, min/min, max/max,
+    sum/sum).  Module-level so the merge-correctness property —
+    resolve(concat(partials over ANY row partition)) == direct
+    groupby — is pinned by a pure hypothesis test without Ray."""
+    specs, renames = [], {}
+    for col, how, out in aggs:
+        if how == "count" and not merge:
+            specs.append(([], "count_all"))
+            renames["count_all"] = out
+        else:
+            src = out if merge else col
+            h = "sum" if (how == "count" and merge) else how
+            specs.append((src, h))
+            renames[f"{src}_{h}"] = out
+    g = pa.TableGroupBy(t, list(key_cols)).aggregate(specs)
+    cols = {c: g[c] for c in key_cols}
+    for raw, out in renames.items():
+        cols[out] = (
+            pc.cast(g[raw], pa.int64()) if raw == "count_all" else g[raw]
+        )
+    return pa.table(cols)
+
+
 def bucketed_agg(
     ds: "ray.data.Dataset",
     key_cols,
@@ -207,35 +234,14 @@ def bucketed_agg(
     n_parts = n_parts or n_shuffle_parts()
     key_cols = list(key_cols)
 
-    def _apply(t: pa.Table, merge: bool) -> pa.Table:
-        specs, renames = [], {}
-        for col, how, out in aggs:
-            if how == "count" and not merge:
-                specs.append(([], "count_all"))
-                renames["count_all"] = out
-            else:
-                src = out if merge else col
-                h = "sum" if (how == "count" and merge) else how
-                specs.append((src, h))
-                renames[f"{src}_{h}"] = out
-        g = pa.TableGroupBy(t, key_cols).aggregate(specs)
-        cols = {c: g[c] for c in key_cols}
-        for raw, out in renames.items():
-            cols[out] = (
-                pc.cast(g[raw], pa.int64())
-                if raw == "count_all"
-                else g[raw]
-            )
-        return pa.table(cols)
-
     def partial(t: pa.Table) -> pa.Table:
-        out = _apply(t, merge=False)
+        out = agg_apply(t, key_cols, aggs, merge=False)
         return out.append_column(
             "part", key_part_column(out, key_cols, n_parts)
         )
 
     def resolve(t: pa.Table) -> pa.Table:
-        return _apply(t.drop_columns(["part"]), merge=True)
+        return agg_apply(t.drop_columns(["part"]), key_cols, aggs, merge=True)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")

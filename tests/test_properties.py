@@ -234,3 +234,67 @@ def test_embedding_matrix_roundtrip(rows):
     mat = embedding_matrix(col)
     assert mat.shape == (len(rows), len(rows[0]))
     np.testing.assert_array_equal(mat, np.asarray(rows, dtype=np.float32))
+
+
+# ---------------------------------------------------------------------------
+# bucketed_agg merge-correctness (the property Ray's shuffle relies on)
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),                       # k1
+            st.sampled_from(["a", "b", "c"]),        # k2
+            st.integers(-1000, 1000),                # v
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_bucketed_agg_partials_merge_under_any_partition(rows, data):
+    """resolve(concat(partial(batch) for ANY row partitioning)) must
+    equal the direct one-shot groupby — the exact algebra bucketed_agg
+    asks of Ray's shuffle (sum/min/max merge, count re-merges as sum)."""
+    import pyarrow as pa
+
+    from document_extractor_ray.functions.bucketing import agg_apply
+
+    aggs = [
+        ("v", "sum", "sv"),
+        ("v", "min", "mn"),
+        ("v", "max", "mx"),
+        (None, "count", "n"),
+    ]
+    keys = ["k1", "k2"]
+    t = pa.table(
+        {
+            "k1": pa.array([r[0] for r in rows], pa.int64()),
+            "k2": pa.array([r[1] for r in rows], pa.string()),
+            "v": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    # random contiguous partitioning into 1..5 batches
+    n_batches = data.draw(st.integers(1, 5))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(0, t.num_rows), min_size=n_batches - 1,
+                max_size=n_batches - 1,
+            )
+        )
+    )
+    bounds = [0] + cuts + [t.num_rows]
+    partials = [
+        agg_apply(t.slice(lo, hi - lo), keys, aggs, merge=False)
+        for lo, hi in zip(bounds, bounds[1:])
+        if hi > lo
+    ]
+    merged = agg_apply(pa.concat_tables(partials), keys, aggs, merge=True)
+    direct = agg_apply(t, keys, aggs, merge=False)
+
+    def canon(tbl):
+        return sorted(map(tuple, (r.values() for r in tbl.to_pylist())))
+
+    assert canon(merged) == canon(direct)
