@@ -1474,10 +1474,14 @@ ORDER BY d.doc_id
 TEXTRANK_ITERS = 10
 TEXTRANK_SCALE = 1_000_000_000   # nano-rank units
 TEXTRANK_TOP_K = 20
+TEXTRANK_DRIVER_EDGE_LIMIT = 1_000_000  # edges; above -> edge-parallel rounds
 
 
 def textrank_keywords(
-    sf_dir: str, iters: int = TEXTRANK_ITERS, k: int = TEXTRANK_TOP_K
+    sf_dir: str,
+    iters: int = TEXTRANK_ITERS,
+    k: int = TEXTRANK_TOP_K,
+    driver_edge_limit: int = TEXTRANK_DRIVER_EDGE_LIMIT,
 ):
     """Top-k corpus keywords by PageRank over the directed bigram
     graph (edge w1->w2 per consecutive token pair, weight = corpus
@@ -1556,10 +1560,41 @@ def textrank_keywords(
     for r in outw_rows:
         ow[idx_of[r["w1"]]] = r["ow"]
     nodes_pa = pa.array(nodes, pa.string())
-    static_ref = state.broadcast((nodes_pa, ow))
 
     teleport = 15 * TEXTRANK_SCALE // 100
     ranks = np.full(n, TEXTRANK_SCALE, np.int64)
+
+    # Small-graph fast path: when the EDGE table fits a driver pass,
+    # run the iterations as pure numpy on collected (i1, i2, wt) int
+    # arrays — identical integer math, zero per-round Ray stages
+    # (measured 6.6 s -> sub-second at bench scale where the vocab
+    # graph is tiny).  Above the budget the iterations stay
+    # edge-parallel with node-sized broadcasts.
+    n_edges = edges.count()
+    if n_edges <= driver_edge_limit:
+        et = pa.concat_tables(
+            tb for tb in map(ray.get, edges.to_arrow_refs()) if tb.num_rows
+        )
+        i1 = pc.index_in(et["w1"], value_set=nodes_pa).to_numpy(
+            zero_copy_only=False
+        )
+        i2 = pc.index_in(et["w2"], value_set=nodes_pa).to_numpy(
+            zero_copy_only=False
+        )
+        wt = et["wt"].to_numpy(zero_copy_only=False)
+        for _ in range(iters):
+            c = np.zeros(n, np.int64)
+            np.add.at(c, i2, ranks[i1] * wt // ow[i1])
+            ranks = teleport + 85 * c // 100
+        order = np.lexsort((np.array(nodes), -ranks))[:k]
+        return pa.table(
+            {
+                "word": pa.array([nodes[i] for i in order], pa.string()),
+                "rank_nano": pa.array(ranks[order], pa.int64()),
+            }
+        )
+
+    static_ref = state.broadcast((nodes_pa, ow))
     for _ in range(iters):
         rank_ref = state.broadcast(ranks)
 

@@ -1253,3 +1253,25 @@ def test_bm25_saturation_and_length_norm(ray_session, tmp_path):
     assert rows[1] > rows[0]              # more tf -> higher
     assert rows[1] < 2 * rows[0]          # ...but saturating
     assert rows[2] < rows[0]              # longer doc, same tf -> lower
+
+
+def test_textrank_driver_and_distributed_paths_agree(ray_session, tmp_path):
+    """The small-graph driver fast path and the edge-parallel
+    iteration path must produce identical integer ranks."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.textstats import textrank_keywords
+
+    texts = ["data flows fast", "data flows far", "fast data flows data"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    fast = textrank_keywords(str(tmp_path), k=100).to_pylist()
+    dist = textrank_keywords(str(tmp_path), k=100, driver_edge_limit=0).to_pylist()
+    assert fast == dist and len(fast) > 0
