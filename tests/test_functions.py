@@ -1275,3 +1275,32 @@ def test_textrank_driver_and_distributed_paths_agree(ray_session, tmp_path):
     fast = textrank_keywords(str(tmp_path), k=100).to_pylist()
     dist = textrank_keywords(str(tmp_path), k=100, driver_edge_limit=0).to_pylist()
     assert fast == dist and len(fast) > 0
+
+
+def test_bucketing_helpers_empty_inputs(ray_session):
+    """Empty datasets must flow through all three bucketed helpers
+    without error and yield empty results (escalation paths hit this
+    when a corpus has no dups/hits at all)."""
+    import ray.data
+    from document_extractor_ray.functions.bucketing import (
+        bucketed_agg,
+        bucketed_bucket_pairs,
+        bucketed_minmax,
+    )
+
+    empty_kv = pa.table(
+        {
+            "k": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(empty_kv)
+    assert bucketed_agg(ds, ["k"], [("v", "sum", "s")]).take_all() == []
+    assert bucketed_minmax(ds, ["k"], "v", "min").take_all() == []
+    out_schema = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    )
+    got = bucketed_bucket_pairs(
+        ds, ["k"], lambda g: out_schema, out_schema
+    ).take_all()
+    assert got == []
