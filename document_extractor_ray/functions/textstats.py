@@ -1564,12 +1564,21 @@ def textrank_keywords(
     teleport = 15 * TEXTRANK_SCALE // 100
     ranks = np.full(n, TEXTRANK_SCALE, np.int64)
 
+    if n == 0:  # no doc has two consecutive tokens: empty graph
+        return pa.table(
+            {
+                "word": pa.array([], pa.string()),
+                "rank_nano": pa.array([], pa.int64()),
+            }
+        )
+
     # Small-graph fast path: when the EDGE table fits a driver pass,
     # run the iterations as pure numpy on collected (i1, i2, wt) int
     # arrays — identical integer math, zero per-round Ray stages
     # (measured 6.6 s -> sub-second at bench scale where the vocab
     # graph is tiny).  Above the budget the iterations stay
-    # edge-parallel with node-sized broadcasts.
+    # edge-parallel with node-sized broadcasts.  Both paths fall
+    # through to ONE shared ranking tail.
     n_edges = edges.count()
     if n_edges <= driver_edge_limit:
         et = pa.concat_tables(
@@ -1586,13 +1595,7 @@ def textrank_keywords(
             c = np.zeros(n, np.int64)
             np.add.at(c, i2, ranks[i1] * wt // ow[i1])
             ranks = teleport + 85 * c // 100
-        order = np.lexsort((np.array(nodes), -ranks))[:k]
-        return pa.table(
-            {
-                "word": pa.array([nodes[i] for i in order], pa.string()),
-                "rank_nano": pa.array(ranks[order], pa.int64()),
-            }
-        )
+        return _textrank_rank_table(nodes, ranks, k)
 
     static_ref = state.broadcast((nodes_pa, ow))
     for _ in range(iters):
@@ -1621,6 +1624,12 @@ def textrank_keywords(
             new_r[idx_of[r["w2"]]] = teleport + 85 * r["c"] // 100
         ranks = new_r
 
+    return _textrank_rank_table(nodes, ranks, k)
+
+
+def _textrank_rank_table(nodes, ranks: np.ndarray, k: int) -> pa.Table:
+    """Shared ranking tail for both iteration paths: top-k by
+    (rank desc, word asc)."""
     order = np.lexsort((np.array(nodes), -ranks))[:k]
     return pa.table(
         {
@@ -1714,12 +1723,24 @@ def bm25_topk(sf_dir: str, terms=SEARCH_TERMS, k: int = SEARCH_TOP_K):
     term_set = set(terms)
 
     def stats_partial(t: pa.Table) -> pa.Table:
-        part = _df_partial_from_docs(t)
-        part = part.filter(
-            pc.is_in(part["token"], value_set=pa.array(list(term_set)))
-        )
+        # one tokenization feeds BOTH the per-term df partial and the
+        # corpus token count (the split is the pass's dominant cost)
         toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
         flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.and_(
+            pc.not_equal(flat, ""),
+            pc.is_in(flat, value_set=pa.array(list(term_set))),
+        )
+        pairs = pa.table({"d": parent, "token": flat}).filter(keep)
+        distinct = pa.TableGroupBy(pairs, ["d", "token"]).aggregate([])
+        per_tok = pa.TableGroupBy(distinct, ["token"]).aggregate([("d", "count")])
+        part = pa.table(
+            {
+                "token": per_tok["token"],
+                "df_part": pc.cast(per_tok["d_count"], pa.int64()),
+            }
+        )
         n_toks = int(pc.sum(pc.cast(pc.not_equal(flat, ""), pa.int64())).as_py() or 0)
         extra = pa.table(
             {
@@ -1744,9 +1765,15 @@ def bm25_topk(sf_dir: str, terms=SEARCH_TERMS, k: int = SEARCH_TOP_K):
     n_docs = int(stats.pop(_BM25_DOCS_KEY, 0))
     n_toks = int(stats.pop(_BM25_TOKS_KEY, 0))
     avg = n_toks // max(n_docs, 1)
-    assert BM25_SCALE * 22 * max(avg, 1) * (n_docs + 1) < (1 << 62) // 1024, (
-        "int64 overflow budget exceeded: lower BM25_SCALE"
-    )
+    # per-term numerator is SCALE*22*avg*(N-df+1)*tf with tf <= dl;
+    # the scalar part of the budget is checked here and the tf factor
+    # per batch below (raise, not assert: must survive python -O)
+    scalar_budget = BM25_SCALE * 22 * max(avg, 1) * (n_docs + 1)
+    if scalar_budget >= (1 << 63) // 4096:
+        raise OverflowError(
+            "bm25_topk int64 budget exceeded at this corpus size: "
+            "lower BM25_SCALE (the SQL oracle is HUGEINT-safe)"
+        )
 
     def score(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
@@ -1763,6 +1790,12 @@ def bm25_topk(sf_dir: str, terms=SEARCH_TERMS, k: int = SEARCH_TOP_K):
             tf = np.zeros(t.num_rows, dtype=np.int64)
             hits = pc.equal(flat, term).to_numpy(zero_copy_only=False)
             np.add.at(tf, parent[hits], 1)
+            max_tf = int(tf.max()) if len(tf) else 0
+            if max_tf and scalar_budget * max_tf >= (1 << 63):
+                raise OverflowError(
+                    "bm25_topk int64 budget exceeded by a term-spam doc "
+                    f"(tf={max_tf}): lower BM25_SCALE"
+                )
             num = BM25_SCALE * 22 * avg * (n_docs - dfv + 1) * tf
             den = (dfv + 1) * (10 * avg * tf + 3 * avg + 9 * dl)
             total += num // np.maximum(den, 1)

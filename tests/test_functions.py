@@ -1304,3 +1304,24 @@ def test_bucketing_helpers_empty_inputs(ray_session):
         ds, ["k"], lambda g: out_schema, out_schema
     ).take_all()
     assert got == []
+
+
+def test_textrank_empty_graph(ray_session, tmp_path):
+    """A corpus with no consecutive-token pair (every doc has < 2
+    tokens) has an empty bigram graph: both iteration paths must
+    return an empty table, not crash."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.textstats import textrank_keywords
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["one", "", "two"], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    assert textrank_keywords(str(tmp_path)).num_rows == 0
+    assert textrank_keywords(str(tmp_path), driver_edge_limit=0).num_rows == 0
