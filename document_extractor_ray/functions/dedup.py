@@ -22,7 +22,6 @@ import zlib
 from typing import List, Set, Tuple
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 

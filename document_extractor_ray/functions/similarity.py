@@ -15,7 +15,6 @@
 from __future__ import annotations
 
 import heapq
-from typing import List, Optional
 
 import numpy as np
 import pyarrow as pa
