@@ -103,9 +103,7 @@ def dedup_exact(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = 
             {
                 "content_hash": g["content_hash"],
                 id_col: g[f"{id_col}_min"],
-                "part": bucketing.part_of_binary(
-                    (b.as_py() for b in g["content_hash"]), n_parts
-                ),
+                "part": bucketing.part_of_binary(g["content_hash"], n_parts),
             }
         )
 

