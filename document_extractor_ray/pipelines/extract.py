@@ -70,11 +70,9 @@ def dedup_first(
 
     warc_ts ties break on the minimal content hash — the same rule the
     oracle uses (see _broadcast_winner_dim; sequential 'first
-    occurrence' is not reproducible distributed).  The above-budget
-    JOIN path keeps the ts-only rule (both tie copies survive) — in
-    that >200k-dup regime run exact dedup downstream; documented
-    divergence, found by the fuzz-identity test.  Skip with
-    cfg.dedup=False when inputs are known unique."""
+    occurrence' is not reproducible distributed) — in BOTH budget
+    regimes (the join path's tie pass closes round-2 VERDICT item 2).
+    Skip with cfg.dedup=False when inputs are known unique."""
     limit = DEDUP_BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
 
     n_dups, dups = _dup_winners(ds.select_columns(["url", "warc_ts"]))
@@ -82,45 +80,211 @@ def dedup_first(
         return ds
 
     if n_dups <= limit:
-        ref = _broadcast_winner_dim(
-            dups, slim_ds=ds.select_columns(["url", "warc_ts"]), full_ds=ds
-        )
+        ref = _broadcast_winner_dim(dups, full_ds=ds)
 
         def keep_winners(t: pa.Table) -> pa.Table:
             return _filter_to_winners(t, ref)
 
         return ds.map_batches(keep_winners, batch_format="pyarrow")
 
-    # Join path: every row pairs with its url's winner ts (null when
-    # the url is not duplicated).
+    # Join path: every row pairs with its url's winner (ts + tie
+    # count; both null when the url is not duplicated).
     n_parts = 32
     if ray.is_initialized():
         n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    n_ties = dups.map_batches(
+        lambda t: t.filter(pc.greater(t["n_min"], 1)).select(["url"]),
+        batch_format="pyarrow",
+    ).count()
     joined = ds.join(
         dups, join_type="left_outer", num_partitions=n_parts, on=("url",)
     )
 
-    def keep_joined(t: pa.Table) -> pa.Table:
-        return _keep_winner_mask(t, t["min_ts"]).drop_columns(["min_ts"])
+    if n_ties == 0:
+        def keep_joined(t: pa.Table) -> pa.Table:
+            return _keep_winner_mask(t, t["min_ts"]).drop_columns(
+                ["min_ts", "n_min"]
+            )
 
-    return joined.map_batches(keep_joined, batch_format="pyarrow")
+        return joined.map_batches(keep_joined, batch_format="pyarrow")
+
+    return _join_path_tie_break(joined, n_ties, limit, n_parts)
+
+
+def _join_path_tie_break(
+    joined: "ray.data.Dataset", n_ties: int, limit: int, n_parts: int
+):
+    """Apply the content-hash tie rule on the partitioned-join dedup
+    path: among rows AT a tied (url, min_ts), keep only those whose
+    capture_hash equals the per-url minimum — identical to the
+    broadcast path and oracle.dedup_first_indices.
+
+    Shape: the ts filter and candidate hashing happen in ONE
+    map_batches over the joined stream (hashes computed only for rows
+    at a tied min — n_min > 1); the per-url minimum is a bucketed
+    min over the slim (url, cap_h) projection; the final filter is a
+    broadcast lookup below the budget, a second partitioned join
+    above it.  The stream materializes once so the win-hash scan and
+    the final filter don't re-execute the upstream join (and a
+    join-after-join needs the settle anyway — Ray 2.49 trap)."""
+    import numpy as np
+
+    from document_extractor_ray import state
+    from document_extractor_ray.core import records as _records
+    from document_extractor_ray.functions.bucketing import bucketed_minmax
+
+    def keep_and_hash(t: pa.Table) -> pa.Table:
+        t2 = _keep_winner_mask(t, t["min_ts"])
+        cand = pc.fill_null(
+            pc.and_kleene(
+                pc.greater(t2["n_min"], 1),
+                pc.equal(t2["warc_ts"], t2["min_ts"]),
+            ),
+            False,
+        ).to_numpy(zero_copy_only=False)
+        cap = np.full(t2.num_rows, None, object)
+        idxs = np.nonzero(cand)[0]
+        if len(idxs):
+            sub = t2.take(pa.array(idxs))
+            for j, (h, x) in enumerate(
+                zip(sub["html"].to_pylist(), sub["text"].to_pylist())
+            ):
+                cap[idxs[j]] = _records.capture_hash(h, x)
+        return t2.drop_columns(["min_ts", "n_min"]).append_column(
+            "cap_h", pa.array(cap, pa.binary())
+        )
+
+    survivors = joined.map_batches(
+        keep_and_hash, batch_format="pyarrow"
+    ).materialize()
+
+    wins = bucketed_minmax(
+        survivors.select_columns(["url", "cap_h"]).map_batches(
+            lambda t: t.filter(pc.is_valid(t["cap_h"])),
+            batch_format="pyarrow",
+        ),
+        ["url"],
+        "cap_h",
+        "min",
+        n_parts=n_parts,
+    )
+
+    if n_ties <= limit:
+        wtab = pa.concat_tables(
+            wins.iter_batches(batch_format="pyarrow")
+        ).combine_chunks()
+        ref = state.broadcast(wtab)
+
+        def final_filter(t: pa.Table) -> pa.Table:
+            w = state.cached_get(ref)
+            idx = pc.index_in(t["url"], value_set=w["url"])
+            win = pc.take(w["cap_h"], idx)
+            keep = pc.fill_null(
+                pc.or_kleene(pc.is_null(t["cap_h"]), pc.equal(t["cap_h"], win)),
+                False,
+            )
+            return t.filter(keep).drop_columns(["cap_h"])
+
+        return survivors.map_batches(final_filter, batch_format="pyarrow")
+
+    # Above-budget tie set: second partitioned join.  Settle BOTH
+    # sides to non-empty block refs — the first join's output
+    # partitions and the hash-bucketed map_groups output can each
+    # carry empty-schema blocks that break a downstream Acero join
+    # (Ray 2.49 trap, CLAUDE.md).
+    slive = [r for r in survivors.to_arrow_refs() if ray.get(r).num_rows > 0]
+    survivors = ray.data.from_arrow_refs(slive)
+    wins = wins.materialize()
+    live = [r for r in wins.to_arrow_refs() if ray.get(r).num_rows > 0]
+    wins = ray.data.from_arrow_refs(live)
+    wins = wins.map_batches(
+        lambda t: t.rename_columns(["url", "win_h"]), batch_format="pyarrow"
+    )
+    j2 = survivors.join(
+        wins, join_type="left_outer", num_partitions=n_parts, on=("url",)
+    )
+
+    def final_filter_joined(t: pa.Table) -> pa.Table:
+        keep = pc.fill_null(
+            pc.or_kleene(
+                pc.is_null(t["cap_h"]), pc.equal(t["cap_h"], t["win_h"])
+            ),
+            False,
+        )
+        return t.filter(keep).drop_columns(["cap_h", "win_h"])
+
+    return j2.map_batches(final_filter_joined, batch_format="pyarrow")
+
+
+def _url_min_stats(t: pa.Table, ts_col: str, partial: bool) -> pa.Table:
+    """Per-url (min_ts, n_min, n) over one in-memory table, null-url
+    safe, fully vectorized: sort by (url, ts), find group boundaries
+    with a neighbor-compare (nulls group together — Arrow's group_by
+    does the same but can't count rows AT the min), then segment-sum.
+
+    partial=True treats each row as one observation; partial=False
+    merges partial rows (columns n_min/n already present): n_min only
+    sums where the partial's min_ts equals the group's global min."""
+    import numpy as np
+
+    n = t.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "url": pa.array([], t.schema.field("url").type),
+                "min_ts": pa.array([], t.schema.field(ts_col).type),
+                "n_min": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    st = t.sort_by([("url", "ascending"), (ts_col, "ascending")])
+    u = st["url"].combine_chunks()
+    eq = pc.equal(u.slice(1), u.slice(0, n - 1))
+    both_null = pc.and_(pc.is_null(u.slice(1)), pc.is_null(u.slice(0, n - 1)))
+    same = pc.fill_null(pc.or_kleene(eq, both_null), False).to_numpy(
+        zero_copy_only=False
+    )
+    first = np.concatenate(([True], ~same))
+    starts = np.flatnonzero(first)
+    gid = np.cumsum(first) - 1
+    ts = st[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+    at_min = ts == ts[starts][gid]
+    if partial:
+        nm_w = at_min.astype(np.int64)
+        n_w = np.ones(n, np.int64)
+    else:
+        nm = st["n_min"].to_numpy(zero_copy_only=False)
+        nm_w = np.where(at_min, nm, 0)
+        n_w = st["n"].to_numpy(zero_copy_only=False)
+    n_min = np.bincount(gid, weights=nm_w).astype(np.int64)
+    n_tot = np.bincount(gid, weights=n_w).astype(np.int64)
+    return pa.table(
+        {
+            "url": pc.take(u, pa.array(starts)),
+            "min_ts": pa.array(ts[starts]),
+            "n_min": pa.array(n_min),
+            "n": pa.array(n_tot),
+        }
+    )
 
 
 def _dup_winners(slim_ds: "ray.data.Dataset"):
     """(url, warc_ts) Dataset -> (n_dups, materialized slim winner
-    table Dataset of (url, min_ts) for duplicated urls only).
+    table Dataset of (url, min_ts, n_min) for duplicated urls only —
+    n_min counts captures AT the winning timestamp, so n_min > 1 marks
+    a warc_ts TIE needing the content-hash tie-break).
     Materialized so count() and the consumer reuse the same blocks (a
     Dataset with two consumers re-executes its upstream — PERF.md).
 
     Shape: NOT ``groupby(url).aggregate(...)`` — Ray 2.49's hash
     aggregate pays per-GROUP cost, and a crawl's urls are nearly all
     distinct (4M rows -> 4M groups measured 301 s at 32 cpus, ~13k
-    rows/s).  Instead each batch pre-aggregates (url, min_ts, n)
-    partials with one Arrow group_by, rows hash-bucket on url into
-    ~CPU-count partitions (the user_lag_gaps pattern), and each
-    partition resolves its urls with a second vectorized Arrow
-    group_by — identical all-to-all bytes, per-partition work instead
-    of per-group work (measured 301 s -> 9.5 s on the same input)."""
+    rows/s).  Instead each batch pre-aggregates (url, min_ts, n_min, n)
+    partials with one vectorized sorted-boundary pass, rows hash-bucket
+    on url into ~CPU-count partitions (the user_lag_gaps pattern), and
+    each partition resolves its urls with a second vectorized pass —
+    identical all-to-all bytes, per-partition work instead of
+    per-group work (measured 301 s -> 9.5 s on the same input)."""
     from document_extractor_ray.functions import bucketing
 
     n_parts = 32
@@ -128,27 +292,18 @@ def _dup_winners(slim_ds: "ray.data.Dataset"):
         n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
     def partial(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t, ["url"]).aggregate(
-            [("warc_ts", "min"), ([], "count_all")]
-        )
-        urls = g["url"]
-        return pa.table(
-            {
-                "url": urls,
-                "min_ts": g["warc_ts_min"],
-                "n": pc.cast(g["count_all"], pa.int64()),
-                "part": bucketing.part_of_strings(urls, n_parts),
-            }
+        out = _url_min_stats(t, "warc_ts", partial=True)
+        return out.append_column(
+            "part", bucketing.part_of_strings(out["url"], n_parts)
         )
 
     def resolve(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t, ["url"]).aggregate(
-            [("min_ts", "min"), ("n", "sum")]
+        out = _url_min_stats(
+            t.drop_columns(["part"]), "min_ts", partial=False
         )
-        out = pa.table(
-            {"url": g["url"], "min_ts": g["min_ts_min"], "n": g["n_sum"]}
+        return out.filter(pc.greater(out["n"], 1)).select(
+            ["url", "min_ts", "n_min"]
         )
-        return out.filter(pc.greater(out["n"], 1)).select(["url", "min_ts"])
 
     dups = (
         slim_ds.map_batches(partial, batch_format="pyarrow")
@@ -167,7 +322,6 @@ def _dup_winners(slim_ds: "ray.data.Dataset"):
 
 def _broadcast_winner_dim(
     dups: "ray.data.Dataset",
-    slim_ds: "ray.data.Dataset" = None,
     full_ds: "ray.data.Dataset" = None,
 ):
     """Broadcast the (url, min_ts[, win_hash]) winner table.
@@ -177,36 +331,24 @@ def _broadcast_winner_dim(
     (records.capture_hash; input order is not reproducible
     distributed).  Layered so the common case stays slim:
 
-    1. tie DETECTION runs on the slim (url, warc_ts) projection only;
+    1. tie DETECTION is free — n_min came out of the winner scan;
     2. the payload-reading hash pass runs ONLY when a tie exists, and
        hashes ONLY rows at (tie url, min_ts).
     Bitwise-identical tie captures all survive (indistinguishable),
     identically in both engines."""
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Min
 
     from document_extractor_ray import state
 
     dim = pa.concat_tables(dups.iter_batches(batch_format="pyarrow")).combine_chunks()
 
+    # warc_ts ties fall straight out of the winner scan (n_min counts
+    # captures AT the min) — no extra counting pass over the corpus.
     tie_urls = None
-    if slim_ds is not None and dim.num_rows:
-        dref = ray.put(dim)
-
-        def min_rows(t: pa.Table) -> pa.Table:
-            d = ray.get(dref)
-            idx = pc.index_in(t["url"], value_set=d["url"])
-            m = pc.fill_null(pc.equal(t["warc_ts"], pc.take(d["min_ts"], idx)), False)
-            return pa.table({"url": t.filter(m)["url"]})
-
-        counts = (
-            slim_ds.map_batches(min_rows, batch_format="pyarrow")
-            .groupby("url")
-            .aggregate(Count(alias_name="n"))
-        )
-        ties = counts.map_batches(
-            lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
-        ).take_all()
-        tie_urls = pa.array(sorted(r["url"] for r in ties), pa.string())
+    if dim.num_rows and "n_min" in dim.schema.names:
+        tie_urls = pc.cast(
+            dim.filter(pc.greater(dim["n_min"], 1))["url"], pa.string()
+        ).combine_chunks()
 
     if tie_urls is not None and len(tie_urls) and full_ds is not None:
         from document_extractor_ray.core import records as _records
@@ -243,6 +385,8 @@ def _broadcast_winner_dim(
     else:
         win_col = pa.array([None] * dim.num_rows, pa.binary())
 
+    if "n_min" in dim.schema.names:
+        dim = dim.drop_columns(["n_min"])
     dim = dim.append_column("win_hash", win_col)
     return state.broadcast(dim)
 
@@ -492,7 +636,6 @@ def build_extraction_fused(
         if n_dups > 0:
             winner_ref = _broadcast_winner_dim(
                 dups,
-                slim_ds=ray.data.read_parquet(paths, columns=["url", "warc_ts"]),
                 full_ds=ray.data.read_parquet(paths, columns=PAGE_COLUMNS),
             )
 

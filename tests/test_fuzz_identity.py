@@ -179,3 +179,47 @@ def test_fused_path_matches_oracle_on_fuzzed_corpora(_ray, tmp_path_factory, row
     assert len(got) == len(want), (len(got), len(want))
     for g, w in zip(got, want):
         assert g == w, g["url"]
+
+
+@given(corpus())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_join_dedup_path_matches_oracle_on_fuzzed_corpora(_ray, rows):
+    """The ABOVE-budget dedup path (partitioned join + tie pass) must
+    be byte-identical to the oracle too — the round-2 divergence
+    regime.  Forced by dropping the broadcast budget to 0."""
+    import ray.data
+
+    from document_extractor_ray import oracle
+    from document_extractor_ray.pipelines import extract as _extract
+    from document_extractor_ray.pipelines.extract import build_extraction
+
+    table = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array(
+                [r[1] * 1_000_000 for r in rows], pa.timestamp("us")
+            ),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        }
+    )
+    cfg = DEFAULT_CONFIG
+    canon = lambda r: repr(sorted((k, v) for k, v in r.items()))
+    want = sorted(oracle.run_oracle(table, cfg)["final"].to_pylist(), key=canon)
+    old = _extract.DEDUP_BROADCAST_LIMIT
+    _extract.DEDUP_BROADCAST_LIMIT = 0
+    try:
+        got = sorted(
+            build_extraction(ray.data.from_arrow(table), cfg).take_all(),
+            key=canon,
+        )
+    finally:
+        _extract.DEDUP_BROADCAST_LIMIT = old
+    assert len(got) == len(want), (len(got), len(want))
+    for g, w in zip(got, want):
+        assert g == w, g["url"]
