@@ -98,6 +98,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_results": _extract_results,
         "extract_quarantine": _extract_quarantine,
         "extract_unit_rows": _extract_unit_rows,
+        # --- oracled queries the driver has NOT yet sampled (r1+r2
+        # correctness files) come first so a capped sample reaches
+        # them (VERDICT r2 item 3); all are local-gate green ---
+        "quality_filter": textstats.quality_filter,
+        "pii_scrub": textstats.pii_scrub,
+        "repetition_filter": textstats.repetition_filter,
+        "token_histogram": textstats.token_histogram,
+        "token_quantiles": textstats.token_quantiles,
+        "lang_token_quantiles": textstats.lang_token_quantiles,
+        "gopher_rules": textstats.gopher_rules,
+        "df_top_tokens": textstats.df_top_tokens,
+        "tfidf_top_terms": textstats.tfidf_top_terms,
+        "search_topk": textstats.search_topk,
+        "bm25_topk": textstats.bm25_topk,
+        "bigram_top": textstats.bigram_top,
+        "token_cms_registers": textstats.token_cms_registers,
+        "char_stats": textstats.char_stats,
+        "textrank_keywords": textstats.textrank_keywords,
+        "near_dup_clusters": dedup.near_dup_clusters_docs,
+        "near_dedup_keep": dedup.near_dedup_keep_docs,
+        "decontaminate": dedup.decontaminate_docs,
+        "dup_shingle_stats": dedup.dup_shingle_stats_docs,
+        "dup_ngram_scrub": dedup.dup_ngram_scrub_docs,
+        "embedding_topk_pairs": similarity.embedding_topk_pairs,
+        "label_centroids": similarity.label_centroids,
+        "pack_assignments": training.pack_assignments_docs,
+        "stratified_sample": training.stratified_sample_docs,
+        "top_docs_per_lang": training.top_docs_per_lang,
+        "source_mix": training.source_mix,
+        "domain_cap": training.domain_cap,
+        # --- never-sampled no-oracle queries (rows-only check) ---
+        "embedding_dup_clusters": dedup.embedding_dup_clusters_embeddings,
+        "knn_ivf": similarity.knn_ivf_embeddings,
+        "pack_sequences": training.pack_sequences_docs,
+        "frame_sample": multimodal.frame_sample,
         # --- generic relational operators (SQL oracles) ---
         "q1_lineitem": analytics.q1_lineitem,
         "top_customers": analytics.top_customers,
@@ -147,50 +182,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textstats.quality_scores,
         "lang_id": textstats.lang_id,
         "doc_health": textstats.doc_health,
-        "quality_filter": textstats.quality_filter,
-        "pii_scrub": textstats.pii_scrub,
-        "repetition_filter": textstats.repetition_filter,
-        "token_histogram": textstats.token_histogram,
-        "token_quantiles": textstats.token_quantiles,
-        "lang_token_quantiles": textstats.lang_token_quantiles,
-        "gopher_rules": textstats.gopher_rules,
-        "df_top_tokens": textstats.df_top_tokens,
-        "tfidf_top_terms": textstats.tfidf_top_terms,
-        "search_topk": textstats.search_topk,
-        "bm25_topk": textstats.bm25_topk,
-        "bigram_top": textstats.bigram_top,
-        "token_cms_registers": textstats.token_cms_registers,
-        "char_stats": textstats.char_stats,
-        "textrank_keywords": textstats.textrank_keywords,
         "fingerprints": textstats.fingerprints,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact_docs,
         "minhash_dup_pairs": dedup.minhash_dup_pairs_docs,
         "simhash": dedup.simhash_table,
         "ngram_jaccard_dups": dedup.ngram_jaccard_dups_docs,
-        "near_dup_clusters": dedup.near_dup_clusters_docs,
-        "near_dedup_keep": dedup.near_dedup_keep_docs,
-        "decontaminate": dedup.decontaminate_docs,
-        "dup_shingle_stats": dedup.dup_shingle_stats_docs,
-        "dup_ngram_scrub": dedup.dup_ngram_scrub_docs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs_embeddings,
-        "embedding_dup_clusters": dedup.embedding_dup_clusters_embeddings,
         # --- similarity search ---
         "knn_brute": similarity.knn_brute_embeddings,
         "knn_lsh": similarity.knn_lsh_embeddings,
-        "knn_ivf": similarity.knn_ivf_embeddings,
-        "embedding_topk_pairs": similarity.embedding_topk_pairs,
-        "label_centroids": similarity.label_centroids,
-        # --- training-data assembly ---
-        "pack_sequences": training.pack_sequences_docs,
-        "pack_assignments": training.pack_assignments_docs,
-        "stratified_sample": training.stratified_sample_docs,
-        "top_docs_per_lang": training.top_docs_per_lang,
-        "source_mix": training.source_mix,
-        "domain_cap": training.domain_cap,
         # --- multimodal (stubbed codecs, real Ray plumbing) ---
         "media_features": multimodal.media_features,
-        "frame_sample": multimodal.frame_sample,
     }
 
 
