@@ -29,7 +29,9 @@ from ray.data.aggregate import Count, Sum
 
 
 def _read(sf_dir: str, name: str, columns=None):
-    return ray.data.read_parquet(
+    from document_extractor_ray.sources import read_parquet_clean
+
+    return read_parquet_clean(
         f"{sf_dir}/{name}.parquet", columns=columns, override_num_blocks=_n_blocks()
     )
 

@@ -122,7 +122,9 @@ def dedup_exact(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = 
 def _read_docs(sf_dir: str):
     from document_extractor_ray.functions.analytics import _n_blocks
 
-    return ray.data.read_parquet(
+    from document_extractor_ray.sources import read_parquet_clean
+
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], override_num_blocks=_n_blocks()
     )
 

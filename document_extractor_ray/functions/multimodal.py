@@ -305,7 +305,9 @@ def media_features(sf_dir: str):
     """queries() entry: features over a deterministic media corpus
     scaled like the documents table (rows-only check; no SQL oracle for
     binary decode)."""
-    ds = ray.data.read_parquet(_media_path(sf_dir))
+    from document_extractor_ray.sources import read_parquet_clean
+
+    ds = read_parquet_clean(_media_path(sf_dir))
     return extract_media_features(ds).sort("media_id")
 
 
@@ -399,7 +401,9 @@ def frame_sample(sf_dir: str):
     """queries() entry: even-spaced frame sampling over the video rows
     of the deterministic media corpus (golden-pinned; binary decode has
     no SQL oracle).  Output ordered (media_id, frame_idx)."""
-    ds = ray.data.read_parquet(_media_path(sf_dir))
+    from document_extractor_ray.sources import read_parquet_clean
+
+    ds = read_parquet_clean(_media_path(sf_dir))
     return ds.map_batches(
         FrameSampler,
         batch_format="pyarrow",

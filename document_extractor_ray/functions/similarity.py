@@ -26,7 +26,9 @@ import ray.data
 def _read_embeddings(sf_dir: str):
     from document_extractor_ray.functions.analytics import _n_blocks
 
-    return ray.data.read_parquet(
+    from document_extractor_ray.sources import read_parquet_clean
+
+    return read_parquet_clean(
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "embedding"],
         override_num_blocks=_n_blocks(),
@@ -640,7 +642,9 @@ def label_centroids(sf_dir: str):
 
     from document_extractor_ray.functions.analytics import _n_blocks
 
-    ds = ray.data.read_parquet(
+    from document_extractor_ray.sources import read_parquet_clean
+
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet",
         columns=["embedding", "label"],
         override_num_blocks=_n_blocks(),

@@ -28,7 +28,9 @@ _PUNCT_RE = r"[.,;:!?'\"()\[\]{}-]"
 def _read_docs(sf_dir: str, columns):
     from document_extractor_ray.functions.analytics import _n_blocks
 
-    return ray.data.read_parquet(
+    from document_extractor_ray.sources import read_parquet_clean
+
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=columns, override_num_blocks=_n_blocks()
     )
 

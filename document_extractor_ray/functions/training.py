@@ -31,7 +31,9 @@ from document_extractor_ray.functions.analytics import _n_blocks
 
 
 def _read_docs(sf_dir: str, columns):
-    return ray.data.read_parquet(
+    from document_extractor_ray.sources import read_parquet_clean
+
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=columns, override_num_blocks=_n_blocks()
     )
 

@@ -629,14 +629,16 @@ def build_extraction_fused(
     # mis-deduplicating.
     winner_ref = None
     if cfg.dedup:
-        slim = ray.data.read_parquet(paths, columns=["url", "warc_ts"])
+        from document_extractor_ray.sources import read_parquet_clean
+
+        slim = read_parquet_clean(paths, columns=["url", "warc_ts"])
         n_dups, dups = _dup_winners(slim)
         if n_dups > DEDUP_BROADCAST_LIMIT:
             return None
         if n_dups > 0:
             winner_ref = _broadcast_winner_dim(
                 dups,
-                full_ds=ray.data.read_parquet(paths, columns=PAGE_COLUMNS),
+                full_ds=read_parquet_clean(paths, columns=PAGE_COLUMNS),
             )
 
     frags, max_rg_rows = page_fragments(paths)

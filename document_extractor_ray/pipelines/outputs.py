@@ -109,7 +109,16 @@ def write_combined_text(
     order, new chunk when the next block would overflow
     cfg.max_combined_bytes.  The chunk assignment is a sequential
     prefix-sum (A7) so it streams on the driver — only
-    (url, extracted_text) crosses, already sorted."""
+    (url, extracted_text) crosses, already sorted.
+
+    Rerun continuation (output_writer.py:86-100): when the output dir
+    already holds chunk files for this run, numbering and the size
+    budget resume from the highest-numbered one (its current on-disk
+    size counts against the budget, exactly like the reference's
+    stat-based fit check) — two sequential runs into one dir produce
+    the same chunk set as one combined run."""
+    import glob as _glob
+
     os.makedirs(out_dir, exist_ok=True)
 
     def batches():
@@ -122,6 +131,28 @@ def write_combined_text(
 
     written = []
     chunk_gen_state = {"chunk_id": 1, "current": 0, "first": True}
+    resume_path = None
+    existing = sorted(
+        _glob.glob(
+            os.path.join(
+                _glob.escape(out_dir),
+                f"{_glob.escape(cfg.run_id)}_all_text_*.txt",
+            )
+        )
+    )
+    if existing:
+        last = existing[-1]
+        stem = os.path.splitext(os.path.basename(last))[0]
+        try:
+            cid = int(stem.rsplit("_", 1)[-1])
+        except ValueError:
+            cid = len(existing)  # reference fallback: count-based
+        chunk_gen_state = {
+            "chunk_id": cid,
+            "current": os.path.getsize(last),
+            "first": False,
+        }
+        resume_path = last
     fh = None
     try:
         for batch in batches():
@@ -143,6 +174,10 @@ def write_combined_text(
                     )
                     fh = open(path, "w", encoding="utf-8", newline="")
                     written.append(path)
+                elif fh is None:
+                    # resuming into the last existing chunk file
+                    fh = open(resume_path, "a", encoding="utf-8", newline="")
+                    written.append(resume_path)
                 fh.write(text)
                 fh.write(DOCUMENT_BREAK)
                 st["current"] += doc_bytes + len(DOCUMENT_BREAK.encode("utf-8"))

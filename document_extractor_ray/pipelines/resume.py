@@ -90,7 +90,9 @@ def run_shard(
     final.write_parquet(os.path.join(tmp_dir, "final"))
 
     # Per-status counters from what was just written (A6 run counters).
-    written = ray.data.read_parquet(os.path.join(tmp_dir, "final"))
+    from document_extractor_ray.sources import read_parquet_clean
+
+    written = read_parquet_clean(os.path.join(tmp_dir, "final"))
     counts: Dict[str, int] = {}
     for row in written.groupby("status").count().take_all():
         counts[row["status"]] = int(row["count()"])
@@ -169,4 +171,6 @@ def read_all_results(out_dir: str) -> "ray.data.Dataset":
         files.extend(
             sorted(glob.glob(os.path.join(out_dir, f"shard={sid}", "final", "*.parquet")))
         )
-    return ray.data.read_parquet(files)
+    from document_extractor_ray.sources import read_parquet_clean
+
+    return read_parquet_clean(files)

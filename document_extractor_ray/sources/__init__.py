@@ -20,6 +20,30 @@ import ray.data
 PAGE_COLUMNS = ["url", "warc_ts", "html", "text"]
 
 
+def read_parquet_clean(
+    path: Union[str, List[str]], columns=None, **kw
+) -> "ray.data.Dataset":
+    """ray.data.read_parquet with the file-level metadata stripped
+    from the block schema.  Pandas-written parquet carries a
+    ``pandas`` JSON blob in the schema metadata that makes pa.Schema
+    unhashable in Ray 2.49's schema-dedup cache — every bundling step
+    then logs 'Failed to hash the schemas (for deduplication)' and
+    re-unifies schemas the slow way.  Passing the (projected,
+    metadata-free) schema explicitly keeps blocks clean end to end."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        p = path[0] if isinstance(path, list) else path
+        sch = pq.read_schema(p).remove_metadata()
+        if columns is not None:
+            sch = pa.schema([sch.field(c) for c in columns])
+        return ray.data.read_parquet(path, columns=columns, schema=sch, **kw)
+    except Exception:
+        # directory inputs / odd layouts: fall back to the stock read
+        return ray.data.read_parquet(path, columns=columns, **kw)
+
+
 def read_pages(path: Union[str, List[str]]) -> "ray.data.Dataset":
     """Read a pages table, pruning to the columns the pipeline uses.
 
@@ -28,7 +52,7 @@ def read_pages(path: Union[str, List[str]]) -> "ray.data.Dataset":
     n = 32
     if ray.is_initialized():
         n = max(8, 2 * int(ray.cluster_resources().get("CPU", 16)))
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         path, columns=PAGE_COLUMNS, override_num_blocks=n
     )
 
@@ -75,4 +99,9 @@ def read_pages_jsonl(path: Union[str, List[str]]) -> "ray.data.Dataset":
     return ds.map_batches(prune, batch_format="pyarrow")
 
 
-__all__ = ["read_pages", "read_pages_jsonl", "PAGE_COLUMNS"]
+__all__ = [
+    "read_pages",
+    "read_pages_jsonl",
+    "read_parquet_clean",
+    "PAGE_COLUMNS",
+]

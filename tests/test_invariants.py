@@ -388,3 +388,28 @@ def test_dedup_first_tolerates_null_urls(ray_session):
     )
     n, dups = _dup_winners(ray.data.from_arrow(t))
     assert n == 2  # "a" and the null group are both duplicated
+
+
+def test_combined_chunks_resume_across_runs(tmp_path):
+    """Rerun continuation (output_writer.py:86-100): two sequential
+    write_combined_text runs into one dir must produce the same chunk
+    files, byte for byte, as one combined run."""
+    from document_extractor_ray.config import DEFAULT_CONFIG
+    from document_extractor_ray.pipelines.outputs import write_combined_text
+
+    cfg = DEFAULT_CONFIG.with_(max_combined_bytes=300)
+    texts = [f"doc {i} " + "x" * (40 + 7 * i) for i in range(12)]
+    t = pa.table({"extracted_text": pa.array(texts, pa.string())})
+
+    one = tmp_path / "one"
+    write_combined_text(t, str(one), cfg)
+
+    two = tmp_path / "two"
+    write_combined_text(t.slice(0, 5), str(two), cfg)
+    write_combined_text(t.slice(5), str(two), cfg)
+
+    fa = sorted(p.name for p in one.iterdir())
+    fb = sorted(p.name for p in two.iterdir())
+    assert fa == fb and len(fa) > 1
+    for n in fa:
+        assert (one / n).read_bytes() == (two / n).read_bytes()
