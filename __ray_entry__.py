@@ -98,6 +98,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_results": _extract_results,
         "extract_quarantine": _extract_quarantine,
         "extract_unit_rows": _extract_unit_rows,
+        # --- round-3 additions (oracled, never driver-sampled) ---
+        "token_rarity": textstats.token_rarity,
+        "postings_topdf": textstats.postings_topdf,
+        "edit_distance_verify": dedup.edit_distance_verify_docs,
         # --- oracled queries the driver has NOT yet sampled (r1+r2
         # correctness files) come first so a capped sample reaches
         # them (VERDICT r2 item 3); all are local-gate green ---
@@ -289,6 +293,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_scrub": sqlhash.dup_ngram_scrub_sql(),
         "char_stats": textstats.CHAR_STATS_SQL,
         "textrank_keywords": textstats.textrank_keywords_sql(),
+        "token_rarity": textstats.TOKEN_RARITY_SQL,
+        "postings_topdf": textstats.POSTINGS_TOPDF_SQL,
+        "edit_distance_verify": dedup.edit_distance_verify_sql(),
         # --- exact similarity search (float64 compute, half-up micro
         # ints on both sides; margins audited in similarity.py) ---
         "knn_brute": similarity.KNN_BRUTE_SQL,

@@ -201,6 +201,9 @@ def run_bench() -> dict:
         "sliding_7d_users",
         "value_outliers",
         "bm25_topk",
+        "token_rarity",
+        "postings_topdf",
+        "edit_distance_verify",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

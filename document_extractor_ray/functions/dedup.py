@@ -1586,3 +1586,125 @@ def dup_ngram_scrub(
 
 def dup_ngram_scrub_docs(sf_dir: str):
     return dup_ngram_scrub(_read_docs(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Exact edit-distance verification of MinHash candidates
+# ---------------------------------------------------------------------------
+
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost Levenshtein distance, numpy row-DP: one vectorized
+    pass per unit of ``a``; the deletion recurrence (a prefix min
+    along the row) vectorizes as min.accumulate(row - j) + j.
+    Operates on UTF-8 BYTES — DuckDB's ``levenshtein`` does too
+    (measured: ('ü','x') = 2), and the oracle must match exactly."""
+    if a == b:
+        return 0
+    aa = np.frombuffer(a.encode("utf-8"), dtype=np.uint8)
+    bb = np.frombuffer(b.encode("utf-8"), dtype=np.uint8)
+    la, lb = len(aa), len(bb)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    ar = np.arange(lb + 1, dtype=np.int64)
+    prev = ar.copy()
+    row = np.empty(lb + 1, np.int64)
+    for i in range(la):
+        row[0] = i + 1
+        np.minimum(prev[:-1] + (bb != aa[i]), prev[1:] + 1, out=row[1:])
+        np.minimum(row, np.minimum.accumulate(row - ar) + ar, out=row)
+        prev, row = row, prev
+    return int(prev[lb])
+
+
+def edit_distance_verify(
+    ds: "ray.data.Dataset", threshold: float = 0.7, seed: int = 42
+):
+    """Exact unit-cost edit distance for every MinHash candidate pair —
+    the string-level verification stage of the near-dup family
+    (ngram_jaccard_dups verifies set overlap; this verifies the
+    character sequence).  Output (doc_a, doc_b, edit_dist) ordered.
+
+    Scale shape: the candidate set is already budget-capped by the
+    MinHash band machinery (MAX_BUCKET); member texts are fetched with
+    one broadcast id-set filter over the corpus (bounded by 2x pairs)
+    and the O(len_a*len_b) DP runs distributed over the pair stream,
+    one vectorized numpy row-sweep per pair."""
+    from document_extractor_ray import state
+
+    pairs = minhash_dup_pairs(ds, threshold=threshold, seed=seed).materialize()
+    prefs = [r for r in pairs.to_arrow_refs() if ray.get(r).num_rows > 0]
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "edit_dist": pa.array([], pa.int64()),
+        }
+    )
+    if not prefs:
+        return empty
+    ptab = pa.concat_tables(map(ray.get, prefs)).combine_chunks()
+
+    id_set = pc.unique(
+        pa.concat_arrays(
+            [ptab["doc_a"].combine_chunks(), ptab["doc_b"].combine_chunks()]
+        )
+    )
+    members = pa.concat_tables(
+        tb
+        for tb in map(
+            ray.get,
+            ds.map_batches(
+                lambda t, _s=id_set: t.filter(pc.is_in(t["doc_id"], value_set=_s)),
+                batch_format="pyarrow",
+            ).to_arrow_refs(),
+        )
+        if tb.num_rows
+    ).combine_chunks()
+    ref = state.broadcast(members)
+
+    pairs_ds = ray.data.from_arrow(ptab.select(["doc_a", "doc_b"]))
+
+    def verify(t: pa.Table) -> pa.Table:
+        m = state.cached_get(ref)
+        ia = pc.index_in(t["doc_a"], value_set=m["doc_id"]).to_numpy(
+            zero_copy_only=False
+        )
+        ib = pc.index_in(t["doc_b"], value_set=m["doc_id"]).to_numpy(
+            zero_copy_only=False
+        )
+        texts = m["text"].to_pylist()
+        d = [
+            _levenshtein(texts[x] or "", texts[y] or "")
+            for x, y in zip(ia, ib)
+        ]
+        return pa.table(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "edit_dist": pa.array(d, pa.int64()),
+            }
+        )
+
+    return pairs_ds.map_batches(verify, batch_format="pyarrow").sort(
+        ["doc_a", "doc_b"]
+    )
+
+
+def edit_distance_verify_docs(sf_dir: str, threshold: float = 0.7):
+    return edit_distance_verify(_read_docs(sf_dir), threshold=threshold)
+
+
+def edit_distance_verify_sql(threshold: float = 0.7) -> str:
+    """Oracle: the minhash candidate CTE (sqlhash) joined back to the
+    texts, distances via DuckDB's levenshtein."""
+    from document_extractor_ray.functions.sqlhash import minhash_pairs_sql
+
+    return f"""WITH pairs AS ({minhash_pairs_sql(threshold)})
+SELECT p.doc_a, p.doc_b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+ORDER BY p.doc_a, p.doc_b"""

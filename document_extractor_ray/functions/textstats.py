@@ -898,6 +898,169 @@ LIMIT {DF_TOP_K}
 
 
 # ---------------------------------------------------------------------------
+# Token rarity: per-doc mean inverse unigram frequency (quality signal)
+# ---------------------------------------------------------------------------
+
+RARITY_SCALE = 1000
+
+
+def token_rarity(sf_dir: str):
+    """Per-doc mean inverse corpus unigram frequency — the
+    integer-exact stand-in for a CCNet-style LM perplexity filter
+    (rare-token-heavy docs score high, boilerplate scores low) with no
+    float logs, so the SQL oracle matches bit for bit:
+
+        rarity_milli(d) = (sum over occurrences of
+                           RARITY_SCALE * N_total // cnt(token)) // n_tok(d)
+
+    Scale shape: pass 1 is a bucketed vocabulary aggregate (shuffle
+    bounded by distinct tokens, never corpus size); the (token, cnt)
+    table broadcasts once like the df/tfidf operators (same documented
+    vocabulary-broadcast ceiling — above it, swap the broadcast for a
+    partitioned join on token); pass 2 is one vectorized
+    index_in + segment-sum per batch."""
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.TableGroupBy(pa.table({"token": flat}), ["token"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"token": g["token"], "c_part": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    vocab = bucketed_agg(
+        ds.map_batches(tf_partial, batch_format="pyarrow"),
+        ["token"],
+        [("c_part", "sum", "c")],
+    ).materialize()
+    vt = pa.concat_tables(
+        tb for tb in map(ray.get, vocab.to_arrow_refs()) if tb.num_rows
+    ).combine_chunks()
+    n_total = int(pc.sum(vt["c"]).as_py() or 0)
+    ref = state.broadcast((vt, n_total))
+
+    def score(t: pa.Table) -> pa.Table:
+        v, n_tot = state.cached_get(ref)
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        par = parent.filter(keep).to_numpy(zero_copy_only=False)
+        ntok = np.zeros(t.num_rows, np.int64)
+        per = np.zeros(t.num_rows, np.int64)
+        if len(flat):
+            idx = pc.index_in(flat, value_set=v["token"]).to_numpy(
+                zero_copy_only=False
+            )
+            c = v["c"].to_numpy(zero_copy_only=False)[idx]
+            r = (RARITY_SCALE * n_tot) // c
+            np.add.at(per, par, r)
+            np.add.at(ntok, par, 1)
+        rarity = np.where(ntok > 0, per // np.maximum(ntok, 1), 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok": pa.array(ntok),
+                "rarity_milli": pa.array(rarity.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+TOKEN_RARITY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+  FROM documents
+),
+tk AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY token),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk),
+per AS (
+  SELECT tk.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum({RARITY_SCALE} * tot.n // cnt.c) AS BIGINT) AS s
+  FROM tk CROSS JOIN tot JOIN cnt ON cnt.token = tk.token
+  GROUP BY tk.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_tok, 0) AS BIGINT) AS n_tok,
+       CAST(coalesce(per.s // per.n_tok, 0) AS BIGINT) AS rarity_milli
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index build: postings for the top-df tokens
+# ---------------------------------------------------------------------------
+
+POSTINGS_TOP = 20
+
+
+def postings_topdf(sf_dir: str, p: int = POSTINGS_TOP):
+    """Postings lists (token, doc_id) for the top-``p`` tokens by
+    document frequency — the index-build counterpart of search_topk.
+
+    Scale shape: the token selection reuses df_top_tokens (bounded
+    vocabulary shuffle + k-row collect); the postings pass broadcasts
+    the p-token set and emits distinct (token, doc_id) pairs per batch
+    — a doc lives wholly in its row, so per-batch distinctness is
+    globally exact and nothing but matching postings crosses the final
+    sort.  At a 10^12-doc scale, write the sorted postings partitioned
+    by token instead of sorting globally."""
+    top = df_top_tokens(sf_dir, k=p)
+    toks = sorted(r["token"] for r in top.take_all())
+    tok_set = pa.array(toks, pa.string())
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def postings(t: pa.Table) -> pa.Table:
+        toks_l = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks_l)
+        parent = pc.list_parent_indices(toks_l)
+        keep = pc.and_(
+            pc.is_in(flat, value_set=tok_set), pc.not_equal(flat, "")
+        )
+        pairs = pa.table(
+            {
+                "token": flat.filter(keep),
+                "doc_id": pc.take(t["doc_id"], parent.filter(keep)),
+            }
+        )
+        g = pa.TableGroupBy(pairs, ["token", "doc_id"]).aggregate([])
+        return g.select(["token", "doc_id"])
+
+    return ds.map_batches(postings, batch_format="pyarrow").sort(
+        ["token", "doc_id"]
+    )
+
+
+POSTINGS_TOPDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+  FROM documents
+),
+tk AS (SELECT DISTINCT doc_id, token FROM tok WHERE token <> ''),
+dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tk GROUP BY token),
+top AS (SELECT token FROM dfx ORDER BY df DESC, token LIMIT {POSTINGS_TOP})
+SELECT tk.token, tk.doc_id
+FROM tk JOIN top USING (token)
+ORDER BY token, doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Term search: top-k docs for a fixed query by summed integer tf-idf
 # ---------------------------------------------------------------------------
 

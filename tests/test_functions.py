@@ -98,6 +98,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "sliding_7d_users",
         "value_outliers",
         "bm25_topk",
+        "token_rarity",
+        "postings_topdf",
+        "edit_distance_verify",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -1325,3 +1328,92 @@ def test_textrank_empty_graph(ray_session, tmp_path):
     )
     assert textrank_keywords(str(tmp_path)).num_rows == 0
     assert textrank_keywords(str(tmp_path), driver_edge_limit=0).num_rows == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: token_rarity / postings_topdf / edit_distance_verify
+# ---------------------------------------------------------------------------
+
+def test_levenshtein_matches_duckdb_bytes():
+    """The numpy row-DP must equal DuckDB's levenshtein (which works
+    on UTF-8 BYTES — ('ü','x') is 2) on fuzzed unicode strings, or the
+    edit_distance_verify oracle can never match."""
+    import random
+
+    import duckdb
+
+    from document_extractor_ray.functions.dedup import _levenshtein
+
+    assert _levenshtein("ü", "x") == 2
+    assert _levenshtein("", "abc") == 3 and _levenshtein("abc", "") == 3
+    rng = random.Random(7)
+    alpha = "abcdeü "
+    for _ in range(150):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 16)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 16)))
+        want = duckdb.sql(
+            "SELECT levenshtein(?, ?)", params=[a, b]
+        ).fetchone()[0]
+        assert _levenshtein(a, b) == want, (a, b)
+
+
+def test_token_rarity_orders_rare_above_common(ray_session, tmp_path):
+    """A doc of corpus-unique tokens must out-score a doc made of the
+    corpus's most repeated token; empty docs score 0 with n_tok 0."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.textstats import token_rarity
+
+    texts = ["common common common"] * 5 + ["zyxwvut qponmlk", ""]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = token_rarity(str(tmp_path)).take_all()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[5]["rarity_milli"] > by_id[0]["rarity_milli"]
+    assert by_id[6] == {"doc_id": 6, "n_tok": 0, "rarity_milli": 0}
+    # exact integer semantics: 17 total tokens; common has 15 -> each
+    # occurrence floor(1000*17/15)=1133; unique tokens -> 17000
+    assert by_id[0]["rarity_milli"] == 1133
+    assert by_id[5]["rarity_milli"] == 17000
+
+
+def test_postings_topdf_lists_exactly_member_docs(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.textstats import postings_topdf
+
+    texts = ["alpha beta", "beta gamma", "alpha alpha delta", "epsilon"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    rows = postings_topdf(str(tmp_path), p=2).take_all()
+    got = sorted((r["token"], r["doc_id"]) for r in rows)
+    # top-2 by (df desc, token asc): alpha df=2, beta df=2
+    assert got == [("alpha", 0), ("alpha", 2), ("beta", 0), ("beta", 1)]
+
+
+def test_edit_distance_verify_on_planted_near_dups(ray_session):
+    """The planted near-dup pair verifies with the true byte edit
+    distance; the exact dup pair verifies at 0."""
+    import ray.data
+
+    from document_extractor_ray.functions.dedup import (
+        _levenshtein,
+        edit_distance_verify,
+    )
+
+    t = _planted_corpus()
+    rows = edit_distance_verify(ray.data.from_arrow(t)).take_all()
+    got = {(r["doc_a"], r["doc_b"]): r["edit_dist"] for r in rows}
+    assert got[(0, 3)] == 0  # exact duplicate
+    texts = t["text"].to_pylist()
+    assert got[(0, 1)] == _levenshtein(texts[0], texts[1]) > 0
