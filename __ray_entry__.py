@@ -102,6 +102,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_rarity": textstats.token_rarity,
         "postings_topdf": textstats.postings_topdf,
         "edit_distance_verify": dedup.edit_distance_verify_docs,
+        "funnel_counts": analytics.funnel_counts,
+        "promo_revenue_monthly": analytics.promo_revenue_monthly,
+        "pmi_bigrams": textstats.pmi_bigrams,
         # --- oracled queries the driver has NOT yet sampled (r1+r2
         # correctness files) come first so a capped sample reaches
         # them (VERDICT r2 item 3); all are local-gate green ---
@@ -296,6 +299,9 @@ def oracle_sql() -> dict[str, str]:
         "token_rarity": textstats.TOKEN_RARITY_SQL,
         "postings_topdf": textstats.POSTINGS_TOPDF_SQL,
         "edit_distance_verify": dedup.edit_distance_verify_sql(),
+        "funnel_counts": analytics.FUNNEL_COUNTS_SQL,
+        "promo_revenue_monthly": analytics.PROMO_REVENUE_MONTHLY_SQL,
+        "pmi_bigrams": textstats.PMI_BIGRAMS_SQL,
         # --- exact similarity search (float64 compute, half-up micro
         # ints on both sides; margins audited in similarity.py) ---
         "knn_brute": similarity.KNN_BRUTE_SQL,

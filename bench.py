@@ -79,6 +79,9 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # stdout must stay a single JSON line for the driver's parse;
+        # worker prints (e.g. "(reduce pid=...)") otherwise leak in.
+        log_to_driver=False,
     )
     import ray.data
 
@@ -204,6 +207,9 @@ def run_bench() -> dict:
         "token_rarity",
         "postings_topdf",
         "edit_distance_verify",
+        "funnel_counts",
+        "promo_revenue_monthly",
+        "pmi_bigrams",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

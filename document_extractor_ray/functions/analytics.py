@@ -3170,3 +3170,237 @@ FROM events e JOIN madt USING (event_type)
 WHERE abs(CAST(round(e.value * 100.0) AS BIGINT) - madt.m) > {OUTLIER_K} * madt.mad
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Ordered-stage funnel conversion (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+FUNNEL_WINDOW_US = 86_400_000_000  # stage i+1 must land within 1 day of stage i
+
+
+def funnel_counts(sf_dir: str):
+    """Funnel conversion: how many users reached each stage in ORDER —
+    stage i+1 counts a user only if they fired that event type
+    STRICTLY AFTER their stage-i entry time and within the 1-day
+    conversion window (entry = earliest qualifying event).  The
+    product-analytics primitive behind conversion dashboards.
+
+    Sequential semantics per user, so it shuffles once on a hash
+    bucket of user_id (the sessionize plan — a user's events
+    co-locate, partitions stay balanced); inside a partition the whole
+    stage walk is len(FUNNEL_STAGES) vectorized groupby-min passes
+    (each stage's threshold Series reindexes onto the next stage's
+    candidate rows — NaT thresholds auto-exclude users who never
+    reached the prior stage).  The partial per partition is one row
+    per stage, so the final aggregate is a 3-key Sum — nothing
+    key-per-row ever leaves a partition."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    n_parts = _n_blocks()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(
+            pc.multiply(
+                pc.cast(t["user_id"], pa.int64()), pa.scalar(2654435761, pa.int64())
+            ),
+            pa.scalar(0x7FFFFFFF, pa.int64()),
+        )
+        part = pc.cast(
+            pc.subtract(h, pc.multiply(pc.divide(h, n_parts), n_parts)), pa.int32()
+        )
+        return t.append_column("part", part)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        reached = []
+        prev = None  # user_id -> entry ts of the previous stage
+        for stage in FUNNEL_STAGES:
+            sub = g[g["event_type"] == stage]
+            if prev is not None:
+                thr = prev.reindex(sub["user_id"]).to_numpy()
+                ts = sub["ts"].to_numpy()
+                # NaT threshold (user never reached prior stage) or
+                # no in-window strictly-later event both compare False.
+                sub = sub[
+                    (ts > thr)
+                    & (ts <= thr + np.timedelta64(FUNNEL_WINDOW_US, "us"))
+                ]
+            prev = sub.groupby("user_id", sort=False)["ts"].min()
+            reached.append(len(prev))
+        return pd.DataFrame(
+            {
+                "stage_idx": np.arange(len(FUNNEL_STAGES), dtype=np.int64),
+                "users": np.asarray(reached, dtype=np.int64),
+            }
+        )
+
+    stage_names = pa.array(list(FUNNEL_STAGES), pa.string())
+
+    def attach_name(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "stage_idx": t["stage_idx"],
+                "stage": stage_names.take(pc.cast(t["stage_idx"], pa.int32())),
+                "users": t["users"],
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .groupby("stage_idx")
+        .aggregate(Sum("users", alias_name="users"))
+        .map_batches(attach_name, batch_format="pyarrow")
+        .sort("stage_idx")
+    )
+
+
+FUNNEL_COUNTS_SQL = f"""
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s0 ON s0.user_id = e.user_id
+  WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts > s0.t
+    AND e.ts <= s0.t + to_microseconds({FUNNEL_WINDOW_US}::BIGINT)
+  GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts > s1.t
+    AND e.ts <= s1.t + to_microseconds({FUNNEL_WINDOW_US}::BIGINT)
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS stage_idx, '{FUNNEL_STAGES[0]}' AS stage,
+         (SELECT CAST(count(*) AS BIGINT) FROM s0) AS users
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), '{FUNNEL_STAGES[1]}',
+         (SELECT CAST(count(*) AS BIGINT) FROM s1)
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), '{FUNNEL_STAGES[2]}',
+         (SELECT CAST(count(*) AS BIGINT) FROM s2)
+)
+ORDER BY stage_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# Promo revenue ratio per ship month (TPC-H Q14 shape; uses the part dim)
+# ---------------------------------------------------------------------------
+
+def promo_revenue_monthly(sf_dir: str):
+    """Monthly promo-revenue share: lineitem joined to the part dim,
+    revenue split by whether p_type is a PROMO part, ratio in exact
+    permille — the TPC-H Q14 shape.
+
+    Money stays integer end to end: revenue per line is
+    cents(extendedprice) * (1000 - permille(discount)) — one exact
+    int64 "milli-cent" product — so sums and the final ratio are
+    bit-reproducible under any association order.  The part dim
+    broadcasts once via ray.put (p_partkey -> promo flag; ~9 bytes a
+    row, so the documented broadcast ceiling is ~10^8 parts — above
+    that, swap the attach for the partitioned hash join used by
+    order_revenue_by_nation).  Per batch the attach is index_in +
+    take, the partial is an Arrow group_by over ship months, and the
+    shuffle carries (month, 2 sums) partials — months are bounded, so
+    the final aggregate is a native Sum."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import state
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    dim = pa.table(
+        {
+            "p_partkey": part["p_partkey"],
+            "is_promo": pc.cast(
+                pc.starts_with(part["p_type"], "PROMO"), pa.int64()
+            ),
+        }
+    )
+    ref = state.broadcast(dim)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = state.lookup_join(
+            t, "l_partkey", state.cached_get(ref), "p_partkey", ["is_promo"], fill=0
+        )
+        rev_mc = pc.multiply(
+            _to_cents(t["l_extendedprice"]),
+            pc.subtract(
+                pa.scalar(1000, pa.int64()),
+                pc.cast(
+                    pc.round(
+                        pc.multiply(t["l_discount"], 1000.0),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            ),
+        )
+        month = pc.floor_temporal(t["l_shipdate"], unit="month")
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "month": month,
+                    "promo_mc": pc.multiply(rev_mc, pc.cast(t["is_promo"], pa.int64())),
+                    "total_mc": rev_mc,
+                }
+            ),
+            ["month"],
+        ).aggregate([("promo_mc", "sum"), ("total_mc", "sum")])
+        return g.rename_columns(["month", "promo_mc", "total_mc"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "month": pc.cast(t["month"], pa.timestamp("us")),
+                "promo_mc": t["promo_mc"],
+                "total_mc": t["total_mc"],
+                "promo_permille": pc.divide(
+                    pc.multiply(t["promo_mc"], pa.scalar(1000, pa.int64())),
+                    t["total_mc"],
+                ),
+            }
+        )
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(
+            Sum("promo_mc", alias_name="promo_mc"),
+            Sum("total_mc", alias_name="total_mc"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("month")
+    )
+
+
+PROMO_REVENUE_MONTHLY_SQL = """
+WITH li AS (
+  SELECT CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS month,
+         CAST(round(l.l_extendedprice * 100.0) AS BIGINT)
+           * (1000 - CAST(round(l.l_discount * 1000.0) AS BIGINT)) AS rev_mc,
+         CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS is_promo
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT month,
+       CAST(sum(rev_mc * is_promo) AS BIGINT) AS promo_mc,
+       CAST(sum(rev_mc) AS BIGINT) AS total_mc,
+       CAST((1000 * sum(rev_mc * is_promo)) // sum(rev_mc) AS BIGINT) AS promo_permille
+FROM li
+GROUP BY month
+ORDER BY month
+"""

@@ -101,6 +101,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "token_rarity",
         "postings_topdf",
         "edit_distance_verify",
+        "funnel_counts",
+        "promo_revenue_monthly",
+        "pmi_bigrams",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -1417,3 +1420,110 @@ def test_edit_distance_verify_on_planted_near_dups(ray_session):
     assert got[(0, 3)] == 0  # exact duplicate
     texts = t["text"].to_pylist()
     assert got[(0, 1)] == _levenshtein(texts[0], texts[1]) > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: funnel_counts / promo_revenue_monthly / pmi_bigrams
+# ---------------------------------------------------------------------------
+
+def test_funnel_counts_ordering_and_window(ray_session, tmp_path):
+    """Stage order is strict (same-ts and before-ts events don't
+    convert) and the 1-day conversion window prunes late events."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.analytics import funnel_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # u1 converts fully in order, inside the window
+        (1, t0, "view"), (1, t0 + h, "click"), (1, t0 + 2 * h, "purchase"),
+        # u2's click precedes their view -> never reaches stage 2
+        (2, t0, "click"), (2, t0 + h, "view"), (2, t0 + 2 * h, "purchase"),
+        # u3's click lands 2 days after the view -> outside the window
+        (3, t0, "view"), (3, t0 + dt.timedelta(days=2), "click"),
+        # u4's click is simultaneous with the view -> not strictly after
+        (4, t0, "view"), (4, t0, "click"),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = {r["stage"]: r["users"] for r in funnel_counts(str(tmp_path)).take_all()}
+    assert out == {"view": 4, "click": 1, "purchase": 1}
+
+
+def test_promo_revenue_monthly_integer_exactness(ray_session, tmp_path):
+    """Hand-computed milli-cent sums and the floor permille ratio."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.analytics import promo_revenue_monthly
+
+    part = pa.table(
+        {
+            "p_partkey": pa.array([1, 2], pa.int64()),
+            "p_type": pa.array(["PROMO BRUSHED", "STANDARD"], pa.string()),
+        }
+    )
+    li = pa.table(
+        {
+            "l_partkey": pa.array([1, 2, 1], pa.int64()),
+            "l_extendedprice": pa.array([10.00, 20.00, 5.00], pa.float64()),
+            "l_discount": pa.array([0.10, 0.00, 0.05], pa.float64()),
+            "l_shipdate": pa.array(
+                [
+                    dt.datetime(2024, 1, 15),
+                    dt.datetime(2024, 1, 20),
+                    dt.datetime(2024, 2, 1),
+                ],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(part, str(tmp_path / "part.parquet"))
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    out = promo_revenue_monthly(str(tmp_path)).take_all()
+    jan, feb = out[0], out[1]
+    # Jan: promo 1000c * 900pm = 900_000; total += 2000c * 1000pm
+    assert jan["promo_mc"] == 900_000
+    assert jan["total_mc"] == 2_900_000
+    assert jan["promo_permille"] == 900_000 * 1000 // 2_900_000  # = 310
+    # Feb: single promo line 500c * 950pm — ratio exactly 1000
+    assert feb["promo_mc"] == feb["total_mc"] == 475_000
+    assert feb["promo_permille"] == 1000
+
+
+def test_pmi_bigrams_favors_exclusive_pair(ray_session, tmp_path):
+    """A pair that ONLY co-occurs must out-score an equally frequent
+    pair whose members also appear apart; rank keys are exact ints."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.textstats import pmi_bigrams
+
+    texts = ["aa bb"] * 3 + ["cc dd"] * 3 + ["cc xx dd yy cc xx dd yy cc xx dd yy"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    rows = pmi_bigrams(str(tmp_path)).take_all()
+    by_gram = {r["bigram"]: r for r in rows}
+    # N = 24 tokens; aa/bb appear 3x each, only together:
+    # (3*1e6 // 3) * 24 // 3 = 8_000_000
+    assert rows[0]["bigram"] == "aa bb"
+    assert by_gram["aa bb"]["pmi_scaled"] == 8_000_000
+    assert (by_gram["aa bb"]["n_x"], by_gram["aa bb"]["n_y"]) == (3, 3)
+    # cc/dd appear 6x each but pair only 3x:
+    # (3*1e6 // 6) * 24 // 6 = 2_000_000
+    assert by_gram["cc dd"]["pmi_scaled"] == 2_000_000
+    assert all(r["n_xy"] >= 3 for r in rows)
