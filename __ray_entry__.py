@@ -105,6 +105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": analytics.funnel_counts,
         "promo_revenue_monthly": analytics.promo_revenue_monthly,
         "pmi_bigrams": textstats.pmi_bigrams,
+        "pareto_docs": textstats.pareto_docs,
+        "bpe_merges": textstats.bpe_merges,
+        "value_ks_types": analytics.value_ks_types,
         # --- oracled queries the driver has NOT yet sampled (r1+r2
         # correctness files) come first so a capped sample reaches
         # them (VERDICT r2 item 3); all are local-gate green ---
@@ -302,6 +305,9 @@ def oracle_sql() -> dict[str, str]:
         "funnel_counts": analytics.FUNNEL_COUNTS_SQL,
         "promo_revenue_monthly": analytics.PROMO_REVENUE_MONTHLY_SQL,
         "pmi_bigrams": textstats.PMI_BIGRAMS_SQL,
+        "pareto_docs": textstats.PARETO_DOCS_SQL,
+        "bpe_merges": textstats.BPE_MERGES_SQL,
+        "value_ks_types": analytics.VALUE_KS_TYPES_SQL,
         # --- exact similarity search (float64 compute, half-up micro
         # ints on both sides; margins audited in similarity.py) ---
         "knn_brute": similarity.KNN_BRUTE_SQL,

@@ -210,6 +210,9 @@ def run_bench() -> dict:
         "funnel_counts",
         "promo_revenue_monthly",
         "pmi_bigrams",
+        "pareto_docs",
+        "bpe_merges",
+        "value_ks_types",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -3239,6 +3239,16 @@ def funnel_counts(sf_dir: str):
     stage_names = pa.array(list(FUNNEL_STAGES), pa.string())
 
     def attach_name(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "stage_idx" not in t.column_names:
+            # Ray 2.49 hash aggregates can emit empty blocks with an
+            # EMPTY schema (CLAUDE.md trap) — normalize them.
+            return pa.table(
+                {
+                    "stage_idx": pa.array([], pa.int64()),
+                    "stage": pa.array([], pa.string()),
+                    "users": pa.array([], pa.int64()),
+                }
+            )
         return pa.table(
             {
                 "stage_idx": t["stage_idx"],
@@ -3403,4 +3413,132 @@ SELECT month,
 FROM li
 GROUP BY month
 ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov distance between event-type value dists
+# ---------------------------------------------------------------------------
+
+KS_TYPE_A = "click"
+KS_TYPE_B = "purchase"
+
+
+def value_ks_types(sf_dir: str, type_a: str = KS_TYPE_A, type_b: str = KS_TYPE_B):
+    """Exact two-sample KS statistic between the value distributions
+    of two event types — the drift / A-B-sameness test, all integer:
+    with per-type counts folded per distinct cents value, D * n_a *
+    n_b = max_v |cumsum_a(v) * n_b - cumsum_b(v) * n_a| needs no
+    floats, so the oracle is bit-exact (ks_num fits int64 up to ~3e9
+    rows per side; the SQL side computes in HUGEINT regardless).
+
+    Distributed shape: one filtered pass pre-counts (cents, side)
+    per batch, a bucketed aggregate folds the distinct-value table
+    (value-domain-bounded, NOT row-bounded), and the ordered cumsum
+    scan runs in ONE task over that small table — the same
+    counts-table fold the median/MAD family uses; for an unbounded
+    value domain, range-partition the cents axis and prefix-sum the
+    per-partition totals (the value_hdr escalation)."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.is_in(t["event_type"], value_set=pa.array([type_a, type_b]))
+        )
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "cents": _to_cents(t["value"]),
+                    "isb": pc.cast(pc.equal(t["event_type"], type_b), pa.int64()),
+                }
+            ),
+            ["cents", "isb"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "cents": g["cents"],
+                "isb": g["isb"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        isb = t["isb"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((isb, cents))
+        cents, isb, n = cents[order], isb[order], n[order]
+        na, nb = int(n[isb == 0].sum()), int(n[isb == 1].sum())
+        # one row per distinct cents: cumulative counts of each side
+        uniq, start = np.unique(cents, return_index=True)
+        ca = np.cumsum(np.where(isb == 0, n, 0))
+        cb = np.cumsum(np.where(isb == 1, n, 0))
+        end = np.append(start[1:], len(cents)) - 1  # last row per value
+        dv = np.abs(ca[end] * nb - cb[end] * na)
+        best = int(dv.max()) if len(dv) else 0
+        at = int(uniq[dv.argmax()]) if len(dv) else 0
+        permille = 1000 * best // (na * nb) if na and nb else 0
+        return pa.table(
+            {
+                "n_a": pa.array([na], pa.int64()),
+                "n_b": pa.array([nb], pa.int64()),
+                "ks_num": pa.array([best], pa.int64()),
+                "at_cents": pa.array([at], pa.int64()),
+                "ks_permille": pa.array([permille], pa.int64()),
+            }
+        )
+
+    # the (cents, isb) key is value-domain-bounded -> bucketed partial
+    # fold, then ONE ordered scan (groupby on the constant part)
+    folded = bucketed_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["cents", "isb"],
+        [("n", "sum", "n")],
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array(np.zeros(t.num_rows, np.int32), pa.int32())
+        )
+
+    def resolve_part(t: pa.Table) -> pa.Table:
+        return resolve(t.drop_columns(["part"]))
+
+    return (
+        folded.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve_part, batch_format="pyarrow")
+    )
+
+
+VALUE_KS_TYPES_SQL = f"""
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+),
+c AS (
+  SELECT cents,
+         CAST(sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+         CAST(sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS BIGINT) AS nb_v
+  FROM e GROUP BY cents
+),
+t AS (
+  SELECT CAST(sum(na_v) AS BIGINT) AS na, CAST(sum(nb_v) AS BIGINT) AS nb FROM c
+),
+cum AS (
+  SELECT cents,
+         sum(na_v) OVER (ORDER BY cents) AS ca,
+         sum(nb_v) OVER (ORDER BY cents) AS cb
+  FROM c
+),
+d AS (SELECT cents, abs(ca * t.nb - cb * t.na) AS dv FROM cum, t)
+SELECT t.na AS n_a, t.nb AS n_b,
+       CAST((SELECT max(dv) FROM d) AS BIGINT) AS ks_num,
+       CAST((SELECT min(cents) FROM d WHERE dv = (SELECT max(dv) FROM d))
+            AS BIGINT) AS at_cents,
+       CAST(1000 * (SELECT max(dv) FROM d) // (t.na * t.nb) AS BIGINT)
+         AS ks_permille
+FROM t
 """

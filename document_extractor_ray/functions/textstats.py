@@ -2396,3 +2396,287 @@ JOIN uni ub ON ub.tok = bg.b, tot
 ORDER BY pmi_scaled DESC, bigram
 LIMIT {PMI_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) of documents: most tokens for fewest chars
+# ---------------------------------------------------------------------------
+
+def _frontier_mask(n_tok: np.ndarray, n_chars: np.ndarray) -> np.ndarray:
+    """Boolean skyline mask under (maximize n_tok, minimize n_chars)
+    with strict dominance (equal points all survive): a point is kept
+    iff no other point is >= in tok, <= in chars, and strictly better
+    in one.  O(n log n): dedupe to distinct pairs, sort by (tok desc,
+    chars asc), keep a distinct pair iff its chars beat the running
+    min over every preceding pair (preceding = strictly more tokens,
+    or same tokens with strictly fewer chars — exactly the dominators'
+    candidate set), then map survival back to all rows."""
+    if not len(n_tok):
+        return np.zeros(0, bool)
+    # composite sort key: tok desc then chars asc in ONE int64 desc sort
+    comp = n_tok * (1 << 31) + ((1 << 31) - 1 - n_chars)
+    dist = np.unique(comp)[::-1]  # desc
+    chars_d = (1 << 31) - 1 - (dist & ((1 << 31) - 1))
+    keep = np.ones(len(dist), bool)
+    if len(dist) > 1:
+        prev_min = np.minimum.accumulate(chars_d)[:-1]
+        keep[1:] = chars_d[1:] < prev_min
+    return np.isin(comp, dist[keep])
+
+
+def pareto_docs(sf_dir: str):
+    """Skyline query over documents: the Pareto frontier of (token
+    count maximized, n_chars minimized) — "densest" docs no other doc
+    beats on both axes, the multi-objective selection primitive
+    (Börzsönyi et al. 2001).  Ray Data has no skyline operator; the
+    distributed shape is the frontier's closure property — the global
+    frontier equals the frontier of the UNION of per-block frontiers
+    (any dominator of a survivor is itself undominated or dominated
+    by an undominated point, transitively) — so each batch reduces to
+    its own tiny frontier and one resolve task folds them.  Frontier
+    size is bounded by distinct token-count values, orders of
+    magnitude below corpus size; at 10^12 docs swap the single
+    resolve for a 2-level tree merge of the same function."""
+    ds = _read_docs(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def stats_and_local(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_tok": pc.cast(
+                    pc.count_substring_regex(t["text"], r"\S+"), pa.int64()
+                ),
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
+                "part": pa.array(np.zeros(t.num_rows, np.int32), pa.int32()),
+            }
+        )
+        mask = _frontier_mask(
+            out["n_tok"].to_numpy(), out["n_chars"].to_numpy()
+        )
+        return out.filter(pa.array(mask))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["part"])
+        mask = _frontier_mask(
+            t["n_tok"].to_numpy(zero_copy_only=False),
+            t["n_chars"].to_numpy(zero_copy_only=False),
+        )
+        return t.filter(pa.array(mask))
+
+    return (
+        ds.map_batches(stats_and_local, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pyarrow")
+        .sort(["n_tok", "n_chars", "doc_id"], descending=[True, False, False])
+    )
+
+
+PARETO_DOCS_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+         CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents
+),
+dist AS (SELECT n_tok, n_chars FROM d GROUP BY 1, 2),
+ranked AS (
+  SELECT n_tok, n_chars,
+         min(n_chars) OVER (
+           ORDER BY n_tok DESC, n_chars ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_min
+  FROM dist
+),
+front AS (
+  SELECT n_tok, n_chars FROM ranked
+  WHERE prev_min IS NULL OR n_chars < prev_min
+)
+SELECT doc_id, n_tok, n_chars
+FROM d JOIN front USING (n_tok, n_chars)
+ORDER BY n_tok DESC, n_chars ASC, doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (byte-pair-encoding vocabulary induction)
+# ---------------------------------------------------------------------------
+
+BPE_N_MERGES = 6
+
+
+def bpe_merges(sf_dir: str, n_merges: int = BPE_N_MERGES):
+    """Learn the first n BPE merges over the corpus (Sennrich et al.
+    2016): repeatedly count adjacent symbol pairs across all word
+    TYPES (weighted by word frequency) and merge the most frequent
+    pair everywhere, ties broken (n desc, left asc, right asc).
+    Returns the merge table (merge_idx, left, right, n) — the learned
+    subword vocabulary prefix.
+
+    Words are symbol strings with a DOUBLE-space separator and single
+    flanking spaces (' d  a  t  a '), so one literal
+    replace(' L  R ', ' LR ') per iteration applies the merge to
+    every non-overlapping occurrence simultaneously — each symbol
+    owns its flanking spaces, making back-to-back merges exact BPE
+    (verified char-identical to DuckDB's replace in pytest/oracle).
+    Distributed shape: the word-type table stays a Dataset end to end
+    (web-scale word vocabularies are 10^8+ — the textrank lesson:
+    never a driver dict); each iteration is one batch-parallel pair
+    explode + partial count, one bucketed aggregate, a LIMIT-1 argmax
+    (the only driver state: ONE row), and one batch-parallel literal
+    replace.  Iterations materialize so lineage stays flat."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.TableGroupBy(pa.table({"word": flat}), ["word"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"word": g["word"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    words = bucketed_agg(
+        ds.map_batches(word_partial, batch_format="pyarrow"),
+        ["word"],
+        [("n", "sum", "n")],
+    )
+
+    def to_sym(t: pa.Table) -> pa.Table:
+        core = pc.replace_substring_regex(t["word"], "(.)", r"\1  ")
+        pad = pa.array([" "] * t.num_rows, pa.string())
+        sym = pc.binary_join_element_wise(
+            pad, pc.utf8_rtrim(core, " "), pad, ""
+        )
+        return pa.table({"sym": sym, "n": t["n"]})
+
+    syms = words.map_batches(to_sym, batch_format="pyarrow").materialize()
+
+    _PAIR_EMPTY = pa.table(
+        {
+            "left": pa.array([], pa.string()),
+            "right": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(pc.utf8_trim(t["sym"], " "), "  ")
+        flat = pc.list_flatten(lists).combine_chunks()
+        if len(flat) < 2:
+            return _PAIR_EMPTY
+        parent = (
+            pc.list_parent_indices(lists)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        wn = t["n"].to_numpy(zero_copy_only=False)
+        mask = parent[1:] == parent[:-1]
+        if not mask.any():
+            return _PAIR_EMPTY
+        left = flat.slice(0, len(flat) - 1).filter(pa.array(mask))
+        right = flat.slice(1).filter(pa.array(mask))
+        w = wn[parent[:-1][mask]]
+        g = pa.TableGroupBy(
+            pa.table(
+                {"left": left, "right": right, "n": pa.array(w, pa.int64())}
+            ),
+            ["left", "right"],
+        ).aggregate([("n", "sum")])
+        return pa.table(
+            {"left": g["left"], "right": g["right"], "n": g["n_sum"]}
+        )
+
+    merges = []
+    for i in range(n_merges):
+        top = (
+            bucketed_agg(
+                syms.map_batches(pair_partial, batch_format="pyarrow"),
+                ["left", "right"],
+                [("n", "sum", "n")],
+            )
+            .sort(["n", "left", "right"], descending=[True, False, False])
+            .limit(1)
+            .take_all()
+        )
+        if not top:
+            break
+        L, R, n = top[0]["left"], top[0]["right"], top[0]["n"]
+        merges.append((i, L, R, int(n)))
+        pat, rep = f" {L}  {R} ", f" {L}{R} "
+
+        def apply_merge(t: pa.Table, pat=pat, rep=rep) -> pa.Table:
+            return pa.table(
+                {
+                    "sym": pc.replace_substring(
+                        t["sym"], pattern=pat, replacement=rep
+                    ),
+                    "n": t["n"],
+                }
+            )
+
+        syms = syms.map_batches(apply_merge, batch_format="pyarrow").materialize()
+
+    return pa.table(
+        {
+            "merge_idx": pa.array([m[0] for m in merges], pa.int64()),
+            "left": pa.array([m[1] for m in merges], pa.string()),
+            "right": pa.array([m[2] for m in merges], pa.string()),
+            "n": pa.array([m[3] for m in merges], pa.int64()),
+        }
+    )
+
+
+def _bpe_sql(n_merges: int = BPE_N_MERGES) -> str:
+    """Chained-CTE replication of every merge iteration (the textrank
+    oracle pattern): w{i} is the word-type table after i merges, m{i}
+    the argmax pair picked at iteration i."""
+    ctes = [
+        f"""w0 AS (
+  SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' '
+           AS sym, n
+  FROM (
+    SELECT tok AS word, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(list_filter(
+        regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}'), t -> t <> ''
+      )) AS tok FROM documents
+    ) GROUP BY tok
+  )
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{i} AS (
+  SELECT lst[g.i] AS l, lst[g.i + 1] AS r, CAST(sum(n) AS BIGINT) AS n
+  FROM (SELECT string_split(trim(sym), '  ') AS lst, n FROM w{i - 1}),
+       LATERAL (SELECT unnest(range(1, len(lst))) AS i) g
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"m{i} AS (SELECT l, r, n FROM p{i} ORDER BY n DESC, l, r LIMIT 1)"
+        )
+        if i < n_merges:
+            ctes.append(
+                f"""w{i} AS (
+  SELECT replace(sym, ' ' || m.l || '  ' || m.r || ' ',
+                 ' ' || m.l || m.r || ' ') AS sym, w.n
+  FROM w{i - 1} w CROSS JOIN m{i} m
+)"""
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i - 1} AS BIGINT) AS merge_idx, l AS \"left\","
+        f" r AS \"right\", n FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (" + selects + ")"
+        " ORDER BY merge_idx"
+    )
+
+
+BPE_MERGES_SQL = _bpe_sql()

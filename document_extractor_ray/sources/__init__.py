@@ -99,8 +99,56 @@ def read_pages_jsonl(path: Union[str, List[str]]) -> "ray.data.Dataset":
     return ds.map_batches(prune, batch_format="pyarrow")
 
 
+def read_pages_csv(path: Union[str, List[str]]) -> "ray.data.Dataset":
+    """Read a pages table from CSV shards (the legacy interchange
+    format; quoted fields may span lines — Arrow's parser handles
+    embedded newlines) and normalize to the canonical PAGE_COLUMNS
+    schema.  Conventions match the JSONL source: warc_ts as epoch
+    microseconds, html as UTF-8 text (CSV cannot carry raw binary);
+    both casts are vectorized Arrow kernels, no per-row Python.
+    Parquet remains the production source — CSV has no projection or
+    row-group pushdown, so the whole row always leaves storage."""
+    import pyarrow as pa
+    from pyarrow import csv as pacsv
+
+    # html payloads span lines; Arrow's default parser rejects quoted
+    # newlines unless told otherwise
+    ds = ray.data.read_csv(
+        path, parse_options=pacsv.ParseOptions(newlines_in_values=True)
+    )
+
+    def prune(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        canonical = {
+            "url": pa.string(),
+            "warc_ts": pa.timestamp("us"),
+            "html": pa.binary(),
+            "text": pa.string(),
+        }
+        cols = {}
+        for c in PAGE_COLUMNS:
+            cols[c] = (
+                t[c]
+                if c in t.schema.names
+                else pa.nulls(t.num_rows, canonical[c])
+            )
+        if pa.types.is_integer(cols["warc_ts"].type):
+            cols["warc_ts"] = pc.cast(cols["warc_ts"], pa.timestamp("us"))
+        if pa.types.is_string(cols["html"].type):
+            cols["html"] = pc.cast(cols["html"], pa.binary())
+        # a fully-empty CSV text column parses as null-typed
+        for c in ("url", "text"):
+            if pa.types.is_null(cols[c].type):
+                cols[c] = pa.nulls(t.num_rows, canonical[c])
+        return pa.table(cols)
+
+    return ds.map_batches(prune, batch_format="pyarrow")
+
+
 __all__ = [
     "read_pages",
+    "read_pages_csv",
     "read_pages_jsonl",
     "read_parquet_clean",
     "PAGE_COLUMNS",

@@ -104,6 +104,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "funnel_counts",
         "promo_revenue_monthly",
         "pmi_bigrams",
+        "pareto_docs",
+        "bpe_merges",
+        "value_ks_types",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -1527,3 +1530,101 @@ def test_pmi_bigrams_favors_exclusive_pair(ray_session, tmp_path):
     # (3*1e6 // 6) * 24 // 6 = 2_000_000
     assert by_gram["cc dd"]["pmi_scaled"] == 2_000_000
     assert all(r["n_xy"] >= 3 for r in rows)
+
+
+def test_frontier_mask_strict_dominance():
+    """Pure-numpy skyline semantics: duplicates of a frontier point
+    all survive; weakly-worse points (equal on one axis) are pruned."""
+    from document_extractor_ray.functions.textstats import _frontier_mask
+
+    tok = np.array([10, 10, 10, 9, 9, 5, 11], np.int64)
+    ch = np.array([100, 100, 120, 100, 90, 90, 200], np.int64)
+    # (10,100) x2 survive (equal points, no strict dominator)
+    # (10,120): dominated by (10,100)      (same tok, fewer chars)
+    # (9,100):  dominated by (10,100)      (more tok, same chars)
+    # (9,90):   survives (fewer chars than every higher-tok point)
+    # (5,90):   dominated by (9,90)
+    # (11,200): survives (highest tok)
+    assert _frontier_mask(tok, ch).tolist() == [
+        True, True, False, False, True, False, True,
+    ]
+    assert _frontier_mask(np.empty(0, np.int64), np.empty(0, np.int64)).tolist() == []
+
+
+def test_pareto_docs_frontier_is_undominated(ray_session):
+    """No returned doc may be strictly dominated by ANY corpus doc,
+    and every excluded doc must have a dominator (sf0.001 corpus)."""
+    from document_extractor_ray.functions.textstats import pareto_docs
+
+    rows = pareto_docs(SF).take_all()
+    assert rows, "frontier must be non-empty"
+    import duckdb
+
+    all_pts = duckdb.sql(
+        rf"""SELECT doc_id,
+               CAST(length(regexp_extract_all(text,'\S+')) AS BIGINT) n_tok,
+               CAST(n_chars AS BIGINT) n_chars
+             FROM '{SF}/documents.parquet'"""
+    ).fetchall()
+    front = {(r["n_tok"], r["n_chars"]) for r in rows}
+    def dominated(p, pts):
+        return any(
+            q[1] >= p[0] and q[2] <= p[1] and (q[1] > p[0] or q[2] < p[1])
+            for q in pts
+        )
+    for r in rows:
+        assert not dominated((r["n_tok"], r["n_chars"]), all_pts), r
+    for q in all_pts:
+        if (q[1], q[2]) not in front:
+            assert dominated((q[1], q[2]), all_pts), q
+
+
+def test_bpe_merges_simultaneous_and_tiebreak(ray_session, tmp_path):
+    """'aaab' x3: merge 0 must collapse BOTH (a,a) occurrences of the
+    run simultaneously-left-to-right ('a a a'->'aa a', count 6); merge
+    1 is the (a,b)/(aa,a) n=3 tie broken by left asc; merge 2 joins
+    the two learned symbols."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.textstats import bpe_merges
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["aaab aaab", "aaab"], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = bpe_merges(str(tmp_path), n_merges=4)
+    rows = list(zip(*[out[c].to_pylist() for c in out.column_names]))
+    assert rows == [
+        (0, "a", "a", 6),
+        (1, "a", "b", 3),
+        (2, "aa", "ab", 3),
+    ]  # 4th merge: no pairs left -> early stop
+
+
+def test_value_ks_types_hand_computed(ray_session, tmp_path):
+    """KS on planted distributions: a={1,2,3}, b={3,4} -> D*na*nb = 4
+    at cents=200 (max gap after the second a-value)."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.analytics import value_ks_types
+
+    t = pa.table(
+        {
+            "event_type": pa.array(
+                ["click"] * 3 + ["purchase"] * 2 + ["view"], pa.string()
+            ),
+            "value": pa.array([1.0, 2.0, 3.0, 3.0, 4.0, 99.0], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    (row,) = value_ks_types(str(tmp_path)).take_all()
+    assert row == {
+        "n_a": 3,
+        "n_b": 2,
+        "ks_num": 4,
+        "at_cents": 200,
+        "ks_permille": 1000 * 4 // 6,
+    }

@@ -413,3 +413,60 @@ def test_combined_chunks_resume_across_runs(tmp_path):
     assert fa == fb and len(fa) > 1
     for n in fa:
         assert (one / n).read_bytes() == (two / n).read_bytes()
+
+
+def test_csv_source_row_identity(ray_session, tmp_path):
+    """The CSV pages source (JSONL conventions: epoch-us warc_ts, html
+    as UTF-8 text) must drive the pipeline to output row-identical to
+    the parquet source on the same UTF-8-representable corpus."""
+    import csv
+
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import fixtures
+    from document_extractor_ray.pipelines.extract import run_extraction
+    from document_extractor_ray.sources import read_pages_csv
+
+    pages = fixtures.make_pages_table(150, seed=7)
+
+    def representable(row) -> bool:
+        for v in row.values():
+            try:
+                if isinstance(v, str):
+                    v.encode("utf-8")
+                elif isinstance(v, bytes):
+                    v.decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                return False
+        return True
+
+    rows = [r for r in pages.to_pylist() if representable(r)]
+    assert len(rows) > 100
+    pages = pa.Table.from_pylist(rows, schema=pages.schema)
+    pq_path = str(tmp_path / "pages.parquet")
+    csv_path = str(tmp_path / "pages.csv")
+    pq.write_table(pages, pq_path)
+    with open(csv_path, "w", encoding="utf-8", newline="") as fh:
+        w = csv.writer(fh, quoting=csv.QUOTE_ALL)
+        w.writerow(["url", "warc_ts", "html", "text", "lang"])
+        for r in rows:
+            ts = r["warc_ts"]
+            w.writerow(
+                [
+                    r["url"],
+                    int(ts.timestamp() * 1_000_000),
+                    r["html"].decode("utf-8") if isinstance(r["html"], bytes) else r["html"],
+                    r["text"],
+                    r.get("lang", ""),
+                ]
+            )
+
+    def canon(rows):
+        return sorted(
+            ({k: r[k] for k in sorted(r)} for r in rows),
+            key=lambda r: str(r["url"]),
+        )
+
+    a = run_extraction(pq_path, DEFAULT_CONFIG)
+    b = run_extraction(read_pages_csv(csv_path), DEFAULT_CONFIG)
+    assert canon(a.take_all()) == canon(b.take_all())
