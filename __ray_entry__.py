@@ -108,6 +108,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_docs": textstats.pareto_docs,
         "bpe_merges": textstats.bpe_merges,
         "value_ks_types": analytics.value_ks_types,
+        "returned_orders_by_priority": analytics.returned_orders_by_priority,
+        "returned_revenue_topk": analytics.returned_revenue_topk,
+        "nation_yoy_revenue": analytics.nation_yoy_revenue,
+        "part_top_supplier": analytics.part_top_supplier,
+        "kgram_novelty": dedup.kgram_novelty_docs,
+        "token_gini": textstats.token_gini,
+        "vocab_growth": textstats.vocab_growth,
+        "range_search": similarity.range_search,
+        "kmeans_assign": similarity.kmeans_assign,
         # --- oracled queries the driver has NOT yet sampled (r1+r2
         # correctness files) come first so a capped sample reaches
         # them (VERDICT r2 item 3); all are local-gate green ---
@@ -308,6 +317,15 @@ def oracle_sql() -> dict[str, str]:
         "pareto_docs": textstats.PARETO_DOCS_SQL,
         "bpe_merges": textstats.BPE_MERGES_SQL,
         "value_ks_types": analytics.VALUE_KS_TYPES_SQL,
+        "returned_orders_by_priority": analytics.RETURNED_ORDERS_BY_PRIORITY_SQL,
+        "returned_revenue_topk": analytics.RETURNED_REVENUE_TOPK_SQL,
+        "nation_yoy_revenue": analytics.NATION_YOY_REVENUE_SQL,
+        "part_top_supplier": analytics.PART_TOP_SUPPLIER_SQL,
+        "kgram_novelty": sqlhash.kgram_novelty_sql(),
+        "token_gini": textstats.TOKEN_GINI_SQL,
+        "vocab_growth": textstats.VOCAB_GROWTH_SQL,
+        "range_search": similarity.RANGE_SEARCH_SQL,
+        "kmeans_assign": similarity.KMEANS_ASSIGN_SQL,
         # --- exact similarity search (float64 compute, half-up micro
         # ints on both sides; margins audited in similarity.py) ---
         "knn_brute": similarity.KNN_BRUTE_SQL,

@@ -3542,3 +3542,401 @@ SELECT t.na AS n_a, t.nb AS n_b,
          AS ks_permille
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# Orders-with-returned-lines counts by priority (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+
+RETURNED_SEMI_BROADCAST_LIMIT = 5_000_000
+
+
+def returned_orders_by_priority(sf_dir: str):
+    """Order counts per priority restricted to orders having >= 1
+    returned lineitem — the EXISTS / semi-join aggregate (TPC-H Q4's
+    shape; the reference has no joins at all, SURVEY §2.5, so this is
+    engine surface beyond it).
+
+    Distributed shape: the inner side reduces to DISTINCT orderkeys
+    FIRST (per-batch unique, then a bucketed distinct fold — the
+    shuffle carries unique keys, never lineitem rows), and the probe
+    is a broadcast `is_in` mask over orders below
+    RETURNED_SEMI_BROADCAST_LIMIT keys; above the budget the same
+    probe runs as a partitioned inner join on o_orderkey against the
+    distinct-key Dataset (the customers_without_orders escalation).
+    The final groupby has 5 bounded keys — plain Ray aggregate."""
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    def returned_keys(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["l_returnflag"], "R"))
+        return pa.table({"l_orderkey": pc.unique(f["l_orderkey"])})
+
+    distinct = bucketed_agg(
+        li.map_batches(returned_keys, batch_format="pyarrow"),
+        ["l_orderkey"],
+        [(None, "count", "_n")],
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    n_keys = distinct.count()
+    if n_keys <= RETURNED_SEMI_BROADCAST_LIMIT:
+        keys = pa.array(distinct.to_pandas()["l_orderkey"].to_numpy(), pa.int64())
+        ref = state.broadcast(keys)
+
+        def semi(t: pa.Table) -> pa.Table:
+            have = state.cached_get(ref)
+            return t.filter(pc.is_in(t["o_orderkey"], value_set=have))
+
+        hits = orders.map_batches(semi, batch_format="pyarrow")
+    else:  # pragma: no cover - exercised via broadcast_limit override in tests
+        hits = orders.join(
+            distinct.select_columns(["l_orderkey"]),
+            join_type="inner",
+            num_partitions=_join_partitions(
+                f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet"
+            ),
+            on=("o_orderkey",),
+            right_on=("l_orderkey",),
+        )
+
+    return (
+        hits.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+        .sort("o_orderpriority")
+    )
+
+
+RETURNED_ORDERS_BY_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top customers by returned-item revenue (TPC-H Q10 shape)
+# ---------------------------------------------------------------------------
+
+RETURNED_REVENUE_TOP_K = 20
+
+
+def returned_revenue_topk(sf_dir: str, k: int = RETURNED_REVENUE_TOP_K):
+    """Top-k customers by revenue on RETURNED items (TPC-H Q10's
+    shape): filtered fact x fact partitioned hash join (lineitem
+    filtered to returnflag='R' joined to orders on orderkey), a
+    customer-keyed revenue aggregate (key cardinality grows with
+    data -> bucketed fold, PERF 20-22), a global top-k, then the
+    name/nation dims attach to only the k winners.
+
+    Money: revenue = extendedprice * (1 - discount) rounded
+    half-away-from-zero to integer cents per line BEFORE summing, so
+    the DuckDB oracle reproduces the total bit for bit.
+
+    Scale notes: the join ships only (orderkey, cents) on the probe
+    side and (orderkey, custkey) on the build side; the dim attach
+    reads the customer/nation parquet with an `is_in` filter on k=20
+    keys (row-group pruned, never a scan of the dim at 100 TB)."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def slim(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "cents": _to_cents(
+                    pc.multiply(
+                        t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+                    )
+                ),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = li.map_batches(slim, batch_format="pyarrow").join(
+        orders,
+        join_type="inner",
+        num_partitions=_join_partitions(
+            f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"
+        ),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    per_cust = bucketed_agg(
+        joined.select_columns(["o_custkey", "cents"]),
+        ["o_custkey"],
+        [("cents", "sum", "revenue_cents")],
+    )
+    top = (
+        per_cust.sort(["revenue_cents", "o_custkey"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+
+    import pyarrow.parquet as pq
+
+    keys = [r["o_custkey"] for r in top]
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filters=[("c_custkey", "in", keys)] if keys else None,
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    cmap = {
+        int(ck): (cn, int(nk))
+        for ck, cn, nk in zip(
+            cust["c_custkey"].to_pylist(),
+            cust["c_name"].to_pylist(),
+            cust["c_nationkey"].to_pylist(),
+        )
+    }
+    nmap = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    return pa.table(
+        {
+            "c_custkey": pa.array([r["o_custkey"] for r in top], pa.int64()),
+            "c_name": pa.array(
+                [cmap[r["o_custkey"]][0] for r in top], pa.string()
+            ),
+            "n_name": pa.array(
+                [nmap[cmap[r["o_custkey"]][1]] for r in top], pa.string()
+            ),
+            "revenue_cents": pa.array(
+                [r["revenue_cents"] for r in top], pa.int64()
+            ),
+        }
+    )
+
+
+RETURNED_REVENUE_TOPK_SQL = f"""
+WITH rev AS (
+  SELECT o.o_custkey,
+         CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY o.o_custkey
+  ORDER BY revenue_cents DESC, o.o_custkey
+  LIMIT {RETURNED_REVENUE_TOP_K}
+)
+SELECT c.c_custkey, c.c_name, n.n_name, rev.revenue_cents
+FROM rev
+JOIN customer c ON c.c_custkey = rev.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY rev.revenue_cents DESC, c.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year revenue per nation (windowed join aggregate)
+# ---------------------------------------------------------------------------
+
+def nation_yoy_revenue(sf_dir: str):
+    """Revenue per (nation, order year) with the year-over-year delta
+    — the lag-window-over-a-join report.  Reuses the
+    order_revenue_by_nation partitioned join; the aggregate keys
+    (nation x year) are BOUNDED (25 x ~7), so Ray's hash aggregate is
+    fine, and the lag pass runs vectorized in ONE task over the tiny
+    aggregate (first year per nation gets a NULL delta, matching SQL
+    lag())."""
+    from document_extractor_ray import state
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderdate"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "yr": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                "cents": _to_cents(t["o_totalprice"]),
+            }
+        )
+
+    joined = orders.map_batches(slim, batch_format="pyarrow").join(
+        cust,
+        join_type="inner",
+        num_partitions=_join_partitions(
+            f"{sf_dir}/orders.parquet", f"{sf_dir}/customer.parquet"
+        ),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    per = joined.groupby(["c_nationkey", "yr"]).aggregate(
+        Sum("cents", alias_name="revenue_cents")
+    )
+
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    ref = state.broadcast(nation)
+
+    def attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_nationkey" not in t.column_names:
+            return pa.table(
+                {
+                    "n_name": pa.array([], pa.string()),
+                    "yr": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int32()),
+                }
+            )
+        t = state.lookup_join(
+            t, "c_nationkey", state.cached_get(ref), "n_nationkey",
+            ["n_name"], fill="",
+        )
+        t = t.select(["n_name", "yr", "revenue_cents"])
+        return t.append_column(
+            "part", pa.array(np.zeros(t.num_rows, np.int32), pa.int32())
+        )
+
+    def lag_pass(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["part"])
+        order = np.lexsort(
+            (
+                t["yr"].to_numpy(zero_copy_only=False),
+                t["n_name"].to_numpy(zero_copy_only=False),
+            )
+        )
+        t = t.take(pa.array(order))
+        names = t["n_name"].to_numpy(zero_copy_only=False)
+        rev = t["revenue_cents"].to_numpy(zero_copy_only=False)
+        same = np.zeros(len(names), bool)
+        if len(names) > 1:
+            same[1:] = names[1:] == names[:-1]
+        delta = np.where(same, rev - np.roll(rev, 1), 0)
+        return pa.table(
+            {
+                "n_name": t["n_name"],
+                "yr": t["yr"],
+                "revenue_cents": t["revenue_cents"],
+                "delta_cents": pa.array(delta, pa.int64(), mask=~same),
+            }
+        )
+
+    return (
+        per.map_batches(attach, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lag_pass, batch_format="pyarrow")
+    )
+
+
+NATION_YOY_REVENUE_SQL = """
+WITH per AS (
+  SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name, yr
+)
+SELECT n_name, yr, revenue_cents,
+       CAST(revenue_cents - lag(revenue_cents) OVER (
+             PARTITION BY n_name ORDER BY yr) AS BIGINT) AS delta_cents
+FROM per
+ORDER BY n_name, yr
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-part top supplier by shipped quantity (grouped argmax over a join-free
+# fact aggregate)
+# ---------------------------------------------------------------------------
+
+def part_top_supplier(sf_dir: str):
+    """For every part, the supplier that shipped the most of it
+    (ties -> lower suppkey) — the grouped-argmax primitive.  Part keys
+    grow with the catalog, so BOTH folds are hash-bucketed by
+    l_partkey (PERF 20-22): fold 1 merges per-batch (part, supplier)
+    quantity partials; because the bucket key is the PART, every
+    supplier row of a part lands in the same partition, and the
+    argmax is one vectorized lexsort + first-occurrence pass per
+    PARTITION — never per part.  Quantities sum as integer
+    centi-units so the oracle is exact."""
+    from document_extractor_ray.functions.bucketing import key_part_column, n_shuffle_parts
+
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity"])
+    n_parts = n_shuffle_parts()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "l_partkey": t["l_partkey"],
+                    "l_suppkey": t["l_suppkey"],
+                    "qc": _to_cents(t["l_quantity"]),
+                }
+            ),
+            ["l_partkey", "l_suppkey"],
+        ).aggregate([("qc", "sum")])
+        out = pa.table(
+            {
+                "l_partkey": g["l_partkey"],
+                "l_suppkey": g["l_suppkey"],
+                "qc": g["qc_sum"],
+            }
+        )
+        return out.append_column(
+            "part", key_part_column(out, ["l_partkey"], n_parts)
+        )
+
+    def argmax_part(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["part"])
+        g = pa.TableGroupBy(t, ["l_partkey", "l_suppkey"]).aggregate([("qc", "sum")])
+        pk = g["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = g["l_suppkey"].to_numpy(zero_copy_only=False)
+        qc = g["qc_sum"].to_numpy(zero_copy_only=False)
+        # sort (part asc, qty desc, supp asc); first row per part wins
+        order = np.lexsort((sk, -qc, pk))
+        pk, sk, qc = pk[order], sk[order], qc[order]
+        first = np.ones(len(pk), bool)
+        if len(pk) > 1:
+            first[1:] = pk[1:] != pk[:-1]
+        return pa.table(
+            {
+                "l_partkey": pa.array(pk[first], pa.int64()),
+                "top_suppkey": pa.array(sk[first], pa.int64()),
+                "qty_cents": pa.array(qc[first], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(argmax_part, batch_format="pyarrow")
+        .sort("l_partkey")
+    )
+
+
+PART_TOP_SUPPLIER_SQL = """
+WITH per AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_cents
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+),
+r AS (
+  SELECT l_partkey, l_suppkey, qty_cents,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY qty_cents DESC, l_suppkey) AS rk
+  FROM per
+)
+SELECT l_partkey, l_suppkey AS top_suppkey, qty_cents
+FROM r WHERE rk = 1
+ORDER BY l_partkey
+"""

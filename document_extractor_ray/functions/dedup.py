@@ -1708,3 +1708,105 @@ FROM pairs p
 JOIN documents da ON da.doc_id = p.doc_a
 JOIN documents db ON db.doc_id = p.doc_b
 ORDER BY p.doc_a, p.doc_b"""
+
+
+# ---------------------------------------------------------------------------
+# Per-doc k-gram novelty vs everything before it (first-occurrence fold)
+# ---------------------------------------------------------------------------
+
+def kgram_novelty(ds: "ray.data.Dataset", k: int = 3):
+    """Per document: how many of its distinct word-k-gram shingles
+    occur for the FIRST time in this doc (global first occurrence =
+    min doc_id) — the snapshot-novelty / incremental-crawl-value
+    signal (what fraction of a doc is new text vs already-crawled
+    text).  Complements dup_shingle_stats (which counts cross-doc
+    SHARING, orderless).
+
+    Distributed shape, all folds shingle- or doc-bounded:
+    1. (x, doc_id) stream -> bucketed min(doc_id) per shingle hash
+       (the vocabulary-fold shape, never key-per-row groupby);
+    2. novel counts = that table re-grouped BY ITS VALUE (min doc_id)
+       — a count per doc, NO join back to the corpus;
+    3. per-doc distinct totals are computed in-row (a doc's text
+       lives whole in its row) and merged with (2) via a UNION into
+       ONE bucketed doc_id fold — the join-free two-metric merge.
+    Hash domain: uint64 shingles reinterpreted as int64 (bijective).
+    """
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    def pair_part(t: pa.Table) -> pa.Table:
+        xs, ids = [], []
+        for did, txt in zip(
+            t["doc_id"].to_numpy(zero_copy_only=False), t["text"].to_pylist()
+        ):
+            s = shingles(txt, k)
+            if s:
+                xs.append(np.fromiter(s, np.uint64, len(s)).view(np.int64))
+                ids.append(np.full(len(s), did, np.int64))
+        return pa.table(
+            {
+                "x": pa.array(
+                    np.concatenate(xs) if xs else np.array([], np.int64),
+                    pa.int64(),
+                ),
+                "doc_id": pa.array(
+                    np.concatenate(ids) if ids else np.array([], np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    firsts = bucketed_agg(
+        ds.map_batches(pair_part, batch_format="pyarrow"),
+        ["x"],
+        [("doc_id", "min", "fd")],
+    )
+
+    def novel_part(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["fd"]), ["fd"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "doc_id": g["fd"],
+                "n_distinct": pa.array(np.zeros(len(g), np.int64), pa.int64()),
+                "n_novel": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    def totals_part(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n_sh = np.fromiter(
+            (len(shingles(txt, k)) for txt in t["text"].to_pylist()),
+            np.int64,
+            count=len(ids),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_distinct": pa.array(n_sh, pa.int64()),
+                "n_novel": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+            }
+        )
+
+    merged = bucketed_agg(
+        ds.map_batches(totals_part, batch_format="pyarrow").union(
+            firsts.map_batches(novel_part, batch_format="pyarrow")
+        ),
+        ["doc_id"],
+        [("n_distinct", "sum", "n_distinct"), ("n_novel", "sum", "n_novel")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t["n_distinct"].to_numpy(zero_copy_only=False)
+        nv = t["n_novel"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "novelty_permille",
+            pa.array(nv * 1000 // np.maximum(nd, 1), pa.int64()),
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def kgram_novelty_docs(sf_dir: str, k: int = 3):
+    from document_extractor_ray.functions.textstats import _read_docs
+
+    return kgram_novelty(_read_docs(sf_dir, ["doc_id", "text"]), k)

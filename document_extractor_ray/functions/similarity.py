@@ -695,3 +695,155 @@ WHERE r.d < len(e.embedding)
 GROUP BY 1, 2
 ORDER BY label, dim
 """
+
+
+# ---------------------------------------------------------------------------
+# Cosine range search (threshold variant of knn) and nearest-seed assignment
+# ---------------------------------------------------------------------------
+
+RANGE_SEARCH_MICRO = 300_000  # cosine >= 0.30
+
+
+def range_search(sf_dir: str, threshold_micro: int = RANGE_SEARCH_MICRO):
+    """All corpus vectors within a cosine radius of each query (the
+    epsilon-neighborhood / radius-search API next to knn's top-k):
+    returns (query_id, vec_id, score_micro) for score >= threshold.
+
+    Same scale shape as knn_brute — broadcast query matrix, one
+    float64 matmul per batch — but WITHOUT a top-k merge: the
+    threshold filter runs inside the batch, so <= matches rows ever
+    leave a block and the result streams (no driver heap).  The
+    threshold compares the SAME half-up micro ints the oracle emits,
+    so boundary ties cannot diverge."""
+    from document_extractor_ray import state
+
+    q = default_queries(sf_dir)
+    qids = np.asarray(q["vec_id"].to_pylist(), np.int64)
+    qm = _normalize_rows(embedding_matrix(q["embedding"]).astype(np.float64))
+    ref = state.broadcast({"ids": qids, "matrix": qm})
+
+    def scan(t: pa.Table) -> pa.Table:
+        st = state.cached_get(ref)
+        ids = t["vec_id"].to_numpy()
+        mat = embedding_matrix(t["embedding"])
+        if mat.size == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score_micro": pa.array([], pa.int64()),
+                }
+            )
+        mat = _normalize_rows(mat.astype(np.float64))
+        sims = st["matrix"] @ mat.T  # (q, batch)
+        micro = np.floor(sims * 1_000_000 + 0.5).astype(np.int64)
+        qi, vj = np.nonzero(micro >= threshold_micro)
+        return pa.table(
+            {
+                "query_id": pa.array(st["ids"][qi], pa.int64()),
+                "vec_id": pa.array(ids[vj], pa.int64()),
+                "score_micro": pa.array(micro[qi, vj], pa.int64()),
+            }
+        )
+
+    ds = _read_embeddings(sf_dir)
+    return (
+        ds.map_batches(scan, batch_format="pyarrow", batch_size=4096)
+        .sort(["query_id", "score_micro", "vec_id"], descending=[False, True, False])
+    )
+
+
+RANGE_SEARCH_SQL = f"""
+WITH qy AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+s AS (
+  SELECT qy.query_id, e.vec_id,
+         CAST(floor(list_cosine_similarity(qy.qe, e.embedding::DOUBLE[])
+                    * 1000000 + 0.5) AS BIGINT) AS score_micro
+  FROM qy CROSS JOIN embeddings e
+)
+SELECT query_id, vec_id, score_micro
+FROM s WHERE score_micro >= {RANGE_SEARCH_MICRO}
+ORDER BY query_id, score_micro DESC, vec_id
+"""
+
+
+KMEANS_K = 8
+
+
+def kmeans_assign(sf_dir: str, n_seeds: int = KMEANS_K):
+    """One Lloyd assignment step: every vector labeled with its
+    nearest seed centroid by cosine (seeds = the first n_seeds
+    vectors by vec_id — deterministic, the kmeans++-free baseline),
+    ties -> lower seed id.  This is the vector-quantization /
+    IVF-list-assignment primitive; the centroid UPDATE half is
+    label_centroids (integer segment sums), so a full kmeans
+    iteration is this operator composed with that one.
+
+    Scale: seeds broadcast once (k x dim), one float64 matmul +
+    argmax per batch, output one row per vector — streams, no
+    shuffle.  float64 scores with half-up micro emission keep the
+    argmax and the oracle's row_number() in exact agreement (the
+    knn_brute margin audit applies verbatim)."""
+    from document_extractor_ray import state
+
+    q = default_queries(sf_dir, n_queries=n_seeds)
+    sids = np.asarray(q["vec_id"].to_pylist(), np.int64)
+    sm = _normalize_rows(embedding_matrix(q["embedding"]).astype(np.float64))
+    ref = state.broadcast({"ids": sids, "matrix": sm})
+
+    def assign(t: pa.Table) -> pa.Table:
+        st = state.cached_get(ref)
+        ids = t["vec_id"].to_numpy()
+        mat = embedding_matrix(t["embedding"])
+        if mat.size == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                    "score_micro": pa.array([], pa.int64()),
+                }
+            )
+        mat = _normalize_rows(mat.astype(np.float64))
+        sims = mat @ st["matrix"].T  # (batch, seeds)
+        best = np.argmax(sims, axis=1)  # ties -> first (lowest seed id)
+        micro = np.floor(
+            sims[np.arange(len(ids)), best] * 1_000_000 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(st["ids"][best], pa.int64()),
+                "score_micro": pa.array(micro, pa.int64()),
+            }
+        )
+
+    ds = _read_embeddings(sf_dir)
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=4096).sort(
+        "vec_id"
+    )
+
+
+KMEANS_ASSIGN_SQL = f"""
+WITH seeds AS (
+  SELECT vec_id AS sid, embedding::DOUBLE[] AS se
+  FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}
+),
+s AS (
+  SELECT e.vec_id, seeds.sid,
+         list_cosine_similarity(e.embedding::DOUBLE[], seeds.se) AS score
+  FROM embeddings e CROSS JOIN seeds
+),
+r AS (
+  SELECT vec_id, sid, score,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, sid) AS rk
+  FROM s
+)
+SELECT vec_id, sid AS cluster_id,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+FROM r WHERE rk = 1
+ORDER BY vec_id
+"""

@@ -564,3 +564,28 @@ FROM documents d
 LEFT JOIN nw USING (doc_id)
 LEFT JOIN agg a ON a.doc_id = d.doc_id
 ORDER BY d.doc_id"""
+
+
+def kgram_novelty_sql(k: int = 3) -> str:
+    """Oracle for ``dedup.kgram_novelty``: per doc, distinct word-
+    k-gram shingle count and how many have their global FIRST
+    occurrence (min doc_id) in this doc.  Same CRC-32 + _SHINGLE_P
+    shingle kernel mirror as the minhash/jaccard/dup-stats oracles."""
+    return f"""WITH RECURSIVE
+{_words(lower=True)},
+{_CRC_TABLE},
+{_WORD_CRC},
+{_shingle_cte(k)},
+firsts AS (SELECT x, min(doc_id) AS fd FROM shingle GROUP BY x),
+novel AS (SELECT fd AS doc_id, count(*) AS n_novel FROM firsts GROUP BY fd),
+dist AS (SELECT doc_id, count(*) AS n_distinct FROM shingle GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(dist.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(coalesce(novel.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(coalesce(novel.n_novel, 0) * 1000
+            // greatest(coalesce(dist.n_distinct, 0), 1) AS BIGINT)
+         AS novelty_permille
+FROM documents d
+LEFT JOIN dist ON dist.doc_id = d.doc_id
+LEFT JOIN novel ON novel.doc_id = d.doc_id
+ORDER BY d.doc_id"""

@@ -2680,3 +2680,246 @@ def _bpe_sql(n_merges: int = BPE_N_MERGES) -> str:
 
 
 BPE_MERGES_SQL = _bpe_sql()
+
+
+# ---------------------------------------------------------------------------
+# Exact Gini concentration of the corpus token-frequency distribution
+# ---------------------------------------------------------------------------
+
+def token_gini(sf_dir: str):
+    """Gini coefficient of the corpus unigram frequency distribution
+    (how concentrated the token mass is — the Zipf-skew scalar used
+    to compare corpus diversity), exact in integers via the
+    frequency-of-frequencies fold:
+
+        G = (2*S - (n+1)*T) / (n*T),  S = sum_i i * f_(i)  (f asc)
+
+    and for a group of c tokens sharing frequency f after B tokens,
+    sum_i i*f = f * (c*B + c*(c+1)/2) — so G needs only the tiny
+    (frequency, token_count) table, never the sorted vocabulary.
+
+    Distributed shape: fold 1 is the standard bucketed vocabulary
+    count (shuffle bounded by distinct tokens); fold 2 groups THAT by
+    frequency value (domain-bounded, thousands of distinct f at web
+    scale); the closed-form Gini then runs in one task on Python ints
+    (no int64 overflow at 10^12 tokens).  Output scaled to permille,
+    floor division, so the DuckDB HUGEINT oracle is bit-exact."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.TableGroupBy(pa.table({"token": flat}), ["token"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"token": g["token"], "cnt": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    vocab = bucketed_agg(
+        ds.map_batches(tok_partial, batch_format="pyarrow"),
+        ["token"],
+        [("cnt", "sum", "cnt")],
+    )
+
+    def ff_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            t.select(["cnt"]).rename_columns(["f"]), ["f"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {"f": g["f"], "c": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    ff = bucketed_agg(
+        vocab.map_batches(ff_partial, batch_format="pyarrow"),
+        ["f"],
+        [("c", "sum", "c")],
+    )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["part"])
+        fs = sorted(
+            zip(
+                t["f"].to_numpy(zero_copy_only=False).tolist(),
+                t["c"].to_numpy(zero_copy_only=False).tolist(),
+            )
+        )
+        n = sum(c for _, c in fs)
+        total = sum(f * c for f, c in fs)
+        b = 0
+        s = 0
+        for f, c in fs:  # bounded by DISTINCT frequency values, not vocab
+            s += f * (c * b + c * (c + 1) // 2)
+            b += c
+        gini_pm = (
+            1000 * (2 * s - (n + 1) * total) // (n * total) if n and total else 0
+        )
+        return pa.table(
+            {
+                "n_tokens": pa.array([n], pa.int64()),
+                "total_occurrences": pa.array([total], pa.int64()),
+                "gini_permille": pa.array([gini_pm], pa.int64()),
+            }
+        )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array(np.zeros(t.num_rows, np.int32), pa.int32())
+        )
+
+    return (
+        ff.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+TOKEN_GINI_SQL = f"""
+WITH vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS f
+  FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+    FROM documents
+  ) WHERE token <> ''
+  GROUP BY token
+),
+ff AS (SELECT f, CAST(count(*) AS BIGINT) AS c FROM vocab GROUP BY f),
+cum AS (
+  SELECT f, c,
+         coalesce(sum(c) OVER (ORDER BY f
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+  FROM ff
+),
+tot AS (
+  SELECT CAST(sum(c) AS HUGEINT) AS n, CAST(sum(f * c) AS HUGEINT) AS t,
+         CAST(sum(f * (c * b + c * (c + 1) // 2)) AS HUGEINT) AS s
+  FROM cum
+)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+       CAST(t AS BIGINT) AS total_occurrences,
+       CAST(CASE WHEN n > 0 AND t > 0
+                 THEN 1000 * (2 * s - (n + 1) * t) // (n * t)
+                 ELSE 0 END AS BIGINT) AS gini_permille
+FROM tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth at doc-count checkpoints
+# ---------------------------------------------------------------------------
+
+VOCAB_GROWTH_BUCKETS = 10
+
+
+def vocab_growth(sf_dir: str, n_buckets: int = VOCAB_GROWTH_BUCKETS):
+    """Vocabulary size after each decile of the corpus (by doc_id
+    order) — the Heaps-law growth curve that sizes tokenizer vocab
+    and dedup budgets before a full run.  A token counts toward the
+    FIRST checkpoint covering its global first occurrence, so the
+    curve is one bucketed (token -> min doc_id) fold, a 10-key
+    histogram, and a cumulative sum over 10 rows — no checkpoint
+    rescans (the naive form is n_buckets passes over the corpus).
+
+    checkpoint_j covers doc_id <= c_j = (j * max_id) // n_buckets;
+    bucket of a first-occurrence md is ceil(md * n / max_id) in pure
+    integers, so the SQL oracle matches exactly."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    # one-column scan for the scalar bound (parquet stats would also
+    # do); broadcast into the bucket closure
+    max_id = int(_read_docs(sf_dir, ["doc_id"]).max("doc_id"))
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        ids = pc.take(t["doc_id"], parent)
+        pairs = pa.table({"token": flat, "doc_id": ids}).filter(
+            pc.not_equal(flat, "")
+        )
+        g = pa.TableGroupBy(pairs, ["token"]).aggregate([("doc_id", "min")])
+        return pa.table(
+            {
+                "token": g["token"],
+                "md": pc.cast(g["doc_id_min"], pa.int64()),
+            }
+        )
+
+    firsts = bucketed_agg(
+        ds.map_batches(first_partial, batch_format="pyarrow"),
+        ["token"],
+        [("md", "min", "md")],
+    )
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        md = t["md"].to_numpy(zero_copy_only=False)
+        j = np.minimum(
+            n_buckets, (md * n_buckets + max_id - 1) // max(max_id, 1)
+        )
+        j = np.maximum(j, 1)
+        cnt = np.bincount(j, minlength=n_buckets + 1)[1:]
+        return pa.table(
+            {
+                "checkpoint": pa.array(
+                    np.arange(1, n_buckets + 1, dtype=np.int64), pa.int64()
+                ),
+                "new_tokens": pa.array(cnt.astype(np.int64), pa.int64()),
+                "part": pa.array(np.zeros(n_buckets, np.int32), pa.int32()),
+            }
+        )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["part"])
+        g = pa.TableGroupBy(t, ["checkpoint"]).aggregate([("new_tokens", "sum")])
+        cp = g["checkpoint"].to_numpy(zero_copy_only=False)
+        nt = g["new_tokens_sum"].to_numpy(zero_copy_only=False)
+        order = np.argsort(cp)
+        cp, nt = cp[order], nt[order]
+        return pa.table(
+            {
+                "checkpoint": pa.array(cp, pa.int64()),
+                "docs_cutoff": pa.array(
+                    cp * max_id // n_buckets, pa.int64()
+                ),
+                "new_tokens": pa.array(nt.astype(np.int64), pa.int64()),
+                "vocab_size": pa.array(np.cumsum(nt).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        firsts.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+VOCAB_GROWTH_SQL = f"""
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+firsts AS (
+  SELECT token, min(doc_id) AS md
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+    FROM documents
+  ) WHERE token <> ''
+  GROUP BY token
+),
+bk AS (
+  SELECT greatest(1, least({VOCAB_GROWTH_BUCKETS},
+           (md * {VOCAB_GROWTH_BUCKETS} + mx.m - 1) // mx.m)) AS checkpoint,
+         count(*) AS c
+  FROM firsts, mx GROUP BY 1
+),
+grid AS (SELECT unnest(range(1, {VOCAB_GROWTH_BUCKETS} + 1)) AS checkpoint)
+SELECT CAST(g.checkpoint AS BIGINT) AS checkpoint,
+       CAST(g.checkpoint * mx.m // {VOCAB_GROWTH_BUCKETS} AS BIGINT) AS docs_cutoff,
+       CAST(coalesce(bk.c, 0) AS BIGINT) AS new_tokens,
+       CAST(sum(coalesce(bk.c, 0)) OVER (ORDER BY g.checkpoint) AS BIGINT)
+         AS vocab_size
+FROM grid g CROSS JOIN mx LEFT JOIN bk ON bk.checkpoint = g.checkpoint
+ORDER BY g.checkpoint
+"""

@@ -107,6 +107,15 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "pareto_docs",
         "bpe_merges",
         "value_ks_types",
+        "returned_orders_by_priority",
+        "returned_revenue_topk",
+        "nation_yoy_revenue",
+        "part_top_supplier",
+        "kgram_novelty",
+        "token_gini",
+        "vocab_growth",
+        "range_search",
+        "kmeans_assign",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -1628,3 +1637,138 @@ def test_value_ks_types_hand_computed(ray_session, tmp_path):
         "at_cents": 200,
         "ks_permille": 1000 * 4 // 6,
     }
+
+
+def test_kgram_novelty_first_occurrence(ray_session, tmp_path):
+    """Novelty counts k-grams whose global FIRST occurrence is this
+    doc: an exact-duplicate doc scores 0, a partial overlap scores
+    only its unseen grams."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.dedup import kgram_novelty_docs
+
+    texts = ["a b c d e", "a b c d e", "a b c x y"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    rows = {r["doc_id"]: r for r in kgram_novelty_docs(str(tmp_path)).take_all()}
+    assert rows[0]["n_distinct"] == 3 and rows[0]["n_novel"] == 3
+    assert rows[1]["n_distinct"] == 3 and rows[1]["n_novel"] == 0
+    # doc2: grams {a b c, b c x, c x y}; only "a b c" was seen before
+    assert rows[2]["n_distinct"] == 3 and rows[2]["n_novel"] == 2
+    assert rows[2]["novelty_permille"] == 666
+    # conservation: every distinct gram is novel in exactly one doc
+    total_novel = sum(r["n_novel"] for r in rows.values())
+    assert total_novel == 5  # {abc,bcd,cde} + {bcx,cxy}
+
+
+def test_token_gini_uniform_is_zero(ray_session, tmp_path):
+    """All tokens equally frequent -> Gini exactly 0; a skewed corpus
+    scores > 0."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.textstats import token_gini
+
+    flat = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["aa bb cc", "dd ee ff"], pa.string()),
+        }
+    )
+    pq.write_table(flat, str(tmp_path / "documents.parquet"))
+    r = token_gini(str(tmp_path)).take_all()[0]
+    assert (r["n_tokens"], r["total_occurrences"], r["gini_permille"]) == (6, 6, 0)
+
+    skew_dir = tmp_path / "skew"
+    skew_dir.mkdir()
+    skew = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["zz zz zz zz zz zz zz zz zz aa"], pa.string()),
+        }
+    )
+    pq.write_table(skew, str(skew_dir / "documents.parquet"))
+    r2 = token_gini(str(skew_dir)).take_all()[0]
+    # n=2 tokens, T=10, S = 1*1 + 2*9 = 19 -> G = (38 - 30)/20 = 0.4
+    assert r2["gini_permille"] == 400
+
+
+def test_vocab_growth_monotone_and_total(ray_session):
+    from document_extractor_ray.functions.textstats import vocab_growth
+
+    rows = vocab_growth(SF).take_all()
+    assert [r["checkpoint"] for r in rows] == list(range(1, 11))
+    sizes = [r["vocab_size"] for r in rows]
+    assert sizes == sorted(sizes)
+    assert sizes[-1] == sum(r["new_tokens"] for r in rows)
+    assert rows[-1]["docs_cutoff"] >= rows[0]["docs_cutoff"] > 0
+
+
+def test_range_search_self_and_threshold(ray_session):
+    from document_extractor_ray.functions.similarity import (
+        RANGE_SEARCH_MICRO,
+        range_search,
+    )
+
+    rows = range_search(SF).take_all()
+    assert all(r["score_micro"] >= RANGE_SEARCH_MICRO for r in rows)
+    self_rows = {r["query_id"] for r in rows if r["vec_id"] == r["query_id"]}
+    assert len(self_rows) == 8  # every query finds itself at cos=1
+    assert all(
+        r["score_micro"] == 1_000_000
+        for r in rows
+        if r["vec_id"] == r["query_id"]
+    )
+
+
+def test_kmeans_assign_seeds_self(ray_session):
+    from document_extractor_ray.functions.similarity import KMEANS_K, kmeans_assign
+
+    rows = kmeans_assign(SF).take_all()
+    seeds = sorted({r["cluster_id"] for r in rows})
+    by_vec = {r["vec_id"]: r for r in rows}
+    import pyarrow.parquet as pq
+
+    n_vecs = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    assert len(rows) == n_vecs
+    lowest = sorted(by_vec)[:KMEANS_K]
+    for sid in lowest:  # a seed's nearest seed is itself
+        assert by_vec[sid]["cluster_id"] == sid
+        assert by_vec[sid]["score_micro"] == 1_000_000
+    assert set(seeds) <= set(lowest)
+
+
+def test_part_top_supplier_tie_breaks_low_suppkey(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.analytics import part_top_supplier
+
+    t = pa.table(
+        {
+            "l_partkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "l_suppkey": pa.array([30, 10, 20, 5, 4], pa.int64()),
+            "l_quantity": pa.array([4.0, 4.0, 1.0, 2.0, 7.0], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    rows = {r["l_partkey"]: r for r in part_top_supplier(str(tmp_path)).take_all()}
+    assert rows[1]["top_suppkey"] == 10 and rows[1]["qty_cents"] == 400
+    assert rows[2]["top_suppkey"] == 4 and rows[2]["qty_cents"] == 700
+
+
+def test_nation_yoy_delta_consistency(ray_session):
+    from document_extractor_ray.functions.analytics import nation_yoy_revenue
+
+    rows = nation_yoy_revenue(SF).take_all()
+    rows.sort(key=lambda r: (r["n_name"], r["yr"]))
+    prev = None
+    for r in rows:
+        if prev is None or prev["n_name"] != r["n_name"]:
+            assert r["delta_cents"] is None
+        else:
+            assert r["delta_cents"] == r["revenue_cents"] - prev["revenue_cents"]
+        prev = r
