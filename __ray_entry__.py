@@ -117,6 +117,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": textstats.vocab_growth,
         "range_search": similarity.range_search,
         "kmeans_assign": similarity.kmeans_assign,
+        "session_stats": analytics.session_stats,
+        "brand_basket_pairs": analytics.brand_basket_pairs,
+        "order_lines_histogram": analytics.order_lines_histogram,
+        "kwic_term": textstats.kwic_term,
         # --- oracled queries the driver has NOT yet sampled (r1+r2
         # correctness files) come first so a capped sample reaches
         # them (VERDICT r2 item 3); all are local-gate green ---
@@ -326,6 +330,10 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth": textstats.VOCAB_GROWTH_SQL,
         "range_search": similarity.RANGE_SEARCH_SQL,
         "kmeans_assign": similarity.KMEANS_ASSIGN_SQL,
+        "session_stats": analytics.SESSION_STATS_SQL,
+        "brand_basket_pairs": analytics.BRAND_BASKET_PAIRS_SQL,
+        "order_lines_histogram": analytics.ORDER_LINES_HISTOGRAM_SQL,
+        "kwic_term": textstats.KWIC_TERM_SQL,
         # --- exact similarity search (float64 compute, half-up micro
         # ints on both sides; margins audited in similarity.py) ---
         "knn_brute": similarity.KNN_BRUTE_SQL,

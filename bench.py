@@ -225,6 +225,10 @@ def run_bench() -> dict:
         "vocab_growth",
         "range_search",
         "kmeans_assign",
+        "session_stats",
+        "brand_basket_pairs",
+        "order_lines_histogram",
+        "kwic_term",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

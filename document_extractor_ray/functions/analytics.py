@@ -3940,3 +3940,288 @@ SELECT l_partkey, l_suppkey AS top_suppkey, qty_cents
 FROM r WHERE rk = 1
 ORDER BY l_partkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-session attribute table (sessionize with boundaries + durations)
+# ---------------------------------------------------------------------------
+
+def session_stats(sf_dir: str):
+    """One row per (user, session): 1-based session id, event count
+    and span in microseconds, with the same 30-minute inactivity gap
+    as `sessionize`.  The windowed-session ATTRIBUTE table (sessionize
+    only counts sessions) — the thing downstream funnel/engagement
+    reports join against.
+
+    Same shuffle shape as sessionize (PERF.md): one hash-bucket
+    shuffle of user_id into ~CPU partitions, then per PARTITION a
+    single vectorized pandas pass (sort, gap diff, cumsum session
+    ids, one groupby agg) — never per-user Python.  Equal-timestamp
+    events cannot diverge from the SQL window: a 0-gap never starts
+    a session and min/max/count are permutation-invariant."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    n_parts = _n_blocks()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(
+            pc.multiply(
+                pc.cast(t["user_id"], pa.int64()), pa.scalar(2654435761, pa.int64())
+            ),
+            pa.scalar(0x7FFFFFFF, pa.int64()),
+        )
+        part = pc.cast(
+            pc.subtract(h, pc.multiply(pc.divide(h, n_parts), n_parts)), pa.int32()
+        )
+        return t.append_column("part", part)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        prev = g.groupby("user_id", sort=False)["ts"].diff()
+        starts = prev.isna() | (prev.dt.total_seconds() > SESSION_GAP_S)
+        sid = starts.groupby(g["user_id"], sort=False).cumsum().astype(np.int64)
+        grp = g.assign(session_id=sid).groupby(
+            ["user_id", "session_id"], sort=True
+        )["ts"]
+        agg = grp.agg(["size", "min", "max"]).reset_index()
+        dur = (
+            (agg["max"].to_numpy() - agg["min"].to_numpy())
+            // np.timedelta64(1, "us")
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": agg["user_id"].to_numpy(),
+                "session_id": agg["session_id"].to_numpy(),
+                "n_events": agg["size"].to_numpy().astype(np.int64),
+                "duration_us": dur,
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .sort(["user_id", "session_id"])
+    )
+
+
+SESSION_STATS_SQL = f"""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts - lag(ts) OVER w) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS st
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(st) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS duration_us
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Brand co-occurrence basket pairs (market-basket primitive)
+# ---------------------------------------------------------------------------
+
+BASKET_TOP_K = 25
+
+
+def brand_basket_pairs(sf_dir: str, k: int = BASKET_TOP_K):
+    """Top-k pairs of part BRANDS co-occurring in one order (counted
+    once per order) — the market-basket / co-occurrence primitive
+    over a fact⋈dim join.
+
+    Shape: partitioned hash join lineitem⋈part ships only (orderkey,
+    brand); orders co-locate via the hash-bucket shuffle, and pair
+    enumeration inside each partition is FULLY vectorized — distinct
+    (order, brand) via one Arrow group_by, then all within-order
+    pairs from one np.repeat/offset construction (NO per-order Python:
+    unlike LSH buckets, nearly every order is a multi-row bucket, so
+    the pair_fn-per-bucket helper would pay a call per order).  The
+    pair key domain is brands² (bounded), so the count fold is one
+    plain aggregate."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    from document_extractor_ray.functions.bucketing import (
+        key_part_column,
+        n_shuffle_parts,
+    )
+
+    joined = ds.join(
+        part,
+        join_type="inner",
+        num_partitions=_join_partitions(
+            f"{sf_dir}/lineitem.parquet", f"{sf_dir}/part.parquet"
+        ),
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+    n_parts = n_shuffle_parts()
+
+    def slim(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            t.select(["l_orderkey", "p_brand"]), ["l_orderkey", "p_brand"]
+        ).aggregate([])
+        out = pa.table({"l_orderkey": g["l_orderkey"], "p_brand": g["p_brand"]})
+        return out.append_column(
+            "part", key_part_column(out, ["l_orderkey"], n_parts)
+        )
+
+    _EMPTY = pa.table(
+        {
+            "brand_a": pa.array([], pa.string()),
+            "brand_b": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["part"])
+        # global distinct within the partition (an order is whole here)
+        g = pa.TableGroupBy(t, ["l_orderkey", "p_brand"]).aggregate([])
+        t = pa.table(
+            {"o": g["l_orderkey"], "b": g["p_brand"]}
+        ).sort_by([("o", "ascending"), ("b", "ascending")])
+        o = t["o"].to_numpy(zero_copy_only=False)
+        n = len(o)
+        if n < 2:
+            return _EMPTY
+        # run boundaries -> vectorized upper-triangle pair indices
+        starts = np.flatnonzero(np.concatenate(([True], o[1:] != o[:-1])))
+        ends = np.append(starts[1:], n)
+        run_end = np.repeat(ends, ends - starts)  # end of each row's run
+        reps = run_end - np.arange(n) - 1
+        total = int(reps.sum())
+        if total == 0:
+            return _EMPTY
+        left = np.repeat(np.arange(n), reps)
+        off = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        right = left + 1 + (np.arange(total) - off[left])
+        b = t["b"].combine_chunks()
+        g2 = pa.TableGroupBy(
+            pa.table(
+                {
+                    "brand_a": b.take(pa.array(left)),
+                    "brand_b": b.take(pa.array(right)),
+                }
+            ),
+            ["brand_a", "brand_b"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "brand_a": g2["brand_a"],
+                "brand_b": g2["brand_b"],
+                "n": pc.cast(g2["count_all"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["brand_a", "brand_b"]).aggregate([("n", "sum")])
+        return pa.table(
+            {"brand_a": g["brand_a"], "brand_b": g["brand_b"], "n": g["n_sum"]}
+        )
+
+    def add_zero(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array(np.zeros(t.num_rows, np.int32), pa.int32())
+        )
+
+    def fold_part(t: pa.Table) -> pa.Table:
+        return fold(t.drop_columns(["part"]))
+
+    return (
+        joined.map_batches(slim, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs, batch_format="pyarrow")
+        .map_batches(fold, batch_format="pyarrow")  # brand² partials
+        .map_batches(add_zero, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold_part, batch_format="pyarrow")
+        .sort(["n", "brand_a", "brand_b"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
+BRAND_BASKET_PAIRS_SQL = f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, n FROM pairs
+ORDER BY n DESC, brand_a, brand_b
+LIMIT {BASKET_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lines-per-order histogram (fact-shape profile)
+# ---------------------------------------------------------------------------
+
+def order_lines_histogram(sf_dir: str):
+    """Distribution of lineitem counts per order — the fact-table
+    shape profile (skew planner input).  Fold 1 is a bucketed
+    per-order count (orderkeys grow with data); fold 2 groups THAT
+    by count value (domain-bounded, ~7 distinct) — the same
+    frequency-of-frequencies reduction token_gini uses."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["l_orderkey"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "l_orderkey": g["l_orderkey"],
+                "c": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    per_order = bucketed_agg(
+        ds.map_batches(cnt_partial, batch_format="pyarrow"),
+        ["l_orderkey"],
+        [("c", "sum", "c")],
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            t.select(["c"]).rename_columns(["n_lines"]), ["n_lines"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "n_lines": g["n_lines"],
+                "n_orders": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    return bucketed_agg(
+        per_order.map_batches(hist_partial, batch_format="pyarrow"),
+        ["n_lines"],
+        [("n_orders", "sum", "n_orders")],
+    ).sort("n_lines")
+
+
+ORDER_LINES_HISTOGRAM_SQL = """
+SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
+FROM (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+)
+GROUP BY n_lines
+ORDER BY n_lines
+"""

@@ -2923,3 +2923,109 @@ SELECT CAST(g.checkpoint AS BIGINT) AS checkpoint,
 FROM grid g CROSS JOIN mx LEFT JOIN bk ON bk.checkpoint = g.checkpoint
 ORDER BY g.checkpoint
 """
+
+
+# ---------------------------------------------------------------------------
+# Keyword-in-context concordance (search / inspection primitive)
+# ---------------------------------------------------------------------------
+
+KWIC_TERM = "spark"
+KWIC_WINDOW = 2
+
+
+def kwic_term(sf_dir: str, term: str = KWIC_TERM):
+    """Concordance lines for a term: every occurrence with up to
+    KWIC_WINDOW tokens of left/right context — the corpus-inspection
+    primitive behind search snippets and annotation tooling.
+
+    Fully vectorized per batch: one regex split per doc, flat token
+    array + per-doc offsets, hit positions by one equality mask, and
+    the context gathers are clipped `take`s masked at doc boundaries
+    (an out-of-doc neighbor contributes '' and the join trims) — no
+    Python per token.  Output streams; only hit rows leave a block."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    _EMPTY = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "left_ctx": pa.array([], pa.string()),
+            "right_ctx": pa.array([], pa.string()),
+        }
+    )
+
+    def scan(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks).combine_chunks()
+        parent = pc.list_parent_indices(toks).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        fl = flat.to_numpy(zero_copy_only=False)
+        keep = fl != ""
+        fl, parent = fl[keep], parent[keep]
+        if not len(fl):
+            return _EMPTY
+        flat = pa.array(fl, pa.string())
+        # per-doc 1-based positions over the KEPT tokens
+        change = np.concatenate(([True], parent[1:] != parent[:-1]))
+        starts = np.flatnonzero(change)
+        run_start = np.repeat(starts, np.diff(np.append(starts, len(parent))))
+        pos = np.arange(len(parent)) - run_start + 1
+        hits = np.flatnonzero(fl == term)
+        if not len(hits):
+            return _EMPTY
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[parent[hits]]
+        n = len(fl)
+
+        def nb(offs: int) -> np.ndarray:
+            idx = hits + offs
+            ok = (idx >= 0) & (idx < n)
+            ok &= np.where(ok, parent[np.clip(idx, 0, n - 1)] == parent[hits], False)
+            out = np.where(ok, fl[np.clip(idx, 0, n - 1)], "")
+            return out
+
+        l2, l1, r1, r2 = (pa.array(nb(o), pa.string()) for o in (-2, -1, 1, 2))
+        left = pc.utf8_ltrim(
+            pc.binary_join_element_wise(l2, l1, " "), " "
+        )
+        right = pc.utf8_rtrim(
+            pc.binary_join_element_wise(r1, r2, " "), " "
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "pos": pa.array(pos[hits], pa.int64()),
+                "left_ctx": left,
+                "right_ctx": right,
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow").sort(["doc_id", "pos"])
+
+
+KWIC_TERM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+  FROM (
+    SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS p
+    FROM (
+      SELECT doc_id,
+             regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}') AS ws
+      FROM documents
+    )
+  ) WHERE w <> ''
+),
+ctx AS (
+  SELECT doc_id, w, pos,
+         ltrim(coalesce(lag(w, 2) OVER win, '') || ' '
+               || coalesce(lag(w, 1) OVER win, '')) AS left_ctx,
+         rtrim(coalesce(lead(w, 1) OVER win, '') || ' '
+               || coalesce(lead(w, 2) OVER win, '')) AS right_ctx
+  FROM toks
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, left_ctx, right_ctx
+FROM ctx WHERE w = '{KWIC_TERM}'
+ORDER BY doc_id, pos
+"""

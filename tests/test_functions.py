@@ -116,6 +116,10 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "vocab_growth",
         "range_search",
         "kmeans_assign",
+        "session_stats",
+        "brand_basket_pairs",
+        "order_lines_histogram",
+        "kwic_term",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -1772,3 +1776,86 @@ def test_nation_yoy_delta_consistency(ray_session):
         else:
             assert r["delta_cents"] == r["revenue_cents"] - prev["revenue_cents"]
         prev = r
+
+
+def test_session_stats_consistent_with_sessionize(ray_session):
+    from document_extractor_ray.functions.analytics import (
+        session_stats,
+        sessionize,
+    )
+
+    stats = session_stats(SF).take_all()
+    n_sess = {r["user_id"]: r["n_sessions"] for r in sessionize(SF).take_all()}
+    max_sid: dict = {}
+    total_events = 0
+    for r in stats:
+        assert r["duration_us"] >= 0 and r["n_events"] >= 1
+        max_sid[r["user_id"]] = max(max_sid.get(r["user_id"], 0), r["session_id"])
+        total_events += r["n_events"]
+    assert max_sid == n_sess  # same gap rule, same session count
+    import pyarrow.parquet as pq
+
+    assert total_events == pq.read_metadata(f"{SF}/events.parquet").num_rows
+
+
+def test_brand_basket_pairs_known_corpus(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.analytics import brand_basket_pairs
+
+    # order 1: brands A,B (A twice via two parts); order 2: A,B; order 3: A
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "l_partkey": pa.array([10, 11, 20, 10, 20, 10], pa.int64()),
+        }
+    )
+    part = pa.table(
+        {
+            "p_partkey": pa.array([10, 11, 20], pa.int64()),
+            "p_brand": pa.array(["A", "A", "B"], pa.string()),
+        }
+    )
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    pq.write_table(part, str(tmp_path / "part.parquet"))
+    rows = brand_basket_pairs(str(tmp_path)).take_all()
+    assert rows == [{"brand_a": "A", "brand_b": "B", "n": 2}]
+
+
+def test_order_lines_histogram_mass(ray_session):
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.analytics import order_lines_histogram
+
+    rows = order_lines_histogram(SF).take_all()
+    mass = sum(r["n_lines"] * r["n_orders"] for r in rows)
+    assert mass == pq.read_metadata(f"{SF}/lineitem.parquet").num_rows
+    assert [r["n_lines"] for r in rows] == sorted(r["n_lines"] for r in rows)
+
+
+def test_kwic_term_contexts(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.textstats import kwic_term
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "spark at start and spark at end spark",
+                    "no hits here",
+                    "one two spark three four",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    rows = kwic_term(str(tmp_path)).take_all()
+    assert [(r["doc_id"], r["pos"]) for r in rows] == [(0, 1), (0, 5), (0, 8), (2, 3)]
+    by = {(r["doc_id"], r["pos"]): r for r in rows}
+    assert by[(0, 1)]["left_ctx"] == "" and by[(0, 1)]["right_ctx"] == "at start"
+    assert by[(0, 5)]["left_ctx"] == "start and" and by[(0, 5)]["right_ctx"] == "at end"
+    assert by[(0, 8)]["left_ctx"] == "at end" and by[(0, 8)]["right_ctx"] == ""
+    assert by[(2, 3)]["left_ctx"] == "one two" and by[(2, 3)]["right_ctx"] == "three four"
