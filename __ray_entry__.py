@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_basket_pairs": analytics.brand_basket_pairs,
         "order_lines_histogram": analytics.order_lines_histogram,
         "kwic_term": textstats.kwic_term,
+        "lang_confusion": textstats.lang_confusion,
+        "value_decile_assign": analytics.value_decile_assign,
+        "order_window_event_counts": analytics.order_window_event_counts,
         # --- oracled queries the driver has NOT yet sampled (r1+r2
         # correctness files) come first so a capped sample reaches
         # them (VERDICT r2 item 3); all are local-gate green ---
@@ -334,6 +337,9 @@ def oracle_sql() -> dict[str, str]:
         "brand_basket_pairs": analytics.BRAND_BASKET_PAIRS_SQL,
         "order_lines_histogram": analytics.ORDER_LINES_HISTOGRAM_SQL,
         "kwic_term": textstats.KWIC_TERM_SQL,
+        "lang_confusion": textstats.LANG_CONFUSION_SQL,
+        "value_decile_assign": analytics.VALUE_DECILE_ASSIGN_SQL,
+        "order_window_event_counts": analytics.ORDER_WINDOW_EVENT_COUNTS_SQL,
         # --- exact similarity search (float64 compute, half-up micro
         # ints on both sides; margins audited in similarity.py) ---
         "knn_brute": similarity.KNN_BRUTE_SQL,

@@ -229,6 +229,9 @@ def run_bench() -> dict:
         "brand_basket_pairs",
         "order_lines_histogram",
         "kwic_term",
+        "lang_confusion",
+        "value_decile_assign",
+        "order_window_event_counts",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -4225,3 +4225,238 @@ FROM (
 GROUP BY n_lines
 ORDER BY n_lines
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-type decile assignment (distributed rank via counts-table broadcast)
+# ---------------------------------------------------------------------------
+
+def value_decile_assign(sf_dir: str):
+    """Every event labeled with the decile of its value WITHIN its
+    event type — the feature-bucketization / quantile-binning step,
+    tie-stable: decile = ((rank_min − 1) * 10) // n_type where
+    rank_min is SQL rank() (equal values share the minimum rank), so
+    no row-order nondeterminism (ntile() would be order-dependent on
+    ties).
+
+    Distributed rank WITHOUT a global sort: fold 1 is the (type,
+    cents) counts table (value-domain-bounded, the median/KS shape);
+    the per-type cumulative-below table broadcasts once, and each
+    batch assigns ranks by one searchsorted per type present.  For an
+    unbounded value domain, range-partition the cents axis and
+    prefix-sum partition totals (the value_hdr escalation)."""
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {"event_type": t["event_type"], "cents": _to_cents(t["value"])}
+            ),
+            ["event_type", "cents"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "cents": g["cents"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    counts = bucketed_agg(
+        ds.map_batches(cnt_partial, batch_format="pyarrow"),
+        ["event_type", "cents"],
+        [("n", "sum", "n")],
+    ).take_all()  # value-domain-bounded table (see docstring escalation)
+
+    lut: dict = {}
+    for r in counts:
+        lut.setdefault(r["event_type"], []).append((r["cents"], r["n"]))
+    packed = {}
+    for et, rows in lut.items():
+        rows.sort()
+        cents = np.array([c for c, _ in rows], np.int64)
+        ns = np.array([n for _, n in rows], np.int64)
+        below = np.concatenate(([0], np.cumsum(ns)[:-1]))
+        packed[et] = (cents, below, int(ns.sum()))
+    ref = state.broadcast(packed)
+
+    def assign(t: pa.Table) -> pa.Table:
+        p = state.cached_get(ref)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        cents = _to_cents(t["value"]).to_numpy(zero_copy_only=False)
+        dec = np.zeros(len(et), np.int64)
+        for typ in np.unique(et):
+            m = et == typ
+            cs, below, n = p[typ]
+            rank0 = below[np.searchsorted(cs, cents[m])]  # rank_min - 1
+            dec[m] = rank0 * 10 // n
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "cents": pa.array(cents, pa.int64()),
+                "decile": pa.array(dec, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow").sort("event_id")
+
+
+VALUE_DECILE_ASSIGN_SQL = """
+SELECT event_id, event_type, cents,
+       CAST((rank() OVER (PARTITION BY event_type ORDER BY cents) - 1) * 10
+            // (count(*) OVER (PARTITION BY event_type)) AS BIGINT) AS decile
+FROM (
+  SELECT event_id, event_type,
+         CAST(round(value * 100.0) AS BIGINT) AS cents
+  FROM events
+)
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events per order within a trailing window (interval-count join)
+# ---------------------------------------------------------------------------
+
+ORDER_WINDOW_DAYS = 7
+
+
+def order_window_event_counts(sf_dir: str, days: int = ORDER_WINDOW_DAYS):
+    """Per order: how many events its customer produced within
+    [orderdate, orderdate + days] — the interval/range-count join Ray
+    Data has no operator for (events_asof_orders covers the as-of
+    case; this is the window-count case).
+
+    Boundary-marker merge, the scale shape: both sides slim, tag, and
+    hash-bucket ONCE on the user key (the as-of/sessionize pattern);
+    inside each partition one lexsort of (user, t, kind) with kind
+    ordered lo(-1) < event(0) < hi(+1) makes the running event count
+    C(t) readable at each marker — inclusive bounds fall out of the
+    tie order, no per-order search.  Each order then contributes
+    (+C_hi, −C_lo) rows and ONE bucketed sum per orderkey yields the
+    counts — orders whose user has no events settle to 0."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    n_parts = _n_blocks()
+    span_us = days * 86_400_000_000
+
+    def _bucket(key_col):
+        def add(t: pa.Table) -> pa.Table:
+            h = pc.bit_wise_and(
+                pc.multiply(
+                    pc.cast(t[key_col], pa.int64()), pa.scalar(2654435761, pa.int64())
+                ),
+                pa.scalar(0x7FFFFFFF, pa.int64()),
+            )
+            return t.append_column(
+                "part",
+                pc.cast(
+                    pc.subtract(h, pc.multiply(pc.divide(h, n_parts), n_parts)),
+                    pa.int32(),
+                ),
+            )
+        return add
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": t["part"],
+                "user": pc.cast(t["user_id"], pa.int64()),
+                "t": pc.cast(t["ts"], pa.int64()),
+                "kind": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+                "okey": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        lo = pc.cast(t["o_orderdate"], pa.int64())
+        user = pc.cast(t["o_custkey"], pa.int64())
+        n = t.num_rows
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "part": t["part"],
+                        "user": user,
+                        "t": lo,
+                        "kind": pa.array(np.full(n, -1, np.int8), pa.int8()),
+                        "okey": pc.cast(t["o_orderkey"], pa.int64()),
+                    }
+                ),
+                pa.table(
+                    {
+                        "part": t["part"],
+                        "user": user,
+                        "t": pc.add(lo, pa.scalar(span_us, pa.int64())),
+                        "kind": pa.array(np.ones(n, np.int8), pa.int8()),
+                        "okey": pc.cast(t["o_orderkey"], pa.int64()),
+                    }
+                ),
+            ]
+        )
+
+    tagged = events.map_batches(_bucket("user_id"), batch_format="pyarrow").map_batches(
+        tag_events, batch_format="pyarrow"
+    ).union(
+        orders.map_batches(_bucket("o_custkey"), batch_format="pyarrow").map_batches(
+            tag_orders, batch_format="pyarrow"
+        )
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["part"])
+        user = t["user"].to_numpy(zero_copy_only=False)
+        ts = t["t"].to_numpy(zero_copy_only=False)
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((kind, ts, user))
+        user, ts, kind = user[order], ts[order], kind[order]
+        # events carry a null okey; fill before to_numpy or the array
+        # silently goes float64/NaN
+        okey = pc.fill_null(t["okey"], 0).to_numpy(zero_copy_only=False)[order]
+        cum = np.cumsum(kind == 0)
+        # reset per user: subtract the cumulative count at user start
+        change = np.concatenate(([True], user[1:] != user[:-1]))
+        starts = np.flatnonzero(change)
+        base_at_start = np.where(starts > 0, cum[starts - 1], 0)
+        base = np.repeat(base_at_start, np.diff(np.append(starts, len(user))))
+        c = cum - base
+        lo = kind == -1
+        hi = kind == 1
+        # at a lo marker cumsum excludes same-ts events (markers sort
+        # first) -> C(t < lo); at a hi marker it includes them -> C(t <= hi)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    np.concatenate((okey[lo], okey[hi])), pa.int64()
+                ),
+                "c": pa.array(
+                    np.concatenate((-c[lo], c[hi])).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        bucketed_agg(
+            tagged.groupby("part").map_groups(sweep, batch_format="pyarrow"),
+            ["o_orderkey"],
+            [("c", "sum", "n_events")],
+        ).sort("o_orderkey")
+    )
+
+
+ORDER_WINDOW_EVENT_COUNTS_SQL = f"""
+SELECT o.o_orderkey, CAST(count(e.ts) AS BIGINT) AS n_events
+FROM orders o
+LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts <= o.o_orderdate + INTERVAL {ORDER_WINDOW_DAYS} DAY
+GROUP BY o.o_orderkey
+ORDER BY o.o_orderkey
+"""

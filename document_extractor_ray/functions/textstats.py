@@ -3029,3 +3029,84 @@ SELECT doc_id, CAST(pos AS BIGINT) AS pos, left_ctx, right_ctx
 FROM ctx WHERE w = '{KWIC_TERM}'
 ORDER BY doc_id, pos
 """
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (model-eval primitive)
+# ---------------------------------------------------------------------------
+
+def lang_confusion(sf_dir: str):
+    """Confusion matrix of the heuristic language classifier against
+    the corpus `lang` labels — the model-evaluation primitive (how a
+    filter model is audited before it gates a 100 TB crawl).  The
+    classifier state compiles once per worker (module cache, ST5);
+    each batch classifies and pre-counts its own (lang, pred) cells,
+    so the shuffle carries only the bounded label-square."""
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        if "langid" not in _WORKER_CACHE:
+            _WORKER_CACHE["langid"] = LangId()
+        inst = _WORKER_CACHE["langid"]
+        preds = [inst.classify(x) for x in t["text"].to_pylist()]
+        g = pa.TableGroupBy(
+            pa.table(
+                {"lang": t["lang"], "pred_lang": pa.array(preds, pa.string())}
+            ),
+            ["lang", "pred_lang"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "pred_lang": g["pred_lang"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["lang", "pred_lang"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .sort(["lang", "pred_lang"])
+    )
+
+
+LANG_CONFUSION_SQL = f"""
+WITH w AS (
+  SELECT doc_id, lang, text,
+         list_transform(regexp_extract_all(text, '[a-zA-Z]+'), x -> lower(x)) AS words,
+         regexp_matches(text, '[一-鿿぀-ヿ]') AS cjk
+  FROM documents
+), h AS (
+  SELECT doc_id, lang, text, words, cjk,
+         len(list_filter(words, x -> list_contains({{de}}, x))) AS h_de,
+         len(list_filter(words, x -> list_contains({{en}}, x))) AS h_en,
+         len(list_filter(words, x -> list_contains({{es}}, x))) AS h_es,
+         len(list_filter(words, x -> list_contains({{fr}}, x))) AS h_fr
+  FROM w
+), p AS (
+  SELECT lang,
+    CASE
+      WHEN text IS NULL OR text = '' THEN 'und'
+      WHEN cjk THEN 'zh'
+      WHEN len(words) = 0 THEN 'und'
+      WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'en'
+      WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+      WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+      WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+      ELSE 'fr'
+    END AS pred_lang
+  FROM h
+)
+SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM p GROUP BY lang, pred_lang
+ORDER BY lang, pred_lang
+"""
+
+# inline the live marker sets so the oracle cannot drift from LangId
+LANG_CONFUSION_SQL = LANG_CONFUSION_SQL.replace("{de}", _marker_list_sql("de"))
+LANG_CONFUSION_SQL = LANG_CONFUSION_SQL.replace("{en}", _marker_list_sql("en"))
+LANG_CONFUSION_SQL = LANG_CONFUSION_SQL.replace("{es}", _marker_list_sql("es"))
+LANG_CONFUSION_SQL = LANG_CONFUSION_SQL.replace("{fr}", _marker_list_sql("fr"))

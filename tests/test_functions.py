@@ -120,6 +120,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "brand_basket_pairs",
         "order_lines_histogram",
         "kwic_term",
+        "lang_confusion",
+        "value_decile_assign",
+        "order_window_event_counts",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -1859,3 +1862,76 @@ def test_kwic_term_contexts(ray_session, tmp_path):
     assert by[(0, 5)]["left_ctx"] == "start and" and by[(0, 5)]["right_ctx"] == "at end"
     assert by[(0, 8)]["left_ctx"] == "at end" and by[(0, 8)]["right_ctx"] == ""
     assert by[(2, 3)]["left_ctx"] == "one two" and by[(2, 3)]["right_ctx"] == "three four"
+
+
+def test_lang_confusion_diagonal_mass(ray_session):
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.textstats import lang_confusion
+
+    rows = lang_confusion(SF).take_all()
+    total = sum(r["n_docs"] for r in rows)
+    assert total == pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    diag = sum(r["n_docs"] for r in rows if r["lang"] == r["pred_lang"])
+    assert 0 < diag <= total  # classifier agrees on a nonzero subset
+
+
+def test_value_decile_assign_bounds_and_monotone(ray_session):
+    from document_extractor_ray.functions.analytics import value_decile_assign
+
+    rows = value_decile_assign(SF).take_all()
+    assert all(0 <= r["decile"] <= 9 for r in rows)
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append((r["cents"], r["decile"]))
+    for pairs in by_type.values():
+        pairs.sort()
+        decs = [d for _, d in pairs]
+        assert decs == sorted(decs)  # decile monotone in value
+        # equal values -> equal decile (tie stability)
+        seen: dict = {}
+        for c, d in pairs:
+            assert seen.setdefault(c, d) == d
+
+
+def test_order_window_counts_known_corpus(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.analytics import (
+        order_window_event_counts,
+    )
+
+    base = dt.datetime(2024, 1, 10)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([7, 7, 8], pa.int64()),
+            "o_orderdate": pa.array(
+                [base, base + dt.timedelta(days=30), base], pa.timestamp("us")
+            ),
+        }
+    )
+    # user 7: events at day 0 (inclusive lo), day 7 (inclusive hi),
+    # day 7+1us (out), day 30+3 (order 2); user 9: no orders
+    events = pa.table(
+        {
+            "user_id": pa.array([7, 7, 7, 7, 9], pa.int64()),
+            "ts": pa.array(
+                [
+                    base,
+                    base + dt.timedelta(days=7),
+                    base + dt.timedelta(days=7, microseconds=1),
+                    base + dt.timedelta(days=33),
+                    base,
+                ],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(events, str(tmp_path / "events.parquet"))
+    rows = {r["o_orderkey"]: r["n_events"] for r in
+            order_window_event_counts(str(tmp_path)).take_all()}
+    assert rows == {1: 2, 2: 1, 3: 0}
