@@ -3652,15 +3652,27 @@ def returned_revenue_topk(sf_dir: str, k: int = RETURNED_REVENUE_TOP_K):
 
     def slim(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        # aggregate BELOW the join: per-batch per-orderkey partial sums
+        # shrink the probe side from lines to orders before any shuffle
+        # (at sf0.1 the join's fixed cost dominates either way; at 10^12
+        # lines this is the difference between shuffling lines and
+        # shuffling orders; exactness unaffected — the per-LINE cents
+        # rounding happens first, the sum is associative)
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "cents": _to_cents(
+                        pc.multiply(
+                            t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+                        )
+                    ),
+                }
+            ),
+            ["l_orderkey"],
+        ).aggregate([("cents", "sum")])
         return pa.table(
-            {
-                "l_orderkey": t["l_orderkey"],
-                "cents": _to_cents(
-                    pc.multiply(
-                        t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
-                    )
-                ),
-            }
+            {"l_orderkey": g["l_orderkey"], "cents": g["cents_sum"]}
         )
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
@@ -3759,12 +3771,20 @@ def nation_yoy_revenue(sf_dir: str):
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
 
     def slim(t: pa.Table) -> pa.Table:
+        # aggregate BELOW the join: (custkey, yr) partials collapse
+        # the order rows of a customer-year before the shuffle
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "o_custkey": t["o_custkey"],
+                    "yr": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                    "cents": _to_cents(t["o_totalprice"]),
+                }
+            ),
+            ["o_custkey", "yr"],
+        ).aggregate([("cents", "sum")])
         return pa.table(
-            {
-                "o_custkey": t["o_custkey"],
-                "yr": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
-                "cents": _to_cents(t["o_totalprice"]),
-            }
+            {"o_custkey": g["o_custkey"], "yr": g["yr"], "cents": g["cents_sum"]}
         )
 
     joined = orders.map_batches(slim, batch_format="pyarrow").join(
