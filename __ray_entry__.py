@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": textstats.lang_confusion,
         "value_decile_assign": analytics.value_decile_assign,
         "order_window_event_counts": analytics.order_window_event_counts,
+        "customer_order_totals": analytics.customer_order_totals,
         # --- oracled queries the driver has NOT yet sampled (r1+r2
         # correctness files) come first so a capped sample reaches
         # them (VERDICT r2 item 3); all are local-gate green ---
@@ -340,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion": textstats.LANG_CONFUSION_SQL,
         "value_decile_assign": analytics.VALUE_DECILE_ASSIGN_SQL,
         "order_window_event_counts": analytics.ORDER_WINDOW_EVENT_COUNTS_SQL,
+        "customer_order_totals": analytics.CUSTOMER_ORDER_TOTALS_SQL,
         # --- exact similarity search (float64 compute, half-up micro
         # ints on both sides; margins audited in similarity.py) ---
         "knn_brute": similarity.KNN_BRUTE_SQL,

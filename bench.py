@@ -232,6 +232,7 @@ def run_bench() -> dict:
         "lang_confusion",
         "value_decile_assign",
         "order_window_event_counts",
+        "customer_order_totals",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

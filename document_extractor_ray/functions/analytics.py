@@ -4480,3 +4480,86 @@ LEFT JOIN events e
 GROUP BY o.o_orderkey
 ORDER BY o.o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Customer order totals (LEFT OUTER partitioned join)
+# ---------------------------------------------------------------------------
+
+def customer_order_totals(sf_dir: str):
+    """Every customer with order count and revenue — zero rows kept
+    (the LEFT OUTER member of the join family: inner =
+    order_revenue_by_nation, anti = customers_without_orders, as-of =
+    events_asof_orders, interval = order_window_event_counts, full
+    outer = user_activity_360).  The orders side pre-aggregates per
+    custkey BELOW the join (bucketed fold), so the outer join ships
+    one row per customer per side; null fills use pc.fill_null AFTER
+    the join (or_kleene discipline not needed — no boolean masks)."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {"o_custkey": t["o_custkey"], "cents": _to_cents(t["o_totalprice"])}
+            ),
+            ["o_custkey"],
+        ).aggregate([("cents", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "o_custkey": g["o_custkey"],
+                "cents": g["cents_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    per_cust = bucketed_agg(
+        orders.map_batches(slim, batch_format="pyarrow"),
+        ["o_custkey"],
+        [("cents", "sum", "cents"), ("n", "sum", "n")],
+    )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    joined = cust.join(
+        per_cust,
+        join_type="left_outer",
+        num_partitions=_join_partitions(
+            f"{sf_dir}/customer.parquet", f"{sf_dir}/orders.parquet"
+        ),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = set(t.column_names)
+        if t.num_rows == 0 or "c_custkey" not in cols:
+            return pa.table(
+                {
+                    "c_custkey": pa.array([], pa.int64()),
+                    "c_name": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_name": t["c_name"],
+                "n_orders": pc.fill_null(t["n"], 0),
+                "revenue_cents": pc.fill_null(t["cents"], 0),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("c_custkey")
+
+
+CUSTOMER_ORDER_TOTALS_SQL = """
+SELECT c.c_custkey, c.c_name,
+       CAST(count(o.o_custkey) AS BIGINT) AS n_orders,
+       CAST(coalesce(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)), 0)
+            AS BIGINT) AS revenue_cents
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY c.c_custkey
+"""

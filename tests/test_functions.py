@@ -123,6 +123,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "lang_confusion",
         "value_decile_assign",
         "order_window_event_counts",
+        "customer_order_totals",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -1935,3 +1936,25 @@ def test_order_window_counts_known_corpus(ray_session, tmp_path):
     rows = {r["o_orderkey"]: r["n_events"] for r in
             order_window_event_counts(str(tmp_path)).take_all()}
     assert rows == {1: 2, 2: 1, 3: 0}
+
+
+def test_customer_order_totals_left_outer(ray_session):
+    """LEFT OUTER semantics: every customer appears exactly once;
+    customers absent from orders carry zero counts."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.analytics import customer_order_totals
+
+    rows = customer_order_totals(SF).take_all()
+    assert len(rows) == pq.read_metadata(f"{SF}/customer.parquet").num_rows
+    import duckdb
+
+    expected_zero = duckdb.sql(
+        f"""SELECT count(*) FROM read_parquet('{SF}/customer.parquet') c
+            WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{SF}/orders.parquet') o
+                              WHERE o.o_custkey = c.c_custkey)"""
+    ).fetchone()[0]
+    zeros = [r for r in rows if r["n_orders"] == 0]
+    assert len(zeros) == expected_zero
+    assert all(r["revenue_cents"] == 0 for r in zeros)
+    assert len({r["c_custkey"] for r in rows}) == len(rows)
