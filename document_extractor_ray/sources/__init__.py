@@ -146,8 +146,63 @@ def read_pages_csv(path: Union[str, List[str]]) -> "ray.data.Dataset":
     return ds.map_batches(prune, batch_format="pyarrow")
 
 
+def read_pages_ipc(path):
+    """Read a pages table from Arrow IPC / Feather V2 files (the
+    zero-parse interchange format for intra-pipeline handoffs — a
+    stage that checkpoints blocks with `pa.ipc` reloads them here
+    without the Parquet encode/decode cost) and normalize to the
+    canonical PAGE_COLUMNS schema.  Same conventions as the JSONL/CSV
+    sources: warc_ts accepted as epoch microseconds, html as UTF-8
+    text when the writer could not carry binary; casts are Arrow
+    kernels.  Parquet remains the production source — IPC has no
+    row-group pruning or column projection pushdown at the reader."""
+    import pyarrow as pa
+
+    ds = ray.data.read_binary_files(path)
+
+    def decode(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+        import pyarrow.ipc as ipc
+
+        outs = []
+        for blob in t["bytes"].to_pylist():  # one IPC file per row
+            tbl = ipc.open_file(pa.BufferReader(blob)).read_all()
+            canonical = {
+                "url": pa.string(),
+                "warc_ts": pa.timestamp("us"),
+                "html": pa.binary(),
+                "text": pa.string(),
+            }
+            cols = {}
+            for c in PAGE_COLUMNS:
+                cols[c] = (
+                    tbl[c].combine_chunks()
+                    if c in tbl.schema.names
+                    else pa.nulls(tbl.num_rows, canonical[c])
+                )
+            if pa.types.is_integer(cols["warc_ts"].type):
+                cols["warc_ts"] = pc.cast(cols["warc_ts"], pa.timestamp("us"))
+            if pa.types.is_string(cols["html"].type):
+                cols["html"] = pc.cast(cols["html"], pa.binary())
+            for c in ("url", "text"):
+                if pa.types.is_null(cols[c].type):
+                    cols[c] = pa.nulls(tbl.num_rows, canonical[c])
+            outs.append(pa.table(cols))
+        return pa.concat_tables(outs) if outs else pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "warc_ts": pa.array([], pa.timestamp("us")),
+                "html": pa.array([], pa.binary()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
 __all__ = [
     "read_pages",
+    "read_pages_ipc",
     "read_pages_csv",
     "read_pages_jsonl",
     "read_parquet_clean",

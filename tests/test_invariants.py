@@ -470,3 +470,31 @@ def test_csv_source_row_identity(ray_session, tmp_path):
     a = run_extraction(pq_path, DEFAULT_CONFIG)
     b = run_extraction(read_pages_csv(csv_path), DEFAULT_CONFIG)
     assert canon(a.take_all()) == canon(b.take_all())
+
+
+def test_ipc_source_row_identity(ray_session, tmp_path):
+    """The Arrow-IPC pages source must drive the pipeline to output
+    row-identical to the parquet source on the same corpus."""
+    import pyarrow.ipc as ipc
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import fixtures
+    from document_extractor_ray.pipelines.extract import run_extraction
+    from document_extractor_ray.sources import read_pages_ipc
+
+    pages = fixtures.make_pages_table(150, seed=11)
+    pq_path = str(tmp_path / "pages.parquet")
+    ipc_path = str(tmp_path / "pages.arrow")
+    pq.write_table(pages, pq_path)
+    with ipc.new_file(ipc_path, pages.schema) as w:
+        w.write_table(pages)
+
+    def canon(rows):
+        return sorted(
+            ({k: r[k] for k in sorted(r)} for r in rows),
+            key=lambda r: str(r["url"]),
+        )
+
+    a = run_extraction(pq_path, DEFAULT_CONFIG)
+    b = run_extraction(read_pages_ipc(ipc_path), DEFAULT_CONFIG)
+    assert canon(a.take_all()) == canon(b.take_all())
