@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_decile_assign": analytics.value_decile_assign,
         "order_window_event_counts": analytics.order_window_event_counts,
         "customer_order_totals": analytics.customer_order_totals,
+        "user_rolling3_sum": analytics.user_rolling3_sum,
         # --- oracled queries the driver has NOT yet sampled (r1+r2
         # correctness files) come first so a capped sample reaches
         # them (VERDICT r2 item 3); all are local-gate green ---
@@ -342,6 +343,7 @@ def oracle_sql() -> dict[str, str]:
         "value_decile_assign": analytics.VALUE_DECILE_ASSIGN_SQL,
         "order_window_event_counts": analytics.ORDER_WINDOW_EVENT_COUNTS_SQL,
         "customer_order_totals": analytics.CUSTOMER_ORDER_TOTALS_SQL,
+        "user_rolling3_sum": analytics.USER_ROLLING3_SUM_SQL,
         # --- exact similarity search (float64 compute, half-up micro
         # ints on both sides; margins audited in similarity.py) ---
         "knn_brute": similarity.KNN_BRUTE_SQL,

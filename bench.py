@@ -233,6 +233,7 @@ def run_bench() -> dict:
         "value_decile_assign",
         "order_window_event_counts",
         "customer_order_totals",
+        "user_rolling3_sum",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -4563,3 +4563,88 @@ FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey, c.c_name
 ORDER BY c.c_custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Rolling ROWS-frame window: trailing-3-event sum per user
+# ---------------------------------------------------------------------------
+
+ROLLING_N = 3
+
+
+def user_rolling3_sum(sf_dir: str, n: int = ROLLING_N):
+    """Per event: the sum of this and the previous n-1 events' values
+    for the same user — the bounded ROWS-frame window (``ROWS BETWEEN
+    n-1 PRECEDING AND CURRENT ROW``), completing the frame family
+    next to cumulative (UNBOUNDED PRECEDING), lag/lead, and the
+    day-RANGE sliding windows.
+
+    Same plan as user_cumulative_value: one hash-bucket shuffle of
+    user_id, one sorted pandas pass per PARTITION; the rolling sum is
+    cumsum(x) - shift(cumsum(x), n) with per-user edge repair — a
+    segment kernel, never per-user Python.  Order on (ts, event_id)
+    so equal timestamps cannot make the frame nondeterministic;
+    values roll in integer cents."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    n_parts = _n_blocks()
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (u * np.uint64(2654435761)) & np.uint64(0x7FFFFFFF)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "cents": _to_cents(t["value"]),
+                "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+            }
+        )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = g["cents"].to_numpy()
+        users = g["user_id"].to_numpy()
+        cs = np.cumsum(cents)
+        # frame base across user boundaries and short prefixes: position
+        # within the user's run, clipped at n, defines the true frame
+        change = np.concatenate(([True], users[1:] != users[:-1]))
+        starts = np.flatnonzero(change)
+        run_start = np.repeat(starts, np.diff(np.append(starts, len(users))))
+        pos = np.arange(len(users)) - run_start  # 0-based within user
+        frame = np.minimum(pos + 1, n)
+        lo = np.arange(len(users)) - frame  # index before frame start
+        base = np.where(lo >= 0, cs[np.maximum(lo, 0)], 0)
+        roll = cs - base
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": users,
+                "roll3_cents": roll.astype(np.int64),
+                "n_in_frame": frame.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .sort("event_id")
+    )
+
+
+USER_ROLLING3_SUM_SQL = f"""
+SELECT event_id, user_id,
+       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {ROLLING_N - 1} PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS roll3_cents,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {ROLLING_N - 1} PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_in_frame
+FROM (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100.0) AS BIGINT) AS cents
+  FROM events
+)
+ORDER BY event_id
+"""

@@ -124,6 +124,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "value_decile_assign",
         "order_window_event_counts",
         "customer_order_totals",
+        "user_rolling3_sum",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -1958,3 +1959,23 @@ def test_customer_order_totals_left_outer(ray_session):
     assert len(zeros) == expected_zero
     assert all(r["revenue_cents"] == 0 for r in zeros)
     assert len({r["c_custkey"] for r in rows}) == len(rows)
+
+
+def test_user_rolling3_matches_cumulative_prefix(ray_session):
+    """First ROLLING_N events of each user must equal the running
+    total; frames never span users and never exceed ROLLING_N."""
+    from document_extractor_ray.functions.analytics import (
+        user_cumulative_value,
+        user_rolling3_sum,
+    )
+
+    roll = {r["event_id"]: r for r in user_rolling3_sum(SF).take_all()}
+    cum = {r["event_id"]: r for r in user_cumulative_value(SF).take_all()}
+    assert set(roll) == set(cum)
+    for eid, r in roll.items():
+        c = cum[eid]
+        assert r["user_id"] == c["user_id"]
+        assert 1 <= r["n_in_frame"] <= 3
+        assert r["n_in_frame"] == min(c["cum_n"], 3)
+        if c["cum_n"] <= 3:
+            assert r["roll3_cents"] == c["cum_value_cents"]
