@@ -642,6 +642,20 @@ def build_extraction_fused(
             )
 
     frags, max_rg_rows = page_fragments(paths)
+    # The fused plan's parallelism is BOUNDED by fragment count (one
+    # row group is the smallest unit a task can read).  A writer that
+    # chose huge row groups (measured: a 2M-page file with 16 groups
+    # capped the pipeline at 16 tasks — 129 s vs 33 s after the fix)
+    # must fall back to the classic plan, whose post-read blocks split
+    # by size and re-balance across the whole cluster.  Threshold: the
+    # fused plan needs at least ~2 fragments per CPU to keep every
+    # core fed through the tail.
+    n_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    total_rows_bound = len(frags) * max_rg_rows
+    if len(frags) < 2 * n_cpus and total_rows_bound > FUSED_ROWS_PER_TASK:
+        # coarse-grouped AND big enough that parallelism matters;
+        # tiny inputs (under one task of rows) stay fused
+        return None
     # Scale fragments-per-task so a task never holds more than
     # ~FUSED_ROWS_PER_TASK pages of payload, whatever row-group size
     # the writer chose (a one-group 10^6-row file gets batch_size=1).

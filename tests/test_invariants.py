@@ -498,3 +498,42 @@ def test_ipc_source_row_identity(ray_session, tmp_path):
     a = run_extraction(pq_path, DEFAULT_CONFIG)
     b = run_extraction(read_pages_ipc(ipc_path), DEFAULT_CONFIG)
     assert canon(a.take_all()) == canon(b.take_all())
+
+
+def test_fused_plan_rejects_coarse_row_groups(ray_session, tmp_path):
+    """A big file with huge row groups must fall back to the classic
+    plan (the fused plan's parallelism is bounded by fragment count —
+    a 16-group 2M-page file capped the pipeline at 16 tasks); tiny
+    inputs stay fused regardless of grouping."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import fixtures
+    from document_extractor_ray.pipelines.extract import (
+        FUSED_ROWS_PER_TASK,
+        build_extraction_fused,
+        run_extraction,
+    )
+
+    pages = fixtures.make_pages_table(300, seed=5)
+    coarse = str(tmp_path / "coarse.parquet")
+    # one giant row group; fake its scale by row count > FUSED_ROWS_PER_TASK
+    big = pa.concat_tables([pages] * (FUSED_ROWS_PER_TASK // 300 + 2))
+    pq.write_table(big, coarse, row_group_size=big.num_rows)
+    assert build_extraction_fused(coarse, DEFAULT_CONFIG) is None
+
+    fine = str(tmp_path / "fine.parquet")
+    pq.write_table(pages, fine, row_group_size=64)  # tiny input: fused
+    assert build_extraction_fused(fine, DEFAULT_CONFIG) is not None
+
+    # and the fallback path still produces identical rows
+    def canon(rows):
+        return sorted(
+            ({k: r[k] for k in sorted(r)} for r in rows),
+            key=lambda r: str(r["url"]),
+        )
+
+    coarse_small = str(tmp_path / "coarse_small.parquet")
+    pq.write_table(pages, coarse_small, row_group_size=pages.num_rows)
+    a = run_extraction(coarse_small, DEFAULT_CONFIG)
+    b = run_extraction(fine, DEFAULT_CONFIG)
+    assert canon(a.take_all()) == canon(b.take_all())
