@@ -4429,8 +4429,14 @@ def order_window_event_counts(sf_dir: str, days: int = ORDER_WINDOW_DAYS):
         )
     )
 
+    _SWEEP_EMPTY = pa.table(
+        {"o_orderkey": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+    )
+
     def sweep(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["part"])
+        if t.num_rows == 0:
+            return _SWEEP_EMPTY
         user = t["user"].to_numpy(zero_copy_only=False)
         ts = t["t"].to_numpy(zero_copy_only=False)
         kind = t["kind"].to_numpy(zero_copy_only=False)

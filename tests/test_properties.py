@@ -360,3 +360,103 @@ def test_bytes_hash_u64_binary_and_edge_cases():
     assert _bytes_hash_u64(pa.array([], pa.string())).shape == (0,)
     # dtype is uint64 material for _mix_key_arrays
     assert h.dtype == np.uint64
+
+
+# ---------------------------------------------------------------------------
+# Property pins for the round-3 nonstandard kernels (brute-force refs)
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),   # n_tok
+            st.integers(min_value=0, max_value=8),   # n_chars
+        ),
+        max_size=24,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_frontier_mask_matches_n_squared(points):
+    """_frontier_mask (sorted prefix-min kernel) == O(n²) strict-
+    dominance definition on arbitrary small point sets."""
+    import numpy as np
+
+    from document_extractor_ray.functions.textstats import _frontier_mask
+
+    tok = np.array([p[0] for p in points], np.int64)
+    ch = np.array([p[1] for p in points], np.int64)
+    got = _frontier_mask(tok, ch)
+    for i in range(len(points)):
+        dominated = any(
+            (tok[j] >= tok[i] and ch[j] <= ch[i])
+            and (tok[j] > tok[i] or ch[j] < ch[i])
+            for j in range(len(points))
+        )
+        assert got[i] == (not dominated)
+
+
+@given(
+    st.lists(  # events: (user, ts)
+        st.tuples(st.integers(0, 4), st.integers(0, 50)), max_size=30
+    ),
+    st.lists(  # orders: (user, lo_ts)
+        st.tuples(st.integers(0, 4), st.integers(0, 50)), max_size=12
+    ),
+)
+@settings(max_examples=150, deadline=None)
+def test_boundary_marker_sweep_matches_brute(events, orders):
+    """The order_window_event_counts sweep kernel (lexsort + marker
+    cumsum) == brute-force inclusive interval counting, single
+    partition."""
+    import numpy as np
+    import pyarrow as pa
+
+    span = 7
+    user = np.array(
+        [u for u, _ in events] + [u for u, _ in orders] * 2, np.int64
+    )
+    ts = np.array(
+        [t for _, t in events]
+        + [t for _, t in orders]
+        + [t + span for _, t in orders],
+        np.int64,
+    )
+    kind = np.array(
+        [0] * len(events) + [-1] * len(orders) + [1] * len(orders), np.int8
+    )
+    okey = np.array(
+        [0] * len(events) + list(range(1, len(orders) + 1)) * 2, np.int64
+    )
+    t = pa.table(
+        {
+            "part": pa.array(np.zeros(len(user), np.int32), pa.int32()),
+            "user": pa.array(user),
+            "t": pa.array(ts),
+            "kind": pa.array(kind),
+            "okey": pa.array(okey, pa.int64()),
+        }
+    )
+    if len(user) == 0:
+        return
+    # re-derive the inner sweep exactly as order_window_event_counts does
+    order = np.lexsort((kind, ts, user))
+    u2, t2, k2 = user[order], ts[order], kind[order]
+    o2 = okey[order]
+    cum = np.cumsum(k2 == 0)
+    change = np.concatenate(([True], u2[1:] != u2[:-1]))
+    starts = np.flatnonzero(change)
+    base_at_start = np.where(starts > 0, cum[starts - 1], 0)
+    base = np.repeat(base_at_start, np.diff(np.append(starts, len(u2))))
+    c = cum - base
+    lo, hi = k2 == -1, k2 == 1
+    got: dict = {}
+    for key, v in zip(
+        np.concatenate((o2[lo], o2[hi])),
+        np.concatenate((-c[lo], c[hi])),
+    ):
+        got[int(key)] = got.get(int(key), 0) + int(v)
+    for i, (u, lo_ts) in enumerate(orders, start=1):
+        want = sum(
+            1 for eu, et in events if eu == u and lo_ts <= et <= lo_ts + span
+        )
+        assert got.get(i, 0) == want
