@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_window_event_counts": analytics.order_window_event_counts,
         "customer_order_totals": analytics.customer_order_totals,
         "user_rolling3_sum": analytics.user_rolling3_sum,
+        "minhash_calibration": dedup.minhash_calibration_docs,
         # --- oracled queries the driver has NOT yet sampled (r1+r2
         # correctness files) come first so a capped sample reaches
         # them (VERDICT r2 item 3); all are local-gate green ---
@@ -331,6 +332,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_yoy_revenue": analytics.NATION_YOY_REVENUE_SQL,
         "part_top_supplier": analytics.PART_TOP_SUPPLIER_SQL,
         "kgram_novelty": sqlhash.kgram_novelty_sql(),
+        "minhash_calibration": sqlhash.minhash_calibration_sql(),
         "token_gini": textstats.TOKEN_GINI_SQL,
         "vocab_growth": textstats.VOCAB_GROWTH_SQL,
         "range_search": similarity.RANGE_SEARCH_SQL,

@@ -234,6 +234,7 @@ def run_bench() -> dict:
         "order_window_event_counts",
         "customer_order_totals",
         "user_rolling3_sum",
+        "minhash_calibration",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

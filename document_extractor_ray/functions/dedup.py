@@ -1810,3 +1810,104 @@ def kgram_novelty_docs(sf_dir: str, k: int = 3):
     from document_extractor_ray.functions.textstats import _read_docs
 
     return kgram_novelty(_read_docs(sf_dir, ["doc_id", "text"]), k)
+
+
+# ---------------------------------------------------------------------------
+# MinHash sketch calibration: signature estimate vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+CALIB_THRESHOLD = 0.35
+CALIB_PAIR_LIMIT = 10_000
+
+
+def minhash_calibration(
+    ds: "ray.data.Dataset",
+    threshold: float = CALIB_THRESHOLD,
+    pair_limit: int = CALIB_PAIR_LIMIT,
+    k: int = 3,
+):
+    """Sketch-accuracy audit: for LSH candidate pairs, the 64-component
+    signature agreement NEXT TO the exact shingle Jaccard, as integers
+    (est_permille, jac_num/jac_den/jac_permille, signed err_permille).
+    This is how a dedup threshold is tuned before a 100 TB run — it
+    quantifies the estimator's bias/variance on THIS corpus rather
+    than trusting the binomial bound.
+
+    Audit semantics: pairs are a deterministic sample — sorted
+    (doc_a, doc_b), first `pair_limit` (the cap is explicit and in the
+    oracle, not silent); candidates at `threshold` 0.35 span the
+    interesting range instead of only near-dups.  Texts for the
+    sampled pairs attach via a broadcast id filter (<= 2*limit ids);
+    the full-corpus escalation is the ngram_jaccard_dups partitioned
+    two-join path, verbatim.  Zero-shingle docs carry the documented
+    all-max-signature caveat (minhash_pairs_sql docstring); none exist
+    in the sf corpora."""
+    pairs = (
+        minhash_dup_pairs(ds, threshold=threshold)
+        .sort(["doc_a", "doc_b"])
+        .limit(pair_limit)
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "sig_match": pa.array([], pa.int64()),
+            "est_permille": pa.array([], pa.int64()),
+            "jac_num": pa.array([], pa.int64()),
+            "jac_den": pa.array([], pa.int64()),
+            "jac_permille": pa.array([], pa.int64()),
+            "err_permille": pa.array([], pa.int64()),
+        }
+    )
+    if not pairs:
+        return empty
+    wanted = sorted({r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs})
+    wanted_arr = pa.array(wanted, pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["doc_id"], value_set=wanted_arr))
+        return t.select(["doc_id", "text"])
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in ds.map_batches(pick, batch_format="pyarrow").take_all()
+    }
+    sh_cache: dict = {}
+
+    def sh(doc_id: int):
+        if doc_id not in sh_cache:
+            s = shingles(texts.get(doc_id, ""), k)
+            sh_cache[doc_id] = np.sort(
+                np.fromiter(s, np.uint64, len(s)).view(np.int64)
+            )
+        return sh_cache[doc_id]
+
+    rows = {"doc_a": [], "doc_b": [], "sig_match": [], "est_permille": [],
+            "jac_num": [], "jac_den": [], "jac_permille": [], "err_permille": []}
+    for r in pairs:
+        a, b = int(r["doc_a"]), int(r["doc_b"])
+        sa, sb = sh(a), sh(b)
+        inter = int(len(np.intersect1d(sa, sb, assume_unique=True)))
+        den = int(len(sa) + len(sb) - inter)
+        sig = int(round(r["est_jaccard"] * N_HASHES))
+        est_pm = 1000 * sig // N_HASHES
+        jac_pm = 1000 * inter // den if den else 0
+        rows["doc_a"].append(a)
+        rows["doc_b"].append(b)
+        rows["sig_match"].append(sig)
+        rows["est_permille"].append(est_pm)
+        rows["jac_num"].append(inter)
+        rows["jac_den"].append(den)
+        rows["jac_permille"].append(jac_pm)
+        rows["err_permille"].append(est_pm - jac_pm)
+    return pa.table(
+        {c: pa.array(v, pa.int64() if c != "doc_a" and c != "doc_b" else pa.int64())
+         for c, v in rows.items()}
+    )
+
+
+def minhash_calibration_docs(sf_dir: str):
+    from document_extractor_ray.functions.textstats import _read_docs
+
+    return minhash_calibration(_read_docs(sf_dir, ["doc_id", "text"]))

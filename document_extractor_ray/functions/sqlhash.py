@@ -589,3 +589,65 @@ FROM documents d
 LEFT JOIN dist ON dist.doc_id = d.doc_id
 LEFT JOIN novel ON novel.doc_id = d.doc_id
 ORDER BY d.doc_id"""
+
+
+def minhash_calibration_sql(
+    threshold: float = 0.35, pair_limit: int = 10_000, k: int = 3
+) -> str:
+    """Oracle for ``dedup.minhash_calibration``: band candidates,
+    64-component signature agreement, exact shingle Jaccard — all
+    integer columns (permille, floor division), deterministic
+    (doc_a, doc_b) sample order with the same explicit LIMIT."""
+    return f"""WITH RECURSIVE
+{_words(lower=True)},
+{_CRC_TABLE},
+{_WORD_CRC},
+{_sig_ctes(k=k)},
+{_band_ctes()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandh a
+  JOIN bandh b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT)
+           AS sig_match
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+  GROUP BY c.doc_a, c.doc_b
+),
+sel AS (
+  SELECT doc_a, doc_b, sig_match FROM est
+  WHERE sig_match::DOUBLE / 64 >= {threshold}
+  ORDER BY doc_a, doc_b
+  LIMIT {pair_limit}
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingle GROUP BY doc_id),
+inter AS (
+  SELECT s.doc_a, s.doc_b, count(*) AS n_inter
+  FROM sel s
+  JOIN shingle s1 ON s1.doc_id = s.doc_a
+  JOIN shingle s2 ON s2.doc_id = s.doc_b AND s2.x = s1.x
+  GROUP BY s.doc_a, s.doc_b
+)
+SELECT s.doc_a, s.doc_b, s.sig_match,
+       CAST(1000 * s.sig_match // 64 AS BIGINT) AS est_permille,
+       CAST(coalesce(i.n_inter, 0) AS BIGINT) AS jac_num,
+       CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS BIGINT) AS jac_den,
+       CAST(CASE WHEN sa.sz + sb.sz - coalesce(i.n_inter, 0) > 0
+                 THEN 1000 * coalesce(i.n_inter, 0)
+                      // (sa.sz + sb.sz - coalesce(i.n_inter, 0))
+                 ELSE 0 END AS BIGINT) AS jac_permille,
+       CAST(1000 * s.sig_match // 64
+            - CASE WHEN sa.sz + sb.sz - coalesce(i.n_inter, 0) > 0
+                   THEN 1000 * coalesce(i.n_inter, 0)
+                        // (sa.sz + sb.sz - coalesce(i.n_inter, 0))
+                   ELSE 0 END AS BIGINT) AS err_permille
+FROM sel s
+LEFT JOIN inter i ON i.doc_a = s.doc_a AND i.doc_b = s.doc_b
+JOIN sizes sa ON sa.doc_id = s.doc_a
+JOIN sizes sb ON sb.doc_id = s.doc_b
+ORDER BY s.doc_a, s.doc_b"""

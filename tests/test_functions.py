@@ -125,6 +125,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "order_window_event_counts",
         "customer_order_totals",
         "user_rolling3_sum",
+        "minhash_calibration",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -1979,3 +1980,23 @@ def test_user_rolling3_matches_cumulative_prefix(ray_session):
         assert r["n_in_frame"] == min(c["cum_n"], 3)
         if c["cum_n"] <= 3:
             assert r["roll3_cents"] == c["cum_value_cents"]
+
+
+def test_minhash_calibration_identities(ray_session):
+    """Integer identities: est = sig/64 permille, jac = num/den
+    permille, err = est - jac; estimates correlate with truth (mean
+    |err| under 250 permille on real candidates)."""
+    from document_extractor_ray.functions.dedup import minhash_calibration_docs
+
+    rows = minhash_calibration_docs(SF).to_pylist()
+    assert rows
+    for r in rows:
+        assert 0 <= r["sig_match"] <= 64
+        assert r["est_permille"] == 1000 * r["sig_match"] // 64
+        assert r["jac_den"] >= r["jac_num"] >= 0
+        assert r["jac_permille"] == (
+            1000 * r["jac_num"] // r["jac_den"] if r["jac_den"] else 0
+        )
+        assert r["err_permille"] == r["est_permille"] - r["jac_permille"]
+    mean_abs_err = sum(abs(r["err_permille"]) for r in rows) / len(rows)
+    assert mean_abs_err < 250
