@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_totals": analytics.customer_order_totals,
         "user_rolling3_sum": analytics.user_rolling3_sum,
         "minhash_calibration": dedup.minhash_calibration_docs,
+        "user_top3_events": analytics.user_top3_events,
         # --- oracled queries the driver has NOT yet sampled (r1+r2
         # correctness files) come first so a capped sample reaches
         # them (VERDICT r2 item 3); all are local-gate green ---
@@ -346,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         "order_window_event_counts": analytics.ORDER_WINDOW_EVENT_COUNTS_SQL,
         "customer_order_totals": analytics.CUSTOMER_ORDER_TOTALS_SQL,
         "user_rolling3_sum": analytics.USER_ROLLING3_SUM_SQL,
+        "user_top3_events": analytics.USER_TOP3_EVENTS_SQL,
         # --- exact similarity search (float64 compute, half-up micro
         # ints on both sides; margins audited in similarity.py) ---
         "knn_brute": similarity.KNN_BRUTE_SQL,

@@ -235,6 +235,7 @@ def run_bench() -> dict:
         "customer_order_totals",
         "user_rolling3_sum",
         "minhash_calibration",
+        "user_top3_events",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

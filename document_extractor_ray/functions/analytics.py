@@ -4654,3 +4654,90 @@ FROM (
 )
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k at key-per-row cardinality (per-user top events)
+# ---------------------------------------------------------------------------
+
+GROUP_TOP_K = 3
+
+
+def user_top3_events(sf_dir: str, k: int = GROUP_TOP_K):
+    """Each user's top-k events by value — grouped top-k where the
+    GROUP KEY grows with the data (users), the shape Ray's
+    groupby.map_groups pays per-group Python for and a global sort
+    wastes a full shuffle on.  Plan: hash-bucket the user key once
+    (the sessionize plan), then ONE lexsort per partition; group
+    boundaries fall out of a neighbor-compare and rank-within-run is
+    index arithmetic — per-PARTITION vectorized work, rows leaving
+    each partition bounded by k per user.  Ties: (cents DESC,
+    event_id ASC), fully deterministic."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    n_parts = _n_blocks()
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (u * np.uint64(2654435761)) & np.uint64(0x7FFFFFFF)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "cents": _to_cents(t["value"]),
+                "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+            }
+        )
+
+    def topk_part(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["part"])
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        eids = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eids, -cents, users))
+        users, cents, eids = users[order], cents[order], eids[order]
+        change = np.concatenate(([True], users[1:] != users[:-1]))
+        starts = np.flatnonzero(change)
+        run_start = np.repeat(starts, np.diff(np.append(starts, len(users))))
+        rank = np.arange(len(users)) - run_start + 1
+        keep = rank <= k
+        return pa.table(
+            {
+                "user_id": pa.array(users[keep], pa.int64()),
+                "rank": pa.array(rank[keep], pa.int64()),
+                "event_id": pa.array(eids[keep], pa.int64()),
+                "cents": pa.array(cents[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(topk_part, batch_format="pyarrow")
+        .sort(["user_id", "rank"])
+    )
+
+
+USER_TOP3_EVENTS_SQL = f"""
+SELECT user_id, CAST(rk AS BIGINT) AS rank, event_id, cents
+FROM (
+  SELECT user_id, event_id, cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cents DESC, event_id) AS rk
+  FROM (
+    SELECT event_id, user_id,
+           CAST(round(value * 100.0) AS BIGINT) AS cents
+    FROM events
+  )
+)
+WHERE rk <= {GROUP_TOP_K}
+ORDER BY user_id, rank
+"""

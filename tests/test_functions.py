@@ -126,6 +126,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "customer_order_totals",
         "user_rolling3_sum",
         "minhash_calibration",
+        "user_top3_events",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -2000,3 +2001,17 @@ def test_minhash_calibration_identities(ray_session):
         assert r["err_permille"] == r["est_permille"] - r["jac_permille"]
     mean_abs_err = sum(abs(r["err_permille"]) for r in rows) / len(rows)
     assert mean_abs_err < 250
+
+
+def test_user_top3_events_semantics(ray_session):
+    from document_extractor_ray.functions.analytics import user_top3_events
+
+    rows = user_top3_events(SF).take_all()
+    per_user: dict = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r)
+    for rs in per_user.values():
+        ranks = [r["rank"] for r in rs]
+        assert ranks == list(range(1, len(rs) + 1)) and len(rs) <= 3
+        vals = [r["cents"] for r in rs]
+        assert vals == sorted(vals, reverse=True)
