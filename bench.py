@@ -236,6 +236,7 @@ def run_bench() -> dict:
         "user_rolling3_sum",
         "minhash_calibration",
         "user_top3_events",
+        "order_date_records",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -4741,3 +4741,95 @@ FROM (
 WHERE rk <= {GROUP_TOP_K}
 ORDER BY user_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Global ordered running aggregate (prefix-max record breakers)
+# ---------------------------------------------------------------------------
+
+RECORD_FOLD_BUDGET = 100_000
+
+
+def order_date_records(sf_dir: str):
+    """Record-breaking orders: every order whose o_orderdate strictly
+    exceeds ALL earlier orders' dates in o_orderkey (arrival) order —
+    the GLOBAL ordered running-aggregate shape (a watermark / late-data
+    audit), which a naive plan answers with a total-order sort.
+
+    No sort and no row shuffle: a global record-breaker is necessarily
+    a record-breaker WITHIN any batch that contains it (the batch holds
+    a subset of its predecessors), so one map_batches pass emits
+    per-batch candidates — expected O(ln B) rows per batch under
+    exchangeable arrival order, ~ln(10^12) ≈ 28 survivors overall — and
+    the driver resolves the exact prefix-max over that tiny set.  The
+    fold is idempotent, so adversarial arrival orders (each batch
+    internally date-ascending) degrade gracefully: re-fold the
+    candidate set through coarser batches until it fits the driver
+    budget instead of ever collecting an unbounded table."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def record_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                }
+            )
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="mergesort")
+        k, d = k[order], d[order]
+        cm = np.maximum.accumulate(d)
+        keep = np.concatenate(([True], d[1:] > cm[:-1]))
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[keep].astype("int64")),
+                "o_orderdate": pa.array(d[keep].astype("datetime64[us]")),
+            }
+        )
+
+    cands = ds.map_batches(record_partial, batch_format="pyarrow").materialize()
+    while cands.count() > RECORD_FOLD_BUDGET:
+        before = cands.num_blocks()
+        cands = (
+            cands.repartition(max(1, before // 8))
+            .map_batches(record_partial, batch_format="pyarrow")
+            .materialize()
+        )
+        if cands.num_blocks() >= before:  # can't shrink further
+            break
+
+    pdf = cands.to_pandas().sort_values("o_orderkey")
+    if len(pdf) == 0:
+        return pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+            }
+        )
+    d = pdf["o_orderdate"].to_numpy()
+    cm = np.maximum.accumulate(d)
+    keep = np.concatenate(([True], d[1:] > cm[:-1]))
+    return pa.table(
+        {
+            "o_orderkey": pa.array(
+                pdf["o_orderkey"].to_numpy()[keep].astype("int64")
+            ),
+            "o_orderdate": pa.array(d[keep].astype("datetime64[us]")),
+        }
+    )
+
+
+ORDER_DATE_RECORDS_SQL = """
+SELECT o_orderkey, o_orderdate
+FROM (
+  SELECT o_orderkey, o_orderdate,
+         max(o_orderdate) OVER (ORDER BY o_orderkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max
+  FROM orders
+)
+WHERE prev_max IS NULL OR o_orderdate > prev_max
+ORDER BY o_orderkey
+"""

@@ -127,6 +127,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "user_rolling3_sum",
         "minhash_calibration",
         "user_top3_events",
+        "order_date_records",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -2015,3 +2016,17 @@ def test_user_top3_events_semantics(ray_session):
         assert ranks == list(range(1, len(rs) + 1)) and len(rs) <= 3
         vals = [r["cents"] for r in rs]
         assert vals == sorted(vals, reverse=True)
+
+def test_order_date_records_refold_path(ray_session, monkeypatch):
+    """Force the adversarial-order budget re-fold (budget=1) and check
+    it converges to the same record set as the direct path."""
+    from document_extractor_ray.functions import analytics
+
+    direct = analytics.order_date_records(SF).to_pandas()
+    # records must be strictly increasing in BOTH key and date
+    assert direct["o_orderkey"].is_monotonic_increasing
+    assert direct["o_orderdate"].is_monotonic_increasing
+    assert direct["o_orderdate"].nunique() == len(direct)
+    monkeypatch.setattr(analytics, "RECORD_FOLD_BUDGET", 1)
+    folded = analytics.order_date_records(SF).to_pandas()
+    pd.testing.assert_frame_equal(direct, folded)
