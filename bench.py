@@ -237,6 +237,7 @@ def run_bench() -> dict:
         "minhash_calibration",
         "user_top3_events",
         "order_date_records",
+        "q5_local_supplier",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

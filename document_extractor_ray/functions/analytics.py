@@ -4833,3 +4833,174 @@ FROM (
 WHERE prev_max IS NULL OR o_orderdate > prev_max
 ORDER BY o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Deep star join with a locality twist (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+Q5_START = "1998-01-01"
+Q5_END = "2001-01-01"
+
+
+def q5_local_supplier(sf_dir: str):
+    """Local-supplier revenue by nation (TPC-H Q5 shape): the deepest
+    star join in the surface — lineitem ⋈ orders ⋈ customer ⋈ supplier
+    ⋈ nation ⋈ region with the c_nationkey = s_nationkey locality
+    twist.  Join-size discipline (the chained-join deadlock and
+    empty-schema-block traps make ONE fact-fact join the budget):
+    - region ⋈ nation collapses on the driver to a broadcast
+      nationkey → n_name map for the chosen region (≤5 rows);
+    - customer and supplier are column-slimmed to key → nationkey maps
+      broadcast once via ray.put (suppliers are genuinely small; the
+      customer map grows with the data — above a broadcast budget that
+      side escalates to a second partitioned join on custkey, the
+      customer_order_totals shape, materialized between joins);
+    - orders filters its date window and attaches c_nationkey per
+      batch (pc.index_in lookup, dropping non-region customers);
+      lineitem attaches s_nationkey the same way — so the ONE
+      partitioned hash join (orderkey) ships nothing but ints;
+    - the locality predicate (c_nat == s_nat) runs vectorized
+      post-join, and revenue pre-aggregates per batch into a ≤25-row
+      nation partial BEFORE the final tiny groupby: the all-to-all
+      carries nations, never lineitems."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import state
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = region.filter(pc.equal(region["r_name"], Q5_REGION))[
+        "r_regionkey"
+    ].combine_chunks()
+    nat = nation.filter(pc.is_in(nation["n_regionkey"], value_set=rkeys))
+    nat_keys = nat["n_nationkey"].combine_chunks()
+    nat_dim = pa.table(
+        {"nationkey": nat_keys, "n_name": nat["n_name"].combine_chunks()}
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust_ref = state.broadcast(
+        cust.filter(pc.is_in(cust["c_nationkey"], value_set=nat_keys)).combine_chunks()
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    supp_ref = state.broadcast(
+        supp.filter(pc.is_in(supp["s_nationkey"], value_set=nat_keys)).combine_chunks()
+    )
+
+    start = pa.scalar(pd.Timestamp(Q5_START), type=pa.timestamp("us"))
+    end = pa.scalar(pd.Timestamp(Q5_END), type=pa.timestamp("us"))
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], start),
+                pc.less(t["o_orderdate"], end),
+            )
+        )
+        t = state.lookup_join(
+            t, "o_custkey", state.cached_get(cust_ref), "c_custkey", ["c_nationkey"]
+        )
+        t = t.filter(pc.is_valid(t["c_nationkey"]))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "c_nat": pc.cast(t["c_nationkey"], pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        t = state.lookup_join(
+            t, "l_suppkey", state.cached_get(supp_ref), "s_suppkey", ["s_nationkey"]
+        )
+        t = t.filter(pc.is_valid(t["s_nationkey"]))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "s_nat": pc.cast(t["s_nationkey"], pa.int64()),
+                "disc_cents": _to_cents(
+                    pc.multiply(
+                        t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+                    )
+                ),
+            }
+        )
+
+    n_parts = _join_partitions(
+        f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"
+    )
+    joined = li.map_batches(prep_li, batch_format="pyarrow").join(
+        orders.map_batches(prep_orders, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def local_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_nat"], t["s_nat"]))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "nationkey": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                }
+            )
+        g = pa.TableGroupBy(
+            pa.table({"nationkey": t["s_nat"], "c": t["disc_cents"]}), ["nationkey"]
+        ).aggregate([("c", "sum")])
+        return pa.table(
+            {
+                "nationkey": g["nationkey"],
+                "revenue_cents": pc.cast(g["c_sum"], pa.int64()),
+            }
+        )
+
+    nat_ref = state.broadcast(nat_dim)
+
+    def attach_name(t: pa.Table) -> pa.Table:
+        t = state.lookup_join(
+            t, "nationkey", state.cached_get(nat_ref), "nationkey", ["n_name"]
+        )
+        return t.select(["n_name", "revenue_cents"])
+
+    agg = (
+        joined.map_batches(local_partial, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    return (
+        agg.map_batches(attach_name, batch_format="pyarrow")
+        .sort(["revenue_cents", "n_name"], descending=[True, False])
+    )
+
+
+Q5_LOCAL_SUPPLIER_SQL = f"""
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{Q5_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{Q5_START}'
+  AND o.o_orderdate < TIMESTAMP '{Q5_END}'
+GROUP BY n.n_name
+ORDER BY revenue_cents DESC, n.n_name
+"""
