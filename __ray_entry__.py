@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top3_events": analytics.user_top3_events,
         "order_date_records": analytics.order_date_records,
         "q5_local_supplier": analytics.q5_local_supplier,
+        "cumulative_unique_users": analytics.cumulative_unique_users,
         # --- oracled queries the driver has NOT yet sampled (r1+r2
         # correctness files) come first so a capped sample reaches
         # them (VERDICT r2 item 3); all are local-gate green ---
@@ -352,6 +353,7 @@ def oracle_sql() -> dict[str, str]:
         "user_top3_events": analytics.USER_TOP3_EVENTS_SQL,
         "order_date_records": analytics.ORDER_DATE_RECORDS_SQL,
         "q5_local_supplier": analytics.Q5_LOCAL_SUPPLIER_SQL,
+        "cumulative_unique_users": analytics.CUMULATIVE_UNIQUE_USERS_SQL,
         # --- exact similarity search (float64 compute, half-up micro
         # ints on both sides; margins audited in similarity.py) ---
         "knn_brute": similarity.KNN_BRUTE_SQL,

@@ -238,6 +238,7 @@ def run_bench() -> dict:
         "user_top3_events",
         "order_date_records",
         "q5_local_supplier",
+        "cumulative_unique_users",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

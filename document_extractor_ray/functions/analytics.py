@@ -5004,3 +5004,98 @@ WHERE r.r_name = '{Q5_REGION}'
 GROUP BY n.n_name
 ORDER BY revenue_cents DESC, n.n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct cardinality over time (new-vs-returning audience)
+# ---------------------------------------------------------------------------
+
+def cumulative_unique_users(sf_dir: str):
+    """Cumulative distinct users by day — the growth-curve metric every
+    web pipeline reports, and the canonical "running COUNT(DISTINCT)"
+    a naive plan answers with a per-day re-scan.
+
+    Decomposition: cumulative distinct at day d = |{users whose FIRST
+    day <= d}|.  So (1) the user-cardinality step (min day per user) is
+    a key-per-row aggregate routed through bucketed_minmax — the
+    CLAUDE.md-mandated shuffle shape, partials combined per batch so
+    the exchange carries one row per (user, batch); (2) first days
+    collapse to a new-users-per-day table bounded by the DAY DOMAIN;
+    (3) the driver finishes with one vectorized prefix sum evaluated at
+    each observed event day (np.searchsorted over ~days rows).  Two
+    column-pruned passes over the stream, no full materialization, and
+    driver state is calendar-bounded forever."""
+    from document_extractor_ray.functions.bucketing import bucketed_minmax
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": pc.floor_temporal(t["ts"], unit="day"),
+            }
+        )
+
+    first_day = bucketed_minmax(
+        _read(sf_dir, "events", columns=["user_id", "ts"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        ["user_id"],
+        "day",
+        "min",
+    )
+
+    def new_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(pa.table({"day": t["day"]}), ["day"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    new_per_day = (
+        first_day.map_batches(new_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"day": pc.unique(pc.floor_temporal(t["ts"], unit="day"))}
+        )
+
+    days = (
+        _read(sf_dir, "events", columns=["ts"])
+        .map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="_c"))
+        .to_pandas()
+    )
+
+    nd = np.sort(new_per_day["day"].to_numpy().astype("datetime64[us]"))
+    order = np.argsort(new_per_day["day"].to_numpy().astype("datetime64[us]"))
+    counts = new_per_day["n"].to_numpy().astype("int64")[order]
+    csum = np.cumsum(counts)
+    obs = np.sort(days["day"].to_numpy().astype("datetime64[us]"))
+    pos = np.searchsorted(nd, obs, side="right")
+    cum = np.where(pos > 0, csum[np.maximum(pos - 1, 0)], 0)
+    return pa.table(
+        {
+            "day": pa.array(obs, pa.timestamp("us")),
+            "cum_users": pa.array(cum.astype("int64")),
+        }
+    )
+
+
+CUMULATIVE_UNIQUE_USERS_SQL = """
+WITH fd AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS d FROM events GROUP BY user_id
+),
+days AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+)
+SELECT days.day, CAST(count(fd.user_id) AS BIGINT) AS cum_users
+FROM days LEFT JOIN fd ON fd.d <= days.day
+GROUP BY days.day
+ORDER BY days.day
+"""

@@ -129,6 +129,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "user_top3_events",
         "order_date_records",
         "q5_local_supplier",
+        "cumulative_unique_users",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
