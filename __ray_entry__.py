@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_date_records": analytics.order_date_records,
         "q5_local_supplier": analytics.q5_local_supplier,
         "cumulative_unique_users": analytics.cumulative_unique_users,
+        "table_profile": analytics.table_profile,
+        "orders_above_customer_avg": analytics.orders_above_customer_avg,
         # --- oracled queries the driver has NOT yet sampled (r1+r2
         # correctness files) come first so a capped sample reaches
         # them (VERDICT r2 item 3); all are local-gate green ---
@@ -354,6 +356,8 @@ def oracle_sql() -> dict[str, str]:
         "order_date_records": analytics.ORDER_DATE_RECORDS_SQL,
         "q5_local_supplier": analytics.Q5_LOCAL_SUPPLIER_SQL,
         "cumulative_unique_users": analytics.CUMULATIVE_UNIQUE_USERS_SQL,
+        "table_profile": analytics.TABLE_PROFILE_SQL,
+        "orders_above_customer_avg": analytics.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
         # --- exact similarity search (float64 compute, half-up micro
         # ints on both sides; margins audited in similarity.py) ---
         "knn_brute": similarity.KNN_BRUTE_SQL,

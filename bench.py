@@ -239,6 +239,8 @@ def run_bench() -> dict:
         "order_date_records",
         "q5_local_supplier",
         "cumulative_unique_users",
+        "table_profile",
+        "orders_above_customer_avg",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

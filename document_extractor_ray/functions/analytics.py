@@ -5099,3 +5099,216 @@ FROM days LEFT JOIN fd ON fd.d <= days.day
 GROUP BY days.day
 ORDER BY days.day
 """
+
+
+# ---------------------------------------------------------------------------
+# Single-pass multi-column table profiling (ingest audit)
+# ---------------------------------------------------------------------------
+
+def table_profile(sf_dir: str):
+    """Per-column ingest profile of the events stream — row count, null
+    count, canonical min/max — in ONE pass: the schema-audit every
+    ingest job runs before committing a 100 TB load.
+
+    Each batch emits a 6-row partial (one per column) carrying counts
+    plus native-typed extrema; extrema are canonicalized to int64
+    (epoch-micros for timestamps, cents for doubles — rounding is
+    monotone, so it commutes with min/max) or kept as strings for text
+    columns, because canonical-STRING merging would order "9" > "10".
+    Partials are block-bounded (6 rows per batch), so the final merge
+    is a tiny vectorized groupby — never a second scan, never
+    driver-side row iteration over data."""
+    cols_int = ["event_id", "user_id"]
+    cols_str = ["event_type", "props"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, ns, nulls = [], [], []
+        mins_i, maxs_i, mins_s, maxs_s = [], [], [], []
+
+        def push(name, mn_i, mx_i, mn_s, mx_s):
+            col = t[name]
+            names.append(name)
+            ns.append(t.num_rows)
+            nulls.append(col.null_count)
+            mins_i.append(mn_i)
+            maxs_i.append(mx_i)
+            mins_s.append(mn_s)
+            maxs_s.append(mx_s)
+
+        for name in cols_int:
+            mm = pc.min_max(t[name])
+            push(name, mm["min"].as_py(), mm["max"].as_py(), None, None)
+        mm = pc.min_max(t["ts"])
+        to_us = lambda s: None if s.as_py() is None else pd.Timestamp(s.as_py()).value // 1000
+        push("ts", to_us(mm["min"]), to_us(mm["max"]), None, None)
+        mm = pc.min_max(t["value"])
+        cents = lambda s: None if s.as_py() is None else int(
+            pc.round(pa.scalar(s.as_py() * 100.0), ndigits=0,
+                     round_mode="half_towards_infinity").as_py()
+        )
+        push("value", cents(mm["min"]), cents(mm["max"]), None, None)
+        for name in cols_str:
+            mm = pc.min_max(t[name])
+            push(name, None, None, mm["min"].as_py(), mm["max"].as_py())
+        return pa.table(
+            {
+                "col": pa.array(names, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "nulls": pa.array(nulls, pa.int64()),
+                "min_i": pa.array(mins_i, pa.int64()),
+                "max_i": pa.array(maxs_i, pa.int64()),
+                "min_str": pa.array(mins_s, pa.string()),
+                "max_str": pa.array(maxs_s, pa.string()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "events")
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    g = parts.groupby("col", sort=True)
+    merged = pd.DataFrame(
+        {
+            "n_rows": g["n"].sum(),
+            "n_nulls": g["nulls"].sum(),
+            "min_i": g["min_i"].min(),
+            "max_i": g["max_i"].max(),
+            "min_str": g["min_str"].min(),
+            "max_str": g["max_str"].max(),
+        }
+    ).reset_index()
+    is_num = merged["min_i"].notna()
+    min_s = np.where(
+        is_num, merged["min_i"].map(lambda v: "" if pd.isna(v) else str(int(v))),
+        merged["min_str"].fillna(""),
+    )
+    max_s = np.where(
+        is_num, merged["max_i"].map(lambda v: "" if pd.isna(v) else str(int(v))),
+        merged["max_str"].fillna(""),
+    )
+    return pa.table(
+        {
+            "col": pa.array(merged["col"].to_numpy(), pa.string()),
+            "n_rows": pa.array(merged["n_rows"].to_numpy().astype("int64")),
+            "n_nulls": pa.array(merged["n_nulls"].to_numpy().astype("int64")),
+            "min_s": pa.array(min_s, pa.string()),
+            "max_s": pa.array(max_s, pa.string()),
+        }
+    )
+
+
+TABLE_PROFILE_SQL = """
+SELECT 'event_id' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+       CAST(min(event_id) AS VARCHAR) AS min_s,
+       CAST(max(event_id) AS VARCHAR) AS max_s FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(user_id) AS BIGINT),
+       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM events
+UNION ALL
+SELECT 'ts', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(ts) AS BIGINT),
+       CAST(epoch_us(min(ts)) AS VARCHAR), CAST(epoch_us(max(ts)) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'value', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(value) AS BIGINT),
+       CAST(CAST(round(min(value) * 100.0) AS BIGINT) AS VARCHAR),
+       CAST(CAST(round(max(value) * 100.0) AS BIGINT) AS VARCHAR) FROM events
+UNION ALL
+SELECT 'event_type', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(event_type) AS BIGINT),
+       min(event_type), max(event_type) FROM events
+UNION ALL
+SELECT 'props', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(props) AS BIGINT),
+       min(props), max(props) FROM events
+ORDER BY col
+"""
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery shape: detail rows filtered against their group's mean
+# ---------------------------------------------------------------------------
+
+def orders_above_customer_avg(sf_dir: str):
+    """Orders whose value exceeds 1.5x their OWN customer's average —
+    the correlated-subquery shape (TPC-H Q17/Q22 family): aggregate a
+    group statistic, join it BACK to the detail rows, filter each row
+    against its group.  The per-customer (sum, count) folds through
+    bucketed_agg below the join (key-per-row custkey cardinality), so
+    the ONE partitioned join ships one stat row per customer against
+    slim (orderkey, custkey, cents) facts; the 1.5x-average predicate
+    is the integer cross-multiplication 2*cents*cnt > 3*tot — the
+    "average" never exists as a float anywhere."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {"o_custkey": t["o_custkey"], "cents": _to_cents(t["o_totalprice"])}
+            ),
+            ["o_custkey"],
+        ).aggregate([("cents", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "cust": g["o_custkey"],
+                "tot": g["cents_sum"],
+                "cnt": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    per_cust = bucketed_agg(
+        orders.map_batches(stat_partial, batch_format="pyarrow"),
+        ["cust"],
+        [("tot", "sum", "tot"), ("cnt", "sum", "cnt")],
+    )
+
+    def fact_slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "cents": _to_cents(t["o_totalprice"]),
+            }
+        )
+
+    joined = orders.map_batches(fact_slim, batch_format="pyarrow").join(
+        per_cust,
+        join_type="inner",
+        num_partitions=_join_partitions(f"{sf_dir}/orders.parquet"),
+        on=("o_custkey",),
+        right_on=("cust",),
+    )
+
+    def above(t: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            pc.multiply(pc.multiply(pa.scalar(2, pa.int64()), t["cents"]), t["cnt"]),
+            pc.multiply(pa.scalar(3, pa.int64()), t["tot"]),
+        )
+        t = t.filter(keep)
+        return t.select(["o_orderkey", "o_custkey", "cents"])
+
+    return joined.map_batches(above, batch_format="pyarrow").sort("o_orderkey")
+
+
+ORDERS_ABOVE_CUSTOMER_AVG_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(round(o.o_totalprice * 100.0) AS BIGINT) AS cents
+FROM orders o
+JOIN per_cust p ON p.o_custkey = o.o_custkey
+WHERE 2 * CAST(round(o.o_totalprice * 100.0) AS BIGINT) * p.cnt > 3 * p.tot
+ORDER BY o.o_orderkey
+"""

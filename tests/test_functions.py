@@ -130,6 +130,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "order_date_records",
         "q5_local_supplier",
         "cumulative_unique_users",
+        "table_profile",
+        "orders_above_customer_avg",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
