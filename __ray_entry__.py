@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_unique_users": analytics.cumulative_unique_users,
         "table_profile": analytics.table_profile,
         "orders_above_customer_avg": analytics.orders_above_customer_avg,
+        "q7_volume_shipping": analytics.q7_volume_shipping,
+        "nation_revenue_share": analytics.nation_revenue_share,
         # --- oracled queries the driver has NOT yet sampled (r1+r2
         # correctness files) come first so a capped sample reaches
         # them (VERDICT r2 item 3); all are local-gate green ---
@@ -358,6 +360,8 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_unique_users": analytics.CUMULATIVE_UNIQUE_USERS_SQL,
         "table_profile": analytics.TABLE_PROFILE_SQL,
         "orders_above_customer_avg": analytics.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
+        "q7_volume_shipping": analytics.Q7_VOLUME_SHIPPING_SQL,
+        "nation_revenue_share": analytics.NATION_REVENUE_SHARE_SQL,
         # --- exact similarity search (float64 compute, half-up micro
         # ints on both sides; margins audited in similarity.py) ---
         "knn_brute": similarity.KNN_BRUTE_SQL,

@@ -241,6 +241,8 @@ def run_bench() -> dict:
         "cumulative_unique_users",
         "table_profile",
         "orders_above_customer_avg",
+        "q7_volume_shipping",
+        "nation_revenue_share",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -5312,3 +5312,262 @@ JOIN per_cust p ON p.o_custkey = o.o_custkey
 WHERE 2 * CAST(round(o.o_totalprice * 100.0) AS BIGINT) * p.cnt > 3 * p.tot
 ORDER BY o.o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Bilateral-pair revenue by year (TPC-H Q7 shape)
+# ---------------------------------------------------------------------------
+
+Q7_NATION_A = "NATION_18"
+Q7_NATION_B = "NATION_19"
+
+
+def q7_volume_shipping(sf_dir: str):
+    """Bilateral trade volume between two nations by ship year (TPC-H
+    Q7 shape): the DISJUNCTIVE join predicate — (supp=A AND cust=B) OR
+    (supp=B AND cust=A) — that a join engine cannot push into a single
+    equi-key.  Push it as set-membership instead: customer and supplier
+    are pre-filtered to the two nations while being slimmed to
+    broadcast key→nationkey maps, so after the ONE partitioned
+    orderkey join the disjunction collapses to s_nat != c_nat.  Revenue
+    pre-aggregates per batch into (s_nat, c_nat, year) partials — a
+    2 x years domain — before the tiny final groupby; names attach
+    from a 2-row broadcast at the end."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import state
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nat = nation.filter(
+        pc.is_in(
+            nation["n_name"],
+            value_set=pa.array([Q7_NATION_A, Q7_NATION_B]),
+        )
+    )
+    nat_keys = nat["n_nationkey"].combine_chunks()
+    nat_dim = pa.table(
+        {"natkey": nat_keys, "n_name": nat["n_name"].combine_chunks()}
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust_ref = state.broadcast(
+        cust.filter(pc.is_in(cust["c_nationkey"], value_set=nat_keys)).combine_chunks()
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    supp_ref = state.broadcast(
+        supp.filter(pc.is_in(supp["s_nationkey"], value_set=nat_keys)).combine_chunks()
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        t = state.lookup_join(
+            t, "o_custkey", state.cached_get(cust_ref), "c_custkey", ["c_nationkey"]
+        )
+        t = t.filter(pc.is_valid(t["c_nationkey"]))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "c_nat": pc.cast(t["c_nationkey"], pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        t = state.lookup_join(
+            t, "l_suppkey", state.cached_get(supp_ref), "s_suppkey", ["s_nationkey"]
+        )
+        t = t.filter(pc.is_valid(t["s_nationkey"]))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "s_nat": pc.cast(t["s_nationkey"], pa.int64()),
+                "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                "disc_cents": _to_cents(
+                    pc.multiply(
+                        t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+                    )
+                ),
+            }
+        )
+
+    joined = li.map_batches(prep_li, batch_format="pyarrow").join(
+        orders.map_batches(prep_orders, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=_join_partitions(
+            f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"
+        ),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["s_nat"], t["c_nat"]))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "s_nat": pa.array([], pa.int64()),
+                    "c_nat": pa.array([], pa.int64()),
+                    "l_year": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                }
+            )
+        g = pa.TableGroupBy(
+            t.select(["s_nat", "c_nat", "l_year", "disc_cents"]),
+            ["s_nat", "c_nat", "l_year"],
+        ).aggregate([("disc_cents", "sum")])
+        return pa.table(
+            {
+                "s_nat": g["s_nat"],
+                "c_nat": g["c_nat"],
+                "l_year": g["l_year"],
+                "revenue_cents": pc.cast(g["disc_cents_sum"], pa.int64()),
+            }
+        )
+
+    nat_ref = state.broadcast(nat_dim)
+
+    def attach_names(t: pa.Table) -> pa.Table:
+        dim = state.cached_get(nat_ref)
+        sup = pc.take(
+            dim["n_name"].combine_chunks(),
+            pc.index_in(t["s_nat"], value_set=dim["natkey"].combine_chunks()),
+        )
+        cus = pc.take(
+            dim["n_name"].combine_chunks(),
+            pc.index_in(t["c_nat"], value_set=dim["natkey"].combine_chunks()),
+        )
+        return pa.table(
+            {
+                "supp_nation": sup,
+                "cust_nation": cus,
+                "l_year": t["l_year"],
+                "revenue_cents": t["revenue_cents"],
+            }
+        )
+
+    return (
+        joined.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["s_nat", "c_nat", "l_year"])
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .map_batches(attach_names, batch_format="pyarrow")
+        .sort(["supp_nation", "cust_nation", "l_year"])
+    )
+
+
+Q7_VOLUME_SHIPPING_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE (sn.n_name = '{Q7_NATION_A}' AND cn.n_name = '{Q7_NATION_B}')
+   OR (sn.n_name = '{Q7_NATION_B}' AND cn.n_name = '{Q7_NATION_A}')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report (share-of-total) aggregate
+# ---------------------------------------------------------------------------
+
+def nation_revenue_share(sf_dir: str):
+    """Revenue by customer nation plus each nation's permille share of
+    the grand total — the ratio-to-report window shape (sum OVER ()).
+    One streamed pass: orders attach their customer's nationkey from a
+    broadcast key→nation map and pre-aggregate per batch into ≤25-row
+    nation partials; the final groupby and the grand-total division are
+    driver work on a 25-row table.  Shares are integer permille
+    (rev*1000 // total, floor division both engines) so no float ratio
+    ever exists."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import state
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust_ref = state.broadcast(cust.combine_chunks())
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def nat_partial(t: pa.Table) -> pa.Table:
+        t = state.lookup_join(
+            t, "o_custkey", state.cached_get(cust_ref), "c_custkey", ["c_nationkey"]
+        )
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "natkey": pc.cast(t["c_nationkey"], pa.int64()),
+                    "cents": _to_cents(t["o_totalprice"]),
+                }
+            ),
+            ["natkey"],
+        ).aggregate([("cents", "sum")])
+        return pa.table(
+            {"natkey": g["natkey"], "revenue_cents": pc.cast(g["cents_sum"], pa.int64())}
+        )
+
+    per_nat = (
+        orders.map_batches(nat_partial, batch_format="pyarrow")
+        .groupby("natkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .to_pandas()
+    )
+    total = int(per_nat["revenue_cents"].sum())
+    name_of = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    per_nat["n_name"] = per_nat["natkey"].map(name_of)
+    per_nat["share_permille"] = (
+        per_nat["revenue_cents"].astype(object) * 1000 // total
+    ).astype("int64")
+    per_nat = per_nat.sort_values(
+        ["revenue_cents", "n_name"], ascending=[False, True]
+    )
+    return pa.table(
+        {
+            "n_name": pa.array(per_nat["n_name"].to_numpy(), pa.string()),
+            "revenue_cents": pa.array(
+                per_nat["revenue_cents"].to_numpy().astype("int64")
+            ),
+            "share_permille": pa.array(
+                per_nat["share_permille"].to_numpy().astype("int64")
+            ),
+        }
+    )
+
+
+NATION_REVENUE_SHARE_SQL = """
+WITH nr AS (
+  SELECT n.n_name,
+         CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name, revenue_cents,
+       CAST(revenue_cents * 1000 // (SELECT sum(revenue_cents) FROM nr)
+            AS BIGINT) AS share_permille
+FROM nr
+ORDER BY revenue_cents DESC, n_name
+"""

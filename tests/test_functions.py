@@ -132,6 +132,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "cumulative_unique_users",
         "table_profile",
         "orders_above_customer_avg",
+        "q7_volume_shipping",
+        "nation_revenue_share",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
