@@ -243,6 +243,7 @@ def run_bench() -> dict:
         "orders_above_customer_avg",
         "q7_volume_shipping",
         "nation_revenue_share",
+        "weighted_sample",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

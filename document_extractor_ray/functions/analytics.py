@@ -5571,3 +5571,93 @@ SELECT n_name, revenue_cents,
 FROM nr
 ORDER BY revenue_cents DESC, n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (priority top-k, integer-exact)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 100
+
+
+def weighted_sample_docs(sf_dir: str, k: int = WEIGHTED_SAMPLE_K):
+    """Deterministic weighted sample of k documents, longer docs
+    favored ∝ n_chars — the priority-sampling shape (Efraimidis-
+    Spirakis family) with an INTEGER-EXACT priority key both engines
+    order identically: skey = (fmix64(doc_id) mod 2^32) * 2^31 //
+    n_chars (floor), ties broken by doc_id.  The avalanche hash gives
+    each doc a reproducible uniform draw; dividing by the weight makes
+    heavy docs win the k smallest keys proportionally.  Maximum value
+    (2^32-1)*2^31 < 2^63, so the key never leaves int64.
+
+    Scale shape: one vectorized pass computes keys and each batch
+    emits only its k smallest rows (np.argpartition, no full sort), so
+    the driver merge sees ≤ k x blocks rows — never the corpus."""
+    from document_extractor_ray.functions.textstats import _read_docs
+
+    ds = _read_docs(sf_dir, ["doc_id", "n_chars"])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        u = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h32 = _hll_hash(u) & np.uint64(0xFFFFFFFF)
+        skey = ((h32 << np.uint64(31)) // w).astype(np.int64)
+        if len(skey) > k:
+            idx = np.argpartition(skey, k)[:k]
+        else:
+            idx = np.arange(len(skey))
+        return pa.table(
+            {
+                "doc_id": pa.array(u[idx].astype("int64")),
+                "n_chars": pa.array(w[idx].astype("int64")),
+                "skey": pa.array(skey[idx]),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["skey", "doc_id"], kind="mergesort")
+        .head(k)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(parts["doc_id"].to_numpy().astype("int64")),
+            "n_chars": pa.array(parts["n_chars"].to_numpy().astype("int64")),
+            "skey": pa.array(parts["skey"].to_numpy().astype("int64")),
+        }
+    )
+
+
+def _weighted_sample_sql() -> str:
+    from document_extractor_ray.functions.sqlhash import _mulmod64
+
+    two32 = 1 << 32
+
+    def xs33(col: str) -> str:
+        return (
+            f"(({col} // {two32}) * {two32}"
+            f" + xor(CAST({col} % {two32} AS BIGINT),"
+            f" CAST({col} // {two32} // 2 AS BIGINT))::HUGEINT)"
+        )
+
+    return f"""
+WITH h0 AS (
+  SELECT doc_id, n_chars,
+         (doc_id::HUGEINT + {HLL_SEED}::HUGEINT) % {1 << 64}::HUGEINT AS h
+  FROM documents
+),
+h1 AS (SELECT doc_id, n_chars, {xs33('h')} AS h FROM h0),
+h2 AS (SELECT doc_id, n_chars, {_mulmod64('h', HLL_C1)} AS h FROM h1),
+h3 AS (SELECT doc_id, n_chars, {xs33('h')} AS h FROM h2),
+h4 AS (SELECT doc_id, n_chars, {_mulmod64('h', HLL_C2)} AS h FROM h3),
+h5 AS (SELECT doc_id, n_chars, {xs33('h')} AS h FROM h4)
+SELECT doc_id, n_chars,
+       CAST((h % {two32}) * {1 << 31} // n_chars AS BIGINT) AS skey
+FROM h5
+ORDER BY skey, doc_id
+LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+
+WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()

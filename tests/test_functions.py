@@ -134,6 +134,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "orders_above_customer_avg",
         "q7_volume_shipping",
         "nation_revenue_share",
+        "weighted_sample",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -2036,3 +2037,15 @@ def test_order_date_records_refold_path(ray_session, monkeypatch):
     monkeypatch.setattr(analytics, "RECORD_FOLD_BUDGET", 1)
     folded = analytics.order_date_records(SF).to_pandas()
     pd.testing.assert_frame_equal(direct, folded)
+
+def test_weighted_sample_favors_heavy_docs(ray_session):
+    """The n_chars-weighted sample must overrepresent long docs
+    relative to the corpus mean (the point of priority weighting)."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.analytics import weighted_sample_docs
+
+    sample = weighted_sample_docs(SF).to_pandas()
+    corpus = pq.read_table(f"{SF}/documents.parquet", columns=["n_chars"])
+    assert sample["n_chars"].mean() > 1.1 * corpus["n_chars"].to_pandas().mean()
+    assert sample["skey"].is_monotonic_increasing
