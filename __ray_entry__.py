@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_volume_shipping": analytics.q7_volume_shipping,
         "nation_revenue_share": analytics.nation_revenue_share,
         "weighted_sample": analytics.weighted_sample_docs,
+        "kmeans_train": similarity.kmeans_train,
         # --- oracled queries the driver has NOT yet sampled (r1+r2
         # correctness files) come first so a capped sample reaches
         # them (VERDICT r2 item 3); all are local-gate green ---

@@ -244,6 +244,7 @@ def run_bench() -> dict:
         "q7_volume_shipping",
         "nation_revenue_share",
         "weighted_sample",
+        "kmeans_train",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -847,3 +847,120 @@ SELECT vec_id, sid AS cluster_id,
 FROM r WHERE rk = 1
 ORDER BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Full spherical k-means training (iterative Lloyd, integer-exact merge)
+# ---------------------------------------------------------------------------
+
+KMEANS_TRAIN_ITERS = 4
+KMEANS_QUANT = 16384  # 2^14: quantized coords; 10^12-row cluster sums still < 2^63
+
+
+def kmeans_train(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_TRAIN_ITERS):
+    """Full spherical k-means (Lloyd's): ``iters`` assign+update rounds
+    from the deterministic first-k seeds, then a final labeling pass —
+    the iterative-convergence ML shape next to textrank's graph
+    iterations.
+
+    Determinism at scale is the design problem: float centroid sums
+    depend on block merge ORDER, so a distributed update would drift
+    between runs/cluster sizes.  Fix: per-batch partials QUANTIZE
+    coordinates to int64 (x * 2^14, round) and emit integer segment
+    sums + counts per cluster — integer addition commutes, so the
+    merged centroid is bit-identical regardless of execution order,
+    and the float division happens ONCE per round on the driver.
+    Per round: one streamed pass, partials are k rows per batch with
+    the sum vector packed to a binary blob; driver state is k x dim.
+    Empty clusters keep their previous centroid.  Assignment ties
+    break to the lower cluster id (argmax-first), matching
+    kmeans_assign."""
+    from document_extractor_ray import state
+
+    q = default_queries(sf_dir, n_queries=k)
+    cents = _normalize_rows(embedding_matrix(q["embedding"]).astype(np.float64))
+
+    for _ in range(iters):
+        ref = state.broadcast(cents)
+
+        def upd_partial(t: pa.Table, ref=ref, k=k) -> pa.Table:
+            c = state.cached_get(ref)
+            mat = embedding_matrix(t["embedding"])
+            if mat.size == 0:
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                        "blob": pa.array([], pa.binary()),
+                    }
+                )
+            m64 = _normalize_rows(mat.astype(np.float64))
+            best = np.argmax(m64 @ c.T, axis=1)
+            qx = np.floor(mat.astype(np.float64) * KMEANS_QUANT + 0.5).astype(
+                np.int64
+            )
+            sums = np.zeros((k, qx.shape[1]), np.int64)
+            np.add.at(sums, best, qx)
+            cnts = np.bincount(best, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                    "cnt": pa.array(cnts),
+                    "blob": pa.array([sums[i].tobytes() for i in range(k)]),
+                }
+            )
+
+        parts = (
+            _read_embeddings(sf_dir)
+            .map_batches(upd_partial, batch_format="pyarrow")
+            .to_pandas()
+        )
+        new = cents.copy()
+        for cid in range(k):
+            rows = parts[parts["cluster"] == cid]
+            n = int(rows["cnt"].sum())
+            if n == 0:
+                continue
+            acc = None
+            for blob in rows["blob"]:
+                v = np.frombuffer(blob, dtype=np.int64)
+                acc = v.copy() if acc is None else acc + v
+            mean = acc.astype(np.float64) / (n * KMEANS_QUANT)
+            nrm = np.linalg.norm(mean)
+            if nrm > 0:
+                new[cid] = mean / nrm
+        cents = new
+
+    ref = state.broadcast({"matrix": cents})
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        st = state.cached_get(ref)
+        ids = t["vec_id"].to_numpy()
+        mat = embedding_matrix(t["embedding"])
+        if mat.size == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                    "score_micro": pa.array([], pa.int64()),
+                }
+            )
+        m64 = _normalize_rows(mat.astype(np.float64))
+        sims = m64 @ st["matrix"].T
+        best = np.argmax(sims, axis=1)
+        micro = np.floor(
+            sims[np.arange(len(ids)), best] * 1_000_000 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(best.astype(np.int64)),
+                "score_micro": pa.array(micro),
+            }
+        )
+
+    return (
+        _read_embeddings(sf_dir)
+        .map_batches(final_assign, batch_format="pyarrow", batch_size=4096)
+        .sort("vec_id")
+    )

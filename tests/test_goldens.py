@@ -34,6 +34,7 @@ GOLDEN_QUERIES = [
     "pack_sequences",
     "media_features",
     "frame_sample",
+    "kmeans_train",
 ]
 
 

@@ -38,6 +38,7 @@ GOLDEN_QUERIES = [
     "pack_sequences",
     "media_features",
     "frame_sample",
+    "kmeans_train",
 ]
 
 
