@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue_share": analytics.nation_revenue_share,
         "weighted_sample": analytics.weighted_sample_docs,
         "kmeans_train": similarity.kmeans_train,
+        "bootstrap_replicas": analytics.bootstrap_replicas,
         # --- oracled queries the driver has NOT yet sampled (r1+r2
         # correctness files) come first so a capped sample reaches
         # them (VERDICT r2 item 3); all are local-gate green ---
@@ -364,6 +365,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_above_customer_avg": analytics.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
         "q7_volume_shipping": analytics.Q7_VOLUME_SHIPPING_SQL,
         "nation_revenue_share": analytics.NATION_REVENUE_SHARE_SQL,
+        "bootstrap_replicas": analytics.BOOTSTRAP_REPLICAS_SQL,
         "weighted_sample": analytics.WEIGHTED_SAMPLE_SQL,
         # --- exact similarity search (float64 compute, half-up micro
         # ints on both sides; margins audited in similarity.py) ---

@@ -245,6 +245,7 @@ def run_bench() -> dict:
         "nation_revenue_share",
         "weighted_sample",
         "kmeans_train",
+        "bootstrap_replicas",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -5661,3 +5661,83 @@ LIMIT {WEIGHTED_SAMPLE_K}
 
 
 WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()
+
+
+# ---------------------------------------------------------------------------
+# One-pass statistical resampling (deterministic bootstrap replicas)
+# ---------------------------------------------------------------------------
+
+BOOTSTRAP_B = 32
+
+
+def bootstrap_replicas(sf_dir: str, B: int = BOOTSTRAP_B):
+    """B deterministic half-sample replicas of the event-value total —
+    the one-pass resampling shape behind bootstrap/jackknife error
+    bars on any streamed metric.  Replica b keeps event e iff bit b of
+    fmix64(event_id)'s low 32 bits is 0 (an unbiased deterministic
+    coin both engines can flip), so ONE pass computes all B masked
+    (sum, count) pairs: the per-batch kernel is a (rows x B) bit
+    matrix followed by a single matmul against the cents vector — B
+    partial rows leave each batch, the final groupby is B rows total.
+    The CI math (std of replica means) is driver arithmetic on exact
+    integers; no float ever crosses an engine boundary."""
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h32 = (_hll_hash(u) & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        cents = _to_cents(t["value"]).to_numpy(zero_copy_only=False)
+        bits = ((h32[:, None] >> np.arange(B, dtype=np.int64)) & 1) == 0
+        sums = bits.T @ cents
+        cnts = bits.sum(axis=0)
+        return pa.table(
+            {
+                "replica": pa.array(np.arange(B, dtype=np.int64)),
+                "n": pa.array(cnts.astype("int64")),
+                "sum_cents": pa.array(sums.astype("int64")),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("replica")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+        .sort("replica")
+    )
+
+
+def _bootstrap_replicas_sql() -> str:
+    from document_extractor_ray.functions.sqlhash import _mulmod64
+
+    two32 = 1 << 32
+
+    def xs33(col: str) -> str:
+        return (
+            f"(({col} // {two32}) * {two32}"
+            f" + xor(CAST({col} % {two32} AS BIGINT),"
+            f" CAST({col} // {two32} // 2 AS BIGINT))::HUGEINT)"
+        )
+
+    return f"""
+WITH h0 AS (
+  SELECT event_id, value,
+         (event_id::HUGEINT + {HLL_SEED}::HUGEINT) % {1 << 64}::HUGEINT AS h
+  FROM events
+),
+h1 AS (SELECT event_id, value, {xs33('h')} AS h FROM h0),
+h2 AS (SELECT event_id, value, {_mulmod64('h', HLL_C1)} AS h FROM h1),
+h3 AS (SELECT event_id, value, {xs33('h')} AS h FROM h2),
+h4 AS (SELECT event_id, value, {_mulmod64('h', HLL_C2)} AS h FROM h3),
+h5 AS (SELECT event_id, value, {xs33('h')} AS h FROM h4),
+h6 AS (SELECT event_id, value, CAST(h % {two32} AS BIGINT) AS h32 FROM h5)
+SELECT g.b AS replica,
+       CAST(count(*) FILTER (((h6.h32 >> g.b) & 1) = 0) AS BIGINT) AS n,
+       CAST(sum(CAST(round(h6.value * 100.0) AS BIGINT))
+            FILTER (((h6.h32 >> g.b) & 1) = 0) AS BIGINT) AS sum_cents
+FROM h6 CROSS JOIN generate_series(0, {BOOTSTRAP_B - 1}) AS g(b)
+GROUP BY g.b
+ORDER BY replica
+"""
+
+
+BOOTSTRAP_REPLICAS_SQL = _bootstrap_replicas_sql()

@@ -135,6 +135,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "q7_volume_shipping",
         "nation_revenue_share",
         "weighted_sample",
+        "bootstrap_replicas",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
