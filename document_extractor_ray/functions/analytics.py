@@ -4844,7 +4844,10 @@ Q5_START = "1998-01-01"
 Q5_END = "2001-01-01"
 
 
-def q5_local_supplier(sf_dir: str):
+Q5_BROADCAST_LIMIT = 1_000_000
+
+
+def q5_local_supplier(sf_dir: str, broadcast_limit: int = None):
     """Local-supplier revenue by nation (TPC-H Q5 shape): the deepest
     star join in the surface — lineitem ⋈ orders ⋈ customer ⋈ supplier
     ⋈ nation ⋈ region with the c_nationkey = s_nationkey locality
@@ -4880,12 +4883,14 @@ def q5_local_supplier(sf_dir: str):
         {"nationkey": nat_keys, "n_name": nat["n_name"].combine_chunks()}
     )
 
+    limit = Q5_BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    cust_ref = state.broadcast(
-        cust.filter(pc.is_in(cust["c_nationkey"], value_set=nat_keys)).combine_chunks()
-    )
+    cust_tab = cust.filter(
+        pc.is_in(cust["c_nationkey"], value_set=nat_keys)
+    ).combine_chunks()
+    cust_ref = state.broadcast(cust_tab) if cust_tab.num_rows <= limit else None
     supp = pq.read_table(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
     )
@@ -4899,13 +4904,16 @@ def q5_local_supplier(sf_dir: str):
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
 
-    def prep_orders(t: pa.Table) -> pa.Table:
-        t = t.filter(
+    def filt_orders(t: pa.Table) -> pa.Table:
+        return t.filter(
             pc.and_(
                 pc.greater_equal(t["o_orderdate"], start),
                 pc.less(t["o_orderdate"], end),
             )
-        )
+        ).select(["o_orderkey", "o_custkey"])
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        t = filt_orders(t)
         t = state.lookup_join(
             t, "o_custkey", state.cached_get(cust_ref), "c_custkey", ["c_nationkey"]
         )
@@ -4915,6 +4923,44 @@ def q5_local_supplier(sf_dir: str):
                 "o_orderkey": t["o_orderkey"],
                 "c_nat": pc.cast(t["c_nationkey"], pa.int64()),
             }
+        )
+
+    if cust_ref is not None:
+        orders_nat = orders.map_batches(prep_orders, batch_format="pyarrow")
+    else:
+        # Above-budget escalation: the customer map no longer fits a
+        # broadcast, so attach c_nationkey with a partitioned hash join
+        # on custkey instead, materialized before the fact-fact join
+        # (the chained-join deadlock trap, CLAUDE.md).
+        cust_ds = ray.data.from_arrow(cust_tab).repartition(_n_blocks())
+
+        def cjoin_out(t: pa.Table) -> pa.Table:
+            cols = set(t.column_names)
+            if t.num_rows == 0 or "o_orderkey" not in cols:
+                return pa.table(
+                    {
+                        "o_orderkey": pa.array([], pa.int64()),
+                        "c_nat": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "c_nat": pc.cast(t["c_nationkey"], pa.int64()),
+                }
+            )
+
+        orders_nat = (
+            orders.map_batches(filt_orders, batch_format="pyarrow")
+            .join(
+                cust_ds,
+                join_type="inner",
+                num_partitions=_join_partitions(f"{sf_dir}/orders.parquet"),
+                on=("o_custkey",),
+                right_on=("c_custkey",),
+            )
+            .map_batches(cjoin_out, batch_format="pyarrow")
+            .materialize()
         )
 
     li = _read(
@@ -4944,7 +4990,7 @@ def q5_local_supplier(sf_dir: str):
         f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"
     )
     joined = li.map_batches(prep_li, batch_format="pyarrow").join(
-        orders.map_batches(prep_orders, batch_format="pyarrow"),
+        orders_nat,
         join_type="inner",
         num_partitions=n_parts,
         on=("l_orderkey",),

@@ -2050,3 +2050,12 @@ def test_weighted_sample_favors_heavy_docs(ray_session):
     corpus = pq.read_table(f"{SF}/documents.parquet", columns=["n_chars"])
     assert sample["n_chars"].mean() > 1.1 * corpus["n_chars"].to_pandas().mean()
     assert sample["skey"].is_monotonic_increasing
+
+def test_q5_join_escalation_matches_broadcast(ray_session):
+    """Force the above-budget partitioned-join path (broadcast_limit=0)
+    and check it is row-identical to the broadcast path."""
+    from document_extractor_ray.functions.analytics import q5_local_supplier
+
+    a = q5_local_supplier(SF).to_pandas()
+    b = q5_local_supplier(SF, broadcast_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
