@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_quarantine": _extract_quarantine,
         "extract_unit_rows": _extract_unit_rows,
         # --- round-3 additions (oracled, never driver-sampled) ---
+        "q18_large_orders": analytics.q18_large_orders,
+        "q22_acctbal_opportunity": analytics.q22_acctbal_opportunity,
         "token_rarity": textstats.token_rarity,
         "postings_topdf": textstats.postings_topdf,
         "edit_distance_verify": dedup.edit_distance_verify_docs,
@@ -364,6 +366,8 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": analytics.TABLE_PROFILE_SQL,
         "orders_above_customer_avg": analytics.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
         "q7_volume_shipping": analytics.Q7_VOLUME_SHIPPING_SQL,
+        "q18_large_orders": analytics.Q18_LARGE_ORDERS_SQL,
+        "q22_acctbal_opportunity": analytics.Q22_ACCTBAL_OPPORTUNITY_SQL,
         "nation_revenue_share": analytics.NATION_REVENUE_SHARE_SQL,
         "bootstrap_replicas": analytics.BOOTSTRAP_REPLICAS_SQL,
         "weighted_sample": analytics.WEIGHTED_SAMPLE_SQL,

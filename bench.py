@@ -246,6 +246,8 @@ def run_bench() -> dict:
         "weighted_sample",
         "kmeans_train",
         "bootstrap_replicas",
+        "q18_large_orders",
+        "q22_acctbal_opportunity",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

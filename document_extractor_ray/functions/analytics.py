@@ -5787,3 +5787,266 @@ ORDER BY replica
 
 
 BOOTSTRAP_REPLICAS_SQL = _bootstrap_replicas_sql()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders (HAVING over a fact-key groupby)
+# ---------------------------------------------------------------------------
+
+Q18_QTY_THRESHOLD = 250
+Q18_TOP = 100
+
+
+def _settle_nonempty(ds: "ray.data.Dataset", empty: pa.Table) -> "ray.data.Dataset":
+    """Rebuild a Dataset from its non-empty block refs before feeding a
+    Dataset.join — Ray 2.49 hash aggregates / map_groups / join outputs
+    carry zero-row blocks with an EMPTY schema that crash a downstream
+    pyarrow join ('no match for FieldRef'), and map_batches never sees
+    zero-row blocks so a normalizing UDF can't fix them (the dedup.py
+    settle pattern, hoisted for the analytics join family)."""
+    mat = ds.materialize()
+    refs = [r for r in mat.to_arrow_refs() if ray.get(r).num_rows > 0]
+    if not refs:
+        return ray.data.from_arrow(empty)
+    return ray.data.from_arrow_refs(refs)
+
+
+def q18_large_orders(sf_dir: str, threshold: int = Q18_QTY_THRESHOLD):
+    """Large-volume orders (TPC-H Q18 shape): orders whose summed
+    lineitem quantity exceeds a threshold, with their customer — the
+    canonical groupby-HAVING-join plan.  Scale shape: the per-orderkey
+    quantity fold is key-per-row, so it runs through ``bucketed_agg``
+    (never Ray's per-group aggregate); the HAVING filter collapses the
+    fact side to the rare heavy orders BEFORE any join, so both
+    partitioned hash joins (orders, then customer) ship only the
+    survivors; the driver never materializes anything but the final
+    top-N.  Joins are settled + materialized between (empty-schema
+    block and chained-join traps, CLAUDE.md)."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "qty": pc.cast(
+                    pc.round(t["l_quantity"], round_mode="half_towards_infinity"),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    per_order = bucketed_agg(
+        li.map_batches(slim, batch_format="pyarrow"),
+        ["l_orderkey"],
+        [("qty", "sum", "total_qty")],
+    )
+
+    def having(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["total_qty"], threshold))
+
+    big = _settle_nonempty(
+        per_order.map_batches(having, batch_format="pyarrow"),
+        pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "total_qty": pa.array([], pa.int64()),
+            }
+        ),
+    )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    j1 = orders.join(
+        big,
+        join_type="inner",
+        num_partitions=_join_partitions(f"{sf_dir}/orders.parquet"),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def j1_out(t: pa.Table) -> pa.Table:
+        cols = set(t.column_names)
+        if t.num_rows == 0 or "o_orderkey" not in cols:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_custkey": pa.array([], pa.int64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                    "total_qty": pa.array([], pa.int64()),
+                }
+            )
+        t = _ts_us("o_orderdate")(t)
+        return t.select(["o_orderkey", "o_custkey", "o_orderdate", "total_qty"])
+
+    heavy = _settle_nonempty(
+        j1.map_batches(j1_out, batch_format="pyarrow"),
+        pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_custkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "total_qty": pa.array([], pa.int64()),
+            }
+        ),
+    )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    j2 = heavy.join(
+        cust,
+        join_type="inner",
+        num_partitions=_join_partitions(f"{sf_dir}/customer.parquet"),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = set(t.column_names)
+        if t.num_rows == 0 or "o_orderkey" not in cols:
+            return pa.table(
+                {
+                    "c_custkey": pa.array([], pa.int64()),
+                    "c_name": pa.array([], pa.string()),
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                    "total_qty": pa.array([], pa.int64()),
+                }
+            )
+        t = _ts_us("o_orderdate")(t)
+        # the hash join collapses the right key into the left key
+        # column, so the customer key IS o_custkey post-join
+        return pa.table(
+            {
+                "c_custkey": t["o_custkey"],
+                "c_name": t["c_name"],
+                "o_orderkey": t["o_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "total_qty": t["total_qty"],
+            }
+        )
+
+    return (
+        j2.map_batches(finish, batch_format="pyarrow")
+        .sort(["total_qty", "o_orderkey"], descending=[True, False])
+        .limit(Q18_TOP)
+    )
+
+
+Q18_LARGE_ORDERS_SQL = f"""
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, lq.total_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > {Q18_QTY_THRESHOLD}
+) lq
+JOIN orders o ON o.o_orderkey = lq.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT {Q18_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: global-scalar subquery filter (above-average balances)
+# ---------------------------------------------------------------------------
+
+def q22_acctbal_opportunity(sf_dir: str):
+    """Customers whose balance beats the GLOBAL average positive
+    balance, counted per nation (TPC-H Q22's scalar-subquery shape).
+    Two passes over a column-pruned customer table: pass 1 folds
+    (sum positive cents, count positive) to two driver scalars — a
+    per-batch partial then a bounded blocks-count take, never a row
+    materialization; pass 2 broadcasts the scalars in the closure and
+    compares CROSS-MULTIPLIED integers (cents * n_pos > total_cents),
+    so no float average ever exists on either engine.  The final
+    per-nation rollup is a ≤25-key groupby; nation names attach via a
+    broadcast dim lookup, never a shuffle join."""
+    from document_extractor_ray import state
+
+    cust_cols = ["c_nationkey", "c_acctbal"]
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t["c_acctbal"], 0.0))
+        cents = _to_cents(pos["c_acctbal"])
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(cents).as_py() or 0], pa.int64()),
+                "n": pa.array([pos.num_rows], pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "customer", columns=["c_acctbal"])
+        .map_batches(pos_partial, batch_format="pyarrow")
+        .take_all()
+    )
+    total_cents = sum(r["s"] for r in parts)
+    n_pos = sum(r["n"] for r in parts)
+
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nat_ref = state.broadcast(nation)
+
+    def rich_partial(t: pa.Table) -> pa.Table:
+        cents = _to_cents(t["c_acctbal"])
+        keep = pc.greater(
+            pc.multiply(cents, pa.scalar(n_pos, pa.int64())),
+            pa.scalar(total_cents, pa.int64()),
+        )
+        t = pa.table({"c_nationkey": t["c_nationkey"], "cents": cents}).filter(keep)
+        g = pa.TableGroupBy(t, ["c_nationkey"]).aggregate(
+            [("cents", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "c_nationkey": g["c_nationkey"],
+                "balance_cents": g["cents_sum"],
+                "n_cust": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    def attach(t: pa.Table) -> pa.Table:
+        t = state.lookup_join(
+            t, "c_nationkey", state.cached_get(nat_ref), "n_nationkey", ["n_name"]
+        )
+        return pa.table(
+            {
+                "n_name": t["n_name"],
+                "n_cust": t["n_cust"],
+                "balance_cents": t["balance_cents"],
+            }
+        )
+
+    return (
+        _read(sf_dir, "customer", columns=cust_cols)
+        .map_batches(rich_partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("balance_cents", alias_name="balance_cents"),
+            Sum("n_cust", alias_name="n_cust"),
+        )
+        .map_batches(attach, batch_format="pyarrow")
+        .sort("n_name")
+    )
+
+
+Q22_ACCTBAL_OPPORTUNITY_SQL = """
+WITH pos AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS BIGINT) AS total_cents,
+         CAST(count(*) AS BIGINT) AS n_pos
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(CAST(round(c.c_acctbal * 100.0) AS BIGINT)) AS BIGINT) AS balance_cents
+FROM customer c, pos, nation n
+WHERE CAST(round(c.c_acctbal * 100.0) AS BIGINT) * pos.n_pos > pos.total_cents
+  AND n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""

@@ -136,6 +136,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "nation_revenue_share",
         "weighted_sample",
         "bootstrap_replicas",
+        "q18_large_orders",
+        "q22_acctbal_opportunity",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
