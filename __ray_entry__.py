@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 additions (oracled, never driver-sampled) ---
         "q18_large_orders": analytics.q18_large_orders,
         "q22_acctbal_opportunity": analytics.q22_acctbal_opportunity,
+        "user_streaks": analytics.user_streaks,
+        "kmv_registers": analytics.kmv_registers,
         "token_rarity": textstats.token_rarity,
         "postings_topdf": textstats.postings_topdf,
         "edit_distance_verify": dedup.edit_distance_verify_docs,
@@ -368,6 +370,8 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": analytics.Q7_VOLUME_SHIPPING_SQL,
         "q18_large_orders": analytics.Q18_LARGE_ORDERS_SQL,
         "q22_acctbal_opportunity": analytics.Q22_ACCTBAL_OPPORTUNITY_SQL,
+        "user_streaks": analytics.USER_STREAKS_SQL,
+        "kmv_registers": analytics.KMV_REGISTERS_SQL,
         "nation_revenue_share": analytics.NATION_REVENUE_SHARE_SQL,
         "bootstrap_replicas": analytics.BOOTSTRAP_REPLICAS_SQL,
         "weighted_sample": analytics.WEIGHTED_SAMPLE_SQL,

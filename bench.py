@@ -248,6 +248,8 @@ def run_bench() -> dict:
         "bootstrap_replicas",
         "q18_large_orders",
         "q22_acctbal_opportunity",
+        "user_streaks",
+        "kmv_registers",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -6050,3 +6050,226 @@ WHERE CAST(round(c.c_acctbal * 100.0) AS BIGINT) * pos.n_pos > pos.total_cents
 GROUP BY n.n_name
 ORDER BY n.n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day activity streak per user
+# ---------------------------------------------------------------------------
+
+def user_streaks(sf_dir: str):
+    """Longest consecutive-day active streak (and total active days)
+    per user — the canonical gaps-and-islands window query.  Scale
+    shape: per-batch LOCAL (user, day) dedup slims the exchange to
+    unique pairs, ONE hash-bucket shuffle on user_id co-locates each
+    user, and the per-PARTITION pass is a single lexsort + run-length
+    arithmetic (np.reduceat over run boundaries) — no per-user Python,
+    no window sort of raw events.  Days are integer epoch-day floor
+    divisions of microseconds, identical on both engines."""
+    from document_extractor_ray.functions.bucketing import part_of_int64
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    n_parts = _n_blocks()
+    day_us = np.int64(86_400_000_000)
+
+    def local_days(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        d = us // day_us
+        pairs = np.unique(np.stack([u, d], axis=1), axis=0)
+        return pa.table(
+            {
+                "user_id": pa.array(pairs[:, 0], pa.int64()),
+                "d": pa.array(pairs[:, 1], pa.int64()),
+                "part": part_of_int64(pairs[:, 0], n_parts),
+            }
+        )
+
+    def streaks_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_days": pa.array([], pa.int64()),
+                "best_streak": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([u, d], axis=1), axis=0)
+        u, d = pairs[:, 0], pairs[:, 1]
+        # run boundaries: new user OR non-consecutive day
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+        starts = np.flatnonzero(new)
+        run_len = np.diff(np.append(starts, len(u)))
+        run_user = u[starts]
+        ub = np.ones(len(run_user), dtype=bool)
+        ub[1:] = run_user[1:] != run_user[:-1]
+        ustarts = np.flatnonzero(ub)
+        return pa.table(
+            {
+                "user_id": pa.array(run_user[ustarts], pa.int64()),
+                "n_days": pa.array(
+                    np.add.reduceat(run_len, ustarts).astype(np.int64), pa.int64()
+                ),
+                "best_streak": pa.array(
+                    np.maximum.reduceat(run_len, ustarts).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(local_days, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda t: streaks_part(t.drop_columns(["part"])), batch_format="pyarrow"
+        )
+        .sort("user_id")
+    )
+
+
+USER_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d
+  FROM events
+),
+isl AS (
+  SELECT user_id, d,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS anchor
+  FROM days
+),
+runs AS (
+  SELECT user_id, anchor, count(*) AS len FROM isl GROUP BY user_id, anchor
+)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS n_days,
+       CAST(max(len) AS BIGINT) AS best_streak
+FROM runs GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch per event_type
+# ---------------------------------------------------------------------------
+
+KMV_K = 32
+
+
+def kmv_registers(sf_dir: str, k: int = KMV_K):
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002) of
+    users per event_type: the K smallest DISTINCT fmix64 hash values —
+    a mergeable bottom-k summary whose estimate is
+    (K-1) * 2^64 // h_K.  Like the HLL family the query emits the
+    REGISTER TABLE, bit-exact on both engines (same multiply-shift
+    hash; the uint64 value ships as hi/lo BIGINT halves so the
+    driver's dtype-sensitive hash gate can compare it).  Scale shape:
+    each batch folds to <= types*K rows via np.unique + partition; one
+    tiny grouped merge resolves — sketch state is O(K) per stream and
+    merges are associative, so shards combine freely."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def bottomk(types: np.ndarray, hs: np.ndarray) -> pa.Table:
+        # distinct (type, h), then K smallest h per type via one lexsort
+        pairs = np.unique(
+            np.stack([types.astype(np.int64), hs.view(np.int64)], axis=1), axis=0
+        )
+        tcol, hcol = pairs[:, 0], pairs[:, 1].view(np.uint64)
+        order = np.lexsort((hcol, tcol))
+        tcol, hcol = tcol[order], hcol[order]
+        new = np.ones(len(tcol), dtype=bool)
+        new[1:] = tcol[1:] != tcol[:-1]
+        run_start = np.repeat(
+            np.flatnonzero(new), np.diff(np.append(np.flatnonzero(new), len(tcol)))
+        )
+        rank = np.arange(len(tcol)) - run_start + 1
+        keep = rank <= k
+        return pa.table(
+            {
+                "tcode": pa.array(tcol[keep], pa.int64()),
+                "rank": pa.array(rank[keep].astype(np.int64), pa.int64()),
+                "h": pa.array(hcol[keep].view(np.int64), pa.int64()),
+            }
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _hll_hash(u)
+        tdict = pc.dictionary_encode(t["event_type"].combine_chunks())
+        codes = tdict.indices.to_numpy(zero_copy_only=False)
+        vocab = tdict.dictionary.to_pylist()  # <= #event types, tiny
+        out = bottomk(codes, h)
+        names = pa.array(
+            [vocab[c] for c in out["tcode"].to_numpy(zero_copy_only=False)],
+            pa.string(),
+        )
+        return pa.table({"event_type": names, "rank": out["rank"], "h": out["h"]})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        tdict = pc.dictionary_encode(t["event_type"].combine_chunks())
+        codes = tdict.indices.to_numpy(zero_copy_only=False)
+        vocab = tdict.dictionary.to_pylist()
+        hs = t["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        out = bottomk(codes, hs)
+        names = [vocab[c] for c in out["tcode"].to_numpy(zero_copy_only=False)]
+        hu = out["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return pa.table(
+            {
+                "event_type": pa.array(names, pa.string()),
+                "rank": out["rank"],
+                "h_hi": pa.array((hu >> np.uint64(32)).astype(np.int64), pa.int64()),
+                "h_lo": pa.array(
+                    (hu & np.uint64(0xFFFFFFFF)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    # partials are <= types*K rows per block; a single-partition
+    # map_groups merge is a driver-bounded fold, same as the HLL merge
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("g", pa.array(np.zeros(t.num_rows, np.int32)))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(
+            lambda t: resolve(t.drop_columns(["g"])), batch_format="pyarrow"
+        )
+        .sort(["event_type", "rank"])
+    )
+
+
+def kmv_estimate(registers: pa.Table, k: int = KMV_K) -> dict:
+    """Driver-side cardinality estimate per type: (K-1)*2^64 // h_K."""
+    est = {}
+    df = registers.to_pandas()
+    for et, g in df.groupby("event_type"):
+        if len(g) >= k:
+            hk = (int(g["h_hi"].iloc[k - 1]) << 32) | int(g["h_lo"].iloc[k - 1])
+            est[et] = ((k - 1) << 64) // hk
+        else:
+            est[et] = len(g)  # fewer distinct values than K: exact
+    return est
+
+
+def _kmv_sql() -> str:
+    two32 = 1 << 32
+    return f"""
+WITH {_fmix64_sql("user_id", "event_type", "event_type")},
+d AS (SELECT DISTINCT event_type, h FROM h5),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rank
+  FROM d
+)
+SELECT event_type, CAST(rank AS BIGINT) AS rank,
+       CAST(h // {two32} AS BIGINT) AS h_hi,
+       CAST(h % {two32} AS BIGINT) AS h_lo
+FROM r WHERE rank <= {KMV_K}
+ORDER BY event_type, rank
+"""
+
+
+KMV_REGISTERS_SQL = _kmv_sql()

@@ -138,6 +138,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "bootstrap_replicas",
         "q18_large_orders",
         "q22_acctbal_opportunity",
+        "user_streaks",
+        "kmv_registers",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -2061,3 +2063,25 @@ def test_q5_join_escalation_matches_broadcast(ray_session):
     a = q5_local_supplier(SF).to_pandas()
     b = q5_local_supplier(SF, broadcast_limit=0).to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+def test_kmv_estimate_near_truth(ray_session):
+    """The driver-side KMV estimate must land within the sketch's
+    ~1/sqrt(K-1) relative error of the true per-type distinct count."""
+    import duckdb
+    import pyarrow as pa
+
+    from document_extractor_ray.functions.analytics import KMV_K, kmv_estimate, kmv_registers
+
+    regs = pa.Table.from_pandas(kmv_registers(SF).to_pandas())
+    est = kmv_estimate(regs)
+    truth = dict(
+        duckdb.sql(
+            f"SELECT event_type, count(DISTINCT user_id) FROM '{SF}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(est) == set(truth)
+    for et, true_n in truth.items():
+        if true_n <= KMV_K:
+            assert est[et] == true_n
+        else:
+            assert abs(est[et] - true_n) / true_n < 3.0 / (KMV_K - 1) ** 0.5
