@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_acctbal_opportunity": analytics.q22_acctbal_opportunity,
         "user_streaks": analytics.user_streaks,
         "kmv_registers": analytics.kmv_registers,
+        "hapax_share": textstats.hapax_share,
+        "top_tokens_per_lang": textstats.top_tokens_per_lang,
+        "lm_bigram_coverage": textstats.lm_bigram_coverage,
         "token_rarity": textstats.token_rarity,
         "postings_topdf": textstats.postings_topdf,
         "edit_distance_verify": dedup.edit_distance_verify_docs,
@@ -372,6 +375,9 @@ def oracle_sql() -> dict[str, str]:
         "q22_acctbal_opportunity": analytics.Q22_ACCTBAL_OPPORTUNITY_SQL,
         "user_streaks": analytics.USER_STREAKS_SQL,
         "kmv_registers": analytics.KMV_REGISTERS_SQL,
+        "hapax_share": textstats.HAPAX_SHARE_SQL,
+        "top_tokens_per_lang": textstats.TOP_TOKENS_PER_LANG_SQL,
+        "lm_bigram_coverage": textstats.LM_BIGRAM_COVERAGE_SQL,
         "nation_revenue_share": analytics.NATION_REVENUE_SHARE_SQL,
         "bootstrap_replicas": analytics.BOOTSTRAP_REPLICAS_SQL,
         "weighted_sample": analytics.WEIGHTED_SAMPLE_SQL,

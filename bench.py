@@ -250,6 +250,9 @@ def run_bench() -> dict:
         "q22_acctbal_opportunity",
         "user_streaks",
         "kmv_registers",
+        "hapax_share",
+        "top_tokens_per_lang",
+        "lm_bigram_coverage",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

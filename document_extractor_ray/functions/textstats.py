@@ -3110,3 +3110,316 @@ LANG_CONFUSION_SQL = LANG_CONFUSION_SQL.replace("{de}", _marker_list_sql("de"))
 LANG_CONFUSION_SQL = LANG_CONFUSION_SQL.replace("{en}", _marker_list_sql("en"))
 LANG_CONFUSION_SQL = LANG_CONFUSION_SQL.replace("{es}", _marker_list_sql("es"))
 LANG_CONFUSION_SQL = LANG_CONFUSION_SQL.replace("{fr}", _marker_list_sql("fr"))
+
+
+# ---------------------------------------------------------------------------
+# Hapax share per language (vocabulary-tail health metric)
+# ---------------------------------------------------------------------------
+
+def hapax_share(sf_dir: str):
+    """Per-language vocabulary size, hapax-legomena count (terms whose
+    corpus frequency is exactly 1) and hapax share in permille — the
+    vocabulary-tail statistic used to sanity-check a crawl's noise
+    level.  Scale shape: the (lang, token) term-frequency fold is
+    vocabulary-sized key-per-row work, so it runs through
+    ``bucketed_agg``; the per-lang rollup then folds each PARTITION
+    to <= n_langs partial rows (count + count-of-ones) before one tiny
+    grouped Sum — the all-to-all carries languages, never vocabulary."""
+    from ray.data.aggregate import Sum
+
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read_docs(sf_dir, ["lang", "text"])
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        lang = t["lang"].take(parent)
+        pairs = pa.table({"lang": lang, "token": flat}).filter(
+            pc.not_equal(flat, "")
+        )
+        g = pa.TableGroupBy(pairs, ["lang", "token"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "token": g["token"],
+                "c": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    tf = bucketed_agg(
+        ds.map_batches(tf_partial, batch_format="pyarrow"),
+        ["lang", "token"],
+        [("c", "sum", "c")],
+    )
+
+    def lang_partial(t: pa.Table) -> pa.Table:
+        ones = pc.cast(pc.equal(t["c"], 1), pa.int64())
+        g = pa.TableGroupBy(
+            pa.table({"lang": t["lang"], "one": ones}), ["lang"]
+        ).aggregate([([], "count_all"), ("one", "sum")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "n_vocab": pc.cast(g["count_all"], pa.int64()),
+                "n_hapax": g["one_sum"],
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        share = pc.cast(
+            pc.divide(pc.multiply(t["n_hapax"], 1000), t["n_vocab"]), pa.int64()
+        )
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_vocab": t["n_vocab"],
+                "n_hapax": t["n_hapax"],
+                "hapax_permille": share,
+            }
+        )
+
+    return (
+        tf.map_batches(lang_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_vocab", alias_name="n_vocab"),
+            Sum("n_hapax", alias_name="n_hapax"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("lang")
+    )
+
+
+HAPAX_SHARE_SQL = f"""
+WITH tf AS (
+  SELECT lang, token, count(*) AS c
+  FROM (
+    SELECT lang,
+           unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+    FROM documents
+  )
+  WHERE token <> ''
+  GROUP BY lang, token
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_vocab,
+       CAST(count(*) FILTER (c = 1) AS BIGINT) AS n_hapax,
+       CAST(1000 * count(*) FILTER (c = 1) // count(*) AS BIGINT) AS hapax_permille
+FROM tf GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k: most frequent tokens per language
+# ---------------------------------------------------------------------------
+
+LANG_TOP_TOKENS_K = 10
+
+
+def top_tokens_per_lang(sf_dir: str, k: int = LANG_TOP_TOKENS_K):
+    """Top-k tokens by corpus frequency WITHIN each language — the
+    grouped variant of df_top_tokens (same tokenizer, so the family
+    cannot drift).  After the bucketed (lang, token) fold each key is
+    globally unique, so a per-block local top-k per lang is exact and
+    bounds what leaves every block at langs*k rows; one driver-bounded
+    merge resolves.  Ties break (n DESC, token ASC), deterministic on
+    both engines."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read_docs(sf_dir, ["lang", "text"])
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        lang = t["lang"].take(parent)
+        pairs = pa.table({"lang": lang, "token": flat}).filter(
+            pc.not_equal(flat, "")
+        )
+        g = pa.TableGroupBy(pairs, ["lang", "token"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "token": g["token"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    tf = bucketed_agg(
+        ds.map_batches(tf_partial, batch_format="pyarrow"),
+        ["lang", "token"],
+        [("n", "sum", "n")],
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "token": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("lang", "ascending"), ("n", "descending"), ("token", "ascending")],
+        )
+        t = t.take(idx)
+        ld = pc.dictionary_encode(t["lang"].combine_chunks())
+        codes = ld.indices.to_numpy(zero_copy_only=False)
+        new = np.ones(len(codes), dtype=bool)
+        new[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(new)
+        run_start = np.repeat(starts, np.diff(np.append(starts, len(codes))))
+        rank = np.arange(len(codes)) - run_start + 1
+        return t.filter(pa.array(rank <= k))
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        # rows arrive sorted (lang asc, n desc, token asc) from finish
+        ld = pc.dictionary_encode(t["lang"].combine_chunks())
+        codes = ld.indices.to_numpy(zero_copy_only=False)
+        new = np.ones(len(codes), dtype=bool)
+        new[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(new)
+        run_start = np.repeat(starts, np.diff(np.append(starts, len(codes))))
+        rank = np.arange(len(codes)) - run_start + 1
+        return t.append_column("rank", pa.array(rank.astype(np.int64), pa.int64()))
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("g", pa.array(np.zeros(t.num_rows, np.int32)))
+
+    return (
+        tf.map_batches(local_topk, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(
+            lambda t: add_rank(local_topk(t.drop_columns(["g"]))),
+            batch_format="pyarrow",
+        )
+        .sort(["lang", "rank"])
+    )
+
+
+TOP_TOKENS_PER_LANG_SQL = f"""
+SELECT lang, token, n, CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT lang, token, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
+  FROM (
+    SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT lang,
+             unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+      FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY lang, token
+  )
+)
+WHERE rk <= {LANG_TOP_TOKENS_K}
+ORDER BY lang, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM coverage: share of a doc's bigrams inside the corpus top-M
+# ---------------------------------------------------------------------------
+
+LM_TOP_BIGRAMS = 200
+
+
+def lm_bigram_coverage(sf_dir: str, m: int = LM_TOP_BIGRAMS):
+    """Per-document coverage (permille, with multiplicity) of the
+    corpus's top-M bigrams — the integer-exact stand-in for an n-gram
+    LM familiarity score (a true log-prob is irrational, so the
+    oracle-comparable statistic is membership coverage).  Two phases:
+    (1) the existing bigram_top fold (same tokenizer as the whole
+    n-gram family) yields the top-M table, driver-bounded at M rows
+    and broadcast once via ray.put; (2) one streaming pass re-derives
+    each doc's bigrams IN ROW (pairs never straddle docs) and counts
+    membership with a single pc.is_in against the broadcast set —
+    per-doc output, no shuffle at all beyond the final doc_id sort.
+    Docs with zero bigrams don't appear (matches the SQL's grams
+    grouping)."""
+    from document_extractor_ray import state
+
+    top = bigram_top(sf_dir, m).to_pandas()
+    top_set = pa.array(top["bigram"].tolist(), pa.string())
+    top_ref = state.broadcast(top_set)
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def coverage(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_bigrams": pa.array([], pa.int64()),
+                "hits": pa.array([], pa.int64()),
+                "coverage_permille": pa.array([], pa.int64()),
+            }
+        )
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        f = flat.filter(keep).combine_chunks()
+        p = parent.filter(keep).combine_chunks().to_numpy(zero_copy_only=False)
+        if len(f) < 2:
+            return empty
+        mask = p[1:] == p[:-1]
+        bg = pc.binary_join_element_wise(
+            f.slice(0, len(f) - 1).filter(pa.array(mask)),
+            f.slice(1).filter(pa.array(mask)),
+            " ",
+        )
+        docs = p[:-1][mask]
+        hits = pc.cast(
+            pc.is_in(bg, value_set=state.cached_get(top_ref)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        if len(docs) == 0:
+            return empty
+        # segment fold over contiguous doc runs
+        new = np.ones(len(docs), dtype=bool)
+        new[1:] = docs[1:] != docs[:-1]
+        starts = np.flatnonzero(new)
+        n_bg = np.diff(np.append(starts, len(docs))).astype(np.int64)
+        hit_sum = np.add.reduceat(hits, starts).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[docs[starts]]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_bigrams": pa.array(n_bg, pa.int64()),
+                "hits": pa.array(hit_sum, pa.int64()),
+                "coverage_permille": pa.array(1000 * hit_sum // n_bg, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(coverage, batch_format="pyarrow").sort("doc_id")
+
+
+LM_BIGRAM_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}'),
+                     t -> t <> '') AS lst
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lst[g.i] || ' ' || lst[g.i + 1] AS bigram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(lst))) AS i) g
+),
+top AS (
+  SELECT bigram FROM (
+    SELECT bigram, count(*) AS n FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT {LM_TOP_BIGRAMS}
+  )
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(count(*) FILTER (bigram IN (SELECT bigram FROM top)) AS BIGINT) AS hits,
+       CAST(1000 * count(*) FILTER (bigram IN (SELECT bigram FROM top))
+            // count(*) AS BIGINT) AS coverage_permille
+FROM grams GROUP BY doc_id ORDER BY doc_id
+"""

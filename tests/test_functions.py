@@ -140,6 +140,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "q22_acctbal_opportunity",
         "user_streaks",
         "kmv_registers",
+        "hapax_share",
+        "top_tokens_per_lang",
+        "lm_bigram_coverage",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
