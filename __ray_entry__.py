@@ -106,6 +106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_share": textstats.hapax_share,
         "top_tokens_per_lang": textstats.top_tokens_per_lang,
         "lm_bigram_coverage": textstats.lm_bigram_coverage,
+        "users_both_windows": analytics.users_both_windows,
+        "curriculum_shards": training.curriculum_shards,
+        "centroid_distances": similarity.centroid_distances,
         "token_rarity": textstats.token_rarity,
         "postings_topdf": textstats.postings_topdf,
         "edit_distance_verify": dedup.edit_distance_verify_docs,
@@ -378,6 +381,9 @@ def oracle_sql() -> dict[str, str]:
         "hapax_share": textstats.HAPAX_SHARE_SQL,
         "top_tokens_per_lang": textstats.TOP_TOKENS_PER_LANG_SQL,
         "lm_bigram_coverage": textstats.LM_BIGRAM_COVERAGE_SQL,
+        "users_both_windows": analytics.USERS_BOTH_WINDOWS_SQL,
+        "curriculum_shards": training.CURRICULUM_SHARDS_SQL,
+        "centroid_distances": similarity.CENTROID_DISTANCES_SQL,
         "nation_revenue_share": analytics.NATION_REVENUE_SHARE_SQL,
         "bootstrap_replicas": analytics.BOOTSTRAP_REPLICAS_SQL,
         "weighted_sample": analytics.WEIGHTED_SAMPLE_SQL,

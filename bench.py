@@ -253,6 +253,9 @@ def run_bench() -> dict:
         "hapax_share",
         "top_tokens_per_lang",
         "lm_bigram_coverage",
+        "users_both_windows",
+        "curriculum_shards",
+        "centroid_distances",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -6273,3 +6273,63 @@ ORDER BY event_type, rank
 
 
 KMV_REGISTERS_SQL = _kmv_sql()
+
+
+# ---------------------------------------------------------------------------
+# Set intersection over a keyed stream (INTERSECT shape)
+# ---------------------------------------------------------------------------
+
+WINDOW_A_END = "2024-01-02"
+WINDOW_B_START = "2024-01-30"
+
+
+def users_both_windows(sf_dir: str):
+    """Users active in BOTH the first and the last day of the stream —
+    the INTERSECT set operator (cohort overlap), done as ONE scan:
+    per-batch rows collapse to distinct (user, in_a, in_b) bit
+    partials, a bucketed max-fold ORs the bits per user, and a filter
+    keeps users present on both sides.  No second scan, no distinct
+    per side, no join — the exchange carries one slim row per user
+    seen in either window."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    a_end = pa.scalar(pd.Timestamp(WINDOW_A_END), type=pa.timestamp("us"))
+    b_start = pa.scalar(pd.Timestamp(WINDOW_B_START), type=pa.timestamp("us"))
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def bits(t: pa.Table) -> pa.Table:
+        in_a = pc.cast(pc.less(t["ts"], a_end), pa.int64())
+        in_b = pc.cast(pc.greater_equal(t["ts"], b_start), pa.int64())
+        tab = pa.table({"user_id": t["user_id"], "a": in_a, "b": in_b}).filter(
+            pc.or_(pc.equal(in_a, 1), pc.equal(in_b, 1))
+        )
+        g = pa.TableGroupBy(tab, ["user_id"]).aggregate([("a", "max"), ("b", "max")])
+        return pa.table(
+            {"user_id": g["user_id"], "a": g["a_max"], "b": g["b_max"]}
+        )
+
+    both = bucketed_agg(
+        ds.map_batches(bits, batch_format="pyarrow"),
+        ["user_id"],
+        [("a", "max", "a"), ("b", "max", "b")],
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.equal(t["a"], 1), pc.equal(t["b"], 1)))
+        return t.select(["user_id"])
+
+    return both.map_batches(keep, batch_format="pyarrow").sort("user_id")
+
+
+USERS_BOTH_WINDOWS_SQL = f"""
+SELECT user_id FROM (
+  SELECT user_id,
+         max(CASE WHEN ts < TIMESTAMP '{WINDOW_A_END}' THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN ts >= TIMESTAMP '{WINDOW_B_START}' THEN 1 ELSE 0 END) AS b
+  FROM events
+  WHERE ts < TIMESTAMP '{WINDOW_A_END}' OR ts >= TIMESTAMP '{WINDOW_B_START}'
+  GROUP BY user_id
+)
+WHERE a = 1 AND b = 1
+ORDER BY user_id
+"""

@@ -964,3 +964,82 @@ def kmeans_train(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_TRAIN_ITERS
         .map_batches(final_assign, batch_format="pyarrow", batch_size=4096)
         .sort("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise centroid geometry audit (exact integer dot / norms)
+# ---------------------------------------------------------------------------
+
+def centroid_distances(sf_dir: str):
+    """Pairwise geometry of the per-label centroids: for every label
+    pair (a < b) the exact integer dot product and squared norms of
+    the QUANTIZED centroids (components half-up-rounded to 1e-6) —
+    cosine = dot_q / sqrt(norm2_a * norm2_b) is the consumer's one
+    irrational step, everything shipped is integer-exact on both
+    engines.  Quantization is floor((2*sum + n) / (2*n)) — true floor
+    division (negative components round half-up correctly), mirrored
+    in SQL with an explicit floor correction because DuckDB's ``//``
+    truncates toward zero.
+
+    Scale shape: rides label_centroids' bounded aggregate (per-batch
+    segment-sum partials, shuffle bounded by |labels| x dim); the
+    pairwise step runs on the driver over a |labels| x dim integer
+    matrix — label cardinality is a model constant, never data-sized."""
+    cent = label_centroids(sf_dir).to_pandas()
+    labels = np.sort(cent["label"].unique()).astype(np.int64)
+    dim = int(cent["dim"].max()) + 1 if len(cent) else 0
+    q = np.zeros((len(labels), dim), dtype=np.int64)
+    pos = {lab: i for i, lab in enumerate(labels)}
+    s = cent["sum_micro"].to_numpy().astype(np.int64)
+    n = cent["n_vecs"].to_numpy().astype(np.int64)
+    li = cent["label"].map(pos).to_numpy()
+    di = cent["dim"].to_numpy().astype(np.int64)
+    q[li, di] = (2 * s + n) // (2 * n)  # numpy // is floor division
+    dots = q @ q.T
+    norms = np.diag(dots)
+    ia, ib = np.triu_indices(len(labels), k=1)
+    return pa.table(
+        {
+            "label_a": pa.array(labels[ia], pa.int64()),
+            "label_b": pa.array(labels[ib], pa.int64()),
+            "dot_q": pa.array(dots[ia, ib], pa.int64()),
+            "norm2_a": pa.array(norms[ia], pa.int64()),
+            "norm2_b": pa.array(norms[ib], pa.int64()),
+        }
+    )
+
+
+# floor((2s+n)/(2n)) with an explicit correction: DuckDB // truncates
+# toward zero, so subtract 1 when the exact quotient is negative with
+# a remainder (2n is always positive).
+_Q_NUM = "(2 * sum_micro + n_vecs)"
+_Q_DEN = "(2 * n_vecs)"
+_Q_EXPR = (
+    f"({_Q_NUM} // {_Q_DEN}"
+    f" - CASE WHEN {_Q_NUM} < 0 AND ({_Q_NUM} % {_Q_DEN}) <> 0"
+    f" THEN 1 ELSE 0 END)"
+)
+
+CENTROID_DISTANCES_SQL = f"""
+WITH cent AS (
+  SELECT CAST(e.label AS BIGINT) AS label,
+         CAST(r.d AS BIGINT) AS dim,
+         CAST(sum(CAST(floor(CAST(e.embedding[CAST(r.d AS INTEGER) + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro,
+         CAST(count(*) AS BIGINT) AS n_vecs
+  FROM embeddings e, range(0, 256) r(d)
+  WHERE r.d < len(e.embedding)
+  GROUP BY 1, 2
+),
+q AS (SELECT label, dim, CAST({_Q_EXPR} AS BIGINT) AS q FROM cent),
+norms AS (SELECT label, CAST(sum(q * q) AS BIGINT) AS norm2 FROM q GROUP BY label)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(sum(a.q * b.q) AS BIGINT) AS dot_q,
+       CAST(any_value(na.norm2) AS BIGINT) AS norm2_a,
+       CAST(any_value(nb.norm2) AS BIGINT) AS norm2_b
+FROM q a
+JOIN q b ON a.dim = b.dim AND a.label < b.label
+JOIN norms na ON na.label = a.label
+JOIN norms nb ON nb.label = b.label
+GROUP BY a.label, b.label
+ORDER BY label_a, label_b
+"""

@@ -482,3 +482,48 @@ SELECT host, doc_id, rank_in_domain FROM (
 WHERE rank_in_domain <= {DOMAIN_CAP_K}
 ORDER BY host, rank_in_domain
 """
+
+
+# ---------------------------------------------------------------------------
+# Curriculum sharding: global difficulty order -> round-robin shards
+# ---------------------------------------------------------------------------
+
+CURRICULUM_SHARDS = 16
+
+
+def curriculum_shards(sf_dir: str, n_shards: int = CURRICULUM_SHARDS):
+    """Curriculum-ordered round-robin shard assignment: documents in
+    global (n_chars DESC, doc_id) order, shard s = (rank-1) % S — so
+    every shard sees the same difficulty curve (the curriculum-training
+    data layout).  Rides doc_global_rank's histogram-offset global
+    rank (no total-order sort; the driver holds only the key
+    histogram), then one vectorized modulo."""
+    import pyarrow.compute as pc
+
+    from document_extractor_ray.functions.analytics import doc_global_rank
+
+    ranked = doc_global_rank(sf_dir)
+
+    def assign(t: pa.Table) -> pa.Table:
+        # (rnk-1) % S via exact integer ops: rnk >= 1 so floor == trunc
+        rnk1 = pc.subtract(t["rnk"], 1)
+        shard = pc.cast(
+            pc.subtract(rnk1, pc.multiply(pc.divide(rnk1, n_shards), n_shards)),
+            pa.int64(),
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "rnk": t["rnk"], "shard": shard}
+        )
+
+    return ranked.map_batches(assign, batch_format="pyarrow").sort("doc_id")
+
+
+CURRICULUM_SHARDS_SQL = f"""
+SELECT doc_id, rnk, CAST((rnk - 1) % {CURRICULUM_SHARDS} AS BIGINT) AS shard
+FROM (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents
+)
+ORDER BY doc_id
+"""

@@ -143,6 +143,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "hapax_share",
         "top_tokens_per_lang",
         "lm_bigram_coverage",
+        "users_both_windows",
+        "curriculum_shards",
+        "centroid_distances",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
