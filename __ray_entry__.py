@@ -109,6 +109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_both_windows": analytics.users_both_windows,
         "curriculum_shards": training.curriculum_shards,
         "centroid_distances": similarity.centroid_distances,
+        "interarrival_quantiles": analytics.interarrival_quantiles,
+        "spike_days": analytics.spike_days,
+        "hashed_bow": textstats.hashed_bow,
         "token_rarity": textstats.token_rarity,
         "postings_topdf": textstats.postings_topdf,
         "edit_distance_verify": dedup.edit_distance_verify_docs,
@@ -384,6 +387,9 @@ def oracle_sql() -> dict[str, str]:
         "users_both_windows": analytics.USERS_BOTH_WINDOWS_SQL,
         "curriculum_shards": training.CURRICULUM_SHARDS_SQL,
         "centroid_distances": similarity.CENTROID_DISTANCES_SQL,
+        "interarrival_quantiles": analytics.INTERARRIVAL_QUANTILES_SQL,
+        "spike_days": analytics.SPIKE_DAYS_SQL,
+        "hashed_bow": textstats.HASHED_BOW_SQL,
         "nation_revenue_share": analytics.NATION_REVENUE_SHARE_SQL,
         "bootstrap_replicas": analytics.BOOTSTRAP_REPLICAS_SQL,
         "weighted_sample": analytics.WEIGHTED_SAMPLE_SQL,

@@ -256,6 +256,9 @@ def run_bench() -> dict:
         "users_both_windows",
         "curriculum_shards",
         "centroid_distances",
+        "interarrival_quantiles",
+        "spike_days",
+        "hashed_bow",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

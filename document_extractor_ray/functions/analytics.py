@@ -6333,3 +6333,255 @@ SELECT user_id FROM (
 WHERE a = 1 AND b = 1
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact quantiles of a windowed derivation (inter-arrival gaps)
+# ---------------------------------------------------------------------------
+
+INTERARRIVAL_QS = (250, 500, 750, 900)
+
+
+def interarrival_quantiles(sf_dir: str, permilles=INTERARRIVAL_QS):
+    """Exact permille quantiles of the inter-event gap (whole seconds,
+    per user, attributed to the LATER event's type) — the grouped
+    quantile of a WINDOW-DERIVED column, composing the sessionize
+    shuffle with the histogram-selection quantile plan.  Scale shape:
+    one user-hash shuffle; each partition lexsorts once and diffs
+    neighbors (no per-user Python); gaps fold to (type, gap_s, n)
+    histogram partials — bounded by the gap-value domain, never event
+    count — and the selection walks each type's cumulative histogram
+    vectorized."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg, part_of_int64
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    n_parts = _n_blocks()
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "us": pc.cast(t["ts"], pa.int64()),
+                "event_type": t["event_type"],
+                "part": part_of_int64(u, n_parts),
+            }
+        )
+
+    def gaps_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "gap_s": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows < 2:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, u))
+        u, us = u[order], us[order]
+        same = u[1:] == u[:-1]
+        gap_s = (us[1:] - us[:-1]) // 1_000_000
+        types = t["event_type"].combine_chunks().take(
+            pa.array(order[1:][same])
+        )
+        g = pa.TableGroupBy(
+            pa.table({"event_type": types, "gap_s": pa.array(gap_s[same], pa.int64())}),
+            ["event_type", "gap_s"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "gap_s": g["gap_s"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    hist = bucketed_agg(
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda t: gaps_part(t.drop_columns(["part"])), batch_format="pyarrow"
+        ),
+        ["event_type", "gap_s"],
+        [("n", "sum", "n")],
+    )
+
+    qs = np.asarray(permilles, dtype=np.int64)
+
+    def select_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "q_permille": pa.array([], pa.int64()),
+                "gap_s": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas().sort_values(["event_type", "gap_s"])
+        out_t, out_q, out_v = [], [], []
+        for et, g in df.groupby("event_type", sort=True):
+            v = g["gap_s"].to_numpy()
+            cum = g["n"].to_numpy().cumsum()
+            tot = cum[-1]
+            idx = np.searchsorted(cum * 1000, qs * tot, side="left")
+            out_t.extend([et] * len(qs))
+            out_q.extend(qs.tolist())
+            out_v.extend(v[idx].tolist())
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "q_permille": pa.array(out_q, pa.int64()),
+                "gap_s": pa.array(out_v, pa.int64()),
+            }
+        )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("g", pa.array(np.zeros(t.num_rows, np.int32)))
+
+    # type-cardinality fold: histogram rows are (types x gap domain),
+    # small enough for one partition after the bucketed merge
+    return (
+        hist.map_batches(tag, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(
+            lambda t: select_part(t.drop_columns(["g"])), batch_format="pyarrow"
+        )
+        .sort(["event_type", "q_permille"])
+    )
+
+
+def _interarrival_sql() -> str:
+    qvals = ", ".join(f"({q})" for q in INTERARRIVAL_QS)
+    return f"""
+WITH g0 AS (
+  SELECT event_type,
+         (CAST(epoch_us(ts) AS BIGINT)
+          - lag(CAST(epoch_us(ts) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id)
+         ) // 1000000 AS gap_s
+  FROM events
+),
+c AS (
+  SELECT event_type, gap_s, count(*) AS n FROM g0
+  WHERE gap_s IS NOT NULL GROUP BY event_type, gap_s
+),
+cum AS (
+  SELECT event_type, gap_s,
+         sum(n) OVER (PARTITION BY event_type ORDER BY gap_s) AS cumn
+  FROM c
+),
+tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tn FROM c GROUP BY event_type),
+qs(q) AS (VALUES {qvals})
+SELECT cum.event_type, CAST(qs.q AS BIGINT) AS q_permille,
+       CAST(min(cum.gap_s) AS BIGINT) AS gap_s
+FROM qs, cum JOIN tot ON tot.event_type = cum.event_type
+WHERE cum.cumn * 1000 >= qs.q * tot.tn
+GROUP BY cum.event_type, qs.q
+ORDER BY cum.event_type, q_permille
+"""
+
+
+INTERARRIVAL_QUANTILES_SQL = _interarrival_sql()
+
+
+# ---------------------------------------------------------------------------
+# Spike detection: days whose event count beats 2x the type's median day
+# ---------------------------------------------------------------------------
+
+SPIKE_NUM = 11   # spike threshold: 10*n > 11*median (1.1x, integer
+SPIKE_DEN = 10   # cross-multiplied so no float ratio exists)
+
+
+def spike_days(sf_dir: str, num: int = SPIKE_NUM, den: int = SPIKE_DEN):
+    """Anomalous days per event type: daily count > (num/den) x the type's
+    MEDIAN daily count (lower median via the cumulative-histogram
+    selection — integer-exact, no float stddev).  Scale shape: the
+    (type, day) rollup is a bounded-domain groupby (taxonomy x
+    calendar), folded per batch before the tiny grouped Sum; median
+    selection and the spike filter run vectorized on the bounded
+    rollup."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    day_us = np.int64(86_400_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(t["ts"], pa.int64()), day_us)
+        g = pa.TableGroupBy(
+            pa.table({"event_type": t["event_type"], "d": d}), ["event_type", "d"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "d": g["d"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "d"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "d": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "median_n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        out = []
+        for et, g in df.groupby("event_type", sort=True):
+            cnt = np.sort(g["n"].to_numpy())
+            cum = np.arange(1, len(cnt) + 1)
+            med = cnt[np.searchsorted(cum * 2, len(cnt), side="left")]
+            spikes = g[den * g["n"] > num * med].copy()
+            spikes["median_n"] = med
+            out.append(spikes)
+        res = pd.concat(out) if out else df.iloc[:0].assign(median_n=0)
+        return pa.Table.from_pandas(
+            res[["event_type", "d", "n", "median_n"]], preserve_index=False
+        )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("g", pa.array(np.zeros(t.num_rows, np.int32)))
+
+    return (
+        daily.map_batches(tag, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(lambda t: flag(t.drop_columns(["g"])), batch_format="pyarrow")
+        .sort(["event_type", "d"])
+    )
+
+
+SPIKE_DAYS_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, n AS v,
+         row_number() OVER (PARTITION BY event_type ORDER BY n) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS tot
+  FROM daily
+),
+med AS (
+  SELECT event_type, CAST(min(v) AS BIGINT) AS median_n
+  FROM cum WHERE rk * 2 >= tot GROUP BY event_type
+)
+SELECT daily.event_type, daily.d, daily.n, med.median_n
+FROM daily JOIN med USING (event_type)
+WHERE {SPIKE_DEN} * daily.n > {SPIKE_NUM} * med.median_n
+ORDER BY event_type, d
+"""

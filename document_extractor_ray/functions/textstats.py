@@ -3423,3 +3423,95 @@ SELECT doc_id,
             // count(*) AS BIGINT) AS coverage_permille
 FROM grams GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing: signed hashed bag-of-words (Weinberger et al. 2009)
+# ---------------------------------------------------------------------------
+
+HBOW_DIMS = 16
+
+
+def hashed_bow(sf_dir: str, d: int = HBOW_DIMS):
+    """Signed feature-hashing vectorizer ("hashing trick"): each doc
+    becomes a D-dim integer vector, component = sum over token
+    occurrences of sign(crc), dim = crc32(token) % D, sign from the
+    next crc bit — the collision-tolerant bag-of-words every linear
+    text model trains on, with zero vocabulary state.  Emitted long
+    (doc_id, dim, val) with one row per OCCUPIED (doc, dim) cell (val
+    can be 0 when signs cancel).  Scale shape: per-batch work is
+    wholly in-row — crc per DISTINCT word of the batch (dictionary
+    encode first, so the C-call loop runs over the batch vocabulary,
+    not tokens), one bincount scatter-add per batch, no shuffle
+    before the final doc_id sort.  Tokenizer and crc are the dedup
+    family's (lower().split() + zlib.crc32), so the SQL twin reuses
+    sqlhash's recursive-CTE CRC verbatim."""
+    import zlib
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def vectorize(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "val": pa.array([], pa.int64()),
+            }
+        )
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        f = flat.filter(keep).combine_chunks()
+        p = parent.filter(keep).combine_chunks().to_numpy(zero_copy_only=False)
+        if len(f) == 0:
+            return empty
+        fd = pc.dictionary_encode(f)
+        codes = fd.indices.to_numpy(zero_copy_only=False)
+        vocab = fd.dictionary.to_pylist()
+        crc = np.fromiter(
+            (zlib.crc32(w.encode("utf-8")) for w in vocab),
+            dtype=np.uint64,
+            count=len(vocab),
+        )
+        dim_of = (crc % np.uint64(d)).astype(np.int64)
+        sign_of = np.where((crc // np.uint64(d)) % np.uint64(2) == 0, 1, -1).astype(
+            np.int64
+        )
+        tok_dim = dim_of[codes]
+        tok_sign = sign_of[codes]
+        cell = p.astype(np.int64) * d + tok_dim
+        n_cells = int(t.num_rows) * d
+        vals = np.bincount(cell, weights=tok_sign, minlength=n_cells).astype(np.int64)
+        occupied = np.bincount(cell, minlength=n_cells) > 0
+        idx = np.flatnonzero(occupied)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[idx // d]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "dim": pa.array((idx % d).astype(np.int64), pa.int64()),
+                "val": pa.array(vals[idx], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(vectorize, batch_format="pyarrow").sort(["doc_id", "dim"])
+
+
+def _hashed_bow_sql() -> str:
+    from document_extractor_ray.functions.sqlhash import _CRC_TABLE, _WORD_CRC, _words
+
+    return f"""WITH RECURSIVE
+{_words(lower=True)},
+{_CRC_TABLE},
+{_WORD_CRC}
+SELECT doc_id,
+       CAST(crc % {HBOW_DIMS} AS BIGINT) AS dim,
+       CAST(sum(CASE WHEN (crc // {HBOW_DIMS}) % 2 = 0 THEN 1 ELSE -1 END)
+            AS BIGINT) AS val
+FROM wcrc
+GROUP BY doc_id, dim
+ORDER BY doc_id, dim
+"""
+
+
+HASHED_BOW_SQL = _hashed_bow_sql()

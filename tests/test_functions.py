@@ -146,6 +146,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "users_both_windows",
         "curriculum_shards",
         "centroid_distances",
+        "interarrival_quantiles",
+        "spike_days",
+        "hashed_bow",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
