@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_quantiles": analytics.interarrival_quantiles,
         "spike_days": analytics.spike_days,
         "hashed_bow": textstats.hashed_bow,
+        "source_overlap_matrix": dedup.source_overlap_matrix_docs,
+        "orders_fill_rate": analytics.orders_fill_rate,
         "token_rarity": textstats.token_rarity,
         "postings_topdf": textstats.postings_topdf,
         "edit_distance_verify": dedup.edit_distance_verify_docs,
@@ -390,6 +392,8 @@ def oracle_sql() -> dict[str, str]:
         "interarrival_quantiles": analytics.INTERARRIVAL_QUANTILES_SQL,
         "spike_days": analytics.SPIKE_DAYS_SQL,
         "hashed_bow": textstats.HASHED_BOW_SQL,
+        "source_overlap_matrix": sqlhash.source_overlap_sql(),
+        "orders_fill_rate": analytics.ORDERS_FILL_RATE_SQL,
         "nation_revenue_share": analytics.NATION_REVENUE_SHARE_SQL,
         "bootstrap_replicas": analytics.BOOTSTRAP_REPLICAS_SQL,
         "weighted_sample": analytics.WEIGHTED_SAMPLE_SQL,

@@ -259,6 +259,8 @@ def run_bench() -> dict:
         "interarrival_quantiles",
         "spike_days",
         "hashed_bow",
+        "source_overlap_matrix",
+        "orders_fill_rate",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -6585,3 +6585,110 @@ FROM daily JOIN med USING (event_type)
 WHERE {SPIKE_DEN} * daily.n > {SPIKE_NUM} * med.median_n
 ORDER BY event_type, d
 """
+
+
+# ---------------------------------------------------------------------------
+# Conditional ratio after a fact-fact join (fulfillment latency SLA)
+# ---------------------------------------------------------------------------
+
+FILL_SLA_DAYS = 60
+
+
+def orders_fill_rate(sf_dir: str, sla_days: int = FILL_SLA_DAYS):
+    """Per order priority: how many lineitems shipped within the SLA
+    window of their order date — the FILTER-aggregate over a fact-fact
+    join (TPC-H Q4's flavor with an arithmetic join predicate).  Both
+    sides slim to ints before the ONE partitioned orderkey join
+    (shipdate/orderdate as epoch micros); the SLA compare and the
+    per-priority conditional counts fold per batch to <= 5 partial
+    rows, so the post-join exchange carries priorities, never
+    lineitems.  The rate ships as integer permille (floor division on
+    both engines)."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    def slim_li(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+            }
+        )
+
+    def slim_orders(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "order_us": pc.cast(t["o_orderdate"], pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    sla_us = np.int64(sla_days) * np.int64(86_400_000_000)
+    joined = li.map_batches(slim_li, batch_format="pyarrow").join(
+        orders.map_batches(slim_orders, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=_join_partitions(
+            f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"
+        ),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = set(t.column_names)
+        if t.num_rows == 0 or "o_orderpriority" not in cols:
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "n_items": pa.array([], pa.int64()),
+                    "n_fast": pa.array([], pa.int64()),
+                }
+            )
+        fast = pc.cast(
+            pc.less_equal(
+                t["ship_us"], pc.add(t["order_us"], pa.scalar(sla_us, pa.int64()))
+            ),
+            pa.int64(),
+        )
+        g = pa.TableGroupBy(
+            pa.table({"o_orderpriority": t["o_orderpriority"], "fast": fast}),
+            ["o_orderpriority"],
+        ).aggregate([([], "count_all"), ("fast", "sum")])
+        return pa.table(
+            {
+                "o_orderpriority": g["o_orderpriority"],
+                "n_items": pc.cast(g["count_all"], pa.int64()),
+                "n_fast": g["fast_sum"],
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "fast_permille",
+            pc.cast(pc.divide(pc.multiply(t["n_fast"], 1000), t["n_items"]), pa.int64()),
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_items", alias_name="n_items"), Sum("n_fast", alias_name="n_fast"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("o_orderpriority")
+    )
+
+
+ORDERS_FILL_RATE_SQL = f"""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(count(*) FILTER (CAST(epoch_us(l.l_shipdate) AS BIGINT)
+            <= CAST(epoch_us(o.o_orderdate) AS BIGINT) + {FILL_SLA_DAYS} * 86400000000) AS BIGINT) AS n_fast,
+       CAST(1000 * count(*) FILTER (CAST(epoch_us(l.l_shipdate) AS BIGINT)
+            <= CAST(epoch_us(o.o_orderdate) AS BIGINT) + {FILL_SLA_DAYS} * 86400000000)
+            // count(*) AS BIGINT) AS fast_permille
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""

@@ -1911,3 +1911,120 @@ def minhash_calibration_docs(sf_dir: str):
     from document_extractor_ray.functions.textstats import _read_docs
 
     return minhash_calibration(_read_docs(sf_dir, ["doc_id", "text"]))
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix (shared-shingle counts per pair)
+# ---------------------------------------------------------------------------
+
+def source_overlap_matrix(ds: "ray.data.Dataset", k: int = 3):
+    """Shared distinct-shingle counts for every source pair — the
+    cross-corpus contamination matrix a data curator reads before
+    mixing sources.  n_shared(a, b) = |shingles(a) ∩ shingles(b)|
+    over DISTINCT word-k-gram hashes (the dedup family's shingles).
+
+    Scale shape — the source catalog is a bounded constant (≤ 63
+    here), which turns an all-pairs shingle self-join into a BITMASK
+    fold: distinct (hash, source) rows collapse per hash to one int64
+    OR-mask (disjoint bits sum exactly), the mask HISTOGRAM is the
+    only thing that leaves the shuffle (bounded by observed mask
+    combinations, never hash count), and the driver expands 190 pair
+    counts from it with one vectorized popcount pass.  No self-join,
+    no per-hash Python, nothing pair-shaped ever shuffles."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    src_rows = (
+        bucketed_agg(
+            ds.select_columns(["source"]),
+            ["source"],
+            [(None, "count", "n")],
+        )
+        .select_columns(["source"])
+        .take_all()
+    )
+    sources = sorted(r["source"] for r in src_rows)
+    if len(sources) > 63:
+        raise ValueError(
+            "source_overlap_matrix packs sources into an int64 bitmask; "
+            f"got {len(sources)} sources — shard the catalog first"
+        )
+    code_of = {s: i for i, s in enumerate(sources)}
+
+    def explode(t: pa.Table) -> pa.Table:
+        srcs = t["source"].to_pylist()
+        xs, bits = [], []
+        for txt, src in zip(t["text"].to_pylist(), srcs):
+            s = shingles(txt, k)
+            if s:
+                xs.append(np.fromiter(s, dtype=np.uint64, count=len(s)))
+                bits.append(
+                    np.full(len(s), np.int64(1) << np.int64(code_of[src]), np.int64)
+                )
+        if not xs:
+            return pa.table(
+                {"x": pa.array([], pa.int64()), "bit": pa.array([], pa.int64())}
+            )
+        x = np.concatenate(xs).view(np.int64)
+        b = np.concatenate(bits)
+        # local distinct (hash, bit) so the exchange ships unique rows
+        pairs = np.unique(np.stack([x, b], axis=1), axis=0)
+        return pa.table(
+            {
+                "x": pa.array(pairs[:, 0], pa.int64()),
+                "bit": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    distinct = bucketed_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["x", "bit"],
+        [(None, "count", "n")],
+    )
+
+    def mask_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"x": t["x"], "mask": t["bit"]})
+
+    masks = bucketed_agg(
+        distinct.map_batches(mask_partial, batch_format="pyarrow"),
+        ["x"],
+        [("mask", "sum", "mask")],  # disjoint bits: sum == OR
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(pa.table({"mask": t["mask"]}), ["mask"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"mask": g["mask"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    hist = bucketed_agg(
+        masks.map_batches(hist_partial, batch_format="pyarrow"),
+        ["mask"],
+        [("n", "sum", "n")],
+    ).take_all()
+
+    m = np.array([r["mask"] for r in hist], dtype=np.int64)
+    c = np.array([r["n"] for r in hist], dtype=np.int64)
+    out_a, out_b, out_n = [], [], []
+    for i in range(len(sources)):
+        for j in range(i + 1, len(sources)):
+            both = ((m >> np.int64(i)) & (m >> np.int64(j)) & np.int64(1)).astype(bool)
+            n_shared = int(c[both].sum())
+            if n_shared:
+                out_a.append(sources[i])
+                out_b.append(sources[j])
+                out_n.append(n_shared)
+    return pa.table(
+        {
+            "source_a": pa.array(out_a, pa.string()),
+            "source_b": pa.array(out_b, pa.string()),
+            "n_shared": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def source_overlap_matrix_docs(sf_dir: str):
+    from document_extractor_ray.functions.textstats import _read_docs
+
+    return source_overlap_matrix(_read_docs(sf_dir, ["text", "source"]))

@@ -651,3 +651,24 @@ LEFT JOIN inter i ON i.doc_a = s.doc_a AND i.doc_b = s.doc_b
 JOIN sizes sa ON sa.doc_id = s.doc_a
 JOIN sizes sb ON sb.doc_id = s.doc_b
 ORDER BY s.doc_a, s.doc_b"""
+
+
+def source_overlap_sql(k: int = 3) -> str:
+    """Oracle for ``source_overlap_matrix``: distinct word-k-gram
+    shingles per source, pair intersection counts via an x-equijoin —
+    the quadratic shape the engine's bitmask fold exists to avoid, fine
+    at oracle scale."""
+    return f"""WITH RECURSIVE
+{_words(lower=True)},
+{_CRC_TABLE},
+{_WORD_CRC},
+{_shingle_cte(k)},
+sh AS (
+  SELECT DISTINCT d.source, s.x
+  FROM shingle s JOIN documents d USING (doc_id)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM sh a JOIN sh b ON a.x = b.x AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY source_a, source_b"""

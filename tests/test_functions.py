@@ -149,6 +149,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "interarrival_quantiles",
         "spike_days",
         "hashed_bow",
+        "source_overlap_matrix",
+        "orders_fill_rate",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
