@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hashed_bow": textstats.hashed_bow,
         "source_overlap_matrix": dedup.source_overlap_matrix_docs,
         "orders_fill_rate": analytics.orders_fill_rate,
+        "rfm_segments": analytics.rfm_segments,
         "token_rarity": textstats.token_rarity,
         "postings_topdf": textstats.postings_topdf,
         "edit_distance_verify": dedup.edit_distance_verify_docs,
@@ -394,6 +395,7 @@ def oracle_sql() -> dict[str, str]:
         "hashed_bow": textstats.HASHED_BOW_SQL,
         "source_overlap_matrix": sqlhash.source_overlap_sql(),
         "orders_fill_rate": analytics.ORDERS_FILL_RATE_SQL,
+        "rfm_segments": analytics.RFM_SEGMENTS_SQL,
         "nation_revenue_share": analytics.NATION_REVENUE_SHARE_SQL,
         "bootstrap_replicas": analytics.BOOTSTRAP_REPLICAS_SQL,
         "weighted_sample": analytics.WEIGHTED_SAMPLE_SQL,

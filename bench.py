@@ -261,6 +261,7 @@ def run_bench() -> dict:
         "hashed_bow",
         "source_overlap_matrix",
         "orders_fill_rate",
+        "rfm_segments",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

