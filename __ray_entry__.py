@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap_matrix": dedup.source_overlap_matrix_docs,
         "orders_fill_rate": analytics.orders_fill_rate,
         "rfm_segments": analytics.rfm_segments,
+        "knn_recall_audit": similarity.knn_recall_audit,
+        "lang_percentiles": textstats.lang_percentiles,
         "token_rarity": textstats.token_rarity,
         "postings_topdf": textstats.postings_topdf,
         "edit_distance_verify": dedup.edit_distance_verify_docs,
@@ -396,6 +398,8 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap_matrix": sqlhash.source_overlap_sql(),
         "orders_fill_rate": analytics.ORDERS_FILL_RATE_SQL,
         "rfm_segments": analytics.RFM_SEGMENTS_SQL,
+        "knn_recall_audit": similarity.knn_recall_audit_sql(),
+        "lang_percentiles": textstats.LANG_PERCENTILES_SQL,
         "nation_revenue_share": analytics.NATION_REVENUE_SHARE_SQL,
         "bootstrap_replicas": analytics.BOOTSTRAP_REPLICAS_SQL,
         "weighted_sample": analytics.WEIGHTED_SAMPLE_SQL,

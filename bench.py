@@ -262,6 +262,8 @@ def run_bench() -> dict:
         "source_overlap_matrix",
         "orders_fill_rate",
         "rfm_segments",
+        "knn_recall_audit",
+        "lang_percentiles",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -1043,3 +1043,51 @@ JOIN norms nb ON nb.label = b.label
 GROUP BY a.label, b.label
 ORDER BY label_a, label_b
 """
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit: LSH top-k vs exact brute-force top-k
+# ---------------------------------------------------------------------------
+
+def knn_recall_audit(sf_dir: str, k: int = 10):
+    """Measured recall of the LSH ANN path against the exact
+    brute-force top-k, per query — the measure-don't-guess audit that
+    justifies shipping the bucketed variant at scale (the
+    minhash_calibration pattern for the embedding family).  Both
+    sides are the engine's own pipelines (brute: broadcast query
+    matmul + partial top-k; LSH: hyperplane buckets); the comparison
+    is a driver-bounded set intersection over n_queries x k rows.
+    recall_permille uses floor division, integer on both engines."""
+    brute = knn_brute_embeddings(sf_dir, k=k).to_pandas()
+    lsh = knn_lsh_embeddings(sf_dir, k=k).to_pandas()
+    lsh_sets = {
+        q: set(g["vec_id"]) for q, g in lsh.groupby("query_id", sort=True)
+    }
+    out_q, out_h, out_r = [], [], []
+    for q, g in brute.groupby("query_id", sort=True):
+        hits = len(set(g["vec_id"]) & lsh_sets.get(q, set()))
+        out_q.append(int(q))
+        out_h.append(hits)
+        out_r.append(1000 * hits // k)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "hits": pa.array(out_h, pa.int64()),
+            "recall_permille": pa.array(out_r, pa.int64()),
+        }
+    )
+
+
+def knn_recall_audit_sql(k: int = 10) -> str:
+    """Oracle: both engine oracles as subquery CTE blocks (DuckDB
+    allows WITH inside a derived table), joined on (query, neighbor)."""
+    return f"""
+SELECT b.query_id,
+       CAST(count(l.vec_id) AS BIGINT) AS hits,
+       CAST(1000 * count(l.vec_id) // {k} AS BIGINT) AS recall_permille
+FROM ({KNN_BRUTE_SQL}) b
+LEFT JOIN ({knn_lsh_sql(k=k)}) l
+       ON l.query_id = b.query_id AND l.vec_id = b.vec_id
+GROUP BY b.query_id
+ORDER BY b.query_id
+"""

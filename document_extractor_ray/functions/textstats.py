@@ -3515,3 +3515,106 @@ ORDER BY doc_id, dim
 
 
 HASHED_BOW_SQL = _hashed_bow_sql()
+
+
+# ---------------------------------------------------------------------------
+# Grouped percent-rank: length percentile of every doc WITHIN its lang
+# ---------------------------------------------------------------------------
+
+def lang_percentiles(sf_dir: str):
+    """Every document's length rank and permille percentile WITHIN its
+    language — grouped percent_rank, the per-stratum difficulty score
+    a curriculum or quality gate keys on.  Same histogram-offset plan
+    as doc_global_rank but keyed (lang, n_chars): the driver holds
+    only the per-lang key histogram (bounded by lang x length domain),
+    rows shuffle ONCE on the composite key, and each partition adds
+    within-tie positions to broadcast base offsets — no per-group
+    Python, no total-order sort."""
+    import ray
+
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.analytics import _n_blocks
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    n_parts = _n_blocks()
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"lang": t["lang"], "k": t["n_chars"]}), ["lang", "k"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {"lang": g["lang"], "k": g["k"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["lang", "k"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    base_maps = {}
+    totals = {}
+    for lang, g in hist.groupby("lang", sort=True):
+        g = g.sort_values("k")
+        keys = g["k"].to_numpy().astype(np.int64)
+        counts = g["n"].to_numpy().astype(np.int64)
+        above = counts[::-1].cumsum()[::-1] - counts  # strictly longer docs
+        base_maps[lang] = (keys, above)
+        totals[lang] = int(counts.sum())
+    base_ref = state.broadcast((base_maps, totals))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (k * np.uint64(2654435761)) & np.uint64(0x7FFFFFFF)
+        return t.append_column(
+            "part", pa.array((h % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    def rank_partition(g):
+        import pandas as pd
+
+        maps, tots = state.cached_get(base_ref)
+        g = g.sort_values(["lang", "n_chars", "doc_id"], kind="mergesort")
+        out = []
+        for lang, gg in g.groupby("lang", sort=True):
+            keys, above = maps[lang]
+            k = gg["n_chars"].to_numpy().astype(np.int64)
+            tie_pos = np.arange(len(gg)) - np.searchsorted(k, k, side="left")
+            rnk = above[np.searchsorted(keys, k)] + tie_pos + 1
+            nl = tots[lang]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": gg["doc_id"].to_numpy().astype("int64"),
+                        "lang": lang,
+                        "n_chars": k,
+                        "rnk_in_lang": rnk.astype("int64"),
+                        "permille_rank": (1000 * (rnk - 1) // max(nl - 1, 1)).astype(
+                            "int64"
+                        ),
+                    }
+                )
+            )
+        return pd.concat(out)
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(rank_partition, batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
+LANG_PERCENTILES_SQL = """
+SELECT doc_id, lang, n_chars,
+       CAST(rnk AS BIGINT) AS rnk_in_lang,
+       CAST(1000 * (rnk - 1) // greatest(nl - 1, 1) AS BIGINT) AS permille_rank
+FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY lang) AS nl
+  FROM documents
+)
+ORDER BY doc_id
+"""

@@ -152,6 +152,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "source_overlap_matrix",
         "orders_fill_rate",
         "rfm_segments",
+        "knn_recall_audit",
+        "lang_percentiles",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
