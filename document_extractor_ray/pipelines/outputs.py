@@ -353,3 +353,98 @@ def write_training_jsonl(final_ds, out_dir: str) -> str:
         ok_rows, batch_format="pyarrow"
     ).write_json(path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# Generic resumable partitioned sink for ANY query result
+# ---------------------------------------------------------------------------
+
+def write_query_partitioned(
+    ds,
+    out_dir: str,
+    key_col: str,
+    n_partitions: int = 32,
+    overwrite: bool = False,
+) -> Dict[str, int]:
+    """Resumable hive-partitioned sink for an arbitrary query result:
+    rows land in part_id = hash(key) % N directories, each committed
+    ATOMICALLY with a `_SUCCESS.<part>` marker carrying row count and
+    write time, and a rerun SKIPS committed partitions — the
+    extraction layout's lineage discipline (resume.py) generalized to
+    every operator's output.  The key hash is the shuffle layer's
+    vectorized `_key_u64` (no per-row Python); partitions write
+    independently so a killed run loses at most the uncommitted
+    partitions.  Returns {written, skipped}.
+
+    Scale note: one partition = one write task writing one directory;
+    at 100 TB pick n_partitions ~ input shards so the sink never
+    funnels through few writers."""
+    import json
+    import time
+
+    import pyarrow.compute as pc
+
+    from document_extractor_ray.functions.bucketing import key_part_column
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = set()
+    if not overwrite:
+        for name in os.listdir(out_dir):
+            if name.startswith("_SUCCESS."):
+                done.add(int(name.split(".", 1)[1]))
+    # a crashed run can leave files in an UNCOMMITTED partition dir;
+    # drop those dirs so the rewrite cannot double-count rows
+    import shutil
+
+    for name in list(os.listdir(out_dir)):
+        if name.startswith("part_id="):
+            pid = int(name.split("=", 1)[1])
+            if pid not in done or overwrite:
+                shutil.rmtree(os.path.join(out_dir, name))
+    if overwrite:
+        for name in list(os.listdir(out_dir)):
+            if name.startswith("_SUCCESS."):
+                os.remove(os.path.join(out_dir, name))
+        done = set()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part_id", pc.cast(key_part_column(t, [key_col], n_partitions), pa.int64())
+        )
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow")
+    if done:
+        todo_mask = pa.array(sorted(set(range(n_partitions)) - done), pa.int64())
+        parted = parted.map_batches(
+            lambda t: t.filter(pc.is_in(t["part_id"], value_set=todo_mask)),
+            batch_format="pyarrow",
+        )
+    parted = parted.materialize()
+    written = 0
+    counts: Dict[int, int] = {}
+
+    if parted.count() > 0:
+        parted.write_parquet(out_dir, partition_cols=["part_id"])
+    # commit markers: per-partition row counts read back from the
+    # written layout (cheap metadata scan), then atomic marker files
+    import pyarrow.parquet as pq
+
+    for pid in range(n_partitions):
+        if pid in done:
+            continue
+        # hash-empty partitions commit too (rows=0): "no rows" is a
+        # result, and the marker is what lets the rerun skip the scan
+        n = 0
+        pdir = os.path.join(out_dir, f"part_id={pid}")
+        if os.path.isdir(pdir):
+            for f in os.listdir(pdir):
+                if f.endswith(".parquet"):
+                    n += pq.read_metadata(os.path.join(pdir, f)).num_rows
+        marker = os.path.join(out_dir, f"_SUCCESS.{pid}")
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"part_id": pid, "rows": n, "ts": time.time()}, fh)
+        os.replace(tmp, marker)
+        counts[pid] = n
+        written += 1
+    return {"written": written, "skipped": len(done)}

@@ -141,3 +141,53 @@ class TestMultimodal:
         kb = sorted(b, key=lambda r: r["media_id"])
         for x, y in zip(ka, kb):
             assert x["features"] == y["features"]
+
+
+class TestGenericResumableSink:
+    def _events(self, sf="/root/testdata/sf0.001"):
+        import ray.data
+
+        return ray.data.read_parquet(f"{sf}/events.parquet")
+
+    def test_two_phase_resume_equals_one_shot(self, ray_session, tmp_path):
+        """Write half the partitions, simulate a crash (one uncommitted
+        partition left on disk), rerun — the result must equal a
+        one-shot write: committed partitions skipped, the torn one
+        rewritten, no double counting."""
+        import os
+        import shutil
+
+        import duckdb
+
+        from document_extractor_ray.pipelines.outputs import write_query_partitioned
+
+        one = str(tmp_path / "one")
+        write_query_partitioned(self._events(), one, "user_id", n_partitions=8)
+
+        two = str(tmp_path / "two")
+        write_query_partitioned(self._events(), two, "user_id", n_partitions=8)
+        # simulate crash: remove 3 markers, and tear one of those
+        # partitions' files (partial write)
+        markers = sorted(f for f in os.listdir(two) if f.startswith("_SUCCESS."))
+        torn = [int(m.split(".")[1]) for m in markers[:3]]
+        for pid in torn:
+            os.remove(os.path.join(two, f"_SUCCESS.{pid}"))
+        tear_dir = os.path.join(two, f"part_id={torn[0]}")
+        files = sorted(os.listdir(tear_dir))
+        os.remove(os.path.join(tear_dir, files[0]))
+
+        stats = write_query_partitioned(self._events(), two, "user_id", n_partitions=8)
+        assert stats["skipped"] == 5 and stats["written"] == 3
+
+        q = "SELECT count(*), sum(event_id), count(DISTINCT event_id) FROM read_parquet('{}/part_id=*/*.parquet')"
+        a = duckdb.sql(q.format(one)).fetchone()
+        b = duckdb.sql(q.format(two)).fetchone()
+        assert a == b
+
+    def test_skip_all_when_committed(self, ray_session, tmp_path):
+        from document_extractor_ray.pipelines.outputs import write_query_partitioned
+
+        out = str(tmp_path / "out")
+        write_query_partitioned(self._events(), out, "user_id", n_partitions=4)
+        stats = write_query_partitioned(self._events(), out, "user_id", n_partitions=4)
+        assert stats == {"written": 0, "skipped": 4}
