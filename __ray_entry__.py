@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": analytics.rfm_segments,
         "knn_recall_audit": similarity.knn_recall_audit,
         "lang_percentiles": textstats.lang_percentiles,
+        "conversion_latency": analytics.conversion_latency,
         "token_rarity": textstats.token_rarity,
         "postings_topdf": textstats.postings_topdf,
         "edit_distance_verify": dedup.edit_distance_verify_docs,
@@ -400,6 +401,7 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments": analytics.RFM_SEGMENTS_SQL,
         "knn_recall_audit": similarity.knn_recall_audit_sql(),
         "lang_percentiles": textstats.LANG_PERCENTILES_SQL,
+        "conversion_latency": analytics.CONVERSION_LATENCY_SQL,
         "nation_revenue_share": analytics.NATION_REVENUE_SHARE_SQL,
         "bootstrap_replicas": analytics.BOOTSTRAP_REPLICAS_SQL,
         "weighted_sample": analytics.WEIGHTED_SAMPLE_SQL,

@@ -264,6 +264,7 @@ def run_bench() -> dict:
         "rfm_segments",
         "knn_recall_audit",
         "lang_percentiles",
+        "conversion_latency",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

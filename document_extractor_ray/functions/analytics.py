@@ -6870,3 +6870,102 @@ ORDER BY user_id
 
 
 RFM_SEGMENTS_SQL = _rfm_sql()
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency: first 'view' -> first 'purchase' per user
+# ---------------------------------------------------------------------------
+
+def conversion_latency(sf_dir: str):
+    """Per-user conversion latency: whole seconds from the FIRST view
+    to the FIRST purchase, for users whose first purchase follows
+    their first view — the funnel-latency metric (funnel_counts'
+    ordered-pair cousin with a time payload).  Scale shape: one
+    bucketed (user, type) min-fold over a pre-filtered two-type scan
+    (the exchange carries at most 2 rows per user), then an in-row
+    pivot + filter per partition — no window sort of raw events."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t["event_type"], value_set=pa.array(["view", "purchase"], pa.string())
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    firsts = bucketed_agg(
+        ds.map_batches(slim, batch_format="pyarrow"),
+        ["user_id", "event_type"],
+        [("us", "min", "us")],
+    )
+
+    def pivot(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "view_us": pa.array([], pa.int64()),
+                "purchase_us": pa.array([], pa.int64()),
+                "latency_s": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        wide = df.pivot_table(
+            index="user_id", columns="event_type", values="us", aggfunc="min"
+        )
+        if "view" not in wide.columns or "purchase" not in wide.columns:
+            return empty
+        wide = wide.dropna(subset=["view", "purchase"])
+        wide = wide[wide["purchase"] > wide["view"]]
+        if not len(wide):
+            return empty
+        v = wide["view"].to_numpy().astype(np.int64)
+        p = wide["purchase"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(wide.index.to_numpy().astype(np.int64), pa.int64()),
+                "view_us": pa.array(v, pa.int64()),
+                "purchase_us": pa.array(p, pa.int64()),
+                "latency_s": pa.array((p - v) // 1_000_000, pa.int64()),
+            }
+        )
+
+    # firsts is already user-bucketed: both of a user's rows share the
+    # partition, so the pivot is correct per map_groups partition
+    def tag_user_part(t: pa.Table) -> pa.Table:
+        from document_extractor_ray.functions.bucketing import part_of_int64
+
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("part", part_of_int64(u, _n_blocks()))
+
+    return (
+        firsts.map_batches(tag_user_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda t: pivot(t.drop_columns(["part"])), batch_format="pyarrow")
+        .sort("user_id")
+    )
+
+
+CONVERSION_LATENCY_SQL = """
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN CAST(epoch_us(ts) AS BIGINT) END) AS view_us,
+         min(CASE WHEN event_type = 'purchase' THEN CAST(epoch_us(ts) AS BIGINT) END) AS purchase_us
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY user_id
+)
+SELECT user_id, view_us, purchase_us,
+       CAST((purchase_us - view_us) // 1000000 AS BIGINT) AS latency_s
+FROM f
+WHERE view_us IS NOT NULL AND purchase_us IS NOT NULL AND purchase_us > view_us
+ORDER BY user_id
+"""

@@ -154,6 +154,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "rfm_segments",
         "knn_recall_audit",
         "lang_percentiles",
+        "conversion_latency",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):

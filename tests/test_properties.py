@@ -460,3 +460,76 @@ def test_boundary_marker_sweep_matches_brute(events, orders):
             1 for eu, et in events if eu == u and lo_ts <= et <= lo_ts + span
         )
         assert got.get(i, 0) == want
+
+
+# ---------------------------------------------------------------------------
+# Streak run-length kernel vs brute force
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 40)),
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_streak_kernel_matches_brute(pairs):
+    """The vectorized reduceat streak kernel must agree with a per-user
+    Python brute force on arbitrary (user, day) multisets."""
+    import numpy as np
+    import pyarrow as pa
+
+    u = np.array([p[0] for p in pairs], dtype=np.int64)
+    d = np.array([p[1] for p in pairs], dtype=np.int64)
+    uniq = np.unique(np.stack([u, d], axis=1), axis=0)
+    uu, dd = uniq[:, 0], uniq[:, 1]
+
+    # kernel (mirrors analytics.user_streaks.streaks_part)
+    new = np.ones(len(uu), dtype=bool)
+    new[1:] = (uu[1:] != uu[:-1]) | (dd[1:] != dd[:-1] + 1)
+    starts = np.flatnonzero(new)
+    run_len = np.diff(np.append(starts, len(uu)))
+    run_user = uu[starts]
+    ub = np.ones(len(run_user), dtype=bool)
+    ub[1:] = run_user[1:] != run_user[:-1]
+    ustarts = np.flatnonzero(ub)
+    got = {
+        int(run_user[i]): (
+            int(np.add.reduceat(run_len, ustarts)[j]),
+            int(np.maximum.reduceat(run_len, ustarts)[j]),
+        )
+        for j, i in enumerate(ustarts)
+    }
+
+    # brute force
+    for user in set(u.tolist()):
+        days = sorted({int(x) for x in d[u == user]})
+        best = cur = 1
+        for a, b in zip(days, days[1:]):
+            cur = cur + 1 if b == a + 1 else 1
+            best = max(best, cur)
+        assert got[user] == (len(days), best)
+
+
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_kmv_bottomk_matches_sorted_distinct(vals):
+    """KMV's lexsort bottom-k must equal the k smallest DISTINCT
+    hashes, ranks 1..k, for any value multiset."""
+    import numpy as np
+
+    from document_extractor_ray.functions.analytics import _hll_hash
+
+    h = _hll_hash(np.asarray(vals, dtype=np.uint64))
+    k = 8
+    expect = sorted(set(h.tolist()))[:k]
+
+    # kernel shape from analytics.kmv_registers.bottomk (single type)
+    pairs = np.unique(
+        np.stack([np.zeros(len(h), np.int64), h.view(np.int64)], axis=1), axis=0
+    )
+    hcol = pairs[:, 1].view(np.uint64)
+    order = np.argsort(hcol, kind="mergesort")
+    got = hcol[order][:k]
+    assert got.tolist() == expect
