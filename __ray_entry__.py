@@ -118,6 +118,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_recall_audit": similarity.knn_recall_audit,
         "lang_percentiles": textstats.lang_percentiles,
         "conversion_latency": analytics.conversion_latency,
+        "events_cube": analytics.events_cube,
+        "user_twap": analytics.user_twap,
+        "embedding_dim_stats": similarity.embedding_dim_stats,
         "token_rarity": textstats.token_rarity,
         "postings_topdf": textstats.postings_topdf,
         "edit_distance_verify": dedup.edit_distance_verify_docs,
@@ -402,6 +405,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_recall_audit": similarity.knn_recall_audit_sql(),
         "lang_percentiles": textstats.LANG_PERCENTILES_SQL,
         "conversion_latency": analytics.CONVERSION_LATENCY_SQL,
+        "events_cube": analytics.EVENTS_CUBE_SQL,
+        "user_twap": analytics.USER_TWAP_SQL,
+        "embedding_dim_stats": similarity.EMBEDDING_DIM_STATS_SQL,
         "nation_revenue_share": analytics.NATION_REVENUE_SHARE_SQL,
         "bootstrap_replicas": analytics.BOOTSTRAP_REPLICAS_SQL,
         "weighted_sample": analytics.WEIGHTED_SAMPLE_SQL,

@@ -265,6 +265,9 @@ def run_bench() -> dict:
         "knn_recall_audit",
         "lang_percentiles",
         "conversion_latency",
+        "events_cube",
+        "user_twap",
+        "embedding_dim_stats",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -6969,3 +6969,200 @@ FROM f
 WHERE view_us IS NOT NULL AND purchase_us IS NOT NULL AND purchase_us > view_us
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets over a bounded domain
+# ---------------------------------------------------------------------------
+
+def events_cube(sf_dir: str):
+    """Counts and summed cents by CUBE(event_type, day-of-week) — all
+    four grouping sets, margins labeled with the rollup family's
+    sentinels ('ALL' / -1).  Day-of-week is pure integer arithmetic
+    ((epoch_day + 4) % 7, Monday=0) so both engines derive it
+    identically.  Scale shape: ONE bounded (type x 7) base fold per
+    batch, one tiny grouped Sum; all margins are vectorized re-sums of
+    the base table — the raw stream is scanned exactly once."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    day_us = np.int64(86_400_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(t["ts"], pa.int64()), day_us)
+        dow = pc.subtract(
+            pc.add(d, 4), pc.multiply(pc.divide(pc.add(d, 4), 7), 7)
+        )
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "dow": pc.cast(dow, pa.int64()),
+                    "cents": _to_cents(t["value"]),
+                }
+            ),
+            ["event_type", "dow"],
+        ).aggregate([([], "count_all"), ("cents", "sum")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "dow": g["dow"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+                "cents": g["cents_sum"],
+            }
+        )
+
+    base = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "dow"])
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        outs = [df[["event_type", "dow", "n", "cents"]]]
+        m1 = df.groupby("event_type", as_index=False)[["n", "cents"]].sum()
+        m1["dow"] = -1
+        outs.append(m1[["event_type", "dow", "n", "cents"]])
+        m2 = df.groupby("dow", as_index=False)[["n", "cents"]].sum()
+        m2["event_type"] = "ALL"
+        outs.append(m2[["event_type", "dow", "n", "cents"]])
+        m3 = pd.DataFrame(
+            {
+                "event_type": ["ALL"],
+                "dow": [-1],
+                "n": [df["n"].sum()],
+                "cents": [df["cents"].sum()],
+            }
+        )
+        outs.append(m3)
+        res = pd.concat(outs, ignore_index=True)
+        res["n"] = res["n"].astype("int64")
+        res["cents"] = res["cents"].astype("int64")
+        res["dow"] = res["dow"].astype("int64")
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("g", pa.array(np.zeros(t.num_rows, np.int32)))
+
+    return (
+        base.map_batches(tag, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(lambda t: expand(t.drop_columns(["g"])), batch_format="pyarrow")
+        .sort(["event_type", "dow"])
+    )
+
+
+EVENTS_CUBE_SQL = """
+WITH base AS (
+  SELECT event_type,
+         ((CAST(epoch_us(ts) AS BIGINT) // 86400000000 + 4) % 7) AS dow,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(dow AS BIGINT) AS dow, n, cents FROM base
+UNION ALL
+SELECT event_type, -1, CAST(sum(n) AS BIGINT), CAST(sum(cents) AS BIGINT)
+FROM base GROUP BY event_type
+UNION ALL
+SELECT 'ALL', CAST(dow AS BIGINT), CAST(sum(n) AS BIGINT), CAST(sum(cents) AS BIGINT)
+FROM base GROUP BY dow
+UNION ALL
+SELECT 'ALL', -1, CAST(sum(n) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM base
+ORDER BY event_type, dow
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted value integral per user (TWAP numerator/denominator)
+# ---------------------------------------------------------------------------
+
+def user_twap(sf_dir: str):
+    """Per-user time-weighted value integral: Σ cents_i * gap_s_i over
+    consecutive event pairs (the EARLIER event's value held until the
+    next event) plus total held seconds — TWAP = weighted / total is
+    the consumer's one division; both shipped terms are exact int64.
+    Scale shape: the interarrival machinery (one user-hash shuffle,
+    per-partition lexsort + neighbor diff), then a reduceat fold to one
+    row per user — no per-user Python."""
+    from document_extractor_ray.functions.bucketing import part_of_int64
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    n_parts = _n_blocks()
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "us": pc.cast(t["ts"], pa.int64()),
+                "cents": _to_cents(t["value"]),
+                "part": part_of_int64(u, n_parts),
+            }
+        )
+
+    def fold_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "weighted_cents_s": pa.array([], pa.int64()),
+                "total_s": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows < 2:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, u))
+        u, us, cents = u[order], us[order], cents[order]
+        same = u[1:] == u[:-1]
+        gap_s = (us[1:] - us[:-1]) // 1_000_000
+        w = cents[:-1] * gap_s
+        uu = u[:-1][same]
+        ww = w[same]
+        gg = gap_s[same]
+        if not len(uu):
+            return empty
+        ub = np.ones(len(uu), dtype=bool)
+        ub[1:] = uu[1:] != uu[:-1]
+        starts = np.flatnonzero(ub)
+        return pa.table(
+            {
+                "user_id": pa.array(uu[starts], pa.int64()),
+                "weighted_cents_s": pa.array(
+                    np.add.reduceat(ww, starts).astype(np.int64), pa.int64()
+                ),
+                "total_s": pa.array(
+                    np.add.reduceat(gg, starts).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda t: fold_part(t.drop_columns(["part"])), batch_format="pyarrow"
+        )
+        .sort("user_id")
+    )
+
+
+USER_TWAP_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         CAST(round(value * 100.0) AS BIGINT) AS cents,
+         (lead(CAST(epoch_us(ts) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id)
+          - CAST(epoch_us(ts) AS BIGINT)) // 1000000 AS gap_s
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(cents * gap_s) AS BIGINT) AS weighted_cents_s,
+       CAST(sum(gap_s) AS BIGINT) AS total_s
+FROM seq WHERE gap_s IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""

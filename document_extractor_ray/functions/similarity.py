@@ -1091,3 +1091,78 @@ LEFT JOIN ({knn_lsh_sql(k=k)}) l
 GROUP BY b.query_id
 ORDER BY b.query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Column-wise statistics over the embedding matrix (per-dim moments)
+# ---------------------------------------------------------------------------
+
+def embedding_dim_stats(sf_dir: str):
+    """Per-dimension count / sum / sum-of-squares over the quantized
+    embedding matrix (components half-up micro ints, the
+    label_centroids quantization) — the vector-column profile that
+    catches dead dims, scale drift and normalization bugs before
+    training.  mean = s/n and var = (ss - s²/n)/n are the consumer's
+    divisions; the shipped terms are exact integers.  Scale shape:
+    each batch folds its matrix to ONE (dim x 3) partial via matmul-
+    free column sums; the shuffle carries dim-bounded rows only.
+    int64 sumsq holds to ~9e6 unit vectors; past that, widen to per-
+    shard HUGEINT merges (documented ceiling)."""
+    from ray.data.aggregate import Sum
+
+    from document_extractor_ray.functions.analytics import _n_blocks
+    from document_extractor_ray.sources import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["embedding"],
+        override_num_blocks=_n_blocks(),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t["embedding"]).astype(np.float64)
+        if m.size == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_micro": pa.array([], pa.int64()),
+                    "sumsq_micro2": pa.array([], pa.int64()),
+                }
+            )
+        q = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(q.shape[1], dtype=np.int64), pa.int64()),
+                "n": pa.array(np.full(q.shape[1], len(q), np.int64), pa.int64()),
+                "sum_micro": pa.array(q.sum(axis=0), pa.int64()),
+                "sumsq_micro2": pa.array((q * q).sum(axis=0), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_micro", alias_name="sum_micro"),
+            Sum("sumsq_micro2", alias_name="sumsq_micro2"),
+        )
+        .sort("dim")
+    )
+
+
+EMBEDDING_DIM_STATS_SQL = """
+SELECT CAST(d AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(q) AS BIGINT) AS sum_micro,
+       CAST(sum(q * q) AS BIGINT) AS sumsq_micro2
+FROM (
+  SELECT r.d AS d,
+         CAST(floor(CAST(e.embedding[CAST(r.d AS INTEGER) + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+  FROM embeddings e, range(0, 256) r(d)
+  WHERE r.d < len(e.embedding)
+)
+GROUP BY d
+ORDER BY dim
+"""

@@ -155,6 +155,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "knn_recall_audit",
         "lang_percentiles",
         "conversion_latency",
+        "events_cube",
+        "user_twap",
+        "embedding_dim_stats",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
