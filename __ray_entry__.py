@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": analytics.events_cube,
         "user_twap": analytics.user_twap,
         "embedding_dim_stats": similarity.embedding_dim_stats,
+        "supplier_part_coverage": analytics.supplier_part_coverage,
         "token_rarity": textstats.token_rarity,
         "postings_topdf": textstats.postings_topdf,
         "edit_distance_verify": dedup.edit_distance_verify_docs,
@@ -191,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix": training.source_mix,
         "domain_cap": training.domain_cap,
         # --- never-sampled no-oracle queries (rows-only check) ---
+        "media_dup_groups": multimodal.media_dup_groups_table,
         "embedding_dup_clusters": dedup.embedding_dup_clusters_embeddings,
         "knn_ivf": similarity.knn_ivf_embeddings,
         "pack_sequences": training.pack_sequences_docs,
@@ -408,6 +410,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cube": analytics.EVENTS_CUBE_SQL,
         "user_twap": analytics.USER_TWAP_SQL,
         "embedding_dim_stats": similarity.EMBEDDING_DIM_STATS_SQL,
+        "supplier_part_coverage": analytics.SUPPLIER_PART_COVERAGE_SQL,
         "nation_revenue_share": analytics.NATION_REVENUE_SHARE_SQL,
         "bootstrap_replicas": analytics.BOOTSTRAP_REPLICAS_SQL,
         "weighted_sample": analytics.WEIGHTED_SAMPLE_SQL,

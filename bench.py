@@ -268,6 +268,8 @@ def run_bench() -> dict:
         "events_cube",
         "user_twap",
         "embedding_dim_stats",
+        "supplier_part_coverage",
+        "media_dup_groups",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -7166,3 +7166,78 @@ FROM seq WHERE gap_s IS NOT NULL
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Distinct-count per key at dimension cardinality (catalog coverage)
+# ---------------------------------------------------------------------------
+
+def supplier_part_coverage(sf_dir: str):
+    """Per supplier: distinct parts actually shipped, order-line count
+    and catalog-coverage permille — the assortment-breadth metric.
+    Scale shape: per-batch (supp, part) dedup slims the exchange, ONE
+    bucketed fold dedups globally, then a per-supplier rollup counts
+    distinct parts without ever re-touching lineitem; the catalog size
+    is one driver scalar from parquet metadata."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    n_parts_catalog = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    ds = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    def local(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"s": t["l_suppkey"], "p": t["l_partkey"]}), ["s", "p"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {"s": g["s"], "p": g["p"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    pairs = bucketed_agg(
+        ds.map_batches(local, batch_format="pyarrow"),
+        ["s", "p"],
+        [("n", "sum", "n_lines")],
+    )
+
+    def per_supp_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"s": t["s"], "n_lines": t["n_lines"]}), ["s"]
+        ).aggregate([([], "count_all"), ("n_lines", "sum")])
+        return pa.table(
+            {
+                "s_suppkey": g["s"],
+                "n_parts": pc.cast(g["count_all"], pa.int64()),
+                "n_lines": g["n_lines_sum"],
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "coverage_permille",
+            pc.cast(
+                pc.divide(pc.multiply(t["n_parts"], 1000), n_parts_catalog), pa.int64()
+            ),
+        )
+
+    return (
+        pairs.map_batches(per_supp_partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("n_parts", alias_name="n_parts"), Sum("n_lines", alias_name="n_lines"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("s_suppkey")
+    )
+
+
+SUPPLIER_PART_COVERAGE_SQL = """
+SELECT s AS s_suppkey,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(n) AS BIGINT) AS n_lines,
+       CAST(1000 * count(*) // (SELECT count(*) FROM part) AS BIGINT) AS coverage_permille
+FROM (
+  SELECT l_suppkey AS s, l_partkey AS p, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2
+)
+GROUP BY s
+ORDER BY s_suppkey
+"""

@@ -411,3 +411,72 @@ def frame_sample(sf_dir: str):
         batch_size=64,
         num_cpus=1,
     ).sort(["media_id", "frame_idx"])
+
+
+# ---------------------------------------------------------------------------
+# Exact media dedup by content hash (binary-payload dedup)
+# ---------------------------------------------------------------------------
+
+def media_dup_groups(ds: "ray.data.Dataset"):
+    """Exact duplicate detection over opaque binary payloads: content
+    hash = the shuffle layer's vectorized 64-bit FNV over the Arrow
+    binary buffers (zero per-row Python), grouped; emits one row per
+    duplicated (hash, kind) group with member count and the minimal
+    media_id as the keeper — the media twin of dedup_exact.  Scale
+    shape: hashing is per-batch buffer arithmetic, the exchange
+    carries (hash, kind, id) triples (never payloads), and the group
+    fold is a bucketed min/count aggregate."""
+    import pyarrow.compute as pc
+
+    from document_extractor_ray.functions.bucketing import _bytes_hash_u64, bucketed_agg
+
+    def slim(t: pa.Table) -> pa.Table:
+        h = _bytes_hash_u64(t["payload"].combine_chunks()).view(np.int64)
+        return pa.table(
+            {
+                "content_hash": pa.array(h, pa.int64()),
+                "kind": t["kind"],
+                "media_id": t["media_id"],
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    grouped = bucketed_agg(
+        ds.map_batches(slim, batch_format="pyarrow"),
+        ["content_hash", "kind"],
+        [("media_id", "min", "keeper_id"), ("one", "sum", "n_copies")],
+    )
+
+    def dups_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["n_copies"], 1)).select(
+            ["content_hash", "kind", "keeper_id", "n_copies"]
+        )
+
+    return grouped.map_batches(dups_only, batch_format="pyarrow").sort(
+        ["kind", "keeper_id"]
+    )
+
+
+def media_dup_groups_table(sf_dir: str):
+    """Query entry: the synthesized media table with PLANTED exact
+    duplicates (every payload at id % 7 == 0 repeats at id+1) so the
+    dedup has ground truth; rows-only driver check, golden-pinned in
+    pytest."""
+    import ray.data
+
+    t = make_media_table(60, seed=42)
+    payloads = t["payload"].to_pylist()
+    for i in range(0, len(payloads) - 1, 7):
+        payloads[i + 1] = payloads[i]
+    planted = pa.table(
+        {
+            "media_id": t["media_id"],
+            "kind": pa.array(
+                [t["kind"][i].as_py() if (i % 7) != 1 else t["kind"][i - 1].as_py()
+                 for i in range(len(payloads))],
+                pa.string(),
+            ),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    return media_dup_groups(ray.data.from_arrow(planted))

@@ -158,6 +158,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "events_cube",
         "user_twap",
         "embedding_dim_stats",
+        "supplier_part_coverage",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):

@@ -191,3 +191,26 @@ class TestGenericResumableSink:
         write_query_partitioned(self._events(), out, "user_id", n_partitions=4)
         stats = write_query_partitioned(self._events(), out, "user_id", n_partitions=4)
         assert stats == {"written": 0, "skipped": 4}
+
+
+class TestMediaDedup:
+    def test_planted_duplicates_found_exactly(self, ray_session):
+        from document_extractor_ray.functions.multimodal import media_dup_groups_table
+
+        out = media_dup_groups_table("/root/testdata/sf0.001").to_pandas()
+        # plant: payload at id+1 copies id for id in 0,7,...,56 -> 9 pairs
+        assert len(out) == 9
+        assert set(out["keeper_id"]) == set(range(0, 57, 7))
+        assert (out["n_copies"] == 2).all()
+
+    def test_no_false_positives_on_clean_table(self, ray_session):
+        import ray.data
+
+        from document_extractor_ray.functions.multimodal import (
+            make_media_table,
+            media_dup_groups,
+        )
+
+        t = make_media_table(40, seed=7)
+        out = media_dup_groups(ray.data.from_arrow(t)).to_pandas()
+        assert len(out) == 0
