@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_twap": analytics.user_twap,
         "embedding_dim_stats": similarity.embedding_dim_stats,
         "supplier_part_coverage": analytics.supplier_part_coverage,
+        "length_blocking_audit": textstats.length_blocking_audit,
+        "user_type_gini": analytics.user_type_gini,
         "token_rarity": textstats.token_rarity,
         "postings_topdf": textstats.postings_topdf,
         "edit_distance_verify": dedup.edit_distance_verify_docs,
@@ -411,6 +413,8 @@ def oracle_sql() -> dict[str, str]:
         "user_twap": analytics.USER_TWAP_SQL,
         "embedding_dim_stats": similarity.EMBEDDING_DIM_STATS_SQL,
         "supplier_part_coverage": analytics.SUPPLIER_PART_COVERAGE_SQL,
+        "length_blocking_audit": textstats.LENGTH_BLOCKING_AUDIT_SQL,
+        "user_type_gini": analytics.USER_TYPE_GINI_SQL,
         "nation_revenue_share": analytics.NATION_REVENUE_SHARE_SQL,
         "bootstrap_replicas": analytics.BOOTSTRAP_REPLICAS_SQL,
         "weighted_sample": analytics.WEIGHTED_SAMPLE_SQL,

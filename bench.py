@@ -270,6 +270,8 @@ def run_bench() -> dict:
         "embedding_dim_stats",
         "supplier_part_coverage",
         "media_dup_groups",
+        "length_blocking_audit",
+        "user_type_gini",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

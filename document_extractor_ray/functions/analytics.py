@@ -7241,3 +7241,117 @@ FROM (
 GROUP BY s
 ORDER BY s_suppkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Behavioral concentration: Gini of event-type mix per user
+# ---------------------------------------------------------------------------
+
+EVENT_TAXONOMY = ("click", "error", "purchase", "signup", "view")
+
+
+def user_type_gini(sf_dir: str):
+    """Per-user Gini concentration of the event-type mix over the full
+    5-type taxonomy (zeros count): permille of
+    ΣΣ|c_i - c_j| / (2 · T² · mean) — integer-exact as
+    1000 · T · Σij|ci-cj| // (2 · T² · total) with T=5 — flagging
+    single-behavior users (gini→800 = all one type) vs uniform ones
+    (0).  Scale shape: per-batch (user, type) counts, one bucketed
+    fold, per-partition pivot to a (users x 5) matrix and a vectorized
+    25-pair abs-diff — taxonomy is a bounded constant, so the pair
+    work is O(users · T²) flat."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg, part_of_int64
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    T = len(EVENT_TAXONOMY)
+
+    def local(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"user_id": t["user_id"], "event_type": t["event_type"]}),
+            ["user_id", "event_type"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "event_type": g["event_type"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    counts = bucketed_agg(
+        ds.map_batches(local, batch_format="pyarrow"),
+        ["user_id", "event_type"],
+        [("n", "sum", "n")],
+    )
+
+    def gini_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "gini_permille": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        wide = df.pivot_table(
+            index="user_id", columns="event_type", values="n", aggfunc="sum", fill_value=0
+        )
+        for et in EVENT_TAXONOMY:
+            if et not in wide.columns:
+                wide[et] = 0
+        m = wide[list(EVENT_TAXONOMY)].to_numpy().astype(np.int64)
+        total = m.sum(axis=1)
+        num = np.abs(m[:, :, None] - m[:, None, :]).sum(axis=(1, 2))
+        gini = 1000 * T * num // (2 * T * T * np.maximum(total, 1))
+        return pa.table(
+            {
+                "user_id": pa.array(wide.index.to_numpy().astype(np.int64), pa.int64()),
+                "n_events": pa.array(total, pa.int64()),
+                "gini_permille": pa.array(gini.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def tag_user(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("part", part_of_int64(u, _n_blocks()))
+
+    return (
+        counts.map_batches(tag_user, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda t: gini_part(t.drop_columns(["part"])), batch_format="pyarrow"
+        )
+        .sort("user_id")
+    )
+
+
+def _user_type_gini_sql() -> str:
+    T = len(EVENT_TAXONOMY)
+    cols = {et: f"c{i}" for i, et in enumerate(EVENT_TAXONOMY)}
+    pivots = ",\n         ".join(
+        f"CAST(count(*) FILTER (event_type = '{et}') AS BIGINT) AS {c}"
+        for et, c in cols.items()
+    )
+    names = list(cols.values())
+    absdiffs = " + ".join(
+        f"abs({a} - {b})" for a in names for b in names
+    )
+    total = " + ".join(names)
+    return f"""
+WITH w AS (
+  SELECT user_id,
+         {pivots}
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST({total} AS BIGINT) AS n_events,
+       CAST(1000 * {T} * ({absdiffs})
+            // (2 * {T * T} * greatest({total}, 1)) AS BIGINT) AS gini_permille
+FROM w
+ORDER BY user_id
+"""
+
+
+USER_TYPE_GINI_SQL = _user_type_gini_sql()

@@ -3618,3 +3618,102 @@ FROM (
 )
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Record-linkage blocking audit: near-length candidate-pair counts
+# ---------------------------------------------------------------------------
+
+LEN_BLOCK_DELTA = 2
+
+
+def length_blocking_audit(sf_dir: str, delta: int = LEN_BLOCK_DELTA):
+    """How many candidate pairs would a |len_a - len_b| <= delta
+    blocking key generate per language — the cost audit run BEFORE a
+    fuzzy-matching join to check the blocking key is selective enough.
+    The count needs no pair enumeration at all: it is a histogram
+    convolution — pairs = Σ_i c_i*(c_i-1)/2 + Σ_{0<k_j-k_i<=delta}
+    c_i*c_j over the (lang, n_chars) count table, computed with prefix
+    sums + searchsorted per lang.  Scale shape: the only distributed
+    work is the bounded-domain histogram fold; nothing pair-shaped
+    ever exists anywhere."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["lang", "n_chars"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"lang": t["lang"], "k": t["n_chars"]}), ["lang", "k"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {"lang": g["lang"], "k": g["k"], "c": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["lang", "k"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_pairs": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas().sort_values(["lang", "k"])
+        out_l, out_d, out_p = [], [], []
+        for lang, g in df.groupby("lang", sort=True):
+            k = g["k"].to_numpy().astype(np.int64)
+            c = g["c"].to_numpy().astype(np.int64)
+            within = int((c * (c - 1) // 2).sum())
+            pref = np.concatenate(([0], c.cumsum()))
+            hi = np.searchsorted(k, k + delta, side="right")
+            lo = np.arange(1, len(k) + 1)  # strictly greater bins
+            cross = int((c * (pref[hi] - pref[lo - 1] - c)).sum())
+            # cross counts each (i < j within delta) product once:
+            # pref[hi] - pref[i+1 - 1] - c_i = sum of c_j for j>i, k_j-k_i<=delta
+            out_l.append(lang)
+            out_d.append(int(c.sum()))
+            out_p.append(within + cross)
+        return pa.table(
+            {
+                "lang": pa.array(out_l, pa.string()),
+                "n_docs": pa.array(out_d, pa.int64()),
+                "n_pairs": pa.array(out_p, pa.int64()),
+            }
+        )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("g", pa.array(np.zeros(t.num_rows, np.int32)))
+
+    return (
+        hist.map_batches(tag, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(lambda t: fold(t.drop_columns(["g"])), batch_format="pyarrow")
+        .sort("lang")
+    )
+
+
+LENGTH_BLOCKING_AUDIT_SQL = f"""
+WITH h AS (
+  SELECT lang, n_chars AS k, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(sum(d) AS BIGINT) AS n_docs,
+       CAST(sum(p) AS BIGINT) AS n_pairs
+FROM (
+  SELECT a.lang, 0 AS d, a.c * b.c AS p
+  FROM h a JOIN h b ON a.lang = b.lang
+                   AND b.k > a.k AND b.k - a.k <= {LEN_BLOCK_DELTA}
+  UNION ALL
+  SELECT lang, c AS d, c * (c - 1) // 2 AS p FROM h
+)
+GROUP BY lang
+ORDER BY lang
+"""

@@ -159,6 +159,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "user_twap",
         "embedding_dim_stats",
         "supplier_part_coverage",
+        "length_blocking_audit",
+        "user_type_gini",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
