@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_coverage": analytics.supplier_part_coverage,
         "length_blocking_audit": textstats.length_blocking_audit,
         "user_type_gini": analytics.user_type_gini,
+        "events_resample_5min": analytics.events_resample_5min,
         "token_rarity": textstats.token_rarity,
         "postings_topdf": textstats.postings_topdf,
         "edit_distance_verify": dedup.edit_distance_verify_docs,
@@ -415,6 +416,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_part_coverage": analytics.SUPPLIER_PART_COVERAGE_SQL,
         "length_blocking_audit": textstats.LENGTH_BLOCKING_AUDIT_SQL,
         "user_type_gini": analytics.USER_TYPE_GINI_SQL,
+        "events_resample_5min": analytics.EVENTS_RESAMPLE_5MIN_SQL,
         "nation_revenue_share": analytics.NATION_REVENUE_SHARE_SQL,
         "bootstrap_replicas": analytics.BOOTSTRAP_REPLICAS_SQL,
         "weighted_sample": analytics.WEIGHTED_SAMPLE_SQL,

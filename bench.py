@@ -272,6 +272,7 @@ def run_bench() -> dict:
         "media_dup_groups",
         "length_blocking_audit",
         "user_type_gini",
+        "events_resample_5min",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -7355,3 +7355,96 @@ ORDER BY user_id
 
 
 USER_TYPE_GINI_SQL = _user_type_gini_sql()
+
+
+# ---------------------------------------------------------------------------
+# Time-series resampling with gap fill (regular 5-minute grid)
+# ---------------------------------------------------------------------------
+
+RESAMPLE_BIN_US = 300 * 1_000_000  # 5 minutes
+
+
+def events_resample_5min(sf_dir: str):
+    """Regular 5-minute time grid per event type with ZERO-FILLED gaps
+    — the resampling step every downstream forecaster/monitor expects
+    (missing bin == 0, not absent).  Scale shape: the (type, bin)
+    rollup is bounded by taxonomy x time range (never event count),
+    folded per batch before the grouped Sum; the dense grid is
+    reindexed vectorized in one bounded fold — the raw stream never
+    materializes a grid row."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    bin_us = np.int64(RESAMPLE_BIN_US)
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = pc.divide(pc.cast(t["ts"], pa.int64()), bin_us)
+        g = pa.TableGroupBy(
+            pa.table({"event_type": t["event_type"], "bin": pc.cast(b, pa.int64())}),
+            ["event_type", "bin"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "bin": g["bin"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    sparse = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def densify(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "bin": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        lo, hi = int(df["bin"].min()), int(df["bin"].max())
+        grid = np.arange(lo, hi + 1, dtype=np.int64)
+        types = sorted(df["event_type"].unique())
+        out = []
+        for et in types:
+            g = df[df["event_type"] == et]
+            dense = np.zeros(len(grid), dtype=np.int64)
+            dense[g["bin"].to_numpy().astype(np.int64) - lo] = g["n"].to_numpy()
+            out.append(
+                pd.DataFrame({"event_type": et, "bin": grid, "n": dense})
+            )
+        return pa.Table.from_pandas(pd.concat(out, ignore_index=True), preserve_index=False)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("g", pa.array(np.zeros(t.num_rows, np.int32)))
+
+    return (
+        sparse.map_batches(tag, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(lambda t: densify(t.drop_columns(["g"])), batch_format="pyarrow")
+        .sort(["event_type", "bin"])
+    )
+
+
+EVENTS_RESAMPLE_5MIN_SQL = f"""
+WITH sparse AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // {RESAMPLE_BIN_US} AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bin) AS lo, max(bin) AS hi FROM sparse),
+grid AS (
+  SELECT t.event_type, g.b AS bin
+  FROM (SELECT DISTINCT event_type FROM sparse) t,
+       bounds, LATERAL (SELECT unnest(range(bounds.lo, bounds.hi + 1)) AS b) g
+)
+SELECT grid.event_type, CAST(grid.bin AS BIGINT) AS bin,
+       CAST(coalesce(sparse.n, 0) AS BIGINT) AS n
+FROM grid LEFT JOIN sparse USING (event_type, bin)
+ORDER BY event_type, bin
+"""

@@ -200,11 +200,53 @@ def read_pages_ipc(path):
     return ds.map_batches(decode, batch_format="pyarrow")
 
 
+
+def read_partitioned(out_dir: str) -> "ray.data.Dataset":
+    """Read back a ``write_query_partitioned`` layout, honoring the
+    commit markers: only partitions with a `_SUCCESS.<part>` marker
+    are read (a torn partition from a crashed writer is invisible),
+    and per-marker row counts are verified against parquet metadata so
+    silent truncation cannot pass.  Each committed partition reads as
+    its own fragment set — the resume contract end to end."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    files = []
+    expect = 0
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith("_SUCCESS."):
+            continue
+        with open(os.path.join(out_dir, name)) as fh:
+            meta = json.load(fh)
+        expect += int(meta["rows"])
+        pdir = os.path.join(out_dir, f"part_id={meta['part_id']}")
+        got = 0
+        if os.path.isdir(pdir):
+            for f in sorted(os.listdir(pdir)):
+                if f.endswith(".parquet"):
+                    p = os.path.join(pdir, f)
+                    got += pq.read_metadata(p).num_rows
+                    files.append(p)
+        if got != int(meta["rows"]):
+            raise IOError(
+                f"partition {meta['part_id']} is torn: marker says "
+                f"{meta['rows']} rows, files hold {got}"
+            )
+    if not files:
+        raise FileNotFoundError(f"no committed partitions under {out_dir}")
+    return ray.data.read_parquet(files)
+
+
 __all__ = [
     "read_pages",
     "read_pages_ipc",
     "read_pages_csv",
     "read_pages_jsonl",
     "read_parquet_clean",
+    "read_partitioned",
     "PAGE_COLUMNS",
 ]

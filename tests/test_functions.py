@@ -161,6 +161,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "supplier_part_coverage",
         "length_blocking_audit",
         "user_type_gini",
+        "events_resample_5min",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):

@@ -214,3 +214,30 @@ class TestMediaDedup:
         t = make_media_table(40, seed=7)
         out = media_dup_groups(ray.data.from_arrow(t)).to_pandas()
         assert len(out) == 0
+
+def test_roundtrip_read_partitioned(ray_session, tmp_path):
+    """Sink -> source roundtrip: read_partitioned returns exactly
+    the written rows and refuses a torn (marker-mismatched)
+    partition."""
+    import json
+    import os
+
+    import pytest
+    import ray.data
+
+    from document_extractor_ray.pipelines.outputs import write_query_partitioned
+    from document_extractor_ray.sources import read_partitioned
+
+    events = lambda: ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "rt")
+    write_query_partitioned(events(), out, "user_id", n_partitions=4)
+    back = read_partitioned(out)
+    assert back.count() == events().count()
+
+    # corrupt a marker's row count -> read must fail loudly
+    m = sorted(f for f in os.listdir(out) if f.startswith("_SUCCESS."))[0]
+    meta = json.load(open(os.path.join(out, m)))
+    meta["rows"] += 1
+    json.dump(meta, open(os.path.join(out, m), "w"))
+    with pytest.raises(IOError):
+        read_partitioned(out)
