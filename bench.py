@@ -273,6 +273,7 @@ def run_bench() -> dict:
         "length_blocking_audit",
         "user_type_gini",
         "events_resample_5min",
+        "value_autocorr_moments",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

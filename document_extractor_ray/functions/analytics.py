@@ -7448,3 +7448,129 @@ SELECT grid.event_type, CAST(grid.bin AS BIGINT) AS bin,
 FROM grid LEFT JOIN sparse USING (event_type, bin)
 ORDER BY event_type, bin
 """
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation moments per event type (ordered pair sums)
+# ---------------------------------------------------------------------------
+
+def value_autocorr_moments(sf_dir: str):
+    """Sufficient statistics for the lag-1 autocorrelation of event
+    value within each type: over consecutive (by ts, event_id) event
+    pairs of a type — n_pairs, Σx, Σy, Σx², Σy², Σxy, all exact int64
+    cents — the moment-sketch discipline (events_corr_stats) applied
+    to an ORDER-DEPENDENT statistic.  The float autocorr is one
+    driver formula; integers are all that cross the wire.  Scale
+    shape: one type-hash shuffle co-locates each type so "consecutive"
+    is global; honest ceiling: a whole type per partition caps
+    parallelism at |taxonomy| and a 10^12-row type overfills one
+    partition — the production plan range-partitions (type, time) and
+    stitches the ONE boundary pair per range, same moments."""
+    from document_extractor_ray.functions.bucketing import key_part_column
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "ts", "value"])
+    n_parts = _n_blocks()
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "event_type": t["event_type"],
+                "event_id": t["event_id"],
+                "us": pc.cast(t["ts"], pa.int64()),
+                "cents": _to_cents(t["value"]),
+            }
+        )
+        return out.append_column(
+            "part", key_part_column(out, ["event_type"], n_parts)
+        )
+
+    def moments_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_pairs": pa.array([], pa.int64()),
+                "sx": pa.array([], pa.int64()),
+                "sy": pa.array([], pa.int64()),
+                "sxx": pa.array([], pa.int64()),
+                "syy": pa.array([], pa.int64()),
+                "sxy": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows < 2:
+            return empty
+        td = pc.dictionary_encode(t["event_type"].combine_chunks())
+        codes = td.indices.to_numpy(zero_copy_only=False)
+        vocab = td.dictionary.to_pylist()
+        us = t["us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, codes))
+        codes, cents = codes[order], cents[order]
+        same = codes[1:] == codes[:-1]
+        x = cents[:-1][same]
+        y = cents[1:][same]
+        cc = codes[:-1][same]
+        if not len(cc):
+            return empty
+        rows = {"event_type": [], "n_pairs": [], "sx": [], "sy": [], "sxx": [], "syy": [], "sxy": []}
+        for code in np.unique(cc):
+            m = cc == code
+            xs, ys = x[m], y[m]
+            rows["event_type"].append(vocab[code])
+            rows["n_pairs"].append(int(m.sum()))
+            rows["sx"].append(int(xs.sum()))
+            rows["sy"].append(int(ys.sum()))
+            rows["sxx"].append(int((xs * xs).sum()))
+            rows["syy"].append(int((ys * ys).sum()))
+            rows["sxy"].append(int((xs * ys).sum()))
+        return pa.table(
+            {
+                "event_type": pa.array(rows["event_type"], pa.string()),
+                "n_pairs": pa.array(rows["n_pairs"], pa.int64()),
+                "sx": pa.array(rows["sx"], pa.int64()),
+                "sy": pa.array(rows["sy"], pa.int64()),
+                "sxx": pa.array(rows["sxx"], pa.int64()),
+                "syy": pa.array(rows["syy"], pa.int64()),
+                "sxy": pa.array(rows["sxy"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda t: moments_part(t.drop_columns(["part"])), batch_format="pyarrow"
+        )
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_pairs", alias_name="n_pairs"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+        .sort("event_type")
+    )
+
+
+VALUE_AUTOCORR_MOMENTS_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         CAST(round(value * 100.0) AS BIGINT) AS x,
+         lead(CAST(round(value * 100.0) AS BIGINT))
+           OVER (PARTITION BY event_type
+                 ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) AS y
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(x) AS BIGINT) AS sx,
+       CAST(sum(y) AS BIGINT) AS sy,
+       CAST(sum(x * x) AS BIGINT) AS sxx,
+       CAST(sum(y * y) AS BIGINT) AS syy,
+       CAST(sum(x * y) AS BIGINT) AS sxy
+FROM seq WHERE y IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""

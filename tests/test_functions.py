@@ -162,6 +162,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "length_blocking_audit",
         "user_type_gini",
         "events_resample_5min",
+        "value_autocorr_moments",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
