@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_gini": analytics.user_type_gini,
         "events_resample_5min": analytics.events_resample_5min,
         "value_autocorr_moments": analytics.value_autocorr_moments,
+        "lang_vocab_overlap": textstats.lang_vocab_overlap,
         "token_rarity": textstats.token_rarity,
         "postings_topdf": textstats.postings_topdf,
         "edit_distance_verify": dedup.edit_distance_verify_docs,
@@ -419,6 +420,7 @@ def oracle_sql() -> dict[str, str]:
         "user_type_gini": analytics.USER_TYPE_GINI_SQL,
         "events_resample_5min": analytics.EVENTS_RESAMPLE_5MIN_SQL,
         "value_autocorr_moments": analytics.VALUE_AUTOCORR_MOMENTS_SQL,
+        "lang_vocab_overlap": textstats.LANG_VOCAB_OVERLAP_SQL,
         "nation_revenue_share": analytics.NATION_REVENUE_SHARE_SQL,
         "bootstrap_replicas": analytics.BOOTSTRAP_REPLICAS_SQL,
         "weighted_sample": analytics.WEIGHTED_SAMPLE_SQL,

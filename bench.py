@@ -274,6 +274,7 @@ def run_bench() -> dict:
         "user_type_gini",
         "events_resample_5min",
         "value_autocorr_moments",
+        "lang_vocab_overlap",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

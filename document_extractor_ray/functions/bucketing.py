@@ -314,3 +314,71 @@ def bucketed_agg(
         .groupby("part")
         .map_groups(resolve, batch_format="pyarrow")
     )
+
+
+def bitmask_pair_counts(
+    exploded: "ray.data.Dataset",
+    key_cols,
+    code_col: str,
+    n_codes: int,
+):
+    """Pairwise intersection counts over a BOUNDED member catalog
+    (sources, languages, shards — anything <= 63): distinct
+    (key, code) rows collapse per key to ONE int64 OR-mask (disjoint
+    bits sum exactly), only the mask HISTOGRAM leaves the shuffle
+    (bounded by observed combinations, never key count), and the
+    driver expands pair + per-code counts with a vectorized popcount
+    pass.  Returns (pair_counts, code_counts) numpy dicts:
+    {(i, j): n_shared} for i < j and {i: n_distinct}.  This is the
+    anti-self-join: nothing pair-shaped ever shuffles."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    if n_codes > 63:
+        raise ValueError(f"bitmask fold packs codes into int64; got {n_codes}")
+    key_cols = list(key_cols)
+
+    def to_bit(t: pa.Table) -> pa.Table:
+        codes = t[code_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {c: t[c] for c in key_cols}
+        cols["bit"] = pa.array(np.int64(1) << codes, pa.int64())
+        return pa.table(cols)
+
+    distinct = bucketed_agg(
+        exploded.map_batches(to_bit, batch_format="pyarrow"),
+        key_cols + ["bit"],
+        [(None, "count", "n")],
+    )
+
+    masks = bucketed_agg(
+        distinct.map_batches(
+            lambda t: pa.table({**{c: t[c] for c in key_cols}, "mask": t["bit"]}),
+            batch_format="pyarrow",
+        ),
+        key_cols,
+        [("mask", "sum", "mask")],
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(pa.table({"mask": t["mask"]}), ["mask"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"mask": g["mask"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    hist = bucketed_agg(
+        masks.map_batches(hist_partial, batch_format="pyarrow"),
+        ["mask"],
+        [("n", "sum", "n")],
+    ).take_all()
+
+    m = np.array([r["mask"] for r in hist], dtype=np.int64)
+    c = np.array([r["n"] for r in hist], dtype=np.int64)
+    pair_counts, code_counts = {}, {}
+    for i in range(n_codes):
+        has_i = ((m >> np.int64(i)) & np.int64(1)).astype(bool)
+        code_counts[i] = int(c[has_i].sum())
+        for j in range(i + 1, n_codes):
+            both = has_i & (((m >> np.int64(j)) & np.int64(1)).astype(bool))
+            pair_counts[(i, j)] = int(c[both].sum())
+    return pair_counts, code_counts

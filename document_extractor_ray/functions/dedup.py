@@ -1952,69 +1952,38 @@ def source_overlap_matrix(ds: "ray.data.Dataset", k: int = 3):
 
     def explode(t: pa.Table) -> pa.Table:
         srcs = t["source"].to_pylist()
-        xs, bits = [], []
+        xs, cs = [], []
         for txt, src in zip(t["text"].to_pylist(), srcs):
-            s = shingles(txt, k)
-            if s:
-                xs.append(np.fromiter(s, dtype=np.uint64, count=len(s)))
-                bits.append(
-                    np.full(len(s), np.int64(1) << np.int64(code_of[src]), np.int64)
-                )
+            sh = shingles(txt, k)
+            if sh:
+                xs.append(np.fromiter(sh, dtype=np.uint64, count=len(sh)))
+                cs.append(np.full(len(sh), code_of[src], np.int64))
         if not xs:
             return pa.table(
-                {"x": pa.array([], pa.int64()), "bit": pa.array([], pa.int64())}
+                {"x": pa.array([], pa.int64()), "code": pa.array([], pa.int64())}
             )
         x = np.concatenate(xs).view(np.int64)
-        b = np.concatenate(bits)
-        # local distinct (hash, bit) so the exchange ships unique rows
-        pairs = np.unique(np.stack([x, b], axis=1), axis=0)
+        c = np.concatenate(cs)
+        # local distinct (hash, code) so the exchange ships unique rows
+        pairs = np.unique(np.stack([x, c], axis=1), axis=0)
         return pa.table(
             {
                 "x": pa.array(pairs[:, 0], pa.int64()),
-                "bit": pa.array(pairs[:, 1], pa.int64()),
+                "code": pa.array(pairs[:, 1], pa.int64()),
             }
         )
 
-    distinct = bucketed_agg(
-        ds.map_batches(explode, batch_format="pyarrow"),
-        ["x", "bit"],
-        [(None, "count", "n")],
+    from document_extractor_ray.functions.bucketing import bitmask_pair_counts
+
+    pair_counts, _ = bitmask_pair_counts(
+        ds.map_batches(explode, batch_format="pyarrow"), ["x"], "code", len(sources)
     )
-
-    def mask_partial(t: pa.Table) -> pa.Table:
-        return pa.table({"x": t["x"], "mask": t["bit"]})
-
-    masks = bucketed_agg(
-        distinct.map_batches(mask_partial, batch_format="pyarrow"),
-        ["x"],
-        [("mask", "sum", "mask")],  # disjoint bits: sum == OR
-    )
-
-    def hist_partial(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(pa.table({"mask": t["mask"]}), ["mask"]).aggregate(
-            [([], "count_all")]
-        )
-        return pa.table(
-            {"mask": g["mask"], "n": pc.cast(g["count_all"], pa.int64())}
-        )
-
-    hist = bucketed_agg(
-        masks.map_batches(hist_partial, batch_format="pyarrow"),
-        ["mask"],
-        [("n", "sum", "n")],
-    ).take_all()
-
-    m = np.array([r["mask"] for r in hist], dtype=np.int64)
-    c = np.array([r["n"] for r in hist], dtype=np.int64)
     out_a, out_b, out_n = [], [], []
-    for i in range(len(sources)):
-        for j in range(i + 1, len(sources)):
-            both = ((m >> np.int64(i)) & (m >> np.int64(j)) & np.int64(1)).astype(bool)
-            n_shared = int(c[both].sum())
-            if n_shared:
-                out_a.append(sources[i])
-                out_b.append(sources[j])
-                out_n.append(n_shared)
+    for (i, j), n_shared in sorted(pair_counts.items()):
+        if n_shared:
+            out_a.append(sources[i])
+            out_b.append(sources[j])
+            out_n.append(n_shared)
     return pa.table(
         {
             "source_a": pa.array(out_a, pa.string()),

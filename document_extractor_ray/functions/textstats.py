@@ -3717,3 +3717,87 @@ FROM (
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-language vocabulary overlap (Jaccard per lang pair)
+# ---------------------------------------------------------------------------
+
+def lang_vocab_overlap(sf_dir: str):
+    """Vocabulary Jaccard between every language pair — the loanword /
+    contamination signal a multilingual curator reads before mixing
+    language buckets.  Scale shape: the bounded-catalog bitmask fold
+    (`bucketing.bitmask_pair_counts`): distinct (token, lang-bit) rows
+    collapse per token to one int64 mask, only the mask histogram
+    leaves the shuffle, the driver expands 10 pair + 5 per-lang counts
+    with a popcount pass — no vocab self-join, nothing pair-shaped
+    shuffles.  jaccard_permille = 1000·shared // (va + vb − shared),
+    floor on both engines."""
+    from document_extractor_ray.functions.bucketing import bitmask_pair_counts
+
+    ds = _read_docs(sf_dir, ["lang", "text"])
+
+    # the lang catalog is a bounded constant: Ray's unique() is fine
+    # at 5 keys (the key-per-row trap does not apply)
+    langs = sorted(ds.select_columns(["lang"]).unique("lang"))
+    code_of = {s: i for i, s in enumerate(langs)}
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        lang = t["lang"].take(parent)
+        tab = pa.table({"token": flat, "lang": lang}).filter(pc.not_equal(flat, ""))
+        # local distinct before the exchange
+        g = pa.TableGroupBy(tab, ["token", "lang"]).aggregate([])
+        codes = pa.array(
+            [code_of[v] for v in g["lang"].to_pylist()], pa.int64()
+        )
+        return pa.table({"token": g["token"], "code": codes})
+
+    pairs, counts = bitmask_pair_counts(
+        ds.map_batches(explode, batch_format="pyarrow"), ["token"], "code", len(langs)
+    )
+    out_a, out_b, out_s, out_na, out_nb, out_j = [], [], [], [], [], []
+    for (i, j), shared in sorted(pairs.items()):
+        union = counts[i] + counts[j] - shared
+        out_a.append(langs[i])
+        out_b.append(langs[j])
+        out_s.append(shared)
+        out_na.append(counts[i])
+        out_nb.append(counts[j])
+        out_j.append(1000 * shared // max(union, 1))
+    return pa.table(
+        {
+            "lang_a": pa.array(out_a, pa.string()),
+            "lang_b": pa.array(out_b, pa.string()),
+            "n_shared": pa.array(out_s, pa.int64()),
+            "n_a": pa.array(out_na, pa.int64()),
+            "n_b": pa.array(out_nb, pa.int64()),
+            "jaccard_permille": pa.array(out_j, pa.int64()),
+        }
+    )
+
+
+LANG_VOCAB_OVERLAP_SQL = f"""
+WITH v AS (
+  SELECT DISTINCT lang, token FROM (
+    SELECT lang,
+           unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+    FROM documents
+  ) WHERE token <> ''
+),
+sizes AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY lang),
+shared AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM v a JOIN v b ON a.token = b.token AND a.lang < b.lang
+  GROUP BY 1, 2
+)
+SELECT s.lang_a, s.lang_b, s.n_shared, sa.n AS n_a, sb.n AS n_b,
+       CAST(1000 * s.n_shared // greatest(sa.n + sb.n - s.n_shared, 1) AS BIGINT)
+         AS jaccard_permille
+FROM shared s
+JOIN sizes sa ON sa.lang = s.lang_a
+JOIN sizes sb ON sb.lang = s.lang_b
+ORDER BY lang_a, lang_b
+"""

@@ -163,6 +163,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "user_type_gini",
         "events_resample_5min",
         "value_autocorr_moments",
+        "lang_vocab_overlap",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
