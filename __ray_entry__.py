@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_resample_5min": analytics.events_resample_5min,
         "value_autocorr_moments": analytics.value_autocorr_moments,
         "lang_vocab_overlap": textstats.lang_vocab_overlap,
+        "langid_agreement_by_source": textstats.langid_agreement_by_source,
+        "retention_cohort_matrix": analytics.retention_cohort_matrix,
         "token_rarity": textstats.token_rarity,
         "postings_topdf": textstats.postings_topdf,
         "edit_distance_verify": dedup.edit_distance_verify_docs,
@@ -421,6 +423,8 @@ def oracle_sql() -> dict[str, str]:
         "events_resample_5min": analytics.EVENTS_RESAMPLE_5MIN_SQL,
         "value_autocorr_moments": analytics.VALUE_AUTOCORR_MOMENTS_SQL,
         "lang_vocab_overlap": textstats.LANG_VOCAB_OVERLAP_SQL,
+        "langid_agreement_by_source": textstats.LANGID_AGREEMENT_BY_SOURCE_SQL,
+        "retention_cohort_matrix": analytics.RETENTION_COHORT_MATRIX_SQL,
         "nation_revenue_share": analytics.NATION_REVENUE_SHARE_SQL,
         "bootstrap_replicas": analytics.BOOTSTRAP_REPLICAS_SQL,
         "weighted_sample": analytics.WEIGHTED_SAMPLE_SQL,

@@ -275,6 +275,8 @@ def run_bench() -> dict:
         "events_resample_5min",
         "value_autocorr_moments",
         "lang_vocab_overlap",
+        "langid_agreement_by_source",
+        "retention_cohort_matrix",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

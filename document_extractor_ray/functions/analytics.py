@@ -7574,3 +7574,121 @@ FROM seq WHERE y IS NOT NULL
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Retention cohort matrix via the bitmask fold (no self-join)
+# ---------------------------------------------------------------------------
+
+def retention_cohort_matrix(sf_dir: str):
+    """The classic cohort-retention triangle: users grouped by FIRST
+    active week (cohort), counted in every week they returned.  The
+    usual plan self-joins user-weeks to first-weeks; here the week
+    span is a bounded catalog (<= 63), so each user folds to ONE
+    int64 week-BITMASK (`bucketing.bitmask_pair_counts`'s discipline,
+    inlined since cohort = lowest set bit needs the mask, not pairs):
+    only the mask histogram leaves the shuffle, and the driver expands
+    the (cohort_week, week, n_users) triangle with a popcount pass.
+    Zero joins, zero per-user driver state."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    week_us = np.int64(7 * 86_400_000_000)
+
+    def slim(t: pa.Table) -> pa.Table:
+        w = pc.divide(pc.cast(t["ts"], pa.int64()), week_us)
+        g = pa.TableGroupBy(
+            pa.table({"user_id": t["user_id"], "w": pc.cast(w, pa.int64())}),
+            ["user_id", "w"],
+        ).aggregate([])
+        return pa.table({"user_id": g["user_id"], "w": g["w"]})
+
+    # anchor weeks to the global minimum so bits stay < 63 regardless
+    # of the epoch offset (one tiny driver scalar)
+    w0_parts = (
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "w": pa.array(
+                        [
+                            pc.min(
+                                pc.divide(pc.cast(t["ts"], pa.int64()), week_us)
+                            ).as_py()
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    w0 = min(r["w"] for r in w0_parts)
+
+    def to_bit(t: pa.Table) -> pa.Table:
+        rel = pc.subtract(t["w"], w0)
+        bit = pc.shift_left(pa.scalar(1, pa.int64()), pc.cast(rel, pa.int64()))
+        return pa.table({"user_id": t["user_id"], "mask": bit})
+
+    masks = bucketed_agg(
+        bucketed_agg(
+            ds.map_batches(slim, batch_format="pyarrow").map_batches(
+                to_bit, batch_format="pyarrow"
+            ),
+            ["user_id", "mask"],
+            [(None, "count", "n")],
+        ),
+        ["user_id"],
+        [("mask", "sum", "mask")],
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(pa.table({"mask": t["mask"]}), ["mask"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({"mask": g["mask"], "n": pc.cast(g["count_all"], pa.int64())})
+
+    hist = bucketed_agg(
+        masks.map_batches(hist_partial, batch_format="pyarrow"),
+        ["mask"],
+        [("n", "sum", "n")],
+    ).take_all()
+
+    m = np.array([r["mask"] for r in hist], dtype=np.int64)
+    c = np.array([r["n"] for r in hist], dtype=np.int64)
+    lowbit = (m & -m).astype(np.int64)
+    cohort = np.log2(lowbit.astype(np.float64)).astype(np.int64)  # exact: power of 2
+    out_c, out_w, out_n = [], [], []
+    for cw in sorted(set(cohort.tolist())):
+        sel = cohort == cw
+        for w in range(cw, 64):
+            both = sel & (((m >> np.int64(w)) & np.int64(1)).astype(bool))
+            n = int(c[both].sum())
+            if n:
+                out_c.append(cw)
+                out_w.append(w)
+                out_n.append(n)
+    return pa.table(
+        {
+            "cohort_week": pa.array(out_c, pa.int64()),
+            "week": pa.array(out_w, pa.int64()),
+            "n_users": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+RETENTION_COHORT_MATRIX_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS w
+  FROM events
+),
+w0 AS (SELECT min(w) AS w0 FROM uw),
+rel AS (SELECT user_id, CAST(uw.w - w0.w0 AS BIGINT) AS w FROM uw, w0),
+cohort AS (SELECT user_id, min(w) AS cw FROM rel GROUP BY user_id)
+SELECT cohort.cw AS cohort_week, rel.w AS week,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM rel JOIN cohort USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_week, week
+"""

@@ -3801,3 +3801,59 @@ JOIN sizes sa ON sa.lang = s.lang_a
 JOIN sizes sb ON sb.lang = s.lang_b
 ORDER BY lang_a, lang_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Label-vs-classifier agreement audit per source
+# ---------------------------------------------------------------------------
+
+def langid_agreement_by_source(sf_dir: str):
+    """Per source: how often the n-gram language classifier agrees
+    with the corpus's lang label — the metadata-trust audit a curator
+    runs before choosing which field to filter on.  One streaming
+    pass: the batch classifier (module-cached regex state) predicts
+    in-row, agreement folds to <= |sources| partial rows per batch,
+    one tiny grouped Sum, integer permille."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang", "source"])
+
+    def agree_partial(t: pa.Table) -> pa.Table:
+        pred = _langid_batch(t.select(["doc_id", "text"]))
+        eq = pc.cast(pc.equal(pred["pred_lang"], t["lang"]), pa.int64())
+        g = pa.TableGroupBy(
+            pa.table({"source": t["source"], "agree": eq}), ["source"]
+        ).aggregate([([], "count_all"), ("agree", "sum")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "n_docs": pc.cast(g["count_all"], pa.int64()),
+                "n_agree": g["agree_sum"],
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "agree_permille",
+            pc.cast(pc.divide(pc.multiply(t["n_agree"], 1000), t["n_docs"]), pa.int64()),
+        )
+
+    return (
+        ds.map_batches(agree_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_agree", alias_name="n_agree"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("source")
+    )
+
+
+LANGID_AGREEMENT_BY_SOURCE_SQL = f"""
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (p.pred_lang = d.lang) AS BIGINT) AS n_agree,
+       CAST(1000 * count(*) FILTER (p.pred_lang = d.lang) // count(*) AS BIGINT)
+         AS agree_permille
+FROM ({LANG_ID_SQL}) p JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""

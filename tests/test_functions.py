@@ -164,6 +164,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "events_resample_5min",
         "value_autocorr_moments",
         "lang_vocab_overlap",
+        "langid_agreement_by_source",
+        "retention_cohort_matrix",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
