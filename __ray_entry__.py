@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_vocab_overlap": textstats.lang_vocab_overlap,
         "langid_agreement_by_source": textstats.langid_agreement_by_source,
         "retention_cohort_matrix": analytics.retention_cohort_matrix,
+        "q6_forecast_revenue": analytics.q6_forecast_revenue,
+        "q15_top_supplier": analytics.q15_top_supplier,
         "token_rarity": textstats.token_rarity,
         "postings_topdf": textstats.postings_topdf,
         "edit_distance_verify": dedup.edit_distance_verify_docs,
@@ -425,6 +427,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_vocab_overlap": textstats.LANG_VOCAB_OVERLAP_SQL,
         "langid_agreement_by_source": textstats.LANGID_AGREEMENT_BY_SOURCE_SQL,
         "retention_cohort_matrix": analytics.RETENTION_COHORT_MATRIX_SQL,
+        "q6_forecast_revenue": analytics.Q6_FORECAST_REVENUE_SQL,
+        "q15_top_supplier": analytics.Q15_TOP_SUPPLIER_SQL,
         "nation_revenue_share": analytics.NATION_REVENUE_SHARE_SQL,
         "bootstrap_replicas": analytics.BOOTSTRAP_REPLICAS_SQL,
         "weighted_sample": analytics.WEIGHTED_SAMPLE_SQL,

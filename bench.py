@@ -277,6 +277,8 @@ def run_bench() -> dict:
         "lang_vocab_overlap",
         "langid_agreement_by_source",
         "retention_cohort_matrix",
+        "q6_forecast_revenue",
+        "q15_top_supplier",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -7692,3 +7692,171 @@ FROM rel JOIN cohort USING (user_id)
 GROUP BY 1, 2
 ORDER BY cohort_week, week
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6: the pure filter-aggregate (scan-speed baseline)
+# ---------------------------------------------------------------------------
+
+Q6_START, Q6_END = "1996-01-01", "1997-01-01"
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """Forecast-revenue-change (TPC-H Q6): one predicate-heavy scan,
+    one global sum — the minimal operator that measures pure columnar
+    scan + filter throughput (no shuffle at all; each block folds to a
+    2-int partial).  Discount bounds compare the SAME stored float64
+    against the same literals on both engines, so the boundary rows
+    select identically."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    start = pa.scalar(pd.Timestamp(Q6_START), type=pa.timestamp("us"))
+    end = pa.scalar(pd.Timestamp(Q6_END), type=pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], start),
+                pc.less(t["l_shipdate"], end),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t["l_discount"], 0.05),
+                    pc.less_equal(t["l_discount"], 0.07),
+                ),
+                pc.less(t["l_quantity"], 24.0),
+            ),
+        )
+        t = t.filter(keep)
+        cents = _to_cents(pc.multiply(t["l_extendedprice"], t["l_discount"]))
+        return pa.table(
+            {
+                "n_items": pa.array([t.num_rows], pa.int64()),
+                "revenue_cents": pa.array([pc.sum(cents).as_py() or 0], pa.int64()),
+            }
+        )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("g", pa.array(np.zeros(t.num_rows, np.int32)))
+
+    def merge(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_items": pa.array([pc.sum(t["n_items"]).as_py() or 0], pa.int64()),
+                "revenue_cents": pa.array(
+                    [pc.sum(t["revenue_cents"]).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(lambda t: merge(t.drop_columns(["g"])), batch_format="pyarrow")
+    )
+
+
+Q6_FORECAST_REVENUE_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * l_discount * 100.0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_START}' AND l_shipdate < TIMESTAMP '{Q6_END}'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15: top supplier in a revenue window (global argmax, keep ties)
+# ---------------------------------------------------------------------------
+
+Q15_START, Q15_END = "1996-01-01", "1996-04-01"
+
+
+def q15_top_supplier(sf_dir: str):
+    """Top revenue supplier(s) over a quarter (TPC-H Q15): per-supplier
+    window revenue through the bucketed fold (supplier keys grow with
+    the data), the global max as a two-pass scalar (per-block partial
+    maxes, one driver fold), then an equality filter keeps ALL tied
+    winners — names attach by filtering the supplier dim against the
+    tiny winner set, never a shuffle join."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    start = pa.scalar(pd.Timestamp(Q15_START), type=pa.timestamp("us"))
+    end = pa.scalar(pd.Timestamp(Q15_END), type=pa.timestamp("us"))
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def slim(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], start), pc.less(t["l_shipdate"], end)
+            )
+        )
+        return pa.table(
+            {
+                "l_suppkey": t["l_suppkey"],
+                "cents": _to_cents(
+                    pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+                ),
+            }
+        )
+
+    rev = bucketed_agg(
+        ds.map_batches(slim, batch_format="pyarrow"),
+        ["l_suppkey"],
+        [("cents", "sum", "revenue_cents")],
+    ).materialize()
+
+    maxes = rev.map_batches(
+        lambda t: pa.table(
+            {"m": pa.array([pc.max(t["revenue_cents"]).as_py() or 0], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    top = max((r["m"] for r in maxes), default=0)
+
+    winners = rev.map_batches(
+        lambda t: t.filter(pc.equal(t["revenue_cents"], top)),
+        batch_format="pyarrow",
+    ).take_all()
+    keys = pa.array(sorted(r["l_suppkey"] for r in winners), pa.int64())
+    rev_of = {r["l_suppkey"]: r["revenue_cents"] for r in winners}
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    supp = supp.filter(pc.is_in(supp["s_suppkey"], value_set=keys))
+    order = pc.sort_indices(supp["s_suppkey"])
+    supp = supp.take(order)
+    return pa.table(
+        {
+            "s_suppkey": supp["s_suppkey"],
+            "s_name": supp["s_name"],
+            "revenue_cents": pa.array(
+                [rev_of[k.as_py()] for k in supp["s_suppkey"]], pa.int64()
+            ),
+        }
+    )
+
+
+Q15_TOP_SUPPLIER_SQL = f"""
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_START}' AND l_shipdate < TIMESTAMP '{Q15_END}'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.rev AS revenue_cents
+FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rev = (SELECT max(rev) FROM r)
+ORDER BY s.s_suppkey
+"""

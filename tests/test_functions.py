@@ -166,6 +166,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "lang_vocab_overlap",
         "langid_agreement_by_source",
         "retention_cohort_matrix",
+        "q6_forecast_revenue",
+        "q15_top_supplier",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
