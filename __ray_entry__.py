@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohort_matrix": analytics.retention_cohort_matrix,
         "q6_forecast_revenue": analytics.q6_forecast_revenue,
         "q15_top_supplier": analytics.q15_top_supplier,
+        "value_benford_profile": analytics.value_benford_profile,
         "token_rarity": textstats.token_rarity,
         "postings_topdf": textstats.postings_topdf,
         "edit_distance_verify": dedup.edit_distance_verify_docs,
@@ -429,6 +430,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohort_matrix": analytics.RETENTION_COHORT_MATRIX_SQL,
         "q6_forecast_revenue": analytics.Q6_FORECAST_REVENUE_SQL,
         "q15_top_supplier": analytics.Q15_TOP_SUPPLIER_SQL,
+        "value_benford_profile": analytics.VALUE_BENFORD_PROFILE_SQL,
         "nation_revenue_share": analytics.NATION_REVENUE_SHARE_SQL,
         "bootstrap_replicas": analytics.BOOTSTRAP_REPLICAS_SQL,
         "weighted_sample": analytics.WEIGHTED_SAMPLE_SQL,

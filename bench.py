@@ -279,6 +279,7 @@ def run_bench() -> dict:
         "retention_cohort_matrix",
         "q6_forecast_revenue",
         "q15_top_supplier",
+        "value_benford_profile",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

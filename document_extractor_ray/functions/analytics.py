@@ -7860,3 +7860,92 @@ FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
 WHERE r.rev = (SELECT max(rev) FROM r)
 ORDER BY s.s_suppkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit forensics over event values
+# ---------------------------------------------------------------------------
+
+def value_benford_profile(sf_dir: str):
+    """First-significant-digit profile of event values per type — the
+    Benford's-law forensic screen for fabricated or clipped numeric
+    columns.  The digit is derived from the DECIMAL STRING of integer
+    cents on both engines (no float log10 anywhere near a boundary).
+    Scale shape: bounded (type x 9) counts fold per batch; one tiny
+    grouped Sum; share in integer permille."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _to_cents(t["value"])
+        keep = pc.greater(cents, 0)
+        t2 = pa.table({"event_type": t["event_type"], "cents": cents}).filter(keep)
+        digit = pc.utf8_slice_codeunits(
+            pc.cast(t2["cents"], pa.string()), 0, 1
+        )
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "event_type": t2["event_type"],
+                    "digit": pc.cast(digit, pa.int64()),
+                }
+            ),
+            ["event_type", "digit"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "digit": g["digit"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "digit"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def share(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "digit": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "share_permille": pa.array([], pa.int64()),
+                }
+            )
+        df = t.to_pandas()
+        tot = df.groupby("event_type")["n"].transform("sum")
+        df["share_permille"] = (1000 * df["n"] // tot).astype("int64")
+        return pa.Table.from_pandas(
+            df[["event_type", "digit", "n", "share_permille"]], preserve_index=False
+        )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("g", pa.array(np.zeros(t.num_rows, np.int32)))
+
+    return (
+        agg.map_batches(tag, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(lambda t: share(t.drop_columns(["g"])), batch_format="pyarrow")
+        .sort(["event_type", "digit"])
+    )
+
+
+VALUE_BENFORD_PROFILE_SQL = """
+WITH d AS (
+  SELECT event_type,
+         CAST(substr(CAST(CAST(round(value * 100.0) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events
+  WHERE CAST(round(value * 100.0) AS BIGINT) > 0
+  GROUP BY 1, 2
+)
+SELECT event_type, digit, n,
+       CAST(1000 * n // sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+         AS share_permille
+FROM d
+ORDER BY event_type, digit
+"""

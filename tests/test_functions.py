@@ -168,6 +168,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "retention_cohort_matrix",
         "q6_forecast_revenue",
         "q15_top_supplier",
+        "value_benford_profile",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
