@@ -406,6 +406,10 @@ def write_query_partitioned(
             if name.startswith("_SUCCESS."):
                 os.remove(os.path.join(out_dir, name))
         done = set()
+    if len(done) == n_partitions:
+        # everything committed: skip without touching the input at all
+        # (measured: the filter-everything path still paid a full scan)
+        return {"written": 0, "skipped": n_partitions}
 
     def add_part(t: pa.Table) -> pa.Table:
         return t.append_column(
