@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": analytics.q6_forecast_revenue,
         "q15_top_supplier": analytics.q15_top_supplier,
         "value_benford_profile": analytics.value_benford_profile,
+        "revenue_gini_by_nation": analytics.revenue_gini_by_nation,
         "token_rarity": textstats.token_rarity,
         "postings_topdf": textstats.postings_topdf,
         "edit_distance_verify": dedup.edit_distance_verify_docs,
@@ -431,6 +432,7 @@ def oracle_sql() -> dict[str, str]:
         "q6_forecast_revenue": analytics.Q6_FORECAST_REVENUE_SQL,
         "q15_top_supplier": analytics.Q15_TOP_SUPPLIER_SQL,
         "value_benford_profile": analytics.VALUE_BENFORD_PROFILE_SQL,
+        "revenue_gini_by_nation": analytics.REVENUE_GINI_BY_NATION_SQL,
         "nation_revenue_share": analytics.NATION_REVENUE_SHARE_SQL,
         "bootstrap_replicas": analytics.BOOTSTRAP_REPLICAS_SQL,
         "weighted_sample": analytics.WEIGHTED_SAMPLE_SQL,

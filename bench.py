@@ -280,6 +280,7 @@ def run_bench() -> dict:
         "q6_forecast_revenue",
         "q15_top_supplier",
         "value_benford_profile",
+        "revenue_gini_by_nation",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -7949,3 +7949,124 @@ SELECT event_type, digit, n,
 FROM d
 ORDER BY event_type, digit
 """
+
+
+# ---------------------------------------------------------------------------
+# Revenue inequality per nation (exact rank-weighted Gini)
+# ---------------------------------------------------------------------------
+
+def revenue_gini_by_nation(sf_dir: str):
+    """Gini coefficient of customer order revenue within each nation —
+    the market-concentration metric, exact in integer permille via the
+    rank-weighted form G = Σ(2i − n − 1)·x_(i) / (n·Σx) (sorted x,
+    1-based i): numerator and denominator are exact int64 sums, the
+    division is one floor per nation.  Scale shape: per-customer
+    revenue through the bucketed fold; the rank-weighted pass hash-
+    partitions on nation (bounded 25 — parallelism capped by the
+    nation catalog, the documented grouped-sorted-fold ceiling; a
+    10^12-row nation would range-partition by revenue and merge rank
+    offsets) and sorts each partition once."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg, key_part_column
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": t["o_custkey"], "cents": _to_cents(t["o_totalprice"])}
+        )
+
+    per_cust = bucketed_agg(
+        orders.map_batches(slim, batch_format="pyarrow"),
+        ["o_custkey"],
+        [("cents", "sum", "cents")],
+    )
+
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import state
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    cust_ref = state.broadcast(cust)
+
+    def attach_nation(t: pa.Table) -> pa.Table:
+        t = state.lookup_join(
+            t, "o_custkey", state.cached_get(cust_ref), "c_custkey", ["c_nationkey"]
+        )
+        t = t.filter(pc.is_valid(t["c_nationkey"]))
+        out = pa.table(
+            {
+                "nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+                "cents": t["cents"],
+            }
+        )
+        return out.append_column(
+            "part", key_part_column(out, ["nationkey"], _n_blocks())
+        )
+
+    def gini_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "nationkey": pa.array([], pa.int64()),
+                "n_customers": pa.array([], pa.int64()),
+                "revenue_cents": pa.array([], pa.int64()),
+                "gini_permille": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        nk = t["nationkey"].to_numpy(zero_copy_only=False)
+        x = t["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((x, nk))
+        nk, x = nk[order], x[order]
+        new = np.ones(len(nk), dtype=bool)
+        new[1:] = nk[1:] != nk[:-1]
+        starts = np.flatnonzero(new)
+        run_start = np.repeat(starts, np.diff(np.append(starts, len(nk))))
+        n_of = np.diff(np.append(starts, len(nk)))
+        i = np.arange(len(nk)) - run_start + 1  # 1-based rank within nation
+        n_rep = np.repeat(n_of, n_of)
+        w = 2 * i - n_rep - 1
+        num = np.add.reduceat(w * x, starts)
+        tot = np.add.reduceat(x, starts)
+        gini = 1000 * num // np.maximum(n_of * tot, 1)
+        return pa.table(
+            {
+                "nationkey": pa.array(nk[starts], pa.int64()),
+                "n_customers": pa.array(n_of.astype(np.int64), pa.int64()),
+                "revenue_cents": pa.array(tot.astype(np.int64), pa.int64()),
+                "gini_permille": pa.array(gini.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        per_cust.map_batches(attach_nation, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda t: gini_part(t.drop_columns(["part"])), batch_format="pyarrow"
+        )
+        .sort("nationkey")
+    )
+
+
+REVENUE_GINI_BY_NATION_SQL = """
+WITH per AS (
+  SELECT c.c_nationkey AS nationkey, o.o_custkey,
+         CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT nationkey, cents,
+         row_number() OVER (PARTITION BY nationkey ORDER BY cents, o_custkey) AS i,
+         count(*) OVER (PARTITION BY nationkey) AS n
+  FROM per
+)
+SELECT CAST(nationkey AS BIGINT) AS nationkey,
+       CAST(any_value(n) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       CAST(1000 * sum((2 * i - n - 1) * cents)
+            // greatest(any_value(n) * sum(cents), 1) AS BIGINT) AS gini_permille
+FROM ranked
+GROUP BY nationkey
+ORDER BY nationkey
+"""

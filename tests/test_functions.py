@@ -169,6 +169,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "q6_forecast_revenue",
         "q15_top_supplier",
         "value_benford_profile",
+        "revenue_gini_by_nation",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
