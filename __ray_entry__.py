@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": analytics.q15_top_supplier,
         "value_benford_profile": analytics.value_benford_profile,
         "revenue_gini_by_nation": analytics.revenue_gini_by_nation,
+        "shard_balance_audit": training.shard_balance_audit,
+        "mktseg_priority_contingency": analytics.mktseg_priority_contingency,
         "token_rarity": textstats.token_rarity,
         "postings_topdf": textstats.postings_topdf,
         "edit_distance_verify": dedup.edit_distance_verify_docs,
@@ -433,6 +435,8 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": analytics.Q15_TOP_SUPPLIER_SQL,
         "value_benford_profile": analytics.VALUE_BENFORD_PROFILE_SQL,
         "revenue_gini_by_nation": analytics.REVENUE_GINI_BY_NATION_SQL,
+        "shard_balance_audit": training.SHARD_BALANCE_AUDIT_SQL,
+        "mktseg_priority_contingency": analytics.MKTSEG_PRIORITY_CONTINGENCY_SQL,
         "nation_revenue_share": analytics.NATION_REVENUE_SHARE_SQL,
         "bootstrap_replicas": analytics.BOOTSTRAP_REPLICAS_SQL,
         "weighted_sample": analytics.WEIGHTED_SAMPLE_SQL,

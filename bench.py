@@ -281,6 +281,8 @@ def run_bench() -> dict:
         "q15_top_supplier",
         "value_benford_profile",
         "revenue_gini_by_nation",
+        "shard_balance_audit",
+        "mktseg_priority_contingency",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -8070,3 +8070,115 @@ FROM ranked
 GROUP BY nationkey
 ORDER BY nationkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Contingency table with exact independence-test ingredients
+# ---------------------------------------------------------------------------
+
+def mktseg_priority_contingency(sf_dir: str, broadcast_limit: int = 2_000_000):
+    """(market segment x order priority) contingency table with the
+    EXACT integer ingredients of the chi-square independence test per
+    cell: observed n, row total, column total, grand total — the float
+    statistic Σ(O − RC/N)²·N/(RC) is one driver formula away, and no
+    float ever crosses the wire.  Scale shape: the customer→segment
+    map broadcasts below a budget (the q5 discipline; above it the
+    partitioned custkey join path), the crosstab folds per batch to
+    <= 25 cells, margins are vectorized re-sums of the final table."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import state
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    if cust.num_rows <= broadcast_limit:
+        cust_ref = state.broadcast(cust)
+
+        def attach(t: pa.Table) -> pa.Table:
+            t = state.lookup_join(
+                t, "o_custkey", state.cached_get(cust_ref), "c_custkey", ["c_mktsegment"]
+            )
+            return t.filter(pc.is_valid(t["c_mktsegment"]))
+
+        pairs = orders.map_batches(attach, batch_format="pyarrow")
+    else:
+        cust_ds = ray.data.from_arrow(cust).repartition(_n_blocks())
+        pairs = orders.join(
+            cust_ds,
+            join_type="inner",
+            num_partitions=_join_partitions(f"{sf_dir}/orders.parquet"),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        ).materialize()
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        cols = set(t.column_names)
+        if t.num_rows == 0 or "c_mktsegment" not in cols:
+            return pa.table(
+                {
+                    "segment": pa.array([], pa.string()),
+                    "priority": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        g = pa.TableGroupBy(
+            pa.table(
+                {"segment": t["c_mktsegment"], "priority": t["o_orderpriority"]}
+            ),
+            ["segment", "priority"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "segment": g["segment"],
+                "priority": g["priority"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    cells = (
+        pairs.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby(["segment", "priority"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def margins(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        row = df.groupby("segment")["n"].sum()
+        col = df.groupby("priority")["n"].sum()
+        grand = int(df["n"].sum())
+        df["row_total"] = df["segment"].map(row).astype("int64")
+        df["col_total"] = df["priority"].map(col).astype("int64")
+        df["grand_total"] = grand
+        return pa.Table.from_pandas(
+            df[["segment", "priority", "n", "row_total", "col_total", "grand_total"]],
+            preserve_index=False,
+        )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("g", pa.array(np.zeros(t.num_rows, np.int32)))
+
+    return (
+        cells.map_batches(tag, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(lambda t: margins(t.drop_columns(["g"])), batch_format="pyarrow")
+        .sort(["segment", "priority"])
+    )
+
+
+MKTSEG_PRIORITY_CONTINGENCY_SQL = """
+WITH cells AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+)
+SELECT segment, priority, n,
+       CAST(sum(n) OVER (PARTITION BY segment) AS BIGINT) AS row_total,
+       CAST(sum(n) OVER (PARTITION BY priority) AS BIGINT) AS col_total,
+       CAST(sum(n) OVER () AS BIGINT) AS grand_total
+FROM cells
+ORDER BY segment, priority
+"""

@@ -527,3 +527,88 @@ FROM (
 )
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Shard-balance audit over the curriculum layout
+# ---------------------------------------------------------------------------
+
+def shard_balance_audit(sf_dir: str, n_shards: int = CURRICULUM_SHARDS):
+    """Per-shard balance proof for the curriculum layout: doc count,
+    total chars and the min/max global rank landing in each shard —
+    the audit that catches a skewed shard BEFORE a training job eats
+    it.  Rides curriculum_shards (histogram-offset rank + modulo) and
+    folds per batch to <= S partial rows; chars attach in the same
+    pass via the rank→doc mapping already in the stream."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    from document_extractor_ray.functions.analytics import _read
+
+    ranked = curriculum_shards(sf_dir, n_shards=n_shards)
+
+    # n_chars rejoins by doc_id-order equivalence: curriculum_shards
+    # ends sorted by doc_id, and documents.parquet is doc_id-ordered —
+    # but block boundaries differ, so attach via a broadcast dict of
+    # the slim (doc_id, n_chars) column pair instead.
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import state
+
+    chars = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    chars_ref = state.broadcast(chars)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = state.lookup_join(
+            t, "doc_id", state.cached_get(chars_ref), "doc_id", ["n_chars"]
+        )
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "shard": t["shard"],
+                    "n_chars": pc.cast(t["n_chars"], pa.int64()),
+                    "rnk": t["rnk"],
+                }
+            ),
+            ["shard"],
+        ).aggregate(
+            [([], "count_all"), ("n_chars", "sum"), ("rnk", "min"), ("rnk", "max")]
+        )
+        return pa.table(
+            {
+                "shard": g["shard"],
+                "n_docs": pc.cast(g["count_all"], pa.int64()),
+                "sum_chars": g["n_chars_sum"],
+                "min_rnk": g["rnk_min"],
+                "max_rnk": g["rnk_max"],
+            }
+        )
+
+    return (
+        ranked.map_batches(partial, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+            Min("min_rnk", alias_name="min_rnk"),
+            Max("max_rnk", alias_name="max_rnk"),
+        )
+        .sort("shard")
+    )
+
+
+SHARD_BALANCE_AUDIT_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents
+)
+SELECT CAST((rnk - 1) % {CURRICULUM_SHARDS} AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(rnk) AS BIGINT) AS min_rnk,
+       CAST(max(rnk) AS BIGINT) AS max_rnk
+FROM ranked
+GROUP BY 1
+ORDER BY shard
+"""

@@ -170,6 +170,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "q15_top_supplier",
         "value_benford_profile",
         "revenue_gini_by_nation",
+        "shard_balance_audit",
+        "mktseg_priority_contingency",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
