@@ -7625,6 +7625,35 @@ def retention_cohort_matrix(sf_dir: str):
     )
     w0 = min(r["w"] for r in w0_parts)
 
+    w1_parts = (
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "w": pa.array(
+                        [
+                            pc.max(
+                                pc.divide(pc.cast(t["ts"], pa.int64()), week_us)
+                            ).as_py()
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    span = max(r["w"] for r in w1_parts) - w0 + 1
+    if span > 26:
+        # the mask histogram's domain is 2^span: fine for the half-year
+        # cohort window this implements, unbounded past it — re-bucket
+        # weeks to months (or quarters) before the fold, same popcount
+        # expansion
+        raise ValueError(
+            f"retention_cohort_matrix bitmask fold spans {span} weeks; "
+            "re-bucket periods (months/quarters) above 26"
+        )
+
     def to_bit(t: pa.Table) -> pa.Table:
         rel = pc.subtract(t["w"], w0)
         bit = pc.shift_left(pa.scalar(1, pa.int64()), pc.cast(rel, pa.int64()))
