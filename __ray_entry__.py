@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_gini_by_nation": analytics.revenue_gini_by_nation,
         "shard_balance_audit": training.shard_balance_audit,
         "mktseg_priority_contingency": analytics.mktseg_priority_contingency,
+        "q17_small_qty_revenue": analytics.q17_small_qty_revenue,
+        "user_value_drawdown": analytics.user_value_drawdown,
         "token_rarity": textstats.token_rarity,
         "postings_topdf": textstats.postings_topdf,
         "edit_distance_verify": dedup.edit_distance_verify_docs,
@@ -437,6 +439,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_gini_by_nation": analytics.REVENUE_GINI_BY_NATION_SQL,
         "shard_balance_audit": training.SHARD_BALANCE_AUDIT_SQL,
         "mktseg_priority_contingency": analytics.MKTSEG_PRIORITY_CONTINGENCY_SQL,
+        "q17_small_qty_revenue": analytics.Q17_SMALL_QTY_REVENUE_SQL,
+        "user_value_drawdown": analytics.USER_VALUE_DRAWDOWN_SQL,
         "nation_revenue_share": analytics.NATION_REVENUE_SHARE_SQL,
         "bootstrap_replicas": analytics.BOOTSTRAP_REPLICAS_SQL,
         "weighted_sample": analytics.WEIGHTED_SAMPLE_SQL,

@@ -283,6 +283,8 @@ def run_bench() -> dict:
         "revenue_gini_by_nation",
         "shard_balance_audit",
         "mktseg_priority_contingency",
+        "q17_small_qty_revenue",
+        "user_value_drawdown",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -8211,3 +8211,219 @@ SELECT segment, priority, n,
 FROM cells
 ORDER BY segment, priority
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17: small-quantity revenue (correlated per-part average)
+# ---------------------------------------------------------------------------
+
+def q17_small_qty_revenue(sf_dir: str):
+    """Revenue locked in small-quantity orders (TPC-H Q17 shape):
+    lineitems whose quantity is under 20% of their PART's average —
+    the correlated-scalar-subquery-over-a-fact-key plan.  The per-part
+    (sum, count) fold runs bucketed (part keys grow with the data),
+    rejoins the detail rows through ONE partitioned hash join of slim
+    int columns, and the 0.2·avg predicate is the integer
+    cross-multiplication 5·qty·cnt < sum — no float average exists.
+    Output folds to one global (n_items, revenue_cents) row, so
+    nothing but partials leave the join."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+
+    def slim(t: pa.Table) -> pa.Table:
+        q = pc.cast(
+            pc.round(t["l_quantity"], round_mode="half_towards_infinity"), pa.int64()
+        )
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "qty": q,
+                "price_c": _to_cents(t["l_extendedprice"]),
+            }
+        )
+
+    slimmed = li.map_batches(slim, batch_format="pyarrow").materialize()
+
+    def pq_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"l_partkey": t["l_partkey"], "qty": t["qty"]}), ["l_partkey"]
+        ).aggregate([("qty", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "pk": g["l_partkey"],
+                "s": g["qty_sum"],
+                "c": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    per_part = _settle_nonempty(
+        bucketed_agg(
+            slimmed.map_batches(pq_partial, batch_format="pyarrow"),
+            ["pk"],
+            [("s", "sum", "s"), ("c", "sum", "c")],
+        ),
+        pa.table(
+            {
+                "pk": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
+        ),
+    )
+
+    joined = slimmed.join(
+        per_part,
+        join_type="inner",
+        num_partitions=_join_partitions(f"{sf_dir}/lineitem.parquet"),
+        on=("l_partkey",),
+        right_on=("pk",),
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = set(t.column_names)
+        if t.num_rows == 0 or "qty" not in cols:
+            return pa.table(
+                {
+                    "n_items": pa.array([0], pa.int64()),
+                    "revenue_cents": pa.array([0], pa.int64()),
+                }
+            )
+        keep = pc.less(
+            pc.multiply(pc.multiply(t["qty"], 5), t["c"]), t["s"]
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "n_items": pa.array([t.num_rows], pa.int64()),
+                "revenue_cents": pa.array(
+                    [pc.sum(t["price_c"]).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("g", pa.array(np.zeros(t.num_rows, np.int32)))
+
+    def merge(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_items": pa.array([pc.sum(t["n_items"]).as_py() or 0], pa.int64()),
+                "revenue_cents": pa.array(
+                    [pc.sum(t["revenue_cents"]).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(fold, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(lambda t: merge(t.drop_columns(["g"])), batch_format="pyarrow")
+    )
+
+
+Q17_SMALL_QTY_REVENUE_SQL = """
+WITH pq AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l JOIN pq ON pq.l_partkey = l.l_partkey
+WHERE 5 * CAST(round(l.l_quantity) AS BIGINT) * pq.c < pq.s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Running-max drawdown per user (cummax window composite)
+# ---------------------------------------------------------------------------
+
+def user_value_drawdown(sf_dir: str):
+    """Maximum drawdown of each user's event-value series (cents):
+    max over time of (running max − value) — the risk-style window
+    composite (cummax + diff + max) that a plain aggregate cannot
+    express.  Scale shape: the sessionize shuffle (one user-hash
+    exchange), per-partition lexsort, numpy cummax segmented by user
+    runs, one reduceat max — no per-user Python."""
+    from document_extractor_ray.functions.bucketing import part_of_int64
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    n_parts = _n_blocks()
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "us": pc.cast(t["ts"], pa.int64()),
+                "cents": _to_cents(t["value"]),
+                "part": part_of_int64(u, n_parts),
+            }
+        )
+
+    def drawdown_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "max_drawdown_cents": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, u))
+        u, cents = u[order], cents[order]
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        # segmented cummax without a per-user loop: add a per-segment
+        # offset so one global accumulate never bleeds across users
+        # (cents < 2^40 by construction — values are bounded money)
+        seg_id = np.cumsum(new) - 1
+        BIG = np.int64(1) << np.int64(40)
+        shifted = cents + seg_id * BIG
+        np.maximum.accumulate(shifted, out=shifted)
+        runmax = shifted - seg_id * BIG
+        dd = runmax - cents
+        out = np.maximum.reduceat(dd, starts)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "max_drawdown_cents": pa.array(out.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda t: drawdown_part(t.drop_columns(["part"])), batch_format="pyarrow"
+        )
+        .sort("user_id")
+    )
+
+
+USER_VALUE_DRAWDOWN_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         max(CAST(round(value * 100.0) AS BIGINT))
+           OVER (PARTITION BY user_id
+                 ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id
+                 ROWS UNBOUNDED PRECEDING) AS runmax,
+         CAST(round(value * 100.0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id,
+       CAST(max(runmax - cents) AS BIGINT) AS max_drawdown_cents
+FROM seq GROUP BY user_id ORDER BY user_id
+"""

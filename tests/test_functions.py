@@ -172,6 +172,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "revenue_gini_by_nation",
         "shard_balance_audit",
         "mktseg_priority_contingency",
+        "q17_small_qty_revenue",
+        "user_value_drawdown",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
