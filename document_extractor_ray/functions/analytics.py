@@ -8387,10 +8387,11 @@ def user_value_drawdown(sf_dir: str):
         new[1:] = u[1:] != u[:-1]
         starts = np.flatnonzero(new)
         # segmented cummax without a per-user loop: add a per-segment
-        # offset so one global accumulate never bleeds across users
-        # (cents < 2^40 by construction — values are bounded money)
+        # offset so one global accumulate never bleeds across users;
+        # offset = max+1 keeps headroom at ~9e18/max segments per
+        # partition (a 2^40 constant would overflow past 8M segments)
         seg_id = np.cumsum(new) - 1
-        BIG = np.int64(1) << np.int64(40)
+        BIG = np.int64(int(cents.max()) + 1)
         shifted = cents + seg_id * BIG
         np.maximum.accumulate(shifted, out=shifted)
         runmax = shifted - seg_id * BIG
