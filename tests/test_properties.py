@@ -533,3 +533,82 @@ def test_kmv_bottomk_matches_sorted_distinct(vals):
     order = np.argsort(hcol, kind="mergesort")
     got = hcol[order][:k]
     assert got.tolist() == expect
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 500)),
+        min_size=1,
+        max_size=100,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_drawdown_segmented_cummax_matches_brute(pairs):
+    """The per-segment-offset accumulate trick must equal a per-user
+    Python running-max drawdown for any (user, value) sequence."""
+    import numpy as np
+
+    u = np.array([p[0] for p in pairs], dtype=np.int64)
+    x = np.array([p[1] for p in pairs], dtype=np.int64)
+    order = np.argsort(u, kind="mergesort")  # stable: keeps sequence order
+    u, x = u[order], x[order]
+
+    new = np.ones(len(u), dtype=bool)
+    new[1:] = u[1:] != u[:-1]
+    starts = np.flatnonzero(new)
+    seg_id = np.cumsum(new) - 1
+    BIG = np.int64(int(x.max()) + 1)
+    shifted = x + seg_id * BIG
+    np.maximum.accumulate(shifted, out=shifted)
+    runmax = shifted - seg_id * BIG
+    got = dict(zip(u[starts].tolist(),
+                   np.maximum.reduceat(runmax - x, starts).tolist()))
+
+    for user in set(u.tolist()):
+        xs = x[u == user]
+        rm, dd = -1, 0
+        for v in xs:
+            rm = max(rm, v)
+            dd = max(dd, rm - v)
+        assert got[user] == dd
+
+
+@given(st.lists(st.integers(0, 100), min_size=1, max_size=60))
+@settings(max_examples=50, deadline=None)
+def test_gini_rank_weighted_matches_pairwise(vals):
+    """Rank-weighted Gini numerator Σ(2i−n−1)x_(i) must equal the
+    pairwise ΣΣ|xi−xj| / 2 definition."""
+    import numpy as np
+
+    x = np.sort(np.array(vals, dtype=np.int64))
+    n = len(x)
+    i = np.arange(1, n + 1)
+    num_rank = int(((2 * i - n - 1) * x).sum())
+    num_pair = int(np.abs(x[:, None] - x[None, :]).sum()) // 2
+    assert num_rank == num_pair
+
+
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=80),
+    st.integers(0, 5),
+)
+@settings(max_examples=50, deadline=None)
+def test_blocking_convolution_matches_pair_enumeration(lengths, delta):
+    """The histogram-convolution pair count must equal brute-force
+    enumeration of |len_a − len_b| <= delta pairs."""
+    import numpy as np
+
+    arr = np.array(lengths, dtype=np.int64)
+    brute = sum(
+        1
+        for a in range(len(arr))
+        for b in range(a + 1, len(arr))
+        if abs(int(arr[a]) - int(arr[b])) <= delta
+    )
+    k, c = np.unique(arr, return_counts=True)
+    within = int((c * (c - 1) // 2).sum())
+    pref = np.concatenate(([0], c.cumsum()))
+    hi = np.searchsorted(k, k + delta, side="right")
+    lo = np.arange(1, len(k) + 1)
+    cross = int((c * (pref[hi] - pref[lo - 1] - c)).sum())
+    assert within + cross == brute
