@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_quarantine": _extract_quarantine,
         "extract_unit_rows": _extract_unit_rows,
         # --- round-3 additions (oracled, never driver-sampled) ---
+        "q4_order_priority": analytics.q4_order_priority,
+        "q13_customer_distribution": analytics.q13_customer_distribution,
+        "q19_brand_qty_revenue": analytics.q19_brand_qty_revenue,
         "q18_large_orders": analytics.q18_large_orders,
         "q22_acctbal_opportunity": analytics.q22_acctbal_opportunity,
         "user_streaks": analytics.user_streaks,
@@ -403,6 +406,9 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": analytics.TABLE_PROFILE_SQL,
         "orders_above_customer_avg": analytics.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
         "q7_volume_shipping": analytics.Q7_VOLUME_SHIPPING_SQL,
+        "q4_order_priority": analytics.Q4_ORDER_PRIORITY_SQL,
+        "q13_customer_distribution": analytics.Q13_CUSTOMER_DISTRIBUTION_SQL,
+        "q19_brand_qty_revenue": analytics.Q19_BRAND_QTY_REVENUE_SQL,
         "q18_large_orders": analytics.Q18_LARGE_ORDERS_SQL,
         "q22_acctbal_opportunity": analytics.Q22_ACCTBAL_OPPORTUNITY_SQL,
         "user_streaks": analytics.USER_STREAKS_SQL,

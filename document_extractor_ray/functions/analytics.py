@@ -8428,3 +8428,362 @@ SELECT user_id,
        CAST(max(runmax - cents) AS BIGINT) AS max_drawdown_cents
 FROM seq GROUP BY user_id ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS semi-join (late-shipment priority audit)
+# ---------------------------------------------------------------------------
+
+Q4_WINDOW_LO = "1995-07-01"
+Q4_WINDOW_HI = "1995-10-01"
+Q4_LATE_DAYS = 60
+Q4_BROADCAST_LIMIT = 200_000
+
+
+def q4_order_priority(
+    sf_dir: str, broadcast_limit: int = Q4_BROADCAST_LIMIT
+):
+    """Priority distribution of one quarter's orders that had at least
+    one LATE lineitem (TPC-H Q4's EXISTS semi-join; the synthetic
+    lineitem lacks commit/receipt dates, so "late" is shipdate more
+    than 60 days after the order date — same correlated-predicate
+    shape).  Scale plan: the date window prunes orders FIRST (the
+    selective side), then below ``broadcast_limit`` survivors the
+    (orderkey -> orderdate, priority) table broadcasts via ray.put and
+    the lineitem scan semi-joins with a per-batch index_in lookup —
+    no exchange at all; above budget it falls back to one partitioned
+    hash join.  EXISTS collapses through ``bucketed_agg`` distinct
+    (orderkeys grow with data — never Ray's per-group aggregate), and
+    only the 5-row priority rollup leaves the shuffle."""
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    lo = pa.scalar(pd.Timestamp(Q4_WINDOW_LO), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(Q4_WINDOW_HI), type=pa.timestamp("us"))
+    late_us = Q4_LATE_DAYS * 86_400_000_000
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    def window(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi)
+            )
+        )
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "odate_us": pc.cast(pc.cast(t["o_orderdate"], pa.int64()), pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    win = orders.map_batches(window, batch_format="pyarrow").materialize()
+    n_win = win.count()
+
+    late_empty = pa.table(
+        {
+            "l_orderkey": pa.array([], pa.int64()),
+            "o_orderpriority": pa.array([], pa.string()),
+        }
+    )
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    if n_win <= broadcast_limit:
+        win_tab = pa.concat_tables(
+            [ray.get(r) for r in win.to_arrow_refs() if ray.get(r).num_rows > 0]
+            or [late_empty.append_column("odate_us", pa.array([], pa.int64()))]
+        ).combine_chunks()
+        win_ref = state.broadcast(win_tab)
+
+        def late_rows(t: pa.Table) -> pa.Table:
+            dim = state.cached_get(win_ref)
+            t = pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "ship_us": pc.cast(pc.cast(t["l_shipdate"], pa.int64()), pa.int64()),
+                }
+            )
+            t = state.lookup_join(
+                t, "l_orderkey", dim, "o_orderkey", ["odate_us", "o_orderpriority"]
+            )
+            keep = pc.and_kleene(
+                pc.is_valid(t["odate_us"]),
+                pc.greater(t["ship_us"], pc.add(t["odate_us"], late_us)),
+            )
+            t = t.filter(pc.fill_null(keep, False))
+            return t.select(["l_orderkey", "o_orderpriority"])
+
+        late = li.map_batches(late_rows, batch_format="pyarrow")
+    else:
+        j = li.join(
+            win,
+            join_type="inner",
+            num_partitions=_join_partitions(f"{sf_dir}/lineitem.parquet"),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+
+        def late_out(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "l_orderkey" not in set(t.column_names):
+                return late_empty
+            ship = pc.cast(pc.cast(t["l_shipdate"], pa.int64()), pa.int64())
+            t = t.filter(pc.greater(ship, pc.add(t["odate_us"], late_us)))
+            return t.select(["l_orderkey", "o_orderpriority"])
+
+        late = j.map_batches(late_out, batch_format="pyarrow")
+
+    distinct = bucketed_agg(
+        late, ["l_orderkey"], [("o_orderpriority", "min", "o_orderpriority")]
+    )
+
+    def prio_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["o_orderpriority"]), ["o_orderpriority"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "o_orderpriority": g["o_orderpriority"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    return (
+        distinct.map_batches(prio_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="order_count"))
+        .sort("o_orderpriority")
+    )
+
+
+Q4_ORDER_PRIORITY_SQL = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q4_WINDOW_LO}'
+  AND o.o_orderdate <  TIMESTAMP '{Q4_WINDOW_HI}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY
+  )
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: customer order-count distribution (zero-join form)
+# ---------------------------------------------------------------------------
+
+def q13_customer_distribution(sf_dir: str):
+    """Distribution of customers by how many orders they placed
+    (TPC-H Q13's LEFT JOIN + double aggregate).  Zero-join plan: the
+    per-custkey count folds through ``bucketed_agg`` (custkeys grow
+    with data), the count histogram is a bounded second aggregate, and
+    the LEFT-JOIN zero bucket is derived arithmetically — total
+    customers (parquet METADATA row count, no scan) minus customers
+    seen in orders.  Nothing customer-shaped ever leaves a worker."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    per_cust = bucketed_agg(orders, ["o_custkey"], [(None, "count", "c_count")])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["c_count"]), ["c_count"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"c_count": g["c_count"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    hist = (
+        per_cust.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("n", alias_name="custdist"))
+    )
+    # the histogram is bounded by max-orders-per-customer: driver-safe
+    rows = hist.take_all()
+    total = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    buyers = sum(r["custdist"] for r in rows)
+    if total - buyers > 0:
+        rows.append({"c_count": 0, "custdist": total - buyers})
+    rows.sort(key=lambda r: (-r["custdist"], -r["c_count"]))
+    return pa.table(
+        {
+            "c_count": pa.array([r["c_count"] for r in rows], pa.int64()),
+            "custdist": pa.array([r["custdist"] for r in rows], pa.int64()),
+        }
+    )
+
+
+Q13_CUSTOMER_DISTRIBUTION_SQL = """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive brand x quantity-range predicate join
+# ---------------------------------------------------------------------------
+
+Q19_TERMS = (("Brand#12", 1, 11), ("Brand#23", 10, 20), ("Brand#5", 20, 30))
+Q19_BROADCAST_LIMIT = 1_000_000
+
+
+def q19_brand_qty_revenue(
+    sf_dir: str, broadcast_limit: int = Q19_BROADCAST_LIMIT
+):
+    """Revenue from three (brand, quantity-range) bands (TPC-H Q19's
+    OR-of-ANDs predicate pushed through a part join).  The quantity
+    bound prunes lineitem BEFORE the part attach; the brand-filtered
+    part side (3 of 25 brands) broadcasts via ray.put below
+    ``broadcast_limit`` rows (partitioned hash join above); the band
+    masks are vectorized is_in/between kernels; only 3 partial rows
+    per block reach the final groupby."""
+    from document_extractor_ray import state
+
+    brands = [b for b, _, _ in Q19_TERMS]
+    qty_max = max(hi for _, _, hi in Q19_TERMS)
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def brand_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["p_brand"], value_set=pa.array(brands)))
+
+    dim = part.map_batches(brand_filter, batch_format="pyarrow").materialize()
+    n_dim = dim.count()
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def slim(t: pa.Table) -> pa.Table:
+        qty = pc.cast(
+            pc.round(t["l_quantity"], round_mode="half_towards_infinity"), pa.int64()
+        )
+        t = t.append_column("qty", qty)
+        t = t.filter(pc.less_equal(t["qty"], qty_max))
+        dp = _to_cents(
+            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        )
+        return pa.table({"l_partkey": t["l_partkey"], "qty": t["qty"], "dp": dp})
+
+    slimmed = li.map_batches(slim, batch_format="pyarrow")
+
+    empty = pa.table(
+        {
+            "p_brand": pa.array([], pa.string()),
+            "qty": pa.array([], pa.int64()),
+            "dp": pa.array([], pa.int64()),
+        }
+    )
+
+    if n_dim <= broadcast_limit:
+        dim_tab = pa.concat_tables(
+            [ray.get(r) for r in dim.to_arrow_refs() if ray.get(r).num_rows > 0]
+            or [
+                pa.table(
+                    {
+                        "p_partkey": pa.array([], pa.int64()),
+                        "p_brand": pa.array([], pa.string()),
+                    }
+                )
+            ]
+        ).combine_chunks()
+        dim_ref = state.broadcast(dim_tab)
+
+        def attach(t: pa.Table) -> pa.Table:
+            t = state.lookup_join(
+                t, "l_partkey", state.cached_get(dim_ref), "p_partkey", ["p_brand"]
+            )
+            t = t.filter(pc.is_valid(t["p_brand"]))
+            return t.select(["p_brand", "qty", "dp"])
+
+        tagged = slimmed.map_batches(attach, batch_format="pyarrow")
+    else:
+        j = slimmed.join(
+            dim,
+            join_type="inner",
+            num_partitions=_join_partitions(f"{sf_dir}/lineitem.parquet"),
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        )
+
+        def j_out(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "p_brand" not in set(t.column_names):
+                return empty
+            return t.select(["p_brand", "qty", "dp"])
+
+        tagged = j.map_batches(j_out, batch_format="pyarrow")
+
+    def band_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "p_brand": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "rev": pa.array([], pa.int64()),
+                }
+            )
+        mask = pa.array(np.zeros(t.num_rows, dtype=bool))
+        for brand, lo, hi in Q19_TERMS:
+            band = pc.and_(
+                pc.equal(t["p_brand"], brand),
+                pc.and_(
+                    pc.greater_equal(t["qty"], lo), pc.less_equal(t["qty"], hi)
+                ),
+            )
+            mask = pc.or_(mask, band)
+        t = t.filter(mask)
+        g = pa.TableGroupBy(t.select(["p_brand", "dp"]), ["p_brand"]).aggregate(
+            [("dp", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "p_brand": g["p_brand"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+                "rev": g["dp_sum"],
+            }
+        )
+
+    return (
+        tagged.map_batches(band_partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(
+            Sum("n", alias_name="n_items"), Sum("rev", alias_name="revenue_cents")
+        )
+        .sort("p_brand")
+    )
+
+
+_Q19_PRED = " OR ".join(
+    f"(p_brand = '{b}' AND qty BETWEEN {lo} AND {hi})" for b, lo, hi in Q19_TERMS
+)
+
+Q19_BRAND_QTY_REVENUE_SQL = f"""
+WITH f AS (
+  SELECT p.p_brand,
+         CAST(round(l.l_quantity) AS BIGINT) AS qty,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100.0) AS BIGINT) AS dp
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand IN ({", ".join(repr(t[0]) for t in Q19_TERMS)})
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(dp) AS BIGINT) AS revenue_cents
+FROM f
+WHERE {_Q19_PRED}
+GROUP BY 1 ORDER BY 1
+"""

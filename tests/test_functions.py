@@ -174,6 +174,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "mktseg_priority_contingency",
         "q17_small_qty_revenue",
         "user_value_drawdown",
+        "q4_order_priority",
+        "q13_customer_distribution",
+        "q19_brand_qty_revenue",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
