@@ -99,6 +99,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_quarantine": _extract_quarantine,
         "extract_unit_rows": _extract_unit_rows,
         # --- round-3 additions (oracled, never driver-sampled) ---
+        "value_cusum_alarms": analytics.value_cusum_alarms,
+        "zipf_slope_by_lang": textstats.zipf_slope_by_lang,
+        "doc_char_entropy": textstats.doc_char_entropy,
+        "embedding_dim_corr": similarity.embedding_dim_corr,
         "q4_order_priority": analytics.q4_order_priority,
         "q13_customer_distribution": analytics.q13_customer_distribution,
         "q19_brand_qty_revenue": analytics.q19_brand_qty_revenue,
@@ -406,6 +410,10 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": analytics.TABLE_PROFILE_SQL,
         "orders_above_customer_avg": analytics.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
         "q7_volume_shipping": analytics.Q7_VOLUME_SHIPPING_SQL,
+        "value_cusum_alarms": analytics.VALUE_CUSUM_ALARMS_SQL,
+        "zipf_slope_by_lang": textstats.ZIPF_SLOPE_BY_LANG_SQL,
+        "doc_char_entropy": textstats.DOC_CHAR_ENTROPY_SQL,
+        "embedding_dim_corr": similarity.embedding_dim_corr_sql(),
         "q4_order_priority": analytics.Q4_ORDER_PRIORITY_SQL,
         "q13_customer_distribution": analytics.Q13_CUSTOMER_DISTRIBUTION_SQL,
         "q19_brand_qty_revenue": analytics.Q19_BRAND_QTY_REVENUE_SQL,

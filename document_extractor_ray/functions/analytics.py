@@ -8787,3 +8787,93 @@ FROM f
 WHERE {_Q19_PRED}
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change detection over daily value sums (sequential control chart)
+# ---------------------------------------------------------------------------
+
+def value_cusum_alarms(sf_dir: str):
+    """One-sided CUSUM control chart per event type over daily value
+    sums: s_d = max(0, s_{d-1} + cents_d - k) with allowance k = the
+    type's mean daily cents (floor-exact integer), alarm when s_d > k.
+    The recurrence is inherently sequential, but only over the
+    TIME-bounded (type x day) table: the data-sized fold is the daily
+    partial aggregate inside map_batches; the per-type scan afterwards
+    touches ~days rows however large the event stream grows.  Oracle:
+    the same recurrence as a recursive CTE."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "day": day,
+                "cents": _to_cents(t["value"]),
+            }
+        )
+
+    daily = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("cents", alias_name="cents"))
+        .map_batches(_ts_us("day"), batch_format="pyarrow")
+    )
+
+    def cusum_group(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("day", "ascending")])
+        t = t.take(idx)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        # k: floor-exact mean daily cents (positive sums; both engines
+        # floor-divide positives identically)
+        k = int(cents.sum()) // len(cents)
+        s, out = 0, np.empty(len(cents), np.int64)
+        for i, c in enumerate(cents):          # ~days iterations, time-bounded
+            s = max(0, s + int(c) - k)
+            out[i] = s
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "day": t["day"],
+                "cusum_cents": pa.array(out, pa.int64()),
+                "alarm": pa.array(out > k),
+            }
+        )
+
+    return (
+        daily.groupby("event_type")
+        .map_groups(cusum_group, batch_format="pyarrow")
+        .sort(["event_type", "day"])
+    )
+
+
+VALUE_CUSUM_ALARMS_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+allowance AS (
+  SELECT event_type, CAST(sum(cents) // count(*) AS BIGINT) AS k
+  FROM daily GROUP BY 1
+),
+seq AS (
+  SELECT d.event_type, d.day, d.cents, a.k,
+         CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+              AS BIGINT) AS rn
+  FROM daily d JOIN allowance a ON a.event_type = d.event_type
+),
+cusum AS (
+  SELECT event_type, day, rn, k,
+         GREATEST(CAST(0 AS BIGINT), cents - k) AS s
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT n.event_type, n.day, n.rn, n.k,
+         GREATEST(CAST(0 AS BIGINT), c.s + n.cents - n.k)
+  FROM cusum c
+  JOIN seq n ON n.event_type = c.event_type AND n.rn = c.rn + 1
+)
+SELECT event_type, day, CAST(s AS BIGINT) AS cusum_cents, s > k AS alarm
+FROM cusum ORDER BY event_type, day
+"""

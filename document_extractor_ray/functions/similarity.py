@@ -1166,3 +1166,119 @@ FROM (
 GROUP BY d
 ORDER BY dim
 """
+
+
+# ---------------------------------------------------------------------------
+# Pairwise dimension correlation ingredients (exact integer Gram fold)
+# ---------------------------------------------------------------------------
+
+DIM_CORR_DIMS = 8
+
+
+def embedding_dim_corr(sf_dir: str, d: int = DIM_CORR_DIMS):
+    """Exact Pearson-correlation ingredients for every pair of the
+    first ``d`` embedding dimensions: per pair (i < j) the integers
+    n, cov_num = n·Σxy − ΣxΣy and var_{i,j}_num = n·Σx² − (Σx)² over
+    micro-quantized components (the embedding_dim_stats quantization);
+    corr = cov_num / sqrt(var_i·var_j) is the consumer's float.  Finds
+    redundant / entangled dimensions before an IVF or PCA step.
+    Scale shape: each batch folds its matrix to ONE d×d partial Gram
+    via X^T·X (a single matmul), the shuffle carries d(d−1)/2-bounded
+    rows, and the cross-multiplied finals are computed in exact Python
+    ints over that bounded table (int64 partials hold to ~9e6 unit
+    vectors per batch — the dim_stats ceiling)."""
+    from ray.data.aggregate import Sum
+
+    from document_extractor_ray.functions.analytics import _n_blocks
+    from document_extractor_ray.sources import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["embedding"],
+        override_num_blocks=_n_blocks(),
+    )
+
+    iu, ju = np.triu_indices(d, k=1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "dim_i": pa.array([], pa.int64()),
+                "dim_j": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sx": pa.array([], pa.int64()),
+                "sy": pa.array([], pa.int64()),
+                "sxy": pa.array([], pa.int64()),
+                "sxx": pa.array([], pa.int64()),
+                "syy": pa.array([], pa.int64()),
+            }
+        )
+        m = embedding_matrix(t["embedding"]).astype(np.float64)
+        if m.size == 0:
+            return empty
+        q = np.floor(m[:, :d] * 1_000_000 + 0.5).astype(np.int64)
+        gram = q.T @ q                       # d x d integer Gram
+        sums = q.sum(axis=0)
+        return pa.table(
+            {
+                "dim_i": pa.array(iu.astype(np.int64), pa.int64()),
+                "dim_j": pa.array(ju.astype(np.int64), pa.int64()),
+                "n": pa.array(np.full(len(iu), len(q), np.int64), pa.int64()),
+                "sx": pa.array(sums[iu], pa.int64()),
+                "sy": pa.array(sums[ju], pa.int64()),
+                "sxy": pa.array(gram[iu, ju], pa.int64()),
+                "sxx": pa.array(gram[iu, iu], pa.int64()),
+                "syy": pa.array(gram[ju, ju], pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["dim_i", "dim_j"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+        )
+    )
+    # d(d-1)/2-bounded: exact Python-int cross multiplies on the driver
+    rows = sorted(merged.take_all(), key=lambda r: (r["dim_i"], r["dim_j"]))
+    return pa.table(
+        {
+            "dim_i": pa.array([r["dim_i"] for r in rows], pa.int64()),
+            "dim_j": pa.array([r["dim_j"] for r in rows], pa.int64()),
+            "n": pa.array([r["n"] for r in rows], pa.int64()),
+            "cov_num": pa.array(
+                [r["n"] * r["sxy"] - r["sx"] * r["sy"] for r in rows], pa.int64()
+            ),
+            "var_i_num": pa.array(
+                [r["n"] * r["sxx"] - r["sx"] * r["sx"] for r in rows], pa.int64()
+            ),
+            "var_j_num": pa.array(
+                [r["n"] * r["syy"] - r["sy"] * r["sy"] for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+def embedding_dim_corr_sql(d: int = DIM_CORR_DIMS) -> str:
+    parts = []
+    for i in range(d):
+        for j in range(i + 1, d):
+            parts.append(
+                f"""
+SELECT CAST({i} AS BIGINT) AS dim_i, CAST({j} AS BIGINT) AS dim_j,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS cov_num,
+       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS var_i_num,
+       CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS var_j_num
+FROM (
+  SELECT CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(CAST(embedding[{j + 1}] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM embeddings
+)"""
+            )
+    return " UNION ALL ".join(parts) + "\nORDER BY dim_i, dim_j"

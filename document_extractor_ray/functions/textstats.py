@@ -3857,3 +3857,228 @@ FROM ({LANG_ID_SQL}) p JOIN documents d USING (doc_id)
 GROUP BY d.source
 ORDER BY d.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency slope per language (log-log least squares)
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_K = 100
+
+
+def zipf_slope_by_lang(sf_dir: str, k: int = ZIPF_TOP_K):
+    """Least-squares slope of ln(count) over ln(rank) for each
+    language's top-k tokens — the Zipf-exponent fit that flags
+    synthetic or templated corpora (natural text sits near -1).
+    Exactness: ln values are micro-quantized BIGINTs on both engines
+    (floor(x*1e6+0.5) == DuckDB round() for positives; CPython's
+    math.log and DuckDB's ln are the same libm call), and the slope
+    ships as the exact integer pair (slope_num, slope_den) =
+    (n·Σxy − ΣxΣy, n·Σxx − Σx²) — no float division ever happens.
+    Scale shape: same bucketed (lang, token) fold + per-block local
+    top-k as top_tokens_per_lang; the regression fold sees only
+    langs·k rows."""
+    import math
+
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read_docs(sf_dir, ["lang", "text"])
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        lang = t["lang"].take(parent)
+        pairs = pa.table({"lang": lang, "token": flat}).filter(
+            pc.not_equal(flat, "")
+        )
+        g = pa.TableGroupBy(pairs, ["lang", "token"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "token": g["token"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    tf = bucketed_agg(
+        ds.map_batches(tf_partial, batch_format="pyarrow"),
+        ["lang", "token"],
+        [("n", "sum", "n")],
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "token": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("lang", "ascending"),
+                ("n", "descending"),
+                ("token", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        ld = pc.dictionary_encode(t["lang"].combine_chunks())
+        codes = ld.indices.to_numpy(zero_copy_only=False)
+        new = np.ones(len(codes), dtype=bool)
+        new[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(new)
+        run_start = np.repeat(starts, np.diff(np.append(starts, len(codes))))
+        rank = np.arange(len(codes)) - run_start + 1
+        return t.filter(pa.array(rank <= k))
+
+    def micro_ln(v: int) -> int:
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    def fit(t: pa.Table) -> pa.Table:
+        t = local_topk(t)                     # global top-k per lang
+        langs, n_tops, nums, dens = [], [], [], []
+        ld = pc.dictionary_encode(t["lang"].combine_chunks())
+        codes = ld.indices.to_numpy(zero_copy_only=False)
+        counts = t["n"].to_numpy(zero_copy_only=False)
+        for code in range(len(ld.dictionary)):
+            sel = np.flatnonzero(codes == code)
+            if len(sel) < 2:
+                continue
+            # exact integer regression sums (Python ints: no overflow)
+            sx = sy = sxy = sxx = 0
+            for r, i in enumerate(sel, start=1):
+                x, y = micro_ln(r), micro_ln(int(counts[i]))
+                sx += x
+                sy += y
+                sxy += x * y
+                sxx += x * x
+            m = len(sel)
+            langs.append(ld.dictionary[code].as_py())
+            n_tops.append(m)
+            nums.append(m * sxy - sx * sy)
+            dens.append(m * sxx - sx * sx)
+        order = np.argsort(np.array(langs, dtype=object))
+        return pa.table(
+            {
+                "lang": pa.array([langs[i] for i in order], pa.string()),
+                "n_top": pa.array([n_tops[i] for i in order], pa.int64()),
+                "slope_num": pa.array([nums[i] for i in order], pa.int64()),
+                "slope_den": pa.array([dens[i] for i in order], pa.int64()),
+            }
+        )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("g", pa.array(np.zeros(t.num_rows, np.int32)))
+
+    return (
+        tf.map_batches(local_topk, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(lambda t: fit(t.drop_columns(["g"])), batch_format="pyarrow")
+        .sort("lang")
+    )
+
+
+ZIPF_SLOPE_BY_LANG_SQL = f"""
+WITH tf AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT lang,
+           unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+    FROM documents
+  )
+  WHERE token <> ''
+  GROUP BY lang, token
+),
+ranked AS (
+  SELECT lang, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
+  FROM tf
+),
+pts AS (
+  SELECT lang,
+         CAST(round(ln(rk) * 1000000) AS BIGINT) AS x,
+         CAST(round(ln(n) * 1000000) AS BIGINT) AS y
+  FROM ranked WHERE rk <= {ZIPF_TOP_K}
+),
+s AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_top,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts GROUP BY 1
+)
+SELECT lang, n_top,
+       CAST(n_top * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n_top * sxx - sx * sx AS BIGINT) AS slope_den
+FROM s WHERE n_top >= 2 ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-document character-distribution entropy (micro-nat integer form)
+# ---------------------------------------------------------------------------
+
+def doc_char_entropy(sf_dir: str):
+    """Shannon entropy of each document's character distribution,
+    shipped as the exact integer numerator ent_num =
+    Σ_c m_c·(L(n) − L(m_c)) with L(v) = round(ln(v)·1e6) — entropy in
+    micro-nats is ent_num / n_chars, a division left to the consumer
+    so no float crosses the wire.  Low entropy flags templated /
+    repeated-character junk the quality filters miss.  Scale shape:
+    one streaming pass; per doc a vectorized utf-32 decode +
+    np.unique count (alphabet-bounded), ln values memoized per
+    distinct count."""
+    import math
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def ent_batch(t: pa.Table) -> pa.Table:
+        ln_cache: dict[int, int] = {}
+
+        def L(v: int) -> int:
+            r = ln_cache.get(v)
+            if r is None:
+                r = int(math.floor(math.log(v) * 1_000_000 + 0.5))
+                ln_cache[v] = r
+            return r
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nums = np.empty(len(ids), np.int64)
+        lens = np.empty(len(ids), np.int64)
+        for i, txt in enumerate(t["text"].to_pylist()):
+            cp = np.frombuffer(txt.encode("utf-32-le"), dtype=np.uint32)
+            n = len(cp)
+            lens[i] = n
+            if n == 0:
+                nums[i] = 0
+                continue
+            _, m = np.unique(cp, return_counts=True)
+            ln_n = L(n)
+            nums[i] = sum(int(c) * (ln_n - L(int(c))) for c in m)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pa.array(lens, pa.int64()),
+                "ent_num": pa.array(nums, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(ent_batch, batch_format="pyarrow").sort("doc_id")
+
+
+DOC_CHAR_ENTROPY_SQL = r"""
+WITH ch AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c FROM documents
+),
+cnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS m FROM ch GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n FROM cnt GROUP BY 1)
+SELECT cnt.doc_id, t.n AS n_chars,
+       CAST(sum(m * (CAST(round(ln(t.n) * 1000000) AS BIGINT)
+                     - CAST(round(ln(m) * 1000000) AS BIGINT))) AS BIGINT)
+         AS ent_num
+FROM cnt JOIN tot t ON t.doc_id = cnt.doc_id
+GROUP BY cnt.doc_id, t.n
+ORDER BY cnt.doc_id
+"""

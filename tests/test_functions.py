@@ -177,6 +177,10 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "q4_order_priority",
         "q13_customer_distribution",
         "q19_brand_qty_revenue",
+        "value_cusum_alarms",
+        "zipf_slope_by_lang",
+        "doc_char_entropy",
+        "embedding_dim_corr",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
