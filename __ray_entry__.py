@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_quarantine": _extract_quarantine,
         "extract_unit_rows": _extract_unit_rows,
         # --- round-3 additions (oracled, never driver-sampled) ---
+        "q8_market_share": analytics.q8_market_share,
+        "q21_waiting_suppliers": analytics.q21_waiting_suppliers,
         "value_cusum_alarms": analytics.value_cusum_alarms,
         "zipf_slope_by_lang": textstats.zipf_slope_by_lang,
         "doc_char_entropy": textstats.doc_char_entropy,
@@ -410,6 +412,8 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": analytics.TABLE_PROFILE_SQL,
         "orders_above_customer_avg": analytics.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
         "q7_volume_shipping": analytics.Q7_VOLUME_SHIPPING_SQL,
+        "q8_market_share": analytics.Q8_MARKET_SHARE_SQL,
+        "q21_waiting_suppliers": analytics.Q21_WAITING_SUPPLIERS_SQL,
         "value_cusum_alarms": analytics.VALUE_CUSUM_ALARMS_SQL,
         "zipf_slope_by_lang": textstats.ZIPF_SLOPE_BY_LANG_SQL,
         "doc_char_entropy": textstats.DOC_CHAR_ENTROPY_SQL,

@@ -8877,3 +8877,424 @@ cusum AS (
 SELECT event_type, day, CAST(s AS BIGINT) AS cusum_cents, s > k AS alarm
 FROM cusum ORDER BY event_type, day
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: nation market share of a part type's revenue by year
+# ---------------------------------------------------------------------------
+
+Q8_PART_TYPE = "ECONOMY"
+Q8_BROADCAST_LIMIT = 1_000_000
+
+
+def q8_market_share(sf_dir: str, broadcast_limit: int = Q8_BROADCAST_LIMIT):
+    """Supplier-nation market share of ECONOMY-part revenue per order
+    year (TPC-H Q8's multi-dim star join).  Share ships as the exact
+    integer pair (nation_rev_cents, year_total_cents) — the division
+    is the consumer's.  Join discipline: the part-type filter
+    broadcasts as a KEY SET and prunes lineitem to ~1/6 BEFORE the one
+    partitioned exchange (lineitem ⋈ orders on orderkey); the
+    supplier→nation map broadcasts below ``broadcast_limit`` rows
+    (2 slim int columns) and the 25-row nation dim always broadcasts;
+    above budget both fall back to partitioned joins.  The final
+    (year × nation)-bounded rollup gets its per-year total from a
+    window fold over that bounded table, never from a second scan."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import state
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def type_keys(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["p_type"], Q8_PART_TYPE)).select(["p_partkey"])
+
+    keys = part.map_batches(type_keys, batch_format="pyarrow").materialize()
+    n_keys = keys.count()
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    supp_mat = supp.materialize()
+    n_supp = supp_mat.count()
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    use_broadcast = n_keys <= broadcast_limit and n_supp <= broadcast_limit
+    if use_broadcast:
+        key_tab = pa.concat_tables(
+            [ray.get(r) for r in keys.to_arrow_refs() if ray.get(r).num_rows > 0]
+            or [pa.table({"p_partkey": pa.array([], pa.int64())})]
+        ).combine_chunks()
+        supp_tab = pa.concat_tables(
+            [ray.get(r) for r in supp_mat.to_arrow_refs() if ray.get(r).num_rows > 0]
+            or [
+                pa.table(
+                    {
+                        "s_suppkey": pa.array([], pa.int64()),
+                        "s_nationkey": pa.array([], pa.int32()),
+                    }
+                )
+            ]
+        ).combine_chunks()
+        key_ref = state.broadcast(key_tab)
+        supp_ref = state.broadcast(supp_tab)
+
+        def prune(t: pa.Table) -> pa.Table:
+            kt = state.cached_get(key_ref)
+            t = t.filter(
+                pc.is_in(t["l_partkey"], value_set=kt["p_partkey"].combine_chunks())
+            )
+            dp = _to_cents(
+                pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+            )
+            t = pa.table(
+                {"l_orderkey": t["l_orderkey"], "l_suppkey": t["l_suppkey"], "dp": dp}
+            )
+            t = state.lookup_join(
+                t, "l_suppkey", state.cached_get(supp_ref), "s_suppkey", ["s_nationkey"]
+            )
+            return pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "nk": pc.cast(t["s_nationkey"], pa.int64()),
+                    "dp": t["dp"],
+                }
+            )
+
+        pruned = li.map_batches(prune, batch_format="pyarrow")
+    else:
+        j0 = li.join(
+            keys,
+            join_type="inner",
+            num_partitions=_join_partitions(f"{sf_dir}/lineitem.parquet"),
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        ).materialize()
+        j1 = j0.join(
+            supp_mat,
+            join_type="inner",
+            num_partitions=_join_partitions(f"{sf_dir}/lineitem.parquet"),
+            on=("l_suppkey",),
+            right_on=("s_suppkey",),
+        )
+
+        def slim_j(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "l_orderkey" not in set(t.column_names):
+                return pa.table(
+                    {
+                        "l_orderkey": pa.array([], pa.int64()),
+                        "nk": pa.array([], pa.int64()),
+                        "dp": pa.array([], pa.int64()),
+                    }
+                )
+            dp = _to_cents(
+                pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+            )
+            return pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "nk": pc.cast(t["s_nationkey"], pa.int64()),
+                    "dp": dp,
+                }
+            )
+
+        pruned = j1.map_batches(slim_j, batch_format="pyarrow")
+
+    pruned = _settle_nonempty(
+        pruned,
+        pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "nk": pa.array([], pa.int64()),
+                "dp": pa.array([], pa.int64()),
+            }
+        ),
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def o_slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "yr": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    j = pruned.join(
+        orders.map_batches(o_slim, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=_join_partitions(f"{sf_dir}/orders.parquet"),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def agg_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "yr" not in set(t.column_names):
+            return pa.table(
+                {
+                    "yr": pa.array([], pa.int64()),
+                    "nk": pa.array([], pa.int64()),
+                    "rev": pa.array([], pa.int64()),
+                }
+            )
+        g = pa.TableGroupBy(t.select(["yr", "nk", "dp"]), ["yr", "nk"]).aggregate(
+            [("dp", "sum")]
+        )
+        return pa.table({"yr": g["yr"], "nk": g["nk"], "rev": g["dp_sum"]})
+
+    agg = (
+        j.map_batches(agg_partial, batch_format="pyarrow")
+        .groupby(["yr", "nk"])
+        .aggregate(Sum("rev", alias_name="nation_rev_cents"))
+    )
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nref = state.broadcast(nation)
+
+    def attach(t: pa.Table) -> pa.Table:
+        t = t.append_column("nk32", pc.cast(t["nk"], pa.int32()))
+        t = state.lookup_join(
+            t, "nk32", state.cached_get(nref), "n_nationkey", ["n_name"], fill=""
+        )
+        return pa.table(
+            {
+                "year": t["yr"],
+                "nation": t["n_name"],
+                "nation_rev_cents": t["nation_rev_cents"],
+            }
+        )
+
+    def year_total(t: pa.Table) -> pa.Table:
+        tot = pc.sum(t["nation_rev_cents"]).as_py() or 0
+        return t.append_column(
+            "year_total_cents", pa.array(np.full(t.num_rows, tot, np.int64), pa.int64())
+        )
+
+    return (
+        agg.map_batches(attach, batch_format="pyarrow")
+        .groupby("year")
+        .map_groups(year_total, batch_format="pyarrow")
+        .sort(["year", "nation"])
+    )
+
+
+Q8_MARKET_SHARE_SQL = f"""
+WITH f AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS year, s.s_nationkey AS nk,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100.0) AS BIGINT) AS dp
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = '{Q8_PART_TYPE}'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+agg AS (
+  SELECT year, nk, CAST(sum(dp) AS BIGINT) AS nation_rev_cents
+  FROM f GROUP BY 1, 2
+)
+SELECT a.year, n.n_name AS nation, a.nation_rev_cents,
+       CAST(sum(a.nation_rev_cents) OVER (PARTITION BY a.year) AS BIGINT)
+         AS year_total_cents
+FROM agg a JOIN nation n ON n.n_nationkey = a.nk
+ORDER BY year, nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: suppliers who alone shipped late on multi-supplier orders
+# ---------------------------------------------------------------------------
+
+Q21_LATE_DAYS = 60
+Q21_TOP = 20
+Q21_BROADCAST_LIMIT = 1_000_000
+
+
+def q21_waiting_suppliers(
+    sf_dir: str, broadcast_limit: int = Q21_BROADCAST_LIMIT
+):
+    """Suppliers who were the SOLE late shipper on a finished
+    multi-supplier order (TPC-H Q21's semi+anti join stack; the
+    synthetic lineitem has no commit/receipt dates, so late =
+    shipdate > orderdate + 60d, and 'finished' = o_orderstatus 'F').
+    Plan: status-filtered orders broadcast below budget (partitioned
+    join above); per-(orderkey, suppkey) late flags then per-orderkey
+    (n_supp, n_late, sole-late suppkey) both fold through
+    ``bucketed_agg`` — pair keys grow with data; the EXISTS/NOT-EXISTS
+    pair of the original collapses into the n_supp>1 AND n_late=1
+    filter on that fold; supplier names attach via broadcast dim."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    late_us = Q21_LATE_DAYS * 86_400_000_000
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderstatus"])
+
+    def f_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "odate_us": pc.cast(pc.cast(t["o_orderdate"], pa.int64()), pa.int64()),
+            }
+        )
+
+    fo = orders.map_batches(f_orders, batch_format="pyarrow").materialize()
+    n_fo = fo.count()
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    flag_empty = pa.table(
+        {
+            "l_orderkey": pa.array([], pa.int64()),
+            "l_suppkey": pa.array([], pa.int64()),
+            "late": pa.array([], pa.int64()),
+        }
+    )
+
+    if n_fo <= broadcast_limit:
+        fo_tab = pa.concat_tables(
+            [ray.get(r) for r in fo.to_arrow_refs() if ray.get(r).num_rows > 0]
+            or [
+                pa.table(
+                    {
+                        "o_orderkey": pa.array([], pa.int64()),
+                        "odate_us": pa.array([], pa.int64()),
+                    }
+                )
+            ]
+        ).combine_chunks()
+        fo_ref = state.broadcast(fo_tab)
+
+        def flags(t: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "l_suppkey": t["l_suppkey"],
+                    "ship_us": pc.cast(pc.cast(t["l_shipdate"], pa.int64()), pa.int64()),
+                }
+            )
+            t = state.lookup_join(
+                t, "l_orderkey", state.cached_get(fo_ref), "o_orderkey", ["odate_us"]
+            )
+            t = t.filter(pc.is_valid(t["odate_us"]))
+            late = pc.cast(
+                pc.greater(t["ship_us"], pc.add(t["odate_us"], late_us)), pa.int64()
+            )
+            return pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "l_suppkey": t["l_suppkey"],
+                    "late": late,
+                }
+            )
+
+        flagged = li.map_batches(flags, batch_format="pyarrow")
+    else:
+        jf = li.join(
+            fo,
+            join_type="inner",
+            num_partitions=_join_partitions(f"{sf_dir}/lineitem.parquet"),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+
+        def flags_j(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "l_orderkey" not in set(t.column_names):
+                return flag_empty
+            ship = pc.cast(pc.cast(t["l_shipdate"], pa.int64()), pa.int64())
+            late = pc.cast(pc.greater(ship, pc.add(t["odate_us"], late_us)), pa.int64())
+            return pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "l_suppkey": t["l_suppkey"],
+                    "late": late,
+                }
+            )
+
+        flagged = jf.map_batches(flags_j, batch_format="pyarrow")
+
+    per_pair = bucketed_agg(
+        flagged, ["l_orderkey", "l_suppkey"], [("late", "max", "late")]
+    )
+
+    def pair_prep(t: pa.Table) -> pa.Table:
+        late_supp = pc.if_else(
+            pc.equal(t["late"], 1), t["l_suppkey"], pa.scalar(-1, pa.int64())
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                "late": t["late"],
+                "late_supp": late_supp,
+            }
+        )
+
+    per_order = bucketed_agg(
+        per_pair.map_batches(pair_prep, batch_format="pyarrow"),
+        ["l_orderkey"],
+        [
+            ("one", "sum", "n_supp"),
+            ("late", "sum", "n_late"),
+            ("late_supp", "max", "late_supp"),
+        ],
+    )
+
+    def waiting_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.greater(t["n_supp"], 1), pc.equal(t["n_late"], 1))
+        )
+        g = pa.TableGroupBy(t.select(["late_supp"]), ["late_supp"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"late_supp": g["late_supp"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    counts = (
+        per_order.map_batches(waiting_partial, batch_format="pyarrow")
+        .groupby("late_supp")
+        .aggregate(Sum("n", alias_name="numwait"))
+    )
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    sref = state.broadcast(supp)
+
+    def attach(t: pa.Table) -> pa.Table:
+        t = state.lookup_join(
+            t, "late_supp", state.cached_get(sref), "s_suppkey", ["s_name"], fill=""
+        )
+        return t.select(["s_name", "numwait"])
+
+    return (
+        counts.map_batches(attach, batch_format="pyarrow")
+        .sort(["numwait", "s_name"], descending=[True, False])
+        .limit(Q21_TOP)
+    )
+
+
+Q21_WAITING_SUPPLIERS_SQL = f"""
+WITH f AS (
+  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+),
+ls AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN l.l_shipdate > f.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem l JOIN f ON f.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+),
+po AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late,
+         max(CASE WHEN late = 1 THEN l_suppkey ELSE -1 END) AS late_supp
+  FROM ls GROUP BY 1
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM po JOIN supplier s ON s.s_suppkey = po.late_supp
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT {Q21_TOP}
+"""

@@ -177,6 +177,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "q4_order_priority",
         "q13_customer_distribution",
         "q19_brand_qty_revenue",
+        "q8_market_share",
+        "q21_waiting_suppliers",
         "value_cusum_alarms",
         "zipf_slope_by_lang",
         "doc_char_entropy",
@@ -2134,4 +2136,44 @@ def test_q18_join_escalation_matches_broadcast(ray_session):
 
     a = q18_large_orders(SF).to_pandas()
     b = q18_large_orders(SF, broadcast_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_q4_join_escalation_matches_broadcast(ray_session):
+    """Force the above-budget partitioned-join path (broadcast_limit=0)
+    and check it is row-identical to the broadcast semi-join path."""
+    from document_extractor_ray.functions.analytics import q4_order_priority
+
+    a = q4_order_priority(SF).to_pandas()
+    b = q4_order_priority(SF, broadcast_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_q19_join_escalation_matches_broadcast(ray_session):
+    """Force the above-budget partitioned-join path (broadcast_limit=0)
+    and check it is row-identical to the broadcast-lookup path."""
+    from document_extractor_ray.functions.analytics import q19_brand_qty_revenue
+
+    a = q19_brand_qty_revenue(SF).to_pandas()
+    b = q19_brand_qty_revenue(SF, broadcast_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_q8_join_escalation_matches_broadcast(ray_session):
+    """Force the all-partitioned-joins path (broadcast_limit=0) and
+    check it is row-identical to the broadcast star-join path."""
+    from document_extractor_ray.functions.analytics import q8_market_share
+
+    a = q8_market_share(SF).to_pandas()
+    b = q8_market_share(SF, broadcast_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_q21_join_escalation_matches_broadcast(ray_session):
+    """Force the above-budget partitioned-join path (broadcast_limit=0)
+    and check it is row-identical to the broadcast path."""
+    from document_extractor_ray.functions.analytics import q21_waiting_suppliers
+
+    a = q21_waiting_suppliers(SF).to_pandas()
+    b = q21_waiting_suppliers(SF, broadcast_limit=0).to_pandas()
     pd.testing.assert_frame_equal(a, b)
