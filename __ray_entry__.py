@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_quarantine": _extract_quarantine,
         "extract_unit_rows": _extract_unit_rows,
         # --- round-3 additions (oracled, never driver-sampled) ---
+        "cooc_window_pairs": textstats.cooc_window_pairs,
+        "doc_prefix_groups": textstats.doc_prefix_groups,
+        "user_event_entropy": analytics.user_event_entropy,
         "q8_market_share": analytics.q8_market_share,
         "q21_waiting_suppliers": analytics.q21_waiting_suppliers,
         "value_cusum_alarms": analytics.value_cusum_alarms,
@@ -412,6 +415,9 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": analytics.TABLE_PROFILE_SQL,
         "orders_above_customer_avg": analytics.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
         "q7_volume_shipping": analytics.Q7_VOLUME_SHIPPING_SQL,
+        "cooc_window_pairs": textstats.COOC_WINDOW_PAIRS_SQL,
+        "doc_prefix_groups": textstats.DOC_PREFIX_GROUPS_SQL,
+        "user_event_entropy": analytics.USER_EVENT_ENTROPY_SQL,
         "q8_market_share": analytics.Q8_MARKET_SHARE_SQL,
         "q21_waiting_suppliers": analytics.Q21_WAITING_SUPPLIERS_SQL,
         "value_cusum_alarms": analytics.VALUE_CUSUM_ALARMS_SQL,

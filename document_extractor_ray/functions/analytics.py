@@ -9298,3 +9298,96 @@ FROM po JOIN supplier s ON s.s_suppkey = po.late_supp
 WHERE n_supp > 1 AND n_late = 1
 GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT {Q21_TOP}
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-user event-type entropy (behavioral diversity, micro-nat integers)
+# ---------------------------------------------------------------------------
+
+def user_event_entropy(sf_dir: str):
+    """Shannon entropy of each user's event-type mix, shipped as the
+    exact integer numerator ent_num = Σ_c m_c·(L(n) − L(m_c)) with
+    L(v) = round(ln(v)·1e6) — bots and single-action users score 0,
+    diverse users approach ln(n_types).  Scale shape: the (user, type)
+    fold is key-per-row so it runs through ``bucketed_agg``; the
+    per-user reduce then happens inside the SAME hash partition via a
+    numpy reduceat over user runs (types-per-user is bounded), ln
+    values memoized per distinct count."""
+    import math
+
+    from document_extractor_ray.functions.bucketing import bucketed_agg, part_of_int64
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    per_ut = bucketed_agg(
+        ds, ["user_id", "event_type"], [(None, "count", "m")]
+    )
+    n_parts = _n_blocks()
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "m": t["m"],
+                "part": part_of_int64(u, n_parts),
+            }
+        )
+
+    def ent_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "ent_num": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        m = t["m"].to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        u, m = u[order], m[order]
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        totals = np.add.reduceat(m, starts)
+        # memoized micro-ln over the distinct counts in this partition
+        vals = np.unique(np.concatenate([m, totals]))
+        lut = {int(v): int(math.floor(math.log(v) * 1_000_000 + 0.5)) for v in vals}
+        lm = np.array([lut[int(v)] for v in m], np.int64)
+        ln_tot = np.array([lut[int(v)] for v in totals], np.int64)
+        seg = np.cumsum(new) - 1
+        terms = m * (ln_tot[seg] - lm)
+        ent = np.add.reduceat(terms, starts)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "n_events": pa.array(totals.astype(np.int64), pa.int64()),
+                "ent_num": pa.array(ent.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        per_ut.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda t: ent_part(t.drop_columns(["part"])), batch_format="pyarrow"
+        )
+        .sort("user_id")
+    )
+
+
+USER_EVENT_ENTROPY_SQL = """
+WITH cnt AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS m
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT user_id, CAST(sum(m) AS BIGINT) AS n FROM cnt GROUP BY 1)
+SELECT cnt.user_id, t.n AS n_events,
+       CAST(sum(m * (CAST(round(ln(t.n) * 1000000) AS BIGINT)
+                     - CAST(round(ln(m) * 1000000) AS BIGINT))) AS BIGINT)
+         AS ent_num
+FROM cnt JOIN tot t ON t.user_id = cnt.user_id
+GROUP BY cnt.user_id, t.n
+ORDER BY cnt.user_id
+"""

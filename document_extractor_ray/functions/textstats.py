@@ -4082,3 +4082,142 @@ FROM cnt JOIN tot t ON t.doc_id = cnt.doc_id
 GROUP BY cnt.doc_id, t.n
 ORDER BY cnt.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Windowed co-occurrence pairs (skip-gram context counts, window <= 2)
+# ---------------------------------------------------------------------------
+
+COOC_WINDOW = 2
+COOC_TOP_K = 30
+
+
+def cooc_window_pairs(sf_dir: str, window: int = COOC_WINDOW, k: int = COOC_TOP_K):
+    """Top-k directional token pairs co-occurring within ``window``
+    positions — the skip-gram context statistic behind word-vector
+    training (the window>1 generalization of bigram_top, same
+    tokenizer so the n-gram family cannot drift).  Per batch: one
+    tokenize, then for each distance d a single numpy parent-index
+    compare builds the (w, w_{+d}) pairs — pairs never straddle docs —
+    and an Arrow group_by pre-counts; the shuffle carries
+    (pair, n) partials bounded by distinct-pair count per batch."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"pair": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        f = flat.filter(keep).combine_chunks()
+        p = parent.filter(keep).combine_chunks().to_numpy(zero_copy_only=False)
+        pieces = []
+        for d in range(1, window + 1):
+            if len(f) <= d:
+                continue
+            mask = pa.array(p[d:] == p[:-d])
+            pieces.append(
+                pc.binary_join_element_wise(
+                    f.slice(0, len(f) - d).filter(mask), f.slice(d).filter(mask), " "
+                )
+            )
+        if not pieces:
+            return empty
+        pairs = pa.concat_arrays([pa.array(x) if not isinstance(x, pa.Array) else x for x in pieces])
+        agg = pa.TableGroupBy(pa.table({"pair": pairs}), ["pair"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"pair": agg["pair"], "n": pc.cast(agg["count_all"], pa.int64())}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "pair"], descending=[True, False])
+        .limit(k)
+    )
+
+
+COOC_WINDOW_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}'),
+                     t -> t <> '') AS lst
+  FROM documents
+),
+grams AS (
+  SELECT lst[g.i] || ' ' || lst[g.i + 1] AS pair
+  FROM toks, LATERAL (SELECT unnest(range(1, len(lst))) AS i) g
+  UNION ALL
+  SELECT lst[g.i] || ' ' || lst[g.i + 2] AS pair
+  FROM toks, LATERAL (SELECT unnest(range(1, len(lst) - 1)) AS i) g
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM grams
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {COOC_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shared-prefix boilerplate groups (first-k raw split tokens)
+# ---------------------------------------------------------------------------
+
+PREFIX_GROUP_TOKENS = 5
+
+
+def doc_prefix_groups(sf_dir: str, k: int = PREFIX_GROUP_TOKENS):
+    """Groups of documents sharing their first ``k`` split tokens —
+    the cheap boilerplate / mirror-page detector that catches
+    template families exact-hash dedup misses.  The prefix is built
+    from the RAW split (list_slice before any filtering) so both
+    engines see identical token windows.  Scale shape: prefixes are
+    key-per-row, so the group fold runs through ``bucketed_agg``
+    (count + min doc_id), and only groups with >= 2 docs survive."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def prefixes(t: pa.Table) -> pa.Table:
+        toks = pc.list_slice(
+            pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE),
+            0,
+            k,
+        )
+        joined = pc.binary_join(toks, " ")
+        return pa.table({"prefix": joined, "doc_id": t["doc_id"]})
+
+    grouped = bucketed_agg(
+        ds.map_batches(prefixes, batch_format="pyarrow"),
+        ["prefix"],
+        [(None, "count", "n_docs"), ("doc_id", "min", "min_doc_id")],
+    )
+
+    def survivors(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["n_docs"], 1)).select(
+            ["prefix", "n_docs", "min_doc_id"]
+        )
+
+    return (
+        grouped.map_batches(survivors, batch_format="pyarrow")
+        .sort(["n_docs", "prefix"], descending=[True, False])
+    )
+
+
+DOC_PREFIX_GROUPS_SQL = f"""
+SELECT array_to_string(
+         list_slice(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}'), 1, {PREFIX_GROUP_TOKENS}),
+         ' ') AS prefix,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM documents
+GROUP BY 1 HAVING count(*) > 1
+ORDER BY n_docs DESC, prefix
+"""

@@ -179,6 +179,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "q19_brand_qty_revenue",
         "q8_market_share",
         "q21_waiting_suppliers",
+        "cooc_window_pairs",
+        "doc_prefix_groups",
+        "user_event_entropy",
         "value_cusum_alarms",
         "zipf_slope_by_lang",
         "doc_char_entropy",
