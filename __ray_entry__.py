@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_quarantine": _extract_quarantine,
         "extract_unit_rows": _extract_unit_rows,
         # --- round-3 additions (oracled, never driver-sampled) ---
+        "vocab_prune_plan": textstats.vocab_prune_plan,
+        "dedup_survivor_stats": dedup.dedup_survivor_stats_docs,
         "cooc_window_pairs": textstats.cooc_window_pairs,
         "doc_prefix_groups": textstats.doc_prefix_groups,
         "user_event_entropy": analytics.user_event_entropy,
@@ -219,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix": training.source_mix,
         "domain_cap": training.domain_cap,
         # --- never-sampled no-oracle queries (rows-only check) ---
+        "embedding_pca_power": similarity.embedding_pca_power,
         "media_dup_groups": multimodal.media_dup_groups_table,
         "embedding_dup_clusters": dedup.embedding_dup_clusters_embeddings,
         "knn_ivf": similarity.knn_ivf_embeddings,
@@ -415,6 +418,8 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": analytics.TABLE_PROFILE_SQL,
         "orders_above_customer_avg": analytics.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
         "q7_volume_shipping": analytics.Q7_VOLUME_SHIPPING_SQL,
+        "vocab_prune_plan": textstats.VOCAB_PRUNE_PLAN_SQL,
+        "dedup_survivor_stats": sqlhash.dedup_survivor_stats_sql(),
         "cooc_window_pairs": textstats.COOC_WINDOW_PAIRS_SQL,
         "doc_prefix_groups": textstats.DOC_PREFIX_GROUPS_SQL,
         "user_event_entropy": analytics.USER_EVENT_ENTROPY_SQL,

@@ -1997,3 +1997,99 @@ def source_overlap_matrix_docs(sf_dir: str):
     from document_extractor_ray.functions.textstats import _read_docs
 
     return source_overlap_matrix(_read_docs(sf_dir, ["text", "source"]))
+
+
+# ---------------------------------------------------------------------------
+# Per-source survival stats after near-dedup (pipeline composition audit)
+# ---------------------------------------------------------------------------
+
+SURVIVOR_BROADCAST_LIMIT = 5_000_000
+
+
+def dedup_survivor_stats_docs(
+    sf_dir: str, threshold: float = 0.7, broadcast_limit: int = SURVIVOR_BROADCAST_LIMIT
+):
+    """Per-source survival rate through the near-dedup keep pass —
+    the composition audit a training-data curator reads before
+    trusting a mixture (a source whose survival craters is a mirror
+    farm).  Runs the REAL near_dedup_keep pipeline, then folds the
+    survivor id set against the documents table: survivors broadcast
+    as an id array below ``broadcast_limit`` (slim int64 column;
+    above budget this becomes one partitioned semi-join — same
+    discipline as the dedup family it audits).  kept_permille is
+    floor-exact integer arithmetic."""
+    from ray.data.aggregate import Sum
+
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.textstats import _read_docs as _read_doc_cols
+
+    keep = near_dedup_keep(_read_docs(sf_dir), threshold=threshold).materialize()
+    n_keep = keep.count()
+
+    docs = _read_doc_cols(sf_dir, ["doc_id", "source"])
+
+    if n_keep <= broadcast_limit:
+        keep_tab = pa.concat_tables(
+            [ray.get(r) for r in keep.to_arrow_refs() if ray.get(r).num_rows > 0]
+            or [pa.table({"doc_id": pa.array([], pa.int64())})]
+        ).combine_chunks()
+        keep_ref = state.broadcast(keep_tab)
+
+        def tag(t: pa.Table) -> pa.Table:
+            ids = state.cached_get(keep_ref)["doc_id"].combine_chunks()
+            kept = pc.cast(
+                pc.is_in(t["doc_id"], value_set=ids), pa.int64()
+            )
+            return pa.table({"source": t["source"], "kept": kept})
+
+        tagged = docs.map_batches(tag, batch_format="pyarrow")
+    else:
+        def mark(t: pa.Table) -> pa.Table:
+            return t.append_column("kept_flag", pa.array(np.ones(t.num_rows, np.int64)))
+
+        j = docs.join(
+            keep.map_batches(mark, batch_format="pyarrow"),
+            join_type="left_outer",
+            num_partitions=8,
+            on=("doc_id",),
+            right_on=("doc_id",),
+        )
+
+        def tag_j(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "source" not in set(t.column_names):
+                return pa.table(
+                    {
+                        "source": pa.array([], pa.string()),
+                        "kept": pa.array([], pa.int64()),
+                    }
+                )
+            kept = pc.cast(pc.is_valid(t["kept_flag"]), pa.int64())
+            return pa.table({"source": t["source"], "kept": kept})
+
+        tagged = j.map_batches(tag_j, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["source"]).aggregate(
+            [([], "count_all"), ("kept", "sum")]
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "n_docs": pc.cast(g["count_all"], pa.int64()),
+                "n_kept": g["kept_sum"],
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        permille = pc.cast(
+            pc.divide(pc.multiply(t["n_kept"], 1000), t["n_docs"]), pa.int64()
+        )
+        return t.append_column("kept_permille", permille)
+
+    return (
+        tagged.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_kept", alias_name="n_kept"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("source")
+    )

@@ -1282,3 +1282,102 @@ FROM (
 )"""
             )
     return " UNION ALL ".join(parts) + "\nORDER BY dim_i, dim_j"
+
+
+# ---------------------------------------------------------------------------
+# Top principal direction via exact integer Gram + driver power iteration
+# ---------------------------------------------------------------------------
+
+PCA_POWER_ITERS = 3000
+
+
+def embedding_pca_power(sf_dir: str, iters: int = PCA_POWER_ITERS):
+    """Top principal direction of the embedding second-moment matrix:
+    each batch folds to ONE d×d integer Gram blob (micro-quantized
+    X^T·X packed to int64 bytes — exact, merge-order-free), the blobs
+    merge with a vectorized frombuffer sum, and the bounded d×d matrix
+    gets a fixed-seed power iteration on the driver (3000 iterations:
+    random unit vectors are near-isotropic, so the eigengap is small
+    and the d×d matvec is driver-trivial).  Deterministic
+    end to end: integer Gram + fixed float op order, so the micro-
+    rounded output is stable across runs and cluster sizes (the
+    pytest golden asserts cosine agreement with numpy eigh).  The
+    d×d-bounded merge is the scale story — nothing vector-count-sized
+    ever reaches the driver.  int64 partials hold to ~9e6 unit vectors
+    per batch (the dim_stats ceiling); past that, widen per-shard."""
+    from document_extractor_ray.functions.analytics import _n_blocks
+    from document_extractor_ray.sources import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["embedding"],
+        override_num_blocks=_n_blocks(),
+    )
+
+    def gram_blob(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t["embedding"]).astype(np.float64)
+        if m.size == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.int32()),
+                    "d": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "blob": pa.array([], pa.binary()),
+                }
+            )
+        q = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
+        gram = q.T @ q
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int32()),
+                "d": pa.array([q.shape[1]], pa.int64()),
+                "n": pa.array([len(q)], pa.int64()),
+                "blob": pa.array([gram.tobytes()], pa.binary()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        d = int(t["d"][0].as_py())
+        n = int(np.sum(t["n"].to_numpy(zero_copy_only=False)))
+        acc = np.zeros(d * d, np.int64)
+        for b in t["blob"].to_pylist():
+            acc += np.frombuffer(b, np.int64)
+        return pa.table(
+            {
+                "d": pa.array([d], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+                "blob": pa.array([acc.tobytes()], pa.binary()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(gram_blob, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(lambda t: merge(t.drop_columns(["g"])), batch_format="pyarrow")
+        .take_all()
+    )
+    d = int(merged[0]["d"])
+    n = int(merged[0]["n"])
+    gram = np.frombuffer(merged[0]["blob"], np.int64).reshape(d, d).astype(np.float64)
+
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(iters):
+        w = gram @ v
+        nrm = np.linalg.norm(w)
+        if nrm == 0.0:
+            break
+        v = w / nrm
+    lam = float(v @ gram @ v)          # micro^2-scaled second-moment eigenvalue
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    comp = np.floor(v * 1_000_000 + 0.5).astype(np.int64)
+    lam_per_row = int(np.floor(lam / max(n, 1) + 0.5))
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+            "component_micro": pa.array(comp, pa.int64()),
+            "eigval_micro2_per_row": pa.array(
+                np.full(d, lam_per_row, np.int64), pa.int64()
+            ),
+        }
+    )

@@ -672,3 +672,18 @@ SELECT a.source AS source_a, b.source AS source_b,
 FROM sh a JOIN sh b ON a.x = b.x AND a.source < b.source
 GROUP BY 1, 2
 ORDER BY source_a, source_b"""
+
+
+def dedup_survivor_stats_sql(threshold: float = 0.7) -> str:
+    """Per-source survival through near_dedup_keep (composition of the
+    keep oracle with a LEFT-JOIN rollup; kept_permille floor-exact)."""
+    return f"""
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS kept_permille
+FROM documents d
+LEFT JOIN ({near_dedup_keep_sql(threshold)}) k ON k.doc_id = d.doc_id
+GROUP BY 1 ORDER BY 1
+"""

@@ -4221,3 +4221,125 @@ FROM documents
 GROUP BY 1 HAVING count(*) > 1
 ORDER BY n_docs DESC, prefix
 """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary prune plan: df-bucketed vocab census for tokenizer training
+# ---------------------------------------------------------------------------
+
+def vocab_prune_plan(sf_dir: str):
+    """Census of the corpus vocabulary by document-frequency SHARE
+    band (rare / mid / common / ubiquitous, permille-of-corpus
+    cutoffs at 100/700/780) — the sizing pass run before tokenizer
+    training or vocab pruning decides what to keep.  Share bands
+    rather than absolute df so the census means the same thing at
+    every corpus size.  Per batch ONE tokenize yields both partials:
+    term frequency and per-doc-distinct df contributions (a document
+    lives wholly in its row, so per-batch distinct (doc, token) is an
+    exact df partial); the vocabulary-sized fold runs through
+    ``bucketed_agg``, n_docs comes from parquet METADATA (no scan),
+    and only <= 4 band rows leave the final shuffle."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Min, Sum
+
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        occ = pa.table(
+            {"doc_id": t["doc_id"].take(parent), "token": flat}
+        ).filter(pc.not_equal(flat, ""))
+        tf = pa.TableGroupBy(occ.select(["token"]), ["token"]).aggregate(
+            [([], "count_all")]
+        )
+        dt = pa.TableGroupBy(occ, ["token", "doc_id"]).aggregate([([], "count_all")])
+        df = pa.TableGroupBy(dt.select(["token"]), ["token"]).aggregate(
+            [([], "count_all")]
+        )
+        tf_t = pa.table(
+            {
+                "token": tf["token"],
+                "tf": pc.cast(tf["count_all"], pa.int64()),
+                "df": pa.array(np.zeros(tf.num_rows, np.int64), pa.int64()),
+            }
+        )
+        df_t = pa.table(
+            {
+                "token": df["token"],
+                "tf": pa.array(np.zeros(df.num_rows, np.int64), pa.int64()),
+                "df": pc.cast(df["count_all"], pa.int64()),
+            }
+        )
+        return pa.concat_tables([tf_t, df_t])
+
+    tok = bucketed_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["token"],
+        [("tf", "sum", "tf"), ("df", "sum", "df")],
+    )
+
+    def band_partial(t: pa.Table) -> pa.Table:
+        permille = pc.divide(pc.multiply(t["df"], 1000), n_docs)
+        bucket = pc.if_else(
+            pc.less(permille, 100),
+            pa.scalar("rare"),
+            pc.if_else(
+                pc.less(permille, 700),
+                pa.scalar("mid"),
+                pc.if_else(
+                    pc.less(permille, 780), pa.scalar("common"), pa.scalar("ubiquitous")
+                ),
+            ),
+        )
+        g = pa.TableGroupBy(
+            pa.table({"bucket": bucket, "tf": t["tf"], "token": t["token"]}),
+            ["bucket"],
+        ).aggregate([([], "count_all"), ("tf", "sum"), ("token", "min")])
+        return pa.table(
+            {
+                "bucket": g["bucket"],
+                "n_tokens": pc.cast(g["count_all"], pa.int64()),
+                "total_tf": g["tf_sum"],
+                "example_token": g["token_min"],
+            }
+        )
+
+    return (
+        tok.map_batches(band_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("total_tf", alias_name="total_tf"),
+            Min("example_token", alias_name="example_token"),
+        )
+        .sort("bucket")
+    )
+
+
+VOCAB_PRUNE_PLAN_SQL = f"""
+WITH occ AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+  FROM documents
+),
+tok AS (
+  SELECT token,
+         CAST(count(DISTINCT doc_id) * 1000
+              // (SELECT count(*) FROM documents) AS BIGINT) AS permille,
+         CAST(count(*) AS BIGINT) AS tf
+  FROM occ WHERE token <> '' GROUP BY 1
+)
+SELECT CASE WHEN permille < 100 THEN 'rare'
+            WHEN permille < 700 THEN 'mid'
+            WHEN permille < 780 THEN 'common'
+            ELSE 'ubiquitous' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       min(token) AS example_token
+FROM tok GROUP BY 1 ORDER BY 1
+"""

@@ -182,6 +182,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "cooc_window_pairs",
         "doc_prefix_groups",
         "user_event_entropy",
+        "vocab_prune_plan",
+        "dedup_survivor_stats",
         "value_cusum_alarms",
         "zipf_slope_by_lang",
         "doc_char_entropy",
@@ -2179,4 +2181,39 @@ def test_q21_join_escalation_matches_broadcast(ray_session):
 
     a = q21_waiting_suppliers(SF).to_pandas()
     b = q21_waiting_suppliers(SF, broadcast_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_embedding_pca_power_matches_eigh(ray_session):
+    """The distributed integer-Gram power iteration must agree with
+    numpy eigh on the same quantized matrix: cosine >= 0.9999 against
+    the top eigenvector, eigenvalue within 1e-6 relative."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.similarity import (
+        embedding_matrix,
+        embedding_pca_power,
+    )
+
+    out = embedding_pca_power(SF)
+    v = out["component_micro"].to_numpy().astype(np.float64) / 1e6
+
+    tab = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    m = embedding_matrix(tab["embedding"]).astype(np.float64)
+    q = np.floor(m * 1_000_000 + 0.5)
+    gram = q.T @ q
+    w, vecs = np.linalg.eigh(gram)
+    top = vecs[:, -1]
+    cos = abs(top @ v) / (np.linalg.norm(top) * np.linalg.norm(v))
+    assert cos >= 0.9999
+    lam = out["eigval_micro2_per_row"][0].as_py() * len(m)
+    assert abs(lam - w[-1]) / w[-1] < 1e-4
+
+
+def test_embedding_pca_power_deterministic(ray_session):
+    """Integer Gram merge => identical micro-rounded output across runs."""
+    from document_extractor_ray.functions.similarity import embedding_pca_power
+
+    a = embedding_pca_power(SF).to_pandas()
+    b = embedding_pca_power(SF).to_pandas()
     pd.testing.assert_frame_equal(a, b)
