@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_quarantine": _extract_quarantine,
         "extract_unit_rows": _extract_unit_rows,
         # --- round-3 additions (oracled, never driver-sampled) ---
+        "events_trend_slope": analytics.events_trend_slope,
+        "event_type_affinity": analytics.event_type_affinity,
+        "doc_len_token_corr": textstats.doc_len_token_corr,
         "vocab_prune_plan": textstats.vocab_prune_plan,
         "dedup_survivor_stats": dedup.dedup_survivor_stats_docs,
         "cooc_window_pairs": textstats.cooc_window_pairs,
@@ -418,6 +421,9 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": analytics.TABLE_PROFILE_SQL,
         "orders_above_customer_avg": analytics.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
         "q7_volume_shipping": analytics.Q7_VOLUME_SHIPPING_SQL,
+        "events_trend_slope": analytics.EVENTS_TREND_SLOPE_SQL,
+        "event_type_affinity": analytics.EVENT_TYPE_AFFINITY_SQL,
+        "doc_len_token_corr": textstats.DOC_LEN_TOKEN_CORR_SQL,
         "vocab_prune_plan": textstats.VOCAB_PRUNE_PLAN_SQL,
         "dedup_survivor_stats": sqlhash.dedup_survivor_stats_sql(),
         "cooc_window_pairs": textstats.COOC_WINDOW_PAIRS_SQL,

@@ -9391,3 +9391,176 @@ FROM cnt JOIN tot t ON t.user_id = cnt.user_id
 GROUP BY cnt.user_id, t.n
 ORDER BY cnt.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Daily-count trend slope per event type (exact integer least squares)
+# ---------------------------------------------------------------------------
+
+def events_trend_slope(sf_dir: str):
+    """Linear trend of daily event counts per type, shipped as the
+    exact integer pair (slope_num, slope_den) = (n·Σxy − ΣxΣy,
+    n·Σxx − Σx²) over (day_index, count) points — the growth/decay
+    detector behind traffic alerting, with no float regression on
+    either engine.  Scale shape: the data-sized work is the daily
+    count partial fold; the regression touches only the TIME-bounded
+    (type × day) table inside one map_groups."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "day": pc.floor_temporal(t["ts"], unit="day"),
+            }
+        )
+
+    daily = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="y"))
+        .map_batches(_ts_us("day"), batch_format="pyarrow")
+    )
+
+    def fit(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("day", "ascending")])
+        t = t.take(idx)
+        y = [int(v) for v in t["y"].to_numpy(zero_copy_only=False)]
+        n = len(y)
+        sx = sy = sxy = sxx = 0
+        for x, yv in enumerate(y):          # time-bounded (~days) loop
+            sx += x
+            sy += yv
+            sxy += x * yv
+            sxx += x * x
+        return pa.table(
+            {
+                "event_type": t["event_type"].slice(0, 1),
+                "n_days": pa.array([n], pa.int64()),
+                "slope_num": pa.array([n * sxy - sx * sy], pa.int64()),
+                "slope_den": pa.array([n * sxx - sx * sx], pa.int64()),
+            }
+        )
+
+    return (
+        daily.groupby("event_type")
+        .map_groups(fit, batch_format="pyarrow")
+        .sort("event_type")
+    )
+
+
+EVENTS_TREND_SLOPE_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, y,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+              AS BIGINT) AS x
+  FROM daily
+),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM seq GROUP BY 1
+)
+SELECT event_type, n_days,
+       CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den
+FROM s ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-type affinity matrix (bitmask fold — no user self-join)
+# ---------------------------------------------------------------------------
+
+def event_type_affinity(sf_dir: str):
+    """How many USER-DAYS exhibit each PAIR of event types (plus
+    per-type user-day counts) — the behavioral co-occurrence matrix
+    behind feature bundling (user-day granularity so the matrix stays
+    informative on long histories where every user eventually does
+    everything).  Scale shape: the event-type catalog is a bounded
+    constant, so the all-pairs self-join collapses into the bitmask
+    fold (``bitmask_pair_counts``): distinct (user, day, type) rows
+    OR into one int64 mask per user-day, only the mask HISTOGRAM
+    leaves the shuffle, and the driver expands pair counts with one
+    popcount pass — nothing pair-shaped ever moves."""
+    from document_extractor_ray.functions.bucketing import (
+        bitmask_pair_counts,
+        bucketed_agg,
+    )
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    type_rows = (
+        bucketed_agg(ds.select_columns(["event_type"]), ["event_type"], [(None, "count", "n")])
+        .select_columns(["event_type"])
+        .take_all()
+    )
+    types = sorted(r["event_type"] for r in type_rows)
+    code_of = {s: i for i, s in enumerate(types)}
+
+    def explode(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (
+            pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        codes = np.array(
+            [code_of[s] for s in t["event_type"].to_pylist()], np.int64
+        )
+        trip = np.unique(np.stack([u, day, codes], axis=1), axis=0)
+        return pa.table(
+            {
+                "u": pa.array(trip[:, 0], pa.int64()),
+                "day": pa.array(trip[:, 1], pa.int64()),
+                "code": pa.array(trip[:, 2], pa.int64()),
+            }
+        )
+
+    pair_counts, code_counts = bitmask_pair_counts(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["u", "day"],
+        "code",
+        len(types),
+    )
+    out_a, out_b, out_both, out_na, out_nb = [], [], [], [], []
+    for (i, j), n_both in sorted(pair_counts.items()):
+        out_a.append(types[i])
+        out_b.append(types[j])
+        out_both.append(n_both)
+        out_na.append(code_counts.get(i, 0))
+        out_nb.append(code_counts.get(j, 0))
+    return pa.table(
+        {
+            "type_a": pa.array(out_a, pa.string()),
+            "type_b": pa.array(out_b, pa.string()),
+            "n_udays_both": pa.array(out_both, pa.int64()),
+            "n_udays_a": pa.array(out_na, pa.int64()),
+            "n_udays_b": pa.array(out_nb, pa.int64()),
+        }
+    )
+
+
+EVENT_TYPE_AFFINITY_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type FROM events
+),
+tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_udays_both,
+       CAST(min(ta.n) AS BIGINT) AS n_udays_a,
+       CAST(min(tb.n) AS BIGINT) AS n_udays_b
+FROM ut a
+JOIN ut b ON b.user_id = a.user_id AND b.day = a.day
+         AND a.event_type < b.event_type
+JOIN tc ta ON ta.event_type = a.event_type
+JOIN tc tb ON tb.event_type = b.event_type
+GROUP BY 1, 2
+HAVING count(*) > 0
+ORDER BY 1, 2
+"""

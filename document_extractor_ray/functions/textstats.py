@@ -4343,3 +4343,105 @@ SELECT CASE WHEN permille < 100 THEN 'rare'
        min(token) AS example_token
 FROM tok GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Metadata-vs-content correlation audit (exact integer ingredients)
+# ---------------------------------------------------------------------------
+
+def doc_len_token_corr(sf_dir: str):
+    """Exact Pearson ingredients between the DECLARED n_chars metadata
+    column and the measured token count, per source — the metadata
+    trust audit that catches a feed whose length field lies (truncated
+    or padded payloads).  Ships (n, cov_num, var_x_num, var_y_num) as
+    exact integers per source; corr is the consumer's float.  Scale
+    shape: per batch one tokenize + bincount over list parents, a
+    source-bounded partial fold, and the cross-multiplies happen over
+    the bounded per-source table."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["source", "n_chars", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        y = np.bincount(parent[keep], minlength=t.num_rows).astype(np.int64)
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = pa.table(
+            {
+                "source": t["source"],
+                "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+                "xy": pa.array(x * y, pa.int64()),
+                "xx": pa.array(x * x, pa.int64()),
+                "yy": pa.array(y * y, pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(part, ["source"]).aggregate(
+            [("one", "sum"), ("x", "sum"), ("y", "sum"), ("xy", "sum"),
+             ("xx", "sum"), ("yy", "sum")]
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "n": g["one_sum"],
+                "sx": g["x_sum"],
+                "sy": g["y_sum"],
+                "sxy": g["xy_sum"],
+                "sxx": g["xx_sum"],
+                "syy": g["yy_sum"],
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+        )
+    )
+    rows = sorted(merged.take_all(), key=lambda r: r["source"])  # source-bounded
+    return pa.table(
+        {
+            "source": pa.array([r["source"] for r in rows], pa.string()),
+            "n": pa.array([r["n"] for r in rows], pa.int64()),
+            "cov_num": pa.array(
+                [r["n"] * r["sxy"] - r["sx"] * r["sy"] for r in rows], pa.int64()
+            ),
+            "var_x_num": pa.array(
+                [r["n"] * r["sxx"] - r["sx"] * r["sx"] for r in rows], pa.int64()
+            ),
+            "var_y_num": pa.array(
+                [r["n"] * r["syy"] - r["sy"] * r["sy"] for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+DOC_LEN_TOKEN_CORR_SQL = f"""
+WITH d AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}'),
+                              t -> t <> '')) AS BIGINT) AS y
+  FROM documents
+),
+s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM d GROUP BY 1
+)
+SELECT source, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS var_x_num,
+       CAST(n * syy - sy * sy AS BIGINT) AS var_y_num
+FROM s ORDER BY source
+"""

@@ -184,6 +184,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "user_event_entropy",
         "vocab_prune_plan",
         "dedup_survivor_stats",
+        "events_trend_slope",
+        "event_type_affinity",
+        "doc_len_token_corr",
         "value_cusum_alarms",
         "zipf_slope_by_lang",
         "doc_char_entropy",
