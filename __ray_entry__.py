@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_quarantine": _extract_quarantine,
         "extract_unit_rows": _extract_unit_rows,
         # --- round-3 additions (oracled, never driver-sampled) ---
+        "user_decay_scores": analytics.user_decay_scores,
+        "supplier_concentration": analytics.supplier_concentration,
         "events_trend_slope": analytics.events_trend_slope,
         "event_type_affinity": analytics.event_type_affinity,
         "doc_len_token_corr": textstats.doc_len_token_corr,
@@ -421,6 +423,8 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": analytics.TABLE_PROFILE_SQL,
         "orders_above_customer_avg": analytics.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
         "q7_volume_shipping": analytics.Q7_VOLUME_SHIPPING_SQL,
+        "user_decay_scores": analytics.USER_DECAY_SCORES_SQL,
+        "supplier_concentration": analytics.SUPPLIER_CONCENTRATION_SQL,
         "events_trend_slope": analytics.EVENTS_TREND_SLOPE_SQL,
         "event_type_affinity": analytics.EVENT_TYPE_AFFINITY_SQL,
         "doc_len_token_corr": textstats.DOC_LEN_TOKEN_CORR_SQL,

@@ -9564,3 +9564,210 @@ GROUP BY 1, 2
 HAVING count(*) > 0
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Recency-decayed user value (exact integer halving per week)
+# ---------------------------------------------------------------------------
+
+def user_decay_scores(sf_dir: str):
+    """Recency-weighted user value: each event's cents contribute
+    cents >> weeks_ago (halved per week of age, exact integer — no
+    irrational decay factor ever exists on either engine).  The
+    recency-LTV score feeding churn models.  Two passes, q22-style:
+    pass 1 folds the corpus max day to ONE driver scalar; pass 2
+    broadcasts it in the closure and folds per-user sums through
+    ``bucketed_agg`` (user keys grow with data)."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    WEEK_US = 7 * 86_400_000_000
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def max_partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        m = pc.max(pc.cast(day, pa.int64())).as_py()
+        return pa.table({"m": pa.array([m if m is not None else 0], pa.int64())})
+
+    max_us = max(
+        r["m"]
+        for r in ds.map_batches(max_partial, batch_format="pyarrow").take_all()
+    )
+
+    def decay(t: pa.Table) -> pa.Table:
+        day_us = pc.cast(
+            pc.floor_temporal(t["ts"], unit="day"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        cents = _to_cents(t["value"]).to_numpy(zero_copy_only=False)
+        w = np.minimum((max_us - day_us) // WEEK_US, 62).astype(np.int64)
+        dec = cents >> w        # positive cents: >> w == // 2^w
+        return pa.table(
+            {"user_id": t["user_id"], "dec": pa.array(dec, pa.int64())}
+        )
+
+    return bucketed_agg(
+        ds.map_batches(decay, batch_format="pyarrow"),
+        ["user_id"],
+        [("dec", "sum", "decay_cents")],
+    ).sort("user_id")
+
+
+USER_DECAY_SCORES_SQL = """
+WITH mx AS (SELECT max(date_trunc('day', ts)) AS m FROM events),
+e AS (
+  SELECT user_id,
+         CAST(round(value * 100.0) AS BIGINT) AS cents,
+         CAST(least(date_diff('day', date_trunc('day', ts),
+                              (SELECT m FROM mx)) // 7, 62) AS BIGINT) AS w
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(cents // (CAST(1 AS BIGINT) << w)) AS BIGINT) AS decay_cents
+FROM e GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Supplier revenue concentration per nation (exact HHI ingredients)
+# ---------------------------------------------------------------------------
+
+SUPPLIER_CONC_BROADCAST_LIMIT = 1_000_000
+
+
+def supplier_concentration(
+    sf_dir: str, broadcast_limit: int = SUPPLIER_CONC_BROADCAST_LIMIT
+):
+    """Herfindahl concentration ingredients of supplier revenue within
+    each nation: (n_suppliers, total_rev_dollars, hhi_num = Σ rev_d²)
+    — HHI = hhi_num / total² is the consumer's float; everything
+    shipped is an exact integer (dollars, floor-rounded from cents,
+    keep Σrev² inside int64 headroom).  Scale shape: the per-supplier
+    fold is key-per-row (``bucketed_agg``); the supplier→nation map
+    broadcasts below budget (partitioned join above); only 25 nation
+    rows leave the final shuffle."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        dp = _to_cents(
+            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        )
+        return pa.table({"l_suppkey": t["l_suppkey"], "dp": dp})
+
+    per_supp = bucketed_agg(
+        li.map_batches(slim, batch_format="pyarrow"),
+        ["l_suppkey"],
+        [("dp", "sum", "cents")],
+    )
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).materialize()
+    n_supp = supp.count()
+
+    if n_supp <= broadcast_limit:
+        supp_tab = pa.concat_tables(
+            [ray.get(r) for r in supp.to_arrow_refs() if ray.get(r).num_rows > 0]
+            or [
+                pa.table(
+                    {
+                        "s_suppkey": pa.array([], pa.int64()),
+                        "s_nationkey": pa.array([], pa.int32()),
+                    }
+                )
+            ]
+        ).combine_chunks()
+        sref = state.broadcast(supp_tab)
+
+        def attach_nk(t: pa.Table) -> pa.Table:
+            t = state.lookup_join(
+                t, "l_suppkey", state.cached_get(sref), "s_suppkey", ["s_nationkey"]
+            )
+            t = t.filter(pc.is_valid(t["s_nationkey"]))
+            return pa.table(
+                {"nk": pc.cast(t["s_nationkey"], pa.int64()), "cents": t["cents"]}
+            )
+
+        tagged = per_supp.map_batches(attach_nk, batch_format="pyarrow")
+    else:
+        j = per_supp.join(
+            supp,
+            join_type="inner",
+            num_partitions=_join_partitions(f"{sf_dir}/supplier.parquet"),
+            on=("l_suppkey",),
+            right_on=("s_suppkey",),
+        )
+
+        def j_out(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "cents" not in set(t.column_names):
+                return pa.table(
+                    {"nk": pa.array([], pa.int64()), "cents": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {"nk": pc.cast(t["s_nationkey"], pa.int64()), "cents": t["cents"]}
+            )
+
+        tagged = j.map_batches(j_out, batch_format="pyarrow")
+
+    def conc_partial(t: pa.Table) -> pa.Table:
+        rev_d = pc.divide(t["cents"], 100)
+        sq = pc.multiply(rev_d, rev_d)
+        g = pa.TableGroupBy(
+            pa.table({"nk": t["nk"], "rev_d": rev_d, "sq": sq}), ["nk"]
+        ).aggregate([([], "count_all"), ("rev_d", "sum"), ("sq", "sum")])
+        return pa.table(
+            {
+                "nk": g["nk"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+                "rev": g["rev_d_sum"],
+                "sq": g["sq_sum"],
+            }
+        )
+
+    agg = (
+        tagged.map_batches(conc_partial, batch_format="pyarrow")
+        .groupby("nk")
+        .aggregate(
+            Sum("n", alias_name="n_suppliers"),
+            Sum("rev", alias_name="total_rev_dollars"),
+            Sum("sq", alias_name="hhi_num"),
+        )
+    )
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nref = state.broadcast(nation)
+
+    def attach(t: pa.Table) -> pa.Table:
+        t = t.append_column("nk32", pc.cast(t["nk"], pa.int32()))
+        t = state.lookup_join(
+            t, "nk32", state.cached_get(nref), "n_nationkey", ["n_name"], fill=""
+        )
+        return pa.table(
+            {
+                "nation": t["n_name"],
+                "n_suppliers": t["n_suppliers"],
+                "total_rev_dollars": t["total_rev_dollars"],
+                "hhi_num": t["hhi_num"],
+            }
+        )
+
+    return agg.map_batches(attach, batch_format="pyarrow").sort("nation")
+
+
+SUPPLIER_CONCENTRATION_SQL = """
+WITH rs AS (
+  SELECT s.s_nationkey AS nk, l.l_suppkey,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100.0)
+                       AS BIGINT)) // 100 AS BIGINT) AS rev_d
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+)
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(rev_d) AS BIGINT) AS total_rev_dollars,
+       CAST(sum(rev_d * rev_d) AS BIGINT) AS hhi_num
+FROM rs JOIN nation n ON n.n_nationkey = rs.nk
+GROUP BY 1 ORDER BY 1
+"""

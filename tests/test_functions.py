@@ -187,6 +187,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "events_trend_slope",
         "event_type_affinity",
         "doc_len_token_corr",
+        "user_decay_scores",
+        "supplier_concentration",
         "value_cusum_alarms",
         "zipf_slope_by_lang",
         "doc_char_entropy",
