@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_quarantine": _extract_quarantine,
         "extract_unit_rows": _extract_unit_rows,
         # --- round-3 additions (oracled, never driver-sampled) ---
+        "char_bigram_condent": textstats.char_bigram_condent,
+        "key_skew_audit": analytics.key_skew_audit,
+        "q12_late_linestatus": analytics.q12_late_linestatus,
         "user_decay_scores": analytics.user_decay_scores,
         "supplier_concentration": analytics.supplier_concentration,
         "events_trend_slope": analytics.events_trend_slope,
@@ -423,6 +426,9 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": analytics.TABLE_PROFILE_SQL,
         "orders_above_customer_avg": analytics.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
         "q7_volume_shipping": analytics.Q7_VOLUME_SHIPPING_SQL,
+        "char_bigram_condent": textstats.CHAR_BIGRAM_CONDENT_SQL,
+        "key_skew_audit": analytics.KEY_SKEW_AUDIT_SQL,
+        "q12_late_linestatus": analytics.Q12_LATE_LINESTATUS_SQL,
         "user_decay_scores": analytics.USER_DECAY_SCORES_SQL,
         "supplier_concentration": analytics.SUPPLIER_CONCENTRATION_SQL,
         "events_trend_slope": analytics.EVENTS_TREND_SLOPE_SQL,
@@ -489,13 +495,16 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": similarity.knn_lsh_sql(),
         "embedding_topk_pairs": similarity.EMBEDDING_TOPK_PAIRS_SQL,
         "label_centroids": similarity.LABEL_CENTROIDS_SQL,
-        # No-oracle tail (8 of 77), each justified + golden-pinned in
+        # No-oracle tail (12 of 188), each justified + golden-pinned in
         # tests/test_goldens.py: extract_* x3 (HTML parsing; byte-
         # identity vs oracle.run_oracle in pytest), embedding_dup_
         # pairs/clusters (planted inputs the oracle views can't see;
         # exact-pair semantics oracled via embedding_topk_pairs),
         # knn_ivf (Lloyd-argmax margins ~1.2e-7, inside cross-engine
-        # float noise), pack_sequences (list-valued; semantics oracled
-        # via pack_assignments), media_features (synthesized binary
-        # payloads).
+        # float noise), kmeans_train (iterative Lloyd's), pack_sequences
+        # (list-valued; semantics oracled via pack_assignments),
+        # media_features / frame_sample / media_dup_groups (synthesized
+        # binary payloads), embedding_pca_power (iterative power method;
+        # pytest-pinned against numpy eigh on the identical integer
+        # Gram).
     }

@@ -9771,3 +9771,190 @@ SELECT n.n_name AS nation,
 FROM rs JOIN nation n ON n.n_nationkey = rs.nk
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Key-skew audit (pre-shuffle hot-key diagnosis via count-of-counts)
+# ---------------------------------------------------------------------------
+
+def key_skew_audit(sf_dir: str, table: str = "orders", key: str = "o_custkey"):
+    """Skew profile of a shuffle key BEFORE paying for the shuffle:
+    key count, total rows, max/p50/p99 per-key row counts (exact,
+    derived from the count-of-counts histogram) and the smallest
+    hottest key.  This is the audit a planner runs to decide between
+    plain hash partitioning and salting.  Scale shape: the per-key
+    fold is ``bucketed_agg``; everything after it is the count
+    HISTOGRAM — bounded by distinct per-key counts, never key count —
+    plus one broadcast-scalar pass to find the hottest key."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, table, columns=[key])
+    per_key = bucketed_agg(ds, [key], [(None, "count", "c")]).materialize()
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["c"]), ["c"]).aggregate([([], "count_all")])
+        return pa.table({"c": g["c"], "nk": pc.cast(g["count_all"], pa.int64())})
+
+    hist = sorted(
+        (
+            per_key.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("c")
+            .aggregate(Sum("nk", alias_name="nk"))
+        ).take_all(),
+        key=lambda r: r["c"],
+    )  # bounded by distinct count values
+    n_keys = sum(r["nk"] for r in hist)
+    total = sum(r["c"] * r["nk"] for r in hist)
+    max_count = hist[-1]["c"] if hist else 0
+
+    def quantile(q_num: int, q_den: int) -> int:
+        cum = 0
+        for r in hist:
+            cum += r["nk"]
+            if cum * q_den >= q_num * n_keys:
+                return r["c"]
+        return max_count
+
+    def top_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c"], max_count))
+        m = pc.min(t[key]).as_py()
+        if m is None:
+            return pa.table({"k": pa.array([], pa.int64())})
+        return pa.table({"k": pa.array([m], pa.int64())})
+
+    tops = per_key.map_batches(top_partial, batch_format="pyarrow").take_all()
+    top_key = min(r["k"] for r in tops) if tops else 0
+
+    return pa.table(
+        {
+            "n_keys": pa.array([n_keys], pa.int64()),
+            "total_rows": pa.array([total], pa.int64()),
+            "max_count": pa.array([max_count], pa.int64()),
+            "p50_count": pa.array([quantile(1, 2)], pa.int64()),
+            "p99_count": pa.array([quantile(99, 100)], pa.int64()),
+            "top_key": pa.array([top_key], pa.int64()),
+        }
+    )
+
+
+KEY_SKEW_AUDIT_SQL = """
+WITH per_key AS (
+  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1
+),
+hist AS (SELECT c, CAST(count(*) AS BIGINT) AS nk FROM per_key GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(nk) AS BIGINT) AS n_keys,
+         CAST(sum(c * nk) AS BIGINT) AS total_rows,
+         CAST(max(c) AS BIGINT) AS max_count
+  FROM hist
+),
+cum AS (
+  SELECT c, sum(nk) OVER (ORDER BY c) AS cum,
+         (SELECT n_keys FROM tot) AS nk
+  FROM hist
+)
+SELECT t.n_keys, t.total_rows, t.max_count,
+       CAST((SELECT min(c) FROM cum WHERE cum * 2 >= nk) AS BIGINT) AS p50_count,
+       CAST((SELECT min(c) FROM cum WHERE cum * 100 >= 99 * nk) AS BIGINT) AS p99_count,
+       CAST((SELECT min(k) FROM per_key WHERE c = t.max_count) AS BIGINT) AS top_key
+FROM tot t
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: late-shipment priority split per line status
+# ---------------------------------------------------------------------------
+
+Q12_LATE_DAYS = 60
+
+
+def q12_late_linestatus(sf_dir: str):
+    """High- vs low-priority lineitem counts among LATE shipments,
+    grouped by line status (TPC-H Q12's conditional-count join; the
+    synthetic lineitem has no shipmode/commit/receipt columns, so
+    l_linestatus plays the shipmode role and late = shipdate >
+    orderdate + 60d).  One partitioned hash join of two slim int/str
+    projections; the CASE-WHEN counts fold per batch so only
+    (status × 2) partials leave each block."""
+    late_us = Q12_LATE_DAYS * 86_400_000_000
+    high = pa.array(["1-URGENT", "2-HIGH"])
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate", "l_linestatus"])
+
+    def li_slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "ship_us": pc.cast(pc.cast(t["l_shipdate"], pa.int64()), pa.int64()),
+                "l_linestatus": t["l_linestatus"],
+            }
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def o_slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "odate_us": pc.cast(pc.cast(t["o_orderdate"], pa.int64()), pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    j = li.map_batches(li_slim, batch_format="pyarrow").join(
+        orders.map_batches(o_slim, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=_join_partitions(
+            f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"
+        ),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def split_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "l_linestatus": pa.array([], pa.string()),
+                "hi": pa.array([], pa.int64()),
+                "lo": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0 or "l_linestatus" not in set(t.column_names):
+            return empty
+        t = t.filter(pc.greater(t["ship_us"], pc.add(t["odate_us"], late_us)))
+        is_hi = pc.cast(pc.is_in(t["o_orderpriority"], value_set=high), pa.int64())
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "l_linestatus": t["l_linestatus"],
+                    "hi": is_hi,
+                    "lo": pc.subtract(1, is_hi),
+                }
+            ),
+            ["l_linestatus"],
+        ).aggregate([("hi", "sum"), ("lo", "sum")])
+        return pa.table(
+            {"l_linestatus": g["l_linestatus"], "hi": g["hi_sum"], "lo": g["lo_sum"]}
+        )
+
+    return (
+        j.map_batches(split_partial, batch_format="pyarrow")
+        .groupby("l_linestatus")
+        .aggregate(
+            Sum("hi", alias_name="high_line_count"),
+            Sum("lo", alias_name="low_line_count"),
+        )
+        .sort("l_linestatus")
+    )
+
+
+Q12_LATE_LINESTATUS_SQL = f"""
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+GROUP BY 1 ORDER BY 1
+"""

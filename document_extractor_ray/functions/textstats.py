@@ -4445,3 +4445,131 @@ SELECT source, n,
        CAST(n * syy - sy * sy AS BIGINT) AS var_y_num
 FROM s ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Char-bigram conditional entropy per language (predictability audit)
+# ---------------------------------------------------------------------------
+
+def char_bigram_condent(sf_dir: str):
+    """Corpus-level conditional entropy H(c2 | c1) of character
+    bigrams per language, shipped as the exact integer numerator
+    Σ n12·(L(n1) − L(n12)) with L(v) = round(ln(v)·1e6) over bigram
+    counts — low values flag templated or machine-generated text
+    (next-char too predictable).  condent = num / total micro-nats is
+    the consumer's division.  Scale shape: per batch a vectorized
+    utf-32 decode packs each bigram into one int64 ((c1<<21)|c2) and
+    Arrow group_by pre-counts; the shuffle and the final fold touch
+    only the (lang × alphabet²)-bounded count table."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        xs, doc_langs = [], []
+        for lang, txt in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            cp = np.frombuffer(txt.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            if len(cp) < 2:
+                continue
+            xs.append((cp[:-1] << 21) | cp[1:])
+            doc_langs.append(lang)
+        if not xs:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "pair": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        idx = pa.array(
+            np.repeat(np.arange(len(xs), dtype=np.int64), [len(x) for x in xs])
+        )
+        occ = pa.table(
+            {
+                "lang": pc.take(pa.array(doc_langs, pa.string()), idx),
+                "pair": pa.array(np.concatenate(xs), pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(occ, ["lang", "pair"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "pair": g["pair"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "pair"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        # (lang x alphabet^2)-bounded: exact integer entropy fold
+        lut: dict[int, int] = {}
+
+        def L(v: int) -> int:
+            r = lut.get(v)
+            if r is None:
+                r = int(math.floor(math.log(v) * 1_000_000 + 0.5))
+                lut[v] = r
+            return r
+
+        pairs = t["pair"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        c1 = pairs >> 21
+        order = np.argsort(c1, kind="stable")
+        c1s, ns = c1[order], n[order]
+        new = np.ones(len(c1s), dtype=bool)
+        new[1:] = c1s[1:] != c1s[:-1]
+        starts = np.flatnonzero(new)
+        marg = np.add.reduceat(ns, starts)
+        seg = np.cumsum(new) - 1
+        num = 0
+        total = int(ns.sum())
+        for i in range(len(ns)):            # alphabet²-bounded loop
+            num += int(ns[i]) * (L(int(marg[seg[i]])) - L(int(ns[i])))
+        return pa.table(
+            {
+                "lang": t["lang"].slice(0, 1),
+                "n_bigrams": pa.array([total], pa.int64()),
+                "condent_num": pa.array([num], pa.int64()),
+            }
+        )
+
+    return (
+        counts.groupby("lang")
+        .map_groups(fold, batch_format="pyarrow")
+        .sort("lang")
+    )
+
+
+CHAR_BIGRAM_CONDENT_SQL = r"""
+WITH ch AS (
+  SELECT lang, regexp_extract_all(text, '[\s\S]') AS lst FROM documents
+),
+bg AS (
+  SELECT lang,
+         lst[g.i] AS c1, lst[g.i + 1] AS c2
+  FROM ch, LATERAL (SELECT unnest(range(1, len(lst))) AS i) g
+),
+cnt AS (
+  SELECT lang, c1, c2, CAST(count(*) AS BIGINT) AS n12 FROM bg GROUP BY 1, 2, 3
+),
+marg AS (
+  SELECT lang, c1, CAST(sum(n12) AS BIGINT) AS n1 FROM cnt GROUP BY 1, 2
+)
+SELECT cnt.lang,
+       CAST(sum(n12) AS BIGINT) AS n_bigrams,
+       CAST(sum(n12 * (CAST(round(ln(m.n1) * 1000000) AS BIGINT)
+                       - CAST(round(ln(n12) * 1000000) AS BIGINT))) AS BIGINT)
+         AS condent_num
+FROM cnt JOIN marg m ON m.lang = cnt.lang AND m.c1 = cnt.c1
+GROUP BY cnt.lang
+ORDER BY cnt.lang
+"""

@@ -189,6 +189,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "doc_len_token_corr",
         "user_decay_scores",
         "supplier_concentration",
+        "key_skew_audit",
+        "q12_late_linestatus",
+        "char_bigram_condent",
         "value_cusum_alarms",
         "zipf_slope_by_lang",
         "doc_char_entropy",
