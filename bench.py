@@ -285,6 +285,20 @@ def run_bench() -> dict:
         "mktseg_priority_contingency",
         "q17_small_qty_revenue",
         "user_value_drawdown",
+        # round-3 third-session additions (curated: each <= ~2.2 s warm
+        # at sf0.1 so the full bench stays inside the driver budget)
+        "q4_order_priority",
+        "q13_customer_distribution",
+        "q19_brand_qty_revenue",
+        "q12_late_linestatus",
+        "value_cusum_alarms",
+        "zipf_slope_by_lang",
+        "doc_char_entropy",
+        "embedding_dim_corr",
+        "cooc_window_pairs",
+        "user_event_entropy",
+        "supplier_concentration",
+        "embedding_pca_power",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -9726,34 +9726,33 @@ def supplier_concentration(
             }
         )
 
-    agg = (
-        tagged.map_batches(conc_partial, batch_format="pyarrow")
-        .groupby("nk")
-        .aggregate(
-            Sum("n", alias_name="n_suppliers"),
-            Sum("rev", alias_name="total_rev_dollars"),
-            Sum("sq", alias_name="hhi_num"),
-        )
-    )
+    # partials are nation-bounded (<= 25 rows per block): fold on the
+    # driver instead of paying two more exchanges (a hash aggregate +
+    # a sort cost ~1.5 s fixed each at this scale — PERF step 29)
+    parts = tagged.map_batches(conc_partial, batch_format="pyarrow").take_all()
+    acc: dict[int, list[int]] = {}
+    for r in parts:
+        a = acc.setdefault(int(r["nk"]), [0, 0, 0])
+        a[0] += int(r["n"])
+        a[1] += int(r["rev"])
+        a[2] += int(r["sq"])
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    nref = state.broadcast(nation)
-
-    def attach(t: pa.Table) -> pa.Table:
-        t = t.append_column("nk32", pc.cast(t["nk"], pa.int32()))
-        t = state.lookup_join(
-            t, "nk32", state.cached_get(nref), "n_nationkey", ["n_name"], fill=""
+    name_of = dict(
+        zip(
+            nation["n_nationkey"].to_pylist(),
+            nation["n_name"].to_pylist(),
         )
-        return pa.table(
-            {
-                "nation": t["n_name"],
-                "n_suppliers": t["n_suppliers"],
-                "total_rev_dollars": t["total_rev_dollars"],
-                "hhi_num": t["hhi_num"],
-            }
-        )
-
-    return agg.map_batches(attach, batch_format="pyarrow").sort("nation")
+    )
+    rows = sorted((name_of.get(nk, ""), v) for nk, v in acc.items())
+    return pa.table(
+        {
+            "nation": pa.array([r[0] for r in rows], pa.string()),
+            "n_suppliers": pa.array([r[1][0] for r in rows], pa.int64()),
+            "total_rev_dollars": pa.array([r[1][1] for r in rows], pa.int64()),
+            "hhi_num": pa.array([r[1][2] for r in rows], pa.int64()),
+        }
+    )
 
 
 SUPPLIER_CONCENTRATION_SQL = """
@@ -9937,14 +9936,20 @@ def q12_late_linestatus(sf_dir: str):
             {"l_linestatus": g["l_linestatus"], "hi": g["hi_sum"], "lo": g["lo_sum"]}
         )
 
-    return (
-        j.map_batches(split_partial, batch_format="pyarrow")
-        .groupby("l_linestatus")
-        .aggregate(
-            Sum("hi", alias_name="high_line_count"),
-            Sum("lo", alias_name="low_line_count"),
-        )
-        .sort("l_linestatus")
+    # partials are status-bounded (<= 2 rows per block): driver fold
+    # instead of two more exchanges (PERF step 32)
+    acc: dict[str, list[int]] = {}
+    for r in j.map_batches(split_partial, batch_format="pyarrow").take_all():
+        a = acc.setdefault(r["l_linestatus"], [0, 0])
+        a[0] += int(r["hi"])
+        a[1] += int(r["lo"])
+    rows = sorted(acc.items())
+    return pa.table(
+        {
+            "l_linestatus": pa.array([k for k, _ in rows], pa.string()),
+            "high_line_count": pa.array([v[0] for _, v in rows], pa.int64()),
+            "low_line_count": pa.array([v[1] for _, v in rows], pa.int64()),
+        }
     )
 
 
