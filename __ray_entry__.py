@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_quarantine": _extract_quarantine,
         "extract_unit_rows": _extract_unit_rows,
         # --- round-3 additions (oracled, never driver-sampled) ---
+        "doc_unigram_xent": textstats.doc_unigram_xent,
+        "doc_bigram_xent": textstats.doc_bigram_xent,
+        "source_lm_divergence": textstats.source_lm_divergence,
         "char_bigram_condent": textstats.char_bigram_condent,
         "key_skew_audit": analytics.key_skew_audit,
         "q12_late_linestatus": analytics.q12_late_linestatus,
@@ -426,6 +429,9 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": analytics.TABLE_PROFILE_SQL,
         "orders_above_customer_avg": analytics.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
         "q7_volume_shipping": analytics.Q7_VOLUME_SHIPPING_SQL,
+        "doc_unigram_xent": textstats.DOC_UNIGRAM_XENT_SQL,
+        "doc_bigram_xent": textstats.DOC_BIGRAM_XENT_SQL,
+        "source_lm_divergence": textstats.SOURCE_LM_DIVERGENCE_SQL,
         "char_bigram_condent": textstats.CHAR_BIGRAM_CONDENT_SQL,
         "key_skew_audit": analytics.KEY_SKEW_AUDIT_SQL,
         "q12_late_linestatus": analytics.Q12_LATE_LINESTATUS_SQL,

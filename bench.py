@@ -299,6 +299,9 @@ def run_bench() -> dict:
         "user_event_entropy",
         "supplier_concentration",
         "embedding_pca_power",
+        "doc_unigram_xent",
+        "doc_bigram_xent",
+        "source_lm_divergence",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

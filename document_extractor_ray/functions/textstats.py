@@ -4573,3 +4573,374 @@ FROM cnt JOIN marg m ON m.lang = cnt.lang AND m.c1 = cnt.c1
 GROUP BY cnt.lang
 ORDER BY cnt.lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity analogue (CCNet-style quality filter, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def doc_unigram_xent(sf_dir: str):
+    """Per-doc cross-entropy under the corpus unigram LM, shipped as
+    the exact integer numerator xent_num = Σ_occurrences (L(N) − L(c_w))
+    with L(v) = round(ln(v)·1e6) — cross-entropy in micro-nats is
+    xent_num / n_tok, the division left to the consumer so no float
+    crosses the wire.  This is the integer-exact stand-in for the
+    CCNet/Gopher LM-perplexity filter: high xent = rare-token-heavy
+    text, low xent = repetitive boilerplate.
+
+    Scale shape: pass 1 is the vocabulary fold (``bucketed_agg`` —
+    shuffle bounded by distinct tokens, never corpus size; same
+    documented vocabulary-broadcast ceiling as df/tfidf, above it swap
+    the broadcast for a partitioned join on token); the per-token
+    ln-micro table is computed ONCE on the driver (math.log memoized
+    per distinct count — bit-identical to DuckDB's ln, proven by the
+    entropy family) and broadcast; pass 2 is one vectorized
+    index_in + np.add.at segment-sum per batch."""
+    import math
+
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.TableGroupBy(pa.table({"token": flat}), ["token"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"token": g["token"], "c_part": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    vocab = bucketed_agg(
+        ds.map_batches(tf_partial, batch_format="pyarrow"),
+        ["token"],
+        [("c_part", "sum", "c")],
+    ).materialize()
+    vt = pa.concat_tables(
+        tb for tb in map(ray.get, vocab.to_arrow_refs()) if tb.num_rows
+    ).combine_chunks()
+    n_total = int(pc.sum(vt["c"]).as_py() or 0)
+
+    ln_cache: dict[int, int] = {}
+
+    def L(v: int) -> int:
+        r = ln_cache.get(v)
+        if r is None:
+            r = int(math.floor(math.log(v) * 1_000_000 + 0.5))
+            ln_cache[v] = r
+        return r
+
+    l_n = L(n_total) if n_total else 0
+    # per-token surprisal L(N) - L(c): one memoized ln per DISTINCT count
+    surp = np.array(
+        [l_n - L(int(c)) for c in vt["c"].to_pylist()], dtype=np.int64
+    )
+    ref = state.broadcast((vt["token"].combine_chunks(), surp))
+
+    def score(t: pa.Table) -> pa.Table:
+        tokens, sp = state.cached_get(ref)
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        par = parent.filter(keep).to_numpy(zero_copy_only=False)
+        ntok = np.zeros(t.num_rows, np.int64)
+        num = np.zeros(t.num_rows, np.int64)
+        if len(flat):
+            idx = pc.index_in(flat, value_set=tokens).to_numpy(
+                zero_copy_only=False
+            )
+            np.add.at(num, par, sp[idx])
+            np.add.at(ntok, par, 1)
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok": pa.array(ntok),
+                "xent_num": pa.array(num),
+            }
+        )
+        # match the oracle's inner join: token-less docs emit no row
+        return out.filter(pa.array(ntok > 0))
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+DOC_UNIGRAM_XENT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+  FROM documents
+),
+tk AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk)
+SELECT tk.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(sum(CAST(round(ln(t.n) * 1000000) AS BIGINT)
+                - CAST(round(ln(c.c) * 1000000) AS BIGINT)) AS BIGINT)
+         AS xent_num
+FROM tk JOIN cnt c USING (token) CROSS JOIN tot t
+GROUP BY tk.doc_id
+ORDER BY tk.doc_id
+"""
+
+
+def doc_bigram_xent(sf_dir: str):
+    """Per-doc conditional bigram cross-entropy under the corpus
+    bigram LM: for each adjacent pair (w1,w2) the surprisal is
+    L(pre(w1)) − L(c(w1 w2)) micro-nats, where pre(w1) counts bigrams
+    whose first token is w1 and L(v) = round(ln(v)·1e6) — the
+    token-level sequel to doc_unigram_xent (fluency, not just rarity;
+    scripted/templated text scores near zero).  No backoff is needed:
+    the LM is trained on the same corpus it scores, so every doc
+    bigram has a count.
+
+    Scale shape: pass 1 folds the (bigram, n) table with
+    ``bucketed_agg`` (shuffle bounded by distinct bigrams — at web
+    scale a min-count floor would cap this, documented like
+    bigram_top); prefix sums and the per-bigram surprisal table are
+    one driver fold over that bounded table, broadcast once; pass 2
+    is one vectorized index_in + np.add.at per batch."""
+    import math
+
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def bg_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        f = flat.filter(keep).combine_chunks()
+        p = parent.filter(keep).combine_chunks().to_numpy(zero_copy_only=False)
+        if len(f) < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        mask = pa.array(p[1:] == p[:-1])
+        bg = pc.binary_join_element_wise(
+            f.slice(0, len(f) - 1).filter(mask), f.slice(1).filter(mask), " "
+        )
+        agg = pa.TableGroupBy(pa.table({"bigram": bg}), ["bigram"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"bigram": agg["bigram"], "n": pc.cast(agg["count_all"], pa.int64())}
+        )
+
+    lm = bucketed_agg(
+        ds.map_batches(bg_partial, batch_format="pyarrow"),
+        ["bigram"],
+        [("n", "sum", "n")],
+    ).materialize()
+    lt = pa.concat_tables(
+        tb for tb in map(ray.get, lm.to_arrow_refs()) if tb.num_rows
+    ).combine_chunks()
+
+    ln_cache: dict[int, int] = {}
+
+    def L(v: int) -> int:
+        r = ln_cache.get(v)
+        if r is None:
+            r = int(math.floor(math.log(v) * 1_000_000 + 0.5))
+            ln_cache[v] = r
+        return r
+
+    # prefix counts: tokens are alnum (the split regex), so the first
+    # space splits bigram -> w1 unambiguously
+    w1 = pc.list_element(pc.split_pattern(lt["bigram"], " ", max_splits=1), 0)
+    pre_tab = pa.TableGroupBy(
+        pa.table({"w1": w1, "n": lt["n"]}), ["w1"]
+    ).aggregate([("n", "sum")])
+    pre_of = dict(
+        zip(pre_tab["w1"].to_pylist(), pre_tab["n_sum"].to_pylist())
+    )
+    nb = lt["n"].to_pylist()
+    surp = np.array(
+        [
+            L(int(pre_of[w])) - L(int(c))
+            for w, c in zip(w1.to_pylist(), nb)
+        ],
+        dtype=np.int64,
+    )
+    ref = state.broadcast((lt["bigram"].combine_chunks(), surp))
+
+    def score(t: pa.Table) -> pa.Table:
+        bigrams, sp = state.cached_get(ref)
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        f = flat.filter(keep).combine_chunks()
+        p = parent.filter(keep).combine_chunks().to_numpy(zero_copy_only=False)
+        nbig = np.zeros(t.num_rows, np.int64)
+        num = np.zeros(t.num_rows, np.int64)
+        if len(f) >= 2:
+            mask = p[1:] == p[:-1]
+            bg = pc.binary_join_element_wise(
+                f.slice(0, len(f) - 1).filter(pa.array(mask)),
+                f.slice(1).filter(pa.array(mask)),
+                " ",
+            )
+            par = p[:-1][mask]
+            idx = pc.index_in(bg, value_set=bigrams).to_numpy(
+                zero_copy_only=False
+            )
+            np.add.at(num, par, sp[idx])
+            np.add.at(nbig, par, 1)
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_big": pa.array(nbig),
+                "xent2_num": pa.array(num),
+            }
+        )
+        return out.filter(pa.array(nbig > 0))
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+DOC_BIGRAM_XENT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}'),
+                     t -> t <> '') AS lst
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lst[g.i] AS w1, lst[g.i] || ' ' || lst[g.i + 1] AS bigram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(lst))) AS i) g
+),
+cnt AS (SELECT bigram, CAST(count(*) AS BIGINT) AS nb FROM grams GROUP BY 1),
+pre AS (SELECT w1, CAST(count(*) AS BIGINT) AS np FROM grams GROUP BY 1)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_big,
+       CAST(sum(CAST(round(ln(p.np) * 1000000) AS BIGINT)
+                - CAST(round(ln(c.nb) * 1000000) AS BIGINT)) AS BIGINT)
+         AS xent2_num
+FROM grams g JOIN cnt c USING (bigram) JOIN pre p USING (w1)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+def source_lm_divergence(sf_dir: str):
+    """KL divergence of each source's unigram distribution from the
+    whole-corpus LM — the domain-drift / contamination monitor a
+    mixture pipeline runs before reweighting sources.  Everything is
+    an exact integer numerator in micro-nats·tokens: ent_num =
+    Σ_t m·(L(n_s) − L(m)) (source self-entropy), xent_num =
+    Σ_t m·(L(N) − L(c_t)) (source under the corpus LM), and
+    kl_num = xent_num − ent_num ≥ 0, with L(v) = round(ln(v)·1e6);
+    KL in nats is kl_num / (n_tok·1e6).  No smoothing is needed —
+    every source token is in the corpus by construction.
+
+    Scale shape: one (source, token) ``bucketed_agg`` (shuffle bounded
+    by sources × vocabulary); the final fold is over that bounded
+    table on the driver (PERF 32: once partials are bounded, another
+    Ray exchange is pure fixed cost)."""
+    import math
+
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def st_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        src = t["source"].take(parent.filter(keep))
+        g = pa.TableGroupBy(
+            pa.table({"source": src, "token": flat}), ["source", "token"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "token": g["token"],
+                "m_part": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    st = bucketed_agg(
+        ds.map_batches(st_partial, batch_format="pyarrow"),
+        ["source", "token"],
+        [("m_part", "sum", "m")],
+    ).materialize()
+    tab = pa.concat_tables(
+        tb for tb in map(ray.get, st.to_arrow_refs()) if tb.num_rows
+    ).combine_chunks()
+
+    ln_cache: dict[int, int] = {}
+
+    def L(v: int) -> int:
+        r = ln_cache.get(v)
+        if r is None:
+            r = int(math.floor(math.log(v) * 1_000_000 + 0.5))
+            ln_cache[v] = r
+        return r
+
+    srcs = tab["source"].to_pylist()
+    toks = tab["token"].to_pylist()
+    ms = tab["m"].to_pylist()
+    c_of: dict[str, int] = {}
+    n_of: dict[str, int] = {}
+    for s, w, m in zip(srcs, toks, ms):
+        c_of[w] = c_of.get(w, 0) + int(m)
+        n_of[s] = n_of.get(s, 0) + int(m)
+    n_total = sum(n_of.values())
+    l_n = L(n_total) if n_total else 0
+    ent: dict[str, int] = {}
+    xent: dict[str, int] = {}
+    for s, w, m in zip(srcs, toks, ms):
+        m = int(m)
+        ent[s] = ent.get(s, 0) + m * (L(n_of[s]) - L(m))
+        xent[s] = xent.get(s, 0) + m * (l_n - L(c_of[w]))
+    rows = sorted(n_of)
+    return pa.table(
+        {
+            "source": pa.array(rows, pa.string()),
+            "n_tok": pa.array([n_of[s] for s in rows], pa.int64()),
+            "ent_num": pa.array([ent[s] for s in rows], pa.int64()),
+            "xent_num": pa.array([xent[s] for s in rows], pa.int64()),
+            "kl_num": pa.array([xent[s] - ent[s] for s in rows], pa.int64()),
+        }
+    )
+
+
+SOURCE_LM_DIVERGENCE_SQL = f"""
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+  FROM documents
+),
+tk AS (SELECT source, token FROM tok WHERE token <> ''),
+m AS (SELECT source, token, CAST(count(*) AS BIGINT) AS m FROM tk GROUP BY 1, 2),
+g AS (SELECT token, CAST(sum(m) AS BIGINT) AS c FROM m GROUP BY 1),
+ns AS (SELECT source, CAST(sum(m) AS BIGINT) AS n FROM m GROUP BY 1),
+nt AS (SELECT CAST(sum(m) AS BIGINT) AS nn FROM m)
+SELECT m.source,
+       ns.n AS n_tok,
+       CAST(sum(m.m * (CAST(round(ln(ns.n) * 1000000) AS BIGINT)
+                       - CAST(round(ln(m.m) * 1000000) AS BIGINT))) AS BIGINT)
+         AS ent_num,
+       CAST(sum(m.m * (CAST(round(ln(nt.nn) * 1000000) AS BIGINT)
+                       - CAST(round(ln(g.c) * 1000000) AS BIGINT))) AS BIGINT)
+         AS xent_num,
+       CAST(sum(m.m * ((CAST(round(ln(nt.nn) * 1000000) AS BIGINT)
+                        - CAST(round(ln(g.c) * 1000000) AS BIGINT))
+                       - (CAST(round(ln(ns.n) * 1000000) AS BIGINT)
+                          - CAST(round(ln(m.m) * 1000000) AS BIGINT))))
+            AS BIGINT) AS kl_num
+FROM m JOIN g USING (token) JOIN ns USING (source) CROSS JOIN nt
+GROUP BY 1, 2
+ORDER BY m.source
+"""

@@ -192,6 +192,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "key_skew_audit",
         "q12_late_linestatus",
         "char_bigram_condent",
+        "doc_unigram_xent",
+        "doc_bigram_xent",
+        "source_lm_divergence",
         "value_cusum_alarms",
         "zipf_slope_by_lang",
         "doc_char_entropy",
@@ -2225,3 +2228,28 @@ def test_embedding_pca_power_deterministic(ray_session):
     a = embedding_pca_power(SF).to_pandas()
     b = embedding_pca_power(SF).to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_lm_xent_family_invariants(ray_session):
+    """Cross-operator LM identities: (1) KL(source ‖ corpus) >= 0 for
+    every source; (2) the corpus-total unigram surprisal is the same
+    whether folded per doc (doc_unigram_xent) or per source
+    (source_lm_divergence) — both sum L(N)-L(c_w) over every token
+    occurrence; (3) bigram conditional surprisal is non-negative."""
+    from document_extractor_ray.functions.textstats import (
+        doc_bigram_xent,
+        doc_unigram_xent,
+        source_lm_divergence,
+    )
+
+    src = source_lm_divergence(SF).to_pandas()
+    assert (src["kl_num"] >= 0).all()
+    assert (src["xent_num"] == src["ent_num"] + src["kl_num"]).all()
+
+    uni = doc_unigram_xent(SF).to_pandas()
+    assert int(uni["xent_num"].sum()) == int(src["xent_num"].sum())
+    assert int(uni["n_tok"].sum()) == int(src["n_tok"].sum())
+
+    big = doc_bigram_xent(SF).to_pandas()
+    assert (big["xent2_num"] >= 0).all()
+    assert (big["n_big"] == uni.set_index("doc_id").loc[big["doc_id"], "n_tok"].to_numpy() - 1).all()
