@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_quarantine": _extract_quarantine,
         "extract_unit_rows": _extract_unit_rows,
         # --- round-3 additions (oracled, never driver-sampled) ---
+        "tokenizer_fertility": textstats.tokenizer_fertility,
+        "persistent_heavy_users": analytics.persistent_heavy_users,
+        "shipping_open_orders": analytics.shipping_open_orders,
         "doc_unigram_xent": textstats.doc_unigram_xent,
         "doc_bigram_xent": textstats.doc_bigram_xent,
         "source_lm_divergence": textstats.source_lm_divergence,
@@ -429,6 +432,9 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": analytics.TABLE_PROFILE_SQL,
         "orders_above_customer_avg": analytics.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
         "q7_volume_shipping": analytics.Q7_VOLUME_SHIPPING_SQL,
+        "tokenizer_fertility": textstats.TOKENIZER_FERTILITY_SQL,
+        "persistent_heavy_users": analytics.PERSISTENT_HEAVY_USERS_SQL,
+        "shipping_open_orders": analytics.SHIPPING_OPEN_ORDERS_SQL,
         "doc_unigram_xent": textstats.DOC_UNIGRAM_XENT_SQL,
         "doc_bigram_xent": textstats.DOC_BIGRAM_XENT_SQL,
         "source_lm_divergence": textstats.SOURCE_LM_DIVERGENCE_SQL,

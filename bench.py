@@ -302,6 +302,9 @@ def run_bench() -> dict:
         "doc_unigram_xent",
         "doc_bigram_xent",
         "source_lm_divergence",
+        "tokenizer_fertility",
+        "persistent_heavy_users",
+        "shipping_open_orders",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

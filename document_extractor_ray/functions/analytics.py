@@ -9963,3 +9963,197 @@ FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate > o.o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Persistent heavy hitters (per-day top-k users, persistence across days)
+# ---------------------------------------------------------------------------
+
+HEAVY_TOP_K = 5
+HEAVY_MIN_DAYS = 3
+
+
+def persistent_heavy_users(
+    sf_dir: str, k: int = HEAVY_TOP_K, min_days: int = HEAVY_MIN_DAYS
+):
+    """Users who appear in the per-day top-k by event count on at
+    least ``min_days`` distinct days — the "persistent heavy hitter"
+    report an abuse/quota pipeline runs (one-day spikes are noise; a
+    user who tops the chart day after day is a behavior).  Ties break
+    (count DESC, user_id ASC), identical to the oracle's row_number().
+
+    Scale shape: the (day, user) fold is key-per-row
+    (``bucketed_agg``); each resolved block then keeps only its LOCAL
+    top-k per day — top-k is a monotone selector, so the global top-k
+    is inside the union of per-block top-ks — leaving ≤ days·k rows
+    per block; the driver re-selects and counts persistence over that
+    bounded set (PERF 32)."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.floor_temporal(t["ts"], unit="day"),
+                "user_id": t["user_id"],
+            }
+        )
+
+    du = bucketed_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["day", "user_id"],
+        [(None, "count", "cnt")],
+    )
+
+    def _topk_per_day(
+        d: np.ndarray, u: np.ndarray, c: np.ndarray, kk: int
+    ) -> np.ndarray:
+        order = np.lexsort((u, -c, d))
+        ds_, n = d[order], len(order)
+        starts = np.flatnonzero(
+            np.concatenate(([True], ds_[1:] != ds_[:-1]))
+        )
+        rank = np.arange(n) - np.repeat(
+            starts, np.diff(np.append(starts, n))
+        )
+        return order[rank < kk]
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        d = t["day"].to_numpy(zero_copy_only=False).view(np.int64)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        c = t["cnt"].to_numpy(zero_copy_only=False)
+        return t.take(pa.array(_topk_per_day(d, u, c, k)))
+
+    parts = du.map_batches(block_topk, batch_format="pyarrow").take_all()
+    if not parts:
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "days_in_topk": pa.array([], pa.int64()),
+                "topk_events": pa.array([], pa.int64()),
+            }
+        )
+    d = np.array([r["day"] for r in parts], "datetime64[us]").view(np.int64)
+    u = np.array([r["user_id"] for r in parts], np.int64)
+    c = np.array([r["cnt"] for r in parts], np.int64)
+    sel = _topk_per_day(d, u, c, k)
+    u, c = u[sel], c[sel]
+    users, inv = np.unique(u, return_inverse=True)
+    days = np.bincount(inv)
+    ev = np.bincount(inv, weights=c).astype(np.int64)
+    keep = days >= min_days
+    order = np.lexsort((users[keep], -days[keep]))
+    return pa.table(
+        {
+            "user_id": pa.array(users[keep][order], pa.int64()),
+            "days_in_topk": pa.array(days[keep][order].astype(np.int64)),
+            "topk_events": pa.array(ev[keep][order]),
+        }
+    )
+
+
+PERSISTENT_HEAVY_USERS_SQL = f"""
+WITH du AS (
+  SELECT date_trunc('day', ts) AS day, user_id,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+rk AS (
+  SELECT day, user_id, cnt,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY cnt DESC, user_id) AS r
+  FROM du
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS days_in_topk,
+       CAST(sum(cnt) AS BIGINT) AS topk_events
+FROM rk WHERE r <= {HEAVY_TOP_K}
+GROUP BY 1 HAVING count(*) >= {HEAVY_MIN_DAYS}
+ORDER BY days_in_topk DESC, user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interval sweep-line: concurrently-shipping orders per day
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def shipping_open_orders(sf_dir: str):
+    """Orders whose shipping window [min(l_shipdate), max(l_shipdate)]
+    covers each boundary day — the interval-overlap sweep-line that a
+    capacity planner runs (how many orders are in flight at once).
+    Purely lineitem-derived, so orders without lines (257 exist at
+    sf0.01) never enter, identically in Ray and the oracle.
+
+    Scale shape: one key-per-row min+max fold per order
+    (``bucketed_agg``); each resolved block collapses its windows to
+    per-day ±1 deltas (day-bounded partials); the driver folds the
+    ~distinct-days-sized delta table and prefix-sums it — the classic
+    sweep-line, never materializing order-level intervals."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    w = bucketed_agg(
+        li,
+        ["l_orderkey"],
+        [("l_shipdate", "min", "s"), ("l_shipdate", "max", "e")],
+    )
+
+    def deltas(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"day": pa.array([], pa.int64()), "delta": pa.array([], pa.int64())}
+            )
+        s = (
+            pc.floor_temporal(t["s"], unit="day")
+            .to_numpy(zero_copy_only=False)
+            .view(np.int64)
+        )
+        e = (
+            pc.floor_temporal(t["e"], unit="day")
+            .to_numpy(zero_copy_only=False)
+            .view(np.int64)
+        ) + _DAY_US
+        day = np.concatenate([s, e])
+        dl = np.concatenate(
+            [np.ones(len(s), np.int64), -np.ones(len(e), np.int64)]
+        )
+        g = pa.TableGroupBy(
+            pa.table({"day": pa.array(day), "delta": pa.array(dl)}), ["day"]
+        ).aggregate([("delta", "sum")])
+        return pa.table({"day": g["day"], "delta": g["delta_sum"]})
+
+    parts = w.map_batches(deltas, batch_format="pyarrow").take_all()
+    acc: dict[int, int] = {}
+    for r in parts:
+        acc[int(r["day"])] = acc.get(int(r["day"]), 0) + int(r["delta"])
+    days = sorted(acc)
+    vals = np.cumsum([acc[d] for d in days]).astype(np.int64)
+    return pa.table(
+        {
+            "day": pa.array(np.array(days, np.int64)).cast(pa.timestamp("us")),
+            "open_orders": pa.array(vals),
+        }
+    )
+
+
+SHIPPING_OPEN_ORDERS_SQL = """
+WITH w AS (
+  SELECT l_orderkey, min(l_shipdate) AS s, max(l_shipdate) AS e
+  FROM lineitem GROUP BY 1
+),
+b AS (
+  SELECT date_trunc('day', s) AS day, 1 AS d FROM w
+  UNION ALL
+  SELECT date_trunc('day', e) + INTERVAL 1 DAY AS day, -1 AS d FROM w
+),
+agg AS (SELECT day, CAST(sum(d) AS BIGINT) AS delta FROM b GROUP BY 1)
+SELECT day, CAST(sum(delta) OVER (ORDER BY day) AS BIGINT) AS open_orders
+FROM agg ORDER BY day
+"""

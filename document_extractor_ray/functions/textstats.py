@@ -4944,3 +4944,83 @@ FROM m JOIN g USING (token) JOIN ns USING (source) CROSS JOIN nt
 GROUP BY 1, 2
 ORDER BY m.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language (subword-per-word budget planning)
+# ---------------------------------------------------------------------------
+
+
+def tokenizer_fertility(sf_dir: str):
+    """Per-language tokenizer fertility: BPE-ish subword estimate
+    (``bpe_ish_token_count`` — the same kernel token_histogram uses)
+    over whitespace words, as integer permille — the budget number a
+    multilingual pipeline checks before fixing a token quota per
+    language (high fertility = the tokenizer fragments that language).
+
+    Scale shape: all counts are pyarrow.compute regex kernels; the
+    per-batch partial is language-bounded, so the driver folds it
+    directly (PERF 32)."""
+    ds = _read_docs(sf_dir, ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ws = pc.cast(pc.count_substring_regex(t["text"], _TOKEN_RE), pa.int64())
+        sub = bpe_ish_token_count(t["text"])
+        ch = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        g = pa.TableGroupBy(
+            pa.table({"lang": t["lang"], "ws": ws, "sub": sub, "ch": ch}),
+            ["lang"],
+        ).aggregate([([], "count_all"), ("ws", "sum"), ("sub", "sum"), ("ch", "sum")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "n_docs": pc.cast(g["count_all"], pa.int64()),
+                "ws": g["ws_sum"],
+                "sub": g["sub_sum"],
+                "ch": g["ch_sum"],
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc: dict[str, list[int]] = {}
+    for r in parts:
+        a = acc.setdefault(r["lang"], [0, 0, 0, 0])
+        a[0] += int(r["n_docs"])
+        a[1] += int(r["ws"])
+        a[2] += int(r["sub"])
+        a[3] += int(r["ch"])
+    langs = sorted(acc)
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "n_docs": pa.array([acc[l][0] for l in langs], pa.int64()),
+            "ws_tokens": pa.array([acc[l][1] for l in langs], pa.int64()),
+            "subword_tokens": pa.array([acc[l][2] for l in langs], pa.int64()),
+            "n_chars": pa.array([acc[l][3] for l in langs], pa.int64()),
+            "fert_permille": pa.array(
+                [acc[l][2] * 1000 // max(acc[l][1], 1) for l in langs],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+TOKENIZER_FERTILITY_SQL = r"""
+WITH per AS (
+  SELECT lang,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws,
+         CAST(length(regexp_extract_all(text, '[A-Za-z0-9]')) AS BIGINT) // 4
+           + CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+           + CAST(length(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]'))
+                  AS BIGINT) AS sub,
+         CAST(length(text) AS BIGINT) AS ch
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       CAST(sum(sub) AS BIGINT) AS subword_tokens,
+       CAST(sum(ch) AS BIGINT) AS n_chars,
+       CAST(sum(sub) * 1000 // greatest(sum(ws), 1) AS BIGINT) AS fert_permille
+FROM per GROUP BY 1 ORDER BY 1
+"""

@@ -192,6 +192,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "key_skew_audit",
         "q12_late_linestatus",
         "char_bigram_condent",
+        "tokenizer_fertility",
+        "persistent_heavy_users",
+        "shipping_open_orders",
         "doc_unigram_xent",
         "doc_bigram_xent",
         "source_lm_divergence",
@@ -2253,3 +2256,48 @@ def test_lm_xent_family_invariants(ray_session):
     big = doc_bigram_xent(SF).to_pandas()
     assert (big["xent2_num"] >= 0).all()
     assert (big["n_big"] == uni.set_index("doc_id").loc[big["doc_id"], "n_tok"].to_numpy() - 1).all()
+
+
+def test_shipping_open_orders_sweep_invariants(ray_session):
+    """Sweep-line sanity: the running open count is non-negative
+    everywhere, ends at exactly zero (every opened interval closes),
+    and its maximum is bounded by the number of distinct orders with
+    lineitems."""
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import shipping_open_orders
+
+    prof = shipping_open_orders(SF).to_pandas()
+    assert (prof["open_orders"] >= 0).all()
+    assert int(prof["open_orders"].iloc[-1]) == 0
+    n_orders = duckdb.sql(
+        f"SELECT count(DISTINCT l_orderkey) FROM read_parquet('{SF}/lineitem.parquet')"
+    ).fetchone()[0]
+    assert int(prof["open_orders"].max()) <= n_orders
+
+
+def test_persistent_heavy_users_membership(ray_session):
+    """Every reported persistent heavy user must actually hold a
+    per-day top-k slot on >= MIN_DAYS days when recomputed exactly in
+    pandas from the raw events."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.analytics import (
+        HEAVY_MIN_DAYS,
+        HEAVY_TOP_K,
+        persistent_heavy_users,
+    )
+
+    got = persistent_heavy_users(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts", "user_id"]).to_pandas()
+    ev["day"] = ev["ts"].dt.floor("D")
+    du = ev.groupby(["day", "user_id"]).size().reset_index(name="cnt")
+    du = du.sort_values(["day", "cnt", "user_id"], ascending=[True, False, True])
+    du["r"] = du.groupby("day").cumcount()
+    tk = du[du["r"] < HEAVY_TOP_K]
+    persist = tk.groupby("user_id").agg(days=("day", "size"), ev=("cnt", "sum"))
+    persist = persist[persist["days"] >= HEAVY_MIN_DAYS]
+    assert set(got["user_id"]) == set(persist.index)
+    merged = persist.loc[got["user_id"]]
+    assert (merged["days"].to_numpy() == got["days_in_topk"].to_numpy()).all()
+    assert (merged["ev"].to_numpy() == got["topk_events"].to_numpy()).all()
