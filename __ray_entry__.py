@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_quarantine": _extract_quarantine,
         "extract_unit_rows": _extract_unit_rows,
         # --- round-3 additions (oracled, never driver-sampled) ---
+        "collocation_llr": textstats.collocation_llr,
+        "doc_quality_composite": textstats.doc_quality_composite,
+        "pack_efficiency_stats": training.pack_efficiency_stats,
         "tokenizer_fertility": textstats.tokenizer_fertility,
         "persistent_heavy_users": analytics.persistent_heavy_users,
         "shipping_open_orders": analytics.shipping_open_orders,
@@ -432,6 +435,9 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": analytics.TABLE_PROFILE_SQL,
         "orders_above_customer_avg": analytics.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
         "q7_volume_shipping": analytics.Q7_VOLUME_SHIPPING_SQL,
+        "collocation_llr": textstats.COLLOCATION_LLR_SQL,
+        "doc_quality_composite": textstats.DOC_QUALITY_COMPOSITE_SQL,
+        "pack_efficiency_stats": training.PACK_EFFICIENCY_STATS_SQL,
         "tokenizer_fertility": textstats.TOKENIZER_FERTILITY_SQL,
         "persistent_heavy_users": analytics.PERSISTENT_HEAVY_USERS_SQL,
         "shipping_open_orders": analytics.SHIPPING_OPEN_ORDERS_SQL,

@@ -305,6 +305,9 @@ def run_bench() -> dict:
         "tokenizer_fertility",
         "persistent_heavy_users",
         "shipping_open_orders",
+        "collocation_llr",
+        "doc_quality_composite",
+        "pack_efficiency_stats",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

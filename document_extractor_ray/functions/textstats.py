@@ -5024,3 +5024,288 @@ SELECT lang,
        CAST(sum(sub) * 1000 // greatest(sum(ws), 1) AS BIGINT) AS fert_permille
 FROM per GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Collocation detection via Dunning log-likelihood ratio (integer-exact)
+# ---------------------------------------------------------------------------
+
+LLR_TOP_K = 30
+
+
+def _s_micro(x: int, L) -> int:
+    """S(x) = x·L(x) with S(0) = 0 — the x·ln(x) term of Dunning's LLR
+    in exact micro-nat integers."""
+    return 0 if x == 0 else x * L(x)
+
+
+def collocation_llr(sf_dir: str, k: int = LLR_TOP_K):
+    """Top-k adjacent-token collocations by Dunning's log-likelihood
+    ratio (the standard significance test for multi-word expressions;
+    Dunning 1993) — shipped as the exact integer numerator llr_num =
+    2·[S(k11)+S(k12)+S(k21)+S(k22) − S(r1) − S(N−r1) − S(c1) − S(N−c1)
+    + S(N)] with S(x) = x·round(ln(x)·1e6), so the SQL oracle matches
+    bit for bit (LLR in nats = llr_num / 2e6... the /2 convention kept
+    inside).  Unlike raw PMI this does not over-rank rare pairs.
+
+    Scale shape: one bucketed (bigram, n) fold (shuffle bounded by
+    distinct bigrams — a production run adds a min-count floor like
+    bigram_top); prefix/suffix marginals and the LLR scores are a
+    driver fold over that bounded table with memoized ln per DISTINCT
+    count.  int64 headroom: S(N) < 2^63 up to N ≈ 3·10^11 bigrams —
+    beyond that the numerator needs a nano→micro rescale or int128
+    accumulation (documented ceiling)."""
+    import math
+
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def bg_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        f = flat.filter(keep).combine_chunks()
+        p = parent.filter(keep).combine_chunks().to_numpy(zero_copy_only=False)
+        if len(f) < 2:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        mask = pa.array(p[1:] == p[:-1])
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "w1": f.slice(0, len(f) - 1).filter(mask),
+                    "w2": f.slice(1).filter(mask),
+                }
+            ),
+            ["w1", "w2"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {"w1": g["w1"], "w2": g["w2"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    lm = bucketed_agg(
+        ds.map_batches(bg_partial, batch_format="pyarrow"),
+        ["w1", "w2"],
+        [("n", "sum", "n")],
+    ).materialize()
+    lt = pa.concat_tables(
+        tb for tb in map(ray.get, lm.to_arrow_refs()) if tb.num_rows
+    ).combine_chunks()
+
+    ln_cache: dict[int, int] = {}
+
+    def L(v: int) -> int:
+        r = ln_cache.get(v)
+        if r is None:
+            r = int(math.floor(math.log(v) * 1_000_000 + 0.5))
+            ln_cache[v] = r
+        return r
+
+    w1 = lt["w1"].to_pylist()
+    w2 = lt["w2"].to_pylist()
+    k11s = lt["n"].to_pylist()
+    pre: dict[str, int] = {}
+    suf: dict[str, int] = {}
+    for a, b, n in zip(w1, w2, k11s):
+        pre[a] = pre.get(a, 0) + int(n)
+        suf[b] = suf.get(b, 0) + int(n)
+    n_tot = sum(pre.values())
+    scored = []
+    for a, b, n in zip(w1, w2, k11s):
+        k11 = int(n)
+        r1, c1 = pre[a], suf[b]
+        llr = 2 * (
+            _s_micro(k11, L)
+            + _s_micro(r1 - k11, L)
+            + _s_micro(c1 - k11, L)
+            + _s_micro(n_tot - r1 - c1 + k11, L)
+            - _s_micro(r1, L)
+            - _s_micro(n_tot - r1, L)
+            - _s_micro(c1, L)
+            - _s_micro(n_tot - c1, L)
+            + _s_micro(n_tot, L)
+        )
+        scored.append((f"{a} {b}", k11, llr))
+    scored.sort(key=lambda x: (-x[2], x[0]))
+    top = scored[:k]
+    return pa.table(
+        {
+            "bigram": pa.array([x[0] for x in top], pa.string()),
+            "n": pa.array([x[1] for x in top], pa.int64()),
+            "llr_num": pa.array([x[2] for x in top], pa.int64()),
+        }
+    )
+
+
+def _llr_sql(k: int = LLR_TOP_K) -> str:
+    def S(x: str) -> str:
+        return (
+            f"(CASE WHEN ({x}) = 0 THEN 0 ELSE ({x}) * "
+            f"CAST(round(ln({x}) * 1000000) AS BIGINT) END)"
+        )
+
+    return f"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}'),
+                     t -> t <> '') AS lst
+  FROM documents
+),
+grams AS (
+  SELECT lst[g.i] AS w1, lst[g.i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(lst))) AS i) g
+),
+cnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS k11 FROM grams GROUP BY 1, 2),
+pre AS (SELECT w1, CAST(count(*) AS BIGINT) AS r1 FROM grams GROUP BY 1),
+suf AS (SELECT w2, CAST(count(*) AS BIGINT) AS c1 FROM grams GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM grams)
+SELECT w1 || ' ' || w2 AS bigram, k11 AS n,
+       CAST(2 * ({S("k11")} + {S("r1 - k11")} + {S("c1 - k11")}
+                 + {S("t.n - r1 - c1 + k11")}
+                 - {S("r1")} - {S("t.n - r1")} - {S("c1")} - {S("t.n - c1")}
+                 + {S("t.n")}) AS BIGINT) AS llr_num
+FROM cnt JOIN pre USING (w1) JOIN suf USING (w2) CROSS JOIN tot t
+ORDER BY llr_num DESC, bigram
+LIMIT {k}
+"""
+
+
+COLLOCATION_LLR_SQL = _llr_sql()
+
+
+# ---------------------------------------------------------------------------
+# Composite quality gate (the full filter chain as one fused pass)
+# ---------------------------------------------------------------------------
+
+FAIL_C4 = 1        # C4 gate (quality_filter thresholds)
+FAIL_REPETITION = 2  # Gopher repetition flags (repetition_filter)
+FAIL_GOPHER = 4    # Gopher document rules (gopher_rules keep = 0)
+
+
+def doc_quality_composite(sf_dir: str):
+    """The production filter chain — C4 gate + repetition flags +
+    Gopher rules — fused into ONE pass over the text, emitting a
+    fail-reason bitmask per doc (bit0 C4, bit1 repetition, bit2
+    Gopher) and the final keep flag.  A real pipeline runs exactly
+    this fusion: three separate scans (or worse, three joins) over a
+    100 TB corpus just to AND three masks is the anti-pattern.  The
+    component semantics are IDENTICAL to quality_filter /
+    repetition_filter / gopher_rules (same constants, same kernels) —
+    pinned by a pytest cross-op identity and by the oracle, which
+    composes the three ops' own SQL as subqueries.
+
+    Scale shape: one map_batches, no shuffle; the only per-row Python
+    is the repetition signals' ragged numpy uniques (inherent, same
+    as repetition_filter)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def composite(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        n = pc.cast(pc.utf8_length(text), pa.int64())
+        n_safe = pc.max_element_wise(n, 1)
+        toks = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.int64())
+        alnum = pc.cast(pc.count_substring_regex(text, r"[A-Za-z0-9]"), pa.int64())
+        punct = pc.cast(pc.count_substring_regex(text, _PUNCT_RE), pa.int64())
+        alnum_pm = pc.divide(pc.multiply(alnum, 1000), n_safe)
+        punct_pm = pc.divide(pc.multiply(punct, 1000), n_safe)
+        c4 = pc.and_(
+            pc.and_(
+                pc.greater_equal(toks, MIN_TOKENS),
+                pc.greater_equal(alnum_pm, MIN_ALNUM_PERMILLE),
+            ),
+            pc.less_equal(punct_pm, MAX_PUNCT_PERMILLE),
+        ).to_numpy(zero_copy_only=False)
+
+        # repetition signals (repetition_filter kernels)
+        rep = np.zeros(t.num_rows, bool)
+        for i, s in enumerate(text.to_pylist()):
+            w = np.array((s or "").lower().split())
+            nw = w.size
+            if nw == 0:
+                continue
+            uniq = len(np.unique(w))
+            top = 0
+            if nw >= 2:
+                _, counts = np.unique(
+                    np.stack([w[:-1], w[1:]]), axis=1, return_counts=True
+                )
+                top = int(counts.max())
+            rep[i] = (
+                REP_DUP_WORD_DEN * (nw - uniq) > REP_DUP_WORD_NUM * nw
+            ) or (REP_TOP_BIGRAM_DEN * top > REP_TOP_BIGRAM_NUM * (nw - 1))
+
+        # gopher rules (gopher_rules kernels)
+        nw_safe = pc.max_element_wise(toks, 1)
+        word_chars = pc.cast(pc.count_substring_regex(text, r"\S"), pa.int64())
+        wlen_pm = pc.divide(pc.multiply(word_chars, 1000), nw_safe)
+        n_sym = pc.add(
+            pc.cast(pc.count_substring(text, "#"), pa.int64()),
+            pc.cast(pc.count_substring_regex(text, r"\.\.\."), pa.int64()),
+        )
+        symbol_pm = pc.divide(pc.multiply(n_sym, 1000), nw_safe)
+        n_lines = pc.add(pc.cast(pc.count_substring(text, "\n"), pa.int64()), 1)
+        n_bullet = pc.cast(pc.count_substring_regex(text, r"(?m)^[-*•]"), pa.int64())
+        bullet_pm = pc.divide(pc.multiply(n_bullet, 1000), n_lines)
+        stop_hits = None
+        for w in GOPHER_STOPS:
+            hit = pc.cast(pc.match_substring_regex(text, rf"\b{w}\b"), pa.int64())
+            stop_hits = hit if stop_hits is None else pc.add(stop_hits, hit)
+        gopher = pc.and_(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(toks, GOPHER_MIN_WORDS),
+                    pc.less_equal(toks, GOPHER_MAX_WORDS),
+                ),
+                pc.and_(
+                    pc.greater_equal(wlen_pm, GOPHER_MIN_WLEN_PM),
+                    pc.less_equal(wlen_pm, GOPHER_MAX_WLEN_PM),
+                ),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.less_equal(symbol_pm, GOPHER_MAX_SYMBOL_PM),
+                    pc.less_equal(bullet_pm, GOPHER_MAX_BULLET_PM),
+                ),
+                pc.greater_equal(stop_hits, GOPHER_MIN_STOP_HITS),
+            ),
+        ).to_numpy(zero_copy_only=False)
+
+        mask = (
+            np.where(c4, 0, FAIL_C4)
+            + np.where(rep, FAIL_REPETITION, 0)
+            + np.where(gopher, 0, FAIL_GOPHER)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fail_mask": pa.array(mask),
+                "keep": pa.array((mask == 0).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(composite, batch_format="pyarrow").sort("doc_id")
+
+
+DOC_QUALITY_COMPOSITE_SQL = f"""
+WITH q AS (SELECT doc_id FROM ({QUALITY_FILTER_SQL})),
+r AS (SELECT doc_id, repetitive FROM ({REPETITION_FILTER_SQL})),
+g AS (SELECT doc_id, keep AS gkeep FROM ({GOPHER_RULES_SQL}))
+SELECT d.doc_id,
+       CAST((CASE WHEN q.doc_id IS NULL THEN {FAIL_C4} ELSE 0 END)
+            + (CASE WHEN r.repetitive THEN {FAIL_REPETITION} ELSE 0 END)
+            + (CASE WHEN g.gkeep = 0 THEN {FAIL_GOPHER} ELSE 0 END)
+          AS BIGINT) AS fail_mask,
+       CAST(CASE WHEN q.doc_id IS NOT NULL AND NOT r.repetitive
+                  AND g.gkeep = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents d
+LEFT JOIN q ON q.doc_id = d.doc_id
+JOIN r ON r.doc_id = d.doc_id
+JOIN g ON g.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""

@@ -612,3 +612,124 @@ FROM ranked
 GROUP BY 1
 ORDER BY shard
 """
+
+
+# ---------------------------------------------------------------------------
+# Packing efficiency audit (bin-fill histogram over pack_assignments)
+# ---------------------------------------------------------------------------
+
+
+def pack_efficiency_stats(sf_dir: str, window: int = PACK_WINDOW):
+    """Fill-rate histogram of the greedy packer's output: examples
+    bucketed by fill permille band (band = tokens·1000//window//100,
+    0..10; oversize singletons report band −1), with docs, token and
+    wasted-token totals per band — the number a training-data team
+    watches to decide whether the packing window or the doc length
+    distribution needs work.
+
+    Scale shape: per-example rollup is key-per-row (``bucketed_agg``
+    on example_id); each resolved block collapses to band partials
+    (≤ 12 rows), folded on the driver (PERF 32)."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    pa_ds = pack_assignments(_read_docs(sf_dir, ["doc_id", "text"]))
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "example_id": t["example_id"],
+                "n_tokens": t["n_tokens"],
+                "ovs": pc.cast(t["oversize"], pa.int64()),
+            }
+        )
+
+    per_ex = bucketed_agg(
+        pa_ds.map_batches(slim, batch_format="pyarrow"),
+        ["example_id"],
+        [(None, "count", "n_docs"), ("n_tokens", "sum", "tokens"), ("ovs", "max", "ovs")],
+    )
+
+    def band_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "n_examples": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "tokens": pa.array([], pa.int64()),
+                    "waste_tokens": pa.array([], pa.int64()),
+                }
+            )
+        tok = t["tokens"].to_numpy(zero_copy_only=False)
+        ovs = t["ovs"].to_numpy(zero_copy_only=False) > 0
+        band = np.where(ovs, -1, tok * 1000 // window // 100).astype(np.int64)
+        waste = np.where(ovs, 0, window - tok).astype(np.int64)
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "band": pa.array(band),
+                    "n_docs": t["n_docs"],
+                    "tokens": t["tokens"],
+                    "waste": pa.array(waste),
+                }
+            ),
+            ["band"],
+        ).aggregate([([], "count_all"), ("n_docs", "sum"), ("tokens", "sum"), ("waste", "sum")])
+        return pa.table(
+            {
+                "band": g["band"],
+                "n_examples": pc.cast(g["count_all"], pa.int64()),
+                "n_docs": g["n_docs_sum"],
+                "tokens": g["tokens_sum"],
+                "waste_tokens": g["waste_sum"],
+            }
+        )
+
+    parts = per_ex.map_batches(band_partial, batch_format="pyarrow").take_all()
+    acc: dict[int, list[int]] = {}
+    for r in parts:
+        a = acc.setdefault(int(r["band"]), [0, 0, 0, 0])
+        a[0] += int(r["n_examples"])
+        a[1] += int(r["n_docs"])
+        a[2] += int(r["tokens"])
+        a[3] += int(r["waste_tokens"])
+    bands = sorted(acc)
+    return pa.table(
+        {
+            "band": pa.array(bands, pa.int64()),
+            "n_examples": pa.array([acc[b][0] for b in bands], pa.int64()),
+            "n_docs": pa.array([acc[b][1] for b in bands], pa.int64()),
+            "tokens": pa.array([acc[b][2] for b in bands], pa.int64()),
+            "waste_tokens": pa.array([acc[b][3] for b in bands], pa.int64()),
+        }
+    )
+
+
+def pack_efficiency_stats_sql(
+    window: int = PACK_WINDOW, range_size: int = PACK_RANGE
+) -> str:
+    return f"""
+WITH pa_ AS ({pack_assignments_sql(window, range_size)}),
+ex AS (
+  SELECT example_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS tokens,
+         bool_or(oversize) AS ovs
+  FROM pa_ GROUP BY 1
+), banded AS (
+  SELECT CASE WHEN ovs THEN CAST(-1 AS BIGINT)
+              ELSE tokens * 1000 // {window} // 100 END AS band,
+         n_docs, tokens,
+         CASE WHEN ovs THEN 0 ELSE {window} - tokens END AS waste
+  FROM ex
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_examples,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS tokens,
+       CAST(sum(waste) AS BIGINT) AS waste_tokens
+FROM banded GROUP BY 1 ORDER BY 1
+"""
+
+
+PACK_EFFICIENCY_STATS_SQL = pack_efficiency_stats_sql()

@@ -192,6 +192,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "key_skew_audit",
         "q12_late_linestatus",
         "char_bigram_condent",
+        "collocation_llr",
+        "doc_quality_composite",
+        "pack_efficiency_stats",
         "tokenizer_fertility",
         "persistent_heavy_users",
         "shipping_open_orders",
@@ -2301,3 +2304,87 @@ def test_persistent_heavy_users_membership(ray_session):
     merged = persist.loc[got["user_id"]]
     assert (merged["days"].to_numpy() == got["days_in_topk"].to_numpy()).all()
     assert (merged["ev"].to_numpy() == got["topk_events"].to_numpy()).all()
+
+
+def test_doc_quality_composite_matches_components(ray_session):
+    """The fused filter chain must agree bit-for-bit with the three
+    standalone operators it composes (same constants, same kernels):
+    bit0 == not-in-quality_filter, bit1 == repetitive, bit2 == gopher
+    keep == 0."""
+    from document_extractor_ray.functions.textstats import (
+        FAIL_C4,
+        FAIL_GOPHER,
+        FAIL_REPETITION,
+        doc_quality_composite,
+        gopher_rules,
+        quality_filter,
+        repetition_filter,
+    )
+
+    comp = doc_quality_composite(SF).to_pandas().set_index("doc_id")
+    kept_c4 = set(quality_filter(SF).to_pandas()["doc_id"])
+    rep = repetition_filter(SF).to_pandas().set_index("doc_id")["repetitive"]
+    gop = gopher_rules(SF).to_pandas().set_index("doc_id")["keep"]
+    for doc_id, row in comp.iterrows():
+        want = (
+            (0 if doc_id in kept_c4 else FAIL_C4)
+            + (FAIL_REPETITION if rep.loc[doc_id] else 0)
+            + (0 if gop.loc[doc_id] == 1 else FAIL_GOPHER)
+        )
+        assert row["fail_mask"] == want, doc_id
+        assert row["keep"] == (1 if want == 0 else 0)
+
+
+def test_collocation_llr_sanity(ray_session):
+    """LLR numerators are positive for the reported top-k collocations
+    and the scores agree with a direct float Dunning LLR computed from
+    pandas counts (within integer micro-rounding slack)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.textstats import collocation_llr
+
+    got = collocation_llr(SF).to_pandas()
+    assert (got["llr_num"] > 0).all()
+    assert (got["n"] >= 1).all()
+
+    import re
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])["text"].to_pylist()
+    from collections import Counter
+    big, pre, suf = Counter(), Counter(), Counter()
+    for s in texts:
+        w = [x for x in re.split(r"[^a-z0-9]+", s.lower()) if x]
+        for a, b in zip(w[:-1], w[1:]):
+            big[(a, b)] += 1; pre[a] += 1; suf[b] += 1
+    n = sum(big.values())
+
+    def S(x):
+        return 0.0 if x == 0 else x * math.log(x)
+
+    top = got.iloc[0]
+    a, b = top["bigram"].split(" ")
+    k11 = big[(a, b)]; r1 = pre[a]; c1 = suf[b]
+    llr = 2 * (S(k11) + S(r1 - k11) + S(c1 - k11) + S(n - r1 - c1 + k11)
+               - S(r1) - S(n - r1) - S(c1) - S(n - c1) + S(n))
+    assert abs(top["llr_num"] / 1e6 - llr) < 1.0
+
+
+def test_pack_efficiency_totals(ray_session):
+    """Band histogram conserves mass: n_docs and tokens sum to the
+    pack_assignments totals, and waste = window - tokens for every
+    non-oversize example."""
+    from document_extractor_ray.functions.training import (
+        PACK_WINDOW,
+        pack_assignments_docs,
+        pack_efficiency_stats,
+    )
+
+    stats = pack_efficiency_stats(SF).to_pandas()
+    pa_df = pack_assignments_docs(SF).to_pandas()
+    assert int(stats["n_docs"].sum()) == len(pa_df)
+    assert int(stats["tokens"].sum()) == int(pa_df["n_tokens"].sum())
+    nonov = stats[stats["band"] >= 0]
+    assert (
+        nonov["waste_tokens"] == nonov["n_examples"] * PACK_WINDOW - nonov["tokens"]
+    ).all()
