@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_quarantine": _extract_quarantine,
         "extract_unit_rows": _extract_unit_rows,
         # --- round-3 additions (oracled, never driver-sampled) ---
+        "name_typo_pairs": dedup.name_typo_pairs,
+        "attribution_last_touch": analytics.attribution_last_touch,
+        "join_size_exact": analytics.join_size_exact,
         "collocation_llr": textstats.collocation_llr,
         "doc_quality_composite": textstats.doc_quality_composite,
         "pack_efficiency_stats": training.pack_efficiency_stats,
@@ -435,6 +438,9 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": analytics.TABLE_PROFILE_SQL,
         "orders_above_customer_avg": analytics.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
         "q7_volume_shipping": analytics.Q7_VOLUME_SHIPPING_SQL,
+        "name_typo_pairs": dedup.NAME_TYPO_PAIRS_SQL,
+        "attribution_last_touch": analytics.ATTRIBUTION_LAST_TOUCH_SQL,
+        "join_size_exact": analytics.JOIN_SIZE_EXACT_SQL,
         "collocation_llr": textstats.COLLOCATION_LLR_SQL,
         "doc_quality_composite": textstats.DOC_QUALITY_COMPOSITE_SQL,
         "pack_efficiency_stats": training.PACK_EFFICIENCY_STATS_SQL,

@@ -308,6 +308,8 @@ def run_bench() -> dict:
         "collocation_llr",
         "doc_quality_composite",
         "pack_efficiency_stats",
+        "attribution_last_touch",
+        "join_size_exact",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -10157,3 +10157,182 @@ agg AS (SELECT day, CAST(sum(d) AS BIGINT) AS delta FROM b GROUP BY 1)
 SELECT day, CAST(sum(delta) OVER (ORDER BY day) AS BIGINT) AS open_orders
 FROM agg ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (strictly-preceding non-purchase event per purchase)
+# ---------------------------------------------------------------------------
+
+
+def attribution_last_touch(sf_dir: str):
+    """Marketing-style last-touch attribution: each purchase credits
+    the user's most recent STRICTLY earlier non-purchase event type
+    ('none' if the purchase is the user's first event), reporting
+    purchases and purchase value per credited type.  Ties cannot
+    occur: ordering is (ts, event_id) and event_id is unique.
+
+    Scale shape: the sessionize pattern — one shuffle on a HASH BUCKET
+    of user_id (never user_id itself), then the whole partition's
+    forward-fill is two vectorized pandas groupby passes (ffill +
+    shift); per-partition output is type-bounded (≤ 6 rows), folded on
+    the driver (PERF 32)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type", "value"])
+    n_parts = _n_blocks()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(
+            pc.multiply(
+                pc.cast(t["user_id"], pa.int64()), pa.scalar(2654435761, pa.int64())
+            ),
+            pa.scalar(0x7FFFFFFF, pa.int64()),
+        )
+        part = pc.cast(
+            pc.subtract(h, pc.multiply(pc.divide(h, n_parts), n_parts)), pa.int32()
+        )
+        return t.append_column("part", part)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        s = g["event_type"].where(g["event_type"] != "purchase")
+        filled = s.groupby(g["user_id"], sort=False).ffill()
+        src = filled.groupby(g["user_id"], sort=False).shift(1)
+        buy = g["event_type"] == "purchase"
+        cents = _to_cents(pa.array(g.loc[buy, "value"].to_numpy())).to_numpy(
+            zero_copy_only=False
+        )
+        out = pd.DataFrame(
+            {"src": src[buy].fillna("none").to_numpy(), "cents": cents}
+        )
+        agg = out.groupby("src", sort=True).agg(
+            n_purchases=("cents", "size"), purchase_value_cents=("cents", "sum")
+        )
+        return agg.reset_index()
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .take_all()
+    )
+    acc: dict[str, list[int]] = {}
+    for r in parts:
+        a = acc.setdefault(r["src"], [0, 0])
+        a[0] += int(r["n_purchases"])
+        a[1] += int(r["purchase_value_cents"])
+    keys = sorted(acc)
+    return pa.table(
+        {
+            "event_type": pa.array(keys, pa.string()),
+            "n_purchases": pa.array([acc[k][0] for k in keys], pa.int64()),
+            "purchase_value_cents": pa.array(
+                [acc[k][1] for k in keys], pa.int64()
+            ),
+        }
+    )
+
+
+ATTRIBUTION_LAST_TOUCH_SQL = """
+WITH w AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src
+  FROM events
+)
+SELECT coalesce(src, 'none') AS event_type,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+         AS purchase_value_cents
+FROM w WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact join-cardinality profile without executing the join
+# ---------------------------------------------------------------------------
+
+
+def join_size_exact(sf_dir: str):
+    """EXACT output cardinality of orders ⋈ lineitem on orderkey plus
+    per-side and common key counts — computed from per-key count
+    tables, never by materializing the join (the planner-statistics
+    primitive: Σ_k n_o(k)·n_l(k)).
+
+    Scale shape: each side is one key-per-row ``bucketed_agg``; the
+    two count tables are tagged and UNIONed so the final merge is ONE
+    more bucketed pass co-partitioned on the key; every block then
+    collapses to a single partial row folded on the driver."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    o = _read(sf_dir, "orders", columns=["o_orderkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def tag_o(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t["o_orderkey"],
+                "n_o": pa.array(np.ones(t.num_rows, np.int64)),
+                "n_l": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        )
+
+    def tag_l(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t["l_orderkey"],
+                "n_o": pa.array(np.zeros(t.num_rows, np.int64)),
+                "n_l": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    both = o.map_batches(tag_o, batch_format="pyarrow").union(
+        li.map_batches(tag_l, batch_format="pyarrow")
+    )
+    merged = bucketed_agg(
+        both, ["k"], [("n_o", "sum", "n_o"), ("n_l", "sum", "n_l")]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        no = t["n_o"].to_numpy(zero_copy_only=False)
+        nl = t["n_l"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "orders_keys": pa.array([int((no > 0).sum())], pa.int64()),
+                "lineitem_keys": pa.array([int((nl > 0).sum())], pa.int64()),
+                "common_keys": pa.array(
+                    [int(((no > 0) & (nl > 0)).sum())], pa.int64()
+                ),
+                "join_rows": pa.array([int((no * nl).sum())], pa.int64()),
+            }
+        )
+
+    parts = merged.map_batches(fold, batch_format="pyarrow").take_all()
+    tot = [0, 0, 0, 0]
+    for r in parts:
+        tot[0] += int(r["orders_keys"])
+        tot[1] += int(r["lineitem_keys"])
+        tot[2] += int(r["common_keys"])
+        tot[3] += int(r["join_rows"])
+    return pa.table(
+        {
+            "orders_keys": pa.array([tot[0]], pa.int64()),
+            "lineitem_keys": pa.array([tot[1]], pa.int64()),
+            "common_keys": pa.array([tot[2]], pa.int64()),
+            "join_rows": pa.array([tot[3]], pa.int64()),
+        }
+    )
+
+
+JOIN_SIZE_EXACT_SQL = """
+WITH o AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS n_o
+           FROM orders GROUP BY 1),
+l AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n_l
+      FROM lineitem GROUP BY 1)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM o) AS orders_keys,
+       (SELECT CAST(count(*) AS BIGINT) FROM l) AS lineitem_keys,
+       (SELECT CAST(count(*) AS BIGINT) FROM o JOIN l USING (k)) AS common_keys,
+       (SELECT CAST(coalesce(sum(n_o * n_l), 0) AS BIGINT)
+        FROM o JOIN l USING (k)) AS join_rows
+"""

@@ -2093,3 +2093,127 @@ def dedup_survivor_stats_docs(
         .map_batches(finish, batch_format="pyarrow")
         .sort("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity-name similarity join via SymSpell deletion-neighborhood blocking
+# ---------------------------------------------------------------------------
+
+
+def _is_edit1(a: str, b: str) -> bool:
+    """Exact Levenshtein-distance-==1 check (two-pointer, O(len))."""
+    la, lb = len(a), len(b)
+    if a == b or abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = 0
+    skipped = False
+    while i < la:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        elif skipped:
+            return False
+        else:
+            skipped = True
+            j += 1
+    return True
+
+
+def name_typo_pairs(sf_dir: str):
+    """All pairs of customer names at Levenshtein distance exactly 1 —
+    the entity-resolution blocking join (SymSpell / FastSS deletion
+    neighborhoods): two strings within edit distance 1 always share a
+    member of {s} ∪ {s minus one char}, so candidates come from an
+    equality join on deletion variants, never an all-pairs scan.
+    Sharing a variant only bounds the distance by 2, so candidates are
+    verified with an exact two-pointer check.
+
+    Scale shape: the explode is ~len(s)+1 short rows per name;
+    ``bucketed_bucket_pairs`` turns variant groups into candidate
+    pairs with one sort per hash partition (no per-group Python
+    dispatch); duplicate candidates (one pair can share several
+    variants) collapse in a bucketed pair-key aggregate; the verify is
+    O(len) per surviving candidate.  The oracle is the brute-force
+    quadratic levenshtein join — this plan replaces it with work
+    linear in names × alphabet."""
+    from document_extractor_ray.functions.analytics import _read
+    from document_extractor_ray.functions.bucketing import (
+        bucketed_agg,
+        bucketed_bucket_pairs,
+    )
+
+    ds = _read(sf_dir, "customer", columns=["c_name"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        variants, names = [], []
+        for s in t["c_name"].to_pylist():
+            vs = {s}
+            for i in range(len(s)):
+                vs.add(s[:i] + s[i + 1 :])
+            for v in vs:
+                variants.append(v)
+                names.append(s)
+        return pa.table(
+            {
+                "variant": pa.array(variants, pa.string()),
+                "name": pa.array(names, pa.string()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "name_a": pa.array([], pa.string()),
+            "name_b": pa.array([], pa.string()),
+        }
+    )
+
+    def pair_fn(g: pa.Table) -> pa.Table:
+        names = sorted(set(g["name"].to_pylist()))
+        if len(names) < 2:
+            return empty
+        a_l, b_l = [], []
+        for i in range(len(names) - 1):
+            for j in range(i + 1, len(names)):
+                a_l.append(names[i])
+                b_l.append(names[j])
+        return pa.table(
+            {
+                "name_a": pa.array(a_l, pa.string()),
+                "name_b": pa.array(b_l, pa.string()),
+            }
+        )
+
+    cand = bucketed_bucket_pairs(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["variant"],
+        pair_fn,
+        empty,
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        keep = [
+            _is_edit1(a, b)
+            for a, b in zip(t["name_a"].to_pylist(), t["name_b"].to_pylist())
+        ]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    distinct = bucketed_agg(
+        cand, ["name_a", "name_b"], [(None, "count", "n_variants")]
+    )
+    return (
+        distinct.map_batches(verify, batch_format="pyarrow")
+        .drop_columns(["n_variants"])
+        .sort(["name_a", "name_b"])
+    )
+
+
+NAME_TYPO_PAIRS_SQL = """
+WITH n AS (SELECT c_name AS name FROM customer)
+SELECT a.name AS name_a, b.name AS name_b
+FROM n a JOIN n b ON a.name < b.name AND levenshtein(a.name, b.name) = 1
+ORDER BY name_a, name_b
+"""

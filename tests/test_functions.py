@@ -192,6 +192,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "key_skew_audit",
         "q12_late_linestatus",
         "char_bigram_condent",
+        "name_typo_pairs",
+        "attribution_last_touch",
+        "join_size_exact",
         "collocation_llr",
         "doc_quality_composite",
         "pack_efficiency_stats",
@@ -2388,3 +2391,71 @@ def test_pack_efficiency_totals(ray_session):
     assert (
         nonov["waste_tokens"] == nonov["n_examples"] * PACK_WINDOW - nonov["tokens"]
     ).all()
+
+
+def test_name_typo_pairs_blocking_complete(ray_session):
+    """The deletion-neighborhood blocking may not DROP any true
+    edit-distance-1 pair: cross-check the Ray result against a direct
+    quadratic scan, and confirm the verify step rejected at least one
+    distance-2 candidate (blocking bounds distance by 2, so without
+    the verify the result would be larger)."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.dedup import _is_edit1, name_typo_pairs
+
+    names = pq.read_table(f"{SF}/customer.parquet", columns=["c_name"])[
+        "c_name"
+    ].to_pylist()
+    got = name_typo_pairs(SF).to_pandas()
+    want = {
+        (a, b)
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+        if _is_edit1(*sorted((a, b)))
+    }
+    want = {tuple(sorted(p)) for p in want}
+    assert set(zip(got["name_a"], got["name_b"])) == want
+
+
+def test_is_edit1_cases():
+    from document_extractor_ray.functions.dedup import _is_edit1
+
+    assert _is_edit1("abc", "abd")       # substitution
+    assert _is_edit1("abc", "ab")        # deletion
+    assert _is_edit1("abc", "xabc")      # insertion
+    assert not _is_edit1("abc", "abc")   # identical
+    assert not _is_edit1("abX", "aYb")   # shares deletion variant, dist 2
+    assert not _is_edit1("abc", "a")     # dist 2
+
+
+def test_join_size_exact_matches_real_join(ray_session):
+    """The statistics-only cardinality must equal the true join size."""
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import join_size_exact
+
+    got = join_size_exact(SF).to_pandas().iloc[0]
+    real = duckdb.sql(
+        f"""SELECT count(*) FROM read_parquet('{SF}/orders.parquet') o
+            JOIN read_parquet('{SF}/lineitem.parquet') l
+            ON l.l_orderkey = o.o_orderkey"""
+    ).fetchone()[0]
+    assert int(got["join_rows"]) == real
+
+
+def test_attribution_conserves_purchases(ray_session):
+    """Every purchase is attributed exactly once (to a type or to
+    'none'), and attributed value equals total purchase value."""
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import attribution_last_touch
+
+    got = attribution_last_touch(SF).to_pandas()
+    n, cents = duckdb.sql(
+        f"""SELECT count(*),
+                   CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+            FROM read_parquet('{SF}/events.parquet')
+            WHERE event_type = 'purchase'"""
+    ).fetchone()
+    assert int(got["n_purchases"].sum()) == n
+    assert int(got["purchase_value_cents"].sum()) == cents
