@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_quarantine": _extract_quarantine,
         "extract_unit_rows": _extract_unit_rows,
         # --- round-3 additions (oracled, never driver-sampled) ---
+        "doc_source_lm_gap": textstats.doc_source_lm_gap,
+        "value_type_chi2": analytics.value_type_chi2,
+        "knn_classify": similarity.knn_classify,
         "name_typo_pairs": dedup.name_typo_pairs,
         "attribution_last_touch": analytics.attribution_last_touch,
         "join_size_exact": analytics.join_size_exact,
@@ -438,6 +441,9 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": analytics.TABLE_PROFILE_SQL,
         "orders_above_customer_avg": analytics.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
         "q7_volume_shipping": analytics.Q7_VOLUME_SHIPPING_SQL,
+        "doc_source_lm_gap": textstats.DOC_SOURCE_LM_GAP_SQL,
+        "value_type_chi2": analytics.VALUE_TYPE_CHI2_SQL,
+        "knn_classify": similarity.KNN_CLASSIFY_SQL,
         "name_typo_pairs": dedup.NAME_TYPO_PAIRS_SQL,
         "attribution_last_touch": analytics.ATTRIBUTION_LAST_TOUCH_SQL,
         "join_size_exact": analytics.JOIN_SIZE_EXACT_SQL,

@@ -310,6 +310,9 @@ def run_bench() -> dict:
         "pack_efficiency_stats",
         "attribution_last_touch",
         "join_size_exact",
+        "doc_source_lm_gap",
+        "value_type_chi2",
+        "knn_classify",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

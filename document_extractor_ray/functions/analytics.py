@@ -10336,3 +10336,129 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM o) AS orders_keys,
        (SELECT CAST(coalesce(sum(n_o * n_l), 0) AS BIGINT)
         FROM o JOIN l USING (k)) AS join_rows
 """
+
+
+# ---------------------------------------------------------------------------
+# Value-decile × event-type independence audit (exact chi-square numerators)
+# ---------------------------------------------------------------------------
+
+
+def value_type_chi2(sf_dir: str):
+    """Contingency of GLOBAL value decile × event type with the exact
+    chi-square ingredients per cell — chi² = Σ chi2_num/chi2_den with
+    chi2_num = (N·o − r·c)² and chi2_den = r·c·N, all integers so the
+    oracle matches bit for bit (int64-safe while N·o < ~3·10⁹; beyond
+    that rescale to per-mille expected counts).  Tests whether value
+    magnitude is independent of event type — the drift check before
+    trusting a type-stratified sampler.  Decile is rank_min-based
+    (ties share a decile), the value_decile_assign convention.
+
+    Scale shape: pass 1 folds the GLOBAL (cents → count) table
+    (value-domain-bounded, the value_decile_assign/median shape) and
+    broadcasts the cents→decile step function; pass 2 assigns deciles
+    with one searchsorted per batch and pre-counts (decile, type)
+    cells; the ≤ 10·|types| cell table folds on the driver."""
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"cents": _to_cents(t["value"])}), ["cents"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {"cents": g["cents"], "n_part": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    cnt = bucketed_agg(
+        ds.map_batches(cents_partial, batch_format="pyarrow"),
+        ["cents"],
+        [("n_part", "sum", "n")],
+    ).materialize()
+    ct = pa.concat_tables(
+        tb for tb in map(ray.get, cnt.to_arrow_refs()) if tb.num_rows
+    ).combine_chunks()
+    order = pc.sort_indices(ct["cents"])
+    cents_sorted = ct["cents"].take(order).to_numpy(zero_copy_only=False)
+    n_sorted = ct["n"].take(order).to_numpy(zero_copy_only=False)
+    n_total = int(n_sorted.sum())
+    below = np.concatenate(([0], np.cumsum(n_sorted)[:-1]))
+    # rank_min = below + 1; decile = ((rank_min - 1) * 10) // N
+    decile_of = (below * 10) // max(n_total, 1)
+    ref = state.broadcast((cents_sorted, decile_of.astype(np.int64)))
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        cs, dec = state.cached_get(ref)
+        cents = _to_cents(t["value"]).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(cs, cents)
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "decile": pa.array(dec[idx]),
+                    "event_type": t["event_type"],
+                }
+            ),
+            ["decile", "event_type"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "decile": g["decile"],
+                "event_type": g["event_type"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(cell_partial, batch_format="pyarrow").take_all()
+    acc: dict[tuple, int] = {}
+    for r in parts:
+        k = (int(r["decile"]), r["event_type"])
+        acc[k] = acc.get(k, 0) + int(r["n"])
+    r_tot: dict[int, int] = {}
+    c_tot: dict[str, int] = {}
+    for (d, ty), n in acc.items():
+        r_tot[d] = r_tot.get(d, 0) + n
+        c_tot[ty] = c_tot.get(ty, 0) + n
+    nn = sum(acc.values())
+    cells = sorted(acc)
+    num = [
+        (nn * acc[c] - r_tot[c[0]] * c_tot[c[1]]) ** 2 for c in cells
+    ]
+    den = [r_tot[c[0]] * c_tot[c[1]] * nn for c in cells]
+    return pa.table(
+        {
+            "decile": pa.array([c[0] for c in cells], pa.int64()),
+            "event_type": pa.array([c[1] for c in cells], pa.string()),
+            "n": pa.array([acc[c] for c in cells], pa.int64()),
+            "r_tot": pa.array([r_tot[c[0]] for c in cells], pa.int64()),
+            "c_tot": pa.array([c_tot[c[1]] for c in cells], pa.int64()),
+            "chi2_num": pa.array(num, pa.int64()),
+            "chi2_den": pa.array(den, pa.int64()),
+        }
+    )
+
+
+VALUE_TYPE_CHI2_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS cents FROM events
+),
+rk AS (SELECT event_type, rank() OVER (ORDER BY cents) AS r FROM v),
+a AS (
+  SELECT event_type,
+         CAST(((r - 1) * 10) // (SELECT count(*) FROM v) AS BIGINT) AS decile
+  FROM rk
+),
+o AS (
+  SELECT decile, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM a GROUP BY 1, 2
+),
+rm AS (SELECT decile, CAST(sum(n) AS BIGINT) AS r_tot FROM o GROUP BY 1),
+cm AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS c_tot FROM o GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM o)
+SELECT o.decile, o.event_type, o.n, rm.r_tot, cm.c_tot,
+       CAST((t.nn * o.n - rm.r_tot * cm.c_tot)
+            * (t.nn * o.n - rm.r_tot * cm.c_tot) AS BIGINT) AS chi2_num,
+       CAST(rm.r_tot * cm.c_tot * t.nn AS BIGINT) AS chi2_den
+FROM o JOIN rm USING (decile) JOIN cm USING (event_type) CROSS JOIN t
+ORDER BY 1, 2
+"""

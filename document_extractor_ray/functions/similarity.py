@@ -1381,3 +1381,81 @@ def embedding_pca_power(sf_dir: str, iters: int = PCA_POWER_ITERS):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN majority-vote classification (leave-one-out over the label column)
+# ---------------------------------------------------------------------------
+
+
+def knn_classify(sf_dir: str, k: int = 10):
+    """Leave-one-out kNN label prediction for the benchmark query set:
+    the knn_brute top-k (which includes the query itself at rank 1) is
+    voted over with SELF EXCLUDED, majority label wins, ties break to
+    the smallest label — all deterministic so the SQL oracle matches
+    exactly.  Reports predicted vs true label per query, the accuracy
+    primitive an embedding-quality gate runs.
+
+    Scale shape: all the heavy lifting is knn_brute's broadcast-matrix
+    batch matmul with per-batch partial top-k; the vote folds the
+    (queries × k)-row result on the driver."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.similarity import knn_brute_embeddings
+
+    nn = knn_brute_embeddings(sf_dir, k=k)
+    lab_t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+    label_of = dict(
+        zip(lab_t["vec_id"].to_pylist(), lab_t["label"].to_pylist())
+    )
+    votes: dict[int, dict[int, int]] = {}
+    for q, v in zip(nn["query_id"].to_pylist(), nn["vec_id"].to_pylist()):
+        if v == q:
+            continue
+        d = votes.setdefault(int(q), {})
+        lab = int(label_of[v])
+        d[lab] = d.get(lab, 0) + 1
+    rows = []
+    for q in sorted(votes):
+        lab, n = min(votes[q].items(), key=lambda kv: (-kv[1], kv[0]))
+        true = int(label_of[q])
+        rows.append((q, lab, n, true, 1 if lab == true else 0))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "pred_label": pa.array([r[1] for r in rows], pa.int64()),
+            "votes": pa.array([r[2] for r in rows], pa.int64()),
+            "true_label": pa.array([r[3] for r in rows], pa.int64()),
+            "correct": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+KNN_CLASSIFY_SQL = f"""
+WITH base AS ({KNN_BRUTE_SQL}),
+n AS (
+  SELECT b.query_id, e.label
+  FROM base b JOIN embeddings e ON e.vec_id = b.vec_id
+  WHERE b.vec_id <> b.query_id
+),
+v AS (
+  SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+  FROM n GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, label, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label) AS rk
+  FROM v
+)
+SELECT r.query_id,
+       CAST(r.label AS BIGINT) AS pred_label,
+       r.votes,
+       CAST(e.label AS BIGINT) AS true_label,
+       CAST(CASE WHEN r.label = e.label THEN 1 ELSE 0 END AS BIGINT) AS correct
+FROM r JOIN embeddings e ON e.vec_id = r.query_id
+WHERE rk = 1
+ORDER BY query_id
+"""

@@ -5309,3 +5309,143 @@ JOIN r ON r.doc_id = d.doc_id
 JOIN g ON g.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
+
+
+def doc_source_lm_gap(sf_dir: str):
+    """Per-doc surprisal gap between the corpus LM and the doc's OWN
+    source LM: gap_num = Σ_occurrences [(L(N) − L(c_w)) −
+    (L(n_src) − L(m_src,w))] micro-nats — large positive gap means the
+    doc reads like its source but not like the corpus (in-domain
+    jargon); near zero means the source adds no information; this is
+    the per-document allocation of source_lm_divergence's KL (summing
+    gap_num over a source's docs reproduces its kl_num exactly —
+    pinned in pytest).
+
+    Scale shape: one (source, token) bucketed fold (bounded by
+    sources × vocabulary) → a driver surprisal-gap table → one
+    broadcast; per batch a composite source\\x00token key joins via
+    index_in and a np.add.at segment-sum — same plan as
+    doc_unigram_xent with a two-level key."""
+    import math
+
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "source", "text"])
+
+    def st_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        src = t["source"].take(parent.filter(keep))
+        g = pa.TableGroupBy(
+            pa.table({"source": src, "token": flat}), ["source", "token"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "token": g["token"],
+                "m_part": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    st = bucketed_agg(
+        ds.map_batches(st_partial, batch_format="pyarrow"),
+        ["source", "token"],
+        [("m_part", "sum", "m")],
+    ).materialize()
+    tab = pa.concat_tables(
+        tb for tb in map(ray.get, st.to_arrow_refs()) if tb.num_rows
+    ).combine_chunks()
+
+    ln_cache: dict[int, int] = {}
+
+    def L(v: int) -> int:
+        r = ln_cache.get(v)
+        if r is None:
+            r = int(math.floor(math.log(v) * 1_000_000 + 0.5))
+            ln_cache[v] = r
+        return r
+
+    srcs = tab["source"].to_pylist()
+    toks = tab["token"].to_pylist()
+    ms = tab["m"].to_pylist()
+    c_of: dict[str, int] = {}
+    n_of: dict[str, int] = {}
+    for s, w, m in zip(srcs, toks, ms):
+        c_of[w] = c_of.get(w, 0) + int(m)
+        n_of[s] = n_of.get(s, 0) + int(m)
+    n_total = sum(n_of.values())
+    l_n = L(n_total) if n_total else 0
+    keys = [f"{s}\x00{w}" for s, w in zip(srcs, toks)]
+    gap = np.array(
+        [
+            (l_n - L(c_of[w])) - (L(n_of[s]) - L(int(m)))
+            for s, w, m in zip(srcs, toks, ms)
+        ],
+        dtype=np.int64,
+    )
+    ref = state.broadcast((pa.array(keys, pa.string()), gap))
+
+    def score(t: pa.Table) -> pa.Table:
+        key_arr, gp = state.cached_get(ref)
+        toks_b = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks_b)
+        parent = pc.list_parent_indices(toks_b)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        par_arr = parent.filter(keep)
+        par = par_arr.to_numpy(zero_copy_only=False)
+        ntok = np.zeros(t.num_rows, np.int64)
+        num = np.zeros(t.num_rows, np.int64)
+        if len(flat):
+            comp = pc.binary_join_element_wise(
+                t["source"].take(par_arr).combine_chunks(),
+                flat.combine_chunks(),
+                "\x00",
+            )
+            idx = pc.index_in(comp, value_set=key_arr).to_numpy(
+                zero_copy_only=False
+            )
+            np.add.at(num, par, gp[idx])
+            np.add.at(ntok, par, 1)
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok": pa.array(ntok),
+                "gap_num": pa.array(num),
+            }
+        )
+        return out.filter(pa.array(ntok > 0))
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+DOC_SOURCE_LM_GAP_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+  FROM documents
+),
+tk AS (SELECT doc_id, source, token FROM tok WHERE token <> ''),
+m AS (SELECT source, token, CAST(count(*) AS BIGINT) AS m FROM tk GROUP BY 1, 2),
+g AS (SELECT token, CAST(sum(m) AS BIGINT) AS c FROM m GROUP BY 1),
+ns AS (SELECT source, CAST(sum(m) AS BIGINT) AS n FROM m GROUP BY 1),
+nt AS (SELECT CAST(sum(m) AS BIGINT) AS nn FROM m)
+SELECT tk.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(sum((CAST(round(ln(nt.nn) * 1000000) AS BIGINT)
+                 - CAST(round(ln(g.c) * 1000000) AS BIGINT))
+                - (CAST(round(ln(ns.n) * 1000000) AS BIGINT)
+                   - CAST(round(ln(m.m) * 1000000) AS BIGINT))) AS BIGINT)
+         AS gap_num
+FROM tk
+JOIN m USING (source, token)
+JOIN g USING (token)
+JOIN ns USING (source)
+CROSS JOIN nt
+GROUP BY tk.doc_id
+ORDER BY tk.doc_id
+"""

@@ -192,6 +192,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "key_skew_audit",
         "q12_late_linestatus",
         "char_bigram_condent",
+        "doc_source_lm_gap",
+        "value_type_chi2",
+        "knn_classify",
         "name_typo_pairs",
         "attribution_last_touch",
         "join_size_exact",
@@ -2459,3 +2462,52 @@ def test_attribution_conserves_purchases(ray_session):
     ).fetchone()
     assert int(got["n_purchases"].sum()) == n
     assert int(got["purchase_value_cents"].sum()) == cents
+
+
+def test_source_lm_gap_allocates_kl(ray_session):
+    """doc_source_lm_gap is the per-document allocation of
+    source_lm_divergence's KL: summing gap_num over each source's docs
+    must reproduce that source's kl_num exactly."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.textstats import (
+        doc_source_lm_gap,
+        source_lm_divergence,
+    )
+
+    gap = doc_source_lm_gap(SF).to_pandas()
+    src_of = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "source"]
+    ).to_pandas()
+    merged = gap.merge(src_of, on="doc_id")
+    per_src = merged.groupby("source")["gap_num"].sum()
+    kl = source_lm_divergence(SF).to_pandas().set_index("source")["kl_num"]
+    for s, v in per_src.items():
+        assert int(v) == int(kl.loc[s]), s
+
+
+def test_value_type_chi2_marginals(ray_session):
+    """Contingency marginals are consistent and the chi-square cell
+    terms satisfy the definition (N·o − r·c)² / (r·c·N)."""
+    from document_extractor_ray.functions.analytics import value_type_chi2
+
+    t = value_type_chi2(SF).to_pandas()
+    n = int(t["n"].sum())
+    for d, grp in t.groupby("decile"):
+        assert (grp["r_tot"] == grp["n"].sum()).all()
+    for ty, grp in t.groupby("event_type"):
+        assert (grp["c_tot"] == grp["n"].sum()).all()
+    num = (n * t["n"] - t["r_tot"] * t["c_tot"]) ** 2
+    assert (t["chi2_num"] == num).all()
+    assert (t["chi2_den"] == t["r_tot"] * t["c_tot"] * n).all()
+
+
+def test_knn_classify_votes(ray_session):
+    """Votes sum to k−1 per query (self excluded) and predictions
+    carry the plurality count."""
+    from document_extractor_ray.functions.similarity import knn_classify
+
+    t = knn_classify(SF).to_pandas()
+    assert len(t) == 8
+    assert (t["votes"] >= 1).all() and (t["votes"] <= 9).all()
+    assert set(t["correct"]).issubset({0, 1})
