@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_quarantine": _extract_quarantine,
         "extract_unit_rows": _extract_unit_rows,
         # --- round-3 additions (oracled, never driver-sampled) ---
+        "token_burstiness": textstats.token_burstiness,
+        "transition_llr": analytics.transition_llr,
+        "events_hour_profile": analytics.events_hour_profile,
         "doc_source_lm_gap": textstats.doc_source_lm_gap,
         "value_type_chi2": analytics.value_type_chi2,
         "knn_classify": similarity.knn_classify,
@@ -441,6 +444,9 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": analytics.TABLE_PROFILE_SQL,
         "orders_above_customer_avg": analytics.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
         "q7_volume_shipping": analytics.Q7_VOLUME_SHIPPING_SQL,
+        "token_burstiness": textstats.TOKEN_BURSTINESS_SQL,
+        "transition_llr": analytics.TRANSITION_LLR_SQL,
+        "events_hour_profile": analytics.EVENTS_HOUR_PROFILE_SQL,
         "doc_source_lm_gap": textstats.DOC_SOURCE_LM_GAP_SQL,
         "value_type_chi2": analytics.VALUE_TYPE_CHI2_SQL,
         "knn_classify": similarity.KNN_CLASSIFY_SQL,

@@ -313,6 +313,8 @@ def run_bench() -> dict:
         "doc_source_lm_gap",
         "value_type_chi2",
         "knn_classify",
+        "token_burstiness",
+        "events_hour_profile",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -10462,3 +10462,161 @@ SELECT o.decile, o.event_type, o.n, rm.r_tot, cm.c_tot,
 FROM o JOIN rm USING (decile) JOIN cm USING (event_type) CROSS JOIN t
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Transition significance (Dunning LLR over the Markov transition matrix)
+# ---------------------------------------------------------------------------
+
+
+def transition_llr(sf_dir: str):
+    """Dunning log-likelihood-ratio significance for every
+    (prev → next) event-type transition — which session flows are real
+    structure vs what independent type draws would produce.  Same
+    exact-integer eight-term identity as collocation_llr (micro-nat
+    S(x) = x·round(ln x·1e6) numerators, bit-exact in SQL), applied to
+    event_transitions' counts with marginals r1 = Σ_next, c1 = Σ_prev.
+
+    Scale shape: all heavy work is event_transitions' single user-hash
+    shuffle; the LLR itself folds the |types|²-bounded matrix on the
+    driver."""
+    import math
+
+    tr = event_transitions(sf_dir).take_all()
+    ln_cache: dict[int, int] = {}
+
+    def L(v: int) -> int:
+        r = ln_cache.get(v)
+        if r is None:
+            r = int(math.floor(math.log(v) * 1_000_000 + 0.5))
+            ln_cache[v] = r
+        return r
+
+    def S(x: int) -> int:
+        return 0 if x == 0 else x * L(x)
+
+    pre: dict[str, int] = {}
+    suf: dict[str, int] = {}
+    for r in tr:
+        pre[r["prev_type"]] = pre.get(r["prev_type"], 0) + int(r["n"])
+        suf[r["next_type"]] = suf.get(r["next_type"], 0) + int(r["n"])
+    n_tot = sum(pre.values())
+    rows = []
+    for r in sorted(tr, key=lambda x: (x["prev_type"], x["next_type"])):
+        k11 = int(r["n"])
+        r1, c1 = pre[r["prev_type"]], suf[r["next_type"]]
+        llr = 2 * (
+            S(k11)
+            + S(r1 - k11)
+            + S(c1 - k11)
+            + S(n_tot - r1 - c1 + k11)
+            - S(r1)
+            - S(n_tot - r1)
+            - S(c1)
+            - S(n_tot - c1)
+            + S(n_tot)
+        )
+        # sign: positive LLR with observed > expected = attraction;
+        # expected comparison shipped so the consumer can split
+        over = 1 if k11 * n_tot > r1 * c1 else 0
+        rows.append((r["prev_type"], r["next_type"], k11, llr, over))
+    return pa.table(
+        {
+            "prev_type": pa.array([x[0] for x in rows], pa.string()),
+            "next_type": pa.array([x[1] for x in rows], pa.string()),
+            "n": pa.array([x[2] for x in rows], pa.int64()),
+            "llr_num": pa.array([x[3] for x in rows], pa.int64()),
+            "over_expected": pa.array([x[4] for x in rows], pa.int64()),
+        }
+    )
+
+
+def _transition_llr_sql() -> str:
+    def S(x: str) -> str:
+        return (
+            f"(CASE WHEN ({x}) = 0 THEN 0 ELSE ({x}) * "
+            f"CAST(round(ln({x}) * 1000000) AS BIGINT) END)"
+        )
+
+    return f"""
+WITH tr AS ({EVENT_TRANSITIONS_SQL}),
+pre AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS r1 FROM tr GROUP BY 1),
+suf AS (SELECT next_type, CAST(sum(n) AS BIGINT) AS c1 FROM tr GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM tr)
+SELECT tr.prev_type, tr.next_type, tr.n,
+       CAST(2 * ({S("tr.n")} + {S("r1 - tr.n")} + {S("c1 - tr.n")}
+                 + {S("t.nt - r1 - c1 + tr.n")}
+                 - {S("r1")} - {S("t.nt - r1")} - {S("c1")} - {S("t.nt - c1")}
+                 + {S("t.nt")}) AS BIGINT) AS llr_num,
+       CAST(CASE WHEN tr.n * t.nt > r1 * c1 THEN 1 ELSE 0 END AS BIGINT)
+         AS over_expected
+FROM tr JOIN pre USING (prev_type) JOIN suf USING (next_type) CROSS JOIN tot t
+ORDER BY tr.prev_type, tr.next_type
+"""
+
+
+TRANSITION_LLR_SQL = _transition_llr_sql()
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day activity profile per event type
+# ---------------------------------------------------------------------------
+
+
+def events_hour_profile(sf_dir: str):
+    """Events per (event_type, hour-of-day) with each cell's integer
+    permille share of its type's total — the diurnal load profile
+    behind capacity planning and anomaly baselines.  Scale shape: one
+    streaming pass; per-batch (type, hour) pre-counts are
+    |types|·24-bounded, folded on the driver (PERF 32)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "hour": pc.cast(pc.hour(t["ts"]), pa.int64()),
+                }
+            ),
+            ["event_type", "hour"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "hour": g["hour"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc: dict[tuple, int] = {}
+    tot: dict[str, int] = {}
+    for r in parts:
+        k = (r["event_type"], int(r["hour"]))
+        acc[k] = acc.get(k, 0) + int(r["n"])
+        tot[r["event_type"]] = tot.get(r["event_type"], 0) + int(r["n"])
+    cells = sorted(acc)
+    return pa.table(
+        {
+            "event_type": pa.array([c[0] for c in cells], pa.string()),
+            "hour": pa.array([c[1] for c in cells], pa.int64()),
+            "n": pa.array([acc[c] for c in cells], pa.int64()),
+            "share_permille": pa.array(
+                [acc[c] * 1000 // tot[c[0]] for c in cells], pa.int64()
+            ),
+        }
+    )
+
+
+EVENTS_HOUR_PROFILE_SQL = """
+WITH g AS (
+  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, n,
+       n * 1000 // CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+         AS share_permille
+FROM g ORDER BY event_type, hour
+"""

@@ -5449,3 +5449,100 @@ CROSS JOIN nt
 GROUP BY tk.doc_id
 ORDER BY tk.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Token burstiness (Church–Gale variance-to-mean of per-doc counts)
+# ---------------------------------------------------------------------------
+
+
+def token_burstiness(sf_dir: str):
+    """Per-token burstiness ingredients: corpus frequency tf, document
+    frequency df, and the sum of squared per-doc counts — the
+    variance-to-mean ratio over docs CONTAINING the token is the exact
+    rational vmr_num/vmr_den with vmr_num = df·sum_cnt_sq − tf² and
+    vmr_den = tf·df (Church & Gale: content words are bursty, function
+    words are not; a dedup/boilerplate diagnostic).
+
+    Scale shape: per-batch (doc, token) Arrow group_by pre-counts feed
+    a token-keyed ``bucketed_agg`` of (tf, df, sum_cnt_sq) — shuffle
+    bounded by per-batch distinct tokens, never token occurrences."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        par = parent.filter(keep)
+        g = pa.TableGroupBy(
+            pa.table({"d": par, "token": flat}), ["d", "token"]
+        ).aggregate([([], "count_all")])
+        c = pc.cast(g["count_all"], pa.int64())
+        g2 = pa.TableGroupBy(
+            pa.table(
+                {
+                    "token": g["token"],
+                    "tf": c,
+                    "df": pa.array(np.ones(len(c), np.int64)),
+                    "sq": pc.multiply(c, c),
+                }
+            ),
+            ["token"],
+        ).aggregate([("tf", "sum"), ("df", "sum"), ("sq", "sum")])
+        return pa.table(
+            {
+                "token": g2["token"],
+                "tf_p": g2["tf_sum"],
+                "df_p": g2["df_sum"],
+                "sq_p": g2["sq_sum"],
+            }
+        )
+
+    agg = bucketed_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["token"],
+        [("tf_p", "sum", "tf"), ("df_p", "sum", "df"), ("sq_p", "sum", "sum_cnt_sq")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False)
+        df = t["df"].to_numpy(zero_copy_only=False)
+        sq = t["sum_cnt_sq"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "token": t["token"],
+                "tf": t["tf"],
+                "df": t["df"],
+                "sum_cnt_sq": t["sum_cnt_sq"],
+                "vmr_num": pa.array(df * sq - tf * tf),
+                "vmr_den": pa.array(tf * df),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("token")
+
+
+TOKEN_BURSTINESS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+  FROM documents
+),
+tk AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+dc AS (
+  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
+  FROM tk GROUP BY 1, 2
+)
+SELECT token,
+       CAST(sum(c) AS BIGINT) AS tf,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(c * c) AS BIGINT) AS sum_cnt_sq,
+       CAST(count(*) * sum(c * c) - sum(c) * sum(c) AS BIGINT) AS vmr_num,
+       CAST(sum(c) * count(*) AS BIGINT) AS vmr_den
+FROM dc GROUP BY token
+ORDER BY token
+"""

@@ -192,6 +192,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "key_skew_audit",
         "q12_late_linestatus",
         "char_bigram_condent",
+        "token_burstiness",
+        "transition_llr",
+        "events_hour_profile",
         "doc_source_lm_gap",
         "value_type_chi2",
         "knn_classify",
@@ -2511,3 +2514,49 @@ def test_knn_classify_votes(ray_session):
     assert len(t) == 8
     assert (t["votes"] >= 1).all() and (t["votes"] <= 9).all()
     assert set(t["correct"]).issubset({0, 1})
+
+
+def test_token_burstiness_identities(ray_session):
+    """tf >= df (every counted doc contributes >= 1), VMR ingredients
+    satisfy their definition, and single-occurrence tokens (tf == df ==
+    all counts 1) have zero variance numerator."""
+    from document_extractor_ray.functions.textstats import token_burstiness
+
+    t = token_burstiness(SF).to_pandas()
+    assert (t["tf"] >= t["df"]).all()
+    assert (t["vmr_num"] == t["df"] * t["sum_cnt_sq"] - t["tf"] ** 2).all()
+    assert (t["vmr_den"] == t["tf"] * t["df"]).all()
+    ones = t[t["tf"] == t["df"]]
+    assert (ones["vmr_num"] == ones["df"] * ones["df"] - ones["tf"] ** 2).all()
+
+
+def test_transition_llr_consistency(ray_session):
+    """LLR numerators are non-negative (it is a likelihood RATIO of a
+    nested model) and n sums to the event_transitions total."""
+    from document_extractor_ray.functions.analytics import (
+        event_transitions,
+        transition_llr,
+    )
+
+    t = transition_llr(SF).to_pandas()
+    assert (t["llr_num"] >= 0).all()
+    tr = event_transitions(SF).to_pandas()
+    assert int(t["n"].sum()) == int(tr["n"].sum())
+    assert set(t["over_expected"]).issubset({0, 1})
+
+
+def test_events_hour_profile_shares(ray_session):
+    """Per-type shares are permille floors summing to <= 1000 and
+    > 1000 - 24 (floor loss bound), and n conserves the event count."""
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import events_hour_profile
+
+    t = events_hour_profile(SF).to_pandas()
+    total = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert int(t["n"].sum()) == total
+    for ty, grp in t.groupby("event_type"):
+        s = int(grp["share_permille"].sum())
+        assert 1000 - 24 < s <= 1000, (ty, s)
