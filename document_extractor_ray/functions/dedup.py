@@ -541,19 +541,9 @@ def ngram_jaccard_dups(
     pairs_ds = ray.data.from_arrow_refs(live)
 
     if n_pairs <= pair_budget:
-        pairs = pairs_ds.take_all()
-        wanted = sorted({r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs})
-        wanted_arr = pa.array(wanted, pa.int64())
-
-        def pick(t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(t["doc_id"], value_set=wanted_arr))
-
-        texts = {
-            r["doc_id"]: r["text"]
-            for r in ds.map_batches(pick, batch_format="pyarrow").take_all()
-        }
+        pairs, texts = _pair_texts_driver(ds, pairs_ds)
         out_a, out_b, out_j = [], [], []
-        for r in sorted(pairs, key=lambda x: (x["doc_a"], x["doc_b"])):
+        for r in pairs:
             j = ngram_jaccard(texts.get(r["doc_a"], ""), texts.get(r["doc_b"], ""))
             if j >= verify_threshold:
                 out_a.append(r["doc_a"])
@@ -567,13 +557,58 @@ def ngram_jaccard_dups(
             }
         )
 
-    # Partitioned escalation: candidate texts via a semi join, then two
-    # hash joins hang text_a/text_b on each pair row.  Each join stage
-    # is materialized before the next: three concurrent Join operators
-    # in one DAG spawn 3x num_partitions aggregator actors and starve
-    # a small CPU budget (observed deadlock at 4 cpus); the
-    # intermediates are bounded (candidate texts only), so
-    # materializing serializes the actor demand instead.
+    j2 = _pair_texts_ds(ds, pairs_ds)
+
+    def verify(t: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for a_, b_, ta, tb in zip(
+            t["doc_a"].to_pylist(),
+            t["doc_b"].to_pylist(),
+            t["text_a"].to_pylist(),
+            t["text_b"].to_pylist(),
+        ):
+            j = ngram_jaccard(ta or "", tb or "")
+            if j >= verify_threshold:
+                out_a.append(a_)
+                out_b.append(b_)
+                out_j.append(j)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow").sort(["doc_a", "doc_b"])
+
+
+def _pair_texts_driver(ds: "ray.data.Dataset", pairs_ds: "ray.data.Dataset"):
+    """Below-budget side of the pair-verify stages: collect the pair
+    list (sorted) and broadcast-fetch ONLY the candidate texts."""
+    pairs = pairs_ds.take_all()
+    wanted = sorted({r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs})
+    wanted_arr = pa.array(wanted, pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"], value_set=wanted_arr))
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in ds.map_batches(pick, batch_format="pyarrow").take_all()
+    }
+    return sorted(pairs, key=lambda x: (x["doc_a"], x["doc_b"])), texts
+
+
+def _pair_texts_ds(ds: "ray.data.Dataset", pairs_ds: "ray.data.Dataset"):
+    """Above-budget side: hang text_a/text_b on each pair row with
+    partitioned hash joins, returning a Dataset of
+    (doc_a, doc_b, text_a, text_b).  Candidate texts come via a semi
+    join; each join stage is materialized before the next: three
+    concurrent Join operators in one DAG spawn 3x num_partitions
+    aggregator actors and starve a small CPU budget (observed deadlock
+    at 4 cpus); the intermediates are bounded (candidate texts only),
+    so materializing serializes the actor demand instead."""
     n_parts = 8
     if ray.is_initialized():
         n_parts = max(4, min(32, int(ray.cluster_resources().get("CPU", 8))))
@@ -615,33 +650,104 @@ def ngram_jaccard_dups(
         num_partitions=n_parts,
         on=("doc_b",),
     )
-
-    def verify(t: pa.Table) -> pa.Table:
-        out_a, out_b, out_j = [], [], []
-        for a_, b_, ta, tb in zip(
-            t["doc_a"].to_pylist(),
-            t["doc_b"].to_pylist(),
-            t["text_a"].to_pylist(),
-            t["text_b"].to_pylist(),
-        ):
-            j = ngram_jaccard(ta or "", tb or "")
-            if j >= verify_threshold:
-                out_a.append(a_)
-                out_b.append(b_)
-                out_j.append(j)
-        return pa.table(
-            {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
-            }
-        )
-
-    return j2.map_batches(verify, batch_format="pyarrow").sort(["doc_a", "doc_b"])
+    return j2
 
 
 def ngram_jaccard_dups_docs(sf_dir: str):
     return ngram_jaccard_dups(_read_docs(sf_dir))
+
+
+def shingle_containment_pairs(
+    ds: "ray.data.Dataset",
+    candidate_threshold: float = 0.5,
+    pair_budget: int = VERIFY_PAIR_BUDGET,
+):
+    """ASYMMETRIC shingle containment for MinHash candidate pairs:
+    cont_a = |A∩B|/|A| and cont_b = |A∩B|/|B| as integer permille —
+    the subset-duplicate detector Jaccard misses (a short doc quoted
+    whole inside a long one has high containment but low Jaccard;
+    Broder's resemblance-vs-containment distinction).  Emits EVERY
+    candidate with exact integer set sizes; thresholding is the
+    caller's mask.
+
+    Scale shape: identical two-regime plan as ngram_jaccard_dups
+    (shared helpers): below ``pair_budget`` the pair list folds on the
+    driver with broadcast candidate texts; above it, two partitioned
+    hash joins hang both texts on each pair row and the exact set
+    intersection runs inside map_batches."""
+
+    def _contain(ta: str, tb: str):
+        sa, sb = shingles(ta or ""), shingles(tb or "")
+        inter = len(sa & sb)
+        na, nb = len(sa), len(sb)
+        return (
+            inter,
+            na,
+            nb,
+            inter * 1000 // max(na, 1),
+            inter * 1000 // max(nb, 1),
+        )
+
+    cols = ("n_inter", "n_a", "n_b", "cont_a_permille", "cont_b_permille")
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            **{c: pa.array([], pa.int64()) for c in cols},
+        }
+    )
+    pairs_ds = (
+        minhash_dup_pairs(ds, threshold=candidate_threshold)
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()
+    )
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return empty
+    live = [r for r in pairs_ds.to_arrow_refs() if ray.get(r).num_rows > 0]
+    pairs_ds = ray.data.from_arrow_refs(live)
+
+    if n_pairs <= pair_budget:
+        pairs, texts = _pair_texts_driver(ds, pairs_ds)
+        rows = [
+            (r["doc_a"], r["doc_b"])
+            + _contain(texts.get(r["doc_a"], ""), texts.get(r["doc_b"], ""))
+            for r in pairs
+        ]
+        return pa.table(
+            {
+                "doc_a": pa.array([x[0] for x in rows], pa.int64()),
+                "doc_b": pa.array([x[1] for x in rows], pa.int64()),
+                **{
+                    c: pa.array([x[i + 2] for x in rows], pa.int64())
+                    for i, c in enumerate(cols)
+                },
+            }
+        )
+
+    j2 = _pair_texts_ds(ds, pairs_ds)
+
+    def score(t: pa.Table) -> pa.Table:
+        rows = [
+            _contain(ta, tb)
+            for ta, tb in zip(t["text_a"].to_pylist(), t["text_b"].to_pylist())
+        ]
+        return pa.table(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                **{
+                    c: pa.array([x[i] for x in rows], pa.int64())
+                    for i, c in enumerate(cols)
+                },
+            }
+        )
+
+    return j2.map_batches(score, batch_format="pyarrow").sort(["doc_a", "doc_b"])
+
+
+def shingle_containment_pairs_docs(sf_dir: str):
+    return shingle_containment_pairs(_read_docs(sf_dir))
 
 
 # ---------------------------------------------------------------------------

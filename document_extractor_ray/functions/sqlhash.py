@@ -687,3 +687,56 @@ FROM documents d
 LEFT JOIN ({near_dedup_keep_sql(threshold)}) k ON k.doc_id = d.doc_id
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric shingle containment (MinHash candidates -> exact set sizes)
+# ---------------------------------------------------------------------------
+
+def shingle_containment_sql(candidate_threshold: float = 0.5) -> str:
+    """Oracle for ``shingle_containment_pairs``: the same MinHash-LSH
+    candidate CTE as ngram_jaccard_sql, then exact DISTINCT-shingle
+    intersection and both directional containments as integer
+    permille."""
+    return f"""WITH RECURSIVE
+{_words(lower=True)},
+{_CRC_TABLE},
+{_WORD_CRC},
+{_sig_ctes(k=3)},
+{_band_ctes()},
+cand0 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandh a
+  JOIN bandh b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+),
+cand AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand0 c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+  GROUP BY c.doc_a, c.doc_b
+  HAVING sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)::DOUBLE / 64
+         >= {candidate_threshold}
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingle GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN shingle s1 ON s1.doc_id = c.doc_a
+  JOIN shingle s2 ON s2.doc_id = c.doc_b AND s2.x = s1.x
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(sa.sz AS BIGINT) AS n_a,
+       CAST(sb.sz AS BIGINT) AS n_b,
+       CAST(coalesce(i.n_inter, 0) * 1000 // greatest(sa.sz, 1) AS BIGINT)
+         AS cont_a_permille,
+       CAST(coalesce(i.n_inter, 0) * 1000 // greatest(sb.sz, 1) AS BIGINT)
+         AS cont_b_permille
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+ORDER BY c.doc_a, c.doc_b"""

@@ -192,6 +192,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "key_skew_audit",
         "q12_late_linestatus",
         "char_bigram_condent",
+        "shingle_containment_pairs",
         "token_burstiness",
         "transition_llr",
         "events_hour_profile",
@@ -2560,3 +2561,27 @@ def test_events_hour_profile_shares(ray_session):
     for ty, grp in t.groupby("event_type"):
         s = int(grp["share_permille"].sum())
         assert 1000 - 24 < s <= 1000, (ty, s)
+
+
+def test_shingle_containment_dual_path_identical(ray_session):
+    """The broadcast (below-budget) and partitioned-join (above-budget)
+    containment paths must return identical tables, and containment
+    must dominate Jaccard on every candidate (max containment >=
+    jaccard by definition)."""
+    import ray.data as rd
+
+    from document_extractor_ray.functions.dedup import (
+        _read_docs,
+        shingle_containment_pairs,
+    )
+
+    ds = _read_docs(SF)
+    a = shingle_containment_pairs(ds).to_pandas()
+    b = shingle_containment_pairs(_read_docs(SF), pair_budget=0).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+    # containment >= jaccard: inter/min(na,nb) >= inter/(na+nb-inter)
+    mx = a[["cont_a_permille", "cont_b_permille"]].max(axis=1)
+    jac = (a["n_inter"] * 1000) // (a["n_a"] + a["n_b"] - a["n_inter"])
+    assert (mx >= jac).all()
