@@ -327,16 +327,52 @@ def knn_ivf(
     qids = query_table["vec_id"].to_pylist()
     qm = embedding_matrix(query_table["embedding"])
 
-    # Deterministic training sample: first IVF_TRAIN_SAMPLE rows by
-    # vec_id (head of the sorted table — seeded/stable).
-    sample = []
-    seen = 0
-    for t in ds.sort("vec_id").iter_batches(batch_format="pyarrow", batch_size=1024):
-        sample.append(embedding_matrix(t["embedding"]))
-        seen += t.num_rows
-        if seen >= IVF_TRAIN_SAMPLE:
-            break
-    cents = train_centroids(np.vstack(sample), n_centroids=n_centroids)
+    # Deterministic training sample WITHOUT a global sort: the
+    # IVF_TRAIN_SAMPLE vectors with the smallest multiply-mixed hash of
+    # vec_id (hash-as-PRF = uniform sample, order-free and stable).
+    # Each block emits only its local smallest-hash rows, the driver
+    # merges the bounded partials — rank-k selection, no shuffle (the
+    # previous head-by-vec_id sample paid a full Dataset sort; at 10^12
+    # vectors that sort exists only to feed a 4096-row sample).
+    def samp(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {"h": pa.array([], pa.uint64()), "vec_id": pa.array([], pa.int64()),
+                 "embedding": t["embedding"]}
+            )
+        ids = t["vec_id"].to_numpy()
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        keep = (
+            np.argpartition(h, IVF_TRAIN_SAMPLE - 1)[:IVF_TRAIN_SAMPLE]
+            if n > IVF_TRAIN_SAMPLE
+            else np.arange(n)
+        )
+        return pa.table(
+            {
+                "h": pa.array(h[keep]),
+                "vec_id": t["vec_id"].take(pa.array(keep)),
+                "embedding": t["embedding"].take(pa.array(keep)),
+            }
+        )
+
+    parts = pa.concat_tables(
+        tb
+        for tb in map(
+            ray.get,
+            ds.map_batches(samp, batch_format="pyarrow").to_arrow_refs(),
+        )
+        if tb.num_rows
+    ).combine_chunks()
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        parts, sort_keys=[("h", "ascending"), ("vec_id", "ascending")]
+    )[:IVF_TRAIN_SAMPLE]
+    cents = train_centroids(
+        embedding_matrix(parts["embedding"].take(order)), n_centroids=n_centroids
+    )
 
     q_norm = _normalize_rows(qm)
     probe = np.argsort(-(q_norm @ cents.T), axis=1)[:, :n_probes]  # (nq, probes)
