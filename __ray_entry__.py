@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_unit_rows": _extract_unit_rows,
         # --- round-3 additions (oracled, never driver-sampled) ---
         "shingle_containment_pairs": dedup.shingle_containment_pairs_docs,
+        "simhash_bit_balance": dedup.simhash_bit_balance,
+        "knn_ivf_indexed": similarity.knn_ivf_indexed,
         "token_burstiness": textstats.token_burstiness,
         "transition_llr": analytics.transition_llr,
         "events_hour_profile": analytics.events_hour_profile,
@@ -446,6 +448,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_above_customer_avg": analytics.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
         "q7_volume_shipping": analytics.Q7_VOLUME_SHIPPING_SQL,
         "shingle_containment_pairs": sqlhash.shingle_containment_sql(),
+        "simhash_bit_balance": sqlhash.simhash_bit_balance_sql(),
         "token_burstiness": textstats.TOKEN_BURSTINESS_SQL,
         "transition_llr": analytics.TRANSITION_LLR_SQL,
         "events_hour_profile": analytics.EVENTS_HOUR_PROFILE_SQL,

@@ -315,6 +315,8 @@ def run_bench() -> dict:
         "knn_classify",
         "token_burstiness",
         "events_hour_profile",
+        "simhash_bit_balance",
+        "knn_ivf_indexed",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -2323,3 +2323,47 @@ SELECT a.name AS name_a, b.name AS name_b
 FROM n a JOIN n b ON a.name < b.name AND levenshtein(a.name, b.name) = 1
 ORDER BY name_a, name_b
 """
+
+
+def simhash_bit_balance(sf_dir: str):
+    """Per-bit balance of the 63-bit simhash over the corpus — a
+    skewed bit (share far from ~500 permille) weakens Hamming-distance
+    discrimination and inflates bucket collisions; this is the hash-
+    quality audit run before trusting simhash bucketing.  Scale shape:
+    each block folds its fingerprints into ONE 63-long bit-count
+    vector (numpy shift-and-mask), the driver sums the per-block
+    vectors."""
+    tbl = simhash_table(sf_dir)
+
+    def bitcount(t: pa.Table) -> pa.Table:
+        h = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bits = np.arange(63, dtype=np.uint64)
+        cnt = ((h[:, None] >> bits[None, :]) & np.uint64(1)).sum(axis=0)
+        return pa.table(
+            {
+                "bit": pa.array(bits.astype(np.int64)),
+                "n_set": pa.array(cnt.astype(np.int64)),
+                "n_docs": pa.array(np.full(63, len(h), np.int64)),
+            }
+        )
+
+    parts = tbl.map_batches(bitcount, batch_format="pyarrow").take_all()
+    n_set = np.zeros(63, np.int64)
+    n_docs = 0
+    seen_bits = False
+    for r in parts:
+        n_set[int(r["bit"])] += int(r["n_set"])
+        if int(r["bit"]) == 0:
+            n_docs += int(r["n_docs"])
+        seen_bits = True
+    if not seen_bits:
+        n_docs = 0
+    return pa.table(
+        {
+            "bit": pa.array(np.arange(63, dtype=np.int64)),
+            "n_set": pa.array(n_set),
+            "share_permille": pa.array(
+                (n_set * 1000 // max(n_docs, 1)).astype(np.int64)
+            ),
+        }
+    )

@@ -304,42 +304,25 @@ def train_centroids(
     return cents
 
 
-def knn_ivf(
-    ds: "ray.data.Dataset",
-    query_table: pa.Table,
-    k: int = 10,
-    n_probes: int = 8,
-    n_centroids: int = N_CENTROIDS,
-) -> pa.Table:
-    """ANN via an inverted-file index: a coarse quantizer (k-means-lite
-    centroids trained on a deterministic sample) assigns every vector
-    to its nearest centroid inside map_batches; each query scores only
-    vectors whose centroid is among its ``n_probes`` closest.  Same
-    output schema as knn_brute; recall < 1.0 by design, tunable via
-    n_probes (n_probes == n_centroids degrades to brute force).
+def _ivf_centroids(ds: "ray.data.Dataset", n_centroids: int) -> np.ndarray:
+    """Deterministic coarse-quantizer training sample WITHOUT a global
+    sort: the IVF_TRAIN_SAMPLE vectors with the smallest multiply-mixed
+    hash of vec_id (hash-as-PRF = uniform sample, order-free, stable).
+    Each block emits only its local smallest-hash rows (argpartition),
+    the driver merges the bounded partials — rank-k selection, no
+    shuffle (PERF step 33: the previous head-by-vec_id sample paid a
+    full Dataset sort to feed a 4096-row sample)."""
+    import pyarrow.compute as pc
 
-    Scale shape: centroids are broadcast once (tiny); the per-batch
-    work is two matmuls (assign + score) and a boolean mask — no
-    shuffle at all.  At 10^12 vectors the training sample comes from a
-    Dataset sample pass instead of the head read, and the inverted
-    lists would be persisted as centroid-partitioned parquet so probes
-    prune at the read (documented partitioning assumption)."""
-    qids = query_table["vec_id"].to_pylist()
-    qm = embedding_matrix(query_table["embedding"])
-
-    # Deterministic training sample WITHOUT a global sort: the
-    # IVF_TRAIN_SAMPLE vectors with the smallest multiply-mixed hash of
-    # vec_id (hash-as-PRF = uniform sample, order-free and stable).
-    # Each block emits only its local smallest-hash rows, the driver
-    # merges the bounded partials — rank-k selection, no shuffle (the
-    # previous head-by-vec_id sample paid a full Dataset sort; at 10^12
-    # vectors that sort exists only to feed a 4096-row sample).
     def samp(t: pa.Table) -> pa.Table:
         n = t.num_rows
         if n == 0:
             return pa.table(
-                {"h": pa.array([], pa.uint64()), "vec_id": pa.array([], pa.int64()),
-                 "embedding": t["embedding"]}
+                {
+                    "h": pa.array([], pa.uint64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": t["embedding"],
+                }
             )
         ids = t["vec_id"].to_numpy()
         with np.errstate(over="ignore"):
@@ -365,14 +348,37 @@ def knn_ivf(
         )
         if tb.num_rows
     ).combine_chunks()
-    import pyarrow.compute as pc
-
     order = pc.sort_indices(
         parts, sort_keys=[("h", "ascending"), ("vec_id", "ascending")]
     )[:IVF_TRAIN_SAMPLE]
-    cents = train_centroids(
+    return train_centroids(
         embedding_matrix(parts["embedding"].take(order)), n_centroids=n_centroids
     )
+
+
+def knn_ivf(
+    ds: "ray.data.Dataset",
+    query_table: pa.Table,
+    k: int = 10,
+    n_probes: int = 8,
+    n_centroids: int = N_CENTROIDS,
+) -> pa.Table:
+    """ANN via an inverted-file index: a coarse quantizer (k-means-lite
+    centroids trained on a deterministic sample) assigns every vector
+    to its nearest centroid inside map_batches; each query scores only
+    vectors whose centroid is among its ``n_probes`` closest.  Same
+    output schema as knn_brute; recall < 1.0 by design, tunable via
+    n_probes (n_probes == n_centroids degrades to brute force).
+
+    Scale shape: centroids are broadcast once (tiny); the per-batch
+    work is two matmuls (assign + score) and a boolean mask — no
+    shuffle at all.  At 10^12 vectors the training sample comes from a
+    Dataset sample pass instead of the head read, and the inverted
+    lists would be persisted as centroid-partitioned parquet so probes
+    prune at the read (documented partitioning assumption)."""
+    qids = query_table["vec_id"].to_pylist()
+    qm = embedding_matrix(query_table["embedding"])
+    cents = _ivf_centroids(ds, n_centroids)
 
     q_norm = _normalize_rows(qm)
     probe = np.argsort(-(q_norm @ cents.T), axis=1)[:, :n_probes]  # (nq, probes)
@@ -1495,3 +1501,168 @@ FROM r JOIN embeddings e ON e.vec_id = r.query_id
 WHERE rk = 1
 ORDER BY query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: centroid-partitioned parquet, probes prune at the READ
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    ds: "ray.data.Dataset", out_dir: str, n_centroids: int = N_CENTROIDS
+) -> np.ndarray:
+    """Materialize the inverted-file index the knn_ivf docstring
+    promises at 10^12 scale: every vector is assigned to its nearest
+    coarse centroid and written to ``out_dir/cid=<c>/`` partitioned
+    parquet, so a later search READS only the probed partitions —
+    pruning moves from a per-batch mask to the storage layer.
+    Centroids land beside the data (``centroids.npy``) with a marker
+    committed LAST, so a killed build is re-run, never half-read
+    (the resume.py commit discipline)."""
+    import os
+
+    from document_extractor_ray import state
+
+    cents = _ivf_centroids(ds, n_centroids)
+    # centroids broadcast at full precision: the assignment arithmetic
+    # must MIRROR knn_ivf's in-memory mask (float32 rows @ float64
+    # centroids) or near-equidistant vectors could flip partitions and
+    # break the pinned knn_ivf == knn_ivf_indexed identity
+    cref = state.broadcast(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = state.cached_get(cref)
+        mat = _normalize_rows(embedding_matrix(t["embedding"]))
+        cid = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        # cid duplicated as a data column: partition_cols values live
+        # only in directory names, and the scorer needs them per row
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "embedding": t["embedding"],
+                "cid_col": pa.array(cid),
+                "cid": pa.array(cid),
+            }
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["cid"]
+    )
+    np.save(os.path.join(out_dir, "centroids.npy"), cents)
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    return cents
+
+
+def knn_ivf_indexed(
+    sf_dir: str, k: int = 10, n_probes: int = 8, n_centroids: int = N_CENTROIDS
+) -> pa.Table:
+    """knn_ivf over the PERSISTED centroid-partitioned index: the
+    probed centroids' partitions are the ONLY parquet directories
+    read (``read_parquet`` on the selected ``cid=`` paths) — the
+    storage-level pruning knn_ivf's in-memory mask simulates.  Bit-
+    identical to knn_ivf by construction (same deterministic sample,
+    same centroids, same probe sets — pinned in pytest), so the
+    committed knn_ivf golden covers both.
+
+    Scale note: at 10^12 vectors the index build is the one full pass;
+    every subsequent query workload reads n_probes/n_centroids of the
+    data.  Index cached under /tmp keyed by corpus version + row
+    count."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import fixtures
+
+    ds = _read_embeddings(sf_dir)
+    n_rows = pq.read_metadata(os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    idx = (
+        f"/tmp/docray_ivf_v{fixtures.CORPUS_VERSION}_n{n_rows}_c{n_centroids}"
+    )
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        build_ivf_index(ds, idx, n_centroids=n_centroids)
+    cents = np.load(os.path.join(idx, "centroids.npy"))
+
+    query_table = default_queries(sf_dir)
+    qids = query_table["vec_id"].to_pylist()
+    q_norm = _normalize_rows(embedding_matrix(query_table["embedding"]))
+    probe = np.argsort(-(q_norm @ cents.T), axis=1)[:, :n_probes]
+    probed = sorted(set(probe.ravel().tolist()))
+
+    import ray.data as rd
+
+    import glob
+
+    # Ray's read_parquet wants concrete files when given a path LIST
+    paths = [
+        f
+        for c in probed
+        for f in sorted(glob.glob(os.path.join(idx, f"cid={c}", "*.parquet")))
+    ]
+    if not paths:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "score_micro": pa.array([], pa.int64()),
+            }
+        )
+    pruned = rd.read_parquet(paths, columns=["vec_id", "embedding", "cid_col"])
+    ref = ray.put(
+        {
+            "ids": qids,
+            "qm": q_norm.astype(np.float32),
+            "probe": probe,
+        }
+    )
+
+    class IndexedTopK:
+        def __init__(self, st: dict):
+            self.query_ids = st["ids"]
+            self.qm = st["qm"]
+            self.probe_sets = [
+                np.fromiter(set(p.tolist()), dtype=np.int64) for p in st["probe"]
+            ]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy()
+            cid = t["cid_col"].to_numpy()
+            mat = embedding_matrix(t["embedding"])
+            if mat.size == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            mat = _normalize_rows(mat)
+            sims = self.qm @ mat.T
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(self.query_ids):
+                cand = np.isin(cid, self.probe_sets[qi])
+                if not cand.any():
+                    continue
+                cs = sims[qi][cand]
+                cids_ = ids[cand]
+                k_ = min(k, cs.size)
+                idx_ = np.argpartition(-cs, k_ - 1)[:k_]
+                for j in idx_:
+                    out_q.append(int(qid))
+                    out_v.append(int(cids_[j]))
+                    out_s.append(float(cs[j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "score": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partials = pruned.map_batches(
+        _pooled(IndexedTopK, ref), batch_format="pyarrow", batch_size=4096
+    )
+    return _merge_topk(partials, k)

@@ -740,3 +740,18 @@ LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
 ORDER BY c.doc_a, c.doc_b"""
+
+
+def simhash_bit_balance_sql() -> str:
+    """Oracle for ``simhash_bit_balance``: the simhash oracle CTE,
+    then one row per bit 0..62 with set counts and permille share."""
+    return f"""WITH sims AS ({simhash_sql()}),
+bits AS (SELECT unnest(range(0, 63)) AS bit),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sims)
+SELECT CAST(b.bit AS BIGINT) AS bit,
+       CAST(sum((s.simhash >> b.bit) & 1) AS BIGINT) AS n_set,
+       CAST(sum((s.simhash >> b.bit) & 1) * 1000 // greatest(t.n, 1) AS BIGINT)
+         AS share_permille
+FROM bits b CROSS JOIN sims s CROSS JOIN tot t
+GROUP BY b.bit, t.n
+ORDER BY bit"""

@@ -192,6 +192,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "key_skew_audit",
         "q12_late_linestatus",
         "char_bigram_condent",
+        "simhash_bit_balance",
         "shingle_containment_pairs",
         "token_burstiness",
         "transition_llr",
@@ -2585,3 +2586,36 @@ def test_shingle_containment_dual_path_identical(ray_session):
     mx = a[["cont_a_permille", "cont_b_permille"]].max(axis=1)
     jac = (a["n_inter"] * 1000) // (a["n_a"] + a["n_b"] - a["n_inter"])
     assert (mx >= jac).all()
+
+
+def test_knn_ivf_indexed_matches_in_memory(ray_session):
+    """The persisted centroid-partitioned index (read-pruned probing)
+    must return EXACTLY knn_ivf's output — same deterministic sample,
+    same centroids, same probe sets; the committed knn_ivf golden
+    therefore covers both paths."""
+    import shutil
+
+    from document_extractor_ray.functions.similarity import (
+        knn_ivf_embeddings,
+        knn_ivf_indexed,
+    )
+
+    a = knn_ivf_embeddings(SF).to_pandas()
+    b = knn_ivf_indexed(SF).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_simhash_bit_balance_bounds(ray_session):
+    """Every share is a valid permille and total set bits equal the
+    popcount sum over all fingerprints."""
+    from document_extractor_ray.functions.dedup import (
+        simhash_bit_balance,
+        simhash_table,
+    )
+
+    t = simhash_bit_balance(SF).to_pandas()
+    assert len(t) == 63
+    assert ((t["share_permille"] >= 0) & (t["share_permille"] <= 1000)).all()
+    hashes = simhash_table(SF).to_pandas()["simhash"].to_numpy().astype(np.uint64)
+    pop = sum(int(h).bit_count() for h in hashes)
+    assert int(t["n_set"].sum()) == pop
