@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 additions (oracled, never driver-sampled) ---
         "shingle_containment_pairs": dedup.shingle_containment_pairs_docs,
         "simhash_bit_balance": dedup.simhash_bit_balance,
+        "user_value_trend": analytics.user_value_trend,
+        "value_drift_quantiles": analytics.value_drift_quantiles,
         "knn_ivf_indexed": similarity.knn_ivf_indexed,
         "token_burstiness": textstats.token_burstiness,
         "transition_llr": analytics.transition_llr,
@@ -449,6 +451,8 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": analytics.Q7_VOLUME_SHIPPING_SQL,
         "shingle_containment_pairs": sqlhash.shingle_containment_sql(),
         "simhash_bit_balance": sqlhash.simhash_bit_balance_sql(),
+        "user_value_trend": analytics.USER_VALUE_TREND_SQL,
+        "value_drift_quantiles": analytics.VALUE_DRIFT_QUANTILES_SQL,
         "token_burstiness": textstats.TOKEN_BURSTINESS_SQL,
         "transition_llr": analytics.TRANSITION_LLR_SQL,
         "events_hour_profile": analytics.EVENTS_HOUR_PROFILE_SQL,

@@ -317,6 +317,8 @@ def run_bench() -> dict:
         "events_hour_profile",
         "simhash_bit_balance",
         "knn_ivf_indexed",
+        "user_value_trend",
+        "value_drift_quantiles",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -10620,3 +10620,220 @@ SELECT event_type, hour, n,
          AS share_permille
 FROM g ORDER BY event_type, hour
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped integer OLS: per-user value trend
+# ---------------------------------------------------------------------------
+
+_TREND_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+
+
+def user_value_trend(sf_dir: str):
+    """Per-user linear trend of event value over time, shipped as the
+    exact integer OLS pair slope_num = n·Σxy − Σx·Σy and slope_den =
+    n·Σx² − (Σx)² over (day-index, cents) points — the per-entity
+    drift detector (is this account's spend rising?), grouped OLS with
+    no float regression on either engine.  x is days since 2024-01-01
+    so the moment sums stay far inside int64.
+
+    Scale shape: ONE key-per-row ``bucketed_agg`` carrying five moment
+    sums per user; the slope arithmetic is a vectorized map over the
+    resolved blocks — no per-user Python, no second pass."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day_us = (
+            pc.floor_temporal(t["ts"], unit="day")
+            .cast(pa.int64())
+        )
+        x = pc.divide(pc.subtract(day_us, _TREND_EPOCH_US), _DAY_US)
+        y = _to_cents(t["value"])
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "n1": pa.array(np.ones(t.num_rows, np.int64)),
+                "sx": x,
+                "sy": y,
+                "sxy": pc.multiply(x, y),
+                "sxx": pc.multiply(x, x),
+            }
+        )
+
+    agg = bucketed_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        [
+            ("n1", "sum", "n"),
+            ("sx", "sum", "sx"),
+            ("sy", "sum", "sy"),
+            ("sxy", "sum", "sxy"),
+            ("sxx", "sum", "sxx"),
+        ],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "n": t["n"],
+                "slope_num": pa.array(n * sxy - sx * sy),
+                "slope_den": pa.array(n * sxx - sx * sx),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("user_id")
+
+
+USER_VALUE_TREND_SQL = """
+WITH v AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '2024-01-01',
+                        date_trunc('day', ts)) AS BIGINT) AS x,
+         CAST(round(value * 100.0) AS BIGINT) AS y
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
+       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS slope_den
+FROM v GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-window exact quantile drift per event type
+# ---------------------------------------------------------------------------
+
+_DRIFT_SPLIT_US = 1_705_363_200_000_000  # 2024-01-16 00:00:00 UTC
+
+
+def value_drift_quantiles(sf_dir: str):
+    """Exact p50/p90 of event value (cents) in the first vs second
+    half of the observation window, per type, plus the shifts — the
+    distribution-drift monitor run before trusting a model trained on
+    window 1 (quantile shift is the robust drift signal; means move
+    with single outliers).  Quantile rule: smallest cents whose
+    cumulative count reaches ceil(q·n) — percentile_disc semantics.
+
+    Scale shape: ONE (type, window, cents) bucketed count fold
+    (value-domain-bounded, the median/KS/decile shape); quantile
+    selection walks the tiny sorted count table on the driver."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        w = pc.cast(
+            pc.greater_equal(pc.cast(t["ts"], pa.int64()), _DRIFT_SPLIT_US),
+            pa.int64(),
+        )
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "w": w,
+                    "cents": _to_cents(t["value"]),
+                }
+            ),
+            ["event_type", "w", "cents"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "w": g["w"],
+                "cents": g["cents"],
+                "n_part": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    cnt = bucketed_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "w", "cents"],
+        [("n_part", "sum", "n")],
+    ).take_all()
+    groups: dict[tuple, list] = {}
+    for r in cnt:
+        groups.setdefault((r["event_type"], int(r["w"])), []).append(
+            (int(r["cents"]), int(r["n"]))
+        )
+
+    def quantile(rows, q_permille):
+        rows.sort()
+        n = sum(c for _, c in rows)
+        need = (n * q_permille + 999) // 1000
+        cum = 0
+        for cents, c in rows:
+            cum += c
+            if cum >= need:
+                return cents
+        return rows[-1][0] if rows else 0
+
+    types = sorted({k[0] for k in groups})
+    out = {c: [] for c in (
+        "event_type", "p50_w1_cents", "p50_w2_cents", "p90_w1_cents",
+        "p90_w2_cents", "p50_shift_cents", "p90_shift_cents",
+    )}
+    for ty in types:
+        p50 = [quantile(groups.get((ty, w), [(0, 0)]), 500) for w in (0, 1)]
+        p90 = [quantile(groups.get((ty, w), [(0, 0)]), 900) for w in (0, 1)]
+        out["event_type"].append(ty)
+        out["p50_w1_cents"].append(p50[0])
+        out["p50_w2_cents"].append(p50[1])
+        out["p90_w1_cents"].append(p90[0])
+        out["p90_w2_cents"].append(p90[1])
+        out["p50_shift_cents"].append(p50[1] - p50[0])
+        out["p90_shift_cents"].append(p90[1] - p90[0])
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            **{
+                c: pa.array(out[c], pa.int64())
+                for c in list(out)[1:]
+            },
+        }
+    )
+
+
+VALUE_DRIFT_QUANTILES_SQL = """
+WITH v AS (
+  SELECT event_type,
+         CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS w,
+         CAST(round(value * 100.0) AS BIGINT) AS cents
+  FROM events
+),
+c AS (
+  SELECT event_type, w, cents, CAST(count(*) AS BIGINT) AS n
+  FROM v GROUP BY 1, 2, 3
+),
+tot AS (SELECT event_type, w, CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, w, cents,
+         sum(n) OVER (PARTITION BY event_type, w ORDER BY cents) AS cm
+  FROM c
+),
+q AS (
+  SELECT cum.event_type, cum.w,
+         min(CASE WHEN cm >= (nt * 500 + 999) // 1000 THEN cents END) AS p50,
+         min(CASE WHEN cm >= (nt * 900 + 999) // 1000 THEN cents END) AS p90
+  FROM cum JOIN tot USING (event_type, w)
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(max(CASE WHEN w = 0 THEN p50 END) AS BIGINT) AS p50_w1_cents,
+       CAST(max(CASE WHEN w = 1 THEN p50 END) AS BIGINT) AS p50_w2_cents,
+       CAST(max(CASE WHEN w = 0 THEN p90 END) AS BIGINT) AS p90_w1_cents,
+       CAST(max(CASE WHEN w = 1 THEN p90 END) AS BIGINT) AS p90_w2_cents,
+       CAST(max(CASE WHEN w = 1 THEN p50 END)
+            - max(CASE WHEN w = 0 THEN p50 END) AS BIGINT) AS p50_shift_cents,
+       CAST(max(CASE WHEN w = 1 THEN p90 END)
+            - max(CASE WHEN w = 0 THEN p90 END) AS BIGINT) AS p90_shift_cents
+FROM q GROUP BY 1 ORDER BY 1
+"""

@@ -192,6 +192,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "key_skew_audit",
         "q12_late_linestatus",
         "char_bigram_condent",
+        "user_value_trend",
+        "value_drift_quantiles",
         "simhash_bit_balance",
         "shingle_containment_pairs",
         "token_burstiness",
@@ -2619,3 +2621,48 @@ def test_simhash_bit_balance_bounds(ray_session):
     hashes = simhash_table(SF).to_pandas()["simhash"].to_numpy().astype(np.uint64)
     pop = sum(int(h).bit_count() for h in hashes)
     assert int(t["n_set"].sum()) == pop
+
+
+def test_user_value_trend_vs_numpy_ols(ray_session):
+    """Per-user integer OLS numerators must reproduce a direct numpy
+    polyfit slope (num/den == slope) for users with a valid
+    denominator."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.analytics import user_value_trend
+
+    got = user_value_trend(SF).to_pandas().set_index("user_id")
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "value"]
+    ).to_pandas()
+    ev["x"] = (ev["ts"].dt.floor("D") - pd.Timestamp("2024-01-01")).dt.days
+    ev["y"] = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    checked = 0
+    for uid, g in list(ev.groupby("user_id"))[:25]:
+        row = got.loc[uid]
+        if row["slope_den"] == 0 or g["x"].nunique() < 2:
+            continue
+        slope = np.polyfit(g["x"], g["y"], 1)[0]
+        assert abs(row["slope_num"] / row["slope_den"] - slope) < 1e-6, uid
+        checked += 1
+    assert checked >= 10
+
+
+def test_value_drift_quantiles_monotone(ray_session):
+    """p90 >= p50 within each window, and each quantile is an actual
+    observed cents value from that (type, window) slice."""
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import value_drift_quantiles
+
+    t = value_drift_quantiles(SF).to_pandas()
+    assert (t["p90_w1_cents"] >= t["p50_w1_cents"]).all()
+    assert (t["p90_w2_cents"] >= t["p50_w2_cents"]).all()
+    obs = duckdb.sql(
+        f"""SELECT DISTINCT event_type, CAST(round(value*100.0) AS BIGINT) c
+            FROM read_parquet('{SF}/events.parquet')"""
+    ).df()
+    byty = obs.groupby("event_type")["c"].apply(set)
+    for _, r in t.iterrows():
+        s = byty[r["event_type"]]
+        assert r["p50_w1_cents"] in s and r["p90_w2_cents"] in s
