@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_quarantine": _extract_quarantine,
         "extract_unit_rows": _extract_unit_rows,
         # --- round-3 additions (oracled, never driver-sampled) ---
+        "event_trigrams": analytics.event_trigrams,
+        "kn_continuation_counts": textstats.kn_continuation_counts,
         "shingle_containment_pairs": dedup.shingle_containment_pairs_docs,
         "simhash_bit_balance": dedup.simhash_bit_balance,
         "user_value_trend": analytics.user_value_trend,
@@ -449,6 +451,8 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": analytics.TABLE_PROFILE_SQL,
         "orders_above_customer_avg": analytics.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
         "q7_volume_shipping": analytics.Q7_VOLUME_SHIPPING_SQL,
+        "event_trigrams": analytics.EVENT_TRIGRAMS_SQL,
+        "kn_continuation_counts": textstats.KN_CONTINUATION_SQL,
         "shingle_containment_pairs": sqlhash.shingle_containment_sql(),
         "simhash_bit_balance": sqlhash.simhash_bit_balance_sql(),
         "user_value_trend": analytics.USER_VALUE_TREND_SQL,
@@ -540,7 +544,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": similarity.knn_lsh_sql(),
         "embedding_topk_pairs": similarity.EMBEDDING_TOPK_PAIRS_SQL,
         "label_centroids": similarity.LABEL_CENTROIDS_SQL,
-        # No-oracle tail (12 of 188), each justified + golden-pinned in
+        # No-oracle tail (13 of 216), each justified + golden-pinned in
         # tests/test_goldens.py: extract_* x3 (HTML parsing; byte-
         # identity vs oracle.run_oracle in pytest), embedding_dup_
         # pairs/clusters (planted inputs the oracle views can't see;

@@ -10837,3 +10837,92 @@ SELECT event_type,
             - max(CASE WHEN w = 0 THEN p90 END) AS BIGINT) AS p90_shift_cents
 FROM q GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Second-order event-type sequences (trigram Markov counts)
+# ---------------------------------------------------------------------------
+
+def event_trigrams(sf_dir: str):
+    """Corpus-wide event-type TRIGRAM counts: for every user's
+    ts-ordered stream (event_id tie-break), count each consecutive
+    (t1 -> t2 -> t3) triple — the second-order Markov matrix that
+    detects flow patterns a bigram matrix conflates (e.g. view->click
+    behaves differently after a purchase than after another view).
+
+    Same irreducible plan as ``event_transitions``: ONE user-hash
+    shuffle co-locates each user's events, the partition sorts once,
+    the triple extraction is two shifted numpy compares masked by user
+    boundaries, and each partition emits only |types|^3-bounded local
+    partials — so the final fold is over <= parts * |types|^3 rows and
+    runs on the driver (PERF step 32: a further Ray exchange on
+    bounded partials is ~1.5 s pure fixed cost).  The partials come
+    back as ARROW tables: take_all() on pandas-block map_groups output
+    pays a per-row python fetch path ~10x slower than arrow blocks
+    (measured 5.5 s vs 0.6 s on 4k rows at sf0.1 — PERF step 34)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    n_parts = _n_blocks()
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (u * np.uint64(2654435761)) & np.uint64(0x7FFFFFFF)
+        return t.append_column(
+            "part", pa.array((h % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    empty = pa.table(
+        {
+            "t1": pa.array([], pa.string()),
+            "t2": pa.array([], pa.string()),
+            "t3": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        if len(g) < 3:
+            return empty
+        same = (uid[1:-1] == uid[:-2]) & (uid[2:] == uid[1:-1])
+        triples = pd.DataFrame(
+            {"t1": et[:-2][same], "t2": et[1:-1][same], "t3": et[2:][same]}
+        )
+        out = triples.groupby(["t1", "t2", "t3"], as_index=False).size()
+        out = out.rename(columns={"size": "n"}).astype({"n": "int64"})
+        return pa.Table.from_pandas(out, preserve_index=False).cast(empty.schema)
+
+    partials = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .take_all()
+    )
+    agg: dict[tuple, int] = {}
+    for r in partials:
+        k = (r["t1"], r["t2"], r["t3"])
+        agg[k] = agg.get(k, 0) + int(r["n"])
+    keys = sorted(agg)
+    return pa.table(
+        {
+            "t1": pa.array([k[0] for k in keys], pa.string()),
+            "t2": pa.array([k[1] for k in keys], pa.string()),
+            "t3": pa.array([k[2] for k in keys], pa.string()),
+            "n": pa.array([agg[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+EVENT_TRIGRAMS_SQL = """
+WITH s AS (
+  SELECT event_type,
+         lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+         lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2
+  FROM events
+)
+SELECT p2 AS t1, p1 AS t2, event_type AS t3, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE p2 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""

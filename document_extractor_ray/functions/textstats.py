@@ -5546,3 +5546,131 @@ SELECT token,
 FROM dc GROUP BY token
 ORDER BY token
 """
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney continuation counts (smoothed-LM ingredients)
+# ---------------------------------------------------------------------------
+
+def kn_continuation_counts(sf_dir: str):
+    """Kneser-Ney smoothing ingredients per token: corpus frequency
+    ``tf``, continuation counts ``left_cont`` = |{v : (v,w) seen}| and
+    ``right_cont`` = |{v : (w,v) seen}|, plus the global distinct-
+    bigram count ``total_bigram_types`` — P_KN(w) is the consumer's
+    float left_cont / total_bigram_types (Kneser & Ney 1995: unigram
+    backoff should weight by context diversity, not raw frequency;
+    "san francisco" makes "francisco" frequent but not diverse).
+
+    Scale shape: one map_batches emits per-batch DISTINCT-pair partial
+    counts (bigram rows plus sentinel prev='' rows carrying token
+    frequencies — '' cannot collide, empty tokens are filtered), one
+    pair-keyed ``bucketed_agg`` bounds the shuffle by per-batch
+    distinct bigrams, and the vocab-bounded final folds on the driver
+    (PERF step 32: every further exchange is ~1.5 s fixed cost)."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        f = flat.filter(keep)
+        par = parent.filter(keep).to_numpy(zero_copy_only=False)
+        # token-frequency partial rows (prev = sentinel '')
+        gt = pa.TableGroupBy(pa.table({"next": f}), ["next"]).aggregate(
+            [([], "count_all")]
+        )
+        tf_rows = pa.table(
+            {
+                "prev": pa.array([""] * len(gt), pa.string()),
+                "next": gt["next"],
+                "n": pc.cast(gt["count_all"], pa.int64()),
+            }
+        )
+        # bigram partial rows (consecutive tokens within one doc)
+        fa = f.to_numpy(zero_copy_only=False)
+        if len(fa) >= 2:
+            same = par[1:] == par[:-1]
+            gb = pa.TableGroupBy(
+                pa.table(
+                    {
+                        "prev": pa.array(fa[:-1][same], pa.string()),
+                        "next": pa.array(fa[1:][same], pa.string()),
+                    }
+                ),
+                ["prev", "next"],
+            ).aggregate([([], "count_all")])
+            bg_rows = pa.table(
+                {
+                    "prev": gb["prev"],
+                    "next": gb["next"],
+                    "n": pc.cast(gb["count_all"], pa.int64()),
+                }
+            )
+            return pa.concat_tables([tf_rows, bg_rows])
+        return tf_rows
+
+    pairs = bucketed_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["prev", "next"],
+        [("n", "sum", "n")],
+    ).take_all()  # vocab-bounded: <= |V|^2 + |V| rows
+
+    tf: dict[str, int] = {}
+    left: dict[str, set] = {}
+    right: dict[str, set] = {}
+    total_bg = 0
+    for r in pairs:
+        p, nx = r["prev"], r["next"]
+        if p == "":
+            tf[nx] = tf.get(nx, 0) + int(r["n"])
+        else:
+            total_bg += 1
+            left.setdefault(nx, set()).add(p)
+            right.setdefault(p, set()).add(nx)
+    toks = sorted(tf)
+    return pa.table(
+        {
+            "token": pa.array(toks, pa.string()),
+            "tf": pa.array([tf[w] for w in toks], pa.int64()),
+            "left_cont": pa.array([len(left.get(w, ())) for w in toks], pa.int64()),
+            "right_cont": pa.array([len(right.get(w, ())) for w in toks], pa.int64()),
+            "total_bigram_types": pa.array([total_bg] * len(toks), pa.int64()),
+        }
+    )
+
+
+KN_CONTINUATION_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, string_split_regex(lower(text), '{_DF_SPLIT_RE}') AS ws
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, unnest(ws) AS token, generate_subscripts(ws, 1) AS p FROM raw
+),
+tok AS (
+  SELECT doc_id, token,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+  FROM tokpos WHERE token <> ''
+),
+bg AS (
+  SELECT lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+         token AS next
+  FROM tok
+),
+pairs AS (SELECT prev, next FROM bg WHERE prev IS NOT NULL GROUP BY 1, 2),
+tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY token),
+lc AS (SELECT next AS token, CAST(count(*) AS BIGINT) AS left_cont
+       FROM pairs GROUP BY 1),
+rc AS (SELECT prev AS token, CAST(count(*) AS BIGINT) AS right_cont
+       FROM pairs GROUP BY 1),
+total AS (SELECT CAST(count(*) AS BIGINT) AS t FROM pairs)
+SELECT tf.token, tf.tf,
+       CAST(coalesce(lc.left_cont, 0) AS BIGINT) AS left_cont,
+       CAST(coalesce(rc.right_cont, 0) AS BIGINT) AS right_cont,
+       (SELECT t FROM total) AS total_bigram_types
+FROM tf LEFT JOIN lc USING (token) LEFT JOIN rc USING (token)
+ORDER BY tf.token
+"""

@@ -218,6 +218,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "zipf_slope_by_lang",
         "doc_char_entropy",
         "embedding_dim_corr",
+        "event_trigrams",
+        "kn_continuation_counts",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
