@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 additions (oracled, never driver-sampled) ---
         "event_trigrams": analytics.event_trigrams,
         "kn_continuation_counts": textstats.kn_continuation_counts,
+        "winnowing_fingerprints": textstats.winnowing_fingerprints,
+        "doc_simpson_diversity": textstats.doc_simpson_diversity,
         "shingle_containment_pairs": dedup.shingle_containment_pairs_docs,
         "simhash_bit_balance": dedup.simhash_bit_balance,
         "user_value_trend": analytics.user_value_trend,
@@ -453,6 +455,8 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": analytics.Q7_VOLUME_SHIPPING_SQL,
         "event_trigrams": analytics.EVENT_TRIGRAMS_SQL,
         "kn_continuation_counts": textstats.KN_CONTINUATION_SQL,
+        "winnowing_fingerprints": sqlhash.winnowing_sql(),
+        "doc_simpson_diversity": textstats.DOC_SIMPSON_SQL,
         "shingle_containment_pairs": sqlhash.shingle_containment_sql(),
         "simhash_bit_balance": sqlhash.simhash_bit_balance_sql(),
         "user_value_trend": analytics.USER_VALUE_TREND_SQL,

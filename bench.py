@@ -319,6 +319,10 @@ def run_bench() -> dict:
         "knn_ivf_indexed",
         "user_value_trend",
         "value_drift_quantiles",
+        "event_trigrams",
+        "kn_continuation_counts",
+        "winnowing_fingerprints",
+        "doc_simpson_diversity",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -755,3 +755,59 @@ SELECT CAST(b.bit AS BIGINT) AS bit,
 FROM bits b CROSS JOIN sims s CROSS JOIN tot t
 GROUP BY b.bit, t.n
 ORDER BY bit"""
+
+
+def winnowing_sql(window: int = 8, guard: int = 4) -> str:
+    """Oracle for ``textstats.winnowing_fingerprints``: full winnowing
+    selection (Schleimer/Wilkerson/Aiken 2003, rightmost-minimum tie
+    rule) over the SAME Rabin-Karp word-window hashes as
+    ``fingerprints_sql`` — every guarantee window of ``guard``
+    consecutive window-hashes contributes its minimal hash (ties ->
+    rightmost position), and the selected (pos, hash) pairs are
+    DISTINCT per doc.  Docs with fewer than ``guard`` window-hashes
+    select from one window spanning all of them."""
+    m63 = 1 << 63
+    pw_rows = ",\n    ".join(
+        f"({t}, {pow(1000003, t, m63)}::HUGEINT)" for t in range(window)
+    )
+    return f"""WITH RECURSIVE
+{_words(lower=False)},
+{_CRC_TABLE},
+{_WORD_CRC},
+nw AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+wlen AS (
+  SELECT doc_id, n, CASE WHEN n >= {window} THEN {window} ELSE n END AS l FROM nw
+),
+pw(t, p) AS (VALUES
+    {pw_rows}
+),
+terms AS (
+  SELECT wcrc.doc_id, wcrc.pos - off.j AS s, wcrc.crc::HUGEINT * pw.p AS term
+  FROM wcrc
+  JOIN wlen USING (doc_id)
+  JOIN range({window}) off(j) ON off.j < wlen.l
+  JOIN pw ON pw.t = wlen.l - 1 - off.j
+  WHERE wcrc.pos - off.j >= 1 AND wcrc.pos - off.j <= wlen.n - wlen.l + 1
+),
+winhash AS (
+  SELECT doc_id, s, sum(term) % {m63}::HUGEINT AS h FROM terms GROUP BY doc_id, s
+),
+cnt AS (SELECT doc_id, count(*) AS nwin FROM winhash GROUP BY doc_id),
+cand AS (
+  SELECT w.doc_id, w.s - r.j AS win, w.s AS pos, w.h
+  FROM winhash w
+  JOIN cnt USING (doc_id)
+  JOIN range({guard}) r(j)
+    ON w.s - r.j >= 1
+   AND w.s - r.j <= CASE WHEN cnt.nwin >= {guard}
+                         THEN cnt.nwin - {guard} + 1 ELSE 1 END
+),
+pick AS (
+  SELECT doc_id, win, pos, h,
+         row_number() OVER (PARTITION BY doc_id, win ORDER BY h ASC, pos DESC)
+           AS rn
+  FROM cand
+)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, CAST(h AS BIGINT) AS fp
+FROM pick WHERE rn = 1
+ORDER BY doc_id, pos"""

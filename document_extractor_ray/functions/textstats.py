@@ -5674,3 +5674,141 @@ SELECT tf.token, tf.tf,
 FROM tf LEFT JOIN lc USING (token) LEFT JOIN rc USING (token)
 ORDER BY tf.token
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (full selection, Schleimer/Wilkerson/Aiken 2003)
+# ---------------------------------------------------------------------------
+
+def winnowing_fingerprints(sf_dir: str, window: int = 8, guard: int = 4):
+    """Full winnowing selection over the SAME Rabin-Karp word-window
+    hashes as ``rolling_fingerprint`` (base 1000003 mod 2^63, crc32
+    words, non-lowered split()): every guarantee window of ``guard``
+    consecutive window-hashes contributes its minimal hash, ties
+    broken RIGHTMOST (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    guarantees any match of ``window + guard - 1`` words shares a
+    selected fingerprint, the standard local-similarity index MOSS
+    builds on).  Emits DISTINCT (doc_id, pos, fp) selected pairs.
+
+    Scale shape: entirely in-row — one pass, no shuffle; the per-doc
+    kernel is numpy end-to-end (crc vector, ``guard``-term rolling
+    combination, sliding_window_view argmin on the reversed axis for
+    rightmost ties).  Docs with fewer than ``guard`` window-hashes
+    select from one window spanning all of them."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    mask63 = np.uint64((1 << 63) - 1)
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        pw_cache: dict[int, np.ndarray] = {}
+        doc_ids: list[int] = []
+        poss: list[int] = []
+        fps: list[int] = []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            words = (s or "").split()
+            n = len(words)
+            if n == 0:
+                continue
+            crc = np.fromiter(
+                (zlib.crc32(w.encode("utf-8")) for w in words),
+                dtype=np.uint64,
+                count=n,
+            )
+            length = window if n >= window else n
+            pws = pw_cache.get(length)
+            if pws is None:
+                pws = np.array(
+                    [pow(1000003, length - 1 - j, 1 << 63) for j in range(length)],
+                    dtype=np.uint64,
+                )
+                pw_cache[length] = pws
+            nwin = n - length + 1
+            h = np.zeros(nwin, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(length):
+                    h += crc[j : j + nwin] * pws[j]
+            h &= mask63  # mod 2^64 wraparound preserves the mod-2^63 residue
+            if nwin <= guard:
+                sel = np.array([(nwin - 1) - int(np.argmin(h[::-1]))])
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(h, guard)
+                idx = (guard - 1) - np.argmin(sw[:, ::-1], axis=1)
+                sel = np.unique(np.arange(nwin - guard + 1) + idx)
+            doc_ids.extend([did] * len(sel))
+            poss.extend((sel + 1).tolist())
+            fps.extend(h[sel].astype(np.int64).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "fp": pa.array(fps, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow").sort(["doc_id", "pos"])
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity (exact integer rationals)
+# ---------------------------------------------------------------------------
+
+def doc_simpson_diversity(sf_dir: str):
+    """Per-doc Simpson repeat index as EXACT integer rationals: the
+    probability two tokens drawn without replacement are equal is
+    rep_num/rep_den with rep_num = sum c_i*(c_i-1) over token counts
+    and rep_den = N*(N-1) — the lexical-diversity complement (1 - D)
+    used alongside TTR/hapax for quality filtering, float-free so the
+    oracle compares bit-exact.
+
+    Scale shape: entirely in-row — one zero-copy pyarrow pass
+    (split_pattern_regex -> list_flatten/parent_indices -> one
+    (row, token) TableGroupBy per batch), partials scattered back by
+    parent index with np.add.at; no shuffle, output = one row per doc."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def agg(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        f = flat.filter(keep)
+        par = parent.filter(keep)
+        g = pa.TableGroupBy(
+            pa.table({"p": par, "tok": f}), ["p", "tok"]
+        ).aggregate([([], "count_all")])
+        c = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p_idx = g["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_arr = np.zeros(len(t), dtype=np.int64)
+        rep_arr = np.zeros(len(t), dtype=np.int64)
+        np.add.at(n_arr, p_idx, c)
+        np.add.at(rep_arr, p_idx, c * (c - 1))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_arr),
+                "rep_num": pa.array(rep_arr),
+                "rep_den": pa.array(n_arr * (n_arr - 1)),
+            }
+        )
+
+    return ds.map_batches(agg, batch_format="pyarrow").sort("doc_id")
+
+
+DOC_SIMPSON_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, string_split_regex(lower(text), '{_DF_SPLIT_RE}') AS ws
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(ws) AS tkn FROM raw),
+tc AS (SELECT doc_id, tkn, count(*) AS c FROM tok WHERE tkn <> '' GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(c * (c - 1)) AS BIGINT) AS rep_num
+  FROM tc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.rep_num, 0) AS BIGINT) AS rep_num,
+       CAST(coalesce(a.n_tokens * (a.n_tokens - 1), 0) AS BIGINT) AS rep_den
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""

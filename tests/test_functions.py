@@ -220,6 +220,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "embedding_dim_corr",
         "event_trigrams",
         "kn_continuation_counts",
+        "winnowing_fingerprints",
+        "doc_simpson_diversity",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -2668,3 +2670,60 @@ def test_value_drift_quantiles_monotone(ray_session):
     for _, r in t.iterrows():
         s = byty[r["event_type"]]
         assert r["p50_w1_cents"] in s and r["p90_w2_cents"] in s
+
+
+def test_winnowing_guarantee_and_trigram_mass(ray_session):
+    """Winnowing guarantee (Schleimer 2003): every run of `guard`
+    consecutive window positions contains >= 1 selected fingerprint.
+    And event_trigrams mass: total trigram count == n_events - 2*users
+    with >=... exactly sum over users of max(0, k-2)."""
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import event_trigrams
+    from document_extractor_ray.functions.textstats import winnowing_fingerprints
+
+    t = winnowing_fingerprints(SF).take_all()
+    by_doc: dict[int, list[int]] = {}
+    for r in t:
+        by_doc.setdefault(r["doc_id"], []).append(r["pos"])
+    # window hash count per doc = max(1, n_words - 8 + 1)
+    nw = dict(
+        duckdb.sql(
+            f"""SELECT doc_id, greatest(1, len(string_split_regex(trim(text), '\\s+')) - 7)
+                FROM read_parquet('{SF}/documents.parquet')"""
+        ).fetchall()
+    )
+    guard = 4
+    for did, poss in by_doc.items():
+        sel = sorted(poss)
+        assert len(sel) == len(set(sel))  # DISTINCT
+        n_win = nw[did]
+        assert all(1 <= p <= n_win for p in sel)
+        if n_win >= guard:
+            # guarantee: each window [j, j+guard-1] has a selection
+            import numpy as np
+
+            mask = np.zeros(n_win + 1, bool)
+            mask[sel] = True
+            for j in range(1, n_win - guard + 2):
+                assert mask[j : j + guard].any(), (did, j)
+
+    tri = sum(r["n"] for r in event_trigrams(SF).to_pylist())
+    expect = duckdb.sql(
+        f"""SELECT sum(greatest(0, k - 2)) FROM (
+              SELECT count(*) k FROM read_parquet('{SF}/events.parquet')
+              GROUP BY user_id)"""
+    ).fetchone()[0]
+    assert tri == expect
+
+
+def test_simpson_bounds(ray_session):
+    """rep_num <= rep_den, and rep_num == rep_den only when the doc is
+    a single repeated token; n_tokens matches token_counts."""
+    from document_extractor_ray.functions.textstats import doc_simpson_diversity
+
+    t = doc_simpson_diversity(SF).take_all()
+    assert len(t) > 0
+    for r in t:
+        assert 0 <= r["rep_num"] <= r["rep_den"]
+        assert r["rep_den"] == r["n_tokens"] * (r["n_tokens"] - 1)
