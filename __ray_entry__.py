@@ -103,6 +103,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_continuation_counts": textstats.kn_continuation_counts,
         "winnowing_fingerprints": textstats.winnowing_fingerprints,
         "doc_simpson_diversity": textstats.doc_simpson_diversity,
+        "user_median_gap": analytics.user_median_gap,
+        "heavy_hitter_coverage": analytics.heavy_hitter_coverage,
+        "user_active_days_histogram": analytics.user_active_days_histogram,
+        "argmax_dim_stats": similarity.argmax_dim_stats,
         "shingle_containment_pairs": dedup.shingle_containment_pairs_docs,
         "simhash_bit_balance": dedup.simhash_bit_balance,
         "user_value_trend": analytics.user_value_trend,
@@ -457,6 +461,10 @@ def oracle_sql() -> dict[str, str]:
         "kn_continuation_counts": textstats.KN_CONTINUATION_SQL,
         "winnowing_fingerprints": sqlhash.winnowing_sql(),
         "doc_simpson_diversity": textstats.DOC_SIMPSON_SQL,
+        "user_median_gap": analytics.USER_MEDIAN_GAP_SQL,
+        "heavy_hitter_coverage": analytics.HEAVY_HITTER_COVERAGE_SQL,
+        "user_active_days_histogram": analytics.USER_ACTIVE_DAYS_SQL,
+        "argmax_dim_stats": similarity.ARGMAX_DIM_STATS_SQL,
         "shingle_containment_pairs": sqlhash.shingle_containment_sql(),
         "simhash_bit_balance": sqlhash.simhash_bit_balance_sql(),
         "user_value_trend": analytics.USER_VALUE_TREND_SQL,

@@ -323,6 +323,10 @@ def run_bench() -> dict:
         "kn_continuation_counts",
         "winnowing_fingerprints",
         "doc_simpson_diversity",
+        "user_median_gap",
+        "heavy_hitter_coverage",
+        "user_active_days_histogram",
+        "argmax_dim_stats",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -10926,3 +10926,284 @@ FROM s WHERE p2 IS NOT NULL
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-user interarrival order statistics (exact lower median)
+# ---------------------------------------------------------------------------
+
+def user_median_gap(sf_dir: str):
+    """Per-user interarrival profile: count, EXACT lower-median
+    (percentile_disc(0.5)), min and max gap in microseconds between a
+    user's consecutive events ((ts, event_id) order); single-event
+    users have no gaps and are absent — the per-entity cadence
+    profile behind bot/burst detection.
+
+    Scale shape: the user_lag_gaps plan — ONE hash-bucket shuffle
+    co-locates a user's events, one partition sort, gaps as a masked
+    numpy diff; the per-user order statistic is ONE vectorized pandas
+    groupby quantile with interpolation='lower', whose index
+    floor((n-1)/2) equals percentile_disc's ceil(n/2)-1 for every n,
+    so the median is DuckDB-exact with zero floats.  Output leaves
+    each partition as Arrow (PERF 34), one row per multi-event user."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    n_parts = _n_blocks()
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (u * np.uint64(2654435761)) & np.uint64(0x7FFFFFFF)
+        return t.append_column(
+            "part", pa.array((h % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_gaps": pa.array([], pa.int64()),
+            "median_gap_us": pa.array([], pa.int64()),
+            "min_gap_us": pa.array([], pa.int64()),
+            "max_gap_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        if len(g) < 2:
+            return empty
+        same = uid[1:] == uid[:-1]
+        df = pd.DataFrame(
+            {"user_id": uid[1:][same], "gap": (ts_us[1:] - ts_us[:-1])[same]}
+        )
+        if not len(df):
+            return empty
+        gr = df.groupby("user_id", sort=True)["gap"]
+        out = gr.agg(
+            n_gaps="size", min_gap_us="min", max_gap_us="max"
+        ).reset_index()
+        out.insert(
+            2,
+            "median_gap_us",
+            gr.quantile(0.5, interpolation="lower").astype(np.int64).to_numpy(),
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).cast(empty.schema)
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+USER_MEDIAN_GAP_SQL = """
+WITH g AS (
+  SELECT user_id,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+         AS median_gap_us,
+       CAST(min(gap) AS BIGINT) AS min_gap_us,
+       CAST(max(gap) AS BIGINT) AS max_gap_us
+FROM g WHERE gap IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Heavy-hitter coverage (minimal user prefix covering half the traffic)
+# ---------------------------------------------------------------------------
+
+def heavy_hitter_coverage(sf_dir: str):
+    """The minimal set of heaviest users covering >= 50% of all events
+    (rank by n_events DESC, user_id ASC): each kept row carries its
+    count and running cumulative — the 'how concentrated is traffic'
+    cut used to size per-entity caches and skew mitigations.
+
+    Scale shape: the orders_cumulative_revenue decomposition applied
+    to a DERIVED ranking.  Per-user counts come from one
+    ``bucketed_agg`` (never a key-per-row Ray groupby); the global
+    cumulative over (n DESC, user_id) splits into prefix(count value)
+    + within-count-value running sum — pass 1 folds the COUNT-VALUE
+    histogram (bounded by max per-user count, ~hundreds) to driver
+    prefix sums, pass 2 hash-shuffles user rows by their count value
+    (equal counts co-locate), sorts each partition by user_id, and a
+    grouped cumsum adds the broadcast base; the keep rule is the
+    integer cross-multiplication 2*(cum - n) < total."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    # materialized: consumed twice (histogram pass + cumulative pass)
+    counts = bucketed_agg(ds, ["user_id"], [(None, "count", "n")]).materialize()
+    n_parts = _n_blocks()
+
+    # Pass 1: count-value histogram -> exclusive prefix per value
+    # (values DESC), plus the grand total.
+    def hist_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"n": t["n"]}).group_by("n").aggregate([([], "count_all")])
+
+    parts = (
+        counts.map_batches(hist_partial, batch_format="pyarrow").take_all()
+    )
+    hist: dict[int, int] = {}
+    for r in parts:
+        hist[int(r["n"])] = hist.get(int(r["n"]), 0) + int(r["count_all"])
+    vals = sorted(hist, reverse=True)
+    prefix: dict[int, int] = {}
+    acc = 0
+    for v in vals:
+        prefix[v] = acc
+        acc += v * hist[v]
+    total = acc
+
+    import ray as _ray
+
+    pref_ref = _ray.put(prefix)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (n * np.uint64(2654435761)) & np.uint64(0x7FFFFFFF)
+        return t.append_column(
+            "part", pa.array((h % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "cum_events": pa.array([], pa.int64()),
+        }
+    )
+
+    def cum_partition(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return empty
+        pref = _ray.get(pref_ref)
+        g = g.sort_values(["n", "user_id"], ascending=[False, True],
+                          kind="mergesort")
+        n = g["n"].to_numpy().astype(np.int64)
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        # within each count value: rank among equal counts (user asc)
+        new = np.ones(len(g), bool)
+        new[1:] = n[1:] != n[:-1]
+        idx = np.arange(len(g))
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        rank = idx - start + 1
+        base = np.fromiter((pref[int(v)] for v in n), np.int64, count=len(g))
+        cum = base + rank * n
+        keep = 2 * (cum - n) < total
+        out = pa.table(
+            {
+                "user_id": pa.array(uid[keep], pa.int64()),
+                "n_events": pa.array(n[keep], pa.int64()),
+                "cum_events": pa.array(cum[keep], pa.int64()),
+            }
+        )
+        return out
+
+    return (
+        counts.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(cum_partition, batch_format="pandas")
+        .sort(["n_events", "user_id"], descending=[True, False])
+    )
+
+
+HEAVY_HITTER_COVERAGE_SQL = """
+WITH pu AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+tot AS (SELECT sum(n) AS t FROM pu),
+r AS (
+  SELECT user_id, n,
+         sum(n) OVER (ORDER BY n DESC, user_id ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM pu
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events, CAST(cum AS BIGINT) AS cum_events
+FROM r, tot WHERE 2 * (cum - n) < t
+ORDER BY n_events DESC, user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Active-days histogram (engagement distribution)
+# ---------------------------------------------------------------------------
+
+def user_active_days_histogram(sf_dir: str):
+    """Engagement distribution: how many users were active on exactly
+    K distinct days, for each K — the standard DAU/engagement-decile
+    input.  Scale shape: ONE user-hash shuffle co-locates each user's
+    events (per-user distinct-day counting is then partition-local
+    and exact), each partition emits a day-count histogram partial
+    bounded by the date domain (~hundreds of rows), and the driver
+    folds the partials (PERF 32, Arrow out per PERF 34)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    n_parts = _n_blocks()
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (u * np.uint64(2654435761)) & np.uint64(0x7FFFFFFF)
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": day,
+                "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "active_days": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return empty
+        nd = (
+            g.drop_duplicates(["user_id", "day"])
+            .groupby("user_id", sort=False)
+            .size()
+        )
+        h = nd.value_counts().sort_index()
+        return pa.table(
+            {
+                "active_days": pa.array(h.index.to_numpy().astype(np.int64)),
+                "n_users": pa.array(h.to_numpy().astype(np.int64)),
+            }
+        )
+
+    parts = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .take_all()
+    )
+    agg: dict[int, int] = {}
+    for r in parts:
+        agg[int(r["active_days"])] = agg.get(int(r["active_days"]), 0) + int(
+            r["n_users"]
+        )
+    ks = sorted(agg)
+    return pa.table(
+        {
+            "active_days": pa.array(ks, pa.int64()),
+            "n_users": pa.array([agg[k] for k in ks], pa.int64()),
+        }
+    )
+
+
+USER_ACTIVE_DAYS_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+pu AS (SELECT user_id, count(*) AS nd FROM ud GROUP BY user_id)
+SELECT CAST(nd AS BIGINT) AS active_days, CAST(count(*) AS BIGINT) AS n_users
+FROM pu GROUP BY nd ORDER BY active_days
+"""

@@ -1666,3 +1666,84 @@ def knn_ivf_indexed(
         _pooled(IndexedTopK, ref), batch_format="pyarrow", batch_size=4096
     )
     return _merge_topk(partials, k)
+
+
+# ---------------------------------------------------------------------------
+# Dominant-dimension profile (argmax distribution)
+# ---------------------------------------------------------------------------
+
+def argmax_dim_stats(sf_dir: str):
+    """Distribution of each vector's DOMINANT dimension (first argmax,
+    ties -> lowest index): per dim, how many vectors peak there and
+    the permille share — a cheap anisotropy/collapse probe (a healthy
+    embedding space spreads argmaxes; a collapsed one concentrates).
+
+    Scale shape: per batch, one zero-copy matrix view + np.argmax +
+    bincount -> a dim-bounded partial (<= 256 rows); the driver folds
+    partials (PERF 32/34).  Cross-engine exactness: comparisons happen
+    on the same stored float32 values (DOUBLE cast is order-preserving),
+    and both sides break ties toward the lowest index."""
+    from document_extractor_ray.functions.analytics import _n_blocks
+    from document_extractor_ray.sources import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["embedding"],
+        override_num_blocks=_n_blocks(),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t["embedding"])
+        if m.size == 0:
+            return pa.table(
+                {"dim": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        am = np.argmax(m, axis=1)
+        bc = np.bincount(am, minlength=m.shape[1]).astype(np.int64)
+        nz = np.nonzero(bc)[0]
+        return pa.table(
+            {
+                "dim": pa.array(nz.astype(np.int64), pa.int64()),
+                "n": pa.array(bc[nz], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict[int, int] = {}
+    for r in parts:
+        agg[int(r["dim"])] = agg.get(int(r["dim"]), 0) + int(r["n"])
+    total = sum(agg.values())
+    dims = sorted(agg)
+    return pa.table(
+        {
+            "dim": pa.array(dims, pa.int64()),
+            "n_vectors": pa.array([agg[d] for d in dims], pa.int64()),
+            "share_permille": pa.array(
+                [agg[d] * 1000 // max(total, 1) for d in dims], pa.int64()
+            ),
+        }
+    )
+
+
+ARGMAX_DIM_STATS_SQL = """
+WITH expl AS (
+  SELECT e.vec_id, r.d AS dim,
+         CAST(e.embedding[CAST(r.d AS INTEGER) + 1] AS DOUBLE) AS v
+  FROM embeddings e, range(0, 256) r(d)
+  WHERE r.d < len(e.embedding)
+),
+am AS (
+  SELECT vec_id, dim FROM (
+    SELECT vec_id, dim,
+           row_number() OVER (PARTITION BY vec_id ORDER BY v DESC, dim ASC) AS rn
+    FROM expl
+  ) WHERE rn = 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM am)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(*) * 1000 // t.n AS BIGINT) AS share_permille
+FROM am CROSS JOIN tot t
+GROUP BY dim, t.n
+ORDER BY dim
+"""

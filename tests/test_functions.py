@@ -222,6 +222,10 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "kn_continuation_counts",
         "winnowing_fingerprints",
         "doc_simpson_diversity",
+        "user_median_gap",
+        "heavy_hitter_coverage",
+        "user_active_days_histogram",
+        "argmax_dim_stats",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -2727,3 +2731,35 @@ def test_simpson_bounds(ray_session):
     for r in t:
         assert 0 <= r["rep_num"] <= r["rep_den"]
         assert r["rep_den"] == r["n_tokens"] * (r["n_tokens"] - 1)
+
+
+def test_heavy_hitter_coverage_minimality(ray_session):
+    """The kept prefix is the MINIMAL one: it covers >= half of all
+    events, and dropping its last (lightest) user drops below half.
+    Histogram mass: user_active_days_histogram sums to n_users."""
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import (
+        heavy_hitter_coverage,
+        user_active_days_histogram,
+    )
+
+    rows = heavy_hitter_coverage(SF).take_all()
+    assert rows
+    total = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    cum_last = rows[-1]["cum_events"]
+    assert 2 * cum_last >= total
+    assert 2 * (cum_last - rows[-1]["n_events"]) < total
+    # cum is consistent with the running sum of n_events
+    run = 0
+    for r in rows:
+        run += r["n_events"]
+        assert r["cum_events"] == run
+
+    hist = user_active_days_histogram(SF).to_pylist()
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_users"] for r in hist) == n_users
