@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_continuation_counts": textstats.kn_continuation_counts,
         "winnowing_fingerprints": textstats.winnowing_fingerprints,
         "doc_simpson_diversity": textstats.doc_simpson_diversity,
+        "semdedup_prune": similarity.semdedup_prune,
+        "order_interval_overlaps": analytics.order_interval_overlaps,
         "user_median_gap": analytics.user_median_gap,
         "heavy_hitter_coverage": analytics.heavy_hitter_coverage,
         "user_active_days_histogram": analytics.user_active_days_histogram,
@@ -461,6 +463,8 @@ def oracle_sql() -> dict[str, str]:
         "kn_continuation_counts": textstats.KN_CONTINUATION_SQL,
         "winnowing_fingerprints": sqlhash.winnowing_sql(),
         "doc_simpson_diversity": textstats.DOC_SIMPSON_SQL,
+        "semdedup_prune": similarity.SEMDEDUP_PRUNE_SQL,
+        "order_interval_overlaps": analytics.ORDER_INTERVAL_OVERLAPS_SQL,
         "user_median_gap": analytics.USER_MEDIAN_GAP_SQL,
         "heavy_hitter_coverage": analytics.HEAVY_HITTER_COVERAGE_SQL,
         "user_active_days_histogram": analytics.USER_ACTIVE_DAYS_SQL,

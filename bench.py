@@ -327,6 +327,8 @@ def run_bench() -> dict:
         "heavy_hitter_coverage",
         "user_active_days_histogram",
         "argmax_dim_stats",
+        "semdedup_prune",
+        "order_interval_overlaps",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -11207,3 +11207,146 @@ pu AS (SELECT user_id, count(*) AS nd FROM ud GROUP BY user_id)
 SELECT CAST(nd AS BIGINT) AS active_days, CAST(count(*) AS BIGINT) AS n_users
 FROM pu GROUP BY nd ORDER BY active_days
 """
+
+
+# ---------------------------------------------------------------------------
+# Interval self-join (overlapping order windows per customer)
+# ---------------------------------------------------------------------------
+
+def order_interval_overlaps(sf_dir: str):
+    """Range/interval SELF-JOIN: pairs of orders of the SAME customer
+    whose activity windows [o_orderdate, last lineitem shipdate]
+    overlap, with the overlap length in whole days — the interval-join
+    primitive (conflict detection, concurrent-exposure joins) Ray Data
+    has no native operator for.
+
+    Scale shape: the interval end comes from ONE ``bucketed_agg`` max
+    over lineitem (never a key-per-row Ray groupby); the bucketed
+    output is SETTLED to non-empty blocks (Ray 2.49 empty-schema trap)
+    and feeds ONE partitioned hash join with the slimmed orders side;
+    the pair explosion is then partition-local — hash-shuffle on
+    o_custkey co-locates a customer's orders and a per-partition
+    pandas self-merge emits pairs, so the quadratic term is bounded by
+    per-customer order count (~10-45 pairs), never corpus-wide.  Day
+    arithmetic is exact int64 microseconds (all stamps are midnight)."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def ship_i64(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+            }
+        )
+
+    ends = bucketed_agg(
+        li.map_batches(ship_i64, batch_format="pyarrow"),
+        ["l_orderkey"],
+        [("ship_us", "max", "end_us")],
+    )
+    ends = _settle_nonempty(
+        ends,
+        pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "end_us": pa.array([], pa.int64()),
+            }
+        ),
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "start_us": pc.cast(t["o_orderdate"], pa.int64()),
+            }
+        )
+
+    n_parts = _join_partitions(
+        f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"
+    )
+    joined = orders.map_batches(slim, batch_format="pyarrow").join(
+        ends,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    shuffle_parts = _n_blocks()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (c * np.uint64(2654435761)) & np.uint64(0x7FFFFFFF)
+        return t.append_column(
+            "part", pa.array((h % np.uint64(shuffle_parts)).astype(np.int32))
+        )
+
+    empty = pa.table(
+        {
+            "o_custkey": pa.array([], pa.int64()),
+            "okey_a": pa.array([], pa.int64()),
+            "okey_b": pa.array([], pa.int64()),
+            "overlap_days": pa.array([], pa.int64()),
+        }
+    )
+    US_PER_DAY = 86_400_000_000
+
+    def pairs_partition(g: pd.DataFrame) -> pa.Table:
+        if len(g) < 2:
+            return empty
+        d = g[["o_custkey", "o_orderkey", "start_us", "end_us"]]
+        m = d.merge(d, on="o_custkey", suffixes=("_a", "_b"))
+        m = m[m["o_orderkey_a"] < m["o_orderkey_b"]]
+        ov = (
+            np.minimum(m["end_us_a"].to_numpy(), m["end_us_b"].to_numpy())
+            - np.maximum(m["start_us_a"].to_numpy(), m["start_us_b"].to_numpy())
+        )
+        keep = ov >= 0
+        return pa.table(
+            {
+                "o_custkey": pa.array(
+                    m["o_custkey"].to_numpy()[keep].astype(np.int64)
+                ),
+                "okey_a": pa.array(
+                    m["o_orderkey_a"].to_numpy()[keep].astype(np.int64)
+                ),
+                "okey_b": pa.array(
+                    m["o_orderkey_b"].to_numpy()[keep].astype(np.int64)
+                ),
+                "overlap_days": pa.array(
+                    (ov[keep] // US_PER_DAY).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_partition, batch_format="pandas")
+        .sort(["o_custkey", "okey_a", "okey_b"])
+    )
+
+
+ORDER_INTERVAL_OVERLAPS_SQL = """
+WITH iv AS (
+  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate AS s,
+         max(l.l_shipdate) AS e
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate
+)
+SELECT a.o_custkey,
+       a.o_orderkey AS okey_a,
+       b.o_orderkey AS okey_b,
+       CAST(date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) AS BIGINT)
+         AS overlap_days
+FROM iv a
+JOIN iv b ON b.o_custkey = a.o_custkey AND a.o_orderkey < b.o_orderkey
+WHERE greatest(a.s, b.s) <= least(a.e, b.e)
+ORDER BY a.o_custkey, okey_a, okey_b
+"""

@@ -1747,3 +1747,162 @@ FROM am CROSS JOIN tot t
 GROUP BY dim, t.n
 ORDER BY dim
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (cluster, then prune within cluster)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU_MICRO = 300_000  # cosine >= 0.30 (p99 of the corpus pair dist)
+
+
+def semdedup_prune(sf_dir: str, n_seeds: int = KMEANS_K,
+                   tau_micro: int = SEMDEDUP_TAU_MICRO):
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster every vector to its nearest seed
+    centroid (the oracled ``kmeans_assign`` step), then within each
+    cluster flag a vector as a semantic duplicate of its cluster-mates
+    with LOWER vec_id — keep-first.  The dup rule is 'cosine >= tau to
+    ANY earlier cluster-mate' (deterministic and SQL-expressible; the
+    paper's greedy keep-set variant differs only through chains of
+    near-dups, and the chain rule is available downstream via
+    near_dup_clusters on the emitted pairs).  Output per vector:
+    cluster, number of earlier near-dup mates, max similarity to any
+    earlier mate (-1 when first in its cluster), and the kept flag.
+
+    Scale shape: seed matrix broadcast once, one matmul+argmax per
+    batch assigns (no shuffle); ONE shuffle on cluster_id co-locates
+    clusters; inside a cluster the lower-triangular comparison runs
+    as BLOCKED numpy matmuls (1024-row strips vs the prefix), so peak
+    memory is strip x cluster, never cluster^2.  At 100 TB raise
+    n_seeds so clusters stay ~10^5 vectors (the paper uses 50k
+    clusters for LAION) — the plan is unchanged, only the constant.
+    Sim threshold compares HALF-UP MICRO ints on both engines (the
+    knn_brute margin audit applies)."""
+    from document_extractor_ray import state
+
+    q = default_queries(sf_dir, n_queries=n_seeds)
+    sids = np.asarray(q["vec_id"].to_pylist(), np.int64)
+    sm = _normalize_rows(embedding_matrix(q["embedding"]).astype(np.float64))
+    ref = state.broadcast({"ids": sids, "matrix": sm})
+
+    def assign(t: pa.Table) -> pa.Table:
+        st = state.cached_get(ref)
+        mat = embedding_matrix(t["embedding"])
+        if mat.size == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                    "embedding": t["embedding"],
+                }
+            )
+        m = _normalize_rows(mat.astype(np.float64))
+        best = np.argmax(m @ st["matrix"].T, axis=1)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].cast(pa.int64()),
+                "cluster_id": pa.array(st["ids"][best], pa.int64()),
+                "embedding": t["embedding"],
+            }
+        )
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64()),
+            "n_dup_prior": pa.array([], pa.int64()),
+            "max_prior_sim_micro": pa.array([], pa.int64()),
+            "kept": pa.array([], pa.int64()),
+        }
+    )
+
+    def prune_cluster(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by("vec_id")
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize_rows(embedding_matrix(t["embedding"]).astype(np.float64))
+        n = len(ids)
+        n_prior = np.zeros(n, np.int64)
+        max_prior = np.full(n, -1, np.int64)
+        step = 1024
+        for s in range(1, n, step):
+            e = min(s + step, n)
+            sims = m[s:e] @ m[:e].T  # strip vs its full prefix
+            micro = np.floor(sims * 1_000_000 + 0.5).astype(np.int64)
+            # columns < s are visible to every strip row; columns
+            # s..e-1 only below the strict diagonal (vectorized mask)
+            base = micro[:, :s]
+            n_p = (base >= tau_micro).sum(axis=1)
+            mx = base.max(axis=1)
+            diag = micro[:, s:e]
+            tri = np.tri(e - s, e - s, k=-1, dtype=bool)
+            n_p += ((diag >= tau_micro) & tri).sum(axis=1)
+            # masked fill must be INT64_MIN (real sims can be negative
+            # micro; every strip row already sees column 0 via `base`)
+            dmx = np.where(tri, diag, np.iinfo(np.int64).min).max(axis=1)
+            n_prior[s:e] = n_p
+            max_prior[s:e] = np.maximum(mx, dmx)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster_id": t["cluster_id"],
+                "n_dup_prior": pa.array(n_prior, pa.int64()),
+                "max_prior_sim_micro": pa.array(max_prior, pa.int64()),
+                "kept": pa.array((n_prior == 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    ds = _read_embeddings(sf_dir)
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+        .groupby("cluster_id")  # bounded: n_seeds groups
+        .map_groups(prune_cluster, batch_format="pyarrow")
+        .sort("vec_id")
+    )
+
+
+SEMDEDUP_PRUNE_SQL = f"""
+WITH seeds AS (
+  SELECT vec_id AS sid, embedding::DOUBLE[] AS se
+  FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}
+),
+s AS (
+  SELECT e.vec_id, seeds.sid,
+         list_cosine_similarity(e.embedding::DOUBLE[], seeds.se) AS score
+  FROM embeddings e CROSS JOIN seeds
+),
+asg AS (
+  SELECT vec_id, sid AS cluster_id FROM (
+    SELECT vec_id, sid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, sid) AS rk
+    FROM s
+  ) WHERE rk = 1
+),
+p AS (
+  SELECT a.vec_id,
+         CAST(floor(list_cosine_similarity(
+             ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) * 1000000 + 0.5)
+           AS BIGINT) AS sm
+  FROM asg a
+  JOIN asg b ON b.cluster_id = a.cluster_id AND b.vec_id < a.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+),
+agg AS (
+  SELECT vec_id,
+         CAST(count(*) FILTER (sm >= {SEMDEDUP_TAU_MICRO}) AS BIGINT)
+           AS n_dup_prior,
+         CAST(max(sm) AS BIGINT) AS max_prior_sim_micro
+  FROM p GROUP BY vec_id
+)
+SELECT a.vec_id, a.cluster_id,
+       CAST(coalesce(g.n_dup_prior, 0) AS BIGINT) AS n_dup_prior,
+       CAST(coalesce(g.max_prior_sim_micro, -1) AS BIGINT)
+         AS max_prior_sim_micro,
+       CAST(coalesce(g.n_dup_prior, 0) = 0 AS BIGINT) AS kept
+FROM asg a LEFT JOIN agg g USING (vec_id)
+ORDER BY a.vec_id
+"""

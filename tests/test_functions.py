@@ -226,6 +226,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "heavy_hitter_coverage",
         "user_active_days_histogram",
         "argmax_dim_stats",
+        "semdedup_prune",
+        "order_interval_overlaps",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -2763,3 +2765,36 @@ def test_heavy_hitter_coverage_minimality(ray_session):
         f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
     ).fetchone()[0]
     assert sum(r["n_users"] for r in hist) == n_users
+
+
+def test_semdedup_and_interval_semantics(ray_session):
+    """semdedup: the first vec_id of every cluster is kept with no
+    priors; kept=0 iff n_dup_prior>0; both classes non-vacuous.
+    interval overlaps: every pair is same-customer, okey_a<okey_b,
+    overlap_days>=0 and symmetric-free (each unordered pair once)."""
+    from document_extractor_ray.functions.analytics import order_interval_overlaps
+    from document_extractor_ray.functions.similarity import semdedup_prune
+
+    rows = semdedup_prune(SF).take_all()
+    assert rows
+    first_of = {}
+    kept_vals = set()
+    for r in rows:
+        kept_vals.add(r["kept"])
+        assert (r["kept"] == 1) == (r["n_dup_prior"] == 0)
+        c = r["cluster_id"]
+        if c not in first_of or r["vec_id"] < first_of[c]["vec_id"]:
+            first_of[c] = r
+    assert kept_vals == {0, 1}
+    for r in first_of.values():
+        assert r["kept"] == 1 and r["max_prior_sim_micro"] == -1
+
+    pairs = order_interval_overlaps(SF).take_all()
+    assert pairs
+    seen = set()
+    for p in pairs:
+        assert p["okey_a"] < p["okey_b"]
+        assert p["overlap_days"] >= 0
+        key = (p["okey_a"], p["okey_b"])
+        assert key not in seen
+        seen.add(key)
