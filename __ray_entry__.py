@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_continuation_counts": textstats.kn_continuation_counts,
         "winnowing_fingerprints": textstats.winnowing_fingerprints,
         "doc_simpson_diversity": textstats.doc_simpson_diversity,
+        "token_context_entropy": textstats.token_context_entropy,
+        "label_medoid": similarity.label_medoid,
+        "assign_margin_stats": similarity.assign_margin_stats,
         "semdedup_prune": similarity.semdedup_prune,
         "order_interval_overlaps": analytics.order_interval_overlaps,
         "user_median_gap": analytics.user_median_gap,
@@ -463,6 +466,9 @@ def oracle_sql() -> dict[str, str]:
         "kn_continuation_counts": textstats.KN_CONTINUATION_SQL,
         "winnowing_fingerprints": sqlhash.winnowing_sql(),
         "doc_simpson_diversity": textstats.DOC_SIMPSON_SQL,
+        "token_context_entropy": textstats.TOKEN_CONTEXT_ENTROPY_SQL,
+        "label_medoid": similarity.LABEL_MEDOID_SQL,
+        "assign_margin_stats": similarity.ASSIGN_MARGIN_STATS_SQL,
         "semdedup_prune": similarity.SEMDEDUP_PRUNE_SQL,
         "order_interval_overlaps": analytics.ORDER_INTERVAL_OVERLAPS_SQL,
         "user_median_gap": analytics.USER_MEDIAN_GAP_SQL,

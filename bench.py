@@ -329,6 +329,9 @@ def run_bench() -> dict:
         "argmax_dim_stats",
         "semdedup_prune",
         "order_interval_overlaps",
+        "token_context_entropy",
+        "label_medoid",
+        "assign_margin_stats",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

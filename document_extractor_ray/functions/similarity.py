@@ -23,14 +23,15 @@ import ray
 import ray.data
 
 
-def _read_embeddings(sf_dir: str):
+def _read_embeddings(sf_dir: str, with_label: bool = False):
     from document_extractor_ray.functions.analytics import _n_blocks
 
     from document_extractor_ray.sources import read_parquet_clean
 
+    cols = ["vec_id", "embedding"] + (["label"] if with_label else [])
     return read_parquet_clean(
         f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "embedding"],
+        columns=cols,
         override_num_blocks=_n_blocks(),
     )
 
@@ -1904,5 +1905,174 @@ SELECT a.vec_id, a.cluster_id,
          AS max_prior_sim_micro,
        CAST(coalesce(g.n_dup_prior, 0) = 0 AS BIGINT) AS kept
 FROM asg a LEFT JOIN agg g USING (vec_id)
+ORDER BY a.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-label medoid (exact integer-sum selection)
+# ---------------------------------------------------------------------------
+
+def label_medoid(sf_dir: str):
+    """Per label, the MEDOID member: the vector maximizing the summed
+    cosine similarity to its label-mates (ties -> lower vec_id) — the
+    representative-selection primitive behind cluster summarization
+    and SemDeDup's keep-the-centroid-nearest variant.  Each pair
+    contributes its HALF-UP MICRO int, so the per-member total is an
+    integer sum both engines compute identically (summation-order-
+    free), and singleton labels are their own medoid with total 0.
+
+    Scale shape: one label shuffle (bounded groups), per-label BLOCKED
+    strip matmuls (strip x members, never members²), integer row sums.
+    The exact medoid is inherently quadratic per label — at 100 TB cap
+    members per label by hash-threshold sampling (the knn_ivf PERF 33
+    selector) and log the cap; the sf corpora are far below it."""
+    empty = pa.table(
+        {
+            "label": pa.array([], pa.int64()),
+            "medoid_vec_id": pa.array([], pa.int64()),
+            "sum_sim_micro": pa.array([], pa.int64()),
+            "n_members": pa.array([], pa.int64()),
+        }
+    )
+
+    def medoid(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by("vec_id")
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = int(t["label"][0].as_py())
+        m = _normalize_rows(embedding_matrix(t["embedding"]).astype(np.float64))
+        n = len(ids)
+        tot = np.zeros(n, np.int64)
+        step = 1024
+        for s in range(0, n, step):
+            e = min(s + step, n)
+            micro = np.floor((m[s:e] @ m.T) * 1_000_000 + 0.5).astype(np.int64)
+            # exclude self-pairs: zero the diagonal entries of the strip
+            rows = np.arange(s, e)
+            micro[rows - s, rows] = 0
+            tot[s:e] = micro.sum(axis=1)
+        best = int(np.argmax(tot))  # ties -> first = lowest vec_id
+        return pa.table(
+            {
+                "label": pa.array([lab], pa.int64()),
+                "medoid_vec_id": pa.array([int(ids[best])], pa.int64()),
+                "sum_sim_micro": pa.array([int(tot[best])], pa.int64()),
+                "n_members": pa.array([n], pa.int64()),
+            }
+        )
+
+    ds = _read_embeddings(sf_dir, with_label=True)
+    return ds.groupby("label").map_groups(
+        medoid, batch_format="pyarrow"
+    ).sort("label")
+
+
+LABEL_MEDOID_SQL = """
+WITH pair AS (
+  SELECT a.vec_id,
+         CAST(floor(list_cosine_similarity(
+             a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000 + 0.5)
+           AS BIGINT) AS sm
+  FROM embeddings a
+  JOIN embeddings b ON b.label = a.label AND b.vec_id != a.vec_id
+),
+tots AS (SELECT vec_id, CAST(sum(sm) AS BIGINT) AS tot FROM pair GROUP BY 1),
+base AS (
+  SELECT e.label, e.vec_id, coalesce(t.tot, 0) AS tot
+  FROM embeddings e LEFT JOIN tots t USING (vec_id)
+),
+nm AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members
+       FROM embeddings GROUP BY 1),
+r AS (
+  SELECT label, vec_id, tot,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY tot DESC, vec_id) AS rk
+  FROM base
+)
+SELECT CAST(r.label AS BIGINT) AS label, r.vec_id AS medoid_vec_id,
+       CAST(r.tot AS BIGINT) AS sum_sim_micro, nm.n_members
+FROM r JOIN nm USING (label) WHERE rk = 1
+ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Assignment-margin profile (cluster-boundary confidence)
+# ---------------------------------------------------------------------------
+
+def assign_margin_stats(sf_dir: str, n_seeds: int = KMEANS_K):
+    """Per vector, the confidence MARGIN of its nearest-seed
+    assignment: best and runner-up seed (the kmeans_assign ordering:
+    score DESC, seed id ASC) plus margin_micro = micro(best) −
+    micro(second) — the boundary-population profile that tells you
+    how much a re-clustering or a quantized index can scramble
+    assignments.  Scale: broadcast seed matrix, one matmul + stable
+    argsort over n_seeds columns per batch; streams, no shuffle."""
+    from document_extractor_ray import state
+
+    q = default_queries(sf_dir, n_queries=n_seeds)
+    sids = np.asarray(q["vec_id"].to_pylist(), np.int64)
+    sm = _normalize_rows(embedding_matrix(q["embedding"]).astype(np.float64))
+    ref = state.broadcast({"ids": sids, "matrix": sm})
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64()),
+            "second_id": pa.array([], pa.int64()),
+            "margin_micro": pa.array([], pa.int64()),
+        }
+    )
+
+    def margins(t: pa.Table) -> pa.Table:
+        st = state.cached_get(ref)
+        mat = embedding_matrix(t["embedding"])
+        if mat.size == 0:
+            return empty
+        m = _normalize_rows(mat.astype(np.float64))
+        sims = m @ st["matrix"].T
+        # stable argsort on -score: equal scores keep ascending seed id
+        order = np.argsort(-sims, axis=1, kind="stable")
+        b, s2 = order[:, 0], order[:, 1]
+        rows = np.arange(len(m))
+        mb = np.floor(sims[rows, b] * 1_000_000 + 0.5).astype(np.int64)
+        ms = np.floor(sims[rows, s2] * 1_000_000 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].cast(pa.int64()),
+                "cluster_id": pa.array(st["ids"][b], pa.int64()),
+                "second_id": pa.array(st["ids"][s2], pa.int64()),
+                "margin_micro": pa.array(mb - ms, pa.int64()),
+            }
+        )
+
+    ds = _read_embeddings(sf_dir)
+    return ds.map_batches(margins, batch_format="pyarrow", batch_size=4096).sort(
+        "vec_id"
+    )
+
+
+ASSIGN_MARGIN_STATS_SQL = f"""
+WITH seeds AS (
+  SELECT vec_id AS sid, embedding::DOUBLE[] AS se
+  FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}
+),
+s AS (
+  SELECT e.vec_id, seeds.sid,
+         list_cosine_similarity(e.embedding::DOUBLE[], seeds.se) AS score
+  FROM embeddings e CROSS JOIN seeds
+),
+r AS (
+  SELECT vec_id, sid, score,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, sid) AS rk
+  FROM s
+)
+SELECT a.vec_id, a.sid AS cluster_id, b.sid AS second_id,
+       CAST(floor(a.score * 1000000 + 0.5) AS BIGINT)
+         - CAST(floor(b.score * 1000000 + 0.5) AS BIGINT) AS margin_micro
+FROM r a JOIN r b ON b.vec_id = a.vec_id AND a.rk = 1 AND b.rk = 2
 ORDER BY a.vec_id
 """

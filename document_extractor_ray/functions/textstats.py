@@ -5812,3 +5812,132 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg a USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Successor (branching) entropy per token
+# ---------------------------------------------------------------------------
+
+def token_context_entropy(sf_dir: str):
+    """Right-context branching entropy per token: over the corpus
+    bigram distribution, H(next | prev=w) shipped as the exact integer
+    numerator ent_num = Σ_c c·(L(n_w) − L(c)) with L(v) =
+    round(ln(v)·1e6) (the user_event_entropy identity) — low-entropy
+    tokens glue multi-word terms together (the unithood signal in
+    term-extraction); high-entropy tokens end phrases.
+
+    Scale shape: per-batch (prev, next) count partials (consecutive
+    tokens within one doc) through ONE pair-keyed ``bucketed_agg``;
+    the final fold is vocab²-bounded and runs on the driver (PERF 32)
+    with ln values memoized per distinct count."""
+    import math
+
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        f = flat.filter(keep)
+        par = parent.filter(keep).to_numpy(zero_copy_only=False)
+        fa = f.to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "prev": pa.array([], pa.string()),
+                "next": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if len(fa) < 2:
+            return empty
+        same = par[1:] == par[:-1]
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "prev": pa.array(fa[:-1][same], pa.string()),
+                    "next": pa.array(fa[1:][same], pa.string()),
+                }
+            ),
+            ["prev", "next"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "prev": g["prev"],
+                "next": g["next"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    pairs = bucketed_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["prev", "next"],
+        [("n", "sum", "n")],
+    ).take_all()
+
+    agg: dict[str, dict[str, int]] = {}
+    for r in pairs:
+        agg.setdefault(r["prev"], {})[r["next"]] = int(r["n"])
+    lmemo: dict[int, int] = {}
+
+    def L(v: int) -> int:
+        out = lmemo.get(v)
+        if out is None:
+            out = lmemo[v] = int(math.floor(math.log(v) * 1_000_000 + 0.5))
+        return out
+
+    toks = sorted(agg)
+    n_next, n_dist, ent = [], [], []
+    for w in toks:
+        cs = agg[w]
+        n = sum(cs.values())
+        n_next.append(n)
+        n_dist.append(len(cs))
+        ln_n = L(n)
+        ent.append(sum(c * (ln_n - L(c)) for c in cs.values()))
+    return pa.table(
+        {
+            "token": pa.array(toks, pa.string()),
+            "n_next": pa.array(n_next, pa.int64()),
+            "n_distinct_next": pa.array(n_dist, pa.int64()),
+            "ent_num": pa.array(ent, pa.int64()),
+        }
+    )
+
+
+TOKEN_CONTEXT_ENTROPY_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, string_split_regex(lower(text), '{_DF_SPLIT_RE}') AS ws
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, unnest(ws) AS token, generate_subscripts(ws, 1) AS p FROM raw
+),
+tok AS (
+  SELECT doc_id, token,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+  FROM tokpos WHERE token <> ''
+),
+bg AS (
+  SELECT lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+         token AS next
+  FROM tok
+),
+cnt AS (
+  SELECT prev, next, CAST(count(*) AS BIGINT) AS c
+  FROM bg WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+tot AS (
+  SELECT prev, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS d
+  FROM cnt GROUP BY 1
+)
+SELECT t.prev AS token, t.n AS n_next, t.d AS n_distinct_next,
+       CAST(sum(c * (CAST(round(ln(t.n) * 1000000) AS BIGINT)
+                     - CAST(round(ln(c) * 1000000) AS BIGINT))) AS BIGINT)
+         AS ent_num
+FROM cnt JOIN tot t USING (prev)
+GROUP BY 1, 2, 3
+ORDER BY token
+"""

@@ -228,6 +228,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "argmax_dim_stats",
         "semdedup_prune",
         "order_interval_overlaps",
+        "token_context_entropy",
+        "label_medoid",
+        "assign_margin_stats",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -2798,3 +2801,46 @@ def test_semdedup_and_interval_semantics(ray_session):
         key = (p["okey_a"], p["okey_b"])
         assert key not in seen
         seen.add(key)
+
+
+def test_medoid_margin_entropy_semantics(ray_session):
+    """label_medoid: medoid is a member of its label and n_members
+    sums to table size; assign_margin_stats: margins >= 0 and
+    cluster/second disagree; token_context_entropy: ent_num >= 0 and
+    zero iff a single distinct successor."""
+    import duckdb
+
+    from document_extractor_ray.functions.similarity import (
+        assign_margin_stats,
+        label_medoid,
+    )
+    from document_extractor_ray.functions.textstats import token_context_entropy
+
+    med = label_medoid(SF).take_all()
+    members = dict(
+        duckdb.sql(
+            f"SELECT label, count(*) FROM read_parquet('{SF}/embeddings.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    owner = dict(
+        duckdb.sql(
+            f"SELECT vec_id, label FROM read_parquet('{SF}/embeddings.parquet')"
+        ).fetchall()
+    )
+    assert sum(r["n_members"] for r in med) == sum(members.values())
+    for r in med:
+        assert owner[r["medoid_vec_id"]] == r["label"]
+        assert r["n_members"] == members[r["label"]]
+
+    mar = assign_margin_stats(SF).take_all()
+    assert mar
+    for r in mar:
+        assert r["margin_micro"] >= 0
+        assert r["cluster_id"] != r["second_id"]
+
+    ent = token_context_entropy(SF).to_pylist()
+    assert ent
+    for r in ent:
+        assert r["ent_num"] >= 0
+        if r["n_distinct_next"] == 1:
+            assert r["ent_num"] == 0
