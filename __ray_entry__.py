@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_continuation_counts": textstats.kn_continuation_counts,
         "winnowing_fingerprints": textstats.winnowing_fingerprints,
         "doc_simpson_diversity": textstats.doc_simpson_diversity,
+        "lsh_band_histogram": dedup.lsh_band_histogram_docs,
+        "user_decile_transition": analytics.user_decile_transition,
         "token_context_entropy": textstats.token_context_entropy,
         "label_medoid": similarity.label_medoid,
         "assign_margin_stats": similarity.assign_margin_stats,
@@ -466,6 +468,8 @@ def oracle_sql() -> dict[str, str]:
         "kn_continuation_counts": textstats.KN_CONTINUATION_SQL,
         "winnowing_fingerprints": sqlhash.winnowing_sql(),
         "doc_simpson_diversity": textstats.DOC_SIMPSON_SQL,
+        "lsh_band_histogram": sqlhash.lsh_band_histogram_sql(),
+        "user_decile_transition": analytics.USER_DECILE_TRANSITION_SQL,
         "token_context_entropy": textstats.TOKEN_CONTEXT_ENTROPY_SQL,
         "label_medoid": similarity.LABEL_MEDOID_SQL,
         "assign_margin_stats": similarity.ASSIGN_MARGIN_STATS_SQL,

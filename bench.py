@@ -332,6 +332,8 @@ def run_bench() -> dict:
         "token_context_entropy",
         "label_medoid",
         "assign_margin_stats",
+        "lsh_band_histogram",
+        "user_decile_transition",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

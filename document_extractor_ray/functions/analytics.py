@@ -11350,3 +11350,159 @@ JOIN iv b ON b.o_custkey = a.o_custkey AND a.o_orderkey < b.o_orderkey
 WHERE greatest(a.s, b.s) <= least(a.e, b.e)
 ORDER BY a.o_custkey, okey_a, okey_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Decile mobility matrix across time windows
+# ---------------------------------------------------------------------------
+
+def user_decile_transition(sf_dir: str):
+    """Decile MOBILITY matrix: each user's total event value is ranked
+    into deciles within window w1 (ts < 2024-01-16, the
+    value_drift_quantiles split) and window w2, and the output counts
+    users per (d_w1, d_w2) cell — the cohort-drift fingerprint (-1 =
+    inactive in that window).  Deciles are tie-stable rank_min bins:
+    d = 10·(count strictly below) // n_window, never ntile()'s
+    order-dependent split.
+
+    Scale shape: per-(user, window) sums via ONE ``bucketed_agg``;
+    decile boundaries come from a (window, sum-cents) count fold
+    (distinct-sum-bounded, the value_decile_assign escalation note
+    applies); assignment is a broadcast searchsorted; the per-user
+    (d1, d2) pairing is one user-hash shuffle whose partitions emit
+    11x11-bounded matrix partials folded on the driver (PERF 32)."""
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    cutoff = pa.scalar(pd.Timestamp("2024-01-16"), type=pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "w": pc.cast(pc.greater_equal(t["ts"], cutoff), pa.int32()),
+                "cents": _to_cents(t["value"]),
+            }
+        )
+
+    sums = bucketed_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id", "w"],
+        [("cents", "sum", "cents")],
+    ).materialize()  # two consumers: boundary fold + assignment
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"w": t["w"], "cents": t["cents"]}), ["w", "cents"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "w": g["w"],
+                "cents": g["cents"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    rows = sums.map_batches(cnt_partial, batch_format="pyarrow").take_all()
+    byw: dict[int, dict[int, int]] = {0: {}, 1: {}}
+    for r in rows:
+        d = byw[int(r["w"])]
+        d[int(r["cents"])] = d.get(int(r["cents"]), 0) + int(r["n"])
+    packed = {}
+    for w, d in byw.items():
+        cs = np.array(sorted(d), np.int64)
+        ns = np.array([d[int(c)] for c in cs], np.int64)
+        below = np.concatenate([[0], ns.cumsum()[:-1]])
+        packed[w] = (cs, below, int(ns.sum()))
+    ref = state.broadcast(packed)
+    n_parts = _n_blocks()
+
+    def assign(t: pa.Table) -> pa.Table:
+        lut = state.cached_get(ref)
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.empty(len(w), np.int64)
+        for wv in (0, 1):
+            m = w == wv
+            if m.any():
+                cs, below, nt = lut[wv]
+                idx = np.searchsorted(cs, cents[m])
+                d[m] = below[idx] * 10 // max(nt, 1)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (u * np.uint64(2654435761)) & np.uint64(0x7FFFFFFF)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "w": t["w"],
+                "d": pa.array(d, pa.int64()),
+                "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "d_w1": pa.array([], pa.int64()),
+            "d_w2": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64()),
+        }
+    )
+
+    def matrix_partition(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return empty
+        pv = g.pivot_table(
+            index="user_id", columns="w", values="d", aggfunc="first"
+        )
+        d1 = pv[0].fillna(-1).astype(np.int64) if 0 in pv else pd.Series(-1, index=pv.index, dtype=np.int64)
+        d2 = pv[1].fillna(-1).astype(np.int64) if 1 in pv else pd.Series(-1, index=pv.index, dtype=np.int64)
+        out = (
+            pd.DataFrame({"d_w1": d1, "d_w2": d2})
+            .groupby(["d_w1", "d_w2"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).cast(empty.schema)
+
+    parts = (
+        sums.map_batches(assign, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(matrix_partition, batch_format="pandas")
+        .take_all()
+    )
+    agg: dict = {}
+    for r in parts:
+        k = (int(r["d_w1"]), int(r["d_w2"]))
+        agg[k] = agg.get(k, 0) + int(r["n_users"])
+    keys = sorted(agg)
+    return pa.table(
+        {
+            "d_w1": pa.array([k[0] for k in keys], pa.int64()),
+            "d_w2": pa.array([k[1] for k in keys], pa.int64()),
+            "n_users": pa.array([agg[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+USER_DECILE_TRANSITION_SQL = """
+WITH s AS (
+  SELECT user_id,
+         CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS w,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT user_id, w,
+         ((rank() OVER (PARTITION BY w ORDER BY cents) - 1) * 10)
+           // (count(*) OVER (PARTITION BY w)) AS d
+  FROM s
+),
+p AS (
+  SELECT coalesce(a.d, -1) AS d_w1, coalesce(b.d, -1) AS d_w2
+  FROM (SELECT user_id, d FROM r WHERE w = 0) a
+  FULL JOIN (SELECT user_id, d FROM r WHERE w = 1) b USING (user_id)
+)
+SELECT CAST(d_w1 AS BIGINT) AS d_w1, CAST(d_w2 AS BIGINT) AS d_w2,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM p GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -2367,3 +2367,85 @@ def simhash_bit_balance(sf_dir: str):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH band-bucket size histogram (index health audit)
+# ---------------------------------------------------------------------------
+
+def lsh_band_histogram(ds: "ray.data.Dataset", seed: int = 42):
+    """LSH index health audit: the distribution of band-bucket sizes —
+    one row per (band_id, bucket_size) with how many buckets have that
+    size.  This is the measurement behind the MAX_BUCKET skew cap: a
+    healthy index is dominated by size-1 buckets; a fat tail here
+    predicts quadratic pair blowups before any pair is emitted.
+
+    Scale shape: the minhash_dup_pairs band explode (module-cached
+    hasher, signatures never shipped — only (band, hash) int rows),
+    bucket sizes via ONE pair-keyed ``bucketed_agg`` count, then the
+    (bands × sizes)-bounded histogram folds on the driver (PERF 32)."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    def band_explode(t: pa.Table, _seed=seed) -> pa.Table:
+        key = ("minhasher", _seed)
+        if key not in _WORKER_CACHE:
+            _WORKER_CACHE[key] = MinHasher(seed=_seed)
+        h = _WORKER_CACHE[key]
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        n = len(texts)
+        sigs = np.empty((n, N_HASHES), dtype=np.uint64)
+        for i, text in enumerate(texts):
+            sigs[i] = h.signature(text)
+        with np.errstate(over="ignore"):
+            bh = (sigs.reshape(n, N_BANDS, ROWS_PER_BAND) * _BAND_P).sum(
+                axis=2, dtype=np.uint64
+            )
+        bh = (bh >> np.uint64(1)).astype(np.int64).reshape(-1)
+        return pa.table(
+            {
+                "band_id": pa.array(
+                    np.tile(np.arange(N_BANDS, dtype=np.int32), n), pa.int32()
+                ),
+                "band_hash": pa.array(bh, pa.int64()),
+            }
+        )
+
+    sizes = bucketed_agg(
+        ds.map_batches(band_explode, batch_format="pyarrow", batch_size=512),
+        ["band_id", "band_hash"],
+        [(None, "count", "sz")],
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"band_id": t["band_id"], "sz": t["sz"]}),
+            ["band_id", "sz"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "band_id": g["band_id"],
+                "sz": g["sz"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    parts = sizes.map_batches(hist_partial, batch_format="pyarrow").take_all()
+    agg: dict = {}
+    for r in parts:
+        k = (int(r["band_id"]), int(r["sz"]))
+        agg[k] = agg.get(k, 0) + int(r["n"])
+    keys = sorted(agg)
+    return pa.table(
+        {
+            "band_id": pa.array([k[0] for k in keys], pa.int64()),
+            "bucket_size": pa.array([k[1] for k in keys], pa.int64()),
+            "n_buckets": pa.array([agg[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+def lsh_band_histogram_docs(sf_dir: str):
+    from document_extractor_ray.functions.textstats import _read_docs
+
+    return lsh_band_histogram(_read_docs(sf_dir, ["doc_id", "text"]))

@@ -811,3 +811,23 @@ pick AS (
 SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, CAST(h AS BIGINT) AS fp
 FROM pick WHERE rn = 1
 ORDER BY doc_id, pos"""
+
+
+def lsh_band_histogram_sql() -> str:
+    """Oracle for ``lsh_band_histogram``: the sig/band CTEs, bucket
+    sizes per (band_id, band_hash), then the size histogram per band."""
+    return f"""WITH RECURSIVE
+{_words(lower=True)},
+{_CRC_TABLE},
+{_WORD_CRC},
+{_sig_ctes(k=3)},
+{_band_ctes()},
+bsz AS (
+  SELECT band_id, band_hash, CAST(count(*) AS BIGINT) AS sz
+  FROM bandh GROUP BY band_id, band_hash
+)
+SELECT CAST(band_id AS BIGINT) AS band_id,
+       sz AS bucket_size,
+       CAST(count(*) AS BIGINT) AS n_buckets
+FROM bsz GROUP BY band_id, sz
+ORDER BY band_id, bucket_size"""

@@ -231,6 +231,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "token_context_entropy",
         "label_medoid",
         "assign_margin_stats",
+        "lsh_band_histogram",
+        "user_decile_transition",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -2844,3 +2846,33 @@ def test_medoid_margin_entropy_semantics(ray_session):
         assert r["ent_num"] >= 0
         if r["n_distinct_next"] == 1:
             assert r["ent_num"] == 0
+
+
+def test_lsh_histogram_and_decile_transition_mass(ray_session):
+    """lsh_band_histogram: per band, sum(size*n_buckets) == n_docs
+    (every doc lands in exactly one bucket per band); decile
+    transition: cells sum to distinct users, deciles within [-1, 9]."""
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import user_decile_transition
+    from document_extractor_ray.functions.dedup import lsh_band_histogram_docs
+
+    hist = lsh_band_histogram_docs(SF).to_pylist()
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    per_band: dict[int, int] = {}
+    for r in hist:
+        per_band[r["band_id"]] = (
+            per_band.get(r["band_id"], 0) + r["bucket_size"] * r["n_buckets"]
+        )
+    assert set(per_band) == set(range(16))
+    assert all(v == n_docs for v in per_band.values())
+
+    mat = user_decile_transition(SF).to_pylist()
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_users"] for r in mat) == n_users
+    for r in mat:
+        assert -1 <= r["d_w1"] <= 9 and -1 <= r["d_w2"] <= 9
