@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_continuation_counts": textstats.kn_continuation_counts,
         "winnowing_fingerprints": textstats.winnowing_fingerprints,
         "doc_simpson_diversity": textstats.doc_simpson_diversity,
+        "bloom_decontaminate": dedup.bloom_decontaminate_docs,
+        "orders_dow_profile": analytics.orders_dow_profile,
         "lsh_band_histogram": dedup.lsh_band_histogram_docs,
         "user_decile_transition": analytics.user_decile_transition,
         "token_context_entropy": textstats.token_context_entropy,
@@ -468,6 +470,8 @@ def oracle_sql() -> dict[str, str]:
         "kn_continuation_counts": textstats.KN_CONTINUATION_SQL,
         "winnowing_fingerprints": sqlhash.winnowing_sql(),
         "doc_simpson_diversity": textstats.DOC_SIMPSON_SQL,
+        "bloom_decontaminate": sqlhash.bloom_decontaminate_sql(),
+        "orders_dow_profile": analytics.ORDERS_DOW_PROFILE_SQL,
         "lsh_band_histogram": sqlhash.lsh_band_histogram_sql(),
         "user_decile_transition": analytics.USER_DECILE_TRANSITION_SQL,
         "token_context_entropy": textstats.TOKEN_CONTEXT_ENTROPY_SQL,

@@ -334,6 +334,8 @@ def run_bench() -> dict:
         "assign_margin_stats",
         "lsh_band_histogram",
         "user_decile_transition",
+        "bloom_decontaminate",
+        "orders_dow_profile",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -11506,3 +11506,58 @@ SELECT CAST(d_w1 AS BIGINT) AS d_w1, CAST(d_w2 AS BIGINT) AS d_w2,
        CAST(count(*) AS BIGINT) AS n_users
 FROM p GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality profile
+# ---------------------------------------------------------------------------
+
+def orders_dow_profile(sf_dir: str):
+    """Order seasonality by ISO day-of-week (1=Mon..7=Sun): count and
+    integer-cents revenue per weekday — the calendar-seasonality twin
+    of events_hour_profile on the orders table.  One map_batches
+    partial per batch (7-row bounded), grouped Sum, no wide state."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dow = pc.add(pc.day_of_week(t["o_orderdate"]), 1)  # Mon=0 -> ISO 1
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "dow": pc.cast(dow, pa.int64()),
+                    "cents": _to_cents(t["o_totalprice"]),
+                }
+            ),
+            ["dow"],
+        ).aggregate([([], "count_all"), ("cents", "sum")])
+        return pa.table(
+            {
+                "dow": g["dow"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+                "cents": pc.cast(g["cents_sum"], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict[int, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(int(r["dow"]), [0, 0])
+        a[0] += int(r["n"])
+        a[1] += int(r["cents"])
+    ks = sorted(agg)
+    return pa.table(
+        {
+            "dow": pa.array(ks, pa.int64()),
+            "n_orders": pa.array([agg[k][0] for k in ks], pa.int64()),
+            "revenue_cents": pa.array([agg[k][1] for k in ks], pa.int64()),
+        }
+    )
+
+
+ORDERS_DOW_PROFILE_SQL = """
+SELECT CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders GROUP BY 1 ORDER BY 1
+"""

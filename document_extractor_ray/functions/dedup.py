@@ -2449,3 +2449,99 @@ def lsh_band_histogram_docs(sf_dir: str):
     from document_extractor_ray.functions.textstats import _read_docs
 
     return lsh_band_histogram(_read_docs(sf_dir, ["doc_id", "text"]))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination + sketch-accuracy audit
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 4096          # filter bits
+BLOOM_K = 3             # probes per shingle (double hashing)
+
+
+def _bloom_bits(x: np.ndarray) -> np.ndarray:
+    """(n, BLOOM_K) bit indices per shingle hash: double hashing
+    h1 + j*h2 mod m with h1 = x mod m, h2 = 2*(x >> 32) + 1 (odd) —
+    Kirsch & Mitzenmacher 2006: two derived hashes suffice."""
+    h1 = x % np.uint64(BLOOM_M)
+    h2 = (x >> np.uint64(32)) * np.uint64(2) + np.uint64(1)
+    j = np.arange(BLOOM_K, dtype=np.uint64)
+    return ((h1[:, None] + j[None, :] * h2[:, None]) % np.uint64(BLOOM_M)).astype(
+        np.int64
+    )
+
+
+def bloom_decontaminate(
+    ds: "ray.data.Dataset",
+    benchmark_texts,
+    k: int = DECONTAM_SHINGLE_K,
+):
+    """Decontamination via a BLOOM FILTER of the benchmark shingles,
+    audited against the exact broadcast-set pass in the same output:
+    per doc, distinct-shingle count, exact benchmark hits, Bloom hits,
+    and the false-positive surplus bloom_fp = bloom − exact (exact ⊆
+    Bloom by construction, so the surplus IS the FP count).  This is
+    the scale path decontamination takes when the benchmark set
+    outgrows a broadcastable sorted array: m bits ship instead of the
+    set, at a measured (not modeled) FP cost.
+
+    Scale shape: the m-bit filter builds once on the driver from the
+    (tiny) benchmark and broadcasts as a bool array; each batch probes
+    with one vectorized double-hash gather per doc — no shuffle.  The
+    oracle replicates filter construction AND probes bit-exactly in
+    SQL, so even the false positives match."""
+    from document_extractor_ray import state
+
+    bench = set()
+    for text in benchmark_texts:
+        bench |= shingles(text, k)
+    bench_arr = np.fromiter(bench, dtype=np.uint64, count=len(bench))
+    bench_arr.sort()
+    bits = np.zeros(BLOOM_M, dtype=bool)
+    if len(bench_arr):
+        bits[_bloom_bits(bench_arr).reshape(-1)] = True
+    ref = state.broadcast({"bits": bits, "exact": bench_arr})
+
+    def flag(t: pa.Table) -> pa.Table:
+        st = state.cached_get(ref)
+        bits_l, exact_l = st["bits"], st["exact"]
+        n_sh, ex, bl = [], [], []
+        for text in t["text"].to_pylist():
+            sh = shingles(text or "", k)
+            if not sh:
+                n_sh.append(0)
+                ex.append(0)
+                bl.append(0)
+                continue
+            arr = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+            n_sh.append(len(arr))
+            ex.append(int(np.isin(arr, exact_l, assume_unique=True).sum()))
+            bl.append(int(bits_l[_bloom_bits(arr)].all(axis=1).sum()))
+        bl_arr = pa.array(bl, pa.int64())
+        ex_arr = pa.array(ex, pa.int64())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_shingles": pa.array(n_sh, pa.int64()),
+                "exact_hits": ex_arr,
+                "bloom_hits": bl_arr,
+                "bloom_fp": pc.subtract(bl_arr, ex_arr),
+                "contaminated_bloom": pc.cast(
+                    pc.greater_equal(bl_arr, 1), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow").sort("doc_id")
+
+
+def bloom_decontaminate_docs(sf_dir: str, n_benchmark: int = 3):
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.textstats import _read_docs
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    t = t.sort_by("doc_id").slice(0, n_benchmark)
+    return bloom_decontaminate(
+        _read_docs(sf_dir, ["doc_id", "text"]), t["text"].to_pylist()
+    )

@@ -831,3 +831,57 @@ SELECT CAST(band_id AS BIGINT) AS band_id,
        CAST(count(*) AS BIGINT) AS n_buckets
 FROM bsz GROUP BY band_id, sz
 ORDER BY band_id, bucket_size"""
+
+
+def bloom_decontaminate_sql(
+    k: int = 8, n_benchmark: int = 3, m: int = 4096, n_probes: int = 3
+) -> str:
+    """Oracle for ``bloom_decontaminate``: replicates the Bloom filter
+    bit-exactly — set bits from the benchmark shingles via the same
+    double-hash (h1 = x mod m, h2 = 2*(x >> 32) + 1), probe every doc
+    shingle's probes, count all-bits-set — so even the false positives
+    match the engine."""
+    probe = f"((s.x % {m}) + j.j * ((s.x // 4294967296) * 2 + 1)) % {m}"
+    return f"""WITH RECURSIVE
+{_words(lower=True)},
+{_CRC_TABLE},
+{_WORD_CRC},
+{_shingle_cte(k)},
+bsh AS (
+  SELECT DISTINCT x FROM shingle
+  WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {n_benchmark})
+),
+bloombits AS (
+  SELECT DISTINCT ((s.x % {m}) + j.j * ((s.x // 4294967296) * 2 + 1)) % {m} AS bit
+  FROM bsh s CROSS JOIN range({n_probes}) j(j)
+),
+probe AS (
+  SELECT s.doc_id, s.x,
+         count(*) FILTER (bb.bit IS NOT NULL) AS set_bits
+  FROM shingle s
+  CROSS JOIN range({n_probes}) j(j)
+  LEFT JOIN bloombits bb ON bb.bit = {probe}
+  GROUP BY s.doc_id, s.x
+),
+bh AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(count(*) FILTER (set_bits = {n_probes}) AS BIGINT) AS bloom_hits
+  FROM probe GROUP BY doc_id
+),
+eh AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS exact_hits
+  FROM shingle s JOIN bsh b ON b.x = s.x
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(bh.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(eh.exact_hits, 0) AS BIGINT) AS exact_hits,
+       CAST(coalesce(bh.bloom_hits, 0) AS BIGINT) AS bloom_hits,
+       CAST(coalesce(bh.bloom_hits, 0) - coalesce(eh.exact_hits, 0) AS BIGINT)
+         AS bloom_fp,
+       CAST(coalesce(bh.bloom_hits, 0) >= 1 AS BIGINT) AS contaminated_bloom
+FROM documents d
+LEFT JOIN bh ON bh.doc_id = d.doc_id
+LEFT JOIN eh ON eh.doc_id = d.doc_id
+ORDER BY d.doc_id"""

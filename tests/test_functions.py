@@ -233,6 +233,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "assign_margin_stats",
         "lsh_band_histogram",
         "user_decile_transition",
+        "bloom_decontaminate",
+        "orders_dow_profile",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -2876,3 +2878,22 @@ def test_lsh_histogram_and_decile_transition_mass(ray_session):
     assert sum(r["n_users"] for r in mat) == n_users
     for r in mat:
         assert -1 <= r["d_w1"] <= 9 and -1 <= r["d_w2"] <= 9
+
+
+def test_bloom_decontaminate_containment(ray_session):
+    """Bloom superset property: bloom_hits >= exact_hits per doc
+    (exact members always pass their own filter), bloom_fp == the
+    difference, and the benchmark docs (3 lowest ids) self-flag with
+    exact_hits == n_shingles."""
+    from document_extractor_ray.functions.dedup import bloom_decontaminate_docs
+
+    rows = bloom_decontaminate_docs(SF).take_all()
+    assert rows
+    by_id = {r["doc_id"]: r for r in rows}
+    bench_ids = sorted(by_id)[:3]
+    for r in rows:
+        assert r["bloom_hits"] >= r["exact_hits"]
+        assert r["bloom_fp"] == r["bloom_hits"] - r["exact_hits"]
+        assert r["contaminated_bloom"] == (1 if r["bloom_hits"] >= 1 else 0)
+    for d in bench_ids:
+        assert by_id[d]["exact_hits"] == by_id[d]["n_shingles"] > 0
