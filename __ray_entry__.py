@@ -105,6 +105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simpson_diversity": textstats.doc_simpson_diversity,
         "bloom_decontaminate": dedup.bloom_decontaminate_docs,
         "orders_dow_profile": analytics.orders_dow_profile,
+        "phrase_search": textstats.phrase_search,
+        "rrf_fusion": textstats.rrf_fusion,
+        "events_ewma": analytics.events_ewma,
         "lsh_band_histogram": dedup.lsh_band_histogram_docs,
         "user_decile_transition": analytics.user_decile_transition,
         "token_context_entropy": textstats.token_context_entropy,
@@ -472,6 +475,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_simpson_diversity": textstats.DOC_SIMPSON_SQL,
         "bloom_decontaminate": sqlhash.bloom_decontaminate_sql(),
         "orders_dow_profile": analytics.ORDERS_DOW_PROFILE_SQL,
+        "phrase_search": textstats.PHRASE_SEARCH_SQL,
+        "rrf_fusion": textstats.RRF_FUSION_SQL,
+        "events_ewma": analytics.EVENTS_EWMA_SQL,
         "lsh_band_histogram": sqlhash.lsh_band_histogram_sql(),
         "user_decile_transition": analytics.USER_DECILE_TRANSITION_SQL,
         "token_context_entropy": textstats.TOKEN_CONTEXT_ENTROPY_SQL,

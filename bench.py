@@ -336,6 +336,9 @@ def run_bench() -> dict:
         "user_decile_transition",
         "bloom_decontaminate",
         "orders_dow_profile",
+        "phrase_search",
+        "rrf_fusion",
+        "events_ewma",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -11561,3 +11561,103 @@ SELECT CAST(isodow(o_orderdate) AS BIGINT) AS dow,
          AS revenue_cents
 FROM orders GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing of the daily event series (exact fixed-point recursion)
+# ---------------------------------------------------------------------------
+
+EWMA_NUM = 3   # e_t = (3*e_{t-1} + 1e6*n_t) // 4  (alpha = 1/4)
+EWMA_DEN = 4
+
+
+def events_ewma(sf_dir: str):
+    """Exponentially-weighted moving average of the per-type daily
+    event counts, as an EXACT fixed-point recursion: e_1 = 1e6*n_1,
+    e_t = (3*e_{t-1} + 1e6*n_t) // 4 over the observed days in order
+    — the streaming smoother next to events_trend_slope (regression)
+    and value_cusum_alarms (drift alarms).  Floor division each step
+    keeps the whole series integer, so the oracle replays it as a
+    recursive CTE bit-exactly.
+
+    Scale shape: the recursion is inherently sequential PER KEY but
+    its input is the (event_type, day) aggregate — bounded by
+    types x days, not events — folded from per-batch partials; each
+    type's series then smooths independently (driver here; one
+    map_groups per type at real key counts)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "day": pc.floor_temporal(t["ts"], unit="day"),
+                }
+            ),
+            ["event_type", "day"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "day": g["day"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    agg: dict[tuple, int] = {}
+    blocks = [
+        tb
+        for tb in map(
+            ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if tb.num_rows
+    ]
+    for tb in blocks:
+        for et, day, n in zip(
+            tb["event_type"].to_pylist(), tb["day"].to_pylist(), tb["n"].to_pylist()
+        ):
+            agg[(et, day)] = agg.get((et, day), 0) + int(n)
+    out_et, out_day, out_n, out_e = [], [], [], []
+    prev_et, e = None, 0
+    for (et, day), n in sorted(agg.items()):
+        if et != prev_et:
+            e = 1_000_000 * n
+            prev_et = et
+        else:
+            e = (EWMA_NUM * e + 1_000_000 * n) // EWMA_DEN
+        out_et.append(et)
+        out_day.append(day)
+        out_n.append(n)
+        out_e.append(e)
+    return pa.table(
+        {
+            "event_type": pa.array(out_et, pa.string()),
+            "day": pa.array(out_day, pa.timestamp("us")),
+            "n": pa.array(out_n, pa.int64()),
+            "ewma_micro": pa.array(out_e, pa.int64()),
+        }
+    )
+
+
+EVENTS_EWMA_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, day, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM d
+),
+rec AS (
+  SELECT event_type, day, n, i, n * 1000000 AS e FROM s WHERE i = 1
+  UNION ALL
+  SELECT s.event_type, s.day, s.n, s.i,
+         ({EWMA_NUM} * rec.e + 1000000 * s.n) // {EWMA_DEN}
+  FROM s JOIN rec ON s.event_type = rec.event_type AND s.i = rec.i + 1
+)
+SELECT event_type, day, n, CAST(e AS BIGINT) AS ewma_micro
+FROM rec ORDER BY event_type, day
+"""

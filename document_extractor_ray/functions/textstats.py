@@ -5961,3 +5961,127 @@ FROM cnt JOIN tot t USING (prev)
 GROUP BY 1, 2, 3
 ORDER BY token
 """
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (exact adjacent-token phrase match)
+# ---------------------------------------------------------------------------
+
+PHRASE_TERMS = ("stream", "column")
+
+
+def phrase_search(sf_dir: str, phrase=PHRASE_TERMS):
+    """Exact-phrase retrieval: docs containing the two query tokens
+    ADJACENT (in order), with per-doc occurrence counts — the
+    positional-index counterpart of search_topk's bag-of-words
+    scoring.  One tokenization per batch; adjacency is a numpy compare
+    of consecutive parent indices (pairs never straddle docs), and the
+    per-doc count is one np.add.at scatter.  Matching docs only leave
+    the batch, so the shuffle carries hits, not the corpus; no
+    positional postings are ever materialized (at index-build scale a
+    positional index would be the persisted form — this is the
+    scan-side exact evaluator)."""
+    t1, t2 = phrase
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def hits(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        f = flat.filter(keep).combine_chunks()
+        p = parent.filter(keep).combine_chunks().to_numpy(zero_copy_only=False)
+        n = np.zeros(t.num_rows, dtype=np.int64)
+        if len(f) >= 2:
+            a = pc.equal(f.slice(0, len(f) - 1), t1).to_numpy(zero_copy_only=False)
+            b = pc.equal(f.slice(1), t2).to_numpy(zero_copy_only=False)
+            hit = a & b & (p[1:] == p[:-1])
+            np.add.at(n, p[:-1][hit], 1)
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_phrase": pa.array(n, pa.int64())}
+        ).filter(pc.greater(pa.array(n), 0))
+
+    return ds.map_batches(hits, batch_format="pyarrow").sort("doc_id")
+
+
+PHRASE_SEARCH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}'),
+                     t -> t <> '') AS lst
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lst[g.i] AS w1, lst[g.i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(lst))) AS i) g
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_phrase
+FROM grams
+WHERE w1 = '{PHRASE_TERMS[0]}' AND w2 = '{PHRASE_TERMS[1]}'
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of the tf-idf and BM25 rankings
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # Cormack, Clarke & Buettcher 2009 constant
+
+
+def rrf_fusion(sf_dir: str, k: int = SEARCH_TOP_K):
+    """Reciprocal-rank fusion of the search_topk (tf-idf) and
+    bm25_topk rankings for the fixed query: per retrieved doc,
+    rrf_micro = sum over lists of 1e6 // (60 + rank) — the standard
+    score-free ensembling of heterogeneous retrieval runs, in exact
+    integer micro units.  Absent-from-a-list is rank 0 in the output
+    (contributes nothing).
+
+    Scale shape: both input rankings are top-k (each already reduces
+    to <= k rows per block before their final k-row sort), so the
+    fusion itself touches 2k rows on the driver — the expensive part
+    is the two scoring passes, which share the corpus scan shape and
+    at production scale would run off the same persisted index."""
+    lists = []
+    for r in (search_topk(sf_dir, k=k), bm25_topk(sf_dir, k=k)):
+        rows = r.take_all()  # sorted + limited upstream: order preserved
+        lists.append({row["doc_id"]: i + 1 for i, row in enumerate(rows)})
+    docs = sorted(set(lists[0]) | set(lists[1]))
+    rrf = [
+        sum(1_000_000 // (RRF_K + l[d]) for l in lists if d in l) for d in docs
+    ]
+    out = pa.table(
+        {
+            "doc_id": pa.array(docs, pa.int64()),
+            "rrf_micro": pa.array(rrf, pa.int64()),
+            "rank_tfidf": pa.array([lists[0].get(d, 0) for d in docs], pa.int64()),
+            "rank_bm25": pa.array([lists[1].get(d, 0) for d in docs], pa.int64()),
+        }
+    )
+    return out.sort_by([("rrf_micro", "descending"), ("doc_id", "ascending")])
+
+
+def _rrf_sql() -> str:
+    return f"""
+WITH tfidf AS ({_search_sql()}),
+bm AS ({_bm25_sql()}),
+r1 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       FROM tfidf),
+r2 AS (SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS r
+       FROM bm),
+u AS (
+  SELECT doc_id, 1000000 // ({RRF_K} + r) AS c, r AS ra, 0 AS rb FROM r1
+  UNION ALL
+  SELECT doc_id, 1000000 // ({RRF_K} + r), 0, r FROM r2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS rrf_micro,
+       CAST(max(ra) AS BIGINT) AS rank_tfidf,
+       CAST(max(rb) AS BIGINT) AS rank_bm25
+FROM u GROUP BY doc_id
+ORDER BY rrf_micro DESC, doc_id
+"""
+
+
+RRF_FUSION_SQL = _rrf_sql()

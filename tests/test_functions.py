@@ -235,6 +235,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "user_decile_transition",
         "bloom_decontaminate",
         "orders_dow_profile",
+        "phrase_search",
+        "rrf_fusion",
+        "events_ewma",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -2897,3 +2900,42 @@ def test_bloom_decontaminate_containment(ray_session):
         assert r["contaminated_bloom"] == (1 if r["bloom_hits"] >= 1 else 0)
     for d in bench_ids:
         assert by_id[d]["exact_hits"] == by_id[d]["n_shingles"] > 0
+
+
+def test_rrf_fusion_semantics(ray_session):
+    """RRF semantics: every fused doc appears in at least one input
+    ranking, a doc present in BOTH lists outscores any single-list doc
+    whose best rank is not better, and rank 0 encodes absence."""
+    from document_extractor_ray.functions.textstats import RRF_K, rrf_fusion
+
+    t = rrf_fusion(SF)
+    rows = t.to_pylist()
+    assert rows
+    for r in rows:
+        assert r["rank_tfidf"] > 0 or r["rank_bm25"] > 0
+        expect = 0
+        for rk in (r["rank_tfidf"], r["rank_bm25"]):
+            if rk:
+                expect += 1_000_000 // (RRF_K + rk)
+        assert r["rrf_micro"] == expect
+    scores = [r["rrf_micro"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_events_ewma_bounds(ray_session):
+    """EWMA stays within [min, max] of the per-type counts (in micro
+    units, up to the floor-division slack) and starts at the first
+    observation exactly."""
+    from document_extractor_ray.functions.analytics import events_ewma
+
+    t = events_ewma(SF).to_pylist()
+    assert t
+    by_type = {}
+    for r in t:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rows in by_type.items():
+        ns = [r["n"] for r in rows]
+        assert rows[0]["ewma_micro"] == 1_000_000 * ns[0]
+        lo, hi = min(ns) * 1_000_000 - 4, max(ns) * 1_000_000
+        for r in rows:
+            assert lo <= r["ewma_micro"] <= hi
