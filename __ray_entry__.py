@@ -108,6 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": textstats.phrase_search,
         "rrf_fusion": textstats.rrf_fusion,
         "events_ewma": analytics.events_ewma,
+        "range_partition_plan": textstats.range_partition_plan,
+        "winnowing_overlap_pairs": textstats.winnowing_overlap_pairs,
+        "negsample_table": textstats.negsample_table,
         "lsh_band_histogram": dedup.lsh_band_histogram_docs,
         "user_decile_transition": analytics.user_decile_transition,
         "token_context_entropy": textstats.token_context_entropy,
@@ -478,6 +481,9 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": textstats.PHRASE_SEARCH_SQL,
         "rrf_fusion": textstats.RRF_FUSION_SQL,
         "events_ewma": analytics.EVENTS_EWMA_SQL,
+        "range_partition_plan": textstats.RANGE_PARTITION_PLAN_SQL,
+        "winnowing_overlap_pairs": sqlhash.winnowing_overlap_sql(),
+        "negsample_table": textstats.NEGSAMPLE_TABLE_SQL,
         "lsh_band_histogram": sqlhash.lsh_band_histogram_sql(),
         "user_decile_transition": analytics.USER_DECILE_TRANSITION_SQL,
         "token_context_entropy": textstats.TOKEN_CONTEXT_ENTROPY_SQL,

@@ -339,6 +339,9 @@ def run_bench() -> dict:
         "phrase_search",
         "rrf_fusion",
         "events_ewma",
+        "range_partition_plan",
+        "winnowing_overlap_pairs",
+        "negsample_table",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -885,3 +885,17 @@ FROM documents d
 LEFT JOIN bh ON bh.doc_id = d.doc_id
 LEFT JOIN eh ON eh.doc_id = d.doc_id
 ORDER BY d.doc_id"""
+
+
+def winnowing_overlap_sql(window: int = 8, guard: int = 4) -> str:
+    """Oracle for ``textstats.winnowing_overlap_pairs``: the full
+    winnowing selection as a subquery, DISTINCT (doc_id, fp), fp-equal
+    self-join with doc_a < doc_b, shared-fingerprint count per pair."""
+    return f"""WITH d AS (
+  SELECT DISTINCT doc_id, fp FROM ({winnowing_sql(window, guard)})
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY doc_a, doc_b"""

@@ -9,6 +9,7 @@ driver's value-hash comparison.
 
 from __future__ import annotations
 
+import math
 import re
 import zlib
 
@@ -6085,3 +6086,238 @@ ORDER BY rrf_micro DESC, doc_id
 
 
 RRF_FUSION_SQL = _rrf_sql()
+
+
+# ---------------------------------------------------------------------------
+# Range-partition planner audit (sort/exchange infrastructure)
+# ---------------------------------------------------------------------------
+
+RANGE_PARTS = 8
+
+
+def range_partition_plan(sf_dir: str, n_parts: int = RANGE_PARTS):
+    """The boundary-planning step of a range partitioner (what a
+    distributed sort computes before the exchange), audited exactly:
+    split the corpus into ``n_parts`` equal-count partitions by
+    (n_tokens, doc_id) order and report each partition's row count and
+    key range — ntile semantics (first N%P partitions take the extra
+    row).
+
+    Scale shape: the plan needs only the KEY HISTOGRAM, never the
+    sorted data — per-batch (n_tokens -> count) partials fold on the
+    driver (bounded by distinct key values, the same cardinality a
+    sort's sample-based planner assumes), and every boundary is read
+    off the cumulative histogram with searchsorted.  This is how a
+    planner avoids pre-sorting 10^12 rows to choose split points;
+    doc_id tie-breaks never move a boundary's KEY, so min/max per
+    partition are exact without them."""
+    ds = _read_docs(sf_dir, ["text"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        toks = pc.count_substring_regex(t["text"], _TOKEN_RE)
+        g = pa.TableGroupBy(
+            pa.table({"k": pc.cast(toks, pa.int64())}), ["k"]
+        ).aggregate([([], "count_all")])
+        return pa.table({"k": g["k"], "c": pc.cast(g["count_all"], pa.int64())})
+
+    agg: dict[int, int] = {}
+    for tb in map(
+        ray.get, ds.map_batches(hist, batch_format="pyarrow").to_arrow_refs()
+    ):
+        for k, c in zip(tb["k"].to_pylist(), tb["c"].to_pylist()):
+            agg[int(k)] = agg.get(int(k), 0) + int(c)
+    ks = np.array(sorted(agg), dtype=np.int64)
+    cum = np.cumsum(np.array([agg[int(k)] for k in ks], dtype=np.int64))
+    n = int(cum[-1]) if len(cum) else 0
+    base, rem = divmod(n, n_parts)
+    sizes = [base + 1] * rem + [base] * (n_parts - rem)
+    parts, counts, mins, maxs = [], [], [], []
+    start = 0
+    for p, sz in enumerate(sizes, 1):
+        if sz == 0:
+            continue
+        lo_rank, hi_rank = start + 1, start + sz
+        mins.append(int(ks[np.searchsorted(cum, lo_rank)]))
+        maxs.append(int(ks[np.searchsorted(cum, hi_rank)]))
+        parts.append(p)
+        counts.append(sz)
+        start += sz
+    return pa.table(
+        {
+            "part": pa.array(parts, pa.int64()),
+            "n_rows": pa.array(counts, pa.int64()),
+            "min_tokens": pa.array(mins, pa.int64()),
+            "max_tokens": pa.array(maxs, pa.int64()),
+        }
+    )
+
+
+RANGE_PARTITION_PLAN_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS k
+  FROM documents
+),
+t AS (
+  SELECT doc_id, k, ntile({RANGE_PARTS}) OVER (ORDER BY k, doc_id) AS part
+  FROM tok
+)
+SELECT CAST(part AS BIGINT) AS part,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(k) AS BIGINT) AS min_tokens,
+       CAST(max(k) AS BIGINT) AS max_tokens
+FROM t GROUP BY part ORDER BY part
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint overlap pairs (MOSS-style local similarity)
+# ---------------------------------------------------------------------------
+
+def winnowing_overlap_pairs(sf_dir: str, window: int = 8, guard: int = 4):
+    """Document pairs sharing winnowed fingerprints, with the shared
+    DISTINCT-fingerprint count per pair — the MOSS matching step on
+    top of ``winnowing_fingerprints``'s index (Schleimer et al. 2003:
+    any common run of window+guard-1 words guarantees a shared
+    selected fingerprint, so this catches local plagiarism/quotation
+    that whole-doc MinHash dilutes away).
+
+    Scale shape: selection is in-row; the exchange ships DISTINCT
+    (fp, doc_id) pairs — a 1/guard-sized subsample of the window
+    hashes by construction — through one bucketed distinct, pair
+    expansion only inside >=2-doc fingerprint groups
+    (bucketed_bucket_pairs: mostly-singleton buckets never invoke
+    Python), and a bucketed pair-count sum.  A production corpus adds
+    the MAX_BUCKET cap on pathological boilerplate fingerprints, as
+    the LSH family does."""
+    from document_extractor_ray.functions import bucketing
+
+    fp = winnowing_fingerprints(sf_dir, window=window, guard=guard)
+    distinct = bucketing.bucketed_agg(
+        fp.map_batches(
+            lambda t: pa.table(
+                {
+                    "fp": t["fp"],
+                    "doc_id": t["doc_id"],
+                    "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["fp", "doc_id"],
+        [("one", "max", "one")],
+    )
+
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        d = np.sort(g["doc_id"].to_numpy(zero_copy_only=False))
+        ii, jj = np.triu_indices(len(d), k=1)
+        return pa.table(
+            {
+                "doc_a": pa.array(d[ii], pa.int64()),
+                "doc_b": pa.array(d[jj], pa.int64()),
+                "n": pa.array(np.ones(len(ii), np.int64), pa.int64()),
+            }
+        )
+
+    pairs = bucketing.bucketed_bucket_pairs(distinct, ["fp"], bucket_pairs, empty)
+    return bucketing.bucketed_agg(
+        pairs, ["doc_a", "doc_b"], [("n", "sum", "n_shared")]
+    ).sort(["doc_a", "doc_b"])
+
+
+# ---------------------------------------------------------------------------
+# word2vec negative-sampling table (unigram^0.75)
+# ---------------------------------------------------------------------------
+
+NEGSAMPLE_POW_NUM = 3  # alpha = 3/4 (Mikolov et al. 2013)
+NEGSAMPLE_POW_DEN = 4
+
+
+def negsample_table(sf_dir: str):
+    """The word2vec negative-sampling distribution: per-token weight
+    n^0.75 in integer micro units (exp(0.75*ln n), round-half-up — the
+    libm-identity the entropy family proved), plus the cumulative
+    weight in token order, i.e. the alias-free sampling table a
+    skip-gram trainer binary-searches into.
+
+    Scale shape: unigram counts ride the bucketed aggregate (key-per-
+    row rule), the fold and the pow/cumsum are vocabulary-bounded on
+    the driver, and the emitted table IS the broadcast artifact a
+    trainer ships to every worker."""
+    from document_extractor_ray.functions import bucketing
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.TableGroupBy(pa.table({"token": flat}), ["token"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"token": g["token"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    cnt = bucketing.bucketed_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["token"],
+        [("n", "sum", "n")],
+    )
+    agg: dict[str, int] = {}
+    for tb in map(ray.get, cnt.to_arrow_refs()):
+        if not tb.num_rows:  # hash aggregates emit empty-schema blocks
+            continue
+        for tok, n in zip(tb["token"].to_pylist(), tb["n"].to_pylist()):
+            agg[tok] = agg.get(tok, 0) + int(n)
+    toks = sorted(agg)
+    ws = [
+        int(
+            math.floor(
+                math.exp(
+                    (NEGSAMPLE_POW_NUM / NEGSAMPLE_POW_DEN) * math.log(agg[t])
+                )
+                * 1_000_000
+                + 0.5
+            )
+        )
+        for t in toks
+    ]
+    cum = np.cumsum(np.array(ws, dtype=np.int64))
+    return pa.table(
+        {
+            "token": pa.array(toks, pa.string()),
+            "n": pa.array([agg[t] for t in toks], pa.int64()),
+            "w_micro": pa.array(ws, pa.int64()),
+            "cum_w": pa.array(cum, pa.int64()),
+        }
+    )
+
+
+NEGSAMPLE_TABLE_SQL = f"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+  FROM documents
+),
+cnt AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n
+  FROM tok WHERE token <> '' GROUP BY token
+),
+w AS (
+  SELECT token, n,
+         CAST(round(exp(0.75 * ln(n)) * 1000000) AS BIGINT) AS w_micro
+  FROM cnt
+)
+SELECT token, n, w_micro,
+       CAST(sum(w_micro) OVER (ORDER BY token
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w
+FROM w ORDER BY token
+"""

@@ -238,6 +238,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "phrase_search",
         "rrf_fusion",
         "events_ewma",
+        "range_partition_plan",
+        "winnowing_overlap_pairs",
+        "negsample_table",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -2939,3 +2942,58 @@ def test_events_ewma_bounds(ray_session):
         lo, hi = min(ns) * 1_000_000 - 4, max(ns) * 1_000_000
         for r in rows:
             assert lo <= r["ewma_micro"] <= hi
+
+
+def test_range_partition_plan_invariants(ray_session):
+    """Partition sizes differ by at most 1 and sum to the corpus row
+    count; key ranges are sorted and non-overlapping in order."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.textstats import range_partition_plan
+
+    t = range_partition_plan(SF).to_pylist()
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert sum(r["n_rows"] for r in t) == n_docs
+    sizes = {r["n_rows"] for r in t}
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(t, t[1:]):
+        assert a["min_tokens"] <= a["max_tokens"] <= b["min_tokens"]
+
+
+def test_winnowing_overlap_symmetry(ray_session):
+    """Pair keys are canonical (a < b) and every shared count is
+    positive; the pair set is consistent with the fingerprint table
+    (spot-check one pair's shared fps)."""
+    from document_extractor_ray.functions.textstats import (
+        winnowing_fingerprints,
+        winnowing_overlap_pairs,
+    )
+
+    rows = winnowing_overlap_pairs(SF).take_all()
+    assert rows
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"] and r["n_shared"] >= 1
+    r0 = rows[0]
+    fp_rows = winnowing_fingerprints(SF).take_all()
+    fps = {}
+    for fr in fp_rows:
+        fps.setdefault(fr["doc_id"], set()).add(fr["fp"])
+    assert len(fps[r0["doc_a"]] & fps[r0["doc_b"]]) == r0["n_shared"]
+
+
+def test_negsample_table_monotone(ray_session):
+    """Weights grow with counts sublinearly (w ~ n^0.75) and the
+    cumulative column is the running sum in token order."""
+    from document_extractor_ray.functions.textstats import negsample_table
+
+    t = negsample_table(SF).to_pylist()
+    assert t
+    run = 0
+    for r in t:
+        run += r["w_micro"]
+        assert r["cum_w"] == run
+        assert r["w_micro"] < r["n"] * 1_000_000 or r["n"] == 1
+    by_n = sorted(t, key=lambda r: r["n"])
+    for a, b in zip(by_n, by_n[1:]):
+        if a["n"] < b["n"]:
+            assert a["w_micro"] < b["w_micro"]
