@@ -111,6 +111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_partition_plan": textstats.range_partition_plan,
         "winnowing_overlap_pairs": textstats.winnowing_overlap_pairs,
         "negsample_table": textstats.negsample_table,
+        "kn_bigram_probs": textstats.kn_bigram_probs,
+        "group_shuffle_split": training.group_shuffle_split,
+        "source_temperature_mix": training.source_temperature_mix,
         "lsh_band_histogram": dedup.lsh_band_histogram_docs,
         "user_decile_transition": analytics.user_decile_transition,
         "token_context_entropy": textstats.token_context_entropy,
@@ -484,6 +487,9 @@ def oracle_sql() -> dict[str, str]:
         "range_partition_plan": textstats.RANGE_PARTITION_PLAN_SQL,
         "winnowing_overlap_pairs": sqlhash.winnowing_overlap_sql(),
         "negsample_table": textstats.NEGSAMPLE_TABLE_SQL,
+        "kn_bigram_probs": textstats.KN_BIGRAM_PROBS_SQL,
+        "group_shuffle_split": sqlhash.group_fold_sql(),
+        "source_temperature_mix": training.SOURCE_TEMPERATURE_MIX_SQL,
         "lsh_band_histogram": sqlhash.lsh_band_histogram_sql(),
         "user_decile_transition": analytics.USER_DECILE_TRANSITION_SQL,
         "token_context_entropy": textstats.TOKEN_CONTEXT_ENTROPY_SQL,

@@ -342,6 +342,9 @@ def run_bench() -> dict:
         "range_partition_plan",
         "winnowing_overlap_pairs",
         "negsample_table",
+        "kn_bigram_probs",
+        "group_shuffle_split",
+        "source_temperature_mix",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -899,3 +899,30 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 ORDER BY doc_a, doc_b"""
+
+
+def group_fold_sql(n_folds: int = 5) -> str:
+    """Oracle for ``training.group_shuffle_split``: zlib crc32 of each
+    DISTINCT source string (the same recursive byte-fold as the word
+    CRC), fold = crc % n_folds, joined back per doc."""
+    return f"""WITH RECURSIVE
+{_CRC_TABLE},
+src AS (SELECT DISTINCT source AS w FROM documents),
+vhex AS (
+  SELECT w, lower(hex(encode(w))) AS hx, octet_length(encode(w)) AS nb
+  FROM src
+),
+fold(w, j, nb, c) AS (
+  SELECT w, 0, nb, 4294967295::BIGINT FROM vhex
+  UNION ALL
+  SELECT f.w, f.j + 1, f.nb, xor(ct.v, f.c // 256)
+  FROM fold f
+  JOIN vhex vb ON vb.w = f.w
+  JOIN hexmap hm ON hm.h = substr(vb.hx, 2 * f.j + 1, 2)
+  JOIN crc_table ct ON ct.n = xor(f.c % 256, hm.v)
+  WHERE f.j < f.nb
+),
+wcrc0 AS (SELECT w, xor(c, 4294967295) AS crc FROM fold WHERE j = nb)
+SELECT d.doc_id, d.source, CAST(w.crc % {n_folds} AS BIGINT) AS fold
+FROM documents d JOIN wcrc0 w ON w.w = d.source
+ORDER BY d.doc_id"""

@@ -6321,3 +6321,148 @@ SELECT token, n, w_micro,
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w
 FROM w ORDER BY token
 """
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram probabilities (exact integer rationals)
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT_NUM = 3  # d = 3/4 (Chen & Goodman 1999 canonical fixed discount)
+KN_DISCOUNT_DEN = 4
+
+
+def kn_bigram_probs(sf_dir: str):
+    """Full interpolated Kneser-Ney bigram model over the corpus, in
+    EXACT integer micro units: with discount d = 3/4,
+
+      P(w2|w1) = max(c12 - d, 0)/c1 + (d*T1/c1) * (L2/B)
+
+    (c1 = bigram tokens starting with w1, T1 = distinct continuations
+    of w1, L2 = distinct left-contexts of w2, B = total bigram types)
+    computed as one integer rational per bigram —
+    prob_micro = 1e6*(max(4*c12-3,0)*B + 3*T1*L2) // (4*c1*B) — so the
+    model sums to 1 per context up to floor slack and the oracle
+    reproduces every bit (HUGEINT-safe on the SQL side).  This is the
+    estimation step ON TOP of kn_continuation_counts' ingredients, the
+    standard n-gram LM a perplexity filter scores against.
+
+    Scale shape: bigram counts ride the pair-keyed bucketed aggregate
+    (bounded by per-batch distinct bigrams), the fold is vocab^2-
+    bounded on the driver (PERF step 32), and everything downstream of
+    c12 is arithmetic — at a 10^9-type web vocabulary the fold becomes
+    two more bucketed aggregates (per-prev and per-next) plus a join,
+    with identical integer semantics."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        f = flat.filter(keep)
+        par = parent.filter(keep).to_numpy(zero_copy_only=False)
+        fa = f.to_numpy(zero_copy_only=False)
+        if len(fa) < 2:
+            return pa.table(
+                {
+                    "prev": pa.array([], pa.string()),
+                    "next": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        same = par[1:] == par[:-1]
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "prev": pa.array(fa[:-1][same], pa.string()),
+                    "next": pa.array(fa[1:][same], pa.string()),
+                }
+            ),
+            ["prev", "next"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {"prev": g["prev"], "next": g["next"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    c12: dict[tuple, int] = {}
+    for tb in map(
+        ray.get,
+        bucketed_agg(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["prev", "next"],
+            [("n", "sum", "n")],
+        ).to_arrow_refs(),
+    ):
+        if not tb.num_rows:
+            continue
+        for p, nx, n in zip(
+            tb["prev"].to_pylist(), tb["next"].to_pylist(), tb["n"].to_pylist()
+        ):
+            c12[(p, nx)] = c12.get((p, nx), 0) + int(n)
+    c1: dict[str, int] = {}
+    t1: dict[str, int] = {}
+    l2: dict[str, int] = {}
+    for (p, nx), n in c12.items():
+        c1[p] = c1.get(p, 0) + n
+        t1[p] = t1.get(p, 0) + 1
+        l2[nx] = l2.get(nx, 0) + 1
+    B = len(c12)
+    keys = sorted(c12)
+    dn, dd = KN_DISCOUNT_NUM, KN_DISCOUNT_DEN
+    probs = [
+        (
+            1_000_000
+            * (max(dd * c12[k] - dn, 0) * B + dn * t1[k[0]] * l2[k[1]])
+        )
+        // (dd * c1[k[0]] * B)
+        for k in keys
+    ]
+    return pa.table(
+        {
+            "prev": pa.array([k[0] for k in keys], pa.string()),
+            "next": pa.array([k[1] for k in keys], pa.string()),
+            "c12": pa.array([c12[k] for k in keys], pa.int64()),
+            "prob_micro": pa.array(probs, pa.int64()),
+        }
+    )
+
+
+KN_BIGRAM_PROBS_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, string_split_regex(lower(text), '{_DF_SPLIT_RE}') AS ws
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, unnest(ws) AS token, generate_subscripts(ws, 1) AS p FROM raw
+),
+tok AS (
+  SELECT doc_id, token,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+  FROM tokpos WHERE token <> ''
+),
+bg AS (
+  SELECT lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+         token AS next
+  FROM tok
+),
+cc AS (
+  SELECT prev, next, CAST(count(*) AS BIGINT) AS c12
+  FROM bg WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+cx AS (SELECT prev, CAST(sum(c12) AS BIGINT) AS c1,
+              CAST(count(*) AS BIGINT) AS t1
+       FROM cc GROUP BY prev),
+lx AS (SELECT next, CAST(count(*) AS BIGINT) AS l2 FROM cc GROUP BY next),
+b AS (SELECT CAST(count(*) AS BIGINT) AS b FROM cc)
+SELECT cc.prev, cc.next, cc.c12,
+       CAST((1000000::HUGEINT
+             * (greatest({KN_DISCOUNT_DEN} * cc.c12 - {KN_DISCOUNT_NUM}, 0)::HUGEINT
+                  * (SELECT b FROM b)
+                + {KN_DISCOUNT_NUM}::HUGEINT * cx.t1 * lx.l2))
+            // ({KN_DISCOUNT_DEN}::HUGEINT * cx.c1 * (SELECT b FROM b))
+            AS BIGINT) AS prob_micro
+FROM cc JOIN cx USING (prev) JOIN lx USING (next)
+ORDER BY cc.prev, cc.next
+"""

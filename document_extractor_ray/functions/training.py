@@ -733,3 +733,119 @@ FROM banded GROUP BY 1 ORDER BY 1
 
 
 PACK_EFFICIENCY_STATS_SQL = pack_efficiency_stats_sql()
+
+
+# ---------------------------------------------------------------------------
+# Group-aware fold assignment (GroupKFold without leakage)
+# ---------------------------------------------------------------------------
+
+GROUP_FOLDS = 5
+
+
+def group_shuffle_split(sf_dir: str, n_folds: int = GROUP_FOLDS):
+    """Group-aware split: every doc of a SOURCE lands in the same fold
+    (fold = crc32(source) % n_folds) — the leakage-free alternative to
+    per-doc hashing when near-duplicate documents cluster within a
+    source (train/val contamination through shared boilerplate;
+    GroupKFold semantics, but hash-stable across runs and engines).
+
+    Scale shape: the distinct-source table is tiny next to the corpus
+    (per-batch distinct partial -> driver fold), the source->fold map
+    broadcasts in the closure, and assignment is one dictionary-encode
+    + take per batch — no shuffle, the same doc always lands in the
+    same fold regardless of sharding."""
+    import zlib
+
+    from document_extractor_ray.functions.textstats import _read_docs
+
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
+
+    def srcs(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(pa.table({"source": t["source"]}), ["source"]).aggregate([])
+        return g
+
+    seen: set = set()
+    for tb in map(
+        ray.get, ds.map_batches(srcs, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if tb.num_rows:
+            seen.update(tb["source"].to_pylist())
+    fold_of = {
+        s: zlib.crc32(s.encode("utf-8")) % n_folds for s in seen
+    }
+
+    def assign(t: pa.Table) -> pa.Table:
+        enc = t["source"].combine_chunks().dictionary_encode()
+        dfold = pa.array(
+            [fold_of[s] for s in enc.dictionary.to_pylist()], pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "fold": dfold.take(enc.indices),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture (multinomial alpha-sampling)
+# ---------------------------------------------------------------------------
+
+MIX_TEMPERATURE = 0.7  # alpha, as in multilingual T5 / data-mixing practice
+
+
+def source_temperature_mix(sf_dir: str, alpha: float = MIX_TEMPERATURE):
+    """Temperature-scaled source sampling weights: w_s = n_s^alpha in
+    integer micro units (exp(alpha*ln n), the proven libm identity)
+    and the resulting integer-permille sampling share — the knob that
+    upsamples small sources relative to proportional sampling (mT5's
+    alpha-mixing).  share_permille = w*1000 // sum(w) over integer
+    weights, so both engines agree bit-exactly.
+
+    Scale shape: per-source counts are a tiny grouped aggregate; the
+    pow and normalization run on the collected |sources|-row table —
+    the output IS the broadcast mixture spec a sampler consumes."""
+    import math
+
+    from document_extractor_ray.functions.textstats import _read_docs
+    from ray.data.aggregate import Count
+
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
+    rows = ds.groupby("source").aggregate(Count(alias_name="n_docs")).take_all()
+    rows.sort(key=lambda r: r["source"])
+    ws = [
+        int(math.floor(math.exp(alpha * math.log(r["n_docs"])) * 1_000_000 + 0.5))
+        for r in rows
+    ]
+    tot = sum(ws)
+    return pa.table(
+        {
+            "source": pa.array([r["source"] for r in rows], pa.string()),
+            "n_docs": pa.array([int(r["n_docs"]) for r in rows], pa.int64()),
+            "w_micro": pa.array(ws, pa.int64()),
+            "share_permille": pa.array(
+                [w * 1000 // tot for w in ws], pa.int64()
+            ),
+        }
+    )
+
+
+SOURCE_TEMPERATURE_MIX_SQL = f"""
+WITH cnt AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs,
+         CAST(round(exp({MIX_TEMPERATURE} * ln(n_docs)) * 1000000) AS BIGINT)
+           AS w_micro
+  FROM cnt
+)
+SELECT source, n_docs, w_micro,
+       CAST(w_micro * 1000 // (SELECT sum(w_micro) FROM w) AS BIGINT)
+         AS share_permille
+FROM w ORDER BY source
+"""

