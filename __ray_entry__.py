@@ -114,6 +114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_bigram_probs": textstats.kn_bigram_probs,
         "group_shuffle_split": training.group_shuffle_split,
         "source_temperature_mix": training.source_temperature_mix,
+        "embedding_outlier_scores": similarity.embedding_outlier_scores,
+        "events_rolling_median": analytics.events_rolling_median,
+        "hill_tail_index": textstats.hill_tail_index,
         "lsh_band_histogram": dedup.lsh_band_histogram_docs,
         "user_decile_transition": analytics.user_decile_transition,
         "token_context_entropy": textstats.token_context_entropy,
@@ -490,6 +493,9 @@ def oracle_sql() -> dict[str, str]:
         "kn_bigram_probs": textstats.KN_BIGRAM_PROBS_SQL,
         "group_shuffle_split": sqlhash.group_fold_sql(),
         "source_temperature_mix": training.SOURCE_TEMPERATURE_MIX_SQL,
+        "embedding_outlier_scores": similarity.EMBEDDING_OUTLIER_SQL,
+        "events_rolling_median": analytics.EVENTS_ROLLING_MEDIAN_SQL,
+        "hill_tail_index": textstats.HILL_TAIL_INDEX_SQL,
         "lsh_band_histogram": sqlhash.lsh_band_histogram_sql(),
         "user_decile_transition": analytics.USER_DECILE_TRANSITION_SQL,
         "token_context_entropy": textstats.TOKEN_CONTEXT_ENTROPY_SQL,

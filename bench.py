@@ -345,6 +345,9 @@ def run_bench() -> dict:
         "kn_bigram_probs",
         "group_shuffle_split",
         "source_temperature_mix",
+        "embedding_outlier_scores",
+        "events_rolling_median",
+        "hill_tail_index",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

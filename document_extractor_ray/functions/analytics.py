@@ -11661,3 +11661,93 @@ rec AS (
 SELECT event_type, day, n, CAST(e AS BIGINT) AS ewma_micro
 FROM rec ORDER BY event_type, day
 """
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day MEDIAN of the daily event series (robust smoother)
+# ---------------------------------------------------------------------------
+
+ROLLING_MEDIAN_W = 7
+
+
+def events_rolling_median(sf_dir: str, w: int = ROLLING_MEDIAN_W):
+    """Rolling ``w``-day MEDIAN of per-type daily event counts — the
+    robust smoother next to events_ewma (a single spike day moves the
+    mean but not the median).  Reported as med2 = the SUM of the two
+    middle order statistics (= 2x median), which is integer-exact for
+    both odd and even windows, so no float ever enters the compare.
+
+    Scale shape: input is the bounded (event_type, day) aggregate
+    folded from per-batch partials; each window is a sort of <= w
+    ints.  Per-key sequential, same as events_ewma — one map_groups
+    per type at real key counts."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "day": pc.floor_temporal(t["ts"], unit="day"),
+                }
+            ),
+            ["event_type", "day"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "day": g["day"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    agg: dict[tuple, int] = {}
+    for tb in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not tb.num_rows:
+            continue
+        for et, day, n in zip(
+            tb["event_type"].to_pylist(), tb["day"].to_pylist(), tb["n"].to_pylist()
+        ):
+            agg[(et, day)] = agg.get((et, day), 0) + int(n)
+    by_type: dict[str, list] = {}
+    for (et, day), n in sorted(agg.items()):
+        by_type.setdefault(et, []).append((day, n))
+    out_et, out_day, out_n, out_m = [], [], [], []
+    for et, series in by_type.items():
+        ns = [n for _, n in series]
+        for i, (day, n) in enumerate(series):
+            win = sorted(ns[max(0, i - w + 1) : i + 1])
+            lw = len(win)
+            if lw % 2:
+                m2 = 2 * win[lw // 2]
+            else:
+                m2 = win[lw // 2 - 1] + win[lw // 2]
+            out_et.append(et)
+            out_day.append(day)
+            out_n.append(n)
+            out_m.append(m2)
+    return pa.table(
+        {
+            "event_type": pa.array(out_et, pa.string()),
+            "day": pa.array(out_day, pa.timestamp("us")),
+            "n": pa.array(out_n, pa.int64()),
+            "med2": pa.array(out_m, pa.int64()),
+        }
+    )
+
+
+EVENTS_ROLLING_MEDIAN_SQL = f"""
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       CAST(round(2 * median(n) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN {ROLLING_MEDIAN_W - 1} PRECEDING AND CURRENT ROW
+       )) AS BIGINT) AS med2
+FROM d ORDER BY event_type, day
+"""

@@ -2076,3 +2076,128 @@ SELECT a.vec_id, a.sid AS cluster_id, b.sid AS second_id,
 FROM r a JOIN r b ON b.vec_id = a.vec_id AND a.rk = 1 AND b.rk = 2
 ORDER BY a.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-vector outlier score vs the global centroid (exact integers)
+# ---------------------------------------------------------------------------
+
+OUTLIER_TOP_K = 20
+
+
+def embedding_outlier_scores(sf_dir: str, k: int = OUTLIER_TOP_K):
+    """Top-k embedding outliers by EXACT integer squared distance to
+    the global centroid: components quantize to half-up micro ints
+    (the embedding_dim_stats quantization), the centroid is the
+    floor-divided per-dim mean, and the score is sum_d (q_d - mean_d)^2
+    — the curation signal for junk/garbled vectors before ANN
+    indexing.  The floor is written as (S - ((S%n + n)%n)) // n in
+    BOTH engines, so negative dimension sums cannot split on
+    truncate-vs-floor division conventions.
+
+    Scale shape: pass 1 is the dim-bounded column-sum fold (same
+    partials as embedding_dim_stats); the centroid broadcasts in the
+    closure; pass 2 is one vectorized (m - mean)^2 matmul-free batch
+    kernel with a per-batch local top-k, so <= k rows leave each
+    block."""
+    from document_extractor_ray.functions.analytics import _n_blocks
+    from document_extractor_ray.sources import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        override_num_blocks=_n_blocks(),
+    )
+
+    def sums(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t["embedding"]).astype(np.float64)
+        if m.size == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        q = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(q.shape[1], dtype=np.int64), pa.int64()),
+                "n": pa.array(np.full(q.shape[1], len(q), np.int64), pa.int64()),
+                "s": pa.array(q.sum(axis=0), pa.int64()),
+            }
+        )
+
+    agg: dict[int, list] = {}
+    for tb in map(
+        ray.get, ds.map_batches(sums, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not tb.num_rows:
+            continue
+        for d, n, s in zip(
+            tb["dim"].to_pylist(), tb["n"].to_pylist(), tb["s"].to_pylist()
+        ):
+            a = agg.setdefault(int(d), [0, 0])
+            a[0] += int(n)
+            a[1] += int(s)
+    dims = sorted(agg)
+    mean = np.array(
+        [
+            (agg[d][1] - ((agg[d][1] % agg[d][0] + agg[d][0]) % agg[d][0]))
+            // agg[d][0]
+            for d in dims
+        ],
+        dtype=np.int64,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t["embedding"]).astype(np.float64)
+        if m.size == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "outlier_score": pa.array([], pa.int64()),
+                }
+            )
+        q = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
+        dev = q - mean[None, :]
+        sc = (dev * dev).sum(axis=1)
+        out = pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "outlier_score": pa.array(sc, pa.int64()),
+            }
+        )
+        return out.sort_by(
+            [("outlier_score", "descending"), ("vec_id", "ascending")]
+        ).slice(0, k)
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["outlier_score", "vec_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+EMBEDDING_OUTLIER_SQL = f"""
+WITH q AS (
+  SELECT e.vec_id, r.d AS d,
+         CAST(floor(CAST(e.embedding[CAST(r.d AS INTEGER) + 1] AS DOUBLE)
+                    * 1000000 + 0.5) AS BIGINT) AS q
+  FROM embeddings e, range(0, 256) r(d)
+  WHERE r.d < len(e.embedding)
+),
+m AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS s
+  FROM q GROUP BY d
+),
+mean AS (
+  SELECT d, (s - ((s % n + n) % n)) // n AS mu FROM m
+)
+SELECT q.vec_id,
+       CAST(sum((q.q - mean.mu) * (q.q - mean.mu)) AS BIGINT) AS outlier_score
+FROM q JOIN mean USING (d)
+GROUP BY q.vec_id
+ORDER BY outlier_score DESC, vec_id
+LIMIT {OUTLIER_TOP_K}
+"""

@@ -6466,3 +6466,71 @@ SELECT cc.prev, cc.next, cc.c12,
 FROM cc JOIN cx USING (prev) JOIN lx USING (next)
 ORDER BY cc.prev, cc.next
 """
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator (heavy-tail audit of doc lengths)
+# ---------------------------------------------------------------------------
+
+HILL_K = 64
+
+
+def hill_tail_index(sf_dir: str, k: int = HILL_K):
+    """Hill estimator of the doc-length tail exponent (Hill 1975):
+    over the k largest n_chars values with the (k+1)-th as threshold,
+    hill_micro = (sum_{i<=k} ln_micro(x_i)) // k - ln_micro(x_{k+1})
+    and alpha_milli = 1e9 // hill_micro — the heavy-tail audit that
+    justifies size-bucketed repartitioning (a small alpha means giant
+    docs dominate a partition's bytes; complements zipf_slope, which
+    fits token frequencies).  All in the proven ln-micro integer
+    convention, so the oracle is bit-exact.
+
+    Scale shape: per-batch local top-(k+1) partials (k+1 rows leave
+    each block), one driver merge; only VALUES are needed, so ties at
+    the threshold cannot change the result."""
+    ds = _read_docs(sf_dir, ["n_chars"])
+
+    def topk(t: pa.Table) -> pa.Table:
+        x = t["n_chars"]
+        return pa.table({"x": x}).sort_by([("x", "descending")]).slice(0, k + 1)
+
+    vals: list[int] = []
+    for tb in map(
+        ray.get, ds.map_batches(topk, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if tb.num_rows:
+            vals.extend(tb["x"].to_pylist())
+    vals.sort(reverse=True)
+    top = vals[: k + 1]
+    lnm = [int(math.floor(math.log(v) * 1_000_000 + 0.5)) for v in top]
+    hill = sum(lnm[:k]) // k - lnm[k]
+    return pa.table(
+        {
+            "k": pa.array([k], pa.int64()),
+            "x_threshold": pa.array([top[k]], pa.int64()),
+            "hill_micro": pa.array([hill], pa.int64()),
+            "alpha_milli": pa.array(
+                [1_000_000_000 // hill if hill > 0 else 0], pa.int64()
+            ),
+        }
+    )
+
+
+HILL_TAIL_INDEX_SQL = f"""
+WITH top AS (
+  SELECT CAST(n_chars AS BIGINT) AS x FROM documents
+  ORDER BY n_chars DESC LIMIT {HILL_K + 1}
+),
+r AS (SELECT x, row_number() OVER (ORDER BY x DESC) AS rn FROM top),
+l AS (SELECT rn, x, CAST(round(ln(x) * 1000000) AS BIGINT) AS lnm FROM r),
+h AS (
+  SELECT ((SELECT sum(lnm) FROM l WHERE rn <= {HILL_K}) // {HILL_K})
+         - (SELECT lnm FROM l WHERE rn = {HILL_K + 1}) AS hill
+)
+SELECT CAST({HILL_K} AS BIGINT) AS k,
+       (SELECT x FROM l WHERE rn = {HILL_K + 1}) AS x_threshold,
+       CAST(hill AS BIGINT) AS hill_micro,
+       CAST(CASE WHEN hill > 0 THEN 1000000000 // hill ELSE 0 END AS BIGINT)
+         AS alpha_milli
+FROM h
+"""

@@ -244,6 +244,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "kn_bigram_probs",
         "group_shuffle_split",
         "source_temperature_mix",
+        "embedding_outlier_scores",
+        "events_rolling_median",
+        "hill_tail_index",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3049,3 +3052,45 @@ def test_source_temperature_mix_flattens(ray_session):
     hi, lo = max(t, key=lambda r: r["n_docs"]), min(t, key=lambda r: r["n_docs"])
     if hi["n_docs"] > lo["n_docs"]:
         assert hi["w_micro"] * lo["n_docs"] < lo["w_micro"] * hi["n_docs"]
+
+
+def test_events_rolling_median_robust(ray_session):
+    """med2 is the sum of the two middle order statistics: bounded by
+    [2*min, 2*max] of the trailing window and equal to 2*n on the
+    first day of each type."""
+    from document_extractor_ray.functions.analytics import events_rolling_median
+
+    t = events_rolling_median(SF).to_pylist()
+    assert t
+    first_seen = set()
+    for r in t:
+        if r["event_type"] not in first_seen:
+            first_seen.add(r["event_type"])
+            assert r["med2"] == 2 * r["n"]
+
+
+def test_hill_tail_index_sane(ray_session):
+    """hill_micro > 0 (lengths are not constant in the top tail) and
+    alpha is its integer reciprocal."""
+    from document_extractor_ray.functions.textstats import hill_tail_index
+
+    r = hill_tail_index(SF).to_pylist()[0]
+    assert r["hill_micro"] > 0
+    assert r["alpha_milli"] == 1_000_000_000 // r["hill_micro"]
+    assert r["x_threshold"] >= 1
+
+
+def test_embedding_outlier_scores_order(ray_session):
+    """Scores are non-increasing, positive is not required (a vector
+    can equal the centroid) but top-k ordering and tie rule hold."""
+    from document_extractor_ray.functions.similarity import (
+        embedding_outlier_scores,
+    )
+
+    rows = embedding_outlier_scores(SF).take_all()
+    assert rows
+    for a, b in zip(rows, rows[1:]):
+        assert (a["outlier_score"], -a["vec_id"]) >= (
+            b["outlier_score"],
+            -b["vec_id"],
+        )
