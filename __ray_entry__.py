@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_outlier_scores": similarity.embedding_outlier_scores,
         "events_rolling_median": analytics.events_rolling_median,
         "hill_tail_index": textstats.hill_tail_index,
+        "hdr_quantile_error": analytics.hdr_quantile_error,
+        "bbit_minhash_agreement": dedup.bbit_minhash_agreement_docs,
         "lsh_band_histogram": dedup.lsh_band_histogram_docs,
         "user_decile_transition": analytics.user_decile_transition,
         "token_context_entropy": textstats.token_context_entropy,
@@ -496,6 +498,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_outlier_scores": similarity.EMBEDDING_OUTLIER_SQL,
         "events_rolling_median": analytics.EVENTS_ROLLING_MEDIAN_SQL,
         "hill_tail_index": textstats.HILL_TAIL_INDEX_SQL,
+        "hdr_quantile_error": analytics.HDR_QUANTILE_ERROR_SQL,
+        "bbit_minhash_agreement": sqlhash.bbit_minhash_sql(),
         "lsh_band_histogram": sqlhash.lsh_band_histogram_sql(),
         "user_decile_transition": analytics.USER_DECILE_TRANSITION_SQL,
         "token_context_entropy": textstats.TOKEN_CONTEXT_ENTROPY_SQL,

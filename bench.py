@@ -348,6 +348,8 @@ def run_bench() -> dict:
         "embedding_outlier_scores",
         "events_rolling_median",
         "hill_tail_index",
+        "hdr_quantile_error",
+        "bbit_minhash_agreement",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

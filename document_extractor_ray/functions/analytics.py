@@ -11751,3 +11751,157 @@ SELECT event_type, day, n,
        )) AS BIGINT) AS med2
 FROM d ORDER BY event_type, day
 """
+
+
+# ---------------------------------------------------------------------------
+# HDR sketch accuracy audit: estimated vs exact quantiles, same output
+# ---------------------------------------------------------------------------
+
+HDR_AUDIT_QS = (500, 900, 990)
+
+
+def hdr_quantile_error(sf_dir: str, qs=HDR_AUDIT_QS):
+    """Sketch-accuracy audit for the HDR quantile registers: per
+    (event_type, q) the EXACT order-statistic of value cents (rank =
+    ceil(q*n/1000), 1-based ascending) next to the HDR estimate as
+    est2 = lo+hi of the first bucket whose cumulative count reaches
+    the rank (2x midpoint, integer), and err2 = est2 - 2*exact — the
+    measured (not modeled) error bound, the same audit shape as
+    bloom_decontaminate's FP surplus.  The HDR guarantee (<= 1/8
+    relative bucket width) is what err2 empirically validates.
+
+    Scale shape: ONE (event_type, cents) histogram partial per batch
+    feeds BOTH sides — the exact rank walks the value histogram
+    (bounded by distinct cents, the same boundedness
+    range_partition_plan exploits), the estimate walks the ~200-bucket
+    register fold of the same rows; nothing row-sized reaches the
+    driver."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {"event_type": t["event_type"], "cents": _to_cents(t["value"])}
+            ),
+            ["event_type", "cents"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "cents": g["cents"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    hist: dict[str, dict[int, int]] = {}
+    for tb in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not tb.num_rows:
+            continue
+        for et, c, n in zip(
+            tb["event_type"].to_pylist(), tb["cents"].to_pylist(), tb["n"].to_pylist()
+        ):
+            h = hist.setdefault(et, {})
+            h[int(c)] = h.get(int(c), 0) + int(n)
+    out = {"event_type": [], "q_permille": [], "exact_cents": [], "est2_cents": [], "err2": []}
+    for et in sorted(hist):
+        vals = sorted(hist[et].items())
+        total = sum(n for _, n in vals)
+        regs: dict[int, int] = {}
+        for c, n in vals:
+            b = int(_hdr_bucket(np.array([c], dtype=np.int64))[0])
+            regs[b] = regs.get(b, 0) + n
+        rlist = sorted(regs.items())
+        for q in qs:
+            rank = -(-q * total // 1000)
+            cum = 0
+            exact = None
+            for c, n in vals:
+                cum += n
+                if cum >= rank:
+                    exact = c
+                    break
+            cum = 0
+            est2 = None
+            for b, n in rlist:
+                cum += n
+                if cum >= rank:
+                    lo, hi = hdr_bucket_bounds(b)
+                    est2 = lo + hi
+                    break
+            out["event_type"].append(et)
+            out["q_permille"].append(q)
+            out["exact_cents"].append(exact)
+            out["est2_cents"].append(est2)
+            out["err2"].append(est2 - 2 * exact)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "q_permille": pa.array(out["q_permille"], pa.int64()),
+            "exact_cents": pa.array(out["exact_cents"], pa.int64()),
+            "est2_cents": pa.array(out["est2_cents"], pa.int64()),
+            "err2": pa.array(out["err2"], pa.int64()),
+        }
+    )
+
+
+def _hdr_audit_sql() -> str:
+    qs = ", ".join(f"({q})" for q in HDR_AUDIT_QS)
+    return f"""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+),
+tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
+qs(q) AS (VALUES {qs}),
+ranked AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+  FROM c
+),
+ex AS (
+  SELECT r.event_type, q.q, r.v AS exact_cents
+  FROM ranked r JOIN tot USING (event_type) CROSS JOIN qs q
+  WHERE r.rn = (q.q * tot.n + 999) // 1000
+),
+b AS (
+  SELECT event_type,
+         CASE WHEN v < 0 THEN -1
+              WHEN v <= 15 THEN v
+              ELSE 16 + (length(printf('%b', v)) - 5) * 8
+                      + ((v >> (length(printf('%b', v)) - 4)) & 7)
+         END AS bucket
+  FROM c
+),
+regs AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+         FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bucket,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cm
+  FROM regs
+),
+estb AS (
+  SELECT cum.event_type, q.q, min(cum.bucket) AS bucket
+  FROM cum JOIN tot USING (event_type) CROSS JOIN qs q
+  WHERE cum.cm >= (q.q * tot.n + 999) // 1000
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT event_type, q,
+         CASE WHEN bucket < 16 THEN 2 * bucket + 1
+              ELSE 2 * (8 + (bucket - 16) % 8)
+                     * (1 << (((bucket - 16) // 8 + 5) - 4))
+                   + (1 << (((bucket - 16) // 8 + 5) - 4))
+         END AS est2
+  FROM estb
+)
+SELECT ex.event_type, CAST(ex.q AS BIGINT) AS q_permille,
+       ex.exact_cents,
+       CAST(est.est2 AS BIGINT) AS est2_cents,
+       CAST(est.est2 - 2 * ex.exact_cents AS BIGINT) AS err2
+FROM ex JOIN est ON est.event_type = ex.event_type AND est.q = ex.q
+ORDER BY ex.event_type, ex.q
+"""
+
+
+HDR_QUANTILE_ERROR_SQL = _hdr_audit_sql()

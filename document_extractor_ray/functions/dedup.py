@@ -2545,3 +2545,124 @@ def bloom_decontaminate_docs(sf_dir: str, n_benchmark: int = 3):
     return bloom_decontaminate(
         _read_docs(sf_dir, ["doc_id", "text"]), t["text"].to_pylist()
     )
+
+
+# ---------------------------------------------------------------------------
+# b-bit MinHash compression audit (Li & Koenig, 2010)
+# ---------------------------------------------------------------------------
+
+BBIT_THRESH_PERMILLE = 700
+
+
+def bbit_minhash_agreement(
+    ds: "ray.data.Dataset", seed: int = 42, max_bucket: int = None
+):
+    """b-bit MinHash audit over the LSH candidate pairs: per pair the
+    FULL 64-value signature agreement next to the 1-BIT agreement
+    (only the lowest bit of each component kept — a 64x storage cut)
+    and the Li-Koenig unbiased estimate est_b1 = 2*A1/64 - 1 in
+    integer permille.  What the audit shows is the compression
+    trade: full agreement is the Jaccard estimate, 1-bit agreement
+    concentrates around (1+J)/2 — the surplus over that is the price
+    of the dropped 63 bits, measured on real pairs (the same
+    sketch-vs-exact shape as bloom_decontaminate / hdr_quantile_error).
+
+    Scale shape: identical to minhash_dup_pairs (band explode ->
+    capped bucket pairs -> integer agreement kernel); the two counts
+    pack into ONE int for the pair-dedup bucketed max and unpack in a
+    final map, so the exchange carries one value column.  Threshold
+    compares as agree*1000 >= 700*64 — no float anywhere."""
+    def minhash_explode(t: pa.Table, _seed=seed) -> pa.Table:
+        key = ("minhasher", _seed)
+        if key not in _WORKER_CACHE:
+            _WORKER_CACHE[key] = MinHasher(seed=_seed)
+        return _WORKER_CACHE[key](t)
+
+    exploded = ds.map_batches(
+        minhash_explode, batch_format="pyarrow", batch_size=512
+    )
+
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "packed": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return empty
+        g = _cap_bucket(g, "doc_id", "minhash", max_bucket)
+        n = g.num_rows
+        ids = g["doc_id"].to_numpy()
+        sig = np.frombuffer(b"".join(g["sig"].to_pylist()), dtype=np.uint64).reshape(
+            n, N_HASHES
+        )
+        bit = (sig & np.uint64(1)).astype(np.int8)
+        out_a, out_b, out_p = [], [], []
+        chunk = max(1, (1 << 23) // (n * N_HASHES))
+        js = np.arange(n)
+        for i0 in range(0, n - 1, chunk):
+            i1 = min(i0 + chunk, n)
+            agree = (sig[i0:i1, None, :] == sig[None, :, :]).sum(axis=2)
+            a1 = (bit[i0:i1, None, :] == bit[None, :, :]).sum(axis=2)
+            iglob = np.arange(i0, i1)[:, None]
+            mask = (
+                (agree * 1000 >= BBIT_THRESH_PERMILLE * N_HASHES)
+                & (js[None, :] > iglob)
+                & (ids[None, :] != ids[iglob])
+            )
+            ii, jj = np.nonzero(mask)
+            if ii.size:
+                a_, b_ = ids[ii + i0], ids[jj]
+                lo, hi = np.minimum(a_, b_), np.maximum(a_, b_)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_p.append(
+                    (agree[ii, jj] * 100 + a1[ii, jj]).astype(np.int64)
+                )
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "packed": pa.array(np.concatenate(out_p), pa.int64()),
+            }
+        )
+
+    from document_extractor_ray.functions import bucketing
+
+    pairs = bucketing.bucketed_bucket_pairs(
+        exploded, ["band_id", "band_hash"], bucket_pairs, empty
+    )
+    deduped = bucketing.bucketed_minmax(
+        pairs, ["doc_a", "doc_b"], "packed", "max"
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        p = t["packed"].to_numpy(zero_copy_only=False)
+        full = p // 100
+        a1 = p % 100
+        return pa.table(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "agree_full": pa.array(full, pa.int64()),
+                "agree_1bit": pa.array(a1, pa.int64()),
+                "est_b1_permille": pa.array(
+                    2 * a1 * 1000 // N_HASHES - 1000, pa.int64()
+                ),
+            }
+        )
+
+    return deduped.map_batches(unpack, batch_format="pyarrow").sort(
+        ["doc_a", "doc_b"]
+    )
+
+
+def bbit_minhash_agreement_docs(sf_dir: str):
+    from document_extractor_ray.functions.textstats import _read_docs
+
+    return bbit_minhash_agreement(_read_docs(sf_dir, ["doc_id", "text"]))

@@ -926,3 +926,37 @@ wcrc0 AS (SELECT w, xor(c, 4294967295) AS crc FROM fold WHERE j = nb)
 SELECT d.doc_id, d.source, CAST(w.crc % {n_folds} AS BIGINT) AS fold
 FROM documents d JOIN wcrc0 w ON w.w = d.source
 ORDER BY d.doc_id"""
+
+
+def bbit_minhash_sql(thresh_permille: int = 700) -> str:
+    """Oracle for ``dedup.bbit_minhash_agreement``: the minhash sig/
+    band CTEs, candidate pairs, full and lowest-bit agreement counts,
+    integer-permille Li-Koenig estimate."""
+    return f"""WITH RECURSIVE
+{_words(lower=True)},
+{_CRC_TABLE},
+{_WORD_CRC},
+{_sig_ctes(k=3)},
+{_band_ctes()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandh a
+  JOIN bandh b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+),
+ag AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT)
+           AS agree_full,
+         CAST(sum(CASE WHEN sa.sig % 2 = sb.sig % 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS agree_1bit
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, agree_full, agree_1bit,
+       CAST(2 * agree_1bit * 1000 // 64 - 1000 AS BIGINT) AS est_b1_permille
+FROM ag
+WHERE agree_full * 1000 >= {thresh_permille} * 64
+ORDER BY doc_a, doc_b"""

@@ -247,6 +247,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "embedding_outlier_scores",
         "events_rolling_median",
         "hill_tail_index",
+        "hdr_quantile_error",
+        "bbit_minhash_agreement",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3094,3 +3096,32 @@ def test_embedding_outlier_scores_order(ray_session):
             b["outlier_score"],
             -b["vec_id"],
         )
+
+
+def test_hdr_quantile_error_bound(ray_session):
+    """The HDR guarantee: the exact quantile lies inside the chosen
+    bucket, so |err2| = |est2 - 2*exact| <= bucket width — for the
+    log-bucketed regime that is <= exact/4 (2x the 1/8 relative
+    half-width); small values (bucket < 16) are exact to +-1."""
+    from document_extractor_ray.functions.analytics import hdr_quantile_error
+
+    rows = hdr_quantile_error(SF).to_pylist()
+    assert rows
+    for r in rows:
+        assert abs(r["err2"]) <= max(2 * r["exact_cents"] // 4, 2)
+
+
+def test_bbit_minhash_vs_full(ray_session):
+    """1-bit agreement dominates chance: for confirmed near-dup
+    candidates (full agreement >= 70%), the 1-bit agreement must
+    exceed 32/64 (random strings agree on half the bits), and the
+    permille estimate is consistent with its formula."""
+    from document_extractor_ray.functions.dedup import bbit_minhash_agreement_docs
+
+    rows = bbit_minhash_agreement_docs(SF).take_all()
+    assert rows
+    for r in rows:
+        assert r["agree_full"] * 1000 >= 700 * 64
+        assert r["agree_1bit"] >= r["agree_full"]
+        assert r["est_b1_permille"] == 2 * r["agree_1bit"] * 1000 // 64 - 1000
+        assert r["agree_1bit"] > 32
