@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hill_tail_index": textstats.hill_tail_index,
         "hdr_quantile_error": analytics.hdr_quantile_error,
         "bbit_minhash_agreement": dedup.bbit_minhash_agreement_docs,
+        "char_trigram_lang_profile": textstats.char_trigram_lang_profile,
+        "dup_graph_degree_hist": dedup.dup_graph_degree_hist_docs,
         "lsh_band_histogram": dedup.lsh_band_histogram_docs,
         "user_decile_transition": analytics.user_decile_transition,
         "token_context_entropy": textstats.token_context_entropy,
@@ -500,6 +502,8 @@ def oracle_sql() -> dict[str, str]:
         "hill_tail_index": textstats.HILL_TAIL_INDEX_SQL,
         "hdr_quantile_error": analytics.HDR_QUANTILE_ERROR_SQL,
         "bbit_minhash_agreement": sqlhash.bbit_minhash_sql(),
+        "char_trigram_lang_profile": textstats.CHAR_TRIGRAM_PROFILE_SQL,
+        "dup_graph_degree_hist": sqlhash.dup_degree_hist_sql(),
         "lsh_band_histogram": sqlhash.lsh_band_histogram_sql(),
         "user_decile_transition": analytics.USER_DECILE_TRANSITION_SQL,
         "token_context_entropy": textstats.TOKEN_CONTEXT_ENTROPY_SQL,

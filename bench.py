@@ -350,6 +350,8 @@ def run_bench() -> dict:
         "hill_tail_index",
         "hdr_quantile_error",
         "bbit_minhash_agreement",
+        "char_trigram_lang_profile",
+        "dup_graph_degree_hist",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -2666,3 +2666,58 @@ def bbit_minhash_agreement_docs(sf_dir: str):
     from document_extractor_ray.functions.textstats import _read_docs
 
     return bbit_minhash_agreement(_read_docs(sf_dir, ["doc_id", "text"]))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup graph degree distribution (cluster sizing before scrub)
+# ---------------------------------------------------------------------------
+
+def dup_graph_degree_hist(ds: "ray.data.Dataset", threshold: float = 0.7):
+    """Degree distribution of the MinHash near-dup pair graph: per
+    degree d, how many docs have exactly d near-dup partners — the
+    pre-scrub audit that sizes connected components (a fat degree
+    tail predicts giant clusters and union-find cost; the histogram
+    is what CLUSTER_EDGE_BUDGET should be checked against).
+
+    Scale shape: pairs -> endpoint explode (2 rows per pair) ->
+    doc-keyed bucketed count (key-per-row rule) -> degree-bounded
+    driver histogram fold.  Nothing doc-cardinality ever sorts."""
+    from document_extractor_ray.functions import bucketing
+
+    pairs = minhash_dup_pairs(ds, threshold=threshold)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
+        )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n": pa.array(np.ones(len(ids), np.int64), pa.int64()),
+            }
+        )
+
+    deg = bucketing.bucketed_agg(
+        pairs.map_batches(explode, batch_format="pyarrow"),
+        ["doc_id"],
+        [("n", "sum", "degree")],
+    )
+    hist: dict[int, int] = {}
+    for tb in map(ray.get, deg.to_arrow_refs()):
+        if not tb.num_rows:
+            continue
+        for d in tb["degree"].to_pylist():
+            hist[int(d)] = hist.get(int(d), 0) + 1
+    ks = sorted(hist)
+    return pa.table(
+        {
+            "degree": pa.array(ks, pa.int64()),
+            "n_docs": pa.array([hist[k] for k in ks], pa.int64()),
+        }
+    )
+
+
+def dup_graph_degree_hist_docs(sf_dir: str):
+    from document_extractor_ray.functions.textstats import _read_docs
+
+    return dup_graph_degree_hist(_read_docs(sf_dir, ["doc_id", "text"]))

@@ -960,3 +960,19 @@ SELECT doc_a, doc_b, agree_full, agree_1bit,
 FROM ag
 WHERE agree_full * 1000 >= {thresh_permille} * 64
 ORDER BY doc_a, doc_b"""
+
+
+def dup_degree_hist_sql(threshold: float = 0.7) -> str:
+    """Oracle for ``dedup.dup_graph_degree_hist``: the minhash pairs
+    query as a subquery, endpoint explode, degree per doc, histogram."""
+    return f"""WITH deg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+  FROM (
+    SELECT doc_a AS doc_id FROM ({minhash_pairs_sql(threshold)})
+    UNION ALL
+    SELECT doc_b AS doc_id FROM ({minhash_pairs_sql(threshold)})
+  )
+  GROUP BY doc_id
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY degree ORDER BY degree"""

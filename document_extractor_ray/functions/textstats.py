@@ -6534,3 +6534,130 @@ SELECT CAST({HILL_K} AS BIGINT) AS k,
          AS alpha_milli
 FROM h
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-language char-trigram profile (the langid training artifact)
+# ---------------------------------------------------------------------------
+
+TRIGRAM_PROFILE_K = 10
+
+
+def char_trigram_lang_profile(sf_dir: str, k: int = TRIGRAM_PROFILE_K):
+    """Top-k character trigrams per language with exact counts — the
+    profile table an n-gram language identifier trains on (Cavnar &
+    Trenkle 1994), built the scale-safe way: trigram extraction is
+    pure numpy over the Arrow string buffer (a 3-byte integer code per
+    position, doc boundaries masked by a repeat-built doc index — no
+    per-row Python, no substring materialization), per-batch partial
+    counts bound the shuffle by distinct (lang, trigram) <= |langs| x
+    alphabet^3, and the per-lang top-k folds from the bucketed
+    aggregate.  ASCII corpus assumption is explicit: byte trigrams ==
+    char trigrams here (a UTF-8 corpus would shingle codepoints).
+    """
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read_docs(sf_dir, ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = pc.utf8_lower(t["text"]).combine_chunks()
+        n = len(arr)
+        if n == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "tri": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + n + 1
+        ].astype(np.int64)
+        dat = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
+        off = off - off[0]
+        if len(dat) < 3:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "tri": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        lens = np.diff(off)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        d = dat.astype(np.int64)
+        tri = d[:-2] * 65536 + d[1:-1] * 256 + d[2:]
+        valid = doc_idx[:-2] == doc_idx[2:]
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "lang": pa.array(
+                        np.asarray(t["lang"].combine_chunks().take(
+                            pa.array(doc_idx[:-2][valid])
+                        )),
+                        pa.string(),
+                    ),
+                    "tri": pa.array(tri[valid], pa.int64()),
+                }
+            ),
+            ["lang", "tri"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "tri": g["tri"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    agg: dict[tuple, int] = {}
+    for tb in map(
+        ray.get,
+        bucketed_agg(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["lang", "tri"],
+            [("n", "sum", "n")],
+        ).to_arrow_refs(),
+    ):
+        if not tb.num_rows:
+            continue
+        for lg, tr, n in zip(
+            tb["lang"].to_pylist(), tb["tri"].to_pylist(), tb["n"].to_pylist()
+        ):
+            agg[(lg, int(tr))] = agg.get((lg, int(tr)), 0) + int(n)
+    by_lang: dict[str, list] = {}
+    for (lg, tr), n in agg.items():
+        s = bytes([tr >> 16, (tr >> 8) & 255, tr & 255]).decode("ascii")
+        by_lang.setdefault(lg, []).append((n, s))
+    out_l, out_t, out_n = [], [], []
+    for lg in sorted(by_lang):
+        top = sorted(by_lang[lg], key=lambda x: (-x[0], x[1]))[:k]
+        for n, s in top:
+            out_l.append(lg)
+            out_t.append(s)
+            out_n.append(n)
+    return pa.table(
+        {
+            "lang": pa.array(out_l, pa.string()),
+            "trigram": pa.array(out_t, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+CHAR_TRIGRAM_PROFILE_SQL = f"""
+WITH t3 AS (
+  SELECT lang, substr(lower(text), CAST(g.i AS INTEGER), 3) AS tri
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i) g
+),
+cnt AS (SELECT lang, tri, CAST(count(*) AS BIGINT) AS n
+        FROM t3 GROUP BY 1, 2),
+rk AS (
+  SELECT lang, tri, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, tri) AS rn
+  FROM cnt
+)
+SELECT lang, tri AS trigram, n FROM rk WHERE rn <= {TRIGRAM_PROFILE_K}
+ORDER BY lang, n DESC, trigram
+"""

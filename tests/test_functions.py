@@ -249,6 +249,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "hill_tail_index",
         "hdr_quantile_error",
         "bbit_minhash_agreement",
+        "char_trigram_lang_profile",
+        "dup_graph_degree_hist",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3125,3 +3127,33 @@ def test_bbit_minhash_vs_full(ray_session):
         assert r["agree_1bit"] >= r["agree_full"]
         assert r["est_b1_permille"] == 2 * r["agree_1bit"] * 1000 // 64 - 1000
         assert r["agree_1bit"] > 32
+
+
+def test_char_trigram_profile_shape(ray_session):
+    """Top-10 per lang, counts non-increasing within a lang, every
+    trigram is exactly 3 chars of the corpus alphabet."""
+    from document_extractor_ray.functions.textstats import (
+        char_trigram_lang_profile,
+    )
+
+    rows = char_trigram_lang_profile(SF).to_pylist()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        assert len(r["trigram"]) == 3
+        by_lang.setdefault(r["lang"], []).append(r["n"])
+    for lang, ns in by_lang.items():
+        assert len(ns) <= 10
+        assert ns == sorted(ns, reverse=True)
+
+
+def test_dup_graph_degree_mass(ray_session):
+    """sum(degree * n_docs) == 2 * |pairs| (handshake lemma)."""
+    from document_extractor_ray.functions.dedup import (
+        dup_graph_degree_hist_docs,
+        minhash_dup_pairs_docs,
+    )
+
+    hist = dup_graph_degree_hist_docs(SF).to_pylist()
+    n_pairs = minhash_dup_pairs_docs(SF).count()
+    assert sum(r["degree"] * r["n_docs"] for r in hist) == 2 * n_pairs
