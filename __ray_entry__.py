@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bbit_minhash_agreement": dedup.bbit_minhash_agreement_docs,
         "char_trigram_lang_profile": textstats.char_trigram_lang_profile,
         "dup_graph_degree_hist": dedup.dup_graph_degree_hist_docs,
+        "events_burst_hysteresis": analytics.events_burst_hysteresis,
+        "value_winsorized_stats": analytics.value_winsorized_stats,
         "lsh_band_histogram": dedup.lsh_band_histogram_docs,
         "user_decile_transition": analytics.user_decile_transition,
         "token_context_entropy": textstats.token_context_entropy,
@@ -504,6 +506,8 @@ def oracle_sql() -> dict[str, str]:
         "bbit_minhash_agreement": sqlhash.bbit_minhash_sql(),
         "char_trigram_lang_profile": textstats.CHAR_TRIGRAM_PROFILE_SQL,
         "dup_graph_degree_hist": sqlhash.dup_degree_hist_sql(),
+        "events_burst_hysteresis": analytics.EVENTS_BURST_HYSTERESIS_SQL,
+        "value_winsorized_stats": analytics.VALUE_WINSORIZED_SQL,
         "lsh_band_histogram": sqlhash.lsh_band_histogram_sql(),
         "user_decile_transition": analytics.USER_DECILE_TRANSITION_SQL,
         "token_context_entropy": textstats.TOKEN_CONTEXT_ENTROPY_SQL,

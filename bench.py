@@ -352,6 +352,8 @@ def run_bench() -> dict:
         "bbit_minhash_agreement",
         "char_trigram_lang_profile",
         "dup_graph_degree_hist",
+        "events_burst_hysteresis",
+        "value_winsorized_stats",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -11905,3 +11905,236 @@ ORDER BY ex.event_type, ex.q
 
 
 HDR_QUANTILE_ERROR_SQL = _hdr_audit_sql()
+
+
+# ---------------------------------------------------------------------------
+# Burst segmentation with hysteresis (2-day Schmitt trigger)
+# ---------------------------------------------------------------------------
+
+def events_burst_hysteresis(sf_dir: str):
+    """Burst/quiet segmentation of the per-type daily series with a
+    two-day hysteresis (Schmitt trigger): the raw indicator is
+    day-count > type median, but the STATE only flips after two
+    CONSECUTIVE days agree — the debounced burst detector that a
+    single spike day cannot flip (the state-machine sibling of
+    value_cusum_alarms; Kleinberg's two-state automaton reduces to
+    exactly this under a large switching cost).  state_1 = hi_1;
+    state_t = hi_t if hi_t == hi_{t-1} else state_{t-1}.  Median
+    compares as 2*n > med2 (two-middle sum), so no float enters.
+
+    Scale shape: bounded (type, day) fold; per-key sequential
+    recursion like events_ewma; oracle replays it as a recursive CTE."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "day": pc.floor_temporal(t["ts"], unit="day"),
+                }
+            ),
+            ["event_type", "day"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "day": g["day"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    agg: dict[tuple, int] = {}
+    for tb in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not tb.num_rows:
+            continue
+        for et, day, n in zip(
+            tb["event_type"].to_pylist(), tb["day"].to_pylist(), tb["n"].to_pylist()
+        ):
+            agg[(et, day)] = agg.get((et, day), 0) + int(n)
+    by_type: dict[str, list] = {}
+    for (et, day), n in sorted(agg.items()):
+        by_type.setdefault(et, []).append((day, n))
+    out = {"event_type": [], "day": [], "n": [], "hi": [], "state": []}
+    for et, series in by_type.items():
+        ns = sorted(n for _, n in series)
+        lw = len(ns)
+        med2 = (
+            2 * ns[lw // 2] if lw % 2 else ns[lw // 2 - 1] + ns[lw // 2]
+        )
+        state = None
+        prev_hi = None
+        for day, n in series:
+            hi = 1 if 2 * n > med2 else 0
+            if state is None:
+                state = hi
+            elif hi == prev_hi:
+                state = hi
+            prev_hi = hi
+            out["event_type"].append(et)
+            out["day"].append(day)
+            out["n"].append(n)
+            out["hi"].append(hi)
+            out["state"].append(state)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "day": pa.array(out["day"], pa.timestamp("us")),
+            "n": pa.array(out["n"], pa.int64()),
+            "hi": pa.array(out["hi"], pa.int64()),
+            "state": pa.array(out["state"], pa.int64()),
+        }
+    )
+
+
+EVENTS_BURST_HYSTERESIS_SQL = """
+WITH RECURSIVE d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, CAST(round(2 * median(n)) AS BIGINT) AS med2
+  FROM d GROUP BY event_type
+),
+s AS (
+  SELECT d.event_type, d.day, d.n,
+         CASE WHEN 2 * d.n > med.med2 THEN 1 ELSE 0 END AS hi,
+         row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS i
+  FROM d JOIN med USING (event_type)
+),
+sp AS (
+  SELECT *, lag(hi) OVER (PARTITION BY event_type ORDER BY i) AS prev_hi
+  FROM s
+),
+rec AS (
+  SELECT event_type, day, n, hi, i, hi AS state FROM sp WHERE i = 1
+  UNION ALL
+  SELECT sp.event_type, sp.day, sp.n, sp.hi, sp.i,
+         CASE WHEN sp.hi = sp.prev_hi THEN sp.hi ELSE rec.state END
+  FROM sp JOIN rec ON sp.event_type = rec.event_type AND sp.i = rec.i + 1
+)
+SELECT event_type, day, n, CAST(hi AS BIGINT) AS hi,
+       CAST(state AS BIGINT) AS state
+FROM rec ORDER BY event_type, day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winsorization audit (p01/p99 robust clipping)
+# ---------------------------------------------------------------------------
+
+WINSOR_LO_PM = 10
+WINSOR_HI_PM = 990
+
+
+def value_winsorized_stats(sf_dir: str):
+    """Per-type winsorization audit: the p01/p99 cents bounds (exact
+    ceil-rank order statistics, the hdr_quantile_error convention),
+    how many values each side clips, and the winsorized integer sum —
+    the robust-preprocessing step that tames value outliers before
+    means/regressions, with the clipping cost measured instead of
+    assumed.
+
+    Scale shape: the same ONE (type, cents) histogram partial as
+    hdr_quantile_error feeds bounds, clip counts and clipped sum —
+    everything walks the bounded value histogram, nothing row-sized
+    reaches the driver."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {"event_type": t["event_type"], "cents": _to_cents(t["value"])}
+            ),
+            ["event_type", "cents"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "cents": g["cents"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    hist: dict[str, dict[int, int]] = {}
+    for tb in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not tb.num_rows:
+            continue
+        for et, c, n in zip(
+            tb["event_type"].to_pylist(), tb["cents"].to_pylist(), tb["n"].to_pylist()
+        ):
+            h = hist.setdefault(et, {})
+            h[int(c)] = h.get(int(c), 0) + int(n)
+    out = {k: [] for k in (
+        "event_type", "lo_cents", "hi_cents", "n_clip_lo", "n_clip_hi", "winsor_sum_cents"
+    )}
+    for et in sorted(hist):
+        vals = sorted(hist[et].items())
+        total = sum(n for _, n in vals)
+
+        def at_rank(rank):
+            cum = 0
+            for c, n in vals:
+                cum += n
+                if cum >= rank:
+                    return c
+            return vals[-1][0]
+
+        lo = at_rank(-(-WINSOR_LO_PM * total // 1000))
+        hi = at_rank(-(-WINSOR_HI_PM * total // 1000))
+        n_lo = sum(n for c, n in vals if c < lo)
+        n_hi = sum(n for c, n in vals if c > hi)
+        wsum = sum(min(max(c, lo), hi) * n for c, n in vals)
+        out["event_type"].append(et)
+        out["lo_cents"].append(lo)
+        out["hi_cents"].append(hi)
+        out["n_clip_lo"].append(n_lo)
+        out["n_clip_hi"].append(n_hi)
+        out["winsor_sum_cents"].append(wsum)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "lo_cents": pa.array(out["lo_cents"], pa.int64()),
+            "hi_cents": pa.array(out["hi_cents"], pa.int64()),
+            "n_clip_lo": pa.array(out["n_clip_lo"], pa.int64()),
+            "n_clip_hi": pa.array(out["n_clip_hi"], pa.int64()),
+            "winsor_sum_cents": pa.array(out["winsor_sum_cents"], pa.int64()),
+        }
+    )
+
+
+VALUE_WINSORIZED_SQL = f"""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+),
+tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
+ranked AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+  FROM c
+),
+b AS (
+  SELECT r.event_type,
+         max(CASE WHEN r.rn = ({WINSOR_LO_PM} * tot.n + 999) // 1000
+                  THEN r.v END) AS lo,
+         max(CASE WHEN r.rn = ({WINSOR_HI_PM} * tot.n + 999) // 1000
+                  THEN r.v END) AS hi
+  FROM ranked r JOIN tot USING (event_type)
+  GROUP BY r.event_type
+)
+SELECT c.event_type,
+       CAST(b.lo AS BIGINT) AS lo_cents,
+       CAST(b.hi AS BIGINT) AS hi_cents,
+       CAST(count(*) FILTER (c.v < b.lo) AS BIGINT) AS n_clip_lo,
+       CAST(count(*) FILTER (c.v > b.hi) AS BIGINT) AS n_clip_hi,
+       CAST(sum(least(greatest(c.v, b.lo), b.hi)) AS BIGINT)
+         AS winsor_sum_cents
+FROM c JOIN b USING (event_type)
+GROUP BY c.event_type, b.lo, b.hi
+ORDER BY c.event_type
+"""

@@ -251,6 +251,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "bbit_minhash_agreement",
         "char_trigram_lang_profile",
         "dup_graph_degree_hist",
+        "events_burst_hysteresis",
+        "value_winsorized_stats",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3157,3 +3159,44 @@ def test_dup_graph_degree_mass(ray_session):
     hist = dup_graph_degree_hist_docs(SF).to_pylist()
     n_pairs = minhash_dup_pairs_docs(SF).count()
     assert sum(r["degree"] * r["n_docs"] for r in hist) == 2 * n_pairs
+
+
+def test_burst_hysteresis_debounce(ray_session):
+    """The state machine's guarantee: the state never differs from the
+    raw indicator for two consecutive days (any two consecutive equal
+    indicators force the state to that value)."""
+    from document_extractor_ray.functions.analytics import events_burst_hysteresis
+
+    rows = events_burst_hysteresis(SF).to_pylist()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        assert rs[0]["state"] == rs[0]["hi"]
+        for a, b in zip(rs, rs[1:]):
+            if a["hi"] == b["hi"]:
+                assert b["state"] == b["hi"]
+
+
+def test_winsorized_stats_bounds(ray_session):
+    """Clip fractions respect the permille targets (<=1% below lo,
+    <=1% above hi by the ceil-rank definition), and the winsorized sum
+    lies within [n*lo, n*hi]."""
+    from document_extractor_ray.functions.analytics import value_winsorized_stats
+    import duckdb
+
+    rows = value_winsorized_stats(SF).to_pylist()
+    assert rows
+    tot = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"SELECT event_type, count(*) FROM read_parquet('{SF}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    }
+    for r in rows:
+        n = tot[r["event_type"]]
+        assert r["lo_cents"] <= r["hi_cents"]
+        assert r["n_clip_lo"] * 1000 < 10 * n
+        assert r["n_clip_hi"] * 1000 <= 10 * n + 1000
+        assert n * r["lo_cents"] <= r["winsor_sum_cents"] <= n * r["hi_cents"]
