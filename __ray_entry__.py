@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_graph_degree_hist": dedup.dup_graph_degree_hist_docs,
         "events_burst_hysteresis": analytics.events_burst_hysteresis,
         "value_winsorized_stats": analytics.value_winsorized_stats,
+        "event_markov_stationary": analytics.event_markov_stationary,
+        "dup_graph_triangles": dedup.dup_graph_triangles_docs,
         "lsh_band_histogram": dedup.lsh_band_histogram_docs,
         "user_decile_transition": analytics.user_decile_transition,
         "token_context_entropy": textstats.token_context_entropy,
@@ -508,6 +510,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_graph_degree_hist": sqlhash.dup_degree_hist_sql(),
         "events_burst_hysteresis": analytics.EVENTS_BURST_HYSTERESIS_SQL,
         "value_winsorized_stats": analytics.VALUE_WINSORIZED_SQL,
+        "event_markov_stationary": analytics.EVENT_MARKOV_STATIONARY_SQL,
+        "dup_graph_triangles": sqlhash.dup_triangles_sql(),
         "lsh_band_histogram": sqlhash.lsh_band_histogram_sql(),
         "user_decile_transition": analytics.USER_DECILE_TRANSITION_SQL,
         "token_context_entropy": textstats.TOKEN_CONTEXT_ENTROPY_SQL,

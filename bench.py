@@ -354,6 +354,8 @@ def run_bench() -> dict:
         "dup_graph_degree_hist",
         "events_burst_hysteresis",
         "value_winsorized_stats",
+        "event_markov_stationary",
+        "dup_graph_triangles",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -12138,3 +12138,82 @@ FROM c JOIN b USING (event_type)
 GROUP BY c.event_type, b.lo, b.hi
 ORDER BY c.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution of the event-transition chain
+# ---------------------------------------------------------------------------
+
+MARKOV_ITERS = 10
+
+
+def event_markov_stationary(sf_dir: str, iters: int = MARKOV_ITERS):
+    """Stationary distribution of the first-order event-type Markov
+    chain by EXACT integer power iteration: P quantizes to permille
+    rows (p_ij = n_ij*1000 // row_sum_i), v0 is uniform micro, and
+    each step is v'[j] = (sum_i v[i]*p_ij) // 1000 — every iterate is
+    bit-reproducible, so the oracle replays all 10 steps as chained
+    CTEs (the textrank oracle pattern).  The result ranks event types
+    by long-run visit share — the funnel steady state on top of
+    event_transitions' matrix.
+
+    Scale shape: the transition matrix is |types|^2-bounded regardless
+    of event count (event_transitions' partition-local partials), so
+    the iteration is driver arithmetic on a tiny table — the shuffle
+    cost IS event_transitions'."""
+    tr = event_transitions(sf_dir).take_all()
+    types = sorted({r["prev_type"] for r in tr} | {r["next_type"] for r in tr})
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    n = np.zeros((k, k), dtype=np.int64)
+    for r in tr:
+        n[idx[r["prev_type"]], idx[r["next_type"]]] = int(r["n"])
+    row = n.sum(axis=1)
+    p = np.zeros_like(n)
+    nz = row > 0
+    p[nz] = n[nz] * 1000 // row[nz, None]
+    v = np.full(k, 1_000_000 // k, dtype=np.int64)
+    for _ in range(iters):
+        v = (v @ p) // 1000
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "stationary_micro": pa.array(v, pa.int64()),
+        }
+    )
+
+
+def _markov_sql() -> str:
+    steps = []
+    for t in range(1, MARKOV_ITERS + 1):
+        steps.append(
+            f"v{t} AS (SELECT p.next_type AS event_type,\n"
+            f"  CAST(sum(v{t-1}.v * p.p) // 1000 AS BIGINT) AS v\n"
+            f"  FROM v{t-1} JOIN p ON p.prev_type = v{t-1}.event_type\n"
+            f"  GROUP BY p.next_type)"
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH tr AS ({EVENT_TRANSITIONS_SQL}),
+types AS (
+  SELECT prev_type AS event_type FROM tr
+  UNION SELECT next_type FROM tr
+),
+k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM types),
+rs AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_sum FROM tr GROUP BY 1),
+p AS (
+  SELECT tr.prev_type, tr.next_type,
+         CAST(tr.n * 1000 // rs.row_sum AS BIGINT) AS p
+  FROM tr JOIN rs USING (prev_type)
+),
+v0 AS (SELECT event_type, CAST(1000000 // (SELECT k FROM k) AS BIGINT) AS v
+       FROM types),
+{chain}
+SELECT t.event_type,
+       CAST(coalesce(v{MARKOV_ITERS}.v, 0) AS BIGINT) AS stationary_micro
+FROM types t LEFT JOIN v{MARKOV_ITERS} ON v{MARKOV_ITERS}.event_type = t.event_type
+ORDER BY t.event_type
+"""
+
+
+EVENT_MARKOV_STATIONARY_SQL = _markov_sql()

@@ -2721,3 +2721,52 @@ def dup_graph_degree_hist_docs(sf_dir: str):
     from document_extractor_ray.functions.textstats import _read_docs
 
     return dup_graph_degree_hist(_read_docs(sf_dir, ["doc_id", "text"]))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup graph triangle census (transitivity audit)
+# ---------------------------------------------------------------------------
+
+def dup_graph_triangles(ds: "ray.data.Dataset", threshold: float = 0.7):
+    """Triangle census of the MinHash near-dup graph: edge count,
+    triangle count, open-triad count (sum deg*(deg-1)/2) and global
+    clustering = 3*triangles/triads in integer permille — the
+    TRANSITIVITY audit behind near_dup_clusters (high clustering means
+    the pair graph is already union-closed and cluster propagation
+    converges in few rounds; low clustering means chains, the
+    worst case for label propagation).
+
+    Scale shape: the edge list is the budget-guarded pair output (far
+    smaller than the corpus); triangles enumerate via the standard
+    a<b<c oriented join on the driver below CLUSTER_EDGE_BUDGET —
+    above it, the same oriented join runs as two partitioned hash
+    joins (the dup_ngram_scrub two-regime pattern, named not built)."""
+    rows = minhash_dup_pairs(ds, threshold=threshold).take_all()
+    edges = {(r["doc_a"], r["doc_b"]) for r in rows}
+    nbrs: dict[int, set] = {}
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    tri = 0
+    for a, b in edges:
+        # oriented: count c > b adjacent to both a and b
+        tri += sum(1 for c in nbrs.get(a, ()) if c > b and c in nbrs.get(b, set()))
+    triads = sum(d * (d - 1) // 2 for d in deg.values())
+    return pa.table(
+        {
+            "n_edges": pa.array([len(edges)], pa.int64()),
+            "n_triangles": pa.array([tri], pa.int64()),
+            "n_triads": pa.array([triads], pa.int64()),
+            "clustering_permille": pa.array(
+                [3 * tri * 1000 // triads if triads else 0], pa.int64()
+            ),
+        }
+    )
+
+
+def dup_graph_triangles_docs(sf_dir: str):
+    from document_extractor_ray.functions.textstats import _read_docs
+
+    return dup_graph_triangles(_read_docs(sf_dir, ["doc_id", "text"]))

@@ -976,3 +976,31 @@ def dup_degree_hist_sql(threshold: float = 0.7) -> str:
 )
 SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
 FROM deg GROUP BY degree ORDER BY degree"""
+
+
+def dup_triangles_sql(threshold: float = 0.7) -> str:
+    """Oracle for ``dedup.dup_graph_triangles``: oriented a<b<c
+    triangle join over the minhash pair edges, degree-based triads,
+    integer-permille global clustering."""
+    return f"""WITH e AS (
+  SELECT doc_a AS a, doc_b AS b FROM ({minhash_pairs_sql(threshold)})
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS t
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+  GROUP BY v
+),
+tr AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS triads FROM deg),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e)
+SELECT (SELECT n FROM ne) AS n_edges,
+       (SELECT t FROM tri) AS n_triangles,
+       (SELECT triads FROM tr) AS n_triads,
+       CAST(CASE WHEN (SELECT triads FROM tr) > 0
+                 THEN 3 * (SELECT t FROM tri) * 1000 // (SELECT triads FROM tr)
+                 ELSE 0 END AS BIGINT) AS clustering_permille"""

@@ -253,6 +253,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "dup_graph_degree_hist",
         "events_burst_hysteresis",
         "value_winsorized_stats",
+        "event_markov_stationary",
+        "dup_graph_triangles",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3200,3 +3202,34 @@ def test_winsorized_stats_bounds(ray_session):
         assert r["n_clip_lo"] * 1000 < 10 * n
         assert r["n_clip_hi"] * 1000 <= 10 * n + 1000
         assert n * r["lo_cents"] <= r["winsor_sum_cents"] <= n * r["hi_cents"]
+
+
+def test_markov_stationary_mass(ray_session):
+    """Power-iteration mass is conserved up to permille floor slack:
+    sum within (1e6 - iters*types*1000, 1e6], and every component is
+    non-negative."""
+    from document_extractor_ray.functions.analytics import (
+        MARKOV_ITERS,
+        event_markov_stationary,
+    )
+
+    t = event_markov_stationary(SF).to_pylist()
+    assert t
+    s = sum(r["stationary_micro"] for r in t)
+    assert s <= 1_000_000
+    assert s > 1_000_000 - (MARKOV_ITERS + 1) * len(t) * 1000
+    assert all(r["stationary_micro"] >= 0 for r in t)
+
+
+def test_dup_graph_triangles_consistency(ray_session):
+    """3*triangles <= triads (every triangle closes 3 triads) and the
+    permille ratio matches its integer formula."""
+    from document_extractor_ray.functions.dedup import dup_graph_triangles_docs
+
+    r = dup_graph_triangles_docs(SF).to_pylist()[0]
+    assert 3 * r["n_triangles"] <= r["n_triads"]
+    if r["n_triads"]:
+        assert (
+            r["clustering_permille"]
+            == 3 * r["n_triangles"] * 1000 // r["n_triads"]
+        )
