@@ -356,6 +356,8 @@ def run_bench() -> dict:
         "value_winsorized_stats",
         "event_markov_stationary",
         "dup_graph_triangles",
+        "bpe_apply_stats",
+        "dedup_cluster_size_hist",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

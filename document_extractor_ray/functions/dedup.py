@@ -2770,3 +2770,57 @@ def dup_graph_triangles_docs(sf_dir: str):
     from document_extractor_ray.functions.textstats import _read_docs
 
     return dup_graph_triangles(_read_docs(sf_dir, ["doc_id", "text"]))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster size distribution (scrub planning)
+# ---------------------------------------------------------------------------
+
+def dedup_cluster_size_hist(ds: "ray.data.Dataset", threshold: float = 0.7):
+    """Cluster-size histogram of the near-dup connected components:
+    per size s, how many clusters have exactly s members — THE scrub
+    planning statistic (total removable docs = sum (s-1)*n_clusters
+    over s >= 2; a giant component predicts boilerplate, not true
+    duplication).  Complements dup_graph_degree_hist (edges) and
+    dup_graph_triangles (transitivity) as the component-level view.
+
+    Scale shape: rides near_dup_clusters' distributed label
+    propagation; label counts go through the doc-keyed bucketed
+    aggregate and only the size-bounded histogram folds on the
+    driver."""
+    from document_extractor_ray.functions import bucketing
+
+    labels = near_dup_clusters(ds, threshold=threshold)
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cluster_id": t["cluster_id"],
+                "n": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    sizes = bucketing.bucketed_agg(
+        labels.map_batches(one, batch_format="pyarrow"),
+        ["cluster_id"],
+        [("n", "sum", "size")],
+    )
+    hist: dict[int, int] = {}
+    for tb in map(ray.get, sizes.to_arrow_refs()):
+        if not tb.num_rows:
+            continue
+        for s in tb["size"].to_pylist():
+            hist[int(s)] = hist.get(int(s), 0) + 1
+    ks = sorted(hist)
+    return pa.table(
+        {
+            "cluster_size": pa.array(ks, pa.int64()),
+            "n_clusters": pa.array([hist[k] for k in ks], pa.int64()),
+        }
+    )
+
+
+def dedup_cluster_size_hist_docs(sf_dir: str):
+    from document_extractor_ray.functions.textstats import _read_docs
+
+    return dedup_cluster_size_hist(_read_docs(sf_dir, ["doc_id", "text"]))

@@ -1004,3 +1004,21 @@ SELECT (SELECT n FROM ne) AS n_edges,
        CAST(CASE WHEN (SELECT triads FROM tr) > 0
                  THEN 3 * (SELECT t FROM tri) * 1000 // (SELECT triads FROM tr)
                  ELSE 0 END AS BIGINT) AS clustering_permille"""
+
+
+def cluster_size_hist_sql(threshold: float = 0.7) -> str:
+    """Oracle for ``dedup.dedup_cluster_size_hist``: component labels
+    -> per-label size -> size histogram."""
+    return f"""WITH RECURSIVE
+{_words(lower=True)},
+{_CRC_TABLE},
+{_WORD_CRC},
+{_sig_ctes(k=3)},
+{_band_ctes()},
+{_cluster_ctes(threshold)},
+sz AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS s
+  FROM comp GROUP BY cluster_id
+)
+SELECT s AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sz GROUP BY s ORDER BY s"""

@@ -2651,10 +2651,10 @@ def bpe_merges(sf_dir: str, n_merges: int = BPE_N_MERGES):
     )
 
 
-def _bpe_sql(n_merges: int = BPE_N_MERGES) -> str:
-    """Chained-CTE replication of every merge iteration (the textrank
-    oracle pattern): w{i} is the word-type table after i merges, m{i}
-    the argmax pair picked at iteration i."""
+def _bpe_ctes(n_merges: int = BPE_N_MERGES) -> list:
+    """The shared merge-learning CTE chain (w{i} word-type tables,
+    p{i} pair counts, m{i} argmax picks) — used by BOTH the
+    bpe_merges oracle and the bpe_apply_stats oracle."""
     ctes = [
         f"""w0 AS (
   SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' '
@@ -2689,6 +2689,13 @@ def _bpe_sql(n_merges: int = BPE_N_MERGES) -> str:
   FROM w{i - 1} w CROSS JOIN m{i} m
 )"""
             )
+    return ctes
+
+
+def _bpe_sql(n_merges: int = BPE_N_MERGES) -> str:
+    """Chained-CTE replication of every merge iteration (the textrank
+    oracle pattern)."""
+    ctes = _bpe_ctes(n_merges)
     selects = " UNION ALL ".join(
         f"SELECT CAST({i - 1} AS BIGINT) AS merge_idx, l AS \"left\","
         f" r AS \"right\", n FROM m{i}"
@@ -6661,3 +6668,116 @@ rk AS (
 SELECT lang, tri AS trigram, n FROM rk WHERE rn <= {TRIGRAM_PROFILE_K}
 ORDER BY lang, n DESC, trigram
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE application: tokenize the corpus with the learned merges
+# ---------------------------------------------------------------------------
+
+def bpe_apply_stats(sf_dir: str, n_merges: int = BPE_N_MERGES):
+    """Apply the learned BPE merge table to every document and report
+    per-doc subword statistics: word count, subword count after all
+    merges, and fertility (subwords per word, integer permille) — the
+    tokenization step bpe_merges learns FOR, and the statistic
+    (fertility) that decides whether a vocabulary is worth its size
+    (tokenizer_fertility's twin, but under the LEARNED vocab instead
+    of the fixed one).
+
+    Scale shape: learning reuses bpe_merges (word types stay a
+    Dataset); application is embarrassingly parallel — the 6 merge
+    replaces broadcast as literal patterns and run as vectorized
+    pc.replace_substring chains per batch (same non-overlapping
+    left-to-right semantics as DuckDB's replace, proven
+    char-identical), subword counts are one count_substring per word
+    + one scatter-add per doc."""
+    merges = bpe_merges(sf_dir, n_merges=n_merges)
+    reps = [
+        (f" {l}  {r} ", f" {l}{r} ")
+        for l, r in zip(merges["left"].to_pylist(), merges["right"].to_pylist())
+    ]
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def apply(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        f = flat.filter(keep).combine_chunks()
+        par = parent.filter(keep).combine_chunks().to_numpy(zero_copy_only=False)
+        core = pc.replace_substring_regex(f, "(.)", r"\1  ")
+        pad = pa.array([" "] * len(f), pa.string())
+        sym = pc.binary_join_element_wise(pad, pc.utf8_rtrim(core, " "), pad, "")
+        for pat, rep in reps:
+            sym = pc.replace_substring(sym, pattern=pat, replacement=rep)
+        nsub = pc.add(
+            pc.count_substring(sym, "  "), 1
+        ).to_numpy(zero_copy_only=False)
+        n_words = np.zeros(t.num_rows, dtype=np.int64)
+        n_subs = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(n_words, par, 1)
+        np.add.at(n_subs, par, nsub.astype(np.int64))
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_subwords": pa.array(n_subs, pa.int64()),
+            }
+        ).filter(pc.greater(pa.array(n_words), 0))
+        return out.append_column(
+            "fertility_permille",
+            pc.cast(
+                pc.divide(
+                    pc.multiply(out["n_subwords"], pa.scalar(1000, pa.int64())),
+                    out["n_words"],
+                ),
+                pa.int64(),
+            ),
+        )
+
+    return ds.map_batches(apply, batch_format="pyarrow").sort("doc_id")
+
+
+def _bpe_apply_sql(n_merges: int = BPE_N_MERGES) -> str:
+    ctes = _bpe_ctes(n_merges)
+    apply_chain = [
+        f"""dw AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT doc_id, unnest(list_filter(
+      regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}'), t -> t <> ''
+    )) AS tok FROM documents
+  ) GROUP BY doc_id, tok
+)""",
+        """s0 AS (
+  SELECT doc_id,
+         ' ' || array_to_string(regexp_extract_all(tok, '.'), '  ') || ' '
+           AS sym, c
+  FROM dw
+)""",
+    ]
+    for i in range(1, n_merges + 1):
+        apply_chain.append(
+            f"""s{i} AS (
+  SELECT doc_id,
+         replace(sym, ' ' || m.l || '  ' || m.r || ' ',
+                 ' ' || m.l || m.r || ' ') AS sym, c
+  FROM s{i - 1} CROSS JOIN m{i} m
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes + apply_chain)
+        + f"""
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       CAST(sum(c * len(string_split(trim(sym), '  '))) AS BIGINT)
+         AS n_subwords,
+       CAST(sum(c * len(string_split(trim(sym), '  '))) * 1000
+            // sum(c) AS BIGINT) AS fertility_permille
+FROM s{n_merges}
+GROUP BY doc_id
+ORDER BY doc_id"""
+    )
+
+
+BPE_APPLY_STATS_SQL = _bpe_apply_sql()

@@ -255,6 +255,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "value_winsorized_stats",
         "event_markov_stationary",
         "dup_graph_triangles",
+        "bpe_apply_stats",
+        "dedup_cluster_size_hist",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3233,3 +3235,32 @@ def test_dup_graph_triangles_consistency(ray_session):
             r["clustering_permille"]
             == 3 * r["n_triangles"] * 1000 // r["n_triads"]
         )
+
+
+def test_bpe_apply_reduces_tokens(ray_session):
+    """Applying merges can only reduce symbol counts: per doc,
+    n_words <= n_subwords <= total chars, and the CORPUS fertility
+    strictly drops vs the unmerged char tokenization (merges exist)."""
+    from document_extractor_ray.functions.textstats import bpe_apply_stats
+
+    rows = bpe_apply_stats(SF).take_all()
+    assert rows
+    tot_w = sum(r["n_words"] for r in rows)
+    tot_s = sum(r["n_subwords"] for r in rows)
+    for r in rows:
+        assert r["n_words"] <= r["n_subwords"]
+        assert r["fertility_permille"] == r["n_subwords"] * 1000 // r["n_words"]
+    # chars per word > subwords per word after 6 merges on this corpus
+    assert tot_s < tot_w * 10
+
+
+def test_cluster_size_hist_mass(ray_session):
+    """sum(size * n_clusters) == corpus doc count (every doc is in
+    exactly one component, singletons included)."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.dedup import dedup_cluster_size_hist_docs
+
+    hist = dedup_cluster_size_hist_docs(SF).to_pylist()
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert sum(r["cluster_size"] * r["n_clusters"] for r in hist) == n_docs
