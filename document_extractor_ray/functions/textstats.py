@@ -6051,10 +6051,124 @@ def rrf_fusion(sf_dir: str, k: int = SEARCH_TOP_K):
     fusion itself touches 2k rows on the driver — the expensive part
     is the two scoring passes, which share the corpus scan shape and
     at production scale would run off the same persisted index."""
+    import ray as _ray
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    terms = SEARCH_TERMS
+    term_set = set(terms)
+
+    # ONE fused stats pass: per-term df partials + the two corpus
+    # sentinels (doc count, token count) — bm25_topk's stats shape;
+    # the tf-idf ranking reads the same df column (PERF step 36: the
+    # previous composition ran FOUR corpus scans, two per ranking).
+    def stats_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.and_(
+            pc.not_equal(flat, ""),
+            pc.is_in(flat, value_set=pa.array(list(term_set))),
+        )
+        pairs = pa.table({"d": parent, "token": flat}).filter(keep)
+        distinct = pa.TableGroupBy(pairs, ["d", "token"]).aggregate([])
+        per_tok = pa.TableGroupBy(distinct, ["token"]).aggregate([("d", "count")])
+        part = pa.table(
+            {
+                "token": per_tok["token"],
+                "df_part": pc.cast(per_tok["d_count"], pa.int64()),
+            }
+        )
+        n_toks = int(pc.sum(pc.cast(pc.not_equal(flat, ""), pa.int64())).as_py() or 0)
+        extra = pa.table(
+            {
+                "token": pa.array([_BM25_DOCS_KEY, _BM25_TOKS_KEY], pa.string()),
+                "df_part": pa.array([t.num_rows, n_toks], pa.int64()),
+            }
+        )
+        return pa.concat_tables([part, extra])
+
+    # partials are <= |terms|+2 rows per batch: fold on the driver
+    # instead of paying the ~1.5 s fixed Ray aggregate exchange
+    # (PERF step 32 rule)
+    stats: dict = {}
+    for tb in map(
+        _ray.get,
+        ds.map_batches(stats_partial, batch_format="pyarrow").to_arrow_refs(),
+    ):
+        if not tb.num_rows:
+            continue
+        for tok, n in zip(tb["token"].to_pylist(), tb["df_part"].to_pylist()):
+            stats[tok] = stats.get(tok, 0) + int(n)
+    n_docs = int(stats.pop(_BM25_DOCS_KEY, 0))
+    n_toks = int(stats.pop(_BM25_TOKS_KEY, 0))
+    avg = n_toks // max(n_docs, 1)
+
+    # ONE scoring pass computing BOTH metrics; each batch emits the
+    # union of its two local top-k row sets, so <= 2k rows per block.
+    def score_both(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep_np = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        dl = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(dl, parent[keep_np], 1)
+        tot_tfidf = np.zeros(t.num_rows, dtype=np.int64)
+        tot_bm = np.zeros(t.num_rows, dtype=np.int64)
+        for term in terms:
+            dfv = int(stats.get(term, 0))
+            if not dfv:
+                continue
+            tf = np.zeros(t.num_rows, dtype=np.int64)
+            hits = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            np.add.at(tf, parent[hits], 1)
+            tot_tfidf += tf * TFIDF_SCALE // dfv
+            num = BM25_SCALE * 22 * avg * (n_docs - dfv + 1) * tf
+            den = (dfv + 1) * (10 * avg * tf + 3 * avg + 9 * dl)
+            tot_bm += num // np.maximum(den, 1)
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "score": pa.array(tot_tfidf, pa.int64()),
+                "score_micro": pa.array(tot_bm, pa.int64()),
+            }
+        )
+        top_a = (
+            out.filter(pc.greater(out["score"], 0))
+            .sort_by([("score", "descending"), ("doc_id", "ascending")])
+            .slice(0, k)
+        )
+        top_b = (
+            out.filter(pc.greater(out["score_micro"], 0))
+            .sort_by([("score_micro", "descending"), ("doc_id", "ascending")])
+            .slice(0, k)
+        )
+        both = pa.concat_tables([top_a, top_b])
+        g = pa.TableGroupBy(both, ["doc_id"]).aggregate(
+            [("score", "max"), ("score_micro", "max")]
+        )
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "score": g["score_max"],
+                "score_micro": g["score_micro_max"],
+            }
+        )
+
+    cand = [
+        r
+        for tb in map(
+            _ray.get,
+            ds.map_batches(score_both, batch_format="pyarrow").to_arrow_refs(),
+        )
+        if tb.num_rows
+        for r in tb.to_pylist()
+    ]
     lists = []
-    for r in (search_topk(sf_dir, k=k), bm25_topk(sf_dir, k=k)):
-        rows = r.take_all()  # sorted + limited upstream: order preserved
-        lists.append({row["doc_id"]: i + 1 for i, row in enumerate(rows)})
+    for key in ("score", "score_micro"):
+        ranked = sorted(
+            (r for r in cand if r[key] > 0), key=lambda r: (-r[key], r["doc_id"])
+        )[:k]
+        lists.append({r["doc_id"]: i + 1 for i, r in enumerate(ranked)})
     docs = sorted(set(lists[0]) | set(lists[1]))
     rrf = [
         sum(1_000_000 // (RRF_K + l[d]) for l in lists if d in l) for d in docs
