@@ -358,6 +358,7 @@ def run_bench() -> dict:
         "dup_graph_triangles",
         "bpe_apply_stats",
         "dedup_cluster_size_hist",
+        "mutual_knn_pairs",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

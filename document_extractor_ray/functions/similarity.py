@@ -2201,3 +2201,111 @@ GROUP BY q.vec_id
 ORDER BY outlier_score DESC, vec_id
 LIMIT {OUTLIER_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Mutual-kNN graph symmetrization (ANN-graph construction substrate)
+# ---------------------------------------------------------------------------
+
+MUTUAL_K = 5
+
+
+def mutual_knn_pairs(sf_dir: str, k: int = MUTUAL_K):
+    """Mutual k-nearest-neighbor pairs: (a, b) kept iff b is in a's
+    top-k by cosine AND a is in b's — the symmetrization step that
+    turns a directed kNN sweep into the undirected graph HNSW /
+    NN-descent / kNN-clustering builds on (mutuality filters hub
+    false-friends: a hub appears in everyone's top-k but reciprocates
+    few).  Neighbor order is (score desc, vec_id asc) via a STABLE
+    argsort over the id-sorted corpus, matching SQL row_number
+    exactly; scores stay float64 cosine with half-up micro reporting
+    (the embedding_topk_pairs convention).
+
+    Scale shape: one broadcast of the normalized corpus matrix
+    (ray.put), one batched matmul sweep emitting N*k directed edges,
+    mutuality as a driver set-intersection here (N*k-bounded); at
+    10^7+ vectors the directed edge table stays a Dataset and
+    mutuality becomes one pair-keyed bucketed count == 2 — the
+    IVF-bucketed sweep replaces the broadcast, same as knn_ivf."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.sort_by("vec_id")
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = _normalize_rows(embedding_matrix(t["embedding"]).astype(np.float64))
+    ref = ray.put({"ids": ids, "matrix": mat})
+
+    def directed(b: pa.Table) -> pa.Table:
+        from document_extractor_ray import state
+
+        st = state.cached_get(ref)
+        cids, cmat = st["ids"], st["matrix"]
+        q = _normalize_rows(embedding_matrix(b["embedding"]).astype(np.float64))
+        qids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
+        sims = q @ cmat.T
+        order = np.argsort(-sims, axis=1, kind="stable")  # ties -> id asc
+        src, dst, sc = [], [], []
+        take = order[:, : k + 1]
+        for i in range(len(qids)):
+            row = take[i]
+            row = row[cids[row] != qids[i]][:k]
+            src.extend([qids[i]] * len(row))
+            dst.extend(cids[row].tolist())
+            sc.extend(sims[i, row].tolist())
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "score": pa.array(sc, pa.float64()),
+            }
+        )
+
+    edges: dict[tuple, float] = {}
+    for tb in map(
+        ray.get,
+        _read_embeddings(sf_dir)
+        .map_batches(directed, batch_format="pyarrow", batch_size=2048)
+        .to_arrow_refs(),
+    ):
+        if not tb.num_rows:
+            continue
+        for s, d, sc in zip(
+            tb["src"].to_pylist(), tb["dst"].to_pylist(), tb["score"].to_pylist()
+        ):
+            edges[(s, d)] = sc
+    mutual = sorted(
+        (a, b) for (a, b) in edges if a < b and (b, a) in edges
+    )
+    return pa.table(
+        {
+            "vec_a": pa.array([a for a, _ in mutual], pa.int64()),
+            "vec_b": pa.array([b for _, b in mutual], pa.int64()),
+            "sim_micro": pa.array(
+                [int(np.floor(edges[p] * 1e6 + 0.5)) for p in mutual], pa.int64()
+            ),
+        }
+    )
+
+
+MUTUAL_KNN_PAIRS_SQL = f"""
+WITH s AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           AS score
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT va, vb, score,
+         row_number() OVER (PARTITION BY va ORDER BY score DESC, vb) AS rn
+  FROM s
+),
+knn AS (SELECT va, vb, score FROM r WHERE rn <= {MUTUAL_K}),
+m AS (
+  SELECT k1.va AS vec_a, k1.vb AS vec_b, k1.score
+  FROM knn k1 JOIN knn k2 ON k2.va = k1.vb AND k2.vb = k1.va
+  WHERE k1.va < k1.vb
+)
+SELECT vec_a, vec_b,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS sim_micro
+FROM m ORDER BY vec_a, vec_b
+"""

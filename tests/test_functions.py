@@ -257,6 +257,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "dup_graph_triangles",
         "bpe_apply_stats",
         "dedup_cluster_size_hist",
+        "mutual_knn_pairs",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3264,3 +3265,22 @@ def test_cluster_size_hist_mass(ray_session):
     hist = dedup_cluster_size_hist_docs(SF).to_pylist()
     n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
     assert sum(r["cluster_size"] * r["n_clusters"] for r in hist) == n_docs
+
+
+def test_mutual_knn_symmetry(ray_session):
+    """Every mutual pair is canonical (a < b), and mutuality is a
+    strict subset of the directed kNN relation: pair count <= N*k/2."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.similarity import (
+        MUTUAL_K,
+        mutual_knn_pairs,
+    )
+
+    t = mutual_knn_pairs(SF)
+    n_vecs = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    assert 0 < t.num_rows <= n_vecs * MUTUAL_K // 2
+    rows = t.to_pylist()
+    for r in rows:
+        assert r["vec_a"] < r["vec_b"]
+        assert -1_000_000 <= r["sim_micro"] <= 1_000_000
