@@ -5708,7 +5708,7 @@ ORDER BY tf.token
 # Winnowing fingerprints (full selection, Schleimer/Wilkerson/Aiken 2003)
 # ---------------------------------------------------------------------------
 
-def winnowing_fingerprints(sf_dir: str, window: int = 8, guard: int = 4):
+def _winnowing_fp_ds(sf_dir: str, window: int = 8, guard: int = 4):
     """Full winnowing selection over the SAME Rabin-Karp word-window
     hashes as ``rolling_fingerprint`` (base 1000003 mod 2^63, crc32
     words, non-lowered split()): every guarantee window of ``guard``
@@ -5772,7 +5772,15 @@ def winnowing_fingerprints(sf_dir: str, window: int = 8, guard: int = 4):
             }
         )
 
-    return ds.map_batches(per_batch, batch_format="pyarrow").sort(["doc_id", "pos"])
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def winnowing_fingerprints(sf_dir: str, window: int = 8, guard: int = 4):
+    """Sorted public surface of the winnowing selection (kernel and
+    provenance in ``_winnowing_fp_ds``'s docstring); compositions that
+    re-key by fp (winnowing_overlap_pairs) use the unsorted kernel
+    directly — the (doc_id, pos) sort is presentation, not semantics."""
+    return _winnowing_fp_ds(sf_dir, window, guard).sort(["doc_id", "pos"])
 
 
 # ---------------------------------------------------------------------------
@@ -6313,7 +6321,7 @@ def winnowing_overlap_pairs(sf_dir: str, window: int = 8, guard: int = 4):
     the LSH family does."""
     from document_extractor_ray.functions import bucketing
 
-    fp = winnowing_fingerprints(sf_dir, window=window, guard=guard)
+    fp = _winnowing_fp_ds(sf_dir, window=window, guard=guard)
     distinct = bucketing.bucketed_agg(
         fp.map_batches(
             lambda t: pa.table(
