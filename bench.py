@@ -360,6 +360,7 @@ def run_bench() -> dict:
         "dedup_cluster_size_hist",
         "mutual_knn_pairs",
         "good_turing_counts",
+        "hll_estimate_audit",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

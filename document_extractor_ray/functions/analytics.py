@@ -12217,3 +12217,146 @@ ORDER BY t.event_type
 
 
 EVENT_MARKOV_STATIONARY_SQL = _markov_sql()
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch accuracy audit: integer-exact estimate vs exact distinct
+# ---------------------------------------------------------------------------
+
+_HLL_ALPHA_NUM = 7213          # alpha(m) = 0.7213/(1 + 1.079/m)
+_HLL_ALPHA_DEN_A = 10000       # = 7213*m / (10000*m + 10790) exactly
+_HLL_ALPHA_DEN_B = 10790
+
+
+def hll_estimate_audit(sf_dir: str):
+    """Completes the sketch-audit trio (bloom FP surplus, HDR
+    quantile error): per day, the EXACT distinct-user count next to
+    the HLL estimate computed in EXACT INTEGER arithmetic — alpha is
+    the exact rational 7213m/(10000m+10790), the harmonic sum is
+    S = sum_j 2^(64-rho_j) in unbounded ints (HUGEINT in SQL), the
+    raw estimate is alpha*m^2*2^64*1000 // S milli, and the
+    small-range branch (raw <= 2.5m, zeros > 0) is linear counting
+    m*(ln_micro m - ln_micro zeros)//1000 — so even the sketch's
+    ERROR is oracle-reproducible bit for bit.
+
+    Scale shape: the registers side IS hll_daily_registers (bounded
+    days x 256 cells); the exact side is a per-day distinct fold —
+    at 10^12 events the exact audit runs on sampled days only (the
+    register estimate is the production number), which this operator's
+    bounded per-day fold supports directly."""
+    import math
+
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    m = HLL_M
+    regs: dict = {}
+    for r in hll_daily_registers(sf_dir).take_all():
+        regs.setdefault(r["day"], []).append(int(r["max_rho"]))
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def du_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "day": pc.floor_temporal(t["ts"], unit="day"),
+                    "user_id": t["user_id"],
+                }
+            ),
+            ["day", "user_id"],
+        ).aggregate([])
+        return pa.table(
+            {
+                "day": g["day"],
+                "user_id": g["user_id"],
+                "one": pa.array(np.ones(g.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    pairs = bucketed_agg(
+        ds.map_batches(du_partial, batch_format="pyarrow"),
+        ["day", "user_id"],
+        [("one", "max", "one")],
+    )
+    exact: dict = {}
+    for tb in map(ray.get, pairs.to_arrow_refs()):
+        if not tb.num_rows:
+            continue
+        for d in tb["day"].to_pylist():
+            exact[d] = exact.get(d, 0) + 1
+
+    out = {k: [] for k in ("day", "n_exact", "zeros", "est_milli", "err_milli")}
+    lnm_m = int(math.floor(math.log(m) * 1_000_000 + 0.5))
+    for day in sorted(exact):
+        rhos = regs.get(day, [])
+        hit = len(rhos)
+        zeros = m - hit
+        S = sum((1 << 64) >> rho for rho in rhos) + zeros * (1 << 64)
+        est = (
+            _HLL_ALPHA_NUM * m * m * m * 1000 * (1 << 64)
+        ) // ((_HLL_ALPHA_DEN_A * m + _HLL_ALPHA_DEN_B) * S)
+        if est <= 2500 * m and zeros > 0:
+            lnz = int(math.floor(math.log(zeros) * 1_000_000 + 0.5))
+            est = m * (lnm_m - lnz) // 1000
+        out["day"].append(day)
+        out["n_exact"].append(exact[day])
+        out["zeros"].append(zeros)
+        out["est_milli"].append(est)
+        out["err_milli"].append(est - 1000 * exact[day])
+    return pa.table(
+        {
+            "day": pa.array(out["day"], pa.timestamp("us")),
+            "n_exact": pa.array(out["n_exact"], pa.int64()),
+            "zeros": pa.array(out["zeros"], pa.int64()),
+            "est_milli": pa.array(out["est_milli"], pa.int64()),
+            "err_milli": pa.array(out["err_milli"], pa.int64()),
+        }
+    )
+
+
+def _hll_audit_sql() -> str:
+    m = HLL_M
+    two64 = 1 << 64
+    an, da, db = _HLL_ALPHA_NUM, _HLL_ALPHA_DEN_A, _HLL_ALPHA_DEN_B
+    num = an * m * m * m * 1000 * two64
+    den_c = da * m + db
+    return f"""
+WITH regs AS ({HLL_DAILY_REGISTERS_SQL}),
+agg AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS hit,
+         sum({two64}::HUGEINT // (1::BIGINT << max_rho)) AS s_hit
+  FROM regs GROUP BY day
+),
+ex AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+),
+j AS (
+  SELECT ex.day, ex.n_exact,
+         CAST({m} - coalesce(agg.hit, 0) AS BIGINT) AS zeros,
+         coalesce(agg.s_hit, 0)
+           + ({m} - coalesce(agg.hit, 0)) * {two64}::HUGEINT AS s
+  FROM ex LEFT JOIN agg ON agg.day = ex.day
+),
+est AS (
+  SELECT day, n_exact, zeros,
+         {num}::HUGEINT // ({den_c}::HUGEINT * s) AS raw
+  FROM j
+)
+SELECT day, n_exact, zeros,
+       CAST(CASE WHEN raw <= {2500 * m} AND zeros > 0
+                 THEN {m} * (CAST(round(ln({m}) * 1000000) AS BIGINT)
+                             - CAST(round(ln(zeros) * 1000000) AS BIGINT))
+                      // 1000
+                 ELSE raw END AS BIGINT) AS est_milli,
+       CAST(CASE WHEN raw <= {2500 * m} AND zeros > 0
+                 THEN {m} * (CAST(round(ln({m}) * 1000000) AS BIGINT)
+                             - CAST(round(ln(zeros) * 1000000) AS BIGINT))
+                      // 1000
+                 ELSE raw END - 1000 * n_exact AS BIGINT) AS err_milli
+FROM est ORDER BY day
+"""
+
+
+HLL_ESTIMATE_AUDIT_SQL = _hll_audit_sql()

@@ -259,6 +259,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "dedup_cluster_size_hist",
         "mutual_knn_pairs",
         "good_turing_counts",
+        "hll_estimate_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3305,3 +3306,17 @@ def test_good_turing_mass(ray_session):
     for r in gt:
         nxt = nof.get(r["r"] + 1, 0)
         assert r["r_star_micro"] == 1_000_000 * (r["r"] + 1) * nxt // r["n_types"]
+
+
+def test_hll_estimate_audit_error_band(ray_session):
+    """The sketch's promise, measured: per day the estimate lands
+    within ~5 standard errors of exact (1.04/sqrt(256) = 6.5% std
+    error; 35% is the generous pytest band), and err_milli is the
+    exact difference column."""
+    from document_extractor_ray.functions.analytics import hll_estimate_audit
+
+    rows = hll_estimate_audit(SF).to_pylist()
+    assert rows
+    for r in rows:
+        assert r["err_milli"] == r["est_milli"] - 1000 * r["n_exact"]
+        assert abs(r["err_milli"]) <= 350 * r["n_exact"] + 2000
