@@ -1024,7 +1024,9 @@ def user_first_last(sf_dir: str):
             0x7FFFFFFF
         )
         out["part"] = (h % np.uint64(n_parts)).astype(np.int32)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
@@ -1095,7 +1097,9 @@ def user_event_paths(sf_dir: str, max_steps: int = PATH_MAX_STEPS):
             0x7FFFFFFF
         )
         df["part"] = (h % np.uint64(n_parts)).astype(np.int32)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
@@ -6574,7 +6578,7 @@ def spike_days(sf_dir: str, num: int = SPIKE_NUM, den: int = SPIKE_DEN):
         res = pd.concat(out) if out else df.iloc[:0].assign(median_n=0)
         return pa.Table.from_pandas(
             res[["event_type", "d", "n", "median_n"]], preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     def tag(t: pa.Table) -> pa.Table:
         return t.append_column("g", pa.array(np.zeros(t.num_rows, np.int32)))
@@ -7038,7 +7042,9 @@ def events_cube(sf_dir: str):
         res["n"] = res["n"].astype("int64")
         res["cents"] = res["cents"].astype("int64")
         res["dow"] = res["dow"].astype("int64")
-        return pa.Table.from_pandas(res, preserve_index=False)
+        return pa.Table.from_pandas(
+            res, preserve_index=False
+        ).replace_schema_metadata(None)
 
     def tag(t: pa.Table) -> pa.Table:
         return t.append_column("g", pa.array(np.zeros(t.num_rows, np.int32)))
@@ -7417,7 +7423,9 @@ def events_resample_5min(sf_dir: str):
             out.append(
                 pd.DataFrame({"event_type": et, "bin": grid, "n": dense})
             )
-        return pa.Table.from_pandas(pd.concat(out, ignore_index=True), preserve_index=False)
+        return pa.Table.from_pandas(
+            pd.concat(out, ignore_index=True), preserve_index=False
+        ).replace_schema_metadata(None)
 
     def tag(t: pa.Table) -> pa.Table:
         return t.append_column("g", pa.array(np.zeros(t.num_rows, np.int32)))
@@ -7949,7 +7957,7 @@ def value_benford_profile(sf_dir: str):
         df["share_permille"] = (1000 * df["n"] // tot).astype("int64")
         return pa.Table.from_pandas(
             df[["event_type", "digit", "n", "share_permille"]], preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     def tag(t: pa.Table) -> pa.Table:
         return t.append_column("g", pa.array(np.zeros(t.num_rows, np.int32)))
@@ -8184,7 +8192,7 @@ def mktseg_priority_contingency(sf_dir: str, broadcast_limit: int = 2_000_000):
         return pa.Table.from_pandas(
             df[["segment", "priority", "n", "row_total", "col_total", "grand_total"]],
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     def tag(t: pa.Table) -> pa.Table:
         return t.append_column("g", pa.array(np.zeros(t.num_rows, np.int32)))

@@ -453,7 +453,9 @@ def domain_cap(sf_dir: str, cap: int = DOMAIN_CAP_K):
             df["doc_id"].to_numpy().astype(np.uint64) % np.uint64(DOMAIN_CAP_MOD)
         ) * np.uint64(2654435761) & np.uint64(0x7FFFFFFF)
         df["part"] = (h % np.uint64(n_parts)).astype(np.int32)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["host", "doc_id"], kind="mergesort")
