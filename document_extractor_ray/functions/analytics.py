@@ -2614,11 +2614,18 @@ def user_retention(sf_dir: str):
             .size()
         )
         idx = tri.index.to_frame(index=False)
-        return pd.DataFrame(
+        # return an ARROW block: a pandas return makes Ray's own
+        # pandas->arrow conversion attach dict schema metadata that
+        # floods "Failed to hash the schemas" warnings downstream
+        return pa.table(
             {
-                "cohort_day": idx["cohort"].to_numpy().astype("int64"),
-                "week_offset": idx["off"].to_numpy().astype("int64"),
-                "n_users": tri.to_numpy().astype("int64"),
+                "cohort_day": pa.array(
+                    idx["cohort"].to_numpy().astype("int64"), pa.int64()
+                ),
+                "week_offset": pa.array(
+                    idx["off"].to_numpy().astype("int64"), pa.int64()
+                ),
+                "n_users": pa.array(tri.to_numpy().astype("int64"), pa.int64()),
             }
         )
 
