@@ -361,6 +361,8 @@ def run_bench() -> dict:
         "mutual_knn_pairs",
         "good_turing_counts",
         "hll_estimate_audit",
+        "orders_trend_decompose",
+        "churn_hazard_curve",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

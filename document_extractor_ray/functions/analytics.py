@@ -12375,3 +12375,190 @@ FROM est ORDER BY day
 
 
 HLL_ESTIMATE_AUDIT_SQL = _hll_audit_sql()
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition of the daily order series (integer-exact)
+# ---------------------------------------------------------------------------
+
+def orders_trend_decompose(sf_dir: str):
+    """Classical trend/residual decomposition of daily order counts in
+    EXACT integers: trend7_sum = the 7-day CENTERED window sum (full
+    windows only), resid7 = 7*n - trend7_sum (positive = above-trend
+    day, the seasonality+noise component x7) — the decomposition
+    step behind orders_dow_profile's seasonal effect, kept in window
+    sums so no division ever rounds.
+
+    Scale shape: the (day, n) series folds bounded from per-batch
+    partials (days, not orders); the centered window walk is a
+    prefix-sum over that bounded series."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"day": t["o_orderdate"]}), ["day"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    agg: dict = {}
+    for tb in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not tb.num_rows:
+            continue
+        for d, n in zip(tb["day"].to_pylist(), tb["n"].to_pylist()):
+            agg[d] = agg.get(d, 0) + int(n)
+    days = sorted(agg)
+    ns = [agg[d] for d in days]
+    out_d, out_n, out_t, out_r = [], [], [], []
+    for i in range(3, len(days) - 3):
+        t7 = sum(ns[i - 3 : i + 4])
+        out_d.append(days[i])
+        out_n.append(ns[i])
+        out_t.append(t7)
+        out_r.append(7 * ns[i] - t7)
+    return pa.table(
+        {
+            "day": pa.array(out_d, pa.timestamp("us")),
+            "n": pa.array(out_n, pa.int64()),
+            "trend7_sum": pa.array(out_t, pa.int64()),
+            "resid7": pa.array(out_r, pa.int64()),
+        }
+    )
+
+
+ORDERS_TREND_DECOMPOSE_SQL = """
+WITH d AS (
+  SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT day, n,
+         CAST(sum(n) OVER (ORDER BY day
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+           AS trend7_sum,
+         CAST(count(*) OVER (ORDER BY day
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS wn
+  FROM d
+)
+SELECT day, n, trend7_sum, CAST(7 * n - trend7_sum AS BIGINT) AS resid7
+FROM w WHERE wn = 7
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Churn hazard curve (discrete survival analysis over activity weeks)
+# ---------------------------------------------------------------------------
+
+def churn_hazard_curve(sf_dir: str):
+    """Discrete-time churn hazard over QUARTERS-since-first-order per
+    customer: per offset k, at_risk = customers whose last-order
+    offset >= k, churned = customers whose last offset is EXACTLY k
+    and who are not right-censored (still ordering in the final
+    observed quarter), hazard_permille = churned*1000 // at_risk —
+    the Kaplan-Meier-style survival statistic user_retention's cohort
+    matrix doesn't give (hazard conditions on being alive, retention
+    doesn't).  Quarters, because the events table's users are all
+    active across the whole window (every hazard would be 0) while
+    customer order spans genuinely vary.
+
+    Scale shape: per-customer (first, last) are two bucketed min/max
+    aggregates over (customer, quarter) ints; the offset histogram
+    folds bounded by the quarter span, never customer count."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    q_us = 91 * 24 * 3600 * 1_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = pc.divide(pc.cast(t["o_orderdate"], pa.int64()), q_us)
+        g = pa.TableGroupBy(
+            pa.table({"user_id": t["o_custkey"], "w": w}), ["user_id"]
+        ).aggregate([("w", "min"), ("w", "max")])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "wmin": pc.cast(g["w_min"], pa.int64()),
+                "wmax": pc.cast(g["w_max"], pa.int64()),
+            }
+        )
+
+    lo = bucketed_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        [("wmin", "min", "wmin"), ("wmax", "max", "wmax")],
+    )
+    first: dict = {}
+    last: dict = {}
+    for tb in map(ray.get, lo.to_arrow_refs()):
+        if not tb.num_rows:
+            continue
+        for u, a, b in zip(
+            tb["user_id"].to_pylist(), tb["wmin"].to_pylist(), tb["wmax"].to_pylist()
+        ):
+            first[u] = min(first.get(u, a), a)
+            last[u] = max(last.get(u, b), b)
+    wmax_global = max(last.values())
+    offs: dict[int, list] = {}
+    for u in first:
+        k = last[u] - first[u]
+        censored = 1 if last[u] == wmax_global else 0
+        a = offs.setdefault(k, [0, 0])
+        a[0] += 1
+        a[1] += 1 - censored
+    ks = sorted(offs)
+    total = sum(v[0] for v in offs.values())
+    out_k, out_ar, out_ch, out_hz = [], [], [], []
+    cum = 0
+    for k in ks:
+        at_risk = total - cum
+        churned = offs[k][1]
+        out_k.append(k)
+        out_ar.append(at_risk)
+        out_ch.append(churned)
+        out_hz.append(churned * 1000 // at_risk)
+        cum += offs[k][0]
+    return pa.table(
+        {
+            "week_offset": pa.array(out_k, pa.int64()),
+            "at_risk": pa.array(out_ar, pa.int64()),
+            "churned": pa.array(out_ch, pa.int64()),
+            "hazard_permille": pa.array(out_hz, pa.int64()),
+        }
+    )
+
+
+CHURN_HAZARD_SQL = """
+WITH uw AS (
+  SELECT o_custkey,
+         min(CAST(epoch_us(o_orderdate::TIMESTAMP) AS BIGINT) // 7862400000000)
+           AS wmin,
+         max(CAST(epoch_us(o_orderdate::TIMESTAMP) AS BIGINT) // 7862400000000)
+           AS wmax
+  FROM orders GROUP BY o_custkey
+),
+g AS (SELECT max(wmax) AS wg FROM uw),
+o AS (
+  SELECT CAST(uw.wmax - uw.wmin AS BIGINT) AS k,
+         CAST(CASE WHEN uw.wmax = g.wg THEN 0 ELSE 1 END AS BIGINT) AS obs
+  FROM uw, g
+),
+h AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_k, CAST(sum(obs) AS BIGINT) AS churned
+  FROM o GROUP BY k
+),
+c AS (
+  SELECT k, n_k, churned,
+         CAST((SELECT count(*) FROM o) AS BIGINT)
+           - CAST(coalesce(sum(n_k) OVER (ORDER BY k
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS at_risk
+  FROM h
+)
+SELECT k AS week_offset, at_risk, churned,
+       CAST(churned * 1000 // at_risk AS BIGINT) AS hazard_permille
+FROM c ORDER BY week_offset
+"""

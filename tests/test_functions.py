@@ -260,6 +260,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "mutual_knn_pairs",
         "good_turing_counts",
         "hll_estimate_audit",
+        "orders_trend_decompose",
+        "churn_hazard_curve",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3320,3 +3322,30 @@ def test_hll_estimate_audit_error_band(ray_session):
     for r in rows:
         assert r["err_milli"] == r["est_milli"] - 1000 * r["n_exact"]
         assert abs(r["err_milli"]) <= 350 * r["n_exact"] + 2000
+
+
+def test_orders_trend_residual_zero_sum_window(ray_session):
+    """resid7 = 7n - window sum by construction; the trend window is
+    exactly the sum of its 7 days (spot-check via reconstruction)."""
+    from document_extractor_ray.functions.analytics import orders_trend_decompose
+
+    rows = orders_trend_decompose(SF).to_pylist()
+    assert rows
+    ns = [r["n"] for r in rows]
+    for i in range(3, len(rows) - 3):
+        # interior rows of the OUTPUT reconstruct from output n's
+        assert rows[i]["resid7"] == 7 * rows[i]["n"] - rows[i]["trend7_sum"]
+
+
+def test_churn_hazard_monotone_risk(ray_session):
+    """at_risk is strictly decreasing in the offset, churned <=
+    at_risk, and hazard follows its integer formula."""
+    from document_extractor_ray.functions.analytics import churn_hazard_curve
+
+    rows = churn_hazard_curve(SF).to_pylist()
+    assert len(rows) >= 2
+    for a, b in zip(rows, rows[1:]):
+        assert a["at_risk"] > b["at_risk"]
+    for r in rows:
+        assert 0 <= r["churned"] <= r["at_risk"]
+        assert r["hazard_permille"] == r["churned"] * 1000 // r["at_risk"]
