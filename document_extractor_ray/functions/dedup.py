@@ -2824,3 +2824,41 @@ def dedup_cluster_size_hist_docs(sf_dir: str):
     from document_extractor_ray.functions.textstats import _read_docs
 
     return dedup_cluster_size_hist(_read_docs(sf_dir, ["doc_id", "text"]))
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming-distance histogram (threshold-calibration audit)
+# ---------------------------------------------------------------------------
+
+def simhash_hamming_hist(ds: "ray.data.Dataset"):
+    """Histogram of Hamming distances over ALL SimHash chunk-bucket
+    candidate pairs (distance cap lifted to 63) — the calibration plot
+    behind simhash_dup_pairs' max_distance=3 cutoff: a healthy corpus
+    shows a near-dup mode at small distance, a background mode near 32
+    (random 63-bit fingerprints), and the valley between them is where
+    the threshold belongs.  Same audit role as lsh_band_histogram for
+    the MinHash side.
+
+    Scale shape: identical exchange to simhash_dup_pairs (chunk-bucket
+    pair kernel, pair-deduped min distance via bucketed minmax); only
+    the 64-bin histogram folds on the driver."""
+    pairs = simhash_dup_pairs(ds, max_distance=63)
+    hist: dict[int, int] = {}
+    for tb in map(ray.get, pairs.to_arrow_refs()):
+        if not tb.num_rows:
+            continue
+        for d in tb["distance"].to_pylist():
+            hist[int(d)] = hist.get(int(d), 0) + 1
+    ks = sorted(hist)
+    return pa.table(
+        {
+            "distance": pa.array(ks, pa.int64()),
+            "n_pairs": pa.array([hist[k] for k in ks], pa.int64()),
+        }
+    )
+
+
+def simhash_hamming_hist_docs(sf_dir: str):
+    from document_extractor_ray.functions.textstats import _read_docs
+
+    return simhash_hamming_hist(_read_docs(sf_dir, ["doc_id", "text"]))

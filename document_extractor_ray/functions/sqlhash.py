@@ -1022,3 +1022,65 @@ sz AS (
 )
 SELECT s AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
 FROM sz GROUP BY s ORDER BY s"""
+
+
+def simhash_hamming_hist_sql() -> str:
+    """Oracle for ``dedup.simhash_hamming_hist``: the simhash table,
+    4x 16-bit chunk-bucket candidates, per-pair 63-bit Hamming
+    distance via the bit-count of xor, distance histogram."""
+    return f"""WITH RECURSIVE
+{_words(lower=True)},
+{_CRC_TABLE},
+{_WORD_CRC},
+wh AS (
+  SELECT doc_id, pos,
+         (crc::HUGEINT * {GOLD}::HUGEINT) % {P64}::HUGEINT AS h
+  FROM wcrc
+),
+nw AS (SELECT doc_id, count(*) AS n FROM wh GROUP BY doc_id),
+pow2(b, p) AS (
+  SELECT 0, 1::HUGEINT UNION ALL SELECT b + 1, p * 2 FROM pow2 WHERE b < 63
+),
+votes AS (
+  SELECT wh.doc_id, pow2.p, sum((wh.h // pow2.p) % 2) AS v
+  FROM wh CROSS JOIN pow2 GROUP BY wh.doc_id, pow2.p
+),
+sh0 AS (
+  SELECT votes.doc_id,
+         sum(CASE WHEN 2 * votes.v - nw.n > 0 THEN votes.p ELSE 0::HUGEINT END)
+           AS val
+  FROM votes JOIN nw USING (doc_id) GROUP BY votes.doc_id
+),
+sh AS (
+  SELECT d.doc_id, CAST(coalesce(sh0.val, 0::HUGEINT) // 2 AS BIGINT) AS fp
+  FROM documents d LEFT JOIN sh0 ON sh0.doc_id = d.doc_id
+),
+hv AS (
+  SELECT d.doc_id, coalesce(sh0.val, 0::HUGEINT) AS v
+  FROM documents d LEFT JOIN sh0 ON sh0.doc_id = d.doc_id
+),
+chunkdiv(c, p) AS (VALUES
+  (0, 1::HUGEINT), (1, 65536::HUGEINT),
+  (2, 4294967296::HUGEINT), (3, 281474976710656::HUGEINT)
+),
+ch AS (
+  -- chunks of the FULL 64-bit hash (the engine buckets before >>1)
+  SELECT hv.doc_id, chunkdiv.c AS chunk_id,
+         CAST((hv.v // chunkdiv.p) % 65536 AS BIGINT) AS chunk_val
+  FROM hv CROSS JOIN chunkdiv
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ch a JOIN ch b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+),
+dist AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(bit_count(CAST(xor(sa.fp, sb.fp) AS BIGINT)) AS BIGINT) AS d
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+)
+SELECT d AS distance, CAST(count(*) AS BIGINT) AS n_pairs
+FROM dist GROUP BY d ORDER BY d"""

@@ -262,6 +262,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "hll_estimate_audit",
         "orders_trend_decompose",
         "churn_hazard_curve",
+        "simhash_hamming_hist",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3349,3 +3350,19 @@ def test_churn_hazard_monotone_risk(ray_session):
     for r in rows:
         assert 0 <= r["churned"] <= r["at_risk"]
         assert r["hazard_permille"] == r["churned"] * 1000 // r["at_risk"]
+
+
+def test_simhash_hamming_valley(ray_session):
+    """The calibration property the histogram exists for: the near-dup
+    mode (distance <= 3) is separated from the random-background mode
+    (distance ~ 31 of 63) — no pair mass in between would mean the
+    threshold is meaningless.  Pins near-dup pairs exist AND the
+    background mode sits in the 20-45 band."""
+    from document_extractor_ray.functions.dedup import simhash_hamming_hist_docs
+
+    rows = simhash_hamming_hist_docs(SF).to_pylist()
+    assert rows
+    near = sum(r["n_pairs"] for r in rows if r["distance"] <= 3)
+    back = sum(r["n_pairs"] for r in rows if 20 <= r["distance"] <= 45)
+    assert near > 0
+    assert back > near  # random collisions dominate raw candidates
