@@ -364,6 +364,7 @@ def run_bench() -> dict:
         "orders_trend_decompose",
         "churn_hazard_curve",
         "simhash_hamming_hist",
+        "label_silhouette",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

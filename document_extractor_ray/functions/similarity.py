@@ -2309,3 +2309,120 @@ SELECT vec_a, vec_b,
        CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS sim_micro
 FROM m ORDER BY vec_a, vec_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Silhouette-style separation margins over the labeled embeddings
+# ---------------------------------------------------------------------------
+
+def label_silhouette(sf_dir: str):
+    """Per-vector cluster-separation margin: a_micro = floored mean
+    pair-similarity to the OWN label (self excluded), b_micro = the
+    best other-label floored mean, margin_micro = a - b (positive =
+    the vector sits with its own cluster) — the silhouette-style
+    clustering-quality audit next to label_centroids/label_medoid,
+    kept integer end to end: each pair contributes its half-up micro
+    int (summation-order-free), and every mean uses the
+    convention-proof floor (S - ((S%n + n)%n)) // n so negative
+    similarity sums cannot split on division conventions.  Vectors in
+    singleton labels have no own-pairs and are dropped (the SQL inner
+    join does the same).
+
+    Scale shape: one broadcast of the corpus matrix + labels; per
+    batch ONE matmul then |labels| masked column sums — never a
+    members^2 table; self-pairs are excluded by position via
+    searchsorted against the id-sorted corpus."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    ).sort_by("vec_id")
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    labels = np.asarray(t["label"].to_pylist(), dtype=np.int64)
+    mat = _normalize_rows(embedding_matrix(t["embedding"]).astype(np.float64))
+    uniq = np.unique(labels)
+    ref = ray.put({"ids": ids, "labels": labels, "matrix": mat, "uniq": uniq})
+
+    def margins(b: pa.Table) -> pa.Table:
+        from document_extractor_ray import state
+
+        st = state.cached_get(ref)
+        cids, clab, cmat, ulab = (
+            st["ids"], st["labels"], st["matrix"], st["uniq"],
+        )
+        q = _normalize_rows(embedding_matrix(b["embedding"]).astype(np.float64))
+        qids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
+        qlab = np.asarray(b["label"].to_pylist(), dtype=np.int64)
+        micro = np.floor((q @ cmat.T) * 1_000_000 + 0.5).astype(np.int64)
+        pos = np.searchsorted(cids, qids)
+        self_micro = micro[np.arange(len(qids)), pos]
+        sums = np.stack(
+            [micro[:, clab == l].sum(axis=1) for l in ulab], axis=1
+        )
+        counts = np.array([(clab == l).sum() for l in ulab], dtype=np.int64)
+
+        def fdiv(s, n):
+            return (s - ((s % n + n) % n)) // n
+
+        out = {"vec_id": [], "label": [], "a_micro": [], "b_micro": [],
+               "margin_micro": []}
+        for i in range(len(qids)):
+            li = int(qlab[i])
+            col = int(np.nonzero(ulab == li)[0][0])
+            n_own = int(counts[col]) - 1
+            if n_own <= 0:
+                continue
+            a = int(fdiv(sums[i, col] - self_micro[i], n_own))
+            b_best = None
+            for c, l in enumerate(ulab):
+                if c == col:
+                    continue
+                m = int(fdiv(sums[i, c], int(counts[c])))
+                b_best = m if b_best is None else max(b_best, m)
+            out["vec_id"].append(int(qids[i]))
+            out["label"].append(li)
+            out["a_micro"].append(a)
+            out["b_micro"].append(b_best)
+            out["margin_micro"].append(a - b_best)
+        return pa.table(
+            {
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "label": pa.array(out["label"], pa.int64()),
+                "a_micro": pa.array(out["a_micro"], pa.int64()),
+                "b_micro": pa.array(out["b_micro"], pa.int64()),
+                "margin_micro": pa.array(out["margin_micro"], pa.int64()),
+            }
+        )
+
+    return (
+        _read_embeddings(sf_dir, with_label=True)
+        .map_batches(margins, batch_format="pyarrow", batch_size=2048)
+        .sort("vec_id")
+    )
+
+
+LABEL_SILHOUETTE_SQL = """
+WITH pair AS (
+  SELECT a.vec_id, CAST(a.label AS BIGINT) AS la, CAST(b.label AS BIGINT) AS lb,
+         CAST(floor(list_cosine_similarity(
+             a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000 + 0.5)
+           AS BIGINT) AS sm
+  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+),
+agg AS (
+  SELECT vec_id, la, lb, CAST(sum(sm) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pair GROUP BY 1, 2, 3
+),
+mean AS (
+  SELECT vec_id, la, lb, (s - ((s % n + n) % n)) // n AS m FROM agg
+),
+a AS (SELECT vec_id, la AS label, CAST(m AS BIGINT) AS a_micro
+      FROM mean WHERE la = lb),
+b AS (SELECT vec_id, CAST(max(m) AS BIGINT) AS b_micro
+      FROM mean WHERE la != lb GROUP BY vec_id)
+SELECT a.vec_id, a.label, a.a_micro, b.b_micro,
+       CAST(a.a_micro - b.b_micro AS BIGINT) AS margin_micro
+FROM a JOIN b USING (vec_id)
+ORDER BY a.vec_id
+"""

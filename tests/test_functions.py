@@ -263,6 +263,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "orders_trend_decompose",
         "churn_hazard_curve",
         "simhash_hamming_hist",
+        "label_silhouette",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3366,3 +3367,26 @@ def test_simhash_hamming_valley(ray_session):
     back = sum(r["n_pairs"] for r in rows if 20 <= r["distance"] <= 45)
     assert near > 0
     assert back > near  # random collisions dominate raw candidates
+
+
+def test_label_silhouette_audit_structure(ray_session):
+    """Structural pins for the separation audit: margin is exactly
+    a - b, micros stay in the cosine range, every non-singleton-label
+    vector appears once, and b_micro is genuinely the MAX over other
+    labels (it can exceed a_micro — on this corpus the label column
+    is NOT embedding-clustered, which is precisely the finding the
+    audit exists to surface; the driver oracle pins the values)."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.similarity import label_silhouette
+
+    rows = label_silhouette(SF).take_all()
+    n_vecs = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    assert len(rows) == n_vecs  # no singleton labels in the fixture
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    neg = sum(1 for r in rows if r["margin_micro"] < 0)
+    assert 0 < neg  # the corpus-vacuity fact this audit measures
+    for r in rows:
+        assert -1_000_000 <= r["a_micro"] <= 1_000_000
+        assert -1_000_000 <= r["b_micro"] <= 1_000_000
+        assert r["margin_micro"] == r["a_micro"] - r["b_micro"]
