@@ -365,6 +365,7 @@ def run_bench() -> dict:
         "churn_hazard_curve",
         "simhash_hamming_hist",
         "label_silhouette",
+        "langid_kappa",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

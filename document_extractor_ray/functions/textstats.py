@@ -6983,3 +6983,75 @@ SELECT a.r, a.n_types,
 FROM nof a LEFT JOIN nof b ON b.r = a.r + 1
 ORDER BY a.r
 """
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa for the language classifier (chance-corrected agreement)
+# ---------------------------------------------------------------------------
+
+def langid_kappa(sf_dir: str):
+    """Cohen's kappa between the heuristic classifier and the corpus
+    lang labels, as ONE exact integer rational on top of
+    lang_confusion's matrix: kappa = (agree*N - sum_c row_c*col_c) /
+    (N^2 - sum_c row_c*col_c), reported as the raw numerator/
+    denominator plus kappa_micro with the convention-proof floor —
+    the chance-corrected single-number audit a confusion matrix alone
+    doesn't give (a degenerate classifier predicting the majority
+    class can still show high raw accuracy).
+
+    Scale shape: entirely a fold over lang_confusion's bounded
+    label-square; the classifier pass is the only corpus-sized work."""
+    rows = lang_confusion(sf_dir).take_all()
+    agree = sum(r["n_docs"] for r in rows if r["lang"] == r["pred_lang"])
+    n = sum(r["n_docs"] for r in rows)
+    row_tot: dict[str, int] = {}
+    col_tot: dict[str, int] = {}
+    for r in rows:
+        row_tot[r["lang"]] = row_tot.get(r["lang"], 0) + int(r["n_docs"])
+        col_tot[r["pred_lang"]] = col_tot.get(r["pred_lang"], 0) + int(r["n_docs"])
+    chance = sum(
+        row_tot[c] * col_tot.get(c, 0) for c in row_tot
+    )
+    num = agree * n - chance
+    den = n * n - chance
+    kappa = (num * 1_000_000 - ((num * 1_000_000) % den + den) % den) // den
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "n_agree": pa.array([agree], pa.int64()),
+            "kappa_num": pa.array([num], pa.int64()),
+            "kappa_den": pa.array([den], pa.int64()),
+            "kappa_micro": pa.array([kappa], pa.int64()),
+        }
+    )
+
+
+def _langid_kappa_sql() -> str:
+    return f"""
+WITH conf AS ({LANG_CONFUSION_SQL}),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM conf),
+ag AS (SELECT CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS agree
+       FROM conf WHERE lang = pred_lang),
+rt AS (SELECT lang AS c, CAST(sum(n_docs) AS BIGINT) AS r FROM conf GROUP BY 1),
+ct AS (SELECT pred_lang AS c, CAST(sum(n_docs) AS BIGINT) AS cl
+       FROM conf GROUP BY 1),
+ch AS (
+  SELECT CAST(coalesce(sum(rt.r * ct.cl), 0) AS BIGINT) AS chance
+  FROM rt JOIN ct USING (c)
+),
+k AS (
+  SELECT tot.n, ag.agree,
+         ag.agree * tot.n - ch.chance AS num,
+         tot.n * tot.n - ch.chance AS den
+  FROM tot, ag, ch
+)
+SELECT n AS n_docs, agree AS n_agree,
+       CAST(num AS BIGINT) AS kappa_num,
+       CAST(den AS BIGINT) AS kappa_den,
+       CAST((num * 1000000 - ((num * 1000000) % den + den) % den) // den
+            AS BIGINT) AS kappa_micro
+FROM k
+"""
+
+
+LANGID_KAPPA_SQL = _langid_kappa_sql()

@@ -264,6 +264,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "churn_hazard_curve",
         "simhash_hamming_hist",
         "label_silhouette",
+        "langid_kappa",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3390,3 +3391,16 @@ def test_label_silhouette_audit_structure(ray_session):
         assert -1_000_000 <= r["a_micro"] <= 1_000_000
         assert -1_000_000 <= r["b_micro"] <= 1_000_000
         assert r["margin_micro"] == r["a_micro"] - r["b_micro"]
+
+
+def test_langid_kappa_range_and_identity(ray_session):
+    """kappa in (-1e6, 1e6]; the rational and the micro agree; the
+    heuristic classifier beats chance on this corpus (kappa > 0)."""
+    from document_extractor_ray.functions.textstats import langid_kappa
+
+    r = langid_kappa(SF).to_pylist()[0]
+    num, den = r["kappa_num"], r["kappa_den"]
+    assert den > 0
+    assert r["kappa_micro"] == (num * 1_000_000 - ((num * 1_000_000) % den + den) % den) // den
+    assert 0 < r["kappa_micro"] <= 1_000_000
+    assert 0 < r["n_agree"] <= r["n_docs"]
