@@ -3402,5 +3402,9 @@ def test_langid_kappa_range_and_identity(ray_session):
     num, den = r["kappa_num"], r["kappa_den"]
     assert den > 0
     assert r["kappa_micro"] == (num * 1_000_000 - ((num * 1_000_000) % den + den) % den) // den
-    assert 0 < r["kappa_micro"] <= 1_000_000
+    # On this synthetic corpus the heuristic predicts a constant class
+    # (no marker words in the random vocab), so agree*N == chance
+    # EXACTLY and kappa == 0 — raw accuracy reads 38%, kappa reads
+    # "no skill".  That disagreement is the reason kappa exists.
+    assert 0 <= r["kappa_micro"] <= 1_000_000
     assert 0 < r["n_agree"] <= r["n_docs"]
