@@ -366,6 +366,7 @@ def run_bench() -> dict:
         "simhash_hamming_hist",
         "label_silhouette",
         "langid_kappa",
+        "order_value_pct_by_nation",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -12562,3 +12562,123 @@ SELECT k AS week_offset, at_risk, churned,
        CAST(churned * 1000 // at_risk AS BIGINT) AS hazard_permille
 FROM c ORDER BY week_offset
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-group percentile rank without a window (broadcast histograms)
+# ---------------------------------------------------------------------------
+
+def order_value_pct_by_nation(sf_dir: str):
+    """Every order's percentile rank WITHIN its customer's nation:
+    pct_permille = (strictly-less count)*1000 // (n_nation - 1) — the
+    grouped window rank (rank() OVER PARTITION BY) computed the way a
+    10^12-row engine must: no per-group sort window, just a per-nation
+    VALUE HISTOGRAM folded from per-batch partials, broadcast once,
+    and one searchsorted per batch (the doc_global_rank pattern, per
+    group).  The nation attach broadcasts the customer dim (1 int per
+    customer); the partitioned hash join is the named alternative
+    when the dim outgrows a broadcast.
+
+    Cents histograms are bounded by distinct prices, not orders —
+    the same boundedness hdr_quantile_error and range_partition_plan
+    exploit."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import state
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    ck = cust["c_custkey"].combine_chunks()
+    nk = pc.cast(cust["c_nationkey"], pa.int64()).combine_chunks()
+    dim_ref = state.broadcast({"ck": ck, "nk": nk})
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        st = state.cached_get(dim_ref)
+        idx = pc.index_in(t["o_custkey"], value_set=st["ck"])
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "c_nationkey": st["nk"].take(idx),
+                "cents": _to_cents(t["o_totalprice"]),
+            }
+        )
+
+    attached = ds.map_batches(attach, batch_format="pyarrow")
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            t.select(["c_nationkey", "cents"]), ["c_nationkey", "cents"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "c_nationkey": g["c_nationkey"],
+                "cents": g["cents"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    hist: dict[int, dict[int, int]] = {}
+    for tb in map(
+        ray.get,
+        attached.map_batches(hist_partial, batch_format="pyarrow").to_arrow_refs(),
+    ):
+        if not tb.num_rows:
+            continue
+        for nkv, c, n in zip(
+            tb["c_nationkey"].to_pylist(), tb["cents"].to_pylist(), tb["n"].to_pylist()
+        ):
+            h = hist.setdefault(int(nkv), {})
+            h[int(c)] = h.get(int(c), 0) + int(n)
+    tables = {}
+    for nkv, h in hist.items():
+        uniq = np.array(sorted(h), dtype=np.int64)
+        counts = np.array([h[int(v)] for v in uniq], dtype=np.int64)
+        cum_before = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        tables[nkv] = (uniq, cum_before, int(counts.sum()))
+    rank_ref = state.broadcast(tables)
+
+    def pct(t: pa.Table) -> pa.Table:
+        tabs = state.cached_get(rank_ref)
+        nkv = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        out = np.zeros(t.num_rows, dtype=np.int64)
+        keep = np.ones(t.num_rows, dtype=bool)
+        for g in np.unique(nkv):
+            uniq, cb, n_tot = tabs[int(g)]
+            m = nkv == g
+            if n_tot <= 1:
+                keep[m] = False
+                continue
+            pos = np.searchsorted(uniq, cents[m], side="left")
+            out[m] = cb[pos] * 1000 // (n_tot - 1)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "c_nationkey": t["c_nationkey"],
+                "cents": t["cents"],
+                "pct_permille": pa.array(out, pa.int64()),
+            }
+        ).filter(pa.array(keep))
+
+    return attached.map_batches(pct, batch_format="pyarrow").sort("o_orderkey")
+
+
+ORDER_VALUE_PCT_SQL = """
+WITH oc AS (
+  SELECT o.o_orderkey, CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(round(o.o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+r AS (
+  SELECT o_orderkey, c_nationkey, cents,
+         rank() OVER (PARTITION BY c_nationkey ORDER BY cents) AS rk,
+         count(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM oc
+)
+SELECT o_orderkey, c_nationkey, cents,
+       CAST((rk - 1) * 1000 // (n - 1) AS BIGINT) AS pct_permille
+FROM r WHERE n > 1 ORDER BY o_orderkey
+"""

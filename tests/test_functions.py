@@ -265,6 +265,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "simhash_hamming_hist",
         "label_silhouette",
         "langid_kappa",
+        "order_value_pct_by_nation",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3408,3 +3409,22 @@ def test_langid_kappa_range_and_identity(ray_session):
     # "no skill".  That disagreement is the reason kappa exists.
     assert 0 <= r["kappa_micro"] <= 1_000_000
     assert 0 < r["n_agree"] <= r["n_docs"]
+
+
+def test_order_value_pct_properties(ray_session):
+    """Percentile ranks live in [0, 1000]; within each nation the
+    minimum-cents order reads 0 and a maximum-cents order reads
+    <= 1000 with equality iff it is the unique maximum."""
+    from document_extractor_ray.functions.analytics import (
+        order_value_pct_by_nation,
+    )
+
+    rows = order_value_pct_by_nation(SF).take_all()
+    assert rows
+    by_n = {}
+    for r in rows:
+        assert 0 <= r["pct_permille"] <= 1000
+        by_n.setdefault(r["c_nationkey"], []).append(r)
+    for nk, rs in by_n.items():
+        lo = min(rs, key=lambda r: r["cents"])
+        assert lo["pct_permille"] == 0
