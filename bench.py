@@ -367,6 +367,7 @@ def run_bench() -> dict:
         "label_silhouette",
         "langid_kappa",
         "order_value_pct_by_nation",
+        "join_size_cms_audit",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -12682,3 +12682,131 @@ SELECT o_orderkey, c_nationkey, cents,
        CAST((rk - 1) * 1000 // (n - 1) AS BIGINT) AS pct_permille
 FROM r WHERE n > 1 ORDER BY o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# CMS join-cardinality estimate vs exact (the planner-sketch audit)
+# ---------------------------------------------------------------------------
+
+def join_size_cms_audit(sf_dir: str):
+    """AMS/Count-Min join-size estimation (Alon-Matias-Szegedy via the
+    CMS inner product, Cormode & Muthukrishnan 2005): build one d x 256
+    count-min matrix per join side over the orderkey, estimate
+    |orders ⋈ lineitem| as min_d sum_w a[d][w]*b[d][w], and report it
+    NEXT TO the exact cardinality with the integer-permille
+    overestimate — the fourth sketch audit (Bloom FP, HDR error, HLL
+    error, now join-size), and the planner statistic that decides
+    broadcast-vs-shuffle before any data moves.  The CMS guarantee
+    (est >= exact always; over by <= eps*|a||b| w.h.p.) is what
+    over_permille empirically validates.
+
+    Scale shape: each side's matrix folds from d*256-bounded per-batch
+    partials (key hashing is two vectorized uint64 ops); the exact
+    side is the key-per-row bucketed count join_size_exact already
+    pays — at 10^12 rows the SKETCH is the production number and the
+    exact audit runs sampled, which the mergeable matrices support."""
+    from document_extractor_ray.functions.textstats import CMS_A, CMS_B, CMS_D
+
+    def side_matrix(name: str, col: str) -> np.ndarray:
+        ds = _read(sf_dir, name, columns=[col])
+
+        def partial(t: pa.Table) -> pa.Table:
+            x = t[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            rows_, buckets_, ns_ = [], [], []
+            with np.errstate(over="ignore"):
+                for j in range(CMS_D):
+                    w = (
+                        (x * np.uint64(CMS_A[j]) + np.uint64(CMS_B[j]))
+                        >> np.uint64(56)
+                    ).astype(np.int64)
+                    cnt = np.bincount(w, minlength=256)
+                    nz = np.nonzero(cnt)[0]
+                    rows_.append(np.full(len(nz), j, np.int64))
+                    buckets_.append(nz.astype(np.int64))
+                    ns_.append(cnt[nz].astype(np.int64))
+            return pa.table(
+                {
+                    "j": pa.array(np.concatenate(rows_), pa.int64()),
+                    "w": pa.array(np.concatenate(buckets_), pa.int64()),
+                    "n": pa.array(np.concatenate(ns_), pa.int64()),
+                }
+            )
+
+        m = np.zeros((CMS_D, 256), dtype=np.int64)
+        for tb in map(
+            ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        ):
+            if not tb.num_rows:
+                continue
+            np.add.at(
+                m,
+                (
+                    tb["j"].to_numpy(zero_copy_only=False),
+                    tb["w"].to_numpy(zero_copy_only=False),
+                ),
+                tb["n"].to_numpy(zero_copy_only=False),
+            )
+        return m
+
+    a = side_matrix("orders", "o_orderkey")
+    b = side_matrix("lineitem", "l_orderkey")
+    est = int(min((a[j] * b[j]).sum() for j in range(CMS_D)))
+    exact = int(join_size_exact(sf_dir)["join_rows"][0].as_py())
+    return pa.table(
+        {
+            "exact_rows": pa.array([exact], pa.int64()),
+            "est_rows": pa.array([est], pa.int64()),
+            "over_permille": pa.array(
+                [(est - exact) * 1000 // max(exact, 1)], pa.int64()
+            ),
+        }
+    )
+
+
+def _join_cms_sql() -> str:
+    from document_extractor_ray.functions.textstats import CMS_A, CMS_B, CMS_D
+
+    hp_rows = ",\n    ".join(
+        f"({j}, {int(CMS_A[j])}::HUGEINT, {int(CMS_B[j])}::HUGEINT)"
+        for j in range(CMS_D)
+    )
+    p64 = 1 << 64
+    shift = 1 << 56
+    return f"""
+WITH ok AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1),
+lk AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n
+       FROM lineitem GROUP BY 1),
+hp(j, a, b) AS (VALUES
+    {hp_rows}
+),
+ca AS (
+  SELECT hp.j,
+         ((ok.k::HUGEINT * hp.a + hp.b) % {p64}::HUGEINT)
+           // {shift}::HUGEINT AS w,
+         CAST(sum(ok.n) AS BIGINT) AS n
+  FROM ok CROSS JOIN hp GROUP BY 1, 2
+),
+cb AS (
+  SELECT hp.j,
+         ((lk.k::HUGEINT * hp.a + hp.b) % {p64}::HUGEINT)
+           // {shift}::HUGEINT AS w,
+         CAST(sum(lk.n) AS BIGINT) AS n
+  FROM lk CROSS JOIN hp GROUP BY 1, 2
+),
+dots AS (
+  SELECT ca.j, CAST(sum(ca.n * cb.n) AS BIGINT) AS dot
+  FROM ca JOIN cb ON cb.j = ca.j AND cb.w = ca.w
+  GROUP BY ca.j
+),
+est AS (SELECT CAST(min(dot) AS BIGINT) AS e FROM dots),
+ex AS (SELECT CAST(coalesce(sum(ok.n * lk.n), 0) AS BIGINT) AS x
+       FROM ok JOIN lk USING (k))
+SELECT ex.x AS exact_rows, est.e AS est_rows,
+       CAST((est.e - ex.x) * 1000 // greatest(ex.x, 1) AS BIGINT)
+         AS over_permille
+FROM ex, est
+"""
+
+
+JOIN_SIZE_CMS_SQL = _join_cms_sql()

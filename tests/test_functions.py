@@ -266,6 +266,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "label_silhouette",
         "langid_kappa",
         "order_value_pct_by_nation",
+        "join_size_cms_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3428,3 +3429,17 @@ def test_order_value_pct_properties(ray_session):
     for nk, rs in by_n.items():
         lo = min(rs, key=lambda r: r["cents"])
         assert lo["pct_permille"] == 0
+
+
+def test_join_cms_overestimates(ray_session):
+    """The CMS guarantee: the inner-product estimate NEVER
+    underestimates the exact join size, and the overestimate is
+    bounded (256 buckets on this key cardinality stays modest)."""
+    from document_extractor_ray.functions.analytics import join_size_cms_audit
+
+    r = join_size_cms_audit(SF).to_pylist()[0]
+    assert r["est_rows"] >= r["exact_rows"] > 0
+    assert r["over_permille"] >= 0
+    assert r["over_permille"] == (
+        (r["est_rows"] - r["exact_rows"]) * 1000 // r["exact_rows"]
+    )
