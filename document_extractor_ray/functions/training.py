@@ -851,3 +851,89 @@ SELECT source, n_docs, w_micro,
          AS share_permille
 FROM w ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Padding-waste audit for length-bucketed batching
+# ---------------------------------------------------------------------------
+
+PAD_MIN_BUCKET = 16  # smallest batch length bucket (power of two)
+
+
+def padding_waste_plan(sf_dir: str, min_bucket: int = PAD_MIN_BUCKET):
+    """Length-bucketed batching audit: assign every document to the
+    next power-of-two token-length bucket (floored at ``min_bucket``)
+    and report, per bucket, the document count, real token volume and
+    padding waste (bucket_len − n_tokens summed) — the number a
+    dynamic-batching scheduler uses to pick bucket boundaries before a
+    training run.
+
+    Scale shape: one vectorized pass (regex token count + branchless
+    bit-smear next-pow2, no log/float) emits per-batch partials already
+    grouped by bucket, so the shuffle moves O(#buckets) rows per block
+    — bucket cardinality is ~log2(max_len), never corpus-sized."""
+    from document_extractor_ray.functions.textstats import (
+        _TOKEN_RE,
+        _read_docs,
+    )
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    mb = int(min_bucket)
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(t["text"], _TOKEN_RE), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        y = np.maximum(n, mb) - 1  # branchless next-pow2 (exact, no log2)
+        for s in (1, 2, 4, 8, 16, 32):
+            y = y | (y >> s)
+        bucket = y + 1
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "bucket_len": pa.array(bucket, pa.int64()),
+                    "n_tok": pa.array(n, pa.int64()),
+                    "waste": pa.array(bucket - n, pa.int64()),
+                }
+            ),
+            ["bucket_len"],
+        ).aggregate([("n_tok", "sum"), ("waste", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "bucket_len": g["bucket_len"],
+                "n_docs_p": pc.cast(g["count_all"], pa.int64()),
+                "sum_tokens_p": pc.cast(g["n_tok_sum"], pa.int64()),
+                "sum_waste_p": pc.cast(g["waste_sum"], pa.int64()),
+            }
+        )
+
+    out = bucketed_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bucket_len"],
+        [
+            ("n_docs_p", "sum", "n_docs"),
+            ("sum_tokens_p", "sum", "sum_tokens"),
+            ("sum_waste_p", "sum", "sum_waste"),
+        ],
+    )
+    return out.sort("bucket_len")
+
+
+PADDING_WASTE_PLAN_SQL = f"""
+WITH n AS (
+  SELECT greatest(CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT),
+                  {PAD_MIN_BUCKET}) AS eff,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+b AS (
+  SELECT CAST(1 << length(bin(eff - 1)) AS BIGINT) AS bucket_len, n_tok
+  FROM n
+)
+SELECT bucket_len,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(sum(bucket_len - n_tok) AS BIGINT) AS sum_waste
+FROM b GROUP BY bucket_len ORDER BY bucket_len
+"""

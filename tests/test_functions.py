@@ -267,6 +267,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "langid_kappa",
         "order_value_pct_by_nation",
         "join_size_cms_audit",
+        "padding_waste_plan",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3443,3 +3444,28 @@ def test_join_cms_overestimates(ray_session):
     assert r["over_permille"] == (
         (r["est_rows"] - r["exact_rows"]) * 1000 // r["exact_rows"]
     )
+
+
+def test_padding_waste_plan_invariants(ray_session):
+    """Buckets are powers of two >= PAD_MIN_BUCKET; every doc lands in
+    exactly one bucket (counts sum to corpus size); waste is exactly
+    n_docs*bucket_len - sum_tokens per bucket except in the floor
+    bucket, where short docs pad up to the minimum."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.training import (
+        PAD_MIN_BUCKET,
+        padding_waste_plan,
+    )
+
+    rows = padding_waste_plan(SF).take_all()
+    assert rows
+    n_docs_total = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert sum(r["n_docs"] for r in rows) == n_docs_total
+    for r in rows:
+        b = r["bucket_len"]
+        assert b >= PAD_MIN_BUCKET and (b & (b - 1)) == 0
+        assert r["sum_waste"] == r["n_docs"] * b - r["sum_tokens"]
+        if b > PAD_MIN_BUCKET:
+            # every doc here exceeded the previous bucket
+            assert r["sum_tokens"] > r["n_docs"] * (b // 2)
