@@ -4608,29 +4608,17 @@ ORDER BY cnt.lang
 # ---------------------------------------------------------------------------
 
 
-def doc_unigram_xent(sf_dir: str):
-    """Per-doc cross-entropy under the corpus unigram LM, shipped as
-    the exact integer numerator xent_num = Σ_occurrences (L(N) − L(c_w))
-    with L(v) = round(ln(v)·1e6) — cross-entropy in micro-nats is
-    xent_num / n_tok, the division left to the consumer so no float
-    crosses the wire.  This is the integer-exact stand-in for the
-    CCNet/Gopher LM-perplexity filter: high xent = rare-token-heavy
-    text, low xent = repetitive boilerplate.
-
-    Scale shape: pass 1 is the vocabulary fold (``bucketed_agg`` —
-    shuffle bounded by distinct tokens, never corpus size; same
-    documented vocabulary-broadcast ceiling as df/tfidf, above it swap
-    the broadcast for a partitioned join on token); the per-token
-    ln-micro table is computed ONCE on the driver (math.log memoized
-    per distinct count — bit-identical to DuckDB's ln, proven by the
-    entropy family) and broadcast; pass 2 is one vectorized
-    index_in + np.add.at segment-sum per batch."""
+def _unigram_xent_ds(sf_dir: str, extra_cols: tuple = ()):
+    """Unsorted per-doc unigram cross-entropy dataset
+    (doc_id, *extra_cols, n_tok, xent_num) — the shared kernel behind
+    ``doc_unigram_xent`` and ``ccnet_ppl_buckets``.  See
+    ``doc_unigram_xent`` for semantics and the scale story."""
     import math
 
     from document_extractor_ray import state
     from document_extractor_ray.functions.bucketing import bucketed_agg
 
-    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", *extra_cols, "text"])
 
     def tf_partial(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
@@ -4685,17 +4673,35 @@ def doc_unigram_xent(sf_dir: str):
             )
             np.add.at(num, par, sp[idx])
             np.add.at(ntok, par, 1)
-        out = pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "n_tok": pa.array(ntok),
-                "xent_num": pa.array(num),
-            }
-        )
+        cols = {"doc_id": t["doc_id"]}
+        for c in extra_cols:
+            cols[c] = t[c]
+        cols["n_tok"] = pa.array(ntok)
+        cols["xent_num"] = pa.array(num)
         # match the oracle's inner join: token-less docs emit no row
-        return out.filter(pa.array(ntok > 0))
+        return pa.table(cols).filter(pa.array(ntok > 0))
 
-    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def doc_unigram_xent(sf_dir: str):
+    """Per-doc cross-entropy under the corpus unigram LM, shipped as
+    the exact integer numerator xent_num = Σ_occurrences (L(N) − L(c_w))
+    with L(v) = round(ln(v)·1e6) — cross-entropy in micro-nats is
+    xent_num / n_tok, the division left to the consumer so no float
+    crosses the wire.  This is the integer-exact stand-in for the
+    CCNet/Gopher LM-perplexity filter: high xent = rare-token-heavy
+    text, low xent = repetitive boilerplate.
+
+    Scale shape: pass 1 is the vocabulary fold (``bucketed_agg`` —
+    shuffle bounded by distinct tokens, never corpus size; same
+    documented vocabulary-broadcast ceiling as df/tfidf, above it swap
+    the broadcast for a partitioned join on token); the per-token
+    ln-micro table is computed ONCE on the driver (math.log memoized
+    per distinct count — bit-identical to DuckDB's ln, proven by the
+    entropy family) and broadcast; pass 2 is one vectorized
+    index_in + np.add.at segment-sum per batch."""
+    return _unigram_xent_ds(sf_dir).sort("doc_id")
 
 
 DOC_UNIGRAM_XENT_SQL = f"""
@@ -4715,6 +4721,141 @@ SELECT tk.doc_id,
 FROM tk JOIN cnt c USING (token) CROSS JOIN tot t
 GROUP BY tk.doc_id
 ORDER BY tk.doc_id
+"""
+
+
+def ccnet_ppl_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing: rank every document WITHIN
+    its language by mean unigram surprisal (mean_xent_nano =
+    xent_num·1000 // n_tok, floor — the exact integer both engines
+    share) and assign head/middle/tail tertiles (ppl_bucket 1..3,
+    ntile semantics, ties broken by doc_id).  This is the filtering
+    step the CCNet pipeline runs after LM scoring: keep the head,
+    review the middle, drop the tail, per language.
+
+    Scale shape: the LM scoring pass is ``_unigram_xent_ds`` (vocab
+    fold + broadcast surprisal table, one segment-sum per batch); the
+    grouped tertile is the lang_percentiles plan — a bounded
+    (lang × distinct-key) histogram fold broadcast once, one shuffle
+    on the key hash so ties co-locate, and a vectorized within-tie
+    rank per partition.  No per-group sort window, no corpus-sized
+    driver state."""
+    import pandas as pd
+
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.analytics import _n_blocks
+    from ray.data.aggregate import Sum
+
+    scored = _unigram_xent_ds(sf_dir, extra_cols=("lang",))
+
+    def keyed(t: pa.Table) -> pa.Table:
+        num = t["xent_num"].to_numpy(zero_copy_only=False)
+        ntk = t["n_tok"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "mean_xent_nano": pa.array(num * 1000 // ntk, pa.int64()),
+            }
+        )
+
+    keyed_ds = scored.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"lang": t["lang"], "k": t["mean_xent_nano"]}), ["lang", "k"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {"lang": g["lang"], "k": g["k"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    hist = (
+        keyed_ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["lang", "k"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    base_maps = {}
+    totals = {}
+    for lang, g in hist.groupby("lang", sort=True):
+        g = g.sort_values("k")
+        keys = g["k"].to_numpy().astype(np.int64)
+        counts = g["n"].to_numpy().astype(np.int64)
+        below = np.concatenate(([0], np.cumsum(counts)[:-1]))  # strictly lower
+        base_maps[lang] = (keys, below)
+        totals[lang] = int(counts.sum())
+    base_ref = state.broadcast((base_maps, totals))
+    n_parts = _n_blocks()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t["mean_xent_nano"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (k * np.uint64(2654435761)) & np.uint64(0x7FFFFFFF)
+        return t.append_column(
+            "part", pa.array((h % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    def bucket_partition(g):
+        maps, tots = state.cached_get(base_ref)
+        g = g.sort_values(["lang", "mean_xent_nano", "doc_id"], kind="mergesort")
+        out = []
+        for lang, gg in g.groupby("lang", sort=True):
+            keys, below = maps[lang]
+            k = gg["mean_xent_nano"].to_numpy().astype(np.int64)
+            tie_pos = np.arange(len(gg)) - np.searchsorted(k, k, side="left")
+            r0 = below[np.searchsorted(keys, k)] + tie_pos  # 0-based global rank
+            n = tots[lang]
+            q, rem = divmod(n, 3)
+            cutoff = rem * (q + 1)
+            bucket = (
+                np.where(r0 < cutoff, r0 // (q + 1), rem + (r0 - cutoff) // max(q, 1))
+                + 1
+            )
+            out.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": gg["doc_id"].to_numpy().astype("int64"),
+                        "lang": lang,
+                        "mean_xent_nano": k,
+                        "ppl_bucket": bucket.astype("int64"),
+                    }
+                )
+            )
+        return pd.concat(out)
+
+    return (
+        keyed_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(bucket_partition, batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
+CCNET_PPL_BUCKETS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+  FROM documents
+),
+tk AS (SELECT doc_id, lang, token FROM tok WHERE token <> ''),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk),
+x AS (
+  SELECT tk.doc_id, tk.lang,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(CAST(round(ln(t.n) * 1000000) AS BIGINT)
+                  - CAST(round(ln(c.c) * 1000000) AS BIGINT)) AS BIGINT)
+           AS xent_num
+  FROM tk JOIN cnt c USING (token) CROSS JOIN tot t
+  GROUP BY tk.doc_id, tk.lang
+)
+SELECT doc_id, lang, mean_xent_nano,
+       CAST(ntile(3) OVER (PARTITION BY lang
+                           ORDER BY mean_xent_nano, doc_id) AS BIGINT)
+         AS ppl_bucket
+FROM (SELECT doc_id, lang,
+             CAST(xent_num * 1000 // n_tok AS BIGINT) AS mean_xent_nano
+      FROM x)
+ORDER BY doc_id
 """
 
 

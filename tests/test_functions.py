@@ -268,6 +268,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "order_value_pct_by_nation",
         "join_size_cms_audit",
         "padding_waste_plan",
+        "ccnet_ppl_buckets",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3469,3 +3470,27 @@ def test_padding_waste_plan_invariants(ray_session):
         if b > PAD_MIN_BUCKET:
             # every doc here exceeded the previous bucket
             assert r["sum_tokens"] > r["n_docs"] * (b // 2)
+
+
+def test_ccnet_ppl_buckets_tertiles(ray_session):
+    """Within every language the three buckets differ in size by at
+    most one doc, bucket boundaries respect the key order (max key of
+    bucket b <= min key of bucket b+1 modulo doc_id ties), and every
+    scored doc appears exactly once."""
+    from document_extractor_ray.functions.textstats import ccnet_ppl_buckets
+
+    rows = ccnet_ppl_buckets(SF).take_all()
+    assert rows
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    by_lang = {}
+    for r in rows:
+        assert r["ppl_bucket"] in (1, 2, 3)
+        by_lang.setdefault(r["lang"], {}).setdefault(r["ppl_bucket"], []).append(
+            r["mean_xent_nano"]
+        )
+    for lang, buckets in by_lang.items():
+        sizes = [len(v) for v in buckets.values()]
+        assert max(sizes) - min(sizes) <= 1
+        for b in (1, 2):
+            if b in buckets and b + 1 in buckets:
+                assert max(buckets[b]) <= min(buckets[b + 1])
