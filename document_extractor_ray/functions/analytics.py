@@ -12810,3 +12810,115 @@ FROM ex, est
 
 
 JOIN_SIZE_CMS_SQL = _join_cms_sql()
+
+
+# ---------------------------------------------------------------------------
+# Exact single-changepoint over the daily event series
+# ---------------------------------------------------------------------------
+
+def events_top_changepoint(sf_dir: str):
+    """The single best changepoint in the daily event-count series:
+    the split that minimizes pooled within-segment SSE — equivalently
+    (total sum-of-squares being split-invariant) MAXIMIZES
+    s1²/n1 + s2²/n2 — compared as exact integer rationals
+    (score_num = s1²·n2 + s2²·n1 over score_den = n1·n2, cross-
+    multiplied), earliest split wins ties.  This is one step of binary
+    segmentation, the classic batch changepoint detector.
+
+    Scale shape: the only distributed work is the bounded daily-count
+    fold (per-block partials, one skip-empty driver fold — the PERF
+    step 32 shape); the argmax scans the day-count series, which is
+    bounded by the calendar, never by event volume."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        g = pa.TableGroupBy(pa.table({"day": day}), ["day"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    counts: dict = {}
+    for tb in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not tb.num_rows:
+            continue
+        for d, n in zip(tb["day"].to_pylist(), tb["n"].to_pylist()):
+            counts[d] = counts.get(d, 0) + int(n)
+    days = sorted(counts)
+    ns = [counts[d] for d in days]
+    m = len(days)
+    tot = sum(ns)
+    best = None  # (num, den, n_left, ...) compared by cross-multiplication
+    cum = 0
+    for i in range(1, m):
+        cum += ns[i - 1]
+        n1, n2 = i, m - i
+        s1, s2 = cum, tot - cum
+        num = s1 * s1 * n2 + s2 * s2 * n1
+        den = n1 * n2
+        if best is None or num * best[1] > best[0] * den:
+            best = (num, den, i, s1, s2)
+    if best is None:  # <2 days: no split exists (oracle emits no row)
+        return pa.table(
+            {
+                "split_day": pa.array([], pa.timestamp("us")),
+                "n_left": pa.array([], pa.int64()),
+                "n_right": pa.array([], pa.int64()),
+                "sum_left": pa.array([], pa.int64()),
+                "sum_right": pa.array([], pa.int64()),
+                "score_num": pa.array([], pa.int64()),
+                "score_den": pa.array([], pa.int64()),
+            }
+        )
+    num, den, i, s1, s2 = best
+    return pa.table(
+        {
+            "split_day": pa.array([days[i]], pa.timestamp("us")),
+            "n_left": pa.array([i], pa.int64()),
+            "n_right": pa.array([m - i], pa.int64()),
+            "sum_left": pa.array([s1], pa.int64()),
+            "sum_right": pa.array([s2], pa.int64()),
+            "score_num": pa.array([num], pa.int64()),
+            "score_den": pa.array([den], pa.int64()),
+        }
+    )
+
+
+EVENTS_TOP_CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+ord AS (
+  SELECT day, n,
+         row_number() OVER (ORDER BY day) AS i,
+         lead(day) OVER (ORDER BY day) AS next_day,
+         count(*) OVER () AS m,
+         sum(n) OVER (ORDER BY day) AS cum,
+         sum(n) OVER () AS tot
+  FROM daily
+),
+cand AS (
+  SELECT next_day AS split_day,
+         CAST(i AS BIGINT) AS n_left, CAST(m - i AS BIGINT) AS n_right,
+         CAST(cum AS BIGINT) AS sum_left, CAST(tot - cum AS BIGINT) AS sum_right,
+         CAST(cum * cum * (m - i) + (tot - cum) * (tot - cum) * i AS BIGINT)
+           AS score_num,
+         CAST(i * (m - i) AS BIGINT) AS score_den
+  FROM ord WHERE i < m
+)
+SELECT split_day, n_left, n_right, sum_left, sum_right, score_num, score_den
+FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM cand d
+  WHERE CAST(d.score_num AS HUGEINT) * c.score_den
+          > CAST(c.score_num AS HUGEINT) * d.score_den
+     OR (CAST(d.score_num AS HUGEINT) * c.score_den
+           = CAST(c.score_num AS HUGEINT) * d.score_den
+         AND d.n_left < c.n_left)
+)
+"""

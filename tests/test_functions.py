@@ -269,6 +269,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "join_size_cms_audit",
         "padding_waste_plan",
         "ccnet_ppl_buckets",
+        "events_top_changepoint",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3494,3 +3495,37 @@ def test_ccnet_ppl_buckets_tertiles(ray_session):
         for b in (1, 2):
             if b in buckets and b + 1 in buckets:
                 assert max(buckets[b]) <= min(buckets[b + 1])
+
+
+def test_events_top_changepoint_is_argmax(ray_session):
+    """The reported split maximizes s1^2/n1 + s2^2/n2 over ALL splits
+    of the daily series (recomputed independently from the raw events
+    with Fraction arithmetic), and the bookkeeping columns are
+    self-consistent."""
+    from fractions import Fraction
+
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import (
+        events_top_changepoint,
+    )
+
+    r = events_top_changepoint(SF).to_pylist()[0]
+    assert r["n_left"] >= 1 and r["n_right"] >= 1
+    assert r["score_den"] == r["n_left"] * r["n_right"]
+    assert (
+        r["score_num"]
+        == r["sum_left"] ** 2 * r["n_right"] + r["sum_right"] ** 2 * r["n_left"]
+    )
+    con = duckdb.connect()
+    daily = con.execute(
+        "SELECT date_trunc('day', ts) AS d, count(*) AS n FROM "
+        f"read_parquet('{SF}/events.parquet') GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    ns = [int(n) for _, n in daily]
+    tot, m = sum(ns), len(ns)
+    best = max(
+        Fraction(sum(ns[:i]) ** 2, i) + Fraction((tot - sum(ns[:i])) ** 2, m - i)
+        for i in range(1, m)
+    )
+    assert Fraction(r["score_num"], r["score_den"]) == best
