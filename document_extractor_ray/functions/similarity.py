@@ -2426,3 +2426,202 @@ SELECT a.vec_id, a.label, a.a_micro, b.b_micro,
 FROM a JOIN b USING (vec_id)
 ORDER BY a.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection + full-corpus assignment
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 16          # centers selected
+KCENTER_CANDIDATES = 128  # target candidate-pool size (vec_id stride sample)
+
+
+def kcenter_coreset(
+    sf_dir: str, k: int = KCENTER_K, n_cand: int = KCENTER_CANDIDATES
+):
+    """Greedy k-center (farthest-point-first) coreset selection — the
+    classic 2-approximation data-pruning / active-learning selector —
+    followed by a full-corpus nearest-center assignment.
+
+    Selection runs over a deterministic stride sample of candidates
+    (vec_id % stride == 0, stride = max(1, n//n_cand)): seed = lowest
+    candidate vec_id, then k−1 rounds of "pick the candidate farthest
+    from every selected center" (cosine distance as half-up micro ints,
+    ties to the lowest vec_id — each engine replays the identical
+    integer recursion, so the greedy trajectory is bit-reproducible).
+    Assignment then maps EVERY embedding to its nearest center (min
+    dist_micro, tie lowest center id) and folds per-center counts and
+    distance mass.
+
+    Output: (step, center_id, sel_dist_micro, n_assigned,
+    sum_dist_micro); sel_dist_micro is the candidate's min-distance to
+    the previously selected set at pick time (−1 for the seed) — the
+    k-center radius curve a data-pruning run reads coverage off.
+
+    Scale shape: greedy k-center is inherently sequential in k, so the
+    selection is a driver fold over a BOUNDED candidate matrix (the
+    standard sample-then-select coreset recipe; the candidate scan is
+    the only corpus pass and ships k·dim floats per block at most);
+    assignment is one broadcast (k×dim matrix via ray.put) matmul per
+    batch with per-block bounded partials — no shuffle wider than k
+    keys ever exists."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import state
+
+    n_total = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    stride = max(1, n_total // n_cand)
+
+    ds = _read_embeddings(sf_dir)
+
+    def cand_partial(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        keep = ids % stride == 0
+        return t.filter(pa.array(keep))
+
+    cand_tables = [
+        tb
+        for tb in map(
+            ray.get,
+            ds.map_batches(cand_partial, batch_format="pyarrow").to_arrow_refs(),
+        )
+        if tb.num_rows
+    ]
+    cand = pa.concat_tables(cand_tables).combine_chunks().sort_by("vec_id")
+    cids = cand["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cm = _normalize_rows(embedding_matrix(cand["embedding"]).astype(np.float64))
+    # all-pairs candidate distances as half-up micro ints (M x M bounded)
+    micro = np.floor(cm @ cm.T * 1_000_000 + 0.5).astype(np.int64)
+    dist = 1_000_000 - micro
+
+    k_eff = min(k, len(cids))
+    sel_idx = [0]  # seed: lowest candidate vec_id (cand is id-sorted)
+    sel_d = [-1]
+    mind = dist[0].copy()
+    for _ in range(1, k_eff):
+        j = int(np.argmax(mind))  # first max == lowest vec_id on ties
+        sel_idx.append(j)
+        sel_d.append(int(mind[j]))
+        mind = np.minimum(mind, dist[j])
+
+    center_ids = cids[sel_idx]
+    # assignment matrix ordered by center vec_id so argmin ties pick
+    # the lowest center id (matches the SQL ORDER BY dist, vec_id)
+    order = np.argsort(center_ids, kind="stable")
+    a_ids = center_ids[order]
+    a_mat = cm[np.array(sel_idx)[order]]
+    ref = state.broadcast({"ids": a_ids, "mat": a_mat})
+
+    def assign_partial(t: pa.Table) -> pa.Table:
+        st = state.cached_get(ref)
+        bm = _normalize_rows(embedding_matrix(t["embedding"]).astype(np.float64))
+        if bm.size == 0:
+            return pa.table(
+                {
+                    "center_id": pa.array([], pa.int64()),
+                    "n_p": pa.array([], pa.int64()),
+                    "d_p": pa.array([], pa.int64()),
+                }
+            )
+        dm = 1_000_000 - np.floor(
+            bm @ st["mat"].T * 1_000_000 + 0.5
+        ).astype(np.int64)
+        nearest = np.argmin(dm, axis=1)  # first min == lowest center id
+        dbest = dm[np.arange(len(dm)), nearest]
+        nb = np.bincount(nearest, minlength=len(st["ids"]))
+        db = np.bincount(nearest, weights=dbest, minlength=len(st["ids"]))
+        return pa.table(
+            {
+                "center_id": pa.array(st["ids"], pa.int64()),
+                "n_p": pa.array(nb.astype(np.int64), pa.int64()),
+                "d_p": pa.array(db.astype(np.int64), pa.int64()),
+            }
+        )
+
+    n_asg: dict[int, int] = {}
+    d_asg: dict[int, int] = {}
+    for tb in map(
+        ray.get,
+        ds.map_batches(assign_partial, batch_format="pyarrow").to_arrow_refs(),
+    ):
+        if not tb.num_rows:
+            continue
+        for c, n, d in zip(
+            tb["center_id"].to_pylist(), tb["n_p"].to_pylist(), tb["d_p"].to_pylist()
+        ):
+            n_asg[c] = n_asg.get(c, 0) + int(n)
+            d_asg[c] = d_asg.get(c, 0) + int(d)
+
+    return pa.table(
+        {
+            "step": pa.array(range(k_eff), pa.int64()),
+            "center_id": pa.array(center_ids, pa.int64()),
+            "sel_dist_micro": pa.array(sel_d, pa.int64()),
+            "n_assigned": pa.array(
+                [n_asg.get(int(c), 0) for c in center_ids], pa.int64()
+            ),
+            "sum_dist_micro": pa.array(
+                [d_asg.get(int(c), 0) for c in center_ids], pa.int64()
+            ),
+        }
+    )
+
+
+def kcenter_coreset_sql(k: int = KCENTER_K, n_cand: int = KCENTER_CANDIDATES) -> str:
+    return f"""
+WITH RECURSIVE
+cand AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id % (SELECT greatest(1, count(*) // {n_cand}) FROM embeddings) = 0
+),
+dots AS (
+  SELECT a.vec_id AS i, b.vec_id AS j,
+         1000000 - CAST(floor(list_cosine_similarity(a.e, b.e) * 1000000 + 0.5)
+                        AS BIGINT) AS dist
+  FROM cand a CROSS JOIN cand b
+),
+seed AS (SELECT min(vec_id) AS sid FROM cand),
+st AS (
+  SELECT 0 AS step, c.vec_id, d.dist AS mind
+  FROM cand c, seed s, dots d WHERE d.i = s.sid AND d.j = c.vec_id
+  UNION ALL
+  SELECT s.step + 1, s.vec_id, least(s.mind, d.dist)
+  FROM (SELECT step, vec_id, mind,
+               first_value(vec_id) OVER (ORDER BY mind DESC, vec_id) AS pick
+        FROM st) s
+  JOIN dots d ON d.i = s.pick AND d.j = s.vec_id
+  WHERE s.step < {k} - 2
+),
+sel AS (
+  SELECT 0 AS step, sid AS center_id, CAST(-1 AS BIGINT) AS sel_dist_micro
+  FROM seed
+  UNION ALL
+  SELECT step + 1, vec_id, mind FROM (
+    SELECT step, vec_id, mind,
+           row_number() OVER (PARTITION BY step ORDER BY mind DESC, vec_id) AS rn
+    FROM st) WHERE rn = 1
+),
+asg AS (
+  SELECT vec_id, center_id, dist FROM (
+    SELECT e.vec_id, s.center_id,
+           1000000 - CAST(floor(list_cosine_similarity(
+               e.embedding::DOUBLE[], c.e) * 1000000 + 0.5) AS BIGINT) AS dist,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY 1000000 - CAST(floor(
+                                list_cosine_similarity(e.embedding::DOUBLE[], c.e)
+                                * 1000000 + 0.5) AS BIGINT), s.center_id) AS rn
+    FROM embeddings e CROSS JOIN sel s JOIN cand c ON c.vec_id = s.center_id
+  ) WHERE rn = 1
+)
+SELECT CAST(s.step AS BIGINT) AS step,
+       CAST(s.center_id AS BIGINT) AS center_id,
+       s.sel_dist_micro,
+       CAST(count(a.vec_id) AS BIGINT) AS n_assigned,
+       CAST(coalesce(sum(a.dist), 0) AS BIGINT) AS sum_dist_micro
+FROM sel s LEFT JOIN asg a ON a.center_id = s.center_id
+GROUP BY 1, 2, 3
+ORDER BY step
+"""
+
+
+KCENTER_CORESET_SQL = kcenter_coreset_sql()

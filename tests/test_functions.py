@@ -270,6 +270,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "padding_waste_plan",
         "ccnet_ppl_buckets",
         "events_top_changepoint",
+        "kcenter_coreset",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3529,3 +3530,26 @@ def test_events_top_changepoint_is_argmax(ray_session):
         for i in range(1, m)
     )
     assert Fraction(r["score_num"], r["score_den"]) == best
+
+
+def test_kcenter_coreset_properties(ray_session):
+    """Farthest-point-first invariants: the selection radius curve
+    (sel_dist_micro) is non-increasing after the seed, centers are
+    distinct, every embedding is assigned to exactly one center
+    (counts sum to the corpus), and each center absorbs at least
+    itself at distance ~0."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.similarity import kcenter_coreset
+
+    rows = kcenter_coreset(SF).to_pylist()
+    assert len(rows) == 16
+    assert rows[0]["sel_dist_micro"] == -1
+    radii = [r["sel_dist_micro"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    assert len({r["center_id"] for r in rows}) == len(rows)
+    n_total = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    assert sum(r["n_assigned"] for r in rows) == n_total
+    for r in rows:
+        assert r["n_assigned"] >= 1
+        assert r["sum_dist_micro"] >= 0
