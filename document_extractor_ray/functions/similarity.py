@@ -18,6 +18,7 @@ import heapq
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -2625,3 +2626,198 @@ ORDER BY step
 
 
 KCENTER_CORESET_SQL = kcenter_coreset_sql()
+
+
+# ---------------------------------------------------------------------------
+# Maximal-marginal-relevance (MMR) diverse retrieval
+# ---------------------------------------------------------------------------
+
+MMR_QUERIES = 2      # queries (first vec_ids)
+MMR_CANDIDATES = 48  # relevance-top-N candidate pool per query
+MMR_K = 8            # picks per query
+MMR_LAMBDA_PM = 700  # relevance weight, permille
+
+
+def mmr_select(
+    sf_dir: str,
+    n_queries: int = MMR_QUERIES,
+    n_cand: int = MMR_CANDIDATES,
+    k: int = MMR_K,
+    lambda_pm: int = MMR_LAMBDA_PM,
+):
+    """Maximal marginal relevance: for each query, greedily pick k
+    results maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    picked (Carbonell & Goldstein '98) — the diversity-aware
+    re-ranking step of a retrieval/data-selection pipeline.  All
+    scores are half-up cosine micro ints and λ is permille, so the
+    greedy trajectory is an integer recursion both engines replay
+    bit-identically (ties: unpicked first, score desc, vec_id asc).
+
+    Scale shape: the corpus pass is a per-block local top-``n_cand``
+    relevance partial (≤ n_queries·n_cand slim rows leave each block,
+    embeddings ride along so no second lookup pass); the greedy
+    re-rank is a driver fold over the bounded candidate matrix —
+    exactly how MMR is deployed at scale (re-rank the retrieved pool,
+    never the corpus)."""
+    from document_extractor_ray import state
+
+    qt = default_queries(sf_dir, n_queries)
+    q_ids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    qm = _normalize_rows(embedding_matrix(qt["embedding"]).astype(np.float64))
+    qref = state.broadcast({"ids": q_ids, "mat": qm})
+
+    ds = _read_embeddings(sf_dir)
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        st = state.cached_get(qref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bm = _normalize_rows(embedding_matrix(t["embedding"]).astype(np.float64))
+        out = []
+        if bm.size:
+            rel = np.floor(bm @ st["mat"].T * 1_000_000 + 0.5).astype(np.int64)
+            for qi, qid in enumerate(st["ids"]):
+                r = rel[:, qi]
+                mask = ids != qid  # the query never retrieves itself
+                order = np.lexsort((ids[mask], -r[mask]))[:n_cand]
+                sel = np.flatnonzero(mask)[order]
+                out.append(
+                    pa.table(
+                        {
+                            "query_id": pa.array(
+                                np.full(len(sel), qid), pa.int64()
+                            ),
+                            "vec_id": pa.array(ids[sel], pa.int64()),
+                            "rel_micro": pa.array(r[mask][order], pa.int64()),
+                            "embedding": t["embedding"].take(pa.array(sel)),
+                        }
+                    )
+                )
+        if not out:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "rel_micro": pa.array([], pa.int64()),
+                    "embedding": t["embedding"].slice(0, 0),
+                }
+            )
+        return pa.concat_tables(out)
+
+    parts = [
+        tb
+        for tb in map(
+            ray.get,
+            ds.map_batches(topk_partial, batch_format="pyarrow").to_arrow_refs(),
+        )
+        if tb.num_rows
+    ]
+    pool = pa.concat_tables(parts).combine_chunks()
+
+    rows = {"query_id": [], "step": [], "vec_id": [], "rel_micro": [],
+            "maxsim_micro": [], "mmr_score": []}
+    for qid in q_ids:
+        sub = pool.filter(pc.equal(pool["query_id"], pa.scalar(int(qid), pa.int64())))
+        ids = sub["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rel = sub["rel_micro"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, -rel))[:n_cand]  # global top-n_cand merge
+        ids, rel = ids[order], rel[order]
+        cm = _normalize_rows(
+            embedding_matrix(sub["embedding"].take(pa.array(order))).astype(
+                np.float64
+            )
+        )
+        sims = np.floor(cm @ cm.T * 1_000_000 + 0.5).astype(np.int64)
+        # candidate order for deterministic ties: sort by vec_id
+        vid_order = np.argsort(ids, kind="stable")
+        ids, rel = ids[vid_order], rel[vid_order]
+        sims = sims[np.ix_(vid_order, vid_order)]
+        maxsim = np.zeros(len(ids), dtype=np.int64)
+        picked = np.zeros(len(ids), dtype=bool)
+        for step in range(min(k, len(ids))):
+            score = lambda_pm * rel - (1000 - lambda_pm) * maxsim
+            masked = np.where(picked, np.iinfo(np.int64).min, score)
+            j = int(np.argmax(masked))  # first max == lowest vec_id on ties
+            rows["query_id"].append(int(qid))
+            rows["step"].append(step)
+            rows["vec_id"].append(int(ids[j]))
+            rows["rel_micro"].append(int(rel[j]))
+            rows["maxsim_micro"].append(int(maxsim[j]))
+            rows["mmr_score"].append(int(score[j]))
+            picked[j] = True
+            maxsim = np.maximum(maxsim, sims[j])
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "step": pa.array(rows["step"], pa.int64()),
+            "vec_id": pa.array(rows["vec_id"], pa.int64()),
+            "rel_micro": pa.array(rows["rel_micro"], pa.int64()),
+            "maxsim_micro": pa.array(rows["maxsim_micro"], pa.int64()),
+            "mmr_score": pa.array(rows["mmr_score"], pa.int64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("step", "ascending")])
+
+
+def mmr_select_sql(
+    n_queries: int = MMR_QUERIES,
+    n_cand: int = MMR_CANDIDATES,
+    k: int = MMR_K,
+    lambda_pm: int = MMR_LAMBDA_PM,
+) -> str:
+    mu = 1000 - lambda_pm
+    return f"""
+WITH RECURSIVE
+qy AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+),
+rel AS (
+  SELECT q.query_id, e.vec_id, e.embedding::DOUBLE[] AS ee,
+         CAST(floor(list_cosine_similarity(q.qe, e.embedding::DOUBLE[])
+                    * 1000000 + 0.5) AS BIGINT) AS rel
+  FROM qy q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+),
+cand AS (
+  SELECT query_id, vec_id, ee, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, vec_id) AS rn
+    FROM rel) WHERE rn <= {n_cand}
+),
+sims AS (
+  SELECT a.query_id, a.vec_id AS i, b.vec_id AS j,
+         CAST(floor(list_cosine_similarity(a.ee, b.ee) * 1000000 + 0.5)
+              AS BIGINT) AS s
+  FROM cand a JOIN cand b USING (query_id)
+),
+st AS (
+  SELECT 0 AS step, query_id, vec_id, rel,
+         CAST(0 AS BIGINT) AS maxsim, FALSE AS picked
+  FROM cand
+  UNION ALL
+  SELECT s.step + 1, s.query_id, s.vec_id, s.rel,
+         greatest(s.maxsim, sim.s),
+         s.picked OR s.vec_id = s.pick
+  FROM (SELECT *,
+               first_value(vec_id) OVER (
+                 PARTITION BY query_id
+                 ORDER BY picked, {lambda_pm} * rel - {mu} * maxsim DESC,
+                          vec_id) AS pick
+        FROM st) s
+  JOIN sims sim
+    ON sim.query_id = s.query_id AND sim.i = s.pick AND sim.j = s.vec_id
+  WHERE s.step < {k} - 1
+)
+SELECT query_id, CAST(step AS BIGINT) AS step, vec_id, rel_micro,
+       maxsim_micro, mmr_score
+FROM (
+  SELECT query_id, step, vec_id, rel AS rel_micro, maxsim AS maxsim_micro,
+         CAST({lambda_pm} * rel - {mu} * maxsim AS BIGINT) AS mmr_score,
+         row_number() OVER (PARTITION BY query_id, step
+                            ORDER BY picked,
+                                     {lambda_pm} * rel - {mu} * maxsim DESC,
+                                     vec_id) AS rn
+  FROM st) WHERE rn = 1
+ORDER BY query_id, step
+"""
+
+
+MMR_SELECT_SQL = mmr_select_sql()

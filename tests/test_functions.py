@@ -271,6 +271,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "ccnet_ppl_buckets",
         "events_top_changepoint",
         "kcenter_coreset",
+        "mmr_select",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3553,3 +3554,34 @@ def test_kcenter_coreset_properties(ray_session):
     for r in rows:
         assert r["n_assigned"] >= 1
         assert r["sum_dist_micro"] >= 0
+
+
+def test_mmr_select_diversifies(ray_session):
+    """MMR invariants: step 0 is the pure-relevance argmax (maxsim 0),
+    picks are distinct per query, mmr_score is exactly
+    lam*rel - (1000-lam)*maxsim, and relevance-greedy ordering is NOT
+    simply preserved unless the pool is already diverse (at minimum,
+    rel_micro at step 0 is the max over all picked steps)."""
+    from document_extractor_ray.functions.similarity import (
+        MMR_LAMBDA_PM,
+        mmr_select,
+    )
+
+    rows = mmr_select(SF).to_pylist()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r["mmr_score"] == (
+            MMR_LAMBDA_PM * r["rel_micro"]
+            - (1000 - MMR_LAMBDA_PM) * r["maxsim_micro"]
+        )
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["step"])
+        assert rs[0]["maxsim_micro"] == 0
+        assert rs[0]["rel_micro"] == max(r["rel_micro"] for r in rs)
+        assert len({r["vec_id"] for r in rs}) == len(rs)
+        # mmr_score of successive picks never increases (greedy argmax
+        # over a shrinking pool with growing penalties)
+        scores = [r["mmr_score"] for r in rs]
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
