@@ -12922,3 +12922,146 @@ WHERE NOT EXISTS (
          AND d.n_left < c.n_left)
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Customer-cohort LTV triangle over orders
+# ---------------------------------------------------------------------------
+
+def customer_cohort_ltv(sf_dir: str):
+    """Lifetime-value cohort triangle: customers grouped by the
+    QUARTER of their first order, revenue and activity folded per
+    (cohort quarter, quarters-since-first) cell — the finance-side
+    sequel to user_retention's activity triangle.
+
+    Same scale shape as user_retention: per-batch (custkey, quarter,
+    cents) partials, ONE custkey-hash shuffle so each customer's
+    history co-locates (distinct-customer partials from disjoint
+    partitions add exactly), then a grouped Sum over rows bounded by
+    cohorts × ages — calendar-bounded, never order-bounded."""
+    ds = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    n_parts = _n_blocks()
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.add(
+            pc.multiply(pc.year(t["o_orderdate"]), pa.scalar(4, pa.int32())),
+            pc.subtract(pc.quarter(t["o_orderdate"]), pa.scalar(1, pa.int32())),
+        )
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "cust": t["o_custkey"],
+                    "q": pc.cast(q, pa.int64()),
+                    "cents": _to_cents(t["o_totalprice"]),
+                }
+            ),
+            ["cust", "q"],
+        ).aggregate([("cents", "sum"), ([], "count_all")])
+        u = g["cust"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (u * np.uint64(2654435761)) & np.uint64(0x7FFFFFFF)
+        return pa.table(
+            {
+                "cust": g["cust"],
+                "q": g["q"],
+                "cents": pc.cast(g["cents_sum"], pa.int64()),
+                "n": pc.cast(g["count_all"], pa.int64()),
+                "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+            }
+        )
+
+    def cohort_partial(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.groupby(["cust", "q"], sort=False)[["cents", "n"]]
+            .sum()
+            .reset_index()
+        )
+        cq = g.groupby("cust")["q"].transform("min").to_numpy()
+        cell = pd.DataFrame(
+            {
+                "cq": cq,
+                "age": g["q"].to_numpy() - cq,
+                "cents": g["cents"].to_numpy(),
+                "n": g["n"].to_numpy(),
+                "cust": g["cust"].to_numpy(),
+            }
+        )
+        agg = cell.groupby(["cq", "age"], sort=False).agg(
+            n_customers=("cust", "nunique"),
+            n_orders=("n", "sum"),
+            revenue_cents=("cents", "sum"),
+        )
+        idx = agg.index.to_frame(index=False)
+        return pa.table(
+            {
+                "cq": pa.array(idx["cq"].to_numpy().astype("int64"), pa.int64()),
+                "age_quarters": pa.array(
+                    idx["age"].to_numpy().astype("int64"), pa.int64()
+                ),
+                "n_customers": pa.array(
+                    agg["n_customers"].to_numpy().astype("int64"), pa.int64()
+                ),
+                "n_orders": pa.array(
+                    agg["n_orders"].to_numpy().astype("int64"), pa.int64()
+                ),
+                "revenue_cents": pa.array(
+                    agg["revenue_cents"].to_numpy().astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_year": pc.divide(t["cq"], pa.scalar(4, pa.int64())),
+                "cohort_quarter": pc.add(
+                    pc.subtract(
+                        t["cq"],
+                        pc.multiply(
+                            pc.divide(t["cq"], pa.scalar(4, pa.int64())),
+                            pa.scalar(4, pa.int64()),
+                        ),
+                    ),
+                    pa.scalar(1, pa.int64()),
+                ),
+                "age_quarters": t["age_quarters"],
+                "n_customers": t["n_customers"],
+                "n_orders": t["n_orders"],
+                "revenue_cents": t["revenue_cents"],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(cohort_partial, batch_format="pandas")
+        .groupby(["cq", "age_quarters"])
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(["cohort_year", "cohort_quarter", "age_quarters"])
+    )
+
+
+CUSTOMER_COHORT_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 4 + quarter(o_orderdate) - 1 AS q,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+),
+f AS (SELECT o_custkey, min(q) AS cq FROM o GROUP BY 1)
+SELECT CAST(f.cq // 4 AS BIGINT) AS cohort_year,
+       CAST(f.cq % 4 + 1 AS BIGINT) AS cohort_quarter,
+       CAST(o.q - f.cq AS BIGINT) AS age_quarters,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(o.cents) AS BIGINT) AS revenue_cents
+FROM o JOIN f USING (o_custkey)
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""

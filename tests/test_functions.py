@@ -272,6 +272,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "events_top_changepoint",
         "kcenter_coreset",
         "mmr_select",
+        "customer_cohort_ltv",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3585,3 +3586,30 @@ def test_mmr_select_diversifies(ray_session):
         # over a shrinking pool with growing penalties)
         scores = [r["mmr_score"] for r in rs]
         assert all(a >= b for a, b in zip(scores, scores[1:]))
+
+
+def test_customer_cohort_ltv_triangle(ray_session):
+    """Cohort bookkeeping: age 0 exists for every cohort (the first
+    order defines it), per-cohort age-0 customer count >= any later
+    age's count (a customer can't return before joining), and total
+    revenue across cells equals total order revenue in cents."""
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import customer_cohort_ltv
+
+    rows = customer_cohort_ltv(SF).take_all()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(
+            (r["cohort_year"], r["cohort_quarter"]), {}
+        )[r["age_quarters"]] = r
+    for cohort, ages in by_cohort.items():
+        assert 0 in ages
+        n0 = ages[0]["n_customers"]
+        assert all(v["n_customers"] <= n0 for a, v in ages.items() if a > 0)
+    total = duckdb.sql(
+        "SELECT CAST(sum(CAST(round(o_totalprice*100.0) AS BIGINT)) AS BIGINT) "
+        f"FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchone()[0]
+    assert sum(r["revenue_cents"] for r in rows) == total
