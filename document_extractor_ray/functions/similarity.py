@@ -2821,3 +2821,108 @@ ORDER BY query_id, step
 
 
 MMR_SELECT_SQL = mmr_select_sql()
+
+
+# ---------------------------------------------------------------------------
+# Int8 quantization error audit (embedding compression planning)
+# ---------------------------------------------------------------------------
+
+def embedding_quantize_audit(sf_dir: str):
+    """Per-dimension audit of symmetric int8 quantization (scale 127,
+    the faiss/SQ8 layout for unit-norm vectors): quantize every
+    component, report count, total and max absolute reconstruction
+    error, and saturation count per dimension — the table a storage
+    planner reads before committing the corpus to int8.
+
+    All arithmetic is integer-exact end to end: component micro
+    vi = floor(v·1e6 + 0.5), code q = round_half_up(vi·127 / 1e6)
+    (convention-proof floor division, clamped to ±127), error
+    |vi·127 − q·1e6| in micro-127ths of full scale.  Scale shape:
+    one vectorized pass, per-block (dim × 4) partials, driver fold
+    bounded by the dimensionality."""
+    ds = _read_embeddings(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t["embedding"]).astype(np.float64)
+        if m.size == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n_p": pa.array([], pa.int64()),
+                    "s_p": pa.array([], pa.int64()),
+                    "mx_p": pa.array([], pa.int64()),
+                    "sat_p": pa.array([], pa.int64()),
+                }
+            )
+        vi = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
+        q = np.clip((vi * 127 + 500_000) // 1_000_000, -127, 127)
+        err = np.abs(vi * 127 - q * 1_000_000)
+        sat = np.abs(q) == 127
+        d = m.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+                "n_p": pa.array(np.full(d, len(m), dtype=np.int64), pa.int64()),
+                "s_p": pa.array(err.sum(axis=0).astype(np.int64), pa.int64()),
+                "mx_p": pa.array(err.max(axis=0).astype(np.int64), pa.int64()),
+                "sat_p": pa.array(sat.sum(axis=0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg: dict[int, list] = {}
+    for tb in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not tb.num_rows:
+            continue
+        for d, n, s, mx, st_ in zip(
+            tb["dim"].to_pylist(),
+            tb["n_p"].to_pylist(),
+            tb["s_p"].to_pylist(),
+            tb["mx_p"].to_pylist(),
+            tb["sat_p"].to_pylist(),
+        ):
+            cur = agg.setdefault(int(d), [0, 0, 0, 0])
+            cur[0] += int(n)
+            cur[1] += int(s)
+            cur[2] = max(cur[2], int(mx))
+            cur[3] += int(st_)
+    dims = sorted(agg)
+    return pa.table(
+        {
+            "dim": pa.array(dims, pa.int64()),
+            "n_vals": pa.array([agg[d][0] for d in dims], pa.int64()),
+            "sum_abs_err": pa.array([agg[d][1] for d in dims], pa.int64()),
+            "max_abs_err": pa.array([agg[d][2] for d in dims], pa.int64()),
+            "n_saturated": pa.array([agg[d][3] for d in dims], pa.int64()),
+        }
+    )
+
+
+# round_half_up(vi*127/1e6) via a floor division immune to the engine's
+# negative-division convention: subtract the true non-negative modulus
+# first, so the quotient is exact whichever way `//` rounds.
+EMBEDDING_QUANTIZE_AUDIT_SQL = """
+WITH v AS (
+  SELECT CAST(r.d AS BIGINT) AS dim,
+         CAST(floor(CAST(e.embedding[CAST(r.d AS INTEGER) + 1] AS DOUBLE)
+                    * 1000000 + 0.5) AS BIGINT) AS vi
+  FROM embeddings e, range(0, 256) r(d)
+  WHERE r.d < len(e.embedding)
+),
+q AS (
+  SELECT dim, vi,
+         greatest(-127, least(127,
+           (vi * 127 + 500000
+            - (((vi * 127 + 500000) % 1000000 + 1000000) % 1000000))
+           // 1000000)) AS code
+  FROM v
+)
+SELECT dim,
+       CAST(count(*) AS BIGINT) AS n_vals,
+       CAST(sum(abs(vi * 127 - code * 1000000)) AS BIGINT) AS sum_abs_err,
+       CAST(max(abs(vi * 127 - code * 1000000)) AS BIGINT) AS max_abs_err,
+       CAST(sum(CASE WHEN abs(code) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_saturated
+FROM q GROUP BY dim ORDER BY dim
+"""

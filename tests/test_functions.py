@@ -273,6 +273,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "kcenter_coreset",
         "mmr_select",
         "customer_cohort_ltv",
+        "embedding_quantize_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3613,3 +3614,25 @@ def test_customer_cohort_ltv_triangle(ray_session):
         f"FROM read_parquet('{SF}/orders.parquet')"
     ).fetchone()[0]
     assert sum(r["revenue_cents"] for r in rows) == total
+
+
+def test_embedding_quantize_audit_bounds(ray_session):
+    """Quantization theory pins the bounds: with half-up rounding the
+    per-component error is at most half a quantization step (500000
+    micro-127ths) except where clamping bites, every dim sees every
+    vector, and errors are non-negative."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.similarity import (
+        embedding_quantize_audit,
+    )
+
+    rows = embedding_quantize_audit(SF).to_pylist()
+    n_vecs = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    assert len(rows) == 64
+    for r in rows:
+        assert r["n_vals"] == n_vecs
+        assert 0 <= r["sum_abs_err"] <= r["n_vals"] * r["max_abs_err"]
+        if r["n_saturated"] == 0:
+            assert r["max_abs_err"] <= 500_000
+        assert r["sum_abs_err"] >= r["max_abs_err"]
