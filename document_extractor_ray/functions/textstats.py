@@ -4608,17 +4608,17 @@ ORDER BY cnt.lang
 # ---------------------------------------------------------------------------
 
 
-def _unigram_xent_ds(sf_dir: str, extra_cols: tuple = ()):
-    """Unsorted per-doc unigram cross-entropy dataset
-    (doc_id, *extra_cols, n_tok, xent_num) — the shared kernel behind
-    ``doc_unigram_xent`` and ``ccnet_ppl_buckets``.  See
-    ``doc_unigram_xent`` for semantics and the scale story."""
+def _surprisal_ref(sf_dir: str):
+    """Broadcast ref of the corpus unigram surprisal table
+    (tokens ChunkedArray, surp int64 micro-nats array) — the shared
+    LM state behind the xent family (vocab fold via ``bucketed_agg``,
+    one memoized ln per distinct count)."""
     import math
 
     from document_extractor_ray import state
     from document_extractor_ray.functions.bucketing import bucketed_agg
 
-    ds = _read_docs(sf_dir, ["doc_id", *extra_cols, "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def tf_partial(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
@@ -4655,7 +4655,18 @@ def _unigram_xent_ds(sf_dir: str, extra_cols: tuple = ()):
     surp = np.array(
         [l_n - L(int(c)) for c in vt["c"].to_pylist()], dtype=np.int64
     )
-    ref = state.broadcast((vt["token"].combine_chunks(), surp))
+    return state.broadcast((vt["token"].combine_chunks(), surp))
+
+
+def _unigram_xent_ds(sf_dir: str, extra_cols: tuple = ()):
+    """Unsorted per-doc unigram cross-entropy dataset
+    (doc_id, *extra_cols, n_tok, xent_num) — the shared kernel behind
+    ``doc_unigram_xent`` and ``ccnet_ppl_buckets``.  See
+    ``doc_unigram_xent`` for semantics and the scale story."""
+    from document_extractor_ray import state
+
+    ref = _surprisal_ref(sf_dir)
+    ds = _read_docs(sf_dir, ["doc_id", *extra_cols, "text"])
 
     def score(t: pa.Table) -> pa.Table:
         tokens, sp = state.cached_get(ref)
@@ -4856,6 +4867,97 @@ FROM (SELECT doc_id, lang,
              CAST(xent_num * 1000 // n_tok AS BIGINT) AS mean_xent_nano
       FROM x)
 ORDER BY doc_id
+"""
+
+
+def positional_xent_profile(sf_dir: str):
+    """Corpus surprisal by RELATIVE token position: every token is
+    assigned to a position decile within its document
+    (pos0·10 // n_tok) and the corpus unigram surprisal mass is folded
+    per decile — the burn-in/boilerplate profile (headers and footers
+    show up as low-surprisal head/tail deciles; a flat profile means
+    position-independent text).
+
+    Scale shape: the LM state is the shared ``_surprisal_ref``
+    broadcast; the profile pass is one vectorized batch kernel
+    (positions from list-parent indices, one np.add.at into 10 cells)
+    emitting a 10-row partial per block — driver fold, no shuffle."""
+    from document_extractor_ray import state
+
+    ref = _surprisal_ref(sf_dir)
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tokens, sp = state.cached_get(ref)
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        par = parent.filter(keep).to_numpy(zero_copy_only=False)
+        n_cnt = np.zeros(10, np.int64)
+        x_sum = np.zeros(10, np.int64)
+        if len(flat):
+            pos0 = np.arange(len(par)) - np.searchsorted(par, par, side="left")
+            ntok = np.bincount(par, minlength=t.num_rows)
+            dec = pos0 * 10 // ntok[par]
+            idx = pc.index_in(flat, value_set=tokens).to_numpy(
+                zero_copy_only=False
+            )
+            np.add.at(n_cnt, dec, 1)
+            np.add.at(x_sum, dec, sp[idx])
+        present = n_cnt > 0
+        return pa.table(
+            {
+                "pos_decile": pa.array(np.flatnonzero(present), pa.int64()),
+                "n_p": pa.array(n_cnt[present], pa.int64()),
+                "x_p": pa.array(x_sum[present], pa.int64()),
+            }
+        )
+
+    n_fold = np.zeros(10, np.int64)
+    x_fold = np.zeros(10, np.int64)
+    for tb in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not tb.num_rows:
+            continue
+        d = tb["pos_decile"].to_numpy(zero_copy_only=False)
+        n_fold[d] += tb["n_p"].to_numpy(zero_copy_only=False)
+        x_fold[d] += tb["x_p"].to_numpy(zero_copy_only=False)
+    present = n_fold > 0
+    return pa.table(
+        {
+            "pos_decile": pa.array(np.flatnonzero(present), pa.int64()),
+            "n_tok": pa.array(n_fold[present], pa.int64()),
+            "xent_num": pa.array(x_fold[present], pa.int64()),
+        }
+    )
+
+
+POSITIONAL_XENT_PROFILE_SQL = f"""
+WITH tok0 AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token,
+         generate_subscripts(
+           regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}'), 1) AS p
+  FROM documents
+),
+tk AS (
+  SELECT doc_id, token,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS pos0
+  FROM tok0 WHERE token <> ''
+),
+nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk)
+SELECT CAST(tk.pos0 * 10 // nt.n AS BIGINT) AS pos_decile,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(sum(CAST(round(ln(t.n) * 1000000) AS BIGINT)
+                - CAST(round(ln(c.c) * 1000000) AS BIGINT)) AS BIGINT)
+         AS xent_num
+FROM tk JOIN nt USING (doc_id) JOIN cnt c USING (token) CROSS JOIN tot t
+GROUP BY 1 ORDER BY 1
 """
 
 

@@ -274,6 +274,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "mmr_select",
         "customer_cohort_ltv",
         "embedding_quantize_audit",
+        "positional_xent_profile",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3636,3 +3637,20 @@ def test_embedding_quantize_audit_bounds(ray_session):
         if r["n_saturated"] == 0:
             assert r["max_abs_err"] <= 500_000
         assert r["sum_abs_err"] >= r["max_abs_err"]
+
+
+def test_positional_xent_profile_conserves_mass(ray_session):
+    """The ten deciles partition every token exactly once: counts and
+    surprisal mass sum to the per-doc totals doc_unigram_xent reports,
+    and decile populations are near-balanced (each holds >= floor(n/10)
+    tokens minus the short-doc remainder slack)."""
+    from document_extractor_ray.functions.textstats import (
+        doc_unigram_xent,
+        positional_xent_profile,
+    )
+
+    prof = positional_xent_profile(SF).to_pylist()
+    assert [r["pos_decile"] for r in prof] == list(range(10))
+    docs = doc_unigram_xent(SF).take_all()
+    assert sum(r["n_tok"] for r in prof) == sum(d["n_tok"] for d in docs)
+    assert sum(r["xent_num"] for r in prof) == sum(d["xent_num"] for d in docs)
