@@ -368,6 +368,13 @@ def run_bench() -> dict:
         "langid_kappa",
         "order_value_pct_by_nation",
         "join_size_cms_audit",
+        "padding_waste_plan",
+        "events_top_changepoint",
+        "kcenter_coreset",
+        "mmr_select",
+        "customer_cohort_ltv",
+        "embedding_quantize_audit",
+        "positional_xent_profile",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool
