@@ -2862,3 +2862,85 @@ def simhash_hamming_hist_docs(sf_dir: str):
     from document_extractor_ray.functions.textstats import _read_docs
 
     return simhash_hamming_hist(_read_docs(sf_dir, ["doc_id", "text"]))
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication audit over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+def dup_cross_source_stats(sf_dir: str, threshold: float = 0.7):
+    """Where do near-duplicates come from: fold the MinHash dup-pair
+    graph into a per-(source_a, source_b) pair-count matrix
+    (unordered source pair, least/greatest) — within-source cells are
+    re-posts, off-diagonal cells are cross-source syndication, the
+    number that decides whether dedup must run globally or can shard
+    by source.
+
+    Scale shape: rides ``minhash_dup_pairs`` (capped buckets, bucketed
+    pair dedup); the source attach never ships a corpus-sized dim —
+    the pair endpoints (bounded by the dup-pair count) become a
+    broadcast id set, one filtered column-pruned scan folds only the
+    matching (doc_id, source) rows back to the driver, and the matrix
+    itself is |sources|²-bounded."""
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.textstats import (
+        _read_docs as _read_doc_cols,
+    )
+
+    pairs_tables = [
+        tb
+        for tb in map(
+            ray.get,
+            minhash_dup_pairs(_read_docs(sf_dir), threshold=threshold)
+            .to_arrow_refs(),
+        )
+        if tb.num_rows
+    ]
+    if not pairs_tables:
+        return pa.table(
+            {
+                "source_a": pa.array([], pa.string()),
+                "source_b": pa.array([], pa.string()),
+                "n_pairs": pa.array([], pa.int64()),
+            }
+        )
+    pairs = pa.concat_tables(pairs_tables).combine_chunks()
+    a = pairs["doc_a"].to_numpy(zero_copy_only=False)
+    b = pairs["doc_b"].to_numpy(zero_copy_only=False)
+    id_set = np.unique(np.concatenate([a, b]))
+    ref = state.broadcast(id_set)
+
+    docs = _read_doc_cols(sf_dir, ["doc_id", "source"])
+
+    def lookup_partial(t: pa.Table) -> pa.Table:
+        ids = state.cached_get(ref)
+        keep = np.isin(t["doc_id"].to_numpy(zero_copy_only=False), ids)
+        return t.filter(pa.array(keep))
+
+    src_of: dict[int, str] = {}
+    for tb in map(
+        ray.get,
+        docs.map_batches(lookup_partial, batch_format="pyarrow").to_arrow_refs(),
+    ):
+        if not tb.num_rows:
+            continue
+        for d, s in zip(tb["doc_id"].to_pylist(), tb["source"].to_pylist()):
+            src_of[int(d)] = s
+
+    matrix: dict[tuple, int] = {}
+    for da, db in zip(a, b):
+        sa, sb = src_of[int(da)], src_of[int(db)]
+        key = (sa, sb) if sa <= sb else (sb, sa)
+        matrix[key] = matrix.get(key, 0) + 1
+    keys = sorted(matrix)
+    return pa.table(
+        {
+            "source_a": pa.array([k[0] for k in keys], pa.string()),
+            "source_b": pa.array([k[1] for k in keys], pa.string()),
+            "n_pairs": pa.array([matrix[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+def dup_cross_source_stats_docs(sf_dir: str, threshold: float = 0.7):
+    return dup_cross_source_stats(sf_dir, threshold=threshold)

@@ -1084,3 +1084,18 @@ dist AS (
 )
 SELECT d AS distance, CAST(count(*) AS BIGINT) AS n_pairs
 FROM dist GROUP BY d ORDER BY d"""
+
+
+def dup_cross_source_sql(threshold: float = 0.7) -> str:
+    """Oracle for ``dedup.dup_cross_source_stats``: the minhash pair
+    set joined to documents' source on both endpoints, folded to the
+    unordered per-source-pair count matrix."""
+    return f"""WITH p AS ({minhash_pairs_sql(threshold)})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2
+ORDER BY 1, 2"""

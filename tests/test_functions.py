@@ -275,6 +275,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "customer_cohort_ltv",
         "embedding_quantize_audit",
         "positional_xent_profile",
+        "dup_cross_source_stats",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3654,3 +3655,21 @@ def test_positional_xent_profile_conserves_mass(ray_session):
     docs = doc_unigram_xent(SF).take_all()
     assert sum(r["n_tok"] for r in prof) == sum(d["n_tok"] for d in docs)
     assert sum(r["xent_num"] for r in prof) == sum(d["xent_num"] for d in docs)
+
+
+def test_dup_cross_source_stats_mass(ray_session):
+    """The source-pair matrix partitions the dup-pair set exactly:
+    cell counts sum to the minhash pair count, source pairs are
+    unordered (source_a <= source_b), and cells are positive."""
+    from document_extractor_ray.functions.dedup import (
+        dup_cross_source_stats,
+        minhash_dup_pairs_docs,
+    )
+
+    rows = dup_cross_source_stats(SF).to_pylist()
+    assert rows
+    n_pairs = minhash_dup_pairs_docs(SF).count()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs
+    for r in rows:
+        assert r["source_a"] <= r["source_b"]
+        assert r["n_pairs"] >= 1
