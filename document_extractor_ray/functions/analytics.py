@@ -13065,3 +13065,125 @@ FROM o JOIN f USING (o_custkey)
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Out-of-orderness / watermark lateness audit (ingest replay)
+# ---------------------------------------------------------------------------
+
+LATE_RANGE = 1024  # keys per deterministic lateness range
+
+
+def ingest_lateness_audit(sf_dir: str, range_size: int = LATE_RANGE):
+    """Event-time lateness per arrival, replaying the orders feed in
+    insertion-key order: with o_orderkey as the arrival sequence and
+    o_orderdate as event time, lateness = running-max(prior event
+    time) − event time (clamped at 0) — the out-of-orderness profile
+    that sizes a streaming watermark delay (an arrival with
+    late_us > D would be dropped by a watermark D behind the
+    high-water mark).  The events table is already ts-sorted by
+    event_id (zero lateness — verified), so the orders feed is the
+    non-vacuous stream for this audit.
+
+    Scale shape: the global running max decomposes over deterministic
+    key RANGES (the pack_sequences trick): pass 1 folds one
+    (range, max_ts) row per range (bounded by id-domain/range_size,
+    pick range_size so ranges fit the driver), the driver broadcasts
+    EXCLUSIVE prefix maxima, pass 2 shuffles rows once by range and
+    runs a vectorized within-range cummax — output independent of
+    block layout."""
+    from document_extractor_ray import state
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    n_parts = _n_blocks()
+
+    def range_partial(t: pa.Table) -> pa.Table:
+        keyed = pa.table(
+            {
+                "rng": pc.divide(t["o_orderkey"], pa.scalar(range_size, pa.int64())),
+                "ts_us": pc.cast(t["o_orderdate"], pa.int64()),
+            }
+        )
+        return keyed.group_by("rng").aggregate([("ts_us", "max")])
+
+    fold: dict[int, int] = {}
+    for tb in map(
+        ray.get, ds.map_batches(range_partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not tb.num_rows:
+            continue
+        for r, m in zip(tb["rng"].to_pylist(), tb["ts_us_max"].to_pylist()):
+            r = int(r)
+            fold[r] = max(fold.get(r, np.iinfo(np.int64).min), int(m))
+    rngs = np.array(sorted(fold), dtype=np.int64)
+    maxes = np.array([fold[int(r)] for r in rngs], dtype=np.int64)
+    # exclusive prefix max: the high-water mark BEFORE each range
+    excl = np.concatenate(
+        ([np.iinfo(np.int64).min], np.maximum.accumulate(maxes)[:-1])
+    )
+    base_ref = state.broadcast((rngs, excl))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        rng = pc.divide(t["o_orderkey"], pa.scalar(range_size, pa.int64()))
+        rn = rng.to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (rn * np.uint64(2654435761)) & np.uint64(0x7FFFFFFF)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "rng": rng,
+                "ts_us": pc.cast(t["o_orderdate"], pa.int64()),
+                "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+            }
+        )
+
+    def late_partition(g: pd.DataFrame) -> pd.DataFrame:
+        rngs_b, excl_b = state.cached_get(base_ref)
+        g = g.sort_values(["rng", "o_orderkey"], kind="mergesort")
+        ts = g["ts_us"].to_numpy().astype(np.int64)
+        # within-range prior cummax (shifted), seeded by the broadcast
+        # exclusive range base
+        base = excl_b[np.searchsorted(rngs_b, g["rng"].to_numpy())]
+        out = np.empty(len(g), dtype=np.int64)
+        start = 0
+        rvals = g["rng"].to_numpy()
+        for i in range(1, len(g) + 1):
+            if i == len(g) or rvals[i] != rvals[start]:
+                seg = ts[start:i]
+                prior = np.concatenate(
+                    ([base[start]], np.maximum.accumulate(seg)[:-1])
+                )
+                out[start:i] = np.maximum(prior, base[start])
+                start = i
+        with np.errstate(over="ignore"):
+            late = np.maximum(out - ts, 0)
+        # the very first arrival has no predecessor: base is -inf there
+        late[out == np.iinfo(np.int64).min] = 0
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy().astype("int64"),
+                "late_us": late.astype("int64"),
+                "is_late": (late > 0).astype("bool"),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(late_partition, batch_format="pandas")
+        .sort("o_orderkey")
+    )
+
+
+INGEST_LATENESS_SQL = """
+SELECT o_orderkey,
+       CAST(greatest(
+         coalesce(max(epoch_us(o_orderdate)) OVER (ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  - epoch_us(o_orderdate), 0), 0) AS BIGINT) AS late_us,
+       CAST(greatest(
+         coalesce(max(epoch_us(o_orderdate)) OVER (ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  - epoch_us(o_orderdate), 0), 0) > 0 AS BOOLEAN) AS is_late
+FROM orders
+ORDER BY o_orderkey
+"""

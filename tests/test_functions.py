@@ -276,6 +276,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "embedding_quantize_audit",
         "positional_xent_profile",
         "dup_cross_source_stats",
+        "ingest_lateness_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3673,3 +3674,32 @@ def test_dup_cross_source_stats_mass(ray_session):
     for r in rows:
         assert r["source_a"] <= r["source_b"]
         assert r["n_pairs"] >= 1
+
+
+def test_ingest_lateness_audit_semantics(ray_session):
+    """Recompute the running high-water mark sequentially from the raw
+    orders table and compare a sample; the first arrival is never
+    late; lateness is non-vacuous on orders (the feed IS out of
+    order)."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.analytics import (
+        ingest_lateness_audit,
+    )
+
+    rows = ingest_lateness_audit(SF).take_all()
+    assert rows[0]["late_us"] == 0
+    assert any(r["is_late"] for r in rows)
+    t = (
+        pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+        .sort_by("o_orderkey")
+    )
+    ts = t["o_orderdate"].cast("int64").to_pylist()
+    hwm = None
+    expect = {}
+    for k, v in zip(t["o_orderkey"].to_pylist(), ts):
+        expect[k] = max((hwm or v) - v, 0)
+        hwm = v if hwm is None else max(hwm, v)
+    for r in rows[:500]:
+        assert r["late_us"] == expect[r["o_orderkey"]]
+        assert r["is_late"] == (r["late_us"] > 0)
