@@ -13187,3 +13187,180 @@ SELECT o_orderkey,
 FROM orders
 ORDER BY o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Population stability index (PSI) drift per event type
+# ---------------------------------------------------------------------------
+
+def value_psi_drift(sf_dir: str):
+    """PSI of event value between the first and second half of the
+    window, per type — THE industry drift gate (PSI < 0.1 stable,
+    > 0.25 retrain), complementing value_drift_quantiles (shift) and
+    value_ks_types (max gap) with the full-distribution divergence.
+
+    Bins are the reference window's deciles (percentile_disc edges,
+    ties falling low), counts Laplace-smoothed (+1 per bin) so empty
+    bins stay defined, and PSI is computed as ONE exact integer
+    rational: psi_micro = Σ (a'B' − b'A')·(L(a'B') − L(b'A')) // A'B'
+    with L(v) = round(ln v · 1e6) — the proven ln-micro identity, so
+    both engines emit the identical integer.
+
+    Scale shape: the same (type, window, cents) bucketed count fold as
+    the quantile/KS family (value-domain-bounded); edges, binning and
+    the 10-term PSI sum are a driver walk over that bounded table."""
+    import math
+
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        w = pc.cast(
+            pc.greater_equal(pc.cast(t["ts"], pa.int64()), _DRIFT_SPLIT_US),
+            pa.int64(),
+        )
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "w": w,
+                    "cents": _to_cents(t["value"]),
+                }
+            ),
+            ["event_type", "w", "cents"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "w": g["w"],
+                "cents": g["cents"],
+                "n_part": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    cnt = bucketed_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "w", "cents"],
+        [("n_part", "sum", "n")],
+    ).take_all()
+    groups: dict[tuple, dict] = {}
+    for r in cnt:
+        groups.setdefault((r["event_type"], int(r["w"])), {})[int(r["cents"])] = (
+            groups.get((r["event_type"], int(r["w"])), {}).get(int(r["cents"]), 0)
+            + int(r["n"])
+        )
+
+    def L(v: int) -> int:
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    types = sorted({k[0] for k in groups})
+    out_t, out_psi, out_a, out_b = [], [], [], []
+    for ty in types:
+        ref = sorted(groups.get((ty, 0), {}).items())
+        cur = sorted(groups.get((ty, 1), {}).items())
+        vals = np.array([c for c, _ in ref], dtype=np.int64)
+        ns = np.array([n for _, n in ref], dtype=np.int64)
+        tot = int(ns.sum())
+        cum = np.cumsum(ns)
+        edges = []
+        for q in range(100, 1000, 100):
+            need = (tot * q + 999) // 1000
+            edges.append(int(vals[np.searchsorted(cum, need)]))
+        edges = np.array(edges, dtype=np.int64)
+
+        def bincounts(rows):
+            cnts = np.zeros(10, dtype=np.int64)
+            for cents, n in rows:
+                cnts[np.searchsorted(edges, cents, side="left")] += n
+            return cnts
+
+        a1 = bincounts(ref) + 1
+        b1 = bincounts(cur) + 1
+        A = int(a1.sum())
+        B = int(b1.sum())
+        num = sum(
+            (int(a) * B - int(b) * A) * (L(int(a) * B) - L(int(b) * A))
+            for a, b in zip(a1, b1)
+        )
+        out_t.append(ty)
+        out_psi.append(num // (A * B))
+        out_a.append(A)
+        out_b.append(B)
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "psi_micro": pa.array(out_psi, pa.int64()),
+            "n_ref_smoothed": pa.array(out_a, pa.int64()),
+            "n_cur_smoothed": pa.array(out_b, pa.int64()),
+        }
+    )
+
+
+VALUE_PSI_DRIFT_SQL = """
+WITH v AS (
+  SELECT event_type,
+         CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS w,
+         CAST(round(value * 100.0) AS BIGINT) AS cents
+  FROM events
+),
+ref AS (
+  SELECT event_type, cents, CAST(count(*) AS BIGINT) AS n
+  FROM v WHERE w = 0 GROUP BY 1, 2
+),
+edges AS (
+  SELECT event_type, q, min(cents) AS edge
+  FROM (
+    SELECT r.event_type, r.cents, qq.q,
+           sum(n) OVER (PARTITION BY r.event_type, qq.q
+                        ORDER BY r.cents) AS cum,
+           sum(n) OVER (PARTITION BY r.event_type, qq.q) AS tot
+    FROM ref r
+    CROSS JOIN (SELECT unnest(range(1, 10)) * 100 AS q) qq
+  )
+  WHERE cum >= (tot * q + 999) // 1000
+  GROUP BY 1, 2
+),
+binned AS (
+  SELECT v.event_type, v.w,
+         (SELECT count(*) FROM edges e
+          WHERE e.event_type = v.event_type AND v.cents > e.edge) AS bin
+  FROM v
+),
+cnt AS (
+  SELECT event_type, bin,
+         CAST(sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM binned GROUP BY 1, 2
+),
+bins AS (
+  SELECT t.event_type, gg.bin
+  FROM (SELECT DISTINCT event_type FROM v) t
+  CROSS JOIN (SELECT unnest(range(10)) AS bin) gg
+),
+filled AS (
+  SELECT bins.event_type, bins.bin,
+         coalesce(c.a, 0) + 1 AS a1, coalesce(c.b, 0) + 1 AS b1
+  FROM bins LEFT JOIN cnt c
+    ON c.event_type = bins.event_type AND c.bin = bins.bin
+),
+tot AS (
+  SELECT event_type, CAST(sum(a1) AS BIGINT) AS na,
+         CAST(sum(b1) AS BIGINT) AS nb
+  FROM filled GROUP BY 1
+),
+term AS (
+  SELECT f.event_type, t.na, t.nb,
+         (f.a1 * t.nb - f.b1 * t.na)
+         * (CAST(round(ln(f.a1 * t.nb) * 1000000) AS BIGINT)
+            - CAST(round(ln(f.b1 * t.na) * 1000000) AS BIGINT)) AS tt
+  FROM filled f JOIN tot t USING (event_type)
+)
+SELECT event_type,
+       CAST(sum(tt) // (na * nb) AS BIGINT) AS psi_micro,
+       CAST(na AS BIGINT) AS n_ref_smoothed,
+       CAST(nb AS BIGINT) AS n_cur_smoothed
+FROM term
+GROUP BY event_type, na, nb
+ORDER BY event_type
+"""

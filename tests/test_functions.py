@@ -277,6 +277,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "positional_xent_profile",
         "dup_cross_source_stats",
         "ingest_lateness_audit",
+        "value_psi_drift",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3703,3 +3704,56 @@ def test_ingest_lateness_audit_semantics(ray_session):
     for r in rows[:500]:
         assert r["late_us"] == expect[r["o_orderkey"]]
         assert r["is_late"] == (r["late_us"] > 0)
+
+
+def test_value_psi_drift_properties(ray_session):
+    """PSI is non-negative (each term (p-q)ln(p/q) >= 0), zero only
+    for identical distributions, and a float recomputation from the
+    smoothed decile bins agrees within micro-rounding slack."""
+    import math
+
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import value_psi_drift
+
+    rows = value_psi_drift(SF).to_pylist()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["psi_micro"] >= 0
+        # float cross-check: reproduce bins via the oracle's own CTEs
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{SF}/events.parquet')"
+        )
+        a, b = con.execute(
+            """
+WITH v AS (SELECT event_type,
+       CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS w,
+       CAST(round(value*100.0) AS BIGINT) AS cents FROM events),
+ref AS (SELECT event_type, cents, count(*) AS n FROM v WHERE w=0 GROUP BY 1,2),
+edges AS (SELECT event_type, q, min(cents) AS edge FROM (
+  SELECT r.event_type, r.cents, qq.q,
+         sum(n) OVER (PARTITION BY r.event_type, qq.q ORDER BY r.cents) AS cum,
+         sum(n) OVER (PARTITION BY r.event_type, qq.q) AS tot
+  FROM ref r CROSS JOIN (SELECT unnest(range(1,10))*100 AS q) qq)
+  WHERE cum >= (tot*q+999)//1000 GROUP BY 1,2),
+binned AS (SELECT v.event_type, v.w,
+  (SELECT count(*) FROM edges e WHERE e.event_type=v.event_type
+     AND v.cents > e.edge) AS bin FROM v),
+cnt AS (SELECT bin,
+  sum(CASE WHEN w=0 THEN 1 ELSE 0 END) AS a,
+  sum(CASE WHEN w=1 THEN 1 ELSE 0 END) AS b
+  FROM binned WHERE event_type = ? GROUP BY 1)
+SELECT list(coalesce(a,0)+1 ORDER BY bin), list(coalesce(b,0)+1 ORDER BY bin)
+FROM (SELECT g.bin, c.a, c.b FROM (SELECT unnest(range(10)) AS bin) g
+      LEFT JOIN cnt c USING (bin))
+            """,
+            [r["event_type"]],
+        ).fetchone()
+        A, B = sum(a), sum(b)
+        psi = sum(
+            (ai / A - bi / B) * math.log((ai / A) / (bi / B))
+            for ai, bi in zip(a, b)
+        )
+        assert abs(r["psi_micro"] - psi * 1_000_000) <= len(a) + 1
