@@ -2944,3 +2944,69 @@ def dup_cross_source_stats(sf_dir: str, threshold: float = 0.7):
 
 def dup_cross_source_stats_docs(sf_dir: str, threshold: float = 0.7):
     return dup_cross_source_stats(sf_dir, threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation decision table (the whole pipeline, one row per doc)
+# ---------------------------------------------------------------------------
+
+FAIL_NEARDUP = 8    # near-dup cluster loser (not the min-id representative)
+FAIL_DECONTAM = 16  # shares >= min_hits k-gram shingles with the benchmark
+
+
+def curation_decisions(sf_dir: str, threshold: float = 0.7, n_benchmark: int = 3):
+    """One row per document with the FULL curation verdict: the
+    C4/repetition/gopher quality bitmask (doc_quality_composite's
+    layers), a near-dup-loser bit (kept representative = min cluster
+    id, the near_dedup_keep rule) and a benchmark-contamination bit —
+    keep = fail_mask == 0.  This is the end-to-end corpus-curation
+    pipeline a training run executes, folded into one auditable table
+    (per-reason loss accounting instead of a silent filtered corpus).
+
+    Scale shape: the quality layers are one vectorized pure pass; the
+    near-dup loser and contaminated id sets are BOUNDED (dup-cluster
+    members and benchmark hits, vanishing fractions of the corpus) so
+    they fold to the driver and broadcast as sorted arrays — two
+    np.isin probes per batch, no corpus-sized join anywhere."""
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.textstats import (
+        doc_quality_composite,
+    )
+
+    # bounded loser set: docs whose cluster representative is not them
+    losers: list[int] = []
+    for tb in map(
+        ray.get,
+        near_dup_clusters(_read_docs(sf_dir), threshold=threshold).to_arrow_refs(),
+    ):
+        if not tb.num_rows:
+            continue
+        m = pc.not_equal(tb["doc_id"], tb["cluster_id"])
+        losers.extend(tb.filter(m)["doc_id"].to_pylist())
+    # bounded contaminated set
+    cont: list[int] = []
+    for tb in map(ray.get, decontaminate_docs(sf_dir, n_benchmark).to_arrow_refs()):
+        if not tb.num_rows:
+            continue
+        cont.extend(tb.filter(tb["contaminated"])["doc_id"].to_pylist())
+    loser_arr = np.array(sorted(losers), dtype=np.int64)
+    cont_arr = np.array(sorted(cont), dtype=np.int64)
+    ref = state.broadcast((loser_arr, cont_arr))
+
+    comp = doc_quality_composite(sf_dir)
+
+    def extend(t: pa.Table) -> pa.Table:
+        lo, co = state.cached_get(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        mask = t["fail_mask"].to_numpy(zero_copy_only=False).copy()
+        mask += np.isin(ids, lo) * FAIL_NEARDUP
+        mask += np.isin(ids, co) * FAIL_DECONTAM
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fail_mask": pa.array(mask, pa.int64()),
+                "keep": pa.array((mask == 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return comp.map_batches(extend, batch_format="pyarrow").sort("doc_id")

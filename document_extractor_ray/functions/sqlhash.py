@@ -1099,3 +1099,30 @@ JOIN documents da ON da.doc_id = p.doc_a
 JOIN documents db ON db.doc_id = p.doc_b
 GROUP BY 1, 2
 ORDER BY 1, 2"""
+
+
+def curation_decisions_sql(
+    threshold: float = 0.7, n_benchmark: int = 3
+) -> str:
+    """Oracle for ``dedup.curation_decisions``: the quality composite
+    extended with the near-dup-loser bit (NOT in the keep set) and the
+    contamination bit, keep = fail_mask == 0."""
+    from document_extractor_ray.functions.textstats import (
+        DOC_QUALITY_COMPOSITE_SQL,
+    )
+
+    return f"""WITH base AS ({DOC_QUALITY_COMPOSITE_SQL}),
+nk AS (SELECT doc_id FROM ({near_dedup_keep_sql(threshold)})),
+ct AS (SELECT doc_id FROM ({decontaminate_sql(n_benchmark=n_benchmark)})
+       WHERE contaminated)
+SELECT b.doc_id,
+       CAST(b.fail_mask
+            + (CASE WHEN nk.doc_id IS NULL THEN 8 ELSE 0 END)
+            + (CASE WHEN ct.doc_id IS NOT NULL THEN 16 ELSE 0 END)
+         AS BIGINT) AS fail_mask,
+       CAST(CASE WHEN b.fail_mask = 0 AND nk.doc_id IS NOT NULL
+                  AND ct.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM base b
+LEFT JOIN nk USING (doc_id)
+LEFT JOIN ct USING (doc_id)
+ORDER BY b.doc_id"""

@@ -278,6 +278,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "dup_cross_source_stats",
         "ingest_lateness_audit",
         "value_psi_drift",
+        "curation_decisions",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3757,3 +3758,34 @@ FROM (SELECT g.bin, c.a, c.b FROM (SELECT unnest(range(10)) AS bin) g
             for ai, bi in zip(a, b)
         )
         assert abs(r["psi_micro"] - psi * 1_000_000) <= len(a) + 1
+
+
+def test_curation_decisions_compose(ray_session):
+    """The curation table is the exact composition of its layers: the
+    low 3 mask bits equal doc_quality_composite's mask, bit 8 flags
+    exactly the docs absent from near_dedup_keep, bit 16 exactly the
+    contaminated docs (benchmark docs self-flag), and keep == 1 iff
+    fail_mask == 0."""
+    from document_extractor_ray.functions.dedup import (
+        curation_decisions,
+        decontaminate_docs,
+        near_dedup_keep_docs,
+    )
+    from document_extractor_ray.functions.textstats import (
+        doc_quality_composite,
+    )
+
+    rows = {r["doc_id"]: r for r in curation_decisions(SF).take_all()}
+    comp = {r["doc_id"]: r["fail_mask"] for r in doc_quality_composite(SF).take_all()}
+    keepers = {r["doc_id"] for r in near_dedup_keep_docs(SF).take_all()}
+    cont = {
+        r["doc_id"]
+        for r in decontaminate_docs(SF).take_all()
+        if r["contaminated"]
+    }
+    assert cont  # benchmark docs self-flag: never vacuous
+    for d, r in rows.items():
+        assert r["fail_mask"] & 7 == comp[d]
+        assert bool(r["fail_mask"] & 8) == (d not in keepers)
+        assert bool(r["fail_mask"] & 16) == (d in cont)
+        assert r["keep"] == (1 if r["fail_mask"] == 0 else 0)
