@@ -13364,3 +13364,191 @@ FROM term
 GROUP BY event_type, na, nb
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Columnar delta-encoding size planner over the events stream
+# ---------------------------------------------------------------------------
+
+ENC_RANGE = 1024  # event_ids per deterministic encoding range
+
+
+def encoding_size_audit(sf_dir: str, range_size: int = ENC_RANGE):
+    """Storage planner for delta encoding: for each of the three
+    numeric event columns (event_id, ts as µs, value as cents), take
+    successive differences in event_id order, classify every delta
+    into its minimal signed byte width (1/2/4/8) and report per
+    (column, width) value counts and byte mass — the table that
+    predicts Parquet/Gorilla delta-encoding wins before a rewrite
+    (sequential ids compress to 1 byte/value, timestamps near it,
+    random cents don't).
+
+    Scale shape: like ingest_lateness_audit, the neighbor dependency
+    decomposes over deterministic event_id RANGES — pass 1 folds one
+    boundary row per range (the values at the range's max event_id),
+    the driver broadcasts each range's PREDECESSOR boundary, pass 2
+    shuffles once by range and differences each range vectorized; the
+    (column × 4-width) aggregate is a driver fold."""
+    from document_extractor_ray import state
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "value"])
+    n_parts = _n_blocks()
+
+    def cols_of(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "cents": _to_cents(t["value"]),
+            }
+        )
+
+    def boundary_partial(t: pa.Table) -> pa.Table:
+        t = cols_of(t)
+        rng = pc.divide(t["event_id"], pa.scalar(range_size, pa.int64()))
+        tb = t.append_column("rng", rng)
+        g = pa.TableGroupBy(tb, ["rng"]).aggregate([("event_id", "max")])
+        # re-attach the row values AT the per-range max event_id
+        idx = pc.index_in(g["event_id_max"], value_set=tb["event_id"])
+        return pa.table(
+            {
+                "rng": g["rng"],
+                "max_eid": g["event_id_max"],
+                "ts_us": tb["ts_us"].take(idx),
+                "cents": tb["cents"].take(idx),
+            }
+        )
+
+    bound: dict[int, tuple] = {}
+    for tb in map(
+        ray.get,
+        ds.map_batches(boundary_partial, batch_format="pyarrow").to_arrow_refs(),
+    ):
+        if not tb.num_rows:
+            continue
+        for r, e, tsu, c in zip(
+            tb["rng"].to_pylist(),
+            tb["max_eid"].to_pylist(),
+            tb["ts_us"].to_pylist(),
+            tb["cents"].to_pylist(),
+        ):
+            r = int(r)
+            if r not in bound or int(e) > bound[r][0]:
+                bound[r] = (int(e), int(tsu), int(c))
+    # predecessor boundary per range (None for the lowest range)
+    prev: dict[int, tuple] = {}
+    rs = sorted(bound)
+    for i, r in enumerate(rs):
+        if i:
+            prev[r] = bound[rs[i - 1]][0:3]
+    prev_ref = state.broadcast(prev)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        t = cols_of(t)
+        rng = pc.divide(t["event_id"], pa.scalar(range_size, pa.int64()))
+        rn = rng.to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (rn * np.uint64(2654435761)) & np.uint64(0x7FFFFFFF)
+        return t.append_column("rng", rng).append_column(
+            "part", pa.array((h % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    def width_of(d: np.ndarray) -> np.ndarray:
+        a = np.abs(d)
+        return np.select(
+            [a < (1 << 7), a < (1 << 15), a < (1 << 31)], [1, 2, 4], 8
+        ).astype(np.int64)
+
+    def delta_partition(g: pd.DataFrame) -> pa.Table:
+        pv = state.cached_get(prev_ref)
+        g = g.sort_values(["rng", "event_id"], kind="mergesort")
+        counts: dict[tuple, int] = {}
+        rvals = g["rng"].to_numpy()
+        data = {
+            "event_id": g["event_id"].to_numpy().astype(np.int64),
+            "ts_us": g["ts_us"].to_numpy().astype(np.int64),
+            "cents": g["cents"].to_numpy().astype(np.int64),
+        }
+        start = 0
+        for i in range(1, len(g) + 1):
+            if i == len(g) or rvals[i] != rvals[start]:
+                p = pv.get(int(rvals[start]))
+                for ci, col in enumerate(("event_id", "ts_us", "cents")):
+                    seg = data[col][start:i]
+                    first = np.array(
+                        [] if p is None else [seg[0] - p[ci]], dtype=np.int64
+                    )
+                    d = np.concatenate((first, np.diff(seg)))
+                    w = width_of(d)
+                    for wv, n in zip(*np.unique(w, return_counts=True)):
+                        k = (col, int(wv))
+                        counts[k] = counts.get(k, 0) + int(n)
+                start = i
+        keys = sorted(counts)
+        return pa.table(
+            {
+                "column": pa.array([k[0] for k in keys], pa.string()),
+                "width_bytes": pa.array([k[1] for k in keys], pa.int64()),
+                "n_p": pa.array([counts[k] for k in keys], pa.int64()),
+            }
+        )
+
+    fold: dict[tuple, int] = {}
+    shuffled = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(delta_partition, batch_format="pandas")
+    )
+    for tb in map(ray.get, shuffled.to_arrow_refs()):
+        if not tb.num_rows:
+            continue
+        for c, w, n in zip(
+            tb["column"].to_pylist(),
+            tb["width_bytes"].to_pylist(),
+            tb["n_p"].to_pylist(),
+        ):
+            fold[(c, int(w))] = fold.get((c, int(w)), 0) + int(n)
+    keys = sorted(fold)
+    return pa.table(
+        {
+            "column": pa.array([k[0] for k in keys], pa.string()),
+            "width_bytes": pa.array([k[1] for k in keys], pa.int64()),
+            "n_values": pa.array([fold[k] for k in keys], pa.int64()),
+            "sum_bytes": pa.array(
+                [fold[k] * k[1] for k in keys], pa.int64()
+            ),
+        }
+    )
+
+
+ENCODING_SIZE_AUDIT_SQL = """
+WITH s AS (
+  SELECT event_id,
+         event_id - lag(event_id) OVER w AS d_eid,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS d_ts,
+         CAST(round(value * 100.0) AS BIGINT)
+           - lag(CAST(round(value * 100.0) AS BIGINT)) OVER w AS d_cents
+  FROM events
+  WINDOW w AS (ORDER BY event_id)
+),
+u AS (
+  SELECT 'event_id' AS "column", d_eid AS d FROM s WHERE d_eid IS NOT NULL
+  UNION ALL
+  SELECT 'ts_us', d_ts FROM s WHERE d_ts IS NOT NULL
+  UNION ALL
+  SELECT 'cents', d_cents FROM s WHERE d_cents IS NOT NULL
+),
+w AS (
+  SELECT "column",
+         CASE WHEN abs(d) < 128 THEN 1
+              WHEN abs(d) < 32768 THEN 2
+              WHEN abs(d) < 2147483648 THEN 4
+              ELSE 8 END AS width_bytes
+  FROM u
+)
+SELECT "column", CAST(width_bytes AS BIGINT) AS width_bytes,
+       CAST(count(*) AS BIGINT) AS n_values,
+       CAST(count(*) * width_bytes AS BIGINT) AS sum_bytes
+FROM w
+GROUP BY "column", width_bytes
+ORDER BY 1, 2
+"""

@@ -279,6 +279,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "ingest_lateness_audit",
         "value_psi_drift",
         "curation_decisions",
+        "encoding_size_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3789,3 +3790,22 @@ def test_curation_decisions_compose(ray_session):
         assert bool(r["fail_mask"] & 8) == (d not in keepers)
         assert bool(r["fail_mask"] & 16) == (d in cont)
         assert r["keep"] == (1 if r["fail_mask"] == 0 else 0)
+
+
+def test_encoding_size_audit_mass(ray_session):
+    """Every column accounts for exactly n_rows - 1 deltas, sequential
+    event_ids all fit one byte, and sum_bytes is width * count."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.analytics import encoding_size_audit
+
+    rows = encoding_size_audit(SF).to_pylist()
+    n = pq.read_metadata(f"{SF}/events.parquet").num_rows
+    per_col = {}
+    for r in rows:
+        assert r["width_bytes"] in (1, 2, 4, 8)
+        assert r["sum_bytes"] == r["width_bytes"] * r["n_values"]
+        per_col[r["column"]] = per_col.get(r["column"], 0) + r["n_values"]
+    assert per_col == {"cents": n - 1, "event_id": n - 1, "ts_us": n - 1}
+    eid = [r for r in rows if r["column"] == "event_id"]
+    assert len(eid) == 1 and eid[0]["width_bytes"] == 1
