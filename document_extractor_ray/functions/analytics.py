@@ -13552,3 +13552,131 @@ FROM w
 GROUP BY "column", width_bytes
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Zone-map (min/max skip index) pruning audit
+# ---------------------------------------------------------------------------
+
+ZONE_RANGE = 1024  # event_ids per zone
+
+
+def zonemap_prune_audit(sf_dir: str, range_size: int = ZONE_RANGE):
+    """How much would a min/max zone map (Parquet row-group stats,
+    ClickHouse skip index) prune: for each reference decile threshold
+    t of event value, count the zones whose max < t — those zones are
+    skipped entirely by a ``value >= t`` scan — plus the row mass
+    skipped.  Near-zero pruning (the expected result for a value
+    column uncorrelated with insertion order) is itself the finding:
+    it says SORT before writing if value predicates matter.
+
+    Scale shape: two bounded folds — a (zone → min/max/count) map
+    (zones = id-domain/range_size) and the (cents → count) histogram
+    the quantile family shares; the audit table is a driver walk."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def zone_partial(t: pa.Table) -> pa.Table:
+        keyed = pa.table(
+            {
+                "rng": pc.divide(t["event_id"], pa.scalar(range_size, pa.int64())),
+                "cents": _to_cents(t["value"]),
+            }
+        )
+        g = pa.TableGroupBy(keyed, ["rng"]).aggregate(
+            [("cents", "min"), ("cents", "max"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "rng": g["rng"],
+                "mn": g["cents_min"],
+                "mx": g["cents_max"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    zones: dict[int, list] = {}
+    for tb in map(
+        ray.get, ds.map_batches(zone_partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not tb.num_rows:
+            continue
+        for r, mn, mx, n in zip(
+            tb["rng"].to_pylist(), tb["mn"].to_pylist(),
+            tb["mx"].to_pylist(), tb["n"].to_pylist(),
+        ):
+            r = int(r)
+            cur = zones.setdefault(r, [int(mn), int(mx), 0])
+            cur[0] = min(cur[0], int(mn))
+            cur[1] = max(cur[1], int(mx))
+            cur[2] += int(n)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"cents": _to_cents(t["value"])}), ["cents"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {"cents": g["cents"], "n_part": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    hist = bucketed_agg(
+        ds.map_batches(hist_partial, batch_format="pyarrow"),
+        ["cents"],
+        [("n_part", "sum", "n")],
+    ).take_all()
+    pairs = sorted((int(r["cents"]), int(r["n"])) for r in hist)
+    vals = np.array([c for c, _ in pairs], dtype=np.int64)
+    cnts = np.array([n for _, n in pairs], dtype=np.int64)
+    cum = np.cumsum(cnts)
+    tot = int(cum[-1]) if len(cum) else 0
+
+    zmx = np.array([zones[r][1] for r in sorted(zones)], dtype=np.int64)
+    zn = np.array([zones[r][2] for r in sorted(zones)], dtype=np.int64)
+    out = {k: [] for k in (
+        "q_permille", "threshold_cents", "n_zones", "n_zones_pruned",
+        "rows_pruned",
+    )}
+    for q in range(100, 1000, 100):
+        need = (tot * q + 999) // 1000
+        thr = int(vals[np.searchsorted(cum, need)])
+        pruned = zmx < thr
+        out["q_permille"].append(q)
+        out["threshold_cents"].append(thr)
+        out["n_zones"].append(len(zmx))
+        out["n_zones_pruned"].append(int(pruned.sum()))
+        out["rows_pruned"].append(int(zn[pruned].sum()))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+
+ZONEMAP_PRUNE_AUDIT_SQL = f"""
+WITH r AS (
+  SELECT event_id // {ZONE_RANGE} AS rng,
+         CAST(round(value * 100.0) AS BIGINT) AS cents
+  FROM events
+),
+z AS (SELECT rng, max(cents) AS mx, CAST(count(*) AS BIGINT) AS n
+      FROM r GROUP BY 1),
+c AS (SELECT cents, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY 1),
+q AS (
+  SELECT q, min(cents) AS thr
+  FROM (
+    SELECT c.cents, qq.q,
+           sum(n) OVER (PARTITION BY qq.q ORDER BY c.cents) AS cum,
+           sum(n) OVER (PARTITION BY qq.q) AS tot
+    FROM c CROSS JOIN (SELECT unnest(range(1, 10)) * 100 AS q) qq
+  )
+  WHERE cum >= (tot * q + 999) // 1000
+  GROUP BY 1
+)
+SELECT CAST(q.q AS BIGINT) AS q_permille,
+       CAST(q.thr AS BIGINT) AS threshold_cents,
+       CAST(count(*) AS BIGINT) AS n_zones,
+       CAST(sum(CASE WHEN z.mx < q.thr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zones_pruned,
+       CAST(sum(CASE WHEN z.mx < q.thr THEN z.n ELSE 0 END) AS BIGINT)
+         AS rows_pruned
+FROM q CROSS JOIN z
+GROUP BY q.q, q.thr
+ORDER BY q_permille
+"""

@@ -280,6 +280,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "value_psi_drift",
         "curation_decisions",
         "encoding_size_audit",
+        "zonemap_prune_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3809,3 +3810,26 @@ def test_encoding_size_audit_mass(ray_session):
     assert per_col == {"cents": n - 1, "event_id": n - 1, "ts_us": n - 1}
     eid = [r for r in rows if r["column"] == "event_id"]
     assert len(eid) == 1 and eid[0]["width_bytes"] == 1
+
+
+def test_zonemap_prune_audit_monotone(ray_session):
+    """Pruning is monotone in the threshold (a higher decile can only
+    prune more zones), pruned rows never exceed the corpus, and the
+    zone count matches the id-domain partitioning."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.analytics import (
+        ZONE_RANGE,
+        zonemap_prune_audit,
+    )
+
+    rows = zonemap_prune_audit(SF).to_pylist()
+    assert [r["q_permille"] for r in rows] == list(range(100, 1000, 100))
+    n = pq.read_metadata(f"{SF}/events.parquet").num_rows
+    expected_zones = (n + ZONE_RANGE - 1) // ZONE_RANGE
+    pruned = [r["n_zones_pruned"] for r in rows]
+    assert all(a <= b for a, b in zip(pruned, pruned[1:]))
+    for r in rows:
+        assert r["n_zones"] == expected_zones
+        assert 0 <= r["rows_pruned"] <= n
+        assert (r["n_zones_pruned"] == 0) == (r["rows_pruned"] == 0)
