@@ -7305,3 +7305,74 @@ FROM k
 
 
 LANGID_KAPPA_SQL = _langid_kappa_sql()
+
+
+def hashing_collision_audit(sf_dir: str, d: int = HBOW_DIMS):
+    """Collision profile of the feature-hashing map ``hashed_bow``
+    uses: distribution of vocabulary load per hashed dimension
+    (load → n_dims, including empty dimensions) — the audit that says
+    whether d is large enough before committing to a hashed feature
+    space (expected load is |V|/d; heavy tails mean semantic
+    collisions).
+
+    Scale shape: the only distributed work is the distinct-vocabulary
+    fold (``bucketed_agg``, token-bounded — the df/tfidf ceiling);
+    hashing and the load histogram are a driver pass over the bounded
+    vocab."""
+    import zlib
+
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.TableGroupBy(pa.table({"token": flat}), ["token"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"token": g["token"], "one": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    vocab = bucketed_agg(
+        ds.map_batches(vocab_partial, batch_format="pyarrow"),
+        ["token"],
+        [("one", "sum", "c")],
+    ).take_all()
+    words = sorted({r["token"] for r in vocab})
+    dims = np.fromiter(
+        (zlib.crc32(w.encode("utf-8")) % d for w in words),
+        dtype=np.int64,
+        count=len(words),
+    )
+    loads = np.bincount(dims, minlength=d)
+    load_vals, load_counts = np.unique(loads, return_counts=True)
+    return pa.table(
+        {
+            "load": pa.array(load_vals.astype(np.int64), pa.int64()),
+            "n_dims": pa.array(load_counts.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def hashing_collision_audit_sql(d: int = HBOW_DIMS) -> str:
+    from document_extractor_ray.functions.sqlhash import _CRC_TABLE, _WORD_CRC, _words
+
+    return f"""WITH RECURSIVE
+{_words(lower=True)},
+{_CRC_TABLE},
+{_WORD_CRC},
+dl AS (SELECT crc % {d} AS dim, CAST(count(*) AS BIGINT) AS load
+       FROM wcrc0 GROUP BY 1),
+h AS (
+  SELECT load, CAST(count(*) AS BIGINT) AS n_dims FROM dl GROUP BY 1
+  UNION ALL
+  SELECT CAST(0 AS BIGINT), CAST({d} - (SELECT count(*) FROM dl) AS BIGINT)
+  WHERE {d} > (SELECT count(*) FROM dl)
+)
+SELECT load, n_dims FROM h ORDER BY load"""
+
+
+HASHING_COLLISION_AUDIT_SQL = hashing_collision_audit_sql()

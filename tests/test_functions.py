@@ -281,6 +281,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "curation_decisions",
         "encoding_size_audit",
         "zonemap_prune_audit",
+        "hashing_collision_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3833,3 +3834,23 @@ def test_zonemap_prune_audit_monotone(ray_session):
         assert r["n_zones"] == expected_zones
         assert 0 <= r["rows_pruned"] <= n
         assert (r["n_zones_pruned"] == 0) == (r["rows_pruned"] == 0)
+
+
+def test_hashing_collision_audit_mass(ray_session):
+    """Dimension mass: n_dims sums to HBOW_DIMS, load*n_dims sums to
+    the distinct vocabulary size, loads are non-negative."""
+    import duckdb
+
+    from document_extractor_ray.functions.textstats import (
+        HBOW_DIMS,
+        hashing_collision_audit,
+    )
+
+    rows = hashing_collision_audit(SF).to_pylist()
+    assert sum(r["n_dims"] for r in rows) == HBOW_DIMS
+    vocab = duckdb.sql(
+        "SELECT count(DISTINCT tok) FROM (SELECT unnest(regexp_split_to_array("
+        f"lower(text), '\\s+')) AS tok FROM read_parquet('{SF}/documents.parquet')) "
+        "WHERE tok <> ''"
+    ).fetchone()[0]
+    assert sum(r["load"] * r["n_dims"] for r in rows) == vocab
