@@ -2926,3 +2926,123 @@ SELECT dim,
          AS n_saturated
 FROM q GROUP BY dim ORDER BY dim
 """
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign-projection distortion audit
+# ---------------------------------------------------------------------------
+
+JL_PROJ_DIMS = 16
+JL_CANDIDATES = 64
+
+
+def jl_distortion_audit(
+    sf_dir: str, k: int = JL_PROJ_DIMS, n_cand: int = JL_CANDIDATES
+):
+    """Measured distortion of a deterministic ±1 (Achlioptas)
+    projection R^dim → R^k on a stride pair sample: for every
+    candidate pair, the exact squared distance and the projected
+    squared distance (whose expectation over signs is k·d² — the JL
+    guarantee), both as half-up micro ints — the table that says
+    whether k is enough before re-encoding the corpus.
+
+    The sign matrix is hash-deterministic (s(d,p) from a
+    multiplicative hash of d·k+p), so both engines build the identical
+    projection.  Scale shape: the corpus pass is the same bounded
+    stride-candidate fold as kcenter_coreset; projection and the
+    O(M²) pair table are a driver pass over the bounded sample —
+    exactly how a JL parameter sweep is run in practice (audit a
+    sample, then project the corpus with one map_batches matmul)."""
+    import pyarrow.parquet as pq
+
+    n_total = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    stride = max(1, n_total // n_cand)
+
+    ds = _read_embeddings(sf_dir)
+
+    def cand_partial(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % stride == 0))
+
+    tables = [
+        tb
+        for tb in map(
+            ray.get,
+            ds.map_batches(cand_partial, batch_format="pyarrow").to_arrow_refs(),
+        )
+        if tb.num_rows
+    ]
+    cand = pa.concat_tables(tables).combine_chunks().sort_by("vec_id")
+    ids = cand["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = embedding_matrix(cand["embedding"]).astype(np.float64)
+    dim = m.shape[1]
+    keys = np.arange(dim, dtype=np.int64)[:, None] * k + np.arange(k, dtype=np.int64)
+    signs = np.where((keys * 2654435761) % 2147483648 % 2 == 0, 1.0, -1.0)
+    y = m @ signs  # (M, k)
+
+    n = len(ids)
+    ii, jj = np.triu_indices(n, 1)
+    d2o = ((m[ii] - m[jj]) ** 2).sum(axis=1)
+    d2p = ((y[ii] - y[jj]) ** 2).sum(axis=1)
+    return pa.table(
+        {
+            "vec_a": pa.array(ids[ii], pa.int64()),
+            "vec_b": pa.array(ids[jj], pa.int64()),
+            "d2_micro": pa.array(
+                np.floor(d2o * 1_000_000 + 0.5).astype(np.int64), pa.int64()
+            ),
+            "d2_proj_micro": pa.array(
+                np.floor(d2p * 1_000_000 + 0.5).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def jl_distortion_audit_sql(
+    k: int = JL_PROJ_DIMS, n_cand: int = JL_CANDIDATES
+) -> str:
+    return f"""
+WITH cand AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id % (SELECT greatest(1, count(*) // {n_cand}) FROM embeddings) = 0
+),
+sgn AS (
+  SELECT d.d, p.p,
+         CASE WHEN ((d.d * {k} + p.p) * 2654435761) % 2147483648 % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM range(0, 256) d(d) CROSS JOIN range(0, {k}) p(p)
+),
+proj AS (
+  SELECT c.vec_id, s.p, sum(c.e[CAST(s.d AS INTEGER) + 1] * s.s) AS y
+  FROM cand c JOIN sgn s ON s.d < len(c.e)
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, a.e AS ea, b.e AS eb
+  FROM cand a JOIN cand b ON a.vec_id < b.vec_id
+),
+d2o AS (
+  SELECT va, vb,
+         sum((ea[CAST(d.d AS INTEGER) + 1] - eb[CAST(d.d AS INTEGER) + 1])
+             * (ea[CAST(d.d AS INTEGER) + 1] - eb[CAST(d.d AS INTEGER) + 1]))
+           AS d2
+  FROM pairs, range(0, 256) d(d)
+  WHERE d.d < len(ea)
+  GROUP BY 1, 2
+),
+d2p AS (
+  SELECT p.va, p.vb, sum((pa.y - pb.y) * (pa.y - pb.y)) AS d2
+  FROM (SELECT va, vb FROM pairs) p
+  JOIN proj pa ON pa.vec_id = p.va
+  JOIN proj pb ON pb.vec_id = p.vb AND pb.p = pa.p
+  GROUP BY 1, 2
+)
+SELECT o.va AS vec_a, o.vb AS vec_b,
+       CAST(floor(o.d2 * 1000000 + 0.5) AS BIGINT) AS d2_micro,
+       CAST(floor(pp.d2 * 1000000 + 0.5) AS BIGINT) AS d2_proj_micro
+FROM d2o o JOIN d2p pp ON pp.va = o.va AND pp.vb = o.vb
+ORDER BY vec_a, vec_b
+"""
+
+
+JL_DISTORTION_AUDIT_SQL = jl_distortion_audit_sql()

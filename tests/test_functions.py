@@ -282,6 +282,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "encoding_size_audit",
         "zonemap_prune_audit",
         "hashing_collision_audit",
+        "jl_distortion_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3854,3 +3855,26 @@ def test_hashing_collision_audit_mass(ray_session):
         "WHERE tok <> ''"
     ).fetchone()[0]
     assert sum(r["load"] * r["n_dims"] for r in rows) == vocab
+
+
+def test_jl_distortion_audit_guarantee(ray_session):
+    """JL sanity: distances are positive, the k-normalized projected
+    distance tracks the original within a generous multiplicative band
+    ON AVERAGE (mean ratio within [0.5, 2] of 1 for a +/-1 projection
+    to k=16), and the pair count is the full candidate triangle."""
+    from document_extractor_ray.functions.similarity import (
+        JL_PROJ_DIMS,
+        jl_distortion_audit,
+    )
+
+    rows = jl_distortion_audit(SF).to_pylist()
+    n_ids = len({r["vec_a"] for r in rows} | {r["vec_b"] for r in rows})
+    assert len(rows) == n_ids * (n_ids - 1) // 2
+    ratios = [
+        (r["d2_proj_micro"] / JL_PROJ_DIMS) / r["d2_micro"]
+        for r in rows
+        if r["d2_micro"] > 0
+    ]
+    mean_ratio = sum(ratios) / len(ratios)
+    assert 0.5 < mean_ratio < 2.0
+    assert all(r["d2_micro"] >= 0 and r["d2_proj_micro"] >= 0 for r in rows)
