@@ -937,3 +937,121 @@ SELECT bucket_len,
        CAST(sum(bucket_len - n_tok) AS BIGINT) AS sum_waste
 FROM b GROUP BY bucket_len ORDER BY bucket_len
 """
+
+
+# ---------------------------------------------------------------------------
+# Shard-rebalance audit: mod-N vs rendezvous hashing
+# ---------------------------------------------------------------------------
+
+REBALANCE_FROM = 8
+REBALANCE_TO = 9
+
+
+def shard_rebalance_audit(
+    sf_dir: str, n_from: int = REBALANCE_FROM, n_to: int = REBALANCE_TO
+):
+    """How many documents MOVE when the shard count grows n_from →
+    n_to, under (a) naive mod-N assignment and (b) rendezvous
+    (highest-random-weight) hashing — the audit that justifies
+    consistent placement before resharding a corpus cache (mod-N
+    moves ~(1−1/n_to) of all keys; rendezvous moves ~1/n_to).
+
+    Both engines replay the identical integer hash
+    h(k, s) = ((k + s·40503)·2654435761) mod 2³¹ with argmax ties to the
+    lowest shard.  Scale shape: one vectorized pass, per-block
+    (method × moved) partials, driver fold — assignment never
+    materializes."""
+    from document_extractor_ray.functions.textstats import (
+        _read_docs as _read_doc_cols,
+    )
+
+    ds = _read_doc_cols(sf_dir, ["doc_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        def rendezvous(n: int) -> np.ndarray:
+            s = np.arange(n, dtype=np.int64)
+            h = ((k[:, None] + s[None, :] * 40503) * 2654435761) % 2147483648
+            return np.argmax(h, axis=1)  # first max == lowest shard
+
+        mod_moved = int((k % n_from != k % n_to).sum())
+        rdv_moved = int((rendezvous(n_from) != rendezvous(n_to)).sum())
+        return pa.table(
+            {
+                "method": pa.array(["mod", "rendezvous"], pa.string()),
+                "n_keys_p": pa.array([len(k)] * 2, pa.int64()),
+                "n_moved_p": pa.array([mod_moved, rdv_moved], pa.int64()),
+            }
+        )
+
+    fold: dict[str, list] = {}
+    for tb in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not tb.num_rows:
+            continue
+        for m, nk, nm in zip(
+            tb["method"].to_pylist(),
+            tb["n_keys_p"].to_pylist(),
+            tb["n_moved_p"].to_pylist(),
+        ):
+            cur = fold.setdefault(m, [0, 0])
+            cur[0] += int(nk)
+            cur[1] += int(nm)
+    methods = sorted(fold)
+    return pa.table(
+        {
+            "method": pa.array(methods, pa.string()),
+            "n_keys": pa.array([fold[m][0] for m in methods], pa.int64()),
+            "n_moved": pa.array([fold[m][1] for m in methods], pa.int64()),
+            "moved_permille": pa.array(
+                [fold[m][1] * 1000 // fold[m][0] for m in methods], pa.int64()
+            ),
+        }
+    )
+
+
+def shard_rebalance_audit_sql(
+    n_from: int = REBALANCE_FROM, n_to: int = REBALANCE_TO
+) -> str:
+    return f"""
+WITH rdv AS (
+  SELECT d.doc_id, n.n, s.s,
+         ((d.doc_id + s.s * 40503) * 2654435761) % 2147483648 AS h
+  FROM documents d
+  CROSS JOIN (SELECT unnest([{n_from}, {n_to}]) AS n) n
+  CROSS JOIN range(0, {n_to}) s(s)
+  WHERE s.s < n.n
+),
+asg AS (
+  SELECT doc_id, n, s FROM (
+    SELECT doc_id, n, s,
+           row_number() OVER (PARTITION BY doc_id, n
+                              ORDER BY h DESC, s) AS rn
+    FROM rdv) WHERE rn = 1
+),
+rdv_moves AS (
+  SELECT a.doc_id, (a.s != b.s)::INTEGER AS moved
+  FROM asg a JOIN asg b ON b.doc_id = a.doc_id
+  WHERE a.n = {n_from} AND b.n = {n_to}
+),
+mod_moves AS (
+  SELECT doc_id,
+         (doc_id % {n_from} != doc_id % {n_to})::INTEGER AS moved
+  FROM documents
+),
+u AS (
+  SELECT 'mod' AS method, moved FROM mod_moves
+  UNION ALL
+  SELECT 'rendezvous', moved FROM rdv_moves
+)
+SELECT method,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(moved) AS BIGINT) AS n_moved,
+       CAST(sum(moved) * 1000 // count(*) AS BIGINT) AS moved_permille
+FROM u GROUP BY method ORDER BY method
+"""
+
+
+SHARD_REBALANCE_AUDIT_SQL = shard_rebalance_audit_sql()

@@ -283,6 +283,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "zonemap_prune_audit",
         "hashing_collision_audit",
         "jl_distortion_audit",
+        "shard_rebalance_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3878,3 +3879,20 @@ def test_jl_distortion_audit_guarantee(ray_session):
     mean_ratio = sum(ratios) / len(ratios)
     assert 0.5 < mean_ratio < 2.0
     assert all(r["d2_micro"] >= 0 and r["d2_proj_micro"] >= 0 for r in rows)
+
+
+def test_shard_rebalance_audit_theory(ray_session):
+    """The audit reproduces the theory: rendezvous moves roughly 1/n_to
+    of keys (allow 3x slack on a finite sample), mod-N moves the vast
+    majority (> 700 permille), and rendezvous strictly beats mod."""
+    from document_extractor_ray.functions.training import (
+        REBALANCE_TO,
+        shard_rebalance_audit,
+    )
+
+    rows = {r["method"]: r for r in shard_rebalance_audit(SF).to_pylist()}
+    assert set(rows) == {"mod", "rendezvous"}
+    assert rows["mod"]["n_keys"] == rows["rendezvous"]["n_keys"]
+    assert rows["rendezvous"]["moved_permille"] < rows["mod"]["moved_permille"]
+    assert rows["mod"]["moved_permille"] > 700
+    assert rows["rendezvous"]["moved_permille"] <= 3 * 1000 // REBALANCE_TO
