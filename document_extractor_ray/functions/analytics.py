@@ -13680,3 +13680,125 @@ FROM q CROSS JOIN z
 GROUP BY q.q, q.thr
 ORDER BY q_permille
 """
+
+
+# ---------------------------------------------------------------------------
+# Denormalized order fact mart (the ETL join-orchestration artifact)
+# ---------------------------------------------------------------------------
+
+def order_fact_mart(sf_dir: str):
+    """One denormalized fact row per order: order attributes, the
+    customer/nation/region dimension strings, and the lineitem
+    measures (line count, total quantity, discounted revenue) — the
+    star-schema mart build every warehouse ETL runs nightly.
+
+    Scale plan, in join-size order: the three dimension tables
+    (customer → nation → region) are composed into ONE broadcast
+    lookup (strings attached to orders inside map_batches — never a
+    dim shuffle); the single big×big exchange is the partitioned hash
+    join lineitem ⋈ orders on the order key; measures aggregate AFTER
+    the join grouped by the orderkey plus its functionally-dependent
+    attached columns (the q3_shipping plan — aggregating before the
+    join would trip Ray 2.49's empty-schema-block bug)."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    n_idx = pc.index_in(cust["c_nationkey"], value_set=nat["n_nationkey"])
+    r_idx = pc.index_in(nat["n_regionkey"].take(n_idx), value_set=reg["r_regionkey"])
+    dim = {
+        "ck": cust["c_custkey"].combine_chunks(),
+        "c_name": cust["c_name"].combine_chunks(),
+        "nation": nat["n_name"].take(n_idx).combine_chunks(),
+        "region": reg["r_name"].take(r_idx).combine_chunks(),
+    }
+    dref = state.broadcast(dim)
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        d = state.cached_get(dref)
+        idx = pc.index_in(t["o_custkey"], value_set=d["ck"])
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "o_total_cents": _to_cents(t["o_totalprice"]),
+                "c_name": d["c_name"].take(idx),
+                "nation": d["nation"].take(idx),
+                "region": d["region"].take(idx),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "qty_centi": _to_cents(t["l_quantity"]),
+                "disc_cents": _to_cents(
+                    pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+                ),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    n_parts = _join_partitions(
+        f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"
+    )
+    joined = li.map_batches(slim, batch_format="pyarrow").join(
+        orders.map_batches(attach, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    return (
+        bucketed_agg(
+            joined,
+            ["l_orderkey", "o_orderdate", "o_total_cents", "c_name", "nation",
+             "region"],
+            [
+                ("one", "sum", "n_lines"),
+                ("qty_centi", "sum", "sum_qty_centi"),
+                ("disc_cents", "sum", "revenue_cents"),
+            ],
+        )
+        .sort("l_orderkey")
+        .map_batches(_ts_us("o_orderdate"), batch_format="pyarrow")
+    )
+
+
+ORDER_FACT_MART_SQL = """
+SELECT l.l_orderkey, o.o_orderdate,
+       CAST(round(o.o_totalprice * 100.0) AS BIGINT) AS o_total_cents,
+       c.c_name, n.n_name AS nation, r.r_name AS region,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l.l_quantity * 100.0) AS BIGINT)) AS BIGINT)
+         AS sum_qty_centi,
+       CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY 1, 2, 3, 4, 5, 6
+ORDER BY 1
+"""

@@ -285,6 +285,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "jl_distortion_audit",
         "shard_rebalance_audit",
         "partition_checksums",
+        "order_fact_mart",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3930,3 +3931,24 @@ def test_partition_checksums_detects_change(ray_session):
     # a one-word change moves the checksum
     acc2 = acc - zlib.crc32(b"the") + zlib.crc32(b"thx")
     assert acc2 % 2**31 != rows[0]["checksum"] or acc2 == acc
+
+
+def test_order_fact_mart_shape(ray_session):
+    """One row per order WITH lineitems (the inner-join contract),
+    line counts sum to the lineitem row count, and every dimension
+    string is non-null (the star joins are lossless on this schema)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.analytics import order_fact_mart
+
+    t = order_fact_mart(SF)
+    rows = t.take_all()
+    n_orders = duckdb.sql(
+        f"SELECT count(DISTINCT l_orderkey) FROM read_parquet('{SF}/lineitem.parquet')"
+    ).fetchone()[0]
+    n_lines = pq.read_metadata(f"{SF}/lineitem.parquet").num_rows
+    assert len(rows) == n_orders
+    assert len({r["l_orderkey"] for r in rows}) == n_orders
+    assert sum(r["n_lines"] for r in rows) == n_lines
+    assert all(r["c_name"] and r["nation"] and r["region"] for r in rows[:200])
