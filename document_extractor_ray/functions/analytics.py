@@ -13136,7 +13136,7 @@ def ingest_lateness_audit(sf_dir: str, range_size: int = LATE_RANGE):
             }
         )
 
-    def late_partition(g: pd.DataFrame) -> pd.DataFrame:
+    def late_partition(g: pd.DataFrame) -> pa.Table:
         rngs_b, excl_b = state.cached_get(base_ref)
         g = g.sort_values(["rng", "o_orderkey"], kind="mergesort")
         ts = g["ts_us"].to_numpy().astype(np.int64)
@@ -13158,11 +13158,16 @@ def ingest_lateness_audit(sf_dir: str, range_size: int = LATE_RANGE):
             late = np.maximum(out - ts, 0)
         # the very first arrival has no predecessor: base is -inf there
         late[out == np.iinfo(np.int64).min] = 0
-        return pd.DataFrame(
+        # return an ARROW block: pandas blocks make the downstream sort
+        # + row materialization pay a per-row conversion (measured 111 s
+        # vs ~2 s for the Arrow twin delta_partition at sf0.1)
+        return pa.table(
             {
-                "o_orderkey": g["o_orderkey"].to_numpy().astype("int64"),
-                "late_us": late.astype("int64"),
-                "is_late": (late > 0).astype("bool"),
+                "o_orderkey": pa.array(
+                    g["o_orderkey"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "late_us": pa.array(late.astype(np.int64), pa.int64()),
+                "is_late": pa.array(late > 0, pa.bool_()),
             }
         )
 
