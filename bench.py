@@ -375,6 +375,15 @@ def run_bench() -> dict:
         "customer_cohort_ltv",
         "embedding_quantize_audit",
         "positional_xent_profile",
+        "value_psi_drift",
+        "encoding_size_audit",
+        "zonemap_prune_audit",
+        "hashing_collision_audit",
+        "jl_distortion_audit",
+        "shard_rebalance_audit",
+        "partition_checksums",
+        "order_fact_mart",
+        "ingest_lateness_audit",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool
