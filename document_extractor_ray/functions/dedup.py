@@ -3010,3 +3010,84 @@ def curation_decisions(sf_dir: str, threshold: float = 0.7, n_benchmark: int = 3
         )
 
     return comp.map_batches(extend, batch_format="pyarrow").sort("doc_id")
+
+
+def curation_report_by_source(
+    sf_dir: str, threshold: float = 0.7, n_benchmark: int = 3
+):
+    """Per-source curation loss accounting: for every (source,
+    fail_mask) cell, the doc count — the report that says WHERE the
+    corpus is losing mass and WHY (which source ships boilerplate,
+    which one duplicates, which one leaks benchmark text) before
+    anyone signs off on a filter chain.
+
+    Scale shape: same layers as curation_decisions (one pure pass
+    with source riding along via doc_quality_composite's extra_cols —
+    no second scan; bounded loser/contaminated broadcast sets), then
+    per-batch (source × mask) count partials folded on the driver —
+    the output is |sources|·|masks|-bounded."""
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.textstats import (
+        doc_quality_composite,
+    )
+
+    losers: list[int] = []
+    for tb in map(
+        ray.get,
+        near_dup_clusters(_read_docs(sf_dir), threshold=threshold).to_arrow_refs(),
+    ):
+        if not tb.num_rows:
+            continue
+        m = pc.not_equal(tb["doc_id"], tb["cluster_id"])
+        losers.extend(tb.filter(m)["doc_id"].to_pylist())
+    cont: list[int] = []
+    for tb in map(ray.get, decontaminate_docs(sf_dir, n_benchmark).to_arrow_refs()):
+        if not tb.num_rows:
+            continue
+        cont.extend(tb.filter(tb["contaminated"])["doc_id"].to_pylist())
+    ref = state.broadcast(
+        (np.array(sorted(losers), np.int64), np.array(sorted(cont), np.int64))
+    )
+
+    comp = doc_quality_composite(sf_dir, extra_cols=("source",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        lo, co = state.cached_get(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        mask = t["fail_mask"].to_numpy(zero_copy_only=False).copy()
+        mask += np.isin(ids, lo) * FAIL_NEARDUP
+        mask += np.isin(ids, co) * FAIL_DECONTAM
+        g = pa.TableGroupBy(
+            pa.table(
+                {"source": t["source"], "fail_mask": pa.array(mask, pa.int64())}
+            ),
+            ["source", "fail_mask"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "fail_mask": g["fail_mask"],
+                "n_p": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    fold: dict[tuple, int] = {}
+    for tb in map(
+        ray.get, comp.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not tb.num_rows:
+            continue
+        for s, m, n in zip(
+            tb["source"].to_pylist(),
+            tb["fail_mask"].to_pylist(),
+            tb["n_p"].to_pylist(),
+        ):
+            fold[(s, int(m))] = fold.get((s, int(m)), 0) + int(n)
+    keys = sorted(fold)
+    return pa.table(
+        {
+            "source": pa.array([k[0] for k in keys], pa.string()),
+            "fail_mask": pa.array([k[1] for k in keys], pa.int64()),
+            "n_docs": pa.array([fold[k] for k in keys], pa.int64()),
+        }
+    )

@@ -1126,3 +1126,16 @@ FROM base b
 LEFT JOIN nk USING (doc_id)
 LEFT JOIN ct USING (doc_id)
 ORDER BY b.doc_id"""
+
+
+def curation_report_by_source_sql(
+    threshold: float = 0.7, n_benchmark: int = 3
+) -> str:
+    """Oracle for ``dedup.curation_report_by_source``: the
+    curation_decisions verdict joined back to the source column and
+    folded to (source, fail_mask) counts."""
+    return f"""WITH cd AS ({curation_decisions_sql(threshold, n_benchmark)})
+SELECT d.source, cd.fail_mask, CAST(count(*) AS BIGINT) AS n_docs
+FROM cd JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+ORDER BY 1, 2"""

@@ -5466,7 +5466,7 @@ FAIL_REPETITION = 2  # Gopher repetition flags (repetition_filter)
 FAIL_GOPHER = 4    # Gopher document rules (gopher_rules keep = 0)
 
 
-def doc_quality_composite(sf_dir: str):
+def doc_quality_composite(sf_dir: str, extra_cols: tuple = ()):
     """The production filter chain — C4 gate + repetition flags +
     Gopher rules — fused into ONE pass over the text, emitting a
     fail-reason bitmask per doc (bit0 C4, bit1 repetition, bit2
@@ -5480,8 +5480,9 @@ def doc_quality_composite(sf_dir: str):
 
     Scale shape: one map_batches, no shuffle; the only per-row Python
     is the repetition signals' ragged numpy uniques (inherent, same
-    as repetition_filter)."""
-    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    as repetition_filter).  ``extra_cols`` ride along untouched (the
+    per-source curation report uses this to avoid a second scan)."""
+    ds = _read_docs(sf_dir, ["doc_id", *extra_cols, "text"])
 
     def composite(t: pa.Table) -> pa.Table:
         text = pc.fill_null(t["text"], "")
@@ -5559,13 +5560,12 @@ def doc_quality_composite(sf_dir: str):
             + np.where(rep, FAIL_REPETITION, 0)
             + np.where(gopher, 0, FAIL_GOPHER)
         ).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "fail_mask": pa.array(mask),
-                "keep": pa.array((mask == 0).astype(np.int64)),
-            }
-        )
+        cols = {"doc_id": t["doc_id"]}
+        for c in extra_cols:
+            cols[c] = t[c]
+        cols["fail_mask"] = pa.array(mask)
+        cols["keep"] = pa.array((mask == 0).astype(np.int64))
+        return pa.table(cols)
 
     return ds.map_batches(composite, batch_format="pyarrow").sort("doc_id")
 

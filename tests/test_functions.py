@@ -286,6 +286,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "shard_rebalance_audit",
         "partition_checksums",
         "order_fact_mart",
+        "curation_report_by_source",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3952,3 +3953,29 @@ def test_order_fact_mart_shape(ray_session):
     assert len({r["l_orderkey"] for r in rows}) == n_orders
     assert sum(r["n_lines"] for r in rows) == n_lines
     assert all(r["c_name"] and r["nation"] and r["region"] for r in rows[:200])
+
+
+def test_curation_report_matches_decisions(ray_session):
+    """The per-source report is exactly the groupby of the per-doc
+    decision table joined to sources — cross-op identity."""
+    import duckdb
+
+    from document_extractor_ray.functions.dedup import (
+        curation_decisions,
+        curation_report_by_source,
+    )
+
+    report = {
+        (r["source"], r["fail_mask"]): r["n_docs"]
+        for r in curation_report_by_source(SF).to_pylist()
+    }
+    src = dict(
+        duckdb.sql(
+            f"SELECT doc_id, source FROM read_parquet('{SF}/documents.parquet')"
+        ).fetchall()
+    )
+    expect: dict = {}
+    for r in curation_decisions(SF).take_all():
+        k = (src[r["doc_id"]], r["fail_mask"])
+        expect[k] = expect.get(k, 0) + 1
+    assert report == expect
