@@ -13807,3 +13807,71 @@ JOIN region r ON r.r_regionkey = n.n_regionkey
 GROUP BY 1, 2, 3, 4, 5, 6
 ORDER BY 1
 """
+
+
+WATERMARK_DELAYS_DAYS = (1, 7, 30, 90)
+
+
+def watermark_tradeoff(sf_dir: str, delays_days: tuple = WATERMARK_DELAYS_DAYS):
+    """The watermark decision table built on ingest_lateness_audit:
+    for each candidate watermark delay D, how many arrivals would be
+    dropped (late_us > D) and the completeness permille — pick the
+    smallest D meeting the completeness SLO.
+
+    Scale shape: streams the per-arrival lateness pipeline once and
+    folds a |delays|-row partial per block — the corpus-sized lateness
+    table never lands anywhere."""
+    lateness = ingest_lateness_audit(sf_dir)
+    delays_us = [int(d) * 86_400_000_000 for d in delays_days]
+
+    def partial(t: pa.Table) -> pa.Table:
+        late = t["late_us"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "delay_days": pa.array(list(delays_days), pa.int64()),
+                "n_p": pa.array([len(late)] * len(delays_us), pa.int64()),
+                "d_p": pa.array(
+                    [int((late > d).sum()) for d in delays_us], pa.int64()
+                ),
+            }
+        )
+
+    fold: dict[int, list] = {}
+    for tb in map(
+        ray.get,
+        lateness.map_batches(partial, batch_format="pyarrow").to_arrow_refs(),
+    ):
+        if not tb.num_rows:
+            continue
+        for d, n, dr in zip(
+            tb["delay_days"].to_pylist(), tb["n_p"].to_pylist(), tb["d_p"].to_pylist()
+        ):
+            cur = fold.setdefault(int(d), [0, 0])
+            cur[0] += int(n)
+            cur[1] += int(dr)
+    ds_ = sorted(fold)
+    return pa.table(
+        {
+            "delay_days": pa.array(ds_, pa.int64()),
+            "n_arrivals": pa.array([fold[d][0] for d in ds_], pa.int64()),
+            "n_dropped": pa.array([fold[d][1] for d in ds_], pa.int64()),
+            "completeness_permille": pa.array(
+                [(fold[d][0] - fold[d][1]) * 1000 // fold[d][0] for d in ds_],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+WATERMARK_TRADEOFF_SQL = f"""
+WITH l AS ({INGEST_LATENESS_SQL.replace('ORDER BY o_orderkey', '')})
+SELECT CAST(d.d AS BIGINT) AS delay_days,
+       CAST(count(*) AS BIGINT) AS n_arrivals,
+       CAST(sum(CASE WHEN l.late_us > d.d * 86400000000 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_dropped,
+       CAST((count(*) - sum(CASE WHEN l.late_us > d.d * 86400000000
+                                 THEN 1 ELSE 0 END)) * 1000 // count(*)
+         AS BIGINT) AS completeness_permille
+FROM l CROSS JOIN (SELECT unnest([{", ".join(str(d) for d in WATERMARK_DELAYS_DAYS)}]) AS d) d
+GROUP BY d.d ORDER BY delay_days
+"""

@@ -287,6 +287,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "partition_checksums",
         "order_fact_mart",
         "curation_report_by_source",
+        "watermark_tradeoff",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -3979,3 +3980,26 @@ def test_curation_report_matches_decisions(ray_session):
         k = (src[r["doc_id"]], r["fail_mask"])
         expect[k] = expect.get(k, 0) + 1
     assert report == expect
+
+
+def test_watermark_tradeoff_monotone(ray_session):
+    """Longer delays never drop more; completeness is the exact
+    complement of drops; counts recompute from the per-arrival
+    lateness table."""
+    from document_extractor_ray.functions.analytics import (
+        ingest_lateness_audit,
+        watermark_tradeoff,
+    )
+
+    rows = watermark_tradeoff(SF).to_pylist()
+    drops = [r["n_dropped"] for r in rows]
+    assert all(a >= b for a, b in zip(drops, drops[1:]))
+    late = [r["late_us"] for r in ingest_lateness_audit(SF).take_all()]
+    for r in rows:
+        assert r["n_arrivals"] == len(late)
+        assert r["n_dropped"] == sum(
+            1 for v in late if v > r["delay_days"] * 86_400_000_000
+        )
+        assert r["completeness_permille"] == (
+            (r["n_arrivals"] - r["n_dropped"]) * 1000 // r["n_arrivals"]
+        )
