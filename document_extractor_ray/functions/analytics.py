@@ -13875,3 +13875,75 @@ SELECT CAST(d.d AS BIGINT) AS delay_days,
 FROM l CROSS JOIN (SELECT unnest([{", ".join(str(d) for d in WATERMARK_DELAYS_DAYS)}]) AS d) d
 GROUP BY d.d ORDER BY delay_days
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-customer order rank (high-cardinality grouped window)
+# ---------------------------------------------------------------------------
+
+def order_rank_in_customer(sf_dir: str):
+    """Every order's rank within ITS CUSTOMER's history by value
+    (row_number over PARTITION BY custkey ORDER BY cents, orderkey)
+    plus the customer's order count — the high-cardinality cousin of
+    order_value_pct_by_nation: ~1 group per customer, so no broadcast
+    histogram fits; instead ONE custkey-hash shuffle co-locates each
+    customer's orders and a single vectorized lexsort ranks every
+    group in the partition at once (no per-group Python, no global
+    sort).  Arrow blocks out (PERF step 37)."""
+    from document_extractor_ray import state  # noqa: F401  (plan parity)
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    n_parts = _n_blocks()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (u * np.uint64(2654435761)) & np.uint64(0x7FFFFFFF)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "cents": _to_cents(t["o_totalprice"]),
+                "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+            }
+        )
+
+    def rank_partition(g: pd.DataFrame) -> pa.Table:
+        cust = g["o_custkey"].to_numpy().astype(np.int64)
+        cents = g["cents"].to_numpy().astype(np.int64)
+        keys = g["o_orderkey"].to_numpy().astype(np.int64)
+        order = np.lexsort((keys, cents, cust))
+        cust_s, cents_s, keys_s = cust[order], cents[order], keys[order]
+        # rank = position within the customer's contiguous run
+        first = np.searchsorted(cust_s, cust_s, side="left")
+        rank = np.arange(len(g)) - first + 1
+        counts = np.searchsorted(cust_s, cust_s, side="right") - first
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys_s, pa.int64()),
+                "o_custkey": pa.array(cust_s, pa.int64()),
+                "cents": pa.array(cents_s, pa.int64()),
+                "rank_in_customer": pa.array(rank.astype(np.int64), pa.int64()),
+                "n_orders_cust": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(rank_partition, batch_format="pandas")
+        .sort("o_orderkey")
+    )
+
+
+ORDER_RANK_IN_CUSTOMER_SQL = """
+SELECT o_orderkey, o_custkey, cents,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY cents, o_orderkey) AS BIGINT)
+         AS rank_in_customer,
+       CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT)
+         AS n_orders_cust
+FROM (SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders)
+ORDER BY o_orderkey
+"""

@@ -288,6 +288,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "order_fact_mart",
         "curation_report_by_source",
         "watermark_tradeoff",
+        "order_rank_in_customer",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4003,3 +4004,22 @@ def test_watermark_tradeoff_monotone(ray_session):
         assert r["completeness_permille"] == (
             (r["n_arrivals"] - r["n_dropped"]) * 1000 // r["n_arrivals"]
         )
+
+
+def test_order_rank_in_customer_windows(ray_session):
+    """Every customer's ranks are exactly 1..n with n constant across
+    the group, and ranks follow the (cents, orderkey) order."""
+    from document_extractor_ray.functions.analytics import (
+        order_rank_in_customer,
+    )
+
+    rows = order_rank_in_customer(SF).take_all()
+    by_c: dict = {}
+    for r in rows:
+        by_c.setdefault(r["o_custkey"], []).append(r)
+    for c, rs in by_c.items():
+        n = rs[0]["n_orders_cust"]
+        assert all(r["n_orders_cust"] == n for r in rs)
+        assert sorted(r["rank_in_customer"] for r in rs) == list(range(1, n + 1))
+        rs_sorted = sorted(rs, key=lambda r: (r["cents"], r["o_orderkey"]))
+        assert [r["rank_in_customer"] for r in rs_sorted] == list(range(1, n + 1))
