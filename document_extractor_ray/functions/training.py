@@ -1055,3 +1055,112 @@ FROM u GROUP BY method ORDER BY method
 
 
 SHARD_REBALANCE_AUDIT_SQL = shard_rebalance_audit_sql()
+
+
+# ---------------------------------------------------------------------------
+# Multi-epoch token budget planner (data-constrained scaling)
+# ---------------------------------------------------------------------------
+
+EPOCH_TOKEN_BUDGET = 1_000_000  # training-run token budget
+
+
+def epoch_plan(
+    sf_dir: str,
+    budget: int = EPOCH_TOKEN_BUDGET,
+    alpha: float = MIX_TEMPERATURE,
+):
+    """Per-source epoch plan for a fixed training token budget:
+    temperature-mixed target share (the source_temperature_mix
+    weights), target tokens = budget·w/Σw, and epochs_milli =
+    target·1000 // actual tokens — the data-constrained-scaling
+    table that says which sources repeat (>1000) and which are
+    subsampled (<1000).  All integer floor arithmetic on the shared
+    ln/exp micro identities.
+
+    Scale shape: ONE grouped fold of (source → n_docs, n_tokens)
+    (source-bounded), driver arithmetic on the bounded table."""
+    import math
+
+    from document_extractor_ray.functions.textstats import _TOKEN_RE
+
+    ds = _read_docs(sf_dir, ["doc_id", "source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.count_substring_regex(t["text"], _TOKEN_RE), pa.int64())
+        g = pa.TableGroupBy(
+            pa.table({"source": t["source"], "tok": toks}), ["source"]
+        ).aggregate([("tok", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "tok_p": pc.cast(g["tok_sum"], pa.int64()),
+                "n_p": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    fold: dict[str, list] = {}
+    for tb in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not tb.num_rows:
+            continue
+        for s, tk, n in zip(
+            tb["source"].to_pylist(), tb["tok_p"].to_pylist(), tb["n_p"].to_pylist()
+        ):
+            cur = fold.setdefault(s, [0, 0])
+            cur[0] += int(tk)
+            cur[1] += int(n)
+    sources = sorted(fold)
+    w = {
+        s: int(math.floor(math.exp(alpha * math.log(fold[s][1])) * 1_000_000 + 0.5))
+        for s in sources
+    }
+    tot_w = sum(w.values())
+    out = {k: [] for k in (
+        "source", "n_docs", "n_tokens", "w_micro", "target_tokens",
+        "epochs_milli",
+    )}
+    for s in sources:
+        target = budget * w[s] // tot_w
+        out["source"].append(s)
+        out["n_docs"].append(fold[s][1])
+        out["n_tokens"].append(fold[s][0])
+        out["w_micro"].append(w[s])
+        out["target_tokens"].append(target)
+        out["epochs_milli"].append(target * 1000 // fold[s][0])
+    return pa.table(
+        {
+            "source": pa.array(out["source"], pa.string()),
+            **{k: pa.array(out[k], pa.int64()) for k in list(out)[1:]},
+        }
+    )
+
+
+def epoch_plan_sql(
+    budget: int = EPOCH_TOKEN_BUDGET, alpha: float = MIX_TEMPERATURE
+) -> str:
+    return f"""
+WITH cnt AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(round(exp({alpha} * ln(n_docs)) * 1000000) AS BIGINT) AS w_micro
+  FROM cnt
+),
+t AS (
+  SELECT *, CAST({budget} * w_micro // (SELECT sum(w_micro) FROM w) AS BIGINT)
+              AS target_tokens
+  FROM w
+)
+SELECT source, n_docs, n_tokens, w_micro, target_tokens,
+       CAST(target_tokens * 1000 // n_tokens AS BIGINT) AS epochs_milli
+FROM t ORDER BY source
+"""
+
+
+EPOCH_PLAN_SQL = epoch_plan_sql()

@@ -289,6 +289,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "curation_report_by_source",
         "watermark_tradeoff",
         "order_rank_in_customer",
+        "epoch_plan",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4023,3 +4024,29 @@ def test_order_rank_in_customer_windows(ray_session):
         assert sorted(r["rank_in_customer"] for r in rs) == list(range(1, n + 1))
         rs_sorted = sorted(rs, key=lambda r: (r["cents"], r["o_orderkey"]))
         assert [r["rank_in_customer"] for r in rs_sorted] == list(range(1, n + 1))
+
+
+def test_epoch_plan_budget(ray_session):
+    """Targets sum to (at most) the budget (floor rounding), the
+    temperature flattening holds (smaller sources get more epochs per
+    doc than naive proportional), and epochs_milli is exactly
+    target*1000 // actual."""
+    from document_extractor_ray.functions.training import (
+        EPOCH_TOKEN_BUDGET,
+        epoch_plan,
+    )
+
+    rows = epoch_plan(SF).to_pylist()
+    assert rows
+    assert sum(r["target_tokens"] for r in rows) <= EPOCH_TOKEN_BUDGET
+    for r in rows:
+        assert r["epochs_milli"] == r["target_tokens"] * 1000 // r["n_tokens"]
+    small = min(rows, key=lambda r: r["n_docs"])
+    big = max(rows, key=lambda r: r["n_docs"])
+    if small["n_docs"] < big["n_docs"]:
+        # temperature < 1 flattens: per-doc share of the small source
+        # exceeds what proportional-to-size would give it
+        assert (
+            small["target_tokens"] * big["n_docs"]
+            > big["target_tokens"] * small["n_docs"]
+        ) or small["n_docs"] == big["n_docs"]
