@@ -7498,3 +7498,145 @@ ORDER BY d.rng"""
 
 
 PARTITION_CHECKSUMS_SQL = partition_checksums_sql()
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the one-row corpus summary
+# ---------------------------------------------------------------------------
+
+def dataset_card(sf_dir: str):
+    """The one-row dataset card a corpus release ships: document and
+    token counts, distinct vocabulary, language and source counts,
+    mean document length (milli-tokens), and the C4/Gopher pass rates
+    (permille) — every number integer-exact and reproducible.
+
+    Scale shape: ONE fused pass computes the per-doc counters and the
+    two quality gates (the doc_quality_composite kernels); the only
+    shuffle is the distinct-vocabulary fold (``bucketed_agg``,
+    token-bounded); langs/sources fold as bounded sets."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        n = pc.cast(pc.utf8_length(text), pa.int64())
+        n_safe = pc.max_element_wise(n, 1)
+        toks = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.int64())
+        alnum = pc.cast(pc.count_substring_regex(text, r"[A-Za-z0-9]"), pa.int64())
+        punct = pc.cast(pc.count_substring_regex(text, _PUNCT_RE), pa.int64())
+        alnum_pm = pc.divide(pc.multiply(alnum, 1000), n_safe)
+        punct_pm = pc.divide(pc.multiply(punct, 1000), n_safe)
+        c4 = pc.and_(
+            pc.and_(
+                pc.greater_equal(toks, MIN_TOKENS),
+                pc.greater_equal(alnum_pm, MIN_ALNUM_PERMILLE),
+            ),
+            pc.less_equal(punct_pm, MAX_PUNCT_PERMILLE),
+        )
+        return pa.table(
+            {
+                "n_docs": pa.array([t.num_rows], pa.int64()),
+                "n_tokens": pa.array([int(pc.sum(toks).as_py() or 0)], pa.int64()),
+                "n_chars": pa.array([int(pc.sum(n).as_py() or 0)], pa.int64()),
+                "n_c4_pass": pa.array(
+                    [int(pc.sum(pc.cast(c4, pa.int64())).as_py() or 0)], pa.int64()
+                ),
+                "langs": pa.array(
+                    [pc.unique(t["lang"]).to_pylist()],
+                    pa.list_(pa.string()),
+                ),
+                "sources": pa.array(
+                    [pc.unique(t["source"]).to_pylist()],
+                    pa.list_(pa.string()),
+                ),
+            }
+        )
+
+    n_docs = n_tokens = n_chars = n_c4 = 0
+    langs: set = set()
+    sources: set = set()
+    for tb in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not tb.num_rows:
+            continue
+        n_docs += sum(tb["n_docs"].to_pylist())
+        n_tokens += sum(tb["n_tokens"].to_pylist())
+        n_chars += sum(tb["n_chars"].to_pylist())
+        n_c4 += sum(tb["n_c4_pass"].to_pylist())
+        for ls in tb["langs"].to_pylist():
+            langs.update(ls)
+        for ss in tb["sources"].to_pylist():
+            sources.update(ss)
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.TableGroupBy(pa.table({"token": flat}), ["token"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"token": g["token"], "one": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    vocab_rows = bucketed_agg(
+        ds.map_batches(vocab_partial, batch_format="pyarrow"),
+        ["token"],
+        [("one", "sum", "c")],
+    ).count()
+
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_tokens": pa.array([n_tokens], pa.int64()),
+            "n_chars": pa.array([n_chars], pa.int64()),
+            "n_distinct_tokens": pa.array([vocab_rows], pa.int64()),
+            "n_langs": pa.array([len(langs)], pa.int64()),
+            "n_sources": pa.array([len(sources)], pa.int64()),
+            "mean_doc_tokens_milli": pa.array(
+                [n_tokens * 1000 // max(n_docs, 1)], pa.int64()
+            ),
+            "c4_pass_permille": pa.array(
+                [n_c4 * 1000 // max(n_docs, 1)], pa.int64()
+            ),
+        }
+    )
+
+
+DATASET_CARD_SQL = f"""
+WITH base AS (
+  SELECT CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS toks,
+         CAST(length(text) AS BIGINT) AS n,
+         lang, source,
+         (CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+            >= {MIN_TOKENS}
+          AND (CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                    AS BIGINT) * 1000)
+              // greatest(CAST(length(text) AS BIGINT), 1)
+            >= {MIN_ALNUM_PERMILLE}
+          AND (CAST(length(text)
+                    - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '',
+                                            'g')) AS BIGINT) * 1000)
+              // greatest(CAST(length(text) AS BIGINT), 1)
+            <= {MAX_PUNCT_PERMILLE}) AS c4
+  FROM documents
+),
+vocab AS (
+  SELECT count(DISTINCT tok) AS v FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS tok
+    FROM documents) WHERE tok <> ''
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS n_tokens,
+       CAST(sum(n) AS BIGINT) AS n_chars,
+       CAST((SELECT v FROM vocab) AS BIGINT) AS n_distinct_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum(toks) * 1000 // greatest(count(*), 1) AS BIGINT)
+         AS mean_doc_tokens_milli,
+       CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) * 1000
+            // greatest(count(*), 1) AS BIGINT) AS c4_pass_permille
+FROM base
+"""

@@ -290,6 +290,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "watermark_tradeoff",
         "order_rank_in_customer",
         "epoch_plan",
+        "dataset_card",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4050,3 +4051,25 @@ def test_epoch_plan_budget(ray_session):
             small["target_tokens"] * big["n_docs"]
             > big["target_tokens"] * small["n_docs"]
         ) or small["n_docs"] == big["n_docs"]
+
+
+def test_dataset_card_cross_ops(ray_session):
+    """The card's numbers equal the dedicated ops': token total from
+    token_counts, quality pass count from quality_filter, doc count
+    from the parquet metadata."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.textstats import (
+        dataset_card,
+        quality_filter,
+        token_counts,
+    )
+
+    card = dataset_card(SF).to_pylist()[0]
+    assert card["n_docs"] == pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    tc = token_counts(SF).take_all()
+    assert card["n_tokens"] == sum(r["n_tokens"] for r in tc)
+    assert card["n_chars"] == sum(r["n_chars_computed"] for r in tc)
+    n_pass = quality_filter(SF).count()
+    assert card["c4_pass_permille"] == n_pass * 1000 // card["n_docs"]
+    assert card["n_langs"] >= 1 and card["n_sources"] >= 1
