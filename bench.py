@@ -384,6 +384,9 @@ def run_bench() -> dict:
         "partition_checksums",
         "order_fact_mart",
         "ingest_lateness_audit",
+        "order_rank_in_customer",
+        "epoch_plan",
+        "dataset_card",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool
