@@ -13947,3 +13947,84 @@ FROM (SELECT o_orderkey, o_custkey,
       FROM orders)
 ORDER BY o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Fulfilment lag histogram (lineitem ⋈ orders + time-lag banding)
+# ---------------------------------------------------------------------------
+
+def ship_lag_histogram(sf_dir: str):
+    """Distribution of fulfilment lag (l_shipdate − o_orderdate, whole
+    days, bucketed by week) per order priority — the logistics SLA
+    histogram, and another shape the engine must do well: a big×big
+    key join whose output immediately folds into a calendar-bounded
+    aggregate.
+
+    Scale plan: both sides column-slimmed in map_batches before the
+    ONE partitioned hash join; the (priority × week) aggregate is a
+    bounded ``bucketed_agg`` after the join (q3 plan — never an
+    aggregate feeding a join)."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def slim_li(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+            }
+        )
+
+    def slim_o(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "ord_us": pc.cast(t["o_orderdate"], pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    n_parts = _join_partitions(
+        f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"
+    )
+    joined = li.map_batches(slim_li, batch_format="pyarrow").join(
+        orders.map_batches(slim_o, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    day_us = 86_400_000_000
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        lag_days = pc.divide(
+            pc.subtract(t["ship_us"], t["ord_us"]), pa.scalar(day_us, pa.int64())
+        )
+        week = pc.divide(lag_days, pa.scalar(7, pa.int64()))
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "lag_week": pc.cast(week, pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    return bucketed_agg(
+        joined.map_batches(bucketize, batch_format="pyarrow"),
+        ["o_orderpriority", "lag_week"],
+        [("one", "sum", "n_lines")],
+    ).sort(["o_orderpriority", "lag_week"])
+
+
+SHIP_LAG_HISTOGRAM_SQL = """
+SELECT o.o_orderpriority,
+       CAST(date_diff('day', o.o_orderdate, l.l_shipdate) // 7 AS BIGINT)
+         AS lag_week,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

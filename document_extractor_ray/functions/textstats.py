@@ -7640,3 +7640,89 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
             // greatest(count(*), 1) AS BIGINT) AS c4_pass_permille
 FROM base
 """
+
+
+def lang_source_gtest(sf_dir: str):
+    """G-test of independence for the lang × source contingency table
+    — "does any source skew toward a language" as one number:
+    g_micro = 2·Σ O·(L(O·N) − L(R·C)) micro-nats with
+    L(v) = round(ln v · 1e6) (zero cells contribute nothing), plus the
+    degrees of freedom — the corpus-composition audit next to
+    value_type_chi2's events-side test.
+
+    Scale shape: per-batch (lang, source) count partials, driver fold
+    bounded by |langs|·|sources|; the statistic is driver arithmetic
+    on that bounded table."""
+    import math
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            t.select(["lang", "source"]), ["lang", "source"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "source": g["source"],
+                "n_p": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    fold: dict[tuple, int] = {}
+    for tb in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not tb.num_rows:
+            continue
+        for la, s, n in zip(
+            tb["lang"].to_pylist(), tb["source"].to_pylist(), tb["n_p"].to_pylist()
+        ):
+            fold[(la, s)] = fold.get((la, s), 0) + int(n)
+    langs = sorted({k[0] for k in fold})
+    sources = sorted({k[1] for k in fold})
+    row_t = {la: sum(v for k, v in fold.items() if k[0] == la) for la in langs}
+    col_t = {s: sum(v for k, v in fold.items() if k[1] == s) for s in sources}
+    n_tot = sum(fold.values())
+
+    def L(v: int) -> int:
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    g_micro = 2 * sum(
+        o * (L(o * n_tot) - L(row_t[la] * col_t[s]))
+        for (la, s), o in fold.items()
+        if o > 0
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([n_tot], pa.int64()),
+            "n_langs": pa.array([len(langs)], pa.int64()),
+            "n_sources": pa.array([len(sources)], pa.int64()),
+            "df": pa.array([(len(langs) - 1) * (len(sources) - 1)], pa.int64()),
+            "g_micro": pa.array([g_micro], pa.int64()),
+        }
+    )
+
+
+LANG_SOURCE_GTEST_SQL = """
+WITH o AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+r AS (SELECT lang, CAST(sum(n) AS BIGINT) AS rt FROM o GROUP BY 1),
+c AS (SELECT source, CAST(sum(n) AS BIGINT) AS ct FROM o GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM o),
+g AS (
+  SELECT CAST(2 * sum(o.n * (CAST(round(ln(o.n * t.nt) * 1000000) AS BIGINT)
+                             - CAST(round(ln(r.rt * c.ct) * 1000000) AS BIGINT)))
+         AS BIGINT) AS g_micro
+  FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
+)
+SELECT (SELECT nt FROM t) AS n_docs,
+       CAST((SELECT count(*) FROM r) AS BIGINT) AS n_langs,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_sources,
+       CAST(((SELECT count(*) FROM r) - 1) * ((SELECT count(*) FROM c) - 1)
+         AS BIGINT) AS df,
+       g_micro
+FROM g
+"""

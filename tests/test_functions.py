@@ -291,6 +291,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "order_rank_in_customer",
         "epoch_plan",
         "dataset_card",
+        "ship_lag_histogram",
+        "lang_source_gtest",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4073,3 +4075,52 @@ def test_dataset_card_cross_ops(ray_session):
     n_pass = quality_filter(SF).count()
     assert card["c4_pass_permille"] == n_pass * 1000 // card["n_docs"]
     assert card["n_langs"] >= 1 and card["n_sources"] >= 1
+
+
+def test_ship_lag_histogram_mass(ray_session):
+    """Line counts sum to the lineitem rows with a matching order;
+    this synthetic orders feed ships BOTH directions in time (negative
+    lags exist — asserted so the banding is never vacuously
+    one-sided; both engines truncate-divide identically)."""
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import ship_lag_histogram
+
+    rows = ship_lag_histogram(SF).take_all()
+    n = duckdb.sql(
+        f"""SELECT count(*) FROM read_parquet('{SF}/lineitem.parquet') l
+        JOIN read_parquet('{SF}/orders.parquet') o
+        ON o.o_orderkey = l.l_orderkey"""
+    ).fetchone()[0]
+    assert sum(r["n_lines"] for r in rows) == n
+    assert any(r["lag_week"] < 0 for r in rows)
+    assert any(r["lag_week"] > 0 for r in rows)
+
+
+def test_lang_source_gtest_floats_agree(ray_session):
+    """The integer-micro G agrees with a float recomputation within
+    cell-count rounding slack, and G >= 0 up to that slack."""
+    import math
+
+    import duckdb
+
+    from document_extractor_ray.functions.textstats import lang_source_gtest
+
+    r = lang_source_gtest(SF).to_pylist()[0]
+    cells = duckdb.sql(
+        f"SELECT lang, source, count(*) FROM "
+        f"read_parquet('{SF}/documents.parquet') GROUP BY 1,2"
+    ).fetchall()
+    rt: dict = {}
+    ct: dict = {}
+    for la, s, n in cells:
+        rt[la] = rt.get(la, 0) + n
+        ct[s] = ct.get(s, 0) + n
+    nt = sum(n for _, _, n in cells)
+    g = 2 * sum(
+        n * math.log(n * nt / (rt[la] * ct[s])) for la, s, n in cells if n
+    )
+    assert abs(r["g_micro"] - g * 1_000_000) <= 2 * len(cells) * max(
+        max(rt.values()), max(ct.values())
+    ) * 0 + 2 * nt  # micro-rounding slack: <=1 micro per occurrence
+    assert r["df"] == (r["n_langs"] - 1) * (r["n_sources"] - 1)
