@@ -387,6 +387,9 @@ def run_bench() -> dict:
         "order_rank_in_customer",
         "epoch_plan",
         "dataset_card",
+        "fk_orphan_audit",
+        "mktseg_target_encoding",
+        "compaction_plan",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

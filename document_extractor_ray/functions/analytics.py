@@ -14028,3 +14028,265 @@ FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit over the star schema's FK edges
+# ---------------------------------------------------------------------------
+
+_FK_LI_EDGES = (
+    ("lineitem.l_orderkey", "l_orderkey", "orders"),
+    ("lineitem.l_partkey", "l_partkey", "part"),
+    ("lineitem.l_suppkey", "l_suppkey", "supplier"),
+)
+
+
+def fk_orphan_audit(sf_dir: str):
+    """Referential-integrity audit: for each FK edge of the star schema
+    (lineitem→orders/part/supplier, orders→customer) count child rows,
+    distinct child keys, orphan rows and distinct orphan keys — the
+    pre-ingest contract check every warehouse load runs.
+
+    Scale plan: parent key sets are dimension-sized (customer, part,
+    supplier) or fact-boundary-sized (orders) → ONE sorted numpy key
+    array per edge in the object store (``state.broadcast``); the three
+    lineitem edges are FUSED into a single column-pruned pass (one
+    read, three vectorized searchsorted membership tests per batch).
+    Distinct counts fold per-block ``np.unique`` partials on the driver
+    (bounded by parent cardinality + orphan count — PERF-32 rule); at
+    10^12-row child scale the same per-block partials route through
+    ``functions/bucketing.bucketed_agg`` instead (key-per-row rule)."""
+    from document_extractor_ray import state
+
+    def _parent_keys(name: str, col: str) -> np.ndarray:
+        ds = _read(sf_dir, name, columns=[col])
+        arrs = [
+            t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            for t in map(ray.get, ds.to_arrow_refs())
+            if t.num_rows
+        ]
+        return np.unique(np.concatenate(arrs)) if arrs else np.zeros(0, np.int64)
+
+    refs = {
+        name: state.broadcast(_parent_keys(name, col))
+        for name, col in (
+            ("customer", "c_custkey"),
+            ("orders", "o_orderkey"),
+            ("part", "p_partkey"),
+            ("supplier", "s_suppkey"),
+        )
+    }
+
+    def _edge_partial(edge: str, keys: np.ndarray, parent: np.ndarray) -> dict:
+        if len(parent):
+            idx = np.searchsorted(parent, keys)
+            idx_c = np.minimum(idx, len(parent) - 1)
+            present = (idx < len(parent)) & (parent[idx_c] == keys)
+        else:
+            present = np.zeros(len(keys), bool)
+        orphan = keys[~present]
+        return {
+            "edge": edge,
+            "child_rows": len(keys),
+            "orphan_rows": int(len(orphan)),
+            "uniq_blob": np.unique(keys).tobytes(),
+            "orphan_blob": np.unique(orphan).tobytes(),
+        }
+
+    def _rows_table(rows: list) -> pa.Table:
+        return pa.table(
+            {
+                "edge": pa.array([r["edge"] for r in rows], pa.string()),
+                "child_rows": pa.array([r["child_rows"] for r in rows], pa.int64()),
+                "orphan_rows": pa.array([r["orphan_rows"] for r in rows], pa.int64()),
+                "uniq_blob": pa.array([r["uniq_blob"] for r in rows], pa.binary()),
+                "orphan_blob": pa.array([r["orphan_blob"] for r in rows], pa.binary()),
+            }
+        )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        return _rows_table(
+            [
+                _edge_partial(
+                    edge,
+                    t[col].to_numpy(zero_copy_only=False).astype(np.int64),
+                    state.cached_get(refs[pname]),
+                )
+                for edge, col, pname in _FK_LI_EDGES
+            ]
+        )
+
+    def orders_partial(t: pa.Table) -> pa.Table:
+        return _rows_table(
+            [
+                _edge_partial(
+                    "orders.o_custkey",
+                    t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    state.cached_get(refs["customer"]),
+                )
+            ]
+        )
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    partials = [
+        t
+        for src in (
+            li.map_batches(li_partial, batch_format="pyarrow"),
+            orders.map_batches(orders_partial, batch_format="pyarrow"),
+        )
+        for t in map(ray.get, src.to_arrow_refs())
+        if t.num_rows
+    ]
+
+    acc: dict = {}
+    for t in partials:
+        for r in range(t.num_rows):
+            edge = t["edge"][r].as_py()
+            a = acc.setdefault(edge, {"rows": 0, "orph": 0, "uniq": [], "ouniq": []})
+            a["rows"] += t["child_rows"][r].as_py()
+            a["orph"] += t["orphan_rows"][r].as_py()
+            a["uniq"].append(np.frombuffer(t["uniq_blob"][r].as_py(), np.int64))
+            a["ouniq"].append(np.frombuffer(t["orphan_blob"][r].as_py(), np.int64))
+
+    edges = sorted(acc)
+    return pa.table(
+        {
+            "edge": pa.array(edges, pa.string()),
+            "child_rows": pa.array([acc[e]["rows"] for e in edges], pa.int64()),
+            "child_keys": pa.array(
+                [len(np.unique(np.concatenate(acc[e]["uniq"]))) for e in edges],
+                pa.int64(),
+            ),
+            "orphan_rows": pa.array([acc[e]["orph"] for e in edges], pa.int64()),
+            "orphan_keys": pa.array(
+                [len(np.unique(np.concatenate(acc[e]["ouniq"]))) for e in edges],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+FK_ORPHAN_AUDIT_SQL = """
+WITH edges AS (
+  SELECT 'lineitem.l_orderkey' AS edge, l_orderkey AS k,
+         CAST(l_orderkey IN (SELECT o_orderkey FROM orders) AS INT) AS hit
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_partkey', l_partkey,
+         CAST(l_partkey IN (SELECT p_partkey FROM part) AS INT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_suppkey', l_suppkey,
+         CAST(l_suppkey IN (SELECT s_suppkey FROM supplier) AS INT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders.o_custkey', o_custkey,
+         CAST(o_custkey IN (SELECT c_custkey FROM customer) AS INT)
+  FROM orders
+)
+SELECT edge,
+       CAST(count(*) AS BIGINT) AS child_rows,
+       CAST(count(DISTINCT k) AS BIGINT) AS child_keys,
+       CAST(count(*) FILTER (WHERE hit = 0) AS BIGINT) AS orphan_rows,
+       CAST(count(DISTINCT k) FILTER (WHERE hit = 0) AS BIGINT) AS orphan_keys
+FROM edges GROUP BY edge ORDER BY edge
+"""
+
+
+# ---------------------------------------------------------------------------
+# Smoothed target encoding of a categorical column
+# ---------------------------------------------------------------------------
+
+TARGET_ENC_SMOOTH_M = 20
+
+
+def mktseg_target_encoding(sf_dir: str, m: int = TARGET_ENC_SMOOTH_M):
+    """Smoothed target encoding of ``c_mktsegment`` against order value
+    (the classic categorical-feature encoder): enc = (sum + m·μ_global)
+    / (n + m), expressed as ONE integer rational in micro-cents so the
+    oracle is bit-exact — enc_micro = 10^6·(sum_cents·G_n + m·G_sum)
+    // ((n + m)·G_n) with G_n/G_sum the global count/sum.
+
+    Scale plan: customer dim broadcast once (``state.lookup_join``),
+    per-block (segment → count, cents) partials fold on the driver
+    (5 segments — bounded, PERF-32), encode math in Python ints (the
+    HUGEINT-sized product cannot overflow)."""
+    from document_extractor_ray import state
+
+    cust_parts = [
+        t
+        for t in map(
+            ray.get,
+            _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_arrow_refs(),
+        )
+        if t.num_rows
+    ]
+    dim = pa.concat_tables(cust_parts).combine_chunks()
+    dim_ref = state.broadcast(dim)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = state.cached_get(dim_ref)
+        t = state.lookup_join(t, "o_custkey", d, "c_custkey", ["c_mktsegment"])
+        slim = pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "cents": _to_cents(t["o_totalprice"]),
+            }
+        )
+        return slim.group_by("c_mktsegment").aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    acc: dict = {}
+    for t in map(ray.get, orders.map_batches(partial, batch_format="pyarrow").to_arrow_refs()):
+        if not t.num_rows:
+            continue
+        for seg, s, n in zip(
+            t["c_mktsegment"].to_pylist(),
+            t["cents_sum"].to_pylist(),
+            t["cents_count"].to_pylist(),
+        ):
+            cur = acc.setdefault(seg, [0, 0])
+            cur[0] += s
+            cur[1] += n
+
+    g_sum = sum(v[0] for v in acc.values())
+    g_n = sum(v[1] for v in acc.values())
+    segs = sorted(acc)
+    enc = [
+        (1_000_000 * (acc[s][0] * g_n + m * g_sum)) // ((acc[s][1] + m) * g_n)
+        for s in segs
+    ]
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(segs, pa.string()),
+            "n_orders": pa.array([acc[s][1] for s in segs], pa.int64()),
+            "sum_cents": pa.array([acc[s][0] for s in segs], pa.int64()),
+            "enc_micro": pa.array(enc, pa.int64()),
+        }
+    )
+
+
+MKTSEG_TARGET_ENCODING_SQL = f"""
+WITH seg AS (
+  SELECT c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+),
+g AS (
+  SELECT CAST(sum(n_orders) AS BIGINT) AS g_n,
+         CAST(sum(sum_cents) AS BIGINT) AS g_sum
+  FROM seg
+)
+SELECT c_mktsegment, n_orders, sum_cents,
+       CAST((1000000::HUGEINT * (sum_cents::HUGEINT * g_n
+                                 + {TARGET_ENC_SMOOTH_M} * g_sum))
+            // ((n_orders + {TARGET_ENC_SMOOTH_M})::HUGEINT * g_n) AS BIGINT)
+         AS enc_micro
+FROM seg, g
+ORDER BY c_mktsegment
+"""

@@ -1164,3 +1164,78 @@ FROM t ORDER BY source
 
 
 EPOCH_PLAN_SQL = epoch_plan_sql()
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction plan (streaming concat split per source)
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_CHARS = 4096
+
+
+def compaction_plan(sf_dir: str, target: int = COMPACT_TARGET_CHARS):
+    """Plan compacting per-source document streams into ~``target``-byte
+    output files: doc → file ``cum_before // target`` where cum_before
+    is the running byte total of earlier (doc_id-ordered) docs in the
+    same source — the deterministic streaming-concat split every
+    small-file compactor runs before a training export.
+
+    Output: one row per (source, file_idx) with doc count, byte total
+    and the doc_id range — the resumable unit a writer would commit.
+
+    Scale plan: sources are few and the split is a per-source prefix
+    sum → ``groupby(source).map_groups`` with an Arrow-native kernel
+    (PERF-37: per-row-consumable output returns Arrow).  A single
+    giant source splits by doc_id ranges with per-range offsets from a
+    first bounded sum pass (the two-pass prefix pattern used by
+    ``encoding_size_audit``)."""
+
+    def plan(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t["doc_id"])
+        ids = pc.take(t["doc_id"], order).to_numpy(zero_copy_only=False)
+        nch = pc.take(t["n_chars"], order).to_numpy(zero_copy_only=False).astype(np.int64)
+        cum_before = np.cumsum(nch) - nch
+        fidx = cum_before // target
+        # per-file aggregation: files are contiguous runs in doc_id order
+        starts = np.flatnonzero(np.r_[True, fidx[1:] != fidx[:-1]])
+        ends = np.r_[starts[1:], len(fidx)]
+        return pa.table(
+            {
+                "source": pa.array(
+                    [t["source"][0].as_py()] * len(starts), pa.string()
+                ),
+                "file_idx": pa.array(fidx[starts], pa.int64()),
+                "n_docs": pa.array(ends - starts, pa.int64()),
+                "n_bytes": pa.array(
+                    np.add.reduceat(nch, starts), pa.int64()
+                ),
+                "first_doc": pa.array(ids[starts], pa.int64()),
+                "last_doc": pa.array(ids[ends - 1], pa.int64()),
+            }
+        )
+
+    ds = _read_docs(sf_dir, ["doc_id", "source", "n_chars"])
+    return (
+        ds.groupby("source")
+        .map_groups(plan, batch_format="pyarrow")
+        .sort(["source", "file_idx"])
+    )
+
+
+COMPACTION_PLAN_SQL = f"""
+WITH c AS (
+  SELECT source, doc_id, n_chars,
+         CAST(COALESCE(sum(n_chars) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM documents
+)
+SELECT source,
+       CAST(cum_before // {COMPACT_TARGET_CHARS} AS BIGINT) AS file_idx,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -293,6 +293,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "dataset_card",
         "ship_lag_histogram",
         "lang_source_gtest",
+        "fk_orphan_audit",
+        "mktseg_target_encoding",
+        "compaction_plan",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4124,3 +4127,85 @@ def test_lang_source_gtest_floats_agree(ray_session):
         max(rt.values()), max(ct.values())
     ) * 0 + 2 * nt  # micro-rounding slack: <=1 micro per occurrence
     assert r["df"] == (r["n_langs"] - 1) * (r["n_sources"] - 1)
+
+
+def test_fk_orphan_audit_planted(ray_session, tmp_path):
+    """The orphan path must actually fire: plant a lineitem row whose
+    partkey/suppkey reference nothing and an orders row with a missing
+    customer; counts must match the planted facts (the real tables are
+    referentially clean, so parity alone never exercises orphans)."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.analytics import fk_orphan_audit
+
+    d = tmp_path
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2], pa.int64()),
+                  "c_mktsegment": pa.array(["A", "B"])}),
+        d / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([10, 11, 12], pa.int64()),
+                  "o_custkey": pa.array([1, 2, 999], pa.int64())}),
+        d / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table({"p_partkey": pa.array([100], pa.int64())}), d / "part.parquet"
+    )
+    pq.write_table(
+        pa.table({"s_suppkey": pa.array([200], pa.int64())}), d / "supplier.parquet"
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([10, 10, 77], pa.int64()),
+                "l_partkey": pa.array([100, 555, 100], pa.int64()),
+                "l_suppkey": pa.array([200, 200, 200], pa.int64()),
+            }
+        ),
+        d / "lineitem.parquet",
+    )
+
+    got = {r["edge"]: r for r in fk_orphan_audit(str(d)).to_pylist()}
+    assert got["orders.o_custkey"]["orphan_rows"] == 1
+    assert got["orders.o_custkey"]["orphan_keys"] == 1
+    assert got["lineitem.l_orderkey"]["orphan_rows"] == 1
+    assert got["lineitem.l_partkey"]["orphan_rows"] == 1
+    assert got["lineitem.l_partkey"]["orphan_keys"] == 1
+    assert got["lineitem.l_suppkey"]["orphan_rows"] == 0
+    assert got["lineitem.l_suppkey"]["child_keys"] == 1
+    assert got["lineitem.l_orderkey"]["child_rows"] == 3
+
+
+def test_compaction_plan_invariants(ray_session):
+    """Files are contiguous doc_id runs per source, byte totals add up,
+    and every non-final file ends because the NEXT doc starts past the
+    target boundary (the streaming-concat split rule)."""
+    from document_extractor_ray.functions.training import (
+        COMPACT_TARGET_CHARS,
+        compaction_plan,
+    )
+
+    rows = compaction_plan(SF).to_pandas().to_dict("records")
+    import duckdb
+
+    tot = duckdb.sql(
+        f"SELECT source, CAST(sum(n_chars) AS BIGINT), count(*) FROM "
+        f"read_parquet('{SF}/documents.parquet') GROUP BY 1"
+    ).fetchall()
+    want = {s: (b, n) for s, b, n in tot}
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == set(want)
+    for src, files in by_src.items():
+        files.sort(key=lambda r: r["file_idx"])
+        assert sum(f["n_bytes"] for f in files) == want[src][0]
+        assert sum(f["n_docs"] for f in files) == want[src][1]
+        cum = 0
+        for i, f in enumerate(files):
+            # file_idx is the boundary bucket of its first doc's offset
+            assert f["file_idx"] == cum // COMPACT_TARGET_CHARS
+            cum += f["n_bytes"]
+            if i + 1 < len(files):
+                assert files[i + 1]["first_doc"] > f["last_doc"]
