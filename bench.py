@@ -390,6 +390,9 @@ def run_bench() -> dict:
         "fk_orphan_audit",
         "mktseg_target_encoding",
         "compaction_plan",
+        "quality_auc",
+        "qlm_topk",
+        "token_lang_chi2",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -7726,3 +7726,370 @@ SELECT (SELECT nt FROM t) AS n_docs,
        g_micro
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact AUC (Mann-Whitney U) from a score histogram — no global sort
+# ---------------------------------------------------------------------------
+
+def quality_auc(sf_dir: str):
+    """Exact ROC-AUC of the document-length score against the
+    ``lang == 'en'`` label — the ranking-metric primitive every
+    quality-classifier evaluation needs, computed as the Mann-Whitney
+    rank-sum WITHOUT a global sort: AUC = Σ_v pos_v·(neg_below_v +
+    neg_v/2) / (P·N), folded from a (score → pos, neg) histogram.
+    Ties get the standard midrank treatment; the value ships as one
+    truncating integer rational, auc_micro = 10⁶·Σ pos·(2·neg_below +
+    neg) // (2·P·N).
+
+    Scale shape: per-block (score, label) histogram partials fold on
+    the driver (distinct doc lengths are bounded; a continuous score
+    at 10^12 rows would be quantized to fixed-width bins first —
+    same math, bounded histogram)."""
+    ds = _read_docs(sf_dir, ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = pc.cast(pc.equal(t["lang"], "en"), pa.int64())
+        g = pa.TableGroupBy(
+            pa.table({"s": t["n_chars"], "pos": lab}), ["s", "pos"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {"s": g["s"], "pos": g["pos"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    hist: dict = {}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for s, p, n in zip(
+            t["s"].to_pylist(), t["pos"].to_pylist(), t["n"].to_pylist()
+        ):
+            cur = hist.setdefault(s, [0, 0])
+            cur[p] += n
+
+    n_pos = sum(v[1] for v in hist.values())
+    n_neg = sum(v[0] for v in hist.values())
+    u2 = 0
+    neg_below = 0
+    for s in sorted(hist):
+        neg, pos = hist[s][0], hist[s][1]
+        u2 += pos * (2 * neg_below + neg)
+        neg_below += neg
+    auc_micro = (1_000_000 * u2) // (2 * n_pos * n_neg)
+    return pa.table(
+        {
+            "n_pos": pa.array([n_pos], pa.int64()),
+            "n_neg": pa.array([n_neg], pa.int64()),
+            "auc_micro": pa.array([auc_micro], pa.int64()),
+        }
+    )
+
+
+QUALITY_AUC_SQL = """
+WITH h AS (
+  SELECT n_chars AS s,
+         CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS pos,
+         CAST(count(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS neg
+  FROM documents GROUP BY 1
+),
+c AS (
+  SELECT pos, neg,
+         CAST(COALESCE(sum(neg) OVER (
+             ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS neg_below
+  FROM h
+),
+t AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(neg) AS BIGINT) AS n_neg,
+         CAST(sum(pos * (2 * neg_below + neg)) AS BIGINT) AS u2
+  FROM c
+)
+SELECT n_pos, n_neg,
+       CAST((1000000::HUGEINT * u2) // (2::HUGEINT * n_pos * n_neg) AS BIGINT)
+         AS auc_micro
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet-smoothed query-likelihood retrieval (the LM alternative to BM25)
+# ---------------------------------------------------------------------------
+
+QLM_MU = 2000
+
+
+def qlm_topk(sf_dir: str, terms=SEARCH_TERMS, k: int = SEARCH_TOP_K, mu: int = QLM_MU):
+    """Top-k documents under the Dirichlet-smoothed query-likelihood
+    model — score(d) = Σ_t ln((tf + μ·cf_t/C)/(len_d + μ)) — the
+    language-model retrieval twin of ``bm25_topk``.  Exactness: each
+    p(t|d) is the integer rational (tf·C + μ·cf_t)/((len_d+μ)·C), so
+    score_micro = Σ_t L(tf·C + μ·cf_t) − |q|·L(len_d+μ) − |q|·L(C)
+    with L(v) = floor(ln(v)·10⁶ + ½) == DuckDB round(ln·10⁶) (same
+    libm).  ln-micro is evaluated per DISTINCT argument (a bounded
+    set: tf and doc-length values), never per row.
+
+    Scale shape: collection stats (cf per query term + total token
+    count C) fold from per-block partials on the driver and ride into
+    the scoring closure as Python ints; scoring is one vectorized
+    pass with a per-batch local top-k, so ≤ k rows leave each block."""
+    import math
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    term_list = list(terms)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        names = ["__total__"] + term_list
+        counts = [len(flat)] + [
+            pc.sum(pc.equal(flat, w)).as_py() or 0 for w in term_list
+        ]
+        return pa.table(
+            {"token": pa.array(names, pa.string()), "n": pa.array(counts, pa.int64())}
+        )
+
+    agg: dict = {}
+    for t in map(
+        ray.get, ds.map_batches(stats_partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for w, n in zip(t["token"].to_pylist(), t["n"].to_pylist()):
+            agg[w] = agg.get(w, 0) + n
+    ctot = agg.pop("__total__", 0)
+    cf = {w: agg.get(w, 0) for w in term_list}
+    live_terms = [w for w in term_list if cf[w] > 0]
+    nq = len(live_terms)
+
+    def _lmic_map(vals: np.ndarray) -> np.ndarray:
+        uniq = np.unique(vals)
+        lut = np.array(
+            [int(math.floor(math.log(int(v)) * 1_000_000 + 0.5)) for v in uniq],
+            np.int64,
+        )
+        return lut[np.searchsorted(uniq, vals)]
+
+    l_c = int(math.floor(math.log(ctot) * 1_000_000 + 0.5)) if ctot else 0
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        dlen = np.zeros(t.num_rows, np.int64)
+        np.add.at(dlen, parent[keep], 1)
+        total = np.zeros(t.num_rows, np.int64)
+        for w in live_terms:
+            tf = np.zeros(t.num_rows, np.int64)
+            hits = pc.equal(flat, w).to_numpy(zero_copy_only=False)
+            np.add.at(tf, parent[hits], 1)
+            total += _lmic_map(tf * ctot + mu * cf[w])
+        total -= nq * _lmic_map(dlen + mu)
+        total -= nq * l_c
+        out = pa.table(
+            {"doc_id": t["doc_id"], "score_micro": pa.array(total, pa.int64())}
+        )
+        return out.sort_by(
+            [("score_micro", "descending"), ("doc_id", "ascending")]
+        ).slice(0, k)
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["score_micro", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def _qlm_sql(terms=SEARCH_TERMS, k: int = SEARCH_TOP_K, mu: int = QLM_MU) -> str:
+    values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+    FROM documents)
+  WHERE token <> ''
+),
+len AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY 1),
+c AS (SELECT CAST(count(*) AS BIGINT) AS ctot FROM tok),
+q(term) AS (VALUES {values}),
+cf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf
+  FROM tok JOIN q ON token = term GROUP BY 1 HAVING count(*) > 0
+),
+tf AS (
+  SELECT l.doc_id, cf.term, cf.cf, CAST(COALESCE(x.tf, 0) AS BIGINT) AS tf
+  FROM len l CROSS JOIN cf
+  LEFT JOIN (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+    FROM tok JOIN q ON token = term GROUP BY 1, 2
+  ) x ON x.doc_id = l.doc_id AND x.token = cf.term
+),
+sc AS (
+  SELECT tf.doc_id,
+         CAST(sum(CAST(round(ln(tf.tf * c.ctot + {mu} * tf.cf) * 1000000)
+                       AS BIGINT)) AS BIGINT)
+         - (SELECT count(*) FROM cf)
+           * CAST(round(ln(any_value(l.len) + {mu}) * 1000000) AS BIGINT)
+         - (SELECT count(*) FROM cf)
+           * CAST(round(ln(any_value(c.ctot)) * 1000000) AS BIGINT)
+           AS score_micro
+  FROM tf JOIN len l ON l.doc_id = tf.doc_id CROSS JOIN c
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(score_micro AS BIGINT) AS score_micro
+FROM sc ORDER BY score_micro DESC, doc_id LIMIT {k}
+"""
+
+
+QLM_TOPK_SQL = _qlm_sql()
+
+
+# ---------------------------------------------------------------------------
+# Per-language characteristic tokens (chi-square association)
+# ---------------------------------------------------------------------------
+
+TOKEN_LANG_CHI2_K = 5
+
+
+def token_lang_chi2(sf_dir: str, k: int = TOKEN_LANG_CHI2_K):
+    """Top-k characteristic tokens per language by the chi-square
+    statistic of the 2×2 (lang, token-presence) document contingency
+    table — the feature-selection pass a lang-ID or domain classifier
+    trains on.  Only observed (lang, token) pairs compete (positive
+    association), and tokens present in every document are skipped
+    (degenerate margin → χ² undefined).  Exactness: χ²_micro =
+    10⁶·N·(ad−bc)² // ((a+b)(c+d)(a+c)(b+d)) as one truncating
+    integer rational (Python ints / DuckDB HUGEINT — no overflow).
+
+    Scale shape: per-block distinct-(doc, lang, token) partials fold
+    into a (lang, token) → doc-frequency table bounded by vocab ×
+    langs; at open-vocab web scale the same partials route through
+    ``bucketed_agg`` and the χ² ranking becomes a per-lang local
+    top-k (the zipf/top_tokens plan)."""
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        tbl = pa.table(
+            {
+                "d": pc.take(t["doc_id"], parent),
+                "lang": pc.take(t["lang"], parent),
+                "token": flat,
+            }
+        ).filter(pc.not_equal(flat, ""))
+        dt = pa.TableGroupBy(tbl, ["d", "lang", "token"]).aggregate([])
+        g = pa.TableGroupBy(dt, ["lang", "token"]).aggregate([([], "count_all")])
+        # also fold per-block doc counts per lang (distinct docs are
+        # block-local rows, so a plain count is exact)
+        langs = pa.TableGroupBy(
+            pa.table({"lang": t["lang"]}), ["lang"]
+        ).aggregate([([], "count_all")])
+        left = pa.table(
+            {
+                "lang": g["lang"],
+                "token": g["token"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "lang": langs["lang"],
+                "token": pa.array(["__docs__"] * langs.num_rows, pa.string()),
+                "n": pc.cast(langs["count_all"], pa.int64()),
+            }
+        )
+        return pa.concat_tables([left, right])
+
+    df: dict = {}
+    rl: dict = {}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for la, w, n in zip(
+            t["lang"].to_pylist(), t["token"].to_pylist(), t["n"].to_pylist()
+        ):
+            if w == "__docs__":
+                rl[la] = rl.get(la, 0) + n
+            else:
+                df[(la, w)] = df.get((la, w), 0) + n
+
+    n_total = sum(rl.values())
+    tok_tot: dict = {}
+    for (la, w), a in df.items():
+        tok_tot[w] = tok_tot.get(w, 0) + a
+
+    rows = []
+    for (la, w), a in df.items():
+        t_w = tok_tot[w]
+        if t_w == 0 or t_w == n_total:
+            continue
+        r = rl[la]
+        b = r - a
+        c = t_w - a
+        d = n_total - r - t_w + a
+        diff = a * d - b * c
+        denom = (a + b) * (c + d) * (a + c) * (b + d)
+        chi2 = (1_000_000 * n_total * diff * diff) // denom
+        rows.append((la, w, a, chi2))
+
+    rows.sort(key=lambda x: (x[0], -x[3], x[1]))
+    out = []
+    per: dict = {}
+    for la, w, a, chi2 in rows:
+        per[la] = per.get(la, 0) + 1
+        if per[la] <= k:
+            out.append((la, w, a, chi2))
+    return pa.table(
+        {
+            "lang": pa.array([r[0] for r in out], pa.string()),
+            "token": pa.array([r[1] for r in out], pa.string()),
+            "df_lang": pa.array([r[2] for r in out], pa.int64()),
+            "chi2_micro": pa.array([r[3] for r in out], pa.int64()),
+        }
+    )
+
+
+TOKEN_LANG_CHI2_SQL = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, lang, token FROM (
+    SELECT doc_id, lang,
+           unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+    FROM documents)
+  WHERE token <> ''
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+rl AS (SELECT lang, CAST(count(*) AS BIGINT) AS r FROM documents GROUP BY 1),
+tt AS (SELECT token, CAST(count(*) AS BIGINT) AS t FROM tok GROUP BY 1),
+aa AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS a FROM tok GROUP BY 1, 2),
+x AS (
+  SELECT aa.lang, aa.token, aa.a,
+         (aa.a::HUGEINT * (nn.n - rl.r - tt.t + aa.a)
+          - (rl.r - aa.a)::HUGEINT * (tt.t - aa.a)) AS diff,
+         ((rl.r)::HUGEINT * (nn.n - rl.r)
+          * tt.t * (nn.n - tt.t)) AS denom
+  FROM aa JOIN rl USING (lang) JOIN tt USING (token) CROSS JOIN nn
+  WHERE tt.t < nn.n
+),
+c2 AS (
+  SELECT lang, token, a,
+         CAST((1000000::HUGEINT * (SELECT n FROM nn) * diff * diff) // denom
+              AS BIGINT) AS chi2_micro
+  FROM x
+)
+SELECT lang, token, CAST(a AS BIGINT) AS df_lang, chi2_micro
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY lang ORDER BY chi2_micro DESC, token) AS rk
+  FROM c2
+) WHERE rk <= {TOKEN_LANG_CHI2_K}
+ORDER BY lang, chi2_micro DESC, token
+"""

@@ -296,6 +296,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "fk_orphan_audit",
         "mktseg_target_encoding",
         "compaction_plan",
+        "quality_auc",
+        "qlm_topk",
+        "token_lang_chi2",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4209,3 +4212,73 @@ def test_compaction_plan_invariants(ray_session):
             cum += f["n_bytes"]
             if i + 1 < len(files):
                 assert files[i + 1]["first_doc"] > f["last_doc"]
+
+
+def test_quality_auc_separable(ray_session, tmp_path):
+    """A perfectly separable score must hit AUC exactly 1.0 (1e6
+    micro) and a constant-score table exactly 0.5 — the two analytic
+    anchors of the midrank rank-sum formula."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.textstats import quality_auc
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "lang": pa.array(["en", "en", "en", "de", "fr", "zh"]),
+                "n_chars": pa.array([100, 90, 80, 10, 20, 30], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    r = quality_auc(str(tmp_path)).to_pylist()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc_micro"]) == (3, 3, 1_000_000)
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "lang": pa.array(["en", "en", "de", "fr"]),
+                "n_chars": pa.array([50, 50, 50, 50], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    r = quality_auc(str(tmp_path)).to_pylist()[0]
+    assert r["auc_micro"] == 500_000
+
+
+def test_qlm_matches_float_model(ray_session):
+    """The integer-micro QL scores must rank identically to a plain
+    float Dirichlet QL model computed from the raw corpus."""
+    import math
+    import re as _re
+
+    import duckdb
+
+    from document_extractor_ray.functions.textstats import (
+        QLM_MU,
+        SEARCH_TERMS,
+        qlm_topk,
+    )
+
+    got = qlm_topk(SF).to_pandas()
+    docs = duckdb.sql(
+        f"SELECT doc_id, lower(text) AS t FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    tok = {d: [w for w in _re.split(r"[^a-z0-9]+", t) if w] for d, t in docs}
+    ctot = sum(len(v) for v in tok.values())
+    cf = {
+        w: sum(v.count(w) for v in tok.values()) for w in SEARCH_TERMS
+    }
+    scores = {
+        d: sum(
+            math.log((v.count(w) + QLM_MU * cf[w] / ctot) / (len(v) + QLM_MU))
+            for w in SEARCH_TERMS
+            if cf[w] > 0
+        )
+        for d, v in tok.items()
+    }
+    want = sorted(scores, key=lambda d: (-scores[d], d))[: len(got)]
+    assert list(got["doc_id"]) == want
