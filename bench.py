@@ -393,6 +393,8 @@ def run_bench() -> dict:
         "quality_auc",
         "qlm_topk",
         "token_lang_chi2",
+        "forecast_mase",
+        "zorder_layout_audit",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -14290,3 +14290,313 @@ SELECT c_mktsegment, n_orders, sum_cents,
 FROM seg, g
 ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast error (MASE) over the daily order series
+# ---------------------------------------------------------------------------
+
+MASE_SEASON_DAYS = 7
+
+
+def forecast_mase(sf_dir: str, season: int = MASE_SEASON_DAYS):
+    """Mean absolute scaled error of the seasonal-naive forecast
+    (ŷ_d = y_{d−7}) for the daily order-count series — the baseline
+    every demand-forecast evaluation is scaled against.  MASE =
+    mean|y_d − y_{d−7}| / mean|y_d − y_{d−1}| ships as ONE truncating
+    integer rational, mase_micro = 10⁶·sum7·n1 // (n7·sum1); the
+    component sums/counts are emitted so the reader can re-derive it.
+    Lags are CALENDAR lags (a day with no day−k observation is
+    skipped), so sparse series stay well-defined.
+
+    Scale shape: the (day → count) histogram folds from per-block
+    partials on the driver (calendar-bounded — PERF-32); everything
+    after is pure integer math on a vector the size of the horizon."""
+    day_us = 86_400_000_000
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["o_orderdate"], pa.int64()), pa.scalar(day_us, pa.int64()))
+        g = pa.TableGroupBy(pa.table({"day": day}), ["day"]).aggregate([([], "count_all")])
+        return pa.table({"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())})
+
+    hist: dict = {}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for d, n in zip(t["day"].to_pylist(), t["n"].to_pylist()):
+            hist[d] = hist.get(d, 0) + n
+
+    n7 = sum7 = n1 = sum1 = 0
+    for d, n in hist.items():
+        if d - season in hist:
+            n7 += 1
+            sum7 += abs(n - hist[d - season])
+        if d - 1 in hist:
+            n1 += 1
+            sum1 += abs(n - hist[d - 1])
+    mase_micro = (1_000_000 * sum7 * n1) // (n7 * sum1) if n7 and sum1 else 0
+    return pa.table(
+        {
+            "n_days": pa.array([len(hist)], pa.int64()),
+            "n_pairs_seasonal": pa.array([n7], pa.int64()),
+            "sum_abs_err_seasonal": pa.array([sum7], pa.int64()),
+            "n_pairs_naive": pa.array([n1], pa.int64()),
+            "sum_abs_err_naive": pa.array([sum1], pa.int64()),
+            "mase_micro": pa.array([mase_micro], pa.int64()),
+        }
+    )
+
+
+FORECAST_MASE_SQL = f"""
+WITH h AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT h.day, h.n, s.n AS n7, o.n AS n1
+  FROM h
+  LEFT JOIN h s ON s.day = h.day - {MASE_SEASON_DAYS}
+  LEFT JOIN h o ON o.day = h.day - 1
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(count(n7) AS BIGINT) AS n_pairs_seasonal,
+         CAST(COALESCE(sum(abs(n - n7)), 0) AS BIGINT) AS sum_abs_err_seasonal,
+         CAST(count(n1) AS BIGINT) AS n_pairs_naive,
+         CAST(COALESCE(sum(abs(n - n1)), 0) AS BIGINT) AS sum_abs_err_naive
+  FROM p
+)
+SELECT n_days, n_pairs_seasonal, sum_abs_err_seasonal, n_pairs_naive,
+       sum_abs_err_naive,
+       CAST(CASE WHEN n_pairs_seasonal > 0 AND sum_abs_err_naive > 0
+                 THEN (1000000::HUGEINT * sum_abs_err_seasonal * n_pairs_naive)
+                      // (n_pairs_seasonal::HUGEINT * sum_abs_err_naive)
+                 ELSE 0 END AS BIGINT) AS mase_micro
+FROM t
+"""
+
+
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout audit: multi-column locality vs zone pruning
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 16
+ZORDER_FINE_MORTON = 1024   # fine-zone granularity the partials fold at
+ZORDER_FINE_NATURAL = 64
+ZORDER_TARGET_ZONES = 64    # coarse zones per layout (data-scaled)
+
+
+def zorder_layout_audit(sf_dir: str):
+    """Would re-laying lineitem out in z-order help partkey scans?
+    Interleave the low 16 bits of (l_partkey, l_suppkey) into a Morton
+    code and compare zone-map pruning of a ``l_partkey`` band predicate
+    under the NATURAL layout (zones = l_orderkey key ranges — the
+    insertion order, where every zone spans the whole partkey domain
+    and nothing prunes) against the Z-ORDER layout (zones = morton key
+    ranges, partkey-localized).  Four quartile bands of the partkey
+    domain are probed; a zone is touched unless its partkey min/max
+    misses the band entirely.  Zone width is DATA-SCALED to ~64 zones:
+    range = fine · ceil((max_key + 1) / (64 · fine)), so the audit is
+    meaningful at every sf (a fixed width degenerates to one zone on
+    small domains); integer-division composition (a//b)//c == a//(b·c)
+    makes the fine→coarse fold exact on both engines.
+
+    Scale shape: ONE column-pruned pass computes both zone keys per
+    row and folds (fine zone → partkey min/max, key max, count)
+    partials — bounded by key-domain/fine slots — on the driver; the
+    coarsening and the audit are driver math over those bounded maps."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pm = p & 0xFFFF
+        sm = s & 0xFFFF
+        m = np.zeros(len(p), np.int64)
+        for i in range(ZORDER_BITS):
+            m |= ((pm >> i) & 1) << (2 * i)
+            m |= ((sm >> i) & 1) << (2 * i + 1)
+        out = []
+        for layout, key, fine in (
+            ("natural", o, ZORDER_FINE_NATURAL),
+            ("morton", m, ZORDER_FINE_MORTON),
+        ):
+            g = pa.TableGroupBy(
+                pa.table(
+                    {
+                        "zone": pa.array(key // fine, pa.int64()),
+                        "pk": pa.array(p, pa.int64()),
+                        "key": pa.array(key, pa.int64()),
+                    }
+                ),
+                ["zone"],
+            ).aggregate(
+                [("pk", "min"), ("pk", "max"), ("key", "max"), ([], "count_all")]
+            )
+            out.append(
+                pa.table(
+                    {
+                        "layout": pa.array([layout] * g.num_rows, pa.string()),
+                        "zone": g["zone"],
+                        "mn": g["pk_min"],
+                        "mx": g["pk_max"],
+                        "kmx": g["key_max"],
+                        "n": pc.cast(g["count_all"], pa.int64()),
+                    }
+                )
+            )
+        # exact per-band selectivity needs the partkey histogram
+        h = pa.TableGroupBy(pa.table({"pk": pa.array(p, pa.int64())}), ["pk"]).aggregate(
+            [([], "count_all")]
+        )
+        out.append(
+            pa.table(
+                {
+                    "layout": pa.array(["__hist__"] * h.num_rows, pa.string()),
+                    "zone": h["pk"],
+                    "mn": h["pk"],
+                    "mx": h["pk"],
+                    "kmx": h["pk"],
+                    "n": pc.cast(h["count_all"], pa.int64()),
+                }
+            )
+        )
+        return pa.concat_tables(out)
+
+    fine_zones: dict = {"natural": {}, "morton": {}}
+    key_max = {"natural": 0, "morton": 0}
+    pk_hist: dict = {}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for lay, z, mn, mx, kmx, n in zip(
+            t["layout"].to_pylist(), t["zone"].to_pylist(),
+            t["mn"].to_pylist(), t["mx"].to_pylist(),
+            t["kmx"].to_pylist(), t["n"].to_pylist(),
+        ):
+            if lay == "__hist__":
+                pk_hist[z] = pk_hist.get(z, 0) + n
+            else:
+                cur = fine_zones[lay].setdefault(z, [mn, mx, 0])
+                cur[0] = min(cur[0], mn)
+                cur[1] = max(cur[1], mx)
+                cur[2] += n
+                key_max[lay] = max(key_max[lay], kmx)
+
+    fines = {"natural": ZORDER_FINE_NATURAL, "morton": ZORDER_FINE_MORTON}
+    zones: dict = {}
+    for lay, fz in fine_zones.items():
+        fine = fines[lay]
+        mult = (key_max[lay] + ZORDER_TARGET_ZONES * fine) // (
+            ZORDER_TARGET_ZONES * fine
+        )
+        merged: dict = {}
+        for z, (mn, mx, n) in fz.items():
+            cz = z // mult
+            cur = merged.setdefault(cz, [mn, mx, 0])
+            cur[0] = min(cur[0], mn)
+            cur[1] = max(cur[1], mx)
+            cur[2] += n
+        zones[lay] = merged
+
+    mx_pk = max(pk_hist) if pk_hist else 0
+    bounds = [((mx_pk + 1) * i) // 4 for i in range(5)]
+    out = {k: [] for k in (
+        "layout", "band", "lo", "hi", "n_zones", "zones_touched",
+        "rows_touched", "rows_selected",
+    )}
+    for lay in ("morton", "natural"):
+        zs = zones[lay]
+        for b in range(4):
+            lo, hi = bounds[b], bounds[b + 1]
+            touched = [(mn, mx, n) for mn, mx, n in zs.values()
+                       if not (mx < lo or mn >= hi)]
+            out["layout"].append(lay)
+            out["band"].append(b)
+            out["lo"].append(lo)
+            out["hi"].append(hi)
+            out["n_zones"].append(len(zs))
+            out["zones_touched"].append(len(touched))
+            out["rows_touched"].append(sum(n for _, _, n in touched))
+            out["rows_selected"].append(
+                sum(n for pk, n in pk_hist.items() if lo <= pk < hi)
+            )
+    return pa.table(
+        {
+            "layout": pa.array(out["layout"], pa.string()),
+            "band": pa.array(out["band"], pa.int64()),
+            "lo": pa.array(out["lo"], pa.int64()),
+            "hi": pa.array(out["hi"], pa.int64()),
+            "n_zones": pa.array(out["n_zones"], pa.int64()),
+            "zones_touched": pa.array(out["zones_touched"], pa.int64()),
+            "rows_touched": pa.array(out["rows_touched"], pa.int64()),
+            "rows_selected": pa.array(out["rows_selected"], pa.int64()),
+        }
+    )
+
+
+def _zorder_sql() -> str:
+    morton = " + ".join(
+        f"(((l_partkey & 65535) >> {i}) & 1) * {1 << (2 * i)}"
+        f" + (((l_suppkey & 65535) >> {i}) & 1) * {1 << (2 * i + 1)}"
+        for i in range(ZORDER_BITS)
+    )
+    tz = ZORDER_TARGET_ZONES
+    fm = ZORDER_FINE_MORTON
+    fn = ZORDER_FINE_NATURAL
+    return f"""
+WITH rows_z AS (
+  SELECT l_orderkey, l_partkey, ({morton}) AS morton FROM lineitem
+),
+rng AS (
+  SELECT {fn} * ((max(l_orderkey) + {tz * fn}) // {tz * fn}) AS r_nat,
+         {fm} * ((max(morton) + {tz * fm}) // {tz * fm}) AS r_mor
+  FROM rows_z
+),
+z AS (
+  SELECT 'natural' AS layout, l_orderkey // rng.r_nat AS zone,
+         min(l_partkey) AS mn, max(l_partkey) AS mx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM rows_z CROSS JOIN rng GROUP BY 1, 2
+  UNION ALL
+  SELECT 'morton', morton // rng.r_mor,
+         min(l_partkey), max(l_partkey), CAST(count(*) AS BIGINT)
+  FROM rows_z CROSS JOIN rng GROUP BY 1, 2
+),
+b AS (
+  SELECT band,
+         ((mx_pk + 1) * band) // 4 AS lo,
+         ((mx_pk + 1) * (band + 1)) // 4 AS hi
+  FROM (SELECT max(l_partkey) AS mx_pk FROM lineitem)
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
+),
+sel AS (
+  SELECT b.band, CAST(count(*) AS BIGINT) AS rows_selected
+  FROM lineitem JOIN b ON l_partkey >= b.lo AND l_partkey < b.hi
+  GROUP BY 1
+)
+SELECT z.layout, CAST(b.band AS BIGINT) AS band,
+       CAST(b.lo AS BIGINT) AS lo, CAST(b.hi AS BIGINT) AS hi,
+       CAST(count(*) AS BIGINT) AS n_zones,
+       CAST(sum(CASE WHEN z.mx < b.lo OR z.mn >= b.hi THEN 0 ELSE 1 END)
+            AS BIGINT) AS zones_touched,
+       CAST(sum(CASE WHEN z.mx < b.lo OR z.mn >= b.hi THEN 0 ELSE z.n END)
+            AS BIGINT) AS rows_touched,
+       CAST(COALESCE(any_value(sel.rows_selected), 0) AS BIGINT)
+         AS rows_selected
+FROM z CROSS JOIN b LEFT JOIN sel ON sel.band = b.band
+GROUP BY z.layout, b.band, b.lo, b.hi
+ORDER BY layout, band
+"""
+
+
+ZORDER_LAYOUT_AUDIT_SQL = _zorder_sql()

@@ -299,6 +299,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "quality_auc",
         "qlm_topk",
         "token_lang_chi2",
+        "forecast_mase",
+        "zorder_layout_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4282,3 +4284,20 @@ def test_qlm_matches_float_model(ray_session):
     }
     want = sorted(scores, key=lambda d: (-scores[d], d))[: len(got)]
     assert list(got["doc_id"]) == want
+
+
+def test_zorder_morton_actually_prunes(ray_session):
+    """The audit's point: under the natural layout every zone spans
+    the full partkey domain (zero pruning), while the z-order layout
+    must touch strictly fewer rows than a full scan on every band."""
+    from document_extractor_ray.functions.analytics import zorder_layout_audit
+
+    rows = zorder_layout_audit(SF).to_pylist()
+    nat = [r for r in rows if r["layout"] == "natural"]
+    mor = [r for r in rows if r["layout"] == "morton"]
+    total = nat[0]["rows_touched"]  # natural touches everything
+    for r in nat:
+        assert r["zones_touched"] == r["n_zones"]
+    for r in mor:
+        assert r["rows_touched"] < total
+        assert r["rows_touched"] >= r["rows_selected"]  # zone maps never lie
