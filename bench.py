@@ -395,6 +395,8 @@ def run_bench() -> dict:
         "token_lang_chi2",
         "forecast_mase",
         "zorder_layout_audit",
+        "kmv_set_ops_audit",
+        "value_theil_decomp",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -14600,3 +14600,300 @@ ORDER BY layout, band
 
 
 ZORDER_LAYOUT_AUDIT_SQL = _zorder_sql()
+
+
+# ---------------------------------------------------------------------------
+# KMV set-operation estimates vs exact (union / intersection of user sets)
+# ---------------------------------------------------------------------------
+
+def kmv_set_ops_audit(sf_dir: str, k: int = KMV_K):
+    """Fifth sketch audit: estimate |A∪B| and |A∩B| of the user sets of
+    the first vs second half of the event horizon from K-minimum-value
+    sketches (Beyer et al. 2007) and put the estimates NEXT TO the
+    exact counts in one row.  Union: (K−1)·2^64 // h_K over the merged
+    bottom-K; intersection: matches·union_est // K where matches counts
+    union-bottom-K hashes present in BOTH sets — all integer, so the
+    oracle replicates the sketch bit-for-bit (same fmix64 HUGEINT
+    chain as the HLL/KMV register oracles).
+
+    Scale shape: pass 1 folds the day extent (min/max); pass 2 folds
+    per-block distinct (window, user) partials — bounded by user
+    cardinality; at open-keyspace scale the same partials feed the
+    mergeable bottom-K resolve of ``kmv_registers`` instead and the
+    exact columns drop out (that is the point of the sketch)."""
+    day_us = 86_400_000_000
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def extent(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), pa.scalar(day_us, pa.int64()))
+        return pa.table(
+            {
+                "mn": pa.array([pc.min(day).as_py()], pa.int64()),
+                "mx": pa.array([pc.max(day).as_py()], pa.int64()),
+            }
+        )
+
+    mn = mx = None
+    for t in map(
+        ray.get, ds.map_batches(extent, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for a, b in zip(t["mn"].to_pylist(), t["mx"].to_pylist()):
+            mn = a if mn is None else min(mn, a)
+            mx = b if mx is None else max(mx, b)
+    mid = (mn + mx + 1) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(t["ts"], pa.int64()), pa.scalar(day_us, pa.int64())
+        ).to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        win = (day >= mid).astype(np.int64)
+        pairs = np.unique(np.stack([win, u], axis=1), axis=0)
+        return pa.table(
+            {
+                "win": pa.array(pairs[:, 0], pa.int64()),
+                "user_id": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    sets = {0: [], 1: []}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        w = t["win"].to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        sets[0].append(u[w == 0])
+        sets[1].append(u[w == 1])
+    a = np.unique(np.concatenate(sets[0])) if sets[0] else np.zeros(0, np.int64)
+    b = np.unique(np.concatenate(sets[1])) if sets[1] else np.zeros(0, np.int64)
+    union = np.union1d(a, b)
+    inter = np.intersect1d(a, b)
+
+    ha = set(int(x) for x in _hll_hash(a.astype(np.uint64)))
+    hb = set(int(x) for x in _hll_hash(b.astype(np.uint64)))
+    hu = sorted(ha | hb)
+    if len(hu) >= k:
+        hk = hu[k - 1]
+        union_est = ((k - 1) << 64) // hk
+        matches = sum(1 for h in hu[:k] if h in ha and h in hb)
+        inter_est = (matches * union_est) // k
+        jac_micro = (1_000_000 * matches) // k
+    else:
+        union_est = len(hu)
+        matches = len(ha & hb)
+        inter_est = matches
+        jac_micro = (1_000_000 * matches) // len(hu) if hu else 0
+
+    return pa.table(
+        {
+            "n_a": pa.array([len(a)], pa.int64()),
+            "n_b": pa.array([len(b)], pa.int64()),
+            "n_union_exact": pa.array([len(union)], pa.int64()),
+            "n_inter_exact": pa.array([len(inter)], pa.int64()),
+            "kmv_union_est": pa.array([union_est], pa.int64()),
+            "kmv_inter_est": pa.array([inter_est], pa.int64()),
+            "kmv_jaccard_micro": pa.array([jac_micro], pa.int64()),
+        }
+    )
+
+
+def _kmv_set_ops_sql() -> str:
+    mid = (
+        "(SELECT (min(epoch_us(ts) // 86400000000)"
+        " + max(epoch_us(ts) // 86400000000) + 1) // 2 FROM events)"
+    )
+    win = f"CASE WHEN epoch_us(ts) // 86400000000 >= {mid} THEN 1 ELSE 0 END"
+    return f"""
+WITH {_fmix64_sql("user_id", win, "win")},
+d AS (SELECT DISTINCT win, h FROM h5),
+du AS (SELECT DISTINCT h FROM d),
+bk AS (SELECT h, row_number() OVER (ORDER BY h) AS rank FROM du),
+uni AS (SELECT CAST(count(*) AS BIGINT) AS n FROM du),
+kth AS (SELECT h AS hk FROM bk WHERE rank = {KMV_K}),
+mt AS (
+  SELECT CAST(count(*) AS BIGINT) AS matches
+  FROM bk WHERE rank <= {KMV_K}
+    AND h IN (SELECT h FROM d WHERE win = 0)
+    AND h IN (SELECT h FROM d WHERE win = 1)
+),
+ex AS (
+  SELECT CAST(count(DISTINCT CASE WHEN win = 0 THEN user_id END) AS BIGINT) AS n_a,
+         CAST(count(DISTINCT CASE WHEN win = 1 THEN user_id END) AS BIGINT) AS n_b,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_union_exact
+  FROM (SELECT {win} AS win, user_id FROM events)
+),
+ix AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_inter_exact FROM (
+    SELECT user_id FROM (SELECT DISTINCT {win} AS win, user_id FROM events)
+    GROUP BY user_id HAVING count(*) = 2)
+),
+est AS (
+  SELECT CASE WHEN uni.n >= {KMV_K}
+              THEN CAST(({(KMV_K - 1) << 64}::HUGEINT) // (SELECT hk FROM kth)
+                   AS BIGINT)
+              ELSE uni.n END AS kmv_union_est,
+         mt.matches
+  FROM uni, mt
+)
+SELECT ex.n_a, ex.n_b, ex.n_union_exact, ix.n_inter_exact,
+       est.kmv_union_est,
+       CAST(CASE WHEN (SELECT n FROM uni) >= {KMV_K}
+                 THEN (est.matches::HUGEINT * est.kmv_union_est) // {KMV_K}
+                 ELSE est.matches END AS BIGINT) AS kmv_inter_est,
+       CAST(CASE WHEN (SELECT n FROM uni) >= {KMV_K}
+                 THEN (1000000 * est.matches) // {KMV_K}
+                 WHEN (SELECT n FROM uni) > 0
+                 THEN (1000000 * est.matches) // (SELECT n FROM uni)
+                 ELSE 0 END AS BIGINT) AS kmv_jaccard_micro
+FROM ex, ix, est
+"""
+
+
+KMV_SET_OPS_AUDIT_SQL = _kmv_set_ops_sql()
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality index with between/within group decomposition
+# ---------------------------------------------------------------------------
+
+def value_theil_decomp(sf_dir: str):
+    """Theil-T inequality of event value (cents) decomposed by
+    event_type: per-type within-group Theil T_g = Σ x·(L(x·n_g) −
+    L(S_g)) / S_g plus '__total__' and '__between__' summary rows —
+    the decomposable alternative to the Gini ops (between + weighted
+    within ≈ total, the additivity Gini lacks).  L(v) = round(ln v ·
+    10⁶) micro-nats; every division is the convention-proof floor
+    (a − ((a % n + n) % n)) // n so the two engines agree even if a
+    rounded numerator dips negative.
+
+    Scale shape: everything derives from the shared (type, cents)
+    histogram fold (bounded by types × distinct cents; bucketed_agg
+    is the open-domain escalation), then pure driver integer math."""
+    import math
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"event_type": t["event_type"], "cents": _to_cents(t["value"])}),
+            ["event_type", "cents"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "cents": g["cents"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    hist: dict = {}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for et, c, n in zip(
+            t["event_type"].to_pylist(), t["cents"].to_pylist(), t["n"].to_pylist()
+        ):
+            hist[(et, c)] = hist.get((et, c), 0) + n
+
+    def L(v: int) -> int:
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    def fdiv(a: int, n: int) -> int:
+        return (a - ((a % n + n) % n)) // n
+
+    types = sorted({et for et, _ in hist})
+    n_tot = sum(hist.values())
+    s_tot = sum(c * n for (_, c), n in hist.items())
+
+    rows = []
+    num_btw = 0
+    for et in types:
+        items = [(c, n) for (e, c), n in hist.items() if e == et]
+        n_g = sum(n for _, n in items)
+        s_g = sum(c * n for c, n in items)
+        num_g = sum(n * c * (L(c * n_g) - L(s_g)) for c, n in items if c > 0)
+        rows.append((et, n_g, s_g, fdiv(num_g, s_g)))
+        num_btw += s_g * (L(s_g * n_tot) - L(s_tot * n_g))
+
+    num_tot = sum(
+        n * c * (L(c * n_tot) - L(s_tot)) for (_, c), n in hist.items() if c > 0
+    )
+    rows.append(("__between__", n_tot, s_tot, fdiv(num_btw, s_tot)))
+    rows.append(("__total__", n_tot, s_tot, fdiv(num_tot, s_tot)))
+    rows.sort()
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_events": pa.array([r[1] for r in rows], pa.int64()),
+            "sum_cents": pa.array([r[2] for r in rows], pa.int64()),
+            "theil_micro": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+VALUE_THEIL_DECOMP_SQL = """
+WITH h AS (
+  SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type,
+         CAST(sum(n) AS BIGINT) AS n_g,
+         CAST(sum(cents * n) AS BIGINT) AS s_g
+  FROM h GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n_tot, CAST(sum(s_g) AS BIGINT) AS s_tot
+  FROM g
+),
+withing AS (
+  SELECT h.event_type,
+         CAST(sum(h.n * h.cents
+                  * (CAST(round(ln(h.cents * g.n_g) * 1000000) AS BIGINT)
+                     - CAST(round(ln(g.s_g) * 1000000) AS BIGINT)))
+              AS HUGEINT) AS num
+  FROM h JOIN g USING (event_type)
+  WHERE h.cents > 0
+  GROUP BY 1
+),
+per_type AS (
+  SELECT g.event_type, g.n_g AS n_events, g.s_g AS sum_cents,
+         CAST((w.num - ((w.num % g.s_g + g.s_g) % g.s_g)) // g.s_g AS BIGINT)
+           AS theil_micro
+  FROM g JOIN withing w USING (event_type)
+),
+btw AS (
+  SELECT CAST(sum(g.s_g::HUGEINT
+                  * (CAST(round(ln(g.s_g * t.n_tot) * 1000000) AS BIGINT)
+                     - CAST(round(ln(t.s_tot * g.n_g) * 1000000) AS BIGINT)))
+              AS HUGEINT) AS num
+  FROM g CROSS JOIN tot t
+),
+total AS (
+  SELECT CAST(sum(h.n * h.cents
+                  * (CAST(round(ln(h.cents * t.n_tot) * 1000000) AS BIGINT)
+                     - CAST(round(ln(t.s_tot) * 1000000) AS BIGINT)))
+              AS HUGEINT) AS num
+  FROM h CROSS JOIN tot t
+  WHERE h.cents > 0
+)
+SELECT event_type, n_events, sum_cents, theil_micro FROM per_type
+UNION ALL
+SELECT '__between__', t.n_tot, t.s_tot,
+       CAST((b.num - ((b.num % t.s_tot + t.s_tot) % t.s_tot)) // t.s_tot
+            AS BIGINT)
+FROM tot t, btw b
+UNION ALL
+SELECT '__total__', t.n_tot, t.s_tot,
+       CAST((x.num - ((x.num % t.s_tot + t.s_tot) % t.s_tot)) // t.s_tot
+            AS BIGINT)
+FROM tot t, total x
+ORDER BY event_type
+"""

@@ -301,6 +301,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "token_lang_chi2",
         "forecast_mase",
         "zorder_layout_audit",
+        "kmv_set_ops_audit",
+        "value_theil_decomp",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4301,3 +4303,50 @@ def test_zorder_morton_actually_prunes(ray_session):
     for r in mor:
         assert r["rows_touched"] < total
         assert r["rows_touched"] >= r["rows_selected"]  # zone maps never lie
+
+
+def test_kmv_set_ops_envelope(ray_session):
+    """The KMV estimates must respect set identities and land inside
+    the sketch's error envelope (k=32 -> ~18% std error; assert 5
+    sigma) of the exact counts."""
+    from document_extractor_ray.functions.analytics import kmv_set_ops_audit
+
+    r = kmv_set_ops_audit(SF).to_pylist()[0]
+    assert r["n_union_exact"] == r["n_a"] + r["n_b"] - r["n_inter_exact"]
+    assert r["kmv_inter_est"] <= r["kmv_union_est"]
+    tol = 5 / (32 ** 0.5)
+    assert abs(r["kmv_union_est"] - r["n_union_exact"]) <= tol * r["n_union_exact"]
+    assert abs(r["kmv_inter_est"] - r["n_inter_exact"]) <= (
+        tol * r["n_union_exact"]
+    )
+
+
+def test_theil_decomposition_identity(ray_session):
+    """Theil-T is decomposable: total == between + Σ share_g·within_g
+    (up to micro-rounding: each term carries <=1 micro slack per
+    cents unit folded).  Check against a float recomputation too."""
+    import math
+
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import value_theil_decomp
+
+    rows = {r["event_type"]: r for r in value_theil_decomp(SF).to_pylist()}
+    btw = rows.pop("__between__")
+    tot = rows.pop("__total__")
+    s_tot = tot["sum_cents"]
+    within_mix = sum(r["sum_cents"] * r["theil_micro"] for r in rows.values()) / s_tot
+    assert abs((btw["theil_micro"] + within_mix) - tot["theil_micro"]) <= 25
+
+    vals = [
+        (et, float(v))
+        for et, v in duckdb.sql(
+            f"SELECT event_type, round(value*100) FROM "
+            f"read_parquet('{SF}/events.parquet')"
+        ).fetchall()
+    ]
+    s = sum(v for _, v in vals)
+    n = len(vals)
+    t_float = sum(v / s * math.log(v * n / s) for _, v in vals if v > 0)
+    assert abs(tot["theil_micro"] / 1e6 - t_float) < 5e-5
+    assert btw["theil_micro"] >= -25  # between-group Theil is a KL >= 0
