@@ -397,6 +397,9 @@ def run_bench() -> dict:
         "zorder_layout_audit",
         "kmv_set_ops_audit",
         "value_theil_decomp",
+        "orders_mann_kendall",
+        "discount_qty_elasticity",
+        "user_day_overdispersion",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

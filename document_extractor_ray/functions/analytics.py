@@ -14897,3 +14897,334 @@ SELECT '__total__', t.n_tot, t.s_tot,
 FROM tot t, total x
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test over the daily revenue series
+# ---------------------------------------------------------------------------
+
+def orders_mann_kendall(sf_dir: str):
+    """Mann-Kendall monotone-trend test of daily order revenue — the
+    nonparametric companion of events_trend_slope (no distributional
+    assumption, robust to outliers): S = Σ_{i<j} sign(y_j − y_i) over
+    the day-ordered series, the tie-corrected variance numerator
+    var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), and Kendall's tau_a in
+    micro units via the convention-proof floor division (S can be
+    negative; DuckDB ``//`` truncates, Python floors).
+
+    Scale shape: the (day → cents) series folds from per-block
+    partials (calendar-bounded); the O(n²) pairwise sign sum runs
+    vectorized on the driver over that bounded series (2.4k days →
+    5.8M int8 comparisons, microseconds)."""
+    day_us = 86_400_000_000
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["o_orderdate"], pa.int64()), pa.scalar(day_us, pa.int64()))
+        g = pa.TableGroupBy(
+            pa.table({"day": day, "cents": _to_cents(t["o_totalprice"])}), ["day"]
+        ).aggregate([("cents", "sum")])
+        return pa.table({"day": g["day"], "cents": g["cents_sum"]})
+
+    series: dict = {}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for d, c in zip(t["day"].to_pylist(), t["cents"].to_pylist()):
+            series[d] = series.get(d, 0) + c
+
+    days = sorted(series)
+    y = np.array([series[d] for d in days], dtype=np.int64)
+    n = len(y)
+    s_stat = int(np.sign(y[None, :] - y[:, None])[np.triu_indices(n, 1)].sum())
+    _, tie_counts = np.unique(y, return_counts=True)
+    ties = tie_counts[tie_counts > 1].astype(object)
+    var18 = n * (n - 1) * (2 * n + 5) - int(
+        sum(t * (t - 1) * (2 * t + 5) for t in ties)
+    )
+    denom = n * (n - 1)
+    num = 2_000_000 * s_stat
+    tau_micro = (num - ((num % denom + denom) % denom)) // denom if denom else 0
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "s_stat": pa.array([s_stat], pa.int64()),
+            "var18": pa.array([var18], pa.int64()),
+            "tau_micro": pa.array([tau_micro], pa.int64()),
+        }
+    )
+
+
+ORDERS_MANN_KENDALL_SQL = """
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+                       WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM d a JOIN d b ON b.day > a.day
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+t AS (
+  SELECT CAST(COALESCE(sum(c * (c - 1) * (2 * c + 5)), 0) AS BIGINT) AS corr
+  FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM d GROUP BY y
+        HAVING count(*) > 1)
+)
+SELECT n.n AS n_days, s.s_stat,
+       CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.corr AS BIGINT) AS var18,
+       CAST((2000000 * s.s_stat
+             - (((2000000 * s.s_stat) % (n.n * (n.n - 1))
+                 + n.n * (n.n - 1)) % (n.n * (n.n - 1))))
+            // (n.n * (n.n - 1)) AS BIGINT) AS tau_micro
+FROM s, n, t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Price elasticity: per-brand OLS slope of quantity on discount
+# ---------------------------------------------------------------------------
+
+def discount_qty_elasticity(sf_dir: str):
+    """Per-brand least-squares slope of line quantity on discount
+    (permille) — does discounting move volume?  The slope ships as the
+    exact integer pair (slope_num, slope_den) = (n·Σxy − Σx·Σy,
+    n·Σxx − (Σx)²) plus a floor-proof micro quotient, the
+    events_trend_slope convention.
+
+    Scale shape: part dim broadcast once (``state.lookup_join``),
+    per-block per-brand moment partials (n, Σx, Σy, Σxy, Σxx) fold on
+    the driver (25 brands — bounded, PERF-32)."""
+    from document_extractor_ray import state
+
+    dim = pa.concat_tables(
+        [
+            t
+            for t in map(
+                ray.get,
+                _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_arrow_refs(),
+            )
+            if t.num_rows
+        ]
+    ).combine_chunks()
+    dim_ref = state.broadcast(dim)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = state.cached_get(dim_ref)
+        t = state.lookup_join(t, "l_partkey", d, "p_partkey", ["p_brand"])
+        x = pc.cast(
+            pc.round(pc.multiply(t["l_discount"], 1000.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        y = pc.cast(
+            pc.round(t["l_quantity"], round_mode="half_towards_infinity"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "p_brand": t["p_brand"],
+                    "x": pa.array(x, pa.int64()),
+                    "y": pa.array(y, pa.int64()),
+                    "xy": pa.array(x * y, pa.int64()),
+                    "xx": pa.array(x * x, pa.int64()),
+                }
+            ),
+            ["p_brand"],
+        ).aggregate(
+            [("x", "sum"), ("y", "sum"), ("xy", "sum"), ("xx", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "p_brand": g["p_brand"],
+                "sx": g["x_sum"],
+                "sy": g["y_sum"],
+                "sxy": g["xy_sum"],
+                "sxx": g["xx_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_discount", "l_quantity"])
+    acc: dict = {}
+    for t in map(
+        ray.get, li.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for br, sx, sy, sxy, sxx, n in zip(
+            t["p_brand"].to_pylist(), t["sx"].to_pylist(), t["sy"].to_pylist(),
+            t["sxy"].to_pylist(), t["sxx"].to_pylist(), t["n"].to_pylist(),
+        ):
+            cur = acc.setdefault(br, [0, 0, 0, 0, 0])
+            cur[0] += sx
+            cur[1] += sy
+            cur[2] += sxy
+            cur[3] += sxx
+            cur[4] += n
+
+    brands = sorted(acc)
+    num = [acc[b][4] * acc[b][2] - acc[b][0] * acc[b][1] for b in brands]
+    den = [acc[b][4] * acc[b][3] - acc[b][0] * acc[b][0] for b in brands]
+    micro = [
+        ((1_000_000 * nu) - (((1_000_000 * nu) % de + de) % de)) // de if de else 0
+        for nu, de in zip(num, den)
+    ]
+    return pa.table(
+        {
+            "p_brand": pa.array(brands, pa.string()),
+            "n_lines": pa.array([acc[b][4] for b in brands], pa.int64()),
+            "slope_num": pa.array(num, pa.int64()),
+            "slope_den": pa.array(den, pa.int64()),
+            "slope_micro": pa.array(micro, pa.int64()),
+        }
+    )
+
+
+DISCOUNT_QTY_ELASTICITY_SQL = """
+WITH m AS (
+  SELECT p_brand,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(l_discount * 1000.0) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(sum(CAST(round(l_discount * 1000.0) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sxy,
+         CAST(sum(CAST(round(l_discount * 1000.0) AS BIGINT)
+                  * CAST(round(l_discount * 1000.0) AS BIGINT)) AS BIGINT) AS sxx
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT p_brand, n AS n_lines,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0 ELSE
+         (1000000::HUGEINT * (n * sxy - sx * sy)
+          - (((1000000::HUGEINT * (n * sxy - sx * sy))
+              % (n * sxx - sx * sx) + (n * sxx - sx * sx))
+             % (n * sxx - sx * sx)))
+         // (n * sxx - sx * sx) END AS BIGINT) AS slope_micro
+FROM m ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Overdispersion (variance/mean) of per-user daily event counts
+# ---------------------------------------------------------------------------
+
+def user_day_overdispersion(sf_dir: str):
+    """Index of dispersion D = s²/x̄ of active per-(user, day) event
+    counts per event_type — the Poisson-overdispersion diagnostic that
+    decides between Poisson and negative-binomial count models.
+    D ships as one integer rational: dispersion_micro =
+    10⁶·(n·Σc² − (Σc)²) // ((n−1)·Σc) (numerator ≥ 0, truncation
+    safe).
+
+    Scale shape: the (user, day, type) count is a key-per-row
+    aggregate → routed through ``bucketed_agg`` (CLAUDE.md rule), then
+    a bounded per-type moment fold on the driver."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    day_us = 86_400_000_000
+    ds = _read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), pa.scalar(day_us, pa.int64()))
+        g = pa.TableGroupBy(
+            pa.table(
+                {"user_id": t["user_id"], "day": day, "event_type": t["event_type"]}
+            ),
+            ["user_id", "day", "event_type"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "day": g["day"],
+                "event_type": g["event_type"],
+                "c_part": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    cells = bucketed_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "day", "event_type"],
+        [("c_part", "sum", "c")],
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False)
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "c": t["c"],
+                    "c2": pa.array(c * c, pa.int64()),
+                }
+            ),
+            ["event_type"],
+        ).aggregate([("c", "sum"), ("c2", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "s": g["c_sum"],
+                "s2": g["c2_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    acc: dict = {}
+    for t in map(
+        ray.get, cells.map_batches(moments, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for et, s, s2, n in zip(
+            t["event_type"].to_pylist(), t["s"].to_pylist(),
+            t["s2"].to_pylist(), t["n"].to_pylist(),
+        ):
+            cur = acc.setdefault(et, [0, 0, 0])
+            cur[0] += s
+            cur[1] += s2
+            cur[2] += n
+
+    types = sorted(acc)
+    disp = [
+        (1_000_000 * (acc[e][2] * acc[e][1] - acc[e][0] * acc[e][0]))
+        // ((acc[e][2] - 1) * acc[e][0])
+        if acc[e][2] > 1 and acc[e][0] > 0
+        else 0
+        for e in types
+    ]
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n_cells": pa.array([acc[e][2] for e in types], pa.int64()),
+            "sum_c": pa.array([acc[e][0] for e in types], pa.int64()),
+            "sum_c2": pa.array([acc[e][1] for e in types], pa.int64()),
+            "dispersion_micro": pa.array(disp, pa.int64()),
+        }
+    )
+
+
+USER_DAY_OVERDISPERSION_SQL = """
+WITH c AS (
+  SELECT event_type, user_id, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+a AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM c GROUP BY 1
+)
+SELECT event_type, n AS n_cells, s AS sum_c, s2 AS sum_c2,
+       CAST(CASE WHEN n > 1 AND s > 0
+                 THEN (1000000::HUGEINT * (n * s2 - s * s))
+                      // ((n - 1)::HUGEINT * s)
+                 ELSE 0 END AS BIGINT) AS dispersion_micro
+FROM a ORDER BY event_type
+"""

@@ -303,6 +303,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "zorder_layout_audit",
         "kmv_set_ops_audit",
         "value_theil_decomp",
+        "orders_mann_kendall",
+        "discount_qty_elasticity",
+        "user_day_overdispersion",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4350,3 +4353,48 @@ def test_theil_decomposition_identity(ray_session):
     t_float = sum(v / s * math.log(v * n / s) for _, v in vals if v > 0)
     assert abs(tot["theil_micro"] / 1e6 - t_float) < 5e-5
     assert btw["theil_micro"] >= -25  # between-group Theil is a KL >= 0
+
+
+def test_mann_kendall_scipy_free_anchor(ray_session, tmp_path):
+    """Analytic anchors: a strictly increasing series gives
+    S = n(n-1)/2 and tau exactly 1.0; a constant series gives S = 0
+    and var18 = 0 (full tie correction)."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.analytics import orders_mann_kendall
+
+    base = pa.scalar(0, pa.timestamp("us"))
+    days = [i * 86_400_000_000 for i in range(10)]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderdate": pa.array(days, pa.timestamp("us")),
+                "o_totalprice": pa.array([float(i + 1) for i in range(10)]),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    r = orders_mann_kendall(str(tmp_path)).to_pylist()[0]
+    assert (r["n_days"], r["s_stat"], r["tau_micro"]) == (10, 45, 1_000_000)
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderdate": pa.array(days, pa.timestamp("us")),
+                "o_totalprice": pa.array([7.0] * 10),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    r = orders_mann_kendall(str(tmp_path)).to_pylist()[0]
+    assert (r["s_stat"], r["var18"]) == (0, 0)
+
+
+def test_overdispersion_poisson_anchor(ray_session):
+    """Dispersion must be positive wherever a type has variation and
+    the moments must satisfy n*s2 >= s*s (Cauchy-Schwarz)."""
+    from document_extractor_ray.functions.analytics import user_day_overdispersion
+
+    for r in user_day_overdispersion(SF).to_pylist():
+        assert r["n_cells"] * r["sum_c2"] >= r["sum_c"] * r["sum_c"]
+        assert r["dispersion_micro"] >= 0
