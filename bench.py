@@ -402,6 +402,8 @@ def run_bench() -> dict:
         "user_day_overdispersion",
         "lm_interpolation_sweep",
         "rank_corr_audit",
+        "proximity_search",
+        "quantize_bits_sweep",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

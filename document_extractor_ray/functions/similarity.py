@@ -3046,3 +3046,125 @@ ORDER BY vec_a, vec_b
 
 
 JL_DISTORTION_AUDIT_SQL = jl_distortion_audit_sql()
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantization bit-width sweep (4/6/8 bits, one pass)
+# ---------------------------------------------------------------------------
+
+QUANT_SWEEP_BITS = (4, 6, 8)
+
+
+def quantize_bits_sweep(sf_dir: str, bits=QUANT_SWEEP_BITS):
+    """Reconstruction-error sweep of symmetric scalar quantization at
+    4/6/8 bits over the whole embedding corpus — the bits-vs-quality
+    table a storage planner reads next to ``embedding_quantize_audit``
+    (which fixes 8 bits and details per-dimension).  All three widths
+    are evaluated in ONE pass (PERF-36 rule).  Exactness: component
+    micro vi = floor(v·1e6 + ½), code = clamp(round_half_up(vi·S/1e6))
+    with S = 2^(b−1)−1 via convention-proof floor division; errors
+    ship as the exact numerator |vi·S − code·1e6| plus the
+    cross-width-comparable mean_err_nano = 10⁹·Σerr // (S·n).
+
+    Scale shape: vectorized per block over the zero-copy embedding
+    matrix, (3 widths × 4 counters) partials, driver fold."""
+    ds = _read_embeddings(sf_dir)
+    scales = [(b, (1 << (b - 1)) - 1) for b in bits]
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t["embedding"]).astype(np.float64)
+        rows = {"bits": [], "n_p": [], "s_p": [], "mx_p": [], "sat_p": []}
+        if m.size:
+            vi = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
+            for b, s in scales:
+                num = vi * s + 500_000
+                q = np.clip((num - ((num % 1_000_000 + 1_000_000) % 1_000_000))
+                            // 1_000_000, -s, s)
+                err = np.abs(vi * s - q * 1_000_000)
+                rows["bits"].append(b)
+                rows["n_p"].append(vi.size)
+                rows["s_p"].append(int(err.sum()))
+                rows["mx_p"].append(int(err.max()))
+                rows["sat_p"].append(int((np.abs(q) == s).sum()))
+        return pa.table(
+            {
+                "bits": pa.array(rows["bits"], pa.int64()),
+                "n_p": pa.array(rows["n_p"], pa.int64()),
+                "s_p": pa.array(rows["s_p"], pa.int64()),
+                "mx_p": pa.array(rows["mx_p"], pa.int64()),
+                "sat_p": pa.array(rows["sat_p"], pa.int64()),
+            }
+        )
+
+    agg: dict = {}
+    for tb in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not tb.num_rows:
+            continue
+        for b, n, s, mx, st_ in zip(
+            tb["bits"].to_pylist(), tb["n_p"].to_pylist(), tb["s_p"].to_pylist(),
+            tb["mx_p"].to_pylist(), tb["sat_p"].to_pylist(),
+        ):
+            cur = agg.setdefault(b, [0, 0, 0, 0])
+            cur[0] += n
+            cur[1] += s
+            cur[2] = max(cur[2], mx)
+            cur[3] += st_
+
+    out_bits = sorted(agg)
+    mean_nano = [
+        (1_000_000_000 * agg[b][1]) // (((1 << (b - 1)) - 1) * agg[b][0])
+        if agg[b][0]
+        else 0
+        for b in out_bits
+    ]
+    return pa.table(
+        {
+            "bits": pa.array(out_bits, pa.int64()),
+            "n_vals": pa.array([agg[b][0] for b in out_bits], pa.int64()),
+            "sum_abs_err": pa.array([agg[b][1] for b in out_bits], pa.int64()),
+            "max_abs_err": pa.array([agg[b][2] for b in out_bits], pa.int64()),
+            "n_saturated": pa.array([agg[b][3] for b in out_bits], pa.int64()),
+            "mean_err_nano": pa.array(mean_nano, pa.int64()),
+        }
+    )
+
+
+def _quant_sweep_sql(bits=QUANT_SWEEP_BITS) -> str:
+    values = ", ".join(f"({b}, {(1 << (b - 1)) - 1})" for b in bits)
+    return f"""
+WITH v AS (
+  SELECT CAST(floor(CAST(e.embedding[CAST(r.d AS INTEGER) + 1] AS DOUBLE)
+                    * 1000000 + 0.5) AS BIGINT) AS vi
+  FROM embeddings e, range(0, 256) r(d)
+  WHERE r.d < len(e.embedding)
+),
+w(bits, s) AS (VALUES {values}),
+q AS (
+  SELECT w.bits, w.s, v.vi,
+         greatest(-w.s, least(w.s,
+           (v.vi * w.s + 500000
+            - (((v.vi * w.s + 500000) % 1000000 + 1000000) % 1000000))
+           // 1000000)) AS code
+  FROM v CROSS JOIN w
+),
+a AS (
+  SELECT bits, s,
+         CAST(count(*) AS BIGINT) AS n_vals,
+         CAST(sum(abs(vi * s - code * 1000000)) AS BIGINT) AS sum_abs_err,
+         CAST(max(abs(vi * s - code * 1000000)) AS BIGINT) AS max_abs_err,
+         CAST(sum(CASE WHEN abs(code) = s THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_saturated
+  FROM q GROUP BY 1, 2
+)
+SELECT CAST(bits AS BIGINT) AS bits, n_vals, sum_abs_err, max_abs_err,
+       n_saturated,
+       CAST(CASE WHEN n_vals = 0 THEN 0 ELSE
+         (1000000000::HUGEINT * sum_abs_err) // (s::HUGEINT * n_vals)
+       END AS BIGINT) AS mean_err_nano
+FROM a ORDER BY bits
+"""
+
+
+QUANTIZE_BITS_SWEEP_SQL = _quant_sweep_sql()

@@ -8450,3 +8450,89 @@ FROM agg
 
 
 RANK_CORR_AUDIT_SQL = _rank_corr_sql()
+
+
+# ---------------------------------------------------------------------------
+# Proximity search: two terms within a token window
+# ---------------------------------------------------------------------------
+
+PROX_TERM_A = "stream"
+PROX_TERM_B = "hash"
+PROX_WINDOW = 5
+
+
+def proximity_search(
+    sf_dir: str, a: str = PROX_TERM_A, b: str = PROX_TERM_B, w: int = PROX_WINDOW
+):
+    """Documents where ``a`` and ``b`` occur within ``w`` tokens of
+    each other, with the minimum gap — the positional-index operator
+    between exact ``phrase_search`` (gap 1) and bag-of-words
+    ``search_topk``.  Positions are 0-based indices into the
+    non-empty-token stream; gaps are position differences, so the
+    base convention cancels against the oracle's 1-based ordinality.
+
+    Scale shape: per-batch fully vectorized — nearest-other-term
+    lookup via searchsorted over doc-composite keys (doc·2²⁰ + pos),
+    per-doc min fold with np.minimum.at; per-doc output, no shuffle
+    beyond the final doc_id sort."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    big = 1 << 20
+
+    def probe(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        f = flat.filter(pa.array(keep))
+        p = parent.to_numpy(zero_copy_only=False)[keep]
+        # position within doc: running index minus the doc's run start
+        new = np.ones(len(p), dtype=bool)
+        new[1:] = p[1:] != p[:-1]
+        run_start = np.repeat(
+            np.flatnonzero(new), np.diff(np.append(np.flatnonzero(new), len(p)))
+        ) if len(p) else np.zeros(0, np.int64)
+        pos = np.arange(len(p)) - run_start
+        ka = pc.equal(f, a).to_numpy(zero_copy_only=False)
+        kb = pc.equal(f, b).to_numpy(zero_copy_only=False)
+        key_a = p[ka] * big + pos[ka]
+        key_b = np.sort(p[kb] * big + pos[kb])
+        doc_a = p[ka]
+        best = np.full(t.num_rows, np.iinfo(np.int64).max, np.int64)
+        if len(key_a) and len(key_b):
+            idx = np.searchsorted(key_b, key_a)
+            for cand in (np.minimum(idx, len(key_b) - 1), np.maximum(idx - 1, 0)):
+                kb_c = key_b[cand]
+                same = kb_c // big == doc_a
+                gap = np.abs(kb_c - key_a)
+                gap[~same] = np.iinfo(np.int64).max
+                np.minimum.at(best, doc_a[same], gap[same])
+        hit = best <= w
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(hit)),
+                "min_gap": pa.array(best[hit], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow").sort("doc_id")
+
+
+PROXIMITY_SEARCH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}'),
+                     t -> t <> '') AS lst
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, lst[g.i] AS token, g.i AS p
+  FROM toks, LATERAL (SELECT unnest(range(1, len(lst) + 1)) AS i) g(i)
+),
+a AS (SELECT doc_id, p FROM pos WHERE token = '{PROX_TERM_A}'),
+b AS (SELECT doc_id, p FROM pos WHERE token = '{PROX_TERM_B}'),
+g AS (
+  SELECT a.doc_id, CAST(min(abs(a.p - b.p)) AS BIGINT) AS min_gap
+  FROM a JOIN b USING (doc_id) GROUP BY 1
+)
+SELECT doc_id, min_gap FROM g WHERE min_gap <= {PROX_WINDOW} ORDER BY doc_id
+"""

@@ -308,6 +308,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "user_day_overdispersion",
         "lm_interpolation_sweep",
         "rank_corr_audit",
+        "proximity_search",
+        "quantize_bits_sweep",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4426,3 +4428,46 @@ def test_lm_sweep_monotone_positions(ray_session):
     assert len({r["n_positions"] for r in rows}) == 1
     for r in rows:
         assert r["mean_xent_micro"] > 0
+
+
+def test_proximity_vs_bruteforce(ray_session):
+    """The vectorized searchsorted kernel must agree with a plain
+    per-doc brute-force min-gap recomputation."""
+    import re as _re
+
+    import duckdb
+
+    from document_extractor_ray.functions.textstats import (
+        PROX_TERM_A,
+        PROX_TERM_B,
+        PROX_WINDOW,
+        proximity_search,
+    )
+
+    got = {
+        r["doc_id"]: r["min_gap"] for r in proximity_search(SF).take_all()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, lower(text) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    want = {}
+    for d, txt in docs:
+        toks = [w for w in _re.split(r"[^a-z0-9]+", txt) if w]
+        pa_ = [i for i, w in enumerate(toks) if w == PROX_TERM_A]
+        pb_ = [i for i, w in enumerate(toks) if w == PROX_TERM_B]
+        if pa_ and pb_:
+            gap = min(abs(x - y) for x in pa_ for y in pb_)
+            if gap <= PROX_WINDOW:
+                want[d] = gap
+    assert got == want
+
+
+def test_quantize_sweep_monotone(ray_session):
+    """More bits must never increase the scale-relative mean error,
+    and every width covers the same value count."""
+    from document_extractor_ray.functions.similarity import quantize_bits_sweep
+
+    rows = quantize_bits_sweep(SF).to_pylist()
+    assert len({r["n_vals"] for r in rows}) == 1
+    errs = [r["mean_err_nano"] for r in sorted(rows, key=lambda r: r["bits"])]
+    assert errs == sorted(errs, reverse=True)
