@@ -404,6 +404,8 @@ def run_bench() -> dict:
         "rank_corr_audit",
         "proximity_search",
         "quantize_bits_sweep",
+        "join_order_cost_audit",
+        "bitmap_index_plan",
     ]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool

@@ -15228,3 +15228,301 @@ SELECT event_type, n AS n_cells, s AS sum_c, s2 AS sum_c2,
                  ELSE 0 END AS BIGINT) AS dispersion_micro
 FROM a ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Join-order cost audit: exact intermediate cardinalities per plan
+# ---------------------------------------------------------------------------
+
+def join_order_cost_audit(sf_dir: str):
+    """The optimizer's question, answered exactly: for the Q3 join
+    (customer segment × order date × lineitem shipdate) compare the
+    intermediate-result cardinalities of the two join orders —
+    dim-first ((orders ⋈ customer) ⋈ lineitem) vs fact-first
+    ((lineitem ⋈ orders) ⋈ customer).  Emits filtered input sizes,
+    per-step output rows and the summed intermediate cost per plan;
+    the gap between the two costs is the price of a bad join order.
+
+    Scale shape: the plans are NOT executed — every cardinality is a
+    broadcast-semi-join COUNT (filtered key sets via ray.put, pc.is_in
+    count folds per block), exactly the statistics pass a planner
+    would run; no join output is materialized anywhere."""
+    from document_extractor_ray import state
+
+    cutoff_us = int(
+        pa.scalar(Q3_CUTOFF, pa.string()).cast(pa.timestamp("us")).value
+    )
+
+    cset_parts = [
+        t
+        for t in map(
+            ray.get,
+            _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+            .map_batches(
+                lambda t: t.filter(pc.equal(t["c_mktsegment"], Q3_SEGMENT)).select(
+                    ["c_custkey"]
+                ),
+                batch_format="pyarrow",
+            )
+            .to_arrow_refs(),
+        )
+        if t.num_rows
+    ]
+    cset = (
+        np.unique(
+            np.concatenate(
+                [t["c_custkey"].to_numpy(zero_copy_only=False) for t in cset_parts]
+            )
+        )
+        if cset_parts
+        else np.zeros(0, np.int64)
+    )
+    n_c = len(cset)
+    cset_ref = state.broadcast(cset.astype(np.int64))
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        keep = pc.less(pc.cast(t["o_orderdate"], pa.int64()), cutoff_us)
+        t = t.filter(keep)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        par = state.cached_get(cset_ref)
+        idx = np.searchsorted(par, ck)
+        hit = (idx < len(par)) & (par[np.minimum(idx, max(len(par) - 1, 0))] == ck) \
+            if len(par) else np.zeros(len(ck), bool)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "kind": pa.array(["all", "sel"], pa.string()),
+                "keys": pa.array(
+                    [np.sort(ok).astype(np.int64).tobytes(),
+                     np.sort(ok[hit]).astype(np.int64).tobytes()],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    o_all_parts, o_sel_parts = [], []
+    for t in map(
+        ray.get,
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(o_partial, batch_format="pyarrow")
+        .to_arrow_refs(),
+    ):
+        for kind, blob in zip(t["kind"].to_pylist(), t["keys"].to_pylist()):
+            (o_all_parts if kind == "all" else o_sel_parts).append(
+                np.frombuffer(blob, np.int64)
+            )
+    o_all = np.unique(np.concatenate(o_all_parts)) if o_all_parts else np.zeros(0, np.int64)
+    o_sel = np.unique(np.concatenate(o_sel_parts)) if o_sel_parts else np.zeros(0, np.int64)
+    n_o, n_o_sel = len(o_all), len(o_sel)
+    o_all_ref = state.broadcast(o_all)
+    o_sel_ref = state.broadcast(o_sel)
+
+    def l_partial(t: pa.Table) -> pa.Table:
+        keep = pc.greater(pc.cast(t["l_shipdate"], pa.int64()), cutoff_us)
+        lk = t.filter(keep)["l_orderkey"].to_numpy(zero_copy_only=False)
+
+        def n_in(par: np.ndarray) -> int:
+            if not len(par) or not len(lk):
+                return 0
+            idx = np.searchsorted(par, lk)
+            return int(
+                ((idx < len(par)) & (par[np.minimum(idx, len(par) - 1)] == lk)).sum()
+            )
+
+        return pa.table(
+            {
+                "n_l": pa.array([len(lk)], pa.int64()),
+                "n_l_sel": pa.array([n_in(state.cached_get(o_all_ref))], pa.int64()),
+                "n_final": pa.array([n_in(state.cached_get(o_sel_ref))], pa.int64()),
+            }
+        )
+
+    n_l = n_l_sel = n_final = 0
+    for t in map(
+        ray.get,
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+        .map_batches(l_partial, batch_format="pyarrow")
+        .to_arrow_refs(),
+    ):
+        for a, b, c in zip(
+            t["n_l"].to_pylist(), t["n_l_sel"].to_pylist(), t["n_final"].to_pylist()
+        ):
+            n_l += a
+            n_l_sel += b
+            n_final += c
+
+    plans = [
+        ("dim_first", n_o_sel, n_final),
+        ("fact_first", n_l_sel, n_final),
+    ]
+    return pa.table(
+        {
+            "plan": pa.array([p[0] for p in plans], pa.string()),
+            "n_customer_filtered": pa.array([n_c] * 2, pa.int64()),
+            "n_orders_filtered": pa.array([n_o] * 2, pa.int64()),
+            "n_lineitem_filtered": pa.array([n_l] * 2, pa.int64()),
+            "step1_rows": pa.array([p[1] for p in plans], pa.int64()),
+            "step2_rows": pa.array([p[2] for p in plans], pa.int64()),
+            "cost_rows": pa.array([p[1] + p[2] for p in plans], pa.int64()),
+        }
+    )
+
+
+JOIN_ORDER_COST_AUDIT_SQL = f"""
+WITH cset AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = '{Q3_SEGMENT}'
+),
+o1 AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+),
+o2 AS (
+  SELECT o_orderkey FROM o1
+  WHERE o_custkey IN (SELECT c_custkey FROM cset)
+),
+l1 AS (
+  SELECT l_orderkey FROM lineitem WHERE l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+),
+m AS (
+  SELECT CAST((SELECT count(*) FROM cset) AS BIGINT) AS n_c,
+         CAST((SELECT count(*) FROM o1) AS BIGINT) AS n_o,
+         CAST((SELECT count(*) FROM l1) AS BIGINT) AS n_l,
+         CAST((SELECT count(*) FROM o2) AS BIGINT) AS n_o_sel,
+         CAST((SELECT count(*) FROM l1
+               WHERE l_orderkey IN (SELECT o_orderkey FROM o1)) AS BIGINT)
+           AS n_l_sel,
+         CAST((SELECT count(*) FROM l1
+               WHERE l_orderkey IN (SELECT o_orderkey FROM o2)) AS BIGINT)
+           AS n_final
+)
+SELECT 'dim_first' AS plan, n_c AS n_customer_filtered,
+       n_o AS n_orders_filtered, n_l AS n_lineitem_filtered,
+       n_o_sel AS step1_rows, n_final AS step2_rows,
+       CAST(n_o_sel + n_final AS BIGINT) AS cost_rows
+FROM m
+UNION ALL
+SELECT 'fact_first', n_c, n_o, n_l, n_l_sel, n_final,
+       CAST(n_l_sel + n_final AS BIGINT)
+FROM m
+ORDER BY plan
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bitmap/RLE index sizing plan for low-cardinality order columns
+# ---------------------------------------------------------------------------
+
+BITMAP_ZONE = 4096  # orderkeys per run-counting partition
+
+
+def bitmap_index_plan(sf_dir: str):
+    """Index sizing for the low-cardinality order columns
+    (o_orderstatus, o_orderpriority): row count, distinct values, and
+    the RLE run count in o_orderkey order — the numbers that decide
+    bitmap vs RLE vs dictionary encoding for a scan index.
+
+    Scale shape: run counting needs neighbor state, so rows partition
+    into deterministic o_orderkey RANGES (groupby zone → map_groups,
+    each zone sorted locally); the driver stitches zone boundaries —
+    total runs = Σ zone runs − (adjacent zones whose edge values
+    match), the encoding_size_audit two-pass prefix pattern."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_orderpriority"])
+    cols = ("o_orderstatus", "o_orderpriority")
+
+    def add_zone(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "zone", pc.divide(t["o_orderkey"], pa.scalar(BITMAP_ZONE, pa.int64()))
+        )
+
+    def zone_stats(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t["o_orderkey"])
+        t = t.take(order)
+        zone = t["zone"][0].as_py()
+        out = {"zone": [], "column": [], "runs": [], "first_v": [], "last_v": [],
+               "n": [], "uniq": []}
+        for col in cols:
+            v = t[col].to_numpy(zero_copy_only=False)
+            runs = 1 + int((v[1:] != v[:-1]).sum()) if len(v) else 0
+            out["zone"].append(zone)
+            out["column"].append(col)
+            out["runs"].append(runs)
+            out["first_v"].append(str(v[0]) if len(v) else "")
+            out["last_v"].append(str(v[-1]) if len(v) else "")
+            out["n"].append(len(v))
+            out["uniq"].append("\x00".join(sorted(set(map(str, v)))))
+        return pa.table(
+            {
+                "zone": pa.array(out["zone"], pa.int64()),
+                "column": pa.array(out["column"], pa.string()),
+                "runs": pa.array(out["runs"], pa.int64()),
+                "first_v": pa.array(out["first_v"], pa.string()),
+                "last_v": pa.array(out["last_v"], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                "uniq": pa.array(out["uniq"], pa.string()),
+            }
+        )
+
+    zones: dict = {c: {} for c in cols}
+    for t in map(
+        ray.get,
+        ds.map_batches(add_zone, batch_format="pyarrow")
+        .groupby("zone")
+        .map_groups(zone_stats, batch_format="pyarrow")
+        .to_arrow_refs(),
+    ):
+        if not t.num_rows:
+            continue
+        for z, col, runs, fv, lv, n, uq in zip(
+            t["zone"].to_pylist(), t["column"].to_pylist(), t["runs"].to_pylist(),
+            t["first_v"].to_pylist(), t["last_v"].to_pylist(),
+            t["n"].to_pylist(), t["uniq"].to_pylist(),
+        ):
+            zones[col][z] = (runs, fv, lv, n, set(uq.split("\x00")) if uq else set())
+
+    rows = []
+    for col in cols:
+        zs = sorted(zones[col])
+        total_runs = sum(zones[col][z][0] for z in zs)
+        n_rows = sum(zones[col][z][3] for z in zs)
+        uniq: set = set()
+        for z in zs:
+            uniq |= zones[col][z][4]
+        for a, b in zip(zs, zs[1:]):
+            if zones[col][a][2] == zones[col][b][1]:
+                total_runs -= 1
+        rows.append((col, n_rows, len(uniq), total_runs))
+    rows.sort()
+    return pa.table(
+        {
+            "column": pa.array([r[0] for r in rows], pa.string()),
+            "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+            "n_distinct": pa.array([r[2] for r in rows], pa.int64()),
+            "n_runs": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+BITMAP_INDEX_PLAN_SQL = """
+WITH s AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         lag(o_orderstatus) OVER w AS prev_status,
+         lag(o_orderpriority) OVER w AS prev_prio
+  FROM orders
+  WINDOW w AS (ORDER BY o_orderkey)
+)
+SELECT 'o_orderpriority' AS "column",
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN prev_prio IS NULL
+                       OR o_orderpriority <> prev_prio THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_runs
+FROM s
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       CAST(sum(CASE WHEN prev_status IS NULL
+                       OR o_orderstatus <> prev_status THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM s
+ORDER BY "column"
+"""

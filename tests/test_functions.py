@@ -310,6 +310,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "rank_corr_audit",
         "proximity_search",
         "quantize_bits_sweep",
+        "join_order_cost_audit",
+        "bitmap_index_plan",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4471,3 +4473,17 @@ def test_quantize_sweep_monotone(ray_session):
     assert len({r["n_vals"] for r in rows}) == 1
     errs = [r["mean_err_nano"] for r in sorted(rows, key=lambda r: r["bits"])]
     assert errs == sorted(errs, reverse=True)
+
+
+def test_join_order_cost_consistency(ray_session):
+    """Both plans end at the same final cardinality; the dim-first
+    plan's step1 can never exceed the filtered orders input and the
+    fact-first step1 never exceeds the filtered lineitem input."""
+    from document_extractor_ray.functions.analytics import join_order_cost_audit
+
+    rows = {r["plan"]: r for r in join_order_cost_audit(SF).to_pylist()}
+    dim, fact = rows["dim_first"], rows["fact_first"]
+    assert dim["step2_rows"] == fact["step2_rows"]
+    assert dim["step1_rows"] <= dim["n_orders_filtered"]
+    assert fact["step1_rows"] <= fact["n_lineitem_filtered"]
+    assert dim["cost_rows"] != fact["cost_rows"]  # the audit's point
