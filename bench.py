@@ -45,6 +45,269 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "300000"))
 SEED = 42
 
+# Representative operator picks (min-of-2 warm timings at SF_DIR).
+PICKS = [
+    "q1_lineitem",
+    "top_customers",
+    "events_daily",
+    "sessionize",
+    "token_counts",
+    "quality_scores",
+    "dedup_exact",
+    "minhash_dup_pairs",
+    "near_dedup_keep",
+    "simhash",
+    "order_revenue_by_nation",
+    "knn_brute",
+    "knn_lsh",
+    "knn_ivf",
+    "embedding_topk_pairs",
+    "pack_assignments",
+    "repetition_filter",
+    "token_histogram",
+    "source_mix",
+    "q3_shipping",
+    "events_daily_delta",
+    "distinct_users_per_type",
+    "gopher_rules",
+    "df_top_tokens",
+    "tfidf_top_terms",
+    "lang_token_quantiles",
+    "label_centroids",
+    "doc_stats_rollup",
+    "dup_shingle_stats",
+    "user_first_last",
+    "hll_user_registers",
+    "search_topk",
+    "hash_sample",
+    "events_prior_hour",
+    "event_type_pivot",
+    "user_lag_gaps",
+    "events_corr_stats",
+    "lineitem_semi_bloom",
+    "bigram_top",
+    "doc_global_rank",
+    "user_modal_type",
+    "orders_cumulative_revenue",
+    "value_hdr_registers",
+    "train_val_test_split",
+    "user_retention",
+    "props_json_stats",
+    "domain_cap",
+    "token_cms_registers",
+    "dup_ngram_scrub",
+    "user_activity_360",
+    "char_stats",
+    "textrank_keywords",
+    "frame_sample",
+    "value_mad_by_type",
+    "event_transitions",
+    "sliding_7d_users",
+    "value_outliers",
+    "bm25_topk",
+    "token_rarity",
+    "postings_topdf",
+    "edit_distance_verify",
+    "funnel_counts",
+    "promo_revenue_monthly",
+    "pmi_bigrams",
+    "pareto_docs",
+    "bpe_merges",
+    "value_ks_types",
+    "returned_orders_by_priority",
+    "returned_revenue_topk",
+    "nation_yoy_revenue",
+    "part_top_supplier",
+    "kgram_novelty",
+    "token_gini",
+    "vocab_growth",
+    "range_search",
+    "kmeans_assign",
+    "session_stats",
+    "brand_basket_pairs",
+    "order_lines_histogram",
+    "kwic_term",
+    "lang_confusion",
+    "value_decile_assign",
+    "order_window_event_counts",
+    "customer_order_totals",
+    "user_rolling3_sum",
+    "minhash_calibration",
+    "user_top3_events",
+    "order_date_records",
+    "q5_local_supplier",
+    "cumulative_unique_users",
+    "table_profile",
+    "orders_above_customer_avg",
+    "q7_volume_shipping",
+    "nation_revenue_share",
+    "weighted_sample",
+    "kmeans_train",
+    "bootstrap_replicas",
+    "q18_large_orders",
+    "q22_acctbal_opportunity",
+    "user_streaks",
+    "kmv_registers",
+    "hapax_share",
+    "top_tokens_per_lang",
+    "lm_bigram_coverage",
+    "users_both_windows",
+    "curriculum_shards",
+    "centroid_distances",
+    "interarrival_quantiles",
+    "spike_days",
+    "hashed_bow",
+    "source_overlap_matrix",
+    "orders_fill_rate",
+    "rfm_segments",
+    "knn_recall_audit",
+    "lang_percentiles",
+    "conversion_latency",
+    "events_cube",
+    "user_twap",
+    "embedding_dim_stats",
+    "supplier_part_coverage",
+    "media_dup_groups",
+    "length_blocking_audit",
+    "user_type_gini",
+    "events_resample_5min",
+    "value_autocorr_moments",
+    "lang_vocab_overlap",
+    "langid_agreement_by_source",
+    "retention_cohort_matrix",
+    "q6_forecast_revenue",
+    "q15_top_supplier",
+    "value_benford_profile",
+    "revenue_gini_by_nation",
+    "shard_balance_audit",
+    "mktseg_priority_contingency",
+    "q17_small_qty_revenue",
+    "user_value_drawdown",
+    # round-3 third-session additions (curated: each <= ~2.2 s warm
+    # at sf0.1 so the full bench stays inside the driver budget)
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q19_brand_qty_revenue",
+    "q12_late_linestatus",
+    "value_cusum_alarms",
+    "zipf_slope_by_lang",
+    "doc_char_entropy",
+    "embedding_dim_corr",
+    "cooc_window_pairs",
+    "user_event_entropy",
+    "supplier_concentration",
+    "embedding_pca_power",
+    "doc_unigram_xent",
+    "doc_bigram_xent",
+    "source_lm_divergence",
+    "tokenizer_fertility",
+    "persistent_heavy_users",
+    "shipping_open_orders",
+    "collocation_llr",
+    "doc_quality_composite",
+    "pack_efficiency_stats",
+    "attribution_last_touch",
+    "join_size_exact",
+    "doc_source_lm_gap",
+    "value_type_chi2",
+    "knn_classify",
+    "token_burstiness",
+    "events_hour_profile",
+    "simhash_bit_balance",
+    "knn_ivf_indexed",
+    "user_value_trend",
+    "value_drift_quantiles",
+    "event_trigrams",
+    "kn_continuation_counts",
+    "winnowing_fingerprints",
+    "doc_simpson_diversity",
+    "user_median_gap",
+    "heavy_hitter_coverage",
+    "user_active_days_histogram",
+    "argmax_dim_stats",
+    "semdedup_prune",
+    "order_interval_overlaps",
+    "token_context_entropy",
+    "label_medoid",
+    "assign_margin_stats",
+    "lsh_band_histogram",
+    "user_decile_transition",
+    "bloom_decontaminate",
+    "orders_dow_profile",
+    "phrase_search",
+    "rrf_fusion",
+    "events_ewma",
+    "range_partition_plan",
+    "winnowing_overlap_pairs",
+    "negsample_table",
+    "kn_bigram_probs",
+    "group_shuffle_split",
+    "source_temperature_mix",
+    "embedding_outlier_scores",
+    "events_rolling_median",
+    "hill_tail_index",
+    "hdr_quantile_error",
+    "bbit_minhash_agreement",
+    "char_trigram_lang_profile",
+    "dup_graph_degree_hist",
+    "events_burst_hysteresis",
+    "value_winsorized_stats",
+    "event_markov_stationary",
+    "dup_graph_triangles",
+    "bpe_apply_stats",
+    "dedup_cluster_size_hist",
+    "mutual_knn_pairs",
+    "good_turing_counts",
+    "hll_estimate_audit",
+    "orders_trend_decompose",
+    "churn_hazard_curve",
+    "simhash_hamming_hist",
+    "label_silhouette",
+    "langid_kappa",
+    "order_value_pct_by_nation",
+    "join_size_cms_audit",
+    "padding_waste_plan",
+    "events_top_changepoint",
+    "kcenter_coreset",
+    "mmr_select",
+    "customer_cohort_ltv",
+    "embedding_quantize_audit",
+    "positional_xent_profile",
+    "value_psi_drift",
+    "encoding_size_audit",
+    "zonemap_prune_audit",
+    "hashing_collision_audit",
+    "jl_distortion_audit",
+    "shard_rebalance_audit",
+    "partition_checksums",
+    "order_fact_mart",
+    "ingest_lateness_audit",
+    "order_rank_in_customer",
+    "epoch_plan",
+    "dataset_card",
+    "fk_orphan_audit",
+    "mktseg_target_encoding",
+    "compaction_plan",
+    "quality_auc",
+    "qlm_topk",
+    "token_lang_chi2",
+    "forecast_mase",
+    "zorder_layout_audit",
+    "kmv_set_ops_audit",
+    "value_theil_decomp",
+    "orders_mann_kendall",
+    "discount_qty_elasticity",
+    "user_day_overdispersion",
+    "lm_interpolation_sweep",
+    "rank_corr_audit",
+    "proximity_search",
+    "quantize_bits_sweep",
+    "join_order_cost_audit",
+    "bitmap_index_plan",
+    "upsert_apply_audit",
+    "events_two_changepoints",
+]
+
 
 def _pages_path() -> str:
     """Generate (once, cached) the bench pages table."""
@@ -74,7 +337,13 @@ def _warmup_path() -> str:
 def run_bench() -> dict:
     import ray
 
-    pages_path = _pages_path()
+    # "i:j" -> run ONLY PICKS[i:j] (no headline) in this process; used
+    # by the chunked parent so each Ray session stays well below the
+    # dataset-churn level where Ray 2.49's core-worker races fire
+    # (observed twice at ~3000 datasets/session: reference_count.cc:581
+    # and task_manager.cc:930 fatal checks).
+    pick_range = os.environ.get("GRAFT_BENCH_PICKS", "")
+    pages_path = None if pick_range else _pages_path()
 
     ray.init(
         address="local",
@@ -103,23 +372,26 @@ def run_bench() -> dict:
     # measures the extraction pipeline itself.
     bench_cfg = DEFAULT_CONFIG.with_(deterministic_order=False, dedup=False)
 
-    # Warm workers and the OS page cache with one untimed small
-    # full-pipeline run, so the timed run measures steady-state
-    # throughput (the production regime), not process spin-up.
-    run_extraction(_warmup_path(), bench_cfg).count()
-    ray.data.read_parquet(pages_path).count()
+    headline, n_docs = None, 0
+    if not pick_range:
+        # Warm workers and the OS page cache with one untimed small
+        # full-pipeline run, so the timed run measures steady-state
+        # throughput (the production regime), not process spin-up.
+        run_extraction(_warmup_path(), bench_cfg).count()
+        ray.data.read_parquet(pages_path).count()
 
-    # --- headline: extraction docs/sec (best of 3 — this box shows
-    # multi-second run-to-run variance from external load; min is the
-    # least-interfered measurement) ---
-    headline = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        final = run_extraction(pages_path, bench_cfg)
-        n_docs = final.count()
-        dt = time.perf_counter() - t0
-        headline = dt if headline is None else min(headline, dt)
-    if "--stats" in sys.argv or os.environ.get("GRAFT_BENCH_STATS") == "1":
+        # --- headline: extraction docs/sec (best of 3 — this box
+        # shows multi-second run-to-run variance from external load;
+        # min is the least-interfered measurement) ---
+        for _ in range(3):
+            t0 = time.perf_counter()
+            final = run_extraction(pages_path, bench_cfg)
+            n_docs = final.count()
+            dt = time.perf_counter() - t0
+            headline = dt if headline is None else min(headline, dt)
+    if not pick_range and (
+        "--stats" in sys.argv or os.environ.get("GRAFT_BENCH_STATS") == "1"
+    ):
         # per-stage wall/cpu breakdown -> file (judged evidence that
         # wall time is dominated by useful compute).  stats() is only
         # populated on a materialized handle, so this pays one extra
@@ -148,271 +420,17 @@ def run_bench() -> dict:
     import __ray_entry__ as em
 
     queries = em.queries()
-    picks = [
-        "q1_lineitem",
-        "top_customers",
-        "events_daily",
-        "sessionize",
-        "token_counts",
-        "quality_scores",
-        "dedup_exact",
-        "minhash_dup_pairs",
-        "near_dedup_keep",
-        "simhash",
-        "order_revenue_by_nation",
-        "knn_brute",
-        "knn_lsh",
-        "knn_ivf",
-        "embedding_topk_pairs",
-        "pack_assignments",
-        "repetition_filter",
-        "token_histogram",
-        "source_mix",
-        "q3_shipping",
-        "events_daily_delta",
-        "distinct_users_per_type",
-        "gopher_rules",
-        "df_top_tokens",
-        "tfidf_top_terms",
-        "lang_token_quantiles",
-        "label_centroids",
-        "doc_stats_rollup",
-        "dup_shingle_stats",
-        "user_first_last",
-        "hll_user_registers",
-        "search_topk",
-        "hash_sample",
-        "events_prior_hour",
-        "event_type_pivot",
-        "user_lag_gaps",
-        "events_corr_stats",
-        "lineitem_semi_bloom",
-        "bigram_top",
-        "doc_global_rank",
-        "user_modal_type",
-        "orders_cumulative_revenue",
-        "value_hdr_registers",
-        "train_val_test_split",
-        "user_retention",
-        "props_json_stats",
-        "domain_cap",
-        "token_cms_registers",
-        "dup_ngram_scrub",
-        "user_activity_360",
-        "char_stats",
-        "textrank_keywords",
-        "frame_sample",
-        "value_mad_by_type",
-        "event_transitions",
-        "sliding_7d_users",
-        "value_outliers",
-        "bm25_topk",
-        "token_rarity",
-        "postings_topdf",
-        "edit_distance_verify",
-        "funnel_counts",
-        "promo_revenue_monthly",
-        "pmi_bigrams",
-        "pareto_docs",
-        "bpe_merges",
-        "value_ks_types",
-        "returned_orders_by_priority",
-        "returned_revenue_topk",
-        "nation_yoy_revenue",
-        "part_top_supplier",
-        "kgram_novelty",
-        "token_gini",
-        "vocab_growth",
-        "range_search",
-        "kmeans_assign",
-        "session_stats",
-        "brand_basket_pairs",
-        "order_lines_histogram",
-        "kwic_term",
-        "lang_confusion",
-        "value_decile_assign",
-        "order_window_event_counts",
-        "customer_order_totals",
-        "user_rolling3_sum",
-        "minhash_calibration",
-        "user_top3_events",
-        "order_date_records",
-        "q5_local_supplier",
-        "cumulative_unique_users",
-        "table_profile",
-        "orders_above_customer_avg",
-        "q7_volume_shipping",
-        "nation_revenue_share",
-        "weighted_sample",
-        "kmeans_train",
-        "bootstrap_replicas",
-        "q18_large_orders",
-        "q22_acctbal_opportunity",
-        "user_streaks",
-        "kmv_registers",
-        "hapax_share",
-        "top_tokens_per_lang",
-        "lm_bigram_coverage",
-        "users_both_windows",
-        "curriculum_shards",
-        "centroid_distances",
-        "interarrival_quantiles",
-        "spike_days",
-        "hashed_bow",
-        "source_overlap_matrix",
-        "orders_fill_rate",
-        "rfm_segments",
-        "knn_recall_audit",
-        "lang_percentiles",
-        "conversion_latency",
-        "events_cube",
-        "user_twap",
-        "embedding_dim_stats",
-        "supplier_part_coverage",
-        "media_dup_groups",
-        "length_blocking_audit",
-        "user_type_gini",
-        "events_resample_5min",
-        "value_autocorr_moments",
-        "lang_vocab_overlap",
-        "langid_agreement_by_source",
-        "retention_cohort_matrix",
-        "q6_forecast_revenue",
-        "q15_top_supplier",
-        "value_benford_profile",
-        "revenue_gini_by_nation",
-        "shard_balance_audit",
-        "mktseg_priority_contingency",
-        "q17_small_qty_revenue",
-        "user_value_drawdown",
-        # round-3 third-session additions (curated: each <= ~2.2 s warm
-        # at sf0.1 so the full bench stays inside the driver budget)
-        "q4_order_priority",
-        "q13_customer_distribution",
-        "q19_brand_qty_revenue",
-        "q12_late_linestatus",
-        "value_cusum_alarms",
-        "zipf_slope_by_lang",
-        "doc_char_entropy",
-        "embedding_dim_corr",
-        "cooc_window_pairs",
-        "user_event_entropy",
-        "supplier_concentration",
-        "embedding_pca_power",
-        "doc_unigram_xent",
-        "doc_bigram_xent",
-        "source_lm_divergence",
-        "tokenizer_fertility",
-        "persistent_heavy_users",
-        "shipping_open_orders",
-        "collocation_llr",
-        "doc_quality_composite",
-        "pack_efficiency_stats",
-        "attribution_last_touch",
-        "join_size_exact",
-        "doc_source_lm_gap",
-        "value_type_chi2",
-        "knn_classify",
-        "token_burstiness",
-        "events_hour_profile",
-        "simhash_bit_balance",
-        "knn_ivf_indexed",
-        "user_value_trend",
-        "value_drift_quantiles",
-        "event_trigrams",
-        "kn_continuation_counts",
-        "winnowing_fingerprints",
-        "doc_simpson_diversity",
-        "user_median_gap",
-        "heavy_hitter_coverage",
-        "user_active_days_histogram",
-        "argmax_dim_stats",
-        "semdedup_prune",
-        "order_interval_overlaps",
-        "token_context_entropy",
-        "label_medoid",
-        "assign_margin_stats",
-        "lsh_band_histogram",
-        "user_decile_transition",
-        "bloom_decontaminate",
-        "orders_dow_profile",
-        "phrase_search",
-        "rrf_fusion",
-        "events_ewma",
-        "range_partition_plan",
-        "winnowing_overlap_pairs",
-        "negsample_table",
-        "kn_bigram_probs",
-        "group_shuffle_split",
-        "source_temperature_mix",
-        "embedding_outlier_scores",
-        "events_rolling_median",
-        "hill_tail_index",
-        "hdr_quantile_error",
-        "bbit_minhash_agreement",
-        "char_trigram_lang_profile",
-        "dup_graph_degree_hist",
-        "events_burst_hysteresis",
-        "value_winsorized_stats",
-        "event_markov_stationary",
-        "dup_graph_triangles",
-        "bpe_apply_stats",
-        "dedup_cluster_size_hist",
-        "mutual_knn_pairs",
-        "good_turing_counts",
-        "hll_estimate_audit",
-        "orders_trend_decompose",
-        "churn_hazard_curve",
-        "simhash_hamming_hist",
-        "label_silhouette",
-        "langid_kappa",
-        "order_value_pct_by_nation",
-        "join_size_cms_audit",
-        "padding_waste_plan",
-        "events_top_changepoint",
-        "kcenter_coreset",
-        "mmr_select",
-        "customer_cohort_ltv",
-        "embedding_quantize_audit",
-        "positional_xent_profile",
-        "value_psi_drift",
-        "encoding_size_audit",
-        "zonemap_prune_audit",
-        "hashing_collision_audit",
-        "jl_distortion_audit",
-        "shard_rebalance_audit",
-        "partition_checksums",
-        "order_fact_mart",
-        "ingest_lateness_audit",
-        "order_rank_in_customer",
-        "epoch_plan",
-        "dataset_card",
-        "fk_orphan_audit",
-        "mktseg_target_encoding",
-        "compaction_plan",
-        "quality_auc",
-        "qlm_topk",
-        "token_lang_chi2",
-        "forecast_mase",
-        "zorder_layout_audit",
-        "kmv_set_ops_audit",
-        "value_theil_decomp",
-        "orders_mann_kendall",
-        "discount_qty_elasticity",
-        "user_day_overdispersion",
-        "lm_interpolation_sweep",
-        "rank_corr_audit",
-        "proximity_search",
-        "quantize_bits_sweep",
-        "join_order_cost_audit",
-        "bitmap_index_plan",
-    ]
+    picks = PICKS
+    if pick_range:
+        i, j = (int(x) for x in pick_range.split(":"))
+        picks = PICKS[i:j]
     # Each pick runs twice and reports the min: the first run inside a
     # 58-query bench process pays first-touch costs (imports, pool
     # spin-up, page cache) plus whatever the shared box is doing that
     # second — the warm number is the one that reflects the code
     # (VERDICT r2 item 8; BENCH_r02's regressions were exactly this).
     for name in picks:
+        print(f"[bench] pick {name}", file=sys.stderr, flush=True)
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
@@ -424,6 +442,8 @@ def run_bench() -> dict:
         q_times[name] = round(best, 3)
 
     ray.shutdown()
+    if pick_range:
+        return {"queries": q_times}
     return {
         "metric": "extraction headline seconds (synthetic pages, seed=42) + operator query seconds",
         "value": round(headline, 3),
@@ -435,6 +455,54 @@ def run_bench() -> dict:
         "n_docs_out": n_docs,
         "docs_per_sec": round(n_docs / headline, 1),
     }
+
+
+BENCH_CHUNK = 60  # picks per subprocess Ray session (churn headroom)
+
+
+def run_bench_chunked() -> dict:
+    """Full bench split across subprocess Ray sessions: headline in
+    one, PICKS in chunks of BENCH_CHUNK — same timings (each pick is
+    min-of-2 warm either way), but no Ray session accumulates the
+    thousands of datasets that trigger 2.49's core-worker fatal races.
+    A failed chunk retries once; the parent merges one JSON line."""
+
+    def run_child(env_extra: dict) -> dict:
+        env = dict(os.environ, **env_extra)
+        for attempt in (1, 2):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if p.returncode == 0:
+                try:
+                    return json.loads(p.stdout.strip().splitlines()[-1])
+                except (ValueError, IndexError):
+                    pass
+            print(
+                f"[bench] chunk {env_extra} attempt {attempt} failed "
+                f"(rc={p.returncode}); tail: {p.stderr[-400:]}",
+                file=sys.stderr,
+                flush=True,
+            )
+        raise RuntimeError(f"bench chunk failed twice: {env_extra}")
+
+    _pages_path()  # generate once, shared by the headline child
+    out = run_child({"GRAFT_HEADLINE_ONLY": "1"})
+    out["metric"] = (
+        "extraction headline seconds (synthetic pages, seed=42)"
+        " + operator query seconds"
+    )
+    out["queries"] = {}
+    for i in range(0, len(PICKS), BENCH_CHUNK):
+        j = min(i + BENCH_CHUNK, len(PICKS))
+        print(f"[bench] picks chunk {i}:{j}", file=sys.stderr, flush=True)
+        part = run_child({"GRAFT_BENCH_PICKS": f"{i}:{j}"})
+        out["queries"].update(part["queries"])
+    return out
 
 
 def run_scaling() -> dict:
@@ -488,5 +556,10 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif (
+        os.environ.get("GRAFT_BENCH_PICKS")
+        or os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
+    ):
+        print(json.dumps(run_bench()))  # child chunk
     else:
-        print(json.dumps(run_bench()))
+        print(json.dumps(run_bench_chunked()))

@@ -15526,3 +15526,304 @@ SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
 FROM s
 ORDER BY "column"
 """
+
+
+# ---------------------------------------------------------------------------
+# CDC upsert apply audit (merge-into semantics between two windows)
+# ---------------------------------------------------------------------------
+
+def upsert_apply_audit(sf_dir: str):
+    """MERGE-INTO accounting: treat each half of the event horizon as
+    a keyed snapshot (last value per user — latest ts, event_id tie)
+    and apply the second as upserts into the first: how many keys are
+    inserted, updated-with-change, updated-equal, or untouched — the
+    row-level CDC audit every lakehouse merge job reports.
+
+    Scale shape: per-block (window, user) argmax partials — argmax by
+    (ts, event_id) is a mergeable fold — combine on the driver
+    (user-bounded; at open keyspace the same partials pack into
+    ``bucketed_minmax`` pairs); the audit itself is set arithmetic
+    over the two bounded snapshots."""
+    day_us = 86_400_000_000
+    ds = _read(sf_dir, "events", columns=["ts", "event_id", "user_id", "value"])
+
+    def extent(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), pa.scalar(day_us, pa.int64()))
+        return pa.table(
+            {
+                "mn": pa.array([pc.min(day).as_py()], pa.int64()),
+                "mx": pa.array([pc.max(day).as_py()], pa.int64()),
+            }
+        )
+
+    mn = mx = None
+    for t in map(
+        ray.get, ds.map_batches(extent, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for a, b in zip(t["mn"].to_pylist(), t["mx"].to_pylist()):
+            mn = a if mn is None else min(mn, a)
+            mx = b if mx is None else max(mx, b)
+    mid = (mn + mx + 1) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        cents = _to_cents(t["value"]).to_numpy(zero_copy_only=False)
+        win = (ts // day_us >= mid).astype(np.int64)
+        # lexsort so the LAST row of each (win, user) run is its argmax
+        order = np.lexsort((eid, ts, uid, win))
+        w, u, s, e, c = win[order], uid[order], ts[order], eid[order], cents[order]
+        last = np.ones(len(u), dtype=bool)
+        last[:-1] = (u[1:] != u[:-1]) | (w[1:] != w[:-1])
+        return pa.table(
+            {
+                "win": pa.array(w[last], pa.int64()),
+                "user_id": pa.array(u[last], pa.int64()),
+                "ts_us": pa.array(s[last], pa.int64()),
+                "event_id": pa.array(e[last], pa.int64()),
+                "cents": pa.array(c[last], pa.int64()),
+            }
+        )
+
+    state_: dict = {0: {}, 1: {}}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for w, u, s, e, c in zip(
+            t["win"].to_pylist(), t["user_id"].to_pylist(), t["ts_us"].to_pylist(),
+            t["event_id"].to_pylist(), t["cents"].to_pylist(),
+        ):
+            cur = state_[w].get(u)
+            if cur is None or (s, e) > (cur[0], cur[1]):
+                state_[w][u] = (s, e, c)
+
+    a, b = state_[0], state_[1]
+    inserts = sum(1 for u in b if u not in a)
+    changed = sum(1 for u in b if u in a and b[u][2] != a[u][2])
+    equal = sum(1 for u in b if u in a and b[u][2] == a[u][2])
+    untouched = sum(1 for u in a if u not in b)
+    return pa.table(
+        {
+            "n_state_a": pa.array([len(a)], pa.int64()),
+            "n_changes_b": pa.array([len(b)], pa.int64()),
+            "n_inserts": pa.array([inserts], pa.int64()),
+            "n_updates_changed": pa.array([changed], pa.int64()),
+            "n_updates_equal": pa.array([equal], pa.int64()),
+            "n_untouched": pa.array([untouched], pa.int64()),
+        }
+    )
+
+
+UPSERT_APPLY_AUDIT_SQL = """
+WITH mid AS (
+  SELECT (min(epoch_us(ts) // 86400000000)
+          + max(epoch_us(ts) // 86400000000) + 1) // 2 AS m
+  FROM events
+),
+w AS (
+  SELECT CASE WHEN epoch_us(ts) // 86400000000 >= (SELECT m FROM mid)
+              THEN 1 ELSE 0 END AS win,
+         user_id, ts, event_id,
+         CAST(round(value * 100.0) AS BIGINT) AS cents
+  FROM events
+),
+last AS (
+  SELECT win, user_id, cents FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY win, user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM w) WHERE rn = 1
+),
+a AS (SELECT user_id, cents FROM last WHERE win = 0),
+b AS (SELECT user_id, cents FROM last WHERE win = 1),
+j AS (
+  SELECT a.user_id AS ua, a.cents AS ca, b.user_id AS ub, b.cents AS cb
+  FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+)
+SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_state_a,
+       CAST((SELECT count(*) FROM b) AS BIGINT) AS n_changes_b,
+       CAST(count(*) FILTER (WHERE ua IS NULL) AS BIGINT) AS n_inserts,
+       CAST(count(*) FILTER (WHERE ua IS NOT NULL AND ub IS NOT NULL
+                               AND ca <> cb) AS BIGINT) AS n_updates_changed,
+       CAST(count(*) FILTER (WHERE ua IS NOT NULL AND ub IS NOT NULL
+                               AND ca = cb) AS BIGINT) AS n_updates_equal,
+       CAST(count(*) FILTER (WHERE ub IS NULL) AS BIGINT) AS n_untouched
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-level binary segmentation (second changepoint with exact gains)
+# ---------------------------------------------------------------------------
+
+def events_two_changepoints(sf_dir: str):
+    """Binary segmentation, level two: after the best changepoint of
+    the daily event-count series (events_top_changepoint), find the
+    best SECOND split inside either resulting segment, ranked by the
+    exact SSE-reduction gain — gain = sL²/nL + sR²/nR − s²/n as the
+    integer rational (sL²·nR·n + sR²·nL·n − s²·nL·nR) / (nL·nR·n),
+    compared cross-multiplied (Python ints / HUGEINT), earliest day
+    on ties.  Emits both splits with their segment stats and gains.
+
+    Scale shape: identical to the level-one operator — one bounded
+    daily-count fold, then driver integer math over the calendar-
+    bounded series."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        g = pa.TableGroupBy(pa.table({"day": day}), ["day"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())})
+
+    counts: dict = {}
+    for tb in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not tb.num_rows:
+            continue
+        for d, n in zip(tb["day"].to_pylist(), tb["n"].to_pylist()):
+            counts[d] = counts.get(d, 0) + int(n)
+
+    days = sorted(counts)
+    ns = [counts[d] for d in days]
+    m = len(days)
+    cum = [0]
+    for v in ns:
+        cum.append(cum[-1] + v)
+
+    def best_split(lo: int, hi: int):
+        """Best internal split of segment [lo, hi) by exact gain."""
+        n_seg = hi - lo
+        s_seg = cum[hi] - cum[lo]
+        best = None
+        for j in range(lo + 1, hi):
+            nl, nr = j - lo, hi - j
+            sl = cum[j] - cum[lo]
+            sr = s_seg - sl
+            g_num = sl * sl * nr * n_seg + sr * sr * nl * n_seg - s_seg * s_seg * nl * nr
+            g_den = nl * nr * n_seg
+            if best is None or g_num * best[1] > best[0] * g_den:
+                best = (g_num, g_den, j, nl, nr, sl, sr)
+        return best
+
+    empty = pa.table(
+        {
+            "rank": pa.array([], pa.int64()),
+            "split_day": pa.array([], pa.timestamp("us")),
+            "n_left": pa.array([], pa.int64()),
+            "n_right": pa.array([], pa.int64()),
+            "sum_left": pa.array([], pa.int64()),
+            "sum_right": pa.array([], pa.int64()),
+            "gain_num": pa.array([], pa.int64()),
+            "gain_den": pa.array([], pa.int64()),
+        }
+    )
+    lvl1 = best_split(0, m)
+    if lvl1 is None:
+        return empty
+    _, _, i1, _, _, _, _ = lvl1
+    cands = [c for c in (best_split(0, i1), best_split(i1, m)) if c is not None]
+    rows = [(1, lvl1)]
+    if cands:
+        cands.sort(key=lambda c: (c[2],))  # stable earliest-day order
+        best2 = None
+        for c in cands:
+            if best2 is None or c[0] * best2[1] > best2[0] * c[1]:
+                best2 = c
+        rows.append((2, best2))
+    return pa.table(
+        {
+            "rank": pa.array([r[0] for r in rows], pa.int64()),
+            "split_day": pa.array([days[r[1][2]] for r in rows], pa.timestamp("us")),
+            "n_left": pa.array([r[1][3] for r in rows], pa.int64()),
+            "n_right": pa.array([r[1][4] for r in rows], pa.int64()),
+            "sum_left": pa.array([r[1][5] for r in rows], pa.int64()),
+            "sum_right": pa.array([r[1][6] for r in rows], pa.int64()),
+            "gain_num": pa.array([r[1][0] for r in rows], pa.int64()),
+            "gain_den": pa.array([r[1][1] for r in rows], pa.int64()),
+        }
+    )
+
+
+EVENTS_TWO_CHANGEPOINTS_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+ord AS (
+  SELECT day, n,
+         row_number() OVER (ORDER BY day) AS i,
+         count(*) OVER () AS m,
+         sum(n) OVER (ORDER BY day) AS cum,
+         sum(n) OVER () AS tot
+  FROM daily
+),
+cand1 AS (
+  SELECT i AS j, day AS right_first_prev,
+         CAST(i AS BIGINT) AS nl, CAST(m - i AS BIGINT) AS nr,
+         CAST(cum AS BIGINT) AS sl, CAST(tot - cum AS BIGINT) AS sr,
+         CAST(m AS BIGINT) AS n_seg, CAST(tot AS BIGINT) AS s_seg
+  FROM ord WHERE i < m
+),
+g1 AS (
+  SELECT *,
+         (sl::HUGEINT * sl * nr * n_seg + sr::HUGEINT * sr * nl * n_seg
+          - s_seg::HUGEINT * s_seg * nl * nr) AS g_num,
+         (nl::HUGEINT * nr * n_seg) AS g_den
+  FROM cand1
+),
+w1 AS (
+  SELECT * FROM g1 c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM g1 o
+    WHERE o.g_num * c.g_den > c.g_num * o.g_den
+       OR (o.g_num * c.g_den = c.g_num * o.g_den AND o.j < c.j))
+),
+cand2 AS (
+  SELECT o.i AS j,
+         CASE WHEN o.i < w1.j THEN o.i ELSE o.i - w1.j END AS nl_raw,
+         CASE WHEN o.i < w1.j THEN w1.j - o.i ELSE o.m - o.i END AS nr_raw,
+         CASE WHEN o.i < w1.j THEN o.cum
+              ELSE o.cum - w1.sl END AS sl_raw,
+         CASE WHEN o.i < w1.j THEN w1.sl - o.cum
+              ELSE o.tot - o.cum END AS sr_raw,
+         CASE WHEN o.i < w1.j THEN w1.nl ELSE w1.nr END AS n_seg,
+         CASE WHEN o.i < w1.j THEN w1.sl ELSE w1.sr END AS s_seg
+  FROM ord o CROSS JOIN w1
+  WHERE o.i < o.m AND o.i <> w1.j
+),
+g2 AS (
+  SELECT j, CAST(nl_raw AS BIGINT) AS nl, CAST(nr_raw AS BIGINT) AS nr,
+         CAST(sl_raw AS BIGINT) AS sl, CAST(sr_raw AS BIGINT) AS sr,
+         (sl_raw::HUGEINT * sl_raw * nr_raw * n_seg
+          + sr_raw::HUGEINT * sr_raw * nl_raw * n_seg
+          - s_seg::HUGEINT * s_seg * nl_raw * nr_raw) AS g_num,
+         (nl_raw::HUGEINT * nr_raw * n_seg) AS g_den
+  FROM cand2
+),
+w2 AS (
+  SELECT * FROM g2 c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM g2 o
+    WHERE o.g_num * c.g_den > c.g_num * o.g_den
+       OR (o.g_num * c.g_den = c.g_num * o.g_den AND o.j < c.j))
+)
+SELECT CAST(1 AS BIGINT) AS rank,
+       (SELECT day FROM ord WHERE i = w1.j + 1) AS split_day,
+       w1.nl AS n_left, w1.nr AS n_right, w1.sl AS sum_left, w1.sr AS sum_right,
+       CAST(w1.g_num AS BIGINT) AS gain_num, CAST(w1.g_den AS BIGINT) AS gain_den
+FROM w1
+UNION ALL
+SELECT CAST(2 AS BIGINT),
+       (SELECT day FROM ord WHERE i = w2.j + 1),
+       w2.nl, w2.nr, w2.sl, w2.sr,
+       CAST(w2.g_num AS BIGINT), CAST(w2.g_den AS BIGINT)
+FROM w2
+ORDER BY rank
+"""

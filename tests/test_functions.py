@@ -312,6 +312,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "quantize_bits_sweep",
         "join_order_cost_audit",
         "bitmap_index_plan",
+        "upsert_apply_audit",
+        "events_two_changepoints",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4487,3 +4489,31 @@ def test_join_order_cost_consistency(ray_session):
     assert dim["step1_rows"] <= dim["n_orders_filtered"]
     assert fact["step1_rows"] <= fact["n_lineitem_filtered"]
     assert dim["cost_rows"] != fact["cost_rows"]  # the audit's point
+
+
+def test_upsert_audit_partition(ray_session):
+    """The four outcome classes must partition both snapshots:
+    inserts + changed + equal == |B| and changed + equal + untouched
+    == |A|."""
+    from document_extractor_ray.functions.analytics import upsert_apply_audit
+
+    r = upsert_apply_audit(SF).to_pylist()[0]
+    assert r["n_inserts"] + r["n_updates_changed"] + r["n_updates_equal"] == r["n_changes_b"]
+    assert r["n_untouched"] + r["n_updates_changed"] + r["n_updates_equal"] == r["n_state_a"]
+
+
+def test_two_changepoints_invariants(ray_session):
+    """Both gains are non-negative (a split never increases SSE), the
+    level-2 split lies strictly inside one of the level-1 segments,
+    and segment masses re-add to their parents."""
+    from document_extractor_ray.functions.analytics import events_two_changepoints
+
+    rows = {r["rank"]: r for r in events_two_changepoints(SF).to_pylist()}
+    assert rows[1]["gain_num"] >= 0 and rows[2]["gain_num"] >= 0
+    assert rows[2]["split_day"] != rows[1]["split_day"]
+    if rows[2]["split_day"] < rows[1]["split_day"]:
+        assert rows[2]["sum_left"] + rows[2]["sum_right"] == rows[1]["sum_left"]
+        assert rows[2]["n_left"] + rows[2]["n_right"] == rows[1]["n_left"]
+    else:
+        assert rows[2]["sum_left"] + rows[2]["sum_right"] == rows[1]["sum_right"]
+        assert rows[2]["n_left"] + rows[2]["n_right"] == rows[1]["n_right"]
