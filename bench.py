@@ -306,6 +306,8 @@ PICKS = [
     "bitmap_index_plan",
     "upsert_apply_audit",
     "events_two_changepoints",
+    "hll_sliding_union_audit",
+    "selectivity_independence_audit",
 ]
 
 
@@ -457,7 +459,11 @@ def run_bench() -> dict:
     }
 
 
-BENCH_CHUNK = 60  # picks per subprocess Ray session (churn headroom)
+# Picks per subprocess Ray session.  The observed fatal-race level is
+# ~3000 datasets in one session (~190 picks x 2 runs); 88 picks/chunk
+# keeps each session under ~1500 datasets while paying only 3 session
+# spin-ups.
+BENCH_CHUNK = 88
 
 
 def run_bench_chunked() -> dict:

@@ -15827,3 +15827,240 @@ SELECT CAST(2 AS BIGINT),
 FROM w2
 ORDER BY rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window HLL union audit (mergeable registers across windows)
+# ---------------------------------------------------------------------------
+
+def hll_sliding_union_audit(sf_dir: str):
+    """The streaming reason sketches exist: the 7-day sliding distinct
+    count from UNIONED daily HLL registers (register-wise max — the
+    mergeable-monoid property) next to the exact sliding count, both
+    exact-integer (the hll_estimate_audit arithmetic: rational alpha,
+    HUGEINT harmonic sum, ln-micro linear counting).  One daily
+    register table serves every window — no per-window rescan, which
+    is the whole point at 10^12 events.
+
+    Scale shape: the register side is the bounded daily fold of
+    hll_daily_registers; the exact side folds (day, user) pairs via
+    ``bucketed_agg`` (audit-only — at open scale the estimate IS the
+    production number and exact runs on sampled windows)."""
+    import math
+
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    m = HLL_M
+    regs: dict = {}
+    for r in hll_daily_registers(sf_dir).take_all():
+        regs.setdefault(r["day"], {})[r["register"]] = int(r["max_rho"])
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def du_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "day": pc.floor_temporal(t["ts"], unit="day"),
+                    "user_id": t["user_id"],
+                }
+            ),
+            ["day", "user_id"],
+        ).aggregate([])
+        return pa.table(
+            {
+                "day": g["day"],
+                "user_id": g["user_id"],
+                "one": pa.array(np.ones(g.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    pairs = bucketed_agg(
+        ds.map_batches(du_partial, batch_format="pyarrow"),
+        ["day", "user_id"],
+        [("one", "max", "one")],
+    )
+    day_users: dict = {}
+    for tb in map(ray.get, pairs.to_arrow_refs()):
+        if not tb.num_rows:
+            continue
+        for d, u in zip(tb["day"].to_pylist(), tb["user_id"].to_pylist()):
+            day_users.setdefault(d, set()).add(u)
+
+    days = sorted(day_users)
+    lnm_m = int(math.floor(math.log(m) * 1_000_000 + 0.5))
+    out = {k: [] for k in ("day", "n_exact_7d", "zeros", "est_milli", "err_milli")}
+    for d in days:
+        win = [x for x in days if 0 <= (d - x).days <= 6]
+        exact = len(set().union(*(day_users[x] for x in win)))
+        merged: dict = {}
+        for x in win:
+            for reg, rho in regs.get(x, {}).items():
+                if rho > merged.get(reg, 0):
+                    merged[reg] = rho
+        zeros = m - len(merged)
+        S = sum((1 << 64) >> rho for rho in merged.values()) + zeros * (1 << 64)
+        est = (
+            _HLL_ALPHA_NUM * m * m * m * 1000 * (1 << 64)
+        ) // ((_HLL_ALPHA_DEN_A * m + _HLL_ALPHA_DEN_B) * S)
+        if est <= 2500 * m and zeros > 0:
+            lnz = int(math.floor(math.log(zeros) * 1_000_000 + 0.5))
+            est = m * (lnm_m - lnz) // 1000
+        out["day"].append(d)
+        out["n_exact_7d"].append(exact)
+        out["zeros"].append(zeros)
+        out["est_milli"].append(est)
+        out["err_milli"].append(est - 1000 * exact)
+    return pa.table(
+        {
+            "day": pa.array(out["day"], pa.timestamp("us")),
+            "n_exact_7d": pa.array(out["n_exact_7d"], pa.int64()),
+            "zeros": pa.array(out["zeros"], pa.int64()),
+            "est_milli": pa.array(out["est_milli"], pa.int64()),
+            "err_milli": pa.array(out["err_milli"], pa.int64()),
+        }
+    )
+
+
+def _hll_sliding_sql() -> str:
+    m = HLL_M
+    two64 = 1 << 64
+    an, da, db = _HLL_ALPHA_NUM, _HLL_ALPHA_DEN_A, _HLL_ALPHA_DEN_B
+    num = an * m * m * m * 1000 * two64
+    den_c = da * m + db
+    return f"""
+WITH regs AS ({HLL_DAILY_REGISTERS_SQL}),
+wdays AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+wregs AS (
+  SELECT w.day, r.register, max(r.max_rho) AS max_rho
+  FROM regs r JOIN wdays w
+    ON r.day BETWEEN w.day - INTERVAL 6 DAY AND w.day
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS hit,
+         sum({two64}::HUGEINT // (1::BIGINT << max_rho)) AS s_hit
+  FROM wregs GROUP BY day
+),
+ex AS (
+  SELECT w.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_exact_7d
+  FROM wdays w JOIN events e
+    ON date_trunc('day', e.ts) BETWEEN w.day - INTERVAL 6 DAY AND w.day
+  GROUP BY 1
+),
+j AS (
+  SELECT ex.day, ex.n_exact_7d,
+         CAST({m} - coalesce(agg.hit, 0) AS BIGINT) AS zeros,
+         coalesce(agg.s_hit, 0)
+           + ({m} - coalesce(agg.hit, 0)) * {two64}::HUGEINT AS s
+  FROM ex LEFT JOIN agg ON agg.day = ex.day
+),
+est AS (
+  SELECT day, n_exact_7d, zeros,
+         {num}::HUGEINT // ({den_c}::HUGEINT * s) AS raw
+  FROM j
+)
+SELECT day, n_exact_7d, zeros,
+       CAST(CASE WHEN raw <= {2500 * m} AND zeros > 0
+                 THEN {m} * (CAST(round(ln({m}) * 1000000) AS BIGINT)
+                             - CAST(round(ln(zeros) * 1000000) AS BIGINT))
+                      // 1000
+                 ELSE raw END AS BIGINT) AS est_milli,
+       CAST(CASE WHEN raw <= {2500 * m} AND zeros > 0
+                 THEN {m} * (CAST(round(ln({m}) * 1000000) AS BIGINT)
+                             - CAST(round(ln(zeros) * 1000000) AS BIGINT))
+                      // 1000
+                 ELSE raw END - 1000 * n_exact_7d AS BIGINT) AS err_milli
+FROM est ORDER BY day
+"""
+
+
+HLL_SLIDING_UNION_AUDIT_SQL = _hll_sliding_sql()
+
+
+# ---------------------------------------------------------------------------
+# Selectivity independence audit (optimizer estimate error per conjunction)
+# ---------------------------------------------------------------------------
+
+def selectivity_independence_audit(sf_dir: str):
+    """How wrong is the textbook independence assumption?  For every
+    (o_orderstatus, o_orderpriority) conjunction: the ACTUAL row count
+    vs the optimizer estimate n·sel(status)·sel(priority) in
+    milli-rows, plus the signed error in parts-per-million of the
+    estimate — the companion table to join_order_cost_audit (that one
+    prices join order, this one prices predicate correlation).
+
+    Scale shape: one bounded contingency fold (statuses × priorities)
+    from per-block partials; everything else is driver integer math
+    (est_milli = 1000·n_s·n_p // n, truncation safe on positives)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            t.select(["o_orderstatus", "o_orderpriority"]),
+            ["o_orderstatus", "o_orderpriority"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "s": g["o_orderstatus"],
+                "p": g["o_orderpriority"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    cells: dict = {}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for s, p, n in zip(t["s"].to_pylist(), t["p"].to_pylist(), t["n"].to_pylist()):
+            cells[(s, p)] = cells.get((s, p), 0) + n
+
+    n_tot = sum(cells.values())
+    ns: dict = {}
+    np_: dict = {}
+    for (s, p), n in cells.items():
+        ns[s] = ns.get(s, 0) + n
+        np_[p] = np_.get(p, 0) + n
+
+    rows = []
+    for (s, p), actual in sorted(cells.items()):
+        est_milli = (1000 * ns[s] * np_[p]) // n_tot
+        diff = 1_000_000 * (1000 * actual - est_milli)
+        err_ppm = (diff - ((diff % est_milli + est_milli) % est_milli)) // est_milli \
+            if est_milli else 0
+        rows.append((s, p, actual, est_milli, err_ppm))
+    return pa.table(
+        {
+            "o_orderstatus": pa.array([r[0] for r in rows], pa.string()),
+            "o_orderpriority": pa.array([r[1] for r in rows], pa.string()),
+            "actual_rows": pa.array([r[2] for r in rows], pa.int64()),
+            "est_milli_rows": pa.array([r[3] for r in rows], pa.int64()),
+            "err_ppm": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+SELECTIVITY_INDEPENDENCE_AUDIT_SQL = """
+WITH c AS (
+  SELECT o_orderstatus AS s, o_orderpriority AS p,
+         CAST(count(*) AS BIGINT) AS actual
+  FROM orders GROUP BY 1, 2
+),
+ms AS (SELECT s, CAST(sum(actual) AS BIGINT) AS n_s FROM c GROUP BY 1),
+mp AS (SELECT p, CAST(sum(actual) AS BIGINT) AS n_p FROM c GROUP BY 1),
+t AS (SELECT CAST(sum(actual) AS BIGINT) AS n FROM c),
+x AS (
+  SELECT c.s, c.p, c.actual,
+         CAST((1000 * ms.n_s * mp.n_p) // t.n AS BIGINT) AS est_milli
+  FROM c JOIN ms USING (s) JOIN mp USING (p) CROSS JOIN t
+)
+SELECT s AS o_orderstatus, p AS o_orderpriority,
+       actual AS actual_rows, est_milli AS est_milli_rows,
+       CAST(CASE WHEN est_milli = 0 THEN 0 ELSE
+         (1000000::HUGEINT * (1000 * actual - est_milli)
+          - (((1000000::HUGEINT * (1000 * actual - est_milli)) % est_milli
+              + est_milli) % est_milli)) // est_milli END AS BIGINT) AS err_ppm
+FROM x ORDER BY o_orderstatus, o_orderpriority
+"""

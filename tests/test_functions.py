@@ -314,6 +314,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "bitmap_index_plan",
         "upsert_apply_audit",
         "events_two_changepoints",
+        "hll_sliding_union_audit",
+        "selectivity_independence_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4517,3 +4519,33 @@ def test_two_changepoints_invariants(ray_session):
     else:
         assert rows[2]["sum_left"] + rows[2]["sum_right"] == rows[1]["sum_right"]
         assert rows[2]["n_left"] + rows[2]["n_right"] == rows[1]["n_right"]
+
+
+def test_hll_sliding_window_dominates_daily(ray_session):
+    """A 7-day union can never have fewer exact distincts than its
+    final day alone, and the union estimate must sit within the HLL
+    error envelope (m=256 -> ~6.5% std error, assert 5 sigma)."""
+    from document_extractor_ray.functions.analytics import (
+        hll_estimate_audit,
+        hll_sliding_union_audit,
+    )
+
+    daily = {r["day"]: r["n_exact"] for r in hll_estimate_audit(SF).to_pylist()}
+    for r in hll_sliding_union_audit(SF).to_pylist():
+        assert r["n_exact_7d"] >= daily[r["day"]]
+        assert abs(r["est_milli"] - 1000 * r["n_exact_7d"]) <= (
+            5 * 0.065 * 1000 * r["n_exact_7d"]
+        )
+
+
+def test_selectivity_audit_margins(ray_session):
+    """Independence estimates must re-add to the table total per
+    margin (Σ est over p for fixed s ≈ n_s within milli-rounding)."""
+    from document_extractor_ray.functions.analytics import (
+        selectivity_independence_audit,
+    )
+
+    rows = selectivity_independence_audit(SF).to_pylist()
+    tot_actual = sum(r["actual_rows"] for r in rows)
+    tot_est = sum(r["est_milli_rows"] for r in rows)
+    assert abs(tot_est - 1000 * tot_actual) <= len(rows)  # floor slack
