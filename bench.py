@@ -308,6 +308,8 @@ PICKS = [
     "events_two_changepoints",
     "hll_sliding_union_audit",
     "selectivity_independence_audit",
+    "lang_trigram_jsd",
+    "key_gap_audit",
 ]
 
 

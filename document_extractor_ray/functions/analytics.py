@@ -16064,3 +16064,61 @@ SELECT s AS o_orderstatus, p AS o_orderpriority,
               + est_milli) % est_milli)) // est_milli END AS BIGINT) AS err_ppm
 FROM x ORDER BY o_orderstatus, o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# Key-space gap audit (data-completeness check over a dense key domain)
+# ---------------------------------------------------------------------------
+
+def key_gap_audit(sf_dir: str):
+    """Completeness audit of the order keys actually referenced by
+    lineitem: distinct keys, domain span, missing-key count, gap-run
+    count and the largest gap — the sequence check an ingest monitor
+    runs against an expected-dense key feed (the shipped lineitem
+    references 98.3% of the order domain, so the gaps are real).
+
+    Scale shape: per-block ``np.unique`` key partials fold to the
+    global distinct array on the driver (fact-boundary-sized, same
+    budget as fk_orphan_audit's parent sets; the open-domain
+    escalation is per-key-range zone folds with boundary stitching —
+    the bitmap_index_plan shape), then one vectorized np.diff."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    parts = [
+        np.unique(t["l_orderkey"].to_numpy(zero_copy_only=False))
+        for t in map(ray.get, ds.to_arrow_refs())
+        if t.num_rows
+    ]
+    keys = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+    if not len(keys):
+        diffs = np.zeros(0, np.int64)
+    else:
+        diffs = np.diff(keys)
+    return pa.table(
+        {
+            "n_keys": pa.array([len(keys)], pa.int64()),
+            "key_min": pa.array([int(keys[0]) if len(keys) else 0], pa.int64()),
+            "key_max": pa.array([int(keys[-1]) if len(keys) else 0], pa.int64()),
+            "n_missing": pa.array(
+                [int(keys[-1] - keys[0] + 1 - len(keys)) if len(keys) else 0],
+                pa.int64(),
+            ),
+            "n_gap_runs": pa.array([int((diffs > 1).sum())], pa.int64()),
+            "max_gap": pa.array(
+                [int(diffs.max() - 1) if len(diffs) else 0], pa.int64()
+            ),
+        }
+    )
+
+
+KEY_GAP_AUDIT_SQL = """
+WITH k AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+d AS (SELECT key, key - lag(key) OVER (ORDER BY key) AS diff FROM k)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(min(key) AS BIGINT) AS key_min,
+       CAST(max(key) AS BIGINT) AS key_max,
+       CAST(max(key) - min(key) + 1 - count(*) AS BIGINT) AS n_missing,
+       CAST(count(*) FILTER (WHERE diff > 1) AS BIGINT) AS n_gap_runs,
+       CAST(COALESCE(max(diff) - 1, 0) AS BIGINT) AS max_gap
+FROM d
+"""

@@ -8536,3 +8536,174 @@ g AS (
 )
 SELECT doc_id, min_gap FROM g WHERE min_gap <= {PROX_WINDOW} ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon distance matrix between language trigram profiles
+# ---------------------------------------------------------------------------
+
+def lang_trigram_jsd(sf_dir: str):
+    """Pairwise Jensen-Shannon divergence between the languages'
+    character-trigram distributions — the language-distance matrix a
+    corpus curator reads next to the per-lang profiles.  Each KL half
+    is the exact integer rational Σ_t c·(L(2·c·N_other) − L(c·N_other
+    + c_other·N)) / (2·N) in ln-micro nats, floor-proof division (a
+    rounded numerator can dip negative even though JSD ≥ 0).
+
+    Scale shape: the same buffer-level numpy trigram partials as
+    char_trigram_lang_profile fold into a (lang, trigram) count table
+    bounded by langs × alphabet³; the pairwise JSD is driver math
+    over that bounded fold."""
+    import math
+
+    ds = _read_docs(sf_dir, ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "tri": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        arr = pc.utf8_lower(t["text"]).combine_chunks()
+        n = len(arr)
+        if n == 0:
+            return empty
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + n + 1
+        ].astype(np.int64)
+        dat = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
+        off = off - off[0]
+        if len(dat) < 3:
+            return empty
+        lens = np.diff(off)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        d = dat.astype(np.int64)
+        tri = d[:-2] * 65536 + d[1:-1] * 256 + d[2:]
+        valid = doc_idx[:-2] == doc_idx[2:]
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "lang": pa.array(
+                        np.asarray(
+                            t["lang"].combine_chunks().take(
+                                pa.array(doc_idx[:-2][valid])
+                            )
+                        ),
+                        pa.string(),
+                    ),
+                    "tri": pa.array(tri[valid], pa.int64()),
+                }
+            ),
+            ["lang", "tri"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "tri": g["tri"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    cnt: dict = {}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for la, tr, n in zip(
+            t["lang"].to_pylist(), t["tri"].to_pylist(), t["n"].to_pylist()
+        ):
+            cnt[(la, tr)] = cnt.get((la, tr), 0) + n
+
+    langs = sorted({la for la, _ in cnt})
+    tot = {la: 0 for la in langs}
+    by_lang: dict = {la: {} for la in langs}
+    for (la, tr), n in cnt.items():
+        tot[la] += n
+        by_lang[la][tr] = n
+
+    def L(v: int) -> int:
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    def fdiv(a: int, n: int) -> int:
+        return (a - ((a % n + n) % n)) // n
+
+    rows = []
+    for i, la in enumerate(langs):
+        for lb in langs[i + 1 :]:
+            na, nb = tot[la], tot[lb]
+            ca_map, cb_map = by_lang[la], by_lang[lb]
+            union = set(ca_map) | set(cb_map)
+            sa = sb = 0
+            for tr in union:
+                ca = ca_map.get(tr, 0)
+                cb = cb_map.get(tr, 0)
+                den = L(ca * nb + cb * na)
+                if ca:
+                    sa += ca * (L(2 * ca * nb) - den)
+                if cb:
+                    sb += cb * (L(2 * cb * na) - den)
+            rows.append(
+                (la, lb, na, nb, len(union), fdiv(sa, 2 * na) + fdiv(sb, 2 * nb))
+            )
+    return pa.table(
+        {
+            "lang_a": pa.array([r[0] for r in rows], pa.string()),
+            "lang_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_tri_a": pa.array([r[2] for r in rows], pa.int64()),
+            "n_tri_b": pa.array([r[3] for r in rows], pa.int64()),
+            "n_union_trigrams": pa.array([r[4] for r in rows], pa.int64()),
+            "jsd_micro": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )
+
+
+LANG_TRIGRAM_JSD_SQL = """
+WITH t3 AS (
+  SELECT lang, substr(lower(text), CAST(g.i AS INTEGER), 3) AS tri
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i) g
+),
+cnt AS (SELECT lang, tri, CAST(count(*) AS BIGINT) AS n
+        FROM t3 GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nn FROM cnt GROUP BY 1),
+pairs AS (
+  SELECT a.lang AS la, a.nn AS na, b.lang AS lb, b.nn AS nb
+  FROM tot a JOIN tot b ON a.lang < b.lang
+),
+u AS (
+  SELECT p.la, p.lb, p.na, p.nb, c.tri,
+         COALESCE(ca.n, 0) AS ca, COALESCE(cb.n, 0) AS cb
+  FROM pairs p
+  JOIN (SELECT DISTINCT tri FROM cnt) c ON true
+  LEFT JOIN cnt ca ON ca.lang = p.la AND ca.tri = c.tri
+  LEFT JOIN cnt cb ON cb.lang = p.lb AND cb.tri = c.tri
+  WHERE COALESCE(ca.n, 0) + COALESCE(cb.n, 0) > 0
+),
+terms AS (
+  SELECT la, lb, na, nb,
+         CASE WHEN ca > 0 THEN ca *
+           (CAST(round(ln(2 * ca * nb) * 1000000) AS BIGINT)
+            - CAST(round(ln(ca * nb + cb * na) * 1000000) AS BIGINT))
+           ELSE 0 END AS xa,
+         CASE WHEN cb > 0 THEN cb *
+           (CAST(round(ln(2 * cb * na) * 1000000) AS BIGINT)
+            - CAST(round(ln(ca * nb + cb * na) * 1000000) AS BIGINT))
+           ELSE 0 END AS xb
+  FROM u
+),
+agg AS (
+  SELECT la, lb, na, nb,
+         CAST(count(*) AS BIGINT) AS n_union,
+         CAST(sum(xa) AS BIGINT) AS sa, CAST(sum(xb) AS BIGINT) AS sb
+  FROM terms GROUP BY 1, 2, 3, 4
+)
+SELECT la AS lang_a, lb AS lang_b, na AS n_tri_a, nb AS n_tri_b,
+       n_union AS n_union_trigrams,
+       CAST((sa - ((sa % (2 * na) + 2 * na) % (2 * na))) // (2 * na)
+            + (sb - ((sb % (2 * nb) + 2 * nb) % (2 * nb))) // (2 * nb)
+            AS BIGINT) AS jsd_micro
+FROM agg ORDER BY lang_a, lang_b
+"""

@@ -316,6 +316,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "events_two_changepoints",
         "hll_sliding_union_audit",
         "selectivity_independence_audit",
+        "lang_trigram_jsd",
+        "key_gap_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4549,3 +4551,34 @@ def test_selectivity_audit_margins(ray_session):
     tot_actual = sum(r["actual_rows"] for r in rows)
     tot_est = sum(r["est_milli_rows"] for r in rows)
     assert abs(tot_est - 1000 * tot_actual) <= len(rows)  # floor slack
+
+
+def test_jsd_metric_properties(ray_session):
+    """JSD is non-negative, bounded by ln 2, and a language's profile
+    is closer to itself than to any other (trivially 0) — check the
+    bound and symmetry of the emitted pair table instead."""
+    import math
+
+    from document_extractor_ray.functions.textstats import lang_trigram_jsd
+
+    rows = lang_trigram_jsd(SF).to_pylist()
+    ln2_micro = int(math.log(2) * 1e6)
+    seen = set()
+    for r in rows:
+        assert r["lang_a"] < r["lang_b"]  # upper triangle only, no dups
+        assert (r["lang_a"], r["lang_b"]) not in seen
+        seen.add((r["lang_a"], r["lang_b"]))
+        assert -5 <= r["jsd_micro"] <= ln2_micro + 5  # floor slack
+    n_langs = len({x for p in seen for x in p})
+    assert len(rows) == n_langs * (n_langs - 1) // 2
+
+
+def test_key_gap_audit_identity(ray_session):
+    """n_keys + n_missing must equal the domain span, and the max gap
+    can't exceed the total missing count."""
+    from document_extractor_ray.functions.analytics import key_gap_audit
+
+    r = key_gap_audit(SF).to_pylist()[0]
+    assert r["n_keys"] + r["n_missing"] == r["key_max"] - r["key_min"] + 1
+    assert r["max_gap"] <= r["n_missing"]
+    assert (r["n_gap_runs"] == 0) == (r["n_missing"] == 0)
