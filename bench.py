@@ -310,6 +310,8 @@ PICKS = [
     "selectivity_independence_audit",
     "lang_trigram_jsd",
     "key_gap_audit",
+    "value_anova_by_type",
+    "daily_runs_test",
 ]
 
 

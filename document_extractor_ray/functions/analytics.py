@@ -16122,3 +16122,211 @@ SELECT CAST(count(*) AS BIGINT) AS n_keys,
        CAST(COALESCE(max(diff) - 1, 0) AS BIGINT) AS max_gap
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA of event value across event types (exact integer F)
+# ---------------------------------------------------------------------------
+
+def value_anova_by_type(sf_dir: str):
+    """Classical one-way ANOVA of event value (cents) across event
+    types — completes the test family (χ², G, KS, Mann-Kendall,
+    Theil): between/within sum-of-squares in MILLI-cents² (each
+    per-group term is the truncating rational 1000·s_g² // n_g, a
+    DEFINED integer statistic both engines compute identically) and
+    the F statistic in micro units.
+
+    Scale shape: one bounded (type → n, Σx, Σx²) moment fold from
+    per-block partials; everything after is driver integer math."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _to_cents(t["value"]).to_numpy(zero_copy_only=False)
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "x": pa.array(c, pa.int64()),
+                    "x2": pa.array(c * c, pa.int64()),
+                }
+            ),
+            ["event_type"],
+        ).aggregate([("x", "sum"), ("x2", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "s": g["x_sum"],
+                "s2": g["x2_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    acc: dict = {}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for et, s, s2, n in zip(
+            t["event_type"].to_pylist(), t["s"].to_pylist(),
+            t["s2"].to_pylist(), t["n"].to_pylist(),
+        ):
+            cur = acc.setdefault(et, [0, 0, 0])
+            cur[0] += s
+            cur[1] += s2
+            cur[2] += n
+
+    k = len(acc)
+    n_tot = sum(v[2] for v in acc.values())
+    s_tot = sum(v[0] for v in acc.values())
+    s2_tot = sum(v[1] for v in acc.values())
+    grp_milli = sum((1000 * v[0] * v[0]) // v[2] for v in acc.values())
+    grand_milli = (1000 * s_tot * s_tot) // n_tot
+    ssb_milli = grp_milli - grand_milli
+    ssw_milli = 1000 * s2_tot - grp_milli
+    df_b, df_w = k - 1, n_tot - k
+    f_micro = (
+        (1_000_000 * ssb_milli * df_w) // (ssw_milli * df_b)
+        if df_b > 0 and ssw_milli > 0
+        else 0
+    )
+    return pa.table(
+        {
+            "n_events": pa.array([n_tot], pa.int64()),
+            "n_groups": pa.array([k], pa.int64()),
+            "df_between": pa.array([df_b], pa.int64()),
+            "df_within": pa.array([df_w], pa.int64()),
+            "ssb_milli": pa.array([ssb_milli], pa.int64()),
+            "ssw_milli": pa.array([ssw_milli], pa.int64()),
+            "f_micro": pa.array([f_micro], pa.int64()),
+        }
+    )
+
+
+VALUE_ANOVA_BY_TYPE_SQL = """
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)
+                  * CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS s2
+  FROM events GROUP BY 1
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS n_tot,
+         CAST(sum(s) AS BIGINT) AS s_tot,
+         CAST(sum(s2) AS BIGINT) AS s2_tot,
+         CAST(sum((1000::HUGEINT * s * s) // n) AS HUGEINT) AS grp_milli
+  FROM g
+),
+x AS (
+  SELECT n_tot, k,
+         grp_milli - (1000::HUGEINT * s_tot * s_tot) // n_tot AS ssb,
+         1000::HUGEINT * s2_tot - grp_milli AS ssw,
+         k - 1 AS df_b, n_tot - k AS df_w
+  FROM t
+)
+SELECT n_tot AS n_events, k AS n_groups,
+       CAST(df_b AS BIGINT) AS df_between, CAST(df_w AS BIGINT) AS df_within,
+       CAST(ssb AS BIGINT) AS ssb_milli, CAST(ssw AS BIGINT) AS ssw_milli,
+       CAST(CASE WHEN df_b > 0 AND ssw > 0
+                 THEN (1000000::HUGEINT * ssb * df_w) // (ssw * df_b)
+                 ELSE 0 END AS BIGINT) AS f_micro
+FROM x
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the daily order-count series
+# ---------------------------------------------------------------------------
+
+def daily_runs_test(sf_dir: str):
+    """Randomness check of the daily order-count series: split days at
+    the LOWER MEDIAN count (ties join the not-above group — a
+    deterministic rule both engines share), count the observed
+    above/not-above runs, and emit the expected run count and variance
+    as truncating integer rationals — the nonparametric serial-
+    dependence test next to orders_mann_kendall's trend test.
+
+    Scale shape: the calendar-bounded daily fold again; the run scan
+    is one vectorized pass over the bounded series."""
+    day_us = 86_400_000_000
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["o_orderdate"], pa.int64()), pa.scalar(day_us, pa.int64()))
+        g = pa.TableGroupBy(pa.table({"day": day}), ["day"]).aggregate([([], "count_all")])
+        return pa.table({"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())})
+
+    hist: dict = {}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for d, n in zip(t["day"].to_pylist(), t["n"].to_pylist()):
+            hist[d] = hist.get(d, 0) + n
+
+    days = sorted(hist)
+    counts = np.array([hist[d] for d in days], dtype=np.int64)
+    med = int(np.sort(counts)[(len(counts) - 1) // 2])
+    above = counts > med
+    n1 = int(above.sum())
+    n2 = len(counts) - n1
+    runs = 1 + int((above[1:] != above[:-1]).sum()) if len(counts) else 0
+    tot = n1 + n2
+    exp_milli = (1000 * (2 * n1 * n2 + tot)) // tot if tot else 0
+    var_num = 2 * n1 * n2 * (2 * n1 * n2 - tot)
+    var_den = tot * tot * (tot - 1)
+    var_micro = (1_000_000 * var_num) // var_den if var_den and var_num > 0 else 0
+    return pa.table(
+        {
+            "n_days": pa.array([len(counts)], pa.int64()),
+            "median_count": pa.array([med], pa.int64()),
+            "n_above": pa.array([n1], pa.int64()),
+            "n_not_above": pa.array([n2], pa.int64()),
+            "n_runs": pa.array([runs], pa.int64()),
+            "exp_runs_milli": pa.array([exp_milli], pa.int64()),
+            "var_runs_micro": pa.array([var_micro], pa.int64()),
+        }
+    )
+
+
+DAILY_RUNS_TEST_SQL = """
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+),
+med AS (
+  SELECT n AS m FROM (
+    SELECT n, row_number() OVER (ORDER BY n) AS rn, count(*) OVER () AS c
+    FROM daily
+  ) WHERE rn = (c + 1) // 2
+),
+s AS (
+  SELECT day, CAST(n > (SELECT m FROM med) AS INT) AS above,
+         lag(CAST(n > (SELECT m FROM med) AS INT)) OVER (ORDER BY day) AS prev
+  FROM daily
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(above) AS BIGINT) AS n1,
+         CAST(count(*) - sum(above) AS BIGINT) AS n2,
+         CAST(1 + sum(CASE WHEN prev IS NOT NULL AND above <> prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+  FROM s
+)
+SELECT n_days, CAST((SELECT m FROM med) AS BIGINT) AS median_count,
+       n1 AS n_above, n2 AS n_not_above, n_runs,
+       CAST((1000 * (2 * n1 * n2 + n1 + n2)) // (n1 + n2) AS BIGINT)
+         AS exp_runs_milli,
+       CAST(CASE WHEN (n1 + n2) > 1
+                   AND 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) > 0
+                 THEN (1000000::HUGEINT * 2 * n1 * n2
+                       * (2 * n1 * n2 - n1 - n2))
+                      // ((n1 + n2)::HUGEINT * (n1 + n2) * (n1 + n2 - 1))
+                 ELSE 0 END AS BIGINT) AS var_runs_micro
+FROM agg
+"""

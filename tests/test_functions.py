@@ -318,6 +318,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "selectivity_independence_audit",
         "lang_trigram_jsd",
         "key_gap_audit",
+        "value_anova_by_type",
+        "daily_runs_test",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4582,3 +4584,39 @@ def test_key_gap_audit_identity(ray_session):
     assert r["n_keys"] + r["n_missing"] == r["key_max"] - r["key_min"] + 1
     assert r["max_gap"] <= r["n_missing"]
     assert (r["n_gap_runs"] == 0) == (r["n_missing"] == 0)
+
+
+def test_anova_against_float(ray_session):
+    """The milli-scaled integer F must agree with a float ANOVA to
+    within the truncation slack of its scaled terms."""
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import value_anova_by_type
+
+    r = value_anova_by_type(SF).to_pylist()[0]
+    rows = duckdb.sql(
+        f"SELECT event_type, round(value*100) FROM "
+        f"read_parquet('{SF}/events.parquet')"
+    ).fetchall()
+    groups: dict = {}
+    for et, v in rows:
+        groups.setdefault(et, []).append(float(v))
+    all_v = [v for g in groups.values() for v in g]
+    n, k = len(all_v), len(groups)
+    mean = sum(all_v) / n
+    ssb = sum(len(g) * (sum(g) / len(g) - mean) ** 2 for g in groups.values())
+    ssw = sum((v - sum(g) / len(g)) ** 2 for g in groups.values() for v in g)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert abs(r["f_micro"] / 1e6 - f) < 1e-3
+    assert r["df_between"] == k - 1 and r["df_within"] == n - k
+
+
+def test_runs_test_identities(ray_session):
+    """Run count is bounded by 1..n_days and by 2*min(n1,n2)+1; the
+    group sizes partition the days."""
+    from document_extractor_ray.functions.analytics import daily_runs_test
+
+    r = daily_runs_test(SF).to_pylist()[0]
+    assert r["n_above"] + r["n_not_above"] == r["n_days"]
+    assert 1 <= r["n_runs"] <= r["n_days"]
+    assert r["n_runs"] <= 2 * min(r["n_above"], r["n_not_above"]) + 1
