@@ -312,6 +312,8 @@ PICKS = [
     "key_gap_audit",
     "value_anova_by_type",
     "daily_runs_test",
+    "k_anonymity_audit",
+    "part_tiering_plan",
 ]
 
 

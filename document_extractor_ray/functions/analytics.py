@@ -16330,3 +16330,169 @@ SELECT n_days, CAST((SELECT m FROM med) AS BIGINT) AS median_count,
                  ELSE 0 END AS BIGINT) AS var_runs_micro
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over a quasi-identifier tuple
+# ---------------------------------------------------------------------------
+
+K_ANON_THRESHOLD = 5
+
+
+def k_anonymity_audit(sf_dir: str, k: int = K_ANON_THRESHOLD):
+    """Privacy-release audit: group customers by the quasi-identifier
+    tuple (c_nationkey, c_mktsegment) and report the k-anonymity
+    profile — group count, smallest group, and how many groups/rows
+    fall below k (those rows would re-identify under a join attack;
+    the structured-data companion of the text-side ``pii_scrub``).
+
+    Scale shape: the QI contingency is nations × segments — a bounded
+    per-block fold; an open QI domain routes the same partials through
+    ``bucketed_agg`` and the profile becomes a group-size histogram
+    fold (dedup_cluster_size_hist shape)."""
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_mktsegment"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            t.select(["c_nationkey", "c_mktsegment"]),
+            ["c_nationkey", "c_mktsegment"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "nk": pc.cast(g["c_nationkey"], pa.int64()),
+                "seg": g["c_mktsegment"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    cells: dict = {}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for nk, seg, n in zip(
+            t["nk"].to_pylist(), t["seg"].to_pylist(), t["n"].to_pylist()
+        ):
+            cells[(nk, seg)] = cells.get((nk, seg), 0) + n
+
+    sizes = sorted(cells.values())
+    n_rows = sum(sizes)
+    below = [s for s in sizes if s < k]
+    return pa.table(
+        {
+            "n_rows": pa.array([n_rows], pa.int64()),
+            "n_groups": pa.array([len(sizes)], pa.int64()),
+            "min_group": pa.array([sizes[0] if sizes else 0], pa.int64()),
+            "k_threshold": pa.array([k], pa.int64()),
+            "groups_below_k": pa.array([len(below)], pa.int64()),
+            "rows_below_k": pa.array([sum(below)], pa.int64()),
+        }
+    )
+
+
+K_ANONYMITY_AUDIT_SQL = f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(n) AS BIGINT) AS min_group,
+       CAST({K_ANON_THRESHOLD} AS BIGINT) AS k_threshold,
+       CAST(count(*) FILTER (WHERE n < {K_ANON_THRESHOLD}) AS BIGINT)
+         AS groups_below_k,
+       CAST(COALESCE(sum(n) FILTER (WHERE n < {K_ANON_THRESHOLD}), 0) AS BIGINT)
+         AS rows_below_k
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hot/warm/cold storage tiering plan from access recency + frequency
+# ---------------------------------------------------------------------------
+
+TIER_HOT_DAYS = 180
+TIER_WARM_DAYS = 720
+
+
+def part_tiering_plan(sf_dir: str):
+    """Storage-tiering policy table: classify every part by last
+    shipment recency relative to the feed's max shipdate — hot
+    (≤180 days), warm (≤720), cold (rest) — and report parts and
+    line volume per tier, the numbers a lakehouse tiering job acts
+    on.
+
+    Scale shape: per-part (max shipdate, line count) is a key-per-row
+    aggregate → routed through ``bucketed_agg`` (CLAUDE.md rule); the
+    global max shipdate and the 3-tier rollup are bounded folds."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    day_us = 86_400_000_000
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["l_shipdate"], pa.int64()), pa.scalar(day_us, pa.int64()))
+        g = pa.TableGroupBy(
+            pa.table({"l_partkey": t["l_partkey"], "day": day}), ["l_partkey"]
+        ).aggregate([("day", "max"), ([], "count_all")])
+        return pa.table(
+            {
+                "l_partkey": g["l_partkey"],
+                "last_day": g["day_max"],
+                "n_lines": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    per_part = bucketed_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_partkey"],
+        [("last_day", "max", "last_day"), ("n_lines", "sum", "n_lines")],
+    )
+
+    rows = [
+        t
+        for t in map(ray.get, per_part.to_arrow_refs())
+        if t.num_rows
+    ]
+    last = np.concatenate([t["last_day"].to_numpy(zero_copy_only=False) for t in rows]) \
+        if rows else np.zeros(0, np.int64)
+    nl = np.concatenate([t["n_lines"].to_numpy(zero_copy_only=False) for t in rows]) \
+        if rows else np.zeros(0, np.int64)
+    mx = int(last.max()) if len(last) else 0
+    age = mx - last
+    tier = np.where(age <= TIER_HOT_DAYS, "hot",
+                    np.where(age <= TIER_WARM_DAYS, "warm", "cold"))
+    out = []
+    for name in ("cold", "hot", "warm"):
+        m = tier == name
+        if m.any():  # empty tiers don't appear (matches the GROUP BY)
+            out.append((name, int(m.sum()), int(nl[m].sum())))
+    return pa.table(
+        {
+            "tier": pa.array([r[0] for r in out], pa.string()),
+            "n_parts": pa.array([r[1] for r in out], pa.int64()),
+            "n_lines": pa.array([r[2] for r in out], pa.int64()),
+        }
+    )
+
+
+PART_TIERING_PLAN_SQL = f"""
+WITH p AS (
+  SELECT l_partkey,
+         max(epoch_us(l_shipdate) // 86400000000) AS last_day,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY 1
+),
+mx AS (SELECT max(last_day) AS mx FROM p),
+t AS (
+  SELECT CASE WHEN mx.mx - p.last_day <= {TIER_HOT_DAYS} THEN 'hot'
+              WHEN mx.mx - p.last_day <= {TIER_WARM_DAYS} THEN 'warm'
+              ELSE 'cold' END AS tier,
+         p.n_lines
+  FROM p CROSS JOIN mx
+)
+SELECT tier, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(n_lines) AS BIGINT) AS n_lines
+FROM t GROUP BY tier ORDER BY tier
+"""

@@ -320,6 +320,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "key_gap_audit",
         "value_anova_by_type",
         "daily_runs_test",
+        "k_anonymity_audit",
+        "part_tiering_plan",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4620,3 +4622,39 @@ def test_runs_test_identities(ray_session):
     assert r["n_above"] + r["n_not_above"] == r["n_days"]
     assert 1 <= r["n_runs"] <= r["n_days"]
     assert r["n_runs"] <= 2 * min(r["n_above"], r["n_not_above"]) + 1
+
+
+def test_tiering_partition_totals(ray_session):
+    """Tier rollups must re-add to the distinct part count and total
+    line count of the feed."""
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import part_tiering_plan
+
+    rows = part_tiering_plan(SF).to_pylist()
+    n_parts, n_lines = duckdb.sql(
+        f"SELECT count(DISTINCT l_partkey), count(*) FROM "
+        f"read_parquet('{SF}/lineitem.parquet')"
+    ).fetchone()
+    assert sum(r["n_parts"] for r in rows) == n_parts
+    assert sum(r["n_lines"] for r in rows) == n_lines
+
+
+def test_k_anonymity_planted(ray_session, tmp_path):
+    """A planted singleton QI group must be flagged below k."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.analytics import k_anonymity_audit
+
+    pq.write_table(
+        pa.table(
+            {
+                "c_nationkey": pa.array([1] * 10 + [2], pa.int32()),
+                "c_mktsegment": pa.array(["A"] * 10 + ["B"]),
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    r = k_anonymity_audit(str(tmp_path)).to_pylist()[0]
+    assert (r["n_groups"], r["min_group"]) == (2, 1)
+    assert (r["groups_below_k"], r["rows_below_k"]) == (1, 1)
