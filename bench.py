@@ -314,6 +314,8 @@ PICKS = [
     "daily_runs_test",
     "k_anonymity_audit",
     "part_tiering_plan",
+    "embedding_sparsify_audit",
+    "stratified_design_effect",
 ]
 
 

@@ -16496,3 +16496,138 @@ SELECT tier, CAST(count(*) AS BIGINT) AS n_parts,
        CAST(sum(n_lines) AS BIGINT) AS n_lines
 FROM t GROUP BY tier ORDER BY tier
 """
+
+
+# ---------------------------------------------------------------------------
+# Stratified-sampling design effect (survey-sampling variance gain)
+# ---------------------------------------------------------------------------
+
+def stratified_design_effect(sf_dir: str):
+    """Would stratifying by market segment help a sampled estimate of
+    mean order value?  Emits the SRS population variance and the
+    proportional-allocation stratified variance (within-strata term)
+    in MILLI-cents², each per-group term the truncating rational
+    1000·(n_g·Σx²_g − (Σx_g)²) // n_g ... // N, plus the design
+    effect deff = var_strat/var_srs in micro — deff < 1 is the
+    measured payoff of stratification.
+
+    Scale shape: the same bounded per-segment moment fold as
+    mktseg_target_encoding (customer dim broadcast, 5 segments);
+    driver integer math after."""
+    from document_extractor_ray import state
+
+    dim = pa.concat_tables(
+        [
+            t
+            for t in map(
+                ray.get,
+                _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_arrow_refs(),
+            )
+            if t.num_rows
+        ]
+    ).combine_chunks()
+    dim_ref = state.broadcast(dim)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = state.cached_get(dim_ref)
+        t = state.lookup_join(t, "o_custkey", d, "c_custkey", ["c_mktsegment"])
+        c = _to_cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        # x² can reach 2.5e15 per row — a block sum would brush int64;
+        # split into (quotient, remainder) by 1e6 and rebuild with
+        # Python ints on the driver.
+        x2 = c * c
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "seg": t["c_mktsegment"],
+                    "x": pa.array(c, pa.int64()),
+                    "x2q": pa.array(x2 // 1_000_000, pa.int64()),
+                    "x2r": pa.array(x2 % 1_000_000, pa.int64()),
+                }
+            ),
+            ["seg"],
+        ).aggregate(
+            [("x", "sum"), ("x2q", "sum"), ("x2r", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "seg": g["seg"],
+                "s": g["x_sum"],
+                "s2q": g["x2q_sum"],
+                "s2r": g["x2r_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    acc: dict = {}
+    for t in map(
+        ray.get, orders.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for seg, s, s2q, s2r, n in zip(
+            t["seg"].to_pylist(), t["s"].to_pylist(), t["s2q"].to_pylist(),
+            t["s2r"].to_pylist(), t["n"].to_pylist(),
+        ):
+            cur = acc.setdefault(seg, [0, 0, 0])
+            cur[0] += s
+            cur[1] += s2q * 1_000_000 + s2r
+            cur[2] += n
+
+    n_tot = sum(v[2] for v in acc.values())
+    s_tot = sum(v[0] for v in acc.values())
+    s2_tot = sum(v[1] for v in acc.values())
+    var_srs_milli = (1000 * (n_tot * s2_tot - s_tot * s_tot)) // (n_tot * n_tot)
+    var_strat_milli = (
+        sum((1000 * (v[2] * v[1] - v[0] * v[0])) // v[2] for v in acc.values())
+        // n_tot
+    )
+    deff_micro = (
+        (1_000_000 * var_strat_milli) // var_srs_milli if var_srs_milli > 0 else 0
+    )
+    return pa.table(
+        {
+            "n_orders": pa.array([n_tot], pa.int64()),
+            "n_strata": pa.array([len(acc)], pa.int64()),
+            "var_srs_milli": pa.array([var_srs_milli], pa.int64()),
+            "var_strat_milli": pa.array([var_strat_milli], pa.int64()),
+            "deff_micro": pa.array([deff_micro], pa.int64()),
+        }
+    )
+
+
+STRATIFIED_DESIGN_EFFECT_SQL = """
+WITH g AS (
+  SELECT c_mktsegment AS seg,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS s,
+         sum(CAST(round(o_totalprice * 100.0) AS HUGEINT)
+             * CAST(round(o_totalprice * 100.0) AS HUGEINT)) AS s2
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS n_tot,
+         CAST(sum(s) AS BIGINT) AS s_tot,
+         sum(s2) AS s2_tot,
+         CAST(sum((1000::HUGEINT * (n::HUGEINT * s2 - s::HUGEINT * s)) // n)
+              AS HUGEINT) AS strat_terms
+  FROM g
+),
+x AS (
+  SELECT n_tot, k,
+         (1000::HUGEINT * (n_tot::HUGEINT * s2_tot - s_tot::HUGEINT * s_tot))
+           // (n_tot::HUGEINT * n_tot) AS var_srs,
+         strat_terms // n_tot AS var_strat
+  FROM t
+)
+SELECT n_tot AS n_orders, k AS n_strata,
+       CAST(var_srs AS BIGINT) AS var_srs_milli,
+       CAST(var_strat AS BIGINT) AS var_strat_milli,
+       CAST(CASE WHEN var_srs > 0
+                 THEN (1000000::HUGEINT * var_strat) // var_srs
+                 ELSE 0 END AS BIGINT) AS deff_micro
+FROM x
+"""

@@ -3168,3 +3168,114 @@ FROM a ORDER BY bits
 
 
 QUANTIZE_BITS_SWEEP_SQL = _quant_sweep_sql()
+
+
+# ---------------------------------------------------------------------------
+# Top-m sparsification energy audit
+# ---------------------------------------------------------------------------
+
+SPARSIFY_TOP_M = 32
+
+
+def embedding_sparsify_audit(sf_dir: str, m: int = SPARSIFY_TOP_M):
+    """How much L1 energy survives keeping only the top-m components
+    per vector (|value| desc, dimension asc on ties — the exact rule
+    both engines share)?  Emits the retained-energy distribution in
+    ppm deciles — the table that decides whether sparse storage of the
+    embedding corpus is viable.  Component micro = floor(v·1e6 + ½);
+    retained ppm is one truncating rational per vector.
+
+    Scale shape: fully vectorized per block over the zero-copy matrix
+    (np.argpartition per row, no Python loop), bounded (band → count,
+    Σppm) fold on the driver."""
+    ds = _read_embeddings(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        mat = embedding_matrix(t["embedding"]).astype(np.float64)
+        if mat.size == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "n_p": pa.array([], pa.int64()),
+                    "ppm_p": pa.array([], pa.int64()),
+                }
+            )
+        vi = np.floor(mat * 1_000_000 + 0.5).astype(np.int64)
+        av = np.abs(vi)
+        d = mat.shape[1]
+        # composite key: (|vi| desc, dim asc) == descending (av*1024 - dim)
+        comp = av * 1024 - np.arange(d, dtype=np.int64)[None, :]
+        keep = min(m, d)
+        idx = np.argpartition(-comp, keep - 1, axis=1)[:, :keep]
+        retained = np.take_along_axis(av, idx, axis=1).sum(axis=1)
+        total = av.sum(axis=1)
+        ppm = (1_000_000 * retained) // total
+        band = ppm // 100_000
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "band": pa.array(band, pa.int64()),
+                    "ppm": pa.array(ppm, pa.int64()),
+                }
+            ),
+            ["band"],
+        ).aggregate([("ppm", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "band": g["band"],
+                "n_p": pc.cast(g["count_all"], pa.int64()),
+                "ppm_p": g["ppm_sum"],
+            }
+        )
+
+    acc: dict = {}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for b, n, s in zip(
+            t["band"].to_pylist(), t["n_p"].to_pylist(), t["ppm_p"].to_pylist()
+        ):
+            cur = acc.setdefault(b, [0, 0])
+            cur[0] += n
+            cur[1] += s
+
+    bands = sorted(acc)
+    return pa.table(
+        {
+            "band": pa.array(bands, pa.int64()),
+            "n_vectors": pa.array([acc[b][0] for b in bands], pa.int64()),
+            "sum_ppm": pa.array([acc[b][1] for b in bands], pa.int64()),
+        }
+    )
+
+
+EMBEDDING_SPARSIFY_AUDIT_SQL = f"""
+WITH v AS (
+  SELECT e.vec_id, CAST(r.d AS BIGINT) AS d,
+         abs(CAST(floor(CAST(e.embedding[CAST(r.d AS INTEGER) + 1] AS DOUBLE)
+                        * 1000000 + 0.5) AS BIGINT)) AS av
+  FROM embeddings e, range(0, 256) r(d)
+  WHERE r.d < len(e.embedding)
+),
+rk AS (
+  SELECT vec_id, av,
+         row_number() OVER (PARTITION BY vec_id ORDER BY av DESC, d) AS rn
+  FROM v
+),
+p AS (
+  SELECT vec_id,
+         CAST(sum(av) FILTER (WHERE rn <= {SPARSIFY_TOP_M}) AS BIGINT)
+           AS retained,
+         CAST(sum(av) AS BIGINT) AS total
+  FROM rk GROUP BY 1
+),
+b AS (
+  SELECT (1000000 * retained) // total AS ppm FROM p
+)
+SELECT CAST(ppm // 100000 AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(ppm) AS BIGINT) AS sum_ppm
+FROM b GROUP BY 1 ORDER BY 1
+"""

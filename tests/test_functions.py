@@ -322,6 +322,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "daily_runs_test",
         "k_anonymity_audit",
         "part_tiering_plan",
+        "embedding_sparsify_audit",
+        "stratified_design_effect",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4658,3 +4660,32 @@ def test_k_anonymity_planted(ray_session, tmp_path):
     r = k_anonymity_audit(str(tmp_path)).to_pylist()[0]
     assert (r["n_groups"], r["min_group"]) == (2, 1)
     assert (r["groups_below_k"], r["rows_below_k"]) == (1, 1)
+
+
+def test_sparsify_audit_totals(ray_session):
+    """Band counts re-add to the corpus size and every retained share
+    is a valid ppm."""
+    import duckdb
+
+    from document_extractor_ray.functions.similarity import embedding_sparsify_audit
+
+    rows = embedding_sparsify_audit(SF).to_pylist()
+    n_vecs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_vectors"] for r in rows) == n_vecs
+    for r in rows:
+        assert 0 <= r["band"] <= 10
+        # mean ppm within the band's range
+        mean = r["sum_ppm"] / r["n_vectors"]
+        assert r["band"] * 100_000 <= mean < (r["band"] + 1) * 100_000
+
+
+def test_design_effect_bounds(ray_session):
+    """Proportional-allocation stratified variance can exceed SRS only
+    by the truncation slack; deff stays in (0, 1.01]."""
+    from document_extractor_ray.functions.analytics import stratified_design_effect
+
+    r = stratified_design_effect(SF).to_pylist()[0]
+    assert 0 < r["deff_micro"] <= 1_010_000
+    assert r["var_strat_milli"] <= r["var_srs_milli"] + r["n_strata"]
