@@ -316,6 +316,8 @@ PICKS = [
     "part_tiering_plan",
     "embedding_sparsify_audit",
     "stratified_design_effect",
+    "littles_law_audit",
+    "lineitem_corr_matrix",
 ]
 
 

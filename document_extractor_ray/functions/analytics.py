@@ -16631,3 +16631,304 @@ SELECT n_tot AS n_orders, k AS n_strata,
                  ELSE 0 END AS BIGINT) AS deff_micro
 FROM x
 """
+
+
+# ---------------------------------------------------------------------------
+# Little's law audit over the order open-interval process
+# ---------------------------------------------------------------------------
+
+def littles_law_audit(sf_dir: str):
+    """Queueing sanity check: compute the time integral of the number
+    of OPEN orders (order placed, last line not yet shipped) by
+    sweep-line, and the total open duration directly per order — the
+    two sides of Little's law L̄·T = Σ durations, derived through
+    completely different dataflows (a global event sweep vs a per-key
+    aggregate), so their exact equality is a distributed-correctness
+    proof, not a tautology.  Negative durations (lines shipped before
+    the order date exist in this feed) carry sign through both paths.
+    Also emits L̄, W̄ and λ as truncating rationals.
+
+    Scale shape: per-order close time via ``bucketed_agg`` max (key-
+    per-row rule); the sweep folds a calendar-bounded (timestamp →
+    signed delta) map on the driver."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+                }
+            ),
+            ["l_orderkey"],
+        ).aggregate([("ship_us", "max")])
+        return pa.table(
+            {"l_orderkey": g["l_orderkey"], "close_us": g["ship_us_max"]}
+        )
+
+    closes = bucketed_agg(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        ["l_orderkey"],
+        [("close_us", "max", "close_us")],
+    )
+
+    close_map: dict = {}
+    for t in map(ray.get, closes.to_arrow_refs()):
+        if not t.num_rows:
+            continue
+        for k, c in zip(t["l_orderkey"].to_pylist(), t["close_us"].to_pylist()):
+            close_map[k] = max(close_map.get(k, c), c)
+
+    ckeys = np.array(sorted(close_map), dtype=np.int64)
+    cvals = np.array([close_map[k] for k in ckeys], dtype=np.int64)
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    starts_l, ends_l = [], []
+    for t in map(ray.get, orders.to_arrow_refs()):
+        if not t.num_rows:
+            continue
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        st = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ckeys, ok)
+        hit = (idx < len(ckeys)) & (ckeys[np.minimum(idx, max(len(ckeys) - 1, 0))] == ok) \
+            if len(ckeys) else np.zeros(len(ok), bool)
+        starts_l.append(st[hit])
+        ends_l.append(cvals[idx[hit]])
+    starts = np.concatenate(starts_l) if starts_l else np.zeros(0, np.int64)
+    ends = np.concatenate(ends_l) if ends_l else np.zeros(0, np.int64)
+    n_orders = len(starts)
+    dur_sum = int(ends.sum() - starts.sum())
+
+    sign = np.where(ends >= starts, 1, -1).astype(np.int64)
+    lo = np.minimum(starts, ends)
+    hi = np.maximum(starts, ends)
+    pts = np.concatenate([lo, hi])
+    dl = np.concatenate([sign, -sign])
+    order = np.argsort(pts, kind="stable")
+    pts, dl = pts[order], dl[order]
+    uniq, inv = np.unique(pts, return_inverse=True)
+    agg = np.zeros(len(uniq), np.int64)
+    np.add.at(agg, inv, dl)
+    open_cnt = np.cumsum(agg)
+    integral = int((open_cnt[:-1] * np.diff(uniq)).sum()) if len(uniq) > 1 else 0
+    horizon = int(uniq[-1] - uniq[0]) if len(uniq) > 1 else 0
+    day_us = 86_400_000_000
+
+    def fdiv(a: int, n: int) -> int:
+        return (a - ((a % n + n) % n)) // n if n else 0
+
+    return pa.table(
+        {
+            "n_orders": pa.array([n_orders], pa.int64()),
+            "horizon_us": pa.array([horizon], pa.int64()),
+            "duration_sum_us": pa.array([dur_sum], pa.int64()),
+            "open_integral_us": pa.array([integral], pa.int64()),
+            "l_avg_micro": pa.array([fdiv(1_000_000 * integral, horizon)], pa.int64()),
+            "w_avg_us": pa.array([fdiv(dur_sum, n_orders)], pa.int64()),
+            "lambda_per_day_micro": pa.array(
+                [fdiv(1_000_000 * n_orders * day_us, horizon)], pa.int64()
+            ),
+        }
+    )
+
+
+LITTLES_LAW_AUDIT_SQL = """
+WITH o AS (
+  SELECT o.o_orderkey,
+         epoch_us(o.o_orderdate) AS start_us,
+         max(epoch_us(l.l_shipdate)) AS end_us
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+ev AS (
+  SELECT CASE WHEN end_us >= start_us THEN start_us ELSE end_us END AS t,
+         CAST(CASE WHEN end_us >= start_us THEN 1 ELSE -1 END AS BIGINT) AS d
+  FROM o
+  UNION ALL
+  SELECT CASE WHEN end_us >= start_us THEN end_us ELSE start_us END,
+         CAST(CASE WHEN end_us >= start_us THEN -1 ELSE 1 END AS BIGINT)
+  FROM o
+),
+g AS (SELECT t, CAST(sum(d) AS BIGINT) AS d FROM ev GROUP BY t),
+sw AS (
+  SELECT t, sum(d) OVER (ORDER BY t) AS open_cnt,
+         lead(t) OVER (ORDER BY t) AS nxt
+  FROM g
+),
+m AS (
+  SELECT CAST((SELECT count(*) FROM o) AS BIGINT) AS n_orders,
+         CAST((SELECT max(t) - min(t) FROM g) AS BIGINT) AS horizon_us,
+         CAST((SELECT sum(end_us - start_us) FROM o) AS BIGINT)
+           AS duration_sum_us,
+         CAST(COALESCE(sum(open_cnt * (nxt - t)), 0) AS BIGINT)
+           AS open_integral_us
+  FROM sw WHERE nxt IS NOT NULL
+)
+SELECT n_orders, horizon_us, duration_sum_us, open_integral_us,
+       CAST((1000000::HUGEINT * open_integral_us
+             - (((1000000::HUGEINT * open_integral_us) % horizon_us
+                 + horizon_us) % horizon_us)) // horizon_us AS BIGINT)
+         AS l_avg_micro,
+       CAST((duration_sum_us
+             - ((duration_sum_us % n_orders + n_orders) % n_orders))
+            // n_orders AS BIGINT) AS w_avg_us,
+       CAST((1000000::HUGEINT * n_orders * 86400000000)
+            // horizon_us AS BIGINT) AS lambda_per_day_micro
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pairwise correlation matrix over the lineitem numeric columns
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ("qty_units", "price_dollars", "discount_permille", "tax_permille")
+
+
+def lineitem_corr_matrix(sf_dir: str):
+    """Pairwise Pearson association between the four lineitem numeric
+    measures (quantity in units, price in whole dollars, discount and
+    tax in permille — integer encodings both engines share): each pair
+    ships the exact centered moments (n·Σxy − ΣxΣy etc.) plus signed
+    r² in micro — the column-profiling matrix a feature-selection or
+    compression planner reads.
+
+    Scale shape: ONE pass computes all 4 sums, 4 sums-of-squares and
+    6 cross sums per block (PERF-36: metrics are columns, not scans);
+    the 14-number fold and the 6-pair math run on the driver."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def enc(t: pa.Table) -> dict:
+        return {
+            "qty_units": pc.cast(
+                pc.round(t["l_quantity"], round_mode="half_towards_infinity"),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False),
+            "price_dollars": pc.cast(
+                pc.round(t["l_extendedprice"], round_mode="half_towards_infinity"),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False),
+            "discount_permille": pc.cast(
+                pc.round(
+                    pc.multiply(t["l_discount"], 1000.0),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False),
+            "tax_permille": pc.cast(
+                pc.round(
+                    pc.multiply(t["l_tax"], 1000.0),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False),
+        }
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = enc(t)
+        names, vals = [], []
+        names.append("__n__")
+        vals.append(t.num_rows)
+        for a in _CORR_COLS:
+            names.append(f"s:{a}")
+            vals.append(int(cols[a].sum()))
+        for i, a in enumerate(_CORR_COLS):
+            for b in _CORR_COLS[i:]:
+                names.append(f"x:{a}:{b}")
+                vals.append(int((cols[a] * cols[b]).sum()))
+        return pa.table(
+            {
+                "key": pa.array(names, pa.string()),
+                "v": pa.array(vals, pa.int64()),
+            }
+        )
+
+    acc: dict = {}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for k, v in zip(t["key"].to_pylist(), t["v"].to_pylist()):
+            acc[k] = acc.get(k, 0) + v
+
+    n = acc["__n__"]
+
+    def fdiv(a: int, d: int) -> int:
+        return (a - ((a % d + d) % d)) // d if d else 0
+
+    rows = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            sxy = n * acc[f"x:{a}:{b}"] - acc[f"s:{a}"] * acc[f"s:{b}"]
+            sxx = n * acc[f"x:{a}:{a}"] - acc[f"s:{a}"] ** 2
+            syy = n * acc[f"x:{b}:{b}"] - acc[f"s:{b}"] ** 2
+            r2 = fdiv(1_000_000 * sxy * sxy, sxx * syy) if sxx and syy else 0
+            rows.append((a, b, n, sxy, r2 if sxy >= 0 else -r2))
+    rows.sort()
+    return pa.table(
+        {
+            "col_a": pa.array([r[0] for r in rows], pa.string()),
+            "col_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_rows": pa.array([r[2] for r in rows], pa.int64()),
+            "sxy_centered": pa.array([r[3] for r in rows], pa.int64()),
+            "r2_signed_micro": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _corr_matrix_sql() -> str:
+    expr = {
+        "qty_units": "CAST(round(l_quantity) AS BIGINT)",
+        "price_dollars": "CAST(round(l_extendedprice) AS BIGINT)",
+        "discount_permille": "CAST(round(l_discount * 1000.0) AS BIGINT)",
+        "tax_permille": "CAST(round(l_tax * 1000.0) AS BIGINT)",
+    }
+    sums = ",\n         ".join(
+        [f"CAST(sum({e}) AS BIGINT) AS s_{c}" for c, e in expr.items()]
+        + [
+            f"sum(({expr[a]})::HUGEINT * ({expr[b]})) AS x_{a}__{b}"
+            for i, a in enumerate(_CORR_COLS)
+            for b in _CORR_COLS[i:]
+        ]
+    )
+    pair_rows = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            sxy = f"(n * x_{a}__{b} - s_{a}::HUGEINT * s_{b})"
+            sxx = f"(n * x_{a}__{a} - s_{a}::HUGEINT * s_{a})"
+            syy = f"(n * x_{b}__{b} - s_{b}::HUGEINT * s_{b})"
+            r2 = (
+                f"CASE WHEN {sxx} = 0 OR {syy} = 0 THEN 0 ELSE "
+                f"(CASE WHEN {sxy} >= 0 THEN 1 ELSE -1 END) * "
+                f"((1000000::HUGEINT * {sxy} * {sxy}"
+                f" - (((1000000::HUGEINT * {sxy} * {sxy}) % ({sxx} * {syy})"
+                f" + ({sxx} * {syy})) % ({sxx} * {syy})))"
+                f" // ({sxx} * {syy})) END"
+            )
+            pair_rows.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+                f" CAST(n AS BIGINT) AS n_rows,"
+                f" CAST({sxy} AS BIGINT) AS sxy_centered,"
+                f" CAST({r2} AS BIGINT) AS r2_signed_micro FROM m"
+            )
+    union = "\nUNION ALL\n".join(pair_rows)
+    return f"""
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         {sums}
+  FROM lineitem
+)
+{union}
+ORDER BY col_a, col_b
+"""
+
+
+LINEITEM_CORR_MATRIX_SQL = _corr_matrix_sql()

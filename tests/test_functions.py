@@ -324,6 +324,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "part_tiering_plan",
         "embedding_sparsify_audit",
         "stratified_design_effect",
+        "littles_law_audit",
+        "lineitem_corr_matrix",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4689,3 +4691,29 @@ def test_design_effect_bounds(ray_session):
     r = stratified_design_effect(SF).to_pylist()[0]
     assert 0 < r["deff_micro"] <= 1_010_000
     assert r["var_strat_milli"] <= r["var_srs_milli"] + r["n_strata"]
+
+
+def test_littles_law_identity(ray_session):
+    """The sweep-line open-time integral and the per-order duration
+    sum are computed through different dataflows and must be EXACTLY
+    equal (Little's law at full horizon)."""
+    from document_extractor_ray.functions.analytics import littles_law_audit
+
+    r = littles_law_audit(SF).to_pylist()[0]
+    assert r["duration_sum_us"] == r["open_integral_us"]
+    # L = lambda * W within truncation slack of the three rationals
+    lhs = r["l_avg_micro"] / 1e6
+    rhs = (r["lambda_per_day_micro"] / 1e6) * (r["w_avg_us"] / 86_400_000_000)
+    assert abs(lhs - rhs) < 1e-3 * max(lhs, 1)
+
+
+def test_corr_matrix_bounds(ray_session):
+    """Signed r-squared stays in [-1e6, 1e6]; diagonal-free pair set
+    covers all 6 combinations once."""
+    from document_extractor_ray.functions.analytics import lineitem_corr_matrix
+
+    rows = lineitem_corr_matrix(SF).to_pylist()
+    assert len(rows) == 6
+    assert len({(r["col_a"], r["col_b"]) for r in rows}) == 6
+    for r in rows:
+        assert -1_000_000 <= r["r2_signed_micro"] <= 1_000_000
