@@ -318,6 +318,8 @@ PICKS = [
     "stratified_design_effect",
     "littles_law_audit",
     "lineitem_corr_matrix",
+    "sample_extrapolation_audit",
+    "event_double_fire_audit",
 ]
 
 

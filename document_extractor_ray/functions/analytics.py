@@ -16932,3 +16932,174 @@ ORDER BY col_a, col_b
 
 
 LINEITEM_CORR_MATRIX_SQL = _corr_matrix_sql()
+
+
+# ---------------------------------------------------------------------------
+# Canary sampling extrapolation audit (10% hash sample vs truth)
+# ---------------------------------------------------------------------------
+
+SAMPLE_AUDIT_PCT = 10
+
+
+def sample_extrapolation_audit(sf_dir: str, pct: int = SAMPLE_AUDIT_PCT):
+    """The canary question every sampled pipeline must answer: how far
+    off is the ×10 extrapolation of a deterministic 10% hash sample
+    from the true daily event counts?  Emits per-day actual, sampled,
+    extrapolated and absolute error — membership is the corpus-wide
+    fmix64(event_id) % 100 < pct rule (hash_sample's), so the same
+    event is in or out of every downstream sample.
+
+    Scale shape: ONE pass computes day + membership per batch and
+    folds the calendar-bounded (day → actual, sampled) map."""
+    day_us = 86_400_000_000
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        inn = ((_hll_hash(u) % np.uint64(100)) < np.uint64(pct)).astype(np.int64)
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), pa.scalar(day_us, pa.int64()))
+        g = pa.TableGroupBy(
+            pa.table({"day": day, "inn": pa.array(inn, pa.int64())}), ["day"]
+        ).aggregate([("inn", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "day": g["day"],
+                "n_sample": g["inn_sum"],
+                "n_actual": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    acc: dict = {}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for d, s, n in zip(
+            t["day"].to_pylist(), t["n_sample"].to_pylist(), t["n_actual"].to_pylist()
+        ):
+            cur = acc.setdefault(d, [0, 0])
+            cur[0] += s
+            cur[1] += n
+
+    days = sorted(acc)
+    mult = 100 // pct
+    return pa.table(
+        {
+            "day": pa.array(days, pa.int64()),
+            "n_actual": pa.array([acc[d][1] for d in days], pa.int64()),
+            "n_sample": pa.array([acc[d][0] for d in days], pa.int64()),
+            "n_est": pa.array([mult * acc[d][0] for d in days], pa.int64()),
+            "abs_err": pa.array(
+                [abs(mult * acc[d][0] - acc[d][1]) for d in days], pa.int64()
+            ),
+        }
+    )
+
+
+def _sample_extrapolation_sql(pct: int = SAMPLE_AUDIT_PCT) -> str:
+    mult = 100 // pct
+    return f"""
+WITH {_fmix64_sql("event_id", "epoch_us(ts) // 86400000000", "day")},
+d AS (
+  SELECT day,
+         CAST(count(*) AS BIGINT) AS n_actual,
+         CAST(count(*) FILTER (WHERE h % 100 < {pct}) AS BIGINT) AS n_sample
+  FROM h5 GROUP BY 1
+)
+SELECT CAST(day AS BIGINT) AS day, n_actual, n_sample,
+       CAST({mult} * n_sample AS BIGINT) AS n_est,
+       CAST(abs({mult} * n_sample - n_actual) AS BIGINT) AS abs_err
+FROM d ORDER BY day
+"""
+
+
+SAMPLE_EXTRAPOLATION_AUDIT_SQL = _sample_extrapolation_sql()
+
+
+# ---------------------------------------------------------------------------
+# Telemetry double-fire audit (adjacent same-user same-type events)
+# ---------------------------------------------------------------------------
+
+DOUBLE_FIRE_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def event_double_fire_audit(sf_dir: str, window_us: int = DOUBLE_FIRE_WINDOW_US):
+    """Telemetry hygiene: per event type, how many ADJACENT events of
+    the same user fire within the double-click window — the duplicate-
+    instrumentation smell an ingest pipeline flags before dedup.
+    Adjacency is (user, type) ordered by (ts, event_id); the rate
+    ships in ppm of the type's event count.
+
+    Scale shape: the per-key ordered scan shuffles ONCE on user_id
+    (the sessionize pattern — balanced map_groups partitions, Arrow
+    in/out per PERF-37), each group vectorized; the per-type rollup
+    is a bounded fold."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, et))
+        et_s, ts_s = et[order], ts[order]
+        same = et_s[1:] == et_s[:-1]
+        close = (ts_s[1:] - ts_s[:-1]) <= window_us
+        pair_types = et_s[1:][same & close]
+        types, pair_counts = np.unique(pair_types, return_counts=True)
+        all_types, tot_counts = np.unique(et_s, return_counts=True)
+        cnt = {ty: 0 for ty in all_types}
+        for ty, n in zip(types, pair_counts):
+            cnt[ty] = int(n)
+        return pa.table(
+            {
+                "event_type": pa.array(list(all_types), pa.string()),
+                "pairs_p": pa.array([cnt[ty] for ty in all_types], pa.int64()),
+                "n_p": pa.array(tot_counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    acc: dict = {}
+    for t in map(
+        ray.get,
+        ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow").to_arrow_refs(),
+    ):
+        if not t.num_rows:
+            continue
+        for ty, p, n in zip(
+            t["event_type"].to_pylist(), t["pairs_p"].to_pylist(), t["n_p"].to_pylist()
+        ):
+            cur = acc.setdefault(ty, [0, 0])
+            cur[0] += p
+            cur[1] += n
+
+    types = sorted(acc)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n_events": pa.array([acc[t][1] for t in types], pa.int64()),
+            "n_double_fires": pa.array([acc[t][0] for t in types], pa.int64()),
+            "rate_ppm": pa.array(
+                [(1_000_000 * acc[t][0]) // acc[t][1] for t in types], pa.int64()
+            ),
+        }
+    )
+
+
+EVENT_DOUBLE_FIRE_AUDIT_SQL = f"""
+WITH s AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE gap IS NOT NULL
+                               AND gap <= {DOUBLE_FIRE_WINDOW_US}) AS BIGINT)
+         AS n_double_fires,
+       CAST((1000000 * count(*) FILTER (WHERE gap IS NOT NULL
+                                          AND gap <= {DOUBLE_FIRE_WINDOW_US}))
+            // count(*) AS BIGINT) AS rate_ppm
+FROM s GROUP BY event_type ORDER BY event_type
+"""

@@ -326,6 +326,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "stratified_design_effect",
         "littles_law_audit",
         "lineitem_corr_matrix",
+        "sample_extrapolation_audit",
+        "event_double_fire_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4717,3 +4719,32 @@ def test_corr_matrix_bounds(ray_session):
     assert len({(r["col_a"], r["col_b"]) for r in rows}) == 6
     for r in rows:
         assert -1_000_000 <= r["r2_signed_micro"] <= 1_000_000
+
+
+def test_sample_extrapolation_consistency(ray_session):
+    """Sample counts re-add to hash_sample's membership rule: total
+    sampled events across days equals a direct membership count, and
+    every est is exactly 10x the sample."""
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import (
+        sample_extrapolation_audit,
+    )
+
+    rows = sample_extrapolation_audit(SF).to_pylist()
+    tot_actual = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_actual"] for r in rows) == tot_actual
+    for r in rows:
+        assert r["n_est"] == 10 * r["n_sample"]
+        assert r["abs_err"] == abs(r["n_est"] - r["n_actual"])
+
+
+def test_double_fire_rate_bounds(ray_session):
+    """Pairs can never exceed events-1 per type; ppm stays in range."""
+    from document_extractor_ray.functions.analytics import event_double_fire_audit
+
+    for r in event_double_fire_audit(SF).to_pylist():
+        assert 0 <= r["n_double_fires"] < r["n_events"]
+        assert 0 <= r["rate_ppm"] < 1_000_000
