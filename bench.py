@@ -320,6 +320,8 @@ PICKS = [
     "lineitem_corr_matrix",
     "sample_extrapolation_audit",
     "event_double_fire_audit",
+    "embedding_mmd_labels",
+    "hdr_precision_sweep",
 ]
 
 

@@ -17103,3 +17103,112 @@ SELECT event_type,
             // count(*) AS BIGINT) AS rate_ppm
 FROM s GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram precision sweep (bucket width vs quantile error)
+# ---------------------------------------------------------------------------
+
+HDR_SWEEP_WIDTHS = (1, 16, 256)
+HDR_SWEEP_QS = (500, 900, 990)
+
+
+def hdr_precision_sweep(sf_dir: str):
+    """Sketch-sizing table: quantile error of a fixed-width bucket
+    histogram over event value at widths 1/16/256 cents for
+    p50/p90/p99 — the width-vs-accuracy tradeoff a percentile-sketch
+    deployment picks from, all from ONE (cents → count) fold
+    (PERF-36: resolutions are derived groupings, never extra scans).
+    Quantile rule: smallest value whose running count reaches
+    ceil(total·q/1000); bucket estimates report the bucket's lower
+    edge.
+
+    Scale shape: one bounded histogram fold; the sweep is driver
+    math."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"cents": _to_cents(t["value"])}), ["cents"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {"cents": g["cents"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    hist: dict = {}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for c, n in zip(t["cents"].to_pylist(), t["n"].to_pylist()):
+            hist[c] = hist.get(c, 0) + n
+
+    vals = np.array(sorted(hist), dtype=np.int64)
+    cnts = np.array([hist[v] for v in vals], dtype=np.int64)
+    cum = np.cumsum(cnts)
+    tot = int(cum[-1]) if len(cum) else 0
+
+    out = {k: [] for k in ("width", "q_permille", "exact_cents", "est_cents", "abs_err")}
+    for w in HDR_SWEEP_WIDTHS:
+        b = vals // w
+        ub, binv = np.unique(b, return_inverse=True)
+        bc = np.zeros(len(ub), np.int64)
+        np.add.at(bc, binv, cnts)
+        bcum = np.cumsum(bc)
+        for q in HDR_SWEEP_QS:
+            need = (tot * q + 999) // 1000
+            exact = int(vals[np.searchsorted(cum, need)])
+            est = int(ub[np.searchsorted(bcum, need)]) * w
+            out["width"].append(w)
+            out["q_permille"].append(q)
+            out["exact_cents"].append(exact)
+            out["est_cents"].append(est)
+            out["abs_err"].append(abs(est - exact))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+
+def _hdr_sweep_sql() -> str:
+    ws = ", ".join(f"({w})" for w in HDR_SWEEP_WIDTHS)
+    qs = ", ".join(f"({q})" for q in HDR_SWEEP_QS)
+    return f"""
+WITH c AS (
+  SELECT CAST(round(value * 100.0) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+qs(q) AS (VALUES {qs}),
+ws(w) AS (VALUES {ws}),
+need AS (SELECT q, (tot * q + 999) // 1000 AS need FROM tot CROSS JOIN qs),
+ex AS (
+  SELECT q, CAST(min(cents) AS BIGINT) AS exact_cents
+  FROM (
+    SELECT c.cents, nd.q, nd.need,
+           sum(c.n) OVER (PARTITION BY nd.q ORDER BY c.cents) AS cum
+    FROM c CROSS JOIN need nd
+  ) WHERE cum >= need GROUP BY q
+),
+bh AS (
+  SELECT ws.w, c.cents // ws.w AS b, CAST(sum(c.n) AS BIGINT) AS n
+  FROM c CROSS JOIN ws GROUP BY 1, 2
+),
+est AS (
+  SELECT w, q, CAST(min(b) AS BIGINT) AS b
+  FROM (
+    SELECT bh.w, bh.b, nd.q, nd.need,
+           sum(bh.n) OVER (PARTITION BY bh.w, nd.q ORDER BY bh.b) AS cum
+    FROM bh CROSS JOIN need nd
+  ) WHERE cum >= need GROUP BY 1, 2
+)
+SELECT CAST(est.w AS BIGINT) AS width,
+       CAST(est.q AS BIGINT) AS q_permille,
+       ex.exact_cents,
+       CAST(est.b * est.w AS BIGINT) AS est_cents,
+       CAST(abs(est.b * est.w - ex.exact_cents) AS BIGINT) AS abs_err
+FROM est JOIN ex USING (q)
+ORDER BY width, q_permille
+"""
+
+
+HDR_PRECISION_SWEEP_SQL = _hdr_sweep_sql()

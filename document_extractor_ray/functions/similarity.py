@@ -3279,3 +3279,120 @@ SELECT CAST(ppm // 100000 AS BIGINT) AS band,
        CAST(sum(ppm) AS BIGINT) AS sum_ppm
 FROM b GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Linear-kernel MMD between label groups (mean-embedding distance)
+# ---------------------------------------------------------------------------
+
+def embedding_mmd_labels(sf_dir: str):
+    """Pairwise maximum mean discrepancy with the LINEAR kernel
+    between label groups — MMD² = ‖μ_a − μ_b‖², the two-sample
+    drift statistic over embedding distributions, exact as ONE integer
+    rational per pair: Σ_d (S_a·n_b − S_b·n_a)² / (n_a·n_b)² over
+    micro-quantized component sums.
+
+    Scale shape: per-block (label, dim) micro-sum partials (the
+    label_centroids fold — bounded by labels × dims); all 45 pairs
+    are driver integer math over that bounded table."""
+    ds = _read_embeddings(sf_dir, with_label=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t["embedding"]).astype(np.float64)
+        if m.size == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        vi = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        d = m.shape[1]
+        sums = np.zeros((len(uniq), d), np.int64)
+        np.add.at(sums, inv, vi)
+        counts = np.bincount(inv).astype(np.int64)
+        labels = np.repeat(uniq, d + 1)
+        dims = np.tile(np.r_[np.arange(d, dtype=np.int64), -1], len(uniq))
+        vals = np.concatenate(
+            [np.r_[sums[i], counts[i]] for i in range(len(uniq))]
+        )
+        return pa.table(
+            {
+                "label": pa.array(labels, pa.int64()),
+                "dim": pa.array(dims, pa.int64()),
+                "s": pa.array(vals, pa.int64()),
+            }
+        )
+
+    sums: dict = {}
+    counts: dict = {}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for la, dd, s in zip(
+            t["label"].to_pylist(), t["dim"].to_pylist(), t["s"].to_pylist()
+        ):
+            if dd == -1:
+                counts[la] = counts.get(la, 0) + s
+            else:
+                key = (la, dd)
+                sums[key] = sums.get(key, 0) + s
+
+    labels = sorted(counts)
+    dims = sorted({dd for _, dd in sums})
+    rows = []
+    for i, la in enumerate(labels):
+        for lb in labels[i + 1 :]:
+            na, nb = counts[la], counts[lb]
+            num = sum(
+                (sums.get((la, dd), 0) * nb - sums.get((lb, dd), 0) * na) ** 2
+                for dd in dims
+            )
+            den = (na * nb) ** 2
+            rows.append((la, lb, na, nb, (1_000_000 * num) // den))
+    return pa.table(
+        {
+            "label_a": pa.array([r[0] for r in rows], pa.int64()),
+            "label_b": pa.array([r[1] for r in rows], pa.int64()),
+            "n_a": pa.array([r[2] for r in rows], pa.int64()),
+            "n_b": pa.array([r[3] for r in rows], pa.int64()),
+            "mmd2_micro": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+EMBEDDING_MMD_LABELS_SQL = """
+WITH v AS (
+  SELECT e.label, CAST(r.d AS BIGINT) AS d,
+         CAST(floor(CAST(e.embedding[CAST(r.d AS INTEGER) + 1] AS DOUBLE)
+                    * 1000000 + 0.5) AS BIGINT) AS vi
+  FROM embeddings e, range(0, 256) r(d)
+  WHERE r.d < len(e.embedding)
+),
+s AS (SELECT label, d, CAST(sum(vi) AS BIGINT) AS s FROM v GROUP BY 1, 2),
+n AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY 1),
+pairs AS (
+  SELECT a.label AS la, a.n AS na, b.label AS lb, b.n AS nb
+  FROM n a JOIN n b ON a.label < b.label
+),
+agg AS (
+  SELECT p.la, p.lb, p.na, p.nb,
+         sum((sa.s::HUGEINT * p.nb - sb.s::HUGEINT * p.na)
+             * (sa.s::HUGEINT * p.nb - sb.s::HUGEINT * p.na)) AS num
+  FROM pairs p
+  JOIN s sa ON sa.label = p.la
+  JOIN s sb ON sb.label = p.lb AND sb.d = sa.d
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(la AS BIGINT) AS label_a, CAST(lb AS BIGINT) AS label_b,
+       na AS n_a, nb AS n_b,
+       CAST((1000000::HUGEINT * num)
+            // ((na::HUGEINT * nb) * (na::HUGEINT * nb)) AS BIGINT)
+         AS mmd2_micro
+FROM agg ORDER BY label_a, label_b
+"""

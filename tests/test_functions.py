@@ -328,6 +328,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "lineitem_corr_matrix",
         "sample_extrapolation_audit",
         "event_double_fire_audit",
+        "embedding_mmd_labels",
+        "hdr_precision_sweep",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4748,3 +4750,40 @@ def test_double_fire_rate_bounds(ray_session):
     for r in event_double_fire_audit(SF).to_pylist():
         assert 0 <= r["n_double_fires"] < r["n_events"]
         assert 0 <= r["rate_ppm"] < 1_000_000
+
+
+def test_mmd_matches_float_means(ray_session):
+    """Integer MMD² must agree with the float mean-difference norm."""
+    import duckdb
+
+    from document_extractor_ray.functions.similarity import embedding_mmd_labels
+
+    rows = embedding_mmd_labels(SF).to_pylist()
+    df = duckdb.sql(
+        f"SELECT label, embedding FROM read_parquet('{SF}/embeddings.parquet')"
+    ).df()
+    means: dict = {}
+    for la, g in df.groupby("label"):
+        means[la] = np.stack(g["embedding"].to_numpy()).astype(np.float64).mean(0)
+    for r in rows[:10]:
+        diff = means[r["label_a"]] - means[r["label_b"]]
+        # component sums are micro-quantized, so mmd2_micro carries
+        # a 1e6 (output) x 1e12 (squared micro) scale
+        assert abs(r["mmd2_micro"] / 1e18 - float(diff @ diff)) < 1e-4
+    assert len(rows) == len(means) * (len(means) - 1) // 2
+
+
+def test_hdr_sweep_error_monotone(ray_session):
+    """Wider buckets can only lose accuracy: per quantile, abs_err is
+    non-decreasing in width, and width-1 buckets are exact."""
+    from document_extractor_ray.functions.analytics import hdr_precision_sweep
+
+    rows = hdr_precision_sweep(SF).to_pylist()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["q_permille"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["width"])
+        assert rs[0]["width"] == 1 and rs[0]["abs_err"] == 0
+        errs = [r["abs_err"] for r in rs]
+        assert errs == sorted(errs)
