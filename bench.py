@@ -322,6 +322,7 @@ PICKS = [
     "event_double_fire_audit",
     "embedding_mmd_labels",
     "hdr_precision_sweep",
+    "dup_graph_kcore",
 ]
 
 

@@ -3091,3 +3091,61 @@ def curation_report_by_source(
             "n_docs": pa.array([fold[k] for k in keys], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peel of the near-dup graph (iterative fixpoint)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 2
+KCORE_ROUNDS = 30
+
+
+def dup_graph_kcore(ds: "ray.data.Dataset", k: int = KCORE_K,
+                    rounds: int = KCORE_ROUNDS):
+    """The 2-core of the MinHash near-dup graph: iteratively peel
+    nodes with degree < k and report what survives — chains and
+    pendant docs peel away, leaving the densely-duplicated cores that
+    deserve cluster-level review (the graph-theoretic refinement of
+    dedup_cluster_size_hist).  The peel is DEFINED as ``rounds``
+    fixed iterations (it converges far earlier on real graphs), so
+    the oracle replays it as a capped recursive CTE — the fixed-point
+    convention the repo's power-iteration oracles established.
+
+    Scale shape: the edge list is the budget-guarded pair output;
+    peeling runs on the driver over that bounded graph (above budget
+    the same rounds run as bucketed degree aggregates + anti-joins,
+    the near_dup_clusters escalation)."""
+    rows = minhash_dup_pairs(ds).take_all()
+    edges = {(r["doc_a"], r["doc_b"]) for r in rows}
+    nodes = {v for e in edges for v in e}
+    removed: set = set()
+    for _ in range(rounds):
+        deg: dict = {}
+        for a, b in edges:
+            if a in removed or b in removed:
+                continue
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        new = {v for v in nodes - removed if deg.get(v, 0) < k}
+        if not new:
+            break
+        removed |= new
+    core_nodes = nodes - removed
+    core_edges = sum(1 for a, b in edges if a in core_nodes and b in core_nodes)
+    return pa.table(
+        {
+            "n_nodes": pa.array([len(nodes)], pa.int64()),
+            "n_edges": pa.array([len(edges)], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "core_nodes": pa.array([len(core_nodes)], pa.int64()),
+            "core_edges": pa.array([core_edges], pa.int64()),
+            "n_peeled": pa.array([len(removed)], pa.int64()),
+        }
+    )
+
+
+def dup_graph_kcore_docs(sf_dir: str):
+    from document_extractor_ray.functions.textstats import _read_docs
+
+    return dup_graph_kcore(_read_docs(sf_dir, ["doc_id", "text"]))

@@ -1139,3 +1139,42 @@ SELECT d.source, cd.fail_mask, CAST(count(*) AS BIGINT) AS n_docs
 FROM cd JOIN documents d USING (doc_id)
 GROUP BY 1, 2
 ORDER BY 1, 2"""
+
+
+def dup_kcore_sql(threshold: float = 0.7, k: int = 2, rounds: int = 30) -> str:
+    """Oracle for ``dedup.dup_graph_kcore``: the minhash pair edges,
+    then a capped recursive peel — each iteration re-emits the full
+    removed set plus the nodes whose degree among survivors drops
+    below k, so the working table always carries the complete state
+    (the recursive term only sees the previous iteration)."""
+    return f"""WITH RECURSIVE e AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM ({minhash_pairs_sql(threshold)})
+),
+adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+nodes AS MATERIALIZED (SELECT DISTINCT u AS v FROM adj),
+peel(iter, v) AS (
+  SELECT 1, n.v FROM nodes n
+  WHERE (SELECT count(*) FROM adj a WHERE a.u = n.v) < {k}
+  UNION ALL
+  SELECT * FROM (
+    SELECT p.iter + 1, p.v FROM peel p WHERE p.iter < {rounds}
+    UNION
+    SELECT (SELECT max(iter) + 1 FROM peel), n.v
+    FROM nodes n
+    WHERE (SELECT max(iter) FROM peel) < {rounds}
+      AND n.v NOT IN (SELECT v FROM peel)
+      AND (SELECT count(*) FROM adj a
+           WHERE a.u = n.v AND a.v NOT IN (SELECT v FROM peel)) < {k}
+  )
+),
+removed AS (SELECT DISTINCT v FROM peel),
+core AS (SELECT v FROM nodes WHERE v NOT IN (SELECT v FROM removed))
+SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST({k} AS BIGINT) AS k,
+       CAST((SELECT count(*) FROM core) AS BIGINT) AS core_nodes,
+       CAST((SELECT count(*) FROM e
+             WHERE a IN (SELECT v FROM core)
+               AND b IN (SELECT v FROM core)) AS BIGINT) AS core_edges,
+       CAST((SELECT count(*) FROM removed) AS BIGINT) AS n_peeled
+"""

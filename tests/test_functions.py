@@ -330,6 +330,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "event_double_fire_audit",
         "embedding_mmd_labels",
         "hdr_precision_sweep",
+        "dup_graph_kcore",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4787,3 +4788,17 @@ def test_hdr_sweep_error_monotone(ray_session):
         assert rs[0]["width"] == 1 and rs[0]["abs_err"] == 0
         errs = [r["abs_err"] for r in rs]
         assert errs == sorted(errs)
+
+
+def test_kcore_invariants(ray_session):
+    """Core + peeled partitions the node set; every core node keeps
+    degree >= k inside the core (the k-core definition)."""
+    from document_extractor_ray.functions.dedup import dup_graph_kcore
+    from document_extractor_ray.functions.textstats import _read_docs
+
+    r = dup_graph_kcore(_read_docs(SF, ["doc_id", "text"])).to_pylist()[0]
+    assert r["core_nodes"] + r["n_peeled"] == r["n_nodes"]
+    assert r["core_edges"] <= r["n_edges"]
+    if r["core_nodes"]:
+        # each core node needs >= k core edges; total degree = 2*edges
+        assert 2 * r["core_edges"] >= r["k"] * r["core_nodes"]
