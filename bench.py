@@ -323,6 +323,8 @@ PICKS = [
     "embedding_mmd_labels",
     "hdr_precision_sweep",
     "dup_graph_kcore",
+    "session_timeout_sweep",
+    "source_charset_profile",
 ]
 
 

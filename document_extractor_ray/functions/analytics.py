@@ -17212,3 +17212,82 @@ ORDER BY width, q_permille
 
 
 HDR_PRECISION_SWEEP_SQL = _hdr_sweep_sql()
+
+
+# ---------------------------------------------------------------------------
+# Session timeout sensitivity sweep (gap threshold vs session count)
+# ---------------------------------------------------------------------------
+
+SESSION_SWEEP_GAPS_US = (1_800_000_000, 7_200_000_000)  # 30 min, 2 h
+
+
+def session_timeout_sweep(sf_dir: str, gaps=SESSION_SWEEP_GAPS_US):
+    """How sensitive is sessionization to the timeout? For each gap
+    threshold, the session count is n_users + (inter-event gaps above
+    the threshold) — both thresholds evaluated from ONE per-user
+    ordered pass (PERF-36: thresholds are extra counters, not extra
+    shuffles).  The spread between the two counts is the instability
+    a session-based metric inherits from its timeout choice.
+
+    Scale shape: the sessionize user shuffle once; per-group
+    vectorized diff; a 2-counter fold."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        d = np.diff(ts[order])
+        return pa.table(
+            {
+                "gap_us": pa.array(list(gaps), pa.int64()),
+                "over": pa.array([int((d > g).sum()) for g in gaps], pa.int64()),
+                "users": pa.array([1] * len(gaps), pa.int64()),
+            }
+        )
+
+    acc: dict = {}
+    for t in map(
+        ray.get,
+        ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow").to_arrow_refs(),
+    ):
+        if not t.num_rows:
+            continue
+        for g, o, u in zip(
+            t["gap_us"].to_pylist(), t["over"].to_pylist(), t["users"].to_pylist()
+        ):
+            cur = acc.setdefault(g, [0, 0])
+            cur[0] += o
+            cur[1] += u
+
+    out_gaps = sorted(acc)
+    return pa.table(
+        {
+            "gap_us": pa.array(out_gaps, pa.int64()),
+            "n_users": pa.array([acc[g][1] for g in out_gaps], pa.int64()),
+            "n_sessions": pa.array([acc[g][1] + acc[g][0] for g in out_gaps], pa.int64()),
+        }
+    )
+
+
+def _session_sweep_sql(gaps=SESSION_SWEEP_GAPS_US) -> str:
+    values = ", ".join(f"({g})" for g in gaps)
+    return f"""
+WITH s AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+g(gap_us) AS (VALUES {values})
+SELECT CAST(g.gap_us AS BIGINT) AS gap_us,
+       CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT s.user_id)
+            + count(*) FILTER (WHERE s.gap > g.gap_us) AS BIGINT)
+         AS n_sessions
+FROM s CROSS JOIN g
+GROUP BY g.gap_us ORDER BY gap_us
+"""
+
+
+SESSION_TIMEOUT_SWEEP_SQL = _session_sweep_sql()

@@ -8707,3 +8707,111 @@ SELECT la AS lang_a, lb AS lang_b, na AS n_tri_a, nb AS n_tri_b,
             AS BIGINT) AS jsd_micro
 FROM agg ORDER BY lang_a, lang_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-source character-class profile (charset / content-type audit)
+# ---------------------------------------------------------------------------
+
+def source_charset_profile(sf_dir: str):
+    """Byte-class mix per source — alphabetic / digit / whitespace /
+    other shares in permille of total characters — the charset audit
+    that catches a feed switching encodings or leaking markup.  Pure
+    ``pyarrow.compute`` counting kernels; permille via truncating
+    division of per-source totals.
+
+    Scale shape: per-block (source → 5 counters) partials, bounded
+    driver fold."""
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_alpha = pc.cast(pc.count_substring_regex(t["text"], "[A-Za-z]"), pa.int64())
+        n_digit = pc.cast(pc.count_substring_regex(t["text"], "[0-9]"), pa.int64())
+        n_space = pc.cast(pc.count_substring_regex(t["text"], r"\s"), pa.int64())
+        n_all = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "source": t["source"],
+                    "a": n_alpha,
+                    "d": n_digit,
+                    "s": n_space,
+                    "n": n_all,
+                }
+            ),
+            ["source"],
+        ).aggregate([("a", "sum"), ("d", "sum"), ("s", "sum"), ("n", "sum")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "a": g["a_sum"],
+                "d": g["d_sum"],
+                "s": g["s_sum"],
+                "n": g["n_sum"],
+            }
+        )
+
+    acc: dict = {}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for src, a, d, s, n in zip(
+            t["source"].to_pylist(), t["a"].to_pylist(), t["d"].to_pylist(),
+            t["s"].to_pylist(), t["n"].to_pylist(),
+        ):
+            cur = acc.setdefault(src, [0, 0, 0, 0])
+            cur[0] += a
+            cur[1] += d
+            cur[2] += s
+            cur[3] += n
+
+    srcs = sorted(acc)
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "n_chars": pa.array([acc[s][3] for s in srcs], pa.int64()),
+            "alpha_permille": pa.array(
+                [(1000 * acc[s][0]) // acc[s][3] for s in srcs], pa.int64()
+            ),
+            "digit_permille": pa.array(
+                [(1000 * acc[s][1]) // acc[s][3] for s in srcs], pa.int64()
+            ),
+            "space_permille": pa.array(
+                [(1000 * acc[s][2]) // acc[s][3] for s in srcs], pa.int64()
+            ),
+            "other_permille": pa.array(
+                [
+                    (1000 * (acc[s][3] - acc[s][0] - acc[s][1] - acc[s][2]))
+                    // acc[s][3]
+                    for s in srcs
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+SOURCE_CHARSET_PROFILE_SQL = """
+WITH c AS (
+  SELECT source,
+         CAST(length(text) AS BIGINT) AS n,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS a,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS d,
+         CAST(length(text)
+              - length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS s
+  FROM documents
+),
+g AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n, CAST(sum(a) AS BIGINT) AS a,
+         CAST(sum(d) AS BIGINT) AS d, CAST(sum(s) AS BIGINT) AS s
+  FROM c GROUP BY 1
+)
+SELECT source, n AS n_chars,
+       CAST((1000 * a) // n AS BIGINT) AS alpha_permille,
+       CAST((1000 * d) // n AS BIGINT) AS digit_permille,
+       CAST((1000 * s) // n AS BIGINT) AS space_permille,
+       CAST((1000 * (n - a - d - s)) // n AS BIGINT) AS other_permille
+FROM g ORDER BY source
+"""

@@ -331,6 +331,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "embedding_mmd_labels",
         "hdr_precision_sweep",
         "dup_graph_kcore",
+        "session_timeout_sweep",
+        "source_charset_profile",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4802,3 +4804,25 @@ def test_kcore_invariants(ray_session):
     if r["core_nodes"]:
         # each core node needs >= k core edges; total degree = 2*edges
         assert 2 * r["core_edges"] >= r["k"] * r["core_nodes"]
+
+
+def test_session_sweep_monotone(ray_session):
+    """A larger timeout can only merge sessions: n_sessions is
+    non-increasing in gap_us, bounded below by n_users."""
+    from document_extractor_ray.functions.analytics import session_timeout_sweep
+
+    rows = sorted(session_timeout_sweep(SF).to_pylist(), key=lambda r: r["gap_us"])
+    assert rows[0]["n_sessions"] >= rows[-1]["n_sessions"]
+    for r in rows:
+        assert r["n_sessions"] >= r["n_users"]
+
+
+def test_charset_profile_partition(ray_session):
+    """Class shares re-add to <= 1000 permille (truncation) and never
+    miss by more than the 4-way floor slack."""
+    from document_extractor_ray.functions.textstats import source_charset_profile
+
+    for r in source_charset_profile(SF).to_pylist():
+        tot = (r["alpha_permille"] + r["digit_permille"]
+               + r["space_permille"] + r["other_permille"])
+        assert 996 <= tot <= 1000
