@@ -325,6 +325,8 @@ PICKS = [
     "dup_graph_kcore",
     "session_timeout_sweep",
     "source_charset_profile",
+    "duplicate_invoice_audit",
+    "price_ending_profile",
 ]
 
 

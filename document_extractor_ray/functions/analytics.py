@@ -17291,3 +17291,161 @@ GROUP BY g.gap_us ORDER BY gap_us
 
 
 SESSION_TIMEOUT_SWEEP_SQL = _session_sweep_sql()
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-invoice heuristic (billing dedup / fraud screen)
+# ---------------------------------------------------------------------------
+
+DUP_INVOICE_WINDOW_DAYS = 7
+
+
+def duplicate_invoice_audit(sf_dir: str, window_days: int = DUP_INVOICE_WINDOW_DAYS):
+    """Billing-dedup screen: pairs of orders by the SAME customer for
+    the SAME amount (exact cents) within a 7-day window — the classic
+    double-billing heuristic.  Emits the pair count and the number of
+    distinct flagged orders.
+
+    Scale shape: the pair search shuffles once on o_custkey (the
+    sessionize pattern); within a customer the candidate pairs are
+    grouped by exact cents first, so the quadratic step runs only
+    inside (customer, amount) micro-groups."""
+    day_us = 86_400_000_000
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def per_cust(t: pa.Table) -> pa.Table:
+        cents = _to_cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        day = (
+            pc.cast(t["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+            // day_us
+        )
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, day, cents))
+        c, d, k = cents[order], day[order], okey[order]
+        pairs = 0
+        flagged: set = set()
+        # within equal-cents runs, all pairs within the day window
+        run_start = 0
+        for i in range(1, len(c) + 1):
+            if i == len(c) or c[i] != c[run_start]:
+                for a in range(run_start, i):
+                    for b in range(a + 1, i):
+                        if abs(int(d[b]) - int(d[a])) <= window_days:
+                            pairs += 1
+                            flagged.add(int(k[a]))
+                            flagged.add(int(k[b]))
+                run_start = i
+        return pa.table(
+            {
+                "pairs": pa.array([pairs], pa.int64()),
+                "flagged": pa.array([len(flagged)], pa.int64()),
+            }
+        )
+
+    pairs = 0
+    flagged = 0
+    for t in map(
+        ray.get,
+        ds.groupby("o_custkey").map_groups(per_cust, batch_format="pyarrow").to_arrow_refs(),
+    ):
+        if not t.num_rows:
+            continue
+        pairs += sum(t["pairs"].to_pylist())
+        flagged += sum(t["flagged"].to_pylist())
+
+    return pa.table(
+        {
+            "n_suspect_pairs": pa.array([pairs], pa.int64()),
+            "n_orders_flagged": pa.array([flagged], pa.int64()),
+        }
+    )
+
+
+DUPLICATE_INVOICE_AUDIT_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+),
+p AS (
+  SELECT a.o_orderkey AS ka, b.o_orderkey AS kb
+  FROM o a JOIN o b
+    ON a.o_custkey = b.o_custkey
+   AND a.cents = b.cents
+   AND b.o_orderkey > a.o_orderkey
+   AND abs(b.day - a.day) <= {DUP_INVOICE_WINDOW_DAYS}
+)
+SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_suspect_pairs,
+       CAST((SELECT count(*) FROM (
+           SELECT ka AS k FROM p UNION SELECT kb FROM p)) AS BIGINT)
+         AS n_orders_flagged
+"""
+
+
+# ---------------------------------------------------------------------------
+# Price-ending forensic profile (.00 / .99 / psychological endings)
+# ---------------------------------------------------------------------------
+
+def price_ending_profile(sf_dir: str):
+    """Distribution of order-amount cent endings — round (.00),
+    charm (.99/.95), and everything else — the pricing-forensics
+    companion of value_benford_profile (fabricated or synthetic
+    amounts show ending mixes real pricing never does).
+
+    Scale shape: per-block (ending-class → count) fold over
+    cents % 100; three counters."""
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _to_cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        e = cents % 100
+        return pa.table(
+            {
+                "round00": pa.array([int((e == 0).sum())], pa.int64()),
+                "charm": pa.array([int(((e == 99) | (e == 95)).sum())], pa.int64()),
+                "n": pa.array([len(e)], pa.int64()),
+            }
+        )
+
+    r00 = charm = n = 0
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        r00 += sum(t["round00"].to_pylist())
+        charm += sum(t["charm"].to_pylist())
+        n += sum(t["n"].to_pylist())
+
+    other = n - r00 - charm
+    return pa.table(
+        {
+            "n_orders": pa.array([n], pa.int64()),
+            "n_round00": pa.array([r00], pa.int64()),
+            "n_charm": pa.array([charm], pa.int64()),
+            "n_other": pa.array([other], pa.int64()),
+            "round00_permille": pa.array([(1000 * r00) // n if n else 0], pa.int64()),
+            "charm_permille": pa.array([(1000 * charm) // n if n else 0], pa.int64()),
+        }
+    )
+
+
+PRICE_ENDING_PROFILE_SQL = """
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) % 100 AS e FROM orders
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE e = 0) AS BIGINT) AS r00,
+         CAST(count(*) FILTER (WHERE e = 99 OR e = 95) AS BIGINT) AS charm
+  FROM c
+)
+SELECT n AS n_orders, r00 AS n_round00, charm AS n_charm,
+       CAST(n - r00 - charm AS BIGINT) AS n_other,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE (1000 * r00) // n END AS BIGINT)
+         AS round00_permille,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE (1000 * charm) // n END AS BIGINT)
+         AS charm_permille
+FROM a
+"""

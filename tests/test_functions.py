@@ -333,6 +333,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "dup_graph_kcore",
         "session_timeout_sweep",
         "source_charset_profile",
+        "duplicate_invoice_audit",
+        "price_ending_profile",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4826,3 +4828,37 @@ def test_charset_profile_partition(ray_session):
         tot = (r["alpha_permille"] + r["digit_permille"]
                + r["space_permille"] + r["other_permille"])
         assert 996 <= tot <= 1000
+
+
+def test_duplicate_invoice_planted(ray_session, tmp_path):
+    """Two same-amount orders 3 days apart for one customer must flag
+    exactly one pair; a third same-amount order 30 days out must not
+    pair with the first two."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.analytics import duplicate_invoice_audit
+
+    day = 86_400_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
+                "o_orderkey": pa.array([10, 11, 12, 13], pa.int64()),
+                "o_orderdate": pa.array(
+                    [0, 3 * day, 33 * day, 0], pa.timestamp("us")
+                ),
+                "o_totalprice": pa.array([49.99, 49.99, 49.99, 49.99]),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    r = duplicate_invoice_audit(str(tmp_path)).to_pylist()[0]
+    assert (r["n_suspect_pairs"], r["n_orders_flagged"]) == (1, 2)
+
+
+def test_price_ending_partition(ray_session):
+    """Ending classes partition the order count."""
+    from document_extractor_ray.functions.analytics import price_ending_profile
+
+    r = price_ending_profile(SF).to_pylist()[0]
+    assert r["n_round00"] + r["n_charm"] + r["n_other"] == r["n_orders"]
