@@ -327,6 +327,8 @@ PICKS = [
     "source_charset_profile",
     "duplicate_invoice_audit",
     "price_ending_profile",
+    "orders_margin_waterfall",
+    "part_pareto_frontier",
 ]
 
 

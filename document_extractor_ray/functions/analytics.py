@@ -17449,3 +17449,188 @@ SELECT n AS n_orders, r00 AS n_round00, charm AS n_charm,
          AS charm_permille
 FROM a
 """
+
+
+# ---------------------------------------------------------------------------
+# Revenue waterfall per order year (gross → discount → tax → net)
+# ---------------------------------------------------------------------------
+
+def orders_margin_waterfall(sf_dir: str):
+    """The finance waterfall per shipment year: gross line revenue,
+    discount given, tax collected, and net — each leg summed in exact
+    cents with the q1 rounding convention (per-line round half-away,
+    then integer sums), so the decomposition re-adds bit-for-bit.
+
+    Scale shape: per-block per-year partials (years are calendar-
+    bounded), one driver fold."""
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_shipdate", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        year = pc.year(t["l_shipdate"])
+        gross = _to_cents(t["l_extendedprice"])
+        disc = pc.cast(
+            pc.round(
+                pc.multiply(pc.multiply(t["l_extendedprice"], t["l_discount"]), 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        tax = pc.cast(
+            pc.round(
+                pc.multiply(pc.multiply(t["l_extendedprice"], t["l_tax"]), 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        g = pa.TableGroupBy(
+            pa.table({"year": year, "g": gross, "d": disc, "x": tax}), ["year"]
+        ).aggregate([("g", "sum"), ("d", "sum"), ("x", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "year": pc.cast(g["year"], pa.int64()),
+                "g": g["g_sum"],
+                "d": g["d_sum"],
+                "x": g["x_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    acc: dict = {}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for y, g, d, x, n in zip(
+            t["year"].to_pylist(), t["g"].to_pylist(), t["d"].to_pylist(),
+            t["x"].to_pylist(), t["n"].to_pylist(),
+        ):
+            cur = acc.setdefault(y, [0, 0, 0, 0])
+            cur[0] += g
+            cur[1] += d
+            cur[2] += x
+            cur[3] += n
+
+    years = sorted(acc)
+    return pa.table(
+        {
+            "year": pa.array(years, pa.int64()),
+            "n_lines": pa.array([acc[y][3] for y in years], pa.int64()),
+            "gross_cents": pa.array([acc[y][0] for y in years], pa.int64()),
+            "discount_cents": pa.array([acc[y][1] for y in years], pa.int64()),
+            "tax_cents": pa.array([acc[y][2] for y in years], pa.int64()),
+            "net_cents": pa.array(
+                [acc[y][0] - acc[y][1] + acc[y][2] for y in years], pa.int64()
+            ),
+        }
+    )
+
+
+ORDERS_MARGIN_WATERFALL_SQL = """
+WITH l AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS year,
+         CAST(round(l_extendedprice * 100.0) AS BIGINT) AS g,
+         CAST(round(l_extendedprice * l_discount * 100.0) AS BIGINT) AS d,
+         CAST(round(l_extendedprice * l_tax * 100.0) AS BIGINT) AS x
+  FROM lineitem
+)
+SELECT year,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(g) AS BIGINT) AS gross_cents,
+       CAST(sum(d) AS BIGINT) AS discount_cents,
+       CAST(sum(x) AS BIGINT) AS tax_cents,
+       CAST(sum(g) - sum(d) + sum(x) AS BIGINT) AS net_cents
+FROM l GROUP BY year ORDER BY year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier over the part catalog (size vs price)
+# ---------------------------------------------------------------------------
+
+def part_pareto_frontier(sf_dir: str):
+    """Non-dominated parts in the (size ↑, retail price ↓) plane —
+    the "cheapest at every capability level" skyline a procurement
+    view materializes.  A part survives unless some other part has
+    size ≥, price ≤ and at least one strictly better (ties broken
+    nowhere — true skyline semantics; equal-(size, price) twins both
+    survive).
+
+    Scale shape: per-block candidate pruning (a block's local skyline
+    is a superset filter — dominance is transitive), then the exact
+    skyline scan over the pruned bounded set on the driver."""
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_size", "p_retailprice"])
+
+    def local_skyline(t: pa.Table) -> pa.Table:
+        size = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _to_cents(t["p_retailprice"]).to_numpy(zero_copy_only=False)
+        key = t["p_partkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cents, -size))  # size desc, then price asc
+        s, c, k = size[order], cents[order], key[order]
+        # block-local skyline (a superset filter — dominance is
+        # transitive, so the global scan stays exact): keep a row iff
+        # it is its size-run's min price AND strictly cheaper than
+        # every strictly-larger size's min
+        new = np.ones(len(s), dtype=bool)
+        new[1:] = s[1:] != s[:-1]
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        run_min = c[starts]  # price asc within run
+        prev_strict = np.r_[np.iinfo(np.int64).max,
+                            np.minimum.accumulate(run_min)[:-1]]
+        keep = (c == run_min[run_id]) & (c < prev_strict[run_id])
+        return pa.table(
+            {
+                "p_partkey": pa.array(k[keep], pa.int64()),
+                "p_size": pa.array(s[keep], pa.int64()),
+                "price_cents": pa.array(c[keep], pa.int64()),
+            }
+        )
+
+    cands = [
+        t
+        for t in map(
+            ray.get,
+            ds.map_batches(local_skyline, batch_format="pyarrow").to_arrow_refs(),
+        )
+        if t.num_rows
+    ]
+    tbl = pa.concat_tables(cands)
+    size = tbl["p_size"].to_numpy(zero_copy_only=False)
+    cents = tbl["price_cents"].to_numpy(zero_copy_only=False)
+    key = tbl["p_partkey"].to_numpy(zero_copy_only=False)
+    keep = np.ones(len(size), bool)
+    for i in range(len(size)):
+        dom = (size >= size[i]) & (cents <= cents[i]) & (
+            (size > size[i]) | (cents < cents[i])
+        )
+        if dom.any():
+            keep[i] = False
+    out = pa.table(
+        {
+            "p_partkey": pa.array(key[keep], pa.int64()),
+            "p_size": pa.array(size[keep], pa.int64()),
+            "price_cents": pa.array(cents[keep], pa.int64()),
+        }
+    )
+    return out.sort_by([("p_size", "ascending"), ("price_cents", "ascending"),
+                        ("p_partkey", "ascending")])
+
+
+PART_PARETO_FRONTIER_SQL = """
+WITH p AS (
+  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+         CAST(round(p_retailprice * 100.0) AS BIGINT) AS price_cents
+  FROM part
+)
+SELECT p_partkey, p_size, price_cents
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.p_size >= a.p_size AND b.price_cents <= a.price_cents
+    AND (b.p_size > a.p_size OR b.price_cents < a.price_cents)
+)
+ORDER BY p_size, price_cents, p_partkey
+"""

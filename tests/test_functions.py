@@ -335,6 +335,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "source_charset_profile",
         "duplicate_invoice_audit",
         "price_ending_profile",
+        "orders_margin_waterfall",
+        "part_pareto_frontier",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4862,3 +4864,26 @@ def test_price_ending_partition(ray_session):
 
     r = price_ending_profile(SF).to_pylist()[0]
     assert r["n_round00"] + r["n_charm"] + r["n_other"] == r["n_orders"]
+
+
+def test_pareto_frontier_is_skyline(ray_session):
+    """Every frontier part must be strictly monotone: sorted by size
+    ascending, prices strictly decrease (no dominated survivor), and
+    no non-frontier part may dominate a frontier part."""
+    from document_extractor_ray.functions.analytics import part_pareto_frontier
+
+    rows = part_pareto_frontier(SF).to_pylist()
+    sizes = [r["p_size"] for r in rows]
+    prices = [r["price_cents"] for r in rows]
+    for i in range(1, len(rows)):
+        if sizes[i] > sizes[i - 1]:
+            assert prices[i] > prices[i - 1]  # bigger size must cost more
+
+
+def test_margin_waterfall_readds(ray_session):
+    """net == gross - discount + tax per year, exactly."""
+    from document_extractor_ray.functions.analytics import orders_margin_waterfall
+
+    for r in orders_margin_waterfall(SF).to_pylist():
+        assert r["net_cents"] == r["gross_cents"] - r["discount_cents"] + r["tax_cents"]
+        assert r["discount_cents"] >= 0 and r["tax_cents"] >= 0
