@@ -329,6 +329,8 @@ PICKS = [
     "price_ending_profile",
     "orders_margin_waterfall",
     "part_pareto_frontier",
+    "transition_gap_median",
+    "nation_trade_balance",
 ]
 
 

@@ -17634,3 +17634,289 @@ WHERE NOT EXISTS (
 )
 ORDER BY p_size, price_cents, p_partkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Median dwell time per event-type transition
+# ---------------------------------------------------------------------------
+
+def transition_gap_median(sf_dir: str):
+    """Per (prev_type → next_type) transition: occurrence count and
+    the LOWER-MEDIAN dwell time between the two events — the timing
+    layer on top of event_transitions' counts (a Markov chain with
+    holding times).  Median rule: element at (n−1)//2 of the sorted
+    gaps, deterministic on ties.
+
+    Scale shape: one user shuffle (sessionize pattern); per-group
+    vectorized successor pairing; the (pair → gap histogram) fold is
+    bounded by type² × distinct gaps (day-granular feed)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        et_s, ts_s = et[order], ts[order]
+        if len(ts_s) < 2:
+            return pa.table(
+                {
+                    "prev_type": pa.array([], pa.string()),
+                    "next_type": pa.array([], pa.string()),
+                    "gap_us": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "prev_type": pa.array(et_s[:-1]),
+                    "next_type": pa.array(et_s[1:]),
+                    "gap_us": pa.array(ts_s[1:] - ts_s[:-1], pa.int64()),
+                }
+            ),
+            ["prev_type", "next_type", "gap_us"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "prev_type": g["prev_type"],
+                "next_type": g["next_type"],
+                "gap_us": g["gap_us"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    hist: dict = {}
+    for t in map(
+        ray.get,
+        ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow").to_arrow_refs(),
+    ):
+        if not t.num_rows:
+            continue
+        for p, nx, gp, n in zip(
+            t["prev_type"].to_pylist(), t["next_type"].to_pylist(),
+            t["gap_us"].to_pylist(), t["n"].to_pylist(),
+        ):
+            cur = hist.setdefault((p, nx), {})
+            cur[gp] = cur.get(gp, 0) + n
+
+    rows = []
+    for (p, nx), gaps in sorted(hist.items()):
+        n = sum(gaps.values())
+        need = (n - 1) // 2 + 1
+        cum = 0
+        med = 0
+        for gp in sorted(gaps):
+            cum += gaps[gp]
+            if cum >= need:
+                med = gp
+                break
+        rows.append((p, nx, n, med))
+    return pa.table(
+        {
+            "prev_type": pa.array([r[0] for r in rows], pa.string()),
+            "next_type": pa.array([r[1] for r in rows], pa.string()),
+            "n_transitions": pa.array([r[2] for r in rows], pa.int64()),
+            "median_gap_us": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+TRANSITION_GAP_MEDIAN_SQL = """
+WITH s AS (
+  SELECT lag(event_type) OVER w AS prev_type,
+         event_type AS next_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (SELECT prev_type, next_type, gap_us FROM s WHERE prev_type IS NOT NULL),
+r AS (
+  SELECT prev_type, next_type, gap_us,
+         row_number() OVER (PARTITION BY prev_type, next_type
+                            ORDER BY gap_us) AS rn,
+         count(*) OVER (PARTITION BY prev_type, next_type) AS n
+  FROM g
+)
+SELECT prev_type, next_type,
+       CAST(any_value(n) AS BIGINT) AS n_transitions,
+       CAST(min(gap_us) FILTER (WHERE rn = (n - 1) // 2 + 1) AS BIGINT)
+         AS median_gap_us
+FROM r GROUP BY prev_type, next_type
+ORDER BY prev_type, next_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Nation trade balance (supplied vs purchased line revenue)
+# ---------------------------------------------------------------------------
+
+def nation_trade_balance(sf_dir: str):
+    """Per nation: line revenue SUPPLIED (via the supplier side) vs
+    PURCHASED (via the customer side of the owning order) and the
+    balance — the q5/q7 join machinery folded into one two-sided
+    ledger.
+
+    Scale plan: supplier and customer nation maps broadcast once
+    (``state.lookup_join``); the customer side pays ONE partitioned
+    lineitem⋈orders join (q3 plan), both sides pre-sliced to join key
+    + cents; per-nation folds are dimension-bounded."""
+    from document_extractor_ray import state
+
+    supp = pa.concat_tables(
+        [
+            t
+            for t in map(
+                ray.get,
+                _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_arrow_refs(),
+            )
+            if t.num_rows
+        ]
+    ).combine_chunks()
+    supp_ref = state.broadcast(supp)
+
+    cust = pa.concat_tables(
+        [
+            t
+            for t in map(
+                ray.get,
+                _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_arrow_refs(),
+            )
+            if t.num_rows
+        ]
+    ).combine_chunks()
+    cust_ref = state.broadcast(cust)
+
+    nation = pa.concat_tables(
+        [
+            t
+            for t in map(
+                ray.get,
+                _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_arrow_refs(),
+            )
+            if t.num_rows
+        ]
+    ).combine_chunks()
+
+    # supplied side: one broadcast-dim pass over lineitem
+    def supplied(t: pa.Table) -> pa.Table:
+        d = state.cached_get(supp_ref)
+        t = state.lookup_join(t, "l_suppkey", d, "s_suppkey", ["s_nationkey"])
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "nk": pc.cast(t["s_nationkey"], pa.int64()),
+                    "cents": _to_cents(t["l_extendedprice"]),
+                }
+            ),
+            ["nk"],
+        ).aggregate([("cents", "sum")])
+        return pa.table({"nk": g["nk"], "cents": g["cents_sum"]})
+
+    sup_acc: dict = {}
+    for t in map(
+        ray.get,
+        _read(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice"])
+        .map_batches(supplied, batch_format="pyarrow")
+        .to_arrow_refs(),
+    ):
+        if not t.num_rows:
+            continue
+        for nk, c in zip(t["nk"].to_pylist(), t["cents"].to_pylist()):
+            sup_acc[nk] = sup_acc.get(nk, 0) + c
+
+    # purchased side: lineitem ⋈ orders (partitioned), customer dim broadcast
+    n_parts = _join_partitions(
+        f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"
+    )
+
+    def slim_li(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "cents": _to_cents(t["l_extendedprice"]),
+            }
+        )
+
+    joined = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+        .map_batches(slim_li, batch_format="pyarrow")
+        .join(
+            _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+    )
+
+    def purchased(t: pa.Table) -> pa.Table:
+        d = state.cached_get(cust_ref)
+        t = state.lookup_join(t, "o_custkey", d, "c_custkey", ["c_nationkey"])
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "nk": pc.cast(t["c_nationkey"], pa.int64()),
+                    "cents": t["cents"],
+                }
+            ),
+            ["nk"],
+        ).aggregate([("cents", "sum")])
+        return pa.table({"nk": g["nk"], "cents": g["cents_sum"]})
+
+    pur_acc: dict = {}
+    for t in map(
+        ray.get, joined.map_batches(purchased, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for nk, c in zip(t["nk"].to_pylist(), t["cents"].to_pylist()):
+            pur_acc[nk] = pur_acc.get(nk, 0) + c
+
+    names = dict(
+        zip(
+            pc.cast(nation["n_nationkey"], pa.int64()).to_pylist(),
+            nation["n_name"].to_pylist(),
+        )
+    )
+    keys = sorted(set(sup_acc) | set(pur_acc))
+    return pa.table(
+        {
+            "n_name": pa.array([names[k] for k in keys], pa.string()),
+            "supplied_cents": pa.array([sup_acc.get(k, 0) for k in keys], pa.int64()),
+            "purchased_cents": pa.array([pur_acc.get(k, 0) for k in keys], pa.int64()),
+            "balance_cents": pa.array(
+                [sup_acc.get(k, 0) - pur_acc.get(k, 0) for k in keys], pa.int64()
+            ),
+        }
+    ).sort_by([("n_name", "ascending")])
+
+
+NATION_TRADE_BALANCE_SQL = """
+WITH sup AS (
+  SELECT s_nationkey AS nk,
+         CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS supplied
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1
+),
+pur AS (
+  SELECT c_nationkey AS nk,
+         CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS purchased
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+)
+SELECT n.n_name,
+       CAST(COALESCE(sup.supplied, 0) AS BIGINT) AS supplied_cents,
+       CAST(COALESCE(pur.purchased, 0) AS BIGINT) AS purchased_cents,
+       CAST(COALESCE(sup.supplied, 0) - COALESCE(pur.purchased, 0) AS BIGINT)
+         AS balance_cents
+FROM nation n
+LEFT JOIN sup ON sup.nk = n.n_nationkey
+LEFT JOIN pur ON pur.nk = n.n_nationkey
+WHERE sup.nk IS NOT NULL OR pur.nk IS NOT NULL
+ORDER BY n.n_name
+"""

@@ -337,6 +337,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "price_ending_profile",
         "orders_margin_waterfall",
         "part_pareto_frontier",
+        "transition_gap_median",
+        "nation_trade_balance",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4887,3 +4889,34 @@ def test_margin_waterfall_readds(ray_session):
     for r in orders_margin_waterfall(SF).to_pylist():
         assert r["net_cents"] == r["gross_cents"] - r["discount_cents"] + r["tax_cents"]
         assert r["discount_cents"] >= 0 and r["tax_cents"] >= 0
+
+
+def test_trade_balance_zero_sum(ray_session):
+    """Both ledger sides total the same corpus revenue, so balances
+    sum to zero exactly."""
+    from document_extractor_ray.functions.analytics import nation_trade_balance
+
+    rows = nation_trade_balance(SF).to_pylist()
+    assert sum(r["balance_cents"] for r in rows) == 0
+    assert sum(r["supplied_cents"] for r in rows) == sum(
+        r["purchased_cents"] for r in rows
+    )
+
+
+def test_transition_gap_counts_match_transitions(ray_session):
+    """Per-pair transition counts must agree with event_transitions."""
+    from document_extractor_ray.functions.analytics import (
+        event_transitions,
+        transition_gap_median,
+    )
+
+    med = {
+        (r["prev_type"], r["next_type"]): r["n_transitions"]
+        for r in transition_gap_median(SF).to_pylist()
+    }
+    base_rows = event_transitions(SF)
+    base_rows = base_rows.take_all() if hasattr(base_rows, "take_all") else base_rows.to_pylist()
+    for r in base_rows:
+        key = (r.get("prev_type") or r.get("from_type"), r.get("next_type") or r.get("to_type"))
+        if key in med and "n" in r:
+            assert med[key] == r["n"]
