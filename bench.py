@@ -331,6 +331,8 @@ PICKS = [
     "part_pareto_frontier",
     "transition_gap_median",
     "nation_trade_balance",
+    "embedding_fisher_dims",
+    "brand_rule_metrics",
 ]
 
 

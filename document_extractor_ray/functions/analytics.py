@@ -17920,3 +17920,136 @@ LEFT JOIN pur ON pur.nk = n.n_nationkey
 WHERE sup.nk IS NOT NULL OR pur.nk IS NOT NULL
 ORDER BY n.n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Association-rule metrics over brand co-occurrence baskets
+# ---------------------------------------------------------------------------
+
+def brand_rule_metrics(sf_dir: str):
+    """Support, confidence and lift for EVERY brand pair co-occurring
+    in an order basket (the rule layer on top of brand_basket_pairs'
+    raw counts; the pair domain is brands² so nothing is truncated):
+    conf(a→b) = pair/n_a, conf(b→a) = pair/n_b, lift = pair·N/(n_a·n_b)
+    — each a truncating milli rational.
+
+    Scale shape: distinct (order, brand) memberships come from the
+    partitioned fact⋈dim join bucketed by order; basket marginals and
+    the bounded pair table fold on the driver like the parent op."""
+    from document_extractor_ray import state
+
+    dim = pa.concat_tables(
+        [
+            t
+            for t in map(
+                ray.get,
+                _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_arrow_refs(),
+            )
+            if t.num_rows
+        ]
+    ).combine_chunks()
+    dim_ref = state.broadcast(dim)
+    brands = sorted(set(dim["p_brand"].to_pylist()))
+    b_code = {b: i for i, b in enumerate(brands)}
+    nb = len(brands)
+
+    def member_partial(t: pa.Table) -> pa.Table:
+        d = state.cached_get(dim_ref)
+        t = state.lookup_join(t, "l_partkey", d, "p_partkey", ["p_brand"])
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        bc = np.array(
+            [b_code[b] for b in t["p_brand"].to_pylist()], dtype=np.int64
+        )
+        comp = np.unique(ok * nb + bc)
+        return pa.table({"comp": pa.array(comp, pa.int64())})
+
+    comps = [
+        t["comp"].to_numpy(zero_copy_only=False)
+        for t in map(
+            ray.get,
+            _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+            .map_batches(member_partial, batch_format="pyarrow")
+            .to_arrow_refs(),
+        )
+        if t.num_rows
+    ]
+    comp = np.unique(np.concatenate(comps)) if comps else np.zeros(0, np.int64)
+    orders = comp // nb
+    codes = comp % nb
+    n_orders = len(np.unique(orders))
+    marg = np.bincount(codes, minlength=nb).astype(int)
+
+    # all within-order pairs: orders are contiguous in the sorted comp
+    new = np.ones(len(orders), dtype=bool)
+    new[1:] = orders[1:] != orders[:-1]
+    starts = np.flatnonzero(new)
+    ends = np.r_[starts[1:], len(orders)]
+    lens = ends - starts
+    # vectorized within-basket pair enumeration, grouped by basket
+    # length (codes are ascending inside each sorted-composite run,
+    # so (i < j) pairs are already (a < b) pairs)
+    pair_keys = []
+    for l in np.unique(lens):
+        if l < 2:
+            continue
+        sel = starts[lens == l]
+        matrix = codes[sel[:, None] + np.arange(l)[None, :]]
+        iu, ju = np.triu_indices(int(l), 1)
+        pair_keys.append((matrix[:, iu] * nb + matrix[:, ju]).ravel())
+    pair_counts: dict = {}
+    if pair_keys:
+        keys, cnts = np.unique(np.concatenate(pair_keys), return_counts=True)
+        pair_counts = {
+            (int(kk) // nb, int(kk) % nb): int(cc) for kk, cc in zip(keys, cnts)
+        }
+
+    def fdiv(a: int, d: int) -> int:
+        return a // d if d else 0
+
+    rows = []
+    for (a, b), n_ab in sorted(pair_counts.items()):
+        na, nb_ = int(marg[a]), int(marg[b])
+        rows.append(
+            (
+                brands[a], brands[b], n_ab,
+                fdiv(1000 * n_ab, na),
+                fdiv(1000 * n_ab, nb_),
+                fdiv(1000 * n_ab * n_orders, na * nb_),
+            )
+        )
+    rows.sort()
+    return pa.table(
+        {
+            "brand_a": pa.array([r[0] for r in rows], pa.string()),
+            "brand_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_baskets": pa.array([r[2] for r in rows], pa.int64()),
+            "conf_ab_milli": pa.array([r[3] for r in rows], pa.int64()),
+            "conf_ba_milli": pa.array([r[4] for r in rows], pa.int64()),
+            "lift_milli": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )
+
+
+BRAND_RULE_METRICS_SQL = """
+WITH m AS (
+  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM m),
+marg AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1),
+p AS (
+  SELECT a.b AS brand_a, c.b AS brand_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM m a JOIN m c ON a.o = c.o AND c.b > a.b
+  GROUP BY 1, 2
+)
+SELECT p.brand_a, p.brand_b, p.n_ab AS n_baskets,
+       CAST((1000 * p.n_ab) // ma.n AS BIGINT) AS conf_ab_milli,
+       CAST((1000 * p.n_ab) // mb.n AS BIGINT) AS conf_ba_milli,
+       CAST((1000::HUGEINT * p.n_ab * nn.n_orders) // (ma.n * mb.n) AS BIGINT)
+         AS lift_milli
+FROM p
+JOIN marg ma ON ma.b = p.brand_a
+JOIN marg mb ON mb.b = p.brand_b
+CROSS JOIN n nn
+ORDER BY brand_a, brand_b
+"""

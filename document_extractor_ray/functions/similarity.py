@@ -3396,3 +3396,140 @@ SELECT CAST(la AS BIGINT) AS label_a, CAST(lb AS BIGINT) AS label_b,
          AS mmd2_micro
 FROM agg ORDER BY label_a, label_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Fisher-discriminant score per embedding dimension
+# ---------------------------------------------------------------------------
+
+FISHER_TOP_DIMS = 8
+
+
+def embedding_fisher_dims(sf_dir: str, k: int = FISHER_TOP_DIMS):
+    """Top-k embedding dimensions by the Fisher discriminant score
+    (between-label variance over within-label variance, the ANOVA F
+    shape per dimension) — the feature-selection table a probing
+    classifier reads.  SS terms are milli-scaled truncating rationals
+    (the value_anova_by_type convention); ties break on dimension.
+
+    Scale shape: ONE pass folds (label, dim) → (n, Σv, Σv²) partials
+    (bounded by labels × dims); the per-dim F ranking is driver
+    integer math."""
+    ds = _read_embeddings(sf_dir, with_label=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t["embedding"]).astype(np.float64)
+        if m.size == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "s2": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        vi = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        d = m.shape[1]
+        s = np.zeros((len(uniq), d), np.int64)
+        s2 = np.zeros((len(uniq), d), np.int64)
+        np.add.at(s, inv, vi)
+        np.add.at(s2, inv, vi * vi)
+        n = np.bincount(inv).astype(np.int64)
+        labels = np.repeat(uniq, d)
+        dims = np.tile(np.arange(d, dtype=np.int64), len(uniq))
+        return pa.table(
+            {
+                "label": pa.array(labels, pa.int64()),
+                "dim": pa.array(dims, pa.int64()),
+                "s": pa.array(s.ravel(), pa.int64()),
+                "s2": pa.array(s2.ravel(), pa.int64()),
+                "n": pa.array(np.repeat(n, d), pa.int64()),
+            }
+        )
+
+    acc: dict = {}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for la, dd, s, s2, n in zip(
+            t["label"].to_pylist(), t["dim"].to_pylist(), t["s"].to_pylist(),
+            t["s2"].to_pylist(), t["n"].to_pylist(),
+        ):
+            cur = acc.setdefault((la, dd), [0, 0, 0])
+            cur[0] += s
+            cur[1] += s2
+            cur[2] += n
+
+    dims = sorted({dd for _, dd in acc})
+    labels = sorted({la for la, _ in acc})
+    rows = []
+    for dd in dims:
+        cells = [acc[(la, dd)] for la in labels if (la, dd) in acc]
+        n_tot = sum(c[2] for c in cells)
+        s_tot = sum(c[0] for c in cells)
+        s2_tot = sum(c[1] for c in cells)
+        grp = sum((1000 * c[0] * c[0]) // c[2] for c in cells)
+        ssb = grp - (1000 * s_tot * s_tot) // n_tot
+        ssw = 1000 * s2_tot - grp
+        df_b, df_w = len(cells) - 1, n_tot - len(cells)
+        f = (1_000_000 * ssb * df_w) // (ssw * df_b) if df_b > 0 and ssw > 0 else 0
+        rows.append((dd, ssb, ssw, f))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    rows = rows[:k]
+    return pa.table(
+        {
+            "dim": pa.array([r[0] for r in rows], pa.int64()),
+            "ssb_milli": pa.array([r[1] for r in rows], pa.int64()),
+            "ssw_milli": pa.array([r[2] for r in rows], pa.int64()),
+            "f_micro": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+EMBEDDING_FISHER_DIMS_SQL = f"""
+WITH v AS (
+  SELECT e.label, CAST(r.d AS BIGINT) AS d,
+         CAST(floor(CAST(e.embedding[CAST(r.d AS INTEGER) + 1] AS DOUBLE)
+                    * 1000000 + 0.5) AS BIGINT) AS vi
+  FROM embeddings e, range(0, 256) r(d)
+  WHERE r.d < len(e.embedding)
+),
+g AS (
+  SELECT d, label, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(vi) AS BIGINT) AS s,
+         CAST(sum(vi * vi) AS BIGINT) AS s2
+  FROM v GROUP BY 1, 2
+),
+t AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS n_tot,
+         CAST(sum(s) AS BIGINT) AS s_tot,
+         sum(s2) AS s2_tot,
+         CAST(sum((1000::HUGEINT * s * s) // n) AS HUGEINT) AS grp
+  FROM g GROUP BY 1
+),
+x AS (
+  SELECT d,
+         grp - (1000::HUGEINT * s_tot * s_tot) // n_tot AS ssb,
+         1000::HUGEINT * s2_tot - grp AS ssw,
+         k - 1 AS df_b, n_tot - k AS df_w
+  FROM t
+),
+f AS (
+  SELECT d AS dim, CAST(ssb AS BIGINT) AS ssb_milli,
+         CAST(ssw AS BIGINT) AS ssw_milli,
+         CAST(CASE WHEN df_b > 0 AND ssw > 0
+                   THEN (1000000::HUGEINT * ssb * df_w) // (ssw * df_b)
+                   ELSE 0 END AS BIGINT) AS f_micro
+  FROM x
+)
+SELECT dim, ssb_milli, ssw_milli, f_micro
+FROM (SELECT *, row_number() OVER (ORDER BY f_micro DESC, dim) AS rn FROM f)
+WHERE rn <= {FISHER_TOP_DIMS}
+ORDER BY f_micro DESC, dim
+"""

