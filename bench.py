@@ -333,6 +333,8 @@ PICKS = [
     "nation_trade_balance",
     "embedding_fisher_dims",
     "brand_rule_metrics",
+    "daily_new_user_share",
+    "type_mix_drift_gtest",
 ]
 
 

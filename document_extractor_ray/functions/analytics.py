@@ -18053,3 +18053,199 @@ JOIN marg mb ON mb.b = p.brand_b
 CROSS JOIN n nn
 ORDER BY brand_a, brand_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Daily new-user share (acquisition vs activity growth metric)
+# ---------------------------------------------------------------------------
+
+def daily_new_user_share(sf_dir: str):
+    """Per day: events, users first seen that day, and the new-user
+    share of active users in milli — the growth dashboard's
+    acquisition-vs-retention split.
+
+    Scale shape: per-user first-seen day via ``bucketed_agg`` min
+    (key-per-row rule); daily event/active counts from the bounded
+    calendar fold; the join of the two is a driver dict merge."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    day_us = 86_400_000_000
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), pa.scalar(day_us, pa.int64()))
+        g = pa.TableGroupBy(
+            pa.table({"user_id": t["user_id"], "day": day}), ["user_id"]
+        ).aggregate([("day", "min")])
+        return pa.table({"user_id": g["user_id"], "first_day": g["day_min"]})
+
+    firsts = bucketed_agg(
+        ds.map_batches(first_partial, batch_format="pyarrow"),
+        ["user_id"],
+        [("first_day", "min", "first_day")],
+    )
+    new_by_day: dict = {}
+    for t in map(ray.get, firsts.to_arrow_refs()):
+        if not t.num_rows:
+            continue
+        for d in t["first_day"].to_pylist():
+            new_by_day[d] = new_by_day.get(d, 0) + 1
+
+    # per-block distinct users per day would be PARTIAL (a user can
+    # appear in several blocks) — fold (day, user) pairs exactly via
+    # bucketed_agg like the HLL audits instead
+    pairs = bucketed_agg(
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "day": pc.divide(
+                        pc.cast(t["ts"], pa.int64()), pa.scalar(day_us, pa.int64())
+                    ),
+                    "user_id": t["user_id"],
+                    "n_part": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["day", "user_id"],
+        [("n_part", "sum", "n")],
+    )
+    active: dict = {}
+    events: dict = {}
+    for t in map(ray.get, pairs.to_arrow_refs()):
+        if not t.num_rows:
+            continue
+        for d, n in zip(t["day"].to_pylist(), t["n"].to_pylist()):
+            active[d] = active.get(d, 0) + 1
+            events[d] = events.get(d, 0) + n
+
+    days = sorted(events)
+    return pa.table(
+        {
+            "day": pa.array(days, pa.int64()),
+            "n_events": pa.array([events[d] for d in days], pa.int64()),
+            "n_active_users": pa.array([active[d] for d in days], pa.int64()),
+            "n_new_users": pa.array([new_by_day.get(d, 0) for d in days], pa.int64()),
+            "new_share_milli": pa.array(
+                [(1000 * new_by_day.get(d, 0)) // active[d] for d in days],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+DAILY_NEW_USER_SHARE_SQL = """
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+),
+f AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY 1),
+d AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM e GROUP BY 1
+),
+nw AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+       FROM f GROUP BY 1)
+SELECT CAST(d.day AS BIGINT) AS day, d.n_events,
+       d.n_active AS n_active_users,
+       CAST(COALESCE(nw.n_new, 0) AS BIGINT) AS n_new_users,
+       CAST((1000 * COALESCE(nw.n_new, 0)) // d.n_active AS BIGINT)
+         AS new_share_milli
+FROM d LEFT JOIN nw ON nw.day = d.day
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weekly event-type mix drift (G-test vs the overall mix)
+# ---------------------------------------------------------------------------
+
+def type_mix_drift_gtest(sf_dir: str):
+    """Per ISO-ish week (epoch-day // 7): the G statistic of that
+    week's event-type mix against the whole horizon's mix — the
+    composition-drift monitor a streaming pipeline alarms on.
+    G = 2·Σ O·(L(O·N_w_tot·? ) ... expressed exactly as
+    2·Σ_t O_t·(L(O_t·N) − L(E_num)) with E_num = week_total·type_total
+    and the L(·) ln-micro convention (lang_source_gtest's identity:
+    ln(O/E) = ln(O·N) − ln(week·type)).
+
+    Scale shape: one bounded (week, type) contingency fold."""
+    import math
+
+    day_us = 86_400_000_000
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        week = pc.divide(
+            pc.divide(pc.cast(t["ts"], pa.int64()), pa.scalar(day_us, pa.int64())),
+            pa.scalar(7, pa.int64()),
+        )
+        g = pa.TableGroupBy(
+            pa.table({"week": week, "event_type": t["event_type"]}),
+            ["week", "event_type"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "week": g["week"],
+                "event_type": g["event_type"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    cells: dict = {}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for w, ty, n in zip(
+            t["week"].to_pylist(), t["event_type"].to_pylist(), t["n"].to_pylist()
+        ):
+            cells[(w, ty)] = cells.get((w, ty), 0) + n
+
+    n_tot = sum(cells.values())
+    wk_tot: dict = {}
+    ty_tot: dict = {}
+    for (w, ty), n in cells.items():
+        wk_tot[w] = wk_tot.get(w, 0) + n
+        ty_tot[ty] = ty_tot.get(ty, 0) + n
+
+    def L(v: int) -> int:
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    weeks = sorted(wk_tot)
+    rows = []
+    for w in weeks:
+        g2 = 0
+        for ty, tt in ty_tot.items():
+            o = cells.get((w, ty), 0)
+            if o:
+                g2 += 2 * o * (L(o * n_tot) - L(wk_tot[w] * tt))
+        rows.append((w, wk_tot[w], g2))
+    return pa.table(
+        {
+            "week": pa.array([r[0] for r in rows], pa.int64()),
+            "n_events": pa.array([r[1] for r in rows], pa.int64()),
+            "g_micro": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+TYPE_MIX_DRIFT_GTEST_SQL = """
+WITH c AS (
+  SELECT (epoch_us(ts) // 86400000000) // 7 AS week, event_type,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+w AS (SELECT week, CAST(sum(o) AS BIGINT) AS wt FROM c GROUP BY 1),
+ty AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS tt FROM c GROUP BY 1),
+n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c)
+SELECT CAST(c.week AS BIGINT) AS week,
+       CAST(any_value(w.wt) AS BIGINT) AS n_events,
+       CAST(sum(2 * c.o
+                * (CAST(round(ln(c.o * n.n) * 1000000) AS BIGINT)
+                   - CAST(round(ln(w.wt * ty.tt) * 1000000) AS BIGINT)))
+            AS BIGINT) AS g_micro
+FROM c JOIN w USING (week) JOIN ty USING (event_type) CROSS JOIN n
+GROUP BY c.week ORDER BY week
+"""

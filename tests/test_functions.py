@@ -341,6 +341,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "nation_trade_balance",
         "embedding_fisher_dims",
         "brand_rule_metrics",
+        "daily_new_user_share",
+        "type_mix_drift_gtest",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4960,3 +4962,35 @@ def test_fisher_dims_rank_consistency(ray_session):
     assert len({r["dim"] for r in rows}) == len(rows)
     for r in rows:
         assert r["ssw_milli"] > 0 and r["ssb_milli"] >= -len(rows)
+
+
+def test_new_user_share_first_day_is_all_new(ray_session):
+    """On the first day every active user is new; afterwards new
+    users never exceed active users."""
+    from document_extractor_ray.functions.analytics import daily_new_user_share
+
+    rows = daily_new_user_share(SF).to_pylist()
+    assert rows[0]["n_new_users"] == rows[0]["n_active_users"]
+    assert rows[0]["new_share_milli"] == 1000
+    total_new = sum(r["n_new_users"] for r in rows)
+    assert total_new == max(r["n_active_users"] for r in rows) or total_new >= max(
+        r["n_active_users"] for r in rows
+    )
+    for r in rows:
+        assert r["n_new_users"] <= r["n_active_users"]
+
+
+def test_type_mix_gtest_nonnegative(ray_session):
+    """G is a KL-type statistic: >= 0 up to micro-rounding slack, and
+    the weekly event counts re-add to the corpus."""
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import type_mix_drift_gtest
+
+    rows = type_mix_drift_gtest(SF).to_pylist()
+    tot = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_events"] for r in rows) == tot
+    for r in rows:
+        assert r["g_micro"] >= -2 * r["n_events"]  # <=1 micro slack/term
