@@ -335,6 +335,7 @@ PICKS = [
     "brand_rule_metrics",
     "daily_new_user_share",
     "type_mix_drift_gtest",
+    "top_customer_share_by_year",
 ]
 
 

@@ -18249,3 +18249,138 @@ SELECT CAST(c.week AS BIGINT) AS week,
 FROM c JOIN w USING (week) JOIN ty USING (event_type) CROSS JOIN n
 GROUP BY c.week ORDER BY week
 """
+
+
+# ---------------------------------------------------------------------------
+# Top-customer revenue concentration per order year
+# ---------------------------------------------------------------------------
+
+TOP_SHARE_K = 10
+
+
+def top_customer_share_by_year(sf_dir: str, k: int = TOP_SHARE_K):
+    """Customer-concentration trend: per order year, the revenue share
+    (milli) of that year's top-k customers — the key-account risk
+    metric next to revenue_gini_by_nation.  Top-k rule: cents desc,
+    custkey asc.
+
+    Scale shape: the (year, customer) revenue is a key-per-row
+    aggregate → ``bucketed_agg``; each bucket emits only its local
+    top-k per year plus per-year totals, so the driver merge is
+    bounded by years × (k × buckets)."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                    "o_custkey": t["o_custkey"],
+                    "cents": _to_cents(t["o_totalprice"]),
+                }
+            ),
+            ["year", "o_custkey"],
+        ).aggregate([("cents", "sum")])
+        return pa.table(
+            {
+                "year": g["year"],
+                "o_custkey": g["o_custkey"],
+                "cents_p": g["cents_sum"],
+            }
+        )
+
+    per_cust = bucketed_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["year", "o_custkey"],
+        [("cents_p", "sum", "cents")],
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("year", "ascending"),
+                ("cents", "descending"),
+                ("o_custkey", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        yr = t["year"].to_numpy(zero_copy_only=False)
+        new = np.ones(len(yr), dtype=bool)
+        new[1:] = yr[1:] != yr[:-1]
+        run_start = np.repeat(
+            np.flatnonzero(new), np.diff(np.append(np.flatnonzero(new), len(yr)))
+        ) if len(yr) else np.zeros(0, np.int64)
+        rank = np.arange(len(yr)) - run_start
+        keep = rank < TOP_SHARE_K
+        # per-year totals ride along as sentinel custkey -1 rows
+        g = pa.TableGroupBy(t.select(["year", "cents"]), ["year"]).aggregate(
+            [("cents", "sum")]
+        )
+        tot = pa.table(
+            {
+                "year": g["year"],
+                "o_custkey": pa.array([-1] * g.num_rows, pa.int64()),
+                "cents": g["cents_sum"],
+            }
+        )
+        return pa.concat_tables([t.filter(pa.array(keep)), tot])
+
+    acc_top: dict = {}
+    acc_tot: dict = {}
+    for t in map(
+        ray.get,
+        per_cust.map_batches(local_topk, batch_format="pyarrow").to_arrow_refs(),
+    ):
+        if not t.num_rows:
+            continue
+        for y, ck, c in zip(
+            t["year"].to_pylist(), t["o_custkey"].to_pylist(), t["cents"].to_pylist()
+        ):
+            if ck == -1:
+                acc_tot[y] = acc_tot.get(y, 0) + c
+            else:
+                acc_top.setdefault(y, []).append((c, ck))
+
+    years = sorted(acc_tot)
+    rows = []
+    for y in years:
+        cands = sorted(acc_top.get(y, []), key=lambda x: (-x[0], x[1]))[:k]
+        top = sum(c for c, _ in cands)
+        rows.append((y, acc_tot[y], top, (1000 * top) // acc_tot[y]))
+    return pa.table(
+        {
+            "year": pa.array([r[0] for r in rows], pa.int64()),
+            "total_cents": pa.array([r[1] for r in rows], pa.int64()),
+            "topk_cents": pa.array([r[2] for r in rows], pa.int64()),
+            "topk_share_milli": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+TOP_CUSTOMER_SHARE_BY_YEAR_SQL = f"""
+WITH c AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS year, o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+),
+r AS (
+  SELECT year, cents,
+         row_number() OVER (PARTITION BY year
+                            ORDER BY cents DESC, o_custkey) AS rn
+  FROM c
+),
+a AS (
+  SELECT year,
+         CAST(sum(cents) AS BIGINT) AS total_cents,
+         CAST(COALESCE(sum(cents) FILTER (WHERE rn <= {TOP_SHARE_K}), 0)
+              AS BIGINT) AS topk_cents
+  FROM r GROUP BY 1
+)
+SELECT year, total_cents, topk_cents,
+       CAST((1000 * topk_cents) // total_cents AS BIGINT) AS topk_share_milli
+FROM a ORDER BY year
+"""

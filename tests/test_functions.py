@@ -343,6 +343,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "brand_rule_metrics",
         "daily_new_user_share",
         "type_mix_drift_gtest",
+        "top_customer_share_by_year",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -4994,3 +4995,13 @@ def test_type_mix_gtest_nonnegative(ray_session):
     assert sum(r["n_events"] for r in rows) == tot
     for r in rows:
         assert r["g_micro"] >= -2 * r["n_events"]  # <=1 micro slack/term
+
+
+def test_top_share_bounds(ray_session):
+    """Top-k share lies in (0, 1000] milli and the top-k revenue never
+    exceeds the year total."""
+    from document_extractor_ray.functions.analytics import top_customer_share_by_year
+
+    for r in top_customer_share_by_year(SF).to_pylist():
+        assert 0 < r["topk_cents"] <= r["total_cents"]
+        assert 0 < r["topk_share_milli"] <= 1000
