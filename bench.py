@@ -459,16 +459,25 @@ def run_bench() -> dict:
     # spin-up, page cache) plus whatever the shared box is doing that
     # second — the warm number is the one that reflects the code
     # (VERDICT r2 item 8; BENCH_r02's regressions were exactly this).
-    for name in picks:
+    for i, name in enumerate(picks):
         print(f"[bench] pick {name}", file=sys.stderr, flush=True)
-        best = None
-        for _ in range(2):
+
+        def one_run() -> float:
             t0 = time.perf_counter()
             res = queries[name](SF_DIR)
             if hasattr(res, "count") and not hasattr(res, "num_rows"):
                 res.count()  # consume the Dataset
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            return time.perf_counter() - t0
+
+        best = one_run()
+        # Warm re-run (min-of-2) only where first-touch costs can bias
+        # the number: the chunk's first pick pays worker imports, and
+        # anything near/over a second has room for cache effects.
+        # Sub-0.8 s picks are dominated by fixed exchange costs that
+        # don't improve on a re-run — skipping theirs cut ~2 min off
+        # the full-bench wall without moving any recorded time.
+        if i == 0 or best > 0.8:
+            best = min(best, one_run())
         q_times[name] = round(best, 3)
 
     ray.shutdown()
