@@ -336,6 +336,8 @@ PICKS = [
     "daily_new_user_share",
     "type_mix_drift_gtest",
     "top_customer_share_by_year",
+    "line_sequencing_audit",
+    "reorder_interval_quantiles",
 ]
 
 

@@ -18384,3 +18384,198 @@ SELECT year, total_cents, topk_cents,
        CAST((1000 * topk_cents) // total_cents AS BIGINT) AS topk_share_milli
 FROM a ORDER BY year
 """
+
+
+# ---------------------------------------------------------------------------
+# Line-number sequencing conformance audit
+# ---------------------------------------------------------------------------
+
+def line_sequencing_audit(sf_dir: str):
+    """Schema-contract check: are each order's line numbers the dense
+    sequence 1..n?  This feed violates it wholesale (13.4k of 14.7k
+    orders at sf0.01), so the audit reports the violation taxonomy a
+    data-contract monitor would: orders whose min ≠ 1, whose max ≠
+    line count, and the worst max-vs-count overshoot.
+
+    Scale shape: per-order (min, max, count) via ``bucketed_agg``
+    (key-per-row rule); the taxonomy is a bounded driver fold."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "ln": pc.cast(t["l_linenumber"], pa.int64()),
+                }
+            ),
+            ["l_orderkey"],
+        ).aggregate([("ln", "min"), ("ln", "max"), ([], "count_all")])
+        return pa.table(
+            {
+                "l_orderkey": g["l_orderkey"],
+                "mn": g["ln_min"],
+                "mx": g["ln_max"],
+                "n_part": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    per_order = bucketed_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_orderkey"],
+        [("mn", "min", "mn"), ("mx", "max", "mx"), ("n_part", "sum", "n")],
+    )
+
+    n_orders = bad_min = bad_max = worst = 0
+    for t in map(ray.get, per_order.to_arrow_refs()):
+        if not t.num_rows:
+            continue
+        mn = t["mn"].to_numpy(zero_copy_only=False)
+        mx = t["mx"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        n_orders += len(n)
+        bad_min += int((mn != 1).sum())
+        bad_max += int((mx != n).sum())
+        if len(n):
+            worst = max(worst, int((mx - n).max()))
+    return pa.table(
+        {
+            "n_orders": pa.array([n_orders], pa.int64()),
+            "n_min_violations": pa.array([bad_min], pa.int64()),
+            "n_max_violations": pa.array([bad_max], pa.int64()),
+            "worst_overshoot": pa.array([worst], pa.int64()),
+        }
+    )
+
+
+LINE_SEQUENCING_AUDIT_SQL = """
+WITH o AS (
+  SELECT l_orderkey,
+         CAST(min(l_linenumber) AS BIGINT) AS mn,
+         CAST(max(l_linenumber) AS BIGINT) AS mx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) FILTER (WHERE mn <> 1) AS BIGINT) AS n_min_violations,
+       CAST(count(*) FILTER (WHERE mx <> n) AS BIGINT) AS n_max_violations,
+       CAST(max(mx - n) AS BIGINT) AS worst_overshoot
+FROM o
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reorder-interval medians per market segment
+# ---------------------------------------------------------------------------
+
+def reorder_interval_quantiles(sf_dir: str):
+    """Lower-median days between a customer's consecutive orders, per
+    market segment — the repeat-purchase cadence a retention model
+    calibrates against.  Consecutive = ordered by (orderdate,
+    orderkey) within the customer.
+
+    Scale shape: ONE custkey shuffle (sessionize pattern) with the
+    segment attached from the broadcast customer dim inside the group
+    kernel; the (segment, gap-day) histogram fold is calendar-
+    bounded."""
+    from document_extractor_ray import state
+
+    day_us = 86_400_000_000
+    dim = pa.concat_tables(
+        [
+            t
+            for t in map(
+                ray.get,
+                _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_arrow_refs(),
+            )
+            if t.num_rows
+        ]
+    ).combine_chunks()
+    dim_ref = state.broadcast(dim)
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def per_cust(t: pa.Table) -> pa.Table:
+        d = state.cached_get(dim_ref)
+        seg = state.lookup_join(
+            t.slice(0, 1), "o_custkey", d, "c_custkey", ["c_mktsegment"]
+        )["c_mktsegment"][0].as_py()
+        day = (
+            pc.cast(t["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+            // day_us
+        )
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, day))
+        gaps = np.diff(day[order])
+        u, c = np.unique(gaps, return_counts=True)
+        return pa.table(
+            {
+                "seg": pa.array([seg] * len(u), pa.string()),
+                "gap_days": pa.array(u, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist: dict = {}
+    for t in map(
+        ray.get,
+        ds.groupby("o_custkey").map_groups(per_cust, batch_format="pyarrow").to_arrow_refs(),
+    ):
+        if not t.num_rows:
+            continue
+        for s, g, n in zip(
+            t["seg"].to_pylist(), t["gap_days"].to_pylist(), t["n"].to_pylist()
+        ):
+            cur = hist.setdefault(s, {})
+            cur[g] = cur.get(g, 0) + n
+
+    segs = sorted(hist)
+    rows = []
+    for s in segs:
+        n = sum(hist[s].values())
+        need = (n - 1) // 2 + 1
+        cum = 0
+        med = 0
+        for g in sorted(hist[s]):
+            cum += hist[s][g]
+            if cum >= need:
+                med = g
+                break
+        rows.append((s, n, med))
+    return pa.table(
+        {
+            "c_mktsegment": pa.array([r[0] for r in rows], pa.string()),
+            "n_gaps": pa.array([r[1] for r in rows], pa.int64()),
+            "median_gap_days": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+REORDER_INTERVAL_QUANTILES_SQL = """
+WITH s AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate) // 86400000000
+         - lag(epoch_us(o_orderdate) // 86400000000) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS gap
+  FROM orders
+),
+g AS (
+  SELECT c.c_mktsegment, s.gap
+  FROM s JOIN customer c ON c.c_custkey = s.o_custkey
+  WHERE s.gap IS NOT NULL
+),
+r AS (
+  SELECT c_mktsegment, gap,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY gap) AS rn,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM g
+)
+SELECT c_mktsegment,
+       CAST(any_value(n) AS BIGINT) AS n_gaps,
+       CAST(min(gap) FILTER (WHERE rn = (n - 1) // 2 + 1) AS BIGINT)
+         AS median_gap_days
+FROM r GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

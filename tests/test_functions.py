@@ -344,6 +344,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "daily_new_user_share",
         "type_mix_drift_gtest",
         "top_customer_share_by_year",
+        "line_sequencing_audit",
+        "reorder_interval_quantiles",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -5005,3 +5007,26 @@ def test_top_share_bounds(ray_session):
     for r in top_customer_share_by_year(SF).to_pylist():
         assert 0 < r["topk_cents"] <= r["total_cents"]
         assert 0 < r["topk_share_milli"] <= 1000
+
+
+def test_line_sequencing_counts(ray_session):
+    """Violation counts can't exceed order count, and the known feed
+    property holds: most orders violate max==count (gapped
+    linenumbers)."""
+    from document_extractor_ray.functions.analytics import line_sequencing_audit
+
+    r = line_sequencing_audit(SF).to_pylist()[0]
+    assert 0 <= r["n_max_violations"] <= r["n_orders"]
+    assert r["n_max_violations"] > 0  # this feed IS gapped
+    assert r["worst_overshoot"] >= 0
+
+
+def test_reorder_interval_positive(ray_session):
+    """Medians are non-negative day counts and every segment with >= 2
+    orders per customer appears."""
+    from document_extractor_ray.functions.analytics import reorder_interval_quantiles
+
+    rows = reorder_interval_quantiles(SF).to_pylist()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["median_gap_days"] >= 0 and r["n_gaps"] > 0
