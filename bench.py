@@ -338,6 +338,7 @@ PICKS = [
     "top_customer_share_by_year",
     "line_sequencing_audit",
     "reorder_interval_quantiles",
+    "status_lifecycle_matrix",
 ]
 
 

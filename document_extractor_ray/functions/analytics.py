@@ -18579,3 +18579,112 @@ SELECT c_mktsegment,
 FROM r GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# Order-status vs line-status lifecycle consistency
+# ---------------------------------------------------------------------------
+
+def status_lifecycle_matrix(sf_dir: str):
+    """Cross-table lifecycle contract: for each order status, how do
+    the order's LINE statuses aggregate — all 'F', all 'O', or mixed?
+    A clean lifecycle has 'F' orders fully-F and 'O' orders fully-O;
+    every off-diagonal cell is a state-machine violation worth a
+    contract alert.
+
+    Scale shape: per-order (n_F, n_lines) via ``bucketed_agg``; order
+    status attaches through one partitioned join of the slim status
+    column (fact-fact boundary — broadcast would ship every orderkey);
+    the 3×3 contingency folds on the driver."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linestatus"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        is_f = pc.cast(pc.equal(t["l_linestatus"], "F"), pa.int64())
+        g = pa.TableGroupBy(
+            pa.table({"l_orderkey": t["l_orderkey"], "f": is_f}), ["l_orderkey"]
+        ).aggregate([("f", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "l_orderkey": g["l_orderkey"],
+                "n_f": g["f_sum"],
+                "n_part": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    per_order = bucketed_agg(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        ["l_orderkey"],
+        [("n_f", "sum", "n_f"), ("n_part", "sum", "n")],
+    ).materialize()
+
+    n_parts = _join_partitions(
+        f"{sf_dir}/orders.parquet", f"{sf_dir}/orders.parquet"
+    )
+    joined = per_order.join(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"]),
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        nf = t["n_f"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        prof = np.where(nf == n, "all_F", np.where(nf == 0, "all_O", "mixed"))
+        g = pa.TableGroupBy(
+            pa.table(
+                {"o_orderstatus": t["o_orderstatus"], "line_profile": pa.array(prof)}
+            ),
+            ["o_orderstatus", "line_profile"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "o_orderstatus": g["o_orderstatus"],
+                "line_profile": g["line_profile"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    acc: dict = {}
+    for t in map(
+        ray.get, joined.map_batches(cell_partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for s, p, n in zip(
+            t["o_orderstatus"].to_pylist(), t["line_profile"].to_pylist(),
+            t["n"].to_pylist(),
+        ):
+            acc[(s, p)] = acc.get((s, p), 0) + n
+
+    keys = sorted(acc)
+    return pa.table(
+        {
+            "o_orderstatus": pa.array([k[0] for k in keys], pa.string()),
+            "line_profile": pa.array([k[1] for k in keys], pa.string()),
+            "n_orders": pa.array([acc[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+STATUS_LIFECYCLE_MATRIX_SQL = """
+WITH p AS (
+  SELECT l_orderkey,
+         CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_f,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderstatus,
+         CASE WHEN p.n_f = p.n THEN 'all_F'
+              WHEN p.n_f = 0 THEN 'all_O'
+              ELSE 'mixed' END AS line_profile
+  FROM p JOIN orders o ON o.o_orderkey = p.l_orderkey
+)
+SELECT o_orderstatus, line_profile, CAST(count(*) AS BIGINT) AS n_orders
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+"""

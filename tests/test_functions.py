@@ -346,6 +346,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "top_customer_share_by_year",
         "line_sequencing_audit",
         "reorder_interval_quantiles",
+        "status_lifecycle_matrix",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -5030,3 +5031,17 @@ def test_reorder_interval_positive(ray_session):
     assert len(rows) == 5
     for r in rows:
         assert r["median_gap_days"] >= 0 and r["n_gaps"] > 0
+
+
+def test_lifecycle_matrix_totals(ray_session):
+    """Matrix cells re-add to the count of orders that have lines."""
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import status_lifecycle_matrix
+
+    rows = status_lifecycle_matrix(SF).to_pylist()
+    want = duckdb.sql(
+        f"SELECT count(DISTINCT l_orderkey) FROM "
+        f"read_parquet('{SF}/lineitem.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_orders"] for r in rows) == want
