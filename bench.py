@@ -339,6 +339,8 @@ PICKS = [
     "line_sequencing_audit",
     "reorder_interval_quantiles",
     "status_lifecycle_matrix",
+    "token_rank_drift",
+    "first_touch_mix",
 ]
 
 

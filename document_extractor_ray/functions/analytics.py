@@ -18688,3 +18688,81 @@ j AS (
 SELECT o_orderstatus, line_profile, CAST(count(*) AS BIGINT) AS n_orders
 FROM j GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# First-touch event-type mix (acquisition channel distribution)
+# ---------------------------------------------------------------------------
+
+def first_touch_mix(sf_dir: str):
+    """Which event type do users START with?  Per type: users whose
+    first event (earliest ts, event_id tie) is of that type, share in
+    milli — the first-touch attribution complement of
+    attribution_last_touch.
+
+    Scale shape: per-block per-user argmin partials (mergeable —
+    the upsert_apply_audit fold), bounded type rollup."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_id", "user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u, s, e, ty = uid[order], ts[order], eid[order], et[order]
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        return pa.table(
+            {
+                "user_id": pa.array(u[first], pa.int64()),
+                "ts_us": pa.array(s[first], pa.int64()),
+                "event_id": pa.array(e[first], pa.int64()),
+                "event_type": pa.array(ty[first], pa.string()),
+            }
+        )
+
+    best: dict = {}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for u, s, e, ty in zip(
+            t["user_id"].to_pylist(), t["ts_us"].to_pylist(),
+            t["event_id"].to_pylist(), t["event_type"].to_pylist(),
+        ):
+            cur = best.get(u)
+            if cur is None or (s, e) < (cur[0], cur[1]):
+                best[u] = (s, e, ty)
+
+    n_users = len(best)
+    mix: dict = {}
+    for _, _, ty in best.values():
+        mix[ty] = mix.get(ty, 0) + 1
+    types = sorted(mix)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n_users": pa.array([mix[t] for t in types], pa.int64()),
+            "share_milli": pa.array(
+                [(1000 * mix[t]) // n_users for t in types], pa.int64()
+            ),
+        }
+    )
+
+
+FIRST_TOUCH_MIX_SQL = """
+WITH f AS (
+  SELECT event_type FROM (
+    SELECT event_type, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events) WHERE rn = 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM f)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST((1000 * count(*)) // (SELECT n_users FROM n) AS BIGINT)
+         AS share_milli
+FROM f GROUP BY event_type ORDER BY event_type
+"""

@@ -8815,3 +8815,128 @@ SELECT source, n AS n_chars,
        CAST((1000 * (n - a - d - s)) // n AS BIGINT) AS other_permille
 FROM g ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Token frequency-rank drift between corpus halves
+# ---------------------------------------------------------------------------
+
+def token_rank_drift(sf_dir: str):
+    """Every token's frequency rank in the first vs second half of the
+    doc_id range and the rank delta — the vocabulary-drift movers
+    table a tokenizer owner reviews before retraining.  Rank rule:
+    count desc, token asc, ranks computed independently per half;
+    tokens absent from a half rank after all present ones (count 0).
+
+    Scale shape: ONE pass emits (half, token) count partials (the
+    split is a doc_id threshold from the bounded min/max fold);
+    ranking is driver math over the closed vocabulary (open-vocab
+    corpora cap to top-N by global count first)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    mn = mx = None
+    for t in map(
+        ray.get,
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "mn": pa.array([pc.min(t["doc_id"]).as_py()], pa.int64()),
+                    "mx": pa.array([pc.max(t["doc_id"]).as_py()], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_arrow_refs(),
+    ):
+        if not t.num_rows:
+            continue
+        for a, b in zip(t["mn"].to_pylist(), t["mx"].to_pylist()):
+            mn = a if mn is None else min(mn, a)
+            mx = b if mx is None else max(mx, b)
+    mid = (mn + mx + 1) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        half = pc.cast(
+            pc.greater_equal(pc.take(t["doc_id"], parent), mid), pa.int64()
+        )
+        tbl = pa.table({"half": half, "token": flat}).filter(
+            pc.not_equal(flat, "")
+        )
+        g = pa.TableGroupBy(tbl, ["half", "token"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "half": g["half"],
+                "token": g["token"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    cnt: dict = {0: {}, 1: {}}
+    for t in map(
+        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for h, w, n in zip(
+            t["half"].to_pylist(), t["token"].to_pylist(), t["n"].to_pylist()
+        ):
+            cnt[h][w] = cnt[h].get(w, 0) + n
+
+    vocab = sorted(set(cnt[0]) | set(cnt[1]))
+
+    def ranks(h: int) -> dict:
+        order = sorted(vocab, key=lambda w: (-cnt[h].get(w, 0), w))
+        return {w: i + 1 for i, w in enumerate(order)}
+
+    ra, rb = ranks(0), ranks(1)
+    rows = sorted(
+        ((w, ra[w], rb[w], rb[w] - ra[w]) for w in vocab),
+        key=lambda r: (-abs(r[3]), r[0]),
+    )
+    return pa.table(
+        {
+            "token": pa.array([r[0] for r in rows], pa.string()),
+            "rank_first_half": pa.array([r[1] for r in rows], pa.int64()),
+            "rank_second_half": pa.array([r[2] for r in rows], pa.int64()),
+            "rank_delta": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+TOKEN_RANK_DRIFT_SQL = f"""
+WITH mid AS (
+  SELECT (min(doc_id) + max(doc_id) + 1) // 2 AS m FROM documents
+),
+tok AS (
+  SELECT CASE WHEN doc_id >= (SELECT m FROM mid) THEN 1 ELSE 0 END AS half,
+         token
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+    FROM documents)
+  WHERE token <> ''
+),
+c AS (SELECT half, token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2),
+v AS (SELECT DISTINCT token FROM c),
+f AS (
+  SELECT v.token,
+         COALESCE(a.n, 0) AS na, COALESCE(b.n, 0) AS nb
+  FROM v
+  LEFT JOIN c a ON a.token = v.token AND a.half = 0
+  LEFT JOIN c b ON b.token = v.token AND b.half = 1
+),
+r AS (
+  SELECT token,
+         row_number() OVER (ORDER BY na DESC, token) AS rank_first_half,
+         row_number() OVER (ORDER BY nb DESC, token) AS rank_second_half
+  FROM f
+)
+SELECT token,
+       CAST(rank_first_half AS BIGINT) AS rank_first_half,
+       CAST(rank_second_half AS BIGINT) AS rank_second_half,
+       CAST(rank_second_half - rank_first_half AS BIGINT) AS rank_delta
+FROM r
+ORDER BY abs(rank_second_half - rank_first_half) DESC, token
+"""

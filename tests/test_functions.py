@@ -347,6 +347,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "line_sequencing_audit",
         "reorder_interval_quantiles",
         "status_lifecycle_matrix",
+        "token_rank_drift",
+        "first_touch_mix",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -5045,3 +5047,28 @@ def test_lifecycle_matrix_totals(ray_session):
         f"read_parquet('{SF}/lineitem.parquet')"
     ).fetchone()[0]
     assert sum(r["n_orders"] for r in rows) == want
+
+
+def test_rank_drift_permutation(ray_session):
+    """Each half's ranks are a permutation of 1..V and deltas sum to
+    zero (rank conservation)."""
+    from document_extractor_ray.functions.textstats import token_rank_drift
+
+    rows = token_rank_drift(SF).to_pylist()
+    v = len(rows)
+    assert sorted(r["rank_first_half"] for r in rows) == list(range(1, v + 1))
+    assert sorted(r["rank_second_half"] for r in rows) == list(range(1, v + 1))
+    assert sum(r["rank_delta"] for r in rows) == 0
+
+
+def test_first_touch_partition(ray_session):
+    """First-touch user counts partition the user base."""
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import first_touch_mix
+
+    rows = first_touch_mix(SF).to_pylist()
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_users"] for r in rows) == n_users
