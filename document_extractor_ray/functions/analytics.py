@@ -27,6 +27,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from document_extractor_ray.functions.bucketing import fold_partials
+
 
 def _read(sf_dir: str, name: str, columns=None):
     from document_extractor_ray.sources import read_parquet_clean
@@ -14320,14 +14322,9 @@ def forecast_mase(sf_dir: str, season: int = MASE_SEASON_DAYS):
         g = pa.TableGroupBy(pa.table({"day": day}), ["day"]).aggregate([([], "count_all")])
         return pa.table({"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())})
 
-    hist: dict = {}
-    for t in map(
-        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
-    ):
-        if not t.num_rows:
-            continue
-        for d, n in zip(t["day"].to_pylist(), t["n"].to_pylist()):
-            hist[d] = hist.get(d, 0) + n
+    hist = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "day", "n"
+    )
 
     n7 = sum7 = n1 = sum1 = 0
     for d, n in hist.items():
@@ -14790,16 +14787,12 @@ def value_theil_decomp(sf_dir: str):
             }
         )
 
-    hist: dict = {}
-    for t in map(
-        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
-    ):
-        if not t.num_rows:
-            continue
-        for et, c, n in zip(
-            t["event_type"].to_pylist(), t["cents"].to_pylist(), t["n"].to_pylist()
-        ):
-            hist[(et, c)] = hist.get((et, c), 0) + n
+    hist = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "cents"],
+        "n",
+        max_keys=2_000_000,
+    )
 
     def L(v: int) -> int:
         return int(math.floor(math.log(v) * 1_000_000 + 0.5))
@@ -14926,14 +14919,9 @@ def orders_mann_kendall(sf_dir: str):
         ).aggregate([("cents", "sum")])
         return pa.table({"day": g["day"], "cents": g["cents_sum"]})
 
-    series: dict = {}
-    for t in map(
-        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
-    ):
-        if not t.num_rows:
-            continue
-        for d, c in zip(t["day"].to_pylist(), t["cents"].to_pylist()):
-            series[d] = series.get(d, 0) + c
+    series = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "day", "cents"
+    )
 
     days = sorted(series)
     y = np.array([series[d] for d in days], dtype=np.int64)
@@ -16008,14 +15996,9 @@ def selectivity_independence_audit(sf_dir: str):
             }
         )
 
-    cells: dict = {}
-    for t in map(
-        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
-    ):
-        if not t.num_rows:
-            continue
-        for s, p, n in zip(t["s"].to_pylist(), t["p"].to_pylist(), t["n"].to_pylist()):
-            cells[(s, p)] = cells.get((s, p), 0) + n
+    cells = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), ["s", "p"], "n"
+    )
 
     n_tot = sum(cells.values())
     ns: dict = {}
@@ -16259,14 +16242,9 @@ def daily_runs_test(sf_dir: str):
         g = pa.TableGroupBy(pa.table({"day": day}), ["day"]).aggregate([([], "count_all")])
         return pa.table({"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())})
 
-    hist: dict = {}
-    for t in map(
-        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
-    ):
-        if not t.num_rows:
-            continue
-        for d, n in zip(t["day"].to_pylist(), t["n"].to_pylist()):
-            hist[d] = hist.get(d, 0) + n
+    hist = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "day", "n"
+    )
 
     days = sorted(hist)
     counts = np.array([hist[d] for d in days], dtype=np.int64)
@@ -16365,16 +16343,9 @@ def k_anonymity_audit(sf_dir: str, k: int = K_ANON_THRESHOLD):
             }
         )
 
-    cells: dict = {}
-    for t in map(
-        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
-    ):
-        if not t.num_rows:
-            continue
-        for nk, seg, n in zip(
-            t["nk"].to_pylist(), t["seg"].to_pylist(), t["n"].to_pylist()
-        ):
-            cells[(nk, seg)] = cells.get((nk, seg), 0) + n
+    cells = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), ["nk", "seg"], "n"
+    )
 
     sizes = sorted(cells.values())
     n_rows = sum(sizes)
@@ -16850,14 +16821,9 @@ def lineitem_corr_matrix(sf_dir: str):
             }
         )
 
-    acc: dict = {}
-    for t in map(
-        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
-    ):
-        if not t.num_rows:
-            continue
-        for k, v in zip(t["key"].to_pylist(), t["v"].to_pylist()):
-            acc[k] = acc.get(k, 0) + v
+    acc = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "key", "v"
+    )
 
     n = acc["__n__"]
 
@@ -17135,14 +17101,12 @@ def hdr_precision_sweep(sf_dir: str):
             {"cents": g["cents"], "n": pc.cast(g["count_all"], pa.int64())}
         )
 
-    hist: dict = {}
-    for t in map(
-        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
-    ):
-        if not t.num_rows:
-            continue
-        for c, n in zip(t["cents"].to_pylist(), t["n"].to_pylist()):
-            hist[c] = hist.get(c, 0) + n
+    hist = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "cents",
+        "n",
+        max_keys=2_000_000,
+    )
 
     vals = np.array(sorted(hist), dtype=np.int64)
     cnts = np.array([hist[v] for v in vals], dtype=np.int64)
@@ -17813,17 +17777,12 @@ def nation_trade_balance(sf_dir: str):
         ).aggregate([("cents", "sum")])
         return pa.table({"nk": g["nk"], "cents": g["cents_sum"]})
 
-    sup_acc: dict = {}
-    for t in map(
-        ray.get,
+    sup_acc = fold_partials(
         _read(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice"])
-        .map_batches(supplied, batch_format="pyarrow")
-        .to_arrow_refs(),
-    ):
-        if not t.num_rows:
-            continue
-        for nk, c in zip(t["nk"].to_pylist(), t["cents"].to_pylist()):
-            sup_acc[nk] = sup_acc.get(nk, 0) + c
+        .map_batches(supplied, batch_format="pyarrow"),
+        "nk",
+        "cents",
+    )
 
     # purchased side: lineitem ⋈ orders (partitioned), customer dim broadcast
     n_parts = _join_partitions(
@@ -17864,14 +17823,9 @@ def nation_trade_balance(sf_dir: str):
         ).aggregate([("cents", "sum")])
         return pa.table({"nk": g["nk"], "cents": g["cents_sum"]})
 
-    pur_acc: dict = {}
-    for t in map(
-        ray.get, joined.map_batches(purchased, batch_format="pyarrow").to_arrow_refs()
-    ):
-        if not t.num_rows:
-            continue
-        for nk, c in zip(t["nk"].to_pylist(), t["cents"].to_pylist()):
-            pur_acc[nk] = pur_acc.get(nk, 0) + c
+    pur_acc = fold_partials(
+        joined.map_batches(purchased, batch_format="pyarrow"), "nk", "cents"
+    )
 
     names = dict(
         zip(
@@ -18192,16 +18146,11 @@ def type_mix_drift_gtest(sf_dir: str):
             }
         )
 
-    cells: dict = {}
-    for t in map(
-        ray.get, ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
-    ):
-        if not t.num_rows:
-            continue
-        for w, ty, n in zip(
-            t["week"].to_pylist(), t["event_type"].to_pylist(), t["n"].to_pylist()
-        ):
-            cells[(w, ty)] = cells.get((w, ty), 0) + n
+    cells = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["week", "event_type"],
+        "n",
+    )
 
     n_tot = sum(cells.values())
     wk_tot: dict = {}
@@ -18648,17 +18597,11 @@ def status_lifecycle_matrix(sf_dir: str):
             }
         )
 
-    acc: dict = {}
-    for t in map(
-        ray.get, joined.map_batches(cell_partial, batch_format="pyarrow").to_arrow_refs()
-    ):
-        if not t.num_rows:
-            continue
-        for s, p, n in zip(
-            t["o_orderstatus"].to_pylist(), t["line_profile"].to_pylist(),
-            t["n"].to_pylist(),
-        ):
-            acc[(s, p)] = acc.get((s, p), 0) + n
+    acc = fold_partials(
+        joined.map_batches(cell_partial, batch_format="pyarrow"),
+        ["o_orderstatus", "line_profile"],
+        "n",
+    )
 
     keys = sorted(acc)
     return pa.table(

@@ -70,9 +70,19 @@ def manifest_dataset(final_ds):
 
 def metrics_table(final_ds) -> pa.Table:
     """Run-level counters (A6: process_run.py:197-203 log lines as
-    data): rows per status."""
+    data): rows per status.  Settled from non-empty Arrow block refs
+    (hash aggregates can emit empty-schema blocks; CLAUDE.md trap) —
+    no pandas roundtrip."""
+    import ray
+
     out = final_ds.groupby("status").count()
-    return pa.Table.from_pandas(out.to_pandas())
+    tables = [t for t in map(ray.get, out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {"status": pa.array([], pa.string()), "count()": pa.array([], pa.int64())}
+        )
+    t = pa.concat_tables(tables)
+    return t.sort_by("status")
 
 
 def write_outputs(

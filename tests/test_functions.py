@@ -5072,3 +5072,41 @@ def test_first_touch_partition(ray_session):
         f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
     ).fetchone()[0]
     assert sum(r["n_users"] for r in rows) == n_users
+
+
+# ---------------------------------------------------------------------------
+# Registry integrity
+
+
+def test_registry_no_oracle_set_pinned():
+    """Every queries() entry either has a DuckDB oracle or sits in the
+    explicitly justified no-oracle allowlist (COVERAGE.md 'Correctness
+    surfaces'); a new query silently missing its oracle fails here."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+
+    q = set(em.queries())
+    o = set(em.oracle_sql())
+    justified_no_oracle = {
+        # HTML extraction: byte-identity pinned vs the sequential
+        # oracle in tests/test_golden_extraction.py
+        "extract_results",
+        "extract_quarantine",
+        "extract_unit_rows",
+        # planted-input / iterative / float-argmax ops, each pinned by
+        # committed goldens in tests/test_goldens.py
+        "embedding_dup_pairs",
+        "embedding_dup_clusters",
+        "embedding_pca_power",
+        "kmeans_train",
+        "knn_ivf",
+        "knn_ivf_indexed",
+        "media_dup_groups",
+        "media_features",
+        "frame_sample",
+        "pack_sequences",
+    }
+    assert o <= q, f"oracles without queries: {sorted(o - q)}"
+    assert q - o == justified_no_oracle

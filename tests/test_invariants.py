@@ -537,3 +537,21 @@ def test_fused_plan_rejects_coarse_row_groups(ray_session, tmp_path):
     a = run_extraction(coarse_small, DEFAULT_CONFIG)
     b = run_extraction(fine, DEFAULT_CONFIG)
     assert canon(a.take_all()) == canon(b.take_all())
+
+
+def test_metrics_table_counts(ray_session, small_corpus):
+    """metrics_table (A6 run counters) settles Arrow block refs —
+    counts must equal a direct status histogram, sorted by status,
+    with no pandas on the path."""
+    import collections
+
+    import ray.data
+
+    from document_extractor_ray.pipelines.outputs import metrics_table
+
+    final = small_corpus["oracle"]["final"]
+    out = metrics_table(ray.data.from_arrow(final))
+    want = collections.Counter(final["status"].to_pylist())
+    got = dict(zip(out["status"].to_pylist(), out["count()"].to_pylist()))
+    assert got == dict(want)
+    assert out["status"].to_pylist() == sorted(want)
