@@ -347,6 +347,11 @@ PICKS = [
     "status_lifecycle_matrix",
     "token_rank_drift",
     "first_touch_mix",
+    "filter_agreement_matrix",
+    "session_entry_exit",
+    "reservoir_quantile_error",
+    "simhash_sort_locality",
+    "token_budget_allocation",
 ]
 
 # Long-standing regression-watch picks: run EVERY round so the

@@ -371,6 +371,103 @@ ORDER BY user_id
 """
 
 
+def session_entry_exit(sf_dir: str):
+    """Session entry/exit event-type matrix: per 30-minute-gap session
+    the type of its first and last event, counted over all sessions —
+    the bounce/landing profile (which flows START a visit vs which
+    ones users leave on) that sits one level above sessionize's raw
+    counts.
+
+    Scale shape: sessionize's hash-bucketed map_groups plan (balanced
+    partitions of many users, one vectorized pandas pass each); only
+    the |types|^2-bounded (entry, exit) count cells leave each
+    partition, folded on the driver via fold_partials.  Ties within a
+    timestamp order by event_id on both sides (events ts is monotone
+    in event_id, so this is belt-and-suspenders determinism)."""
+    from document_extractor_ray.functions.bucketing import fold_partials
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    n_parts = _n_blocks()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(
+            pc.multiply(
+                pc.cast(t["user_id"], pa.int64()), pa.scalar(2654435761, pa.int64())
+            ),
+            pa.scalar(0x7FFFFFFF, pa.int64()),
+        )
+        part = pc.cast(
+            pc.subtract(h, pc.multiply(pc.divide(h, n_parts), n_parts)), pa.int32()
+        )
+        return t.append_column("part", part)
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id", sort=False)["ts"].diff()
+        new_s = prev.isna() | (prev.dt.total_seconds() > SESSION_GAP_S)
+        sess = new_s.cumsum()  # first row per user is always True
+        agg = g.groupby(sess.to_numpy(), sort=False)["event_type"].agg(
+            ["first", "last"]
+        )
+        cells = (
+            agg.groupby(["first", "last"], sort=True).size().astype(np.int64)
+        )
+        idx = cells.index
+        return pa.table(
+            {
+                "entry_type": pa.array([k[0] for k in idx], pa.string()),
+                "exit_type": pa.array([k[1] for k in idx], pa.string()),
+                "n": pa.array(cells.to_numpy(), pa.int64()),
+            }
+        )
+
+    cells = fold_partials(
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas"),
+        ["entry_type", "exit_type"],
+        "n",
+    )
+    keys = sorted(cells)
+    return pa.table(
+        {
+            "entry_type": pa.array([k[0] for k in keys], pa.string()),
+            "exit_type": pa.array([k[1] for k in keys], pa.string()),
+            "n_sessions": pa.array([cells[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+SESSION_ENTRY_EXIT_SQL = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts - lag(ts) OVER w) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM e
+),
+fl AS (
+  SELECT user_id, sess,
+         first_value(event_type) OVER ws AS entry_type,
+         last_value(event_type) OVER ws AS exit_type,
+         row_number() OVER (PARTITION BY user_id, sess
+                            ORDER BY ts, event_id) AS rn
+  FROM s
+  WINDOW ws AS (PARTITION BY user_id, sess ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT entry_type, exit_type, CAST(count(*) AS BIGINT) AS n_sessions
+FROM fl WHERE rn = 1
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dimension rollup: nations per region (broadcast join of two dims)
 # ---------------------------------------------------------------------------
@@ -16981,6 +17078,93 @@ FROM d ORDER BY day
 
 
 SAMPLE_EXTRAPOLATION_AUDIT_SQL = _sample_extrapolation_sql()
+
+
+RESERVOIR_Q_PERMILLES = (100, 250, 500, 750, 900, 990)
+
+
+def reservoir_quantile_error(sf_dir: str, pct: int = SAMPLE_AUDIT_PCT):
+    """sample_extrapolation_audit's sibling for ORDER statistics: how
+    far off are value quantiles estimated from the deterministic 10%
+    fmix64(event_id) hash sample vs the exact full-data quantiles?
+    Per probe permille: exact cents, sample-estimated cents, absolute
+    error.  Quantile = sorted cents at 0-based rank
+    (q_permille * (n - 1)) // 1000 (floor interpolation — rank
+    arithmetic stays integer on both engines).
+
+    Scale shape: ONE pass folds the value-domain-bounded cents
+    histogram with full/sample counts per cents value; the driver
+    walks two cumulative-sum arrays — no sort, no per-row state."""
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        inn = ((_hll_hash(u) % np.uint64(100)) < np.uint64(pct)).astype(np.int64)
+        g = pa.TableGroupBy(
+            pa.table({"cents": _to_cents(t["value"]), "inn": pa.array(inn)}),
+            ["cents"],
+        ).aggregate([("inn", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "cents": g["cents"],
+                "n_smp": g["inn_sum"],
+                "n_all": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    from document_extractor_ray.functions.bucketing import fold_partials
+
+    hist = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "cents",
+        ["n_smp", "n_all"],
+        max_keys=2_000_000,
+    )
+    vals = np.array(sorted(hist), dtype=np.int64)
+    n_smp = np.array([hist[v][0] for v in vals], dtype=np.int64)
+    n_all = np.array([hist[v][1] for v in vals], dtype=np.int64)
+    cum_all = np.cumsum(n_all)
+    cum_smp = np.cumsum(n_smp)
+    tot_all = int(cum_all[-1])
+    tot_smp = int(cum_smp[-1])
+
+    def at_rank(cum: np.ndarray, rank: int) -> int:
+        return int(vals[int(np.searchsorted(cum, rank + 1))])
+
+    rows = {"q_permille": [], "exact_cents": [], "est_cents": [], "abs_err": []}
+    for q in RESERVOIR_Q_PERMILLES:
+        exact = at_rank(cum_all, q * (tot_all - 1) // 1000)
+        est = at_rank(cum_smp, q * (tot_smp - 1) // 1000)
+        rows["q_permille"].append(q)
+        rows["exact_cents"].append(exact)
+        rows["est_cents"].append(est)
+        rows["abs_err"].append(abs(est - exact))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+
+def _reservoir_quantile_sql(pct: int = SAMPLE_AUDIT_PCT) -> str:
+    probes = ", ".join(f"({q})" for q in RESERVOIR_Q_PERMILLES)
+    return f"""
+WITH {_fmix64_sql("event_id", "CAST(round(value * 100) AS BIGINT)", "cents")},
+f AS (SELECT cents, row_number() OVER (ORDER BY cents) - 1 AS rk,
+             count(*) OVER () AS n FROM h5),
+s AS (SELECT cents, row_number() OVER (ORDER BY cents) - 1 AS rk,
+             count(*) OVER () AS n FROM h5 WHERE h % 100 < {pct}),
+qs(q) AS (VALUES {probes}),
+e AS (SELECT q, cents AS exact_cents FROM qs
+      JOIN f ON f.rk = (q * (f.n - 1)) // 1000),
+m AS (SELECT q, cents AS est_cents FROM qs
+      JOIN s ON s.rk = (q * (s.n - 1)) // 1000)
+SELECT CAST(e.q AS BIGINT) AS q_permille,
+       CAST(exact_cents AS BIGINT) AS exact_cents,
+       CAST(est_cents AS BIGINT) AS est_cents,
+       CAST(abs(est_cents - exact_cents) AS BIGINT) AS abs_err
+FROM e JOIN m USING (q)
+ORDER BY e.q
+"""
+
+
+RESERVOIR_QUANTILE_ERROR_SQL = _reservoir_quantile_sql()
 
 
 # ---------------------------------------------------------------------------

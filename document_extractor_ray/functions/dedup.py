@@ -2864,6 +2864,68 @@ def simhash_hamming_hist_docs(sf_dir: str):
     return simhash_hamming_hist(_read_docs(sf_dir, ["doc_id", "text"]))
 
 
+def simhash_sort_locality(sf_dir: str):
+    """Fingerprint-sort locality audit: the summed adjacent-pair
+    Hamming distance when docs are laid out in SimHash order vs plain
+    doc_id order — the number that says how much a fingerprint-
+    clustered layout co-locates near-duplicate text (small adjacent
+    distance = delta-encoding-friendly shards, cheap windowed
+    near-dup verify).  One row: pair count and both adjacency sums.
+
+    Scale shape: one distributed sort per ordering; each block
+    contributes its internal adjacency sum plus (first, last)
+    fingerprints, and the driver links the #blocks-bounded boundary
+    list (the zonemap/encoding audits' key-range decomposition —
+    adjacency never leaves the block except at block edges)."""
+    sh = simhash_table(sf_dir)  # (doc_id, simhash), sorted by doc_id
+
+    def adjacency(ds, order_key) -> tuple[int, int]:
+        def partial(t: pa.Table) -> pa.Table:
+            fp = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            x = fp[:-1] ^ fp[1:]
+            inner = int(_POP8[x.view(np.uint8)].sum()) if len(x) else 0
+            return pa.table(
+                {
+                    "first_fp": pa.array([int(fp[0])], pa.int64()),
+                    "first_id": pa.array(
+                        [int(t["doc_id"][0].as_py())], pa.int64()
+                    ),
+                    "last_fp": pa.array([int(fp[-1])], pa.int64()),
+                    "inner": pa.array([inner], pa.int64()),
+                    "n": pa.array([len(fp)], pa.int64()),
+                }
+            )
+
+        rows: list[dict] = []
+        for tb in map(
+            ray.get,
+            ds.map_batches(
+                partial, batch_format="pyarrow", batch_size=None
+            ).to_arrow_refs(),
+        ):
+            if tb.num_rows:
+                rows.extend(tb.to_pylist())
+        rows.sort(key=order_key)
+        total = sum(r["n"] for r in rows)
+        s = sum(r["inner"] for r in rows)
+        for a, b in zip(rows, rows[1:]):
+            s += hamming64(a["last_fp"], b["first_fp"])
+        return s, total
+
+    s_fp, n_docs = adjacency(
+        sh.sort(["simhash", "doc_id"]),
+        lambda r: (r["first_fp"], r["first_id"]),
+    )
+    s_id, _ = adjacency(sh, lambda r: r["first_id"])
+    return pa.table(
+        {
+            "n_pairs": pa.array([n_docs - 1], pa.int64()),
+            "sum_hamming_fp_order": pa.array([s_fp], pa.int64()),
+            "sum_hamming_id_order": pa.array([s_id], pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cross-source duplication audit over the near-dup pair graph
 # ---------------------------------------------------------------------------
@@ -3089,6 +3151,88 @@ def curation_report_by_source(
             "source": pa.array([k[0] for k in keys], pa.string()),
             "fail_mask": pa.array([k[1] for k in keys], pa.int64()),
             "n_docs": pa.array([fold[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+CURATION_LAYERS = (
+    (0, "c4"),
+    (1, "repetition"),
+    (2, "gopher"),
+    (3, "neardup"),
+    (4, "decontam"),
+)
+
+
+def filter_agreement_matrix(
+    sf_dir: str, threshold: float = 0.7, n_benchmark: int = 3
+):
+    """Pairwise agreement between the five curation layers (C4
+    quality, repetition, gopher, near-dup loser, benchmark
+    contamination): per layer pair the fail counts, the overlap, and
+    the Jaccard of the two fail sets (permille, floor) — the audit
+    that says whether two filters are redundant (high Jaccard: drop
+    one) or orthogonal (each earns its runtime) before anyone tunes
+    the chain.
+
+    Scale shape: the per-doc verdict is curation_decisions' single
+    vectorized pass; only the <=32-row fail_mask HISTOGRAM leaves the
+    cluster (fold_partials), and the driver expands the 10 layer
+    pairs from mask bit tests — nothing pair-shaped ever shuffles
+    (the bitmask_pair_counts plan applied to an already-packed
+    mask)."""
+    from document_extractor_ray.functions.bucketing import fold_partials
+
+    cd = curation_decisions(sf_dir, threshold=threshold, n_benchmark=n_benchmark)
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"fail_mask": t["fail_mask"]}), ["fail_mask"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {"fail_mask": g["fail_mask"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    masks = fold_partials(
+        cd.map_batches(hist, batch_format="pyarrow"), "fail_mask", "n"
+    )
+    m = np.array(list(masks), np.int64)
+    c = np.array([masks[k] for k in masks], np.int64)
+    cols: dict = {
+        k: []
+        for k in (
+            "layer_a",
+            "layer_b",
+            "n_fail_a",
+            "n_fail_b",
+            "n_both",
+            "jaccard_permille",
+        )
+    }
+    for i, (bit_a, name_a) in enumerate(CURATION_LAYERS):
+        for bit_b, name_b in CURATION_LAYERS[i + 1 :]:
+            fa = ((m >> np.int64(bit_a)) & np.int64(1)).astype(bool)
+            fb = ((m >> np.int64(bit_b)) & np.int64(1)).astype(bool)
+            na = int(c[fa].sum())
+            nb = int(c[fb].sum())
+            nboth = int(c[fa & fb].sum())
+            union = na + nb - nboth
+            cols["layer_a"].append(name_a)
+            cols["layer_b"].append(name_b)
+            cols["n_fail_a"].append(na)
+            cols["n_fail_b"].append(nb)
+            cols["n_both"].append(nboth)
+            cols["jaccard_permille"].append(
+                1000 * nboth // union if union else 0
+            )
+    return pa.table(
+        {
+            "layer_a": pa.array(cols["layer_a"], pa.string()),
+            "layer_b": pa.array(cols["layer_b"], pa.string()),
+            "n_fail_a": pa.array(cols["n_fail_a"], pa.int64()),
+            "n_fail_b": pa.array(cols["n_fail_b"], pa.int64()),
+            "n_both": pa.array(cols["n_both"], pa.int64()),
+            "jaccard_permille": pa.array(cols["jaccard_permille"], pa.int64()),
         }
     )
 

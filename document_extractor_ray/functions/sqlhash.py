@@ -1141,6 +1141,53 @@ GROUP BY 1, 2
 ORDER BY 1, 2"""
 
 
+def simhash_sort_locality_sql() -> str:
+    """Oracle for ``dedup.simhash_sort_locality``: adjacent-pair
+    Hamming sums via lag() over the two orderings (lag of the first
+    row is NULL and drops out of the sum)."""
+    return f"""WITH sh AS MATERIALIZED ({simhash_sql()}),
+a AS (SELECT CAST(bit_count(xor(simhash,
+        lag(simhash) OVER (ORDER BY simhash, doc_id))) AS BIGINT) AS d FROM sh),
+b AS (SELECT CAST(bit_count(xor(simhash,
+        lag(simhash) OVER (ORDER BY doc_id))) AS BIGINT) AS d FROM sh)
+SELECT CAST((SELECT count(*) - 1 FROM sh) AS BIGINT) AS n_pairs,
+       CAST((SELECT sum(d) FROM a) AS BIGINT) AS sum_hamming_fp_order,
+       CAST((SELECT sum(d) FROM b) AS BIGINT) AS sum_hamming_id_order"""
+
+
+def filter_agreement_matrix_sql(
+    threshold: float = 0.7, n_benchmark: int = 3
+) -> str:
+    """Oracle for ``dedup.filter_agreement_matrix``: the
+    curation_decisions fail_mask histogram crossed with the 10 layer
+    pairs; Jaccard is integer floor permille (DuckDB // truncates,
+    operands non-negative)."""
+    return f"""WITH cd AS MATERIALIZED ({curation_decisions_sql(threshold, n_benchmark)}),
+m AS (SELECT fail_mask, count(*) AS n FROM cd GROUP BY 1),
+L(bit, layer) AS (VALUES (0, 'c4'), (1, 'repetition'), (2, 'gopher'),
+                         (3, 'neardup'), (4, 'decontam')),
+p AS (SELECT a.bit AS bit_a, a.layer AS layer_a,
+             b.bit AS bit_b, b.layer AS layer_b
+      FROM L a JOIN L b ON a.bit < b.bit),
+agg AS (
+  SELECT p.bit_a, p.layer_a, p.bit_b, p.layer_b,
+    CAST(coalesce(sum(CASE WHEN (m.fail_mask >> p.bit_a) & 1 = 1
+                           THEN m.n END), 0) AS BIGINT) AS n_fail_a,
+    CAST(coalesce(sum(CASE WHEN (m.fail_mask >> p.bit_b) & 1 = 1
+                           THEN m.n END), 0) AS BIGINT) AS n_fail_b,
+    CAST(coalesce(sum(CASE WHEN (m.fail_mask >> p.bit_a) & 1 = 1
+                            AND (m.fail_mask >> p.bit_b) & 1 = 1
+                           THEN m.n END), 0) AS BIGINT) AS n_both
+  FROM p CROSS JOIN m
+  GROUP BY 1, 2, 3, 4)
+SELECT layer_a, layer_b, n_fail_a, n_fail_b, n_both,
+  CAST(CASE WHEN n_fail_a + n_fail_b - n_both > 0
+            THEN (1000 * n_both) // (n_fail_a + n_fail_b - n_both)
+            ELSE 0 END AS BIGINT) AS jaccard_permille
+FROM agg
+ORDER BY bit_a, bit_b"""
+
+
 def dup_kcore_sql(threshold: float = 0.7, k: int = 2, rounds: int = 30) -> str:
     """Oracle for ``dedup.dup_graph_kcore``: the minhash pair edges,
     then a capped recursive peel — each iteration re-emits the full

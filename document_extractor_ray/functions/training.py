@@ -1239,3 +1239,146 @@ SELECT source,
        CAST(max(doc_id) AS BIGINT) AS last_doc
 FROM c GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Quality-ordered token budget allocation (epochs-capped waterfilling)
+# ---------------------------------------------------------------------------
+
+BUDGET_MAX_EPOCHS = 2  # no source repeats more than this many times
+
+
+def token_budget_allocation(sf_dir: str, max_epochs: int = BUDGET_MAX_EPOCHS):
+    """Allocate a global training-token budget (half the corpus's
+    tokens) across sources by quality-ordered waterfilling: sources
+    ranked by gopher-rules pass rate get filled first, each capped at
+    ``max_epochs`` repeats of its own tokens — the "how many epochs of
+    which source" table a data-mixture plan starts from (the
+    source_temperature_mix sibling with a hard budget instead of a
+    temperature).  Per source: available tokens, doc count, quality
+    permille, allocated tokens, allocated milli-epochs.
+
+    Scale shape: two scans, both folding source-bounded partials
+    (token totals from the documents pass, gopher pass counts from
+    doc_quality_composite's single vectorized pass); the greedy fill
+    runs on the |sources|-row table on the driver."""
+    from document_extractor_ray.functions.bucketing import fold_partials
+    from document_extractor_ray.functions.textstats import (
+        FAIL_GOPHER,
+        _TOKEN_RE,
+        doc_quality_composite,
+    )
+
+    docs = _read_docs(sf_dir, ["source", "text"])
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.count_substring_regex(t["text"], _TOKEN_RE), pa.int64())
+        g = pa.TableGroupBy(
+            pa.table({"source": t["source"], "toks": toks}), ["source"]
+        ).aggregate([("toks", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "tokens": g["toks_sum"],
+                "n_docs": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    stats = fold_partials(
+        docs.map_batches(tok_partial, batch_format="pyarrow"),
+        "source",
+        ["tokens", "n_docs"],
+    )
+
+    comp = doc_quality_composite(sf_dir, extra_cols=("source",))
+
+    def pass_partial(t: pa.Table) -> pa.Table:
+        ok = pc.cast(
+            pc.equal(
+                pc.bit_wise_and(t["fail_mask"], pa.scalar(FAIL_GOPHER, pa.int64())),
+                pa.scalar(0, pa.int64()),
+            ),
+            pa.int64(),
+        )
+        g = pa.TableGroupBy(
+            pa.table({"source": t["source"], "ok": ok}), ["source"]
+        ).aggregate([("ok", "sum")])
+        return pa.table({"source": g["source"], "n_pass": g["ok_sum"]})
+
+    n_pass = fold_partials(
+        comp.map_batches(pass_partial, batch_format="pyarrow"), "source", "n_pass"
+    )
+
+    srcs = sorted(stats)
+    quality = {s: 1000 * n_pass.get(s, 0) // stats[s][1] for s in srcs}
+    total = sum(stats[s][0] for s in srcs)
+    budget = total // 2
+    order = sorted(srcs, key=lambda s: (-quality[s], s))
+    cols = {
+        k: []
+        for k in (
+            "source",
+            "tokens",
+            "n_docs",
+            "quality_permille",
+            "tokens_alloc",
+            "epochs_milli",
+        )
+    }
+    cum_before = 0
+    for s in order:
+        tokens, n_docs = stats[s]
+        cap = max_epochs * tokens
+        alloc = min(cap, max(0, budget - cum_before))
+        cum_before += cap
+        cols["source"].append(s)
+        cols["tokens"].append(tokens)
+        cols["n_docs"].append(n_docs)
+        cols["quality_permille"].append(quality[s])
+        cols["tokens_alloc"].append(alloc)
+        cols["epochs_milli"].append(1000 * alloc // max(tokens, 1))
+    return pa.table(
+        {
+            "source": pa.array(cols["source"], pa.string()),
+            "tokens": pa.array(cols["tokens"], pa.int64()),
+            "n_docs": pa.array(cols["n_docs"], pa.int64()),
+            "quality_permille": pa.array(cols["quality_permille"], pa.int64()),
+            "tokens_alloc": pa.array(cols["tokens_alloc"], pa.int64()),
+            "epochs_milli": pa.array(cols["epochs_milli"], pa.int64()),
+        }
+    )
+
+
+def _token_budget_sql(max_epochs: int = BUDGET_MAX_EPOCHS) -> str:
+    from document_extractor_ray.functions.textstats import GOPHER_RULES_SQL
+
+    return f"""
+WITH g AS MATERIALIZED (SELECT doc_id, keep FROM ({GOPHER_RULES_SQL})),
+t AS (
+  SELECT source,
+         CAST(sum(length(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS tokens,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(g.keep) AS BIGINT) AS n_pass
+  FROM documents d JOIN g USING (doc_id) GROUP BY 1
+),
+q AS (SELECT source, tokens, n_docs,
+             CAST((1000 * n_pass) // n_docs AS BIGINT) AS quality_permille
+      FROM t),
+w AS (
+  SELECT q.*, {max_epochs} * tokens AS cap,
+         coalesce(sum({max_epochs} * tokens) OVER (
+             ORDER BY quality_permille DESC, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+         (SELECT sum(tokens) // 2 FROM q) AS budget
+  FROM q
+)
+SELECT source, tokens, n_docs, quality_permille,
+       CAST(least(cap, greatest(0, budget - cum_before)) AS BIGINT)
+         AS tokens_alloc,
+       CAST((1000 * least(cap, greatest(0, budget - cum_before)))
+            // greatest(tokens, 1) AS BIGINT) AS epochs_milli
+FROM w ORDER BY quality_permille DESC, source
+"""
+
+
+TOKEN_BUDGET_ALLOCATION_SQL = _token_budget_sql()

@@ -349,6 +349,11 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "status_lifecycle_matrix",
         "token_rank_drift",
         "first_touch_mix",
+        "filter_agreement_matrix",
+        "session_entry_exit",
+        "reservoir_quantile_error",
+        "simhash_sort_locality",
+        "token_budget_allocation",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
