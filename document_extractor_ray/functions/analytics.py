@@ -18893,3 +18893,536 @@ SELECT event_type,
          AS share_milli
 FROM f GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney rank test of doc length per source (one-vs-rest)
+# ---------------------------------------------------------------------------
+
+def length_mannwhitney(sf_dir: str):
+    """Mann-Whitney U of doc length, each source vs the rest of the
+    corpus — the nonparametric "is this source systematically longer?"
+    screen that complements value_ks_types' KS distance.  Integer-exact
+    by construction: wins / ties are pair counts derived from the
+    (source, n_chars) histogram and ``u2x = 2*wins + ties`` is exactly
+    twice the tie-averaged U statistic (so no .5 ever materializes).
+
+    Scale shape: per-block (source, n_chars) histogram partials folded
+    on the driver (bounded: |sources| x |distinct lengths|); the O(V)
+    cumulative-count pass replaces any O(N log N) global rank sort, so
+    no row-level data ever leaves the blocks."""
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["source", "n_chars"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "v": g["n_chars"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    cells = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), ["source", "v"], "n"
+    )
+    if not cells:
+        return pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n_src": pa.array([], pa.int64()),
+                "n_rest": pa.array([], pa.int64()),
+                "wins": pa.array([], pa.int64()),
+                "ties": pa.array([], pa.int64()),
+                "u2x": pa.array([], pa.int64()),
+            }
+        )
+    vals = sorted({v for (_, v) in cells})
+    v_idx = {v: i for i, v in enumerate(vals)}
+    sources = sorted({s for (s, _) in cells})
+    nt = np.zeros(len(vals), np.int64)
+    per_src = {s: np.zeros(len(vals), np.int64) for s in sources}
+    for (s, v), n in cells.items():
+        per_src[s][v_idx[v]] += n
+        nt[v_idx[v]] += n
+    cum_lt_all = np.concatenate(([0], np.cumsum(nt)[:-1]))
+    total = int(nt.sum())
+    rows = []
+    for s in sources:
+        ns = per_src[s]
+        cum_lt_s = np.concatenate(([0], np.cumsum(ns)[:-1]))
+        wins = int((ns * (cum_lt_all - cum_lt_s)).sum())
+        ties = int((ns * (nt - ns)).sum())
+        n_src = int(ns.sum())
+        rows.append((s, n_src, total - n_src, wins, ties, 2 * wins + ties))
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "n_src": pa.array([r[1] for r in rows], pa.int64()),
+            "n_rest": pa.array([r[2] for r in rows], pa.int64()),
+            "wins": pa.array([r[3] for r in rows], pa.int64()),
+            "ties": pa.array([r[4] for r in rows], pa.int64()),
+            "u2x": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )
+
+
+LENGTH_MANNWHITNEY_SQL = """
+WITH c AS (
+  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+t AS (
+  SELECT v, CAST(sum(n) AS BIGINT) AS nt,
+         CAST(COALESCE(sum(sum(n)) OVER (
+             ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS cum_lt
+  FROM c GROUP BY v
+),
+s AS (
+  SELECT source, v, n,
+         CAST(COALESCE(sum(n) OVER (
+             PARTITION BY source ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS cum_s_lt
+  FROM c
+)
+SELECT s.source,
+       CAST(sum(s.n) AS BIGINT) AS n_src,
+       CAST((SELECT sum(n) FROM c) - sum(s.n) AS BIGINT) AS n_rest,
+       CAST(sum(s.n * (t.cum_lt - s.cum_s_lt)) AS BIGINT) AS wins,
+       CAST(sum(s.n * (t.nt - s.n)) AS BIGINT) AS ties,
+       CAST(2 * sum(s.n * (t.cum_lt - s.cum_s_lt))
+            + sum(s.n * (t.nt - s.n)) AS BIGINT) AS u2x
+FROM s JOIN t USING (v)
+GROUP BY s.source
+ORDER BY s.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 dimension build from the event stream (audit)
+# ---------------------------------------------------------------------------
+
+def scd2_intervals(sf_dir: str):
+    """Slowly-changing-dimension (type 2) build over the event feed:
+    collapse each user's consecutive runs of equal event_type into
+    versioned validity intervals [valid_from, valid_to) — valid_to of
+    a version is the NEXT version's valid_from, NULL for the current
+    row — then audit the dimension per type: version count, open
+    (current) rows, and total closed-interval dwell in microseconds.
+
+    Scale shape: the sessionize hash-bucket plan (balanced partitions
+    of whole users, one vectorized pandas pass each); only |types|
+    partial rows leave each partition, folded on the driver."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    n_parts = _n_blocks()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(
+            pc.multiply(
+                pc.cast(t["user_id"], pa.int64()), pa.scalar(2654435761, pa.int64())
+            ),
+            pa.scalar(0x7FFFFFFF, pa.int64()),
+        )
+        part = pc.cast(
+            pc.subtract(h, pc.multiply(pc.divide(h, n_parts), n_parts)), pa.int32()
+        )
+        return t.append_column("part", part)
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        new_run = np.ones(len(g), bool)
+        if len(g) > 1:
+            new_run[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        starts = np.flatnonzero(new_run)
+        run_user = uid[starts]
+        run_type = et[starts]
+        run_from = ts[starts]
+        # valid_to = next run's valid_from within the same user.
+        valid_to = np.empty(len(starts), np.int64)
+        closed = np.zeros(len(starts), bool)
+        if len(starts) > 1:
+            same_user = run_user[1:] == run_user[:-1]
+            closed[:-1] = same_user
+            valid_to[:-1] = np.where(same_user, run_from[1:], 0)
+        df = pd.DataFrame(
+            {
+                "event_type": run_type,
+                "n_versions": np.int64(1),
+                "n_current": (~closed).astype(np.int64),
+                "closed_dur_us": np.where(closed, valid_to - run_from, 0),
+            }
+        )
+        out = df.groupby("event_type", sort=True).sum().reset_index()
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "n_versions": pa.array(out["n_versions"], pa.int64()),
+                "n_current": pa.array(out["n_current"], pa.int64()),
+                "closed_dur_us": pa.array(out["closed_dur_us"], pa.int64()),
+            }
+        )
+
+    cells = fold_partials(
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas"),
+        "event_type",
+        ["n_versions", "n_current", "closed_dur_us"],
+    )
+    keys = sorted(cells)
+    return pa.table(
+        {
+            "event_type": pa.array(keys, pa.string()),
+            "n_versions": pa.array([cells[k][0] for k in keys], pa.int64()),
+            "n_current": pa.array([cells[k][1] for k in keys], pa.int64()),
+            "closed_dur_us": pa.array([cells[k][2] for k in keys], pa.int64()),
+        }
+    )
+
+
+SCD2_INTERVALS_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run
+  FROM e
+),
+v AS (
+  SELECT user_id, run, event_type, min(ts) AS valid_from
+  FROM r GROUP BY 1, 2, 3
+),
+v2 AS (
+  SELECT *, lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+              AS valid_to
+  FROM v
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_current,
+       CAST(COALESCE(sum(epoch_us(valid_to - valid_from)), 0) AS BIGINT)
+         AS closed_dur_us
+FROM v2 GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust slope of the daily order count series
+# ---------------------------------------------------------------------------
+
+def daily_theil_sen(sf_dir: str):
+    """Theil-Sen estimator of the daily-order-count trend: the median
+    over all day pairs (i < j) of the pairwise slope, quantized to
+    micro-units with floor division (part of the op's definition so
+    both engines sort identical integers).  Robust complement to
+    orders_mann_kendall's trend TEST — this one estimates the slope.
+    Median rule: sum of the two middle elements (doubled when the pair
+    count is odd), so the output stays integer.
+
+    Scale shape: the day histogram is a driver-bounded fold (calendar
+    cardinality); the O(D^2) pairwise slopes are vectorized numpy over
+    ~days^2/2 elements — bounded by the calendar, not the data."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.cast(t["o_orderdate"], pa.date32()), pa.int32())
+        g = pa.TableGroupBy(pa.table({"day": d}), ["day"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    hist = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "day", "n"
+    )
+    days = np.array(sorted(hist), np.int64)
+    y = np.array([hist[d] for d in days], np.int64)
+    i, j = np.triu_indices(len(days), k=1)
+    dy = (y[j] - y[i]) * 1_000_000
+    dx = days[j] - days[i]
+    slopes = np.floor_divide(dy, dx)
+    slopes.sort()
+    n_pairs = len(slopes)
+    lo = slopes[(n_pairs - 1) // 2]
+    hi = slopes[n_pairs // 2]
+    return pa.table(
+        {
+            "n_days": pa.array([len(days)], pa.int64()),
+            "n_pairs": pa.array([n_pairs], pa.int64()),
+            "slope_micro_x2": pa.array([int(lo) + int(hi)], pa.int64()),
+        }
+    )
+
+
+DAILY_THEIL_SEN_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT ((b.y - a.y) * 1000000
+          - (((((b.y - a.y) * 1000000) % dd) + dd) % dd)) // dd AS sm
+  FROM d a JOIN d b ON b.day > a.day,
+       LATERAL (SELECT CAST(date_diff('day', a.day, b.day) AS BIGINT) AS dd) l
+),
+o AS (
+  SELECT sm, row_number() OVER (ORDER BY sm) AS rn, count(*) OVER () AS n
+  FROM p
+)
+SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+       CAST(any_value(n) AS BIGINT) AS n_pairs,
+       CAST(sum(sm) FILTER (WHERE rn = (n + 1) // 2)
+            + sum(sm) FILTER (WHERE rn = (n + 2) // 2) AS BIGINT)
+         AS slope_micro_x2
+FROM o
+"""
+
+
+# ---------------------------------------------------------------------------
+# Neyman optimal sample allocation across order-priority strata
+# ---------------------------------------------------------------------------
+
+NEYMAN_SAMPLE_N = 1000
+
+
+def neyman_allocation_plan(sf_dir: str, sample_n: int = NEYMAN_SAMPLE_N):
+    """Neyman-optimal allocation of a fixed sample budget across
+    o_orderpriority strata: n_h proportional to N_h * sigma_h, i.e. to
+    isqrt(SS_h) with SS_h = N_h * sum(x^2) - (sum x)^2 over cents —
+    the sampling-design counterpart of stratified_design_effect (that
+    one scores proportional allocation; this one emits the optimal
+    plan).  Integer-exact end to end: exact integer sqrt (one-step
+    corrected in SQL, math.isqrt here) and largest-remainder rounding
+    (ties broken by stratum name) so the allocations sum to exactly
+    ``sample_n``.
+
+    Scale shape: bounded per-stratum moment fold (5 priorities); x^2
+    block sums carry the (quotient, remainder)-by-1e6 split so int64
+    never overflows inside a block partial."""
+    import math
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _to_cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        x2 = c * c
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "stratum": t["o_orderpriority"],
+                    "x": pa.array(c, pa.int64()),
+                    "x2q": pa.array(x2 // 1_000_000, pa.int64()),
+                    "x2r": pa.array(x2 % 1_000_000, pa.int64()),
+                }
+            ),
+            ["stratum"],
+        ).aggregate(
+            [("x", "sum"), ("x2q", "sum"), ("x2r", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "stratum": g["stratum"],
+                "s": g["x_sum"],
+                "s2q": g["x2q_sum"],
+                "s2r": g["x2r_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    acc = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "stratum",
+        ["s", "s2q", "s2r", "n"],
+    )
+    strata = sorted(acc)
+    wgt = {}
+    for k in strata:
+        s, s2q, s2r, n = acc[k]
+        ss = n * (s2q * 1_000_000 + s2r) - s * s
+        wgt[k] = math.isqrt(ss)
+    w_tot = sum(wgt.values())
+    base = {k: sample_n * wgt[k] // w_tot for k in strata}
+    rem = {k: sample_n * wgt[k] - base[k] * w_tot for k in strata}
+    short = sample_n - sum(base.values())
+    for k in sorted(strata, key=lambda k: (-rem[k], k))[:short]:
+        base[k] += 1
+    return pa.table(
+        {
+            "stratum": pa.array(strata, pa.string()),
+            "n_h": pa.array([acc[k][3] for k in strata], pa.int64()),
+            "neyman_w": pa.array([wgt[k] for k in strata], pa.int64()),
+            "alloc": pa.array([base[k] for k in strata], pa.int64()),
+        }
+    )
+
+
+NEYMAN_ALLOCATION_PLAN_SQL = f"""
+WITH g AS (
+  SELECT o_orderpriority AS stratum,
+         CAST(count(*) AS BIGINT) AS n_h,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sx,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)
+             * CAST(round(o_totalprice * 100) AS BIGINT)) AS sx2
+  FROM orders GROUP BY 1
+),
+ss AS (
+  SELECT stratum, n_h,
+         CAST(n_h AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx AS ssq
+  FROM g
+),
+w0 AS (
+  SELECT stratum, n_h, ssq,
+         CAST(floor(sqrt(CAST(ssq AS DOUBLE))) AS HUGEINT) AS s0
+  FROM ss
+),
+w AS (
+  SELECT stratum, n_h,
+         s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= ssq THEN 1 ELSE 0 END)
+            - (CASE WHEN s0 * s0 > ssq THEN 1 ELSE 0 END) AS wgt
+  FROM w0
+),
+tot AS (SELECT sum(wgt) AS w_tot FROM w),
+a AS (
+  SELECT stratum, n_h, wgt,
+         ({NEYMAN_SAMPLE_N} * wgt) // w_tot AS base,
+         ({NEYMAN_SAMPLE_N} * wgt) % w_tot AS rem
+  FROM w, tot
+),
+r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY rem DESC, stratum) AS rk,
+         (SELECT {NEYMAN_SAMPLE_N} - sum(base) FROM a) AS short
+  FROM a
+)
+SELECT stratum, n_h,
+       CAST(wgt AS BIGINT) AS neyman_w,
+       CAST(base + (CASE WHEN rk <= short THEN 1 ELSE 0 END) AS BIGINT)
+         AS alloc
+FROM r ORDER BY stratum
+"""
+
+
+# ---------------------------------------------------------------------------
+# Customer order-frequency migration matrix (half-window vs half-window)
+# ---------------------------------------------------------------------------
+
+FREQ_MIGRATION_SPLIT = "1998-05-01"
+_FREQ_BANDS = ((1, "F1"), (3, "F2"), (6, "F3"))
+
+
+def _freq_band(n: int) -> str:
+    if n == 0:
+        return "none"
+    for hi, name in _FREQ_BANDS:
+        if n <= hi:
+            return name
+    return "F4"
+
+
+def customer_freq_migration(sf_dir: str):
+    """Customer order-frequency migration matrix: band each customer's
+    order count in the first half of the window (< {split}) and in the
+    second half into none/F1(1)/F2(2-3)/F3(4-6)/F4(7+), and count
+    customers per (band_from, band_to) cell — the cohort-movement view
+    a retention team reads (who lapsed, who accelerated).
+
+    Scale shape: one custkey hash-bucket shuffle of slim (custkey,
+    half) rows; per-partition pandas pivots whole customers, and only
+    the 5x5-bounded cells leave each partition."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    n_parts = _n_blocks()
+    split_us = int(
+        pd.Timestamp(FREQ_MIGRATION_SPLIT).value // 1000
+    )  # timestamp[us]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(
+            pc.multiply(
+                pc.cast(t["o_custkey"], pa.int64()), pa.scalar(2654435761, pa.int64())
+            ),
+            pa.scalar(0x7FFFFFFF, pa.int64()),
+        )
+        part = pc.cast(
+            pc.subtract(h, pc.multiply(pc.divide(h, n_parts), n_parts)), pa.int32()
+        )
+        late = pc.cast(
+            pc.greater_equal(
+                pc.cast(t["o_orderdate"], pa.int64()), pa.scalar(split_us, pa.int64())
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {"cust": t["o_custkey"], "late": late, "part": part}
+        )
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        piv = g.groupby(["cust", "late"]).size().unstack(fill_value=0)
+        n1 = piv[0].to_numpy() if 0 in piv.columns else np.zeros(len(piv), np.int64)
+        n2 = piv[1].to_numpy() if 1 in piv.columns else np.zeros(len(piv), np.int64)
+        bands = pd.DataFrame(
+            {
+                "band_from": [_freq_band(int(v)) for v in n1],
+                "band_to": [_freq_band(int(v)) for v in n2],
+            }
+        )
+        cnt = bands.groupby(["band_from", "band_to"], sort=True).size()
+        return pa.table(
+            {
+                "band_from": pa.array([k[0] for k in cnt.index], pa.string()),
+                "band_to": pa.array([k[1] for k in cnt.index], pa.string()),
+                "n": pa.array(cnt.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    cells = fold_partials(
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas"),
+        ["band_from", "band_to"],
+        "n",
+    )
+    keys = sorted(cells)
+    return pa.table(
+        {
+            "band_from": pa.array([k[0] for k in keys], pa.string()),
+            "band_to": pa.array([k[1] for k in keys], pa.string()),
+            "n_customers": pa.array([cells[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+customer_freq_migration.__doc__ = customer_freq_migration.__doc__.format(
+    split=FREQ_MIGRATION_SPLIT
+)
+
+_FREQ_BAND_SQL = """CASE WHEN {n} = 0 THEN 'none'
+              WHEN {n} <= 1 THEN 'F1'
+              WHEN {n} <= 3 THEN 'F2'
+              WHEN {n} <= 6 THEN 'F3'
+              ELSE 'F4' END"""
+
+CUSTOMER_FREQ_MIGRATION_SQL = f"""
+WITH c AS (
+  SELECT o_custkey AS cust,
+         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '{FREQ_MIGRATION_SPLIT}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '{FREQ_MIGRATION_SPLIT}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM orders GROUP BY 1
+)
+SELECT {_FREQ_BAND_SQL.format(n='n1')} AS band_from,
+       {_FREQ_BAND_SQL.format(n='n2')} AS band_to,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -304,15 +304,11 @@ def pack_assignments_docs(sf_dir: str):
     return pack_assignments(_read_docs(sf_dir, ["doc_id", "text"]))
 
 
-def pack_assignments_sql(
-    window: int = PACK_WINDOW, range_size: int = PACK_RANGE
-) -> str:
-    """Oracle for ``pack_assignments``: a recursive CTE carries the
-    greedy first-fit state (open-example id, fill) doc by doc within
-    each doc_id range; every range walks in parallel rows of the same
-    iteration depth."""
-    return f"""
-WITH RECURSIVE tok AS (
+def _pack_walk_ctes(window: int, range_size: int) -> str:
+    """The shared recursive first-fit walk (tok -> docs_r -> walk),
+    used by both the pack_assignments oracle and the boundary-bigram
+    audit so the state machine can never diverge between them."""
+    return f"""tok AS (
   SELECT doc_id,
          CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
          doc_id // {range_size} AS rng
@@ -344,7 +340,18 @@ walk(rng, i, doc_id, n_tokens, example_id, oversize, ex, fill) AS (
                 THEN w.fill + d.n_tokens
               ELSE d.n_tokens END
   FROM walk w JOIN docs_r d ON d.rng = w.rng AND d.i = w.i + 1
-)
+)"""
+
+
+def pack_assignments_sql(
+    window: int = PACK_WINDOW, range_size: int = PACK_RANGE
+) -> str:
+    """Oracle for ``pack_assignments``: a recursive CTE carries the
+    greedy first-fit state (open-example id, fill) doc by doc within
+    each doc_id range; every range walks in parallel rows of the same
+    iteration depth."""
+    return f"""
+WITH RECURSIVE {_pack_walk_ctes(window, range_size)}
 SELECT doc_id, example_id, n_tokens, oversize FROM walk ORDER BY doc_id
 """
 
@@ -1382,3 +1389,123 @@ FROM w ORDER BY quality_permille DESC, source
 
 
 TOKEN_BUDGET_ALLOCATION_SQL = _token_budget_sql()
+
+
+# ---------------------------------------------------------------------------
+# Pack-boundary bigram audit (cross-document token adjacency)
+# ---------------------------------------------------------------------------
+
+def pack_boundary_bigrams(
+    sf_dir: str, window: int = PACK_WINDOW, range_size: int = PACK_RANGE
+):
+    """Cross-document contamination audit of the greedy packer: every
+    boundary where two docs sit adjacent inside one packed example
+    creates a synthetic bigram (last token of the earlier doc, first
+    token of the next) the model will see during training.  Emits the
+    count per boundary bigram — the direct measure of what token
+    adjacencies packing fabricates (why packers insert EOS/BOS).
+
+    Scale shape: identical to pack_assignments (slim per-doc rows
+    through the doc_id-range groupby, block-layout independent); the
+    folded output is bounded by vocab^2."""
+    from document_extractor_ray.functions.bucketing import fold_partials
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
+        first = pc.struct_field(
+            pc.extract_regex(t["text"], r"^(?P<f>\S+)"), "f"
+        )
+        last = pc.struct_field(
+            pc.extract_regex(t["text"], r"(?P<l>\S+)\s*$"), "l"
+        )
+        rng = pc.divide(t["doc_id"], range_size)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": toks,
+                "first_tok": first,
+                "last_tok": last,
+                "rng": rng,
+            }
+        )
+
+    def per_range(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("doc_id")
+        toks = g["n_tokens"].to_numpy()
+        ex = np.empty(len(g), np.int64)
+        ids = g["doc_id"].to_numpy()
+        cur_start, cur_tok = None, 0
+        for k, (d, n) in enumerate(zip(ids, toks)):
+            if n > window:
+                ex[k] = d
+                cur_start, cur_tok = None, 0
+                continue
+            if cur_start is not None and cur_tok + n > window:
+                cur_start, cur_tok = None, 0
+            if cur_start is None:
+                cur_start, cur_tok = int(d), 0
+            ex[k] = cur_start
+            cur_tok += int(n)
+        if len(g) < 2:
+            return pa.table(
+                {
+                    "tok_a": pa.array([], pa.string()),
+                    "tok_b": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        m = ex[1:] == ex[:-1]
+        la = g["last_tok"].to_numpy()[:-1][m]
+        fb = g["first_tok"].to_numpy()[1:][m]
+        ok = pd.notna(la) & pd.notna(fb)
+        pairs = pd.DataFrame({"tok_a": la[ok], "tok_b": fb[ok]})
+        cnt = pairs.groupby(["tok_a", "tok_b"], sort=True).size()
+        return pa.table(
+            {
+                "tok_a": pa.array([k[0] for k in cnt.index], pa.string()),
+                "tok_b": pa.array([k[1] for k in cnt.index], pa.string()),
+                "n": pa.array(cnt.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    cells = fold_partials(
+        ds.map_batches(per_doc, batch_format="pyarrow")
+        .groupby("rng")
+        .map_groups(per_range, batch_format="pandas"),
+        ["tok_a", "tok_b"],
+        "n",
+    )
+    keys = sorted(cells)
+    return pa.table(
+        {
+            "tok_a": pa.array([k[0] for k in keys], pa.string()),
+            "tok_b": pa.array([k[1] for k in keys], pa.string()),
+            "n_boundaries": pa.array([cells[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+def pack_boundary_bigrams_sql(
+    window: int = PACK_WINDOW, range_size: int = PACK_RANGE
+) -> str:
+    """Oracle: the shared first-fit walk, self-joined on consecutive
+    in-range positions with equal example_id (an oversize doc's
+    example_id is its own doc_id, so it never pairs)."""
+    return f"""
+WITH RECURSIVE {_pack_walk_ctes(window, range_size)},
+w AS MATERIALIZED (SELECT rng, i, doc_id, example_id FROM walk),
+b AS (
+  SELECT regexp_extract(t1.text, '(\\S+)\\s*$', 1) AS tok_a,
+         regexp_extract(t2.text, '(\\S+)', 1) AS tok_b
+  FROM w w1
+  JOIN w w2 ON w2.rng = w1.rng AND w2.i = w1.i + 1
+            AND w2.example_id = w1.example_id
+  JOIN documents t1 ON t1.doc_id = w1.doc_id
+  JOIN documents t2 ON t2.doc_id = w2.doc_id
+)
+SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_boundaries
+FROM b WHERE tok_a IS NOT NULL AND tok_b IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -354,6 +354,12 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "reservoir_quantile_error",
         "simhash_sort_locality",
         "token_budget_allocation",
+        "length_mannwhitney",
+        "scd2_intervals",
+        "daily_theil_sen",
+        "pack_boundary_bigrams",
+        "neyman_allocation_plan",
+        "customer_freq_migration",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -5115,3 +5121,111 @@ def test_registry_no_oracle_set_pinned():
     }
     assert o <= q, f"oracles without queries: {sorted(o - q)}"
     assert q - o == justified_no_oracle
+
+
+def test_length_mannwhitney_matches_rank_computation(ray_session):
+    """u2x must equal twice the tie-averaged rank U computed directly."""
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import length_mannwhitney
+
+    got = {r["source"]: r for r in length_mannwhitney(SF).to_pylist()}
+    df = duckdb.sql(
+        f"SELECT source, n_chars FROM '{SF}/documents.parquet'"
+    ).df()
+    ranks = df["n_chars"].rank(method="average")
+    for src, r in got.items():
+        m = df["source"] == src
+        n1, n2 = int(m.sum()), int((~m).sum())
+        # R1 = rank sum of the group; U1 = R1 - n1(n1+1)/2 (x2 exact)
+        u2 = 2.0 * ranks[m].sum() - n1 * (n1 + 1)
+        assert r["n_src"] == n1 and r["n_rest"] == n2
+        assert r["u2x"] == round(u2)
+        assert 0 <= r["u2x"] <= 2 * n1 * n2
+
+
+def test_scd2_one_current_row_per_user(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import scd2_intervals
+
+    rows = scd2_intervals(SF).to_pylist()
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_current"] for r in rows) == n_users
+    assert all(r["n_versions"] >= r["n_current"] for r in rows)
+    assert all(r["closed_dur_us"] >= 0 for r in rows)
+
+
+def test_daily_theil_sen_pair_count_and_bounds(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import daily_theil_sen
+
+    r = daily_theil_sen(SF).to_pylist()[0]
+    assert r["n_pairs"] == r["n_days"] * (r["n_days"] - 1) // 2
+    df = duckdb.sql(
+        f"SELECT CAST(o_orderdate AS DATE) d, count(*) y FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY 1"
+    ).df()
+    days = df["d"].to_numpy().astype("datetime64[D]").astype(np.int64)
+    y = df["y"].to_numpy().astype(np.int64)
+    i, j = np.triu_indices(len(days), k=1)
+    slopes = np.floor_divide((y[j] - y[i]) * 1_000_000, days[j] - days[i])
+    slopes.sort()
+    n = len(slopes)
+    assert r["slope_micro_x2"] == int(slopes[(n - 1) // 2]) + int(slopes[n // 2])
+
+
+def test_pack_boundary_total_matches_pack_sequences(ray_session):
+    """Sum of boundaries == packed docs minus packed examples."""
+    from document_extractor_ray.functions.training import (
+        pack_boundary_bigrams,
+        pack_sequences_docs,
+    )
+
+    total = sum(
+        r["n_boundaries"] for r in pack_boundary_bigrams(SF).to_pylist()
+    )
+    packs = pack_sequences_docs(SF).take_all()
+    assert total == sum(p["n_docs"] for p in packs) - len(packs)
+
+
+def test_neyman_allocation_sums_and_isqrt(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import (
+        NEYMAN_SAMPLE_N,
+        neyman_allocation_plan,
+    )
+
+    rows = neyman_allocation_plan(SF).to_pylist()
+    assert sum(r["alloc"] for r in rows) == NEYMAN_SAMPLE_N
+    ss = {
+        s: int(n) * int(s2) - int(sx) * int(sx)
+        for s, n, sx, s2 in duckdb.sql(
+            f"""SELECT o_orderpriority, count(*),
+                     sum(CAST(round(o_totalprice*100) AS BIGINT)),
+                     sum(CAST(round(o_totalprice*100) AS BIGINT)
+                         * CAST(round(o_totalprice*100) AS BIGINT))
+              FROM '{SF}/orders.parquet' GROUP BY 1"""
+        ).fetchall()
+    }
+    for r in rows:
+        w = r["neyman_w"]
+        assert w * w <= ss[r["stratum"]] < (w + 1) * (w + 1)
+
+
+def test_freq_migration_covers_every_customer(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import customer_freq_migration
+
+    rows = customer_freq_migration(SF).to_pylist()
+    n_cust = duckdb.sql(
+        f"SELECT count(DISTINCT o_custkey) FROM '{SF}/orders.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert not any(
+        r["band_from"] == "none" and r["band_to"] == "none" for r in rows
+    )
