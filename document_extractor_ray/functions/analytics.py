@@ -19426,3 +19426,129 @@ SELECT {_FREQ_BAND_SQL.format(n='n1')} AS band_from,
        CAST(count(*) AS BIGINT) AS n_customers
 FROM c GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-user sequence surprisal under the global transition LM
+# ---------------------------------------------------------------------------
+
+def markov_sequence_surprisal(sf_dir: str):
+    """Per-user surprisal of the observed event sequence under the
+    corpus-wide first-order Markov model: each transition contributes
+    ln(c1/c12) in the proven ln-micro convention (floor(x*1e6+0.5) ==
+    DuckDB round(ln*1e6), libm-identical), summed per user — the
+    sequence-model anomaly score (bots replay high-probability loops
+    and score LOW; erratic users score HIGH) that complements
+    event_markov_stationary's global chain.
+
+    Scale shape: pass 1 folds the |types|^2-bounded transition counts;
+    pass 2 is the sessionize hash-bucket plan emitting per-user
+    partial rows, each cell mapped through the broadcast 25-entry
+    surprisal table inside the partition."""
+    import math
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    n_parts = _n_blocks()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(
+            pc.multiply(
+                pc.cast(t["user_id"], pa.int64()), pa.scalar(2654435761, pa.int64())
+            ),
+            pa.scalar(0x7FFFFFFF, pa.int64()),
+        )
+        part = pc.cast(
+            pc.subtract(h, pc.multiply(pc.divide(h, n_parts), n_parts)), pa.int32()
+        )
+        return t.append_column("part", part)
+
+    def trans_partial(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        cnt = (
+            pd.DataFrame({"prev": et[:-1][same], "nxt": et[1:][same]})
+            .groupby(["prev", "nxt"], sort=True)
+            .size()
+        )
+        return pa.table(
+            {
+                "prev": pa.array([k[0] for k in cnt.index], pa.string()),
+                "nxt": pa.array([k[1] for k in cnt.index], pa.string()),
+                "n": pa.array(cnt.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    c12 = fold_partials(
+        bucketed.groupby("part").map_groups(trans_partial, batch_format="pandas"),
+        ["prev", "nxt"],
+        "n",
+    )
+    c1: dict = {}
+    for (p, _), n in c12.items():
+        c1[p] = c1.get(p, 0) + n
+    surp = {
+        k: int(math.floor(math.log(c1[k[0]] / n) * 1_000_000 + 0.5))
+        for k, n in c12.items()
+    }
+
+    def per_user(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        df = pd.DataFrame(
+            {
+                "user_id": uid[:-1][same],
+                "sm": [
+                    surp[(p, nx)]
+                    for p, nx in zip(et[:-1][same], et[1:][same])
+                ],
+            }
+        )
+        out = df.groupby("user_id", sort=True).agg(
+            n_transitions=("sm", "size"), surprisal_micro=("sm", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+                "n_transitions": pa.array(
+                    out["n_transitions"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "surprisal_micro": pa.array(
+                    out["surprisal_micro"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        bucketed.groupby("part")
+        .map_groups(per_user, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+MARKOV_SEQUENCE_SURPRISAL_SQL = """
+WITH s AS (
+  SELECT user_id, lag(event_type) OVER w AS prev, event_type AS nxt
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+t AS (
+  SELECT prev, nxt, CAST(count(*) AS BIGINT) AS c12
+  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+c AS (SELECT prev, CAST(sum(c12) AS BIGINT) AS c1 FROM t GROUP BY prev),
+surp AS (
+  SELECT t.prev, t.nxt,
+         CAST(round(ln(CAST(c.c1 AS DOUBLE) / t.c12) * 1000000) AS BIGINT)
+           AS sm
+  FROM t JOIN c USING (prev)
+)
+SELECT s.user_id,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(sum(surp.sm) AS BIGINT) AS surprisal_micro
+FROM s JOIN surp ON s.prev = surp.prev AND s.nxt = surp.nxt
+GROUP BY s.user_id ORDER BY s.user_id
+"""

@@ -8940,3 +8940,269 @@ SELECT token,
 FROM r
 ORDER BY abs(rank_second_half - rank_first_half) DESC, token
 """
+
+
+# ---------------------------------------------------------------------------
+# Witten-Bell interpolated bigram LM (sibling of kn_bigram_probs)
+# ---------------------------------------------------------------------------
+
+def witten_bell_bigram(sf_dir: str):
+    """Witten-Bell interpolated bigram model in exact integer micro
+    units: with T1 = distinct continuations of w1 as the "new event"
+    mass,
+
+      P(w2|w1) = (c12 + T1 * Pml(w2)) / (c1 + T1),
+
+    Pml taken over the bigram successor marginal (c2 = sum_prev c12,
+    N = total bigrams — the same ingredient table KN reads), giving
+    one integer rational per bigram:
+    prob_micro = 1e6*(c12*N + T1*c2) // ((c1+T1)*N).  Second smoother
+    over the identical counts, so kn_bigram_probs vs this op isolates
+    the smoothing choice for an LM-filter ablation.
+
+    Scale shape: identical to kn_bigram_probs (pair-keyed bucketed
+    aggregate, vocab^2-bounded driver fold)."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        f = flat.filter(keep)
+        par = parent.filter(keep).to_numpy(zero_copy_only=False)
+        fa = f.to_numpy(zero_copy_only=False)
+        if len(fa) < 2:
+            return pa.table(
+                {
+                    "prev": pa.array([], pa.string()),
+                    "next": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        same = par[1:] == par[:-1]
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "prev": pa.array(fa[:-1][same], pa.string()),
+                    "next": pa.array(fa[1:][same], pa.string()),
+                }
+            ),
+            ["prev", "next"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "prev": g["prev"],
+                "next": g["next"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    c12: dict = {}
+    for tb in map(
+        ray.get,
+        bucketed_agg(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["prev", "next"],
+            [("n", "sum", "n")],
+        ).to_arrow_refs(),
+    ):
+        if not tb.num_rows:
+            continue
+        for p, nx, n in zip(
+            tb["prev"].to_pylist(), tb["next"].to_pylist(), tb["n"].to_pylist()
+        ):
+            c12[(p, nx)] = c12.get((p, nx), 0) + int(n)
+    c1: dict = {}
+    t1: dict = {}
+    c2: dict = {}
+    big_n = 0
+    for (p, nx), n in c12.items():
+        c1[p] = c1.get(p, 0) + n
+        t1[p] = t1.get(p, 0) + 1
+        c2[nx] = c2.get(nx, 0) + n
+        big_n += n
+    keys = sorted(c12)
+    probs = [
+        (1_000_000 * (c12[k] * big_n + t1[k[0]] * c2[k[1]]))
+        // ((c1[k[0]] + t1[k[0]]) * big_n)
+        for k in keys
+    ]
+    return pa.table(
+        {
+            "prev": pa.array([k[0] for k in keys], pa.string()),
+            "next": pa.array([k[1] for k in keys], pa.string()),
+            "c12": pa.array([c12[k] for k in keys], pa.int64()),
+            "prob_micro": pa.array(probs, pa.int64()),
+        }
+    )
+
+
+WITTEN_BELL_BIGRAM_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, string_split_regex(lower(text), '{_DF_SPLIT_RE}') AS ws
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, unnest(ws) AS token, generate_subscripts(ws, 1) AS p FROM raw
+),
+tok AS (
+  SELECT doc_id, token,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+  FROM tokpos WHERE token <> ''
+),
+bg AS (
+  SELECT lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+         token AS next
+  FROM tok
+),
+cc AS (
+  SELECT prev, next, CAST(count(*) AS BIGINT) AS c12
+  FROM bg WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+cx AS (SELECT prev, CAST(sum(c12) AS BIGINT) AS c1,
+              CAST(count(*) AS BIGINT) AS t1
+       FROM cc GROUP BY prev),
+nx AS (SELECT next, CAST(sum(c12) AS BIGINT) AS c2 FROM cc GROUP BY next),
+b AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM cc)
+SELECT cc.prev, cc.next, cc.c12,
+       CAST((1000000::HUGEINT
+             * (cc.c12::HUGEINT * (SELECT n FROM b)
+                + cx.t1::HUGEINT * nx.c2))
+            // ((cx.c1 + cx.t1)::HUGEINT * (SELECT n FROM b))
+            AS BIGINT) AS prob_micro
+FROM cc JOIN cx USING (prev) JOIN nx USING (next)
+ORDER BY cc.prev, cc.next
+"""
+
+
+# ---------------------------------------------------------------------------
+# Char->token linear-fit residual outliers (tokenization anomaly audit)
+# ---------------------------------------------------------------------------
+
+RESIDUAL_TOP_K = 15
+
+
+def length_token_residual_outliers(sf_dir: str, k: int = RESIDUAL_TOP_K):
+    """Docs whose whitespace token count deviates most from the
+    corpus-wide chars->tokens least-squares line — the tokenization
+    anomaly screen (a doc far ABOVE the line is fragment soup; far
+    below is run-on garbage), the ranking layer on top of
+    doc_len_token_corr's single correlation number.  The OLS
+    coefficients are quantized to micro units with convention-proof
+    floor division (part of the op definition), so
+    resid_micro = 1e6*y - a_micro - b_micro*x is integer-exact and
+    bounded (~1e9) at ANY corpus size.
+
+    Scale shape: two streaming passes — a bounded moment fold, then a
+    per-block top-k partial on |resid| (k rows per block reach the
+    driver).  Ranking ties break by doc_id."""
+    ds = _read_docs(sf_dir, ["doc_id", "n_chars", "text"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = (
+            pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pa.array([1], pa.int64()),
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            }
+        )
+
+    from document_extractor_ray.functions.bucketing import fold_partials
+
+    m = fold_partials(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        "k",
+        ["n", "sx", "sy", "sxy", "sxx"],
+    )[1]
+    n, sx, sy, sxy, sxx = (int(v) for v in m)
+    d = n * sxx - sx * sx
+    b_micro = (1_000_000 * (n * sxy - sx * sy)) // d
+    a_micro = (1_000_000 * (sy * sxx - sx * sxy)) // d
+
+    def topk(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = (
+            pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        resid = 1_000_000 * y - a_micro - b_micro * x
+        a = np.abs(resid)
+        if len(a) > k:
+            idx = np.argpartition(-a, k)[:k]
+        else:
+            idx = np.arange(len(a))
+        dd = t["doc_id"].to_numpy(zero_copy_only=False)[idx]
+        return pa.table(
+            {
+                "doc_id": pa.array(dd, pa.int64()),
+                "n_chars": pa.array(x[idx], pa.int64()),
+                "n_tokens": pa.array(y[idx], pa.int64()),
+                "resid_micro": pa.array(resid[idx], pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(topk, batch_format="pyarrow")
+        .to_pandas()
+        .assign(absr=lambda f: f["resid_micro"].abs())
+        .sort_values(["absr", "doc_id"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .drop(columns="absr")
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(parts["doc_id"].to_numpy().astype("int64")),
+            "n_chars": pa.array(parts["n_chars"].to_numpy().astype("int64")),
+            "n_tokens": pa.array(parts["n_tokens"].to_numpy().astype("int64")),
+            "resid_micro": pa.array(parts["resid_micro"].to_numpy().astype("int64")),
+        }
+    )
+
+
+LENGTH_TOKEN_RESIDUAL_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS y
+  FROM documents
+),
+m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx
+  FROM tok
+),
+coef AS (
+  SELECT
+    (1000000::HUGEINT * (n * sxy - sx * sy)
+     - ((((1000000::HUGEINT * (n * sxy - sx * sy)) % (n * sxx - sx * sx))
+         + (n * sxx - sx * sx)) % (n * sxx - sx * sx)))
+      // (n * sxx - sx * sx) AS b_micro,
+    (1000000::HUGEINT * (sy * sxx - sx * sxy)
+     - ((((1000000::HUGEINT * (sy * sxx - sx * sxy)) % (n * sxx - sx * sx))
+         + (n * sxx - sx * sx)) % (n * sxx - sx * sx)))
+      // (n * sxx - sx * sx) AS a_micro
+  FROM m
+),
+r AS (
+  SELECT doc_id, x, y,
+         CAST(1000000 * y - coef.a_micro - coef.b_micro * x AS BIGINT)
+           AS resid_micro
+  FROM tok, coef
+)
+SELECT doc_id, x AS n_chars, y AS n_tokens, resid_micro
+FROM r
+ORDER BY abs(resid_micro) DESC, doc_id
+LIMIT {RESIDUAL_TOP_K}
+"""

@@ -1509,3 +1509,104 @@ SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_boundaries
 FROM b WHERE tok_a IS NOT NULL AND tok_b IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Bin-packing optimality audit (greedy vs per-range lower bound)
+# ---------------------------------------------------------------------------
+
+def pack_optimality_audit(
+    sf_dir: str, window: int = PACK_WINDOW, range_size: int = PACK_RANGE
+):
+    """How far is the greedy first-fit packer from the bin-packing
+    lower bound?  Per doc_id range: LB = n_oversize +
+    ceil(sum(fitting tokens)/window) vs the examples actually emitted;
+    the one-row rollup (ranges, actual, LB, ranges already optimal) is
+    the go/no-go for investing in a smarter (offline best-fit) packer
+    — complements pack_efficiency_stats' fill histogram with the
+    optimality gap.
+
+    Scale shape: the pack_assignments range groupby; each range
+    collapses to ONE stat row inside its partition and a constant-key
+    fold sums them, so the driver sees O(blocks), never O(ranges)."""
+    from document_extractor_ray.functions.bucketing import fold_partials
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
+        rng = pc.divide(t["doc_id"], range_size)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": toks, "rng": rng})
+
+    def per_range(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("doc_id")
+        toks = g["n_tokens"].to_numpy()
+        over = toks > window
+        fit_toks = int(toks[~over].sum())
+        lb = int(over.sum()) + (fit_toks + window - 1) // window
+        # replay the greedy packer to count emitted examples
+        n_ex = 0
+        cur_tok = -1  # -1 = no open example
+        for n in toks:
+            if n > window:
+                n_ex += 1
+                cur_tok = -1
+                continue
+            if cur_tok < 0 or cur_tok + n > window:
+                n_ex += 1
+                cur_tok = 0
+            cur_tok += int(n)
+        return pa.table(
+            {
+                "k": pa.array([1], pa.int64()),
+                "n_ranges": pa.array([1], pa.int64()),
+                "n_examples": pa.array([n_ex], pa.int64()),
+                "lb_examples": pa.array([lb], pa.int64()),
+                "optimal_ranges": pa.array([int(n_ex == lb)], pa.int64()),
+            }
+        )
+
+    tot = fold_partials(
+        ds.map_batches(count_tokens, batch_format="pyarrow")
+        .groupby("rng")
+        .map_groups(per_range, batch_format="pandas"),
+        "k",
+        ["n_ranges", "n_examples", "lb_examples", "optimal_ranges"],
+    )[1]
+    return pa.table(
+        {
+            "n_ranges": pa.array([int(tot[0])], pa.int64()),
+            "n_examples": pa.array([int(tot[1])], pa.int64()),
+            "lb_examples": pa.array([int(tot[2])], pa.int64()),
+            "optimal_ranges": pa.array([int(tot[3])], pa.int64()),
+        }
+    )
+
+
+def pack_optimality_audit_sql(
+    window: int = PACK_WINDOW, range_size: int = PACK_RANGE
+) -> str:
+    """Oracle: the shared walk, rolled up per range against the
+    ceil-sum lower bound."""
+    return f"""
+WITH RECURSIVE {_pack_walk_ctes(window, range_size)},
+per_rng AS (
+  SELECT rng,
+         CAST(count(DISTINCT example_id) AS BIGINT) AS actual,
+         CAST(sum(CASE WHEN oversize THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+         CAST(sum(CASE WHEN oversize THEN 0 ELSE n_tokens END) AS BIGINT)
+           AS toks
+  FROM walk GROUP BY rng
+),
+x AS (
+  SELECT rng, actual,
+         n_over + (toks + {window} - 1) // {window} AS lb
+  FROM per_rng
+)
+SELECT CAST(count(*) AS BIGINT) AS n_ranges,
+       CAST(sum(actual) AS BIGINT) AS n_examples,
+       CAST(sum(lb) AS BIGINT) AS lb_examples,
+       CAST(sum(CASE WHEN actual = lb THEN 1 ELSE 0 END) AS BIGINT)
+         AS optimal_ranges
+FROM x
+"""

@@ -360,6 +360,10 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "pack_boundary_bigrams",
         "neyman_allocation_plan",
         "customer_freq_migration",
+        "witten_bell_bigram",
+        "length_token_residual_outliers",
+        "markov_sequence_surprisal",
+        "pack_optimality_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -5229,3 +5233,78 @@ def test_freq_migration_covers_every_customer(ray_session):
     assert not any(
         r["band_from"] == "none" and r["band_to"] == "none" for r in rows
     )
+
+
+def test_witten_bell_counts_match_kn_and_mass_bound(ray_session):
+    """WB reads the same bigram counts as KN; per-context emitted
+    probability mass never exceeds 1e6."""
+    from document_extractor_ray.functions.textstats import (
+        kn_bigram_probs,
+        witten_bell_bigram,
+    )
+
+    wb = witten_bell_bigram(SF).to_pylist()
+    kn = {
+        (r["prev"], r["next"]): r["c12"] for r in kn_bigram_probs(SF).to_pylist()
+    }
+    mass: dict = {}
+    for r in wb:
+        assert kn[(r["prev"], r["next"])] == r["c12"]
+        assert r["prob_micro"] > 0
+        mass[r["prev"]] = mass.get(r["prev"], 0) + r["prob_micro"]
+    assert all(v <= 1_000_000 for v in mass.values())
+
+
+def test_residual_outliers_recompute(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.textstats import (
+        RESIDUAL_TOP_K,
+        length_token_residual_outliers,
+    )
+
+    rows = length_token_residual_outliers(SF).to_pylist()
+    assert len(rows) == RESIDUAL_TOP_K
+    absr = [abs(r["resid_micro"]) for r in rows]
+    assert absr == sorted(absr, reverse=True)
+    df = duckdb.sql(
+        f"""SELECT doc_id, n_chars,
+                 CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) y
+          FROM '{SF}/documents.parquet'"""
+    ).df()
+    n = len(df)
+    sx, sy = int(df["n_chars"].sum()), int(df["y"].sum())
+    sxy = int((df["n_chars"] * df["y"]).sum())
+    sxx = int((df["n_chars"] * df["n_chars"]).sum())
+    d = n * sxx - sx * sx
+    b_micro = (1_000_000 * (n * sxy - sx * sy)) // d
+    a_micro = (1_000_000 * (sy * sxx - sx * sxy)) // d
+    by_id = df.set_index("doc_id")
+    for r in rows:
+        x, y = int(by_id.loc[r["doc_id"], "n_chars"]), int(by_id.loc[r["doc_id"], "y"])
+        assert r["resid_micro"] == 1_000_000 * y - a_micro - b_micro * x
+
+
+def test_markov_surprisal_totals(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import markov_sequence_surprisal
+
+    rows = markov_sequence_surprisal(SF).take_all()
+    n_events, n_users = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT user_id) FROM '{SF}/events.parquet'"
+    ).fetchone()
+    assert sum(r["n_transitions"] for r in rows) == n_events - n_users
+    assert all(r["surprisal_micro"] >= 0 for r in rows)
+
+
+def test_pack_optimality_consistent_with_pack_sequences(ray_session):
+    from document_extractor_ray.functions.training import (
+        pack_optimality_audit,
+        pack_sequences_docs,
+    )
+
+    r = pack_optimality_audit(SF).to_pylist()[0]
+    assert r["n_examples"] == len(pack_sequences_docs(SF).take_all())
+    assert r["lb_examples"] <= r["n_examples"]
+    assert 0 <= r["optimal_ranges"] <= r["n_ranges"]
