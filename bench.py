@@ -352,6 +352,16 @@ PICKS = [
     "reservoir_quantile_error",
     "simhash_sort_locality",
     "token_budget_allocation",
+    "length_mannwhitney",
+    "scd2_intervals",
+    "daily_theil_sen",
+    "pack_boundary_bigrams",
+    "neyman_allocation_plan",
+    "customer_freq_migration",
+    "witten_bell_bigram",
+    "length_token_residual_outliers",
+    "markov_sequence_surprisal",
+    "pack_optimality_audit",
 ]
 
 # Long-standing regression-watch picks: run EVERY round so the
