@@ -362,6 +362,9 @@ PICKS = [
     "length_token_residual_outliers",
     "markov_sequence_surprisal",
     "pack_optimality_audit",
+    "dup_graph_assortativity",
+    "incremental_dedup_audit",
+    "sample_join_estimator_audit",
 ]
 
 # Long-standing regression-watch picks: run EVERY round so the

@@ -19552,3 +19552,120 @@ SELECT s.user_id,
 FROM s JOIN surp ON s.prev = surp.prev AND s.nxt = surp.nxt
 GROUP BY s.user_id ORDER BY s.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Sampled join-size estimator audit (key sampling vs exact)
+# ---------------------------------------------------------------------------
+
+JOIN_SAMPLE_MOD = 16
+
+
+def sample_join_estimator_audit(sf_dir: str, mod: int = JOIN_SAMPLE_MOD):
+    """Key-sampled join-cardinality estimator vs ground truth: sample
+    the JOIN-KEY domain (orderkey % mod == 0 — both sides keep the
+    same keys, the trick that makes join sampling work at all), count
+    the join rows inside the sample, scale by mod, and report the
+    integer-permille error against join_size_exact's truth — the audit
+    that says whether a planner can trust key-sampled statistics on
+    this key distribution.
+
+    Scale shape: identical to join_size_exact (two tagged key-count
+    streams, one co-partitioned bucketed merge); the sampled sums ride
+    the same per-block fold, so the audit costs ONE extra column, not
+    a second pass."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    o = _read(sf_dir, "orders", columns=["o_orderkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def tag_o(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t["o_orderkey"],
+                "n_o": pa.array(np.ones(t.num_rows, np.int64)),
+                "n_l": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        )
+
+    def tag_l(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t["l_orderkey"],
+                "n_o": pa.array(np.zeros(t.num_rows, np.int64)),
+                "n_l": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    both = o.map_batches(tag_o, batch_format="pyarrow").union(
+        li.map_batches(tag_l, batch_format="pyarrow")
+    )
+    merged = bucketed_agg(
+        both, ["k"], [("n_o", "sum", "n_o"), ("n_l", "sum", "n_l")]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        no = t["n_o"].to_numpy(zero_copy_only=False)
+        nl = t["n_l"].to_numpy(zero_copy_only=False)
+        rows = no * nl
+        samp = k % mod == 0
+        return pa.table(
+            {
+                "kk": pa.array([1], pa.int64()),
+                "join_rows": pa.array([int(rows.sum())], pa.int64()),
+                "sampled_keys": pa.array(
+                    [int((samp & (rows > 0)).sum())], pa.int64()
+                ),
+                "sampled_join_rows": pa.array([int(rows[samp].sum())], pa.int64()),
+            }
+        )
+
+    tot = fold_partials(
+        merged.map_batches(fold, batch_format="pyarrow"),
+        "kk",
+        ["join_rows", "sampled_keys", "sampled_join_rows"],
+    )[1]
+    exact, skeys, srows = (int(v) for v in tot)
+    est = mod * srows
+    err = 1000 * abs(est - exact) // exact if exact else 0
+    return pa.table(
+        {
+            "join_rows": pa.array([exact], pa.int64()),
+            "sampled_keys": pa.array([skeys], pa.int64()),
+            "sampled_join_rows": pa.array([srows], pa.int64()),
+            "est_join_rows": pa.array([est], pa.int64()),
+            "err_permille": pa.array([err], pa.int64()),
+        }
+    )
+
+
+SAMPLE_JOIN_ESTIMATOR_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS n_o
+  FROM orders GROUP BY 1
+),
+l AS (
+  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n_l
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o.k, o.n_o * l.n_l AS rows_k
+  FROM o JOIN l ON l.k = o.k
+),
+s AS (
+  SELECT CAST(sum(rows_k) AS BIGINT) AS join_rows,
+         CAST(sum(CASE WHEN k % {JOIN_SAMPLE_MOD} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS sampled_keys,
+         CAST(sum(CASE WHEN k % {JOIN_SAMPLE_MOD} = 0 THEN rows_k ELSE 0 END)
+              AS BIGINT) AS sampled_join_rows
+  FROM j
+)
+SELECT join_rows, sampled_keys, sampled_join_rows,
+       CAST({JOIN_SAMPLE_MOD} * sampled_join_rows AS BIGINT) AS est_join_rows,
+       CAST(CASE WHEN join_rows > 0
+                 THEN 1000 * abs({JOIN_SAMPLE_MOD} * sampled_join_rows
+                                 - join_rows) // join_rows
+                 ELSE 0 END AS BIGINT) AS err_permille
+FROM s
+"""

@@ -3293,3 +3293,101 @@ def dup_graph_kcore_docs(sf_dir: str):
     from document_extractor_ray.functions.textstats import _read_docs
 
     return dup_graph_kcore(_read_docs(sf_dir, ["doc_id", "text"]))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup graph degree assortativity (mixing audit)
+# ---------------------------------------------------------------------------
+
+def dup_graph_assortativity(ds: "ray.data.Dataset", threshold: float = 0.7):
+    """Degree assortativity of the MinHash near-dup graph: the Pearson
+    correlation of endpoint degrees over edges, as the exact integer
+    rational r_micro = 1e6*(4M*S_jk - S_j+k^2) // (2M*S_jj+kk - S_j+k^2)
+    (floor; 0 when the denominator vanishes, i.e. a degree-regular
+    graph).  Positive r means dup clusters are dense cliques (hub docs
+    pair with hub docs — boilerplate families); negative means
+    star/chain shapes (one template spawning many one-off near-copies)
+    — with dup_graph_triangles this pins the component GEOMETRY before
+    any scrub runs.
+
+    Scale shape: edge list is the budget-guarded pair output; the
+    degree join and the four sums run on the driver below
+    CLUSTER_EDGE_BUDGET (the dup_graph_triangles regime), bounded by
+    the pair budget, never the corpus."""
+    rows = minhash_dup_pairs(ds, threshold=threshold).take_all()
+    deg: dict[int, int] = {}
+    for r in rows:
+        deg[r["doc_a"]] = deg.get(r["doc_a"], 0) + 1
+        deg[r["doc_b"]] = deg.get(r["doc_b"], 0) + 1
+    m = len(rows)
+    s_jk = sum(deg[r["doc_a"]] * deg[r["doc_b"]] for r in rows)
+    s_sum = sum(deg[r["doc_a"]] + deg[r["doc_b"]] for r in rows)
+    s_sq = sum(
+        deg[r["doc_a"]] ** 2 + deg[r["doc_b"]] ** 2 for r in rows
+    )
+    num = 4 * m * s_jk - s_sum * s_sum
+    den = 2 * m * s_sq - s_sum * s_sum
+    r_micro = (1_000_000 * num) // den if den else 0
+    return pa.table(
+        {
+            "n_edges": pa.array([m], pa.int64()),
+            "sum_prod": pa.array([s_jk], pa.int64()),
+            "sum_deg": pa.array([s_sum], pa.int64()),
+            "sum_sq": pa.array([s_sq], pa.int64()),
+            "r_micro": pa.array([r_micro], pa.int64()),
+        }
+    )
+
+
+def dup_graph_assortativity_docs(sf_dir: str):
+    from document_extractor_ray.functions.textstats import _read_docs
+
+    return dup_graph_assortativity(_read_docs(sf_dir, ["doc_id", "text"]))
+
+
+# ---------------------------------------------------------------------------
+# Incremental-crawl dedup audit (new snapshot vs existing corpus)
+# ---------------------------------------------------------------------------
+
+def incremental_dedup_audit(ds: "ray.data.Dataset", threshold: float = 0.7):
+    """Incremental re-crawl dedup: treating even doc_ids as the
+    EXISTING corpus and odd doc_ids as the NEW crawl, reject every new
+    doc that is a MinHash near-duplicate of some existing doc — the
+    snapshot-over-snapshot dedup a continuously crawling pipeline runs
+    (new data only gets checked AGAINST the index, never re-clustered
+    with itself).  Emits one row per rejected new doc: its id and how
+    many existing docs it collided with (new-vs-new pairs do NOT
+    reject — both stay until a future compaction).
+
+    Scale shape: rides minhash_dup_pairs' banded plan end to end; the
+    parity split is a filter on the pair output, and the per-rejected
+    rollup is one bucketed aggregate on the (tiny) cross-parity pair
+    set."""
+    pairs = minhash_dup_pairs(ds, threshold=threshold)
+
+    def cross_parity(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        a_odd, b_odd = (a % 2).astype(bool), (b % 2).astype(bool)
+        cross = a_odd != b_odd
+        new_doc = np.where(a_odd, a, b)[cross]
+        return pa.table(
+            {
+                "doc_id": pa.array(new_doc, pa.int64()),
+                "n": pa.array(np.ones(len(new_doc), np.int64), pa.int64()),
+            }
+        )
+
+    from document_extractor_ray.functions import bucketing
+
+    return bucketing.bucketed_agg(
+        pairs.map_batches(cross_parity, batch_format="pyarrow"),
+        ["doc_id"],
+        [("n", "sum", "n_existing_matches")],
+    ).sort("doc_id")
+
+
+def incremental_dedup_audit_docs(sf_dir: str):
+    from document_extractor_ray.functions.textstats import _read_docs
+
+    return incremental_dedup_audit(_read_docs(sf_dir, ["doc_id", "text"]))

@@ -1225,3 +1225,53 @@ SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
                AND b IN (SELECT v FROM core)) AS BIGINT) AS core_edges,
        CAST((SELECT count(*) FROM removed) AS BIGINT) AS n_peeled
 """
+
+
+def dup_assortativity_sql(threshold: float = 0.7) -> str:
+    """Oracle for ``dedup.dup_graph_assortativity``: minhash pair
+    edges, endpoint degrees, the four sums, and the floor-division
+    integer rational (convention-proof for the negative numerator)."""
+    return f"""WITH e AS (
+  SELECT doc_a AS a, doc_b AS b FROM ({minhash_pairs_sql(threshold)})
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+  GROUP BY v
+),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS m,
+         CAST(sum(da.d * db.d) AS HUGEINT) AS s_jk,
+         CAST(sum(da.d + db.d) AS HUGEINT) AS s_sum,
+         CAST(sum(da.d * da.d + db.d * db.d) AS HUGEINT) AS s_sq
+  FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+),
+r AS (
+  SELECT m, s_jk, s_sum, s_sq,
+         4 * m * s_jk - s_sum * s_sum AS num,
+         2 * m * s_sq - s_sum * s_sum AS den
+  FROM s
+)
+SELECT CAST(m AS BIGINT) AS n_edges,
+       CAST(s_jk AS BIGINT) AS sum_prod,
+       CAST(s_sum AS BIGINT) AS sum_deg,
+       CAST(s_sq AS BIGINT) AS sum_sq,
+       CAST(CASE WHEN den = 0 THEN 0
+                 ELSE (1000000::HUGEINT * num
+                       - ((((1000000::HUGEINT * num) % den) + den) % den)
+                      ) // den
+            END AS BIGINT) AS r_micro
+FROM r"""
+
+
+def incremental_dedup_sql(threshold: float = 0.7) -> str:
+    """Oracle for ``dedup.incremental_dedup_audit``: minhash pairs
+    filtered to cross-parity (even = existing corpus, odd = new
+    crawl), rolled up per rejected new doc."""
+    return f"""WITH e AS (
+  SELECT doc_a AS a, doc_b AS b FROM ({minhash_pairs_sql(threshold)})
+)
+SELECT CASE WHEN a % 2 = 1 THEN a ELSE b END AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_existing_matches
+FROM e WHERE (a % 2) <> (b % 2)
+GROUP BY 1 ORDER BY 1"""

@@ -364,6 +364,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "length_token_residual_outliers",
         "markov_sequence_surprisal",
         "pack_optimality_audit",
+        "dup_graph_assortativity",
+        "incremental_dedup_audit",
+        "sample_join_estimator_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -5308,3 +5311,47 @@ def test_pack_optimality_consistent_with_pack_sequences(ray_session):
     assert r["n_examples"] == len(pack_sequences_docs(SF).take_all())
     assert r["lb_examples"] <= r["n_examples"]
     assert 0 <= r["optimal_ranges"] <= r["n_ranges"]
+
+
+def test_assortativity_bounds_and_edges(ray_session):
+    from document_extractor_ray.functions.dedup import (
+        dup_graph_assortativity_docs,
+        dup_graph_triangles_docs,
+    )
+
+    r = dup_graph_assortativity_docs(SF).to_pylist()[0]
+    t = dup_graph_triangles_docs(SF).to_pylist()[0]
+    assert r["n_edges"] == t["n_edges"]
+    assert -1_000_000 <= r["r_micro"] <= 1_000_000
+
+
+def test_incremental_dedup_rejects_are_odd_subset_of_pairs(ray_session):
+    from document_extractor_ray.functions.dedup import (
+        incremental_dedup_audit_docs,
+        minhash_dup_pairs_docs,
+    )
+
+    rej = incremental_dedup_audit_docs(SF).take_all()
+    pairs = minhash_dup_pairs_docs(SF).take_all()
+    cross = {}
+    for p in pairs:
+        a, b = p["doc_a"], p["doc_b"]
+        if a % 2 != b % 2:
+            new = a if a % 2 == 1 else b
+            cross[new] = cross.get(new, 0) + 1
+    assert {r["doc_id"]: r["n_existing_matches"] for r in rej} == cross
+    assert all(r["doc_id"] % 2 == 1 for r in rej)
+
+
+def test_sample_join_estimator_consistent_with_exact(ray_session):
+    from document_extractor_ray.functions.analytics import (
+        JOIN_SAMPLE_MOD,
+        join_size_exact,
+        sample_join_estimator_audit,
+    )
+
+    est = sample_join_estimator_audit(SF).to_pylist()[0]
+    exact = join_size_exact(SF).to_pylist()[0]
+    assert est["join_rows"] == exact["join_rows"]
+    assert est["est_join_rows"] == JOIN_SAMPLE_MOD * est["sampled_join_rows"]
+    assert est["sampled_keys"] <= exact["common_keys"]
