@@ -365,6 +365,10 @@ PICKS = [
     "dup_graph_assortativity",
     "incremental_dedup_audit",
     "sample_join_estimator_audit",
+    "orders_bullwhip_audit",
+    "salt_plan_audit",
+    "ship_survival_km",
+    "brand_return_wilson",
 ]
 
 # Long-standing regression-watch picks: run EVERY round so the

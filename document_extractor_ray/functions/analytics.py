@@ -19669,3 +19669,431 @@ SELECT join_rows, sampled_keys, sampled_join_rows,
                  ELSE 0 END AS BIGINT) AS err_permille
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Bullwhip-effect audit (weekly demand vs shipment variance ratio)
+# ---------------------------------------------------------------------------
+
+def orders_bullwhip_audit(sf_dir: str):
+    """Bullwhip audit: squared coefficient of variation of WEEKLY
+    shipment counts over weekly order counts — the supply-chain
+    variance-amplification diagnostic (ratio > 1: the fulfillment
+    stage amplifies demand noise).  Weeks are ISO-Monday indices
+    ((epoch_days + 3) // 7, identical arithmetic both engines);
+    CV^2 = (n*Sxx - Sx^2) / Sx^2 per series and the ratio is one
+    integer rational in micro.
+
+    Scale shape: two calendar-bounded week-histogram folds — the
+    cheapest possible shape (no join: the two series are compared as
+    aggregates, not row-matched)."""
+    orders = _read(sf_dir, "orders", columns=["o_orderdate"])
+    li = _read(sf_dir, "lineitem", columns=["l_shipdate"])
+
+    def week_hist(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            d = pc.cast(pc.cast(t[col], pa.date32()), pa.int32())
+            wk = pc.divide(pc.add(d, 3), 7)  # arrow int division truncates; +3 >= 0 always here
+            g = pa.TableGroupBy(pa.table({"week": wk}), ["week"]).aggregate(
+                [([], "count_all")]
+            )
+            return pa.table(
+                {"week": g["week"], "n": pc.cast(g["count_all"], pa.int64())}
+            )
+
+        return f
+
+    ho = fold_partials(
+        orders.map_batches(week_hist("o_orderdate"), batch_format="pyarrow"),
+        "week",
+        "n",
+    )
+    hs = fold_partials(
+        li.map_batches(week_hist("l_shipdate"), batch_format="pyarrow"),
+        "week",
+        "n",
+    )
+
+    def stats(h: dict):
+        n = len(h)
+        sx = sum(h.values())
+        sxx = sum(v * v for v in h.values())
+        return n, sx, n * sxx - sx * sx
+
+    no, so, sso = stats(ho)
+    ns, ss, sss = stats(hs)
+    ratio = (1_000_000 * sss * so * so) // (sso * ss * ss) if sso else 0
+    return pa.table(
+        {
+            "n_weeks_orders": pa.array([no], pa.int64()),
+            "n_weeks_ship": pa.array([ns], pa.int64()),
+            "cv2_num_orders": pa.array([sso], pa.int64()),
+            "cv2_num_ship": pa.array([sss], pa.int64()),
+            "bullwhip_micro": pa.array([ratio], pa.int64()),
+        }
+    )
+
+
+ORDERS_BULLWHIP_SQL = """
+WITH wo AS (
+  SELECT (date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 3) // 7
+           AS week,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+),
+ws AS (
+  SELECT (date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) + 3) // 7
+           AS week,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+),
+so AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(n) AS HUGEINT) AS sx,
+         CAST(sum(n * n) AS HUGEINT) AS sxx
+  FROM wo
+),
+ss AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(n) AS HUGEINT) AS sx,
+         CAST(sum(n * n) AS HUGEINT) AS sxx
+  FROM ws
+)
+SELECT CAST(so.n AS BIGINT) AS n_weeks_orders,
+       CAST(ss.n AS BIGINT) AS n_weeks_ship,
+       CAST(so.n * so.sxx - so.sx * so.sx AS BIGINT) AS cv2_num_orders,
+       CAST(ss.n * ss.sxx - ss.sx * ss.sx AS BIGINT) AS cv2_num_ship,
+       CAST(CASE WHEN so.n * so.sxx - so.sx * so.sx = 0 THEN 0
+                 ELSE (1000000::HUGEINT * (ss.n * ss.sxx - ss.sx * ss.sx)
+                       * so.sx * so.sx)
+                      // ((so.n * so.sxx - so.sx * so.sx) * ss.sx * ss.sx)
+            END AS BIGINT) AS bullwhip_micro
+FROM so, ss
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hot-key salting plan (partition-size bound per key)
+# ---------------------------------------------------------------------------
+
+SALT_ROW_BOUND = 64
+
+
+def salt_plan_audit(sf_dir: str, bound: int = SALT_ROW_BOUND):
+    """Skew-salting plan for the event stream keyed on user_id: every
+    user whose row count exceeds the per-partition bound gets
+    ceil(n/bound) salt suffixes — the concrete remediation a shuffle
+    planner applies after key_skew_audit flags the distribution.
+    Emits one row per user needing >= 2 salts.
+
+    Scale shape: one key-per-row bucketed count; the >= 2-salt filter
+    runs inside blocks, so only the (small) hot-key plan reaches the
+    driver."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "n": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    counts = bucketed_agg(
+        ds.map_batches(one, batch_format="pyarrow"),
+        ["user_id"],
+        [("n", "sum", "n_events")],
+    )
+
+    def plan(t: pa.Table) -> pa.Table:
+        n = t["n_events"].to_numpy(zero_copy_only=False)
+        salts = (n + bound - 1) // bound
+        m = salts >= 2
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    t["user_id"].to_numpy(zero_copy_only=False)[m], pa.int64()
+                ),
+                "n_events": pa.array(n[m], pa.int64()),
+                "n_salts": pa.array(salts[m], pa.int64()),
+            }
+        )
+
+    return counts.map_batches(plan, batch_format="pyarrow").sort("user_id")
+
+
+SALT_PLAN_SQL = f"""
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT user_id, n_events,
+       CAST((n_events + {SALT_ROW_BOUND} - 1) // {SALT_ROW_BOUND} AS BIGINT)
+         AS n_salts
+FROM c
+WHERE (n_events + {SALT_ROW_BOUND} - 1) // {SALT_ROW_BOUND} >= 2
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival of order->first-shipment latency (censored)
+# ---------------------------------------------------------------------------
+
+KM_CUTOFF = "2001-06-30"
+_KM_SENTINEL = (1 << 62)
+
+
+def ship_survival_km(sf_dir: str, cutoff: str = KM_CUTOFF):
+    """Kaplan-Meier product-limit curve of order -> FIRST-shipment
+    latency with right censoring at the observation cutoff: orders
+    placed by the cutoff whose first line ships after it are censored
+    at (cutoff - orderdate) — the estimator that reads open orders
+    correctly where a naive latency histogram silently drops them
+    (churn_hazard_curve's calendar sibling, different estimand and
+    censoring).  The survival product is the exact integer recursion
+    S_i = S_{i-1} * (n_i - d_i) // n_i in micro (floor at every step,
+    replayed identically by the SQL recursion).
+
+    Scale shape: NO hash join — orders and lineitem rows union into
+    ONE co-partitioned bucketed min-aggregate (the join_size_exact
+    trick), each resolved key collapses to a day-bounded (t, event)
+    histogram inside its block, and the driver recursion walks ~|days|
+    steps."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    cutoff_days = int(pd.Timestamp(cutoff).value // (86400 * 10**9))
+
+    o = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def tag_o(t: pa.Table) -> pa.Table:
+        d = pc.cast(
+            pc.cast(pc.cast(t["o_orderdate"], pa.date32()), pa.int32()),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "k": t["o_orderkey"],
+                "od": d,
+                "sd": pa.array(
+                    np.full(t.num_rows, _KM_SENTINEL, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def tag_l(t: pa.Table) -> pa.Table:
+        d = pc.cast(
+            pc.cast(pc.cast(t["l_shipdate"], pa.date32()), pa.int32()),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "k": t["l_orderkey"],
+                "od": pa.array(
+                    np.full(t.num_rows, _KM_SENTINEL, np.int64), pa.int64()
+                ),
+                "sd": d,
+            }
+        )
+
+    merged = bucketed_agg(
+        o.map_batches(tag_o, batch_format="pyarrow").union(
+            li.map_batches(tag_l, batch_format="pyarrow")
+        ),
+        ["k"],
+        [("od", "min", "od"), ("sd", "min", "sd")],
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        od = t["od"].to_numpy(zero_copy_only=False)
+        sd = t["sd"].to_numpy(zero_copy_only=False)
+        keep = (od < _KM_SENTINEL) & (od <= cutoff_days)
+        od, sd = od[keep], sd[keep]
+        ev = sd <= cutoff_days
+        tt = np.where(ev, sd - od, cutoff_days - od)
+        g = pa.TableGroupBy(
+            pa.table(
+                {"t": pa.array(tt, pa.int64()), "ev": pa.array(ev, pa.bool_())}
+            ),
+            ["t", "ev"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "t": g["t"],
+                "ev": g["ev"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    cells = fold_partials(
+        merged.map_batches(hist, batch_format="pyarrow"), ["t", "ev"], "n"
+    )
+    # at-risk counts from the (t, ev) histogram, then the KM recursion
+    event_t = sorted({t for (t, ev) in cells if ev})
+    total = sum(cells.values())
+    # obs with t_obs >= t, walked in ascending t order
+    all_t = sorted({t for (t, _) in cells})
+    below = 0
+    risk_at: dict[int, int] = {}
+    idx = 0
+    for t in event_t:
+        while idx < len(all_t) and all_t[idx] < t:
+            below += cells.get((all_t[idx], True), 0) + cells.get(
+                (all_t[idx], False), 0
+            )
+            idx += 1
+        risk_at[t] = total - below
+    s = 1_000_000
+    rows = []
+    for t in event_t:
+        d = cells.get((t, True), 0)
+        n_r = risk_at[t]
+        s = s * (n_r - d) // n_r
+        rows.append((t, n_r, d, s))
+    return pa.table(
+        {
+            "t_days": pa.array([r[0] for r in rows], pa.int64()),
+            "n_risk": pa.array([r[1] for r in rows], pa.int64()),
+            "n_events": pa.array([r[2] for r in rows], pa.int64()),
+            "s_micro": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+SHIP_SURVIVAL_KM_SQL = f"""
+WITH RECURSIVE fs AS MATERIALIZED (
+  SELECT l_orderkey AS k, min(CAST(l_shipdate AS DATE)) AS sd
+  FROM lineitem GROUP BY 1
+),
+o AS (
+  SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS od
+  FROM orders WHERE CAST(o_orderdate AS DATE) <= DATE '{KM_CUTOFF}'
+),
+obs AS MATERIALIZED (
+  SELECT CASE WHEN fs.sd IS NOT NULL AND fs.sd <= DATE '{KM_CUTOFF}'
+              THEN date_diff('day', o.od, fs.sd)
+              ELSE date_diff('day', o.od, DATE '{KM_CUTOFF}') END AS t,
+         (fs.sd IS NOT NULL AND fs.sd <= DATE '{KM_CUTOFF}') AS ev
+  FROM o LEFT JOIN fs USING (k)
+),
+et AS MATERIALIZED (
+  SELECT t, CAST(count(*) AS BIGINT) AS d
+  FROM obs WHERE ev GROUP BY t
+),
+rk AS MATERIALIZED (
+  SELECT et.t, et.d,
+         (SELECT CAST(count(*) AS BIGINT) FROM obs WHERE obs.t >= et.t)
+           AS n_risk,
+         row_number() OVER (ORDER BY et.t) AS i
+  FROM et
+),
+km(i, t, n_risk, d, s) AS (
+  SELECT i, t, n_risk, d, 1000000 * (n_risk - d) // n_risk
+  FROM rk WHERE i = 1
+  UNION ALL
+  SELECT rk.i, rk.t, rk.n_risk, rk.d,
+         km.s * (rk.n_risk - rk.d) // rk.n_risk
+  FROM km JOIN rk ON rk.i = km.i + 1
+)
+SELECT t AS t_days, n_risk, d AS n_events, CAST(s AS BIGINT) AS s_micro
+FROM km ORDER BY t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wilson lower-bound return-rate ranking per part brand
+# ---------------------------------------------------------------------------
+
+def brand_return_wilson(sf_dir: str):
+    """Return-rate ranking per part brand by the Wilson score LOWER
+    bound (z = 2, floor-isqrt convention): the confidence-adjusted
+    rate that stops a 3-line brand with one return outranking a
+    10k-line brand at 8% — the correct "worst offenders" sort.
+    wilson_lb_micro = 1e6*(n*(r+2) - 2*isqrt((r*(n-r)+n)*n))
+    // (n*(n+4)), integer-exact with the one-step-corrected isqrt.
+
+    Scale shape: the part dim broadcasts once (ray.put +
+    worker-cached lookup); per-block brand partials are
+    |brands|-bounded and fold on the driver."""
+    import math
+
+    from document_extractor_ray import state
+
+    dim = pa.concat_tables(
+        [
+            t
+            for t in map(
+                ray.get,
+                _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_arrow_refs(),
+            )
+            if t.num_rows
+        ]
+    ).combine_chunks()
+    dim_ref = state.broadcast(dim)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = state.cached_get(dim_ref)
+        t = state.lookup_join(t, "l_partkey", d, "p_partkey", ["p_brand"])
+        ret = pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64())
+        g = pa.TableGroupBy(
+            pa.table({"brand": t["p_brand"], "r": ret}), ["brand"]
+        ).aggregate([("r", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "brand": g["brand"],
+                "r": g["r_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_returnflag"])
+    acc = fold_partials(
+        li.map_batches(partial, batch_format="pyarrow"), "brand", ["r", "n"]
+    )
+    rows = []
+    for brand in acc:
+        r, n = (int(v) for v in acc[brand])
+        lb = (1_000_000 * (n * (r + 2) - 2 * math.isqrt((r * (n - r) + n) * n))) // (
+            n * (n + 4)
+        )
+        rows.append((brand, n, r, lb))
+    rows.sort(key=lambda x: (-x[3], x[0]))
+    return pa.table(
+        {
+            "brand": pa.array([x[0] for x in rows], pa.string()),
+            "n_lines": pa.array([x[1] for x in rows], pa.int64()),
+            "n_returned": pa.array([x[2] for x in rows], pa.int64()),
+            "wilson_lb_micro": pa.array([x[3] for x in rows], pa.int64()),
+        }
+    )
+
+
+BRAND_RETURN_WILSON_SQL = """
+WITH g AS (
+  SELECT p.p_brand AS brand,
+         CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1
+),
+q AS (
+  SELECT brand, r, n,
+         CAST((r * (n - r) + n) AS HUGEINT) * n AS arg,
+         CAST(floor(sqrt(CAST(CAST((r * (n - r) + n) AS HUGEINT) * n
+                              AS DOUBLE))) AS HUGEINT) AS s0
+  FROM g
+),
+w AS (
+  SELECT brand, r, n,
+         s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= arg THEN 1 ELSE 0 END)
+            - (CASE WHEN s0 * s0 > arg THEN 1 ELSE 0 END) AS rt
+  FROM q
+)
+SELECT brand, n AS n_lines, r AS n_returned,
+       CAST((1000000::HUGEINT * (n::HUGEINT * (r + 2) - 2 * rt))
+            // (n::HUGEINT * (n + 4)) AS BIGINT) AS wilson_lb_micro
+FROM w
+ORDER BY wilson_lb_micro DESC, brand
+"""

@@ -367,6 +367,10 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "dup_graph_assortativity",
         "incremental_dedup_audit",
         "sample_join_estimator_audit",
+        "orders_bullwhip_audit",
+        "salt_plan_audit",
+        "ship_survival_km",
+        "brand_return_wilson",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -5355,3 +5359,54 @@ def test_sample_join_estimator_consistent_with_exact(ray_session):
     assert est["join_rows"] == exact["join_rows"]
     assert est["est_join_rows"] == JOIN_SAMPLE_MOD * est["sampled_join_rows"]
     assert est["sampled_keys"] <= exact["common_keys"]
+
+
+def test_bullwhip_nonnegative_and_weeks(ray_session):
+    from document_extractor_ray.functions.analytics import orders_bullwhip_audit
+
+    r = orders_bullwhip_audit(SF).to_pylist()[0]
+    assert r["cv2_num_orders"] >= 0 and r["cv2_num_ship"] >= 0
+    assert r["bullwhip_micro"] >= 0
+    assert r["n_weeks_ship"] >= r["n_weeks_orders"] - 1
+
+
+def test_salt_plan_covers_all_hot_users(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import (
+        SALT_ROW_BOUND,
+        salt_plan_audit,
+    )
+
+    rows = salt_plan_audit(SF).take_all()
+    truth = {
+        u: (n + SALT_ROW_BOUND - 1) // SALT_ROW_BOUND
+        for u, n in duckdb.sql(
+            f"SELECT user_id, count(*) FROM '{SF}/events.parquet' GROUP BY 1"
+        ).fetchall()
+        if (n + SALT_ROW_BOUND - 1) // SALT_ROW_BOUND >= 2
+    }
+    assert {r["user_id"]: r["n_salts"] for r in rows} == truth
+
+
+def test_km_curve_monotone_and_bounded(ray_session):
+    from document_extractor_ray.functions.analytics import ship_survival_km
+
+    rows = ship_survival_km(SF).to_pylist()
+    s = [r["s_micro"] for r in rows]
+    assert all(0 <= v <= 1_000_000 for v in s)
+    assert all(a >= b for a, b in zip(s, s[1:]))  # non-increasing
+    nr = [r["n_risk"] for r in rows]
+    assert all(a >= b for a, b in zip(nr, nr[1:]))  # risk set shrinks
+    assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_wilson_lb_below_rate_and_sorted(ray_session):
+    from document_extractor_ray.functions.analytics import brand_return_wilson
+
+    rows = brand_return_wilson(SF).to_pylist()
+    lbs = [r["wilson_lb_micro"] for r in rows]
+    assert lbs == sorted(lbs, reverse=True)
+    for r in rows:
+        # lower bound sits at or below the raw rate, never negative
+        assert 0 <= r["wilson_lb_micro"] <= 1_000_000 * r["n_returned"] // r["n_lines"]
