@@ -369,6 +369,9 @@ PICKS = [
     "salt_plan_audit",
     "ship_survival_km",
     "brand_return_wilson",
+    "dict_encoding_audit",
+    "priority_inversion_audit",
+    "front_coding_audit",
 ]
 
 # Long-standing regression-watch picks: run EVERY round so the

@@ -20097,3 +20097,241 @@ SELECT brand, n AS n_lines, r AS n_returned,
 FROM w
 ORDER BY wilson_lb_micro DESC, brand
 """
+
+
+# ---------------------------------------------------------------------------
+# Dictionary-encoding benefit audit over categorical string columns
+# ---------------------------------------------------------------------------
+
+_DICT_ENC_COLS = (
+    ("documents", "lang"),
+    ("documents", "source"),
+    ("events", "event_type"),
+    ("orders", "o_orderpriority"),
+)
+
+
+def dict_encoding_audit(sf_dir: str):
+    """Dictionary-encoding benefit estimate for the categorical string
+    columns: raw char mass vs (dictionary chars + n * index bytes)
+    with index width ceil(bit_length(d-1)/8) — the decision table for
+    forcing dict encoding on a rewrite (complements
+    encoding_size_audit's numeric delta widths with the string side).
+
+    Scale shape: one (column, value) histogram fold per column —
+    legitimate ONLY for bounded-cardinality categoricals like these
+    (an unbounded string column must route through bucketed_agg
+    instead; that is the audit's own precondition)."""
+    rows = []
+    for table, col in _DICT_ENC_COLS:
+        ds = _read(sf_dir, table, columns=[col])
+
+        def hist(t: pa.Table, _c=col) -> pa.Table:
+            g = pa.TableGroupBy(t, [_c]).aggregate([([], "count_all")])
+            return pa.table(
+                {"v": g[_c], "n": pc.cast(g["count_all"], pa.int64())}
+            )
+
+        h = fold_partials(ds.map_batches(hist, batch_format="pyarrow"), "v", "n")
+        n = sum(h.values())
+        d = len(h)
+        raw = sum(cnt * len(v) for v, cnt in h.items())
+        dict_chars = sum(len(v) for v in h)
+        bits = max(1, (d - 1).bit_length())
+        idx_bytes = (bits + 7) // 8
+        est = dict_chars + n * idx_bytes
+        rows.append(
+            (
+                f"{table}.{col}",
+                n,
+                d,
+                raw,
+                est,
+                1000 * (raw - est) // raw if raw else 0,
+            )
+        )
+    rows.sort()
+    return pa.table(
+        {
+            "column_name": pa.array([r[0] for r in rows], pa.string()),
+            "n_values": pa.array([r[1] for r in rows], pa.int64()),
+            "n_distinct": pa.array([r[2] for r in rows], pa.int64()),
+            "raw_chars": pa.array([r[3] for r in rows], pa.int64()),
+            "dict_est_chars": pa.array([r[4] for r in rows], pa.int64()),
+            "savings_permille": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _dict_enc_one_sql(table: str, col: str) -> str:
+    return f"""
+  SELECT '{table}.{col}' AS column_name,
+         CAST(sum(n) AS BIGINT) AS n_values,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(n * length(v)) AS BIGINT) AS raw_chars,
+         CAST(sum(length(v))
+              + sum(n) * ((CASE WHEN count(*) <= 1 THEN 1
+                                ELSE length(bin(count(*) - 1)) END + 7) // 8)
+              AS BIGINT) AS dict_est_chars,
+         CAST(1000 * (sum(n * length(v))
+                      - (sum(length(v))
+                         + sum(n) * ((CASE WHEN count(*) <= 1 THEN 1
+                                           ELSE length(bin(count(*) - 1)) END
+                                      + 7) // 8)))
+              // sum(n * length(v)) AS BIGINT) AS savings_permille
+  FROM (SELECT {col} AS v, CAST(count(*) AS BIGINT) AS n
+        FROM {table} GROUP BY 1)"""
+
+
+DICT_ENCODING_AUDIT_SQL = (
+    "\nUNION ALL\n".join(
+        _dict_enc_one_sql(t, c) for t, c in sorted(_DICT_ENC_COLS)
+    )
+    + "\nORDER BY column_name"
+)
+
+
+# ---------------------------------------------------------------------------
+# Shipping priority-inversion audit (SLA fairness)
+# ---------------------------------------------------------------------------
+
+def priority_inversion_audit(sf_dir: str):
+    """Priority-inversion rate of fulfillment: among same-day order
+    pairs with STRICTLY different priorities, how often did the more
+    urgent order ship LATER (first-line ship lag in days)?  The SLA
+    fairness audit behind q4's per-priority counts — a high inversion
+    permille says priority is ignored on the floor.
+
+    Scale shape: the ship_survival_km union min-aggregate supplies
+    per-order (day, priority, lag) with no hash join; a second
+    hash-bucket shuffle on day groups whole days, each day's pair
+    census runs vectorized from its per-priority lag arrays
+    (searchsorted, not pair enumeration), and one constant-key fold
+    sums the three counters."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg, fold_partials
+
+    o = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def tag_o(t: pa.Table) -> pa.Table:
+        d = pc.cast(
+            pc.cast(pc.cast(t["o_orderdate"], pa.date32()), pa.int32()), pa.int64()
+        )
+        prio = pc.cast(pc.utf8_slice_codeunits(t["o_orderpriority"], 0, 1), pa.int64())
+        return pa.table(
+            {
+                "k": t["o_orderkey"],
+                "od": d,
+                "prio": prio,
+                "sd": pa.array(np.full(t.num_rows, _KM_SENTINEL, np.int64), pa.int64()),
+            }
+        )
+
+    def tag_l(t: pa.Table) -> pa.Table:
+        d = pc.cast(
+            pc.cast(pc.cast(t["l_shipdate"], pa.date32()), pa.int32()), pa.int64()
+        )
+        sent = pa.array(np.full(t.num_rows, _KM_SENTINEL, np.int64), pa.int64())
+        return pa.table({"k": t["l_orderkey"], "od": sent, "prio": sent, "sd": d})
+
+    merged = bucketed_agg(
+        o.map_batches(tag_o, batch_format="pyarrow").union(
+            li.map_batches(tag_l, batch_format="pyarrow")
+        ),
+        ["k"],
+        [("od", "min", "od"), ("prio", "min", "prio"), ("sd", "min", "sd")],
+    )
+    n_parts = _n_blocks()
+
+    def day_rows(t: pa.Table) -> pa.Table:
+        od = t["od"].to_numpy(zero_copy_only=False)
+        sd = t["sd"].to_numpy(zero_copy_only=False)
+        prio = t["prio"].to_numpy(zero_copy_only=False)
+        keep = (od < _KM_SENTINEL) & (sd < _KM_SENTINEL)
+        od, sd, prio = od[keep], sd[keep], prio[keep]
+        h = (od.astype(np.uint64) * np.uint64(2654435761)) & np.uint64(0x7FFFFFFF)
+        return pa.table(
+            {
+                "day": pa.array(od, pa.int64()),
+                "prio": pa.array(prio, pa.int64()),
+                "lag": pa.array(sd - od, pa.int64()),
+                "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+            }
+        )
+
+    def census(g: pd.DataFrame) -> pa.Table:
+        comparable = inversions = ties = 0
+        days = set()
+        for day, gd in g.groupby("day", sort=False):
+            days.add(int(day))
+            lags = {
+                int(p): np.sort(sub["lag"].to_numpy())
+                for p, sub in gd.groupby("prio", sort=True)
+            }
+            ps = sorted(lags)
+            for i, a in enumerate(ps):
+                la = lags[a]
+                for b in ps[i + 1 :]:
+                    lb = lags[b]
+                    comparable += len(la) * len(lb)
+                    # inversions: urgent (a) shipped later than lax (b)
+                    lo = np.searchsorted(lb, la, side="left")
+                    hi = np.searchsorted(lb, la, side="right")
+                    inversions += int(lo.sum())
+                    ties += int((hi - lo).sum())
+        return pa.table(
+            {
+                "k": pa.array([1], pa.int64()),
+                "n_days": pa.array([len(days)], pa.int64()),
+                "n_comparable": pa.array([comparable], pa.int64()),
+                "n_inversions": pa.array([inversions], pa.int64()),
+                "n_ties": pa.array([ties], pa.int64()),
+            }
+        )
+
+    tot = fold_partials(
+        merged.map_batches(day_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(census, batch_format="pandas"),
+        "k",
+        ["n_days", "n_comparable", "n_inversions", "n_ties"],
+    )[1]
+    n_days, comp, inv, ties = (int(v) for v in tot)
+    return pa.table(
+        {
+            "n_days": pa.array([n_days], pa.int64()),
+            "n_comparable": pa.array([comp], pa.int64()),
+            "n_inversions": pa.array([inv], pa.int64()),
+            "n_ties": pa.array([ties], pa.int64()),
+            "inversion_permille": pa.array(
+                [1000 * inv // comp if comp else 0], pa.int64()
+            ),
+        }
+    )
+
+
+PRIORITY_INVERSION_SQL = """
+WITH fs AS MATERIALIZED (
+  SELECT l_orderkey AS k, min(CAST(l_shipdate AS DATE)) AS sd
+  FROM lineitem GROUP BY 1
+),
+j AS MATERIALIZED (
+  SELECT CAST(o.o_orderdate AS DATE) AS day,
+         CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS prio,
+         date_diff('day', CAST(o.o_orderdate AS DATE), fs.sd) AS lag
+  FROM orders o JOIN fs ON fs.k = o.o_orderkey
+),
+p AS (
+  SELECT CAST(count(*) AS BIGINT) AS comp,
+         CAST(sum(CASE WHEN a.lag > b.lag THEN 1 ELSE 0 END) AS BIGINT)
+           AS inv,
+         CAST(sum(CASE WHEN a.lag = b.lag THEN 1 ELSE 0 END) AS BIGINT)
+           AS ties
+  FROM j a JOIN j b ON a.day = b.day AND a.prio < b.prio
+)
+SELECT CAST((SELECT count(DISTINCT day) FROM j) AS BIGINT) AS n_days,
+       comp AS n_comparable, inv AS n_inversions, ties AS n_ties,
+       CAST(CASE WHEN comp > 0 THEN 1000 * inv // comp ELSE 0 END AS BIGINT)
+         AS inversion_permille
+FROM p
+"""

@@ -9206,3 +9206,170 @@ FROM r
 ORDER BY abs(resid_micro) DESC, doc_id
 LIMIT {RESIDUAL_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Front-coding (prefix compression) audit over doc_id-sorted prefixes
+# ---------------------------------------------------------------------------
+
+FRONT_PREFIX_CHARS = 32
+FRONT_RANGE = 256
+
+
+def front_coding_audit(
+    sf_dir: str, width: int = FRONT_PREFIX_CHARS, range_size: int = FRONT_RANGE
+):
+    """Front-coding benefit over the doc_id-sorted stream of 32-char
+    text prefixes: total chars shared with the PREDECESSOR prefix
+    (the longest-common-prefix mass a front-coded index would elide;
+    lcp capped at both strings' lengths).  doc_prefix_groups finds
+    duplicate prefixes — this one prices the incremental encoding.
+
+    Scale shape: the encoding_size_audit neighbor plan — the order
+    dependency decomposes over deterministic doc_id RANGES: pass 1
+    folds one boundary prefix per range (at the range's max doc_id),
+    the driver broadcasts predecessor boundaries, pass 2 shuffles once
+    by range and scores each range's pairs vectorized over a fixed
+    (n, width) codepoint matrix."""
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.analytics import _n_blocks
+    from document_extractor_ray.functions.bucketing import fold_partials
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def prefixed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "prefix": pc.utf8_slice_codeunits(t["text"], 0, width),
+            }
+        )
+
+    def boundary_partial(t: pa.Table) -> pa.Table:
+        t = prefixed(t)
+        rng = pc.divide(t["doc_id"], pa.scalar(range_size, pa.int64()))
+        tb = t.append_column("rng", rng)
+        g = pa.TableGroupBy(tb, ["rng"]).aggregate([("doc_id", "max")])
+        idx = pc.index_in(g["doc_id_max"], value_set=tb["doc_id"])
+        return pa.table(
+            {
+                "rng": g["rng"],
+                "max_id": g["doc_id_max"],
+                "prefix": tb["prefix"].take(idx),
+            }
+        )
+
+    bound: dict[int, tuple] = {}
+    for tb in map(
+        ray.get,
+        ds.map_batches(boundary_partial, batch_format="pyarrow").to_arrow_refs(),
+    ):
+        if not tb.num_rows:
+            continue
+        for r, m, p in zip(
+            tb["rng"].to_pylist(), tb["max_id"].to_pylist(), tb["prefix"].to_pylist()
+        ):
+            r = int(r)
+            if r not in bound or int(m) > bound[r][0]:
+                bound[r] = (int(m), p)
+    prev: dict[int, str] = {}
+    rs = sorted(bound)
+    for i, r in enumerate(rs):
+        if i:
+            prev[r] = bound[rs[i - 1]][1]
+    prev_ref = state.broadcast(prev)
+    n_parts = _n_blocks()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        t = prefixed(t)
+        rng = pc.divide(t["doc_id"], pa.scalar(range_size, pa.int64()))
+        rn = rng.to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (rn * np.uint64(2654435761)) & np.uint64(0x7FFFFFFF)
+        return t.append_column("rng", rng).append_column(
+            "part", pa.array((h % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    def _lcp_mass(prefixes: list, lead: str | None, w: int) -> tuple:
+        seq = ([lead] if lead is not None else []) + prefixes
+        arr = np.array(seq, dtype=f"U{w}")
+        u = arr.view(np.uint32).reshape(len(arr), w)
+        lens = (u != 0).sum(axis=1)
+        eq = u[1:] == u[:-1]
+        run = np.cumprod(eq, axis=1).sum(axis=1)
+        lcp = np.minimum(run, np.minimum(lens[1:], lens[:-1]))
+        total_chars = int(lens.sum()) - (int(lens[0]) if lead is not None else 0)
+        return int(lcp.sum()), total_chars, len(prefixes)
+
+    def score_partition(g: pd.DataFrame) -> pa.Table:
+        pv = state.cached_get(prev_ref)
+        g = g.sort_values(["rng", "doc_id"], kind="mergesort")
+        rvals = g["rng"].to_numpy()
+        prefs = g["prefix"].to_numpy()
+        saved = chars = docs = 0
+        start = 0
+        for i in range(1, len(g) + 1):
+            if i == len(g) or rvals[i] != rvals[start]:
+                s, c, n = _lcp_mass(
+                    list(prefs[start:i]), pv.get(int(rvals[start])), width
+                )
+                saved += s
+                chars += c
+                docs += n
+                start = i
+        return pa.table(
+            {
+                "k": pa.array([1], pa.int64()),
+                "n_docs": pa.array([docs], pa.int64()),
+                "prefix_chars": pa.array([chars], pa.int64()),
+                "lcp_chars_saved": pa.array([saved], pa.int64()),
+            }
+        )
+
+    tot = fold_partials(
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(score_partition, batch_format="pandas"),
+        "k",
+        ["n_docs", "prefix_chars", "lcp_chars_saved"],
+    )[1]
+    n_docs, chars, saved = (int(v) for v in tot)
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "prefix_chars": pa.array([chars], pa.int64()),
+            "lcp_chars_saved": pa.array([saved], pa.int64()),
+            "savings_permille": pa.array(
+                [1000 * saved // chars if chars else 0], pa.int64()
+            ),
+        }
+    )
+
+
+FRONT_CODING_AUDIT_SQL = f"""
+WITH p AS (
+  SELECT doc_id, substr(text, 1, {FRONT_PREFIX_CHARS}) AS prefix
+  FROM documents
+),
+w AS (
+  SELECT doc_id, prefix,
+         lag(prefix) OVER (ORDER BY doc_id) AS prev
+  FROM p
+),
+l AS (
+  SELECT doc_id, length(prefix) AS plen,
+         CASE WHEN prev IS NULL THEN 0
+              ELSE (SELECT max(r.p) FROM range(0, {FRONT_PREFIX_CHARS + 1}) r(p)
+                    WHERE r.p <= least(length(prefix), length(prev))
+                      AND substr(prefix, 1, CAST(r.p AS INTEGER))
+                          = substr(prev, 1, CAST(r.p AS INTEGER)))
+         END AS lcp
+  FROM w
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(plen) AS BIGINT) AS prefix_chars,
+       CAST(sum(lcp) AS BIGINT) AS lcp_chars_saved,
+       CAST(CASE WHEN sum(plen) > 0
+                 THEN 1000 * sum(lcp) // sum(plen) ELSE 0 END AS BIGINT)
+         AS savings_permille
+FROM l
+"""

@@ -371,6 +371,9 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "salt_plan_audit",
         "ship_survival_km",
         "brand_return_wilson",
+        "dict_encoding_audit",
+        "priority_inversion_audit",
+        "front_coding_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -5410,3 +5413,62 @@ def test_wilson_lb_below_rate_and_sorted(ray_session):
     for r in rows:
         # lower bound sits at or below the raw rate, never negative
         assert 0 <= r["wilson_lb_micro"] <= 1_000_000 * r["n_returned"] // r["n_lines"]
+
+
+def test_dict_encoding_audit_recompute(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import dict_encoding_audit
+
+    rows = {r["column_name"]: r for r in dict_encoding_audit(SF).to_pylist()}
+    for (table, col), r in [
+        (("events", "event_type"), rows["events.event_type"]),
+        (("documents", "source"), rows["documents.source"]),
+    ]:
+        h = dict(
+            duckdb.sql(
+                f"SELECT {col}, count(*) FROM '{SF}/{table}.parquet' GROUP BY 1"
+            ).fetchall()
+        )
+        n, d = sum(h.values()), len(h)
+        raw = sum(c * len(v) for v, c in h.items())
+        bits = max(1, (d - 1).bit_length())
+        est = sum(len(v) for v in h) + n * ((bits + 7) // 8)
+        assert (r["n_values"], r["n_distinct"], r["raw_chars"], r["dict_est_chars"]) == (
+            n, d, raw, est
+        )
+
+
+def test_priority_inversion_counts(ray_session):
+    from document_extractor_ray.functions.analytics import priority_inversion_audit
+
+    r = priority_inversion_audit(SF).to_pylist()[0]
+    assert r["n_inversions"] + r["n_ties"] <= r["n_comparable"]
+    assert 0 <= r["inversion_permille"] <= 1000
+    assert r["n_days"] > 0 and r["n_comparable"] > 0
+
+
+def test_front_coding_recompute(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.textstats import (
+        FRONT_PREFIX_CHARS,
+        front_coding_audit,
+    )
+
+    r = front_coding_audit(SF).to_pylist()[0]
+    prefs = [
+        p
+        for (p,) in duckdb.sql(
+            f"SELECT substr(text, 1, {FRONT_PREFIX_CHARS}) FROM '{SF}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    ]
+    saved = 0
+    for a, b in zip(prefs, prefs[1:]):
+        k = 0
+        while k < min(len(a), len(b)) and a[k] == b[k]:
+            k += 1
+        saved += k
+    assert r["n_docs"] == len(prefs)
+    assert r["prefix_chars"] == sum(len(p) for p in prefs)
+    assert r["lcp_chars_saved"] == saved
