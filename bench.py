@@ -372,6 +372,8 @@ PICKS = [
     "dict_encoding_audit",
     "priority_inversion_audit",
     "front_coding_audit",
+    "dim_truncation_recall",
+    "filter_order_plan",
 ]
 
 # Long-standing regression-watch picks: run EVERY round so the

