@@ -373,7 +373,8 @@ PICKS = [
     "priority_inversion_audit",
     "front_coding_audit",
     "dim_truncation_recall",
-    "filter_order_plan",
+    # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
+    # base cost, same reason curation_report_by_source is excluded)
 ]
 
 # Long-standing regression-watch picks: run EVERY round so the
