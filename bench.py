@@ -373,6 +373,7 @@ PICKS = [
     "priority_inversion_audit",
     "front_coding_audit",
     "dim_truncation_recall",
+    "hashring_moved_keys",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

@@ -1610,3 +1610,119 @@ SELECT CAST(count(*) AS BIGINT) AS n_ranges,
          AS optimal_ranges
 FROM x
 """
+
+
+# ---------------------------------------------------------------------------
+# Consistent-hash ring rebalance audit (vnode ring vs rendezvous)
+# ---------------------------------------------------------------------------
+
+RING_VNODES = 8
+
+
+def hashring_moved_keys(
+    sf_dir: str,
+    n_from: int = REBALANCE_FROM,
+    n_to: int = REBALANCE_TO,
+    vnodes: int = RING_VNODES,
+):
+    """Consistent-hash RING placement audit: with ``vnodes`` virtual
+    nodes per shard on a 2^31 ring, how many documents move when the
+    shard count grows n_from -> n_to?  Completes the placement family
+    (shard_balance = load, shard_rebalance = mod vs rendezvous, this =
+    the ring actual caches use) with the same integer avalanche hash.
+    Clockwise successor = argmin over vnodes of (pos - keypos) mod
+    2^31, ties resolved by the packed (delta, shard, vnode) scalar —
+    one deterministic argmin both engines replay.
+
+    Scale shape: one vectorized pass (keys x n_to*vnodes delta
+    matrix per block), per-block moved-count partials, driver fold."""
+    from document_extractor_ray.functions.bucketing import fold_partials
+    from document_extractor_ray.functions.textstats import (
+        _read_docs as _read_doc_cols,
+    )
+
+    M31 = 2147483648
+
+    def ring_positions(n: int) -> tuple:
+        s = np.repeat(np.arange(n, dtype=np.int64), vnodes)
+        v = np.tile(np.arange(vnodes, dtype=np.int64), n)
+        pos = ((s * 64 + v + 7) * 2654435761) % M31
+        return pos, s, v
+
+    ds = _read_doc_cols(sf_dir, ["doc_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (k * 2654435761) % M31
+
+        def assign(n: int) -> np.ndarray:
+            pos, s, v = ring_positions(n)
+            delta = (pos[None, :] - kp[:, None]) % M31
+            packed = delta * 65536 + s[None, :] * vnodes + v[None, :]
+            return s[np.argmin(packed, axis=1)]
+
+        moved = int((assign(n_from) != assign(n_to)).sum())
+        return pa.table(
+            {
+                "k": pa.array([1], pa.int64()),
+                "n_keys": pa.array([len(k)], pa.int64()),
+                "n_moved": pa.array([moved], pa.int64()),
+            }
+        )
+
+    tot = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "k",
+        ["n_keys", "n_moved"],
+    )[1]
+    n_keys, n_moved = (int(v) for v in tot)
+    return pa.table(
+        {
+            "n_keys": pa.array([n_keys], pa.int64()),
+            "n_moved": pa.array([n_moved], pa.int64()),
+            "moved_permille": pa.array(
+                [1000 * n_moved // n_keys if n_keys else 0], pa.int64()
+            ),
+            "ideal_permille": pa.array([1000 // n_to], pa.int64()),
+        }
+    )
+
+
+def hashring_moved_keys_sql(
+    n_from: int = REBALANCE_FROM,
+    n_to: int = REBALANCE_TO,
+    vnodes: int = RING_VNODES,
+) -> str:
+    return f"""
+WITH ring AS (
+  SELECT n.n, s.s, v.v,
+         ((s.s * 64 + v.v + 7) * 2654435761) % 2147483648 AS pos
+  FROM (SELECT unnest([{n_from}, {n_to}]) AS n) n
+  CROSS JOIN range(0, {n_to}) s(s)
+  CROSS JOIN range(0, {vnodes}) v(v)
+  WHERE s.s < n.n
+),
+kp AS (
+  SELECT doc_id, (doc_id * 2654435761) % 2147483648 AS kpos
+  FROM documents
+),
+asg AS (
+  SELECT doc_id, n, s FROM (
+    SELECT kp.doc_id, r.n, r.s,
+           row_number() OVER (
+             PARTITION BY kp.doc_id, r.n
+             ORDER BY ((r.pos - kp.kpos + 2147483648) % 2147483648) * 65536
+                      + r.s * {vnodes} + r.v) AS rn
+    FROM kp CROSS JOIN ring r) WHERE rn = 1
+),
+mv AS (
+  SELECT a.doc_id, (a.s != b.s)::INTEGER AS moved
+  FROM asg a JOIN asg b ON b.doc_id = a.doc_id
+  WHERE a.n = {n_from} AND b.n = {n_to}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(moved) AS BIGINT) AS n_moved,
+       CAST(1000 * sum(moved) // count(*) AS BIGINT) AS moved_permille,
+       CAST(1000 // {n_to} AS BIGINT) AS ideal_permille
+FROM mv
+"""

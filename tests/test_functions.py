@@ -376,6 +376,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "front_coding_audit",
         "dim_truncation_recall",
         "filter_order_plan",
+        "hashring_moved_keys",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -5501,3 +5502,17 @@ def test_filter_order_plan_bounds_and_identity(ray_session):
     upper = 1000 * sum(CURATION_COSTS.values())
     for name, cost in rows.items():
         assert 1000 * CURATION_COSTS[name] <= cost <= upper
+
+
+def test_hashring_moves_less_than_mod(ray_session):
+    """The ring must move far fewer keys than mod-N resharding and at
+    least SOME keys (the new shard takes ownership of arcs)."""
+    from document_extractor_ray.functions.training import (
+        hashring_moved_keys,
+        shard_rebalance_audit,
+    )
+
+    ring = hashring_moved_keys(SF).to_pylist()[0]
+    reb = {r["method"]: r for r in shard_rebalance_audit(SF).to_pylist()}
+    assert 0 < ring["n_moved"] < reb["mod"]["n_moved"]
+    assert ring["n_keys"] == reb["mod"]["n_keys"]
