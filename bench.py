@@ -374,6 +374,8 @@ PICKS = [
     "front_coding_audit",
     "dim_truncation_recall",
     "hashring_moved_keys",
+    "pack_position_source_mix",
+    "backlog_aging_snapshot",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

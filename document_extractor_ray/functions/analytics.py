@@ -20335,3 +20335,143 @@ SELECT CAST((SELECT count(DISTINCT day) FROM j) AS BIGINT) AS n_days,
          AS inversion_permille
 FROM p
 """
+
+
+# ---------------------------------------------------------------------------
+# Month-end open-order backlog aging report
+# ---------------------------------------------------------------------------
+
+BACKLOG_FIRST_MONTH = "1995-01-01"
+BACKLOG_LAST_MONTH = "2001-11-01"
+_BACKLOG_BUCKETS = ((30, "0-30"), (90, "31-90"), (365, "91-365"))
+
+
+def backlog_aging_snapshot(sf_dir: str):
+    """Month-end open-order aging report: at each month end, orders
+    placed but not yet fully shipped (close = LAST line shipment;
+    never-shipped orders stay open), bucketed by age in days
+    (0-30 / 31-90 / 91-365 / 365+) — the AR-style aging table that
+    shipping_open_orders' daily in-flight count can't give (it has no
+    order age and no orderdate).
+
+    Scale shape: the union min/max co-partitioned aggregate (no hash
+    join) produces slim per-order (orderdate, close); each block then
+    scans the fixed ~83 month-end calendar vectorized and emits
+    (month, bucket)-bounded partials for the driver fold."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    o = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    # date_range(freq="ME") keeps only month-ends INSIDE the range, so
+    # extend the right edge past the last month's end day.
+    month_ends = (
+        pd.date_range(
+            BACKLOG_FIRST_MONTH,
+            pd.Timestamp(BACKLOG_LAST_MONTH) + pd.offsets.MonthEnd(1),
+            freq="ME",
+        )
+        .to_numpy()
+        .astype("datetime64[D]")
+        .astype(np.int64)
+    )
+    lims = np.array([hi for hi, _ in _BACKLOG_BUCKETS], np.int64)
+    names = [nm for _, nm in _BACKLOG_BUCKETS] + ["365+"]
+
+    def tag_o(t: pa.Table) -> pa.Table:
+        d = pc.cast(
+            pc.cast(pc.cast(t["o_orderdate"], pa.date32()), pa.int32()), pa.int64()
+        )
+        return pa.table(
+            {
+                "k": t["o_orderkey"],
+                "od": d,
+                "cd": pa.array(np.full(t.num_rows, -_KM_SENTINEL, np.int64)),
+            }
+        )
+
+    def tag_l(t: pa.Table) -> pa.Table:
+        d = pc.cast(
+            pc.cast(pc.cast(t["l_shipdate"], pa.date32()), pa.int32()), pa.int64()
+        )
+        return pa.table(
+            {
+                "k": t["l_orderkey"],
+                "od": pa.array(np.full(t.num_rows, _KM_SENTINEL, np.int64)),
+                "cd": d,
+            }
+        )
+
+    merged = bucketed_agg(
+        o.map_batches(tag_o, batch_format="pyarrow").union(
+            li.map_batches(tag_l, batch_format="pyarrow")
+        ),
+        ["k"],
+        [("od", "min", "od"), ("cd", "max", "cd")],
+    )
+
+    def snap(t: pa.Table) -> pa.Table:
+        od = t["od"].to_numpy(zero_copy_only=False)
+        cd = t["cd"].to_numpy(zero_copy_only=False)
+        keep = od < _KM_SENTINEL  # real orders only
+        od, cd = od[keep], cd[keep]
+        never = cd == -_KM_SENTINEL  # no lines: never closes
+        me_out, bk_out, n_out = [], [], []
+        for m in month_ends:
+            open_m = (od <= m) & (never | (cd > m))
+            if not open_m.any():
+                continue
+            age = m - od[open_m]
+            b = np.searchsorted(lims, age, side="left")
+            for bi, cnt in zip(*np.unique(b, return_counts=True)):
+                me_out.append(int(m))
+                bk_out.append(names[int(bi)])
+                n_out.append(int(cnt))
+        return pa.table(
+            {
+                "me": pa.array(me_out, pa.int64()),
+                "bucket": pa.array(bk_out, pa.string()),
+                "n": pa.array(n_out, pa.int64()),
+            }
+        )
+
+    cells = fold_partials(
+        merged.map_batches(snap, batch_format="pyarrow"), ["me", "bucket"], "n"
+    )
+    keys = sorted(cells)
+    ep = np.array([k[0] for k in keys], "datetime64[D]")
+    return pa.table(
+        {
+            "month_end": pa.array(ep.astype("datetime64[us]"), pa.timestamp("us")),
+            "bucket": pa.array([k[1] for k in keys], pa.string()),
+            "n_open": pa.array([cells[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+BACKLOG_AGING_SQL = f"""
+WITH w AS (
+  SELECT l_orderkey AS k, max(CAST(l_shipdate AS DATE)) AS cd
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS od, w.cd
+  FROM orders o LEFT JOIN w ON w.k = o.o_orderkey
+),
+m AS (
+  SELECT CAST(last_day(CAST(d AS DATE)) AS DATE) AS me
+  FROM (SELECT unnest(generate_series(DATE '{BACKLOG_FIRST_MONTH}',
+                                      DATE '{BACKLOG_LAST_MONTH}',
+                                      INTERVAL 1 MONTH)) AS d)
+),
+x AS (
+  SELECT m.me,
+         CASE WHEN date_diff('day', j.od, m.me) <= 30 THEN '0-30'
+              WHEN date_diff('day', j.od, m.me) <= 90 THEN '31-90'
+              WHEN date_diff('day', j.od, m.me) <= 365 THEN '91-365'
+              ELSE '365+' END AS bucket
+  FROM j JOIN m ON j.od <= m.me AND (j.cd IS NULL OR j.cd > m.me)
+)
+SELECT CAST(me AS TIMESTAMP) AS month_end, bucket,
+       CAST(count(*) AS BIGINT) AS n_open
+FROM x GROUP BY 1, 2 ORDER BY 1, 2
+"""

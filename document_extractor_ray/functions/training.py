@@ -1726,3 +1726,115 @@ SELECT CAST(count(*) AS BIGINT) AS n_keys,
        CAST(1000 // {n_to} AS BIGINT) AS ideal_permille
 FROM mv
 """
+
+
+# ---------------------------------------------------------------------------
+# Packing position bias by source (who gets the window starts)
+# ---------------------------------------------------------------------------
+
+def pack_position_source_mix(
+    sf_dir: str, window: int = PACK_WINDOW, range_size: int = PACK_RANGE
+):
+    """Packing position bias: per source, how many docs START a
+    packed example (example_id == doc_id — full attention context)
+    vs the source's overall doc share.  A source whose
+    start_share_permille diverges from doc_share_permille is
+    systematically advantaged/penalized by the packer — the bias
+    audit before anyone trains on position-sensitive objectives.
+
+    Scale shape: pack_assignments' range groupby with source carried
+    through; |sources|-bounded partials fold on the driver."""
+    from document_extractor_ray.functions.bucketing import fold_partials
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "source"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
+        rng = pc.divide(t["doc_id"], range_size)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": toks,
+                "source": t["source"],
+                "rng": rng,
+            }
+        )
+
+    def per_range(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("doc_id")
+        toks = g["n_tokens"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        ex = np.empty(len(g), np.int64)
+        cur_start, cur_tok = None, 0
+        for i, (d, n) in enumerate(zip(ids, toks)):
+            if n > window:
+                ex[i] = d
+                cur_start, cur_tok = None, 0
+                continue
+            if cur_start is not None and cur_tok + n > window:
+                cur_start, cur_tok = None, 0
+            if cur_start is None:
+                cur_start, cur_tok = int(d), 0
+            ex[i] = cur_start
+            cur_tok += int(n)
+        df = pd.DataFrame(
+            {
+                "source": g["source"].to_numpy(),
+                "n_docs": np.int64(1),
+                "n_starts": (ex == ids).astype(np.int64),
+            }
+        )
+        out = df.groupby("source", sort=True).sum().reset_index()
+        return pa.table(
+            {
+                "source": pa.array(out["source"], pa.string()),
+                "n_docs": pa.array(out["n_docs"], pa.int64()),
+                "n_starts": pa.array(out["n_starts"], pa.int64()),
+            }
+        )
+
+    cells = fold_partials(
+        ds.map_batches(count_tokens, batch_format="pyarrow")
+        .groupby("rng")
+        .map_groups(per_range, batch_format="pandas"),
+        "source",
+        ["n_docs", "n_starts"],
+    )
+    total_docs = sum(v[0] for v in cells.values())
+    total_starts = sum(v[1] for v in cells.values())
+    keys = sorted(cells)
+    return pa.table(
+        {
+            "source": pa.array(keys, pa.string()),
+            "n_docs": pa.array([cells[k][0] for k in keys], pa.int64()),
+            "n_starts": pa.array([cells[k][1] for k in keys], pa.int64()),
+            "doc_share_permille": pa.array(
+                [1000 * cells[k][0] // total_docs for k in keys], pa.int64()
+            ),
+            "start_share_permille": pa.array(
+                [1000 * cells[k][1] // total_starts for k in keys], pa.int64()
+            ),
+        }
+    )
+
+
+def pack_position_source_mix_sql(
+    window: int = PACK_WINDOW, range_size: int = PACK_RANGE
+) -> str:
+    return f"""
+WITH RECURSIVE {_pack_walk_ctes(window, range_size)},
+s AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN w.example_id = w.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_starts
+  FROM walk w JOIN documents d ON d.doc_id = w.doc_id
+  GROUP BY 1
+)
+SELECT source, n_docs, n_starts,
+       CAST(1000 * n_docs // (SELECT sum(n_docs) FROM s) AS BIGINT)
+         AS doc_share_permille,
+       CAST(1000 * n_starts // (SELECT sum(n_starts) FROM s) AS BIGINT)
+         AS start_share_permille
+FROM s ORDER BY source
+"""

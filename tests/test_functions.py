@@ -377,6 +377,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "dim_truncation_recall",
         "filter_order_plan",
         "hashring_moved_keys",
+        "pack_position_source_mix",
+        "backlog_aging_snapshot",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -5516,3 +5518,37 @@ def test_hashring_moves_less_than_mod(ray_session):
     reb = {r["method"]: r for r in shard_rebalance_audit(SF).to_pylist()}
     assert 0 < ring["n_moved"] < reb["mod"]["n_moved"]
     assert ring["n_keys"] == reb["mod"]["n_keys"]
+
+
+def test_pack_position_mix_totals(ray_session):
+    from document_extractor_ray.functions.training import (
+        pack_position_source_mix,
+        pack_sequences_docs,
+    )
+
+    rows = pack_position_source_mix(SF).to_pylist()
+    packs = pack_sequences_docs(SF).take_all()
+    assert sum(r["n_starts"] for r in rows) == len(packs)
+    assert sum(r["n_docs"] for r in rows) == sum(p["n_docs"] for p in packs)
+    assert all(r["n_starts"] <= r["n_docs"] for r in rows)
+
+
+def test_backlog_aging_consistency(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import backlog_aging_snapshot
+
+    rows = backlog_aging_snapshot(SF).to_pylist()
+    assert all(r["n_open"] > 0 for r in rows)
+    # the final month-end backlog equals orders never fully shipped
+    # by then (open-ended orders): recompute directly
+    last = max(r["month_end"] for r in rows)
+    total_last = sum(r["n_open"] for r in rows if r["month_end"] == last)
+    truth = duckdb.sql(f"""
+        WITH w AS (SELECT l_orderkey k, max(CAST(l_shipdate AS DATE)) cd
+                   FROM '{SF}/lineitem.parquet' GROUP BY 1)
+        SELECT count(*) FROM '{SF}/orders.parquet' o LEFT JOIN w ON w.k = o.o_orderkey
+        WHERE CAST(o.o_orderdate AS DATE) <= DATE '{last.date()}'
+          AND (w.cd IS NULL OR w.cd > DATE '{last.date()}')
+    """).fetchone()[0]
+    assert total_last == truth
