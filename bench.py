@@ -376,6 +376,8 @@ PICKS = [
     "hashring_moved_keys",
     "pack_position_source_mix",
     "backlog_aging_snapshot",
+    "daily_qn_scale",
+    "shiplag_cpk_by_priority",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

@@ -20475,3 +20475,227 @@ SELECT CAST(me AS TIMESTAMP) AS month_end, bucket,
        CAST(count(*) AS BIGINT) AS n_open
 FROM x GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Robust scale (pairwise-gap median) of the daily order count series
+# ---------------------------------------------------------------------------
+
+def daily_qn_scale(sf_dir: str):
+    """Robust scale of the daily-order-count series: the median of all
+    pairwise |y_i - y_j| (the Qn-family estimator at the median
+    quantile) — daily_theil_sen's partner (that one estimates trend
+    slope, this one robust volatility; outlier days move neither).
+    Same doubled-middle integer-median rule.
+
+    Scale shape: identical to daily_theil_sen — a calendar-bounded
+    day-histogram fold, then numpy pairwise |gaps| bounded by days^2,
+    never the data."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.cast(t["o_orderdate"], pa.date32()), pa.int32())
+        g = pa.TableGroupBy(pa.table({"day": d}), ["day"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    hist = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "day", "n"
+    )
+    y = np.array([hist[d] for d in sorted(hist)], np.int64)
+    i, j = np.triu_indices(len(y), k=1)
+    gaps = np.abs(y[j] - y[i])
+    gaps.sort()
+    n_pairs = len(gaps)
+    lo = gaps[(n_pairs - 1) // 2]
+    hi = gaps[n_pairs // 2]
+    return pa.table(
+        {
+            "n_days": pa.array([len(y)], pa.int64()),
+            "n_pairs": pa.array([n_pairs], pa.int64()),
+            "qn_gap_x2": pa.array([int(lo) + int(hi)], pa.int64()),
+        }
+    )
+
+
+DAILY_QN_SCALE_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT abs(b.y - a.y) AS g
+  FROM d a JOIN d b ON b.day > a.day
+),
+o AS (
+  SELECT g, row_number() OVER (ORDER BY g) AS rn, count(*) OVER () AS n
+  FROM p
+)
+SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+       CAST(any_value(n) AS BIGINT) AS n_pairs,
+       CAST(sum(g) FILTER (WHERE rn = (n + 1) // 2)
+            + sum(g) FILTER (WHERE rn = (n + 2) // 2) AS BIGINT) AS qn_gap_x2
+FROM o
+"""
+
+
+# ---------------------------------------------------------------------------
+# Process-capability index (Cpk) of ship lag per order priority
+# ---------------------------------------------------------------------------
+
+CPK_LSL_DAYS = 0
+CPK_USL_DAYS = 100
+
+
+def shiplag_cpk_by_priority(
+    sf_dir: str, lsl: int = CPK_LSL_DAYS, usl: int = CPK_USL_DAYS
+):
+    """Process-capability Cpk of line-level ship lag (l_shipdate -
+    o_orderdate, days) per order priority against the [0, 100]-day
+    spec window: cpk_micro = 1e6 * min(n*USL - S, S - n*LSL) //
+    (3 * isqrt(n*Sxx - S^2)) — exact with the corrected floor-isqrt;
+    the ops-SLA statistic one level above the lag histogram (q12's
+    banding says WHAT happened; Cpk says whether the process can hold
+    the spec at all).
+
+    Scale shape: one broadcast of the slim (orderkey -> priority,
+    orderdate) pair set?  No — lineitem carries orderkey only, so the
+    per-line lag needs the order row: the orders side is
+    priority+date (two slim columns), broadcast via ray.put under the
+    same budget discipline as the q3/q19 dimension attach; per-block
+    (priority -> n, S, Sxx-split) moment partials fold on the
+    driver."""
+    import math
+
+    from document_extractor_ray import state
+
+    dim = pa.concat_tables(
+        [
+            t
+            for t in map(
+                ray.get,
+                _read(
+                    sf_dir,
+                    "orders",
+                    columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+                ).to_arrow_refs(),
+            )
+            if t.num_rows
+        ]
+    ).combine_chunks()
+    dim = pa.table(
+        {
+            "o_orderkey": dim["o_orderkey"],
+            "od": pc.cast(
+                pc.cast(pc.cast(dim["o_orderdate"], pa.date32()), pa.int32()),
+                pa.int64(),
+            ),
+            "prio": dim["o_orderpriority"],
+        }
+    )
+    dim_ref = state.broadcast(dim)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = state.cached_get(dim_ref)
+        t = pa.table(
+            {
+                "k": t["l_orderkey"],
+                "sd": pc.cast(
+                    pc.cast(pc.cast(t["l_shipdate"], pa.date32()), pa.int32()),
+                    pa.int64(),
+                ),
+            }
+        )
+        t = state.lookup_join(t, "k", d, "o_orderkey", ["od", "prio"])
+        # inner-join semantics: drop orphan lines with no order row
+        # (fk_orphan_audit's finding; the SQL oracle inner-joins too)
+        t = t.filter(pc.is_valid(t["od"]))
+        lag = pc.subtract(t["sd"], t["od"]).to_numpy(zero_copy_only=False)
+        x2 = lag * lag
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "prio": t["prio"],
+                    "x": pa.array(lag, pa.int64()),
+                    "x2q": pa.array(x2 // 1_000_000, pa.int64()),
+                    "x2r": pa.array(x2 % 1_000_000, pa.int64()),
+                }
+            ),
+            ["prio"],
+        ).aggregate(
+            [("x", "sum"), ("x2q", "sum"), ("x2r", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "prio": g["prio"],
+                "s": g["x_sum"],
+                "s2q": g["x2q_sum"],
+                "s2r": g["x2r_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    acc = fold_partials(
+        li.map_batches(partial, batch_format="pyarrow"),
+        "prio",
+        ["s", "s2q", "s2r", "n"],
+    )
+    rows = []
+    for p in sorted(acc):
+        s, s2q, s2r, n = (int(v) for v in acc[p])
+        ss = n * (s2q * 1_000_000 + s2r) - s * s
+        num = min(n * usl - s, s - n * lsl)
+        cpk = (1_000_000 * num) // (3 * math.isqrt(ss)) if ss else 0
+        rows.append((p, n, cpk))
+    return pa.table(
+        {
+            "priority": pa.array([r[0] for r in rows], pa.string()),
+            "n_lines": pa.array([r[1] for r in rows], pa.int64()),
+            "cpk_micro": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+SHIPLAG_CPK_SQL = f"""
+WITH j AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+g AS (
+  SELECT priority,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(lag) AS HUGEINT) AS s,
+         CAST(sum(lag * lag) AS HUGEINT) AS sxx
+  FROM j GROUP BY 1
+),
+q AS (
+  SELECT priority, n, s,
+         n * sxx - s * s AS ss,
+         CAST(floor(sqrt(CAST(n * sxx - s * s AS DOUBLE))) AS HUGEINT) AS s0
+  FROM g
+),
+w AS (
+  SELECT priority, n, s, ss,
+         s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= ss THEN 1 ELSE 0 END)
+            - (CASE WHEN s0 * s0 > ss THEN 1 ELSE 0 END) AS rt
+  FROM q
+)
+SELECT priority,
+       CAST(n AS BIGINT) AS n_lines,
+       CAST(CASE WHEN ss = 0 THEN 0
+                 ELSE (num - (((num % den) + den) % den)) // den
+            END AS BIGINT) AS cpk_micro
+FROM (
+  SELECT priority, n, ss,
+         1000000::HUGEINT * least(n * {CPK_USL_DAYS} - s,
+                                  s - n * {CPK_LSL_DAYS}) AS num,
+         3 * rt AS den
+  FROM w
+) ORDER BY priority
+"""

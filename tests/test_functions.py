@@ -379,6 +379,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "hashring_moved_keys",
         "pack_position_source_mix",
         "backlog_aging_snapshot",
+        "daily_qn_scale",
+        "shiplag_cpk_by_priority",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -5552,3 +5554,32 @@ def test_backlog_aging_consistency(ray_session):
           AND (w.cd IS NULL OR w.cd > DATE '{last.date()}')
     """).fetchone()[0]
     assert total_last == truth
+
+
+def test_daily_qn_pairs_and_nonneg(ray_session):
+    from document_extractor_ray.functions.analytics import (
+        daily_qn_scale,
+        daily_theil_sen,
+    )
+
+    qn = daily_qn_scale(SF).to_pylist()[0]
+    ts = daily_theil_sen(SF).to_pylist()[0]
+    assert qn["n_days"] == ts["n_days"] and qn["n_pairs"] == ts["n_pairs"]
+    assert qn["qn_gap_x2"] >= 0
+
+
+def test_cpk_covers_all_priorities(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import shiplag_cpk_by_priority
+
+    rows = shiplag_cpk_by_priority(SF).to_pylist()
+    truth = dict(
+        duckdb.sql(
+            f"""SELECT o.o_orderpriority, count(*)
+              FROM '{SF}/lineitem.parquet' l
+              JOIN '{SF}/orders.parquet' o ON o.o_orderkey = l.l_orderkey
+              GROUP BY 1"""
+        ).fetchall()
+    )
+    assert {r["priority"]: r["n_lines"] for r in rows} == truth
