@@ -378,6 +378,8 @@ PICKS = [
     "backlog_aging_snapshot",
     "daily_qn_scale",
     "shiplag_cpk_by_priority",
+    "readability_profile",
+    "partial_agg_reduction_audit",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

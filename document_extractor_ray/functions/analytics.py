@@ -20699,3 +20699,136 @@ FROM (
   FROM w
 ) ORDER BY priority
 """
+
+
+# ---------------------------------------------------------------------------
+# Combiner-effectiveness audit: partial-aggregation reduction per key
+# ---------------------------------------------------------------------------
+
+PARTIAL_AGG_BLOCK_ROWS = 4096
+
+
+def partial_agg_reduction_audit(sf_dir: str, block_rows: int = PARTIAL_AGG_BLOCK_ROWS):
+    """Measures, per candidate grouping key of the events table, how
+    much a map-side combiner would shrink the shuffle: rows into the
+    exchange after per-block partial aggregation = the number of
+    distinct (block, key) pairs, where a block is an ``event_id``
+    id-range of ``block_rows`` rows (deterministic, storage-layout
+    independent).  ``combiner_out_permille`` is that count as a
+    permille of input rows — low means pre-aggregate inside
+    map_batches (the PERF.md steps 20-24 rule quantified);
+    ``global_key_permille`` is the floor any plan can reach.
+
+    Scale shape: the audit practices what it measures.  The bounded
+    keys (day, event_type: domain-limited, blocks x domain pairs) fold
+    per-block distinct partials on the driver; the unbounded key
+    (user_id) routes its pair set and its global-distinct through
+    ``bucketed_agg`` + count — per-group cost never touches Ray's
+    hash aggregate.  At 10^12 rows the block count itself grows, so
+    the audit would run over a block sample; the per-key CHOICE it
+    informs is unchanged."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "event_type", "user_id"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "blk": pa.array(ids // block_rows, pa.int64()),
+                "day": pc.cast(pc.cast(t["ts"], pa.date32()), pa.int32()),
+                "etype": t["event_type"],
+                "user_id": t["user_id"],
+            }
+        )
+
+    sds = ds.map_batches(slim, batch_format="pyarrow")
+
+    # day / event_type: domain-bounded -> driver fold of per-block
+    # distinct partials (the dict keys ARE the distinct pairs)
+    stats = {}
+    n_rows = n_blocks = 0
+    for name, col in (("day", "day"), ("event_type", "etype")):
+        def partial(t: pa.Table, col=col) -> pa.Table:
+            key = (
+                pc.cast(t[col], pa.int64()).cast(pa.string())
+                if col == "day"
+                else t[col]
+            )
+            g = pa.TableGroupBy(
+                pa.table({"blk": t["blk"], "k": key}), ["blk", "k"]
+            ).aggregate([([], "count_all")])
+            return pa.table(
+                {
+                    "blk": g["blk"],
+                    "k": g["k"],
+                    "n": pc.cast(g["count_all"], pa.int64()),
+                }
+            )
+
+        acc = fold_partials(
+            sds.map_batches(partial, batch_format="pyarrow"), ["blk", "k"], "n"
+        )
+        n_rows = sum(acc.values())
+        n_blocks = len({b for b, _ in acc})
+        stats[name] = (len(acc), len({k for _, k in acc}))
+
+    # user_id: cardinality grows with data -> bucketed distinct + count
+    pairs = bucketed_agg(sds.select_columns(["blk", "user_id"]),
+                         ["blk", "user_id"], [(None, "count", "n")])
+    ndv = bucketed_agg(sds.select_columns(["user_id"]),
+                       ["user_id"], [(None, "count", "n")])
+    stats["user_id"] = (pairs.count(), ndv.count())
+
+    names = sorted(stats)
+    return pa.table(
+        {
+            "key_name": pa.array(names, pa.string()),
+            "n_rows": pa.array([n_rows] * len(names), pa.int64()),
+            "n_blocks": pa.array([n_blocks] * len(names), pa.int64()),
+            "sum_block_ndv": pa.array([stats[n][0] for n in names], pa.int64()),
+            "global_ndv": pa.array([stats[n][1] for n in names], pa.int64()),
+            "combiner_out_permille": pa.array(
+                [1000 * stats[n][0] // n_rows for n in names], pa.int64()
+            ),
+            "global_key_permille": pa.array(
+                [1000 * stats[n][1] // n_rows for n in names], pa.int64()
+            ),
+        }
+    )
+
+
+PARTIAL_AGG_REDUCTION_SQL = f"""
+WITH e AS (
+  SELECT event_id // {PARTIAL_AGG_BLOCK_ROWS} AS blk, event_type,
+         user_id, CAST(ts AS DATE) AS day
+  FROM events
+),
+s AS (
+  SELECT 'day' AS key_name,
+         (SELECT count(*) FROM e) AS n_rows,
+         (SELECT count(DISTINCT blk) FROM e) AS n_blocks,
+         (SELECT count(*) FROM (SELECT DISTINCT blk, day FROM e)) AS sum_block_ndv,
+         (SELECT count(DISTINCT day) FROM e) AS global_ndv
+  UNION ALL
+  SELECT 'event_type',
+         (SELECT count(*) FROM e),
+         (SELECT count(DISTINCT blk) FROM e),
+         (SELECT count(*) FROM (SELECT DISTINCT blk, event_type FROM e)),
+         (SELECT count(DISTINCT event_type) FROM e)
+  UNION ALL
+  SELECT 'user_id',
+         (SELECT count(*) FROM e),
+         (SELECT count(DISTINCT blk) FROM e),
+         (SELECT count(*) FROM (SELECT DISTINCT blk, user_id FROM e)),
+         (SELECT count(DISTINCT user_id) FROM e)
+)
+SELECT key_name,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_blocks AS BIGINT) AS n_blocks,
+       CAST(sum_block_ndv AS BIGINT) AS sum_block_ndv,
+       CAST(global_ndv AS BIGINT) AS global_ndv,
+       CAST(1000 * sum_block_ndv // n_rows AS BIGINT) AS combiner_out_permille,
+       CAST(1000 * global_ndv // n_rows AS BIGINT) AS global_key_permille
+FROM s ORDER BY key_name
+"""

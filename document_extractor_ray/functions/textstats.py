@@ -9373,3 +9373,127 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
          AS savings_permille
 FROM l
 """
+
+
+# ---------------------------------------------------------------------------
+# FORCAST-style readability per source (no sentence punctuation needed)
+# ---------------------------------------------------------------------------
+
+def readability_profile(sf_dir: str):
+    """FORCAST readability grade per source: grade = 20 - M/10 where
+    M is the monosyllabic-word count per 150 words — the one classic
+    readability formula that needs NO sentence boundaries (the corpus
+    has none), so it survives boilerplate-stripped web text where
+    punctuation was lost.  Syllables are maximal ``[aeiouy]+`` runs
+    (the standard cheap proxy); a word is monosyllabic when it
+    contains exactly one run.  Emitted per source: doc/word/syllable/
+    monosyllable totals plus ``forcast_milli`` =
+    20000 - 15000*mono // words (exact integer milli-grades).
+
+    Scale shape: per-block (source -> 4 counters) partials from pure
+    ``pyarrow.compute`` kernels (run counting via non-overlapping
+    regex matches; per-word analysis on the flattened split with
+    ``list_parent_indices`` — zero Python per row), bounded driver
+    fold on the source domain."""
+    from document_extractor_ray.functions.bucketing import fold_partials
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(t["text"])
+        w = pc.cast(pc.count_substring_regex(txt, r"\S+"), pa.int64())
+        y = pc.cast(pc.count_substring_regex(txt, "[aeiouy]+"), pa.int64())
+        words = pc.split_pattern_regex(txt, r"\s+")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        mono = pc.and_(
+            pc.greater(pc.utf8_length(flat), 0),
+            pc.equal(pc.count_substring_regex(flat, "[aeiouy]+"), 1),
+        )
+        mono_src = pc.take(t["source"], pc.filter(parent, mono))
+        g1 = pa.TableGroupBy(
+            pa.table({"source": t["source"], "w": w, "y": y}), ["source"]
+        ).aggregate([("w", "sum"), ("y", "sum"), ([], "count_all")])
+        g2 = pa.TableGroupBy(pa.table({"source": mono_src}), ["source"]).aggregate(
+            [([], "count_all")]
+        )
+        zero1 = pa.nulls(g1.num_rows, pa.int64()).fill_null(0)
+        zero2 = pa.nulls(g2.num_rows, pa.int64()).fill_null(0)
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "source": g1["source"],
+                        "n_docs": pc.cast(g1["count_all"], pa.int64()),
+                        "w": g1["w_sum"],
+                        "y": g1["y_sum"],
+                        "mono": zero1,
+                    }
+                ),
+                pa.table(
+                    {
+                        "source": g2["source"],
+                        "n_docs": zero2,
+                        "w": zero2,
+                        "y": zero2,
+                        "mono": pc.cast(g2["count_all"], pa.int64()),
+                    }
+                ),
+            ]
+        )
+
+    acc = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "source",
+        ["n_docs", "w", "y", "mono"],
+    )
+    rows = []
+    for src in sorted(acc):
+        n_docs, w, y, mono = acc[src]
+        grade = 20000 - (15000 * mono) // w if w > 0 else 20000
+        rows.append((src, n_docs, w, y, mono, grade))
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "n_words": pa.array([r[2] for r in rows], pa.int64()),
+            "n_syllables": pa.array([r[3] for r in rows], pa.int64()),
+            "n_mono": pa.array([r[4] for r in rows], pa.int64()),
+            "forcast_milli": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )
+
+
+READABILITY_PROFILE_SQL = """
+WITH d AS (
+  SELECT source, lower(text) AS txt FROM documents
+),
+c AS (
+  SELECT source,
+         CAST(length(regexp_replace(txt, '\\S+', '#', 'g'))
+              - length(regexp_replace(txt, '\\S+', '', 'g')) AS BIGINT) AS w,
+         CAST(length(regexp_replace(txt, '[aeiouy]+', '#', 'g'))
+              - length(regexp_replace(txt, '[aeiouy]+', '', 'g')) AS BIGINT) AS y
+  FROM d
+),
+m AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS mono
+  FROM d, unnest(regexp_split_to_array(d.txt, '\\s+')) AS u(tok)
+  WHERE length(tok) > 0
+    AND length(regexp_replace(tok, '[aeiouy]+', '#', 'g'))
+        - length(regexp_replace(tok, '[aeiouy]+', '', 'g')) = 1
+  GROUP BY 1
+),
+g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS w, CAST(sum(y) AS BIGINT) AS y
+  FROM c GROUP BY 1
+)
+SELECT g.source, g.n_docs, g.w AS n_words, g.y AS n_syllables,
+       CAST(COALESCE(m.mono, 0) AS BIGINT) AS n_mono,
+       CAST(CASE WHEN g.w > 0
+                 THEN 20000 - (15000 * COALESCE(m.mono, 0)) // g.w
+                 ELSE 20000 END AS BIGINT) AS forcast_milli
+FROM g LEFT JOIN m ON m.source = g.source
+ORDER BY g.source
+"""

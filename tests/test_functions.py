@@ -381,6 +381,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "backlog_aging_snapshot",
         "daily_qn_scale",
         "shiplag_cpk_by_priority",
+        "readability_profile",
+        "partial_agg_reduction_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -5583,3 +5585,36 @@ def test_cpk_covers_all_priorities(ray_session):
         ).fetchall()
     )
     assert {r["priority"]: r["n_lines"] for r in rows} == truth
+
+
+def test_readability_mono_subset_of_words(ray_session):
+    from document_extractor_ray.functions.textstats import readability_profile
+
+    rows = readability_profile(SF).to_pylist()
+    assert rows == sorted(rows, key=lambda r: r["source"])
+    for r in rows:
+        # every monosyllabic word is a word; every word in this corpus
+        # has >= 1 vowel run so syllables >= words >= mono
+        assert 0 <= r["n_mono"] <= r["n_words"] <= r["n_syllables"]
+        assert 5000 <= r["forcast_milli"] <= 20000
+
+
+def test_partial_agg_audit_bounds(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import (
+        partial_agg_reduction_audit,
+    )
+
+    rows = {r["key_name"]: r for r in partial_agg_reduction_audit(SF).to_pylist()}
+    n = duckdb.sql(f"SELECT count(*) FROM '{SF}/events.parquet'").fetchone()[0]
+    for r in rows.values():
+        # global_ndv <= sum of per-block ndv <= rows; blocks consistent
+        assert r["n_rows"] == n
+        assert r["global_ndv"] <= r["sum_block_ndv"] <= n
+        assert r["sum_block_ndv"] >= r["n_blocks"] or r["global_ndv"] == 0
+    # event_type is the most combiner-friendly key of the three
+    assert (
+        rows["event_type"]["combiner_out_permille"]
+        <= rows["user_id"]["combiner_out_permille"]
+    )
