@@ -380,6 +380,8 @@ PICKS = [
     "shiplag_cpk_by_priority",
     "readability_profile",
     "partial_agg_reduction_audit",
+    "value_kruskal_wallis",
+    "topk_threshold_audit",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

@@ -20832,3 +20832,213 @@ SELECT key_name,
        CAST(1000 * global_ndv // n_rows AS BIGINT) AS global_key_permille
 FROM s ORDER BY key_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis rank statistics of value across event types
+# ---------------------------------------------------------------------------
+
+def value_kruskal_wallis(sf_dir: str):
+    """Kruskal-Wallis sufficient statistics of ``value`` across ALL
+    event types — the k-group extension of length_mannwhitney's
+    two-group screen: per type the count and twice the tie-midranked
+    rank sum (``ranksum_x2``, integer by the doubled-midrank rule
+    2*cum_lt + nt + 1), plus the global tie-correction term
+    Σ(t³-t) every H-statistic consumer needs.  Emitting the exact
+    integer sufficient statistics instead of a floated H keeps the
+    oracle bit-exact (the 12/(N(N+1)) division is the consumer's).
+
+    Scale shape: per-block (cents, type) histogram partials, driver
+    fold bounded by value-domain x types (cents-quantized domain, NOT
+    row count — value_ks_types' bound); one O(V) cumulative scan
+    replaces the global rank sort.  Unbounded value domains would
+    range-partition the cents axis and prefix-sum per-partition
+    totals (the value_hdr escalation)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {"cents": _to_cents(t["value"]), "etype": t["event_type"]}
+            ),
+            ["cents", "etype"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "cents": g["cents"],
+                "etype": g["etype"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    cells = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), ["cents", "etype"], "n"
+    )
+    vals = sorted({c for (c, _) in cells})
+    v_idx = {v: i for i, v in enumerate(vals)}
+    types = sorted({e for (_, e) in cells})
+    nt = np.zeros(len(vals), np.int64)
+    per_type = {e: np.zeros(len(vals), np.int64) for e in types}
+    for (c, e), n in cells.items():
+        per_type[e][v_idx[c]] += n
+        nt[v_idx[c]] += n
+    cum_lt = np.concatenate(([0], np.cumsum(nt)[:-1]))
+    midrank_x2 = 2 * cum_lt + nt + 1
+    tie_adj = int((nt.astype(object) ** 3 - nt.astype(object)).sum())
+    rows = [
+        (e, int(per_type[e].sum()), int((per_type[e] * midrank_x2).sum()))
+        for e in types
+    ]
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "ranksum_x2": pa.array([r[2] for r in rows], pa.int64()),
+            "tie_adj": pa.array([tie_adj] * len(rows), pa.int64()),
+        }
+    )
+
+
+VALUE_KRUSKAL_WALLIS_SQL = """
+WITH c AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT cents, CAST(sum(n) AS BIGINT) AS nt,
+         CAST(COALESCE(sum(sum(n)) OVER (
+             ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS cum_lt
+  FROM c GROUP BY cents
+),
+ta AS (SELECT CAST(sum(nt * nt * nt - nt) AS BIGINT) AS tie_adj FROM t)
+SELECT c.event_type,
+       CAST(sum(c.n) AS BIGINT) AS n,
+       CAST(sum(c.n * (2 * t.cum_lt + t.nt + 1)) AS BIGINT) AS ranksum_x2,
+       CAST(any_value(ta.tie_adj) AS BIGINT) AS tie_adj
+FROM c JOIN t USING (cents) CROSS JOIN ta
+GROUP BY c.event_type
+ORDER BY c.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fagin Threshold-Algorithm early-stop depth for top-k users
+# ---------------------------------------------------------------------------
+
+TA_TOP_K = 10
+
+
+def topk_threshold_audit(sf_dir: str, k: int = TA_TOP_K):
+    """Fagin Threshold-Algorithm audit over the two per-user rankings
+    (event count; total value cents): scanning both sorted lists in
+    lockstep with random access for the other attribute, at what depth
+    does the k-th best combined score (count + cents, the classic TA
+    additive aggregate) certify top-k — i.e. how much of a 10^12-row
+    ranking a distributed top-k join can SKIP.  ``savings_permille``
+    is the un-scanned share of the ranking; deterministic tie-break
+    (attribute DESC, user_id ASC) on both sides.
+
+    Scale shape: the per-user (count, cents) aggregate routes through
+    ``bucketed_agg`` (user cardinality grows with data); the TA sweep
+    itself is a numpy scan over the bounded user catalog — bounded by
+    entities, not events (heavy_hitter_coverage's documented bound);
+    the audited SAVINGS is what a real distributed TA would exploit
+    by reading sorted runs depth-first."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": t["user_id"], "cents": _to_cents(t["value"])}
+        )
+
+    per_user = bucketed_agg(
+        ds.map_batches(slim, batch_format="pyarrow"),
+        ["user_id"],
+        [("cents", "sum", "sc"), (None, "count", "ne")],
+    )
+    tabs = [t for t in map(ray.get, per_user.to_arrow_refs()) if t.num_rows]
+    u = pa.concat_tables(tabs).combine_chunks()
+    uid = u["user_id"].to_numpy(zero_copy_only=False)
+    ne = u["ne"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sc = u["sc"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(uid)
+    k = min(k, n)
+    order_a = np.lexsort((uid, -ne))  # ne DESC, user_id ASC
+    order_b = np.lexsort((uid, -sc))
+    rank_a = np.empty(n, np.int64)
+    rank_a[order_a] = np.arange(1, n + 1)
+    rank_b = np.empty(n, np.int64)
+    rank_b[order_b] = np.arange(1, n + 1)
+    md = np.minimum(rank_a, rank_b)
+    score = ne + sc
+    tau = ne[order_a] + sc[order_b]  # tau at depth d = 1..n
+    stop = kth = seen = None
+    for d in range(1, n + 1):
+        seen_mask = md <= d
+        if int(seen_mask.sum()) >= k:
+            seen_scores = np.sort(score[seen_mask])[::-1]
+            if seen_scores[k - 1] >= tau[d - 1]:
+                stop, kth, seen = d, int(seen_scores[k - 1]), int(seen_mask.sum())
+                break
+    return pa.table(
+        {
+            "k": pa.array([k], pa.int64()),
+            "n_users": pa.array([n], pa.int64()),
+            "stop_depth": pa.array([stop], pa.int64()),
+            "kth_score": pa.array([kth], pa.int64()),
+            "tau_at_stop": pa.array([int(tau[stop - 1])], pa.int64()),
+            "n_seen": pa.array([seen], pa.int64()),
+            "savings_permille": pa.array(
+                [1000 * (n - stop) // n], pa.int64()
+            ),
+        }
+    )
+
+
+TOPK_THRESHOLD_SQL = f"""
+WITH u AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS ne,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+  FROM events GROUP BY 1
+),
+a AS (
+  SELECT user_id, ne, sc, ne + sc AS score,
+         row_number() OVER (ORDER BY ne DESC, user_id) AS ra,
+         row_number() OVER (ORDER BY sc DESC, user_id) AS rb
+  FROM u
+),
+m AS (SELECT user_id, score, least(ra, rb) AS md FROM a),
+kk AS (SELECT least({TA_TOP_K}, (SELECT count(*) FROM u)) AS k),
+tau AS (
+  SELECT ea.ra AS d, ea.ne + eb.sc AS tau
+  FROM a ea JOIN a eb ON eb.rb = ea.ra
+),
+cand AS (
+  SELECT t.d, t.tau,
+         (SELECT count(*) FROM m WHERE m.md <= t.d AND m.score >= t.tau) AS c_ok,
+         (SELECT count(*) FROM m WHERE m.md <= t.d) AS seen
+  FROM tau t
+),
+stop AS (
+  SELECT d, tau, seen FROM cand, kk WHERE c_ok >= kk.k ORDER BY d LIMIT 1
+),
+kth AS (
+  SELECT min(score) AS kth_score FROM (
+    SELECT m.score, row_number() OVER (ORDER BY m.score DESC) AS rn
+    FROM m, stop WHERE m.md <= stop.d
+  ), kk WHERE rn <= kk.k
+)
+SELECT CAST(kk.k AS BIGINT) AS k,
+       CAST((SELECT count(*) FROM u) AS BIGINT) AS n_users,
+       CAST(stop.d AS BIGINT) AS stop_depth,
+       CAST(kth.kth_score AS BIGINT) AS kth_score,
+       CAST(stop.tau AS BIGINT) AS tau_at_stop,
+       CAST(stop.seen AS BIGINT) AS n_seen,
+       CAST(1000 * ((SELECT count(*) FROM u) - stop.d)
+            // (SELECT count(*) FROM u) AS BIGINT) AS savings_permille
+FROM stop, kk, kth
+"""

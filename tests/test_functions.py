@@ -383,6 +383,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "shiplag_cpk_by_priority",
         "readability_profile",
         "partial_agg_reduction_audit",
+        "value_kruskal_wallis",
+        "topk_threshold_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -5618,3 +5620,36 @@ def test_partial_agg_audit_bounds(ray_session):
         rows["event_type"]["combiner_out_permille"]
         <= rows["user_id"]["combiner_out_permille"]
     )
+
+
+def test_kruskal_wallis_ranksum_identity(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import value_kruskal_wallis
+
+    rows = value_kruskal_wallis(SF).to_pylist()
+    n_total = sum(r["n"] for r in rows)
+    n_events = duckdb.sql(f"SELECT count(*) FROM '{SF}/events.parquet'").fetchone()[0]
+    assert n_total == n_events
+    # sum over groups of 2x rank sums == 2 * N(N+1)/2 == N(N+1)
+    assert sum(r["ranksum_x2"] for r in rows) == n_total * (n_total + 1)
+    assert len({r["tie_adj"] for r in rows}) == 1 and rows[0]["tie_adj"] >= 0
+
+
+def test_ta_stop_certifies_topk(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import topk_threshold_audit
+
+    r = topk_threshold_audit(SF).to_pylist()[0]
+    assert 1 <= r["stop_depth"] <= r["n_users"]
+    assert r["kth_score"] >= r["tau_at_stop"]  # the TA halting condition
+    assert r["n_seen"] >= r["k"]
+    # the certified k-th score equals the true global k-th best
+    truth = duckdb.sql(f"""
+        SELECT min(s) FROM (
+          SELECT count(*) + sum(CAST(round(value*100) AS BIGINT)) AS s
+          FROM '{SF}/events.parquet' GROUP BY user_id
+          ORDER BY s DESC LIMIT {r["k"]})
+    """).fetchone()[0]
+    assert r["kth_score"] == truth
