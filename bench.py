@@ -382,6 +382,8 @@ PICKS = [
     "partial_agg_reduction_audit",
     "value_kruskal_wallis",
     "topk_threshold_audit",
+    "quality_calibration_bins",
+    "presortedness_audit",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

@@ -21042,3 +21042,155 @@ SELECT CAST(kk.k AS BIGINT) AS k,
             // (SELECT count(*) FROM u) AS BIGINT) AS savings_permille
 FROM stop, kk, kth
 """
+
+
+# ---------------------------------------------------------------------------
+# Presortedness audit: how sorted is each column in event_id order?
+# ---------------------------------------------------------------------------
+
+def presortedness_audit(sf_dir: str):
+    """How presorted each candidate sort column of the events table
+    already is, in canonical ``event_id`` order: adjacent descents
+    (prev > cur; equal counts as in-order), ascending-run count, the
+    longest ascending run, and ``sorted_permille`` — the planner
+    input that decides between a full range-shuffle sort and a cheap
+    run-merge (a column at 990+ permille wants merge; ~500 wants the
+    shuffle).  Columns audited: event timestamp, user_id, value cents.
+
+    Scale shape: a textbook segmented scan.  Each block emits a
+    15-int summary (n, descents, prefix/suffix run lengths, longest
+    run, first/last value per column) after an in-block vectorized
+    diff; the driver merges summaries in id order — the monoid merge
+    handles runs spanning any number of blocks, so no row-level data
+    ever leaves the blocks and block boundaries cannot change the
+    answer."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    COLS = ("ts_us", "user_id", "cents")
+
+    def summarize(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t["event_id"])
+        t = t.take(idx)
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        arrs = {
+            "ts_us": pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False),
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "cents": _to_cents(t["value"]).to_numpy(zero_copy_only=False),
+        }
+        row = {
+            "min_id": [int(ids[0])],
+            "max_id": [int(ids[-1])],
+            "n": [len(ids)],
+        }
+        for c in COLS:
+            a = arrs[c]
+            desc = np.flatnonzero(a[:-1] > a[1:])  # descent BEFORE index+1
+            n_desc = len(desc)
+            # run boundaries at each descent; prefix/suffix/longest runs
+            bounds = np.concatenate(([0], desc + 1, [len(a)]))
+            runs = np.diff(bounds)
+            row[f"{c}_desc"] = [int(n_desc)]
+            row[f"{c}_prefix"] = [int(runs[0])]
+            row[f"{c}_suffix"] = [int(runs[-1])]
+            row[f"{c}_longest"] = [int(runs.max())]
+            row[f"{c}_first"] = [int(a[0])]
+            row[f"{c}_last"] = [int(a[-1])]
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in row.items()})
+
+    parts = [
+        t
+        for t in map(
+            ray.get,
+            ds.map_batches(summarize, batch_format="pyarrow").to_arrow_refs(),
+        )
+        if t.num_rows
+    ]
+    rows = pa.concat_tables(parts).to_pylist()
+    rows.sort(key=lambda r: r["min_id"])
+    for prev, cur in zip(rows, rows[1:]):
+        if cur["min_id"] <= prev["max_id"]:
+            raise ValueError("presortedness_audit: overlapping id ranges")
+    out = []
+    n_total = sum(r["n"] for r in rows)
+    for c in COLS:
+        n_desc = sum(r[f"{c}_desc"] for r in rows)
+        longest = max(r[f"{c}_longest"] for r in rows)
+        run = rows[0][f"{c}_suffix"]
+        for prev, cur in zip(rows, rows[1:]):
+            if prev[f"{c}_last"] > cur[f"{c}_first"]:
+                n_desc += 1
+                run = cur[f"{c}_suffix"]
+            else:
+                # ascending across the boundary: suffix run extends
+                joined = run + cur[f"{c}_prefix"]
+                if cur[f"{c}_desc"] == 0:
+                    run = joined  # whole block ascends; keep extending
+                else:
+                    longest = max(longest, joined)
+                    run = cur[f"{c}_suffix"]
+                longest = max(longest, joined)
+        longest = max(longest, run)
+        out.append(
+            (
+                c,
+                n_total,
+                n_desc,
+                n_desc + 1,
+                longest,
+                1000 * (n_total - 1 - n_desc) // (n_total - 1)
+                if n_total > 1
+                else 1000,
+            )
+        )
+    out.sort(key=lambda r: r[0])
+    return pa.table(
+        {
+            "col": pa.array([r[0] for r in out], pa.string()),
+            "n_rows": pa.array([r[1] for r in out], pa.int64()),
+            "n_descents": pa.array([r[2] for r in out], pa.int64()),
+            "n_runs": pa.array([r[3] for r in out], pa.int64()),
+            "longest_run": pa.array([r[4] for r in out], pa.int64()),
+            "sorted_permille": pa.array([r[5] for r in out], pa.int64()),
+        }
+    )
+
+
+PRESORTEDNESS_SQL = """
+WITH e AS (
+  SELECT event_id,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(user_id AS BIGINT) AS user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+cols AS (
+  SELECT 'cents' AS col, event_id, cents AS v FROM e
+  UNION ALL SELECT 'ts_us', event_id, ts_us FROM e
+  UNION ALL SELECT 'user_id', event_id, user_id FROM e
+),
+w AS (
+  SELECT col, event_id, v,
+         CASE WHEN lag(v) OVER (PARTITION BY col ORDER BY event_id) > v
+              THEN 1 ELSE 0 END AS is_desc
+  FROM cols
+),
+r AS (
+  SELECT col, is_desc,
+         sum(is_desc) OVER (PARTITION BY col ORDER BY event_id) AS rid
+  FROM w
+),
+runs AS (
+  SELECT col, rid, CAST(count(*) AS BIGINT) AS run_len
+  FROM r GROUP BY 1, 2
+),
+d AS (SELECT col, CAST(sum(is_desc) AS BIGINT) AS n_desc FROM w GROUP BY 1)
+SELECT runs.col,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_rows,
+       CAST(any_value(d.n_desc) AS BIGINT) AS n_descents,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(run_len) AS BIGINT) AS longest_run,
+       CAST(1000 * ((SELECT count(*) FROM e) - 1 - any_value(d.n_desc))
+            // ((SELECT count(*) FROM e) - 1) AS BIGINT) AS sorted_permille
+FROM runs JOIN d ON d.col = runs.col
+GROUP BY runs.col ORDER BY runs.col
+"""

@@ -9497,3 +9497,89 @@ SELECT g.source, g.n_docs, g.w AS n_words, g.y AS n_syllables,
 FROM g LEFT JOIN m ON m.source = g.source
 ORDER BY g.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Calibration bins: alpha-share quality score vs the lang=='en' label
+# ---------------------------------------------------------------------------
+
+def quality_calibration_bins(sf_dir: str):
+    """Reliability-diagram bins for the alpha-share quality score
+    (permille of ``[A-Za-z]`` chars) against the ``lang == 'en'``
+    label — quality_auc's ranking view answered in calibration terms:
+    per fixed permille decade [0,10),[10,20),... the doc count,
+    positive count, exact positive rate (permille) and mean score
+    (permille, floor) — the "is the score's 700 actually 70% en?"
+    check every quality-classifier deployment needs before
+    thresholding at corpus scale.
+
+    Scale shape: per-block (bin -> n, pos, score-sum) partials from
+    pure pyarrow kernels, 10-key driver fold."""
+    from document_extractor_ray.functions.bucketing import fold_partials
+
+    ds = _read_docs(sf_dir, ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = pc.utf8_length(t["text"])
+        a = pc.count_substring_regex(t["text"], "[A-Za-z]")
+        a64 = pc.cast(a, pa.int64()).to_numpy(zero_copy_only=False)
+        n64 = pc.cast(n, pa.int64()).to_numpy(zero_copy_only=False)
+        score = np.where(n64 > 0, (1000 * a64) // np.maximum(n64, 1), 0)
+        b = np.minimum(score // 10, 99)
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "bin": pa.array(b, pa.int64()),
+                    "pos": pc.cast(pc.equal(t["lang"], "en"), pa.int64()),
+                    "score": pa.array(score, pa.int64()),
+                }
+            ),
+            ["bin"],
+        ).aggregate([("pos", "sum"), ("score", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "bin": g["bin"],
+                "pos": g["pos_sum"],
+                "score": g["score_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    acc = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "bin",
+        ["pos", "score", "n"],
+    )
+    bins = sorted(acc)
+    return pa.table(
+        {
+            "bin": pa.array(bins, pa.int64()),
+            "n_docs": pa.array([acc[b][2] for b in bins], pa.int64()),
+            "n_pos": pa.array([acc[b][0] for b in bins], pa.int64()),
+            "pos_rate_permille": pa.array(
+                [1000 * acc[b][0] // acc[b][2] for b in bins], pa.int64()
+            ),
+            "mean_score_permille": pa.array(
+                [acc[b][1] // acc[b][2] for b in bins], pa.int64()
+            ),
+        }
+    )
+
+
+QUALITY_CALIBRATION_SQL = """
+WITH s AS (
+  SELECT CASE WHEN length(text) > 0
+              THEN (1000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+                   // length(text)
+              ELSE 0 END AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+b AS (SELECT least(score // 10, 99) AS bin, pos, score FROM s)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(1000 * sum(pos) // count(*) AS BIGINT) AS pos_rate_permille,
+       CAST(sum(score) // count(*) AS BIGINT) AS mean_score_permille
+FROM b GROUP BY bin ORDER BY bin
+"""

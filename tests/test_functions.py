@@ -385,6 +385,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "partial_agg_reduction_audit",
         "value_kruskal_wallis",
         "topk_threshold_audit",
+        "quality_calibration_bins",
+        "presortedness_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -5653,3 +5655,31 @@ def test_ta_stop_certifies_topk(ray_session):
           ORDER BY s DESC LIMIT {r["k"]})
     """).fetchone()[0]
     assert r["kth_score"] == truth
+
+
+def test_calibration_bins_partition_docs(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.textstats import quality_calibration_bins
+
+    rows = quality_calibration_bins(SF).to_pylist()
+    n = duckdb.sql(f"SELECT count(*) FROM '{SF}/documents.parquet'").fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n
+    for r in rows:
+        assert 0 <= r["n_pos"] <= r["n_docs"]
+        assert 0 <= r["pos_rate_permille"] <= 1000
+        # mean score falls inside the bin's permille decade
+        assert r["bin"] * 10 <= r["mean_score_permille"] < (r["bin"] + 1) * 10
+
+
+def test_presortedness_invariants(ray_session):
+    from document_extractor_ray.functions.analytics import presortedness_audit
+
+    rows = {r["col"]: r for r in presortedness_audit(SF).to_pylist()}
+    assert set(rows) == {"ts_us", "user_id", "cents"}
+    for r in rows.values():
+        assert r["n_runs"] == r["n_descents"] + 1
+        assert 1 <= r["longest_run"] <= r["n_rows"]
+    # the fixture event feed is generated in timestamp order
+    assert rows["ts_us"]["sorted_permille"] == 1000
+    assert rows["ts_us"]["longest_run"] == rows["ts_us"]["n_rows"]
