@@ -384,6 +384,8 @@ PICKS = [
     "topk_threshold_audit",
     "quality_calibration_bins",
     "presortedness_audit",
+    "kfold_balance_audit",
+    "weekly_top_users",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

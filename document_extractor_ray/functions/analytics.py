@@ -21194,3 +21194,181 @@ SELECT runs.col,
 FROM runs JOIN d ON d.col = runs.col
 GROUP BY runs.col ORDER BY runs.col
 """
+
+
+# ---------------------------------------------------------------------------
+# Hash k-fold assignment balance audit (per-fold x per-lang contingency)
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+
+
+def kfold_balance_audit(sf_dir: str, k: int = KFOLD_K):
+    """Assign every document to one of ``k`` cross-validation folds by
+    fmix64(doc_id) % k (train_val_test_split's hash discipline: no
+    shuffle, stable under corpus growth, reproducible on any engine)
+    and emit the fold x lang contingency cells with their marginals —
+    the exact sufficient statistics for any fold-balance chi-square:
+    cell chi2 contribution = (n_obs*n_total - n_fold*n_lang)^2 /
+    (n_total * n_fold * n_lang), all from this table's integers.
+
+    Scale shape: pure per-batch arithmetic + a (fold, lang) partial
+    count, k x |langs| driver fold — no shuffle anywhere."""
+    from document_extractor_ray.functions.textstats import _read_docs
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        fold = (_hll_hash(u) % np.uint64(k)).astype(np.int64)
+        g = pa.TableGroupBy(
+            pa.table({"fold": pa.array(fold, pa.int64()), "lang": t["lang"]}),
+            ["fold", "lang"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "fold": g["fold"],
+                "lang": g["lang"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    cells = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), ["fold", "lang"], "n"
+    )
+    n_total = sum(cells.values())
+    fold_n = {}
+    lang_n = {}
+    for (f, l), n in cells.items():
+        fold_n[f] = fold_n.get(f, 0) + n
+        lang_n[l] = lang_n.get(l, 0) + n
+    keys = sorted(cells)
+    return pa.table(
+        {
+            "fold": pa.array([f for f, _ in keys], pa.int64()),
+            "lang": pa.array([l for _, l in keys], pa.string()),
+            "n_obs": pa.array([cells[key] for key in keys], pa.int64()),
+            "n_fold": pa.array([fold_n[f] for f, _ in keys], pa.int64()),
+            "n_lang": pa.array([lang_n[l] for _, l in keys], pa.int64()),
+            "n_total": pa.array([n_total] * len(keys), pa.int64()),
+        }
+    )
+
+
+def _kfold_sql() -> str:
+    from document_extractor_ray.functions.sqlhash import _mulmod64
+
+    two32 = 1 << 32
+
+    def xs33(col: str) -> str:
+        return (
+            f"(({col} // {two32}) * {two32}"
+            f" + xor(CAST({col} % {two32} AS BIGINT),"
+            f" CAST({col} // {two32} // 2 AS BIGINT))::HUGEINT)"
+        )
+
+    return f"""
+WITH h0 AS (
+  SELECT doc_id, lang,
+         (doc_id::HUGEINT + {HLL_SEED}::HUGEINT) % {1 << 64}::HUGEINT AS h
+  FROM documents
+),
+h1 AS (SELECT doc_id, lang, {xs33('h')} AS h FROM h0),
+h2 AS (SELECT doc_id, lang, {_mulmod64('h', HLL_C1)} AS h FROM h1),
+h3 AS (SELECT doc_id, lang, {xs33('h')} AS h FROM h2),
+h4 AS (SELECT doc_id, lang, {_mulmod64('h', HLL_C2)} AS h FROM h3),
+h5 AS (SELECT doc_id, lang, {xs33('h')} AS h FROM h4),
+cells AS (
+  SELECT CAST(h % {KFOLD_K} AS BIGINT) AS fold, lang,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM h5 GROUP BY 1, 2
+)
+SELECT fold, lang, n_obs,
+       CAST(sum(n_obs) OVER (PARTITION BY fold) AS BIGINT) AS n_fold,
+       CAST(sum(n_obs) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+       CAST(sum(n_obs) OVER () AS BIGINT) AS n_total
+FROM cells ORDER BY fold, lang
+"""
+
+
+KFOLD_BALANCE_SQL = _kfold_sql()
+
+
+# ---------------------------------------------------------------------------
+# Weekly top-k users by spend (windowed top-k materialization)
+# ---------------------------------------------------------------------------
+
+WEEKLY_TOP_K = 3
+_WEEK_US_TOPK = 7 * 86_400_000_000
+
+
+def weekly_top_users(sf_dir: str, k: int = WEEKLY_TOP_K):
+    """Per epoch-week top-k users by summed value cents (ties broken
+    by user_id ASC) with their dense rank — the windowed-leaderboard
+    materialization (weekly heavy spenders) every engagement pipeline
+    ships.
+
+    Scale shape: the (week, user) spend aggregate routes through
+    ``bucketed_agg`` (user cardinality grows with data); the top-k cut
+    is a ``groupby(week).map_groups`` over the WEEK key — group COUNT
+    is calendar-bounded (weeks), so Ray's per-group cost is safe here
+    (the CLAUDE.md trap is key-per-row groupbys), and each group
+    reduces to k rows before anything returns to the driver."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id", "value"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "week": pa.array(us // _WEEK_US_TOPK, pa.int64()),
+                "user_id": t["user_id"],
+                "cents": _to_cents(t["value"]),
+            }
+        )
+
+    per = bucketed_agg(
+        ds.map_batches(slim, batch_format="pyarrow"),
+        ["week", "user_id"],
+        [("cents", "sum", "cents")],
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("cents", "descending"), ("user_id", "ascending")],
+        )[:k]
+        t = t.take(idx)
+        return pa.table(
+            {
+                "week": t["week"],
+                "rank": pa.array(range(1, t.num_rows + 1), pa.int64()),
+                "user_id": t["user_id"],
+                "cents": t["cents"],
+            }
+        )
+
+    out = per.groupby("week").map_groups(topk, batch_format="pyarrow")
+    tabs = [t for t in map(ray.get, out.to_arrow_refs()) if t.num_rows]
+    res = pa.concat_tables(tabs).combine_chunks()
+    return res.sort_by([("week", "ascending"), ("rank", "ascending")])
+
+
+WEEKLY_TOP_USERS_SQL = f"""
+WITH w AS (
+  SELECT CAST(epoch_us(ts) // {_WEEK_US_TOPK} AS BIGINT) AS week,
+         user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT week, user_id, cents,
+         row_number() OVER (
+           PARTITION BY week ORDER BY cents DESC, user_id) AS rank
+  FROM w
+)
+SELECT week, CAST(rank AS BIGINT) AS rank, user_id, cents
+FROM r WHERE rank <= {WEEKLY_TOP_K}
+ORDER BY week, rank
+"""

@@ -387,6 +387,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "topk_threshold_audit",
         "quality_calibration_bins",
         "presortedness_audit",
+        "kfold_balance_audit",
+        "weekly_top_users",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -5683,3 +5685,48 @@ def test_presortedness_invariants(ray_session):
     # the fixture event feed is generated in timestamp order
     assert rows["ts_us"]["sorted_permille"] == 1000
     assert rows["ts_us"]["longest_run"] == rows["ts_us"]["n_rows"]
+
+
+def test_kfold_marginals_consistent(ray_session):
+    from document_extractor_ray.functions.analytics import (
+        kfold_balance_audit,
+        train_val_test_split,
+    )
+
+    rows = kfold_balance_audit(SF).to_pylist()
+    n_total = rows[0]["n_total"]
+    assert sum(r["n_obs"] for r in rows) == n_total
+    # marginals re-derive from the cells
+    from collections import defaultdict
+
+    fold_n = defaultdict(int)
+    lang_n = defaultdict(int)
+    for r in rows:
+        fold_n[r["fold"]] += r["n_obs"]
+        lang_n[r["lang"]] += r["n_obs"]
+    for r in rows:
+        assert r["n_fold"] == fold_n[r["fold"]]
+        assert r["n_lang"] == lang_n[r["lang"]]
+    # same hash family as the split: totals agree with the doc count
+    assert n_total == train_val_test_split(SF).count()
+
+
+def test_weekly_top_users_truth(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import weekly_top_users
+
+    rows = weekly_top_users(SF).to_pylist()
+    truth = duckdb.sql(f"""
+        WITH w AS (SELECT CAST(epoch_us(ts) // (7*86400000000) AS BIGINT) wk,
+                          user_id, sum(CAST(round(value*100) AS BIGINT)) c
+                   FROM '{SF}/events.parquet' GROUP BY 1, 2)
+        SELECT wk, user_id FROM (
+          SELECT wk, user_id,
+                 row_number() OVER (PARTITION BY wk ORDER BY c DESC, user_id) rn
+          FROM w) WHERE rn = 1 ORDER BY wk
+    """).fetchall()
+    got_leaders = [(r["week"], r["user_id"]) for r in rows if r["rank"] == 1]
+    assert got_leaders == truth
+    for r in rows:
+        assert 1 <= r["rank"] <= 3
