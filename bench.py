@@ -386,6 +386,8 @@ PICKS = [
     "presortedness_audit",
     "kfold_balance_audit",
     "weekly_top_users",
+    "events_median_polish",
+    "value_did_estimate",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

@@ -21372,3 +21372,254 @@ SELECT week, CAST(rank AS BIGINT) AS rank, user_id, cents
 FROM r WHERE rank <= {WEEKLY_TOP_K}
 ORDER BY week, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Tukey median polish of the day-of-week x 6h-bucket event-count matrix
+# ---------------------------------------------------------------------------
+
+def events_median_polish(sf_dir: str):
+    """Two full Tukey median-polish sweeps (row, col, row, col) over
+    the 7 x 4 day-of-week x six-hour-bucket event-count matrix:
+    robust additive decomposition count = row_effect + col_effect +
+    residual whose effects outliers cannot drag (the median analogue
+    of a two-way ANOVA fit) — the seasonality-vs-anomaly separator
+    for traffic matrices.  All values carry a x4 integer scale: counts
+    enter as 4n, every even-set median is the exact mid-pair average
+    (multiples of 4 keep it integral), so residuals and effects are
+    bit-exact integers and the DuckDB oracle unrolls the same four
+    half-sweeps.
+
+    Scale shape: ONE bounded (dow, hourq) partial-count fold (28
+    cells); the polish itself is driver arithmetic on the 7 x 4
+    matrix — at 10^12 rows the matrix is still 28 cells."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        dow = day % 7
+        hourq = (us % 86_400_000_000) // (6 * 3_600_000_000)
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "dow": pa.array(dow, pa.int64()),
+                    "hourq": pa.array(hourq, pa.int64()),
+                }
+            ),
+            ["dow", "hourq"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "dow": g["dow"],
+                "hourq": g["hourq"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    cells = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), ["dow", "hourq"], "n"
+    )
+    R, C = 7, 4
+    counts = np.zeros((R, C), np.int64)
+    for (d, h), n in cells.items():
+        counts[int(d), int(h)] = n
+    e = counts * 4
+    row_eff = np.zeros(R, np.int64)
+    col_eff = np.zeros(C, np.int64)
+
+    def med_even(v):  # exact median of an even-sized int set (int result)
+        s = np.sort(v)
+        n = len(s)
+        return int(s[n // 2 - 1] + s[n // 2]) // 2
+
+    def med_odd(v):
+        return int(np.sort(v)[len(v) // 2])
+
+    for _ in range(2):
+        d = np.array([med_even(e[i, :]) for i in range(R)], np.int64)
+        e -= d[:, None]
+        row_eff += d
+        d = np.array([med_odd(e[:, j]) for j in range(C)], np.int64)
+        e -= d[None, :]
+        col_eff += d
+
+    dows = np.repeat(np.arange(R), C)
+    hqs = np.tile(np.arange(C), R)
+    return pa.table(
+        {
+            "dow": pa.array(dows, pa.int64()),
+            "hourq": pa.array(hqs, pa.int64()),
+            "n_events": pa.array(counts.ravel(), pa.int64()),
+            "row_effect_x4": pa.array(np.repeat(row_eff, C), pa.int64()),
+            "col_effect_x4": pa.array(np.tile(col_eff, R), pa.int64()),
+            "residual_x4": pa.array(e.ravel(), pa.int64()),
+        }
+    )
+
+
+EVENTS_MEDIAN_POLISH_SQL = """
+WITH grid AS (
+  SELECT d.dow, h.hourq FROM range(0, 7) d(dow) CROSS JOIN range(0, 4) h(hourq)
+),
+obs AS (
+  SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+         (epoch_us(ts) % 86400000000) // 21600000000 AS hourq,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+m0 AS (
+  SELECT grid.dow, grid.hourq, COALESCE(obs.n, 0) AS n,
+         4 * COALESCE(obs.n, 0) AS v
+  FROM grid LEFT JOIN obs ON obs.dow = grid.dow AND obs.hourq = grid.hourq
+),
+-- half-sweep 1: row medians (4 cols, even set: exact mid-pair mean)
+r1 AS (
+  SELECT dow, CAST(sum(v) FILTER (WHERE rn IN (2, 3)) // 2 AS BIGINT) AS med
+  FROM (SELECT dow, v, row_number() OVER (PARTITION BY dow ORDER BY v) AS rn
+        FROM m0) GROUP BY dow
+),
+m1 AS (SELECT m0.dow, m0.hourq, m0.n, m0.v - r1.med AS v, r1.med AS r_acc
+       FROM m0 JOIN r1 USING (dow)),
+-- half-sweep 2: col medians (7 rows, odd set: exact middle)
+c1 AS (
+  SELECT hourq, CAST(sum(v) FILTER (WHERE rn = 4) AS BIGINT) AS med
+  FROM (SELECT hourq, v, row_number() OVER (PARTITION BY hourq ORDER BY v) AS rn
+        FROM m1) GROUP BY hourq
+),
+m2 AS (SELECT m1.dow, m1.hourq, m1.n, m1.v - c1.med AS v, m1.r_acc,
+              c1.med AS c_acc
+       FROM m1 JOIN c1 USING (hourq)),
+-- half-sweep 3: row medians again
+r2 AS (
+  SELECT dow, CAST(sum(v) FILTER (WHERE rn IN (2, 3)) // 2 AS BIGINT) AS med
+  FROM (SELECT dow, v, row_number() OVER (PARTITION BY dow ORDER BY v) AS rn
+        FROM m2) GROUP BY dow
+),
+m3 AS (SELECT m2.dow, m2.hourq, m2.n, m2.v - r2.med AS v,
+              m2.r_acc + r2.med AS r_acc, m2.c_acc
+       FROM m2 JOIN r2 USING (dow)),
+-- half-sweep 4: col medians again
+c2 AS (
+  SELECT hourq, CAST(sum(v) FILTER (WHERE rn = 4) AS BIGINT) AS med
+  FROM (SELECT hourq, v, row_number() OVER (PARTITION BY hourq ORDER BY v) AS rn
+        FROM m3) GROUP BY hourq
+),
+m4 AS (SELECT m3.dow, m3.hourq, m3.n, m3.v - c2.med AS v, m3.r_acc,
+              m3.c_acc + c2.med AS c_acc
+       FROM m3 JOIN c2 USING (hourq))
+SELECT CAST(dow AS BIGINT) AS dow, CAST(hourq AS BIGINT) AS hourq,
+       n AS n_events,
+       CAST(r_acc AS BIGINT) AS row_effect_x4,
+       CAST(c_acc AS BIGINT) AS col_effect_x4,
+       CAST(v AS BIGINT) AS residual_x4
+FROM m4 ORDER BY dow, hourq
+"""
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences of mean value: treated vs control type
+# ---------------------------------------------------------------------------
+
+DID_CUTOVER_DAY = 19_740  # 2024-01-18: split of the fixture window
+
+
+def value_did_estimate(sf_dir: str):
+    """Difference-in-differences of mean value cents, treated type
+    ('purchase') vs control ('click'), pre vs post the fixed cutover
+    day: DiD = (post_t - pre_t) - (post_c - pre_c) on group MEANS —
+    the standard quasi-experimental readout when a change ships on a
+    date.  The four (group, period) cells are emitted with exact
+    integer sums/counts, and ``did_micro`` is the exact floor of 10^6
+    x the rational DiD (Fraction arithmetic on the driver; the
+    oracle's HUGEINT cross-multiplication + convention-proof floor
+    reproduces it bit for bit).
+
+    Scale shape: one filtered pass, 4-cell driver fold."""
+    from fractions import Fraction
+    from math import floor
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    treated, control = KS_TYPE_B, KS_TYPE_A
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=pa.array([treated, control])))
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        post = (us // 86_400_000_000 >= DID_CUTOVER_DAY).astype(np.int64)
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "etype": t["event_type"],
+                    "post": pa.array(post, pa.int64()),
+                    "cents": _to_cents(t["value"]),
+                }
+            ),
+            ["etype", "post"],
+        ).aggregate([("cents", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "etype": g["etype"],
+                "post": g["post"],
+                "s": g["cents_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    acc = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), ["etype", "post"], ["s", "n"]
+    )
+    mean = {k: Fraction(v[0], v[1]) for k, v in acc.items()}
+    did = (
+        mean[(treated, 1)]
+        - mean[(treated, 0)]
+        - (mean[(control, 1)] - mean[(control, 0)])
+    )
+    did_micro = floor(did * 1_000_000)
+    keys = sorted(acc)
+    return pa.table(
+        {
+            "event_type": pa.array([k[0] for k in keys], pa.string()),
+            "post": pa.array([k[1] for k in keys], pa.int64()),
+            "n": pa.array([acc[k][1] for k in keys], pa.int64()),
+            "sum_cents": pa.array([acc[k][0] for k in keys], pa.int64()),
+            "did_micro": pa.array([did_micro] * len(keys), pa.int64()),
+        }
+    )
+
+
+VALUE_DID_SQL = f"""
+WITH cells AS (
+  SELECT event_type,
+         CASE WHEN epoch_us(ts) // 86400000000 >= {DID_CUTOVER_DAY}
+              THEN 1 ELSE 0 END AS post,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events
+  WHERE event_type IN ('{KS_TYPE_B}', '{KS_TYPE_A}')
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT
+    max(CASE WHEN event_type = '{KS_TYPE_B}' AND post = 1 THEN sum_cents END)::HUGEINT AS st1,
+    max(CASE WHEN event_type = '{KS_TYPE_B}' AND post = 1 THEN n END)::HUGEINT AS nt1,
+    max(CASE WHEN event_type = '{KS_TYPE_B}' AND post = 0 THEN sum_cents END)::HUGEINT AS st0,
+    max(CASE WHEN event_type = '{KS_TYPE_B}' AND post = 0 THEN n END)::HUGEINT AS nt0,
+    max(CASE WHEN event_type = '{KS_TYPE_A}' AND post = 1 THEN sum_cents END)::HUGEINT AS sc1,
+    max(CASE WHEN event_type = '{KS_TYPE_A}' AND post = 1 THEN n END)::HUGEINT AS nc1,
+    max(CASE WHEN event_type = '{KS_TYPE_A}' AND post = 0 THEN sum_cents END)::HUGEINT AS sc0,
+    max(CASE WHEN event_type = '{KS_TYPE_A}' AND post = 0 THEN n END)::HUGEINT AS nc0
+  FROM cells
+),
+d AS (
+  SELECT 1000000::HUGEINT * (st1 * nt0 * nc1 * nc0 - st0 * nt1 * nc1 * nc0
+                             - sc1 * nt1 * nt0 * nc0 + sc0 * nt1 * nt0 * nc1)
+           AS num,
+         nt1 * nt0 * nc1 * nc0 AS den
+  FROM p
+)
+SELECT c.event_type, CAST(c.post AS BIGINT) AS post, c.n, c.sum_cents,
+       CAST((d.num - ((d.num % d.den) + d.den) % d.den) // d.den AS BIGINT)
+         AS did_micro
+FROM cells c CROSS JOIN d
+ORDER BY c.event_type, c.post
+"""

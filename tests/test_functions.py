@@ -389,6 +389,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "presortedness_audit",
         "kfold_balance_audit",
         "weekly_top_users",
+        "events_median_polish",
+        "value_did_estimate",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -5730,3 +5732,37 @@ def test_weekly_top_users_truth(ray_session):
     assert got_leaders == truth
     for r in rows:
         assert 1 <= r["rank"] <= 3
+
+
+def test_median_polish_decomposition(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import events_median_polish
+
+    rows = events_median_polish(SF).to_pylist()
+    assert len(rows) == 28
+    n_total = duckdb.sql(f"SELECT count(*) FROM '{SF}/events.parquet'").fetchone()[0]
+    assert sum(r["n_events"] for r in rows) == n_total
+    for r in rows:
+        # additive decomposition holds exactly at the x4 scale
+        assert (
+            r["row_effect_x4"] + r["col_effect_x4"] + r["residual_x4"]
+            == 4 * r["n_events"]
+        )
+    # after the final col half-sweep every column's residual median is 0
+    for hq in range(4):
+        res = sorted(r["residual_x4"] for r in rows if r["hourq"] == hq)
+        assert res[len(res) // 2] == 0
+
+
+def test_did_reconstructs_from_cells(ray_session):
+    from fractions import Fraction
+    from math import floor
+
+    from document_extractor_ray.functions.analytics import value_did_estimate
+
+    rows = {(r["event_type"], r["post"]): r for r in value_did_estimate(SF).to_pylist()}
+    assert len(rows) == 4
+    m = {k: Fraction(v["sum_cents"], v["n"]) for k, v in rows.items()}
+    did = m[("purchase", 1)] - m[("purchase", 0)] - (m[("click", 1)] - m[("click", 0)])
+    assert rows[("click", 0)]["did_micro"] == floor(did * 1_000_000)
