@@ -388,6 +388,8 @@ PICKS = [
     "weekly_top_users",
     "events_median_polish",
     "value_did_estimate",
+    "label_scatter_stats",
+    "broadcast_plan_audit",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

@@ -21623,3 +21623,123 @@ SELECT c.event_type, CAST(c.post AS BIGINT) AS post, c.n, c.sum_cents,
 FROM cells c CROSS JOIN d
 ORDER BY c.event_type, c.post
 """
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-vs-partitioned-join plan audit over the dimension tables
+# ---------------------------------------------------------------------------
+
+# single source of truth for the byte model: fixed Arrow widths per
+# type; strings cost 4 offset bytes + utf8 payload bytes
+_BCAST_SCHEMAS = {
+    "region": [("r_regionkey", 4), ("r_name", None)],
+    "nation": [("n_nationkey", 4), ("n_name", None), ("n_regionkey", 4)],
+    "supplier": [
+        ("s_suppkey", 8),
+        ("s_name", None),
+        ("s_nationkey", 4),
+        ("s_acctbal", 8),
+    ],
+    "customer": [
+        ("c_custkey", 8),
+        ("c_name", None),
+        ("c_nationkey", 4),
+        ("c_acctbal", 8),
+        ("c_mktsegment", None),
+    ],
+    "part": [
+        ("p_partkey", 8),
+        ("p_name", None),
+        ("p_brand", None),
+        ("p_type", None),
+        ("p_size", 4),
+        ("p_retailprice", 8),
+    ],
+}
+BCAST_LIMIT_BYTES = 64 << 20  # the repo's documented broadcast budget
+
+
+def broadcast_plan_audit(sf_dir: str, limit: int = BCAST_LIMIT_BYTES):
+    """The broadcast-or-shuffle decision, made measurable: for every
+    dimension table, its exact Arrow-model byte size (fixed column
+    widths + per-string 4-byte offset + utf8 payload) and the
+    resulting plan — ``broadcast`` when the table fits the 64 MB
+    ray.put budget every dim attach in this repo assumes, else
+    ``partitioned_join``.  This is the audit behind the
+    state.lookup_join / _join_partitions split (q3/q14/q19's attach
+    vs order_revenue_by_nation's hash join); at 10^12 rows the fact
+    tables stay streaming either way, only dims are ever weighed.
+
+    Scale shape: per-table column-pruned read, per-batch (rows,
+    bytes) partials, 1-row fold per table — the audit never holds a
+    table, only its size."""
+    rows_out = []
+    for table in sorted(_BCAST_SCHEMAS):
+        cols = _BCAST_SCHEMAS[table]
+        ds = _read(sf_dir, table, columns=[c for c, _ in cols])
+
+        def partial(t: pa.Table, cols=cols) -> pa.Table:
+            n = t.num_rows
+            b = 0
+            for c, width in cols:
+                if width is None:
+                    b += 4 * n + int(
+                        pc.sum(pc.binary_length(t[c])).as_py() or 0
+                    )
+                else:
+                    b += width * n
+            return pa.table(
+                {
+                    "one": pa.array([1], pa.int64()),
+                    "n": pa.array([n], pa.int64()),
+                    "bytes": pa.array([b], pa.int64()),
+                }
+            )
+
+        acc = fold_partials(
+            ds.map_batches(partial, batch_format="pyarrow"), "one", ["n", "bytes"]
+        )
+        n, est = acc[1]
+        rows_out.append(
+            (
+                table,
+                n,
+                est,
+                est // max(n, 1),
+                "broadcast" if est <= limit else "partitioned_join",
+            )
+        )
+    return pa.table(
+        {
+            "table_name": pa.array([r[0] for r in rows_out], pa.string()),
+            "n_rows": pa.array([r[1] for r in rows_out], pa.int64()),
+            "est_bytes": pa.array([r[2] for r in rows_out], pa.int64()),
+            "bytes_per_row": pa.array([r[3] for r in rows_out], pa.int64()),
+            "plan": pa.array([r[4] for r in rows_out], pa.string()),
+        }
+    )
+
+
+def _broadcast_plan_sql() -> str:
+    selects = []
+    for table in sorted(_BCAST_SCHEMAS):
+        terms = []
+        for c, width in _BCAST_SCHEMAS[table]:
+            if width is None:
+                terms.append(f"4 * count(*) + sum(strlen({c}))")
+            else:
+                terms.append(f"{width} * count(*)")
+        expr = " + ".join(terms)
+        selects.append(
+            f"""SELECT '{table}' AS table_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST({expr} AS BIGINT) AS est_bytes,
+       CAST(({expr}) // greatest(count(*), 1) AS BIGINT) AS bytes_per_row,
+       CASE WHEN {expr} <= {BCAST_LIMIT_BYTES} THEN 'broadcast'
+            ELSE 'partitioned_join' END AS plan
+FROM {table}"""
+        )
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY table_name"
+
+
+BROADCAST_PLAN_SQL = _broadcast_plan_sql()

@@ -3621,3 +3621,124 @@ LEFT JOIN trunc_k t ON t.query_id = f.query_id AND t.vec_id = f.vec_id
 GROUP BY f.query_id
 ORDER BY f.query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-label scatter (within-class variance numerators) of the embeddings
+# ---------------------------------------------------------------------------
+
+def label_scatter_stats(sf_dir: str):
+    """Within-label scatter of the embedding cloud from sufficient
+    statistics only: per label the exact integer
+    ``ss_within_num = n·Σ|x|² − |Σx|²`` over milli-quantized
+    components (floor(x·1000 + 0.5)) — equal to n² times the
+    per-label variance (trace of the covariance); by the pairwise
+    identity Σ_{i,j} d²(i,j) = 2·ss_within_num it also yields the
+    all-pairs distance mass without ever forming a pair.  The ANOVA
+    screen: labels whose scatter dwarfs the rest are incoherent
+    classes; near-zero scatter means duplicate-collapsed clusters.
+
+    Milli (not micro) quantization keeps |Σx|² inside int64 up to
+    ~4e7 rows per label at 64 dims (documented ceiling; past that the
+    driver fold widens to Python ints — partials stay int64 per
+    block).
+
+    Scale shape: per-batch (label -> n, per-dim sums, Σ|x|²) partials
+    fold on the driver bounded by |labels| x dim; no shuffle."""
+    from document_extractor_ray.functions.analytics import _n_blocks
+    from document_extractor_ray.sources import read_parquet_clean
+
+    import ray as _ray
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["embedding", "label"],
+        override_num_blocks=_n_blocks(),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t["embedding"]).astype(np.float64)
+        q = np.floor(m * 1000 + 0.5).astype(np.int64)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(labels)
+        d = q.shape[1]
+        rows = {"label": [], "n": [], "ssq": []}
+        dim_sums = []
+        for lb in uniq:
+            sel = q[labels == lb]
+            rows["label"].append(int(lb))
+            rows["n"].append(len(sel))
+            rows["ssq"].append(int((sel * sel).sum()))
+            dim_sums.append(sel.sum(axis=0))
+        out = {
+            "label": pa.array(rows["label"], pa.int64()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "ssq": pa.array(rows["ssq"], pa.int64()),
+        }
+        ds_arr = np.array(dim_sums, np.int64).reshape(len(uniq), d)
+        for j in range(d):
+            out[f"s{j}"] = pa.array(ds_arr[:, j], pa.int64())
+        return pa.table(out)
+
+    parts = [
+        t
+        for t in map(
+            _ray.get,
+            ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs(),
+        )
+        if t.num_rows
+    ]
+    t = pa.concat_tables(parts)
+    d = t.num_columns - 3
+    g = pa.TableGroupBy(t, ["label"]).aggregate(
+        [("n", "sum"), ("ssq", "sum")] + [(f"s{j}", "sum") for j in range(d)]
+    )
+    labels = g["label"].to_pylist()
+    ns = g["n_sum"].to_pylist()
+    ssqs = g["ssq_sum"].to_pylist()
+    sums = np.stack(
+        [g[f"s{j}_sum"].to_numpy(zero_copy_only=False) for j in range(d)], axis=1
+    )
+    order = np.argsort(labels)
+    out_rows = []
+    for i in order:
+        n, ssq = int(ns[i]), int(ssqs[i])
+        norm2 = int((sums[i].astype(object) ** 2).sum())
+        out_rows.append((int(labels[i]), n, ssq, n * ssq - norm2))
+    return pa.table(
+        {
+            "label": pa.array([r[0] for r in out_rows], pa.int64()),
+            "n": pa.array([r[1] for r in out_rows], pa.int64()),
+            "sumsq_milli2": pa.array([r[2] for r in out_rows], pa.int64()),
+            "ss_within_num": pa.array([r[3] for r in out_rows], pa.int64()),
+        }
+    )
+
+
+LABEL_SCATTER_SQL = """
+WITH q AS (
+  SELECT e.label, r.d AS d,
+         CAST(floor(CAST(e.embedding[CAST(r.d AS INTEGER) + 1] AS DOUBLE)
+                    * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings e, range(0, 256) r(d)
+  WHERE r.d < len(e.embedding)
+),
+per_dim AS (
+  SELECT label, d, CAST(sum(q) AS HUGEINT) AS s,
+         CAST(sum(q * q) AS HUGEINT) AS ssq
+  FROM q GROUP BY 1, 2
+),
+per_label AS (
+  SELECT label,
+         CAST((SELECT count(*) FROM embeddings e2 WHERE e2.label = per_dim.label)
+              AS HUGEINT) AS n,
+         CAST(sum(ssq) AS HUGEINT) AS sumsq,
+         CAST(sum(s * s) AS HUGEINT) AS norm2
+  FROM per_dim GROUP BY label
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(n AS BIGINT) AS n,
+       CAST(sumsq AS BIGINT) AS sumsq_milli2,
+       CAST(n * sumsq - norm2 AS BIGINT) AS ss_within_num
+FROM per_label ORDER BY label
+"""

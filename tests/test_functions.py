@@ -391,6 +391,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "weekly_top_users",
         "events_median_polish",
         "value_did_estimate",
+        "label_scatter_stats",
+        "broadcast_plan_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -5766,3 +5768,39 @@ def test_did_reconstructs_from_cells(ray_session):
     m = {k: Fraction(v["sum_cents"], v["n"]) for k, v in rows.items()}
     did = m[("purchase", 1)] - m[("purchase", 0)] - (m[("click", 1)] - m[("click", 0)])
     assert rows[("click", 0)]["did_micro"] == floor(did * 1_000_000)
+
+
+def test_label_scatter_matches_numpy(ray_session):
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray.functions.similarity import label_scatter_stats
+
+    rows = {r["label"]: r for r in label_scatter_stats(SF).to_pylist()}
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    m = np.stack([np.asarray(v, np.float64) for v in t["embedding"].to_pylist()])
+    q = np.floor(m * 1000 + 0.5).astype(np.int64)
+    labels = t["label"].to_numpy()
+    for lb in np.unique(labels):
+        sel = q[labels == lb].astype(object)
+        n = len(sel)
+        truth = n * int((sel * sel).sum()) - int((sel.sum(axis=0) ** 2).sum())
+        assert rows[int(lb)]["ss_within_num"] == truth
+        assert rows[int(lb)]["n"] == n
+        assert truth >= 0
+
+
+def test_broadcast_plan_small_dims(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import broadcast_plan_audit
+
+    rows = {r["table_name"]: r for r in broadcast_plan_audit(SF).to_pylist()}
+    assert set(rows) == {"region", "nation", "supplier", "customer", "part"}
+    for name, r in rows.items():
+        n = duckdb.sql(f"SELECT count(*) FROM '{SF}/{name}.parquet'").fetchone()[0]
+        assert r["n_rows"] == n
+        assert r["est_bytes"] >= r["n_rows"] * 4
+        assert r["plan"] == "broadcast"  # all sf dims fit the budget
+    # a zero-row limit forces every dim onto the partitioned join path
+    forced = broadcast_plan_audit(SF, limit=0).to_pylist()
+    assert all(r["plan"] == "partitioned_join" for r in forced)
