@@ -390,6 +390,8 @@ PICKS = [
     "value_did_estimate",
     "label_scatter_stats",
     "broadcast_plan_audit",
+    "source_length_ks_matrix",
+    "nation_weighted_median_acctbal",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

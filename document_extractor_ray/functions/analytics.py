@@ -21743,3 +21743,152 @@ FROM {table}"""
 
 
 BROADCAST_PLAN_SQL = _broadcast_plan_sql()
+
+
+# ---------------------------------------------------------------------------
+# Per-nation weighted median of customer balance (weights = order counts)
+# ---------------------------------------------------------------------------
+
+def nation_weighted_median_acctbal(sf_dir: str):
+    """Per-nation WEIGHTED median of customer account balance, each
+    customer weighted by their order count — the grouped
+    weighted-median primitive (robust center where entities matter by
+    activity, not per capita).  Doubled-middle rule on weights:
+    wmedian_cents_x2 = (first v with 2·cumw ≥ W) + (first v with
+    2·cumw > W), so exact integer ties never float.  Customers with
+    no orders carry weight 0 and drop out (inner-join semantics, like
+    the SQL).
+
+    Scale shape: the per-customer weight aggregate routes through
+    ``bucketed_agg`` (customer cardinality grows with data); the slim
+    customer dim (custkey -> nation, cents) broadcasts once via
+    ray.put; the median scan is ``groupby(nation).map_groups`` over
+    the 25-nation key — bounded groups, each reduced to one row
+    before leaving the task."""
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    per_cust = bucketed_agg(
+        _read(sf_dir, "orders", columns=["o_custkey"]),
+        ["o_custkey"],
+        [(None, "count", "w")],
+    )
+
+    dim = pa.concat_tables(
+        [
+            t
+            for t in map(
+                ray.get,
+                _read(
+                    sf_dir,
+                    "customer",
+                    columns=["c_custkey", "c_nationkey", "c_acctbal"],
+                ).to_arrow_refs(),
+            )
+            if t.num_rows
+        ]
+    ).combine_chunks()
+    dim = pa.table(
+        {
+            "c_custkey": dim["c_custkey"],
+            "nk": pc.cast(dim["c_nationkey"], pa.int64()),
+            "cents": _to_cents(dim["c_acctbal"]),
+        }
+    )
+    dim_ref = state.broadcast(dim)
+
+    def attach(t: pa.Table) -> pa.Table:
+        d = state.cached_get(dim_ref)
+        t = state.lookup_join(t, "o_custkey", d, "c_custkey", ["nk", "cents"])
+        return t.filter(pc.is_valid(t["nk"]))
+
+    def med_scan(t: pa.Table) -> pa.Table:
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        order = np.argsort(cents, kind="stable")
+        cents, w = cents[order], w[order]
+        cw = np.cumsum(w)
+        W = int(cw[-1])
+        lo = int(cents[np.searchsorted(2 * cw, W, side="left")])
+        hi = int(cents[np.searchsorted(2 * cw, W, side="right")])
+        return pa.table(
+            {
+                "nk": pa.array([int(t["nk"][0].as_py())], pa.int64()),
+                "n_customers": pa.array([t.num_rows], pa.int64()),
+                "total_weight": pa.array([W], pa.int64()),
+                "wmedian_cents_x2": pa.array([lo + hi], pa.int64()),
+            }
+        )
+
+    out = (
+        per_cust.map_batches(attach, batch_format="pyarrow")
+        .groupby("nk")
+        .map_groups(med_scan, batch_format="pyarrow")
+    )
+    tabs = [t for t in map(ray.get, out.to_arrow_refs()) if t.num_rows]
+    res = pa.concat_tables(tabs).combine_chunks()
+    names = pa.concat_tables(
+        [
+            t
+            for t in map(
+                ray.get,
+                _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_arrow_refs(),
+            )
+            if t.num_rows
+        ]
+    )
+    name_of = dict(
+        zip(
+            pc.cast(names["n_nationkey"], pa.int64()).to_pylist(),
+            names["n_name"].to_pylist(),
+        )
+    )
+    rows = sorted(
+        (
+            name_of[r["nk"]],
+            r["n_customers"],
+            r["total_weight"],
+            r["wmedian_cents_x2"],
+        )
+        for r in res.to_pylist()
+    )
+    return pa.table(
+        {
+            "nation": pa.array([r[0] for r in rows], pa.string()),
+            "n_customers": pa.array([r[1] for r in rows], pa.int64()),
+            "total_weight": pa.array([r[2] for r in rows], pa.int64()),
+            "wmedian_cents_x2": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+NATION_WEIGHTED_MEDIAN_SQL = """
+WITH w AS (
+  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS w
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents, w.w
+  FROM w JOIN customer c ON c.c_custkey = w.k
+),
+cum AS (
+  SELECT nk, cents, w,
+         CAST(sum(w) OVER (PARTITION BY nk ORDER BY cents, w
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+         CAST(sum(w) OVER (PARTITION BY nk) AS BIGINT) AS tw
+  FROM j
+),
+lo AS (SELECT nk, min(cents) AS v FROM cum WHERE 2 * cw >= tw GROUP BY 1),
+hi AS (SELECT nk, min(cents) AS v FROM cum WHERE 2 * cw > tw GROUP BY 1),
+agg AS (
+  SELECT nk, CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(w) AS BIGINT) AS total_weight
+  FROM j GROUP BY 1
+)
+SELECT n.n_name AS nation, agg.n_customers, agg.total_weight,
+       CAST(lo.v + hi.v AS BIGINT) AS wmedian_cents_x2
+FROM agg JOIN lo USING (nk) JOIN hi USING (nk)
+JOIN nation n ON n.n_nationkey = agg.nk
+ORDER BY nation
+"""

@@ -9583,3 +9583,93 @@ SELECT CAST(bin AS BIGINT) AS bin,
        CAST(sum(score) // count(*) AS BIGINT) AS mean_score_permille
 FROM b GROUP BY bin ORDER BY bin
 """
+
+
+# ---------------------------------------------------------------------------
+# Pairwise KS distance matrix between sources on doc length
+# ---------------------------------------------------------------------------
+
+def source_length_ks_matrix(sf_dir: str):
+    """Exact two-sample KS ingredients for EVERY source pair on the
+    doc-length distribution: ks_num = max_v |cum_a(v)·n_b −
+    cum_b(v)·n_a| (so D = ks_num / (n_a·n_b) is the consumer's one
+    division) — value_ks_types' single-pair test scaled to the full
+    source x source drift matrix, the feed-divergence screen that
+    flags which ingestion sources stopped looking alike.
+
+    Scale shape: ONE (source, length) histogram fold (bounded by
+    sources x distinct lengths, the length_mannwhitney bound), then a
+    vectorized cumsum + 190-pair numpy sweep on the driver — the
+    all-pairs matrix costs pairs x |lengths| integer ops, zero
+    additional passes over the data."""
+    from document_extractor_ray.functions.bucketing import fold_partials
+
+    ds = _read_docs(sf_dir, ["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["source", "n_chars"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "v": g["n_chars"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    cells = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), ["source", "v"], "n"
+    )
+    sources = sorted({s for (s, _) in cells})
+    vals = sorted({v for (_, v) in cells})
+    v_idx = {v: i for i, v in enumerate(vals)}
+    s_idx = {s: i for i, s in enumerate(sources)}
+    hist = np.zeros((len(sources), len(vals)), np.int64)
+    for (s, v), n in cells.items():
+        hist[s_idx[s], v_idx[v]] = n
+    cum = np.cumsum(hist, axis=1)
+    tot = cum[:, -1]
+    rows = []
+    for i in range(len(sources)):
+        for j in range(i + 1, len(sources)):
+            ks = int(np.abs(cum[i] * tot[j] - cum[j] * tot[i]).max())
+            rows.append((sources[i], sources[j], int(tot[i]), int(tot[j]), ks))
+    return pa.table(
+        {
+            "source_a": pa.array([r[0] for r in rows], pa.string()),
+            "source_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_a": pa.array([r[2] for r in rows], pa.int64()),
+            "n_b": pa.array([r[3] for r in rows], pa.int64()),
+            "ks_num": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+SOURCE_LENGTH_KS_SQL = """
+WITH c AS (
+  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY 1),
+grid AS (SELECT DISTINCT v FROM c),
+cells AS (
+  SELECT s.source, g.v, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT source FROM c) s
+  CROSS JOIN grid g
+  LEFT JOIN c ON c.source = s.source AND c.v = g.v
+),
+cum AS (
+  SELECT source, v,
+         CAST(sum(n) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cw
+  FROM cells
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(any_value(ta.nt) AS BIGINT) AS n_a,
+       CAST(any_value(tb.nt) AS BIGINT) AS n_b,
+       CAST(max(abs(a.cw * tb.nt - b.cw * ta.nt)) AS BIGINT) AS ks_num
+FROM cum a
+JOIN cum b ON b.v = a.v AND a.source < b.source
+JOIN tot ta ON ta.source = a.source
+JOIN tot tb ON tb.source = b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

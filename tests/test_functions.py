@@ -393,6 +393,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "value_did_estimate",
         "label_scatter_stats",
         "broadcast_plan_audit",
+        "source_length_ks_matrix",
+        "nation_weighted_median_acctbal",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -5804,3 +5806,53 @@ def test_broadcast_plan_small_dims(ray_session):
     # a zero-row limit forces every dim onto the partitioned join path
     forced = broadcast_plan_audit(SF, limit=0).to_pylist()
     assert all(r["plan"] == "partitioned_join" for r in forced)
+
+
+def test_ks_matrix_symmetric_bounds(ray_session):
+    from document_extractor_ray.functions.analytics import value_ks_types  # noqa: F401
+    from document_extractor_ray.functions.textstats import source_length_ks_matrix
+
+    rows = source_length_ks_matrix(SF).to_pylist()
+    srcs = sorted({r["source_a"] for r in rows} | {r["source_b"] for r in rows})
+    assert len(rows) == len(srcs) * (len(srcs) - 1) // 2
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        # D = ks_num/(n_a*n_b) must sit in [0, 1]
+        assert 0 <= r["ks_num"] <= r["n_a"] * r["n_b"]
+
+
+def test_weighted_median_sits_in_mass(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import (
+        nation_weighted_median_acctbal,
+    )
+
+    rows = nation_weighted_median_acctbal(SF).to_pylist()
+    truth = dict(
+        duckdb.sql(
+            f"""SELECT c.c_nationkey, count(DISTINCT o.o_custkey)
+              FROM '{SF}/orders.parquet' o
+              JOIN '{SF}/customer.parquet' c ON c.c_custkey = o.o_custkey
+              GROUP BY 1"""
+        ).fetchall()
+    )
+    assert sum(r["n_customers"] for r in rows) == sum(truth.values())
+    for r in rows:
+        # x2 median must be reachable by two observed cents values
+        assert r["total_weight"] >= r["n_customers"] >= 1
+        # weighted-median mass property: at least half the weight on
+        # each side of the (x2-halved) median
+        nk = r["nation"]
+        w = duckdb.sql(f"""
+            WITH w AS (SELECT o_custkey k, count(*) w FROM '{SF}/orders.parquet' GROUP BY 1)
+            SELECT CAST(round(c.c_acctbal*100) AS BIGINT) cents, w.w
+            FROM w JOIN '{SF}/customer.parquet' c ON c.c_custkey = w.k
+            JOIN '{SF}/nation.parquet' n ON n.n_nationkey = c.c_nationkey
+            WHERE n.n_name = '{nk}'
+        """).fetchall()
+        med2 = r["wmedian_cents_x2"]
+        below = sum(ww for cc, ww in w if 2 * cc <= med2)
+        above = sum(ww for cc, ww in w if 2 * cc >= med2)
+        tot = sum(ww for _, ww in w)
+        assert 2 * below >= tot and 2 * above >= tot
