@@ -392,6 +392,8 @@ PICKS = [
     "broadcast_plan_audit",
     "source_length_ks_matrix",
     "nation_weighted_median_acctbal",
+    "brand_price_realization",
+    "lang_run_clustering",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

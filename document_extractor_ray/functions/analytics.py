@@ -21892,3 +21892,118 @@ FROM agg JOIN lo USING (nk) JOIN hi USING (nk)
 JOIN nation n ON n.n_nationkey = agg.nk
 ORDER BY nation
 """
+
+
+# ---------------------------------------------------------------------------
+# Price realization vs retail per brand (lineitem x part broadcast)
+# ---------------------------------------------------------------------------
+
+def brand_price_realization(sf_dir: str):
+    """Per-brand price realization: each line's achieved unit price as
+    a permille of the part's retail price — realization_permille =
+    floor(1000·extprice_cents / (qty·retail_cents)) per LINE, then
+    per-brand count / sum / min / max — the discount-depth control
+    chart that catches a brand selling systematically under list.
+
+    Scale shape: the part dim slims to (partkey -> brand,
+    retail_cents) and broadcasts once via ray.put (q14's attach
+    discipline); per-block (brand -> 4 counters) partials fold on the
+    bounded brand domain.  The per-line division happens INSIDE the
+    block in int64 — nothing row-shaped shuffles."""
+    from document_extractor_ray import state
+
+    dim = pa.concat_tables(
+        [
+            t
+            for t in map(
+                ray.get,
+                _read(
+                    sf_dir, "part", columns=["p_partkey", "p_brand", "p_retailprice"]
+                ).to_arrow_refs(),
+            )
+            if t.num_rows
+        ]
+    ).combine_chunks()
+    dim = pa.table(
+        {
+            "p_partkey": dim["p_partkey"],
+            "brand": dim["p_brand"],
+            "retail_cents": _to_cents(dim["p_retailprice"]),
+        }
+    )
+    dim_ref = state.broadcast(dim)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = state.cached_get(dim_ref)
+        t = pa.table(
+            {
+                "k": t["l_partkey"],
+                "ext_cents": _to_cents(t["l_extendedprice"]),
+                "qty": pc.cast(
+                    pc.round(t["l_quantity"], round_mode="half_towards_infinity"),
+                    pa.int64(),
+                ),
+            }
+        )
+        t = state.lookup_join(t, "k", d, "p_partkey", ["brand", "retail_cents"])
+        t = t.filter(pc.is_valid(t["brand"]))
+        ext = t["ext_cents"].to_numpy(zero_copy_only=False)
+        qty = t["qty"].to_numpy(zero_copy_only=False)
+        ret = t["retail_cents"].to_numpy(zero_copy_only=False)
+        r = (1000 * ext) // (qty * ret)
+        g = pa.TableGroupBy(
+            pa.table({"brand": t["brand"], "r": pa.array(r, pa.int64())}),
+            ["brand"],
+        ).aggregate([("r", "sum"), ("r", "min"), ("r", "max"), ([], "count_all")])
+        return pa.table(
+            {
+                "brand": g["brand"],
+                "s": g["r_sum"],
+                "mn": g["r_min"],
+                "mx": g["r_max"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_quantity"]
+    )
+    parts = [
+        t
+        for t in map(
+            ray.get, li.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    t = pa.concat_tables(parts)
+    g = pa.TableGroupBy(t, ["brand"]).aggregate(
+        [("s", "sum"), ("mn", "min"), ("mx", "max"), ("n", "sum")]
+    )
+    idx = pc.sort_indices(g["brand"])
+    g = g.take(idx)
+    return pa.table(
+        {
+            "brand": g["brand"],
+            "n_lines": g["n_sum"],
+            "sum_realization_permille": g["s_sum"],
+            "min_realization_permille": g["mn_min"],
+            "max_realization_permille": g["mx_max"],
+        }
+    )
+
+
+BRAND_PRICE_REALIZATION_SQL = """
+WITH j AS (
+  SELECT p.p_brand AS brand,
+         (1000 * CAST(round(l.l_extendedprice * 100) AS BIGINT))
+         // (CAST(round(l.l_quantity) AS BIGINT)
+             * CAST(round(p.p_retailprice * 100) AS BIGINT)) AS r
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(r) AS BIGINT) AS sum_realization_permille,
+       CAST(min(r) AS BIGINT) AS min_realization_permille,
+       CAST(max(r) AS BIGINT) AS max_realization_permille
+FROM j GROUP BY brand ORDER BY brand
+"""

@@ -9673,3 +9673,99 @@ JOIN tot tb ON tb.source = b.source
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Language run-clustering in doc_id order (multi-category runs test)
+# ---------------------------------------------------------------------------
+
+def lang_run_clustering(sf_dir: str):
+    """Multi-category Wald-Wolfowitz ingredients for HOW CLUSTERED the
+    ``lang`` column sits in doc_id order: observed run count plus the
+    exact integers (n, Σ n_l²) behind the expected-runs formula
+    E[runs] = n - (Σ n_l² - n)/(n - 1) under random arrangement —
+    observed far below expected means language-blocked storage (good
+    for compression and per-lang scans, bad for sampling without a
+    shuffle).  One row: n_docs, n_langs, observed_runs, sum_nl_sq.
+
+    Scale shape: per-block (min_id, max_id, first/last lang, runs)
+    summaries merge on the driver in id order (presortedness_audit's
+    segmented-scan monoid, equality flavor); lang counts fold on the
+    bounded lang domain."""
+    from document_extractor_ray.functions.bucketing import fold_partials
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["lang"]), ["lang"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"lang": g["lang"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    lang_n = fold_partials(
+        ds.map_batches(counts, batch_format="pyarrow"), "lang", "n"
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t["doc_id"])
+        t = t.take(idx)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        langs = t["lang"].to_pylist()
+        runs = 1 + sum(1 for a, b in zip(langs, langs[1:]) if a != b)
+        return pa.table(
+            {
+                "min_id": pa.array([int(ids[0])], pa.int64()),
+                "max_id": pa.array([int(ids[-1])], pa.int64()),
+                "runs": pa.array([runs], pa.int64()),
+                "first_lang": pa.array([langs[0]], pa.string()),
+                "last_lang": pa.array([langs[-1]], pa.string()),
+            }
+        )
+
+    import ray as _ray
+
+    blocks = [
+        t
+        for t in map(
+            _ray.get,
+            ds.map_batches(summarize, batch_format="pyarrow").to_arrow_refs(),
+        )
+        if t.num_rows
+    ]
+    rows = pa.concat_tables(blocks).to_pylist()
+    rows.sort(key=lambda r: r["min_id"])
+    for prev, cur in zip(rows, rows[1:]):
+        if cur["min_id"] <= prev["max_id"]:
+            raise ValueError("lang_run_clustering: overlapping id ranges")
+    observed = sum(r["runs"] for r in rows) - sum(
+        1
+        for prev, cur in zip(rows, rows[1:])
+        if prev["last_lang"] == cur["first_lang"]
+    )
+    n = sum(lang_n.values())
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "n_langs": pa.array([len(lang_n)], pa.int64()),
+            "observed_runs": pa.array([observed], pa.int64()),
+            "sum_nl_sq": pa.array(
+                [sum(v * v for v in lang_n.values())], pa.int64()
+            ),
+        }
+    )
+
+
+LANG_RUN_CLUSTERING_SQL = """
+WITH w AS (
+  SELECT lang, lag(lang) OVER (ORDER BY doc_id) AS prev
+  FROM documents
+),
+c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1)
+SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_langs,
+       CAST((SELECT count(*) FROM w
+             WHERE prev IS NULL OR prev <> lang) AS BIGINT) AS observed_runs,
+       CAST((SELECT sum(n * n) FROM c) AS BIGINT) AS sum_nl_sq
+"""

@@ -395,6 +395,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "broadcast_plan_audit",
         "source_length_ks_matrix",
         "nation_weighted_median_acctbal",
+        "brand_price_realization",
+        "lang_run_clustering",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -5856,3 +5858,37 @@ def test_weighted_median_sits_in_mass(ray_session):
         above = sum(ww for cc, ww in w if 2 * cc >= med2)
         tot = sum(ww for _, ww in w)
         assert 2 * below >= tot and 2 * above >= tot
+
+
+def test_brand_realization_bounds(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import brand_price_realization
+
+    rows = brand_price_realization(SF).to_pylist()
+    n = duckdb.sql(f"SELECT count(*) FROM '{SF}/lineitem.parquet'").fetchone()[0]
+    assert sum(r["n_lines"] for r in rows) == n
+    for r in rows:
+        assert (
+            0
+            <= r["min_realization_permille"]
+            <= r["max_realization_permille"]
+        )
+        assert (
+            r["n_lines"] * r["min_realization_permille"]
+            <= r["sum_realization_permille"]
+            <= r["n_lines"] * r["max_realization_permille"]
+        )
+
+
+def test_lang_runs_bounds(ray_session):
+    from document_extractor_ray.functions.textstats import lang_run_clustering
+
+    r = lang_run_clustering(SF).to_pylist()[0]
+    assert r["n_langs"] <= r["observed_runs"] <= r["n_docs"]
+    # expected runs under random arrangement: n - (sum_nl_sq - n)/(n-1);
+    # the fixture interleaves langs, so observed sits near expectation
+    # (within 15%), far from the blocked lower bound n_langs
+    n, s = r["n_docs"], r["sum_nl_sq"]
+    expected = n - (s - n) / (n - 1)
+    assert abs(r["observed_runs"] - expected) / expected < 0.15
