@@ -394,6 +394,8 @@ PICKS = [
     "nation_weighted_median_acctbal",
     "brand_price_realization",
     "lang_run_clustering",
+    "sttr_by_source",
+    "one_hit_wonder_rate",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

@@ -22007,3 +22007,74 @@ SELECT brand,
        CAST(max(r) AS BIGINT) AS max_realization_permille
 FROM j GROUP BY brand ORDER BY brand
 """
+
+
+# ---------------------------------------------------------------------------
+# One-hit-wonder rate per week (cache-admission statistic)
+# ---------------------------------------------------------------------------
+
+def one_hit_wonder_rate(sf_dir: str):
+    """Per epoch-week: distinct users, users seen exactly once, and
+    the one-hit-wonder rate (permille of distinct) — the cache-
+    admission statistic (TinyLFU's motivating measurement): a high
+    one-hit share means admit-on-second-touch beats admit-always for
+    any per-user cache or state store sized off this feed.
+
+    Scale shape: (week, user) counts via ``bucketed_agg`` (user
+    cardinality grows with data); the per-week reduction is a
+    ``groupby(week).map_groups`` over the calendar-bounded week key,
+    each group collapsing to one row inside the task."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "week": pa.array(us // _WEEK_US_TOPK, pa.int64()),
+                "user_id": t["user_id"],
+            }
+        )
+
+    per = bucketed_agg(
+        ds.map_batches(slim, batch_format="pyarrow"),
+        ["week", "user_id"],
+        [(None, "count", "n")],
+    )
+
+    def reduce_week(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        distinct = len(n)
+        one = int((n == 1).sum())
+        return pa.table(
+            {
+                "week": pa.array([int(t["week"][0].as_py())], pa.int64()),
+                "n_events": pa.array([int(n.sum())], pa.int64()),
+                "n_users": pa.array([distinct], pa.int64()),
+                "n_one_hit": pa.array([one], pa.int64()),
+                "one_hit_permille": pa.array(
+                    [1000 * one // distinct], pa.int64()
+                ),
+            }
+        )
+
+    out = per.groupby("week").map_groups(reduce_week, batch_format="pyarrow")
+    tabs = [t for t in map(ray.get, out.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tabs).combine_chunks().sort_by("week")
+
+
+ONE_HIT_WONDER_SQL = f"""
+WITH c AS (
+  SELECT CAST(epoch_us(ts) // {7 * 86_400_000_000} AS BIGINT) AS week,
+         user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT week,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_one_hit,
+       CAST(1000 * count(*) FILTER (WHERE n = 1) // count(*) AS BIGINT)
+         AS one_hit_permille
+FROM c GROUP BY week ORDER BY week
+"""

@@ -9769,3 +9769,137 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
              WHERE prev IS NULL OR prev <> lang) AS BIGINT) AS observed_runs,
        CAST((SELECT sum(n * n) FROM c) AS BIGINT) AS sum_nl_sq
 """
+
+
+# ---------------------------------------------------------------------------
+# Standardized type-token ratio (fixed 100-token windows) per source
+# ---------------------------------------------------------------------------
+
+STTR_WINDOW = 100
+
+
+def sttr_by_source(sf_dir: str, window: int = STTR_WINDOW):
+    """Standardized type-token ratio per source: docs are cut into
+    fixed 100-token windows (doc-local, remainder window kept) and the
+    distinct-type counts of every window are summed —
+    sttr_permille = 1000·Σ distinct / Σ tokens.  Plain TTR collapses
+    as docs grow (types saturate); fixing the window makes lexical
+    diversity comparable across sources with different length mixes —
+    the standard corpus-linguistics fix.
+
+    Scale shape: a doc lives in ONE row, so per-batch Arrow
+    group-distinct over (doc, window, token) IS the global distinct —
+    no cross-block dedup exists by construction; only (source -> 3
+    counters) partials fold on the driver."""
+    from document_extractor_ray.functions.bucketing import fold_partials
+
+    ds = _read_docs(sf_dir, ["doc_id", "source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
+        flat = pc.list_flatten(toks).combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        # doc-local token position -> window index
+        starts = np.flatnonzero(np.diff(np.concatenate(([-1], parent))))
+        pos = np.arange(len(parent)) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(parent)])))
+        )
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        tbl = pa.table(
+            {
+                "doc": pa.array(parent[keep], pa.int64()),
+                "w": pa.array(pos[keep] // window, pa.int64()),
+                "tok": flat.filter(pa.array(keep)),
+            }
+        )
+        g = pa.TableGroupBy(tbl, ["doc", "w", "tok"]).aggregate([([], "count_all")])
+        # distinct types per (doc, window) roll up to the source
+        src_of = t["source"]
+        dist = pa.TableGroupBy(g.select(["doc", "w"]), ["doc", "w"]).aggregate(
+            [([], "count_all")]
+        )
+        src_d = pc.take(src_of, dist["doc"])
+        gd = pa.TableGroupBy(
+            pa.table(
+                {"source": src_d, "d": pc.cast(dist["count_all"], pa.int64())}
+            ),
+            ["source"],
+        ).aggregate([("d", "sum"), ([], "count_all")])
+        # token totals per source (post empty-filter)
+        src_t = pc.take(src_of, tbl["doc"])
+        gt = pa.TableGroupBy(pa.table({"source": src_t}), ["source"]).aggregate(
+            [([], "count_all")]
+        )
+        zero_d = pa.nulls(gd.num_rows, pa.int64()).fill_null(0)
+        zero_t = pa.nulls(gt.num_rows, pa.int64()).fill_null(0)
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "source": gd["source"],
+                        "distinct": gd["d_sum"],
+                        "windows": pc.cast(gd["count_all"], pa.int64()),
+                        "tokens": zero_d,
+                    }
+                ),
+                pa.table(
+                    {
+                        "source": gt["source"],
+                        "distinct": zero_t,
+                        "windows": zero_t,
+                        "tokens": pc.cast(gt["count_all"], pa.int64()),
+                    }
+                ),
+            ]
+        )
+
+    acc = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "source",
+        ["distinct", "windows", "tokens"],
+    )
+    srcs = sorted(acc)
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "n_windows": pa.array([acc[s][1] for s in srcs], pa.int64()),
+            "n_tokens": pa.array([acc[s][2] for s in srcs], pa.int64()),
+            "sum_distinct": pa.array([acc[s][0] for s in srcs], pa.int64()),
+            "sttr_permille": pa.array(
+                [1000 * acc[s][0] // acc[s][2] for s in srcs], pa.int64()
+            ),
+        }
+    )
+
+
+# token-position bound: docs are length-capped (577 chars at sf0.1),
+# so 4096 covers any per-doc token count; the range-lateral replaces
+# WITH ORDINALITY (not implemented in DuckDB)
+STTR_BY_SOURCE_SQL = f"""
+WITH arr AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> length(x) > 0) AS a
+  FROM documents
+),
+tk AS (
+  SELECT arr.doc_id, arr.source, arr.a[CAST(i.i AS INTEGER)] AS tok,
+         CAST((i.i - 1) // {STTR_WINDOW} AS BIGINT) AS w
+  FROM arr, range(1, 4096) i(i)
+  WHERE i.i <= len(arr.a)
+),
+dw AS (
+  SELECT doc_id, source, w, CAST(count(DISTINCT tok) AS BIGINT) AS d
+  FROM tk GROUP BY 1, 2, 3
+),
+g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(d) AS BIGINT) AS sum_distinct
+  FROM dw GROUP BY 1
+),
+t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens FROM tk GROUP BY 1)
+SELECT g.source, g.n_windows, t.n_tokens, g.sum_distinct,
+       CAST(1000 * g.sum_distinct // t.n_tokens AS BIGINT) AS sttr_permille
+FROM g JOIN t USING (source)
+ORDER BY g.source
+"""

@@ -397,6 +397,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "nation_weighted_median_acctbal",
         "brand_price_realization",
         "lang_run_clustering",
+        "sttr_by_source",
+        "one_hit_wonder_rate",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -5892,3 +5894,37 @@ def test_lang_runs_bounds(ray_session):
     n, s = r["n_docs"], r["sum_nl_sq"]
     expected = n - (s - n) / (n - 1)
     assert abs(r["observed_runs"] - expected) / expected < 0.15
+
+
+def test_sttr_windows_and_bounds(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.textstats import sttr_by_source
+
+    rows = sttr_by_source(SF).to_pylist()
+    truth_tokens = dict(
+        duckdb.sql(f"""
+          SELECT source, sum(len(list_filter(
+                 regexp_split_to_array(lower(text), '\\s+'),
+                 x -> length(x) > 0)))
+          FROM '{SF}/documents.parquet' GROUP BY 1
+        """).fetchall()
+    )
+    for r in rows:
+        assert r["n_tokens"] == truth_tokens[r["source"]]
+        # each window's distinct count is within [1, min(window, tokens)]
+        assert r["n_windows"] <= r["sum_distinct"] <= r["n_tokens"]
+        assert 0 < r["sttr_permille"] <= 1000
+
+
+def test_one_hit_wonder_consistency(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import one_hit_wonder_rate
+
+    rows = one_hit_wonder_rate(SF).to_pylist()
+    n_events = duckdb.sql(f"SELECT count(*) FROM '{SF}/events.parquet'").fetchone()[0]
+    assert sum(r["n_events"] for r in rows) == n_events
+    for r in rows:
+        assert 0 <= r["n_one_hit"] <= r["n_users"] <= r["n_events"]
+        assert r["one_hit_permille"] == 1000 * r["n_one_hit"] // r["n_users"]
