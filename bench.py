@@ -396,6 +396,8 @@ PICKS = [
     "lang_run_clustering",
     "sttr_by_source",
     "one_hit_wonder_rate",
+    "slo_burn_rate",
+    "source_length_emd_matrix",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

@@ -22078,3 +22078,84 @@ SELECT week,
          AS one_hit_permille
 FROM c GROUP BY week ORDER BY week
 """
+
+
+# ---------------------------------------------------------------------------
+# SLO error-budget burn rate over the event feed
+# ---------------------------------------------------------------------------
+
+SLO_ERROR_PERMILLE = 210  # fixture error share ~1/5; budget just under it
+
+
+def slo_burn_rate(sf_dir: str, slo_permille: int = SLO_ERROR_PERMILLE):
+    """Daily SLO error-budget accounting over the event feed: per day
+    the event/error counts, the exact error permille, the day's budget
+    delta in event-units x1000 (1000·errors − slo·events: positive
+    burns budget, negative refills) and its running total — the SRE
+    burn-rate table that pages BEFORE the month's budget is gone.
+    All integer: no rate is ever floated.
+
+    Scale shape: calendar-bounded (day -> 2 counters) fold, driver
+    cumsum over ~30 rows."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "day": pa.array(us // 86_400_000_000, pa.int64()),
+                    "err": pc.cast(
+                        pc.equal(t["event_type"], "error"), pa.int64()
+                    ),
+                }
+            ),
+            ["day"],
+        ).aggregate([("err", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "day": g["day"],
+                "e": g["err_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    acc = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "day", ["e", "n"]
+    )
+    days = sorted(acc)
+    run = 0
+    rows = []
+    for d in days:
+        e, n = acc[d]
+        delta = 1000 * e - slo_permille * n
+        run += delta
+        rows.append((d, n, e, 1000 * e // n, delta, run))
+    return pa.table(
+        {
+            "day": pa.array([r[0] for r in rows], pa.int64()),
+            "n_events": pa.array([r[1] for r in rows], pa.int64()),
+            "n_errors": pa.array([r[2] for r in rows], pa.int64()),
+            "err_permille": pa.array([r[3] for r in rows], pa.int64()),
+            "budget_delta_x1000": pa.array([r[4] for r in rows], pa.int64()),
+            "budget_spent_x1000": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )
+
+
+SLO_BURN_SQL = f"""
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+           AS n_errors
+  FROM events GROUP BY 1
+)
+SELECT day, n_events, n_errors,
+       CAST(1000 * n_errors // n_events AS BIGINT) AS err_permille,
+       CAST(1000 * n_errors - {SLO_ERROR_PERMILLE} * n_events AS BIGINT)
+         AS budget_delta_x1000,
+       CAST(sum(1000 * n_errors - {SLO_ERROR_PERMILLE} * n_events)
+            OVER (ORDER BY day) AS BIGINT) AS budget_spent_x1000
+FROM d ORDER BY day
+"""

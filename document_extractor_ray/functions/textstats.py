@@ -9903,3 +9903,97 @@ SELECT g.source, g.n_windows, t.n_tokens, g.sum_distinct,
 FROM g JOIN t USING (source)
 ORDER BY g.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Pairwise 1-Wasserstein (EMD) matrix between sources on doc length
+# ---------------------------------------------------------------------------
+
+def source_length_emd_matrix(sf_dir: str):
+    """Exact 1-Wasserstein (earth-mover) numerators for every source
+    pair on doc length: emd_num = Σ_v |cum_a(v)·n_b − cum_b(v)·n_a| ·
+    (v_next − v), so W₁ = emd_num / (n_a·n_b) is the consumer's one
+    division — the INTEGRAL drift companion to
+    source_length_ks_matrix's sup-norm (EMD sees mass moved a long
+    way; KS only sees the worst single crossing).
+
+    Scale shape: identical to the KS matrix — one (source, length)
+    histogram fold, cumsum + 190-pair vectorized sweep on the
+    driver."""
+    from document_extractor_ray.functions.bucketing import fold_partials
+
+    ds = _read_docs(sf_dir, ["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["source", "n_chars"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "v": g["n_chars"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    cells = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), ["source", "v"], "n"
+    )
+    sources = sorted({s for (s, _) in cells})
+    vals = np.array(sorted({v for (_, v) in cells}), np.int64)
+    v_idx = {int(v): i for i, v in enumerate(vals)}
+    s_idx = {s: i for i, s in enumerate(sources)}
+    hist = np.zeros((len(sources), len(vals)), np.int64)
+    for (s, v), n in cells.items():
+        hist[s_idx[s], v_idx[int(v)]] = n
+    cum = np.cumsum(hist, axis=1)
+    tot = cum[:, -1]
+    gaps = np.diff(vals)  # width between consecutive observed lengths
+    rows = []
+    for i in range(len(sources)):
+        for j in range(i + 1, len(sources)):
+            diff = np.abs(cum[i][:-1] * tot[j] - cum[j][:-1] * tot[i])
+            emd = int((diff.astype(object) * gaps.astype(object)).sum())
+            rows.append((sources[i], sources[j], int(tot[i]), int(tot[j]), emd))
+    return pa.table(
+        {
+            "source_a": pa.array([r[0] for r in rows], pa.string()),
+            "source_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_a": pa.array([r[2] for r in rows], pa.int64()),
+            "n_b": pa.array([r[3] for r in rows], pa.int64()),
+            "emd_num": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+SOURCE_LENGTH_EMD_SQL = """
+WITH c AS (
+  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY 1),
+grid AS (
+  SELECT v, lead(v) OVER (ORDER BY v) AS v_next
+  FROM (SELECT DISTINCT v FROM c)
+),
+cells AS (
+  SELECT s.source, g.v, g.v_next, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT source FROM c) s
+  CROSS JOIN grid g
+  LEFT JOIN c ON c.source = s.source AND c.v = g.v
+),
+cum AS (
+  SELECT source, v, v_next,
+         CAST(sum(n) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cw
+  FROM cells
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(any_value(ta.nt) AS BIGINT) AS n_a,
+       CAST(any_value(tb.nt) AS BIGINT) AS n_b,
+       CAST(sum(abs(a.cw * tb.nt - b.cw * ta.nt) * (a.v_next - a.v))
+            FILTER (WHERE a.v_next IS NOT NULL) AS BIGINT) AS emd_num
+FROM cum a
+JOIN cum b ON b.v = a.v AND a.source < b.source
+JOIN tot ta ON ta.source = a.source
+JOIN tot tb ON tb.source = b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

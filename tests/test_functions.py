@@ -399,6 +399,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "lang_run_clustering",
         "sttr_by_source",
         "one_hit_wonder_rate",
+        "slo_burn_rate",
+        "source_length_emd_matrix",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -5928,3 +5930,47 @@ def test_one_hit_wonder_consistency(ray_session):
     for r in rows:
         assert 0 <= r["n_one_hit"] <= r["n_users"] <= r["n_events"]
         assert r["one_hit_permille"] == 1000 * r["n_one_hit"] // r["n_users"]
+
+
+def test_slo_burn_telescopes(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import slo_burn_rate
+
+    rows = slo_burn_rate(SF).to_pylist()
+    n, e = duckdb.sql(
+        f"""SELECT count(*), count(*) FILTER (WHERE event_type = 'error')
+          FROM '{SF}/events.parquet'"""
+    ).fetchone()
+    assert sum(r["n_events"] for r in rows) == n
+    assert sum(r["n_errors"] for r in rows) == e
+    # running total telescopes to the overall budget position
+    assert rows[-1]["budget_spent_x1000"] == 1000 * e - 210 * n
+    run = 0
+    for r in rows:
+        run += r["budget_delta_x1000"]
+        assert r["budget_spent_x1000"] == run
+
+
+def test_emd_dominates_ks_per_pair(ray_session):
+    from document_extractor_ray.functions.textstats import (
+        source_length_emd_matrix,
+        source_length_ks_matrix,
+    )
+
+    emd = {(r["source_a"], r["source_b"]): r for r in source_length_emd_matrix(SF).to_pylist()}
+    ks = {(r["source_a"], r["source_b"]): r for r in source_length_ks_matrix(SF).to_pylist()}
+    assert set(emd) == set(ks)
+    for k, r in emd.items():
+        assert r["emd_num"] >= 0
+        assert r["n_a"] == ks[k]["n_a"] and r["n_b"] == ks[k]["n_b"]
+        # W1 >= KS * (min positive gap =1): emd_num >= ks_num only when
+        # the sup crossing persists over >=1 unit of length; weaker
+        # universal bound: emd_num >= ks_num implies nothing, so assert
+        # the sound direction: emd_num <= ks_num * (max_len - min_len)
+        import duckdb
+
+        lo, hi = duckdb.sql(
+            f"SELECT min(n_chars), max(n_chars) FROM '{SF}/documents.parquet'"
+        ).fetchone()
+        assert r["emd_num"] <= ks[k]["ks_num"] * (hi - lo)
