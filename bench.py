@@ -398,6 +398,8 @@ PICKS = [
     "one_hit_wonder_rate",
     "slo_burn_rate",
     "source_length_emd_matrix",
+    "postings_gap_bits",
+    "doclen_embnorm_corr",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

@@ -3742,3 +3742,126 @@ SELECT CAST(label AS BIGINT) AS label,
        CAST(n * sumsq - norm2 AS BIGINT) AS ss_within_num
 FROM per_label ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# Doc length x embedding norm correlation ingredients (cross-table join)
+# ---------------------------------------------------------------------------
+
+def doclen_embnorm_corr(sf_dir: str):
+    """Exact Pearson ingredients between document length (n_chars)
+    and the embedding's quantized squared norm over the vec_id ==
+    doc_id inner join — the cross-modal sanity probe (a strong
+    length-norm correlation usually means un-normalized vectors
+    leaking length into similarity search).  y = (Σ q²) // 1000 with
+    q = floor(x·1000 + 0.5) per component (the label_scatter
+    quantization; the extra //1000 keeps Σy² in int64 to ~1e8 rows).
+    One row: n, sum_x, sum_y, sum_xy, sum_x2, sum_y2 — corr is the
+    consumer's division.
+
+    Scale shape: the embeddings side folds each block to (vec_id, y)
+    slim pairs; the documents side broadcasts nothing — the join runs
+    as a partitioned hash join on the id (both sides pre-slimmed to
+    two ints), and the 6 scalar sums fold per block after it."""
+    from document_extractor_ray.functions.analytics import _n_blocks
+    from document_extractor_ray.functions.bucketing import fold_partials
+    from document_extractor_ray.sources import read_parquet_clean
+
+    import ray as _ray
+
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        override_num_blocks=_n_blocks(),
+    )
+
+    def norm_slim(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t["embedding"]).astype(np.float64)
+        q = np.floor(m * 1000 + 0.5).astype(np.int64)
+        y = (q * q).sum(axis=1) // 1000
+        return pa.table(
+            {"vec_id": t["vec_id"], "y": pa.array(y, pa.int64())}
+        )
+
+    # embeddings is the smaller side here (2 ints/row after slimming):
+    # pull to the driver-broadcast path the dim attaches use
+    from document_extractor_ray import state
+
+    side = pa.concat_tables(
+        [
+            t
+            for t in map(
+                _ray.get,
+                emb.map_batches(norm_slim, batch_format="pyarrow").to_arrow_refs(),
+            )
+            if t.num_rows
+        ]
+    ).combine_chunks()
+    side_ref = state.broadcast(side)
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "n_chars"],
+        override_num_blocks=_n_blocks(),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = state.cached_get(side_ref)
+        t = state.lookup_join(t, "doc_id", d, "vec_id", ["y"])
+        t = t.filter(pc.is_valid(t["y"]))
+        x = t["n_chars"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "one": pa.array([1], pa.int64()),
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sx2": pa.array([int((x * x).sum())], pa.int64()),
+                "sy2": pa.array([int((y * y).sum())], pa.int64()),
+            }
+        )
+
+    acc = fold_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "one",
+        ["n", "sx", "sy", "sxy", "sx2", "sy2"],
+    )
+    n, sx, sy, sxy, sx2, sy2 = acc[1]
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "sum_x": pa.array([sx], pa.int64()),
+            "sum_y": pa.array([sy], pa.int64()),
+            "sum_xy": pa.array([sxy], pa.int64()),
+            "sum_x2": pa.array([sx2], pa.int64()),
+            "sum_y2": pa.array([sy2], pa.int64()),
+        }
+    )
+
+
+DOCLEN_EMBNORM_SQL = """
+WITH y AS (
+  SELECT e.vec_id,
+         CAST(sum(CAST(floor(CAST(e.embedding[CAST(r.d AS INTEGER) + 1]
+                                  AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                  * CAST(floor(CAST(e.embedding[CAST(r.d AS INTEGER) + 1]
+                                    AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+              // 1000 AS BIGINT) AS y
+  FROM embeddings e, range(0, 256) r(d)
+  WHERE r.d < len(e.embedding)
+  GROUP BY e.vec_id
+),
+j AS (
+  SELECT d.n_chars AS x, y.y
+  FROM documents d JOIN y ON y.vec_id = d.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy,
+       CAST(sum(x * x) AS BIGINT) AS sum_x2,
+       CAST(sum(y * y) AS BIGINT) AS sum_y2
+FROM j
+"""

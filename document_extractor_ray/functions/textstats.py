@@ -9997,3 +9997,144 @@ JOIN tot tb ON tb.source = b.source
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Posting-list delta-gap bit cost for the top-df tokens (index planner)
+# ---------------------------------------------------------------------------
+
+POSTINGS_GAP_TOP_K = 20
+
+
+def _bits_case_sql(col: str) -> str:
+    """Exact bit_length(x) for positive BIGINT as a CASE ladder (no
+    float log2 — boundary values must not round)."""
+    whens = "\n".join(
+        f"    WHEN {col} < {1 << b} THEN {b}" for b in range(1, 63)
+    )
+    return f"(CASE\n{whens}\n    ELSE 63 END)"
+
+
+def postings_gap_bits(sf_dir: str, k: int = POSTINGS_GAP_TOP_K):
+    """Delta-gap compression cost of the inverted index for the top-k
+    document-frequency tokens: postings sorted by doc_id, each gap
+    (first = doc_id+1) costing exactly bit_length(gap) bits, vs the
+    64·df raw cost — the index-layout planner's "is delta coding
+    worth it per term" table.  gap_bits is exact (integer bit_length
+    on both engines; the SQL side uses a CASE ladder, never float
+    log2).
+
+    Scale shape: the (token, doc_id) distinct explode rides the
+    vocabulary-bounded shuffle every df op here uses; the per-token
+    gap scan is ``groupby(token).map_groups`` over the top-k token set
+    (k rows out).  At 10^12 docs per-token postings stream through the
+    same sort; only the 3-int summary returns."""
+    from document_extractor_ray.functions.bucketing import fold_partials
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
+        flat = pc.list_flatten(toks).combine_chunks()
+        parent = pc.list_parent_indices(toks)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        tbl = pa.table(
+            {
+                "tok": flat.filter(keep),
+                "doc_id": pc.take(t["doc_id"], parent).filter(keep),
+            }
+        )
+        g = pa.TableGroupBy(tbl, ["tok", "doc_id"]).aggregate([([], "count_all")])
+        return pa.table({"tok": g["tok"], "doc_id": g["doc_id"]})
+
+    postings = ds.map_batches(explode, batch_format="pyarrow")
+    # df per token (vocab-bounded fold) -> the top-k term set
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["tok"]), ["tok"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"tok": g["tok"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    df = fold_partials(
+        postings.map_batches(df_partial, batch_format="pyarrow"), "tok", "n"
+    )
+    top = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    chosen = pa.array([t for t, _ in top], pa.string())
+
+    def gap_scan(t: pa.Table) -> pa.Table:
+        ids = np.sort(t["doc_id"].to_numpy(zero_copy_only=False))
+        gaps = np.diff(np.concatenate(([-1], ids)))
+        bits = sum(int(g).bit_length() for g in gaps)
+        return pa.table(
+            {
+                "token": pa.array([t["tok"][0].as_py()], pa.string()),
+                "df": pa.array([len(ids)], pa.int64()),
+                "gap_bits": pa.array([bits], pa.int64()),
+            }
+        )
+
+    out = (
+        postings.map_batches(
+            lambda t: t.filter(pc.is_in(t["tok"], value_set=chosen)),
+            batch_format="pyarrow",
+        )
+        .groupby("tok")
+        .map_groups(gap_scan, batch_format="pyarrow")
+    )
+    import ray as _ray
+
+    tabs = [t for t in map(_ray.get, out.to_arrow_refs()) if t.num_rows]
+    res = pa.concat_tables(tabs).combine_chunks().to_pylist()
+    res.sort(key=lambda r: (-r["df"], r["token"]))
+    return pa.table(
+        {
+            "token": pa.array([r["token"] for r in res], pa.string()),
+            "df": pa.array([r["df"] for r in res], pa.int64()),
+            "raw_bits": pa.array([64 * r["df"] for r in res], pa.int64()),
+            "gap_bits": pa.array([r["gap_bits"] for r in res], pa.int64()),
+            "savings_permille": pa.array(
+                [
+                    1000 * (64 * r["df"] - r["gap_bits"]) // (64 * r["df"])
+                    for r in res
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+POSTINGS_GAP_BITS_SQL = f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> length(x) > 0) AS a
+  FROM documents
+),
+p AS (
+  SELECT DISTINCT arr.a[CAST(i.i AS INTEGER)] AS token, arr.doc_id
+  FROM arr, range(1, 4096) i(i) WHERE i.i <= len(arr.a)
+),
+df AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df,
+         row_number() OVER (ORDER BY count(*) DESC, token) AS rk
+  FROM p GROUP BY 1
+),
+top AS (SELECT token, df FROM df WHERE rk <= {POSTINGS_GAP_TOP_K}),
+g AS (
+  SELECT p.token,
+         p.doc_id - COALESCE(lag(p.doc_id) OVER (
+             PARTITION BY p.token ORDER BY p.doc_id), -1) AS gap
+  FROM p JOIN top ON top.token = p.token
+),
+b AS (
+  SELECT token, CAST(sum({_bits_case_sql('gap')}) AS BIGINT) AS gap_bits
+  FROM g GROUP BY 1
+)
+SELECT top.token, top.df,
+       CAST(64 * top.df AS BIGINT) AS raw_bits,
+       b.gap_bits,
+       CAST(1000 * (64 * top.df - b.gap_bits) // (64 * top.df) AS BIGINT)
+         AS savings_permille
+FROM top JOIN b USING (token)
+ORDER BY top.df DESC, top.token
+"""

@@ -401,6 +401,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "one_hit_wonder_rate",
         "slo_burn_rate",
         "source_length_emd_matrix",
+        "postings_gap_bits",
+        "doclen_embnorm_corr",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -5974,3 +5976,29 @@ def test_emd_dominates_ks_per_pair(ray_session):
             f"SELECT min(n_chars), max(n_chars) FROM '{SF}/documents.parquet'"
         ).fetchone()
         assert r["emd_num"] <= ks[k]["ks_num"] * (hi - lo)
+
+
+def test_postings_gap_bits_bounds(ray_session):
+    from document_extractor_ray.functions.textstats import postings_gap_bits
+
+    rows = postings_gap_bits(SF).to_pylist()
+    assert 0 < len(rows) <= 20
+    dfs = [r["df"] for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+    for r in rows:
+        # each gap costs >= 1 bit and <= 64 bits
+        assert r["df"] <= r["gap_bits"] <= r["raw_bits"]
+        assert 0 <= r["savings_permille"] < 1000
+
+
+def test_doclen_embnorm_cauchy_schwarz(ray_session):
+    from document_extractor_ray.functions.similarity import doclen_embnorm_corr
+
+    r = doclen_embnorm_corr(SF).to_pylist()[0]
+    n = r["n"]
+    assert n > 0
+    cov_num = n * r["sum_xy"] - r["sum_x"] * r["sum_y"]
+    var_x = n * r["sum_x2"] - r["sum_x"] ** 2
+    var_y = n * r["sum_y2"] - r["sum_y"] ** 2
+    assert var_x >= 0 and var_y >= 0
+    assert cov_num * cov_num <= var_x * var_y  # |corr| <= 1, exactly
