@@ -400,6 +400,8 @@ PICKS = [
     "source_length_emd_matrix",
     "postings_gap_bits",
     "doclen_embnorm_corr",
+    "span_corruption_plan",
+    "vocab_coverage_curve",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

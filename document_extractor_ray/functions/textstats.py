@@ -10138,3 +10138,85 @@ SELECT top.token, top.df,
 FROM top JOIN b USING (token)
 ORDER BY top.df DESC, top.token
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus coverage curve of the top-k most frequent types
+# ---------------------------------------------------------------------------
+
+VOCAB_COVERAGE_KS = (1, 2, 4, 8, 16)
+
+
+def vocab_coverage_curve(sf_dir: str):
+    """Cumulative corpus coverage of the k most frequent types for
+    k in {1,2,4,8,16}: covered tokens and exact permille of all
+    tokens — vocab_prune_plan's band census turned into the curve a
+    tokenizer-budget decision actually reads ("16 types already cover
+    X‰").  Rank ties break by token text ASC on both engines.
+
+    Scale shape: ONE vocabulary-bounded term-frequency fold; the
+    curve is a sorted cumsum over the |V|-row driver table."""
+    from document_extractor_ray.functions.bucketing import fold_partials
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        g = pa.TableGroupBy(pa.table({"tok": flat}), ["tok"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"tok": g["tok"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    tf = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "tok", "n"
+    )
+    ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(tf.values())
+    rows = []
+    for k in VOCAB_COVERAGE_KS:
+        cov = sum(n for _, n in ranked[:k])
+        rows.append((k, min(k, len(ranked)), cov, 1000 * cov // total))
+    return pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "n_types_used": pa.array([r[1] for r in rows], pa.int64()),
+            "covered_tokens": pa.array([r[2] for r in rows], pa.int64()),
+            "coverage_permille": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH arr AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> length(x) > 0) AS a
+  FROM documents
+),
+tk AS (
+  SELECT arr.a[CAST(i.i AS INTEGER)] AS tok
+  FROM arr, range(1, 4096) i(i) WHERE i.i <= len(arr.a)
+),
+tf AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+  FROM tk GROUP BY 1
+),
+cum AS (
+  SELECT rk, CAST(sum(n) OVER (ORDER BY rk) AS BIGINT) AS cov FROM tf
+),
+ks AS (SELECT unnest([{", ".join(str(k) for k in VOCAB_COVERAGE_KS)}]) AS k),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v FROM tf)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(least(ks.k, tot.v) AS BIGINT) AS n_types_used,
+       CAST(COALESCE((SELECT cov FROM cum
+                      WHERE cum.rk = least(ks.k, tot.v)), 0) AS BIGINT)
+         AS covered_tokens,
+       CAST(1000 * COALESCE((SELECT cov FROM cum
+                             WHERE cum.rk = least(ks.k, tot.v)), 0)
+            // tot.t AS BIGINT) AS coverage_permille
+FROM ks, tot ORDER BY k
+"""

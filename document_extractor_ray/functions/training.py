@@ -1838,3 +1838,100 @@ SELECT source, n_docs, n_starts,
          AS start_share_permille
 FROM s ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# T5-style span-corruption planning table (per source)
+# ---------------------------------------------------------------------------
+
+SPAN_NOISE_PERMILLE = 150
+SPAN_MEAN_LEN = 3
+
+
+def span_corruption_plan(sf_dir: str):
+    """Span-corruption (T5 denoising) budget per source: per doc the
+    corrupted-token budget masked = (tokens·150) // 1000 and the span
+    count spans = ceil(masked / 3) (mean span length 3), rolled up to
+    source totals plus the post-corruption input length
+    net_tokens = tokens − masked + spans (each span collapses to one
+    sentinel) — the planning table that sizes encoder/decoder lengths
+    and sentinel-vocab needs BEFORE a corruption job runs at corpus
+    scale.  Pure integer floor/ceil arithmetic per doc.
+
+    Scale shape: per-block token counting via the regex run-count
+    kernel, (source -> 5 counters) driver fold; no shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from document_extractor_ray.functions.bucketing import fold_partials
+    from document_extractor_ray.functions.textstats import _read_docs
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
+        tk = toks.to_numpy(zero_copy_only=False)
+        masked = (tk * SPAN_NOISE_PERMILLE) // 1000
+        spans = (masked + SPAN_MEAN_LEN - 1) // SPAN_MEAN_LEN
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "source": t["source"],
+                    "tk": pa.array(tk, pa.int64()),
+                    "mk": pa.array(masked, pa.int64()),
+                    "sp": pa.array(spans, pa.int64()),
+                }
+            ),
+            ["source"],
+        ).aggregate([("tk", "sum"), ("mk", "sum"), ("sp", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "tk": g["tk_sum"],
+                "mk": g["mk_sum"],
+                "sp": g["sp_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    acc = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "source",
+        ["tk", "mk", "sp", "n"],
+    )
+    srcs = sorted(acc)
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "n_docs": pa.array([acc[s][3] for s in srcs], pa.int64()),
+            "sum_tokens": pa.array([acc[s][0] for s in srcs], pa.int64()),
+            "sum_masked": pa.array([acc[s][1] for s in srcs], pa.int64()),
+            "sum_spans": pa.array([acc[s][2] for s in srcs], pa.int64()),
+            "net_tokens": pa.array(
+                [acc[s][0] - acc[s][1] + acc[s][2] for s in srcs], pa.int64()
+            ),
+        }
+    )
+
+
+SPAN_CORRUPTION_SQL = f"""
+WITH c AS (
+  SELECT source,
+         CAST(length(regexp_replace(text, '\\S+', '#', 'g'))
+              - length(regexp_replace(text, '\\S+', '', 'g')) AS BIGINT) AS tk
+  FROM documents
+),
+p AS (
+  SELECT source, tk,
+         (tk * {SPAN_NOISE_PERMILLE}) // 1000 AS mk
+  FROM c
+),
+q AS (SELECT source, tk, mk, (mk + {SPAN_MEAN_LEN - 1}) // {SPAN_MEAN_LEN} AS sp FROM p)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tk) AS BIGINT) AS sum_tokens,
+       CAST(sum(mk) AS BIGINT) AS sum_masked,
+       CAST(sum(sp) AS BIGINT) AS sum_spans,
+       CAST(sum(tk) - sum(mk) + sum(sp) AS BIGINT) AS net_tokens
+FROM q GROUP BY source ORDER BY source
+"""

@@ -403,6 +403,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "source_length_emd_matrix",
         "postings_gap_bits",
         "doclen_embnorm_corr",
+        "span_corruption_plan",
+        "vocab_coverage_curve",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -6002,3 +6004,32 @@ def test_doclen_embnorm_cauchy_schwarz(ray_session):
     var_y = n * r["sum_y2"] - r["sum_y"] ** 2
     assert var_x >= 0 and var_y >= 0
     assert cov_num * cov_num <= var_x * var_y  # |corr| <= 1, exactly
+
+
+def test_span_plan_identities(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.training import span_corruption_plan
+
+    rows = span_corruption_plan(SF).to_pylist()
+    n = duckdb.sql(f"SELECT count(*) FROM '{SF}/documents.parquet'").fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n
+    for r in rows:
+        assert 0 <= r["sum_masked"] <= r["sum_tokens"]
+        # ceil(masked/3) over docs: between masked/3 and masked/3+n_docs
+        assert r["sum_masked"] <= 3 * r["sum_spans"] <= r["sum_masked"] + 3 * r["n_docs"]
+        assert r["net_tokens"] == r["sum_tokens"] - r["sum_masked"] + r["sum_spans"]
+
+
+def test_vocab_coverage_monotone(ray_session):
+    from document_extractor_ray.functions.textstats import vocab_coverage_curve
+
+    rows = vocab_coverage_curve(SF).to_pylist()
+    assert [r["k"] for r in rows] == [1, 2, 4, 8, 16]
+    covs = [r["coverage_permille"] for r in rows]
+    assert covs == sorted(covs)
+    assert all(0 < c <= 1000 for c in covs)
+    # the top type can never cover more than its rank share allows less
+    # than the uniform floor: with V types, top-k covers >= k/V of mass
+    toks = [r["covered_tokens"] for r in rows]
+    assert toks == sorted(toks)
