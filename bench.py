@@ -402,6 +402,7 @@ PICKS = [
     "doclen_embnorm_corr",
     "span_corruption_plan",
     "vocab_coverage_curve",
+    "hour_value_kendall",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

@@ -22159,3 +22159,118 @@ SELECT day, n_events, n_errors,
             OVER (ORDER BY day) AS BIGINT) AS budget_spent_x1000
 FROM d ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b ingredients: hour of day x value band
+# ---------------------------------------------------------------------------
+
+KENDALL_BAND_CENTS = 2500
+KENDALL_BAND_CAP = 19
+
+
+def hour_value_kendall(sf_dir: str):
+    """Kendall tau-b sufficient statistics between hour-of-day and the
+    event's value band ($25 bands, capped at 19): concordant /
+    discordant / tie pair counts, all exact integers computed from the
+    24 x 20 contingency table — the rank-correlation family's third
+    member (Mann-Whitney: 2-group, Kruskal-Wallis: k-group, Kendall:
+    ordinal x ordinal).  tau_b = (C - D) / sqrt((T - Tx)(T - Ty)) is
+    the consumer's one irrational step.
+
+    Scale shape: bounded (hour, band) partial counts fold on the
+    driver; C/D come from 2-D suffix sums over the 480-cell grid —
+    pair counts without pairs, at any corpus size."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (us % 86_400_000_000) // 3_600_000_000
+        cents = _to_cents(t["value"]).to_numpy(zero_copy_only=False)
+        band = np.minimum(cents // KENDALL_BAND_CENTS, KENDALL_BAND_CAP)
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "h": pa.array(hour, pa.int64()),
+                    "b": pa.array(band, pa.int64()),
+                }
+            ),
+            ["h", "b"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "h": g["h"],
+                "b": g["b"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    cells = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), ["h", "b"], "n"
+    )
+    N = np.zeros((24, KENDALL_BAND_CAP + 1), dtype=object)
+    for (h, b), n in cells.items():
+        N[int(h), int(b)] = n
+    # suffix sums: S[i][j] = sum over i'>i, j'>j
+    n_total = int(N.sum())
+    flip = N[::-1, ::-1]
+    suffix = flip.cumsum(axis=0).cumsum(axis=1)[::-1, ::-1]
+    gt = np.zeros_like(N)
+    gt[:-1, :-1] = suffix[1:, 1:]
+    C = int((N * gt).sum())
+    # discordant: i'>i, j'<j -> flip bands only
+    Nf = N[:, ::-1]
+    flip2 = Nf[::-1, ::-1]
+    suffix2 = flip2.cumsum(axis=0).cumsum(axis=1)[::-1, ::-1]
+    lt = np.zeros_like(Nf)
+    lt[:-1, :-1] = suffix2[1:, 1:]
+    D = int((Nf * lt).sum())
+    row = N.sum(axis=1)
+    col = N.sum(axis=0)
+    c2 = lambda x: int(x) * (int(x) - 1) // 2
+    both = int(sum(c2(v) for v in N.ravel()))
+    ties_x = int(sum(c2(v) for v in row)) - both
+    ties_y = int(sum(c2(v) for v in col)) - both
+    return pa.table(
+        {
+            "n": pa.array([n_total], pa.int64()),
+            "concordant": pa.array([C], pa.int64()),
+            "discordant": pa.array([D], pa.int64()),
+            "ties_x_only": pa.array([ties_x], pa.int64()),
+            "ties_y_only": pa.array([ties_y], pa.int64()),
+            "ties_both": pa.array([both], pa.int64()),
+        }
+    )
+
+
+HOUR_VALUE_KENDALL_SQL = f"""
+WITH c AS (
+  SELECT (epoch_us(ts) % 86400000000) // 3600000000 AS h,
+         least(CAST(round(value * 100) AS BIGINT) // {KENDALL_BAND_CENTS},
+               {KENDALL_BAND_CAP}) AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT
+    CAST(sum(a.n * x.n)
+         FILTER (WHERE x.h > a.h AND x.b > a.b) AS BIGINT) AS concordant,
+    CAST(sum(a.n * x.n)
+         FILTER (WHERE x.h > a.h AND x.b < a.b) AS BIGINT) AS discordant
+  FROM c a JOIN c x ON true
+),
+rows_h AS (SELECT h, sum(n) AS rn FROM c GROUP BY 1),
+cols_b AS (SELECT b, sum(n) AS cn FROM c GROUP BY 1),
+t AS (
+  SELECT
+    CAST((SELECT sum(n) FROM c) AS BIGINT) AS n,
+    CAST((SELECT sum(n * (n - 1) // 2) FROM c) AS BIGINT) AS both,
+    CAST((SELECT sum(rn * (rn - 1) // 2) FROM rows_h) AS BIGINT) AS tx,
+    CAST((SELECT sum(cn * (cn - 1) // 2) FROM cols_b) AS BIGINT) AS ty
+)
+SELECT t.n, pairs.concordant, pairs.discordant,
+       CAST(t.tx - t.both AS BIGINT) AS ties_x_only,
+       CAST(t.ty - t.both AS BIGINT) AS ties_y_only,
+       t.both AS ties_both
+FROM pairs, t
+"""

@@ -405,6 +405,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "doclen_embnorm_corr",
         "span_corruption_plan",
         "vocab_coverage_curve",
+        "hour_value_kendall",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -6033,3 +6034,23 @@ def test_vocab_coverage_monotone(ray_session):
     # than the uniform floor: with V types, top-k covers >= k/V of mass
     toks = [r["covered_tokens"] for r in rows]
     assert toks == sorted(toks)
+
+
+def test_kendall_pair_partition(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import hour_value_kendall
+
+    r = hour_value_kendall(SF).to_pylist()[0]
+    n = duckdb.sql(f"SELECT count(*) FROM '{SF}/events.parquet'").fetchone()[0]
+    assert r["n"] == n
+    total_pairs = n * (n - 1) // 2
+    assert (
+        r["concordant"]
+        + r["discordant"]
+        + r["ties_x_only"]
+        + r["ties_y_only"]
+        + r["ties_both"]
+        == total_pairs
+    )
+    assert all(r[k] >= 0 for k in r)
