@@ -403,6 +403,8 @@ PICKS = [
     "span_corruption_plan",
     "vocab_coverage_curve",
     "hour_value_kendall",
+    "source_length_cvm_matrix",
+    "fd_violation_audit",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

@@ -22274,3 +22274,95 @@ SELECT t.n, pairs.concordant, pairs.discordant,
        t.both AS ties_both
 FROM pairs, t
 """
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency violation audit (data-profiling primitive)
+# ---------------------------------------------------------------------------
+
+_FD_CANDIDATES = [
+    # (table, lhs, rhs) — candidate "lhs determines rhs" rules
+    ("part", "p_brand", "p_type"),
+    ("part", "p_name", "p_brand"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("events", "user_id", "event_type"),
+]
+
+
+def fd_violation_audit(sf_dir: str):
+    """Functional-dependency profiling over a fixed candidate list:
+    for each "lhs -> rhs" rule the distinct-lhs group count, how many
+    groups bind MORE than one rhs (violations), and the max rhs
+    variety — the schema-discovery primitive that tells a pipeline
+    which columns are safe join/dedup keys and which 'constant per
+    entity' assumptions are lies.  holds = violations == 0.
+
+    Scale shape: per rule, the (lhs, rhs) distinct and the per-lhs
+    variety count both route through ``bucketed_agg`` (lhs cardinality
+    can grow with data); the (groups, violations, max) triple folds
+    per block.  Bounded-lhs rules could fold directly — routing all
+    through the bucketed path keeps the audit honest about its own
+    scaling."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    rows = []
+    for table, lhs, rhs in _FD_CANDIDATES:
+        ds = _read(sf_dir, table, columns=[lhs, rhs])
+        pairs = bucketed_agg(ds, [lhs, rhs], [(None, "count", "n")])
+        per_lhs = bucketed_agg(
+            pairs.select_columns([lhs]), [lhs], [(None, "count", "k")]
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            k = t["k"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "one": pa.array([1], pa.int64()),
+                    "groups": pa.array([len(k)], pa.int64()),
+                    "viol": pa.array([int((k > 1).sum())], pa.int64()),
+                }
+            )
+
+        acc = fold_partials(
+            per_lhs.map_batches(partial, batch_format="pyarrow"),
+            "one",
+            ["groups", "viol"],
+        )
+        groups, viol = acc[1]
+        mx_tabs = [
+            t
+            for t in map(ray.get, per_lhs.to_arrow_refs())
+            if t.num_rows
+        ]
+        mx = max(
+            int(pc.max(t["k"]).as_py()) for t in mx_tabs
+        )
+        rows.append((f"{table}.{lhs}->{rhs}", groups, viol, mx, viol == 0))
+    rows.sort()
+    return pa.table(
+        {
+            "fd": pa.array([r[0] for r in rows], pa.string()),
+            "n_groups": pa.array([r[1] for r in rows], pa.int64()),
+            "n_violating": pa.array([r[2] for r in rows], pa.int64()),
+            "max_rhs_variety": pa.array([r[3] for r in rows], pa.int64()),
+            "holds": pa.array([r[4] for r in rows], pa.bool_()),
+        }
+    )
+
+
+def _fd_sql() -> str:
+    selects = []
+    for table, lhs, rhs in _FD_CANDIDATES:
+        selects.append(
+            f"""SELECT '{table}.{lhs}->{rhs}' AS fd,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(*) FILTER (WHERE k > 1) AS BIGINT) AS n_violating,
+       CAST(max(k) AS BIGINT) AS max_rhs_variety,
+       count(*) FILTER (WHERE k > 1) = 0 AS holds
+FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS k FROM {table} GROUP BY 1)"""
+        )
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY fd"
+
+
+FD_VIOLATION_SQL = _fd_sql()

@@ -406,6 +406,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "span_corruption_plan",
         "vocab_coverage_curve",
         "hour_value_kendall",
+        "source_length_cvm_matrix",
+        "fd_violation_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -6054,3 +6056,37 @@ def test_kendall_pair_partition(ray_session):
         == total_pairs
     )
     assert all(r[k] >= 0 for k in r)
+
+
+def test_cvm_completes_drift_trilogy(ray_session):
+    from document_extractor_ray.functions.textstats import (
+        source_length_cvm_matrix,
+        source_length_ks_matrix,
+    )
+
+    cvm = {(r["source_a"], r["source_b"]): r for r in source_length_cvm_matrix(SF).to_pylist()}
+    ks = {(r["source_a"], r["source_b"]): r for r in source_length_ks_matrix(SF).to_pylist()}
+    assert set(cvm) == set(ks)
+    for k, r in cvm.items():
+        assert r["cvm_num"] >= 0
+        # CvM is bounded by N * ks_num^2 (sup bound on every term)
+        n_pool = r["n_a"] + r["n_b"]
+        assert r["cvm_num"] <= n_pool * ks[k]["ks_num"] ** 2
+
+
+def test_fd_audit_truth(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import fd_violation_audit
+
+    rows = {r["fd"]: r for r in fd_violation_audit(SF).to_pylist()}
+    # orderkey is a real PK: an FD with a key lhs must hold -> check a
+    # known-violated rule against direct recomputation instead
+    truth = duckdb.sql(f"""
+        SELECT count(*), count(*) FILTER (WHERE k > 1), max(k)
+        FROM (SELECT p_brand, count(DISTINCT p_type) k
+              FROM '{SF}/part.parquet' GROUP BY 1)
+    """).fetchone()
+    r = rows["part.p_brand->p_type"]
+    assert (r["n_groups"], r["n_violating"], r["max_rhs_variety"]) == truth
+    assert r["holds"] == (truth[1] == 0)
