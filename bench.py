@@ -405,6 +405,8 @@ PICKS = [
     "hour_value_kendall",
     "source_length_cvm_matrix",
     "fd_violation_audit",
+    "user_spend_lorenz",
+    "segment_repeat_wilson",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

@@ -22366,3 +22366,193 @@ FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS k FROM {table} GROUP BY 1)"""
 
 
 FD_VIOLATION_SQL = _fd_sql()
+
+
+# ---------------------------------------------------------------------------
+# Lorenz concentration table of user spend (decile cumulative shares)
+# ---------------------------------------------------------------------------
+
+def user_spend_lorenz(sf_dir: str):
+    """Lorenz-curve table of user spend concentration: users ranked by
+    total value cents ASC (user_id tie-break), cut into rank deciles
+    d = (10·(rank−1)) // n, each row the decile's user count, spend,
+    and the exact cumulative spend share (permille) — the
+    concentration table behind "the top 10% of users drive X% of
+    value" (user_type_gini's scalar, made inspectable).
+
+    Scale shape: per-user spend routes through ``bucketed_agg``; the
+    ranked decile cut runs on the driver over the entity-bounded
+    per-user table (the heavy_hitter_coverage bound: users, never
+    events; at 10^9 users the cut becomes a distributed sort + range
+    partition — same math)."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": t["user_id"], "cents": _to_cents(t["value"])}
+        )
+
+    per = bucketed_agg(
+        ds.map_batches(slim, batch_format="pyarrow"),
+        ["user_id"],
+        [("cents", "sum", "cents")],
+    )
+    tabs = [t for t in map(ray.get, per.to_arrow_refs()) if t.num_rows]
+    u = pa.concat_tables(tabs).combine_chunks()
+    uid = u["user_id"].to_numpy(zero_copy_only=False)
+    cents = u["cents"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((uid, cents))  # cents ASC, user_id ASC
+    cents = cents[order]
+    n = len(cents)
+    total = int(cents.sum())
+    decile = (10 * np.arange(n)) // n
+    rows = []
+    cum = 0
+    for d in range(10):
+        sel = cents[decile == d]
+        if len(sel) == 0:
+            continue
+        cum += int(sel.sum())
+        rows.append((d, len(sel), int(sel.sum()), 1000 * cum // total))
+    return pa.table(
+        {
+            "decile": pa.array([r[0] for r in rows], pa.int64()),
+            "n_users": pa.array([r[1] for r in rows], pa.int64()),
+            "spend_cents": pa.array([r[2] for r in rows], pa.int64()),
+            "cum_share_permille": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+USER_SPEND_LORENZ_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT cents,
+         (10 * (row_number() OVER (ORDER BY cents, user_id) - 1))
+           // (SELECT count(*) FROM u) AS decile
+  FROM u
+),
+g AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(cents) AS BIGINT) AS spend_cents
+  FROM r GROUP BY 1
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_users, spend_cents,
+       CAST(1000 * sum(spend_cents) OVER (ORDER BY decile)
+            // (SELECT sum(cents) FROM u) AS BIGINT) AS cum_share_permille
+FROM g ORDER BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repeat-customer rate per market segment with Wilson lower bound
+# ---------------------------------------------------------------------------
+
+def segment_repeat_wilson(sf_dir: str):
+    """Repeat-customer rate per market segment (customers with >= 2
+    orders among customers with >= 1) ranked by the Wilson score
+    LOWER bound (z = 2, the brand_return_wilson convention with the
+    one-step-corrected floor isqrt) — the loyalty metric that doesn't
+    let a 12-customer segment outrank a 10k-customer one on luck.
+
+    Scale shape: per-customer order counts via ``bucketed_agg``; the
+    segment dim broadcasts once; (segment -> repeat, n) partials fold
+    on the bounded segment domain."""
+    import math
+
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    per_cust = bucketed_agg(
+        _read(sf_dir, "orders", columns=["o_custkey"]),
+        ["o_custkey"],
+        [(None, "count", "k")],
+    )
+    dim = pa.concat_tables(
+        [
+            t
+            for t in map(
+                ray.get,
+                _read(
+                    sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+                ).to_arrow_refs(),
+            )
+            if t.num_rows
+        ]
+    ).combine_chunks()
+    dim_ref = state.broadcast(dim)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = state.cached_get(dim_ref)
+        t = state.lookup_join(t, "o_custkey", d, "c_custkey", ["c_mktsegment"])
+        t = t.filter(pc.is_valid(t["c_mktsegment"]))
+        rep = pc.cast(pc.greater_equal(t["k"], 2), pa.int64())
+        g = pa.TableGroupBy(
+            pa.table({"seg": t["c_mktsegment"], "r": rep}), ["seg"]
+        ).aggregate([("r", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "seg": g["seg"],
+                "r": g["r_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    acc = fold_partials(
+        per_cust.map_batches(partial, batch_format="pyarrow"), "seg", ["r", "n"]
+    )
+    rows = []
+    for seg in acc:
+        r, n = (int(v) for v in acc[seg])
+        lb = (
+            1_000_000 * (n * (r + 2) - 2 * math.isqrt((r * (n - r) + n) * n))
+        ) // (n * (n + 4))
+        rows.append((seg, n, r, lb))
+    rows.sort(key=lambda x: (-x[3], x[0]))
+    return pa.table(
+        {
+            "segment": pa.array([r[0] for r in rows], pa.string()),
+            "n_customers": pa.array([r[1] for r in rows], pa.int64()),
+            "n_repeat": pa.array([r[2] for r in rows], pa.int64()),
+            "wilson_lb_micro": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+SEGMENT_REPEAT_WILSON_SQL = """
+WITH pc AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS k
+  FROM orders GROUP BY 1
+),
+g AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(sum(CASE WHEN pc.k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS r,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pc JOIN customer c ON c.c_custkey = pc.o_custkey
+  GROUP BY 1
+),
+q AS (
+  SELECT segment, r, n,
+         CAST((r * (n - r) + n) AS HUGEINT) * n AS arg,
+         CAST(floor(sqrt(CAST(CAST((r * (n - r) + n) AS HUGEINT) * n
+                              AS DOUBLE))) AS HUGEINT) AS s0
+  FROM g
+),
+w AS (
+  SELECT segment, r, n,
+         s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= arg THEN 1 ELSE 0 END)
+            - (CASE WHEN s0 * s0 > arg THEN 1 ELSE 0 END) AS rt
+  FROM q
+)
+SELECT segment, n AS n_customers, r AS n_repeat,
+       CAST((1000000::HUGEINT * (n::HUGEINT * (r + 2) - 2 * rt))
+            // (n::HUGEINT * (n + 4)) AS BIGINT) AS wilson_lb_micro
+FROM w
+ORDER BY wilson_lb_micro DESC, segment
+"""

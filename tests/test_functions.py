@@ -408,6 +408,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "hour_value_kendall",
         "source_length_cvm_matrix",
         "fd_violation_audit",
+        "user_spend_lorenz",
+        "segment_repeat_wilson",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -6090,3 +6092,34 @@ def test_fd_audit_truth(ray_session):
     r = rows["part.p_brand->p_type"]
     assert (r["n_groups"], r["n_violating"], r["max_rhs_variety"]) == truth
     assert r["holds"] == (truth[1] == 0)
+
+
+def test_lorenz_monotone_convex(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import user_spend_lorenz
+
+    rows = user_spend_lorenz(SF).to_pylist()
+    total_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_users"] for r in rows) == total_users
+    shares = [r["cum_share_permille"] for r in rows]
+    assert shares == sorted(shares)
+    assert shares[-1] == 1000
+    # Lorenz curve sits below the diagonal: decile d cumulative share
+    # <= (d+1)/10 of total (ranked ascending)
+    for r in rows:
+        assert r["cum_share_permille"] <= (r["decile"] + 1) * 100 + 1
+
+
+def test_segment_repeat_wilson_bounds(ray_session):
+    from document_extractor_ray.functions.analytics import segment_repeat_wilson
+
+    rows = segment_repeat_wilson(SF).to_pylist()
+    lbs = [r["wilson_lb_micro"] for r in rows]
+    assert lbs == sorted(lbs, reverse=True)
+    for r in rows:
+        assert 0 <= r["n_repeat"] <= r["n_customers"]
+        # Wilson lower bound never exceeds the raw rate
+        assert r["wilson_lb_micro"] * r["n_customers"] <= 1_000_000 * r["n_repeat"]
