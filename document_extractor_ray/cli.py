@@ -117,6 +117,24 @@ def cmd_gen_fixtures(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Corpus profiler: table shape/null/ndv profile plus, for the
+    documents table, the dataset card — one JSON object per line so a
+    shell pipeline can consume it (the 'what did we just ingest'
+    first look)."""
+    _ray_session(args.num_cpus)
+    from document_extractor_ray.functions.analytics import table_profile
+    from document_extractor_ray.functions.textstats import dataset_card
+
+    prof = table_profile(args.sf_dir)
+    for row in prof.to_pylist():
+        print(json.dumps(row, default=str))
+    if args.card:
+        for row in dataset_card(args.sf_dir).to_pylist():
+            print(json.dumps(row, default=str))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="document_extractor_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -149,6 +167,13 @@ def main(argv=None) -> int:
     pg.add_argument("--rows", type=int, default=1000)
     pg.add_argument("--seed", type=int, default=42)
     pg.set_defaults(fn=cmd_gen_fixtures)
+
+    pp = sub.add_parser("profile", help="profile the test tables in a dir")
+    pp.add_argument("sf_dir", help="directory of *.parquet tables")
+    pp.add_argument("--num-cpus", type=int, default=8)
+    pp.add_argument("--card", action="store_true",
+                    help="also print the documents dataset card")
+    pp.set_defaults(fn=cmd_profile)
 
     args = p.parse_args(argv)
     return args.fn(args)
