@@ -407,6 +407,8 @@ PICKS = [
     "fd_violation_audit",
     "user_spend_lorenz",
     "segment_repeat_wilson",
+    "pettitt_changepoint",
+    "simpson_paradox_audit",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

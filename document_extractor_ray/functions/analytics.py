@@ -22556,3 +22556,259 @@ SELECT segment, n AS n_customers, r AS n_repeat,
 FROM w
 ORDER BY wilson_lb_micro DESC, segment
 """
+
+
+# ---------------------------------------------------------------------------
+# Pettitt rank-based changepoint test on the daily event-count series
+# ---------------------------------------------------------------------------
+
+
+def pettitt_changepoint(sf_dir: str):
+    """Pettitt (1979) rank-based changepoint test over the daily
+    event-count series — the nonparametric companion of
+    events_top_changepoint (which assumes an SSE/mean-shift model):
+    U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j) via the recurrence
+    U_t = U_{t−1} + V_t with V_t = Σ_j sgn(x_t − x_j); the statistic
+    is K = max_{1≤t<n} |U_t| with the EARLIEST day on ties, and the
+    0.05-level decision is taken by the exact integer inequality
+    60000000·K² > 36888795·(n³ + n²)  (2·exp(−6K²/(n³+n²)) < 0.05 ⇔
+    6K² > ln(40)·(n³+n²); ln(40)·10⁷ rounded UP so both engines share
+    one integer constant and no transcendental is evaluated).
+
+    Scale shape: one calendar-bounded daily fold (fold_partials), then
+    the O(n²) sign matrix vectorized on the driver over the bounded
+    series — the orders_mann_kendall shape."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        g = pa.TableGroupBy(pa.table({"day": day}), ["day"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())})
+
+    series = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "day", "n"
+    )
+    days = sorted(series)
+    y = np.array([series[d] for d in days], dtype=np.int64)
+    n = len(y)
+    if n < 2:
+        return pa.table(
+            {
+                "n_days": pa.array([], pa.int64()),
+                "k_stat": pa.array([], pa.int64()),
+                "u_at_star": pa.array([], pa.int64()),
+                "day_star": pa.array([], pa.timestamp("us")),
+                "significant": pa.array([], pa.int64()),
+            }
+        )
+    diff = np.sign(y[:, None] - y[None, :]).astype(np.int64)
+    v = diff.sum(axis=1)
+    u = np.cumsum(v)[:-1]  # U_t for t = 1..n-1
+    star = int(np.argmax(np.abs(u)))  # earliest day on ties
+    k = int(abs(u[star]))
+    sig = 1 if 60_000_000 * k * k > 36_888_795 * (n**3 + n**2) else 0
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "k_stat": pa.array([k], pa.int64()),
+            "u_at_star": pa.array([int(u[star])], pa.int64()),
+            "day_star": pa.array([days[star]], pa.timestamp("us")),
+            "significant": pa.array([sig], pa.int64()),
+        }
+    )
+
+
+PETTITT_CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+v AS (
+  SELECT a.day,
+         CAST(sum(CASE WHEN a.n > b.n THEN 1
+                       WHEN a.n < b.n THEN -1 ELSE 0 END) AS BIGINT) AS v
+  FROM daily a CROSS JOIN daily b
+  GROUP BY 1
+),
+u AS (
+  SELECT day,
+         CAST(sum(v) OVER (ORDER BY day) AS BIGINT) AS u,
+         row_number() OVER (ORDER BY day) AS i,
+         count(*) OVER () AS m
+  FROM v
+),
+k AS (
+  SELECT day, u, m FROM u WHERE i < m
+  ORDER BY abs(u) DESC, day LIMIT 1
+)
+SELECT CAST(m AS BIGINT) AS n_days,
+       CAST(abs(u) AS BIGINT) AS k_stat,
+       u AS u_at_star,
+       day AS day_star,
+       CAST(CASE WHEN 60000000 * u * u > 36888795 * (m * m * m + m * m)
+                 THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM k
+"""
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox audit: pooled vs per-segment covariance sign
+# ---------------------------------------------------------------------------
+
+
+def simpson_paradox_audit(sf_dir: str):
+    """Simpson's-paradox audit of the account-balance → total-spend
+    association: the SIGN of the exact covariance numerator
+    S = n·Σxy − Σx·Σy (x = c_acctbal cents, y = the customer's total
+    order spend cents, customers with ≥1 order) pooled across all
+    customers vs within each market segment, plus the per-pair
+    magnitude |S| // (n·(n−1)) and a flip flag marking segments whose
+    association sign CONTRADICTS the pooled sign — the aggregation
+    trap every cohorted metric dashboard needs to surface.
+
+    Scale shape: per-customer spend via ``bucketed_agg``; the customer
+    dim (acctbal, segment) broadcasts once; per-batch int64 partial
+    sums (n, Σx, Σy, Σxy) fold on the 5-segment domain (at 10⁹
+    customers the Σxy partial moves to decimal128 — same fold)."""
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": t["o_custkey"], "y": _to_cents(t["o_totalprice"])}
+        )
+
+    spend = bucketed_agg(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+            slim, batch_format="pyarrow"
+        ),
+        ["o_custkey"],
+        [("y", "sum", "y")],
+    )
+    dim_t = pa.concat_tables(
+        [
+            t
+            for t in map(
+                ray.get,
+                _read(
+                    sf_dir,
+                    "customer",
+                    columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+                ).to_arrow_refs(),
+            )
+            if t.num_rows
+        ]
+    ).combine_chunks()
+    dim_t = pa.table(
+        {
+            "c_custkey": dim_t["c_custkey"],
+            "x": _to_cents(dim_t["c_acctbal"]),
+            "segment": dim_t["c_mktsegment"],
+        }
+    )
+    dim_ref = state.broadcast(dim_t)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = state.cached_get(dim_ref)
+        t = state.lookup_join(t, "o_custkey", d, "c_custkey", ["x", "segment"])
+        t = t.filter(pc.is_valid(t["segment"]))  # inner-join semantics
+        x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        yv = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "segment": t["segment"],
+                    "x": x,
+                    "y": yv,
+                    "xy": x * yv,
+                }
+            ),
+            ["segment"],
+        ).aggregate([("x", "sum"), ("y", "sum"), ("xy", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "segment": g["segment"],
+                "sx": g["x_sum"],
+                "sy": g["y_sum"],
+                "sxy": g["xy_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    acc = fold_partials(
+        spend.map_batches(partial, batch_format="pyarrow"),
+        "segment",
+        ["sx", "sy", "sxy", "n"],
+    )
+    per = {seg: tuple(int(v) for v in vals) for seg, vals in acc.items()}
+    pooled = tuple(sum(v[i] for v in per.values()) for i in range(4))
+    per["ALL"] = pooled
+
+    def s_num(vals) -> int:
+        sx, sy, sxy, n = vals
+        return n * sxy - sx * sy
+
+    psign = (lambda s: 1 if s > 0 else (-1 if s < 0 else 0))(s_num(pooled))
+    rows = []
+    for seg in sorted(per):
+        sx, sy, sxy, n = per[seg]
+        s = s_num(per[seg])
+        sign = 1 if s > 0 else (-1 if s < 0 else 0)
+        pp = abs(s) // (n * (n - 1)) if n > 1 else 0
+        flip = 1 if (sign != 0 and psign != 0 and sign != psign) else 0
+        rows.append((seg, n, sign, pp, flip))
+    return pa.table(
+        {
+            "segment": pa.array([r[0] for r in rows], pa.string()),
+            "n_cust": pa.array([r[1] for r in rows], pa.int64()),
+            "cov_sign": pa.array([r[2] for r in rows], pa.int64()),
+            "cov_abs_pp": pa.array([r[3] for r in rows], pa.int64()),
+            "flip": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+SIMPSON_PARADOX_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(round(c.c_acctbal * 100.0) AS BIGINT) AS x, s.y
+  FROM spend s JOIN customer c ON c.c_custkey = s.o_custkey
+),
+g AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy
+  FROM j GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', CAST(count(*) AS BIGINT),
+         CAST(sum(x) AS HUGEINT), CAST(sum(y) AS HUGEINT),
+         sum(CAST(x AS HUGEINT) * y)
+  FROM j
+),
+s AS (
+  SELECT segment, n, CAST(n AS HUGEINT) * sxy - sx * sy AS cov_num FROM g
+),
+p AS (
+  SELECT CASE WHEN cov_num > 0 THEN 1
+              WHEN cov_num < 0 THEN -1 ELSE 0 END AS psign
+  FROM s WHERE segment = 'ALL'
+)
+SELECT segment, n AS n_cust,
+       CAST(CASE WHEN cov_num > 0 THEN 1
+                 WHEN cov_num < 0 THEN -1 ELSE 0 END AS BIGINT) AS cov_sign,
+       CAST(CASE WHEN n > 1
+                 THEN abs(cov_num) // (CAST(n AS HUGEINT) * (n - 1))
+                 ELSE 0 END AS BIGINT) AS cov_abs_pp,
+       CAST(CASE WHEN cov_num <> 0 AND (SELECT psign FROM p) <> 0
+                 AND (CASE WHEN cov_num > 0 THEN 1 ELSE -1 END)
+                     <> (SELECT psign FROM p)
+                 THEN 1 ELSE 0 END AS BIGINT) AS flip
+FROM s ORDER BY segment
+"""

@@ -410,6 +410,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "fd_violation_audit",
         "user_spend_lorenz",
         "segment_repeat_wilson",
+        "pettitt_changepoint",
+        "simpson_paradox_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -6123,3 +6125,54 @@ def test_segment_repeat_wilson_bounds(ray_session):
         assert 0 <= r["n_repeat"] <= r["n_customers"]
         # Wilson lower bound never exceeds the raw rate
         assert r["wilson_lb_micro"] * r["n_customers"] <= 1_000_000 * r["n_repeat"]
+
+
+def test_pettitt_matches_bruteforce(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import pettitt_changepoint
+
+    row = pettitt_changepoint(SF).to_pylist()[0]
+    daily = duckdb.sql(
+        f"SELECT date_trunc('day', ts) AS d, count(*) AS n"
+        f" FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    y = [n for _, n in daily]
+    n = len(y)
+    assert row["n_days"] == n
+    # brute-force U_t from the definition
+    us = []
+    for t in range(1, n):
+        u = sum(
+            (y[i] > y[j]) - (y[i] < y[j])
+            for i in range(t)
+            for j in range(t, n)
+        )
+        us.append(u)
+    k = max(abs(u) for u in us)
+    star = next(i for i, u in enumerate(us) if abs(u) == k)
+    assert row["k_stat"] == k
+    assert row["u_at_star"] == us[star]
+    got_day = row["day_star"]
+    if hasattr(got_day, "date"):
+        got_day = got_day.date()
+    assert got_day == daily[star][0]
+    assert row["significant"] in (0, 1)
+
+
+def test_simpson_audit_consistency(ray_session):
+    from document_extractor_ray.functions.analytics import simpson_paradox_audit
+
+    rows = simpson_paradox_audit(SF).to_pylist()
+    segs = {r["segment"]: r for r in rows}
+    assert "ALL" in segs
+    assert segs["ALL"]["n_cust"] == sum(
+        r["n_cust"] for r in rows if r["segment"] != "ALL"
+    )
+    assert segs["ALL"]["flip"] == 0  # pooled row can't contradict itself
+    for r in rows:
+        assert r["cov_sign"] in (-1, 0, 1)
+        if r["flip"]:
+            assert r["cov_sign"] == -segs["ALL"]["cov_sign"]
+        if r["cov_sign"] == 0:
+            assert r["cov_abs_pp"] == 0
