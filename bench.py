@@ -409,6 +409,8 @@ PICKS = [
     "segment_repeat_wilson",
     "pettitt_changepoint",
     "simpson_paradox_audit",
+    "holt_linear_forecast",
+    "l_moments_profile",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

@@ -22812,3 +22812,259 @@ SELECT segment, n AS n_cust,
                  THEN 1 ELSE 0 END AS BIGINT) AS flip
 FROM s ORDER BY segment
 """
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing of daily order revenue (integer fixed-point)
+# ---------------------------------------------------------------------------
+
+
+def holt_linear_forecast(sf_dir: str):
+    """Holt double-exponential smoothing of the daily order-revenue
+    series in exact integer fixed-point (milli-cents; α = 1/5,
+    β = 1/10 as floor-divided rationals): l_t = ⌊(2·1000·y_t +
+    8·(l+b)) / 10⌋, b_t = ⌊((l_t − l) + 9·b) / 10⌋, initialised
+    l_1 = 1000·y_1, b_1 = 1000·(y_2 − y_1) — the trend-aware
+    companion of events_ewma (level only) and q6_forecast_revenue.
+    Emits the final state, the one-step-ahead sum of absolute errors
+    (the in-sample fit the α/β choice is judged by), and the h = 1
+    and h = 7 linear forecasts l_n + h·b_n.  Every division is FLOOR
+    division on both engines (b_t can be negative; the mann_kendall
+    convention).
+
+    Scale shape: one calendar-bounded daily fold (fold_partials); the
+    O(n) recurrence runs on the driver over the bounded series — the
+    recursion is inherently sequential, so it belongs on the bounded
+    day domain, never on rows."""
+    day_us = 86_400_000_000
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(t["o_orderdate"], pa.int64()), pa.scalar(day_us, pa.int64())
+        )
+        g = pa.TableGroupBy(
+            pa.table({"day": day, "cents": _to_cents(t["o_totalprice"])}), ["day"]
+        ).aggregate([("cents", "sum")])
+        return pa.table({"day": g["day"], "cents": g["cents_sum"]})
+
+    series = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "day", "cents"
+    )
+    days = sorted(series)
+    y = [int(series[d]) for d in days]
+    n = len(y)
+    if n < 2:
+        return pa.table(
+            {
+                "n_days": pa.array([], pa.int64()),
+                "level_milli": pa.array([], pa.int64()),
+                "trend_milli": pa.array([], pa.int64()),
+                "sae_milli": pa.array([], pa.int64()),
+                "f1_milli": pa.array([], pa.int64()),
+                "f7_milli": pa.array([], pa.int64()),
+            }
+        )
+    lev = 1000 * y[0]
+    tr = 1000 * (y[1] - y[0])
+    sae = 0
+    for t in range(1, n):
+        pred = lev + tr
+        sae += abs(1000 * y[t] - pred)
+        new_lev = (2000 * y[t] + 8 * pred) // 10
+        tr = ((new_lev - lev) + 9 * tr) // 10
+        lev = new_lev
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "level_milli": pa.array([lev], pa.int64()),
+            "trend_milli": pa.array([tr], pa.int64()),
+            "sae_milli": pa.array([sae], pa.int64()),
+            "f1_milli": pa.array([lev + tr], pa.int64()),
+            "f7_milli": pa.array([lev + 7 * tr], pa.int64()),
+        }
+    )
+
+
+HOLT_LINEAR_FORECAST_SQL = """
+WITH RECURSIVE d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY day) AS i, y FROM d
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+r AS (
+  SELECT CAST(2 AS BIGINT) AS i,
+         1000 * a.y AS lev,
+         1000 * (b.y - a.y) AS tr,
+         CAST(0 AS BIGINT) AS sae
+  FROM idx a, idx b WHERE a.i = 1 AND b.i = 2
+  UNION ALL
+  SELECT r.i + 1,
+         -- new_lev = floor((2000*y + 8*(lev+tr)) / 10)
+         (v.num - ((v.num % 10 + 10) % 10)) // 10,
+         -- tr' = floor(((new_lev - lev) + 9*tr) / 10)
+         (((v.num - ((v.num % 10 + 10) % 10)) // 10 - r.lev) + 9 * r.tr
+          - (((((v.num - ((v.num % 10 + 10) % 10)) // 10 - r.lev) + 9 * r.tr)
+              % 10 + 10) % 10)) // 10,
+         r.sae + abs(1000 * x.y - (r.lev + r.tr))
+  FROM r
+  JOIN idx x ON x.i = r.i
+  CROSS JOIN LATERAL (SELECT 2000 * x.y + 8 * (r.lev + r.tr) AS num) v
+  WHERE r.i <= (SELECT n FROM n)
+),
+fin AS (
+  SELECT lev, tr, sae FROM r ORDER BY i DESC LIMIT 1
+)
+SELECT (SELECT n FROM n) AS n_days,
+       lev AS level_milli, tr AS trend_milli, sae AS sae_milli,
+       lev + tr AS f1_milli, lev + 7 * tr AS f7_milli
+FROM fin
+"""
+
+
+# ---------------------------------------------------------------------------
+# L-moment profile (Hosking 1990) of event values per type
+# ---------------------------------------------------------------------------
+
+
+def l_moments_profile(sf_dir: str):
+    """L-moment profile of the event-value distribution per type:
+    λ1 (L-location), λ2 (L-scale), and the dimensionless L-skewness
+    τ3 = λ3/λ2 and L-kurtosis τ4 = λ4/λ2 (Hosking 1990) — the
+    robust alternative to moment skew/kurtosis (value_winsorized_stats
+    family): L-moments are LINEAR in the order statistics, so every
+    quantity here is an exact integer rational of the rank-weighted
+    sums S_k = Σ (i−1)(i−2)…(i−k) x_(i), reported in micro units via
+    portable floor division.
+
+    Scale shape: NO per-group sort — ranks come from the (type,
+    value-cents) HISTOGRAM: within an equal-value run the rank weights
+    sum in closed form (Σ j, Σ j(j−1) = J(J−1)(J−2)/3, Σ j(j−1)(j−2)
+    = J(J−1)(J−2)(J−3)/4 telescoped over cumulative counts), so one
+    ``bucketed_agg`` histogram fold replaces the all-data sort — the
+    hour_value_kendall 'pair counts without pairs' trick applied to
+    order statistics.  Driver math in unbounded Python ints (S3 ~ n³·x
+    exceeds int64; SQL side uses HUGEINT)."""
+
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "cents": _to_cents(t["value"]),
+            }
+        )
+
+    hist_ds = bucketed_agg(
+        _read(sf_dir, "events", columns=["event_type", "value"]).map_batches(
+            slim, batch_format="pyarrow"
+        ),
+        ["event_type", "cents"],
+        [(None, "count", "m")],
+    )
+    hist = fold_partials(hist_ds, ["event_type", "cents"], "m", max_keys=500_000)
+
+    def fdiv(a: int, n: int) -> int:
+        return (a - ((a % n + n) % n)) // n
+
+    def g3(j: int) -> int:
+        return j * (j - 1) * (j - 2) // 3
+
+    def g4(j: int) -> int:
+        return j * (j - 1) * (j - 2) * (j - 3) // 4
+
+    types = sorted({et for et, _ in hist})
+    rows = []
+    for et in types:
+        blocks = sorted((c, int(hist[(et, c)])) for _, c in hist if _ == et)
+        n = sum(m for _, m in blocks)
+        if n < 4:
+            continue
+        s0 = s1 = s2 = s3 = 0
+        c = 0  # cumulative count before this value block
+        for x, m in blocks:
+            x = int(x)
+            s0 += m * x
+            s1 += x * (m * c + m * (m - 1) // 2)
+            s2 += x * (g3(c + m) - g3(c))
+            s3 += x * (g4(c + m) - g4(c))
+            c += m
+        l2num = 2 * s1 - (n - 1) * s0
+        l3num = 6 * s2 - 6 * (n - 2) * s1 + (n - 1) * (n - 2) * s0
+        l4num = (
+            20 * s3
+            - 30 * (n - 3) * s2
+            + 12 * (n - 2) * (n - 3) * s1
+            - (n - 1) * (n - 2) * (n - 3) * s0
+        )
+        rows.append(
+            (
+                et,
+                n,
+                fdiv(1_000_000 * s0, n),
+                fdiv(1_000_000 * l2num, n * (n - 1)),
+                fdiv(1_000_000 * l3num, l2num * (n - 2)),
+                fdiv(1_000_000 * l4num, l2num * (n - 2) * (n - 3)),
+            )
+        )
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "l1_micro": pa.array([r[2] for r in rows], pa.int64()),
+            "l2_micro": pa.array([r[3] for r in rows], pa.int64()),
+            "tau3_micro": pa.array([r[4] for r in rows], pa.int64()),
+            "tau4_micro": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )
+
+
+L_MOMENTS_PROFILE_SQL = """
+WITH v AS (
+  SELECT event_type,
+         CAST(round(value * 100.0) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS i
+  FROM events
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(x AS HUGEINT)) AS s0,
+         sum(CAST(i AS HUGEINT) * x) AS s1,
+         sum(CAST(i AS HUGEINT) * (i - 1) * x) AS s2,
+         sum(CAST(i AS HUGEINT) * (i - 1) * (i - 2) * x) AS s3
+  FROM v GROUP BY 1
+),
+lm AS (
+  SELECT event_type, n, s0,
+         2 * s1 - (n - 1) * s0 AS l2num,
+         6 * s2 - 6 * (n - 2) * s1
+           + CAST(n - 1 AS HUGEINT) * (n - 2) * s0 AS l3num,
+         20 * s3 - 30 * (n - 3) * s2
+           + 12 * CAST(n - 2 AS HUGEINT) * (n - 3) * s1
+           - CAST(n - 1 AS HUGEINT) * (n - 2) * (n - 3) * s0 AS l4num
+  FROM g WHERE n >= 4
+)
+SELECT event_type, n,
+       CAST((1000000 * s0 - ((1000000 * s0 % n + n) % n)) // n
+            AS BIGINT) AS l1_micro,
+       CAST((1000000 * l2num
+             - ((1000000 * l2num % (CAST(n AS HUGEINT) * (n - 1))
+                 + CAST(n AS HUGEINT) * (n - 1))
+                % (CAST(n AS HUGEINT) * (n - 1))))
+            // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) AS l2_micro,
+       CAST((1000000 * l3num
+             - ((1000000 * l3num % (l2num * (n - 2)) + l2num * (n - 2))
+                % (l2num * (n - 2))))
+            // (l2num * (n - 2)) AS BIGINT) AS tau3_micro,
+       CAST((1000000 * l4num
+             - ((1000000 * l4num % (l2num * (n - 2) * (n - 3))
+                 + l2num * (n - 2) * (n - 3))
+                % (l2num * (n - 2) * (n - 3))))
+            // (l2num * (n - 2) * (n - 3)) AS BIGINT) AS tau4_micro
+FROM lm ORDER BY event_type
+"""

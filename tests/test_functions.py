@@ -412,6 +412,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "segment_repeat_wilson",
         "pettitt_changepoint",
         "simpson_paradox_audit",
+        "holt_linear_forecast",
+        "l_moments_profile",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -6176,3 +6178,77 @@ def test_simpson_audit_consistency(ray_session):
             assert r["cov_sign"] == -segs["ALL"]["cov_sign"]
         if r["cov_sign"] == 0:
             assert r["cov_abs_pp"] == 0
+
+
+def test_holt_matches_bruteforce(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import holt_linear_forecast
+
+    row = holt_linear_forecast(SF).to_pylist()[0]
+    daily = duckdb.sql(
+        f"SELECT epoch_us(o_orderdate) // 86400000000 AS d,"
+        f" CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)"
+        f" FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    y = [v for _, v in daily]
+    lev, tr, sae = 1000 * y[0], 1000 * (y[1] - y[0]), 0
+    for t in range(1, len(y)):
+        pred = lev + tr
+        sae += abs(1000 * y[t] - pred)
+        new_lev = (2000 * y[t] + 8 * pred) // 10
+        tr = ((new_lev - lev) + 9 * tr) // 10
+        lev = new_lev
+    assert row["n_days"] == len(y)
+    assert (row["level_milli"], row["trend_milli"], row["sae_milli"]) == (
+        lev,
+        tr,
+        sae,
+    )
+    assert row["f7_milli"] - row["f1_milli"] == 6 * row["trend_milli"]
+
+
+def test_l_moments_match_sorted_definition(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import l_moments_profile
+
+    rows = {r["event_type"]: r for r in l_moments_profile(SF).to_pylist()}
+    raw = duckdb.sql(
+        f"SELECT event_type, CAST(round(value * 100.0) AS BIGINT)"
+        f" FROM '{SF}/events.parquet'"
+    ).fetchall()
+    by_type: dict = {}
+    for et, x in raw:
+        by_type.setdefault(et, []).append(x)
+
+    def fdiv(a, n):
+        return (a - ((a % n + n) % n)) // n
+
+    for et, xs in by_type.items():
+        xs.sort()
+        n = len(xs)
+        s0 = sum(xs)
+        s1 = sum(i * x for i, x in enumerate(xs))
+        s2 = sum(i * (i - 1) * x for i, x in enumerate(xs))
+        s3 = sum(i * (i - 1) * (i - 2) * x for i, x in enumerate(xs))
+        l2num = 2 * s1 - (n - 1) * s0
+        l3num = 6 * s2 - 6 * (n - 2) * s1 + (n - 1) * (n - 2) * s0
+        l4num = (
+            20 * s3
+            - 30 * (n - 3) * s2
+            + 12 * (n - 2) * (n - 3) * s1
+            - (n - 1) * (n - 2) * (n - 3) * s0
+        )
+        r = rows[et]
+        assert r["n"] == n
+        assert r["l1_micro"] == fdiv(1_000_000 * s0, n)
+        assert r["l2_micro"] == fdiv(1_000_000 * l2num, n * (n - 1))
+        assert r["tau3_micro"] == fdiv(1_000_000 * l3num, l2num * (n - 2))
+        assert r["tau4_micro"] == fdiv(
+            1_000_000 * l4num, l2num * (n - 2) * (n - 3)
+        )
+        # Hosking bounds: lambda2 > 0, |tau3| < 1, tau4 < 1
+        assert r["l2_micro"] > 0
+        assert abs(r["tau3_micro"]) <= 1_000_000
+        assert r["tau4_micro"] <= 1_000_000
