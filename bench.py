@@ -411,6 +411,8 @@ PICKS = [
     "simpson_paradox_audit",
     "holt_linear_forecast",
     "l_moments_profile",
+    "dsir_importance_weights",
+    "burrows_delta_sources",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

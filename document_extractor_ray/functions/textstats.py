@@ -10318,3 +10318,299 @@ JOIN tot tb ON tb.source = b.source
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, data selection via
+# importance resampling) under an add-1-smoothed unigram LM pair
+# ---------------------------------------------------------------------------
+
+
+def dsir_importance_weights(sf_dir: str, k: int = 100):
+    """DSIR importance weights for target-aware data selection: score
+    every document in the raw pool by how much more likely its tokens
+    are under the TARGET domain's unigram LM than under the raw pool's
+    (Xie et al. 2023, arXiv:2302.03169 — here with explicit unigram
+    features and add-1 smoothing instead of hashed n-grams so the
+    oracle is exact).  Target = the lexicographically smallest
+    ``source`` value; weight(d) = Σ_occ [L(ct+1) − L(cr+1)] +
+    n_tok·[L(Nr+V) − L(Nt+V)] in micro-nats with L(v) =
+    round(ln(v)·1e6) (the xent family's integer-log convention);
+    emits the top-k raw-pool docs (target-source docs excluded — they
+    are the exemplar set, not candidates).
+
+    Scale shape: ONE (token → cr, ct) vocabulary fold via
+    ``bucketed_agg`` (shuffle bounded by distinct tokens); the
+    per-token weight table is computed once on the driver (memoized
+    ln per distinct count) and broadcast; scoring is one vectorized
+    index_in + np.add.at segment-sum per batch; top-k via sort+limit
+    on the slim (doc_id, n_tok, weight) table."""
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.bucketing import (
+        bucketed_agg,
+        fold_partials,
+    )
+
+    ds = _read_docs(sf_dir, ["doc_id", "source", "text"])
+
+    def src_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(pa.table({"source": t["source"]}), ["source"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"source": g["source"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    srcs = fold_partials(
+        ds.map_batches(src_partial, batch_format="pyarrow"), "source", "n"
+    )
+    target = min(srcs)
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        src = pc.take(t["source"], parent)
+        is_t = pc.cast(pc.equal(src, target), pa.int64())
+        g = pa.TableGroupBy(
+            pa.table({"token": flat, "is_t": is_t}), ["token"]
+        ).aggregate([("is_t", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "token": g["token"],
+                "ct_part": g["is_t_sum"],
+                "cr_part": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    vocab = bucketed_agg(
+        ds.map_batches(tf_partial, batch_format="pyarrow"),
+        ["token"],
+        [("cr_part", "sum", "cr"), ("ct_part", "sum", "ct")],
+    ).materialize()
+    vt = pa.concat_tables(
+        tb for tb in map(ray.get, vocab.to_arrow_refs()) if tb.num_rows
+    ).combine_chunks()
+
+    ln_cache: dict = {}
+
+    def L(v: int) -> int:
+        r = ln_cache.get(v)
+        if r is None:
+            r = int(math.floor(math.log(v) * 1_000_000 + 0.5))
+            ln_cache[v] = r
+        return r
+
+    cr = vt["cr"].to_numpy(zero_copy_only=False)
+    ct = vt["ct"].to_numpy(zero_copy_only=False)
+    n_raw, n_tgt, v_size = int(cr.sum()), int(ct.sum()), len(cr)
+    w = np.array(
+        [L(int(a) + 1) - L(int(b) + 1) for a, b in zip(ct, cr)], dtype=np.int64
+    )
+    shift = L(n_raw + v_size) - L(n_tgt + v_size)
+    ref = state.broadcast((vt["token"].combine_chunks(), w))
+
+    def score(t: pa.Table) -> pa.Table:
+        tokens, wt = state.cached_get(ref)
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        par = parent.filter(keep).to_numpy(zero_copy_only=False)
+        ntok = np.zeros(t.num_rows, np.int64)
+        num = np.zeros(t.num_rows, np.int64)
+        if len(flat):
+            idx = pc.index_in(flat, value_set=tokens).to_numpy(zero_copy_only=False)
+            np.add.at(num, par, wt[idx])
+            np.add.at(ntok, par, 1)
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "n_tok": pa.array(ntok),
+                "dsir_micro": pa.array(num + ntok * shift),
+            }
+        )
+        mask = pc.and_(pa.array(ntok > 0), pc.not_equal(t["source"], target))
+        return out.filter(mask)
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["dsir_micro", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+DSIR_IMPORTANCE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+  FROM documents
+),
+tk AS (SELECT doc_id, source, token FROM tok WHERE token <> ''),
+tgt AS (SELECT min(source) AS s FROM documents),
+cnt AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cr,
+         CAST(count(*) FILTER (WHERE source = (SELECT s FROM tgt))
+              AS BIGINT) AS ct
+  FROM tk GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt,
+         CAST(count(*) AS BIGINT) AS v
+  FROM cnt
+)
+SELECT tk.doc_id, tk.source AS source,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(sum(CAST(round(ln(c.ct + 1) * 1000000) AS BIGINT)
+                - CAST(round(ln(c.cr + 1) * 1000000) AS BIGINT))
+            + count(*)
+              * (CAST(round(ln((SELECT nr + v FROM tot)) * 1000000) AS BIGINT)
+                 - CAST(round(ln((SELECT nt + v FROM tot)) * 1000000) AS BIGINT))
+            AS BIGINT) AS dsir_micro
+FROM tk JOIN cnt c USING (token)
+WHERE tk.source <> (SELECT s FROM tgt)
+GROUP BY tk.doc_id, tk.source
+ORDER BY dsir_micro DESC, tk.doc_id
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta stylometric distance between sources (MAD-scaled)
+# ---------------------------------------------------------------------------
+
+
+def burrows_delta_sources(sf_dir: str, m: int = 50):
+    """Burrows' Delta between every pair of sources over the corpus's
+    top-m tokens — the classic stylometric authorship distance, in the
+    integer-exact MAD-scaled form (Argamon's median-based variant):
+    f_st = ⌊10⁹·c_st / n_s⌋ (per-source relative frequency), per-token
+    spread MAD_t = lower-median of |f_st − lower-median_s(f_st)| across
+    sources, and Δ(a,b) = Σ_{t: MAD_t>0} ⌊10⁶·|f_at − f_bt| / MAD_t⌋ —
+    which sources write alike, the corpus-mixing diagnostic next to
+    source_lm_divergence (KL) and the drift matrices (KS/EMD/CvM on
+    lengths).
+
+    Scale shape: one vocabulary fold picks the top-m tokens (bounded
+    shuffle); per-(source, token∈top-m) counts fold on the m×S-bounded
+    domain; all pair math runs on the driver over that tiny grid."""
+    from document_extractor_ray.functions.bucketing import (
+        bucketed_agg,
+        fold_partials,
+    )
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        src = pc.take(t["source"], parent.filter(keep))
+        g = pa.TableGroupBy(
+            pa.table({"source": src, "token": flat}), ["source", "token"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "token": g["token"],
+                "c_part": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    st = bucketed_agg(
+        ds.map_batches(tf_partial, batch_format="pyarrow"),
+        ["source", "token"],
+        [("c_part", "sum", "c")],
+    )
+    grid = fold_partials(st, ["source", "token"], "c", max_keys=500_000)
+
+    # driver: global top-m tokens (count DESC, token ASC), per-source totals
+    tot_tok: dict = {}
+    n_src: dict = {}
+    for (s, t), c in grid.items():
+        c = int(c)
+        tot_tok[t] = tot_tok.get(t, 0) + c
+        n_src[s] = n_src.get(s, 0) + c
+    top = sorted(tot_tok, key=lambda t: (-tot_tok[t], t))[:m]
+    sources = sorted(n_src)
+
+    def lower_median(vals) -> int:
+        v = sorted(vals)
+        return v[(len(v) - 1) // 2]
+
+    f = {
+        (s, t): (1_000_000_000 * int(grid.get((s, t), 0))) // n_src[s]
+        for s in sources
+        for t in top
+    }
+    mad = {}
+    for t in top:
+        med = lower_median(f[(s, t)] for s in sources)
+        mad[t] = lower_median(abs(f[(s, t)] - med) for s in sources)
+    used = [t for t in top if mad[t] > 0]
+    rows = []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1 :]:
+            delta = sum(
+                (1_000_000 * abs(f[(a, t)] - f[(b, t)])) // mad[t] for t in used
+            )
+            rows.append((a, b, len(used), delta))
+    return pa.table(
+        {
+            "source_a": pa.array([r[0] for r in rows], pa.string()),
+            "source_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_terms": pa.array([r[2] for r in rows], pa.int64()),
+            "delta_micro": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+BURROWS_DELTA_SQL = f"""
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+  FROM documents
+),
+tk AS (SELECT source, token FROM tok WHERE token <> ''),
+ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1),
+top AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS c FROM tk GROUP BY 1
+  ) ORDER BY c DESC, token LIMIT 50
+),
+cnt AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+  FROM tk WHERE token IN (SELECT token FROM top)
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.source, t.token, coalesce(c.c, 0) AS c
+  FROM (SELECT DISTINCT source FROM tk) s
+  CROSS JOIN top t
+  LEFT JOIN cnt c USING (source, token)
+),
+f AS (
+  SELECT g.source, g.token, (1000000000 * g.c) // ns.n AS f
+  FROM grid g JOIN ns USING (source)
+),
+med AS (SELECT token, quantile_disc(f, 0.5) AS med FROM f GROUP BY 1),
+mad AS (
+  SELECT f.token, quantile_disc(abs(f.f - m.med), 0.5) AS mad
+  FROM f JOIN med m USING (token) GROUP BY 1
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum((1000000 * abs(a.f - b.f)) // m.mad) AS BIGINT) AS delta_micro
+FROM f a
+JOIN f b ON a.token = b.token AND a.source < b.source
+JOIN mad m ON m.token = a.token AND m.mad > 0
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -414,6 +414,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "simpson_paradox_audit",
         "holt_linear_forecast",
         "l_moments_profile",
+        "dsir_importance_weights",
+        "burrows_delta_sources",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -6252,3 +6254,71 @@ def test_l_moments_match_sorted_definition(ray_session):
         assert r["l2_micro"] > 0
         assert abs(r["tau3_micro"]) <= 1_000_000
         assert r["tau4_micro"] <= 1_000_000
+
+
+def test_dsir_excludes_target_and_orders(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.textstats import (
+        dsir_importance_weights,
+    )
+
+    df = dsir_importance_weights(SF).to_pandas()
+    target = duckdb.sql(
+        f"SELECT min(source) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    assert len(df) == 100
+    assert (df["source"] != target).all()
+    w = df["dsir_micro"].tolist()
+    assert w == sorted(w, reverse=True)
+    assert (df["n_tok"] > 0).all()
+    # brute-force recompute of the top doc's weight from raw tokens
+    import math as m
+    import re as _re
+
+    top = df.iloc[0]
+    toks_all = duckdb.sql(
+        f"SELECT doc_id, source, lower(text) FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    cr: dict = {}
+    ct: dict = {}
+    doc_toks = None
+    for doc_id, source, text in toks_all:
+        toks = [t for t in _re.split("[^a-z0-9]+", text) if t]
+        for t in toks:
+            cr[t] = cr.get(t, 0) + 1
+            if source == target:
+                ct[t] = ct.get(t, 0) + 1
+        if doc_id == top["doc_id"]:
+            doc_toks = toks
+
+    def L(v):
+        return int(m.floor(m.log(v) * 1_000_000 + 0.5))
+
+    nr, nt, v = sum(cr.values()), sum(ct.values()), len(cr)
+    shift = L(nr + v) - L(nt + v)
+    want = sum(L(ct.get(t, 0) + 1) - L(cr[t] + 1) for t in doc_toks) + len(
+        doc_toks
+    ) * shift
+    assert int(top["dsir_micro"]) == want
+    assert int(top["n_tok"]) == len(doc_toks)
+
+
+def test_burrows_delta_invariants(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.textstats import (
+        burrows_delta_sources,
+    )
+
+    df = burrows_delta_sources(SF).to_pandas()
+    n_src = duckdb.sql(
+        f"SELECT count(DISTINCT source) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    assert len(df) == n_src * (n_src - 1) // 2
+    assert (df["delta_micro"] >= 0).all()
+    assert df["n_terms"].nunique() == 1
+    assert (df["source_a"] < df["source_b"]).all()
+    # identical-pair sanity: distance to self would be zero; nearest
+    # pair must be strictly below the farthest unless degenerate
+    assert df["delta_micro"].min() <= df["delta_micro"].max()
