@@ -413,6 +413,8 @@ PICKS = [
     "l_moments_profile",
     "dsir_importance_weights",
     "burrows_delta_sources",
+    "isotonic_calibration",
+    "cochran_armitage_trend",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

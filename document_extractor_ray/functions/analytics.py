@@ -23068,3 +23068,105 @@ SELECT event_type, n,
             // (l2num * (n - 2) * (n - 3)) AS BIGINT) AS tau4_micro
 FROM lm ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Cochran–Armitage trend test: finished-order rate across order years
+# ---------------------------------------------------------------------------
+
+
+def cochran_armitage_trend(sf_dir: str):
+    """Cochran–Armitage test for TREND in a binary rate across ordered
+    groups — here the rate of o_orderstatus = 'F' across order years
+    with equally-spaced scores w = 0, 1, … (the ordered-alternative
+    companion of the unordered value_type_chi2 / mktseg contingency
+    family).  Everything is an exact integer: T·N = Σ w·(r_i·N − n_i·R),
+    Var·N³ = R·(N−R)·(N·Σw²n − (Σwn)²), and the squared z-score in
+    micro units z² = T²·N / Var·N³-normalised via one portable floor
+    division (Python ints / HUGEINT — Var·N³ exceeds int64 beyond
+    sf0.01, so only the bounded z² crosses the wire).
+
+    Scale shape: one year-bounded (yr → n, r) fold; the weighted sums
+    run on the driver over the bounded year series."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_orderstatus"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = pc.year(pc.cast(t["o_orderdate"], pa.timestamp("us")))
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "yr": pc.cast(yr, pa.int64()),
+                    "r": pc.cast(pc.equal(t["o_orderstatus"], "F"), pa.int64()),
+                }
+            ),
+            ["yr"],
+        ).aggregate([("r", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "yr": g["yr"],
+                "r": g["r_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    acc = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "yr", ["r", "n"]
+    )
+    years = sorted(acc)
+    k = len(years)
+    nn = sum(int(acc[y][1]) for y in years)
+    rr = sum(int(acc[y][0]) for y in years)
+    t_n = sum(
+        w * (int(acc[y][0]) * nn - int(acc[y][1]) * rr)
+        for w, y in enumerate(years)
+    )
+    sw2n = sum(w * w * int(acc[y][1]) for w, y in enumerate(years))
+    swn = sum(w * int(acc[y][1]) for w, y in enumerate(years))
+    var_n3 = rr * (nn - rr) * (nn * sw2n - swn * swn)
+    z2_micro = (1_000_000 * t_n * t_n * nn) // var_n3 if var_n3 > 0 else 0
+    return pa.table(
+        {
+            "n_groups": pa.array([k], pa.int64()),
+            "n_total": pa.array([nn], pa.int64()),
+            "r_total": pa.array([rr], pa.int64()),
+            "t_n": pa.array([t_n], pa.int64()),
+            "z2_micro": pa.array([z2_micro], pa.int64()),
+        }
+    )
+
+
+COCHRAN_ARMITAGE_SQL = """
+WITH g AS (
+  SELECT year(o_orderdate) AS yr, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM orders GROUP BY 1
+),
+w AS (SELECT yr, n, r, row_number() OVER (ORDER BY yr) - 1 AS w FROM g),
+tot AS (
+  SELECT CAST(sum(n) AS HUGEINT) AS nn, CAST(sum(r) AS HUGEINT) AS rr,
+         CAST(count(*) AS BIGINT) AS k
+  FROM w
+),
+st AS (
+  SELECT sum(CAST(w AS HUGEINT)
+             * (r * (SELECT nn FROM tot) - n * (SELECT rr FROM tot))) AS t_n,
+         sum(CAST(w AS HUGEINT) * w * n) AS sw2n,
+         sum(CAST(w AS HUGEINT) * n) AS swn
+  FROM w
+),
+v AS (
+  SELECT t_n,
+         (SELECT rr FROM tot) * ((SELECT nn FROM tot) - (SELECT rr FROM tot))
+           * ((SELECT nn FROM tot) * sw2n - swn * swn) AS var_n3
+  FROM st
+)
+SELECT (SELECT k FROM tot) AS n_groups,
+       CAST((SELECT nn FROM tot) AS BIGINT) AS n_total,
+       CAST((SELECT rr FROM tot) AS BIGINT) AS r_total,
+       CAST(t_n AS BIGINT) AS t_n,
+       CAST(CASE WHEN var_n3 > 0
+                 THEN (1000000 * t_n * t_n * (SELECT nn FROM tot)) // var_n3
+                 ELSE 0 END AS BIGINT) AS z2_micro
+FROM v
+"""

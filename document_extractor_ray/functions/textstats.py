@@ -10614,3 +10614,137 @@ JOIN mad m ON m.token = a.token AND m.mad > 0
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (PAVA) of the quality score's reliability bins
+# ---------------------------------------------------------------------------
+
+
+def isotonic_calibration(sf_dir: str):
+    """Isotonic regression (pool-adjacent-violators) over the
+    quality_calibration_bins reliability diagram: the alpha-share
+    score's per-decade positive rates, forced monotone non-decreasing
+    by merging adjacent violating bins — the calibration map an
+    isotonic-calibrated quality classifier would actually ship.  Each
+    original bin row carries its pool's EXACT fitted rate as the
+    integer rational (fit_pos, fit_n) plus the floored permille; pools
+    merge on STRICT violation (pos_prev·n_cur > pos_cur·n_prev), so
+    equal rates stay separate pools — the deterministic rule both
+    engines share (SQL side: a small-step recursive-CTE stack machine,
+    one merge or one consume per step).
+
+    Scale shape: the 100-bin (bin → n, pos) fold is the whole shuffle;
+    PAVA itself is O(bins) on the driver."""
+    from document_extractor_ray.functions.bucketing import fold_partials
+
+    ds = _read_docs(sf_dir, ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = pc.utf8_length(t["text"])
+        a = pc.count_substring_regex(t["text"], "[A-Za-z]")
+        a64 = pc.cast(a, pa.int64()).to_numpy(zero_copy_only=False)
+        n64 = pc.cast(n, pa.int64()).to_numpy(zero_copy_only=False)
+        score = np.where(n64 > 0, (1000 * a64) // np.maximum(n64, 1), 0)
+        b = np.minimum(score // 10, 99)
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "bin": pa.array(b, pa.int64()),
+                    "pos": pc.cast(pc.equal(t["lang"], "en"), pa.int64()),
+                }
+            ),
+            ["bin"],
+        ).aggregate([("pos", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "bin": g["bin"],
+                "pos": g["pos_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    acc = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "bin", ["pos", "n"]
+    )
+    bins = sorted(acc)
+    # PAVA: stack of pools [first_bin, n, pos]; merge while the last
+    # two pools strictly violate monotonicity of pos/n.
+    stack: list = []
+    for b in bins:
+        pos, n = (int(v) for v in acc[b])
+        stack.append([int(b), n, pos])
+        while (
+            len(stack) >= 2
+            and stack[-2][2] * stack[-1][1] > stack[-1][2] * stack[-2][1]
+        ):
+            b2, n2, p2 = stack.pop()
+            stack[-1][1] += n2
+            stack[-1][2] += p2
+    rows = []
+    for i, b in enumerate(bins):
+        pos, n = (int(v) for v in acc[b])
+        pool = max((p for p in stack if p[0] <= b), key=lambda p: p[0])
+        rows.append((int(b), n, pos, pool[2], pool[1], 1000 * pool[2] // pool[1]))
+    return pa.table(
+        {
+            "bin": pa.array([r[0] for r in rows], pa.int64()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "n_pos": pa.array([r[2] for r in rows], pa.int64()),
+            "fit_pos": pa.array([r[3] for r in rows], pa.int64()),
+            "fit_n": pa.array([r[4] for r in rows], pa.int64()),
+            "fit_rate_permille": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )
+
+
+ISOTONIC_CALIBRATION_SQL = """
+WITH RECURSIVE s AS (
+  SELECT CASE WHEN length(text) > 0
+              THEN (1000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+                   // length(text)
+              ELSE 0 END AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+bins AS (
+  SELECT CAST(least(score // 10, 99) AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS pos
+  FROM s GROUP BY 1
+),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS m FROM bins),
+walk AS (
+  SELECT CAST(1 AS BIGINT) AS nexti,
+         CAST([] AS STRUCT(b BIGINT, n BIGINT, pos BIGINT)[]) AS st
+  UNION ALL
+  SELECT CASE WHEN viol THEN nexti ELSE nexti + 1 END,
+         CASE WHEN viol
+              THEN st[1:len(st)-2]
+                   || [{'b': st[len(st)-1].b,
+                        'n': st[len(st)-1].n + st[len(st)].n,
+                        'pos': st[len(st)-1].pos + st[len(st)].pos}]
+              ELSE st || [(SELECT {'b': b, 'n': n, 'pos': pos}
+                           FROM bins
+                           QUALIFY row_number() OVER (ORDER BY b)
+                                   = walk.nexti)]
+         END
+  FROM (
+    SELECT nexti, st,
+           len(st) >= 2
+           AND st[len(st)-1].pos * st[len(st)].n
+               > st[len(st)].pos * st[len(st)-1].n AS viol
+    FROM walk
+  ) walk
+  WHERE viol OR nexti <= (SELECT m FROM nb)
+),
+fin AS (
+  SELECT st FROM walk ORDER BY nexti DESC, len(st) LIMIT 1
+),
+pools AS (SELECT unnest(st, recursive := true) FROM fin)
+SELECT bins.b AS bin, bins.n AS n_docs, bins.pos AS n_pos,
+       p.pos AS fit_pos, p.n AS fit_n,
+       CAST(1000 * p.pos // p.n AS BIGINT) AS fit_rate_permille
+FROM bins JOIN pools p ON p.b <= bins.b
+QUALIFY row_number() OVER (PARTITION BY bins.b ORDER BY p.b DESC) = 1
+ORDER BY bin
+"""

@@ -416,6 +416,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "l_moments_profile",
         "dsir_importance_weights",
         "burrows_delta_sources",
+        "isotonic_calibration",
+        "cochran_armitage_trend",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -6322,3 +6324,45 @@ def test_burrows_delta_invariants(ray_session):
     # identical-pair sanity: distance to self would be zero; nearest
     # pair must be strictly below the farthest unless degenerate
     assert df["delta_micro"].min() <= df["delta_micro"].max()
+
+
+def test_isotonic_monotone_and_conserving(ray_session):
+    from document_extractor_ray.functions.textstats import isotonic_calibration
+
+    rows = isotonic_calibration(SF).to_pylist()
+    rates = [(r["fit_pos"], r["fit_n"]) for r in rows]
+    # fitted rates monotone non-decreasing (cross-multiplied)
+    for (p1, n1), (p2, n2) in zip(rates, rates[1:]):
+        assert p1 * n2 <= p2 * n1
+    # pools conserve mass: within a pool, raw sums equal the fit pair
+    import itertools
+
+    for (fp, fn), grp in itertools.groupby(rows, key=lambda r: (r["fit_pos"], r["fit_n"])):
+        g = list(grp)
+        assert sum(r["n_pos"] for r in g) == fp
+        assert sum(r["n_docs"] for r in g) == fn
+    for r in rows:
+        assert r["fit_rate_permille"] == 1000 * r["fit_pos"] // r["fit_n"]
+
+
+def test_cochran_armitage_bruteforce(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import cochran_armitage_trend
+
+    row = cochran_armitage_trend(SF).to_pylist()[0]
+    yrs = duckdb.sql(
+        f"SELECT year(o_orderdate), count(*),"
+        f" sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)"
+        f" FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    nn = sum(n for _, n, _ in yrs)
+    rr = sum(r for _, _, r in yrs)
+    t_n = sum(w * (r * nn - n * rr) for w, (_, n, r) in enumerate(yrs))
+    sw2n = sum(w * w * n for w, (_, n, _) in enumerate(yrs))
+    swn = sum(w * n for w, (_, n, _) in enumerate(yrs))
+    var_n3 = rr * (nn - rr) * (nn * sw2n - swn * swn)
+    assert row["n_groups"] == len(yrs)
+    assert (row["n_total"], row["r_total"], row["t_n"]) == (nn, rr, t_n)
+    want_z2 = (1_000_000 * t_n * t_n * nn) // var_n3 if var_n3 > 0 else 0
+    assert row["z2_micro"] == want_z2
