@@ -415,6 +415,8 @@ PICKS = [
     "burrows_delta_sources",
     "isotonic_calibration",
     "cochran_armitage_trend",
+    "chao1_richness",
+    "alias_table_plan",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

@@ -10748,3 +10748,119 @@ FROM bins JOIN pools p ON p.b <= bins.b
 QUALIFY row_number() OVER (PARTITION BY bins.b ORDER BY p.b DESC) = 1
 ORDER BY bin
 """
+
+
+# ---------------------------------------------------------------------------
+# Chao1 vocabulary-richness estimator per language
+# ---------------------------------------------------------------------------
+
+
+def chao1_richness(sf_dir: str):
+    """Chao1 species-richness estimate of the UNSEEN vocabulary per
+    language: S_chao1 = S_obs + f1(f1−1)/(2(f2+1)) (the bias-corrected
+    form, defined even when no doubleton exists), where f1/f2 are the
+    singleton/doubleton counts of the per-lang token-frequency
+    spectrum — "how much vocabulary does this corpus slice still owe
+    us", the capture-recapture answer behind vocab_growth's empirical
+    curve and hapax_share's ratio.  Reported in exact micro units via
+    one floor division.
+
+    Scale shape: the (lang, token) → count fold is ``bucketed_agg``
+    (complete groups per hash bucket), so the frequency-spectrum
+    reduction (S_obs, f1, f2) is a per-block pyarrow partial folded on
+    the lang-bounded domain — the vocabulary never lands anywhere
+    whole."""
+    from document_extractor_ray.functions.bucketing import (
+        bucketed_agg,
+        fold_partials,
+    )
+
+    ds = _read_docs(sf_dir, ["lang", "text"])
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        lang = pc.take(t["lang"], parent.filter(keep))
+        g = pa.TableGroupBy(
+            pa.table({"lang": lang, "token": flat}), ["lang", "token"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "token": g["token"],
+                "c_part": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    vocab = bucketed_agg(
+        ds.map_batches(tf_partial, batch_format="pyarrow"),
+        ["lang", "token"],
+        [("c_part", "sum", "c")],
+    )
+
+    def spectrum(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "lang": t["lang"],
+                    "one": pc.cast(pc.equal(t["c"], 1), pa.int64()),
+                    "two": pc.cast(pc.equal(t["c"], 2), pa.int64()),
+                }
+            ),
+            ["lang"],
+        ).aggregate([("one", "sum"), ("two", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "f1": g["one_sum"],
+                "f2": g["two_sum"],
+                "s": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    acc = fold_partials(
+        vocab.map_batches(spectrum, batch_format="pyarrow"),
+        "lang",
+        ["f1", "f2", "s"],
+    )
+    rows = []
+    for lang in sorted(acc):
+        f1, f2, s = (int(v) for v in acc[lang])
+        chao1 = 1_000_000 * s + (1_000_000 * f1 * (f1 - 1)) // (2 * (f2 + 1))
+        rows.append((lang, s, f1, f2, chao1))
+    return pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "s_obs": pa.array([r[1] for r in rows], pa.int64()),
+            "f1": pa.array([r[2] for r in rows], pa.int64()),
+            "f2": pa.array([r[3] for r in rows], pa.int64()),
+            "chao1_micro": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+CHAO1_RICHNESS_SQL = f"""
+WITH tok AS (
+  SELECT lang,
+         unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+  FROM documents
+),
+tk AS (SELECT lang, token FROM tok WHERE token <> ''),
+cnt AS (
+  SELECT lang, token, count(*) AS c FROM tk GROUP BY 1, 2
+),
+sp AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS s_obs,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM cnt GROUP BY 1
+)
+SELECT lang, s_obs, f1, f2,
+       CAST(1000000 * s_obs
+            + (1000000 * f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT)
+         AS chao1_micro
+FROM sp ORDER BY lang
+"""

@@ -1935,3 +1935,123 @@ SELECT source,
        CAST(sum(tk) - sum(mk) + sum(sp) AS BIGINT) AS net_tokens
 FROM q GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Walker/Vose alias-table construction for source-mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def alias_table_plan(sf_dir: str):
+    """Walker alias table (Vose's O(k) construction) over the corpus
+    source distribution — the O(1)-per-draw sampler a mixture/
+    temperature data loader actually uses to draw sources at training
+    time (source_temperature_mix computes the target weights; this op
+    compiles a distribution into the (threshold, alias) table).  All
+    integer: scaled weight u_s = k·c_s against total T, FIFO
+    small/large queues seeded in lexicographic source order, one merge
+    emitted per step; per-cell invariant Σ mass(s) = u_s exactly (no
+    float probabilities anywhere).  SQL twin: a small-step
+    recursive-CTE machine over two struct-list queues.
+
+    Scale shape: one (source → count) fold (source-bounded); the O(k)
+    construction runs on the driver over the bounded source domain —
+    the alias table itself is what gets broadcast to data-loader
+    workers at training time."""
+    from document_extractor_ray.functions.bucketing import fold_partials
+
+    ds = _read_docs(sf_dir, ["source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(pa.table({"source": t["source"]}), ["source"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"source": g["source"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    cnts = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "source", "n"
+    )
+    order = sorted(cnts)
+    k = len(order)
+    total = sum(int(cnts[s]) for s in order)
+    u = {s: k * int(cnts[s]) for s in order}
+    small = [s for s in order if u[s] < total]
+    large = [s for s in order if u[s] >= total]
+    em: dict = {}
+    while small and large:
+        s = small.pop(0)
+        l = large[0]
+        em[s] = (u[s], l)
+        u[l] -= total - u[s]
+        if u[l] < total:
+            large.pop(0)
+            small.append(l)
+    for s in large + small:
+        em[s] = (total, s)
+    return pa.table(
+        {
+            "source": pa.array(order, pa.string()),
+            "n_docs": pa.array([int(cnts[s]) for s in order], pa.int64()),
+            "weight_k": pa.array([k * int(cnts[s]) for s in order], pa.int64()),
+            "threshold_num": pa.array([em[s][0] for s in order], pa.int64()),
+            "alias_source": pa.array([em[s][1] for s in order], pa.string()),
+        }
+    )
+
+
+ALIAS_TABLE_PLAN_SQL = """
+WITH RECURSIVE cnt AS (
+  SELECT source AS s, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS k FROM cnt
+),
+w0 AS (SELECT s, CAST((SELECT k FROM tot) * c AS BIGINT) AS u FROM cnt),
+init AS (
+  SELECT
+    coalesce(list({'s': s, 'u': u} ORDER BY s)
+               FILTER (WHERE u < (SELECT t FROM tot)),
+             CAST([] AS STRUCT(s VARCHAR, u BIGINT)[])) AS small,
+    coalesce(list({'s': s, 'u': u} ORDER BY s)
+               FILTER (WHERE u >= (SELECT t FROM tot)),
+             CAST([] AS STRUCT(s VARCHAR, u BIGINT)[])) AS large
+  FROM w0
+),
+walk AS (
+  SELECT small, large,
+         CAST([] AS STRUCT(s VARCHAR, thr BIGINT, al VARCHAR)[]) AS em
+  FROM init
+  UNION ALL
+  SELECT CASE WHEN nl < t THEN small[2:len(small)] || [{'s': lhead.s, 'u': nl}]
+              ELSE small[2:len(small)] END,
+         CASE WHEN nl < t THEN large[2:len(large)]
+              ELSE [{'s': lhead.s, 'u': nl}] || large[2:len(large)] END,
+         em || [{'s': shead.s, 'thr': shead.u, 'al': lhead.s}]
+  FROM (
+    SELECT small, large, em,
+           small[1] AS shead, large[1] AS lhead,
+           large[1].u - ((SELECT t FROM tot) - small[1].u) AS nl,
+           (SELECT t FROM tot) AS t
+    FROM walk
+    WHERE len(small) > 0 AND len(large) > 0
+  ) w
+),
+fin AS (SELECT * FROM walk ORDER BY len(em) DESC LIMIT 1),
+emitted AS (
+  SELECT e.s AS s, e.thr AS thr, e.al AS al
+  FROM (SELECT unnest(em) AS e FROM fin)
+  UNION ALL
+  SELECT l.s, (SELECT t FROM tot), l.s
+  FROM (SELECT unnest(large) AS l FROM fin)
+  UNION ALL
+  SELECT l.s, (SELECT t FROM tot), l.s
+  FROM (SELECT unnest(small) AS l FROM fin)
+)
+SELECT c.s AS source, c.c AS n_docs,
+       CAST((SELECT k FROM tot) * c.c AS BIGINT) AS weight_k,
+       e.thr AS threshold_num, e.al AS alias_source
+FROM cnt c JOIN emitted e ON e.s = c.s
+ORDER BY source
+"""

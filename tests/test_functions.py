@@ -418,6 +418,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "burrows_delta_sources",
         "isotonic_calibration",
         "cochran_armitage_trend",
+        "chao1_richness",
+        "alias_table_plan",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -6366,3 +6368,48 @@ def test_cochran_armitage_bruteforce(ray_session):
     assert (row["n_total"], row["r_total"], row["t_n"]) == (nn, rr, t_n)
     want_z2 = (1_000_000 * t_n * t_n * nn) // var_n3 if var_n3 > 0 else 0
     assert row["z2_micro"] == want_z2
+
+
+def test_chao1_bounds_and_spectrum(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.textstats import chao1_richness
+
+    rows = chao1_richness(SF).to_pylist()
+    want = duckdb.sql(
+        f"""
+        WITH tok AS (SELECT lang, unnest(regexp_split_to_array(lower(text),
+                     '[^a-z0-9]+')) AS t FROM '{SF}/documents.parquet'),
+        tk AS (SELECT lang, t FROM tok WHERE t <> ''),
+        c AS (SELECT lang, t, count(*) AS c FROM tk GROUP BY 1,2)
+        SELECT lang, count(*),
+               sum(CASE WHEN c=1 THEN 1 ELSE 0 END),
+               sum(CASE WHEN c=2 THEN 1 ELSE 0 END)
+        FROM c GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    assert len(rows) == len(want)
+    for r, (lang, s, f1, f2) in zip(rows, want):
+        assert (r["lang"], r["s_obs"], r["f1"], r["f2"]) == (lang, s, f1, f2)
+        # estimator never below the observed richness
+        assert r["chao1_micro"] >= 1_000_000 * r["s_obs"]
+
+
+def test_alias_table_mass_invariant(ray_session):
+    from document_extractor_ray.functions.training import alias_table_plan
+
+    rows = alias_table_plan(SF).to_pylist()
+    k = len(rows)
+    total = sum(r["n_docs"] for r in rows)
+    mass = {r["source"]: 0 for r in rows}
+    for r in rows:
+        assert 0 <= r["threshold_num"] <= total
+        assert r["weight_k"] == k * r["n_docs"]
+        mass[r["source"]] += r["threshold_num"]
+        if r["alias_source"] != r["source"]:
+            mass[r["alias_source"]] += total - r["threshold_num"]
+    for r in rows:
+        # per-cell mass reproduces the source distribution exactly
+        assert mass[r["source"]] == r["weight_k"]
+        if r["threshold_num"] == total:
+            assert r["alias_source"] == r["source"]
