@@ -417,6 +417,8 @@ PICKS = [
     "cochran_armitage_trend",
     "chao1_richness",
     "alias_table_plan",
+    "bloom_fpp_sweep",
+    "haar_energy_daily",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

@@ -23170,3 +23170,291 @@ SELECT (SELECT k FROM tot) AS n_groups,
                  ELSE 0 END AS BIGINT) AS z2_micro
 FROM v
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter size sweep: measured FPP on the order-customer key set
+# ---------------------------------------------------------------------------
+
+
+def bloom_fpp_sweep(sf_dir: str):
+    """Measured Bloom-filter false-positive sweep: insert the distinct
+    order custkeys into k=2 multiplicative-hash Bloom filters of m ∈
+    {4096, 16384, 65536} bits (h = x·odd mod 2³² mod m, Knuth
+    constants) and probe with one deterministic UNSEEN key per
+    customer (c_custkey·1000003 + 7, filtered against the member set —
+    every customer has an order in this data, so the natural anti-join
+    probe population is empty) — the sizing table behind
+    lineitem_semi_bloom's fixed filter: which m buys which measured
+    FPP on THIS key distribution (measured, not the e^{-kn/m}
+    formula — no transcendental crosses the wire).
+
+    Scale shape: the filter state is m-BOUNDED — per-batch partials
+    emit distinct (m, bit-position) rows (≤ 86k keys total) and the
+    probe pass reads the broadcast member-key array (bounded by the
+    customer dimension, the customers_without_orders convention);
+    probe false-positive counts fold per m."""
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ms = [4096, 16384, 65536]
+    A1, A2, M32 = 2654435761, 2246822507, 1 << 32
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        x = pc.unique(t["o_custkey"]).to_numpy(zero_copy_only=False).astype(np.uint64)
+        mm, pp = [], []
+        for m in ms:
+            for a in (A1, A2):
+                pos = np.unique(((x * a) & (M32 - 1)) % m)
+                mm.append(np.full(len(pos), m, np.int64))
+                pp.append(pos.astype(np.int64))
+        return pa.table(
+            {"m": pa.array(np.concatenate(mm)), "pos": pa.array(np.concatenate(pp))}
+        )
+
+    bits_tbl = fold_partials(
+        orders.map_batches(pos_partial, batch_format="pyarrow"),
+        ["m", "pos"],
+        [],
+        max_keys=200_000,
+    )
+    bit_sets = {m: set() for m in ms}
+    for m, pos in bits_tbl:
+        bit_sets[int(m)].add(int(pos))
+
+    # distinct member keys (probe-population filter; customer-bounded)
+    def key_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": pc.unique(t["o_custkey"])})
+
+    distinct = bucketed_agg(
+        orders.map_batches(key_partial, batch_format="pyarrow"),
+        ["o_custkey"],
+        [(None, "count", "_n")],
+    )
+    keys = pa.concat_tables(
+        [t for t in map(ray.get, distinct.to_arrow_refs()) if t.num_rows]
+    )["o_custkey"].combine_chunks()
+    n_members = len(keys)
+    member_ref = state.broadcast(keys)
+    bits_ref = state.broadcast({m: np.array(sorted(s), np.int64) for m, s in bit_sets.items()})
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def probe_partial(t: pa.Table) -> pa.Table:
+        members = state.cached_get(member_ref)
+        barr = state.cached_get(bits_ref)
+        shifted = pc.add(
+            pc.multiply(t["c_custkey"], pa.scalar(1_000_003, pa.int64())),
+            pa.scalar(7, pa.int64()),
+        )
+        is_member = pc.is_in(shifted, value_set=members)
+        x = (
+            shifted.filter(pc.invert(is_member))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        rows_m, rows_p, rows_f = [], [], []
+        for m in ms:
+            p1 = ((x * A1) & (M32 - 1)) % m
+            p2 = ((x * A2) & (M32 - 1)) % m
+            hit = np.isin(p1.astype(np.int64), barr[m]) & np.isin(
+                p2.astype(np.int64), barr[m]
+            )
+            rows_m.append(m)
+            rows_p.append(len(x))
+            rows_f.append(int(hit.sum()))
+        return pa.table(
+            {
+                "m": pa.array(rows_m, pa.int64()),
+                "probes": pa.array(rows_p, pa.int64()),
+                "fp": pa.array(rows_f, pa.int64()),
+            }
+        )
+
+    acc = fold_partials(
+        cust.map_batches(probe_partial, batch_format="pyarrow"), "m", ["probes", "fp"]
+    )
+    rows = []
+    for m in ms:
+        probes, fp = (int(v) for v in acc[m])
+        rows.append(
+            (
+                m,
+                n_members,
+                len(bit_sets[m]),
+                probes,
+                fp,
+                1_000_000 * fp // probes if probes else 0,
+            )
+        )
+    return pa.table(
+        {
+            "m_bits": pa.array([r[0] for r in rows], pa.int64()),
+            "n_members": pa.array([r[1] for r in rows], pa.int64()),
+            "bits_set": pa.array([r[2] for r in rows], pa.int64()),
+            "n_probes": pa.array([r[3] for r in rows], pa.int64()),
+            "n_false_pos": pa.array([r[4] for r in rows], pa.int64()),
+            "fpp_micro": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )
+
+
+BLOOM_FPP_SWEEP_SQL = """
+WITH members AS (SELECT DISTINCT o_custkey AS x FROM orders),
+probes AS (
+  SELECT c_custkey * 1000003 + 7 AS x FROM customer
+  WHERE c_custkey * 1000003 + 7 NOT IN (SELECT x FROM members)
+),
+ms AS (SELECT CAST(unnest([4096, 16384, 65536]) AS BIGINT) AS m),
+bits AS (
+  SELECT m, pos FROM (
+    SELECT ms.m AS m, (x * 2654435761) % 4294967296 % ms.m AS pos
+    FROM members CROSS JOIN ms
+    UNION
+    SELECT ms.m, (x * 2246822507) % 4294967296 % ms.m
+    FROM members CROSS JOIN ms
+  )
+),
+fp AS (
+  SELECT ms.m AS m, CAST(count(*) AS BIGINT) AS n_probes,
+         CAST(sum(CASE WHEN b1.pos IS NOT NULL AND b2.pos IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+  FROM probes CROSS JOIN ms
+  LEFT JOIN bits b1 ON b1.m = ms.m
+        AND b1.pos = (probes.x * 2654435761) % 4294967296 % ms.m
+  LEFT JOIN bits b2 ON b2.m = ms.m
+        AND b2.pos = (probes.x * 2246822507) % 4294967296 % ms.m
+  GROUP BY 1
+)
+SELECT m AS m_bits,
+       (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
+       (SELECT CAST(count(*) AS BIGINT) FROM bits b WHERE b.m = fp.m)
+         AS bits_set,
+       n_probes, n_fp AS n_false_pos,
+       CAST(CASE WHEN n_probes > 0 THEN 1000000 * n_fp // n_probes
+                 ELSE 0 END AS BIGINT) AS fpp_micro
+FROM fp ORDER BY m_bits
+"""
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet energy decomposition of the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+def haar_energy_daily(sf_dir: str):
+    """Unnormalized Haar wavelet detail-energy spectrum of the daily
+    order-revenue series: truncate to the first 2^L days, and for each
+    level ℓ (block of 2^ℓ days) the detail coefficient of block j is
+    (first-half sum − second-half sum) — computed straight from PREFIX
+    SUMS, no pyramid recursion — with per-level energy Σ d² reported
+    as the integer permille share of total detail energy.  Level 1 =
+    day-to-day noise, level L = half-series-vs-half-series shift: the
+    multi-resolution view next to events_trend_slope (one slope) and
+    the changepoint family (one split).
+
+    Scale shape: one calendar-bounded daily fold; prefix sums and the
+    O(n log n) coefficient grid run on the driver over the bounded
+    series (squares exceed int64 — Python ints here, HUGEINT in SQL)."""
+    day_us = 86_400_000_000
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(t["o_orderdate"], pa.int64()), pa.scalar(day_us, pa.int64())
+        )
+        g = pa.TableGroupBy(
+            pa.table({"day": day, "cents": _to_cents(t["o_totalprice"])}), ["day"]
+        ).aggregate([("cents", "sum")])
+        return pa.table({"day": g["day"], "cents": g["cents_sum"]})
+
+    series = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "day", "cents"
+    )
+    days = sorted(series)
+    n = len(days)
+    if n < 2:
+        return pa.table(
+            {
+                "level": pa.array([], pa.int64()),
+                "block_days": pa.array([], pa.int64()),
+                "n_coeffs": pa.array([], pa.int64()),
+                "energy_permille": pa.array([], pa.int64()),
+            }
+        )
+    lmax = n.bit_length() - 1
+    use = [int(series[d]) for d in days[: 1 << lmax]]
+    cum = [0]
+    for v in use:
+        cum.append(cum[-1] + v)
+    energies = []
+    for lv in range(1, lmax + 1):
+        block, half = 1 << lv, 1 << (lv - 1)
+        e = 0
+        for j in range(len(use) // block):
+            s = j * block
+            a = cum[s + half] - cum[s]
+            b = cum[s + block] - cum[s + half]
+            e += (a - b) ** 2
+        energies.append((lv, block, len(use) // block, e))
+    te = sum(e for _, _, _, e in energies)
+    return pa.table(
+        {
+            "level": pa.array([r[0] for r in energies], pa.int64()),
+            "block_days": pa.array([r[1] for r in energies], pa.int64()),
+            "n_coeffs": pa.array([r[2] for r in energies], pa.int64()),
+            "energy_permille": pa.array(
+                [1000 * r[3] // te if te else 0 for r in energies], pa.int64()
+            ),
+        }
+    )
+
+
+HAAR_ENERGY_SQL = """
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+o AS (
+  SELECT y, row_number() OVER (ORDER BY day) - 1 AS i,
+         count(*) OVER () AS n
+  FROM d
+),
+lm AS (SELECT CAST(floor(log2(n)) AS BIGINT) AS lmax FROM o LIMIT 1),
+u AS (SELECT y, i FROM o WHERE i < (1 << (SELECT lmax FROM lm))),
+cum AS (SELECT i, sum(y) OVER (ORDER BY i) AS c FROM u),
+lv AS (
+  SELECT unnest(generate_series(1, (SELECT lmax FROM lm))) AS l
+),
+pos AS (
+  SELECT l,
+         unnest(generate_series(
+           0, (1 << ((SELECT lmax FROM lm) - l)) - 1)) AS j
+  FROM lv
+),
+coeff AS (
+  SELECT p.l,
+         (coalesce(ch.c, 0) - coalesce(cs.c, 0))
+           - (ce.c - coalesce(ch.c, 0)) AS diff
+  FROM pos p
+  LEFT JOIN cum cs ON cs.i = p.j * (1 << p.l) - 1
+  JOIN cum ch ON ch.i = p.j * (1 << p.l) + (1 << (p.l - 1)) - 1
+  JOIN cum ce ON ce.i = (p.j + 1) * (1 << p.l) - 1
+),
+energy AS (
+  SELECT l, CAST(count(*) AS BIGINT) AS n_coeffs,
+         sum(CAST(diff AS HUGEINT) * diff) AS e
+  FROM coeff GROUP BY 1
+),
+tot AS (SELECT sum(e) AS te FROM energy)
+SELECT CAST(l AS BIGINT) AS level,
+       CAST(1 << l AS BIGINT) AS block_days,
+       n_coeffs,
+       CAST(CASE WHEN (SELECT te FROM tot) > 0
+                 THEN 1000 * e // (SELECT te FROM tot) ELSE 0 END
+            AS BIGINT) AS energy_permille
+FROM energy ORDER BY level
+"""

@@ -420,6 +420,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "cochran_armitage_trend",
         "chao1_richness",
         "alias_table_plan",
+        "bloom_fpp_sweep",
+        "haar_energy_daily",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -6413,3 +6415,53 @@ def test_alias_table_mass_invariant(ray_session):
         assert mass[r["source"]] == r["weight_k"]
         if r["threshold_num"] == total:
             assert r["alias_source"] == r["source"]
+
+
+def test_bloom_sweep_monotone_fpp(ray_session):
+    from document_extractor_ray.functions.analytics import bloom_fpp_sweep
+
+    rows = bloom_fpp_sweep(SF).to_pylist()
+    assert [r["m_bits"] for r in rows] == [4096, 16384, 65536]
+    for r in rows:
+        assert 0 <= r["n_false_pos"] <= r["n_probes"]
+        # k=2 hashes cannot set more than 2 bits per member
+        assert r["bits_set"] <= min(2 * r["n_members"], r["m_bits"])
+        assert r["n_probes"] > 0
+    # larger filters can only reduce the measured false-positive count
+    fps = [r["n_false_pos"] for r in rows]
+    assert fps[0] >= fps[1] >= fps[2] or fps[0] >= fps[2]
+
+
+def test_haar_energy_decomposition(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import haar_energy_daily
+
+    rows = haar_energy_daily(SF).to_pylist()
+    daily = duckdb.sql(
+        f"SELECT epoch_us(o_orderdate) // 86400000000 AS d,"
+        f" CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)"
+        f" FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    y = [v for _, v in daily]
+    lmax = len(y).bit_length() - 1
+    use = y[: 1 << lmax]
+    assert [r["level"] for r in rows] == list(range(1, lmax + 1))
+    # recompute level-1 energy by brute force
+    e1 = sum((use[2 * j] - use[2 * j + 1]) ** 2 for j in range(len(use) // 2))
+    te = 0
+    cur = use
+    es = []
+    while len(cur) > 1:
+        d = [cur[2 * j] - cur[2 * j + 1] for j in range(len(cur) // 2)]
+        cur = [cur[2 * j] + cur[2 * j + 1] for j in range(len(cur) // 2)]
+        e = sum(v * v for v in d)
+        es.append(e)
+        te += e
+    assert es[0] == e1
+    for r, e in zip(rows, es):
+        assert r["energy_permille"] == 1000 * e // te
+        assert r["n_coeffs"] == (1 << lmax) >> r["level"]
+    # shares sum to <= 1000 (floor) and within rounding of 1000
+    s = sum(r["energy_permille"] for r in rows)
+    assert 1000 - len(rows) <= s <= 1000
