@@ -419,6 +419,8 @@ PICKS = [
     "alias_table_plan",
     "bloom_fpp_sweep",
     "haar_energy_daily",
+    "capture_recapture_users",
+    "acf_peak_period",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

@@ -23458,3 +23458,230 @@ SELECT CAST(l AS BIGINT) AS level,
             AS BIGINT) AS energy_permille
 FROM energy ORDER BY level
 """
+
+
+# ---------------------------------------------------------------------------
+# Chapman capture–recapture estimate of the distinct-user population
+# ---------------------------------------------------------------------------
+
+
+def capture_recapture_users(sf_dir: str):
+    """Chapman capture–recapture estimate of the distinct-user
+    population from two event-time windows (days ≤ calendar midpoint
+    vs after): N̂ = ⌊(n1+1)(n2+1)/(m+1)⌋ − 1 with the Seber variance
+    floor — the "how many users exist that we never logged" estimator
+    (same math a corpus-overlap or dedup-coverage estimate uses), made
+    auditable here because the TRUE population is observable:
+    coverage_permille = 1000·N̂ // N_true.
+
+    Scale shape: per-user window flags reduce through ``bucketed_agg``
+    (max of two 0/1 flags per user — one bounded-width shuffle), then
+    per-block count partials fold to four scalars; no user list ever
+    lands on the driver."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    # calendar midpoint: fold min/max day first (cheap, bounded)
+    def day_partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64())
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "lo": pa.array([pc.min(day).as_py()], pa.int64()),
+                "hi": pa.array([pc.max(day).as_py()], pa.int64()),
+            }
+        )
+
+    span = [
+        t
+        for t in map(
+            ray.get,
+            ds.map_batches(day_partial, batch_format="pyarrow").to_arrow_refs(),
+        )
+        if t.num_rows
+    ]
+    lo = min(int(pc.min(t["lo"]).as_py()) for t in span)
+    hi = max(int(pc.max(t["hi"]).as_py()) for t in span)
+    mid = (lo + hi) // 2
+
+    def flag_partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64())
+        in_a = pc.cast(pc.less_equal(day, mid), pa.int64())
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "a": in_a,
+                    "b": pc.subtract(pa.scalar(1, pa.int64()), in_a),
+                }
+            ),
+            ["user_id"],
+        ).aggregate([("a", "max"), ("b", "max")])
+        return pa.table(
+            {"user_id": g["user_id"], "a": g["a_max"], "b": g["b_max"]}
+        )
+
+    per_user = bucketed_agg(
+        ds.map_batches(flag_partial, batch_format="pyarrow"),
+        ["user_id"],
+        [("a", "max", "a"), ("b", "max", "b")],
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n1": pa.array([int(a.sum())], pa.int64()),
+                "n2": pa.array([int(b.sum())], pa.int64()),
+                "m": pa.array([int((a & b).sum())], pa.int64()),
+                "tot": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    acc = fold_partials(
+        per_user.map_batches(count_partial, batch_format="pyarrow"),
+        "k",
+        ["n1", "n2", "m", "tot"],
+    )
+    n1, n2, m, tot = (int(v) for v in acc[0])
+    est = (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    var_fl = ((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)) // (
+        (m + 1) * (m + 1) * (m + 2)
+    )
+    return pa.table(
+        {
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "m_both": pa.array([m], pa.int64()),
+            "chapman_est": pa.array([est], pa.int64()),
+            "var_floor": pa.array([var_fl], pa.int64()),
+            "n_true": pa.array([tot], pa.int64()),
+            "coverage_permille": pa.array([1000 * est // tot], pa.int64()),
+        }
+    )
+
+
+CAPTURE_RECAPTURE_SQL = """
+WITH d AS (
+  SELECT user_id, epoch_us(date_trunc('day', ts)) // 86400000000 AS day
+  FROM events
+),
+mid AS (SELECT (min(day) + max(day)) // 2 AS m FROM d),
+u AS (
+  SELECT user_id,
+         max(CASE WHEN day <= (SELECT m FROM mid) THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN day > (SELECT m FROM mid) THEN 1 ELSE 0 END) AS b
+  FROM d GROUP BY 1
+),
+c AS (
+  SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2,
+         CAST(sum(a * b) AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS tot
+  FROM u
+)
+SELECT n1, n2, m AS m_both,
+       CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS chapman_est,
+       CAST(((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m))
+            // ((m + 1) * (m + 1) * (m + 2)) AS BIGINT) AS var_floor,
+       tot AS n_true,
+       CAST(1000 * ((n1 + 1) * (n2 + 1) // (m + 1) - 1) // tot AS BIGINT)
+         AS coverage_permille
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dominant-period detection via integer autocovariance argmax
+# ---------------------------------------------------------------------------
+
+
+def acf_peak_period(sf_dir: str):
+    """Periodicity scan of the daily event-count series: for every lag
+    k = 2..14 the exact integer autocovariance numerator
+    c_k = Σ_t (n·y_t − S)(n·y_{t+k} − S) over the n−k overlapping
+    pairs (S = Σy — global centering scaled by n so no division ever
+    happens), with the dominant period flagged by the cross-multiplied
+    per-pair comparison c_k·(n−k') > c_k'·(n−k) (earliest lag on
+    ties) — the "is there a weekly cycle" detector next to
+    orders_dow_profile's assumed-7 pivot.
+
+    Scale shape: one calendar-bounded daily fold; the lag scan is a
+    handful of vectorized dot products on the driver over the bounded
+    series."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64())
+        g = pa.TableGroupBy(pa.table({"day": day}), ["day"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())})
+
+    series = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "day", "n"
+    )
+    days = sorted(series)
+    y = [int(series[d]) for d in days]
+    n = len(y)
+    s = sum(y)
+    z = [n * v - s for v in y]  # scaled centered series (exact ints)
+    lags = [k for k in range(2, 15) if k < n]
+    rows = []
+    for k in lags:
+        c = sum(z[t] * z[t + k] for t in range(n - k))
+        rows.append([k, n - k, c, 0])
+    # cross-multiplied argmax: compare c_k/(n-k) without division
+    best = 0
+    for i in range(1, len(rows)):
+        ki, ni, ci, _ = rows[i]
+        kb, nb, cb, _ = rows[best]
+        if ci * nb > cb * ni:
+            best = i
+    rows[best][3] = 1
+    return pa.table(
+        {
+            "lag": pa.array([r[0] for r in rows], pa.int64()),
+            "n_pairs": pa.array([r[1] for r in rows], pa.int64()),
+            "acov_num": pa.array([r[2] for r in rows], pa.int64()),
+            "is_peak": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+ACF_PEAK_PERIOD_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+o AS (
+  SELECT y, row_number() OVER (ORDER BY day) - 1 AS i,
+         count(*) OVER () AS n, sum(y) OVER () AS s
+  FROM daily
+),
+z AS (SELECT i, n * y - s AS z, n FROM o),
+lag AS (SELECT unnest(generate_series(2, 14)) AS k),
+c AS (
+  SELECT lag.k AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(a.z * b.z) AS BIGINT) AS acov_num
+  FROM lag
+  JOIN z a ON TRUE
+  JOIN z b ON b.i = a.i + lag.k
+  WHERE lag.k < (SELECT max(n) FROM o)
+  GROUP BY 1
+),
+best AS (
+  SELECT lag FROM c a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM c b
+    WHERE b.acov_num * a.n_pairs > a.acov_num * b.n_pairs
+       OR (b.acov_num * a.n_pairs = a.acov_num * b.n_pairs
+           AND b.lag < a.lag)
+  )
+)
+SELECT lag, n_pairs, acov_num,
+       CAST(CASE WHEN lag = (SELECT lag FROM best) THEN 1 ELSE 0 END
+            AS BIGINT) AS is_peak
+FROM c ORDER BY lag
+"""

@@ -422,6 +422,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "alias_table_plan",
         "bloom_fpp_sweep",
         "haar_energy_daily",
+        "capture_recapture_users",
+        "acf_peak_period",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -6465,3 +6467,49 @@ def test_haar_energy_decomposition(ray_session):
     # shares sum to <= 1000 (floor) and within rounding of 1000
     s = sum(r["energy_permille"] for r in rows)
     assert 1000 - len(rows) <= s <= 1000
+
+
+def test_capture_recapture_sanity(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import (
+        capture_recapture_users,
+    )
+
+    row = capture_recapture_users(SF).to_pylist()[0]
+    true_n = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    assert row["n_true"] == true_n
+    assert row["m_both"] <= min(row["n1"], row["n2"])
+    # every user is in at least one window
+    assert row["n1"] + row["n2"] - row["m_both"] == true_n
+    # Chapman is consistent: estimate at least the observed union
+    assert row["chapman_est"] >= row["m_both"]
+    assert row["coverage_permille"] == 1000 * row["chapman_est"] // true_n
+    assert row["var_floor"] >= 0
+
+
+def test_acf_peak_bruteforce(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import acf_peak_period
+
+    rows = acf_peak_period(SF).to_pylist()
+    daily = duckdb.sql(
+        f"SELECT date_trunc('day', ts), count(*) FROM '{SF}/events.parquet'"
+        f" GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    y = [n for _, n in daily]
+    n, s = len(y), sum(y)
+    z = [n * v - s for v in y]
+    for r in rows:
+        k = r["lag"]
+        want = sum(z[t] * z[t + k] for t in range(n - k))
+        assert r["acov_num"] == want
+        assert r["n_pairs"] == n - k
+    assert sum(r["is_peak"] for r in rows) == 1
+    peak = next(r for r in rows if r["is_peak"])
+    for r in rows:
+        # peak maximizes the per-pair-normalized autocovariance
+        assert r["acov_num"] * peak["n_pairs"] <= peak["acov_num"] * r["n_pairs"]
