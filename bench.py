@@ -421,6 +421,8 @@ PICKS = [
     "haar_energy_daily",
     "capture_recapture_users",
     "acf_peak_period",
+    "sprt_daily_decision",
+    "heaps_law_fit",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

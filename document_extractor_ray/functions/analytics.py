@@ -23685,3 +23685,126 @@ SELECT lag, n_pairs, acov_num,
             AS BIGINT) AS is_peak
 FROM c ORDER BY lag
 """
+
+
+# ---------------------------------------------------------------------------
+# Wald SPRT walked over the day-ordered event stream
+# ---------------------------------------------------------------------------
+
+
+def sprt_daily_decision(sf_dir: str):
+    """Wald sequential probability ratio test on the day-ordered event
+    stream: H0: P(value ≥ 30) = 1/2 vs H1: p = 11/20, α = β = 0.05 —
+    the sequential A/B decision rule that stops INGESTING data the day
+    the evidence suffices, in the exact integer-log convention: the
+    per-day LLR increment is k·(L(11)−L(10)) + (n−k)·(L(9)−L(10))
+    micro-nats (L(v) = round(ln(v)·1e6), all on INTEGER arguments),
+    thresholds ±L(19) = ±ln(0.95/0.05).  Emits the decision, the
+    crossing day (earliest), and the final/crossing LLR.
+
+    Scale shape: one calendar-bounded (day → n, k) fold; the
+    sequential walk is a cumulative sum over the bounded day series on
+    the driver."""
+    import math
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        k = pc.cast(pc.greater_equal(t["value"], 30.0), pa.int64())
+        g = pa.TableGroupBy(pa.table({"day": day, "k": k}), ["day"]).aggregate(
+            [("k", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "day": g["day"],
+                "k": g["k_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    acc = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "day", ["k", "n"]
+    )
+
+    def L(v: int) -> int:
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    up, dn, thr = L(11) - L(10), L(9) - L(10), L(19)
+    days = sorted(acc)
+    cum = 0
+    decision, dec_day, dec_idx = "continue", days[-1], len(days)
+    n_succ = n_trials = 0
+    llr_at_decision = None
+    for i, d in enumerate(days):
+        k, n = (int(v) for v in acc[d])
+        cum += k * up + (n - k) * dn
+        n_succ += k
+        n_trials += n
+        if llr_at_decision is None and cum >= thr:
+            decision, dec_day, dec_idx, llr_at_decision = "accept_h1", d, i + 1, cum
+        elif llr_at_decision is None and cum <= -thr:
+            decision, dec_day, dec_idx, llr_at_decision = "accept_h0", d, i + 1, cum
+    if llr_at_decision is None:
+        llr_at_decision = cum
+    return pa.table(
+        {
+            "n_days": pa.array([len(days)], pa.int64()),
+            "n_trials": pa.array([n_trials], pa.int64()),
+            "n_success": pa.array([n_succ], pa.int64()),
+            "decision": pa.array([decision], pa.string()),
+            "decision_day": pa.array([dec_day], pa.timestamp("us")),
+            "days_to_decision": pa.array([dec_idx], pa.int64()),
+            "llr_micro": pa.array([llr_at_decision], pa.int64()),
+        }
+    )
+
+
+SPRT_DAILY_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(sum(CASE WHEN value >= 30.0 THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+consts AS (
+  SELECT CAST(round(ln(11) * 1000000) AS BIGINT)
+           - CAST(round(ln(10) * 1000000) AS BIGINT) AS up,
+         CAST(round(ln(9) * 1000000) AS BIGINT)
+           - CAST(round(ln(10) * 1000000) AS BIGINT) AS dn,
+         CAST(round(ln(19) * 1000000) AS BIGINT) AS thr
+),
+walk AS (
+  SELECT day, k, n,
+         sum(k * (SELECT up FROM consts)
+             + (n - k) * (SELECT dn FROM consts)) OVER (ORDER BY day) AS cum,
+         row_number() OVER (ORDER BY day) AS i,
+         count(*) OVER () AS m
+  FROM daily
+),
+crossing AS (
+  SELECT day, cum, i,
+         CASE WHEN cum >= (SELECT thr FROM consts) THEN 'accept_h1'
+              ELSE 'accept_h0' END AS decision
+  FROM walk
+  WHERE abs(cum) >= (SELECT thr FROM consts)
+  ORDER BY i LIMIT 1
+),
+fallback AS (
+  SELECT day, cum, i, 'continue' AS decision
+  FROM walk ORDER BY i DESC LIMIT 1
+),
+pick AS (
+  SELECT * FROM crossing
+  UNION ALL
+  SELECT * FROM fallback WHERE NOT EXISTS (SELECT 1 FROM crossing)
+)
+SELECT (SELECT CAST(max(m) AS BIGINT) FROM walk) AS n_days,
+       (SELECT CAST(sum(n) AS BIGINT) FROM daily) AS n_trials,
+       (SELECT CAST(sum(k) AS BIGINT) FROM daily) AS n_success,
+       decision,
+       day AS decision_day,
+       CAST(i AS BIGINT) AS days_to_decision,
+       CAST(cum AS BIGINT) AS llr_micro
+FROM pick
+"""

@@ -10864,3 +10864,178 @@ SELECT lang, s_obs, f1, f2,
          AS chao1_micro
 FROM sp ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law exponent fit over the vocabulary growth curve
+# ---------------------------------------------------------------------------
+
+
+def heaps_law_fit(sf_dir: str, n_buckets: int = VOCAB_GROWTH_BUCKETS):
+    """Heaps-law exponent β̂ for V(n) = K·n^β, fitted by least squares
+    on the (L(n_j), L(V_j)) integer micro-log points of the
+    vocab_growth checkpoints (cumulative token occurrences vs
+    cumulative distinct tokens after each corpus decile): with scaled
+    centering X_j = m·x_j − Σx the slope is the exact rational
+    ΣXY / ΣX², reported in micro via one portable floor division —
+    the one-number tokenizer-budget extrapolation the growth curve
+    feeds (β ≈ 0.5 typical English; higher = vocabulary still
+    exploding).
+
+    Scale shape: two vocabulary-bounded folds (first-occurrence
+    checkpoint histogram — vocab_growth's plan — plus a token-count
+    histogram over the same checkpoints); the 10-point regression is
+    driver arithmetic on Python ints."""
+    from document_extractor_ray.functions.bucketing import (
+        bucketed_agg,
+        fold_partials,
+    )
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    max_id = int(_read_docs(sf_dir, ["doc_id"]).max("doc_id"))
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        ids = pc.take(t["doc_id"], parent)
+        pairs = pa.table({"token": flat, "doc_id": ids}).filter(
+            pc.not_equal(flat, "")
+        )
+        g = pa.TableGroupBy(pairs, ["token"]).aggregate([("doc_id", "min")])
+        return pa.table({"token": g["token"], "md": g["doc_id_min"]})
+
+    firsts = bucketed_agg(
+        ds.map_batches(first_partial, batch_format="pyarrow"),
+        ["token"],
+        [("md", "min", "md")],
+    )
+
+    def first_hist(t: pa.Table) -> pa.Table:
+        md = t["md"].to_numpy(zero_copy_only=False)
+        cp = np.maximum(
+            1, np.minimum(n_buckets, (md * n_buckets + max_id - 1) // max_id)
+        )
+        g = pa.TableGroupBy(
+            pa.table({"cp": pa.array(cp, pa.int64())}), ["cp"]
+        ).aggregate([([], "count_all")])
+        return pa.table({"cp": g["cp"], "v": pc.cast(g["count_all"], pa.int64())})
+
+    v_new = fold_partials(
+        firsts.map_batches(first_hist, batch_format="pyarrow"), "cp", "v"
+    )
+
+    def tok_hist(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        ids = (
+            pc.take(t["doc_id"], parent.filter(pc.not_equal(flat, "")))
+            .to_numpy(zero_copy_only=False)
+        )
+        cp = np.maximum(
+            1, np.minimum(n_buckets, (ids * n_buckets + max_id - 1) // max_id)
+        )
+        g = pa.TableGroupBy(
+            pa.table({"cp": pa.array(cp, pa.int64())}), ["cp"]
+        ).aggregate([([], "count_all")])
+        return pa.table({"cp": g["cp"], "n": pc.cast(g["count_all"], pa.int64())})
+
+    n_new = fold_partials(
+        ds.map_batches(tok_hist, batch_format="pyarrow"), "cp", "n"
+    )
+
+    def L(v: int) -> int:
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    xs, ys = [], []
+    cn = cv = 0
+    for j in range(1, n_buckets + 1):
+        cn += int(n_new.get(j, 0))
+        cv += int(v_new.get(j, 0))
+        if cn > 0 and cv > 0:
+            xs.append(L(cn))
+            ys.append(L(cv))
+    m = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    num = sum((m * x - sx) * (m * y - sy) for x, y in zip(xs, ys))
+    den = sum((m * x - sx) ** 2 for x in xs)
+
+    def fdiv(a: int, n: int) -> int:
+        return (a - ((a % n + n) % n)) // n
+
+    beta_micro = fdiv(1_000_000 * num, den) if den else 0
+    return pa.table(
+        {
+            "n_points": pa.array([m], pa.int64()),
+            "beta_micro": pa.array([beta_micro], pa.int64()),
+            "xbar_micro": pa.array([fdiv(sx, m)], pa.int64()),
+            "ybar_micro": pa.array([fdiv(sy, m)], pa.int64()),
+        }
+    )
+
+
+HEAPS_LAW_SQL = f"""
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+  FROM documents
+),
+tk AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+firsts AS (SELECT token, min(doc_id) AS md FROM tk GROUP BY 1),
+vh AS (
+  SELECT greatest(1, least({VOCAB_GROWTH_BUCKETS},
+           (md * {VOCAB_GROWTH_BUCKETS} + mx.m - 1) // mx.m)) AS cp,
+         CAST(count(*) AS BIGINT) AS v
+  FROM firsts, mx GROUP BY 1
+),
+nh AS (
+  SELECT greatest(1, least({VOCAB_GROWTH_BUCKETS},
+           (doc_id * {VOCAB_GROWTH_BUCKETS} + mx.m - 1) // mx.m)) AS cp,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tk, mx GROUP BY 1
+),
+grid AS (
+  SELECT unnest(generate_series(1, {VOCAB_GROWTH_BUCKETS})) AS cp
+),
+pts AS (
+  SELECT g.cp,
+         sum(coalesce(nh.n, 0)) OVER (ORDER BY g.cp) AS cn,
+         sum(coalesce(vh.v, 0)) OVER (ORDER BY g.cp) AS cv
+  FROM grid g
+  LEFT JOIN nh ON nh.cp = g.cp
+  LEFT JOIN vh ON vh.cp = g.cp
+),
+xy AS (
+  SELECT CAST(round(ln(cn) * 1000000) AS BIGINT) AS x,
+         CAST(round(ln(cv) * 1000000) AS BIGINT) AS y
+  FROM pts WHERE cn > 0 AND cv > 0
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy
+  FROM xy
+),
+fit AS (
+  SELECT sum(CAST((SELECT m FROM st) * x - (SELECT sx FROM st) AS HUGEINT)
+             * ((SELECT m FROM st) * y - (SELECT sy FROM st))) AS num,
+         sum(CAST((SELECT m FROM st) * x - (SELECT sx FROM st) AS HUGEINT)
+             * ((SELECT m FROM st) * x - (SELECT sx FROM st))) AS den
+  FROM xy
+)
+SELECT (SELECT m FROM st) AS n_points,
+       CAST(CASE WHEN den > 0 THEN
+              (1000000 * num
+               - ((1000000 * num % den + den) % den)) // den
+            ELSE 0 END AS BIGINT) AS beta_micro,
+       CAST(((SELECT sx FROM st)
+             - (((SELECT sx FROM st) % (SELECT m FROM st)
+                 + (SELECT m FROM st)) % (SELECT m FROM st)))
+            // (SELECT m FROM st) AS BIGINT) AS xbar_micro,
+       CAST(((SELECT sy FROM st)
+             - (((SELECT sy FROM st) % (SELECT m FROM st)
+                 + (SELECT m FROM st)) % (SELECT m FROM st)))
+            // (SELECT m FROM st) AS BIGINT) AS ybar_micro
+FROM fit
+"""

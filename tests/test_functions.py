@@ -424,6 +424,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "haar_energy_daily",
         "capture_recapture_users",
         "acf_peak_period",
+        "sprt_daily_decision",
+        "heaps_law_fit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -6513,3 +6515,76 @@ def test_acf_peak_bruteforce(ray_session):
     for r in rows:
         # peak maximizes the per-pair-normalized autocovariance
         assert r["acov_num"] * peak["n_pairs"] <= peak["acov_num"] * r["n_pairs"]
+
+
+def test_sprt_walk_bruteforce(ray_session):
+    import duckdb
+    import math as m
+
+    from document_extractor_ray.functions.analytics import sprt_daily_decision
+
+    row = sprt_daily_decision(SF).to_pylist()[0]
+    daily = duckdb.sql(
+        f"SELECT date_trunc('day', ts),"
+        f" sum(CASE WHEN value >= 30.0 THEN 1 ELSE 0 END), count(*)"
+        f" FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+
+    def L(v):
+        return int(m.floor(m.log(v) * 1_000_000 + 0.5))
+
+    up, dn, thr = L(11) - L(10), L(9) - L(10), L(19)
+    cum, dec, idx = 0, "continue", len(daily)
+    llr = None
+    for i, (_, k, n) in enumerate(daily):
+        cum += k * up + (n - k) * dn
+        if llr is None and cum >= thr:
+            dec, idx, llr = "accept_h1", i + 1, cum
+        elif llr is None and cum <= -thr:
+            dec, idx, llr = "accept_h0", i + 1, cum
+    if llr is None:
+        llr = cum
+    assert row["decision"] == dec
+    assert row["days_to_decision"] == idx
+    assert row["llr_micro"] == llr
+    assert row["n_days"] == len(daily)
+
+
+def test_heaps_fit_bruteforce(ray_session):
+    import duckdb
+    import math as m
+
+    from document_extractor_ray.functions.textstats import heaps_law_fit
+
+    row = heaps_law_fit(SF).to_pylist()[0]
+    pts = duckdb.sql(
+        f"""
+        WITH mx AS (SELECT max(doc_id) AS m FROM '{SF}/documents.parquet'),
+        tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+')) AS t FROM '{SF}/documents.parquet'),
+        tk AS (SELECT doc_id, t FROM tok WHERE t <> '')
+        SELECT g.cp,
+               (SELECT count(*) FROM tk, mx
+                WHERE doc_id <= g.cp * mx.m // 10),
+               (SELECT count(DISTINCT t) FROM tk, mx
+                WHERE doc_id <= g.cp * mx.m // 10)
+        FROM (SELECT unnest(generate_series(1, 10)) AS cp) g ORDER BY 1
+        """
+    ).fetchall()
+
+    def L(v):
+        return int(m.floor(m.log(v) * 1_000_000 + 0.5))
+
+    xs = [L(cn) for _, cn, cv in pts if cn > 0 and cv > 0]
+    ys = [L(cv) for _, cn, cv in pts if cn > 0 and cv > 0]
+    k = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    num = sum((k * x - sx) * (k * y - sy) for x, y in zip(xs, ys))
+    den = sum((k * x - sx) ** 2 for x in xs)
+    want = (1_000_000 * num) // den if den else 0
+    assert row["n_points"] == k
+    assert row["beta_micro"] == want
+    # closed synthetic vocab saturates at the first checkpoint: the
+    # exponent must be tiny-to-zero, never superlinear
+    assert 0 <= row["beta_micro"] < 1_000_000
+    assert row["ybar_micro"] < row["xbar_micro"]
