@@ -423,6 +423,8 @@ PICKS = [
     "acf_peak_period",
     "sprt_daily_decision",
     "heaps_law_fit",
+    "gini_split_scan",
+    "fd_bin_width_plan",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

@@ -23808,3 +23808,98 @@ SELECT (SELECT CAST(max(m) AS BIGINT) FROM walk) AS n_days,
        CAST(cum AS BIGINT) AS llr_micro
 FROM pick
 """
+
+
+# ---------------------------------------------------------------------------
+# Freedman–Diaconis histogram-bin plan for the event-value column
+# ---------------------------------------------------------------------------
+
+
+def fd_bin_width_plan(sf_dir: str):
+    """Freedman–Diaconis histogram plan for the event-value column:
+    bin width h = 2·IQR/∛n with the quartiles taken as DISCRETE order
+    statistics (index ⌊(n−1)·q⌋ — quantile_disc parity) over the
+    value-cents histogram and ∛n as the EXACT integer cube root
+    (floor-pow seed ± one correction step against exact cubes, the
+    Wilson-isqrt trick) — the bin plan a profiler or zonemap builder
+    computes before histogramming a 10¹² -row column; h in milli-cents
+    and the implied bin count ⌈range/h⌉ in pure integers.
+
+    Scale shape: the value-cents histogram fold is the only exchange
+    (bounded by distinct cents); quantiles come from cumulative counts
+    over that bounded histogram on the driver."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"cents": _to_cents(t["value"])}), ["cents"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {"cents": g["cents"], "m": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    hist = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "cents", "m",
+        max_keys=500_000,
+    )
+    vals = sorted(hist)
+    n = sum(int(hist[v]) for v in vals)
+
+    def order_stat(idx: int) -> int:
+        c = 0
+        for v in vals:
+            c += int(hist[v])
+            if c > idx:
+                return int(v)
+        return int(vals[-1])
+
+    q1 = order_stat((n - 1) // 4)
+    q3 = order_stat(3 * (n - 1) // 4)
+    iqr = q3 - q1
+    c = int(round(n ** (1.0 / 3.0)))
+    while (c + 1) ** 3 <= n:
+        c += 1
+    while c**3 > n:
+        c -= 1
+    rng = int(vals[-1]) - int(vals[0])
+    h_milli = (2000 * iqr) // c
+    n_bins = (rng * c + 2 * iqr - 1) // (2 * iqr) if iqr > 0 else 1
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "q1_cents": pa.array([q1], pa.int64()),
+            "q3_cents": pa.array([q3], pa.int64()),
+            "iqr_cents": pa.array([iqr], pa.int64()),
+            "cbrt_n": pa.array([c], pa.int64()),
+            "h_milli": pa.array([h_milli], pa.int64()),
+            "n_bins": pa.array([n_bins], pa.int64()),
+        }
+    )
+
+
+FD_BIN_WIDTH_SQL = """
+WITH v AS (SELECT CAST(round(value * 100.0) AS BIGINT) AS cents FROM events),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         quantile_disc(cents, 0.25) AS q1,
+         quantile_disc(cents, 0.75) AS q3,
+         min(cents) AS lo, max(cents) AS hi
+  FROM v
+),
+cb0 AS (
+  SELECT *, CAST(round(pow(n, 1.0 / 3.0)) AS BIGINT) AS c0 FROM st
+),
+cb AS (
+  SELECT *, c0 + (CASE WHEN (c0 + 1) * (c0 + 1) * (c0 + 1) <= n
+                       THEN 1 ELSE 0 END)
+              - (CASE WHEN c0 * c0 * c0 > n THEN 1 ELSE 0 END) AS c
+  FROM cb0
+)
+SELECT n, q1 AS q1_cents, q3 AS q3_cents, q3 - q1 AS iqr_cents,
+       c AS cbrt_n,
+       CAST((2000 * (q3 - q1)) // c AS BIGINT) AS h_milli,
+       CAST(CASE WHEN q3 - q1 > 0
+                 THEN ((hi - lo) * c + 2 * (q3 - q1) - 1) // (2 * (q3 - q1))
+                 ELSE 1 END AS BIGINT) AS n_bins
+FROM cb
+"""

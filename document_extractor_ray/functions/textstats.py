@@ -11039,3 +11039,156 @@ SELECT (SELECT m FROM st) AS n_points,
             // (SELECT m FROM st) AS BIGINT) AS ybar_micro
 FROM fit
 """
+
+
+# ---------------------------------------------------------------------------
+# Best single-threshold (CART stump) split of the quality score
+# ---------------------------------------------------------------------------
+
+
+def gini_split_scan(sf_dir: str):
+    """Exact CART decision-stump scan over the quality score: among
+    the 100 permille-decade bins, find the split "score-bin ≤ b" that
+    maximizes the Gini impurity decrease against the lang == 'en'
+    label — the first split a gradient-boosted quality model would
+    make, with the argmax taken over EXACT rationals (gain candidate
+    num/den pairs compared cross-multiplied, smallest bin on ties; the
+    squared counts exceed int64, so Python ints / HUGEINT carry them).
+
+    Scale shape: identical to quality_calibration_bins — one 100-bin
+    (bin → n, pos) fold; the threshold scan is O(bins) driver
+    arithmetic."""
+    from document_extractor_ray.functions.bucketing import fold_partials
+
+    ds = _read_docs(sf_dir, ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = pc.utf8_length(t["text"])
+        a = pc.count_substring_regex(t["text"], "[A-Za-z]")
+        a64 = pc.cast(a, pa.int64()).to_numpy(zero_copy_only=False)
+        n64 = pc.cast(n, pa.int64()).to_numpy(zero_copy_only=False)
+        score = np.where(n64 > 0, (1000 * a64) // np.maximum(n64, 1), 0)
+        b = np.minimum(score // 10, 99)
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "bin": pa.array(b, pa.int64()),
+                    "pos": pc.cast(pc.equal(t["lang"], "en"), pa.int64()),
+                }
+            ),
+            ["bin"],
+        ).aggregate([("pos", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "bin": g["bin"],
+                "pos": g["pos_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    acc = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "bin", ["pos", "n"]
+    )
+    bins = sorted(acc)
+    tot_n = sum(int(acc[b][1]) for b in bins)
+    tot_p = sum(int(acc[b][0]) for b in bins)
+    parent = tot_p * tot_p + (tot_n - tot_p) * (tot_n - tot_p)
+
+    best = None  # (num, den, bin, nl, pl)
+    cn = cp = 0
+    for b in bins[:-1]:
+        p, n = int(acc[b][0]), int(acc[b][1])
+        cn += n
+        cp += p
+        nl, nr = cn, tot_n - cn
+        pl, pr = cp, tot_p - cp
+        if nl == 0 or nr == 0:
+            continue
+        al = pl * pl + (nl - pl) * (nl - pl)
+        ar = pr * pr + (nr - pr) * (nr - pr)
+        num, den = al * nr + ar * nl, nl * nr
+        if best is None or num * best[1] > best[0] * den:
+            best = (num, den, int(b), nl, pl)
+    num, den, b, nl, pl = best
+
+    def fdiv(a: int, n: int) -> int:
+        return (a - ((a % n + n) % n)) // n
+
+    gain_micro = fdiv(1_000_000 * (num * tot_n - parent * den), den * tot_n)
+    return pa.table(
+        {
+            "split_bin": pa.array([b], pa.int64()),
+            "n_left": pa.array([nl], pa.int64()),
+            "pos_left": pa.array([pl], pa.int64()),
+            "n_right": pa.array([tot_n - nl], pa.int64()),
+            "pos_right": pa.array([tot_p - pl], pa.int64()),
+            "gain_micro": pa.array([gain_micro], pa.int64()),
+        }
+    )
+
+
+GINI_SPLIT_SCAN_SQL = """
+WITH s AS (
+  SELECT CASE WHEN length(text) > 0
+              THEN (1000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+                   // length(text)
+              ELSE 0 END AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+bins AS (
+  SELECT CAST(least(score // 10, 99) AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS pos
+  FROM s GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(pos) AS BIGINT) AS tp
+  FROM bins
+),
+cand AS (
+  SELECT b,
+         sum(n) OVER (ORDER BY b) AS nl,
+         sum(pos) OVER (ORDER BY b) AS pl,
+         row_number() OVER (ORDER BY b) AS i,
+         count(*) OVER () AS nb
+  FROM bins
+),
+sc AS (
+  SELECT b, nl, pl,
+         (SELECT tn FROM tot) - nl AS nr,
+         (SELECT tp FROM tot) - pl AS pr,
+         (CAST(pl AS HUGEINT) * pl + CAST(nl - pl AS HUGEINT) * (nl - pl))
+           * ((SELECT tn FROM tot) - nl)
+         + (CAST((SELECT tp FROM tot) - pl AS HUGEINT)
+              * ((SELECT tp FROM tot) - pl)
+            + CAST(((SELECT tn FROM tot) - nl)
+                   - ((SELECT tp FROM tot) - pl) AS HUGEINT)
+              * (((SELECT tn FROM tot) - nl)
+                 - ((SELECT tp FROM tot) - pl)))
+           * nl AS num,
+         CAST(nl AS HUGEINT) * ((SELECT tn FROM tot) - nl) AS den
+  FROM cand
+  WHERE i < nb AND nl > 0 AND (SELECT tn FROM tot) - nl > 0
+),
+best AS (
+  SELECT * FROM sc a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sc x
+    WHERE x.num * a.den > a.num * x.den
+       OR (x.num * a.den = a.num * x.den AND x.b < a.b)
+  )
+),
+p AS (
+  SELECT CAST(tp AS HUGEINT) * tp
+         + CAST(tn - tp AS HUGEINT) * (tn - tp) AS parent, tn
+  FROM tot
+)
+SELECT b AS split_bin, CAST(nl AS BIGINT) AS n_left,
+       CAST(pl AS BIGINT) AS pos_left,
+       CAST(nr AS BIGINT) AS n_right, CAST(pr AS BIGINT) AS pos_right,
+       CAST((1000000 * (num * p.tn - p.parent * den)
+             - ((1000000 * (num * p.tn - p.parent * den)
+                 % (den * p.tn) + den * p.tn) % (den * p.tn)))
+            // (den * p.tn) AS BIGINT) AS gain_micro
+FROM best, p
+"""

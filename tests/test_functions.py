@@ -426,6 +426,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "acf_peak_period",
         "sprt_daily_decision",
         "heaps_law_fit",
+        "gini_split_scan",
+        "fd_bin_width_plan",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -6588,3 +6590,72 @@ def test_heaps_fit_bruteforce(ray_session):
     # exponent must be tiny-to-zero, never superlinear
     assert 0 <= row["beta_micro"] < 1_000_000
     assert row["ybar_micro"] < row["xbar_micro"]
+
+
+def test_gini_split_bruteforce(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.textstats import gini_split_scan
+
+    row = gini_split_scan(SF).to_pylist()[0]
+    bins = duckdb.sql(
+        f"""
+        WITH s AS (
+          SELECT CASE WHEN length(text) > 0
+                 THEN (1000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+                      // length(text) ELSE 0 END AS score,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+          FROM '{SF}/documents.parquet')
+        SELECT least(score // 10, 99), count(*), sum(pos)
+        FROM s GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    tn = sum(n for _, n, _ in bins)
+    tp = sum(p for _, _, p in bins)
+    best = None
+    cn = cp = 0
+    for b, n, p in bins[:-1]:
+        cn += n
+        cp += p
+        nl, nr, pl, pr = cn, tn - cn, cp, tp - cp
+        if nl == 0 or nr == 0:
+            continue
+        al = pl * pl + (nl - pl) ** 2
+        ar = pr * pr + (nr - pr) ** 2
+        num, den = al * nr + ar * nl, nl * nr
+        if best is None or num * best[1] > best[0] * den:
+            best = (num, den, b, nl, pl)
+    assert (row["split_bin"], row["n_left"], row["pos_left"]) == (
+        best[2],
+        best[3],
+        best[4],
+    )
+    # a real split always improves or matches the parent impurity
+    assert row["gain_micro"] >= 0
+
+
+def test_fd_bin_plan_consistency(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import fd_bin_width_plan
+
+    row = fd_bin_width_plan(SF).to_pylist()[0]
+    cents = [
+        v
+        for (v,) in duckdb.sql(
+            f"SELECT CAST(round(value * 100.0) AS BIGINT)"
+            f" FROM '{SF}/events.parquet'"
+        ).fetchall()
+    ]
+    cents.sort()
+    n = len(cents)
+    assert row["n"] == n
+    assert row["q1_cents"] == cents[(n - 1) // 4]
+    assert row["q3_cents"] == cents[3 * (n - 1) // 4]
+    c = row["cbrt_n"]
+    assert c**3 <= n < (c + 1) ** 3
+    assert row["h_milli"] == 2000 * row["iqr_cents"] // c
+    rng = cents[-1] - cents[0]
+    assert row["n_bins"] == (rng * c + 2 * row["iqr_cents"] - 1) // (
+        2 * row["iqr_cents"]
+    )
