@@ -22298,46 +22298,61 @@ def fd_violation_audit(sf_dir: str):
     which columns are safe join/dedup keys and which 'constant per
     entity' assumptions are lies.  holds = violations == 0.
 
-    Scale shape: per rule, the (lhs, rhs) distinct and the per-lhs
-    variety count both route through ``bucketed_agg`` (lhs cardinality
-    can grow with data); the (groups, violations, max) triple folds
-    per block.  Bounded-lhs rules could fold directly — routing all
-    through the bucketed path keeps the audit honest about its own
-    scaling."""
-    from document_extractor_ray.functions.bucketing import bucketed_agg
+    Scale shape: per rule, ONE bucketed exchange partitioned by
+    hash(lhs) — each partition then holds complete lhs groups, so the
+    distinct-(lhs, rhs) merge, the per-lhs variety count and the
+    (groups, violations, max) reduction all happen inside the
+    partition and only a per-block stats row reaches the driver (the
+    earlier two-chained-``bucketed_agg`` shape re-executed the whole
+    pipeline for the max and cost 9.5 s at sf0.1; this one-exchange
+    plan is the same semantics in one pass)."""
+    from document_extractor_ray.functions.bucketing import (
+        agg_apply,
+        key_part_column,
+        n_shuffle_parts,
+    )
 
+    n_parts = n_shuffle_parts()
     rows = []
     for table, lhs, rhs in _FD_CANDIDATES:
         ds = _read(sf_dir, table, columns=[lhs, rhs])
-        pairs = bucketed_agg(ds, [lhs, rhs], [(None, "count", "n")])
-        per_lhs = bucketed_agg(
-            pairs.select_columns([lhs]), [lhs], [(None, "count", "k")]
-        )
 
-        def partial(t: pa.Table) -> pa.Table:
-            k = t["k"].to_numpy(zero_copy_only=False)
+        def partial(t: pa.Table, lhs=lhs, rhs=rhs) -> pa.Table:
+            out = agg_apply(t, [lhs, rhs], [(None, "count", "n")], merge=False)
+            return out.append_column(
+                "part", key_part_column(out, [lhs], n_parts)
+            )
+
+        def resolve(t: pa.Table, lhs=lhs, rhs=rhs) -> pa.Table:
+            m = agg_apply(
+                t.drop_columns(["part"]), [lhs, rhs], [(None, "count", "n")],
+                merge=True,
+            )
+            g = pa.TableGroupBy(m.select([lhs]), [lhs]).aggregate(
+                [([], "count_all")]
+            )
+            k = pc.cast(g["count_all"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
             return pa.table(
                 {
-                    "one": pa.array([1], pa.int64()),
                     "groups": pa.array([len(k)], pa.int64()),
                     "viol": pa.array([int((k > 1).sum())], pa.int64()),
+                    "mx": pa.array(
+                        [int(k.max()) if len(k) else 0], pa.int64()
+                    ),
                 }
             )
 
-        acc = fold_partials(
-            per_lhs.map_batches(partial, batch_format="pyarrow"),
-            "one",
-            ["groups", "viol"],
+        out = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(resolve, batch_format="pyarrow")
         )
-        groups, viol = acc[1]
-        mx_tabs = [
-            t
-            for t in map(ray.get, per_lhs.to_arrow_refs())
-            if t.num_rows
-        ]
-        mx = max(
-            int(pc.max(t["k"]).as_py()) for t in mx_tabs
-        )
+        tabs = [t for t in map(ray.get, out.to_arrow_refs()) if t.num_rows]
+        groups = sum(int(pc.sum(t["groups"]).as_py()) for t in tabs)
+        viol = sum(int(pc.sum(t["viol"]).as_py()) for t in tabs)
+        mx = max(int(pc.max(t["mx"]).as_py()) for t in tabs)
         rows.append((f"{table}.{lhs}->{rhs}", groups, viol, mx, viol == 0))
     rows.sort()
     return pa.table(
