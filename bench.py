@@ -425,6 +425,8 @@ PICKS = [
     "heaps_law_fit",
     "gini_split_scan",
     "fd_bin_width_plan",
+    "wilcoxon_signed_rank",
+    "holt_winters_seasonal",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

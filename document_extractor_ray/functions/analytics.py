@@ -23918,3 +23918,218 @@ SELECT n, q1 AS q1_cents, q3 AS q3_cents, q3 - q1 AS iqr_cents,
                  ELSE 1 END AS BIGINT) AS n_bins
 FROM cb
 """
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank test: first half vs second half of daily counts
+# ---------------------------------------------------------------------------
+
+
+def wilcoxon_signed_rank(sf_dir: str):
+    """Wilcoxon signed-rank test pairing the i-th day of the first
+    half of the calendar with the i-th day of the second half (odd
+    middle day dropped; zero differences dropped, the standard
+    convention): ranks of |d| as DOUBLED midranks (tie block spanning
+    min-rank a..b contributes a+b = 2·rank + ties − 1, so everything
+    stays integer), W⁺ and W⁻ in the ×2 scale with the exact identity
+    W⁺ + W⁻ = n_eff(n_eff+1) — the paired companion of
+    length_mannwhitney's two-sample test: "did the second month shift
+    the daily level, matched day-for-day".
+
+    Scale shape: one calendar-bounded daily fold; the rank math is
+    O(n log n) driver work on the bounded pair list."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        g = pa.TableGroupBy(pa.table({"day": day}), ["day"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())})
+
+    series = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "day", "n"
+    )
+    days = sorted(series)
+    y = [int(series[d]) for d in days]
+    h = len(y) // 2
+    first, second = y[:h], y[len(y) - h :]
+    diffs = [b - a for a, b in zip(first, second)]
+    nz = [d for d in diffs if d != 0]
+    n_zero = len(diffs) - len(nz)
+    n_eff = len(nz)
+    order = sorted(range(n_eff), key=lambda i: abs(nz[i]))
+    # doubled midranks over |d| ties
+    mid2 = [0] * n_eff
+    i = 0
+    while i < n_eff:
+        j = i
+        while j < n_eff and abs(nz[order[j]]) == abs(nz[order[i]]):
+            j += 1
+        a, b = i + 1, j  # min and max rank of the tie block (1-based)
+        for t in range(i, j):
+            mid2[order[t]] = a + b
+        i = j
+    w_plus2 = sum(m for d, m in zip(nz, mid2) if d > 0)
+    w_minus2 = sum(m for d, m in zip(nz, mid2) if d < 0)
+    return pa.table(
+        {
+            "n_pairs": pa.array([len(diffs)], pa.int64()),
+            "n_zero": pa.array([n_zero], pa.int64()),
+            "n_eff": pa.array([n_eff], pa.int64()),
+            "w_plus2": pa.array([w_plus2], pa.int64()),
+            "w_minus2": pa.array([w_minus2], pa.int64()),
+        }
+    )
+
+
+WILCOXON_SIGNED_RANK_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+o AS (
+  SELECT n, row_number() OVER (ORDER BY day) - 1 AS i,
+         count(*) OVER () AS m
+  FROM daily
+),
+h AS (SELECT max(m) // 2 AS h, max(m) AS m FROM o),
+pairs AS (
+  SELECT b.n - a.n AS d
+  FROM o a
+  JOIN o b ON b.i = a.i + (SELECT m - h FROM h)
+  WHERE a.i < (SELECT h FROM h)
+),
+nz AS (SELECT d, abs(d) AS ad FROM pairs WHERE d <> 0),
+rk AS (
+  SELECT d,
+         2 * rank() OVER (ORDER BY ad)
+           + count(*) OVER (PARTITION BY ad) - 1 AS mid2
+  FROM nz
+)
+SELECT (SELECT CAST(h AS BIGINT) FROM h) AS n_pairs,
+       CAST((SELECT h FROM h) - (SELECT count(*) FROM nz) AS BIGINT)
+         AS n_zero,
+       CAST((SELECT count(*) FROM nz) AS BIGINT) AS n_eff,
+       CAST(coalesce(sum(CASE WHEN d > 0 THEN mid2 END), 0) AS BIGINT)
+         AS w_plus2,
+       CAST(coalesce(sum(CASE WHEN d < 0 THEN mid2 END), 0) AS BIGINT)
+         AS w_minus2
+FROM rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# Holt–Winters additive seasonal smoothing (period 7, no trend)
+# ---------------------------------------------------------------------------
+
+
+def holt_winters_seasonal(sf_dir: str):
+    """Holt–Winters additive SEASONAL smoothing of daily order revenue
+    (period 7, no trend; α = 1/5, γ = 1/10 as floor-divided
+    rationals in milli-cents): l_t = ⌊(2·(1000·y_t − s_{t−7}) +
+    8·l)/10⌋, s_t = ⌊((1000·y_t − l_t) + 9·s_{t−7})/10⌋, seeded with
+    l = ⌊Σ_{i<7} 1000·y_i / 7⌋ and s_i = 1000·y_i − l — the weekly-
+    seasonality companion of holt_linear_forecast, emitting the final
+    level, the one-step-ahead SAE, and the seven fitted day-of-week
+    seasonal offsets (slot = offset from the first calendar day).
+    Every division floors identically on both engines; the SQL twin
+    carries the 7-slot seasonal state as a list through a recursive
+    CTE.
+
+    Scale shape: one calendar-bounded daily fold; the inherently
+    sequential recurrence runs on the driver over the bounded day
+    series."""
+    day_us = 86_400_000_000
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(t["o_orderdate"], pa.int64()), pa.scalar(day_us, pa.int64())
+        )
+        g = pa.TableGroupBy(
+            pa.table({"day": day, "cents": _to_cents(t["o_totalprice"])}), ["day"]
+        ).aggregate([("cents", "sum")])
+        return pa.table({"day": g["day"], "cents": g["cents_sum"]})
+
+    series = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "day", "cents"
+    )
+    days = sorted(series)
+    y = [int(series[d]) for d in days]
+    n = len(y)
+    cols = ["n_days", "level_milli", "sae_milli"] + [
+        f"s{k}_milli" for k in range(7)
+    ]
+    if n < 8:
+        return pa.table({c: pa.array([], pa.int64()) for c in cols})
+
+    def fdiv(a: int, m: int) -> int:
+        return (a - ((a % m + m) % m)) // m
+
+    lev = fdiv(1000 * sum(y[:7]), 7)
+    st = [1000 * y[i] - lev for i in range(7)]
+    sae = 0
+    for t in range(7, n):
+        sm7 = st[0]
+        sae += abs(1000 * y[t] - (lev + sm7))
+        lnew = fdiv(2 * (1000 * y[t] - sm7) + 8 * lev, 10)
+        snew = fdiv((1000 * y[t] - lnew) + 9 * sm7, 10)
+        st = st[1:] + [snew]
+        lev = lnew
+    # st[j] is the seasonal fitted at time (n-7+j); slot = that mod 7
+    slot_val = {(n - 7 + j) % 7: st[j] for j in range(7)}
+    vals = [n, lev, sae] + [slot_val[k] for k in range(7)]
+    return pa.table({c: pa.array([v], pa.int64()) for c, v in zip(cols, vals)})
+
+
+HOLT_WINTERS_SEASONAL_SQL = """
+WITH RECURSIVE d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+idx AS (SELECT y, row_number() OVER (ORDER BY day) - 1 AS i FROM d),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+init AS (
+  SELECT CAST((s.t - ((s.t % 7 + 7) % 7)) // 7 AS BIGINT) AS l
+  FROM (SELECT sum(1000 * y) AS t FROM idx WHERE i < 7) s
+),
+walk AS (
+  SELECT CAST(7 AS BIGINT) AS t,
+         (SELECT l FROM init) AS lev,
+         CAST(0 AS BIGINT) AS sae,
+         (SELECT list(CAST(1000 * y - (SELECT l FROM init) AS BIGINT)
+                      ORDER BY i)
+          FROM idx WHERE i < 7) AS st
+  UNION ALL
+  SELECT w.t + 1,
+         v.lnew,
+         w.sae + abs(1000 * x.y - (w.lev + w.st[1])),
+         w.st[2:7]
+           || [CAST((z.num2 - ((z.num2 % 10 + 10) % 10)) // 10 AS BIGINT)]
+  FROM walk w
+  JOIN idx x ON x.i = w.t
+  CROSS JOIN LATERAL (
+    SELECT 2 * (1000 * x.y - w.st[1]) + 8 * w.lev AS num1
+  ) u
+  CROSS JOIN LATERAL (
+    SELECT CAST((u.num1 - ((u.num1 % 10 + 10) % 10)) // 10 AS BIGINT) AS lnew
+  ) v
+  CROSS JOIN LATERAL (
+    SELECT (1000 * x.y - v.lnew) + 9 * w.st[1] AS num2
+  ) z
+  WHERE w.t < (SELECT n FROM nn)
+),
+fin AS (SELECT * FROM walk ORDER BY t DESC LIMIT 1)
+SELECT (SELECT n FROM nn) AS n_days,
+       lev AS level_milli, sae AS sae_milli,
+       st[((((0 - ((SELECT n FROM nn) - 7)) % 7 + 7) % 7) + 1)] AS s0_milli,
+       st[((((1 - ((SELECT n FROM nn) - 7)) % 7 + 7) % 7) + 1)] AS s1_milli,
+       st[((((2 - ((SELECT n FROM nn) - 7)) % 7 + 7) % 7) + 1)] AS s2_milli,
+       st[((((3 - ((SELECT n FROM nn) - 7)) % 7 + 7) % 7) + 1)] AS s3_milli,
+       st[((((4 - ((SELECT n FROM nn) - 7)) % 7 + 7) % 7) + 1)] AS s4_milli,
+       st[((((5 - ((SELECT n FROM nn) - 7)) % 7 + 7) % 7) + 1)] AS s5_milli,
+       st[((((6 - ((SELECT n FROM nn) - 7)) % 7 + 7) % 7) + 1)] AS s6_milli
+FROM fin
+"""

@@ -428,6 +428,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "heaps_law_fit",
         "gini_split_scan",
         "fd_bin_width_plan",
+        "wilcoxon_signed_rank",
+        "holt_winters_seasonal",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -6659,3 +6661,68 @@ def test_fd_bin_plan_consistency(ray_session):
     assert row["n_bins"] == (rng * c + 2 * row["iqr_cents"] - 1) // (
         2 * row["iqr_cents"]
     )
+
+
+def test_wilcoxon_identity_and_bruteforce(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import wilcoxon_signed_rank
+
+    row = wilcoxon_signed_rank(SF).to_pylist()[0]
+    # rank-sum identity in the x2 scale
+    assert row["w_plus2"] + row["w_minus2"] == row["n_eff"] * (row["n_eff"] + 1)
+    daily = duckdb.sql(
+        f"SELECT date_trunc('day', ts), count(*) FROM '{SF}/events.parquet'"
+        f" GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    y = [n for _, n in daily]
+    h = len(y) // 2
+    diffs = [b - a for a, b in zip(y[:h], y[len(y) - h :])]
+    nz = [d for d in diffs if d != 0]
+    assert row["n_pairs"] == h
+    assert row["n_eff"] == len(nz)
+    assert row["n_zero"] == h - len(nz)
+    # brute-force W+ with doubled midranks
+    srt = sorted(abs(d) for d in nz)
+    w_plus2 = 0
+    for d in nz:
+        if d > 0:
+            a = srt.index(abs(d)) + 1
+            b = a + srt.count(abs(d)) - 1
+            w_plus2 += a + b
+    assert row["w_plus2"] == w_plus2
+
+
+def test_holt_winters_seasonal_bruteforce(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import holt_winters_seasonal
+
+    row = holt_winters_seasonal(SF).to_pylist()[0]
+    daily = duckdb.sql(
+        f"SELECT epoch_us(o_orderdate) // 86400000000,"
+        f" CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)"
+        f" FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    y = [v for _, v in daily]
+    n = len(y)
+
+    def fdiv(a, m):
+        return (a - ((a % m + m) % m)) // m
+
+    lev = fdiv(1000 * sum(y[:7]), 7)
+    st = [1000 * y[i] - lev for i in range(7)]
+    sae = 0
+    for t in range(7, n):
+        sm7 = st[0]
+        sae += abs(1000 * y[t] - (lev + sm7))
+        lnew = fdiv(2 * (1000 * y[t] - sm7) + 8 * lev, 10)
+        snew = fdiv((1000 * y[t] - lnew) + 9 * sm7, 10)
+        st = st[1:] + [snew]
+        lev = lnew
+    assert (row["n_days"], row["level_milli"], row["sae_milli"]) == (n, lev, sae)
+    for j in range(7):
+        assert row[f"s{(n - 7 + j) % 7}_milli"] == st[j]
+    # seasonal offsets roughly cancel: their sum is far smaller than
+    # the level (additive decomposition sanity)
+    assert abs(sum(st)) < 7 * abs(lev)
