@@ -427,6 +427,8 @@ PICKS = [
     "fd_bin_width_plan",
     "wilcoxon_signed_rank",
     "holt_winters_seasonal",
+    "friedman_dow_test",
+    "bartels_rank_vn",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

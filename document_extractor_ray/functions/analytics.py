@@ -24133,3 +24133,193 @@ SELECT (SELECT n FROM nn) AS n_days,
        st[((((6 - ((SELECT n FROM nn) - 7)) % 7 + 7) % 7) + 1)] AS s6_milli
 FROM fin
 """
+
+
+# ---------------------------------------------------------------------------
+# Friedman rank test: day-of-week effect across complete weeks
+# ---------------------------------------------------------------------------
+
+
+def friedman_dow_test(sf_dir: str):
+    """Friedman k-related-samples rank test of a day-of-week effect:
+    each COMPLETE calendar week (all 7 epoch-day slots present) is a
+    block, the 7 daily counts are ranked within the week as DOUBLED
+    midranks (ties exact), and the per-slot rank sums R2_j feed the
+    uncorrected Friedman statistic Q = 3·Σ(R2_j − 8n)² / (56n) in
+    micro units (k = 7; doubled ranks scale the classic 12/(nk(k+1))
+    constant to 3/…) — the nonparametric "is there a weekly rhythm"
+    test next to orders_dow_profile's raw pivot and acf_peak_period's
+    autocovariance scan.
+
+    Scale shape: one calendar-bounded daily fold; week blocking and
+    ranking run on the driver over the bounded series."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.divide(
+                pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64()),
+                pa.scalar(86_400_000_000, pa.int64()),
+            ),
+            pa.int64(),
+        )
+        g = pa.TableGroupBy(pa.table({"day": day}), ["day"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())})
+
+    series = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "day", "n"
+    )
+    weeks: dict = {}
+    for d in series:
+        weeks.setdefault(int(d) // 7, {})[int(d) % 7] = int(series[d])
+    complete = {w: m for w, m in weeks.items() if len(m) == 7}
+    n = len(complete)
+    r2 = [0] * 7
+    for m in complete.values():
+        vals = [(m[s], s) for s in range(7)]
+        byv = sorted(vals)
+        i = 0
+        while i < 7:
+            j = i
+            while j < 7 and byv[j][0] == byv[i][0]:
+                j += 1
+            mid2 = (i + 1) + j  # doubled midrank: min-rank + max-rank
+            for t in range(i, j):
+                r2[byv[t][1]] += mid2
+            i = j
+    if n == 0:
+        q_micro = 0
+    else:
+        num = 3 * sum((r - 8 * n) ** 2 for r in r2)
+        q_micro = (1_000_000 * num) // (56 * n)
+    cols = {"n_weeks": [n]}
+    for j in range(7):
+        cols[f"r2_dow{j}"] = [r2[j]]
+    cols["q_micro"] = [q_micro]
+    return pa.table({c: pa.array(v, pa.int64()) for c, v in cols.items()})
+
+
+FRIEDMAN_DOW_SQL = """
+WITH d AS (
+  SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+wk AS (SELECT day // 7 AS w, day % 7 AS dow, n FROM d),
+complete AS (
+  SELECT w FROM wk GROUP BY w HAVING count(*) = 7
+),
+rk AS (
+  SELECT w, dow,
+         2 * rank() OVER (PARTITION BY w ORDER BY n)
+           + count(*) OVER (PARTITION BY w, n) - 1 AS mid2
+  FROM wk WHERE w IN (SELECT w FROM complete)
+),
+sums AS (
+  SELECT dow, CAST(sum(mid2) AS BIGINT) AS r2 FROM rk GROUP BY 1
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM complete),
+q AS (
+  SELECT CAST(CASE WHEN (SELECT n FROM nn) > 0 THEN
+           (1000000 * 3 * sum((r2 - 8 * (SELECT n FROM nn))
+                              * (r2 - 8 * (SELECT n FROM nn))))
+           // (56 * (SELECT n FROM nn))
+         ELSE 0 END AS BIGINT) AS q_micro
+  FROM sums
+)
+SELECT (SELECT n FROM nn) AS n_weeks,
+       (SELECT r2 FROM sums WHERE dow = 0) AS r2_dow0,
+       (SELECT r2 FROM sums WHERE dow = 1) AS r2_dow1,
+       (SELECT r2 FROM sums WHERE dow = 2) AS r2_dow2,
+       (SELECT r2 FROM sums WHERE dow = 3) AS r2_dow3,
+       (SELECT r2 FROM sums WHERE dow = 4) AS r2_dow4,
+       (SELECT r2 FROM sums WHERE dow = 5) AS r2_dow5,
+       (SELECT r2 FROM sums WHERE dow = 6) AS r2_dow6,
+       q_micro
+FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bartels rank von Neumann ratio: serial randomness of daily counts
+# ---------------------------------------------------------------------------
+
+
+def bartels_rank_vn(sf_dir: str):
+    """Bartels' rank version of the von Neumann ratio on the daily
+    event-count series: with doubled midranks R2_i over the whole
+    series, NM = Σ (R2_i − R2_{i+1})² and DEN = Σ (R2_i − (n+1))²
+    (n+1 is the exact doubled-rank mean), RVN = NM/DEN in micro via
+    one floor division — ≈2 under serial randomness, <2 for positive
+    autocorrelation — the rank-robust cousin of daily_runs_test (runs)
+    and events_corr_stats (moment autocorrelation).
+
+    Scale shape: one calendar-bounded daily fold; ranking and the two
+    quadratic sums are O(n log n) driver work on the bounded series."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        g = pa.TableGroupBy(pa.table({"day": day}), ["day"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())})
+
+    series = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "day", "n"
+    )
+    days = sorted(series)
+    y = [int(series[d]) for d in days]
+    n = len(y)
+    order = sorted(range(n), key=lambda i: y[i])
+    r2 = [0] * n
+    i = 0
+    while i < n:
+        j = i
+        while j < n and y[order[j]] == y[order[i]]:
+            j += 1
+        mid2 = (i + 1) + j
+        for t in range(i, j):
+            r2[order[t]] = mid2
+        i = j
+    nm = sum((a - b) ** 2 for a, b in zip(r2, r2[1:]))
+    den = sum((r - (n + 1)) ** 2 for r in r2)
+    rvn_micro = (1_000_000 * nm) // den if den else 0
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "nm": pa.array([nm], pa.int64()),
+            "den": pa.array([den], pa.int64()),
+            "rvn_micro": pa.array([rvn_micro], pa.int64()),
+        }
+    )
+
+
+BARTELS_RANK_VN_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+rk AS (
+  SELECT row_number() OVER (ORDER BY day) AS i,
+         2 * rank() OVER (ORDER BY n) + count(*) OVER (PARTITION BY n) - 1
+           AS r2,
+         count(*) OVER () AS m
+  FROM daily
+),
+nm AS (
+  SELECT CAST(sum((a.r2 - b.r2) * (a.r2 - b.r2)) AS BIGINT) AS nm
+  FROM rk a JOIN rk b ON b.i = a.i + 1
+),
+dn AS (
+  SELECT CAST(sum((r2 - (m + 1)) * (r2 - (m + 1))) AS BIGINT) AS den,
+         CAST(max(m) AS BIGINT) AS n
+  FROM rk
+)
+SELECT dn.n AS n_days, nm.nm AS nm, dn.den AS den,
+       CAST(CASE WHEN dn.den > 0 THEN (1000000 * nm.nm) // dn.den
+                 ELSE 0 END AS BIGINT) AS rvn_micro
+FROM nm, dn
+"""

@@ -430,6 +430,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "fd_bin_width_plan",
         "wilcoxon_signed_rank",
         "holt_winters_seasonal",
+        "friedman_dow_test",
+        "bartels_rank_vn",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -6726,3 +6728,42 @@ def test_holt_winters_seasonal_bruteforce(ray_session):
     # seasonal offsets roughly cancel: their sum is far smaller than
     # the level (additive decomposition sanity)
     assert abs(sum(st)) < 7 * abs(lev)
+
+
+def test_friedman_rank_identity(ray_session):
+    from document_extractor_ray.functions.analytics import friedman_dow_test
+
+    row = friedman_dow_test(SF).to_pylist()[0]
+    n = row["n_weeks"]
+    r2 = [row[f"r2_dow{j}"] for j in range(7)]
+    # doubled within-week ranks sum to k(k+1) = 56 per complete week
+    assert sum(r2) == 56 * n
+    assert row["q_micro"] >= 0
+    want = (1_000_000 * 3 * sum((r - 8 * n) ** 2 for r in r2)) // (56 * n)
+    assert row["q_micro"] == want
+
+
+def test_bartels_vn_bruteforce(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import bartels_rank_vn
+
+    row = bartels_rank_vn(SF).to_pylist()[0]
+    daily = duckdb.sql(
+        f"SELECT date_trunc('day', ts), count(*) FROM '{SF}/events.parquet'"
+        f" GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    y = [n for _, n in daily]
+    n = len(y)
+    srt = sorted(y)
+    r2 = []
+    for v in y:
+        a = srt.index(v) + 1
+        b = a + srt.count(v) - 1
+        r2.append(a + b)
+    nm = sum((a - b) ** 2 for a, b in zip(r2, r2[1:]))
+    den = sum((r - (n + 1)) ** 2 for r in r2)
+    assert (row["n_days"], row["nm"], row["den"]) == (n, nm, den)
+    assert row["rvn_micro"] == (1_000_000 * nm) // den
+    # doubled-rank mean identity
+    assert sum(r2) == n * (n + 1)
