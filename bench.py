@@ -429,6 +429,8 @@ PICKS = [
     "holt_winters_seasonal",
     "friedman_dow_test",
     "bartels_rank_vn",
+    "eoq_plan",
+    "page_trend_weeks",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

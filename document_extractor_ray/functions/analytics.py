@@ -24323,3 +24323,184 @@ SELECT dn.n AS n_days, nm.nm AS nm, dn.den AS den,
                  ELSE 0 END AS BIGINT) AS rvn_micro
 FROM nm, dn
 """
+
+
+# ---------------------------------------------------------------------------
+# Economic order quantity (EOQ) plan per part (exact integer sqrt)
+# ---------------------------------------------------------------------------
+
+
+def eoq_plan(sf_dir: str, k: int = 20):
+    """Wilson economic-order-quantity plan for the top-k parts by
+    total demand: D = Σ l_quantity per part, EOQ = √(2·D·K/h) with
+    K = 100 (order cost) and h = 1 (holding) ⇒ ⌊√(200·D)⌋ — the
+    integer square root computed exactly on both engines (floor-sqrt
+    seed in doubles, one ± correction step against exact squares, the
+    brand_return_wilson idiom), plus the implied order count
+    ⌈D/EOQ⌉ — the classic inventory-policy table, exact to the unit.
+
+    Scale shape: per-part demand routes through ``bucketed_agg`` (part
+    keys grow with the catalog); top-k via distributed sort + limit on
+    the slim (part, demand) table."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "q": pc.cast(
+                    pc.round(t["l_quantity"], round_mode="half_towards_infinity"),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    per_part = bucketed_agg(
+        ds.map_batches(slim, batch_format="pyarrow"),
+        ["l_partkey"],
+        [("q", "sum", "d")],
+    )
+    top = (
+        per_part.sort(["d", "l_partkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    import math
+
+    rows = []
+    for pk, d in zip(top["l_partkey"], top["d"]):
+        d = int(d)
+        arg = 200 * d
+        s0 = int(math.isqrt(arg))
+        eoq = s0  # exact already; SQL mirrors with seed + correction
+        orders = (d + eoq - 1) // eoq if eoq else 0
+        rows.append((int(pk), d, eoq, orders))
+    return pa.table(
+        {
+            "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+            "d_total": pa.array([r[1] for r in rows], pa.int64()),
+            "eoq": pa.array([r[2] for r in rows], pa.int64()),
+            "n_orders": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+EOQ_PLAN_SQL = """
+WITH d AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS d
+  FROM lineitem GROUP BY 1
+  ORDER BY d DESC, l_partkey LIMIT 20
+),
+s AS (
+  SELECT l_partkey, d, 200 * d AS arg,
+         CAST(floor(sqrt(CAST(200 * d AS DOUBLE))) AS BIGINT) AS s0
+  FROM d
+),
+e AS (
+  SELECT l_partkey, d,
+         s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= arg THEN 1 ELSE 0 END)
+            - (CASE WHEN s0 * s0 > arg THEN 1 ELSE 0 END) AS eoq
+  FROM s
+)
+SELECT l_partkey AS p_partkey, d AS d_total, eoq,
+       CAST(CASE WHEN eoq > 0 THEN (d + eoq - 1) // eoq ELSE 0 END
+            AS BIGINT) AS n_orders
+FROM e ORDER BY d_total DESC, p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Page's L test: monotone trend across weeks within day-of-week blocks
+# ---------------------------------------------------------------------------
+
+
+def page_trend_weeks(sf_dir: str):
+    """Page's L test for a MONOTONE ordered alternative: blocks are
+    the 7 day-of-week slots, treatments are the k complete calendar
+    weeks in week order, each block's counts ranked across weeks as
+    DOUBLED midranks; L2 = Σ_j j·R2_j (j = week position) against the
+    exact null mean E[L2] = 7·k(k+1)²/2 — Friedman asks "do weeks
+    differ", Page asks "do they RISE (or fall) in calendar order",
+    the right test for steady growth.  Only epoch-weeks present for
+    all 7 slots participate (the friedman_dow_test blocking).
+
+    Scale shape: one calendar-bounded daily fold; the rank table is
+    7×k driver work."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.divide(
+                pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64()),
+                pa.scalar(86_400_000_000, pa.int64()),
+            ),
+            pa.int64(),
+        )
+        g = pa.TableGroupBy(pa.table({"day": day}), ["day"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())})
+
+    series = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "day", "n"
+    )
+    weeks: dict = {}
+    for d in series:
+        weeks.setdefault(int(d) // 7, {})[int(d) % 7] = int(series[d])
+    complete = sorted(w for w, m in weeks.items() if len(m) == 7)
+    k = len(complete)
+    l2 = 0
+    for dow in range(7):
+        vals = [(weeks[w][dow], j + 1) for j, w in enumerate(complete)]
+        byv = sorted(vals)
+        i = 0
+        while i < k:
+            j = i
+            while j < k and byv[j][0] == byv[i][0]:
+                j += 1
+            mid2 = (i + 1) + j
+            for t in range(i, j):
+                l2 += byv[t][1] * mid2
+            i = j
+    mean_l2 = 7 * k * (k + 1) * (k + 1) // 2  # 7 blocks · k(k+1)²/2
+    return pa.table(
+        {
+            "n_weeks": pa.array([k], pa.int64()),
+            "l2_stat": pa.array([l2], pa.int64()),
+            "l2_null_mean": pa.array([mean_l2], pa.int64()),
+            "rising": pa.array([1 if l2 > mean_l2 else 0], pa.int64()),
+        }
+    )
+
+
+PAGE_TREND_WEEKS_SQL = """
+WITH d AS (
+  SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+wk AS (SELECT day // 7 AS w, day % 7 AS dow, n FROM d),
+complete AS (SELECT w FROM wk GROUP BY w HAVING count(*) = 7),
+pos AS (
+  SELECT w, row_number() OVER (ORDER BY w) AS j FROM complete
+),
+rk AS (
+  SELECT wk.dow, pos.j,
+         2 * rank() OVER (PARTITION BY wk.dow ORDER BY wk.n)
+           + count(*) OVER (PARTITION BY wk.dow, wk.n) - 1 AS mid2
+  FROM wk JOIN pos ON pos.w = wk.w
+),
+st AS (
+  SELECT CAST(sum(j * mid2) AS BIGINT) AS l2,
+         CAST((SELECT count(*) FROM complete) AS BIGINT) AS k
+  FROM rk
+)
+SELECT k AS n_weeks, l2 AS l2_stat,
+       CAST(7 * k * (k + 1) * (k + 1) // 2 AS BIGINT) AS l2_null_mean,
+       CAST(CASE WHEN l2 > 7 * k * (k + 1) * (k + 1) // 2
+                 THEN 1 ELSE 0 END AS BIGINT) AS rising
+FROM st
+"""

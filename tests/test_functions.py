@@ -432,6 +432,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "holt_winters_seasonal",
         "friedman_dow_test",
         "bartels_rank_vn",
+        "eoq_plan",
+        "page_trend_weeks",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -6767,3 +6769,39 @@ def test_bartels_vn_bruteforce(ray_session):
     assert row["rvn_micro"] == (1_000_000 * nm) // den
     # doubled-rank mean identity
     assert sum(r2) == n * (n + 1)
+
+
+def test_eoq_exact_sqrt(ray_session):
+    import math
+
+    from document_extractor_ray.functions.analytics import eoq_plan
+
+    rows = eoq_plan(SF).to_pylist()
+    assert len(rows) == 20
+    ds = [r["d_total"] for r in rows]
+    assert ds == sorted(ds, reverse=True)
+    for r in rows:
+        e = r["eoq"]
+        assert e * e <= 200 * r["d_total"] < (e + 1) * (e + 1)
+        assert e == math.isqrt(200 * r["d_total"])
+        assert r["n_orders"] == (r["d_total"] + e - 1) // e
+
+
+def test_page_trend_vs_friedman_blocks(ray_session):
+    from document_extractor_ray.functions.analytics import (
+        friedman_dow_test,
+        page_trend_weeks,
+    )
+
+    page = page_trend_weeks(SF).to_pylist()[0]
+    fried = friedman_dow_test(SF).to_pylist()[0]
+    # same complete-week blocking
+    assert page["n_weeks"] == fried["n_weeks"]
+    k = page["n_weeks"]
+    # doubled ranks per block sum to k(k+1); L2 is bounded by the
+    # extreme orderings: min = sum of j * (doubled rank sorted desc)
+    lo = 7 * sum((j + 1) * (2 * (k - j)) for j in range(k))
+    hi = 7 * sum((j + 1) * (2 * (j + 1)) for j in range(k))
+    assert lo <= page["l2_stat"] <= hi
+    assert page["l2_null_mean"] == 7 * k * (k + 1) ** 2 // 2
+    assert page["rising"] in (0, 1)
