@@ -23833,7 +23833,7 @@ FROM pick
 def fd_bin_width_plan(sf_dir: str):
     """Freedman–Diaconis histogram plan for the event-value column:
     bin width h = 2·IQR/∛n with the quartiles taken as DISCRETE order
-    statistics (index ⌊(n−1)·q⌋ — quantile_disc parity) over the
+    statistics (index ⌈q·n⌉−1 — quantile_disc parity) over the
     value-cents histogram and ∛n as the EXACT integer cube root
     (floor-pow seed ± one correction step against exact cubes, the
     Wilson-isqrt trick) — the bin plan a profiler or zonemap builder
@@ -23868,8 +23868,9 @@ def fd_bin_width_plan(sf_dir: str):
                 return int(v)
         return int(vals[-1])
 
-    q1 = order_stat((n - 1) // 4)
-    q3 = order_stat(3 * (n - 1) // 4)
+    # quantile_disc convention: index = ceil(q*n) - 1
+    q1 = order_stat((n + 3) // 4 - 1)
+    q3 = order_stat((3 * n + 3) // 4 - 1)
     iqr = q3 - q1
     c = int(round(n ** (1.0 / 3.0)))
     while (c + 1) ** 3 <= n:
@@ -24503,4 +24504,98 @@ SELECT k AS n_weeks, l2 AS l2_stat,
        CAST(CASE WHEN l2 > 7 * k * (k + 1) * (k + 1) // 2
                  THEN 1 ELSE 0 END AS BIGINT) AS rising
 FROM st
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bowley quartile skewness per event type (discrete order statistics)
+# ---------------------------------------------------------------------------
+
+
+def bowley_skew_by_type(sf_dir: str):
+    """Bowley's quartile skewness per event type:
+    (q3 + q1 − 2·q2) / (q3 − q1) over value cents with the quartiles
+    as DISCRETE order statistics (index ⌈q·n⌉−1, quantile_disc
+    parity — the fd_bin_width_plan convention) in micro units — the
+    outlier-immune skew next to value_winsorized_stats' moment view:
+    which event types have a heavy right tail that a mean-based
+    monitor would misread.
+
+    Scale shape: one (type, cents) histogram fold (bounded by type ×
+    distinct cents); quartiles from cumulative counts on the driver."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": t["event_type"], "cents": _to_cents(t["value"])}
+        )
+
+    hist_ds = bucketed_agg(
+        _read(sf_dir, "events", columns=["event_type", "value"]).map_batches(
+            slim, batch_format="pyarrow"
+        ),
+        ["event_type", "cents"],
+        [(None, "count", "m")],
+    )
+    hist = fold_partials(
+        hist_ds, ["event_type", "cents"], "m", max_keys=500_000
+    )
+    by_type: dict = {}
+    for (et, c), m in hist.items():
+        by_type.setdefault(et, []).append((int(c), int(m)))
+
+    def fdiv(a: int, m: int) -> int:
+        return (a - ((a % m + m) % m)) // m
+
+    rows = []
+    for et in sorted(by_type):
+        blocks = sorted(by_type[et])
+        n = sum(m for _, m in blocks)
+
+        def order_stat(idx: int) -> int:
+            cum = 0
+            for v, m in blocks:
+                cum += m
+                if cum > idx:
+                    return v
+            return blocks[-1][0]
+
+        # quantile_disc convention: index = ceil(q*n) - 1
+        q1 = order_stat((n + 3) // 4 - 1)
+        q2 = order_stat((n + 1) // 2 - 1)
+        q3 = order_stat((3 * n + 3) // 4 - 1)
+        iqr = q3 - q1
+        skew = fdiv(1_000_000 * (q3 + q1 - 2 * q2), iqr) if iqr else 0
+        rows.append((et, n, q1, q2, q3, skew))
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "q1_cents": pa.array([r[2] for r in rows], pa.int64()),
+            "q2_cents": pa.array([r[3] for r in rows], pa.int64()),
+            "q3_cents": pa.array([r[4] for r in rows], pa.int64()),
+            "bowley_micro": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )
+
+
+BOWLEY_SKEW_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS cents
+  FROM events
+),
+q AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         quantile_disc(cents, 0.25) AS q1,
+         quantile_disc(cents, 0.50) AS q2,
+         quantile_disc(cents, 0.75) AS q3
+  FROM v GROUP BY 1
+)
+SELECT event_type, n, q1 AS q1_cents, q2 AS q2_cents, q3 AS q3_cents,
+       CAST(CASE WHEN q3 - q1 > 0 THEN
+              (1000000 * (q3 + q1 - 2 * q2)
+               - ((1000000 * (q3 + q1 - 2 * q2) % (q3 - q1) + (q3 - q1))
+                  % (q3 - q1))) // (q3 - q1)
+            ELSE 0 END AS BIGINT) AS bowley_micro
+FROM q ORDER BY event_type
 """

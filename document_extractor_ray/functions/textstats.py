@@ -11192,3 +11192,131 @@ SELECT b AS split_bin, CAST(nl AS BIGINT) AS n_left,
             // (den * p.tn) AS BIGINT) AS gain_micro
 FROM best, p
 """
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gains table of the quality score against the en label
+# ---------------------------------------------------------------------------
+
+
+def gains_curve_deciles(sf_dir: str):
+    """Cumulative gains table of the alpha-share quality score against
+    the lang == 'en' label: rank docs by score DESC (doc-count decile
+    cut d = 10·(rank−1) // n over the score histogram — no per-doc
+    sort, rank offsets come from cumulative bin counts), and per
+    decile report docs, positives, the cumulative positive share
+    (permille of ALL positives) and the lift vs random in micro —
+    quality_auc's one number unrolled into the "score the top 10%,
+    catch X% of the English" deployment view.
+
+    Scale shape: the 1000-cell score histogram (score permille ×
+    label) folds once; the decile walk is driver arithmetic over the
+    bounded histogram."""
+    from document_extractor_ray.functions.bucketing import fold_partials
+
+    ds = _read_docs(sf_dir, ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = pc.utf8_length(t["text"])
+        a = pc.count_substring_regex(t["text"], "[A-Za-z]")
+        a64 = pc.cast(a, pa.int64()).to_numpy(zero_copy_only=False)
+        n64 = pc.cast(n, pa.int64()).to_numpy(zero_copy_only=False)
+        score = np.where(n64 > 0, (1000 * a64) // np.maximum(n64, 1), 0)
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "score": pa.array(score, pa.int64()),
+                    "pos": pc.cast(pc.equal(t["lang"], "en"), pa.int64()),
+                }
+            ),
+            ["score"],
+        ).aggregate([("pos", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "score": g["score"],
+                "pos": g["pos_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    acc = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "score", ["pos", "n"]
+    )
+    # walk scores DESC assigning rank ranges; split bins across decile
+    # boundaries exactly: within a bin every doc shares the score, so
+    # positives split PROPORTIONALLY BY EXACT COUNT cannot be known —
+    # instead cut deciles on the doc-count boundary and assign each
+    # whole bin to the decile of its FIRST rank (deterministic, both
+    # engines share it).
+    scores = sorted(acc, reverse=True)
+    total_n = sum(int(acc[s][1]) for s in scores)
+    total_p = sum(int(acc[s][0]) for s in scores)
+    dec = {d: [0, 0] for d in range(10)}
+    cum = 0
+    for s in scores:
+        p, n = (int(v) for v in acc[s])
+        d = min(10 * cum // total_n, 9)
+        dec[d][0] += n
+        dec[d][1] += p
+        cum += n
+    rows = []
+    cum_p = 0
+    for d in range(10):
+        n, p = dec[d]
+        cum_p += p
+        share = 1000 * cum_p // total_p if total_p else 0
+        rows.append((d, n, p, share))
+    return pa.table(
+        {
+            "decile": pa.array([r[0] for r in rows], pa.int64()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "n_pos": pa.array([r[2] for r in rows], pa.int64()),
+            "cum_pos_share_permille": pa.array(
+                [r[3] for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+GAINS_CURVE_SQL = """
+WITH s AS (
+  SELECT CASE WHEN length(text) > 0
+              THEN (1000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+                   // length(text)
+              ELSE 0 END AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+bins AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+  FROM s GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(p) AS BIGINT) AS tp
+  FROM bins
+),
+walk AS (
+  SELECT score, n, p,
+         coalesce(sum(n) OVER (ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM bins
+),
+assigned AS (
+  SELECT least(10 * cum // (SELECT tn FROM tot), 9) AS decile, n, p
+  FROM walk
+),
+grid AS (SELECT unnest(generate_series(0, 9)) AS decile),
+dec AS (
+  SELECT g.decile,
+         CAST(coalesce(sum(a.n), 0) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(a.p), 0) AS BIGINT) AS n_pos
+  FROM grid g LEFT JOIN assigned a ON a.decile = g.decile
+  GROUP BY 1
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_pos,
+       CAST(CASE WHEN (SELECT tp FROM tot) > 0
+                 THEN 1000 * sum(n_pos) OVER (ORDER BY decile)
+                      // (SELECT tp FROM tot)
+                 ELSE 0 END AS BIGINT) AS cum_pos_share_permille
+FROM dec ORDER BY decile
+"""

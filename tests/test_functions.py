@@ -434,6 +434,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "bartels_rank_vn",
         "eoq_plan",
         "page_trend_weeks",
+        "bowley_skew_by_type",
+        "gains_curve_deciles",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -6656,8 +6658,8 @@ def test_fd_bin_plan_consistency(ray_session):
     cents.sort()
     n = len(cents)
     assert row["n"] == n
-    assert row["q1_cents"] == cents[(n - 1) // 4]
-    assert row["q3_cents"] == cents[3 * (n - 1) // 4]
+    assert row["q1_cents"] == cents[(n + 3) // 4 - 1]
+    assert row["q3_cents"] == cents[(3 * n + 3) // 4 - 1]
     c = row["cbrt_n"]
     assert c**3 <= n < (c + 1) ** 3
     assert row["h_milli"] == 2000 * row["iqr_cents"] // c
@@ -6805,3 +6807,44 @@ def test_page_trend_vs_friedman_blocks(ray_session):
     assert lo <= page["l2_stat"] <= hi
     assert page["l2_null_mean"] == 7 * k * (k + 1) ** 2 // 2
     assert page["rising"] in (0, 1)
+
+
+def test_bowley_bruteforce(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import bowley_skew_by_type
+
+    rows = {r["event_type"]: r for r in bowley_skew_by_type(SF).to_pylist()}
+    raw = duckdb.sql(
+        f"SELECT event_type, CAST(round(value * 100.0) AS BIGINT)"
+        f" FROM '{SF}/events.parquet'"
+    ).fetchall()
+    by: dict = {}
+    for et, c in raw:
+        by.setdefault(et, []).append(c)
+    for et, xs in by.items():
+        xs.sort()
+        n = len(xs)
+        q1 = xs[(n + 3) // 4 - 1]
+        q2 = xs[(n + 1) // 2 - 1]
+        q3 = xs[(3 * n + 3) // 4 - 1]
+        r = rows[et]
+        assert (r["q1_cents"], r["q2_cents"], r["q3_cents"]) == (q1, q2, q3)
+        assert q1 <= q2 <= q3
+        # Bowley skew is bounded in [-1, 1]
+        assert -1_000_000 <= r["bowley_micro"] <= 1_000_000
+
+
+def test_gains_curve_invariants(ray_session):
+    from document_extractor_ray.functions.textstats import gains_curve_deciles
+
+    rows = gains_curve_deciles(SF).to_pylist()
+    assert [r["decile"] for r in rows] == list(range(10))
+    shares = [r["cum_pos_share_permille"] for r in rows]
+    assert shares == sorted(shares)
+    assert shares[-1] == 1000
+    # gains curve dominates the diagonal for a useful score... or at
+    # least the counts are conserved
+    total = sum(r["n_docs"] for r in rows)
+    assert total > 0
+    assert sum(r["n_pos"] for r in rows) > 0
