@@ -433,6 +433,7 @@ PICKS = [
     "page_trend_weeks",
     "bowley_skew_by_type",
     "gains_curve_deciles",
+    "cosine_pair_histogram",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

@@ -3865,3 +3865,106 @@ SELECT CAST(count(*) AS BIGINT) AS n,
        CAST(sum(y * y) AS BIGINT) AS sum_y2
 FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# Pairwise-cosine histogram over a deterministic vector sample
+# ---------------------------------------------------------------------------
+
+
+def cosine_pair_histogram(sf_dir: str):
+    """Distribution of pairwise cosine similarity over a DETERMINISTIC
+    hash sample of the embedding corpus (vec_id·2654435761 mod 2³²
+    ≡ 0 mod 8 — no RNG state), all ordered pairs a < b within the
+    sample, bucketed into 20 width-0.1 bins over [−1, 1] — the
+    calibration histogram a semantic-dedup or clustering threshold is
+    read off (where does the near-dup mode separate from the bulk?).
+    Scores are float64 half-up micro ints (the knn_brute convention,
+    oracle-reproducible); bins derive from the SAME integer on both
+    engines so float noise cannot flip a bucket.
+
+    Scale shape: the sample fraction is the knob that bounds the
+    broadcast matrix; per-batch (sampled-rows × sample) matmul with an
+    id mask, 20-bin histogram partials folded on the driver."""
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.bucketing import fold_partials
+
+    ds = _read_embeddings(sf_dir)
+    A1, M32 = 2654435761, 1 << 32
+
+    def keep_mask(ids: np.ndarray) -> np.ndarray:
+        return ((ids.astype(np.uint64) * A1) & (M32 - 1)) % 8 == 0
+
+    sample_tabs = []
+    for t in map(ray.get, ds.to_arrow_refs()):
+        if not t.num_rows:
+            continue
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        sample_tabs.append(t.filter(pa.array(keep_mask(ids))))
+    sample = pa.concat_tables(sample_tabs).combine_chunks()
+    s_ids = sample["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_mat = _normalize_rows(
+        embedding_matrix(sample["embedding"]).astype(np.float64)
+    )
+    ref = state.broadcast({"ids": s_ids, "mat": s_mat})
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = state.cached_get(ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = keep_mask(ids)
+        if not m.any():
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        ids = ids[m]
+        mat = _normalize_rows(
+            embedding_matrix(t["embedding"]).astype(np.float64)[m]
+        )
+        sims = mat @ s["mat"].T  # (batch_sampled, n_sample)
+        mask = ids[:, None] < s["ids"][None, :]
+        micro = np.floor(sims[mask] * 1_000_000 + 0.5).astype(np.int64)
+        micro = np.clip(micro, -1_000_000, 1_000_000)
+        bins = np.minimum((micro + 1_000_000) // 100_000, 19)
+        cnt = np.bincount(bins, minlength=20)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(20, dtype=np.int64)),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    acc = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "bin", "c"
+    )
+    return pa.table(
+        {
+            "bin": pa.array(list(range(20)), pa.int64()),
+            "lo_micro": pa.array(
+                [-1_000_000 + b * 100_000 for b in range(20)], pa.int64()
+            ),
+            "n_pairs": pa.array(
+                [int(acc.get(b, 0)) for b in range(20)], pa.int64()
+            ),
+        }
+    )
+
+
+COSINE_PAIR_HISTOGRAM_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE (vec_id * 2654435761) % 4294967296 % 8 = 0
+),
+p AS (
+  SELECT least(greatest(
+           CAST(floor(list_cosine_similarity(a.e, b.e) * 1000000 + 0.5)
+                AS BIGINT), -1000000), 1000000) AS micro
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+),
+bb AS (SELECT least((micro + 1000000) // 100000, 19) AS bin FROM p),
+grid AS (SELECT unnest(generate_series(0, 19)) AS bin)
+SELECT CAST(g.bin AS BIGINT) AS bin,
+       CAST(-1000000 + g.bin * 100000 AS BIGINT) AS lo_micro,
+       CAST(count(bb.bin) AS BIGINT) AS n_pairs
+FROM grid g LEFT JOIN bb ON bb.bin = g.bin
+GROUP BY g.bin
+ORDER BY bin
+"""

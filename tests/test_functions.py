@@ -436,6 +436,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "page_trend_weeks",
         "bowley_skew_by_type",
         "gains_curve_deciles",
+        "cosine_pair_histogram",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -6848,3 +6849,22 @@ def test_gains_curve_invariants(ray_session):
     total = sum(r["n_docs"] for r in rows)
     assert total > 0
     assert sum(r["n_pos"] for r in rows) > 0
+
+
+def test_cosine_histogram_invariants(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.similarity import (
+        cosine_pair_histogram,
+    )
+
+    rows = cosine_pair_histogram(SF).to_pylist()
+    assert [r["bin"] for r in rows] == list(range(20))
+    n_sample = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/embeddings.parquet'"
+        f" WHERE (vec_id * 2654435761) % 4294967296 % 8 = 0"
+    ).fetchone()[0]
+    # every unordered sample pair lands in exactly one bin
+    assert sum(r["n_pairs"] for r in rows) == n_sample * (n_sample - 1) // 2
+    assert rows[0]["lo_micro"] == -1_000_000
+    assert rows[-1]["lo_micro"] == 900_000
