@@ -434,6 +434,7 @@ PICKS = [
     "bowley_skew_by_type",
     "gains_curve_deciles",
     "cosine_pair_histogram",
+    "late_materialization_audit",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

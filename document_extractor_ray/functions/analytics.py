@@ -24599,3 +24599,114 @@ SELECT event_type, n, q1 AS q1_cents, q2 AS q2_cents, q3 AS q3_cents,
             ELSE 0 END AS BIGINT) AS bowley_micro
 FROM q ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Early- vs late-materialization scan cost audit over lineitem filters
+# ---------------------------------------------------------------------------
+
+
+def late_materialization_audit(sf_dir: str):
+    """Early- vs late-materialization byte audit for three canonical
+    lineitem predicates: with fixed per-column in-memory widths
+    (int64/double = 8, date32 = 4 — constants both engines share),
+    early = every row pays filter + payload columns, late = every row
+    pays the filter column and only PASSING rows pay the payload
+    (l_extendedprice, l_discount, l_partkey = 24 bytes); the
+    selectivity, both byte counts and the saving in permille — the
+    column-store scan-planning arithmetic (zonemap_prune_audit's
+    row-skipping cousin at the materialization stage).
+
+    Scale shape: three per-batch predicate-count partials folded to
+    scalars; no shuffle, the byte math is driver constants."""
+    W_FILTER = {"l_shipdate": 4, "l_discount": 8, "l_quantity": 8}
+    W_PAYLOAD = 24  # l_extendedprice + l_discount + l_partkey
+
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_shipdate", "l_discount", "l_quantity"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t["l_shipdate"], pa.timestamp("us"))
+        p1 = pc.greater_equal(
+            pc.year(ship), pa.scalar(1997, pa.int32())
+        )
+        p2 = pc.and_(
+            pc.greater_equal(t["l_discount"], 0.05),
+            pc.less_equal(t["l_discount"], 0.07),
+        )
+        p3 = pc.less(t["l_quantity"], 25.0)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+                "c1": pa.array([int(pc.sum(pc.cast(p1, pa.int64())).as_py() or 0)], pa.int64()),
+                "c2": pa.array([int(pc.sum(pc.cast(p2, pa.int64())).as_py() or 0)], pa.int64()),
+                "c3": pa.array([int(pc.sum(pc.cast(p3, pa.int64())).as_py() or 0)], pa.int64()),
+            }
+        )
+
+    acc = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "k",
+        ["n", "c1", "c2", "c3"],
+    )
+    n, c1, c2, c3 = (int(v) for v in acc[0])
+    preds = [
+        ("l_shipdate>=1997", "l_shipdate", c1),
+        ("l_discount in [0.05,0.07]", "l_discount", c2),
+        ("l_quantity<25", "l_quantity", c3),
+    ]
+    rows = []
+    for name, fcol, passing in preds:
+        wf = W_FILTER[fcol]
+        early = n * (wf + W_PAYLOAD)
+        late = n * wf + passing * W_PAYLOAD
+        saving = 1000 * (early - late) // early if early else 0
+        rows.append(
+            (name, n, passing, 1000 * passing // n if n else 0, early, late, saving)
+        )
+    rows.sort()
+    return pa.table(
+        {
+            "predicate": pa.array([r[0] for r in rows], pa.string()),
+            "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+            "n_pass": pa.array([r[2] for r in rows], pa.int64()),
+            "selectivity_permille": pa.array([r[3] for r in rows], pa.int64()),
+            "early_bytes": pa.array([r[4] for r in rows], pa.int64()),
+            "late_bytes": pa.array([r[5] for r in rows], pa.int64()),
+            "saving_permille": pa.array([r[6] for r in rows], pa.int64()),
+        }
+    )
+
+
+LATE_MATERIALIZATION_SQL = """
+WITH c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN year(l_shipdate) >= 1997 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN l_discount >= 0.05 AND l_discount <= 0.07
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN l_quantity < 25.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c3
+  FROM lineitem
+),
+p AS (
+  SELECT 'l_shipdate>=1997' AS predicate, n, c1 AS n_pass,
+         CAST(4 AS BIGINT) AS wf FROM c
+  UNION ALL
+  SELECT 'l_discount in [0.05,0.07]', n, c2, 8 FROM c
+  UNION ALL
+  SELECT 'l_quantity<25', n, c3, 8 FROM c
+)
+SELECT predicate, n AS n_rows, n_pass,
+       CAST(CASE WHEN n > 0 THEN 1000 * n_pass // n ELSE 0 END AS BIGINT)
+         AS selectivity_permille,
+       CAST(n * (wf + 24) AS BIGINT) AS early_bytes,
+       CAST(n * wf + n_pass * 24 AS BIGINT) AS late_bytes,
+       CAST(CASE WHEN n > 0
+                 THEN 1000 * (n * (wf + 24) - (n * wf + n_pass * 24))
+                      // (n * (wf + 24))
+                 ELSE 0 END AS BIGINT) AS saving_permille
+FROM p ORDER BY predicate
+"""

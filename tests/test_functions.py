@@ -437,6 +437,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "bowley_skew_by_type",
         "gains_curve_deciles",
         "cosine_pair_histogram",
+        "late_materialization_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -6868,3 +6869,22 @@ def test_cosine_histogram_invariants(ray_session):
     assert sum(r["n_pairs"] for r in rows) == n_sample * (n_sample - 1) // 2
     assert rows[0]["lo_micro"] == -1_000_000
     assert rows[-1]["lo_micro"] == 900_000
+
+
+def test_late_materialization_arithmetic(ray_session):
+    from document_extractor_ray.functions.analytics import (
+        late_materialization_audit,
+    )
+
+    rows = late_materialization_audit(SF).to_pylist()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0 <= r["n_pass"] <= r["n_rows"]
+        assert r["late_bytes"] <= r["early_bytes"]
+        wf = 4 if "shipdate" in r["predicate"] else 8
+        assert r["early_bytes"] == r["n_rows"] * (wf + 24)
+        assert r["late_bytes"] == r["n_rows"] * wf + r["n_pass"] * 24
+        assert (
+            r["saving_permille"]
+            == 1000 * (r["early_bytes"] - r["late_bytes"]) // r["early_bytes"]
+        )
