@@ -435,6 +435,7 @@ PICKS = [
     "gains_curve_deciles",
     "cosine_pair_histogram",
     "late_materialization_audit",
+    "siegel_repeated_medians",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

@@ -24710,3 +24710,94 @@ SELECT predicate, n AS n_rows, n_pass,
                  ELSE 0 END AS BIGINT) AS saving_permille
 FROM p ORDER BY predicate
 """
+
+
+# ---------------------------------------------------------------------------
+# Siegel repeated-medians robust slope of the daily event-count series
+# ---------------------------------------------------------------------------
+
+
+def siegel_repeated_medians(sf_dir: str):
+    """Siegel's repeated-medians slope of the daily event-count
+    series: for each day i the MEDIAN over j≠i of the pairwise slope
+    (y_j − y_i)/(x_j − x_i), then the median of those per-day medians
+    — a 50% breakdown-point robust trend (Theil–Sen, daily_theil_sen,
+    breaks down at 29%).  Slopes are floored micro ints
+    ⌊10⁶·Δy/Δx⌋ (portable floor division) and both median layers use
+    the probed quantile_disc convention (sorted index ⌈n/2⌉−1), so
+    the oracle reproduces every intermediate integer.
+
+    Scale shape: one calendar-bounded daily fold; the O(n²) slope
+    grid is driver work over the bounded series (the
+    orders_mann_kendall bound)."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.divide(
+                pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64()),
+                pa.scalar(86_400_000_000, pa.int64()),
+            ),
+            pa.int64(),
+        )
+        g = pa.TableGroupBy(pa.table({"day": day}), ["day"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())})
+
+    series = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "day", "n"
+    )
+    days = sorted(series)
+    x = [int(d) for d in days]
+    y = [int(series[d]) for d in days]
+    n = len(x)
+
+    def fdiv(a: int, m: int) -> int:
+        return (a - ((a % m + m) % m)) // m
+
+    def disc_median(vals) -> int:
+        v = sorted(vals)
+        return v[(len(v) + 1) // 2 - 1]  # quantile_disc: ceil(n/2)-1
+
+    med_i = []
+    for i in range(n):
+        slopes = [
+            fdiv(1_000_000 * (y[j] - y[i]), x[j] - x[i])
+            for j in range(n)
+            if j != i
+        ]
+        med_i.append(disc_median(slopes))
+    slope = disc_median(med_i)
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "slope_micro_per_day": pa.array([slope], pa.int64()),
+            "min_day_median": pa.array([min(med_i)], pa.int64()),
+            "max_day_median": pa.array([max(med_i)], pa.int64()),
+        }
+    )
+
+
+SIEGEL_REPEATED_MEDIANS_SQL = """
+WITH d AS (
+  SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT a.x AS xi,
+         (1000000 * (b.y - a.y)
+          - ((1000000 * (b.y - a.y) % (b.x - a.x) + (b.x - a.x))
+             % (b.x - a.x))) // (b.x - a.x) AS slope
+  FROM d a JOIN d b ON b.x <> a.x
+),
+m AS (
+  SELECT xi, quantile_disc(slope, 0.5) AS med FROM s GROUP BY 1
+)
+SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+       CAST(quantile_disc(med, 0.5) AS BIGINT) AS slope_micro_per_day,
+       CAST(min(med) AS BIGINT) AS min_day_median,
+       CAST(max(med) AS BIGINT) AS max_day_median
+FROM m
+"""

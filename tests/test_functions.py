@@ -438,6 +438,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "gains_curve_deciles",
         "cosine_pair_histogram",
         "late_materialization_audit",
+        "siegel_repeated_medians",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -6888,3 +6889,41 @@ def test_late_materialization_arithmetic(ray_session):
             r["saving_permille"]
             == 1000 * (r["early_bytes"] - r["late_bytes"]) // r["early_bytes"]
         )
+
+
+def test_siegel_bruteforce(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import (
+        siegel_repeated_medians,
+    )
+
+    row = siegel_repeated_medians(SF).to_pylist()[0]
+    daily = duckdb.sql(
+        f"SELECT epoch_us(date_trunc('day', ts)) // 86400000000, count(*)"
+        f" FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    x = [a for a, _ in daily]
+    y = [b for _, b in daily]
+    n = len(x)
+
+    def fdiv(a, m):
+        return (a - ((a % m + m) % m)) // m
+
+    def med(vals):
+        v = sorted(vals)
+        return v[(len(v) + 1) // 2 - 1]
+
+    med_i = [
+        med(
+            fdiv(1_000_000 * (y[j] - y[i]), x[j] - x[i])
+            for j in range(n)
+            if j != i
+        )
+        for i in range(n)
+    ]
+    assert row["n_days"] == n
+    assert row["slope_micro_per_day"] == med(med_i)
+    assert row["min_day_median"] == min(med_i)
+    assert row["max_day_median"] == max(med_i)
+    assert row["min_day_median"] <= row["slope_micro_per_day"] <= row["max_day_median"]
