@@ -436,6 +436,8 @@ PICKS = [
     "cosine_pair_histogram",
     "late_materialization_audit",
     "siegel_repeated_medians",
+    "powerlaw_degree_fit",
+    "retention_halflife_fit",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

@@ -24801,3 +24801,111 @@ SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
        CAST(max(med) AS BIGINT) AS max_day_median
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Retention half-life fit from the cohort matrix diagonals
+# ---------------------------------------------------------------------------
+
+
+def retention_halflife_fit(sf_dir: str):
+    """Retention half-life from the cohort triangle: sum the cohort
+    matrix along offset diagonals (retained_k = users active k weeks
+    after their cohort week, all cohorts pooled), fit ln(retained_k)
+    vs k by exact least squares in micro-log integers (k ≥ 1), and
+    convert the weekly decay slope to a half-life L(2)/(−slope) weeks
+    in micro — retention_cohort_matrix's triangle compressed to the
+    one number a growth model wants.
+
+    Scale shape: reuses the bitmask cohort fold (no joins); the
+    diagonal sums and the fit are driver work over the ≤63-week
+    catalog."""
+    import math
+
+    tri = retention_cohort_matrix(sf_dir)
+    retained: dict = {}
+    wmax = 0
+    for cw, w, n in zip(
+        tri["cohort_week"].to_pylist(),
+        tri["week"].to_pylist(),
+        tri["n_users"].to_pylist(),
+    ):
+        k = int(w) - int(cw)
+        retained[k] = retained.get(k, 0) + int(n)
+        wmax = max(wmax, int(w))
+
+    def L(v: int) -> int:
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    pts = [(k, L(retained[k])) for k in sorted(retained) if k >= 1 and retained[k] > 0]
+    m = len(pts)
+
+    def fdiv(a: int, n: int) -> int:
+        return (a - ((a % n + n) % n)) // n
+
+    if m < 2:
+        slope = 0
+    else:
+        sx = sum(k for k, _ in pts)
+        sy = sum(y for _, y in pts)
+        num = sum((m * k - sx) * (m * y - sy) for k, y in pts)
+        den = sum((m * k - sx) ** 2 for k, _ in pts)
+        slope = fdiv(1_000_000 * num, den) if den else 0
+    halflife = fdiv(1_000_000 * L(2), -slope) if slope < 0 else 0
+    return pa.table(
+        {
+            "n_points": pa.array([m], pa.int64()),
+            "retained_week0": pa.array([retained.get(0, 0)], pa.int64()),
+            "slope_micro": pa.array([slope], pa.int64()),
+            "halflife_micro_weeks": pa.array([halflife], pa.int64()),
+        }
+    )
+
+
+RETENTION_HALFLIFE_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS w
+  FROM events
+),
+w0 AS (SELECT min(w) AS w0 FROM uw),
+rel AS (SELECT user_id, CAST(uw.w - w0.w0 AS BIGINT) AS w FROM uw, w0),
+cohort AS (SELECT user_id, min(w) AS cw FROM rel GROUP BY user_id),
+diag AS (
+  SELECT rel.w - cohort.cw AS k, CAST(count(*) AS BIGINT) AS retained
+  FROM rel JOIN cohort USING (user_id)
+  GROUP BY 1
+),
+xy AS (
+  SELECT k AS x, CAST(round(ln(retained) * 1000000) AS BIGINT) AS y
+  FROM diag WHERE k >= 1 AND retained > 0
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy
+  FROM xy
+),
+fit AS (
+  SELECT sum(CAST((SELECT m FROM st) * x - (SELECT sx FROM st) AS HUGEINT)
+             * ((SELECT m FROM st) * y - (SELECT sy FROM st))) AS num,
+         sum(CAST((SELECT m FROM st) * x - (SELECT sx FROM st) AS HUGEINT)
+             * ((SELECT m FROM st) * x - (SELECT sx FROM st))) AS den
+  FROM xy
+),
+sl AS (
+  SELECT CAST(CASE WHEN (SELECT m FROM st) >= 2 AND den > 0 THEN
+           (1000000 * num - ((1000000 * num % den + den) % den)) // den
+         ELSE 0 END AS BIGINT) AS slope
+  FROM fit
+)
+SELECT (SELECT m FROM st) AS n_points,
+       CAST(coalesce((SELECT retained FROM diag WHERE k = 0), 0) AS BIGINT)
+         AS retained_week0,
+       slope AS slope_micro,
+       CAST(CASE WHEN slope < 0 THEN
+              (1000000 * CAST(round(ln(2) * 1000000) AS BIGINT)
+               - ((1000000 * CAST(round(ln(2) * 1000000) AS BIGINT)
+                   % (-slope) + (-slope)) % (-slope))) // (-slope)
+            ELSE 0 END AS BIGINT) AS halflife_micro_weeks
+FROM sl
+"""

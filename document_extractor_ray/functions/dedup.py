@@ -3493,3 +3493,65 @@ def filter_order_plan_sql(threshold: float = 0.7, n_benchmark: int = 3) -> str:
 m AS MATERIALIZED (SELECT fail_mask, CAST(count(*) AS BIGINT) AS n FROM cd GROUP BY 1)
 {union}
 ORDER BY first_layer"""
+
+
+# ---------------------------------------------------------------------------
+# Power-law exponent fit of the near-dup graph degree distribution
+# ---------------------------------------------------------------------------
+
+
+def powerlaw_degree_fit(sf_dir: str):
+    """Power-law exponent of the near-dup graph's degree distribution:
+    least-squares slope of (ln degree, ln count) over the
+    dup_graph_degree_hist points in exact micro-log integers (the
+    heaps_law_fit rational-slope machinery) — is the duplication graph
+    scale-free (a few hub documents duplicated everywhere) or flat
+    (pairwise near-dups)?  alpha_micro = −slope; 0 when fewer than two
+    distinct degrees exist.
+
+    Scale shape: the degree histogram is the existing banded-minhash
+    plan (bucketed, skew-capped); the fit is driver arithmetic over
+    the degree-bounded histogram."""
+    import math
+
+    from document_extractor_ray.functions.textstats import _read_docs
+
+    hist = dup_graph_degree_hist(_read_docs(sf_dir, ["doc_id", "text"]))
+
+    def L(v: int) -> int:
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    pts = [
+        (L(int(d)), L(int(c)))
+        for d, c in zip(
+            hist["degree"].to_pylist(), hist["n_docs"].to_pylist()
+        )
+        if int(d) >= 1 and int(c) >= 1
+    ]
+    m = len(pts)
+    if m < 2:
+        return pa.table(
+            {
+                "n_points": pa.array([m], pa.int64()),
+                "alpha_micro": pa.array([0], pa.int64()),
+                "xbar_micro": pa.array([0], pa.int64()),
+                "ybar_micro": pa.array([0], pa.int64()),
+            }
+        )
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    num = sum((m * x - sx) * (m * y - sy) for x, y in pts)
+    den = sum((m * x - sx) ** 2 for x, _ in pts)
+
+    def fdiv(a: int, n: int) -> int:
+        return (a - ((a % n + n) % n)) // n
+
+    slope = fdiv(1_000_000 * num, den) if den else 0
+    return pa.table(
+        {
+            "n_points": pa.array([m], pa.int64()),
+            "alpha_micro": pa.array([-slope], pa.int64()),
+            "xbar_micro": pa.array([fdiv(sx, m)], pa.int64()),
+            "ybar_micro": pa.array([fdiv(sy, m)], pa.int64()),
+        }
+    )

@@ -1275,3 +1275,45 @@ SELECT CASE WHEN a % 2 = 1 THEN a ELSE b END AS doc_id,
        CAST(count(*) AS BIGINT) AS n_existing_matches
 FROM e WHERE (a % 2) <> (b % 2)
 GROUP BY 1 ORDER BY 1"""
+
+
+def powerlaw_degree_fit_sql(threshold: float = 0.7) -> str:
+    """Oracle for ``dedup.powerlaw_degree_fit``: the degree histogram
+    as a subquery, micro-log points, the exact rational slope (the
+    heaps_law_fit floor-division formula), alpha = −slope."""
+    return f"""WITH hist AS ({dup_degree_hist_sql(threshold)}),
+xy AS (
+  SELECT CAST(round(ln(degree) * 1000000) AS BIGINT) AS x,
+         CAST(round(ln(n_docs) * 1000000) AS BIGINT) AS y
+  FROM hist WHERE degree >= 1 AND n_docs >= 1
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy
+  FROM xy
+),
+fit AS (
+  SELECT sum(CAST((SELECT m FROM st) * x - (SELECT sx FROM st) AS HUGEINT)
+             * ((SELECT m FROM st) * y - (SELECT sy FROM st))) AS num,
+         sum(CAST((SELECT m FROM st) * x - (SELECT sx FROM st) AS HUGEINT)
+             * ((SELECT m FROM st) * x - (SELECT sx FROM st))) AS den
+  FROM xy
+)
+SELECT (SELECT m FROM st) AS n_points,
+       CAST(CASE WHEN (SELECT m FROM st) >= 2 AND den > 0 THEN
+              -((1000000 * num
+                 - ((1000000 * num % den + den) % den)) // den)
+            ELSE 0 END AS BIGINT) AS alpha_micro,
+       CAST(CASE WHEN (SELECT m FROM st) >= 2 THEN
+              ((SELECT sx FROM st)
+               - (((SELECT sx FROM st) % (SELECT m FROM st)
+                   + (SELECT m FROM st)) % (SELECT m FROM st)))
+              // (SELECT m FROM st)
+            ELSE 0 END AS BIGINT) AS xbar_micro,
+       CAST(CASE WHEN (SELECT m FROM st) >= 2 THEN
+              ((SELECT sy FROM st)
+               - (((SELECT sy FROM st) % (SELECT m FROM st)
+                   + (SELECT m FROM st)) % (SELECT m FROM st)))
+              // (SELECT m FROM st)
+            ELSE 0 END AS BIGINT) AS ybar_micro
+FROM fit"""

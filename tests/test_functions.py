@@ -439,6 +439,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "cosine_pair_histogram",
         "late_materialization_audit",
         "siegel_repeated_medians",
+        "powerlaw_degree_fit",
+        "retention_halflife_fit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -6927,3 +6929,58 @@ def test_siegel_bruteforce(ray_session):
     assert row["min_day_median"] == min(med_i)
     assert row["max_day_median"] == max(med_i)
     assert row["min_day_median"] <= row["slope_micro_per_day"] <= row["max_day_median"]
+
+
+def test_powerlaw_fit_consistency(ray_session):
+    import math
+
+    from document_extractor_ray.functions.dedup import (
+        dup_graph_degree_hist_docs,
+        powerlaw_degree_fit,
+    )
+
+    row = powerlaw_degree_fit(SF).to_pylist()[0]
+    hist = dup_graph_degree_hist_docs(SF)
+    pts = [
+        (int(d), int(c))
+        for d, c in zip(hist["degree"].to_pylist(), hist["n_docs"].to_pylist())
+        if int(d) >= 1 and int(c) >= 1
+    ]
+    assert row["n_points"] == len(pts)
+    if len(pts) >= 2:
+
+        def L(v):
+            return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+        m = len(pts)
+        xs = [L(d) for d, _ in pts]
+        ys = [L(c) for _, c in pts]
+        sx, sy = sum(xs), sum(ys)
+        num = sum((m * x - sx) * (m * y - sy) for x, y in zip(xs, ys))
+        den = sum((m * x - sx) ** 2 for x in xs)
+        want = -((1_000_000 * num - ((1_000_000 * num % den + den) % den)) // den) if den else 0
+        assert row["alpha_micro"] == want
+    else:
+        assert row["alpha_micro"] == 0
+
+
+def test_retention_halflife_consistency(ray_session):
+    from document_extractor_ray.functions.analytics import (
+        retention_cohort_matrix,
+        retention_halflife_fit,
+    )
+
+    row = retention_halflife_fit(SF).to_pylist()[0]
+    tri = retention_cohort_matrix(SF)
+    diag: dict = {}
+    for cw, w, n in zip(
+        tri["cohort_week"].to_pylist(),
+        tri["week"].to_pylist(),
+        tri["n_users"].to_pylist(),
+    ):
+        diag[w - cw] = diag.get(w - cw, 0) + n
+    assert row["retained_week0"] == diag.get(0, 0)
+    assert row["n_points"] == sum(1 for k, v in diag.items() if k >= 1 and v > 0)
+    # retention decays: slope non-positive, half-life sane when defined
+    if row["slope_micro"] < 0:
+        assert row["halflife_micro_weeks"] > 0
