@@ -438,6 +438,8 @@ PICKS = [
     "siegel_repeated_medians",
     "powerlaw_degree_fit",
     "retention_halflife_fit",
+    "fightin_words",
+    "pr_threshold_sweep",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

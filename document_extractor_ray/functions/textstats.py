@@ -11320,3 +11320,261 @@ SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_pos,
                  ELSE 0 END AS BIGINT) AS cum_pos_share_permille
 FROM dec ORDER BY decile
 """
+
+
+# ---------------------------------------------------------------------------
+# "Fightin' Words" log-odds with Dirichlet prior between two sources
+# ---------------------------------------------------------------------------
+
+
+def fightin_words(sf_dir: str, k: int = 20):
+    """Monroe/Colaresi/Quinn "Fightin' Words" (2008): which tokens
+    most distinguish the lexicographically FIRST source from the LAST
+    — the Dirichlet-smoothed log-odds
+    δ_w = [L(y1+1) − L(n1+V−y1−1)] − [L(y2+1) − L(n2+V−y2−1)]
+    in exact micro-nats (α = 1 per word, α0 = V, all-integer log
+    arguments under the L(v) = round(ln v·1e6) convention) plus the
+    variance ≈ 1/(y1+1) + 1/(y2+1) as a floored micro rational; top-k
+    tokens by δ (token tie-break) — the principled replacement for
+    raw tf-idf difference lists.
+
+    Scale shape: one (token → y1, y2) vocabulary fold over the two
+    sources via ``bucketed_agg``; the scoreboard is per-hash-bucket
+    arithmetic and a distributed top-k (sort + limit) — the
+    vocabulary never lands anywhere whole."""
+    from document_extractor_ray.functions.bucketing import (
+        bucketed_agg,
+        fold_partials,
+    )
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def src_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(pa.table({"source": t["source"]}), ["source"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"source": g["source"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    srcs = sorted(
+        fold_partials(
+            ds.map_batches(src_partial, batch_format="pyarrow"), "source", "n"
+        )
+    )
+    src_a, src_b = srcs[0], srcs[-1]
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        keep_src = pc.or_(
+            pc.equal(t["source"], src_a), pc.equal(t["source"], src_b)
+        )
+        t = t.filter(keep_src)
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        src = pc.take(t["source"], parent.filter(keep))
+        is_a = pc.cast(pc.equal(src, src_a), pa.int64())
+        g = pa.TableGroupBy(
+            pa.table({"token": flat, "a": is_a}), ["token"]
+        ).aggregate([("a", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "token": g["token"],
+                "y1_part": g["a_sum"],
+                "tot_part": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    vocab = bucketed_agg(
+        ds.map_batches(tf_partial, batch_format="pyarrow"),
+        ["token"],
+        [("y1_part", "sum", "y1"), ("tot_part", "sum", "tot")],
+    ).materialize()
+    vt = pa.concat_tables(
+        tb for tb in map(ray.get, vocab.to_arrow_refs()) if tb.num_rows
+    ).combine_chunks()
+    y1 = vt["y1"].to_numpy(zero_copy_only=False)
+    tot = vt["tot"].to_numpy(zero_copy_only=False)
+    y2 = tot - y1
+    n1, n2, v_size = int(y1.sum()), int(y2.sum()), len(y1)
+
+    ln_cache: dict = {}
+
+    def L(v: int) -> int:
+        r = ln_cache.get(v)
+        if r is None:
+            r = int(math.floor(math.log(v) * 1_000_000 + 0.5))
+            ln_cache[v] = r
+        return r
+
+    def fdiv(a: int, n: int) -> int:
+        return (a - ((a % n + n) % n)) // n
+
+    rows = []
+    for tok, a, b in zip(vt["token"].to_pylist(), y1, y2):
+        a, b = int(a), int(b)
+        delta = (L(a + 1) - L(n1 + v_size - a - 1)) - (
+            L(b + 1) - L(n2 + v_size - b - 1)
+        )
+        var = fdiv(1_000_000 * (a + 1 + b + 1), (a + 1) * (b + 1))
+        rows.append((tok, a, b, delta, var))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    rows = rows[:k]
+    return pa.table(
+        {
+            "token": pa.array([r[0] for r in rows], pa.string()),
+            "y_a": pa.array([r[1] for r in rows], pa.int64()),
+            "y_b": pa.array([r[2] for r in rows], pa.int64()),
+            "delta_micro": pa.array([r[3] for r in rows], pa.int64()),
+            "var_micro": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+FIGHTIN_WORDS_SQL = f"""
+WITH ab AS (
+  SELECT min(source) AS a, max(source) AS b FROM documents
+),
+tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+  FROM documents
+  WHERE source = (SELECT a FROM ab) OR source = (SELECT b FROM ab)
+),
+tk AS (SELECT source, token FROM tok WHERE token <> ''),
+cnt AS (
+  SELECT token,
+         CAST(sum(CASE WHEN source = (SELECT a FROM ab)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y1,
+         CAST(sum(CASE WHEN source = (SELECT b FROM ab)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y2
+  FROM tk GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(y1) AS BIGINT) AS n1, CAST(sum(y2) AS BIGINT) AS n2,
+         CAST(count(*) AS BIGINT) AS v
+  FROM cnt
+)
+SELECT token, y1 AS y_a, y2 AS y_b,
+       CAST((CAST(round(ln(y1 + 1) * 1000000) AS BIGINT)
+             - CAST(round(ln((SELECT n1 + v FROM tot) - y1 - 1) * 1000000)
+                    AS BIGINT))
+            - (CAST(round(ln(y2 + 1) * 1000000) AS BIGINT)
+               - CAST(round(ln((SELECT n2 + v FROM tot) - y2 - 1) * 1000000)
+                      AS BIGINT)) AS BIGINT) AS delta_micro,
+       CAST((1000000 * (y1 + 1 + y2 + 1))
+            // ((y1 + 1) * (y2 + 1)) AS BIGINT) AS var_micro
+FROM cnt
+ORDER BY delta_micro DESC, token
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Precision/recall/F1 threshold sweep of the quality score
+# ---------------------------------------------------------------------------
+
+
+def pr_threshold_sweep(sf_dir: str):
+    """Precision / recall / F1 at every decade threshold of the
+    alpha-share quality score against the lang == 'en' label (predict
+    positive iff score ≥ 100·t permille, t = 0..9): exact integer
+    confusion counts and the permille ratios with F1 as the one-floor
+    rational 2000·tp // (2·tp + fp + fn) — the operating-point menu
+    quality_auc's ranking number can't give you.
+
+    Scale shape: the 1000-cell score histogram folds once (the
+    gains_curve_deciles fold); the 10-threshold sweep is driver
+    arithmetic."""
+    from document_extractor_ray.functions.bucketing import fold_partials
+
+    ds = _read_docs(sf_dir, ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = pc.utf8_length(t["text"])
+        a = pc.count_substring_regex(t["text"], "[A-Za-z]")
+        a64 = pc.cast(a, pa.int64()).to_numpy(zero_copy_only=False)
+        n64 = pc.cast(n, pa.int64()).to_numpy(zero_copy_only=False)
+        score = np.where(n64 > 0, (1000 * a64) // np.maximum(n64, 1), 0)
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "score": pa.array(score, pa.int64()),
+                    "pos": pc.cast(pc.equal(t["lang"], "en"), pa.int64()),
+                }
+            ),
+            ["score"],
+        ).aggregate([("pos", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "score": g["score"],
+                "pos": g["pos_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    acc = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "score", ["pos", "n"]
+    )
+    total_p = sum(int(acc[s][0]) for s in acc)
+    rows = []
+    for t in range(10):
+        thr = 100 * t
+        tp = sum(int(acc[s][0]) for s in acc if int(s) >= thr)
+        pred_pos = sum(int(acc[s][1]) for s in acc if int(s) >= thr)
+        fp = pred_pos - tp
+        fn = total_p - tp
+        prec = 1000 * tp // pred_pos if pred_pos else 0
+        rec = 1000 * tp // total_p if total_p else 0
+        f1 = 2000 * tp // (2 * tp + fp + fn) if (2 * tp + fp + fn) else 0
+        rows.append((t, tp, fp, fn, prec, rec, f1))
+    return pa.table(
+        {
+            "threshold_decade": pa.array([r[0] for r in rows], pa.int64()),
+            "tp": pa.array([r[1] for r in rows], pa.int64()),
+            "fp": pa.array([r[2] for r in rows], pa.int64()),
+            "fn": pa.array([r[3] for r in rows], pa.int64()),
+            "precision_permille": pa.array([r[4] for r in rows], pa.int64()),
+            "recall_permille": pa.array([r[5] for r in rows], pa.int64()),
+            "f1_permille": pa.array([r[6] for r in rows], pa.int64()),
+        }
+    )
+
+
+PR_THRESHOLD_SWEEP_SQL = """
+WITH s AS (
+  SELECT CASE WHEN length(text) > 0
+              THEN (1000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+                   // length(text)
+              ELSE 0 END AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+tot AS (SELECT CAST(sum(pos) AS BIGINT) AS tp_all FROM s),
+grid AS (SELECT unnest(generate_series(0, 9)) AS t),
+sw AS (
+  SELECT g.t,
+         CAST(sum(CASE WHEN s.score >= 100 * g.t THEN s.pos ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN s.score >= 100 * g.t THEN 1 ELSE 0 END)
+              AS BIGINT) AS pred_pos
+  FROM grid g CROSS JOIN s
+  GROUP BY 1
+)
+SELECT CAST(t AS BIGINT) AS threshold_decade, tp,
+       pred_pos - tp AS fp,
+       (SELECT tp_all FROM tot) - tp AS fn,
+       CAST(CASE WHEN pred_pos > 0 THEN 1000 * tp // pred_pos
+                 ELSE 0 END AS BIGINT) AS precision_permille,
+       CAST(CASE WHEN (SELECT tp_all FROM tot) > 0
+                 THEN 1000 * tp // (SELECT tp_all FROM tot)
+                 ELSE 0 END AS BIGINT) AS recall_permille,
+       CAST(CASE WHEN 2 * tp + (pred_pos - tp)
+                      + ((SELECT tp_all FROM tot) - tp) > 0
+                 THEN 2000 * tp // (2 * tp + (pred_pos - tp)
+                                    + ((SELECT tp_all FROM tot) - tp))
+                 ELSE 0 END AS BIGINT) AS f1_permille
+FROM sw ORDER BY threshold_decade
+"""

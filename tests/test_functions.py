@@ -441,6 +441,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "siegel_repeated_medians",
         "powerlaw_degree_fit",
         "retention_halflife_fit",
+        "fightin_words",
+        "pr_threshold_sweep",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -6984,3 +6986,44 @@ def test_retention_halflife_consistency(ray_session):
     # retention decays: slope non-positive, half-life sane when defined
     if row["slope_micro"] < 0:
         assert row["halflife_micro_weeks"] > 0
+
+
+def test_fightin_words_symmetry(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.textstats import fightin_words
+
+    rows = fightin_words(SF).to_pylist()
+    assert len(rows) == 20
+    deltas = [r["delta_micro"] for r in rows]
+    assert deltas == sorted(deltas, reverse=True)
+    a, b = duckdb.sql(
+        f"SELECT min(source), max(source) FROM '{SF}/documents.parquet'"
+    ).fetchone()
+    assert a != b
+    for r in rows:
+        # top-A tokens lean toward corpus A in raw rate too (weakly:
+        # positive delta requires y_a+1 share above y_b+1 share up to
+        # the prior; check the variance formula exactly)
+        want_var = (1_000_000 * (r["y_a"] + 1 + r["y_b"] + 1)) // (
+            (r["y_a"] + 1) * (r["y_b"] + 1)
+        )
+        assert r["var_micro"] == want_var
+
+
+def test_pr_sweep_monotone(ray_session):
+    from document_extractor_ray.functions.textstats import pr_threshold_sweep
+
+    rows = pr_threshold_sweep(SF).to_pylist()
+    assert [r["threshold_decade"] for r in rows] == list(range(10))
+    # raising the threshold can only shrink tp and predicted positives
+    tps = [r["tp"] for r in rows]
+    assert tps == sorted(tps, reverse=True)
+    recalls = [r["recall_permille"] for r in rows]
+    assert recalls == sorted(recalls, reverse=True)
+    for r in rows:
+        assert r["tp"] + r["fn"] == rows[0]["tp"] + rows[0]["fn"]
+        assert 0 <= r["precision_permille"] <= 1000
+        assert 0 <= r["f1_permille"] <= 1000
+    # threshold 0 predicts everything: recall = 1000
+    assert rows[0]["recall_permille"] == 1000
