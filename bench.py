@@ -440,6 +440,8 @@ PICKS = [
     "retention_halflife_fit",
     "fightin_words",
     "pr_threshold_sweep",
+    "seasonal_mann_kendall",
+    "gries_dp_dispersion",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

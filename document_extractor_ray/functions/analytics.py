@@ -24909,3 +24909,103 @@ SELECT (SELECT m FROM st) AS n_points,
             ELSE 0 END AS BIGINT) AS halflife_micro_weeks
 FROM sl
 """
+
+
+# ---------------------------------------------------------------------------
+# Seasonal Mann–Kendall trend test (day-of-week seasons)
+# ---------------------------------------------------------------------------
+
+
+def seasonal_mann_kendall(sf_dir: str):
+    """Seasonal Mann–Kendall (Hirsch–Slack) trend test of the daily
+    event-count series with day-of-week seasons: the pairwise sign
+    statistic runs WITHIN each of the 7 dow sub-series (so a weekly
+    cycle can't masquerade as trend), S_total = Σ S_dow and the
+    tie-corrected variance numerators add — the calendar-aware
+    companion of orders_mann_kendall, all exact integers.
+
+    Scale shape: one calendar-bounded daily fold; seven small O(n²)
+    sign sums on the driver."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.divide(
+                pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64()),
+                pa.scalar(86_400_000_000, pa.int64()),
+            ),
+            pa.int64(),
+        )
+        g = pa.TableGroupBy(pa.table({"day": day}), ["day"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())})
+
+    series = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "day", "n"
+    )
+    by_dow: dict = {}
+    for d in sorted(series):
+        by_dow.setdefault(int(d) % 7, []).append(int(series[d]))
+    s_total = 0
+    var_total = 0
+    n_used = 0
+    for dow in range(7):
+        y = by_dow.get(dow, [])
+        n = len(y)
+        if n < 2:
+            continue
+        n_used += 1
+        s_total += sum(
+            (y[j] > y[i]) - (y[j] < y[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        ties: dict = {}
+        for v in y:
+            ties[v] = ties.get(v, 0) + 1
+        var_total += n * (n - 1) * (2 * n + 5) - sum(
+            t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1
+        )
+    return pa.table(
+        {
+            "n_seasons": pa.array([n_used], pa.int64()),
+            "s_total": pa.array([s_total], pa.int64()),
+            "var18_total": pa.array([var_total], pa.int64()),
+        }
+    )
+
+
+SEASONAL_MANN_KENDALL_SQL = """
+WITH d AS (
+  SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+dw AS (SELECT day % 7 AS dow, day, n FROM d),
+s AS (
+  SELECT a.dow,
+         CAST(sum(CASE WHEN b.n > a.n THEN 1
+                       WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM dw a JOIN dw b ON b.dow = a.dow AND b.day > a.day
+  GROUP BY 1
+),
+cnt AS (SELECT dow, CAST(count(*) AS BIGINT) AS n FROM dw GROUP BY 1),
+tie AS (
+  SELECT dow, CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tsum
+  FROM (SELECT dow, n, count(*) AS t FROM dw GROUP BY 1, 2)
+  WHERE t > 1 GROUP BY 1
+),
+v AS (
+  SELECT c.dow, c.n * (c.n - 1) * (2 * c.n + 5)
+           - coalesce(t.tsum, 0) AS var18
+  FROM cnt c LEFT JOIN tie t USING (dow)
+  WHERE c.n >= 2
+)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_seasons,
+       CAST((SELECT coalesce(sum(s.s), 0) FROM s
+             JOIN v ON v.dow = s.dow) AS BIGINT) AS s_total,
+       CAST((SELECT coalesce(sum(var18), 0) FROM v) AS BIGINT)
+         AS var18_total
+"""

@@ -11578,3 +11578,113 @@ SELECT CAST(t AS BIGINT) AS threshold_decade, tp,
                  ELSE 0 END AS BIGINT) AS f1_permille
 FROM sw ORDER BY threshold_decade
 """
+
+
+# ---------------------------------------------------------------------------
+# Gries' DP lexical dispersion across sources
+# ---------------------------------------------------------------------------
+
+
+def gries_dp_dispersion(sf_dir: str, m: int = 20):
+    """Gries' "deviation of proportions" DP (2008) for the corpus's
+    top-m tokens: DP = ½·Σ_parts |v_i − s_i| with v_i the token's
+    occurrence share in source i and s_i the source's token-mass
+    share — 0 = perfectly even across sources, →1 = concentrated in
+    one; the dispersion axis a frequency list hides (a stop word and
+    a boilerplate artifact can share a count while sitting at opposite
+    DP ends).  Exact: dp_permille = ⌊500·Σ|y_si·N − n_i·y_t| /
+    (y_t·N)⌋, all integers.
+
+    Scale shape: one (source, token) fold via ``bucketed_agg``
+    (bounded by sources × vocabulary hash buckets); the top-m
+    scoreboard folds per-token rows on the driver (m × S grid)."""
+    from document_extractor_ray.functions.bucketing import (
+        bucketed_agg,
+        fold_partials,
+    )
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        src = pc.take(t["source"], parent.filter(keep))
+        g = pa.TableGroupBy(
+            pa.table({"source": src, "token": flat}), ["source", "token"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "token": g["token"],
+                "c_part": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    st = bucketed_agg(
+        ds.map_batches(tf_partial, batch_format="pyarrow"),
+        ["source", "token"],
+        [("c_part", "sum", "c")],
+    )
+    grid = fold_partials(st, ["source", "token"], "c", max_keys=500_000)
+    n_src: dict = {}
+    tok_tot: dict = {}
+    for (s, t), c in grid.items():
+        c = int(c)
+        n_src[s] = n_src.get(s, 0) + c
+        tok_tot[t] = tok_tot.get(t, 0) + c
+    sources = sorted(n_src)
+    big_n = sum(n_src.values())
+    top = sorted(tok_tot, key=lambda t: (-tok_tot[t], t))[:m]
+    rows = []
+    for t in top:
+        yt = tok_tot[t]
+        dev = sum(
+            abs(int(grid.get((s, t), 0)) * big_n - n_src[s] * yt)
+            for s in sources
+        )
+        dp = (500 * dev) // (yt * big_n)
+        rows.append((t, yt, dp))
+    return pa.table(
+        {
+            "token": pa.array([r[0] for r in rows], pa.string()),
+            "count": pa.array([r[1] for r in rows], pa.int64()),
+            "dp_permille": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+GRIES_DP_SQL = f"""
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+  FROM documents
+),
+tk AS (SELECT source, token FROM tok WHERE token <> ''),
+ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1),
+bign AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM ns),
+tt AS (SELECT token, CAST(count(*) AS BIGINT) AS yt FROM tk GROUP BY 1),
+top AS (SELECT token, yt FROM tt ORDER BY yt DESC, token LIMIT 20),
+cnt AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+  FROM tk WHERE token IN (SELECT token FROM top)
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.source, t.token, t.yt, coalesce(c.c, 0) AS c, s.n
+  FROM ns s CROSS JOIN top t
+  LEFT JOIN cnt c ON c.source = s.source AND c.token = t.token
+),
+dev AS (
+  SELECT token, yt,
+         CAST(sum(abs(c * (SELECT n FROM bign) - n * yt)) AS HUGEINT) AS dev
+  FROM grid GROUP BY 1, 2
+)
+SELECT token, yt AS count,
+       CAST((500 * dev) // (CAST(yt AS HUGEINT) * (SELECT n FROM bign))
+            AS BIGINT) AS dp_permille
+FROM dev
+ORDER BY count DESC, token
+"""

@@ -443,6 +443,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "retention_halflife_fit",
         "fightin_words",
         "pr_threshold_sweep",
+        "seasonal_mann_kendall",
+        "gries_dp_dispersion",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -7027,3 +7029,57 @@ def test_pr_sweep_monotone(ray_session):
         assert 0 <= r["f1_permille"] <= 1000
     # threshold 0 predicts everything: recall = 1000
     assert rows[0]["recall_permille"] == 1000
+
+
+def test_seasonal_mk_bruteforce(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import (
+        seasonal_mann_kendall,
+    )
+
+    row = seasonal_mann_kendall(SF).to_pylist()[0]
+    daily = duckdb.sql(
+        f"SELECT epoch_us(date_trunc('day', ts)) // 86400000000, count(*)"
+        f" FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    by_dow: dict = {}
+    for d, n in daily:
+        by_dow.setdefault(d % 7, []).append(n)
+    s_tot = v_tot = used = 0
+    for dow, y in by_dow.items():
+        n = len(y)
+        if n < 2:
+            continue
+        used += 1
+        s_tot += sum(
+            (y[j] > y[i]) - (y[j] < y[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        ties: dict = {}
+        for v in y:
+            ties[v] = ties.get(v, 0) + 1
+        v_tot += n * (n - 1) * (2 * n + 5) - sum(
+            t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1
+        )
+    assert (row["n_seasons"], row["s_total"], row["var18_total"]) == (
+        used,
+        s_tot,
+        v_tot,
+    )
+
+
+def test_gries_dp_bounds(ray_session):
+    from document_extractor_ray.functions.textstats import gries_dp_dispersion
+
+    rows = gries_dp_dispersion(SF).to_pylist()
+    assert len(rows) == 20
+    counts = [r["count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        # DP lives in [0, 1); a frequent common token must be low-DP
+        assert 0 <= r["dp_permille"] < 1000
+    # the most frequent token is spread across all sources: DP well
+    # below the concentrated extreme
+    assert rows[0]["dp_permille"] < 900
