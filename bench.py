@@ -442,6 +442,8 @@ PICKS = [
     "pr_threshold_sweep",
     "seasonal_mann_kendall",
     "gries_dp_dispersion",
+    "multi_source_jsd",
+    "hoover_index_users",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

@@ -25009,3 +25009,94 @@ SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_seasons,
        CAST((SELECT coalesce(sum(var18), 0) FROM v) AS BIGINT)
          AS var18_total
 """
+
+
+# ---------------------------------------------------------------------------
+# Hoover (Robin Hood) index of user spend concentration
+# ---------------------------------------------------------------------------
+
+
+def hoover_index_users(sf_dir: str):
+    """Hoover (Robin Hood) index of user spend: ½·Σ_u |share_u − 1/n|
+    — the fraction of total spend that would have to move to equalize
+    users, exact as hoover_permille = ⌊500·Σ|c_u·n − T| / (T·n)⌋ (all
+    integers; the transfer-interpretation scalar next to
+    user_spend_lorenz's curve and user_type_gini's Gini).
+
+    Scale shape: per-user cents via ``bucketed_agg``; the absolute
+    deviation reduces per block against the broadcast (T, n) scalars
+    and folds as one integer — no user list on the driver."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": t["user_id"], "cents": _to_cents(t["value"])}
+        )
+
+    per = bucketed_agg(
+        _read(sf_dir, "events", columns=["user_id", "value"]).map_batches(
+            slim, batch_format="pyarrow"
+        ),
+        ["user_id"],
+        [("cents", "sum", "cents")],
+    ).materialize()
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "t": pa.array([int(c.sum())], pa.int64()),
+                "n": pa.array([len(c)], pa.int64()),
+            }
+        )
+
+    acc = fold_partials(
+        per.map_batches(tot_partial, batch_format="pyarrow"), "k", ["t", "n"]
+    )
+    total, n = (int(v) for v in acc[0])
+
+    def dev_partial(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False).astype(object)
+        dev = sum(abs(int(v) * n - total) for v in c)
+        return pa.table(
+            {"k": pa.array([0], pa.int64()), "d": pa.array([dev], pa.int64())}
+        )
+
+    dacc = fold_partials(
+        per.map_batches(dev_partial, batch_format="pyarrow"), "k", "d"
+    )
+    dev = int(dacc[0])
+    hoover = (500 * dev) // (total * n) if total and n else 0
+    return pa.table(
+        {
+            "n_users": pa.array([n], pa.int64()),
+            "total_cents": pa.array([total], pa.int64()),
+            "hoover_permille": pa.array([hoover], pa.int64()),
+        }
+    )
+
+
+HOOVER_INDEX_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+t AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n
+  FROM u
+),
+d AS (
+  SELECT CAST(sum(abs(CAST(cents AS HUGEINT) * (SELECT n FROM t)
+                      - (SELECT total FROM t))) AS HUGEINT) AS dev
+  FROM u
+)
+SELECT (SELECT n FROM t) AS n_users,
+       (SELECT total FROM t) AS total_cents,
+       CAST((500 * dev)
+            // (CAST((SELECT total FROM t) AS HUGEINT) * (SELECT n FROM t))
+            AS BIGINT) AS hoover_permille
+FROM d
+"""

@@ -11688,3 +11688,176 @@ SELECT token, yt AS count,
 FROM dev
 ORDER BY count DESC, token
 """
+
+
+# ---------------------------------------------------------------------------
+# Generalized Jensen–Shannon divergence across ALL sources
+# ---------------------------------------------------------------------------
+
+
+def multi_source_jsd(sf_dir: str):
+    """Generalized (k-way) Jensen–Shannon divergence of the unigram
+    distributions of ALL sources at once — JSD = H(mixture) −
+    Σ_s w_s·H(source), w_s the token-mass share — as the exact
+    integer N·JSD = N·L(N) − Σ_w Y_w·L(Y_w) − Σ_s [n_s·L(n_s) −
+    Σ_w y_sw·L(y_sw)] in micro-nats (every L argument an integer
+    count) — lang_trigram_jsd's pairwise matrix collapsed to the one
+    mixture number: how much does knowing the source tell you about
+    the next token (0 = identical feeds, ln k = disjoint).
+
+    Scale shape: one (source, token) fold and one (token) fold via
+    ``bucketed_agg``; the three Σc·L(c) reductions run per hash
+    bucket (memoized ln per distinct count) and fold as scalars —
+    vocabulary never collected."""
+    from document_extractor_ray.functions.bucketing import (
+        bucketed_agg,
+        fold_partials,
+    )
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), _DF_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        src = pc.take(t["source"], parent.filter(keep))
+        g = pa.TableGroupBy(
+            pa.table({"source": src, "token": flat}), ["source", "token"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "token": g["token"],
+                "c_part": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    st = bucketed_agg(
+        ds.map_batches(tf_partial, batch_format="pyarrow"),
+        ["source", "token"],
+        [("c_part", "sum", "c")],
+    ).materialize()
+
+    def cl_partial(t: pa.Table) -> pa.Table:
+        # per-block Σ c·L(c) for source rows, plus per-source mass;
+        # token mixture counts need a second fold keyed by token.
+        ln_cache: dict = {}
+
+        def L(v: int) -> int:
+            r = ln_cache.get(v)
+            if r is None:
+                r = int(math.floor(math.log(v) * 1_000_000 + 0.5))
+                ln_cache[v] = r
+            return r
+
+        c = t["c"].to_numpy(zero_copy_only=False)
+        cl = sum(int(v) * L(int(v)) for v in c)
+        g = pa.TableGroupBy(
+            pa.table({"source": t["source"], "c": t["c"]}), ["source"]
+        ).aggregate([("c", "sum")])
+        out = pa.table(
+            {
+                "k": pa.array([0] * (g.num_rows + 1), pa.int64()),
+                "source": pa.concat_arrays(
+                    [g["source"].combine_chunks(), pa.array(["__cl__"])]
+                ),
+                "v": pa.concat_arrays(
+                    [
+                        g["c_sum"].combine_chunks(),
+                        pa.array([cl], pa.int64()),
+                    ]
+                ),
+            }
+        )
+        return out.drop_columns(["k"])
+
+    src_acc = fold_partials(
+        st.map_batches(cl_partial, batch_format="pyarrow"), "source", "v"
+    )
+    sum_ycl = int(src_acc.pop("__cl__", 0))
+    n_src = {s: int(v) for s, v in src_acc.items()}
+
+    mix = bucketed_agg(st, ["token"], [("c", "sum", "y")])
+
+    def mix_partial(t: pa.Table) -> pa.Table:
+        ln_cache: dict = {}
+
+        def L(v: int) -> int:
+            r = ln_cache.get(v)
+            if r is None:
+                r = int(math.floor(math.log(v) * 1_000_000 + 0.5))
+                ln_cache[v] = r
+            return r
+
+        y = t["y"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "ycl": pa.array(
+                    [sum(int(v) * L(int(v)) for v in y)], pa.int64()
+                ),
+            }
+        )
+
+    mix_acc = fold_partials(
+        mix.map_batches(mix_partial, batch_format="pyarrow"), "k", "ycl"
+    )
+    sum_mix_ycl = int(mix_acc.get(0, 0))
+
+    def L(v: int) -> int:
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    def fdiv(a: int, n: int) -> int:
+        return (a - ((a % n + n) % n)) // n
+
+    big_n = sum(n_src.values())
+    h_mix_num = big_n * L(big_n) - sum_mix_ycl  # N·H(mixture) micro
+    h_src_num = sum(
+        n * L(n) for n in n_src.values()
+    ) - sum_ycl  # Σ n_s·H_s micro
+    jsd_num = h_mix_num - h_src_num
+    return pa.table(
+        {
+            "n_sources": pa.array([len(n_src)], pa.int64()),
+            "n_tokens": pa.array([big_n], pa.int64()),
+            "jsd_num_micro": pa.array([jsd_num], pa.int64()),
+            "jsd_micro": pa.array([fdiv(jsd_num, big_n)], pa.int64()),
+        }
+    )
+
+
+MULTI_SOURCE_JSD_SQL = f"""
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(text), '{_DF_SPLIT_RE}')) AS token
+  FROM documents
+),
+tk AS (SELECT source, token FROM tok WHERE token <> ''),
+st AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2
+),
+ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY 1),
+mix AS (SELECT token, CAST(sum(c) AS BIGINT) AS y FROM st GROUP BY 1),
+bign AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM ns),
+parts AS (
+  SELECT
+    (SELECT CAST(sum(c * CAST(round(ln(c) * 1000000) AS BIGINT)) AS BIGINT)
+     FROM st) AS sum_ycl,
+    (SELECT CAST(sum(y * CAST(round(ln(y) * 1000000) AS BIGINT)) AS BIGINT)
+     FROM mix) AS sum_mix_ycl,
+    (SELECT CAST(sum(n * CAST(round(ln(n) * 1000000) AS BIGINT)) AS BIGINT)
+     FROM ns) AS sum_nln,
+    (SELECT n FROM bign) AS n,
+    (SELECT CAST(round(ln((SELECT n FROM bign)) * 1000000) AS BIGINT)) AS ln_n
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ns) AS n_sources,
+       n AS n_tokens,
+       CAST((n * ln_n - sum_mix_ycl) - (sum_nln - sum_ycl) AS BIGINT)
+         AS jsd_num_micro,
+       CAST((((n * ln_n - sum_mix_ycl) - (sum_nln - sum_ycl))
+             - ((((n * ln_n - sum_mix_ycl) - (sum_nln - sum_ycl)) % n + n)
+                % n)) // n AS BIGINT) AS jsd_micro
+FROM parts
+"""

@@ -445,6 +445,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "pr_threshold_sweep",
         "seasonal_mann_kendall",
         "gries_dp_dispersion",
+        "multi_source_jsd",
+        "hoover_index_users",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -7083,3 +7085,38 @@ def test_gries_dp_bounds(ray_session):
     # the most frequent token is spread across all sources: DP well
     # below the concentrated extreme
     assert rows[0]["dp_permille"] < 900
+
+
+def test_multi_source_jsd_bounds(ray_session):
+    import duckdb
+    import math as m
+
+    from document_extractor_ray.functions.textstats import multi_source_jsd
+
+    row = multi_source_jsd(SF).to_pylist()[0]
+    k = duckdb.sql(
+        f"SELECT count(DISTINCT source) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    assert row["n_sources"] == k
+    # 0 <= JSD <= ln k (micro-nats), up to integer-log rounding slack
+    assert row["jsd_micro"] >= -10
+    assert row["jsd_micro"] <= int(m.log(k) * 1_000_000) + 10
+    assert row["jsd_num_micro"] // row["n_tokens"] - 1 <= row["jsd_micro"]
+
+
+def test_hoover_matches_lorenz(ray_session):
+    from document_extractor_ray.functions.analytics import (
+        hoover_index_users,
+        user_spend_lorenz,
+    )
+
+    row = hoover_index_users(SF).to_pylist()[0]
+    lorenz = user_spend_lorenz(SF).to_pylist()
+    assert row["n_users"] == sum(r["n_users"] for r in lorenz)
+    assert 0 <= row["hoover_permille"] < 1000
+    # Hoover = max vertical gap of the Lorenz curve (decile-sampled
+    # curve gives a LOWER bound on the exact index)
+    max_gap = max(
+        (r["decile"] + 1) * 100 - r["cum_share_permille"] for r in lorenz
+    )
+    assert row["hoover_permille"] >= max_gap - 10
