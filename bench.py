@@ -444,6 +444,8 @@ PICKS = [
     "gries_dp_dispersion",
     "multi_source_jsd",
     "hoover_index_users",
+    "cliffs_delta_sources",
+    "mood_median_test",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

@@ -25100,3 +25100,116 @@ SELECT (SELECT n FROM t) AS n_users,
             AS BIGINT) AS hoover_permille
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test of event value across types
+# ---------------------------------------------------------------------------
+
+
+def mood_median_test(sf_dir: str):
+    """Mood's median test: are the per-type event-value distributions
+    centered at the same point?  Counts above / not-above the POOLED
+    lower median (the daily_runs_test tie rule) per event type, plus
+    the exact chi-square numerator Σ (a_i·T − n_i·A)² / (n_i) scaled
+    — reported as chi2_scaled = Σ fdiv((a_i·T − n_i·A)², n_i), with
+    the T²·A·(T−A) denominator left to the consumer — the
+    median-centred companion of value_kruskal_wallis (rank sums) and
+    value_anova_by_type (means).
+
+    Scale shape: one (type, cents) histogram fold; pooled median and
+    the per-type counts come off the bounded histogram."""
+    from document_extractor_ray.functions.bucketing import bucketed_agg
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": t["event_type"], "cents": _to_cents(t["value"])}
+        )
+
+    hist = fold_partials(
+        bucketed_agg(
+            _read(sf_dir, "events", columns=["event_type", "value"]).map_batches(
+                slim, batch_format="pyarrow"
+            ),
+            ["event_type", "cents"],
+            [(None, "count", "m")],
+        ),
+        ["event_type", "cents"],
+        "m",
+        max_keys=500_000,
+    )
+    pooled: dict = {}
+    by_type: dict = {}
+    for (et, c), m in hist.items():
+        c, m = int(c), int(m)
+        pooled[c] = pooled.get(c, 0) + m
+        by_type.setdefault(et, {})[c] = m
+    total = sum(pooled.values())
+    # pooled lower median: value at sorted index (total-1)//2
+    idx = (total - 1) // 2
+    cum = 0
+    med = None
+    for v in sorted(pooled):
+        cum += pooled[v]
+        if cum > idx:
+            med = v
+            break
+    a_tot = sum(m for v, m in pooled.items() if v > med)
+    rows = []
+    chi2 = 0
+
+    def fdiv(a: int, d: int) -> int:
+        return (a - ((a % d + d) % d)) // d
+
+    for et in sorted(by_type):
+        n_i = sum(by_type[et].values())
+        a_i = sum(m for v, m in by_type[et].items() if v > med)
+        chi2 += fdiv((a_i * total - n_i * a_tot) ** 2, n_i)
+        rows.append((et, n_i, a_i))
+    out = [(r[0], r[1], r[2], 0) for r in rows]
+    out.append(("__chi2__", total, a_tot, chi2))
+    out.sort()  # the SQL twin ORDER BY event_type; '_' sorts first
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in out], pa.string()),
+            "n": pa.array([r[1] for r in out], pa.int64()),
+            "n_above_median": pa.array([r[2] for r in out], pa.int64()),
+            "chi2_scaled": pa.array([r[3] for r in out], pa.int64()),
+        }
+    )
+
+
+MOOD_MEDIAN_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS cents
+  FROM events
+),
+med AS (
+  SELECT quantile_disc(cents, 0.5) AS med,
+         CAST(count(*) AS BIGINT) AS total
+  FROM v
+),
+pertype AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN cents > (SELECT med FROM med)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a
+  FROM v GROUP BY 1
+),
+atot AS (SELECT CAST(sum(a) AS BIGINT) AS a FROM pertype),
+chi AS (
+  SELECT CAST(sum(
+           ((a * (SELECT total FROM med) - n * (SELECT a FROM atot))
+            * (a * (SELECT total FROM med) - n * (SELECT a FROM atot))
+            - (((a * (SELECT total FROM med) - n * (SELECT a FROM atot))
+                * (a * (SELECT total FROM med) - n * (SELECT a FROM atot))
+                % n + n) % n)) // n) AS BIGINT) AS chi2
+  FROM pertype
+)
+SELECT event_type, n, a AS n_above_median,
+       CAST(0 AS BIGINT) AS chi2_scaled
+FROM pertype
+UNION ALL
+SELECT '__chi2__', (SELECT total FROM med), (SELECT a FROM atot),
+       (SELECT chi2 FROM chi)
+ORDER BY event_type
+"""

@@ -11861,3 +11861,119 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM ns) AS n_sources,
                 % n)) // n AS BIGINT) AS jsd_micro
 FROM parts
 """
+
+
+# ---------------------------------------------------------------------------
+# Cliff's delta effect size between first/last source on doc length
+# ---------------------------------------------------------------------------
+
+
+def cliffs_delta_sources(sf_dir: str):
+    """Cliff's δ ordinal effect size between the lexicographically
+    first and last sources on document length: δ = [#(x>y) − #(x<y)]
+    / (n·m), computed EXACTLY from the two length histograms by a
+    merged cumulative walk (Σ_x c_a(x)·[m_less(x) − m_greater(x)] —
+    pair counts without pairs, the hour_value_kendall trick) —
+    length_mannwhitney tells you the shift is significant; δ tells
+    you if anyone should care (|δ| < 0.147 negligible by the standard
+    rubric, encoded as a flag).
+
+    Scale shape: one (source, n_chars) histogram fold bounded by the
+    length domain; the walk is driver arithmetic."""
+    from document_extractor_ray.functions.bucketing import (
+        bucketed_agg,
+        fold_partials,
+    )
+
+    ds = _read_docs(sf_dir, ["source", "n_chars"])
+    hist = fold_partials(
+        bucketed_agg(ds, ["source", "n_chars"], [(None, "count", "m")]),
+        ["source", "n_chars"],
+        "m",
+        max_keys=500_000,
+    )
+    sources = sorted({s for s, _ in hist})
+    src_a, src_b = sources[0], sources[-1]
+    ha: dict = {}
+    hb: dict = {}
+    for (s, v), c in hist.items():
+        if s == src_a:
+            ha[int(v)] = ha.get(int(v), 0) + int(c)
+        elif s == src_b:
+            hb[int(v)] = hb.get(int(v), 0) + int(c)
+    n = sum(ha.values())
+    m = sum(hb.values())
+    vals = sorted(set(ha) | set(hb))
+    # cumulative counts of b strictly below each value
+    below = 0
+    delta_num = 0
+    cum_b = 0
+    for v in vals:
+        b_here = hb.get(v, 0)
+        a_here = ha.get(v, 0)
+        greater = m - cum_b - b_here  # b strictly above v
+        delta_num += a_here * (cum_b - greater)
+        cum_b += b_here
+
+    def fdiv(a: int, d: int) -> int:
+        return (a - ((a % d + d) % d)) // d
+
+    delta_micro = fdiv(1_000_000 * delta_num, n * m) if n and m else 0
+    return pa.table(
+        {
+            "n_a": pa.array([n], pa.int64()),
+            "n_b": pa.array([m], pa.int64()),
+            "delta_num": pa.array([delta_num], pa.int64()),
+            "delta_micro": pa.array([delta_micro], pa.int64()),
+            "negligible": pa.array(
+                [1 if abs(delta_micro) < 147_000 else 0], pa.int64()
+            ),
+        }
+    )
+
+
+CLIFFS_DELTA_SQL = """
+WITH ab AS (SELECT min(source) AS a, max(source) AS b FROM documents),
+da AS (
+  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c FROM documents
+  WHERE source = (SELECT a FROM ab) GROUP BY 1
+),
+db AS (
+  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c FROM documents
+  WHERE source = (SELECT b FROM ab) GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM da) AS n,
+         (SELECT CAST(sum(c) AS BIGINT) FROM db) AS m
+),
+walk AS (
+  SELECT da.v, da.c AS a_here,
+         CAST(coalesce((SELECT sum(db.c) FROM db WHERE db.v < da.v), 0)
+              AS BIGINT) AS cum_b
+  FROM da
+),
+num AS (
+  SELECT CAST(sum(a_here * (cum_b
+           - ((SELECT m FROM tot) - cum_b
+              - coalesce((SELECT c FROM db WHERE db.v = walk.v), 0))))
+         AS BIGINT) AS delta_num
+  FROM walk
+)
+SELECT (SELECT n FROM tot) AS n_a, (SELECT m FROM tot) AS n_b,
+       delta_num,
+       CAST((1000000 * delta_num
+             - ((1000000 * delta_num % ((SELECT n FROM tot)
+                                        * (SELECT m FROM tot))
+                 + (SELECT n FROM tot) * (SELECT m FROM tot))
+                % ((SELECT n FROM tot) * (SELECT m FROM tot))))
+            // ((SELECT n FROM tot) * (SELECT m FROM tot)) AS BIGINT)
+         AS delta_micro,
+       CAST(CASE WHEN abs((1000000 * delta_num
+             - ((1000000 * delta_num % ((SELECT n FROM tot)
+                                        * (SELECT m FROM tot))
+                 + (SELECT n FROM tot) * (SELECT m FROM tot))
+                % ((SELECT n FROM tot) * (SELECT m FROM tot))))
+            // ((SELECT n FROM tot) * (SELECT m FROM tot))) < 147000
+            THEN 1 ELSE 0 END AS BIGINT) AS negligible
+FROM num
+"""

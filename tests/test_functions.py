@@ -447,6 +447,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "gries_dp_dispersion",
         "multi_source_jsd",
         "hoover_index_users",
+        "cliffs_delta_sources",
+        "mood_median_test",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -7120,3 +7122,51 @@ def test_hoover_matches_lorenz(ray_session):
         (r["decile"] + 1) * 100 - r["cum_share_permille"] for r in lorenz
     )
     assert row["hoover_permille"] >= max_gap - 10
+
+
+def test_cliffs_delta_bruteforce(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.textstats import cliffs_delta_sources
+
+    row = cliffs_delta_sources(SF).to_pylist()[0]
+    a, b = duckdb.sql(
+        f"SELECT min(source), max(source) FROM '{SF}/documents.parquet'"
+    ).fetchone()
+    xa = [
+        v
+        for (v,) in duckdb.sql(
+            f"SELECT n_chars FROM '{SF}/documents.parquet' WHERE source = '{a}'"
+        ).fetchall()
+    ]
+    xb = [
+        v
+        for (v,) in duckdb.sql(
+            f"SELECT n_chars FROM '{SF}/documents.parquet' WHERE source = '{b}'"
+        ).fetchall()
+    ]
+    import bisect
+
+    xb.sort()
+    num = 0
+    for x in xa:
+        lo = bisect.bisect_left(xb, x)
+        hi = bisect.bisect_right(xb, x)
+        num += lo - (len(xb) - hi)
+    assert (row["n_a"], row["n_b"], row["delta_num"]) == (len(xa), len(xb), num)
+    assert -1_000_000 <= row["delta_micro"] <= 1_000_000
+
+
+def test_mood_median_counts(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import mood_median_test
+
+    rows = mood_median_test(SF).to_pylist()
+    sentinel = next(r for r in rows if r["event_type"] == "__chi2__")
+    types = [r for r in rows if r["event_type"] != "__chi2__"]
+    assert sentinel["n"] == sum(r["n"] for r in types)
+    assert sentinel["n_above_median"] == sum(r["n_above_median"] for r in types)
+    # roughly half the pooled mass sits above the lower median
+    assert sentinel["n_above_median"] <= sentinel["n"] // 2 + 1
+    assert sentinel["chi2_scaled"] >= 0
