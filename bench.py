@@ -446,6 +446,7 @@ PICKS = [
     "hoover_index_users",
     "cliffs_delta_sources",
     "mood_median_test",
+    "ansari_bradley_scale",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

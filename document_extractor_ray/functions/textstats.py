@@ -11977,3 +11977,142 @@ SELECT (SELECT n FROM tot) AS n_a, (SELECT m FROM tot) AS n_b,
             THEN 1 ELSE 0 END AS BIGINT) AS negligible
 FROM num
 """
+
+
+# ---------------------------------------------------------------------------
+# Ansari–Bradley rank test of SCALE between first/last source
+# ---------------------------------------------------------------------------
+
+
+def ansari_bradley_scale(sf_dir: str):
+    """Ansari–Bradley rank test of SCALE: pooled doc lengths of the
+    first and last sources get the center-peaked scores
+    min(i, N+1−i); sample A's score sum (tied blocks contribute the
+    exact block average a·S_block/m_block, floored per block in micro)
+    is compared against the null mean n_a·S_total/N — A more
+    DISPERSED than B pulls T below the mean (extreme positions score
+    low).  Completes the two-sample family: location
+    (length_mannwhitney), stochastic dominance (cliffs_delta),
+    distribution (KS/EMD/CvM matrices), now scale.
+
+    Scale shape: the same (source, n_chars) histogram fold as
+    cliffs_delta; block score sums come from closed-form arithmetic
+    series over the position ranges — no row-level ranking anywhere."""
+    from document_extractor_ray.functions.bucketing import (
+        bucketed_agg,
+        fold_partials,
+    )
+
+    ds = _read_docs(sf_dir, ["source", "n_chars"])
+    hist = fold_partials(
+        bucketed_agg(ds, ["source", "n_chars"], [(None, "count", "m")]),
+        ["source", "n_chars"],
+        "m",
+        max_keys=500_000,
+    )
+    sources = sorted({s for s, _ in hist})
+    src_a, src_b = sources[0], sources[-1]
+    ha: dict = {}
+    hb: dict = {}
+    for (s, v), c in hist.items():
+        if s == src_a:
+            ha[int(v)] = ha.get(int(v), 0) + int(c)
+        elif s == src_b:
+            hb[int(v)] = hb.get(int(v), 0) + int(c)
+    n_a, n_b = sum(ha.values()), sum(hb.values())
+    big_n = n_a + n_b
+    t = big_n + 1
+
+    def series_sum(lo: int, hi: int) -> int:
+        """Σ_{i=lo..hi} min(i, t - i) via two arithmetic series."""
+        if hi < lo:
+            return 0
+        cut = (t - 1) // 2  # i <= cut -> min is i
+        s = 0
+        a, b = lo, min(hi, cut)
+        if b >= a:
+            s += (a + b) * (b - a + 1) // 2
+        a, b = max(lo, cut + 1), hi
+        if b >= a:
+            s += (2 * t - a - b) * (b - a + 1) // 2
+        return s
+
+    def fdiv(a: int, d: int) -> int:
+        return (a - ((a % d + d) % d)) // d
+
+    t_micro = 0
+    cum = 0
+    for v in sorted(set(ha) | set(hb)):
+        a_here = ha.get(v, 0)
+        m_block = a_here + hb.get(v, 0)
+        s_block = series_sum(cum + 1, cum + m_block)
+        if a_here:
+            t_micro += fdiv(1_000_000 * a_here * s_block, m_block)
+        cum += m_block
+    s_total = series_sum(1, big_n)
+    null_mean_micro = fdiv(1_000_000 * n_a * s_total, big_n)
+    return pa.table(
+        {
+            "n_a": pa.array([n_a], pa.int64()),
+            "n_b": pa.array([n_b], pa.int64()),
+            "t_micro": pa.array([t_micro], pa.int64()),
+            "null_mean_micro": pa.array([null_mean_micro], pa.int64()),
+            "a_more_dispersed": pa.array(
+                [1 if t_micro < null_mean_micro else 0], pa.int64()
+            ),
+        }
+    )
+
+
+ANSARI_BRADLEY_SQL = """
+WITH ab AS (SELECT min(source) AS a, max(source) AS b FROM documents),
+pooled AS (
+  SELECT n_chars AS v, CASE WHEN source = (SELECT a FROM ab)
+                            THEN 1 ELSE 0 END AS is_a
+  FROM documents
+  WHERE source = (SELECT a FROM ab) OR source = (SELECT b FROM ab)
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pooled),
+rk AS (
+  SELECT v, is_a,
+         row_number() OVER (ORDER BY v) AS i
+  FROM pooled
+),
+sc AS (
+  SELECT v, is_a,
+         least(i, (SELECT n FROM nn) + 1 - i) AS score
+  FROM rk
+),
+blocks AS (
+  SELECT v, CAST(sum(is_a) AS BIGINT) AS a_here,
+         CAST(count(*) AS BIGINT) AS m_block,
+         CAST(sum(score) AS BIGINT) AS s_block
+  FROM sc GROUP BY 1
+),
+tstat AS (
+  SELECT CAST(sum(CASE WHEN a_here > 0 THEN
+           (1000000 * a_here * s_block
+            - ((1000000 * a_here * s_block % m_block + m_block) % m_block))
+           // m_block
+         ELSE 0 END) AS BIGINT) AS t_micro
+  FROM blocks
+),
+tot AS (
+  SELECT CAST(sum(s_block) AS BIGINT) AS s_total,
+         CAST(sum(a_here) AS BIGINT) AS n_a,
+         CAST(sum(m_block) - sum(a_here) AS BIGINT) AS n_b
+  FROM blocks
+)
+SELECT n_a, n_b,
+       (SELECT t_micro FROM tstat) AS t_micro,
+       CAST((1000000 * n_a * s_total
+             - ((1000000 * n_a * s_total % (n_a + n_b) + (n_a + n_b))
+                % (n_a + n_b))) // (n_a + n_b) AS BIGINT)
+         AS null_mean_micro,
+       CAST(CASE WHEN (SELECT t_micro FROM tstat)
+                      < (1000000 * n_a * s_total
+                         - ((1000000 * n_a * s_total % (n_a + n_b)
+                             + (n_a + n_b)) % (n_a + n_b))) // (n_a + n_b)
+                 THEN 1 ELSE 0 END AS BIGINT) AS a_more_dispersed
+FROM tot
+"""

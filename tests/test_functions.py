@@ -449,6 +449,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "hoover_index_users",
         "cliffs_delta_sources",
         "mood_median_test",
+        "ansari_bradley_scale",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -7170,3 +7171,42 @@ def test_mood_median_counts(ray_session):
     # roughly half the pooled mass sits above the lower median
     assert sentinel["n_above_median"] <= sentinel["n"] // 2 + 1
     assert sentinel["chi2_scaled"] >= 0
+
+
+def test_ansari_bradley_bruteforce(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.textstats import ansari_bradley_scale
+
+    row = ansari_bradley_scale(SF).to_pylist()[0]
+    a, b = duckdb.sql(
+        f"SELECT min(source), max(source) FROM '{SF}/documents.parquet'"
+    ).fetchone()
+    pooled = duckdb.sql(
+        f"SELECT n_chars, CASE WHEN source = '{a}' THEN 1 ELSE 0 END"
+        f" FROM '{SF}/documents.parquet'"
+        f" WHERE source IN ('{a}', '{b}') ORDER BY n_chars"
+    ).fetchall()
+    big_n = len(pooled)
+    scores = [min(i + 1, big_n - i) for i in range(big_n)]
+    # block-average tie handling, floored per block in micro
+    t_micro = 0
+    i = 0
+    while i < big_n:
+        j = i
+        while j < big_n and pooled[j][0] == pooled[i][0]:
+            j += 1
+        a_here = sum(pooled[t][1] for t in range(i, j))
+        s_block = sum(scores[i:j])
+        m_block = j - i
+        if a_here:
+            num = 1_000_000 * a_here * s_block
+            t_micro += (num - ((num % m_block + m_block) % m_block)) // m_block
+        i = j
+    assert row["t_micro"] == t_micro
+    assert row["n_a"] + row["n_b"] == big_n
+    s_total = sum(scores)
+    num = 1_000_000 * row["n_a"] * s_total
+    assert row["null_mean_micro"] == (
+        num - ((num % big_n + big_n) % big_n)
+    ) // big_n
