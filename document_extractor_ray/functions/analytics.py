@@ -25213,3 +25213,160 @@ SELECT '__chi2__', (SELECT total FROM med), (SELECT a FROM atot),
        (SELECT chi2 FROM chi)
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Runs-up-and-down (difference-sign) randomness test on daily counts
+# ---------------------------------------------------------------------------
+
+
+def runs_up_down_test(sf_dir: str):
+    """Runs-up-and-down test of the daily event-count series: drop
+    zero differences, count maximal monotone runs R in the remaining
+    up/down sign sequence, and report the exact null moments for a
+    random ordering — E[R]·3 = 2n−1 and Var[R]·90 = 16n−29 as
+    integer numerators (n = #non-zero differences + 1) — the
+    turning-point cousin of daily_runs_test (which runs on
+    above/below-median, blind to local zig-zag).
+
+    Scale shape: one calendar-bounded daily fold; the sign scan is a
+    single pass over the bounded series."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        g = pa.TableGroupBy(pa.table({"day": day}), ["day"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())})
+
+    series = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "day", "n"
+    )
+    days = sorted(series)
+    y = [int(series[d]) for d in days]
+    signs = [
+        1 if b > a else -1 for a, b in zip(y, y[1:]) if b != a
+    ]
+    n = len(signs) + 1
+    runs = 0
+    prev = 0
+    for s in signs:
+        if s != prev:
+            runs += 1
+            prev = s
+    return pa.table(
+        {
+            "n_eff": pa.array([n], pa.int64()),
+            "n_runs": pa.array([runs], pa.int64()),
+            "e_runs_x3": pa.array([2 * n - 1], pa.int64()),
+            "var_runs_x90": pa.array([16 * n - 29], pa.int64()),
+        }
+    )
+
+
+RUNS_UP_DOWN_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+o AS (SELECT n, row_number() OVER (ORDER BY day) AS i FROM daily),
+d AS (
+  SELECT CASE WHEN b.n > a.n THEN 1 ELSE -1 END AS s,
+         a.i
+  FROM o a JOIN o b ON b.i = a.i + 1
+  WHERE b.n <> a.n
+),
+seq AS (SELECT s, row_number() OVER (ORDER BY i) AS j FROM d),
+runs AS (
+  SELECT CAST(1 + count(*) AS BIGINT) AS runs
+  FROM (
+    SELECT a.s FROM seq a JOIN seq b ON b.j = a.j + 1 AND b.s <> a.s
+  )
+),
+nn AS (SELECT CAST(count(*) + 1 AS BIGINT) AS n FROM seq)
+SELECT (SELECT n FROM nn) AS n_eff,
+       CAST(CASE WHEN (SELECT count(*) FROM seq) = 0 THEN 0
+                 ELSE (SELECT runs FROM runs) END AS BIGINT) AS n_runs,
+       CAST(2 * (SELECT n FROM nn) - 1 AS BIGINT) AS e_runs_x3,
+       CAST(16 * (SELECT n FROM nn) - 29 AS BIGINT) AS var_runs_x90
+FROM nn
+"""
+
+
+# ---------------------------------------------------------------------------
+# Record-count test: running maxima of the daily series vs harmonic null
+# ---------------------------------------------------------------------------
+
+
+def record_count_test(sf_dir: str):
+    """Record statistics of the daily event-count series: the number
+    of RUNNING RECORDS (days strictly exceeding every earlier day)
+    against the distribution-free null expectation Σ_{k=1..n} 1/k —
+    under exchangeability, day k is a record with probability exactly
+    1/k regardless of the distribution, so records ≫ harmonic says
+    trend.  Expected value reported as the exact floored micro
+    harmonic sum Σ ⌊10⁶/k⌋-style per-term floor (both engines share
+    the per-term convention).
+
+    Scale shape: one calendar-bounded daily fold; the record scan is
+    one pass over the bounded series."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        g = pa.TableGroupBy(pa.table({"day": day}), ["day"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())})
+
+    series = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "day", "n"
+    )
+    days = sorted(series)
+    y = [int(series[d]) for d in days]
+    n = len(y)
+    records = 0
+    best = None
+    for v in y:
+        if best is None or v > best:
+            records += 1
+            best = v
+    exp_micro = sum(1_000_000 // k for k in range(1, n + 1))
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "n_records": pa.array([records], pa.int64()),
+            "expected_micro": pa.array([exp_micro], pa.int64()),
+            "excess_micro": pa.array(
+                [1_000_000 * records - exp_micro], pa.int64()
+            ),
+        }
+    )
+
+
+RECORD_COUNT_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+o AS (SELECT n, row_number() OVER (ORDER BY day) AS i FROM daily),
+flags AS (
+  SELECT CASE WHEN n > coalesce(
+           max(n) OVER (ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           -1) THEN 1 ELSE 0 END AS is_rec
+  FROM o
+),
+rec AS (SELECT CAST(sum(is_rec) AS BIGINT) AS records FROM flags),
+h AS (
+  SELECT CAST(sum(1000000 // k) AS BIGINT) AS exp_micro
+  FROM (SELECT unnest(generate_series(1,
+          (SELECT CAST(count(*) AS BIGINT) FROM daily))) AS k)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+       (SELECT records FROM rec) AS n_records,
+       (SELECT exp_micro FROM h) AS expected_micro,
+       CAST(1000000 * (SELECT records FROM rec)
+            - (SELECT exp_micro FROM h) AS BIGINT) AS excess_micro
+"""

@@ -450,6 +450,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "cliffs_delta_sources",
         "mood_median_test",
         "ansari_bradley_scale",
+        "runs_up_down_test",
+        "record_count_test",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -7210,3 +7212,51 @@ def test_ansari_bradley_bruteforce(ray_session):
     assert row["null_mean_micro"] == (
         num - ((num % big_n + big_n) % big_n)
     ) // big_n
+
+
+def test_runs_up_down_bruteforce(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import runs_up_down_test
+
+    row = runs_up_down_test(SF).to_pylist()[0]
+    daily = duckdb.sql(
+        f"SELECT date_trunc('day', ts), count(*) FROM '{SF}/events.parquet'"
+        f" GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    y = [n for _, n in daily]
+    signs = [1 if b > a else -1 for a, b in zip(y, y[1:]) if b != a]
+    runs = 0
+    prev = 0
+    for s in signs:
+        if s != prev:
+            runs += 1
+            prev = s
+    assert row["n_eff"] == len(signs) + 1
+    assert row["n_runs"] == runs
+    assert row["e_runs_x3"] == 2 * row["n_eff"] - 1
+    assert row["var_runs_x90"] == 16 * row["n_eff"] - 29
+
+
+def test_record_count_bruteforce(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import record_count_test
+
+    row = record_count_test(SF).to_pylist()[0]
+    daily = duckdb.sql(
+        f"SELECT date_trunc('day', ts), count(*) FROM '{SF}/events.parquet'"
+        f" GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    y = [n for _, n in daily]
+    best, records = None, 0
+    for v in y:
+        if best is None or v > best:
+            records, best = records + 1, v
+    assert row["n_days"] == len(y)
+    assert row["n_records"] == records
+    assert row["expected_micro"] == sum(
+        1_000_000 // k for k in range(1, len(y) + 1)
+    )
+    # the first day is always a record
+    assert 1 <= row["n_records"] <= row["n_days"]
