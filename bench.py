@@ -449,6 +449,7 @@ PICKS = [
     "ansari_bradley_scale",
     "runs_up_down_test",
     "record_count_test",
+    "ljung_box_test",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]

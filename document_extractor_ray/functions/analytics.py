@@ -25370,3 +25370,104 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
        CAST(1000000 * (SELECT records FROM rec)
             - (SELECT exp_micro FROM h) AS BIGINT) AS excess_micro
 """
+
+
+# ---------------------------------------------------------------------------
+# Ljung–Box portmanteau test on the daily event-count series
+# ---------------------------------------------------------------------------
+
+
+def ljung_box_test(sf_dir: str, h: int = 7):
+    """Ljung–Box portmanteau autocorrelation test at lags 1..h of the
+    daily event-count series: with the exact integer autocovariance
+    numerators c_k = Σ (n·y_t − S)(n·y_{t+k} − S) over n−k pairs and
+    c_0 the full sum of squares, Q = n(n+2)·Σ_k r_k²/(n−k) with the
+    plain estimator r_k = c_k/c_0 is reported as
+    q_micro = Σ_k ⌊10⁶·n·(n+2)·c_k² / (c_0²·(n−k))⌋, the per-term
+    floor shared by both engines — "is there ANY linear memory in the
+    first
+    week of lags", the portmanteau companion of acf_peak_period's
+    argmax.
+
+    Scale shape: one calendar-bounded daily fold; h vectorized dot
+    products on the driver (Python ints — c_k² exceeds int64;
+    HUGEINT in SQL)."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        g = pa.TableGroupBy(pa.table({"day": day}), ["day"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())})
+
+    series = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "day", "n"
+    )
+    days = sorted(series)
+    y = [int(series[d]) for d in days]
+    n = len(y)
+    s = sum(y)
+    z = [n * v - s for v in y]
+    c0 = sum(v * v for v in z)
+
+    def fdiv(a: int, d: int) -> int:
+        return (a - ((a % d + d) % d)) // d
+
+    q_micro = 0
+    used = 0
+    for k in range(1, h + 1):
+        if k >= n or c0 == 0:
+            break
+        used += 1
+        ck = sum(z[t] * z[t + k] for t in range(n - k))
+        q_micro += fdiv(1_000_000 * n * (n + 2) * ck * ck, c0 * c0 * (n - k))
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "h_lags": pa.array([used], pa.int64()),
+            "q_micro": pa.array([q_micro], pa.int64()),
+        }
+    )
+
+
+LJUNG_BOX_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+o AS (
+  SELECT n AS y, row_number() OVER (ORDER BY day) - 1 AS i,
+         count(*) OVER () AS n, sum(n) OVER () AS s
+  FROM daily
+),
+z AS (SELECT i, n * y - s AS z, n FROM o),
+c0 AS (SELECT CAST(sum(z * z) AS HUGEINT) AS c0, max(n) AS n FROM z),
+lag AS (SELECT unnest(generate_series(1, 7)) AS k),
+ck AS (
+  SELECT lag.k, CAST(sum(a.z * b.z) AS HUGEINT) AS ck
+  FROM lag
+  JOIN z a ON TRUE
+  JOIN z b ON b.i = a.i + lag.k
+  WHERE lag.k < (SELECT n FROM c0)
+  GROUP BY 1
+),
+terms AS (
+  SELECT CAST(sum(
+    (1000000 * (SELECT n FROM c0) * ((SELECT n FROM c0) + 2) * ck * ck
+     - ((1000000 * (SELECT n FROM c0) * ((SELECT n FROM c0) + 2) * ck * ck
+         % ((SELECT c0 FROM c0) * (SELECT c0 FROM c0)
+            * ((SELECT n FROM c0) - k))
+         + (SELECT c0 FROM c0) * (SELECT c0 FROM c0)
+           * ((SELECT n FROM c0) - k))
+        % ((SELECT c0 FROM c0) * (SELECT c0 FROM c0)
+           * ((SELECT n FROM c0) - k))))
+    // ((SELECT c0 FROM c0) * (SELECT c0 FROM c0)
+        * ((SELECT n FROM c0) - k))) AS BIGINT) AS q_micro,
+         CAST(count(*) AS BIGINT) AS used
+  FROM ck
+)
+SELECT CAST((SELECT n FROM c0) AS BIGINT) AS n_days,
+       used AS h_lags, q_micro
+FROM terms
+"""

@@ -452,6 +452,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "ansari_bradley_scale",
         "runs_up_down_test",
         "record_count_test",
+        "ljung_box_test",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
@@ -7260,3 +7261,31 @@ def test_record_count_bruteforce(ray_session):
     )
     # the first day is always a record
     assert 1 <= row["n_records"] <= row["n_days"]
+
+
+def test_ljung_box_bruteforce(ray_session):
+    import duckdb
+
+    from document_extractor_ray.functions.analytics import ljung_box_test
+
+    row = ljung_box_test(SF).to_pylist()[0]
+    daily = duckdb.sql(
+        f"SELECT date_trunc('day', ts), count(*) FROM '{SF}/events.parquet'"
+        f" GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    y = [n for _, n in daily]
+    n, s = len(y), sum(y)
+    z = [n * v - s for v in y]
+    c0 = sum(v * v for v in z)
+    q = 0
+    used = 0
+    for k in range(1, 8):
+        if k >= n or c0 == 0:
+            break
+        used += 1
+        ck = sum(z[t] * z[t + k] for t in range(n - k))
+        num = 1_000_000 * n * (n + 2) * ck * ck
+        den = c0 * c0 * (n - k)
+        q += (num - ((num % den + den) % den)) // den
+    assert (row["n_days"], row["h_lags"], row["q_micro"]) == (n, used, q)
+    assert row["q_micro"] >= 0
