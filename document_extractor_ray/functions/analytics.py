@@ -22662,7 +22662,9 @@ SELECT CAST(m AS BIGINT) AS n_days,
        CAST(abs(u) AS BIGINT) AS k_stat,
        u AS u_at_star,
        day AS day_star,
-       CAST(CASE WHEN 60000000 * u * u > 36888795 * (m * m * m + m * m)
+       CAST(CASE WHEN 60000000::HUGEINT * u::HUGEINT * u::HUGEINT
+                      > 36888795::HUGEINT
+                        * (m::HUGEINT * m * m + m::HUGEINT * m)
                  THEN 1 ELSE 0 END AS BIGINT) AS significant
 FROM k
 """
@@ -23023,8 +23025,12 @@ def l_moments_profile(sf_dir: str):
                 n,
                 fdiv(1_000_000 * s0, n),
                 fdiv(1_000_000 * l2num, n * (n - 1)),
-                fdiv(1_000_000 * l3num, l2num * (n - 2)),
-                fdiv(1_000_000 * l4num, l2num * (n - 2) * (n - 3)),
+                # l2num == 0 (all values in the group identical) makes the
+                # tau ratios 0/0 — emit 0 on both engines (ADVICE r4).
+                fdiv(1_000_000 * l3num, l2num * (n - 2)) if l2num > 0 else 0,
+                fdiv(1_000_000 * l4num, l2num * (n - 2) * (n - 3))
+                if l2num > 0
+                else 0,
             )
         )
     return pa.table(
@@ -23072,15 +23078,17 @@ SELECT event_type, n,
                  + CAST(n AS HUGEINT) * (n - 1))
                 % (CAST(n AS HUGEINT) * (n - 1))))
             // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) AS l2_micro,
-       CAST((1000000 * l3num
+       CAST(CASE WHEN l2num > 0 THEN
+            (1000000 * l3num
              - ((1000000 * l3num % (l2num * (n - 2)) + l2num * (n - 2))
                 % (l2num * (n - 2))))
-            // (l2num * (n - 2)) AS BIGINT) AS tau3_micro,
-       CAST((1000000 * l4num
+            // (l2num * (n - 2)) ELSE 0 END AS BIGINT) AS tau3_micro,
+       CAST(CASE WHEN l2num > 0 THEN
+            (1000000 * l4num
              - ((1000000 * l4num % (l2num * (n - 2) * (n - 3))
                  + l2num * (n - 2) * (n - 3))
                 % (l2num * (n - 2) * (n - 3))))
-            // (l2num * (n - 2) * (n - 3)) AS BIGINT) AS tau4_micro
+            // (l2num * (n - 2) * (n - 3)) ELSE 0 END AS BIGINT) AS tau4_micro
 FROM lm ORDER BY event_type
 """
 
@@ -24231,13 +24239,13 @@ q AS (
   FROM sums
 )
 SELECT (SELECT n FROM nn) AS n_weeks,
-       (SELECT r2 FROM sums WHERE dow = 0) AS r2_dow0,
-       (SELECT r2 FROM sums WHERE dow = 1) AS r2_dow1,
-       (SELECT r2 FROM sums WHERE dow = 2) AS r2_dow2,
-       (SELECT r2 FROM sums WHERE dow = 3) AS r2_dow3,
-       (SELECT r2 FROM sums WHERE dow = 4) AS r2_dow4,
-       (SELECT r2 FROM sums WHERE dow = 5) AS r2_dow5,
-       (SELECT r2 FROM sums WHERE dow = 6) AS r2_dow6,
+       coalesce((SELECT r2 FROM sums WHERE dow = 0), 0) AS r2_dow0,
+       coalesce((SELECT r2 FROM sums WHERE dow = 1), 0) AS r2_dow1,
+       coalesce((SELECT r2 FROM sums WHERE dow = 2), 0) AS r2_dow2,
+       coalesce((SELECT r2 FROM sums WHERE dow = 3), 0) AS r2_dow3,
+       coalesce((SELECT r2 FROM sums WHERE dow = 4), 0) AS r2_dow4,
+       coalesce((SELECT r2 FROM sums WHERE dow = 5), 0) AS r2_dow5,
+       coalesce((SELECT r2 FROM sums WHERE dow = 6), 0) AS r2_dow6,
        q_micro
 FROM q
 """

@@ -3901,6 +3901,19 @@ def cosine_pair_histogram(sf_dir: str):
             continue
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
         sample_tabs.append(t.filter(pa.array(keep_mask(ids))))
+    if not sample_tabs or not sum(t.num_rows for t in sample_tabs):
+        # No vector passes the deterministic mod-8 sample (tiny /
+        # skewed vec_id sets) — the SQL twin's `s` CTE is empty and
+        # yields the all-zero 20-bin grid; mirror that (ADVICE r4).
+        return pa.table(
+            {
+                "bin": pa.array(list(range(20)), pa.int64()),
+                "lo_micro": pa.array(
+                    [-1_000_000 + b * 100_000 for b in range(20)], pa.int64()
+                ),
+                "n_pairs": pa.array([0] * 20, pa.int64()),
+            }
+        )
     sample = pa.concat_tables(sample_tabs).combine_chunks()
     s_ids = sample["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     s_mat = _normalize_rows(

@@ -11109,6 +11109,20 @@ def gini_split_scan(sf_dir: str):
         num, den = al * nr + ar * nl, nl * nr
         if best is None or num * best[1] > best[0] * den:
             best = (num, den, int(b), nl, pl)
+    if best is None:
+        # Histogram collapsed to a single bin — no split candidate
+        # exists; the SQL twin's `sc` CTE is empty and returns zero
+        # rows, so mirror that here (ADVICE r4).
+        return pa.table(
+            {
+                "split_bin": pa.array([], pa.int64()),
+                "n_left": pa.array([], pa.int64()),
+                "pos_left": pa.array([], pa.int64()),
+                "n_right": pa.array([], pa.int64()),
+                "pos_right": pa.array([], pa.int64()),
+                "gain_micro": pa.array([], pa.int64()),
+            }
+        )
     num, den, b, nl, pl = best
 
     def fdiv(a: int, n: int) -> int:
