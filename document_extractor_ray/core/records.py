@@ -196,6 +196,37 @@ def project_quarantine(t: pa.Table) -> pa.Table:
     )
 
 
+def spans_to_json(spans: List[dict]) -> str:
+    """Canonical JSON for a span list — fixed key order, no whitespace.
+    Shared by the Ray-side oracle projection and the golden-parquet
+    generator so the driver's value hash compares identical strings."""
+    import json
+
+    return json.dumps(
+        [
+            {"page": s["page"], "start": s["start"], "end": s["end"]}
+            for s in spans
+        ],
+        separators=(",", ":"),
+    )
+
+
+def canonical_results(t: pa.Table) -> pa.Table:
+    """Driver-hashable projection of a RESULTS_SCHEMA (or wider) table:
+    every RESULTS_SCHEMA column except ``spans``, which becomes the
+    flat string ``spans_json`` (pandas cannot hash list<struct> cells).
+    Row order is NOT established here — the caller sorts by url."""
+    cols = {}
+    for f in RESULTS_SCHEMA:
+        if f.name == "spans":
+            cols["spans_json"] = pa.array(
+                [spans_to_json(s) for s in t["spans"].to_pylist()], pa.string()
+            )
+        else:
+            cols[f.name] = t[f.name]
+    return pa.table(cols)
+
+
 def explode_unit_rows(t: pa.Table) -> pa.Table:
     """The legacy 6-column rows (common.py:150-153) for image-route
     documents: one row per frame with the exact string formatting of

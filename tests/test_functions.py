@@ -5194,11 +5194,9 @@ def test_registry_no_oracle_set_pinned():
     q = set(em.queries())
     o = set(em.oracle_sql())
     justified_no_oracle = {
-        # HTML extraction: byte-identity pinned vs the sequential
-        # oracle in tests/test_golden_extraction.py
-        "extract_results",
-        "extract_quarantine",
-        "extract_unit_rows",
+        # (extract_results/_quarantine/_unit_rows moved OUT of this set
+        # in r5: their oracle is the sequential-oracle golden parquet
+        # read back via read_parquet — see make_goldens.py.)
         # planted-input / iterative / float-argmax ops, each pinned by
         # committed goldens in tests/test_goldens.py
         "embedding_dup_pairs",

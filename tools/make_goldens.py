@@ -42,6 +42,40 @@ GOLDEN_QUERIES = [
 ]
 
 
+def make_extract_goldens() -> None:
+    """Golden parquet for the three extraction queries, computed by the
+    SEQUENTIAL oracle (document_extractor_ray.oracle.run_oracle) over
+    the exact sf0.01 pages fixture the registry wrappers read — the
+    driver's ``oracle_sql()`` then `read_parquet()`s these back, giving
+    the flagship pipeline a real hash-checked row (VERDICT r4 item 2).
+    No Ray code touches these files: a Ray-side regression cannot
+    silently regenerate its own expectation."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import fixtures, oracle
+    from document_extractor_ray.config import DEFAULT_CONFIG
+    from document_extractor_ray.core import records
+
+    n_docs = pq.read_metadata(
+        os.path.join(SF, "documents.parquet")
+    ).num_rows
+    n_pages = max(200, n_docs)
+    pages = fixtures.make_pages_table(n_pages, seed=42)
+    ora = oracle.run_oracle(pages, DEFAULT_CONFIG)
+
+    results = records.canonical_results(ora["results"]).sort_by("url")
+    quarantine = ora["quarantine"].sort_by("url")
+    units = ora["units"].sort_by([("url", "ascending"), ("page", "ascending")])
+    for name, tab in (
+        ("extract_results", results),
+        ("extract_quarantine", quarantine),
+        ("extract_unit_rows", units),
+    ):
+        path = os.path.join(OUT, f"{name}_sf0.01.parquet")
+        pq.write_table(tab, path)
+        print(f"{name}: {tab.num_rows} rows -> {path}")
+
+
 def main() -> None:
     import pandas as pd
     import pyarrow as pa
@@ -72,6 +106,7 @@ def main() -> None:
         path = os.path.join(OUT, f"{name}.parquet")
         pq.write_table(table, path)
         print(f"{name}: {table.num_rows} rows -> {path}")
+    make_extract_goldens()
     ray.shutdown()
 
 
