@@ -86,6 +86,47 @@ def _extract_unit_rows(sf_dir: str):
     return unit_rows_dataset(final).sort(["url", "page"])
 
 
+def _curation_pages_path(sf_dir: str) -> str:
+    """Planted-duplicate pages parquet for the curation chain (same
+    sizing as _pages_path, plus deterministic exact/near dup plants so
+    every dedup stage is provably non-vacuous)."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import fixtures
+    from document_extractor_ray.pipelines import curation
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_pages = max(200, n_docs)
+    path = (
+        f"/tmp/docray_curpages_v{fixtures.CORPUS_VERSION}."
+        f"{curation.CURATION_CHAIN_VERSION}_n{n_pages}_s{_SEED}.parquet"
+    )
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        table = curation.plant_dup_pages(
+            fixtures.make_pages_table(n_pages, seed=_SEED)
+        )
+        pq.write_table(table, tmp, row_group_size=256)
+        os.replace(tmp, path)
+    return path
+
+
+def _curation_chain(sf_dir: str):
+    """Flagship curation composition: extract -> C4 quality gate -> PII
+    scrub -> exact dedup -> MinHash near-dedup -> decontaminate ->
+    pack_sequences, hash-checked end to end against the sequential
+    twin's golden parquet (pipelines/curation.py)."""
+    from document_extractor_ray import fixtures
+    from document_extractor_ray.config import DEFAULT_CONFIG
+    from document_extractor_ray.pipelines import curation
+
+    pages = _curation_pages_path(sf_dir)
+    n = os.path.basename(pages)
+    work = f"/tmp/docray_curwork_{n}"
+    r = curation.run_curation(pages, DEFAULT_CONFIG, work_dir=work)
+    return curation.packed_to_table(r["packed"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _extract_results("/root/testdata/sf0.001")
@@ -126,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_results": _extract_results,
         "extract_quarantine": _extract_quarantine,
         "extract_unit_rows": _extract_unit_rows,
+        "curation_chain": _curation_chain,
         # --- round-3 additions (oracled, never driver-sampled) ---
         "fk_orphan_audit": analytics.fk_orphan_audit,
         "mktseg_target_encoding": analytics.mktseg_target_encoding,
@@ -629,6 +671,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM read_parquet("
             f"'{goldens}/extract_unit_rows_sf0.01.parquet') "
             "ORDER BY url, page"
+        ),
+        "curation_chain": (
+            "SELECT * FROM read_parquet("
+            f"'{goldens}/curation_chain_sf0.01.parquet') "
+            "ORDER BY example_id"
         ),
         "q1_lineitem": analytics.Q1_SQL,
         "top_customers": analytics.TOP_CUSTOMERS_SQL,

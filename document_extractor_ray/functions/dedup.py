@@ -119,6 +119,112 @@ def dedup_exact(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = 
     )
 
 
+def exact_dup_losers(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
+    """Ids DROPPED by exact dedup (every non-min member of a content-
+    hash group) — the inverse of ``dedup_exact``, sized for the
+    curation chain's broadcast-the-losers anti-filter: at web scale
+    the loser set is the duplicate mass (a few % of the corpus),
+    orders of magnitude smaller than the keep set, so it broadcasts
+    where the keep set cannot.
+
+    Same exchange shape as dedup_exact (one slim (hash, id) row per
+    doc, hash-bucketed partitions): a per-batch combiner CANNOT shrink
+    the exchange here because any non-min id is itself output — so the
+    batch stage tags its local non-mins as definite losers (global min
+    <= batch min) and forwards one min candidate per (hash, batch)."""
+    from document_extractor_ray.functions import bucketing
+
+    n_parts = bucketing.n_shuffle_parts()
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hashes = pa.array(content_hash_batch(t[text_col].to_pylist()), pa.binary())
+        slim = pa.table({"content_hash": hashes, id_col: t[id_col]})
+        g = pa.TableGroupBy(slim, ["content_hash"]).aggregate([(id_col, "min")])
+        mins = pa.table(
+            {"content_hash": g["content_hash"], id_col: g[f"{id_col}_min"]}
+        )
+        # batch-local non-mins are global losers already
+        idx = pc.index_in(slim["content_hash"], value_set=mins["content_hash"])
+        batch_min = pc.take(mins[id_col], idx)
+        loser_mask = pc.not_equal(slim[id_col], batch_min)
+        losers = slim.filter(loser_mask)
+        out = pa.concat_tables(
+            [
+                mins.append_column(
+                    "is_min", pa.array([True] * mins.num_rows, pa.bool_())
+                ),
+                losers.append_column(
+                    "is_min", pa.array([False] * losers.num_rows, pa.bool_())
+                ),
+            ]
+        )
+        return out.append_column(
+            "part", bucketing.part_of_binary(out["content_hash"], n_parts)
+        )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        mins = t.filter(t["is_min"])
+        g = pa.TableGroupBy(mins, ["content_hash"]).aggregate([(id_col, "min")])
+        idx = pc.index_in(mins["content_hash"], value_set=g["content_hash"])
+        global_min = pc.take(g[f"{id_col}_min"], idx)
+        late_losers = mins.filter(pc.not_equal(mins[id_col], global_min))
+        early_losers = t.filter(pc.invert(t["is_min"]))
+        return pa.concat_tables(
+            [late_losers.select([id_col]), early_losers.select([id_col])]
+        )
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pyarrow")
+        .sort(id_col)
+    )
+
+
+def near_dup_losers(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.7,
+    edge_budget: int = None,  # None -> CLUSTER_EDGE_BUDGET (defined below)
+):
+    """Ids DROPPED by MinHash near-dedup: every member of a near-dup
+    component except its min id.  Loser-set companion of
+    ``near_dedup_keep`` — only nodes that appear in a dup pair can
+    lose, so the output is bounded by the pair list, never the corpus.
+
+    Scale shape: the pair graph is the tiny part (minhash_dup_pairs'
+    banded LSH emits a vanishing fraction of the corpus); below
+    ``edge_budget`` one driver union-find resolves components, above
+    it the distributed min-label propagation emits (node, label) for
+    paired nodes and the losers are the label != node rows."""
+    if edge_budget is None:
+        edge_budget = CLUSTER_EDGE_BUDGET
+    pairs = (
+        minhash_dup_pairs(ds, threshold=threshold)
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()
+    )
+    if pairs.count() <= edge_budget:
+        edges = [
+            (r["doc_a"], r["doc_b"])
+            for b in pairs.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+        ]
+        roots = cluster_pairs(edges)
+        losers = sorted(n for n, r in roots.items() if r != n)
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(losers, pa.int64())})
+        )
+    labels = _propagate_labels(pairs)
+
+    def pick(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["doc_id", "cluster_id"])
+        return t.filter(pc.not_equal(t["doc_id"], t["cluster_id"])).select(
+            ["doc_id"]
+        )
+
+    return labels.map_batches(pick, batch_format="pyarrow").sort("doc_id")
+
+
 def _read_docs(sf_dir: str):
     from document_extractor_ray.functions.analytics import _n_blocks
 

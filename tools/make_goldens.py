@@ -66,10 +66,16 @@ def make_extract_goldens() -> None:
     results = records.canonical_results(ora["results"]).sort_by("url")
     quarantine = ora["quarantine"].sort_by("url")
     units = ora["units"].sort_by([("url", "ascending"), ("page", "ascending")])
+    from document_extractor_ray.pipelines import curation
+
+    cur = curation.sequential_curation(
+        curation.plant_dup_pages(pages), DEFAULT_CONFIG
+    )
     for name, tab in (
         ("extract_results", results),
         ("extract_quarantine", quarantine),
         ("extract_unit_rows", units),
+        ("curation_chain", cur),
     ):
         path = os.path.join(OUT, f"{name}_sf0.01.parquet")
         pq.write_table(tab, path)
