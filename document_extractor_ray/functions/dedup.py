@@ -185,6 +185,7 @@ def near_dup_losers(
     ds: "ray.data.Dataset",
     threshold: float = 0.7,
     edge_budget: int = None,  # None -> CLUSTER_EDGE_BUDGET (defined below)
+    lean: bool = False,
 ):
     """Ids DROPPED by MinHash near-dedup: every member of a near-dup
     component except its min id.  Loser-set companion of
@@ -198,6 +199,16 @@ def near_dup_losers(
     paired nodes and the losers are the label != node rows."""
     if edge_budget is None:
         edge_budget = CLUSTER_EDGE_BUDGET
+    if lean:
+        # payload-lean two-phase plan (identical pairs, no sig shuffle)
+        pt = minhash_dup_pairs_lean(ds, threshold=threshold)
+        roots = cluster_pairs(
+            list(zip(pt["doc_a"].to_pylist(), pt["doc_b"].to_pylist()))
+        )
+        losers = sorted(n for n, r in roots.items() if r != n)
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(losers, pa.int64())})
+        )
     pairs = (
         minhash_dup_pairs(ds, threshold=threshold)
         .select_columns(["doc_a", "doc_b"])
@@ -463,6 +474,166 @@ def minhash_dup_pairs(
 
 def minhash_dup_pairs_docs(sf_dir: str, threshold: float = 0.7):
     return minhash_dup_pairs(_read_docs(sf_dir), threshold=threshold)
+
+
+def minhash_dup_pairs_lean(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.7,
+    seed: int = 42,
+    max_bucket: int = None,
+) -> pa.Table:
+    """Two-phase MinHash near-dup pairs for payload-heavy corpora —
+    IDENTICAL output to ``minhash_dup_pairs`` (same bands, same cap,
+    same full-signature estimate; pinned by test), different exchange
+    shape:
+
+    The classic plan ships the 512-byte signature with every one of
+    the 16 exploded band rows (~8 KB/doc through the shuffle — 80 GB
+    at 10M docs, guaranteed object-store spill).  Here:
+
+    - **Phase A** explodes only (band_id, band_hash, doc_id) — 24
+      B/row — and emits CANDIDATE pairs (every a<b sharing a capped
+      band bucket), deduped.  No signatures move.
+    - **Phase B** recomputes signatures ONLY for candidate docs (one
+      broadcast id-set filter pass over the corpus — the 'recompute
+      instead of persist' branch of the note at minhash_signature) and
+      verifies each candidate pair's full-signature agreement on the
+      driver with one vectorized numpy pass.
+
+    Driver memory is bounded by the CANDIDATE set (dup mass + capped
+    pathological buckets), not the corpus; at 10^12 docs Phase B's
+    collect becomes a hash-partitioned sig join instead (documented
+    boundary: ~50M candidates)."""
+    from document_extractor_ray import state
+    from document_extractor_ray.functions import bucketing
+
+    def explode_slim(t: pa.Table, _seed=seed) -> pa.Table:
+        key = ("minhasher", _seed)
+        if key not in _WORKER_CACHE:
+            _WORKER_CACHE[key] = MinHasher(seed=_seed)
+        mh = _WORKER_CACHE[key]
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        n = len(texts)
+        sigs = np.empty((n, N_HASHES), dtype=np.uint64)
+        for i, text in enumerate(texts):
+            sigs[i] = mh.signature(text)
+        with np.errstate(over="ignore"):
+            bh = (sigs.reshape(n, N_BANDS, ROWS_PER_BAND) * _BAND_P).sum(
+                axis=2, dtype=np.uint64
+            )
+        bh = (bh >> np.uint64(1)).astype(np.int64).reshape(-1)
+        return pa.table(
+            {
+                "band_id": pa.array(
+                    np.tile(np.arange(N_BANDS, dtype=np.int32), n), pa.int32()
+                ),
+                "band_hash": pa.array(bh, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, N_BANDS), pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "one": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_candidates(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return empty
+        g = _cap_bucket(g, "doc_id", "minhash-cand", max_bucket)
+        ids = np.unique(g["doc_id"].to_numpy())
+        if ids.size < 2:
+            return empty
+        ii, jj = np.triu_indices(ids.size, k=1)
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ii], pa.int64()),
+                "doc_b": pa.array(ids[jj], pa.int64()),
+                "one": pa.array(np.ones(ii.size, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    cand = bucketing.bucketed_bucket_pairs(
+        ds.map_batches(explode_slim, batch_format="pyarrow", batch_size=512),
+        ["band_id", "band_hash"],
+        bucket_candidates,
+        empty,
+    )
+    # dedup candidate pairs (a pair collides in several bands)
+    cand = bucketing.bucketed_minmax(cand, ["doc_a", "doc_b"], "one", "max")
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for b in cand.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    ]
+    if not pairs:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+            }
+        )
+    cand_ids = np.unique(np.array(pairs, dtype=np.int64).ravel())
+    ref = state.broadcast(cand_ids)
+
+    def sig_of_candidates(t: pa.Table, _seed=seed) -> pa.Table:
+        key = ("minhasher", _seed)
+        if key not in _WORKER_CACHE:
+            _WORKER_CACHE[key] = MinHasher(seed=_seed)
+        mh = _WORKER_CACHE[key]
+        wanted = state.cached_get(ref)
+        ids = t["doc_id"].to_numpy()
+        mask = np.isin(ids, wanted)
+        if not mask.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.binary()),
+                }
+            )
+        sub_ids = ids[mask]
+        texts = [
+            x for x, m in zip(t["text"].to_pylist(), mask) if m
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(sub_ids, pa.int64()),
+                "sig": pa.array(
+                    [mh.signature(x).tobytes() for x in texts], pa.binary()
+                ),
+            }
+        )
+
+    sig_by_id: dict = {}
+    for b in ds.map_batches(
+        sig_of_candidates, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            sig_by_id[r["doc_id"]] = r["sig"]
+
+    pairs.sort()
+    a_ids = np.array([p[0] for p in pairs], dtype=np.int64)
+    b_ids = np.array([p[1] for p in pairs], dtype=np.int64)
+    sa = np.frombuffer(
+        b"".join(sig_by_id[int(x)] for x in a_ids), dtype=np.uint64
+    ).reshape(len(pairs), N_HASHES)
+    sb = np.frombuffer(
+        b"".join(sig_by_id[int(x)] for x in b_ids), dtype=np.uint64
+    ).reshape(len(pairs), N_HASHES)
+    est = (sa == sb).mean(axis=1)
+    keep = est >= threshold
+    return pa.table(
+        {
+            "doc_a": pa.array(a_ids[keep], pa.int64()),
+            "doc_b": pa.array(b_ids[keep], pa.int64()),
+            "est_jaccard": pa.array(est[keep], pa.float64()),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -77,7 +77,9 @@ PLANT_EXACT_EVERY = 37
 PLANT_NEAR_EVERY = 41
 
 
-def plant_dup_pages(pages: pa.Table) -> pa.Table:
+def plant_dup_pages(
+    pages: pa.Table, start_index: int = 0, plants_only: bool = False
+) -> pa.Table:
     """Append deterministic duplicate pages so the chain's dedup stages
     are provably non-vacuous (the plant_near_duplicates convention of
     functions/dedup.py, applied at the PAGES level so the dups flow
@@ -91,27 +93,34 @@ def plant_dup_pages(pages: pa.Table) -> pa.Table:
       — a handful of changed shingles, MinHash-near at 0.7 but not
       byte-equal, so it survives exact dedup and must be caught by the
       LSH stage.
-    """
+
+    ``start_index``/``plants_only`` make planting chunk-streamable for
+    huge corpora: pass the chunk's global row offset and collect only
+    the extra rows (the phase i % K is global-index-stable, so chunked
+    planting is bit-identical to one-shot planting)."""
     urls = pages["url"].to_pylist()
     tss = pages["warc_ts"].to_pylist()
     htmls = pages["html"].to_pylist()
     texts = pages["text"].to_pylist()
     langs = pages["lang"].to_pylist()
     a_url, a_ts, a_html, a_text, a_lang = [], [], [], [], []
-    for i in range(len(urls)):
-        h = htmls[i] or b""
+    for j in range(len(urls)):
+        i = start_index + j
+        h = htmls[j] or b""
         if i % PLANT_EXACT_EVERY == 0:
-            a_url.append(urls[i] + "?copy")
-            a_ts.append(tss[i])
+            a_url.append(urls[j] + "?copy")
+            a_ts.append(tss[j])
             a_html.append(h)
-            a_text.append(texts[i])
-            a_lang.append(langs[i])
+            a_text.append(texts[j])
+            a_lang.append(langs[j])
         if i % PLANT_NEAR_EVERY == 0 and b"</p>" in h:
-            a_url.append(urls[i] + "?near")
-            a_ts.append(tss[i])
+            a_url.append(urls[j] + "?near")
+            a_ts.append(tss[j])
             a_html.append(h.replace(b"</p>", b" qq zx nearprobe.</p>", 1))
-            a_text.append(texts[i])
-            a_lang.append(langs[i])
+            a_text.append(texts[j])
+            a_lang.append(langs[j])
+    if not a_url and plants_only:
+        return pages.slice(0, 0)
     if not a_url:
         return pages
     extra = pa.table(
@@ -123,7 +132,10 @@ def plant_dup_pages(pages: pa.Table) -> pa.Table:
             "lang": pa.array(a_lang, pa.string()),
         }
     )
-    return pa.concat_tables([pages, extra.cast(pages.schema)])
+    extra = extra.cast(pages.schema)
+    if plants_only:
+        return extra
+    return pa.concat_tables([pages, extra])
 
 
 def doc_id_of_url(url: str) -> int:
@@ -265,9 +277,9 @@ def run_curation(
     near = np.fromiter(
         (
             r["doc_id"]
-            for b in near_dup_losers(docs_ds(), threshold=threshold).iter_batches(
-                batch_format="pyarrow"
-            )
+            for b in near_dup_losers(
+                docs_ds(), threshold=threshold, lean=True
+            ).iter_batches(batch_format="pyarrow")
             for r in b.to_pylist()
         ),
         dtype=np.int64,

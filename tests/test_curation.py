@@ -63,6 +63,35 @@ def test_packed_token_budget(chain_run):
             assert ntok <= PACK_WINDOW
 
 
+def test_lean_minhash_pairs_equal_classic(chain_run):
+    """The payload-lean two-phase MinHash plan (no sig shuffle) must
+    emit bit-identical pairs to the classic exploded plan."""
+    import glob
+
+    import pyarrow as pa
+
+    from document_extractor_ray.functions import dedup
+    from document_extractor_ray.sources import read_parquet_clean
+
+    files = sorted(glob.glob(chain_run["work"] + "/docs/*.parquet"))
+
+    def ds():
+        return read_parquet_clean(files, columns=["doc_id", "text"])
+
+    classic = pa.concat_tables(
+        [
+            b
+            for b in dedup.minhash_dup_pairs(ds(), threshold=0.7).iter_batches(
+                batch_format="pyarrow"
+            )
+            if b.num_rows
+        ]
+    ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+    lean = dedup.minhash_dup_pairs_lean(ds(), threshold=0.7)
+    assert classic.equals(lean)
+    assert lean.num_rows > 0
+
+
 def test_checkpoint_resume_skips_extraction(chain_run):
     """Second run over the same work_dir must reuse the docs checkpoint
     (the resumable-output contract) and produce the identical result."""
