@@ -625,6 +625,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "runs_up_down_test": analytics.runs_up_down_test,
         "record_count_test": analytics.record_count_test,
         "ljung_box_test": analytics.ljung_box_test,
+        # --- round-5 additions ---
+        "yule_sichel_by_source": analytics.yule_sichel_by_source,
+        "cusum_changepoint": analytics.cusum_changepoint,
+        "variance_ratio_test": analytics.variance_ratio_test,
+        "benford_cents_audit": analytics.benford_cents_audit,
+        "order_value_gini_by_nation": analytics.order_value_gini_by_nation,
     }
     # Rotate never-driver-checked queries into the driver's sample
     # window: [extract_*, never-checked oracled, never-checked
@@ -1132,4 +1138,9 @@ def oracle_sql() -> dict[str, str]:
         "runs_up_down_test": analytics.RUNS_UP_DOWN_SQL,
         "record_count_test": analytics.RECORD_COUNT_SQL,
         "ljung_box_test": analytics.LJUNG_BOX_SQL,
+        "yule_sichel_by_source": analytics.YULE_SICHEL_SQL,
+        "cusum_changepoint": analytics.CUSUM_CHANGEPOINT_SQL,
+        "variance_ratio_test": analytics.VARIANCE_RATIO_SQL,
+        "benford_cents_audit": analytics.BENFORD_SQL,
+        "order_value_gini_by_nation": analytics.ORDER_VALUE_GINI_SQL,
     }

@@ -450,6 +450,15 @@ PICKS = [
     "runs_up_down_test",
     "record_count_test",
     "ljung_box_test",
+    "yule_sichel_by_source",
+    "cusum_changepoint",
+    "variance_ratio_test",
+    "benford_cents_audit",
+    "order_value_gini_by_nation",
+    # r5: the end-to-end curation composition (losers + decontam +
+    # pack over the checkpointed docs; extraction phase reuses the
+    # /tmp checkpoint after the first run)
+    "curation_chain",
     # filter_order_plan: NOT a pick (5.8 s warm — curation_decisions
     # base cost, same reason curation_report_by_source is excluded)
 ]
@@ -479,19 +488,21 @@ ALWAYS_PICKS = {
 
 
 def _effective_picks() -> list[str]:
-    """Picks for THIS round: ALWAYS_PICKS plus every-other-round
-    rotation of the rest, keyed on how many driver bench artifacts
-    exist (one BENCH_r{N}.json per round, committed) — deterministic
-    and identical in the parent and its subprocess chunks.  All picks
-    still run across any 2 consecutive rounds.  GRAFT_BENCH_ALL=1
+    """Picks for THIS round: ALWAYS_PICKS plus a third of the rest
+    (rotation phase keyed on how many driver bench artifacts exist —
+    one BENCH_r{N}.json per round, committed — deterministic and
+    identical in the parent and its subprocess chunks).  All picks
+    still run across any 3 consecutive rounds; identity-stability of
+    the slow set across rounds 1-4 justified moving from 1/2 to 1/3
+    (VERDICT r4 item 3, full-bench wall <= 6 min).  GRAFT_BENCH_ALL=1
     disables rotation (used for the committed BENCH_full baselines)."""
     if os.environ.get("GRAFT_BENCH_ALL") == "1":
         return PICKS
     import glob
 
-    parity = len(glob.glob(os.path.join(_REPO_DIR, "BENCH_r*.json"))) % 2
+    phase = len(glob.glob(os.path.join(_REPO_DIR, "BENCH_r*.json"))) % 3
     return [
-        n for i, n in enumerate(PICKS) if n in ALWAYS_PICKS or i % 2 == parity
+        n for i, n in enumerate(PICKS) if n in ALWAYS_PICKS or i % 3 == phase
     ]
 
 

@@ -238,9 +238,16 @@ def run_curation(
     docs_dir = os.path.join(work_dir, "docs")
 
     # --- phase 1: extract + clean + scrub, checkpointed once -------------
+    # deterministic_order would globally sort the WIDE final rows by
+    # url — an all-to-all shuffle of the whole extracted corpus that
+    # spilled ~200 GB at 10M docs.  The chain never needs it: every
+    # stage keys on doc_id, loser sets are order-free, and the packed
+    # output is example_id-sorted at the end.
     t0 = time.monotonic()
     if not os.path.exists(os.path.join(docs_dir, "_DONE")):
-        final = run_extraction(pages_source, cfg)
+        final = run_extraction(
+            pages_source, cfg.with_(deterministic_order=False)
+        )
         docs = final.map_batches(_clean_scrub, batch_format="pyarrow")
         os.makedirs(docs_dir, exist_ok=True)
         docs.write_parquet(docs_dir)

@@ -453,6 +453,11 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "runs_up_down_test",
         "record_count_test",
         "ljung_box_test",
+        "yule_sichel_by_source",
+        "cusum_changepoint",
+        "variance_ratio_test",
+        "benford_cents_audit",
+        "order_value_gini_by_nation",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
