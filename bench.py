@@ -13,9 +13,10 @@ line:
 
 The FULL per-query timing map goes to BENCH_full.json (stdout must
 stay small: the driver tail-captures ~2 KB and BENCH_r03 came back
-parsed:null when the line carried 292 timings).  Picks rotate on
-round parity (ALWAYS_PICKS every round, the rest every other round)
-to cap full-bench wall; GRAFT_BENCH_ALL=1 runs everything.
+parsed:null when the line carried 292 timings).  Picks rotate in
+thirds (ALWAYS_PICKS every round, the rest every third round, phase
+keyed on committed BENCH_r*.json count) to cap full-bench wall;
+GRAFT_BENCH_ALL=1 runs everything.
 
 --scaling: runs the headline pipeline in two fresh processes at
 num_cpus=1 and num_cpus=4 (GRAFT_SCALE_LO/HI override) on the same

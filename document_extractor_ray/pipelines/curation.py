@@ -304,8 +304,23 @@ def run_curation(
         )
 
     # --- benchmark set: n lowest surviving doc ids -----------------------
-    bench_t = docs_ds().sort("doc_id").limit(n_benchmark)
-    bench_texts = [r["text"] for r in bench_t.take(n_benchmark)]
+    # NOT sort().limit(): a global sort of the full doc table to pick
+    # 3 rows spilled 35 GB at 10M docs.  Per-batch top-n partials
+    # (n rows per block) merge on the driver instead — zero shuffle.
+    def low_n(t: pa.Table) -> pa.Table:
+        return t.sort_by("doc_id").slice(0, n_benchmark)
+
+    low_rows: list = []
+    for b in (
+        docs_ds()
+        .map_batches(low_n, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        low_rows.extend(
+            (r["doc_id"], r["text"]) for r in b.to_pylist()
+        )
+    low_rows.sort()
+    bench_texts = [text for _, text in low_rows[:n_benchmark]]
     bench = set()
     for text in bench_texts:
         bench |= shingles(text, DECONTAM_SHINGLE_K)
