@@ -631,6 +631,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "variance_ratio_test": analytics.variance_ratio_test,
         "benford_cents_audit": analytics.benford_cents_audit,
         "order_value_gini_by_nation": analytics.order_value_gini_by_nation,
+        "abc_xyz_classification": analytics.abc_xyz_classification,
+        "hubness_audit": analytics.hubness_audit,
     }
     # Rotate never-driver-checked queries into the driver's sample
     # window: [extract_*, never-checked oracled, never-checked
@@ -1143,4 +1145,6 @@ def oracle_sql() -> dict[str, str]:
         "variance_ratio_test": analytics.VARIANCE_RATIO_SQL,
         "benford_cents_audit": analytics.BENFORD_SQL,
         "order_value_gini_by_nation": analytics.ORDER_VALUE_GINI_SQL,
+        "abc_xyz_classification": analytics.ABC_XYZ_SQL,
+        "hubness_audit": analytics.HUBNESS_SQL,
     }

@@ -456,6 +456,8 @@ PICKS = [
     "variance_ratio_test",
     "benford_cents_audit",
     "order_value_gini_by_nation",
+    "abc_xyz_classification",
+    "hubness_audit",
     # r5: the end-to-end curation composition (losers + decontam +
     # pack over the checkpointed docs; extraction phase reuses the
     # /tmp checkpoint after the first run)

@@ -580,3 +580,289 @@ SELECT nation, n_orders, sum_cents,
             ELSE 0 END AS BIGINT) AS gini_micro
 FROM g ORDER BY nation
 """
+
+
+# ---------------------------------------------------------------------------
+# ABC/XYZ inventory classification of parts
+# ---------------------------------------------------------------------------
+
+# XYZ thresholds on the relative demand-variability ratio
+# var_num/(mean_num)^2 scaled to permille (CV^2 in exact integers):
+# X <= 100 (steady), Y <= 400, Z above.
+XYZ_X_PERMILLE = 100
+XYZ_Y_PERMILLE = 400
+
+
+def abc_xyz_classification(sf_dir: str):
+    """Classic ABC/XYZ inventory matrix over parts: ABC from the
+    cumulative revenue share of parts sorted by revenue (A to 70%,
+    B to 90%, C the tail — ties broken toward the lower partkey), XYZ
+    from demand variability across ship MONTHS as the exact integer
+    CV² in permille: 1000·(m·Σq² − (Σq)²) // (Σq)² with q the
+    per-month quantity over the m observed calendar months.  Output:
+    the 3x3 class matrix with part counts and revenue shares — the
+    planning segmentation every supply-chain dashboard starts from.
+
+    Scale shape: per-(part, month) partials pre-combine inside
+    map_batches, fold on the part-catalog-bounded domain (parts are a
+    CATALOG, not an event stream — the top_customers boundedness
+    argument); the ABC cumulation is one driver pass over the sorted
+    catalog."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(t["l_shipdate"], unit="month")
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "part": t["l_partkey"],
+                    "month": month,
+                    "q": qty,
+                    "rev": _to_cents(t["l_extendedprice"]),
+                }
+            ),
+            ["part", "month"],
+        ).aggregate([("q", "sum"), ("rev", "sum")])
+        return pa.table(
+            {
+                "part": g["part"],
+                "month": g["month"],
+                "q": g["q_sum"],
+                "rev": g["rev_sum"],
+            }
+        )
+
+    acc = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["part", "month"],
+        ["q", "rev"],
+        max_keys=2_000_000,
+    )
+    by_part: dict = {}
+    for (part, _month), (q, rev) in acc.items():
+        s = by_part.setdefault(int(part), [0, 0, 0, 0])  # sq, sq2, m, rev
+        s[0] += int(q)
+        s[1] += int(q) * int(q)
+        s[2] += 1
+        s[3] += int(rev)
+    total_rev = sum(s[3] for s in by_part.values())
+    order = sorted(by_part, key=lambda p: (-by_part[p][3], p))
+    abc: dict = {}
+    cum = 0
+    for p in order:
+        cum += by_part[p][3]
+        share_pm = (1000 * cum) // total_rev if total_rev else 0
+        abc[p] = "A" if share_pm <= 700 else ("B" if share_pm <= 900 else "C")
+    cells: dict = {}
+    for p, (sq, sq2, m, rev) in by_part.items():
+        var_num = m * sq2 - sq * sq
+        cv2_pm = (1000 * var_num) // (sq * sq) if sq else 0
+        xyz = (
+            "X"
+            if cv2_pm <= XYZ_X_PERMILLE
+            else ("Y" if cv2_pm <= XYZ_Y_PERMILLE else "Z")
+        )
+        key = abc[p] + xyz
+        c = cells.setdefault(key, [0, 0])
+        c[0] += 1
+        c[1] += rev
+    rows = []
+    for a in "ABC":
+        for x in "XYZ":
+            n, rev = cells.get(a + x, (0, 0))
+            rows.append(
+                (a + x, n, rev, (1_000_000 * rev) // total_rev if total_rev else 0)
+            )
+    return pa.table(
+        {
+            "klass": pa.array([r[0] for r in rows], pa.string()),
+            "n_parts": pa.array([r[1] for r in rows], pa.int64()),
+            "revenue_cents": pa.array([r[2] for r in rows], pa.int64()),
+            "revenue_micro": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+ABC_XYZ_SQL = f"""
+WITH pm AS (
+  SELECT l_partkey AS part, date_trunc('month', l_shipdate) AS month,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+         CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM lineitem GROUP BY 1, 2
+),
+p AS (
+  SELECT part,
+         CAST(sum(q) AS HUGEINT) AS sq,
+         CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sq2,
+         CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(rev) AS BIGINT) AS rev
+  FROM pm GROUP BY 1
+),
+tot AS (SELECT CAST(sum(rev) AS BIGINT) AS t FROM p),
+a AS (
+  SELECT part, rev, sq, sq2, m,
+         CAST(sum(rev) OVER (ORDER BY rev DESC, part) AS BIGINT) AS cum
+  FROM p
+),
+cls AS (
+  SELECT part, rev, sq, sq2, m,
+         CASE WHEN (1000 * cum) // (SELECT t FROM tot) <= 700 THEN 'A'
+              WHEN (1000 * cum) // (SELECT t FROM tot) <= 900 THEN 'B'
+              ELSE 'C' END AS abc,
+         CASE WHEN sq > 0 AND (1000 * (m * sq2 - sq * sq)) // (sq * sq)
+                   <= {XYZ_X_PERMILLE} THEN 'X'
+              WHEN sq > 0 AND (1000 * (m * sq2 - sq * sq)) // (sq * sq)
+                   <= {XYZ_Y_PERMILLE} THEN 'Y'
+              ELSE 'Z' END AS xyz
+  FROM a
+),
+grid AS (
+  SELECT a.k || x.k AS klass
+  FROM (VALUES ('A'), ('B'), ('C')) a(k), (VALUES ('X'), ('Y'), ('Z')) x(k)
+),
+g AS (
+  SELECT abc || xyz AS klass, CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(sum(rev) AS BIGINT) AS revenue_cents
+  FROM cls GROUP BY 1
+)
+SELECT grid.klass,
+       coalesce(g.n_parts, 0) AS n_parts,
+       coalesce(g.revenue_cents, 0) AS revenue_cents,
+       CAST((1000000 * coalesce(g.revenue_cents, 0))
+            // (SELECT t FROM tot) AS BIGINT) AS revenue_micro
+FROM grid LEFT JOIN g ON g.klass = grid.klass
+ORDER BY grid.klass
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hubness audit of the embedding space (k-occurrence distribution)
+# ---------------------------------------------------------------------------
+
+HUB_K = 10
+
+
+def hubness_audit(sf_dir: str, k: int = HUB_K):
+    """k-occurrence (hubness) audit of the embedding space: for every
+    vector, how many OTHER vectors list it in their cosine top-k —
+    high-dimensional spaces grow 'hub' vectors that pollute ANN
+    results (Radovanović et al. 2010), and the k-occurrence histogram
+    is the standard diagnostic.  Reports occurrence-count buckets
+    (0..19, 20+ clipped) with vector counts, plus max occurrence —
+    rank ties broken toward the lower vec_id (the knn_brute
+    convention, so the oracle reproduces ranks exactly).
+
+    Scale shape: normalized corpus broadcast once; per-batch matmul +
+    per-row top-k (argpartition) emits k slim (neighbor) rows per
+    vector; the occurrence fold is per-vector-bounded here and becomes
+    a bucketed count at 10^9+ vectors (documented boundary)."""
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.similarity import (
+        _normalize_rows,
+        _read_embeddings,
+        embedding_matrix,
+    )
+
+    ds = _read_embeddings(sf_dir)
+    tabs = [t for t in map(ray.get, ds.to_arrow_refs()) if t.num_rows]
+    corpus = pa.concat_tables(tabs).combine_chunks()
+    c_ids = corpus["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c_mat = _normalize_rows(
+        embedding_matrix(corpus["embedding"]).astype(np.float64)
+    )
+    ref = state.broadcast({"ids": c_ids, "mat": c_mat})
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        st = state.cached_get(ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not ids.size:
+            return pa.table(
+                {"nbr": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        mat = _normalize_rows(
+            embedding_matrix(t["embedding"]).astype(np.float64)
+        )
+        sims = mat @ st["mat"].T
+        # exclude self
+        self_mask = ids[:, None] == st["ids"][None, :]
+        sims[self_mask] = -np.inf
+        counts = np.zeros(st["ids"].size, dtype=np.int64)
+        kk = min(k, st["ids"].size - 1)
+        for i in range(sims.shape[0]):
+            row = sims[i]
+            # full (score desc, vec_id asc) lexsort: argpartition can
+            # split boundary TIES arbitrarily, which would break the
+            # deterministic rank the oracle reproduces.  The corpus is
+            # broadcast whole anyway, so the exact sort is the honest
+            # cost; at 10^9+ vectors the audit itself moves to an
+            # LSH-bucketed estimate.
+            order = np.lexsort((st["ids"], -row))[:kk]
+            counts[order] += 1
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "nbr": pa.array(nz.astype(np.int64), pa.int64()),
+                "c": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    acc = fold_partials(
+        ds.map_batches(topk_partial, batch_format="pyarrow"),
+        "nbr",
+        "c",
+        max_keys=2_000_000,
+    )
+    occ = np.zeros(c_ids.size, dtype=np.int64)
+    for idx, c in acc.items():
+        occ[int(idx)] = int(c)
+    bucket = np.minimum(occ, 20)
+    hist = np.bincount(bucket, minlength=21)
+    rows = [(b, int(hist[b])) for b in range(21)]
+    return pa.table(
+        {
+            "occ_bucket": pa.array([r[0] for r in rows], pa.int64()),
+            "n_vectors": pa.array([r[1] for r in rows], pa.int64()),
+            "max_occ": pa.array([int(occ.max())] * 21, pa.int64()),
+        }
+    )
+
+
+HUBNESS_SQL = f"""
+WITH s AS (
+  SELECT a.vec_id AS q, b.vec_id AS nbr,
+         list_cosine_similarity(a.embedding::DOUBLE[],
+                                b.embedding::DOUBLE[]) AS score
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT q, nbr,
+         row_number() OVER (PARTITION BY q ORDER BY score DESC, nbr)
+           AS rank
+  FROM s
+),
+occ AS (
+  SELECT e.vec_id,
+         CAST(coalesce(k.c, 0) AS BIGINT) AS c
+  FROM embeddings e
+  LEFT JOIN (
+    SELECT nbr, count(*) AS c FROM r WHERE rank <= {HUB_K} GROUP BY 1
+  ) k ON k.nbr = e.vec_id
+),
+b AS (
+  SELECT least(c, 20) AS occ_bucket, CAST(count(*) AS BIGINT) AS n_vectors
+  FROM occ GROUP BY 1
+),
+grid AS (SELECT unnest(generate_series(0, 20)) AS occ_bucket),
+mx AS (SELECT CAST(max(c) AS BIGINT) AS m FROM occ)
+SELECT CAST(grid.occ_bucket AS BIGINT) AS occ_bucket,
+       coalesce(b.n_vectors, 0) AS n_vectors,
+       (SELECT m FROM mx) AS max_occ
+FROM grid LEFT JOIN b ON b.occ_bucket = grid.occ_bucket
+ORDER BY occ_bucket
+"""

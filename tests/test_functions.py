@@ -458,6 +458,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "variance_ratio_test",
         "benford_cents_audit",
         "order_value_gini_by_nation",
+        "abc_xyz_classification",
+        "hubness_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
