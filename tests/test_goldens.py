@@ -19,6 +19,12 @@ SF = "/root/testdata/sf0.01"
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
 GOLDEN_QUERIES = [
+    # r5: the sequential-twin goldens that double as DuckDB oracles
+    # (files carry the _sf0.01 suffix; see _golden_path)
+    "extract_results",
+    "extract_quarantine",
+    "extract_unit_rows",
+    "curation_chain",
     "fingerprints",
     "simhash",
     "minhash_dup_pairs",
@@ -51,7 +57,10 @@ def test_golden_pin(ray_session, qname):
     else:
         got = res.to_pandas()
 
-    want = pq.read_table(os.path.join(GOLDEN_DIR, f"{qname}.parquet")).to_pandas()
+    path = os.path.join(GOLDEN_DIR, f"{qname}_sf0.01.parquet")
+    if not os.path.exists(path):
+        path = os.path.join(GOLDEN_DIR, f"{qname}.parquet")
+    want = pq.read_table(path).to_pandas()
     cols = sorted(want.columns)
     assert sorted(got.columns) == cols
     g = _canon(got[cols])
