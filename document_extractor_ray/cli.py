@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -135,6 +136,46 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """End-to-end curation chain over a pages corpus: extract -> C4
+    quality gate -> PII scrub -> exact dedup -> MinHash near-dedup ->
+    decontaminate -> pack_sequences; writes packed examples parquet
+    under <out>/packed and prints the stage metrics as one JSON line
+    (pipelines/curation.py; checkpointed in <out>, so a killed run
+    resumes from the cleaned-docs phase)."""
+    _ray_session(args.num_cpus)
+    import pyarrow as pa
+
+    from document_extractor_ray.config import DEFAULT_CONFIG
+    from document_extractor_ray.pipelines import curation
+
+    r = curation.run_curation(
+        args.input,
+        DEFAULT_CONFIG,
+        work_dir=args.out,
+        threshold=args.threshold,
+        window=args.window or None,
+    )
+    out = os.path.join(args.out, "packed")
+    os.makedirs(out, exist_ok=True)
+
+    def flatten(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["doc_ids"]).append_column(
+            "doc_ids_json",
+            pa.array(
+                [
+                    json.dumps([int(x) for x in ids], separators=(",", ":"))
+                    for ids in t["doc_ids"].to_pylist()
+                ],
+                pa.string(),
+            ),
+        )
+
+    r["packed"].map_batches(flatten, batch_format="pyarrow").write_parquet(out)
+    print(json.dumps({"out": out, **r["metrics"]}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="document_extractor_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -161,6 +202,14 @@ def main(argv=None) -> int:
     po.add_argument("--text", default="", help="pre-extracted text column value")
     po.add_argument("--env-config", action="store_true")
     po.set_defaults(fn=cmd_extract_one)
+
+    pc_ = sub.add_parser("curate", help="end-to-end training-data curation chain")
+    pc_.add_argument("--input", nargs="+", required=True, help="pages parquet path(s)")
+    pc_.add_argument("--out", required=True, help="work/checkpoint dir; packed under <out>/packed")
+    pc_.add_argument("--num-cpus", type=int, default=8)
+    pc_.add_argument("--threshold", type=float, default=0.7, help="near-dup MinHash threshold")
+    pc_.add_argument("--window", type=int, default=0, help="pack window tokens (0 = default)")
+    pc_.set_defaults(fn=cmd_curate)
 
     pg = sub.add_parser("gen-fixtures", help="write a synthetic pages corpus")
     pg.add_argument("--out", required=True)
