@@ -63,6 +63,39 @@ def test_packed_token_budget(chain_run):
             assert ntok <= PACK_WINDOW
 
 
+def test_loser_sets_complement_keep_sets(chain_run):
+    """exact_dup_losers / near_dup_losers must be the exact set
+    complements of dedup_exact / near_dedup_keep over the same docs."""
+    import glob
+
+    from document_extractor_ray.functions import dedup
+    from document_extractor_ray.sources import read_parquet_clean
+
+    files = sorted(glob.glob(chain_run["work"] + "/docs/*.parquet"))
+
+    def ds():
+        return read_parquet_clean(files, columns=["doc_id", "text"])
+
+    def ids(d):
+        return {
+            r["doc_id"]
+            for b in d.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+        }
+
+    all_ids = ids(ds())
+    keep_exact = ids(dedup.dedup_exact(ds()))
+    lose_exact = ids(dedup.exact_dup_losers(ds()))
+    assert keep_exact | lose_exact == all_ids
+    assert not (keep_exact & lose_exact)
+    assert len(lose_exact) == chain_run["r"]["metrics"]["exact_losers"]
+
+    keep_near = ids(dedup.near_dedup_keep(ds()))
+    lose_near = ids(dedup.near_dup_losers(ds(), lean=True))
+    assert keep_near | lose_near == all_ids
+    assert not (keep_near & lose_near)
+
+
 def test_lean_minhash_pairs_equal_classic(chain_run):
     """The payload-lean two-phase MinHash plan (no sig shuffle) must
     emit bit-identical pairs to the classic exploded plan."""
