@@ -633,6 +633,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_value_gini_by_nation": analytics.order_value_gini_by_nation,
         "abc_xyz_classification": analytics.abc_xyz_classification,
         "hubness_audit": analytics.hubness_audit,
+        "dow_anova_eta": analytics.dow_anova_eta,
+        "mrl_prefix_recall": analytics.mrl_prefix_recall,
     }
     # Rotate never-driver-checked queries into the driver's sample
     # window: [extract_*, never-checked oracled, never-checked
@@ -1147,4 +1149,6 @@ def oracle_sql() -> dict[str, str]:
         "order_value_gini_by_nation": analytics.ORDER_VALUE_GINI_SQL,
         "abc_xyz_classification": analytics.ABC_XYZ_SQL,
         "hubness_audit": analytics.HUBNESS_SQL,
+        "dow_anova_eta": analytics.DOW_ANOVA_SQL,
+        "mrl_prefix_recall": analytics.MRL_PREFIX_SQL,
     }

@@ -458,6 +458,8 @@ PICKS = [
     "order_value_gini_by_nation",
     "abc_xyz_classification",
     "hubness_audit",
+    "dow_anova_eta",
+    "mrl_prefix_recall",
     # r5: the end-to-end curation composition (losers + decontam +
     # pack over the checkpointed docs; extraction phase reuses the
     # /tmp checkpoint after the first run)

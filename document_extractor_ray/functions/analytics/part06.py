@@ -866,3 +866,263 @@ SELECT CAST(grid.occ_bucket AS BIGINT) AS occ_bucket,
 FROM grid LEFT JOIN b ON b.occ_bucket = grid.occ_bucket
 ORDER BY occ_bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# One-way day-of-week ANOVA effect size on daily event counts
+# ---------------------------------------------------------------------------
+
+def dow_anova_eta(sf_dir: str):
+    """One-way ANOVA effect size eta² of day-of-week on the daily
+    event-count series, EXACT: with S_g / n_g the per-dow sum / day
+    count, S / n the totals, and P = Π n_g, every term of
+    eta² = SSB/SST = (Σ S_g²/n_g − S²/n) / (Σx² − S²/n) clears to an
+    integer after multiplying by n·P —
+    eta2_micro = 10⁶·(n·Σ (P/n_g)·S_g² − P·S²) // (P·(n·Σx² − S²)).
+    The variance-decomposition 'how much of daily traffic is weekly
+    seasonality' number that orders_dow_profile (means) and
+    friedman_dow_test (ranks) bracket.
+
+    Scale shape: one calendar-bounded daily fold; 7-group driver
+    arithmetic in Python bigints (HUGEINT in the oracle)."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        g = pa.TableGroupBy(pa.table({"day": day}), ["day"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    series = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "day", "n"
+    )
+    if not series:
+        return pa.table(
+            {
+                "n_days": pa.array([], pa.int64()),
+                "ssb_scaled": pa.array([], pa.int64()),
+                "sst_scaled": pa.array([], pa.int64()),
+                "eta2_micro": pa.array([], pa.int64()),
+            }
+        )
+    groups: dict = {}
+    sx = sx2 = n = 0
+    for day, cnt in series.items():
+        # epoch day number -> dow (1970-01-01 was a Thursday = 3 in
+        # the Monday=0 convention DuckDB's isodow-1 matches).  Use the
+        # proleptic ordinal, NOT datetime.timestamp() (tz-dependent).
+        if hasattr(day, "toordinal"):
+            epoch_day = day.toordinal() - 719163  # date(1970,1,1).toordinal()
+        else:
+            epoch_day = int(day) // 86_400_000_000
+        dow = (epoch_day + 3) % 7
+        g = groups.setdefault(dow, [0, 0])
+        g[0] += int(cnt)
+        g[1] += 1
+        sx += int(cnt)
+        sx2 += int(cnt) * int(cnt)
+        n += 1
+    P = 1
+    for _, (_, ng) in sorted(groups.items()):
+        P *= ng
+    ssb_scaled = n * sum((P // ng) * sg * sg for sg, ng in groups.values()) - P * sx * sx
+    sst_scaled = P * (n * sx2 - sx * sx)
+    eta2 = (1_000_000 * ssb_scaled) // sst_scaled if sst_scaled > 0 else 0
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "ssb_scaled": pa.array([ssb_scaled], pa.int64()),
+            "sst_scaled": pa.array([sst_scaled], pa.int64()),
+            "eta2_micro": pa.array([eta2], pa.int64()),
+        }
+    )
+
+
+DOW_ANOVA_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT (isodow(day) - 1) AS dow,
+         CAST(sum(x) AS HUGEINT) AS sg, CAST(count(*) AS BIGINT) AS ng
+  FROM daily GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sx2,
+         CAST(count(*) AS BIGINT) AS n
+  FROM daily
+),
+p AS (SELECT CAST(product(CAST(ng AS DOUBLE)) AS HUGEINT) AS pp FROM g),
+ssb AS (
+  SELECT (SELECT n FROM tot)
+           * sum(((SELECT pp FROM p) // ng) * sg * sg)
+         - (SELECT pp FROM p) * (SELECT sx FROM tot) * (SELECT sx FROM tot)
+           AS ssb_scaled
+  FROM g
+)
+SELECT tot.n AS n_days,
+       CAST(ssb.ssb_scaled AS BIGINT) AS ssb_scaled,
+       CAST((SELECT pp FROM p) * (tot.n * tot.sx2 - tot.sx * tot.sx)
+            AS BIGINT) AS sst_scaled,
+       CAST(CASE WHEN (SELECT pp FROM p) * (tot.n * tot.sx2 - tot.sx * tot.sx) > 0
+            THEN (1000000::HUGEINT * ssb.ssb_scaled)
+                 // ((SELECT pp FROM p) * (tot.n * tot.sx2 - tot.sx * tot.sx))
+            ELSE 0 END AS BIGINT) AS eta2_micro
+FROM tot, ssb
+"""
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-dimension recall audit
+# ---------------------------------------------------------------------------
+
+MRL_PREFIX_DIM = 16  # fixture embeddings are 64-dim; quarter-truncation
+MRL_K = 10
+
+
+def mrl_prefix_recall(sf_dir: str, prefix_dim: int = MRL_PREFIX_DIM, k: int = MRL_K):
+    """Matryoshka-style prefix-dimension quality audit: for the 8
+    deterministic query vectors, the overlap between the cosine top-k
+    computed on FULL vectors and on the first ``prefix_dim``
+    dimensions — 'how much recall do we keep if we truncate stored
+    vectors 4x' (Kusupati et al. 2022), the decision number behind
+    shrinking an embedding index.  Ranks tie-break on vec_id (the
+    knn_brute convention); output per query: overlap count and
+    Jaccard micro of the two top-k sets.
+
+    Scale shape: corpus broadcast once with BOTH normalizations
+    (full + prefix); per-batch two matmuls + bounded per-block top-k
+    partials — the knn_brute shape twice."""
+    from document_extractor_ray import state
+    from document_extractor_ray.functions.similarity import (
+        _normalize_rows,
+        _read_embeddings,
+        default_queries,
+        embedding_matrix,
+    )
+
+    q = default_queries(sf_dir)
+    qm = embedding_matrix(q["embedding"]).astype(np.float64)
+    qids = [int(x) for x in q["vec_id"].to_pylist()]
+    qf = _normalize_rows(qm)
+    qp = _normalize_rows(qm[:, :prefix_dim].copy())
+    ref = state.broadcast({"qf": qf, "qp": qp})
+
+    ds = _read_embeddings(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        st = state.cached_get(ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not ids.size:
+            return pa.table(
+                {
+                    "qi": pa.array([], pa.int64()),
+                    "which": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        m = embedding_matrix(t["embedding"]).astype(np.float64)
+        mf = _normalize_rows(m)
+        mp = _normalize_rows(m[:, : st["qp"].shape[1]].copy())
+        out_q, out_w, out_v, out_s = [], [], [], []
+        for which, (qm_, mm) in enumerate(((st["qf"], mf), (st["qp"], mp))):
+            sims = qm_ @ mm.T
+            kk = min(MRL_K, ids.size)
+            for qi in range(qm_.shape[0]):
+                row = sims[qi]
+                sel = np.lexsort((ids, -row))[:kk]
+                out_q.extend([qi] * len(sel))
+                out_w.extend([which] * len(sel))
+                out_v.extend(ids[sel].tolist())
+                out_s.extend(row[sel].tolist())
+        return pa.table(
+            {
+                "qi": pa.array(out_q, pa.int64()),
+                "which": pa.array(out_w, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    best: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for r in b.to_pylist():
+            best.setdefault((r["qi"], r["which"]), []).append(
+                (-r["score"], r["vec_id"])
+            )
+    import heapq
+
+    rows = []
+    for qi, qid in enumerate(qids):
+        tops = {}
+        for which in (0, 1):
+            cand = best.get((qi, which), [])
+            tops[which] = {v for _, v in heapq.nsmallest(k, sorted(cand))}
+        inter = len(tops[0] & tops[1])
+        union = len(tops[0] | tops[1])
+        rows.append(
+            (qid, inter, (1_000_000 * inter) // union if union else 0)
+        )
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "overlap_at_k": pa.array([r[1] for r in rows], pa.int64()),
+            "jaccard_micro": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+MRL_PREFIX_SQL = f"""
+WITH qy AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+full_r AS (
+  SELECT qy.query_id, e.vec_id,
+         row_number() OVER (
+           PARTITION BY qy.query_id
+           ORDER BY list_cosine_similarity(qy.qe, e.embedding::DOUBLE[])
+                      DESC, e.vec_id) AS rank
+  FROM qy CROSS JOIN embeddings e
+),
+pref_r AS (
+  SELECT qy.query_id, e.vec_id,
+         row_number() OVER (
+           PARTITION BY qy.query_id
+           ORDER BY list_cosine_similarity(qy.qe[1:{MRL_PREFIX_DIM}],
+                      (e.embedding::DOUBLE[])[1:{MRL_PREFIX_DIM}])
+                      DESC, e.vec_id) AS rank
+  FROM qy CROSS JOIN embeddings e
+),
+f AS (SELECT query_id, vec_id FROM full_r WHERE rank <= {MRL_K}),
+p AS (SELECT query_id, vec_id FROM pref_r WHERE rank <= {MRL_K}),
+ov AS (
+  SELECT f.query_id, CAST(count(*) AS BIGINT) AS inter
+  FROM f JOIN p ON p.query_id = f.query_id AND p.vec_id = f.vec_id
+  GROUP BY 1
+),
+un AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS uni FROM (
+    SELECT query_id, vec_id FROM f
+    UNION
+    SELECT query_id, vec_id FROM p
+  ) GROUP BY 1
+)
+SELECT qy.query_id,
+       coalesce(ov.inter, 0) AS overlap_at_k,
+       CAST(CASE WHEN coalesce(un.uni, 0) > 0
+            THEN (1000000 * coalesce(ov.inter, 0)) // un.uni
+            ELSE 0 END AS BIGINT) AS jaccard_micro
+FROM qy
+LEFT JOIN ov ON ov.query_id = qy.query_id
+LEFT JOIN un ON un.query_id = qy.query_id
+ORDER BY qy.query_id
+"""

@@ -460,6 +460,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "order_value_gini_by_nation",
         "abc_xyz_classification",
         "hubness_audit",
+        "dow_anova_eta",
+        "mrl_prefix_recall",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
