@@ -635,6 +635,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hubness_audit": analytics.hubness_audit,
         "dow_anova_eta": analytics.dow_anova_eta,
         "mrl_prefix_recall": analytics.mrl_prefix_recall,
+        "wilcoxon_halves_test": analytics.wilcoxon_halves_test,
+        "nation_rank_stability": analytics.nation_rank_stability,
     }
     # Rotate never-driver-checked queries into the driver's sample
     # window: [extract_*, never-checked oracled, never-checked
@@ -1151,4 +1153,6 @@ def oracle_sql() -> dict[str, str]:
         "hubness_audit": analytics.HUBNESS_SQL,
         "dow_anova_eta": analytics.DOW_ANOVA_SQL,
         "mrl_prefix_recall": analytics.MRL_PREFIX_SQL,
+        "wilcoxon_halves_test": analytics.WILCOXON_HALVES_SQL,
+        "nation_rank_stability": analytics.NATION_RANK_STABILITY_SQL,
     }

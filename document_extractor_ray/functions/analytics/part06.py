@@ -1126,3 +1126,268 @@ LEFT JOIN ov ON ov.query_id = qy.query_id
 LEFT JOIN un ON un.query_id = qy.query_id
 ORDER BY qy.query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank test: first vs second half of the daily series
+# ---------------------------------------------------------------------------
+
+def wilcoxon_halves_test(sf_dir: str):
+    """Wilcoxon signed-rank test pairing day i of the FIRST half of
+    the daily event-count series with day i of the SECOND half (the
+    paired companion of length_mannwhitney's unpaired U): differences
+    d_i = x_{i+h} − x_i, zero differences dropped (Wilcoxon's rule),
+    |d| ranked with doubled midranks (the friedman/bartels tie idiom),
+    W⁺ = Σ ranks of positive d reported doubled (w2_plus) so ties stay
+    integer-exact, plus the exact integer inequality for the normal-
+    approximation two-sided 0.05 decision:
+    (4·W⁺ − m(m+1))² · 10⁶ > 3.8416·10⁶·(2m(m+1)(2m+1)/3) with every
+    factor integer (3.8416e6 = 1.96² · 10⁶).
+
+    Scale shape: daily fold, O(h log h) driver arithmetic on the
+    calendar-bounded series."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        g = pa.TableGroupBy(pa.table({"day": day}), ["day"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    series = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "day", "n"
+    )
+    days = sorted(series)
+    x = [int(series[d]) for d in days]
+    h = len(x) // 2
+    diffs = [x[i + h] - x[i] for i in range(h)]
+    nz = [d for d in diffs if d != 0]
+    m = len(nz)
+    if m == 0:
+        return pa.table(
+            {
+                "n_pairs": pa.array([0], pa.int64()),
+                "m_nonzero": pa.array([0], pa.int64()),
+                "w2_plus": pa.array([0], pa.int64()),
+                "significant": pa.array([0], pa.int64()),
+            }
+        )
+    order = sorted(range(m), key=lambda i: abs(nz[i]))
+    r2 = [0] * m
+    i = 0
+    while i < m:
+        j = i
+        while j < m and abs(nz[order[j]]) == abs(nz[order[i]]):
+            j += 1
+        mid2 = (i + 1) + j  # doubled midrank
+        for t_ in range(i, j):
+            r2[order[t_]] = mid2
+        i = j
+    w2_plus = sum(r for r, d in zip(r2, nz) if d > 0)
+    # z² test with exact integers: (2·W2+ − m(m+1))² vs
+    # 1.96² · (2/3)·m(m+1)(2m+1)  — both sides ×10⁶ after clearing /3
+    lhs = 3 * 1_000_000 * (2 * w2_plus - m * (m + 1)) ** 2
+    rhs = 3_841_600 * 2 * m * (m + 1) * (2 * m + 1)
+    return pa.table(
+        {
+            "n_pairs": pa.array([h], pa.int64()),
+            "m_nonzero": pa.array([m], pa.int64()),
+            "w2_plus": pa.array([w2_plus], pa.int64()),
+            "significant": pa.array([1 if lhs > rhs else 0], pa.int64()),
+        }
+    )
+
+
+WILCOXON_HALVES_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT n, row_number() OVER (ORDER BY day) - 1 AS i,
+         count(*) OVER () AS nn
+  FROM daily
+),
+d AS (
+  SELECT b.n - a.n AS d
+  FROM idx a JOIN idx b ON b.i = a.i + a.nn // 2
+  WHERE a.i < a.nn // 2
+),
+nz AS (SELECT d FROM d WHERE d <> 0),
+rk AS (
+  SELECT d,
+         2 * rank() OVER (ORDER BY abs(d))
+           + count(*) OVER (PARTITION BY abs(d)) - 1 AS r2,
+         count(*) OVER () AS m
+  FROM nz
+),
+agg AS (
+  SELECT CAST(coalesce(sum(CASE WHEN d > 0 THEN r2 END), 0) AS BIGINT)
+           AS w2_plus,
+         CAST(coalesce(max(m), 0) AS BIGINT) AS m
+  FROM rk
+),
+np_ AS (SELECT CAST(max(nn) // 2 AS BIGINT) AS h FROM idx)
+SELECT np_.h AS n_pairs,
+       agg.m AS m_nonzero,
+       agg.w2_plus,
+       CAST(CASE WHEN agg.m > 0 AND
+            3::HUGEINT * 1000000
+              * (2 * agg.w2_plus - agg.m * (agg.m + 1))
+              * (2 * agg.w2_plus - agg.m * (agg.m + 1))
+            > 3841600::HUGEINT * 2 * agg.m * (agg.m + 1) * (2 * agg.m + 1)
+            THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM np_, agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Nation revenue rank stability across years (Kendall tau distance)
+# ---------------------------------------------------------------------------
+
+def nation_rank_stability(sf_dir: str):
+    """Kendall rank-distance audit of per-nation order revenue between
+    consecutive order YEARS: for each adjacent year pair, the number
+    of discordant nation pairs between the two revenue rankings
+    (ranks by cents desc, ties broken by nationkey — fully
+    deterministic) and the normalized tau distance in permille
+    (discordant / C(n,2)).  The 'did the league table reshuffle'
+    stability metric for any cohorted ranking dashboard.
+
+    Scale shape: per-(year, nation) cents via broadcast customer dim +
+    bounded fold (years × 25 nations); the rank-distance is driver
+    arithmetic over a tiny matrix."""
+    import pyarrow.parquet as pq
+
+    from document_extractor_ray import state
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    ck = cust["c_custkey"].combine_chunks()
+    nk = pc.cast(cust["c_nationkey"], pa.int64()).combine_chunks()
+    dim_ref = state.broadcast({"ck": ck, "nk": nk})
+
+    ds = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderdate"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        st = state.cached_get(dim_ref)
+        idx = pc.index_in(t["o_custkey"], value_set=st["ck"])
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "year": pc.year(t["o_orderdate"]),
+                    "nation": st["nk"].take(idx),
+                    "cents": _to_cents(t["o_totalprice"]),
+                }
+            ),
+            ["year", "nation"],
+        ).aggregate([("cents", "sum")])
+        return pa.table(
+            {
+                "year": pc.cast(g["year"], pa.int64()),
+                "nation": g["nation"],
+                "cents": g["cents_sum"],
+            }
+        )
+
+    acc = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["year", "nation"],
+        "cents",
+    )
+    by_year: dict = {}
+    for (year, nation), cents in acc.items():
+        by_year.setdefault(int(year), {})[int(nation)] = int(cents)
+    years = sorted(by_year)
+    rows = []
+    for y0, y1 in zip(years, years[1:]):
+        nations = sorted(set(by_year[y0]) | set(by_year[y1]))
+        n = len(nations)
+
+        def rank_of(year):
+            order = sorted(
+                nations, key=lambda nat: (-by_year[year].get(nat, 0), nat)
+            )
+            return {nat: r for r, nat in enumerate(order)}
+
+        ra, rb = rank_of(y0), rank_of(y1)
+        disc = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                a, b = nations[i], nations[j]
+                if (ra[a] - ra[b]) * (rb[a] - rb[b]) < 0:
+                    disc += 1
+        pairs = n * (n - 1) // 2
+        rows.append(
+            (y0, y1, n, disc, (1000 * disc) // pairs if pairs else 0)
+        )
+    return pa.table(
+        {
+            "year_from": pa.array([r[0] for r in rows], pa.int64()),
+            "year_to": pa.array([r[1] for r in rows], pa.int64()),
+            "n_nations": pa.array([r[2] for r in rows], pa.int64()),
+            "discordant": pa.array([r[3] for r in rows], pa.int64()),
+            "tau_dist_permille": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+NATION_RANK_STABILITY_SQL = """
+WITH yn AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS year,
+         CAST(c.c_nationkey AS BIGINT) AS nation,
+         CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+years AS (SELECT DISTINCT year FROM yn),
+pairs AS (
+  SELECT a.year AS y0, b.year AS y1
+  FROM years a JOIN years b ON b.year = (
+    SELECT min(c.year) FROM years c WHERE c.year > a.year
+  )
+),
+nations AS (
+  SELECT p.y0, p.y1, n.nation
+  FROM pairs p JOIN (SELECT DISTINCT nation FROM yn) n ON TRUE
+),
+rk AS (
+  SELECT ns.y0, ns.y1, ns.nation,
+         row_number() OVER (
+           PARTITION BY ns.y0, ns.y1
+           ORDER BY coalesce(a.cents, 0) DESC, ns.nation) AS ra,
+         row_number() OVER (
+           PARTITION BY ns.y0, ns.y1
+           ORDER BY coalesce(b.cents, 0) DESC, ns.nation) AS rb
+  FROM nations ns
+  LEFT JOIN yn a ON a.year = ns.y0 AND a.nation = ns.nation
+  LEFT JOIN yn b ON b.year = ns.y1 AND b.nation = ns.nation
+),
+dd AS (
+  SELECT x.y0, x.y1,
+         CAST(sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) < 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS discordant
+  FROM rk x
+  JOIN rk y ON y.y0 = x.y0 AND y.y1 = x.y1 AND y.nation > x.nation
+  GROUP BY 1, 2
+),
+nn AS (
+  SELECT y0, y1, CAST(count(*) AS BIGINT) AS n_nations
+  FROM rk GROUP BY 1, 2
+)
+SELECT nn.y0 AS year_from, nn.y1 AS year_to, nn.n_nations,
+       coalesce(dd.discordant, 0) AS discordant,
+       CAST(CASE WHEN nn.n_nations > 1
+            THEN (1000 * coalesce(dd.discordant, 0))
+                 // (nn.n_nations * (nn.n_nations - 1) // 2)
+            ELSE 0 END AS BIGINT) AS tau_dist_permille
+FROM nn LEFT JOIN dd ON dd.y0 = nn.y0 AND dd.y1 = nn.y1
+ORDER BY year_from
+"""

@@ -68,46 +68,58 @@ def pack_sequences(
     example_id = first doc_id in the example (unique: doc ranges are
     disjoint and packing is in-order)."""
 
+    from document_extractor_ray.functions import bucketing
+
+    n_parts = bucketing.n_shuffle_parts()
+
     def count_tokens(t: pa.Table) -> pa.Table:
         toks = pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
         rng = pc.divide(t["doc_id"], range_size)
-        return pa.table(
-            {"doc_id": t["doc_id"], "n_tokens": toks, "rng": rng}
+        out = pa.table({"doc_id": t["doc_id"], "n_tokens": toks, "rng": rng})
+        # co-locate whole RANGES per partition (hash of rng), so the
+        # packing pass is ONE call per ~CPU-count partition, not one
+        # pandas call per range — 12k ranges at 1M docs paid the
+        # per-GROUP map_groups cost this repo's bucketed family exists
+        # to avoid (PERF.md steps 20-24; measured 10x at 8 cpus)
+        return out.append_column(
+            "part", bucketing.key_part_column(out, ["rng"], n_parts)
         )
 
-    def pack_range(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
+    def pack_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rng", "doc_id"])
         ids = g["doc_id"].to_numpy()
         toks = g["n_tokens"].to_numpy()
+        rngs = g["rng"].to_numpy()
         ex_ids, ex_docs, ex_ntok, ex_over = [], [], [], []
         cur_docs: list = []
         cur_tok = 0
-        for d, n in zip(ids, toks):
+        cur_rng = None
+
+        def flush():
+            if cur_docs:
+                ex_ids.append(cur_docs[0])
+                ex_docs.append(list(cur_docs))
+                ex_ntok.append(cur_tok)
+                ex_over.append(False)
+
+        for d, n, r in zip(ids, toks, rngs):
+            if r != cur_rng:
+                flush()
+                cur_docs, cur_tok, cur_rng = [], 0, r
             if n > window:
-                if cur_docs:
-                    ex_ids.append(cur_docs[0])
-                    ex_docs.append(list(cur_docs))
-                    ex_ntok.append(cur_tok)
-                    ex_over.append(False)
-                    cur_docs, cur_tok = [], 0
+                flush()
+                cur_docs, cur_tok = [], 0
                 ex_ids.append(int(d))
                 ex_docs.append([int(d)])
                 ex_ntok.append(int(n))
                 ex_over.append(True)
                 continue
             if cur_tok + n > window and cur_docs:
-                ex_ids.append(cur_docs[0])
-                ex_docs.append(list(cur_docs))
-                ex_ntok.append(cur_tok)
-                ex_over.append(False)
+                flush()
                 cur_docs, cur_tok = [], 0
             cur_docs.append(int(d))
             cur_tok += int(n)
-        if cur_docs:
-            ex_ids.append(cur_docs[0])
-            ex_docs.append(list(cur_docs))
-            ex_ntok.append(cur_tok)
-            ex_over.append(False)
+        flush()
         return pd.DataFrame(
             {
                 "example_id": pd.Series(ex_ids, dtype="int64"),
@@ -120,8 +132,8 @@ def pack_sequences(
 
     return (
         ds.map_batches(count_tokens, batch_format="pyarrow")
-        .groupby("rng")
-        .map_groups(pack_range, batch_format="pandas")
+        .groupby("part")
+        .map_groups(pack_partition, batch_format="pandas")
         .sort("example_id")
     )
 

@@ -63,6 +63,27 @@ def test_packed_token_budget(chain_run):
             assert ntok <= PACK_WINDOW
 
 
+def test_chunked_planting_equals_one_shot():
+    """plant_dup_pages(start_index, plants_only) streamed over chunks
+    must be bit-identical to one-shot planting (the 10M-corpus path of
+    tools/endurance_curation.py)."""
+    import pyarrow as pa
+
+    from document_extractor_ray import fixtures
+    from document_extractor_ray.pipelines import curation
+
+    pages = fixtures.make_pages_table(300, seed=11)
+    one = curation.plant_dup_pages(pages)
+    outs = [pages]
+    off = 0
+    for lo, hi in ((0, 77), (77, 200), (200, pages.num_rows)):
+        c = pages.slice(lo, hi - lo)
+        outs.append(curation.plant_dup_pages(c, start_index=off, plants_only=True))
+        off += c.num_rows
+    two = pa.concat_tables(outs)
+    assert one.equals(two)
+
+
 def test_loser_sets_complement_keep_sets(chain_run):
     """exact_dup_losers / near_dup_losers must be the exact set
     complements of dedup_exact / near_dedup_keep over the same docs."""
