@@ -130,9 +130,15 @@ def pack_sequences(
             }
         )
 
+    # Materialize the SLIM token table (text dropped — 32 B/row) before
+    # the exchange: the groupby's all-to-all pulling from the live
+    # upstream map thrashes at low CPU counts (the minhash_dup_pairs_lean
+    # finding, PERF step 43; in-chain pack on 765k docs @8 cpus was
+    # 252 s lazily vs ~40 s with the boundary).  At 10M docs this is
+    # ~320 MB — the bytes the sort would buffer anyway.
+    slim = ds.map_batches(count_tokens, batch_format="pyarrow").materialize()
     return (
-        ds.map_batches(count_tokens, batch_format="pyarrow")
-        .groupby("part")
+        slim.groupby("part")
         .map_groups(pack_partition, batch_format="pandas")
         .sort("example_id")
     )
