@@ -460,6 +460,8 @@ PICKS = [
     "hubness_audit",
     "dow_anova_eta",
     "mrl_prefix_recall",
+    "wilcoxon_halves_test",
+    "nation_rank_stability",
     # r5: the end-to-end curation composition (losers + decontam +
     # pack over the checkpointed docs; extraction phase reuses the
     # /tmp checkpoint after the first run)

@@ -462,6 +462,8 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "hubness_audit",
         "dow_anova_eta",
         "mrl_prefix_recall",
+        "wilcoxon_halves_test",
+        "nation_rank_stability",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
