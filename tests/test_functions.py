@@ -5193,6 +5193,34 @@ def test_first_touch_partition(ray_session):
 # Registry integrity
 
 
+def test_registry_rotation_order():
+    """queries() must front-load the driver's ~50-query sample window:
+    extract_* first, then never-driver-checked oracled queries, then
+    never-checked no-oracle, then everything already green in a
+    committed CORRECTNESS file (VERDICT r3/r4 backlog-drain design)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+
+    names = list(em.queries())
+    checked = em._driver_checked()
+    oracled = set(em.oracle_sql())
+
+    def tier(n):
+        if n.startswith("extract_"):
+            return 0
+        if n not in checked:
+            return 1 if n in oracled else 2
+        return 3
+
+    tiers = [tier(n) for n in names]
+    assert tiers == sorted(tiers), "rotation tiers out of order"
+    assert names[0].startswith("extract_")
+    # the window the driver samples must start with never-checked work
+    assert any(t == 1 for t in tiers[:50])
+
+
 def test_registry_no_oracle_set_pinned():
     """Every queries() entry either has a DuckDB oracle or sits in the
     explicitly justified no-oracle allowlist (COVERAGE.md 'Correctness
