@@ -55,13 +55,21 @@ def cmd_extract(args) -> int:
     if args.run_id:
         cfg = cfg.with_(run_id=args.run_id)
 
+    if all(p.endswith((".warc", ".warc.gz")) for p in args.input):
+        # raw Common-Crawl archives: parse per file, same pipeline
+        from document_extractor_ray.sources.warc import read_pages_warc
+
+        source = read_pages_warc(args.input)
+    else:
+        source = args.input[0] if len(args.input) == 1 else args.input
+
     if args.resumable:
         result = resume.run_resumable(
             args.input, args.out, cfg, shard_size=args.shard_size
         )
         print(json.dumps(result))
     else:
-        final = run_extraction(args.input[0] if len(args.input) == 1 else args.input, cfg)
+        final = run_extraction(source, cfg)
         paths = outputs.write_outputs(final, args.out, cfg)
         if args.combined_text or args.reference_layout:
             import pyarrow.parquet as pq

@@ -241,8 +241,17 @@ def read_partitioned(out_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(files)
 
 
+def read_pages_warc(paths):
+    """Pages Dataset from Common-Crawl-style WARC file(s) — see
+    sources/warc.py (file-per-task parallelism, gzip transparent)."""
+    from document_extractor_ray.sources.warc import read_pages_warc as _f
+
+    return _f(paths)
+
+
 __all__ = [
     "read_pages",
+    "read_pages_warc",
     "read_pages_ipc",
     "read_pages_csv",
     "read_pages_jsonl",
