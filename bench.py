@@ -462,6 +462,7 @@ PICKS = [
     "mrl_prefix_recall",
     "wilcoxon_halves_test",
     "nation_rank_stability",
+    "late_arrival_audit",
     # r5: the end-to-end curation composition (losers + decontam +
     # pack over the checkpointed docs; extraction phase reuses the
     # /tmp checkpoint after the first run)

@@ -1391,3 +1391,150 @@ SELECT nn.y0 AS year_from, nn.y1 AS year_to, nn.n_nations,
 FROM nn LEFT JOIN dd ON dd.y0 = nn.y0 AND dd.y1 = nn.y1
 ORDER BY year_from
 """
+
+
+# ---------------------------------------------------------------------------
+# Late-arrival (out-of-orderness) audit over the event stream
+# ---------------------------------------------------------------------------
+
+LATE_N_BUCKETS = 2048
+
+
+def late_arrival_audit(sf_dir: str):
+    """Out-of-orderness profile of the event stream in INGEST order
+    (event_id): an event is LATE iff its ts is strictly below the
+    running max ts of all earlier-ingested events — exactly the rows a
+    watermark-based streaming window would have to re-open.  Per event
+    type: event count, late count, late permille, and the maximum
+    lateness in microseconds.  The number that sizes a streaming
+    pipeline's allowed-lateness / watermark delay.
+
+    Scale shape: a running max is sequential, but distributes exactly
+    in two passes over id-RANGE buckets: (1) per-bucket max-ts
+    partials fold on the driver into an exclusive prefix max per
+    bucket (bucket count fixed at 2048 — driver state is O(buckets));
+    (2) one bucket-grouped exchange where each bucket sorts its own
+    rows by id, runs a vectorized cumulative max seeded with the
+    prefix, and emits per-type partials.  No global sort ever runs."""
+    from document_extractor_ray import state
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+
+    # pass 0: max event id (cheap column-stat fold)
+    def id_max(t: pa.Table) -> pa.Table:
+        m = pc.max(t["event_id"]).as_py()
+        return pa.table({"k": pa.array([1], pa.int64()),
+                         "m": pa.array([m if m is not None else -1], pa.int64())})
+
+    id_parts = [
+        r["m"]
+        for b in ds.map_batches(id_max, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        for r in b.to_pylist()
+    ]
+    max_id = max(id_parts) if id_parts else 0
+    bucket_w = max(1, (max_id + LATE_N_BUCKETS) // LATE_N_BUCKETS)
+
+    def bmax_partial(t: pa.Table) -> pa.Table:
+        b = pc.divide(t["event_id"], bucket_w)
+        g = pa.TableGroupBy(
+            pa.table({"b": b, "ts": pc.cast(t["ts"], pa.int64())}), ["b"]
+        ).aggregate([("ts", "max")])
+        return pa.table({"b": g["b"], "mx": g["ts_max"]})
+
+    # fold_partials SUMS values; this merge needs MAX — plain
+    # dict-max over the bounded per-block partials instead
+    bmax: dict = {}
+    for tb in map(
+        ray.get,
+        ds.map_batches(bmax_partial, batch_format="pyarrow").to_arrow_refs(),
+    ):
+        for r in tb.to_pylist():
+            b = int(r["b"])
+            bmax[b] = max(bmax.get(b, -(1 << 62)), int(r["mx"]))
+    prefix: dict = {}
+    run = -(1 << 62)
+    for b in sorted(bmax):
+        prefix[b] = run
+        run = max(run, bmax[b])
+    ref = state.broadcast({"prefix": prefix, "w": bucket_w})
+
+    def late_partial(g: pd.DataFrame) -> pd.DataFrame:
+        st = state.cached_get(ref)
+        g = g.sort_values("event_id")
+        ts = g["ts"].astype("int64").to_numpy()
+        b = int(g["event_id"].iloc[0]) // st["w"]
+        seed = st["prefix"].get(b, -(1 << 62))
+        run_max = np.maximum.accumulate(np.concatenate(([seed], ts)))[:-1]
+        late = ts < run_max
+        lateness = np.where(late, run_max - ts, 0)
+        out = pd.DataFrame(
+            {
+                "event_type": g["event_type"].to_numpy(),
+                "late": late.astype("int64"),
+                "lateness": lateness.astype("int64"),
+            }
+        )
+        agg = out.groupby("event_type", as_index=False).agg(
+            n=("late", "size"), n_late=("late", "sum"), mx=("lateness", "max")
+        )
+        return agg
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.divide(t["event_id"], bucket_w)
+        ).set_column(
+            t.schema.get_field_index("ts"),
+            "ts",
+            pc.cast(t["ts"], pa.int64()),
+        )
+
+    partials = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(late_partial, batch_format="pandas")
+    )
+    tot: dict = {}
+    for tb in map(ray.get, partials.to_arrow_refs()):
+        for r in tb.to_pylist():
+            et = r["event_type"]
+            c = tot.setdefault(et, [0, 0, 0])
+            c[0] += int(r["n"])
+            c[1] += int(r["n_late"])
+            c[2] = max(c[2], int(r["mx"]))
+    rows = []
+    for et in sorted(tot):
+        n, nl, mx = tot[et]
+        rows.append((et, n, nl, (1000 * nl) // n if n else 0, mx))
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_events": pa.array([r[1] for r in rows], pa.int64()),
+            "n_late": pa.array([r[2] for r in rows], pa.int64()),
+            "late_permille": pa.array([r[3] for r in rows], pa.int64()),
+            "max_lateness_us": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+LATE_ARRIVAL_SQL = """
+WITH w AS (
+  SELECT event_type, epoch_us(ts) AS ts,
+         max(epoch_us(ts)) OVER (
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN prev_max IS NOT NULL AND ts < prev_max
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST((1000 * sum(CASE WHEN prev_max IS NOT NULL AND ts < prev_max
+                        THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+         AS late_permille,
+       CAST(coalesce(max(CASE WHEN prev_max IS NOT NULL AND ts < prev_max
+                         THEN prev_max - ts END), 0) AS BIGINT)
+         AS max_lateness_us
+FROM w GROUP BY 1 ORDER BY 1
+"""

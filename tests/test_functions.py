@@ -464,6 +464,7 @@ def _cmp_with_duckdb(got_df: pd.DataFrame, sql: str, sf=SF):
         "mrl_prefix_recall",
         "wilcoxon_halves_test",
         "nation_rank_stability",
+        "late_arrival_audit",
     ],
 )
 def test_sql_oracle_parity(ray_session, qname):
